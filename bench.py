@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing protocol: each query is built fresh and fully materialized via a
+count-collapsing action that still computes every output column
+(df.foreach no-op would skip codegen of projections, so we use
+.write.format("noop")), after one warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_adapted",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9_adapted",
+    "tpch_q13",
+    "tpch_q18_adapted",
+    "tpch_q21_adapted",
+    "window_topn_per_group",
+    "agg_cube",
+    "knn_l2",
+    "knn_cosine",
+    "knn_join_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_simhash",
+    "events_sliding_window",
+    "events_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from opengauss_vectordb_spark import registry
+    from opengauss_vectordb_spark.session import get_spark
+
+    registry.load_all_queries()
+    from opengauss_vectordb_spark.registry import QUERIES
+
+    spark = get_spark(app_name="bench")
+    # warm up the JVM / parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Table catalog over the driver's parquet star schema (TESTDATA.md).
+
+The reference declares fixed schemas via DDL in pg_class/pg_attribute
+(SURVEY.md §1.3); we treat the parquet footers as the declared schema and
+register temp views so both the DataFrame and spark.sql() entry points see
+the same relations — mirroring how the reference's row and vectorized
+engines converge on one catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) → read as nanos-since-epoch long
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
+        # matching DuckDB's nanos→micros truncation.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer DIV, not double /: nanos ≈ 1.7e18 exceeds double's
+            # 53-bit exact range, float division would wobble the micros
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view for spark.sql() queries."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,828 @@
+"""Set operations, window functions, grouping sets, ordered-set aggregates,
+scalar function families, and the long-tail operator surface of SURVEY.md
+§2.4-§2.7:
+
+  SetOp (nodeSetOp.cpp / vecsetop.cpp)         → intersect/except/union
+  WindowAgg (nodeWindowAgg.cpp, windowfuncs.cpp)→ rank/lag/frames/ntile
+  GROUPING SETS / ROLLUP / CUBE (gram.y:24424) → rollup()/cube()
+  ordered-set aggs (orderedsetaggs.cpp:222)    → percentile/median
+  first/last (first_last_agg.cpp)              → min_by/max_by
+  string_agg/array_agg (varlena.cpp)           → collect_list + sort
+  conditional funcs (a_compat.cpp: nvl/decode) → native Spark SQL fns
+  string/date/JSON families (§2.7)             → near-1:1 Spark builtins
+  SampleScan REPEATABLE (nodeSamplescan.cpp)   → md5-hash deterministic
+  RecursiveUnion (nodeRecursiveunion.cpp)      → driver-side fixpoint loop
+  StartWithOp CONNECT BY (nodeStartWithOp.cpp) → iterative self-join
+  Limit/Offset (nodeLimit.cpp)                 → limit()/offset()
+  ValuesScan (nodeValuesscan.cpp)              → createDataFrame
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from ._util import dsum, sql_dsum
+
+# --- set operations (nodeSetOp.cpp: INTERSECT/EXCEPT hashed or sorted) ----
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "setop_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY custkey
+    """,
+)
+def setop_except(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o).orderBy("custkey")
+
+
+@query(
+    "setop_union_distinct",
+    """
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) u GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def setop_union_distinct(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+# --- window functions (nodeWindowAgg.cpp; adt/windowfuncs.cpp) ------------
+
+
+@query(
+    "window_topn_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3 ORDER BY o_orderpriority, rn
+    """,
+)
+def window_topn_per_group(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_moving_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving3_total,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_moving_frames(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(price_dec)
+        .over(w.rowsBetween(-2, W.currentRow))
+        .cast("double")
+        .alias("moving3_total"),
+        F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("cust_orders"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_rank_dist",
+    """
+    SELECT s_suppkey, s_acctbal,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_rank_dist(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "window_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+    FROM orders WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_value(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- grouping sets / rollup / cube (gram.y:24424-24441; nodeAgg phases) ---
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")).alias(
+                "gid"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n", "total")
+        .orderBy(
+            "gid",
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity"), "qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- DISTINCT aggregates (nodeAgg.cpp DISTINCT-inside-aggregate) ----------
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.sum_distinct(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_distinct_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- ordered-set aggregates (orderedsetaggs.cpp:222,278; median_aggs.cpp) -
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.9).alias("p90"),
+            F.median("l_quantity").alias("median_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_stddev_var",
+    """
+    SELECT o_orderstatus,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd_samp,
+           ROUND(var_samp(o_totalprice), 4) AS v_samp,
+           ROUND(stddev_pop(o_totalprice), 4) AS sd_pop,
+           ROUND(var_pop(o_totalprice), 4) AS v_pop
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_stddev_var(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_samp"),
+            F.round(F.var_samp("o_totalprice"), 4).alias("v_samp"),
+            F.round(F.stddev_pop("o_totalprice"), 4).alias("sd_pop"),
+            F.round(F.var_pop("o_totalprice"), 4).alias("v_pop"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- first/last → min_by/max_by (adt/first_last_agg.cpp) ------------------
+
+
+@query(
+    "agg_min_max_by",
+    """
+    SELECT o_orderpriority,
+           min_by(o_orderkey, strftime(o_orderdate, '%Y%m%d') || '-'
+                  || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_orderkey,
+           max_by(o_orderkey, strftime(o_orderdate, '%Y%m%d') || '-'
+                  || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_orderkey,
+           max_by(o_custkey, printf('%018.2f', o_totalprice) || '-'
+                  || lpad(CAST(o_custkey AS VARCHAR), 12, '0')) AS biggest_spender
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    # min_by/max_by need a totally-ordered key for determinism under ties
+    # (duplicate dates / prices); a fixed-width sortable string composite
+    # (value + unique key) orders identically in every engine.
+    o = table(spark, sf_dir, "orders")
+    date_key = F.concat(
+        F.date_format("o_orderdate", "yyyyMMdd"),
+        F.lit("-"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    price_key = F.concat(
+        F.format_string("%018.2f", F.col("o_totalprice")),
+        F.lit("-"),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", date_key).alias("first_orderkey"),
+            F.max_by("o_orderkey", date_key).alias("last_orderkey"),
+            F.max_by("o_custkey", price_key).alias("biggest_spender"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- string_agg / array_agg (varlena.cpp, array_userfuncs.cpp) ------------
+
+
+@query(
+    "agg_string_array",
+    """
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def agg_string_array(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- conditional functions (a_compat.cpp: nvl/nvl2/decode; misc.cpp) ------
+
+
+@query(
+    "conditional_funcs",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS segment,
+           GREATEST(c_acctbal, 0.0) AS pos_bal,
+           LEAST(c_acctbal, 1000.0) AS capped_bal,
+           CASE c_nationkey % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                ELSE 'gamma' END AS decoded,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'ok' ELSE 'rich' END AS bucket
+    FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+    """,
+)
+def conditional_funcs(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    # nvl/nvl2/decode exist in Spark SQL under their PG/Oracle names
+    # (a_compat.cpp parity); expressed here via the expr() SQL surface.
+    return c.select(
+        "c_custkey",
+        F.expr("nvl(nullif(c_mktsegment, 'BUILDING'), '(redacted)')").alias("segment"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("capped_bal"),
+        F.expr(
+            "decode(c_nationkey % 3, 0, 'alpha', 1, 'beta', 'gamma')"
+        ).alias("decoded"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "ok")
+        .otherwise("rich")
+        .alias("bucket"),
+    ).orderBy("c_custkey")
+
+
+# --- scalar function families (§2.7): string / date / JSON ----------------
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           substring(p_name, 1, 8) AS sub8,
+           length(p_name) AS len,
+           replace(p_type, 'O', '0') AS repl,
+           split_part(p_brand, '#', 2) AS brand_num,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           reverse(p_brand) AS rev,
+           strpos(p_name, 'a') AS pos_a,
+           concat(p_brand, ':', p_type) AS tagged,
+           trim(' x ') AS trimmed,
+           translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels
+    FROM part WHERE p_partkey <= 50 ORDER BY p_partkey
+    """,
+)
+def string_funcs(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 8).alias("sub8"),
+        F.length("p_name").alias("len"),
+        F.expr("replace(p_type, 'O', '0')").alias("repl"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.reverse("p_brand").alias("rev"),
+        F.instr(F.col("p_name"), "a").alias("pos_a"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tagged"),
+        F.trim(F.lit(" x ")).alias("trimmed"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("lowered_vowels"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy, quarter(o_orderdate) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+             AS days_to_y2k,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 50)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.last_day(d).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "json_funcs",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_funcs(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k.cast("decimal(18,6)")).cast("double").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- math functions (float.cpp / numeric.cpp / int.cpp) -------------------
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT o_orderkey,
+           ROUND(abs(o_totalprice - 100000.0), 2) AS dist_from_100k,
+           CEIL(o_totalprice) AS ceiled, FLOOR(o_totalprice) AS floored,
+           ROUND(o_totalprice, -2) AS to_hundreds,
+           ROUND(sqrt(o_totalprice), 6) AS sqrt_price,
+           ROUND(ln(o_totalprice), 6) AS ln_price,
+           ROUND(log10(o_totalprice), 6) AS log10_price,
+           ROUND(power(o_totalprice, 0.5), 6) AS pow_half,
+           MOD(o_orderkey, 7) AS mod7,
+           CAST(SIGN(o_totalprice - 150000.0) AS INTEGER) AS sign_vs_150k
+    FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
+    """,
+)
+def math_funcs(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 50)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(tp - 100000.0), 2).alias("dist_from_100k"),
+        F.ceil(tp).alias("ceiled"),
+        F.floor(tp).alias("floored"),
+        F.round(tp, -2).alias("to_hundreds"),
+        F.round(F.sqrt(tp), 6).alias("sqrt_price"),
+        F.round(F.log(tp), 6).alias("ln_price"),
+        F.round(F.log10(tp), 6).alias("log10_price"),
+        F.round(F.pow(tp, 0.5), 6).alias("pow_half"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.signum(tp - 150000.0).cast("int").alias("sign_vs_150k"),
+    ).orderBy("o_orderkey")
+
+
+# --- hashing / encoding (adt/encode.cpp) ----------------------------------
+
+
+@query(
+    "hash_encode_funcs",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           to_base64(encode(c_mktsegment)) AS seg_b64,
+           hex(encode(c_mktsegment)) AS seg_hex
+    FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey
+    """,
+)
+def hash_encode_funcs(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.base64(F.col("c_mktsegment").cast("binary")).alias("seg_b64"),
+        F.upper(F.hex(F.col("c_mktsegment").cast("binary"))).alias("seg_hex"),
+    ).orderBy("c_custkey")
+
+
+# --- deterministic sample (nodeSamplescan.cpp BERNOULLI REPEATABLE) -------
+
+
+@query(
+    "sample_deterministic",
+    """
+    SELECT COUNT(*) AS sample_size,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sample_bal
+    FROM customer
+    WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '29'
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    # BERNOULLI(~16%) REPEATABLE: md5 of the key is a seeded uniform hash
+    # that both engines compute identically — a portable REPEATABLE sample.
+    c = table(spark, sf_dir, "customer")
+    return c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 2)
+        < "29"
+    ).agg(
+        F.count(F.lit(1)).alias("sample_size"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sample_bal"),
+    )
+
+
+# --- limit / offset (nodeLimit.cpp; Spark 3.4+ offset) --------------------
+
+
+@query(
+    "limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def limit_offset(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(10)
+    )
+
+
+# --- VALUES scan (nodeValuesscan.cpp) -------------------------------------
+
+
+@query(
+    "values_scan",
+    """
+    SELECT v.region_name, COUNT(n.n_nationkey) AS nations
+    FROM (VALUES ('ASIA'), ('EUROPE'), ('ATLANTIS')) AS v(region_name)
+    LEFT JOIN region r ON r.r_name = v.region_name
+    LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY v.region_name ORDER BY v.region_name
+    """,
+)
+def values_scan(spark, sf_dir):
+    v = spark.createDataFrame(
+        [("ASIA",), ("EUROPE",), ("ATLANTIS",)], ["region_name"]
+    )
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        v.join(F.broadcast(r), v.region_name == r.r_name, "left_outer")
+        .join(F.broadcast(n), F.col("n_regionkey") == F.col("r_regionkey"), "left_outer")
+        .groupBy("region_name")
+        .agg(F.count("n_nationkey").alias("nations"))
+        .orderBy("region_name")
+    )
+
+
+# --- full outer join (JOIN_FULL in vechashjoin.cpp:639-670) ---------------
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           COUNT(DISTINCT c.c_custkey) AS customers,
+           COUNT(DISTINCT s.s_suppkey) AS suppliers
+    FROM (SELECT * FROM customer WHERE c_nationkey < 10) c
+    FULL OUTER JOIN (SELECT * FROM supplier WHERE s_nationkey >= 5) s
+      ON c.c_nationkey = s.s_nationkey
+    GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") >= 5)
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"))
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.countDistinct("s_suppkey").alias("suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --- recursive union (nodeRecursiveunion.cpp): WITH RECURSIVE fixpoint ----
+
+
+@query(
+    "recursive_series",
+    """
+    WITH RECURSIVE t(n, fact) AS (
+      SELECT 1, 1
+      UNION ALL
+      SELECT n + 1, fact * (n + 1) FROM t WHERE n < 12
+    )
+    SELECT n, fact FROM t ORDER BY n
+    """,
+)
+def recursive_series(spark, sf_dir):
+    # Driver-side fixpoint loop — the Spark-native RecursiveUnion: iterate
+    # until the working table is empty (here a bounded arithmetic series).
+    current = spark.createDataFrame([(1, 1)], "n INT, fact INT")
+    acc = current
+    for _ in range(11):
+        current = current.select(
+            (F.col("n") + 1).alias("n"), (F.col("fact") * (F.col("n") + 1)).alias("fact")
+        ).filter(F.col("n") <= 12)
+        acc = acc.unionAll(current)
+    return acc.orderBy("n")
+
+
+# --- START WITH / CONNECT BY (nodeStartWithOp.cpp): hierarchy walk --------
+
+
+@query(
+    "connect_by_hierarchy",
+    """
+    WITH RECURSIVE h(nodekey, label, lvl, path) AS (
+      SELECT r_regionkey, r_name, 1, r_name FROM region
+      UNION ALL
+      SELECT n.n_nationkey, n.n_name, h.lvl + 1, h.path || '/' || n.n_name
+      FROM nation n JOIN h ON n.n_regionkey = h.nodekey AND h.lvl = 1
+    )
+    SELECT label, lvl, path FROM h ORDER BY lvl, label
+    """,
+)
+def connect_by_hierarchy(spark, sf_dir):
+    # CONNECT BY over the region→nation hierarchy as an iterative
+    # self-join with an accumulated LEVEL and SYS_CONNECT_BY_PATH.
+    r = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("nodekey"),
+        F.col("r_name").alias("label"),
+        F.lit(1).alias("lvl"),
+        F.col("r_name").alias("path"),
+    )
+    n = table(spark, sf_dir, "nation")
+    level2 = (
+        n.join(r, n.n_regionkey == r.nodekey)
+        .select(
+            F.col("n_nationkey").alias("nodekey"),
+            F.col("n_name").alias("label"),
+            (F.col("lvl") + 1).alias("lvl"),
+            F.concat(F.col("path"), F.lit("/"), F.col("n_name")).alias("path"),
+        )
+    )
+    return r.unionAll(level2).select("label", "lvl", "path").orderBy("lvl", "label")
+
+
+# --- approx count distinct (hll_function.cpp:560,590) — rows-only check ---
+
+
+@query("hll_approx_distinct")
+def hll_approx_distinct(spark, sf_dir):
+    # HLL sketches are engine-specific (Spark's HLL++ vs the reference's
+    # hll.cpp) so no value-level oracle; pytest asserts the ≤2% error
+    # envelope against exact counts instead.
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,230 @@
+"""Text-analysis operators over the `documents` table — the LLM-training-
+pipeline surface (token counting, quality scoring, language ID heuristic,
+document fingerprinting) plus the reference's full-text primitives
+(to_tsvector-style tokenization, adt/tsvector.cpp → array<string> token
+model per SURVEY.md §2.7).
+
+All operators are pure Column expressions (split/regexp/aggregate) — no
+Python in the row path, so they scale linearly across executors on a
+100 TB corpus. Tokenization = whitespace split; the BPE-ish token
+estimator uses a chars/4 heuristic alongside the word count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_SQL_STOPS = "('the', 'a', 'of', 'and', 'to')"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer (to_tsvector's parser reduced to the token
+    model per SURVEY.md §2.7 full-text row)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (0-based Spark array subscripts)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+@query(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           length(text) AS n_chars_actual,
+           len(list_distinct(string_split_regex(trim(text), '\s+')))
+             AS n_unique_tokens
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS w,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           ROUND(nc * 1.0 / len(w), 6) AS avg_token_len,
+           ROUND(len(list_filter(w, x -> x IN {_SQL_STOPS})) * 1.0 / len(w), 6)
+             AS stopword_ratio,
+           ROUND(len(list_distinct(w)) * 1.0 / len(w), 6) AS unique_ratio,
+           CASE WHEN len(w) >= 20
+                 AND len(list_distinct(w)) * 1.0 / len(w) > 0.3
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM t WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = tokens(F.col("text"))
+    nw = F.size(w)
+    stop_ct = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(w))
+    return d.select(
+        "doc_id",
+        nw.alias("n_tokens"),
+        F.round(F.length("text") * F.lit(1.0) / nw, 6).alias("avg_token_len"),
+        F.round(stop_ct * F.lit(1.0) / nw, 6).alias("stopword_ratio"),
+        F.round(uniq * F.lit(1.0) / nw, 6).alias("unique_ratio"),
+        F.when((nw >= 20) & (uniq * F.lit(1.0) / nw > 0.3), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid_heuristic",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN len(list_filter(w, x -> x IN {_SQL_STOPS})) * 1.0
+                     / len(w) > 0.05
+                THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM t WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    # n-gram/stopword language ID. The synthetic corpus shares one
+    # vocabulary across lang labels, so this demonstrates the operator
+    # (deterministic classifier, same result in both engines), not
+    # accuracy against the synthetic labels.
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = tokens(F.col("text"))
+    ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) * F.lit(1.0) / F.size(w)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(ratio > 0.05, "en").otherwise("unknown").alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS shingles,
+             w
+      FROM t
+    )
+    SELECT doc_id,
+           md5(array_to_string(w, ' ')) AS full_md5,
+           CASE WHEN len(shingles) > 0
+                THEN list_min(list_transform(shingles, s -> md5(s)))
+                ELSE NULL END AS min_shingle_md5
+    FROM sh ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    # Rolling-hash document fingerprint: md5 of the normalized token
+    # stream plus the minimum shingle hash (winnowing-style selection —
+    # min over the rolling window of shingle hashes). md5 hex strings
+    # compare identically across engines, so MIN() is portable.
+    d = table(spark, sf_dir, "documents")
+    w = tokens(F.lower(F.col("text")))
+    sh = shingles(w, 3)
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(w, " ").cast("binary")).alias("full_md5"),
+        F.when(
+            F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("min_shingle_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_simhash",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), nib AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             list_transform(range(1, 17),
+               p -> list_sum(list_transform(w,
+                      tok -> strpos('0123456789abcdef', md5(tok)[p:p]) - 1)))
+               AS nibble_sums
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, 17),
+                  p -> CASE WHEN nibble_sums[p] * 2 >= 15 * n_tokens
+                            THEN CAST(2 AS BIGINT) ** (p - 1) ELSE 0 END))
+                AS BIGINT) AS simhash16
+    FROM nib ORDER BY doc_id
+    """,
+)
+def text_simhash(spark, sf_dir):
+    # SimHash over 16 hex-nibble dimensions of each token's md5: dimension
+    # p's weight is the nibble value (0-15); the fingerprint bit is set
+    # when the mean nibble exceeds 7.5. Near-duplicate docs (sharing most
+    # tokens) land within small Hamming distance of each other.
+    d = table(spark, sf_dir, "documents")
+    w = tokens(F.lower(F.col("text")))
+    n_tok = F.size(w)
+    def nibble_at(p):
+        # hex nibble value 0-15 of md5(token) at position p — dimension
+        # p's per-token weight (single-arg lambda: transform would treat a
+        # second parameter as the array index)
+        return lambda tok: F.conv(
+            F.substring(F.md5(tok.cast("binary")), p, 1), 16, 10
+        ).cast("int")
+
+    bits = []
+    for p in range(1, 17):
+        nibble_sum = F.aggregate(
+            F.transform(w, nibble_at(p)), F.lit(0), lambda acc, x: acc + x
+        )
+        bits.append(
+            F.when(nibble_sum * 2 >= 15 * n_tok, F.lit(2 ** (p - 1))).otherwise(0)
+        )
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return d.select("doc_id", simhash.cast("long").alias("simhash16")).orderBy(
+        "doc_id"
+    )

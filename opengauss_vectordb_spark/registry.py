@@ -1,0 +1,50 @@
+"""Central query registry — the engine's operator inventory surface.
+
+Every operator from SURVEY.md §2 that we claim is represented here as a
+named query: a callable ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are SQL-expressible) an equivalent ANSI-SQL oracle string that
+DuckDB can execute over the same parquet tables. The driver's correctness
+gate runs both and hash-compares.
+
+Determinism conventions (so Spark and DuckDB hash-match bit-for-bit):
+  * SUM over doubles is order-dependent → cast each row's value to
+    DECIMAL(18,6) BEFORE aggregating (exact, associative), cast the exact
+    decimal sum to DOUBLE at the end. Per-row double arithmetic is IEEE
+    and evaluates identically in both engines.
+  * AVG = decimal-sum cast to double, divided (double IEEE) by COUNT.
+  * Ordered+limited output must sort by a tie-broken unique key.
+  * Timestamps are cast to DATE (or grouped via year()/date_trunc) in
+    outputs to avoid tz-representation deltas.
+  * Every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is the DuckDB-SQL equivalent
+    (omit for non-SQL-expressible ops → driver runs rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> None:
+    """Import every operator module so its @query decorators run."""
+    from .operators import dedup, relational, setops_windows, text  # noqa: F401
+    from .streaming import batch_windows  # noqa: F401
+    from .vector import queries as vector_queries  # noqa: F401

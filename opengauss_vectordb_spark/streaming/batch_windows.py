@@ -1,0 +1,131 @@
+"""Time-window aggregation semantics over `events`, expressed as batch
+queries (the same window functions drive the Structured Streaming path in
+events.py — Spark's window() semantics are identical in batch and
+streaming, which is why these have DuckDB oracles while the streaming
+runtime is covered by pytest).
+
+events: event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING(json)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from ..operators._util import dsum, sql_dsum
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "events_tumbling_window",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_window",
+    f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' AS window_start,
+             value
+      FROM events, range(0, 2) r(k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    # 1-hour window sliding every 30 minutes: each event lands in 2
+    # overlapping windows (Spark's window(ts, '1 hour', '30 minutes')).
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 40
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_session_windows(spark, sf_dir):
+    # Session windows (30-min inactivity gap) via gaps-and-islands; the
+    # streaming equivalent is F.session_window(ts, '30 minutes') /
+    # applyInPandasWithState in events.py.
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        )
+        .orderBy("user_id", "session_id")
+    )

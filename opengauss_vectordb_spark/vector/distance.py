@@ -1,0 +1,100 @@
+"""Vector distance functions as native Column expressions.
+
+Capability parity with `contrib/datavec/src/vector.cpp` (reference:
+`l2_distance` sql:172 / `<->`, `inner_product` sql:177 / `<#>` (returns the
+NEGATIVE inner product for index ordering — we keep that convention),
+`cosine_distance` sql:182 / `<=>`, `l1_distance` sql:187 / `<+>`) and
+`contrib/datavec/src/bitutils.cpp` (`hamming_distance` sql:720,
+`jaccard_distance` sql:723).
+
+All expressions fold left over the array in index order with double
+accumulation, so results are deterministic and reproducible across
+engines and cluster runs. Everything stays inside Catalyst/Tungsten
+codegen — there is no Python in the per-row path, which is what lets a
+brute-force scan saturate 1000 executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column) -> Column:
+    """Cast array<float> → array<double> so accumulation is double IEEE."""
+    return v.cast("array<double>")
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum of an array<double> (deterministic order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_squared(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """`<->` — Euclidean (vector.cpp, sql:172)."""
+    return F.sqrt(l2_squared(a, b))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def inner_product(a: Column, b: Column) -> Column:
+    return dot_product(a, b)
+
+
+def neg_inner_product(a: Column, b: Column) -> Column:
+    """`<#>` — negative inner product, the reference's index-ordering
+    convention (contrib/datavec/README.md:88)."""
+    return -dot_product(a, b)
+
+
+def l2_norm(a: Column) -> Column:
+    """vector_norm (vector.h:26-64 externs; sql:210-246)."""
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """`<=>` — 1 - cos(a,b) (vector.cpp, sql:182)."""
+    return F.lit(1.0) - dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l1_distance(a: Column, b: Column) -> Column:
+    """`<+>` — Manhattan (vector.cpp, sql:187)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+# --- binary vectors: represented as array<bigint> of 64-bit words ---------
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """`<~>` over bit(n) (bitutils.cpp; sql:720,728): popcount(a XOR b).
+
+    Binary vectors are packed little-endian into 64-bit words; XOR +
+    bit_count per word keeps this a pure JVM integer kernel.
+    """
+    return _fold_sum(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("double"))
+    ).cast("long")
+
+
+def jaccard_distance(a: Column, b: Column) -> Column:
+    """`<%>` over bit(n) (bitutils.cpp; sql:723,733): 1 - |a∧b| / |a∨b|."""
+    inter = _fold_sum(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("double"))
+    )
+    union = _fold_sum(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseOR(y)).cast("double"))
+    )
+    return F.when(union == 0, F.lit(0.0)).otherwise(F.lit(1.0) - inter / union)
+
+
+DISTANCES = {
+    "l2": l2_distance,
+    "ip": neg_inner_product,
+    "cosine": cosine_distance,
+    "l1": l1_distance,
+}

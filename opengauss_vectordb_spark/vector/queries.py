@@ -1,0 +1,261 @@
+"""Registered vector queries over the driver's `embeddings` table
+(vec_id BIGINT, embedding ARRAY<FLOAT> dim=64, label INT).
+
+Each mirrors the datavec ANN query shape `SELECT ... ORDER BY vec <op> q
+LIMIT k` (`contrib/datavec/sql/datavec--0.7.2.sql:353-403`) with the
+DuckDB oracle spelled as the identical arithmetic so results hash-match.
+Distances are computed on doubles with the same fold order in both
+engines; displayed distances are rounded to 4 decimals while the ORDER BY
+ranks on the exact value.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .distance import (
+    as_double,
+    cosine_distance,
+    l1_distance,
+    l2_distance,
+    neg_inner_product,
+)
+from .exact import knn_join
+
+# Deterministic 64-d query vector (same literal in Spark and the oracle).
+DIM = 64
+QUERY_VEC = [round(math.sin(i + 1.0), 4) for i in range(DIM)]
+
+_SQL_Q = "[" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
+_E = "CAST(embedding AS DOUBLE[])"
+
+
+def _sql_sq_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))))"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> {a}[i] * {a}[i])))"
+
+
+def _sql_l1(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {DIM + 1}), i -> abs({a}[i] - {b}[i])))"
+
+
+def _spark_qlit():
+    return F.array(*[F.lit(float(v)) for v in QUERY_VEC])
+
+
+def _knn_query(name: str, dist_col_fn, sql_dist: str):
+    @query(
+        name,
+        f"""
+        WITH scored AS (
+          SELECT vec_id, label, {sql_dist} AS d
+          FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+                WHERE embedding IS NOT NULL)
+        )
+        SELECT vec_id, label, ROUND(d, 4) AS distance
+        FROM scored ORDER BY d, vec_id LIMIT 10
+        """,
+    )
+    def _q(spark, sf_dir):
+        emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+        d = dist_col_fn(as_double(F.col("embedding")), _spark_qlit())
+        return (
+            emb.withColumn("_d", d)
+            .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id", "label", F.round("_d", 4).alias("distance"))
+        )
+
+    _q.__name__ = name
+    return _q
+
+
+# <-> / <=> / <#> / <+> — the four datavec float-vector distances
+knn_l2 = _knn_query("knn_l2", l2_distance, _sql_sq_l2("e", "q"))
+knn_cosine = _knn_query(
+    "knn_cosine",
+    cosine_distance,
+    f"1.0 - {_sql_dot('e', 'q')} / ({_sql_norm('e')} * {_sql_norm('q')})",
+)
+knn_inner_product = _knn_query(
+    "knn_inner_product", neg_inner_product, f"-({_sql_dot('e', 'q')})"
+)
+knn_l1 = _knn_query("knn_l1", l1_distance, _sql_l1("e", "q"))
+
+
+# --------------------------------------------------------------------------
+# vector arithmetic / utility functions (vector.h:26-64, sql:192-246):
+# +, -, * element-wise, vector_dims, vector_norm, l2_normalize, subvector,
+# binary_quantize — exercised per-row, scalar outputs for stable hashing
+# --------------------------------------------------------------------------
+@query(
+    "vector_ops",
+    f"""
+    SELECT vec_id,
+           len(e) AS dims,
+           ROUND({_sql_norm('e')}, 4) AS norm,
+           ROUND(list_sum(list_transform(range(1, 9), i -> e[i] + q[i])), 4)
+             AS add_head_sum,
+           ROUND(list_sum(list_transform(range(1, 9), i -> e[i] - q[i])), 4)
+             AS sub_head_sum,
+           ROUND(list_sum(list_transform(range(1, 9), i -> e[i] * q[i])), 4)
+             AS mul_head_sum,
+           ROUND(e[1] / {_sql_norm('e')}, 6) AS normalized_first,
+           CAST(list_sum(list_transform(e, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS quantize_popcount
+    FROM (SELECT vec_id, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+          WHERE vec_id < 20)
+    ORDER BY vec_id
+    """,
+)
+def vector_ops(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    e = as_double(F.col("embedding"))
+    q = _spark_qlit()
+    head = F.slice(e, 1, 8)
+    qhead = F.slice(q, 1, 8)
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    norm = F.sqrt(fold(F.transform(e, lambda x: x * x)))
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dims"),
+        F.round(norm, 4).alias("norm"),
+        F.round(fold(F.zip_with(head, qhead, lambda x, y: x + y)), 4).alias(
+            "add_head_sum"
+        ),
+        F.round(fold(F.zip_with(head, qhead, lambda x, y: x - y)), 4).alias(
+            "sub_head_sum"
+        ),
+        F.round(fold(F.zip_with(head, qhead, lambda x, y: x * y)), 4).alias(
+            "mul_head_sum"
+        ),
+        F.round(F.element_at(e, 1) / norm, 6).alias("normalized_first"),
+        fold(
+            F.transform(e, lambda x: F.when(x > 0, 1.0).otherwise(0.0))
+        ).cast("long").alias("quantize_popcount"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# avg(vector) — element-wise vector aggregate (datavec vector_accum /
+# vector_avg, sql:116-130). Exact decimal per-element sums → deterministic
+# under any shuffle order. First 8 dimensions shown as scalar columns.
+# --------------------------------------------------------------------------
+_AVG_DIMS = 8
+
+
+def _sql_avg_elem(i: int) -> str:
+    # fp32 elements have more decimal digits than any fixed decimal scale,
+    # so decimal casts round differently per engine; instead floor-scale
+    # to int64 in double space (IEEE-deterministic), sum exactly, then
+    # divide — identical in both engines and shuffle-order independent.
+    return (
+        f"CAST(SUM(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1e9) AS BIGINT))"
+        f" AS DOUBLE) / COUNT(*) / 1e9 AS d{i}"
+    )
+
+
+@query(
+    "vector_avg_by_label",
+    "SELECT label, COUNT(*) AS n, "
+    + ", ".join(_sql_avg_elem(i) for i in range(_AVG_DIMS))
+    + " FROM embeddings WHERE embedding IS NOT NULL GROUP BY label ORDER BY label",
+)
+def vector_avg_by_label(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(_AVG_DIMS):
+        elem = F.floor(
+            F.element_at(F.col("embedding"), i + 1).cast("double") * 1e9
+        ).cast("long")
+        aggs.append(
+            (F.sum(elem).cast("double") / F.count(F.lit(1)) / 1e9).alias(f"d{i}")
+        )
+    return emb.groupBy("label").agg(*aggs).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# exact k-NN join — batch top-k per query vector (the ground-truth path of
+# the reference's recall harness, t/012:12-46)
+# --------------------------------------------------------------------------
+@query(
+    "knn_join_exact",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, {_E} AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, {_E} AS cv FROM embeddings
+               WHERE vec_id >= 5 AND embedding IS NOT NULL),
+         scored AS (
+           SELECT qid, cid, {_sql_sq_l2('qv', 'cv')} AS d,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY {_sql_sq_l2('qv', 'cv')}, cid) AS rn
+           FROM c CROSS JOIN q
+         )
+    SELECT qid, cid, ROUND(d, 4) AS distance, rn
+    FROM scored WHERE rn <= 3 ORDER BY qid, rn
+    """,
+)
+def knn_join_exact(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cand_embedding")
+    )
+    out = knn_join(
+        q, c, "embedding", "cand_embedding", k=3, metric="l2",
+        query_id="qid", cand_id="cid",
+    )
+    return out.select(
+        "qid", "cid", F.round("distance", 4).alias("distance"),
+        F.col("_rn").alias("rn"),
+    ).orderBy("qid", "rn")
+
+
+# --------------------------------------------------------------------------
+# near-duplicate pairs by cosine distance — brute force at test scale; the
+# LSH-bucketed scale path lives in operators/dedup.py
+# --------------------------------------------------------------------------
+@query(
+    "embedding_dup_pairs_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, {_E} AS e FROM embeddings
+               WHERE embedding IS NOT NULL)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(1.0 - {_sql_dot('a.e', 'b.e')}
+                 / ({_sql_norm('a.e')} * {_sql_norm('b.e')}), 4) AS cos_dist
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE 1.0 - {_sql_dot('a.e', 'b.e')}
+          / ({_sql_norm('a.e')} * {_sql_norm('b.e')}) < 0.30
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_dup_pairs_cosine(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("_eb"))
+    d = cosine_distance(F.col("_ea"), F.col("_eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_d", d)
+        .filter(F.col("_d") < 0.30)
+        .select("id_a", "id_b", F.round("_d", 4).alias("cos_dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,80 @@
+"""Replicates the driver's correctness protocol locally: run each
+registered Spark query and its DuckDB oracle on the same parquet tables,
+then compare row count, column names, and (column-name-sorted,
+row-sorted) values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from opengauss_vectordb_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm(v: Any) -> Any:
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, then rows — order-insensitive comparison."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass)."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols, d_rows = run_oracle(oracle, sf_dir)
+    problems = []
+    if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
+        c.lower() for c in s_cols
+    ) != sorted(c.lower() for c in d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
+    sc = canonical(s_cols, s_rows)
+    dc = canonical(d_cols, d_rows)
+    if sc != dc:
+        n_bad = 0
+        for i, (a, b) in enumerate(zip(sc, dc)):
+            if a != b:
+                if n_bad < 3:
+                    problems.append(f"row {i}: spark={a!r} duckdb={b!r}")
+                n_bad += 1
+        if n_bad:
+            problems.append(f"{n_bad} differing rows of {len(sc)}")
+        elif len(sc) != len(dc):
+            pass
+    return problems

@@ -1,0 +1,69 @@
+"""IVF recall gates — the reference's own thresholds, verbatim
+(BASELINE.md rows 5-7; `contrib/datavec/test/t/003_ivfflat_vector_build_
+recall.pl:104-115`): 10k uniform 3-d vectors, k=20, 20 random queries,
+lists=100; recall@20 ≥ 0.71 @ probes=1, ≥ 0.95 @ probes=10, and = 1.00
+(L2) @ probes=lists. Ground truth = exact scan (t/012:12-46 pattern)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+from opengauss_vectordb_spark.vector.ivf import IvfIndex
+
+N_VECS = 10_000
+DIM = 3
+K = 20
+N_QUERIES = 20
+LISTS = 100
+
+
+@pytest.fixture(scope="module")
+def ivf_setup(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.random((N_VECS, DIM)).astype("float32")
+    queries = rng.random((N_QUERIES, DIM)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    ).cache()
+    tmp = tempfile.mkdtemp(prefix="ivf_recall_")
+    idx = IvfIndex.build(
+        df, "v", os.path.join(tmp, "l2"), metric="l2", lists=LISTS, max_iter=30
+    )
+    yield df, idx, queries
+
+
+def _recall(spark, df, idx, queries, probes):
+    hits = total = 0
+    for q in queries:
+        qv = [float(x) for x in q]
+        truth = {
+            r.id for r in exact_knn(df, "v", qv, k=K, metric="l2", id_col="id").collect()
+        }
+        got = {
+            r.id
+            for r in idx.search(spark, qv, "v", k=K, probes=probes, id_col="id").collect()
+        }
+        hits += len(truth & got)
+        total += len(truth)
+    return hits / total
+
+
+def test_recall_probes_1(spark, ivf_setup):
+    df, idx, queries = ivf_setup
+    assert _recall(spark, df, idx, queries, probes=1) >= 0.71
+
+
+def test_recall_probes_10(spark, ivf_setup):
+    df, idx, queries = ivf_setup
+    assert _recall(spark, df, idx, queries, probes=10) >= 0.95
+
+
+def test_recall_probes_all(spark, ivf_setup):
+    df, idx, queries = ivf_setup
+    assert _recall(spark, df, idx, queries, probes=LISTS) == 1.0
