@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .text import shingles, tokens
+from .text import shingle_stream, shingles, tokens
 
 N_BANDS = 4
 
@@ -58,30 +58,31 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
                        n_bands: int = N_BANDS) -> DataFrame:
     """(id, band, sig): per-band MinHash signature (b bands × r=1 rows).
 
-    sig_b = MIN over shingles s of md5(b || ':' || s) — b salted hash
-    functions; docs sharing a band signature are LSH candidates.
+    Banding is b=4 bands × r=2 rows: 8 independent 32-bit minhash
+    functions (the 8-hex-char slices of two salted digests per shingle),
+    a band's signature is the concat of its 2 minhashes, and docs
+    sharing any band signature are LSH candidates. P(candidate) =
+    1-(1-J²)^4 — steep around J≈0.5, near-zero for unrelated docs
+    (r=1 flags ~J per band and floods the pair join on skewed corpora).
+
+    Shape: explode shingles → hash → groupBy-min per function. All
+    codegen'd relational ops; the shuffle carries 8 short strings per
+    doc, so the signature build is one cheap pass even at 100 TB.
     """
-    w = tokens(F.lower(F.col(text_col)))
-    sh = shingles(w, 3)
-    bands = F.sequence(F.lit(0), F.lit(n_bands - 1))
-    return (
-        docs.select(F.col(id_col), sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select(F.col(id_col), F.explode(bands).alias("band"), F.col("_sh"))
-        .select(
-            id_col,
-            "band",
-            F.array_min(
-                F.transform(
-                    "_sh",
-                    lambda s: F.md5(
-                        F.concat(F.col("band").cast("string"), F.lit(":"), s).cast(
-                            "binary"
-                        )
-                    ),
-                )
-            ).alias("sig"),
-        )
+    hashed = shingle_stream(docs, text_col, id_col, 3).select(
+        F.col(id_col),
+        F.md5(F.col("shingle").cast("binary")).alias("_h1"),
+        F.md5(F.concat(F.col("shingle"), F.lit("#")).cast("binary")).alias("_h2"),
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(F.substring("_h1", 8 * j + 1, 8)).alias(f"_m{j}") for j in range(4)],
+        *[F.min(F.substring("_h2", 8 * j + 1, 8)).alias(f"_m{j + 4}") for j in range(4)],
+    )
+    stack_args = ", ".join(
+        f"{b}, concat(_m{2 * b}, _m{2 * b + 1})" for b in range(n_bands)
+    )
+    return mins.select(
+        id_col, F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
 
 
@@ -96,11 +97,21 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
              list_transform(range(1, len(w) - 1),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
       FROM t WHERE len(w) >= 3
+    ), hs AS (
+      SELECT doc_id, md5(s) AS h1, md5(s || '#') AS h2
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), mins AS (
+      SELECT doc_id,
+             MIN(h1[1:8]) AS m0, MIN(h1[9:16]) AS m1,
+             MIN(h1[17:24]) AS m2, MIN(h1[25:32]) AS m3,
+             MIN(h2[1:8]) AS m4, MIN(h2[9:16]) AS m5,
+             MIN(h2[17:24]) AS m6, MIN(h2[25:32]) AS m7
+      FROM hs GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, b AS band,
-             list_min(list_transform(shingles,
-                      s -> md5(CAST(b AS VARCHAR) || ':' || s))) AS sig
-      FROM sh, range(0, {N_BANDS}) r(b)
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM mins
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM mins
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM mins
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM mins
     )
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
     FROM bands a JOIN bands c ON a.band = c.band AND a.sig = c.sig
@@ -110,7 +121,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # materialize signatures once: both sides of the candidate self-join
+    # read the same tiny (n_docs × n_bands) table instead of re-hashing
+    # the corpus twice
+    sigs = minhash_signatures(d).cache()
     a = sigs.select(
         F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a")
     )
@@ -134,7 +148,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-      FROM documents WHERE doc_id < 250
+      FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(w) - 1),
@@ -153,19 +167,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     FROM common c
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE c.n_common * 1.0 / (len(sa.s) + len(sb.s) - c.n_common) >= 0.08
+    WHERE c.n_common * 1.0 / (len(sa.s) + len(sb.s) - c.n_common) >= 0.5
     ORDER BY id_a, id_b
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
-    w = tokens(F.lower(F.col("text")))
-    sh = (
-        d.select(F.col("doc_id"), F.array_distinct(shingles(w, 3)).alias("s"))
-        .filter(F.size("s") > 0)
-    )
-    sizes = sh.select("doc_id", F.size("s").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    d = table(spark, sf_dir, "documents")
+    # distinct (doc, shingle) stream; sizes = |shingle set| per doc
+    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
     common = (
@@ -181,7 +191,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .filter(jac >= 0.08)
+        .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

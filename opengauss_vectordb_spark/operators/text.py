@@ -29,7 +29,12 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (0-based Spark array subscripts)."""
+    """Word n-gram shingles as an array Column (0-based subscripts).
+
+    NOTE: fine for per-row use, but array subscripting inside
+    higher-order functions is interpreted and re-evaluates `toks` per
+    access — for corpus-scale shingling use shingle_stream() instead.
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.when(
         F.size(toks) >= n,
@@ -38,6 +43,32 @@ def shingles(toks: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def shingle_stream(docs, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3):
+    """(id, shingle) rows: tokenize ONCE per doc (posexplode evaluates the
+    split a single time), then assemble n-grams with window lead() — all
+    whole-stage-codegen'd relational ops. One shuffle on the doc id,
+    linear in corpus size; the array-subscript formulation is quadratic
+    in interpreter overhead and falls off a cliff past toy scale."""
+    from pyspark.sql import Window as W
+
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    nexts = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    return (
+        ex.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_tok"), *nexts).alias("shingle"),
+            nexts[-1].isNotNull().alias("_complete"),
+        )
+        .filter(F.col("_complete"))
+        .drop("_complete")
+    )
 
 
 @query(
@@ -162,18 +193,22 @@ def doc_fingerprint(spark, sf_dir):
     # stream plus the minimum shingle hash (winnowing-style selection —
     # min over the rolling window of shingle hashes). md5 hex strings
     # compare identically across engines, so MIN() is portable.
+    # full_md5 normalizes whitespace runs directly (one regex per doc —
+    # equivalent to md5(join(split(text)))); the min-shingle comes from
+    # the relational shingle stream, so no interpreted array folds.
     d = table(spark, sf_dir, "documents")
-    w = tokens(F.lower(F.col("text")))
-    sh = shingles(w, 3)
-    return d.select(
-        "doc_id",
-        F.md5(F.array_join(w, " ").cast("binary")).alias("full_md5"),
-        F.when(
-            F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
-        )
-        .otherwise(F.lit(None).cast("string"))
-        .alias("min_shingle_md5"),
-    ).orderBy("doc_id")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    mins = (
+        shingle_stream(d)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle").cast("binary"))).alias("min_shingle_md5"))
+    )
+    return (
+        d.select("doc_id", F.md5(normalized.cast("binary")).alias("full_md5"))
+        .join(mins, "doc_id", "left_outer")
+        .select("doc_id", "full_md5", "min_shingle_md5")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -205,26 +240,33 @@ def text_simhash(spark, sf_dir):
     # tokens) land within small Hamming distance of each other.
     d = table(spark, sf_dir, "documents")
     w = tokens(F.lower(F.col("text")))
-    n_tok = F.size(w)
-    def nibble_at(p):
-        # hex nibble value 0-15 of md5(token) at position p — dimension
-        # p's per-token weight (single-arg lambda: transform would treat a
-        # second parameter as the array index)
-        return lambda tok: F.conv(
-            F.substring(F.md5(tok.cast("binary")), p, 1), 16, 10
-        ).cast("int")
-
-    bits = []
+    # relational formulation: explode tokens, hash each token ONCE, read
+    # the 16 nibbles as plain projected columns, then groupBy-sum. Every
+    # operator is whole-stage codegen'd (higher-order-function folds are
+    # interpreted in Spark — an order of magnitude slower per element) and
+    # the aggregation combines map-side, so the one shuffle carries only
+    # 16 ints per document.
+    ex = d.select(
+        "doc_id",
+        F.explode(w).alias("_tok"),
+    ).select("doc_id", F.md5(F.col("_tok").cast("binary")).alias("_h"))
+    nib = ex.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("_h", p, 1), 16, 10).cast("int").alias(f"_n{p}")
+            for p in range(1, 17)
+        ],
+    )
+    agg = nib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_tok"),
+        *[F.sum(f"_n{p}").alias(f"_s{p}") for p in range(1, 17)],
+    )
+    simhash = None
     for p in range(1, 17):
-        nibble_sum = F.aggregate(
-            F.transform(w, nibble_at(p)), F.lit(0), lambda acc, x: acc + x
-        )
-        bits.append(
-            F.when(nibble_sum * 2 >= 15 * n_tok, F.lit(2 ** (p - 1))).otherwise(0)
-        )
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return d.select("doc_id", simhash.cast("long").alias("simhash16")).orderBy(
+        bit = F.when(
+            F.col(f"_s{p}") * 2 >= 15 * F.col("_n_tok"), F.lit(2 ** (p - 1))
+        ).otherwise(0)
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("long").alias("simhash16")).orderBy(
         "doc_id"
     )
