@@ -259,3 +259,156 @@ def embedding_dup_pairs_cosine(spark, sf_dir):
         .select("id_a", "id_b", F.round("_d", 4).alias("cos_dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# binary-vector distances (bitutils.cpp: hamming `<~>` sql:720, jaccard
+# `<%>` sql:723) over binary_quantize'd embeddings, packed 32 bits/word
+# --------------------------------------------------------------------------
+_SQL_WORDS = (
+    "list_transform(range(0, 2), w -> list_sum(list_transform(range(0, 32),"
+    " j -> CASE WHEN {v}[32 * w + j + 1] > 0"
+    " THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
+)
+
+
+def _spark_words(col):
+    from .types import binary_quantize_words
+
+    return binary_quantize_words(col)
+
+
+@query(
+    "knn_hamming_binary",
+    f"""
+    WITH q AS (SELECT {_SQL_WORDS.format(v=_SQL_Q)} AS qw),
+         v AS (SELECT vec_id, label, {_SQL_WORDS.format(v=_E)} AS ew
+               FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(range(1, 3),
+                i -> bit_count(xor(ew[i], qw[i])))) AS BIGINT) AS hamming
+    FROM v, q
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def knn_hamming_binary(spark, sf_dir):
+    from .distance import hamming_distance
+    from .types import binary_quantize_words
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    qw = binary_quantize_words(_spark_qlit())
+    ew = binary_quantize_words(as_double(F.col("embedding")))
+    return (
+        emb.withColumn("_h", hamming_distance(ew, qw))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.col("_h").alias("hamming"))
+    )
+
+
+@query(
+    "knn_jaccard_binary",
+    f"""
+    WITH q AS (SELECT {_SQL_WORDS.format(v=_SQL_Q)} AS qw),
+         v AS (SELECT vec_id, {_SQL_WORDS.format(v=_E)} AS ew
+               FROM embeddings WHERE embedding IS NOT NULL),
+         d AS (
+           SELECT vec_id,
+                  list_sum(list_transform(range(1, 3),
+                    i -> bit_count(ew[i] & qw[i]))) * 1.0 AS inter,
+                  list_sum(list_transform(range(1, 3),
+                    i -> bit_count(ew[i] | qw[i]))) * 1.0 AS uni
+           FROM v, q
+         )
+    SELECT vec_id,
+           ROUND(CASE WHEN uni = 0 THEN 0.0 ELSE 1.0 - inter / uni END, 6)
+             AS jaccard_dist
+    FROM d ORDER BY (CASE WHEN uni = 0 THEN 0.0 ELSE 1.0 - inter / uni END),
+                    vec_id
+    LIMIT 10
+    """,
+)
+def knn_jaccard_binary(spark, sf_dir):
+    from .distance import jaccard_distance
+    from .types import binary_quantize_words
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    qw = binary_quantize_words(_spark_qlit())
+    ew = binary_quantize_words(as_double(F.col("embedding")))
+    return (
+        emb.withColumn("_j", jaccard_distance(ew, qw))
+        .orderBy(F.col("_j").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("_j", 6).alias("jaccard_dist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# sparsevec (sparsevec.h:44-55): threshold-sparsified embeddings, O(nnz)
+# inner product against the sparsified query — no densification
+# --------------------------------------------------------------------------
+_SPARSE_T = 0.15
+
+
+@query(
+    "sparsevec_dot_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), d AS (
+      SELECT vec_id,
+             len(list_filter(e, x -> abs(x) > {_SPARSE_T})) AS nnz,
+             list_sum(list_transform(range(1, {DIM + 1}),
+               i -> CASE WHEN abs(e[i]) > {_SPARSE_T} AND abs(q[i]) > {_SPARSE_T}
+                         THEN e[i] * q[i] ELSE 0.0 END)) AS sdot
+      FROM v
+    )
+    SELECT vec_id, nnz, ROUND(sdot, 6) AS sdot
+    FROM d ORDER BY sdot DESC, vec_id LIMIT 10
+    """,
+)
+def sparsevec_dot_topk(spark, sf_dir):
+    from .types import sparse_dot, to_sparsevec
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = as_double(F.col("embedding"))
+    q = _spark_qlit()
+    # threshold-sparsify (keep |x| > t), double values so the arithmetic
+    # matches the oracle bit-for-bit
+    sparsify = lambda v: to_sparsevec(  # noqa: E731
+        F.transform(v, lambda x: F.when(F.abs(x) > _SPARSE_T, x).otherwise(0.0)),
+        value_type="double",
+    )
+    se, sq = sparsify(e), sparsify(q)
+    return (
+        emb.withColumn("_se", se)
+        .withColumn("_sdot", sparse_dot(F.col("_se"), sq))
+        .withColumn("_nnz", F.size(F.col("_se").getField("indices")))
+        .orderBy(F.col("_sdot").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            F.col("_nnz").alias("nnz"),
+            F.round("_sdot", 6).alias("sdot"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# halfvec (halfvec.h:55-70): fp16 round-trip storage semantics; no fp16 in
+# DuckDB → rows-only driver check, numeric validation in pytest vs numpy
+# --------------------------------------------------------------------------
+@query("knn_l2_halfvec")
+def knn_l2_halfvec(spark, sf_dir):
+    from .types import halfvec_quantize
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    half = halfvec_quantize(F.col("embedding"))
+    d = l2_distance(as_double(half), _spark_qlit())
+    return (
+        emb.withColumn("_d", d)
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("_d", 4).alias("distance"))
+    )

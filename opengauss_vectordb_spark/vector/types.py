@@ -56,10 +56,12 @@ SPARSEVEC_TYPE = T.StructType(
 )
 
 
-def to_sparsevec(dense: Column) -> Column:
+def to_sparsevec(dense: Column, value_type: str = "float") -> Column:
     """dense array → sparsevec struct (cast vector→sparsevec,
     sql:558-580): keep nonzero entries with their 0-based positions.
-    Pure expressions — filter/transform stay JVM-side."""
+    Pure expressions — filter/transform stay JVM-side. value_type="double"
+    keeps full precision for arithmetic-parity paths (storage uses the
+    reference's fp32)."""
     indexed = F.arrays_zip(
         F.sequence(F.lit(0), F.size(dense) - 1).alias("i"), dense.alias("x")
     )
@@ -67,7 +69,7 @@ def to_sparsevec(dense: Column) -> Column:
     return F.struct(
         F.size(dense).cast("int").alias("dim"),
         F.transform(nz, lambda e: e.getField("i").cast("int")).alias("indices"),
-        F.transform(nz, lambda e: e.getField("x").cast("float")).alias("values"),
+        F.transform(nz, lambda e: e.getField("x").cast(value_type)).alias("values"),
     )
 
 

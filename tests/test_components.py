@@ -1,0 +1,246 @@
+"""Component tests beyond the oracle gate: ML warehouse, Structured
+Streaming, sources, vector type round-trips, and the datavec edge cases
+(`contrib/datavec/test/sql/hnsw_vector.sql:10-17`: NULL vectors excluded,
+empty table → empty result, duplicates all returned; filtered ANN per
+`test/t/009_ivfflat_filtering.pl`)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+
+# ------------------------------------------------------------------ ML
+
+def test_model_warehouse_lifecycle(spark):
+    from opengauss_vectordb_spark.ml import ModelWarehouse
+
+    df = spark.createDataFrame(
+        [(float(i), float(i) * 2.0 + 1.0 + (0.1 if i % 2 else -0.1), i % 2)
+         for i in range(100)],
+        "x DOUBLE, y DOUBLE, cls INT",
+    )
+    wh = ModelWarehouse()
+    wh.create_model("lr", "linear_regression", df, features=["x"], label="y")
+    pred = wh.predict_by("lr", df).select("prediction").collect()
+    # y ≈ 2x+1: the fit must recover the slope closely
+    assert abs(pred[10].prediction - (2 * 10 + 1)) < 1.0
+
+    wh.create_model("clf", "logistic_regression", df, features=["x", "y"], label="cls")
+    assert "prediction" in wh.predict_by("clf", df).columns
+    assert wh.list_models() == ["clf", "lr"]
+    wh.drop_model("lr")
+    assert wh.list_models() == ["clf"]
+    with pytest.raises(KeyError):
+        wh.predict_by("lr", df)
+    with pytest.raises(NotImplementedError):
+        wh.create_model("xg", "xgboost", df, features=["x"], label="cls")
+
+
+def test_kmeans_embeddings(spark):
+    from opengauss_vectordb_spark.ml import kmeans_embeddings
+
+    out = kmeans_embeddings(spark, SF_CORRECT, k=10)
+    rows = out.collect()
+    assert sum(r.n for r in rows) == 500
+    assert len({r.cluster for r in rows}) > 1
+
+
+# ------------------------------------------------------------ streaming
+
+def test_streaming_tumbling_matches_batch(spark):
+    import shutil
+
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_in_")
+    try:
+        ev = table(spark, SF_CORRECT, "events")
+        # split input into 3 json drop files → 3 micro-batch sources
+        ev.withColumn("_b", F.col("event_id") % 3).repartition("_b").drop(
+            "_b"
+        ).write.mode("overwrite").json(tmp)
+        stream = read_event_stream(spark, tmp, fmt="json")
+        # complete mode: append would hold back windows newer than the
+        # watermark at end-of-input (correct streaming semantics, but here
+        # we want to compare the full aggregation against batch)
+        q = run_to_memory(tumbling_counts(stream), "t_tumbling", mode="complete")
+        got = {
+            (r.window_start, r.event_type): (r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+        expect = {
+            (r.w.start, r.event_type): (r.n, r.total_value)
+            for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .collect()
+        }
+        assert got == expect
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_session_windows(spark):
+    import shutil
+
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        table(spark, SF_CORRECT, "events").filter(F.col("user_id") < 10).write.mode(
+            "overwrite"
+        ).json(tmp)
+        stream = read_event_stream(spark, tmp, fmt="json")
+        q = run_to_memory(session_counts(stream, gap="30 minutes"), "t_sessions")
+        rows = spark.sql("SELECT * FROM t_sessions").collect()
+        assert rows, "expected at least one session"
+        assert all(r.n_events >= 1 for r in rows)
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -------------------------------------------------------------- sources
+
+def test_csv_roundtrip_and_fixed_width(spark, tmp_path):
+    from opengauss_vectordb_spark.sources.readers import (
+        read_csv,
+        read_fixed_width,
+        write_csv,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, "bb", -2.0), (3, None, 0.25)],
+        "id INT, s STRING, v DOUBLE",
+    )
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    back = read_csv(spark, out, "id INT, s STRING, v DOUBLE", header=True)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    fixed = tmp_path / "fixed.txt"
+    fixed.write_text("001alpha  12.5\n002beta    3.0\n")
+    fw = read_fixed_width(
+        spark,
+        str(fixed),
+        [("id", 1, 3, "int"), ("name", 4, 7, "string"), ("val", 11, 4, "double")],
+    )
+    rows = sorted(map(tuple, fw.collect()))
+    assert rows == [(1, "alpha", 12.5), (2, "beta", 3.0)]
+
+
+# ----------------------------------------------------- vector type layer
+
+def test_halfvec_roundtrip_matches_numpy(spark):
+    from opengauss_vectordb_spark.vector.types import halfvec_quantize
+
+    vals = [[0.1, -0.2, 1.00048828125, 65504.0, 1e-8]]
+    df = spark.createDataFrame([(vals[0],)], "v ARRAY<FLOAT>")
+    got = df.select(halfvec_quantize("v").alias("h")).collect()[0].h
+    expect = (
+        np.asarray(vals[0], dtype=np.float32).astype(np.float16).astype(np.float32)
+    )
+    assert got == pytest.approx(expect.tolist())
+
+
+def test_sparsevec_roundtrip_and_dot(spark):
+    from opengauss_vectordb_spark.vector.types import (
+        sparse_dot,
+        sparsevec_to_dense,
+        to_sparsevec,
+    )
+
+    df = spark.createDataFrame(
+        [([0.0, 2.0, 0.0, -3.0],), ([1.0, 0.0, 0.0, 4.0],)], "v ARRAY<DOUBLE>"
+    )
+    sv = df.select(
+        to_sparsevec(F.col("v"), value_type="double").alias("s"), F.col("v")
+    )
+    rows = sv.select(
+        F.col("s.dim"), F.col("s.indices"), sparsevec_to_dense(F.col("s")).alias("back")
+    ).collect()
+    assert rows[0].dim == 4
+    assert [float(x) for x in rows[0].back] == [0.0, 2.0, 0.0, -3.0]
+    # dot of the two rows: 0*1 + 2*0 + 0*0 + (-3)*4 = -12
+    pair = spark.createDataFrame(
+        [([0.0, 2.0, 0.0, -3.0], [1.0, 0.0, 0.0, 4.0])],
+        "va ARRAY<DOUBLE>, vb ARRAY<DOUBLE>",
+    ).select(
+        to_sparsevec(F.col("va"), value_type="double").alias("a"),
+        to_sparsevec(F.col("vb"), value_type="double").alias("b"),
+    )
+    dot = pair.select(sparse_dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    assert dot == -12.0
+
+
+def test_binary_quantize_words(spark):
+    from opengauss_vectordb_spark.vector.types import binary_quantize_words
+
+    df = spark.createDataFrame([([1.0, -1.0, 0.5, 0.0] * 16,)], "v ARRAY<DOUBLE>")
+    words = df.select(binary_quantize_words(F.col("v")).alias("w")).collect()[0].w
+    # pattern 1,0,1,0 per 4 elements → bits 0,2 of each nibble → 0x5 nibbles
+    assert len(words) == 2
+    assert words[0] == 0x55555555 and words[1] == 0x55555555
+
+
+# --------------------------------------- datavec edge cases + filtered ANN
+
+def test_knn_edge_cases(spark):
+    from opengauss_vectordb_spark.vector.exact import knn
+
+    # NULL vectors never surface; duplicates all returned; empty → empty
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 1.0, 1.0]), (3, None),
+         (4, [1.0, 1.0, 1.0])],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    got = knn(df, "v", [1.0, 1.0, 1.0], k=3, metric="l2", id_col="id").collect()
+    assert [r.id for r in got] == [2, 4, 1]
+
+    empty = spark.createDataFrame([], "id BIGINT, v ARRAY<FLOAT>")
+    assert knn(empty, "v", [0.0, 0.0, 0.0], k=5, id_col="id").count() == 0
+
+
+def test_ivf_filtered_ann(spark):
+    """Filtered ANN (009_ivfflat_filtering.pl): predicate + knn compose —
+    filter the pruned scan before ranking."""
+    from opengauss_vectordb_spark.vector.exact import knn
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+
+    rng = np.random.default_rng(7)
+    vecs = rng.random((2000, 3)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 5) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>, category INT",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_filter_")
+    idx = IvfIndex.build(df, "v", os.path.join(tmp, "idx"), lists=20, max_iter=15)
+    q = [0.5, 0.5, 0.5]
+    pruned = idx.data(spark).filter(F.col("category") == 2)
+    got = knn(pruned, "v", q, k=10, metric="l2", id_col="id").collect()
+    assert len(got) == 10
+    assert all(r.category == 2 for r in got)
+    # every result id ≡ 2 mod 5 by construction
+    assert all(r.id % 5 == 2 for r in got)

@@ -1,0 +1,90 @@
+"""Plan-quality gates: would this plan survive 100 TB? Pins the physical
+strategies the engine relies on — pushdown, broadcast, bounded-heap
+top-k, no Python in hot paths — the way the reference's
+force_vector_engine.sql suites pin its vectorized plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_vectordb_spark import registry
+from opengauss_vectordb_spark.plans.explain import (
+    has_pushed_filter,
+    physical_plan,
+    python_eval_nodes,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+
+registry.load_all_queries()
+from opengauss_vectordb_spark.registry import QUERIES  # noqa: E402
+
+from .conftest import SF_CORRECT  # noqa: E402
+
+
+def test_q6_filters_pushed_to_parquet(spark):
+    df = QUERIES["tpch_q6"](spark, SF_CORRECT)
+    # date + quantity + discount predicates must reach the parquet scan
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = QUERIES["tpch_q5"](spark, SF_CORRECT)
+    assert uses_broadcast_join(df)
+
+
+def test_q3_topk_is_bounded_heap(spark):
+    df = QUERIES["tpch_q3_adapted"](spark, SF_CORRECT)
+    assert uses_take_ordered(df), "ORDER BY+LIMIT must be TakeOrderedAndProject"
+
+
+def test_knn_is_single_pass_heap(spark):
+    df = QUERIES["knn_l2"](spark, SF_CORRECT)
+    assert uses_take_ordered(df)
+    assert python_eval_nodes(df) == 0, "distance must stay JVM-side"
+
+
+def test_no_python_in_hot_paths(spark):
+    for name in ["tpch_q1", "tpch_q5", "dedup_minhash_lsh", "text_simhash",
+                 "knn_cosine", "vector_avg_by_label"]:
+        df = QUERIES[name](spark, SF_CORRECT)
+        assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
+
+
+def test_column_pruning_reaches_scan(spark):
+    from opengauss_vectordb_spark.catalog import table
+
+    df = table(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    # ReadSchema must not include unprojected columns
+    assert "l_extendedprice" not in plan
+
+
+def test_ann_catalog_routes_to_ivf(spark, tmp_path):
+    import numpy as np
+
+    from opengauss_vectordb_spark.plans.ann_rewrite import AnnCatalog
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+
+    rng = np.random.default_rng(3)
+    vecs = rng.random((1000, 3)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    idx = IvfIndex.build(df, "v", str(tmp_path / "idx"), lists=10, max_iter=10)
+    cat = AnnCatalog()
+    cat.register("items", "v", idx)
+
+    q = [0.5, 0.5, 0.5]
+    routed = cat.topk(spark, "items", df, "v", q, k=5, metric="l2", probes=10,
+                      id_col="id")
+    exact = cat.topk(spark, "missing", df, "v", q, k=5, metric="l2", id_col="id")
+    # probes = lists → IVF must equal the exact scan
+    assert [r.id for r in routed.collect()] == [r.id for r in exact.collect()]
+    # metric mismatch falls back to exact
+    fallback = cat.topk(spark, "items", df, "v", q, k=5, metric="cosine",
+                        id_col="id")
+    assert fallback.count() == 5
