@@ -1,0 +1,77 @@
+"""Engine facade — the user-facing entry point, converging the SQL and
+DataFrame APIs on one session/catalog the way the reference's row and
+vectorized engines converge on one planner (SURVEY.md §3).
+
+    from opengauss_vectordb_spark.engine import Engine
+    eng = Engine(sf_dir="/root/testdata/sf0.01")
+    eng.sql("SELECT ... FROM lineitem ...")      # Spark SQL + PG-name fns
+    eng.table("orders").groupBy(...)             # DataFrame API
+    eng.knn("embeddings", "embedding", qvec, 10) # ANN entry (index-routed)
+    eng.models.create_model(...)                 # DB4AI surface
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import DEFAULT_SF_DIR, register_views
+from .catalog import table as _table
+from .functions import register_pg_functions
+from .ml import ModelWarehouse
+from .plans.ann_rewrite import AnnCatalog
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None,
+                 sf_dir: str = DEFAULT_SF_DIR):
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = register_views(spark, sf_dir)
+        register_pg_functions(spark)
+        self.ann = AnnCatalog()
+        self.models = ModelWarehouse()
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry: Spark SQL dialect + the PG/datavec-name function
+        layer (l2_distance, nvl, decode, ... — functions/pg_compat.py)."""
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return _table(self.spark, self.sf_dir, name)
+
+    def knn(
+        self,
+        table_name: str,
+        vec_col: str,
+        qvec: Sequence[float],
+        k: int = 10,
+        metric: str = "l2",
+        id_col: str | None = None,
+        probes: int | None = None,
+    ) -> DataFrame:
+        """ORDER BY distance LIMIT k — routed through a registered IVF
+        index when one matches, exact scan otherwise."""
+        return self.ann.topk(
+            self.spark, table_name, self.table(table_name), vec_col, qvec, k,
+            metric=metric, probes=probes, id_col=id_col,
+        )
+
+    def create_ivf_index(
+        self, table_name: str, vec_col: str, path: str,
+        metric: str = "l2", lists: int = 100, **kwargs,
+    ):
+        """CREATE INDEX ... USING ivfflat (datavec DDL analogue)."""
+        from .vector.ivf import IvfIndex
+
+        idx = IvfIndex.build(
+            self.table(table_name), vec_col, path, metric=metric, lists=lists,
+            **kwargs,
+        )
+        self.ann.register(table_name, vec_col, idx)
+        return idx

@@ -1,0 +1,216 @@
+"""Extended scalar-function coverage (SURVEY.md §2.7 long tail): LIKE /
+regex family, array functions + unnest (ProjectSet, nodeProjectSet.cpp),
+formatting (to_char-style date formatting, adt/formatting.cpp),
+width_bucket, interval arithmetic, and casts.
+
+Every query follows the registry determinism conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "like_regex_funcs",
+    r"""
+    SELECT p_partkey, p_name,
+           (p_name LIKE '%part%') AS has_part,
+           (p_name ILIKE '%PART%') AS has_part_ci,
+           (regexp_matches(p_name, '[0-9]+')) AS has_digits,
+           regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+           regexp_replace(p_name, '[0-9]+', '#', 'g') AS masked,
+           len(regexp_split_to_array(p_name, '[_ ]')) AS n_parts
+    FROM part WHERE p_partkey <= 60 ORDER BY p_partkey
+    """,
+)
+def like_regex_funcs(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_name").like("%part%").alias("has_part"),
+        F.col("p_name").ilike("%PART%").alias("has_part_ci"),
+        F.col("p_name").rlike("[0-9]+").alias("has_digits"),
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_num"),
+        F.regexp_replace("p_name", "[0-9]+", "#").alias("masked"),
+        F.size(F.split("p_name", "[_ ]")).alias("n_parts"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "array_funcs",
+    """
+    WITH t AS (
+      SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey,
+           len(names) AS n,
+           names[1] AS first_name,
+           array_to_string(names, '|') AS joined,
+           list_contains(names, 'NATION_1') AS has_n1,
+           list_position(names, 'NATION_1') AS pos_n1,
+           len(list_filter(names, x -> x LIKE '%1%')) AS with_1,
+           list_sort(list_transform(names, x -> len(x)))[1] AS min_len
+    FROM t ORDER BY n_regionkey
+    """,
+)
+def array_funcs(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    t = n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names")
+    )
+    return t.select(
+        "n_regionkey",
+        F.size("names").alias("n"),
+        F.element_at("names", 1).alias("first_name"),
+        F.array_join("names", "|").alias("joined"),
+        F.array_contains("names", "NATION_1").alias("has_n1"),
+        # Spark array_position is 1-based like PG/DuckDB list_position
+        F.array_position("names", "NATION_1").cast("int").alias("pos_n1"),
+        F.size(F.filter("names", lambda x: x.like("%1%"))).alias("with_1"),
+        F.element_at(
+            F.array_sort(F.transform("names", lambda x: F.length(x))), 1
+        ).alias("min_len"),
+    ).orderBy("n_regionkey")
+
+
+@query(
+    "unnest_project_set",
+    """
+    SELECT r_regionkey, unnest(generate_series(1, r_regionkey + 1)) AS i
+    FROM region ORDER BY r_regionkey, i
+    """,
+)
+def unnest_project_set(spark, sf_dir):
+    # ProjectSet / set-returning function in the target list
+    # (nodeProjectSet.cpp; SRF unnest/generate_series)
+    r = table(spark, sf_dir, "region")
+    return (
+        r.select(
+            "r_regionkey",
+            F.explode(F.sequence(F.lit(1), F.col("r_regionkey") + 1)).alias("i"),
+        )
+        .orderBy("r_regionkey", "i")
+    )
+
+
+@query(
+    "formatting_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(o_orderdate, '%d/%m/%Y') AS euro_date,
+           strftime(o_orderdate, '%Y') || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR)
+             AS quarter_tag,
+           printf('%.2f', o_totalprice) AS price_str,
+           printf('%08d', o_orderkey) AS padded_key
+    FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey
+    """,
+)
+def formatting_funcs(spark, sf_dir):
+    # to_char format models (adt/formatting.cpp) → date_format/format_string
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 40)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("euro_date"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("-Q"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("quarter_tag"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+        F.format_string("%08d", F.col("o_orderkey")).alias("padded_key"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "width_bucket_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 400000.0 THEN 9
+                ELSE CAST(FLOOR((o_totalprice - 0.0) / ((400000.0 - 0.0) / 8))
+                          AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    # DuckDB 1.0.0 has no width_bucket — the oracle spells out the same
+    # (x-min)/((max-min)/n) binning Spark's WidthBucket computes.
+)
+def width_bucket_histogram(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(400000.0), F.lit(8))
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "interval_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 90 AS due_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+           make_date(year(o_orderdate) + 1, 1, 1) - 1 AS year_end
+    FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey
+    """,
+    # NOTE: exactly one INTERVAL literal — DuckDB 1.0.0 CSE-merges two
+    # distinct INTERVAL literals in one projection over a table (both
+    # "90 DAY" and "3 MONTH" evaluate as whichever parsed first), so the
+    # other terms use integer date arithmetic.
+)
+def interval_arithmetic(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 40)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("due_date"),
+        F.add_months(d, 3).alias("quarter_later"),
+        F.date_sub(F.make_date(F.year(d) + 1, F.lit(1), F.lit(1)), 1).alias(
+            "year_end"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "cast_semantics",
+    """
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,0)) AS INTEGER) AS bal_int,
+           CAST(c_acctbal AS VARCHAR) AS bal_str,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(c_acctbal AS DECIMAL(12,1)) AS bal_dec1,
+           TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_int
+    FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey
+    """,
+)
+def cast_semantics(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    return c.select(
+        "c_custkey",
+        # PG numeric→int rounds half away from zero; Spark's double→int cast
+        # truncates, so route through decimal(12,0) which rounds HALF_UP —
+        # matching the reference (and DuckDB)
+        F.col("c_acctbal").cast("decimal(12,0)").cast("int").alias("bal_int"),
+        F.col("c_acctbal").cast("string").alias("bal_str"),
+        F.col("c_custkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("c_acctbal").cast("decimal(12,1)").alias("bal_dec1"),
+        F.expr("TRY_CAST(c_mktsegment AS INT)").alias("seg_as_int"),
+    ).orderBy("c_custkey")

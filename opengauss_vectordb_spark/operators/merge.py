@@ -1,0 +1,79 @@
+"""MERGE INTO emulation (reference: `executor/execMerge.cpp`,
+`vecnode/vecmergeinto.cpp`, `parser/parse_merge.cpp`) and UPSERT
+(`nodeModifyTable.cpp` ON DUPLICATE KEY UPDATE).
+
+Without a transactional table format, MERGE is expressed as a full-outer
+join producing the post-merge relation, which the caller writes back
+atomically via overwrite (parquet) — the append-only analogue of the
+reference's in-place DML. On a format with native MERGE (Delta/Iceberg)
+the same plan maps 1:1 onto `MERGE INTO`.
+
+Scale note: the join shuffles both sides on the key — unavoidable for
+arbitrary MERGE; when the source is small it broadcasts automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_delete: Column | None = None,
+    when_not_matched_insert: bool = True,
+) -> DataFrame:
+    """Returns the post-MERGE relation.
+
+    * matched + when_matched_delete predicate → row dropped
+    * matched (otherwise) → target columns replaced per
+      when_matched_update ({col: expression over source/target})
+    * unmatched target rows → kept as-is
+    * unmatched source rows → inserted when when_not_matched_insert
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in on:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col(f"s.{on[0]}").isNotNull() & F.col(f"t.{on[0]}").isNotNull()
+    s_only = F.col(f"t.{on[0]}").isNull()
+
+    out_cols = []
+    for name in target.columns:
+        tcol = F.col(f"t.{name}")
+        scol = F.col(f"s.{name}") if name in source.columns else F.lit(None)
+        updated = (
+            when_matched_update.get(name, tcol)
+            if when_matched_update is not None
+            else scol if name in source.columns else tcol
+        )
+        value = (
+            F.when(matched, updated)
+            .when(s_only, scol if when_not_matched_insert else F.lit(None))
+            .otherwise(tcol)
+        )
+        out_cols.append(value.alias(name))
+
+    result = joined.select(*out_cols)
+    if when_matched_delete is not None:
+        # re-derive the matched flag on the merged rows via a semi join
+        keep_keys = (
+            joined.filter(matched & when_matched_delete)
+            .select(*[F.col(f"t.{k}").alias(k) for k in on])
+        )
+        result = result.join(keep_keys, on, "left_anti")
+    if not when_not_matched_insert:
+        result = result.dropna(subset=[on[0]])
+    return result
+
+
+def upsert(target: DataFrame, source: DataFrame, on: list[str]) -> DataFrame:
+    """INSERT ... ON DUPLICATE KEY UPDATE: source wins on key collision."""
+    return merge_into(target, source, on, when_matched_update=None)

@@ -1,0 +1,128 @@
+"""Multimodal columns — image/audio/video as opaque BINARY + typed
+metadata (beyond-reference capability from the north star: the Spark-side
+plumbing a 100 TB multimodal training pipeline needs).
+
+Design:
+  * payloads are BinaryType columns; metadata is a typed struct
+    (modality, mime, width/height/duration, codec) so filters/partition
+    pruning work without touching bytes
+  * decode / feature-extract / resize / frame-sample run as Arrow-batched
+    mapInPandas stages — the batch shape, schema contract, and
+    partitioning are real and tested; the actual codec call is STUBBED
+    (`_decode_stub`) because no image/audio libraries exist in this
+    container. Swapping in PIL/ffmpeg is a one-function change.
+  * partition strategy: repartition by a size-balanced key before the
+    decode stage so one executor doesn't get all the 4K videos.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),  # image|audio|video
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id BIGINT, modality STRING, n_bytes INT, feature ARRAY<FLOAT>"
+)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake corpus: payload = seeded pseudo-random bytes,
+    metadata varied across modalities (the test stand-in for a real
+    binary-file ingest via spark.read.format('binaryFile'))."""
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = bytes(((i * 7 + j * 13) % 251) for j in range(128 + (i % 5) * 64))
+        rows.append(
+            (
+                i,
+                payload,
+                (modality, f"x/{modality}", 64 + i % 32, 48 + i % 16, 1000 * (i % 9)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_stub(payload: bytes, modality: str) -> list[float]:
+    """STUB decode → feature vector. Deterministic digest-based fake
+    standing in for PIL.Image.open / torchaudio.load / ffmpeg frame
+    sampling (libraries not present in this container). Raises for
+    unknown modalities, mirroring a real codec error path."""
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    import hashlib
+
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:16]]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas.
+
+    The pandas iterator shape is the real contract: each batch arrives as
+    a DataFrame with payload bytes + struct metadata, features leave as
+    list columns; Spark handles Arrow transfer and schema enforcement.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    prepared = media.select(
+        "media_id",
+        F.col("meta.modality").alias("modality"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        "payload",
+    )
+    # size-balanced redistribution before the expensive stage: hash on
+    # media_id spreads large payloads uniformly across executors
+    prepared = prepared.repartition("media_id")
+    return prepared.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — must never deserialize payloads
+    (column pruning keeps the binary column out of the scan)."""
+    return (
+        media.groupBy(F.col("meta.modality").alias("modality"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.avg(F.col("meta.width")).alias("avg_width"),
+        )
+        .orderBy("modality")
+    )

@@ -826,3 +826,44 @@ def hll_approx_distinct(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- pivot (conditional aggregation; vec_agg suites exercise the CASE
+# form — Spark's pivot() produces the same plan) -----------------------
+
+
+@query(
+    "pivot_status_counts",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS qty_F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def pivot_status_counts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("O_cnt").alias("O"),
+            F.col("F_cnt").alias("F"),
+            F.col("O_qty").alias("qty_O"),
+            F.col("F_qty").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )

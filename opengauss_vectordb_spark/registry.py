@@ -45,6 +45,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all_queries() -> None:
     """Import every operator module so its @query decorators run."""
-    from .operators import dedup, relational, setops_windows, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        functions_ext,
+        relational,
+        setops_windows,
+        text,
+    )
     from .streaming import batch_windows  # noqa: F401
     from .vector import queries as vector_queries  # noqa: F401

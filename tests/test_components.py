@@ -244,3 +244,36 @@ def test_ivf_filtered_ann(spark):
     assert all(r.category == 2 for r in got)
     # every result id ≡ 2 mod 5 by construction
     assert all(r.id % 5 == 2 for r in got)
+
+
+# ----------------------------------------------------------- multimodal
+
+def test_multimodal_feature_pipeline(spark):
+    from opengauss_vectordb_spark.operators.multimodal import (
+        extract_features,
+        media_stats,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=60)
+    stats = {r.modality: (r.n, r.total_bytes) for r in media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert sum(n for n, _ in stats.values()) == 60
+
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feature)
+    # deterministic: same payload → same feature
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_unknown_modality_errors(spark):
+    import pytest as _pytest
+
+    from opengauss_vectordb_spark.operators.multimodal import _decode_stub
+
+    with _pytest.raises(NotImplementedError):
+        _decode_stub(b"xx", "hologram")

@@ -1,0 +1,90 @@
+"""Engine facade + MERGE INTO emulation tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+
+def test_engine_sql_and_pg_functions(spark):
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_CORRECT)
+    out = eng.sql(
+        """
+        SELECT n_name, nvl(NULL, 'x') AS nv,
+               decode(n_regionkey, 0, 'zero', 'other') AS dec
+        FROM nation ORDER BY n_nationkey LIMIT 3
+        """
+    ).collect()
+    assert len(out) == 3 and out[0].nv == "x"
+
+    knn = eng.sql(
+        """
+        SELECT vec_id,
+               l2_distance(CAST(embedding AS ARRAY<DOUBLE>),
+                           CAST(array(0.5, 0.5) AS ARRAY<DOUBLE>)) AS d
+        FROM (SELECT vec_id, slice(embedding, 1, 2) AS embedding
+              FROM embeddings LIMIT 5)
+        ORDER BY d
+        """
+    ).collect()
+    assert len(knn) == 5 and knn[0].d <= knn[-1].d
+
+
+def test_engine_knn_routing(spark):
+    from opengauss_vectordb_spark.engine import Engine
+    from opengauss_vectordb_spark.vector.queries import QUERY_VEC
+
+    eng = Engine(spark=spark, sf_dir=SF_CORRECT)
+    exact = eng.knn("embeddings", "embedding", QUERY_VEC, k=5, id_col="vec_id")
+    assert exact.count() == 5
+
+
+def test_merge_into(spark):
+    from opengauss_vectordb_spark.operators.merge import merge_into, upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id INT, s STRING, v DOUBLE"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "id INT, s STRING, v DOUBLE"
+    )
+    # default: matched rows take source values, unmatched source inserted
+    out = sorted(map(tuple, upsert(target, source, ["id"]).collect()))
+    assert out == [
+        (1, "a", 10.0),
+        (2, "B", 200.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    ]
+
+    # custom update expression + no insert
+    out2 = sorted(
+        map(
+            tuple,
+            merge_into(
+                target,
+                source,
+                ["id"],
+                when_matched_update={"v": F.col("t.v") + F.col("s.v")},
+                when_not_matched_insert=False,
+            ).collect(),
+        )
+    )
+    assert out2 == [(1, "a", 10.0), (2, "b", 220.0), (3, "c", 30.0)]
+
+    # matched delete
+    out3 = sorted(
+        map(
+            tuple,
+            merge_into(
+                target,
+                source,
+                ["id"],
+                when_matched_delete=F.col("s.v") > 100,
+            ).collect(),
+        )
+    )
+    assert [r[0] for r in out3] == [1, 3, 4]
