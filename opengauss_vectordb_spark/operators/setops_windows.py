@@ -867,3 +867,81 @@ def pivot_status_counts(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- bool_and/bool_or/bit_and/bit_or aggregates (builtin_funcs.ini) -------
+
+
+@query(
+    "agg_bool_bit",
+    """
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bit_and(o_orderkey) AS key_bit_and,
+           bit_or(o_custkey % 256) AS cust_bit_or
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bool_bit(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bit_and("o_orderkey").alias("key_bit_and"),
+            F.bit_or(F.col("o_custkey") % 256).alias("cust_bit_or"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- null ordering semantics (SURVEY §7: PG defaults NULLS LAST on ASC,
+# Spark defaults NULLS FIRST — always explicit in this engine) -------------
+
+
+@query(
+    "null_ordering",
+    """
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+    FROM customer WHERE c_custkey <= 40
+    ORDER BY seg ASC NULLS LAST, c_custkey
+    """,
+)
+def null_ordering(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 40)
+    return c.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).orderBy(F.col("seg").asc_nulls_last(), F.col("c_custkey"))
+
+
+# --- RANGE frames (nodeWindowAgg.cpp:710-753 value-based frames) ----------
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT s_suppkey, s_acctbal,
+           COUNT(*) OVER (ORDER BY s_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+             AS peers_within_500,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6)))
+                OVER (ORDER BY s_acctbal
+                      RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_band_total
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal"))
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.count(F.lit(1)).over(w.rangeBetween(-500, 500)).alias("peers_within_500"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+        .over(w.rangeBetween(-500, W.currentRow))
+        .cast("double")
+        .alias("trailing_band_total"),
+    ).orderBy("s_suppkey")

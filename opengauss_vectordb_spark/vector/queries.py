@@ -412,3 +412,65 @@ def knn_l2_halfvec(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", F.round("_d", 4).alias("distance"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN through the driver gate: with probes = lists the probed search
+# is exhaustive and must EQUAL the exact scan (ivfscan.cpp degenerate
+# case; the t/003 probes=lists recall=1.0 row of BASELINE.md) — so it
+# shares the exact-knn oracle. The probed variant (probes=2 of 16) is the
+# real ANN path, rows-only checked here, recall-gated in pytest.
+# --------------------------------------------------------------------------
+_IVF_LISTS = 16
+
+
+def _ivf_index(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from .ivf import IvfIndex
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_embeddings_{key}")
+    marker = os.path.join(path, "centroids", "_SUCCESS")
+    idx = IvfIndex(path, metric="l2", lists=_IVF_LISTS)
+    if not os.path.exists(marker):
+        emb = table(spark, sf_dir, "embeddings")
+        IvfIndex.build(
+            emb, "embedding", path, metric="l2", lists=_IVF_LISTS, max_iter=30
+        )
+    return idx
+
+
+@query(
+    "ivf_search_exhaustive",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ivf_search_exhaustive(spark, sf_dir):
+    idx = _ivf_index(spark, sf_dir)
+    out = idx.search(
+        spark, QUERY_VEC, "embedding", k=10, probes=_IVF_LISTS, id_col="vec_id"
+    )
+    return out.select(
+        "vec_id", "label", F.round("distance", 4).alias("distance")
+    ).orderBy("distance", "vec_id")
+
+
+@query("ivf_search_probed")
+def ivf_search_probed(spark, sf_dir):
+    idx = _ivf_index(spark, sf_dir)
+    out = idx.search(
+        spark, QUERY_VEC, "embedding", k=10, probes=2, id_col="vec_id"
+    )
+    return out.select(
+        "vec_id", "label", F.round("distance", 4).alias("distance")
+    ).orderBy("distance", "vec_id")

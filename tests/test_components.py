@@ -277,3 +277,20 @@ def test_multimodal_unknown_modality_errors(spark):
 
     with _pytest.raises(NotImplementedError):
         _decode_stub(b"xx", "hologram")
+
+
+# ------------------------------------------------- dedup cluster resolution
+
+def test_connected_components_dedup(spark):
+    from opengauss_vectordb_spark.operators.dedup import connected_components_dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a BIGINT, id_b BIGINT"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id BIGINT")
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_dedup(pairs, ids).collect()
+    }
+    # {1,2,3} → 1; {5,6} → 5; singletons keep themselves
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
