@@ -47,7 +47,14 @@ def main() -> None:
     from opengauss_vectordb_spark.registry import QUERIES
 
     spark = get_spark(app_name="bench")
-    # warm up the JVM / parquet footer caches with a trivial action
+    # warm up JVM + whole-stage-codegen compiler against the tiny SF so
+    # measured runs time the query, not the first-compile
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE[:3]:
+            QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     timings: dict[str, float] = {}

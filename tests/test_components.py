@@ -294,3 +294,106 @@ def test_connected_components_dedup(spark):
     }
     # {1,2,3} → 1; {5,6} → 5; singletons keep themselves
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+# ------------------------------------------------ approx sketches envelope
+
+def test_hll_error_envelope(spark):
+    """hll_* parity (hll_function.cpp): approx_count_distinct at rsd=0.02
+    must land within a 5% envelope of the exact counts."""
+    from opengauss_vectordb_spark.catalog import table
+
+    li = table(spark, SF_CORRECT, "lineitem")
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_suppliers)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias(
+                "approx_suppliers"
+            ),
+        )
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_suppkey").alias("s"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.05, f"{k}: approx {a} vs exact {e}"
+
+
+# ---------------------------------------------------- PG semantics deltas
+
+def test_pg_semantics_deltas(spark):
+    """SURVEY §7 guards: integer division truncation, empty-result SUM
+    (NULL not 0), division by zero (documented NULL), PG-name functions."""
+    from opengauss_vectordb_spark.functions import register_pg_functions
+
+    register_pg_functions(spark)
+    row = spark.sql(
+        """SELECT pg_div(7, 2) AS a, pg_div(-7, 2) AS b,
+                  strpos('hello', 'll') AS c"""
+    ).collect()[0]
+    assert (row.a, row.b) == (3, -3)  # truncation toward zero, PG int4div
+    assert row.c == 3
+
+    empty_sum = spark.sql(
+        "SELECT SUM(x) AS s FROM (SELECT 1 AS x WHERE false)"
+    ).collect()[0]
+    assert empty_sum.s is None  # PG: SUM over empty → NULL (not 0)
+
+    div0 = spark.sql("SELECT 1.0 / 0.0 AS d").collect()[0]
+    # documented delta: PG errors, this engine (ANSI off) yields NULL
+    assert div0.d is None
+
+
+# ----------------------------------------------------- index maintenance
+
+def test_ivf_append_and_rebuild(spark):
+    import shutil
+
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+    from opengauss_vectordb_spark.vector.maintenance import (
+        append_to_index,
+        compact,
+        rebuild,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.random((1500, 3)).astype("float32")
+    extra = rng.random((500, 3)).astype("float32")
+    mk = lambda arr, off: spark.createDataFrame(  # noqa: E731
+        [(off + i, [float(x) for x in v]) for i, v in enumerate(arr)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_maint_")
+    try:
+        idx = IvfIndex.build(mk(base, 0), "v", os.path.join(tmp, "i"), lists=16,
+                             max_iter=15)
+        n0 = idx.data(spark).dropDuplicates(["id"]).count()
+        assert n0 == 1500
+        append_to_index(spark, idx, mk(extra, 1500), "v")
+        assert idx.data(spark).dropDuplicates(["id"]).count() == 2000
+        # appended rows are findable: exhaustive probe == exact over all 2000
+        q = [0.5, 0.5, 0.5]
+        all_rows = mk(np.vstack([base, extra]), 0)
+        truth = [r.id for r in exact_knn(all_rows, "v", q, k=10, id_col="id").collect()]
+        got = [r.id for r in idx.search(spark, q, "v", k=10, probes=16,
+                                        id_col="id").collect()]
+        assert got == truth
+        compact(spark, idx)
+        assert idx.data(spark).dropDuplicates(["id"]).count() == 2000
+        idx2 = rebuild(spark, idx, "v", max_iter=15)
+        got2 = [r.id for r in idx2.search(spark, q, "v", k=10, probes=16,
+                                          id_col="id").collect()]
+        assert got2 == truth
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
