@@ -945,3 +945,67 @@ def window_range_frame(spark, sf_dir):
         .cast("double")
         .alias("trailing_band_total"),
     ).orderBy("s_suppkey")
+
+
+# --- corr / covar (Pearson) via exact scaled sums -------------------------
+# Both engines' native corr() accumulate floating moments in engine-
+# specific orders; to be hash-identical the five sufficient statistics
+# (n, Σx, Σy, Σx², Σxy, Σy²) are accumulated EXACTLY: values scaled to
+# integers (prices have 2 decimals → ×100 is exact) summed as
+# DECIMAL(38,0), then the closed-form computed in double.
+
+
+@query(
+    "agg_corr_covar",
+    """
+    WITH j AS (
+      SELECT o.o_orderstatus AS st,
+             CAST(CAST(l.l_quantity * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS x,
+             CAST(CAST(l.l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS y
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), s AS (
+      SELECT st, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM j GROUP BY st
+    )
+    SELECT st AS o_orderstatus, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (n * CAST(n - 1 AS DOUBLE)) / 10000.0, 4)
+             AS covar_samp_qty_price
+    FROM s ORDER BY o_orderstatus
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("l_quantity") * 100).cast("decimal(18,0)").cast("decimal(38,0)")
+    y = (F.col("l_extendedprice") * 100).cast("decimal(18,0)").cast("decimal(38,0)")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderstatus").alias("st"), x.alias("x"), y.alias("y")
+    )
+    s = j.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("st").alias("o_orderstatus"),
+        "n",
+        F.round(num / den, 6).alias("corr_qty_price"),
+        F.round(num / (n * (n - 1).cast("double")) / 10000.0, 4).alias(
+            "covar_samp_qty_price"
+        ),
+    ).orderBy("o_orderstatus")

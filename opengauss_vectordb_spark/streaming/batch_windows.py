@@ -129,3 +129,69 @@ def events_session_windows(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH sessions AS (
+      SELECT user_id, ts, event_type,
+             SUM(CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT user_id, ts, event_id, event_type,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events)
+    ), funnel AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS sessions,
+           SUM(viewed) AS with_view,
+           SUM(CASE WHEN viewed = 1 AND clicked = 1 THEN 1 ELSE 0 END)
+             AS view_then_click,
+           SUM(CASE WHEN viewed = 1 AND clicked = 1 AND purchased = 1
+                    THEN 1 ELSE 0 END) AS full_funnel
+    FROM funnel
+    """,
+)
+def events_funnel(spark, sf_dir):
+    # sessionized conversion funnel: view → click → purchase within a
+    # 30-min-gap session (the composition a training-data pipeline uses
+    # to build behavioral labels)
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    funnel = sessions.groupBy("user_id", "session_id").agg(
+        flag("view").alias("viewed"),
+        flag("click").alias("clicked"),
+        flag("purchase").alias("purchased"),
+    )
+    both = (F.col("viewed") == 1) & (F.col("clicked") == 1)
+    return funnel.agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.sum("viewed").alias("with_view"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("view_then_click"),
+        F.sum(
+            F.when(both & (F.col("purchased") == 1), 1).otherwise(0)
+        ).alias("full_funnel"),
+    )

@@ -88,3 +88,39 @@ def test_ann_catalog_routes_to_ivf(spark, tmp_path):
     fallback = cat.topk(spark, "items", df, "v", q, k=5, metric="cosine",
                         id_col="id")
     assert fallback.count() == 5
+
+
+def test_results_shuffle_order_independent(spark):
+    """The decimal-cast convention promise: identical results under a
+    different shuffle partitioning (what a 1000-executor cluster would
+    produce vs local[32])."""
+    name = "tpch_q1"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = sorted(map(tuple, QUERIES[name](spark, SF_CORRECT).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = sorted(map(tuple, QUERIES[name](spark, SF_CORRECT).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert base == alt
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """write_partitionBy layout → a filter on the partition column must
+    show up as PartitionFilters (pruned at the source, not post-scan)."""
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.plans.explain import formatted_plan
+    from opengauss_vectordb_spark.sources.readers import write_partitioned_parquet
+
+    ev = table(spark, SF_CORRECT, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_part")
+    write_partitioned_parquet(ev, out, ["event_date"])
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-05")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear in PartitionFilters, and the
+    # filtered count must match the source
+    expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert back.count() == expected
