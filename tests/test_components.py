@@ -397,3 +397,83 @@ def test_ivf_append_and_rebuild(spark):
         assert got2 == truth
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -------------------------------------- custom stateful streaming operator
+
+def test_stateful_anomaly_stream(spark):
+    import shutil
+
+    from opengauss_vectordb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+    )
+    from opengauss_vectordb_spark.streaming.stateful import anomaly_stream
+
+    # synthetic: user 1 steady values with one spike; user 2 all steady
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(40):
+        rows.append((eid, (base + dt.timedelta(minutes=i)).isoformat(), 1,
+                     "view", 10.0 + (i % 3) * 0.1, "{}"))
+        eid += 1
+    rows.append((eid, (base + dt.timedelta(minutes=50)).isoformat(), 1,
+                 "view", 500.0, "{}"))  # spike
+    eid += 1
+    for i in range(20):
+        rows.append((eid, (base + dt.timedelta(minutes=i)).isoformat(), 2,
+                     "view", 5.0, "{}"))
+        eid += 1
+
+    tmp = tempfile.mkdtemp(prefix="stateful_")
+    try:
+        import json as _json
+
+        with open(os.path.join(tmp, "batch.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps({
+                    "event_id": r[0], "ts": r[1], "user_id": r[2],
+                    "event_type": r[3], "value": r[4], "props": r[5],
+                }) + "\n")
+        stream = read_event_stream(spark, tmp, fmt="json")
+        q = run_to_memory(anomaly_stream(stream, threshold=3.0), "t_anomaly")
+        got = spark.sql("SELECT * FROM t_anomaly").collect()
+        q.stop()
+        assert len(got) == 1
+        assert got[0].user_id == 1 and got[0].value == 500.0
+        assert abs(got[0].zscore) > 3.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ UDAF
+
+def test_udaf_geometric_mean_and_vector_aggs(spark):
+    from opengauss_vectordb_spark.functions.udaf import (
+        geometric_mean,
+        vector_avg_agg,
+        vector_sum_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0), ("b", None)],
+        "k STRING, v DOUBLE",
+    )
+    got = {
+        r.k: r.gm
+        for r in df.groupBy("k").agg(geometric_mean("v").alias("gm")).collect()
+    }
+    assert got["a"] == pytest.approx(4.0)
+    assert got["b"] == pytest.approx(9.0)
+
+    vdf = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 0.0])],
+        "k STRING, v ARRAY<DOUBLE>",
+    )
+    sums = {r.k: r.sum_v for r in vector_sum_agg(vdf, ["k"], "v").collect()}
+    assert sums["a"] == [4.0, 6.0] and sums["b"] == [10.0, 0.0]
+    avgs = {r.k: r.avg_v for r in vector_avg_agg(vdf, ["k"], "v").collect()}
+    assert avgs["a"] == [2.0, 3.0]
