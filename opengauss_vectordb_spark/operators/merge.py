@@ -77,3 +77,44 @@ def merge_into(
 def upsert(target: DataFrame, source: DataFrame, on: list[str]) -> DataFrame:
     """INSERT ... ON DUPLICATE KEY UPDATE: source wins on key collision."""
     return merge_into(target, source, on, when_matched_update=None)
+
+
+# ---------------------------------------------------------------- queries
+
+from ..catalog import table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey <= 200
+    ), source AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 150 AND 250
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    # MERGE INTO through the driver gate: upsert a modified slice into a
+    # target slice; matched rows take source values, unmatched source
+    # rows insert (execMerge.cpp semantics over append-only storage)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") <= 200)
+    source = o.filter(F.col("o_orderkey").between(150, 250)).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    return upsert(target, source, ["o_orderkey"]).orderBy("o_orderkey")

@@ -126,3 +126,28 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query  # noqa: E402
+
+
+@query("multimodal_feature_stats")
+def multimodal_feature_stats(spark, sf_dir):
+    # rows-only driver check (payloads are synthetic binaries, not a
+    # DuckDB-expressible input): full decode→feature pipeline, then
+    # per-modality feature statistics
+    media = synthetic_media(spark, n=90)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)), 6
+            ).alias("avg_feature_sum"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("modality")
+    )

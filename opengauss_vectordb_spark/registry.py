@@ -48,6 +48,8 @@ def load_all_queries() -> None:
     from .operators import (  # noqa: F401
         dedup,
         functions_ext,
+        merge,
+        multimodal,
         relational,
         setops_windows,
         text,

@@ -431,7 +431,9 @@ def _ivf_index(spark, sf_dir):
 
     from .ivf import IvfIndex
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # layout version in the cache key: a format change in IvfIndex must
+    # not read a stale index written by an older build
+    key = hashlib.md5(f"{sf_dir}|layout-v2".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"ivf_embeddings_{key}")
     marker = os.path.join(path, "centroids", "_SUCCESS")
     idx = IvfIndex(path, metric="l2", lists=_IVF_LISTS)
