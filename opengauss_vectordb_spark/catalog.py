@@ -30,18 +30,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), which Spark 4 has no type for:
+        # required conf is set here (not only in session.py) because the
+        # driver harness hands us ITS OWN SparkSession
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) → read as nanos-since-epoch long
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
-        # matching DuckDB's nanos→micros truncation.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer DIV, not double /: nanos ≈ 1.7e18 exceeds double's
-            # 53-bit exact range, float division would wobble the micros
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # nanos long → TimestampNTZ by pure arithmetic (timestampadd
+            # on an NTZ base): wall-clock equals DuckDB's nanos→micros
+            # truncation REGARDLESS of the session timezone. Integer DIV,
+            # not double /: nanos ≈ 1.7e18 exceeds double's 53-bit exact
+            # range. The other tables' timestamps are read as NTZ already
+            # (isAdjustedToUTC=false), so the whole catalog is TZ-proof.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

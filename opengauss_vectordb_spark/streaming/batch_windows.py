@@ -113,7 +113,9 @@ def events_session_windows(spark, sf_dir):
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        # NTZ - NTZ yields a day-time interval; interval comparison is
+        # timezone-proof (a double cast is not even defined for NTZ)
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     return (
@@ -171,7 +173,9 @@ def events_funnel(spark, sf_dir):
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        # NTZ - NTZ yields a day-time interval; interval comparison is
+        # timezone-proof (a double cast is not even defined for NTZ)
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     sessions = ev.withColumn(
