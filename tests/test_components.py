@@ -477,3 +477,41 @@ def test_udaf_geometric_mean_and_vector_aggs(spark):
     assert sums["a"] == [4.0, 6.0] and sums["b"] == [10.0, 0.0]
     avgs = {r.k: r.avg_v for r in vector_avg_agg(vdf, ["k"], "v").collect()}
     assert avgs["a"] == [2.0, 3.0]
+
+
+# ------------------------------------------------- cosine LSH near-dup
+
+def test_cosine_lsh_finds_planted_dups(spark):
+    """Random-hyperplane LSH recall: planted near-duplicates (small
+    perturbations) must surface as candidates and survive verification;
+    candidate count must stay far below the O(n²) pair space."""
+    from opengauss_vectordb_spark.vector.cosine_lsh import (
+        cosine_lsh_candidates,
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 500, 32
+    base = rng.normal(size=(n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 20 near-duplicates of rows 0..19 (ids 1000+)
+    planted = set()
+    for i in range(20):
+        noisy = base[i] + 0.05 * rng.normal(size=dim).astype("float32")
+        rows.append((1000 + i, [float(x) for x in noisy]))
+        planted.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+
+    cands = cosine_lsh_candidates(df, "v", "id", dim)
+    cand_pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    found = planted & cand_pairs
+    assert len(found) >= 18, f"LSH missed {planted - cand_pairs}"
+    # pair space is 520*519/2 ≈ 135k; expected false-candidate mass is
+    # ~8 bands × (1/2)^8 ≈ 3% of pairs (θ≈90° for random gaussians) →
+    # candidates must stay well under 10%
+    assert len(cand_pairs) < 13_000
+
+    verified = cosine_near_dup_pairs(df, "v", "id", dim, max_cos_dist=0.2)
+    vpairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert planted & vpairs == found & vpairs
+    assert len(vpairs & planted) >= 18

@@ -67,3 +67,46 @@ def test_recall_probes_10(spark, ivf_setup):
 def test_recall_probes_all(spark, ivf_setup):
     df, idx, queries = ivf_setup
     assert _recall(spark, df, idx, queries, probes=LISTS) == 1.0
+
+
+@pytest.fixture(scope="module")
+def ivf_cosine_setup(spark, ivf_setup):
+    df, _, queries = ivf_setup
+    tmp = tempfile.mkdtemp(prefix="ivf_recall_cos_")
+    idx = IvfIndex.build(
+        df, "v", os.path.join(tmp, "cos"), metric="cosine", lists=LISTS,
+        max_iter=30,
+    )
+    yield df, idx, queries
+
+
+def _recall_metric(spark, df, idx, queries, probes, metric):
+    hits = total = 0
+    for q in queries:
+        qv = [float(x) for x in q]
+        truth = {
+            r.id
+            for r in exact_knn(df, "v", qv, k=K, metric=metric, id_col="id").collect()
+        }
+        got = {
+            r.id
+            for r in idx.search(spark, qv, "v", k=K, probes=probes,
+                                id_col="id").collect()
+        }
+        hits += len(truth & got)
+        total += len(truth)
+    return hits / total
+
+
+def test_cosine_recall_probes_all(spark, ivf_cosine_setup):
+    # t/003_ivfflat_vector_build_recall.pl:109-115 — cosine at
+    # probes=lists must reach >= 0.9925
+    df, idx, queries = ivf_cosine_setup
+    assert _recall_metric(spark, df, idx, queries, LISTS, "cosine") >= 0.9925
+
+
+def test_cosine_recall_probes_10(spark, ivf_cosine_setup):
+    # same harness shape at probes=10; reference L2 bar is 0.95 — cosine
+    # on this distribution holds it too
+    df, idx, queries = ivf_cosine_setup
+    assert _recall_metric(spark, df, idx, queries, 10, "cosine") >= 0.95
