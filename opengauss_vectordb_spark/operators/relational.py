@@ -942,3 +942,29 @@ def tpch_q22_adapted(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-entry variant: the same statement text executes on both engines
+# (Spark SQL over registered views == the oracle) — demonstrating the
+# engine's spark.sql() surface converges with the DataFrame API on one
+# Catalyst plan (SURVEY.md §3 lifecycle mapping)
+# --------------------------------------------------------------------------
+_Q6_SQL_COMMON = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_entry_q6", _Q6_SQL_COMMON)
+def sql_entry_q6(spark, sf_dir):
+    from ..catalog import table as _t
+
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL_COMMON)
