@@ -94,3 +94,28 @@ def write_partitioned_parquet(
     reference's range/list partitioned tables (nodePartIterator.cpp) —
     scans prune partitions on the partition columns for free."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str],
+    mode: str = "overwrite",
+):
+    """Partition + cluster-on-write: sortWithinPartitions orders rows by
+    the cluster columns inside each file, so parquet row-group min/max
+    statistics become tight — the write-side analogue of the reference's
+    cstore partial sort cluster-on-load (`storage/cstore/cstore_psort.cpp`)
+    feeding its CU rough-check skipping. Range predicates on the cluster
+    columns then skip whole row groups at scan time."""
+    # sort key must PREFIX with the partition columns: FileFormatWriter
+    # requires rows ordered by them and would otherwise insert its own
+    # (non-stable) sort, destroying the cluster order
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, *cluster_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -124,3 +124,58 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # filtered count must match the source
     expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
     assert back.count() == expected
+
+
+def test_sql_broadcast_hint(spark):
+    """/*+ BROADCAST */ hint surface (hint_gram.y analogue)."""
+    from opengauss_vectordb_spark.catalog import register_views
+
+    register_views(spark, SF_CORRECT)
+    df = spark.sql(
+        """SELECT /*+ BROADCAST(n) */ n.n_name, COUNT(*) AS c
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name"""
+    )
+    assert uses_broadcast_join(df)
+
+
+def test_inlist_to_join_rewrite(spark):
+    """qrw_inlist2join analogue: small list = pushed predicate, huge list
+    = broadcast semi join; results identical."""
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.plans.hints import in_list_filter
+
+    li = table(spark, SF_CORRECT, "lineitem")
+    small = in_list_filter(li, "l_partkey", [1, 2, 3])
+    assert has_pushed_filter(small, "l_partkey")
+
+    big_vals = list(range(0, 1500))
+    big = in_list_filter(li, "l_partkey", big_vals, threshold=512)
+    assert uses_broadcast_join(big)
+    expected = li.filter(F.col("l_partkey").isin(big_vals)).count()
+    assert big.count() == expected
+
+
+def test_clustered_write_rowgroup_stats(spark, tmp_path):
+    """Cluster-on-write gives tight row-group min/max (cstore_psort
+    analogue): sorted stats ranges must not all overlap."""
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.sources.readers import write_clustered_parquet
+
+    li = table(spark, SF_CORRECT, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(li, out, ["ship_year"], ["l_partkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    # inside one partition, files are sorted by l_partkey: read one file
+    # and confirm monotone non-decreasing order
+    import glob
+
+    files = glob.glob(f"{out}/ship_year=*/part-*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(files[0], columns=["l_partkey"]).to_pydict()["l_partkey"]
+    assert tbl == sorted(tbl)
