@@ -214,3 +214,69 @@ def cast_semantics(spark, sf_dir):
         F.col("c_acctbal").cast("decimal(12,1)").alias("bal_dec1"),
         F.expr("TRY_CAST(c_mktsegment AS INT)").alias("seg_as_int"),
     ).orderBy("c_custkey")
+
+
+# --- range types (adt/rangetypes.cpp → StructType{lower, upper} model) -----
+
+
+@query(
+    "range_types_overlap",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(min(o_orderdate) AS DATE) AS lo,
+             CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, lo, hi,
+           (lo <= DATE '1996-12-31' AND hi >= DATE '1995-01-01')
+             AS overlaps_95_96,
+           (lo <= DATE '1995-06-15' AND DATE '1995-06-15' <= hi)
+             AS contains_mid95,
+           (lo = hi) AS is_point,
+           datediff('day', lo, hi) AS span_days,
+           GREATEST(0, datediff('day',
+                                GREATEST(lo, DATE '1995-01-01'),
+                                LEAST(hi, DATE '1996-12-31')))
+             AS ix_days_95_96
+    FROM r WHERE o_custkey <= 300 ORDER BY o_custkey
+    """,
+)
+def range_types_overlap(spark, sf_dir):
+    """Range types as StructType{lower, upper} (SURVEY §1.3): build each
+    customer's active daterange [min(o_orderdate), max(o_orderdate)] and
+    evaluate the reference's range operators — && overlap, @> contains,
+    isempty/point, upper-lower span, and * intersection length
+    (adt/rangetypes.cpp range_overlaps/range_contains_elem/range_minus).
+
+    The range value is a real struct column; operators are plain ordered
+    comparisons on its fields, so they stay inside whole-stage codegen and
+    the single groupBy(o_custkey) shuffle is the only exchange at any SF.
+    """
+    o = table(spark, sf_dir, "orders")
+    r = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.struct(
+                F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+                F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+            ).alias("rng")
+        )
+        .filter(F.col("o_custkey") <= 300)
+    )
+    lo, hi = F.col("rng.lo"), F.col("rng.hi")
+    lo96, hi96 = F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date")
+    mid = F.lit("1995-06-15").cast("date")
+    return r.select(
+        "o_custkey",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ((lo <= hi96) & (hi >= lo96)).alias("overlaps_95_96"),
+        ((lo <= mid) & (mid <= hi)).alias("contains_mid95"),
+        (lo == hi).alias("is_point"),
+        F.datediff(hi, lo).alias("span_days"),
+        F.greatest(
+            F.lit(0),
+            F.datediff(F.least(hi, hi96), F.greatest(lo, lo96)),
+        ).alias("ix_days_95_96"),
+    ).orderBy("o_custkey")

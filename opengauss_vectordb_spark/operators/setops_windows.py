@@ -1009,3 +1009,45 @@ def agg_corr_covar(spark, sf_dir):
             "covar_samp_qty_price"
         ),
     ).orderBy("o_orderstatus")
+
+
+# --- json_build_object / jsonb round-trip / json_each expansion -------------
+
+
+@query(
+    "json_build_each",
+    """
+    SELECT o_orderkey, k, v FROM (
+      SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v
+      FROM orders WHERE o_orderkey <= 60
+      UNION ALL
+      SELECT o_orderkey, 'status' AS k, o_orderstatus AS v
+      FROM orders WHERE o_orderkey <= 60
+    ) kv
+    ORDER BY o_orderkey, k
+    """,
+)
+def json_build_each(spark, sf_dir):
+    """json_build_object → jsonb round-trip → json_each expansion
+    (adt/json.cpp json_build_object, jsonfuncs.cpp json_each).
+
+    Builds a real JSON document per order with to_json(struct(...)),
+    parses it back as map<string,string> (the jsonb object model), and
+    explodes to (key, value) rows — the reference's lateral
+    ``json_each(j)``. The serialize/parse/explode chain is all Catalyst
+    (JsonToStructs/Explode), no Python, and runs map-side only: the
+    single narrow pipeline scan→project→generate has zero exchanges
+    before the output sort.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 60)
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    m = F.from_json(js, "map<string,string>")
+    return (
+        o.select("o_orderkey", F.explode(m).alias("k", "v"))
+        .orderBy("o_orderkey", "k")
+    )

@@ -270,3 +270,63 @@ def text_simhash(spark, sf_dir):
     return agg.select("doc_id", simhash.cast("long").alias("simhash16")).orderBy(
         "doc_id"
     )
+
+
+# --- full-text match + rank (tsvector/tsquery/ts_rank reduced to the
+# token model; adt/tsvector.cpp, tsquery.cpp, tsrank.cpp) -------------------
+
+
+@query(
+    "fts_match_rank",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                          ' ') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ts) AS n_lexemes,
+           len(list_filter(ts, x -> x = 'table')) AS tf_table,
+           len(list_filter(ts, x -> x = 'scan')) AS tf_scan,
+           ROUND((len(list_filter(ts, x -> x = 'table'))
+                  + len(list_filter(ts, x -> x = 'scan'))) / (1.0 + len(ts)), 6)
+             AS rank
+    FROM toks
+    WHERE list_contains(ts, 'table') AND list_contains(ts, 'scan')
+    ORDER BY rank DESC, doc_id
+    LIMIT 100
+    """,
+)
+def fts_match_rank(spark, sf_dir):
+    """Full-text search: ``to_tsvector(text) @@ to_tsquery('table & scan')``
+    with a ts_rank-style frequency score.
+
+    The reference's tsvector is a sorted lexeme array with positions
+    (adt/tsvector.cpp); tsquery AND-match (tsquery.cpp `@@`) reduces to
+    array_contains over the lexeme set, and ts_rank (tsrank.cpp) to a
+    term-frequency score normalized by document length. Pure Column
+    expressions — the scan prunes to (doc_id, text) and every predicate
+    is whole-stage codegen'd, so the operator scales linearly over a
+    100 TB corpus with zero shuffles before the final top-k.
+    """
+    d = table(spark, sf_dir, "documents")
+    ts = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    tf = lambda term: F.size(F.filter(ts, lambda x: x == F.lit(term)))  # noqa: E731
+    rank = F.round(
+        (tf("table") + tf("scan")) / (F.lit(1.0) + F.size(ts)), 6
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(ts).alias("n_lexemes"),
+            tf("table").alias("tf_table"),
+            tf("scan").alias("tf_scan"),
+            rank.alias("rank"),
+        )
+        .filter(F.array_contains(ts, "table") & F.array_contains(ts, "scan"))
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(100)
+    )
