@@ -179,3 +179,21 @@ def test_clustered_write_rowgroup_stats(spark, tmp_path):
 
     tbl = pq.read_table(files[0], columns=["l_partkey"]).to_pydict()["l_partkey"]
     assert tbl == sorted(tbl)
+
+
+def test_fts_prunes_to_id_and_text(spark):
+    # full-text match must not read lang/source/n_chars: the scan's
+    # ReadSchema is the proof the 100 TB corpus scan moves 2 columns
+    df = QUERIES["fts_match_rank"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all(
+        "lang" not in ln and "source" not in ln for ln in read
+    ), plan
+    assert python_eval_nodes(df) == 0
+
+
+def test_new_queries_stay_jvm_side(spark):
+    for name in ["range_types_overlap", "json_build_each"]:
+        df = QUERIES[name](spark, SF_CORRECT)
+        assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
