@@ -35,6 +35,8 @@ HEADLINE = [
     "text_simhash",
     "events_sliding_window",
     "events_session_windows",
+    "ivf_search_exhaustive",
+    "ivf_search_probed",
 ]
 
 
@@ -58,6 +60,11 @@ def main() -> None:
                 "overwrite"
             ).save()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # index build is a build-time operation (the reference times ANN
+    # queries after CREATE INDEX, not through it) — build outside the loop
+    from opengauss_vectordb_spark.vector.queries import _ivf_index
+
+    _ivf_index(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
