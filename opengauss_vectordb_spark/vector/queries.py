@@ -476,3 +476,101 @@ def ivf_search_probed(spark, sf_dir):
     return out.select(
         "vec_id", "label", F.round("distance", 4).alias("distance")
     ).orderBy("distance", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# btree opclass over vectors — lexicographic element-wise comparisons and
+# ORDER BY on the vector value itself (datavec comparisons < <= = <> >= >
+# + btree opclass, datavec--0.7.2.sql:210-246,353; test/sql/btree.sql).
+# Arrays are orderable in both Spark and DuckDB with the same
+# lexicographic semantics, so the operator stays fully codegen'd.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vector_btree_compare",
+    f"""
+    WITH t AS (
+      SELECT vec_id, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           (e = q) AS eq_q,
+           (e < q) AS lt_q,
+           (e >= q) AS ge_q,
+           ROUND(e[1], 6) AS first_elem
+    FROM t
+    ORDER BY e, vec_id
+    LIMIT 25
+    """,
+)
+def vector_btree_compare(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    e = as_double(F.col("embedding"))
+    q = _spark_qlit()
+    return (
+        emb.select(
+            "vec_id",
+            (e == q).alias("eq_q"),
+            (e < q).alias("lt_q"),
+            (e >= q).alias("ge_q"),
+            F.round(F.element_at(e, 1), 6).alias("first_elem"),
+            e.alias("_e"),
+        )
+        .orderBy("_e", "vec_id")
+        .limit(25)
+        .drop("_e")
+    )
+
+
+# --------------------------------------------------------------------------
+# cast surface (datavec test/sql/cast.sql; cast declarations sql:558-580):
+# vector → sparsevec → vector round-trip on a thresholded copy of the
+# embedding. The oracle states the round-trip invariant (TRUE) — if the
+# engine's cast chain dropped or reordered entries, the Spark-computed
+# roundtrip_ok column would disagree and the value-hash would mismatch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vector_cast_roundtrip",
+    f"""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform({_E},
+                            x -> CASE WHEN abs(x) < 0.5 THEN 0.0 ELSE x END) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           len(v) AS dim,
+           len(list_filter(v, x -> x != 0)) AS nnz,
+           ROUND(COALESCE(list_sum(list_filter(v, x -> x != 0)), 0.0), 4)
+             AS nz_sum,
+           TRUE AS roundtrip_ok
+    FROM t ORDER BY vec_id
+    """,
+)
+def vector_cast_roundtrip(spark, sf_dir):
+    from .types import sparsevec_to_dense, to_sparsevec
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.when(F.abs(x) < 0.5, F.lit(0.0)).otherwise(x),
+    )
+    sv = to_sparsevec(v, value_type="double")
+    back = sparsevec_to_dense(sv)
+    nz = sv.getField("values")
+    return emb.select(
+        "vec_id",
+        sv.getField("dim").alias("dim"),
+        F.size(sv.getField("indices")).alias("nnz"),
+        F.round(
+            F.aggregate(nz, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("nz_sum"),
+        (back.cast("array<double>") == v).alias("roundtrip_ok"),
+    ).orderBy("vec_id")
