@@ -515,3 +515,30 @@ def test_cosine_lsh_finds_planted_dups(spark):
     vpairs = {(r.id_a, r.id_b) for r in verified.collect()}
     assert planted & vpairs == found & vpairs
     assert len(vpairs & planted) >= 18
+
+
+def test_ivf_centers_edge_cases(spark):
+    """kmeans centers edge cases (008_ivfflat_centers.pl): more lists
+    than rows, and all-duplicate vectors — build must not fail and
+    exhaustive search must still return exact results."""
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+
+    # 5 rows, 8 requested lists
+    few = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0]) for i in range(5)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_centers_")
+    idx = IvfIndex.build(few, "v", os.path.join(tmp, "few"), lists=8, max_iter=5)
+    got = idx.search(spark, [2.1, 0.0, 1.0], "v", k=3, probes=8, id_col="id")
+    assert [r.id for r in got.collect()] == [2, 3, 1]
+
+    # all-identical vectors (zero spread: kmeans++ d2 total == 0 path)
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(50)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    idx2 = IvfIndex.build(dup, "v", os.path.join(tmp, "dup"), lists=4, max_iter=5)
+    got2 = idx2.search(spark, [1.0, 2.0, 3.0], "v", k=5, probes=4, id_col="id")
+    rows = got2.collect()
+    assert len(rows) == 5 and all(abs(r.distance) < 1e-6 for r in rows)
