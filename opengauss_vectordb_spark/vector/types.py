@@ -139,3 +139,36 @@ def binary_quantize_words(dense: Column) -> Column:
             ).otherwise(F.lit(0).cast("long")),
         ),
     )
+
+
+# ------------------------------------------------------------- text I/O
+# vector_in / vector_out ('[1,2,3]' literals — contrib/datavec/src/
+# vector.cpp vector_in/vector_out; exercised by the reference's COPY and
+# vector_type golden tests). Pure Catalyst string expressions, so CSV
+# ingest of vector columns runs JVM-side at full scan speed.
+
+
+def vector_from_text(s: Column, dim: int | None = None) -> Column:
+    """Parse a '[x,y,z]' text literal to array<float> (vector_in).
+
+    With ``dim``, enforces the typmod the way vector_typmod_in does
+    (vector.h:29): a literal of the wrong dimension yields NULL rather
+    than a silently mis-shaped row (Spark expressions can't raise
+    per-row; rejected rows are filterable as NULLs)."""
+    arr = F.transform(
+        F.split(F.regexp_replace(F.trim(s), r"^\[|\]$", ""), ","),
+        lambda x: F.trim(x).cast("float"),
+    )
+    if dim is not None:
+        arr = F.when(F.size(arr) == dim, arr)
+    return arr
+
+
+def vector_to_text(v: Column) -> Column:
+    """Render array<float> as '[x,y,z]' (vector_out). Float→string uses
+    the shortest round-tripping decimal form, so out∘in is lossless."""
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(v, lambda x: x.cast("string")), ","),
+        F.lit("]"),
+    )

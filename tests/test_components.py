@@ -542,3 +542,34 @@ def test_ivf_centers_edge_cases(spark):
     got2 = idx2.search(spark, [1.0, 2.0, 3.0], "v", k=5, probes=4, id_col="id")
     rows = got2.collect()
     assert len(rows) == 5 and all(abs(r.distance) < 1e-6 for r in rows)
+
+
+def test_vector_text_copy_roundtrip(spark, tmp_path):
+    """COPY of vector columns as text literals (datavec test/sql/copy.sql,
+    vector_type.sql): vector_out → csv → vector_in is lossless fp32."""
+    from opengauss_vectordb_spark.sources.readers import read_csv
+    from opengauss_vectordb_spark.vector.types import (
+        vector_from_text,
+        vector_to_text,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.random(4).astype("float32")])
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+    out = str(tmp_path / "veccsv")
+    df.select("id", vector_to_text(F.col("v")).alias("v")).coalesce(
+        1
+    ).write.option("quote", '"').csv(out)
+    back = read_csv(spark, out, "id BIGINT, v STRING").select(
+        "id", vector_from_text(F.col("v"), dim=4).alias("v")
+    )
+    orig = {r.id: r.v for r in df.collect()}
+    got = {r.id: r.v for r in back.collect()}
+    assert len(got) == 100
+    assert all(got[i] == orig[i] for i in orig)
+    # typmod enforcement: wrong-dim literal → NULL
+    bad = spark.createDataFrame([("[1,2,3]",)], "s STRING").select(
+        vector_from_text(F.col("s"), dim=4).alias("v")
+    )
+    assert bad.first().v is None
