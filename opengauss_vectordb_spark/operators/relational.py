@@ -731,24 +731,28 @@ def tpch_q18_adapted(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # the HAVING aggregate IS the output aggregate (both group on
+    # l_orderkey), so compute the per-order sum ONCE and reuse it —
+    # one lineitem scan + one shuffle instead of scan+semi-join+re-agg.
+    # The filtered survivors are a tiny relation, so AQE broadcasts the
+    # joins to orders/customer: at 100 TB the only wide exchange left is
+    # the per-order partial/final aggregation.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
         .filter(F.col("_q") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
         )
-        .agg(dsum(F.col("l_quantity"), "sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
