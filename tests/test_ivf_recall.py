@@ -11,6 +11,7 @@ import tempfile
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from opengauss_vectordb_spark.vector.exact import knn as exact_knn
 from opengauss_vectordb_spark.vector.ivf import IvfIndex
@@ -110,3 +111,20 @@ def test_cosine_recall_probes_10(spark, ivf_cosine_setup):
     # on this distribution holds it too
     df, idx, queries = ivf_cosine_setup
     assert _recall_metric(spark, df, idx, queries, 10, "cosine") >= 0.95
+
+
+def test_point_lookup_recall_at_1(spark, ivf_setup):
+    """Self-lookup recall@1 = 1.00 at probes=1 (BASELINE.md row 8;
+    t/005_ivfflat_query_recall.pl:31-42): querying an indexed vector with
+    itself must return that vector first — its nearest centroid is its
+    own list by construction. Batch form: knn_join of a 200-vector
+    sample against the index."""
+    df, idx, _ = ivf_setup
+    sample = df.filter((F.col("id") % 50) == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    got = idx.knn_join(
+        spark, sample, "qv", "v", k=1, probes=1, query_id="qid", cand_id="id"
+    ).collect()
+    assert len(got) == 200
+    assert all(r.qid == r.id for r in got)
