@@ -1,0 +1,47 @@
+"""Skew mitigation for shuffle joins — the engine-level fallback when a
+key's row count exceeds what AQE's skew-join splitting handles.
+
+The reference spreads skewed redistribution with its Stream exchange
+operators' round-robin mode (`src/include/optimizer/streamplan.h:50`
+LOCAL_ROUNDROBIN); in Spark the equivalent engine-level tool is salting:
+spread one hot key over `n_salts` reducers by appending a deterministic
+salt to the big side's key, and replicate the small side once per salt so
+every (key, salt) pair still meets its match.
+
+Cost model: the big (skewed) side is untouched except one extra tiny
+column; the small side is duplicated ``n_salts`` times — acceptable when
+small is dimension-sized, which is exactly the skewed-join case (a fact
+table whose hot keys all hash to one reducer). The salt is a pmod over a
+per-row fingerprint, not rand(): deterministic under task retries and
+shuffle-order changes, so results are stable at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on columns ``on``, spreading each of
+    big's keys across ``n_salts`` shuffle partitions.
+
+    Semantics match ``big.join(small, on, how)`` for inner/left joins
+    (each big row joins the one replica sharing its salt). The big side's
+    salt fingerprints all of its columns, so hot keys spread evenly even
+    when the non-key attributes repeat.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("salted_equi_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")

@@ -573,3 +573,30 @@ def test_vector_text_copy_roundtrip(spark, tmp_path):
         vector_from_text(F.col("s"), dim=4).alias("v")
     )
     assert bad.first().v is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew salting (SCALE.md joins section): a 90%-hot-key fact table
+    joined to a dimension through salted_equi_join must equal the plain
+    join, while the physical join key carries the salt column."""
+    from opengauss_vectordb_spark.operators.skew import salted_equi_join
+
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else i % 7, float(i)) for i in range(5000)],
+        "row_id BIGINT, k INT, v DOUBLE",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(7)], "k INT, name STRING"
+    )
+    got = salted_equi_join(big, small, ["k"], n_salts=8)
+    plain = big.join(small, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join keeps unmatched big rows
+    small_partial = small.filter(F.col("k") <= 3)
+    got_l = salted_equi_join(big, small_partial, ["k"], n_salts=8, how="left")
+    plain_l = big.join(small_partial, ["k"], "left")
+    assert sorted(map(tuple, got_l.collect())) == sorted(
+        map(tuple, plain_l.collect())
+    )
