@@ -238,3 +238,106 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
             break
         labels = new_labels
     return labels
+
+
+@query(
+    "dedup_lsh_verified",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), hs AS (
+      SELECT doc_id, md5(u) AS h1, md5(u || '#') AS h2
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u
+            FROM t WHERE len(w) >= 3)
+    ), mins AS (
+      SELECT doc_id,
+             MIN(h1[1:8]) AS m0, MIN(h1[9:16]) AS m1,
+             MIN(h1[17:24]) AS m2, MIN(h1[25:32]) AS m3,
+             MIN(h2[1:8]) AS m4, MIN(h2[9:16]) AS m5,
+             MIN(h2[17:24]) AS m6, MIN(h2[25:32]) AS m7
+      FROM hs GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM mins
+      UNION ALL SELECT doc_id, 1, m2 || m3 FROM mins
+      UNION ALL SELECT doc_id, 2, m4 || m5 FROM mins
+      UNION ALL SELECT doc_id, 3, m6 || m7 FROM mins
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.band = c.band AND a.sig = c.sig
+                               AND a.doc_id < c.doc_id
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), common AS (
+      SELECT cd.id_a, cd.id_b, COUNT(*) AS n_common
+      FROM cand cd
+      JOIN ex a ON a.doc_id = cd.id_a
+      JOIN ex b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+      GROUP BY cd.id_a, cd.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(c.n_common * 1.0
+                 / (len(sa.s) + len(sb.s) - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE c.n_common * 1.0 / (len(sa.s) + len(sb.s) - c.n_common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_lsh_verified(spark, sf_dir):
+    """The 100 TB dedup pipeline end-to-end (SCALE.md dedup section):
+    MinHash-LSH generates candidate pairs (near-linear in corpus size),
+    then ONLY those pairs get exact n-gram Jaccard verification —
+    replacing the all-pairs shingle join with a candidate-gated one.
+
+    Shape: the candidate table is tiny (pairs sharing a band signature),
+    so it broadcasts into the two shingle-stream joins; the wide work
+    stays the two linear passes (signature build, shingle explode)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    a = sigs.select(F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), "band", F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band) & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ea = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    eb = ex.select(
+        F.col("doc_id").alias("_idb"), F.col("shingle").alias("_shb")
+    )
+    common = (
+        F.broadcast(cand)
+        .join(ea, "id_a")
+        .join(
+            eb,
+            (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("_shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
