@@ -32,7 +32,9 @@ HEADLINE = [
     "knn_join_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
     "text_simhash",
+    "fts_match_rank",
     "events_sliding_window",
     "events_session_windows",
     "ivf_search_exhaustive",
