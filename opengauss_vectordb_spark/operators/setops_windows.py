@@ -1051,3 +1051,34 @@ def json_build_each(spark, sf_dir):
         o.select("o_orderkey", F.explode(m).alias("k", "v"))
         .orderBy("o_orderkey", "k")
     )
+
+
+# --- explicit GROUPING SETS (gram.y:24424-24441 parses GROUPING SETS
+# separately from ROLLUP/CUBE; planned as sorted-agg phases) ---------------
+
+
+@query(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_ogs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM _ogs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )

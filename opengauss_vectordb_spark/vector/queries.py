@@ -574,3 +574,35 @@ def vector_cast_roundtrip(spark, sf_dir):
         ).alias("nz_sum"),
         (back.cast("array<double>") == v).alias("roundtrip_ok"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# filtered ANN as a driver-gate query (t/009_ivfflat_filtering.pl,
+# t/017_hnsw_filtering.pl): relational predicate + knn compose — the
+# filter applies BEFORE the top-k heap, so the k results all satisfy it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_l2_filtered",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL AND label = 3)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def knn_l2_filtered(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.col("label") == 3)
+    )
+    d = l2_distance(as_double(F.col("embedding")), _spark_qlit())
+    return (
+        emb.withColumn("_d", d)
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("_d", 4).alias("distance"))
+    )
