@@ -75,3 +75,93 @@ def register_pg_functions(spark: SparkSession) -> None:
         "pg_div",
     ):
         spark.sql(_SQL_MACROS[name])
+
+
+# ---------------------------------------------------------------------------
+# to_char / to_date / to_timestamp format-model translation
+# (adt/formatting.cpp — PG/Oracle format models → Spark datetime patterns).
+# Documented subset: the patterns below; case variants of day/month names
+# (PG 'DAY' = padded uppercase) are normalized to Spark's title-case forms.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+# longest-first so HH24 wins over HH, DDD over DD, MONTH over MON
+_PG_DT_TOKENS = [
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SSSS", "ss"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("MONTH", "MMMM"),
+    ("Month", "MMMM"),
+    ("month", "MMMM"),
+    ("MON", "MMM"),
+    ("Mon", "MMM"),
+    ("mon", "MMM"),
+    ("MM", "MM"),
+    ("DDD", "D"),
+    ("DD", "dd"),
+    ("DAY", "EEEE"),
+    ("Day", "EEEE"),
+    ("day", "EEEE"),
+    ("DY", "EEE"),
+    ("Dy", "EEE"),
+    ("dy", "EEE"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("Q", "Q"),
+    ("J", "D"),
+]
+
+
+def pg_datetime_model_to_spark(model: str) -> str:
+    """Translate a PG/Oracle to_char datetime format model to a Spark
+    datetime pattern. Unknown letters pass through quoted so separators
+    like '-', '/', ':' and literal text survive."""
+    out: list[str] = []
+    i = 0
+    while i < len(model):
+        if model.startswith('"', i):  # PG quoted literal "..."
+            j = model.index('"', i + 1)
+            out.append("'" + model[i + 1 : j] + "'")
+            i = j + 1
+            continue
+        for tok, rep in _PG_DT_TOKENS:
+            if model.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            ch = model[i]
+            out.append(ch if not ch.isalpha() else "'" + ch + "'")
+            i += 1
+    return "".join(out)
+
+
+def to_char(col: Column, model: str) -> Column:
+    """PG to_char(timestamp/date, model) — translated datetime pattern,
+    or to_char(numeric, model) for models of 9/0/,/./FM."""
+    if set(model) & set("90"):  # numeric model (9/0 digit placeholders)
+        fm = model.replace("FM", "")
+        decimals = len(fm.split(".", 1)[1]) if "." in fm else 0
+        s = F.format_number(col.cast("double"), decimals)
+        if "," not in fm:
+            s = F.regexp_replace(s, ",", "")
+        return s
+    return F.date_format(col, pg_datetime_model_to_spark(model))
+
+
+def pg_to_date(col: Column, model: str) -> Column:
+    """PG to_date(text, model)."""
+    return F.to_date(col, pg_datetime_model_to_spark(model))
+
+
+def pg_to_timestamp(col: Column, model: str) -> Column:
+    """PG to_timestamp(text, model)."""
+    return F.to_timestamp(col, pg_datetime_model_to_spark(model))

@@ -600,3 +600,41 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, got_l.collect())) == sorted(
         map(tuple, plain_l.collect())
     )
+
+
+def test_to_char_format_models(spark):
+    """to_char/to_date format-model translation (adt/formatting.cpp):
+    PG models render through Spark datetime patterns."""
+    from opengauss_vectordb_spark.functions.pg_compat import (
+        pg_to_date,
+        pg_to_timestamp,
+        to_char,
+    )
+
+    df = spark.range(1).select(
+        F.lit("2020-01-05 13:07:09").cast("timestamp").alias("t"),
+        F.lit(1234567.891).alias("x"),
+    )
+    row = df.select(
+        to_char(F.col("t"), "YYYY-MM-DD").alias("a"),
+        to_char(F.col("t"), "DD/MM/YYYY HH24:MI:SS").alias("b"),
+        to_char(F.col("t"), "Day, DD Mon YYYY").alias("c"),
+        to_char(F.col("t"), "HH12:MI AM").alias("d"),
+        to_char(F.col("t"), 'YYYY"Q"Q').alias("e"),
+        to_char(F.col("x"), "999,999,999.99").alias("f"),
+        to_char(F.col("x"), "FM99999999").alias("g"),
+    ).first()
+    assert row.a == "2020-01-05"
+    assert row.b == "05/01/2020 13:07:09"
+    assert row.c == "Sunday, 05 Jan 2020"
+    assert row.d == "01:07 PM"
+    assert row.e == "2020Q1"
+    assert row.f == "1,234,567.89"
+    assert row.g == "1234568"
+
+    parsed = spark.range(1).select(
+        pg_to_date(F.lit("05/01/2020"), "DD/MM/YYYY").alias("d"),
+        pg_to_timestamp(F.lit("2020-01-05 13:07"), "YYYY-MM-DD HH24:MI").alias("ts"),
+    ).first()
+    assert str(parsed.d) == "2020-01-05"
+    assert str(parsed.ts) == "2020-01-05 13:07:00"
