@@ -1,0 +1,300 @@
+"""Training-data-pipeline operators — the curation stages a 100 TB
+LLM-corpus build runs after text analysis and dedup: deterministic
+train/val/test splitting, stratified quota sampling, duplicate-cluster
+resolution (connected components over near-dup pairs), and the composed
+keep/drop curation pipeline.
+
+Scale design:
+  * split/sample assignments are pure hash arithmetic on short keys —
+    map-side only, no shuffle, reproducible on any cluster (md5 hex is
+    engine- and partitioning-independent, unlike rand() or zipWithIndex).
+  * stratified sampling shuffles once on the stratum key; the per-stratum
+    ordering key is a hash, so the sample is deterministic AND unbiased
+    without a global sort.
+  * connected components = iterative min-label propagation; each
+    iteration is one shuffle on the (tiny) edge set, never on the corpus.
+    Convergence is O(diameter) iterations and duplicate clusters are
+    shallow in practice (pairs/triples), so this stays cheap at scale.
+  * the curation pipeline composes filters BEFORE the dedup shuffle, so
+    the expensive stage sees only quality-passing docs.
+
+Reference anchor: the reference has no pipeline DSL — these are the
+additive LLM-data operators (BASELINE.json north star) built from the
+same relational primitives (groupBy/join/window) the §2 inventory maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .dedup import connected_components_dedup
+from .text import tokens
+
+# 4-hex-nibble bucket in [0, 65536) from a doc_id — identical arithmetic
+# in Spark (conv) and DuckDB (strpos-per-nibble): the split is a pure
+# function of the row key, so re-running the pipeline on a re-partitioned
+# (or re-ordered, or incrementally grown) corpus never reassigns a doc.
+_B = "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
+_SQL_B = (
+    "(((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 4096"
+    " + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2:2]) - 1) * 256"
+    " + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3:3]) - 1) * 16"
+    " + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[4:4]) - 1)) % 100)"
+)
+
+
+@query(
+    "train_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN {_SQL_B} < 90 THEN 'train'
+                  WHEN {_SQL_B} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def train_test_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split keyed on md5(doc_id).
+
+    The assignment is map-side arithmetic (no shuffle, no RNG state);
+    only the verification aggregate shuffles, on the tiny
+    (split, lang) key space.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_B)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "stratified_sample_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rn
+    FROM ranked WHERE rn <= 25
+    ORDER BY lang, rn
+    """,
+)
+def stratified_sample_quota(spark, sf_dir):
+    """Per-stratum quota sample: exactly 25 docs per lang, chosen by
+    hash order — deterministic and unbiased without a global sort.
+
+    One shuffle on the stratum key; the window's per-partition sort is
+    over (hash, id), so the same 25 docs are drawn regardless of input
+    partitioning or cluster size. At 100 TB the row_number window is
+    the scalable form of per-group reservoir sampling: each stratum
+    sorts locally after the hash partition, nothing global.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("lang", "doc_id", "n_chars", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+# Shared near-dup edge set (word-3-gram Jaccard >= 0.5 pairs) — the same
+# pair semantics as dedup_ngram_jaccard, reused as the input graph for
+# cluster resolution.
+_SQL_PAIRS = r"""
+    t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE c.n_common * 1.0 / (len(sa.s) + len(sb.s) - c.n_common) >= 0.5
+    )
+"""
+
+
+def _jaccard_pairs(spark, sf_dir):
+    """(id_a, id_b) word-3-gram Jaccard >= 0.5 pairs (shingle equi-join,
+    map-side common-count — see dedup.dedup_ngram_jaccard)."""
+    from .text import shingle_stream
+
+    d = table(spark, sf_dir, "documents")
+    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    common = (
+        a.join(b, (a.shingle == b.shingle_b) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_cluster_resolve",
+    f"""
+    WITH RECURSIVE {_SQL_PAIRS},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+    )
+    SELECT doc_id,
+           MIN(lbl) AS cluster_id,
+           (doc_id = MIN(lbl)) AS is_kept
+    FROM reach GROUP BY doc_id
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_cluster_resolve(spark, sf_dir):
+    """Resolve near-dup pairs into keep/drop clusters: connected
+    components by iterative min-label propagation over the Jaccard pair
+    graph; cluster_id = min doc_id of the component, is_kept marks the
+    canonical representative.
+
+    The oracle proves the fixpoint: a recursive CTE computes the min
+    reachable id per node — exactly the min-label fixpoint the Spark
+    loop converges to. Each Spark iteration shuffles only the edge set
+    (pairs, not corpus); the reference's executor has the same shape in
+    RecursiveUnion (executor/nodeRecursiveunion.cpp) driven to fixpoint.
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).cache()
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components_dedup(pairs, nodes)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    ).orderBy("cluster_id", "doc_id")
+
+
+@query(
+    "corpus_curation_pipeline",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split_regex(trim(text), '\s+') AS w,
+             md5(text) AS h
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, source, n_chars, h,
+             len(w) AS n_tokens,
+             len(list_distinct(w)) * 1.0 / len(w) AS unique_ratio
+      FROM toks
+      WHERE len(w) >= 20 AND len(list_distinct(w)) * 1.0 / len(w) > 0.3
+    ), kept AS (
+      SELECT * FROM quality
+      WHERE doc_id = (SELECT MIN(q2.doc_id) FROM quality q2 WHERE q2.h = quality.h)
+    ), assigned AS (
+      SELECT lang, source, n_tokens,
+             CASE WHEN {_SQL_B} < 90 THEN 'train'
+                  WHEN {_SQL_B} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM assigned
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline: quality filter → exact dedup
+    (keep min doc_id per md5) → deterministic split → per-(split,
+    source) token budget. One corpus scan; the quality filter runs
+    BEFORE the dedup shuffle so the shuffle carries only passing docs,
+    and the dedup key is the 32-char md5, never the document text.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w)
+    quality = (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(w).alias("n_tokens"),
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .filter((F.size(w) >= 20) & (uniq_ratio > 0.3))
+    )
+    keep_ids = quality.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = quality.join(keep_ids, ["h", "doc_id"])
+    bucket = F.expr(_B)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "source")
+    )

@@ -50,6 +50,7 @@ def load_all_queries() -> None:
         functions_ext,
         merge,
         multimodal,
+        pipeline,
         relational,
         setops_windows,
         text,
