@@ -1,0 +1,366 @@
+"""PG type-surface long tail — network (inet/cidr), geometric (point/
+box), money, and enum semantics, plus the time-series gap-fill read
+pattern and regexp set-returning functions.
+
+Reference anchors (SURVEY.md §1.3 / §2.7):
+  * inet/cidr/macaddr  — src/common/backend/utils/adt/network.cpp
+  * point/box/distance — adt/geo_ops.cpp
+  * money              — adt/cash.cpp (cash_in/cash_out/cash arithmetic)
+  * enum ordering      — adt/enum.cpp (sort by declared position)
+  * regexp SRFs        — adt/regexp.cpp (regexp_split_to_table,
+                         regexp_matches)
+  * TsStoreScan        — vecexecutor/vecnode/vectsstorescan.cpp (the
+                         time-series store read path; gap-fill is the
+                         canonical TS consumer pattern)
+
+Spark-first stance: these PG types map to plain INT/STRUCT/DECIMAL/
+STRING columns and every operation below is a native Column expression —
+arithmetic, not UDFs — so the whole surface whole-stage-codegens and
+scales linearly. IPv4 addresses are 32-bit ints with DIV/MOD octet
+arithmetic (identical in every engine, no bit-twiddling extensions
+needed); money is DECIMAL(18,2) so sums are exact and shuffle-order
+independent; enums are declared-order arrays probed with array_position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# ------------------------------------------------------------------ inet
+
+# Deterministic synthetic IPv4 per order: 10.0.0.0/12 block + key offset.
+_IP_BASE = 10 * 16777216  # 10.0.0.0
+
+
+@query(
+    "inet_funcs",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, {_IP_BASE} + (o_orderkey % 1048576) AS ip
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT k,
+           (ip // 16777216) || '.' || ((ip // 65536) % 256) || '.'
+             || ((ip // 256) % 256) || '.' || (ip % 256) AS host,
+           24 AS masklen,
+           (ip // 16777216) || '.' || ((ip // 65536) % 256) || '.'
+             || ((ip // 256) % 256) || '.0/24' AS network,
+           ip - (ip % 256) AS network_int,
+           ((ip // 65536) = ({_IP_BASE} // 65536)) AS in_10_0_16,
+           ip % 256 AS host_part
+    FROM t ORDER BY k
+    """,
+)
+def inet_funcs(spark, sf_dir):
+    """inet/cidr semantics (network.cpp): host(), masklen(), network()
+    truncation to the /24, and the `<<=` contained-in-cidr test against
+    10.0.0.0/16 — all integer DIV/MOD octet arithmetic on an int-encoded
+    address, fully codegen'd."""
+    t = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.lit(_IP_BASE) + F.col("o_orderkey") % 1048576).alias("ip"),
+        )
+    )
+    o1 = F.expr("ip div 16777216")
+    o2 = F.expr("ip div 65536") % 256
+    o3 = F.expr("ip div 256") % 256
+    o4 = F.col("ip") % 256
+    dot = F.lit(".")
+    return t.select(
+        "k",
+        F.concat(o1, dot, o2, dot, o3, dot, o4).alias("host"),
+        F.lit(24).alias("masklen"),
+        F.concat(o1, dot, o2, dot, o3, F.lit(".0/24")).alias("network"),
+        (F.col("ip") - o4).alias("network_int"),
+        (F.expr("ip div 65536") == F.lit(_IP_BASE // 65536)).alias("in_10_0_16"),
+        o4.alias("host_part"),
+    ).orderBy("k")
+
+
+# ------------------------------------------------------------- geometric
+
+
+@query(
+    "geo_point_funcs",
+    """
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           ROUND(sqrt(x * x + y * y), 6) AS dist_origin,
+           (x >= -0.5 AND x <= 0.5 AND y >= -0.5 AND y <= 0.5) AS in_unit_box,
+           ROUND(sqrt((x - 0.25) * (x - 0.25) + (y - 0.25) * (y - 0.25)), 6)
+             AS dist_q
+    FROM pts
+    ORDER BY dist_q, vec_id
+    LIMIT 25
+    """,
+)
+def geo_point_funcs(spark, sf_dir):
+    """Geometric type ops (geo_ops.cpp): point <-> point distance,
+    box @> point containment, nearest-25 to a query point — doubles and
+    comparisons only, the same TakeOrderedAndProject shape as kNN."""
+    pts = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.element_at("embedding", 1).cast("double").alias("x"),
+            F.element_at("embedding", 2).cast("double").alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    return (
+        pts.select(
+            "vec_id",
+            F.round(F.sqrt(x * x + y * y), 6).alias("dist_origin"),
+            ((x >= -0.5) & (x <= 0.5) & (y >= -0.5) & (y <= 0.5)).alias(
+                "in_unit_box"
+            ),
+            F.round(
+                F.sqrt((x - 0.25) * (x - 0.25) + (y - 0.25) * (y - 0.25)), 6
+            ).alias("dist_q"),
+        )
+        .orderBy("dist_q", "vec_id")
+        .limit(25)
+    )
+
+
+# ----------------------------------------------------------------- money
+
+
+@query(
+    "money_funcs",
+    """
+    WITH raw(tag, m) AS (
+      VALUES ('a', '$1,234.56'), ('b', '-$0.99'), ('c', '$1,000,000.00'),
+             ('d', '$0.01'), ('e', '-$42.00')
+    ), parsed AS (
+      SELECT tag,
+             CAST(replace(replace(replace(m, '$', ''), ',', ''), ' ', '')
+                  AS DECIMAL(18,2)) AS amt
+      FROM raw
+    )
+    SELECT tag,
+           amt,
+           '$' || CAST(amt AS VARCHAR) AS cash_out,
+           CAST(amt * 2 AS DECIMAL(18,2)) AS doubled,
+           CAST(SUM(amt) OVER () AS DECIMAL(18,2)) AS total
+    FROM parsed ORDER BY tag
+    """,
+)
+def money_funcs(spark, sf_dir):
+    """money semantics (cash.cpp): cash_in parses '$1,234.56' (sign,
+    currency symbol, thousands separators) into an exact DECIMAL(18,2),
+    arithmetic stays in decimal (never float — cents are exact), and
+    cash_out formats back. The windowed total is decimal, so it is
+    shuffle-order independent."""
+    from pyspark.sql import Window as W
+
+    raw = spark.createDataFrame(
+        [
+            ("a", "$1,234.56"),
+            ("b", "-$0.99"),
+            ("c", "$1,000,000.00"),
+            ("d", "$0.01"),
+            ("e", "-$42.00"),
+        ],
+        "tag STRING, m STRING",
+    )
+    amt = F.regexp_replace("m", r"[$, ]", "").cast("decimal(18,2)")
+    return (
+        raw.select("tag", amt.alias("amt"))
+        .select(
+            "tag",
+            "amt",
+            F.concat(F.lit("$"), F.col("amt").cast("string")).alias("cash_out"),
+            (F.col("amt") * 2).cast("decimal(18,2)").alias("doubled"),
+            F.sum("amt").over(W.partitionBy()).cast("decimal(18,2)").alias("total"),
+        )
+        .orderBy("tag")
+    )
+
+
+# ------------------------------------------------------------------ enum
+
+_PRIORITY_ORDER = (
+    "4-NOT SPECIFIED",  # deliberately non-lexicographic declared order
+    "5-LOW",
+    "3-MEDIUM",
+    "2-HIGH",
+    "1-URGENT",
+)
+_SQL_ENUM = "['" + "', '".join(_PRIORITY_ORDER) + "']"
+
+
+@query(
+    "enum_ordering",
+    f"""
+    WITH e AS (
+      SELECT o_orderpriority AS prio,
+             CAST(list_position({_SQL_ENUM}, o_orderpriority) AS BIGINT)
+               AS enum_pos,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT prio, enum_pos, n,
+           first_value(prio) OVER (ORDER BY enum_pos) AS enum_min,
+           last_value(prio) OVER
+             (ORDER BY enum_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS enum_max
+    FROM e ORDER BY enum_pos
+    """,
+)
+def enum_ordering(spark, sf_dir):
+    """enum semantics (enum.cpp): values sort by DECLARED position, not
+    lexicographically — the declared-order array is the enum catalog and
+    array_position is the comparison key; enum min/max follow that order.
+    The order below is deliberately non-alphabetical to prove the sort
+    key is the declaration, not the label."""
+    from pyspark.sql import Window as W
+
+    enum_arr = F.array(*[F.lit(v) for v in _PRIORITY_ORDER])
+    e = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prio",
+            F.array_position(enum_arr, F.col("prio")).alias("enum_pos"),
+            "n",
+        )
+    )
+    w = W.orderBy("enum_pos")
+    wfull = W.orderBy("enum_pos").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return e.select(
+        "prio",
+        "enum_pos",
+        "n",
+        F.first("prio").over(w).alias("enum_min"),
+        F.last("prio").over(wfull).alias("enum_max"),
+    ).orderBy("enum_pos")
+
+
+# --------------------------------------------------------- TS gap-fill
+
+
+@query(
+    "tsstore_gapfill",
+    """
+    WITH series AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 23:00:00',
+                                    INTERVAL 1 HOUR)) AS bucket
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           (a.bucket IS NULL) AS gap_filled
+    FROM series s LEFT JOIN agg a ON s.bucket = a.bucket
+    ORDER BY s.bucket
+    """,
+)
+def tsstore_gapfill(spark, sf_dir):
+    """Time-series gap-fill over the events store (TsStoreScan consumer
+    pattern): hourly buckets for one day generated from literals
+    (sequence → explode), left-joined to the windowed aggregate, gaps
+    coalesced to zero. The dimension side is 24 rows — broadcast — and
+    the fact side prunes to one day at the parquet scan, so at 100 TB
+    this reads only the day's time partitions."""
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'"))
+        & (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-06 00:00:00'"))
+    )
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    series = spark.sql(
+        """
+        SELECT explode(sequence(TIMESTAMP_NTZ '2024-01-05 00:00:00',
+                                TIMESTAMP_NTZ '2024-01-05 23:00:00',
+                                INTERVAL 1 HOUR)) AS bucket
+        """
+    )
+    return (
+        series.join(agg, "bucket", "left_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------------------ regexp SRF
+
+
+@query(
+    "regexp_srf_funcs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 20
+    ), split_tab AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      FROM d
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alpha,
+           MIN(tok) AS first_tok,
+           CAST(SUM(len(regexp_extract_all(tok, '[aeiou]'))) AS BIGINT)
+             AS n_vowels
+    FROM split_tab
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def regexp_srf_funcs(spark, sf_dir):
+    """regexp set-returning functions (regexp.cpp):
+    regexp_split_to_table = explode(split()), regexp_matches count, and
+    regexp_extract_all cardinality — the SRF becomes a generator
+    (ProjectSet → explode per SURVEY §2.2) and everything downstream is
+    a plain aggregate."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    tab = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    )
+    return (
+        tab.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tok").rlike("^[a-z]+$"), 1).otherwise(0)
+            ).alias("n_alpha"),
+            F.min("tok").alias("first_tok"),
+            F.sum(F.size(F.regexp_extract_all("tok", F.lit("[aeiou]"), 0))).alias(
+                "n_vowels"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -50,6 +50,7 @@ def load_all_queries() -> None:
         functions_ext,
         merge,
         multimodal,
+        pg_types,
         pipeline,
         relational,
         setops_windows,
