@@ -55,6 +55,11 @@ _SQL_MACROS = {
     "binary_quantize": "CREATE OR REPLACE TEMPORARY FUNCTION binary_quantize"
     "(a ARRAY<DOUBLE>) RETURNS ARRAY<INT> RETURN "
     "transform(a, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)",
+    # lenient numeric parse (formatting.cpp to_number / Oracle a_compat):
+    # strip currency symbols, group separators, padding; exact decimal out
+    "pg_to_number": "CREATE OR REPLACE TEMPORARY FUNCTION pg_to_number(s STRING) "
+    "RETURNS DECIMAL(18,4) RETURN "
+    r"CAST(regexp_replace(s, '[^0-9.\\-]', '') AS DECIMAL(18,4))",
 }
 
 
@@ -73,6 +78,7 @@ def register_pg_functions(spark: SparkSession) -> None:
         "subvector",
         "binary_quantize",
         "pg_div",
+        "pg_to_number",
     ):
         spark.sql(_SQL_MACROS[name])
 

@@ -364,3 +364,197 @@ def regexp_srf_funcs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------- composite row types
+
+
+@query(
+    "composite_row_types",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             {'status': o_orderstatus,
+              'price': round(o_totalprice, 2)} AS rec
+      FROM orders WHERE o_orderkey < 60
+    )
+    SELECT k,
+           rec.status AS status,
+           rec.price AS price,
+           (rec < {'status': 'O', 'price': 100000.0}) AS lt_pivot,
+           ROW_NUMBER() OVER (ORDER BY rec, k) AS rec_rank
+    FROM t ORDER BY k
+    """,
+)
+def composite_row_types(spark, sf_dir):
+    """Composite/row types (rowtypes.cpp → StructType per SURVEY §1.3):
+    construction, field access, row-wise comparison (lexicographic by
+    declared field order in both engines), and ORDER BY the composite
+    value itself — all native struct expressions."""
+    from pyspark.sql import Window as W
+
+    t = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 60)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.round("o_totalprice", 2).alias("price"),
+            ).alias("rec"),
+        )
+    )
+    pivot = F.struct(
+        F.lit("O").alias("status"), F.lit(100000.0).alias("price")
+    )
+    return t.select(
+        "k",
+        F.col("rec.status").alias("status"),
+        F.col("rec.price").alias("price"),
+        (F.col("rec") < pivot).alias("lt_pivot"),
+        F.row_number().over(W.orderBy("rec", "k")).alias("rec_rank"),
+    ).orderBy("k")
+
+
+# ------------------------------------------------- multi-dim arrays
+
+
+@query(
+    "array_multidim",
+    """
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 30
+    ), m AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), r -> e[r * 8 + 1 : r * 8 + 8]) AS mat
+      FROM t
+    )
+    SELECT vec_id,
+           len(mat) AS n_rows,
+           len(mat[1]) AS n_cols,
+           len(flatten(mat)) AS flat_len,
+           ROUND(mat[2][3], 6) AS cell_2_3,
+           ROUND(list_sum(mat[1]), 6) AS row1_sum
+    FROM m ORDER BY vec_id
+    """,
+)
+def array_multidim(spark, sf_dir):
+    """Multi-dimensional arrays (arrayfuncs.cpp; SURVEY §1.3 maps PG
+    multi-dim → nested arrays): reshape a 64-vector to 8×8, dims,
+    flatten round-trip, [i][j] subscripting, per-row reduction — every
+    step a native nested-array expression."""
+    t = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 30))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    mat = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda r: F.slice(F.col("e"), r * 8 + 1, 8),
+    )
+    m = t.select("vec_id", mat.alias("mat"))
+    return m.select(
+        "vec_id",
+        F.size("mat").alias("n_rows"),
+        F.size(F.element_at("mat", 1)).alias("n_cols"),
+        F.size(F.flatten("mat")).alias("flat_len"),
+        F.round(F.element_at(F.element_at("mat", 2), 3), 6).alias("cell_2_3"),
+        F.round(
+            F.aggregate(
+                F.element_at("mat", 1), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("row1_sum"),
+    ).orderBy("vec_id")
+
+
+# ------------------------------------------------ interval justify
+
+
+@query(
+    "interval_justify",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             (o_orderkey % 100) * 7 AS total_hours,
+             o_orderkey % 70 AS total_days
+      FROM orders WHERE o_orderkey < 40
+    )
+    SELECT k,
+           total_hours // 24 AS just_days,
+           total_hours % 24 AS just_hours,
+           total_days // 30 AS just_months,
+           total_days % 30 AS just_rem_days,
+           (total_hours // 24 > 7) AS over_a_week
+    FROM t ORDER BY k
+    """,
+)
+def interval_justify(spark, sf_dir):
+    """justify_hours / justify_days (adt/timestamp.cpp): normalize an
+    interval's hours into 24-hour days and days into 30-day months —
+    PG's justification constants — as integer DIV/MOD arithmetic over
+    the interval's total units."""
+    t = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 40)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            ((F.col("o_orderkey") % 100) * 7).alias("total_hours"),
+            (F.col("o_orderkey") % 70).alias("total_days"),
+        )
+    )
+    return t.select(
+        "k",
+        F.expr("total_hours div 24").alias("just_days"),
+        (F.col("total_hours") % 24).alias("just_hours"),
+        F.expr("total_days div 30").alias("just_months"),
+        (F.col("total_days") % 30).alias("just_rem_days"),
+        (F.expr("total_hours div 24") > 7).alias("over_a_week"),
+    ).orderBy("k")
+
+
+# --------------------------------------------------------- to_number
+
+
+@query(
+    "to_number_parse",
+    """
+    WITH raw(tag, s) AS (
+      VALUES ('a', '1,234.56'), ('b', '$987.00'), ('c', '42'),
+             ('d', '-7,000.1'), ('e', '  3.14  ')
+    )
+    SELECT tag,
+           CAST(regexp_replace(s, '[^0-9.\\-]', '', 'g') AS DECIMAL(18,4))
+             AS num,
+           CAST(CAST(regexp_replace(s, '[^0-9.\\-]', '', 'g')
+                     AS DECIMAL(18,4)) * 10 AS DECIMAL(18,4)) AS num_x10
+    FROM raw ORDER BY tag
+    """,
+)
+def to_number_parse(spark, sf_dir):
+    """to_number (formatting.cpp / Oracle-compat a_compat.cpp): lenient
+    numeric parse of formatted strings — strip currency symbols, group
+    separators, and padding, then cast to exact decimal. Registered as
+    the `pg_to_number` SQL macro (Spark 4 reserves the built-in name) in functions/pg_compat.py; spelled inline
+    here so the oracle runs the identical arithmetic."""
+    raw = spark.createDataFrame(
+        [
+            ("a", "1,234.56"),
+            ("b", "$987.00"),
+            ("c", "42"),
+            ("d", "-7,000.1"),
+            ("e", "  3.14  "),
+        ],
+        "tag STRING, s STRING",
+    )
+    num = F.regexp_replace("s", r"[^0-9.\-]", "").cast("decimal(18,4)")
+    return (
+        raw.select("tag", num.alias("num"))
+        .select(
+            "tag",
+            "num",
+            (F.col("num") * 10).cast("decimal(18,4)").alias("num_x10"),
+        )
+        .orderBy("tag")
+    )

@@ -606,3 +606,58 @@ def knn_l2_filtered(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", F.round("_d", 4).alias("distance"))
     )
+
+
+@query(
+    "ivf_knn_join_full",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, {_E} AS qv FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id < 3
+    ), c AS (
+      SELECT vec_id AS cid, {_E} AS cv FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), d AS (
+      SELECT qid, cid,
+             sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> (qv[i] - cv[i]) * (qv[i] - cv[i])))) AS dist
+      FROM q, c
+    ), r AS (
+      SELECT qid, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT qid, cid, ROUND(dist, 4) AS distance, rn
+    FROM r WHERE rn <= 5 ORDER BY qid, rn
+    """,
+)
+def ivf_knn_join_full(spark, sf_dir):
+    """Batch ANN join through the IVF index at probes = lists — exact by
+    construction (every list is probed), so the DuckDB brute-force
+    window oracle hash-checks the whole join path: centroid broadcast,
+    per-query probe ranking, list_id equi-join, spill dedup, per-query
+    top-k window (ivf.py knn_join; ivfscan.cpp's probed merge done as a
+    co-partitioned join). At production probes << lists the same plan
+    reads only probes/lists of the corpus per query."""
+    idx = _ivf_index(spark, sf_dir)
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 3))
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    out = idx.knn_join(
+        spark,
+        queries,
+        "embedding",
+        "embedding",
+        k=5,
+        probes=_IVF_LISTS,
+        query_id="qid",
+        cand_id="vec_id",
+    )
+    return out.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.round("distance", 4).alias("distance"),
+        F.col("_rn").alias("rn"),
+    ).orderBy("qid", "rn")

@@ -344,6 +344,11 @@ def test_pg_semantics_deltas(spark):
     assert (row.a, row.b) == (3, -3)  # truncation toward zero, PG int4div
     assert row.c == 3
 
+    tn = spark.sql(
+        """SELECT pg_to_number('$1,234.56') AS a, pg_to_number(' -42 ') AS b"""
+    ).collect()[0]
+    assert float(tn.a) == 1234.56 and float(tn.b) == -42.0
+
     empty_sum = spark.sql(
         "SELECT SUM(x) AS s FROM (SELECT 1 AS x WHERE false)"
     ).collect()[0]
