@@ -1,0 +1,350 @@
+"""DB4AI (CREATE MODEL / PREDICT BY) — oracle-checked driver-gate queries.
+
+Reference surface: `CREATE MODEL <name> USING <algorithm>` (gram.y:11603)
+and `PREDICT BY <name> (FEATURES ...)` (gram.y:27180), algorithms at
+src/include/db4ai/db4ai.h:66-83, executed by nodeTrainModel.cpp. The
+MLlib-backed warehouse lives in ml.py; these queries pin the *semantics*
+of that surface to DuckDB-checkable arithmetic:
+
+  * db4ai_linreg_ols — training linear_regression the distributed way:
+    closed-form normal equations from ONE exact-decimal aggregation pass
+    (map-side-combinable sums; no iteration, no driver loop — the only
+    OLS shape that makes sense at 100 TB). Grouped by l_returnflag =
+    one model per group. tests/test_components ties MLlib
+    LinearRegression(solver="normal") to these coefficients.
+  * db4ai_predict_scoring — PREDICT BY for logistic_regression and
+    svm_classification: warehouse coefficients applied as literals
+    (sigmoid score + decision margin), pure codegen'd expressions.
+  * db4ai_kmeans_predict — PREDICT BY kmeans: nearest-centroid
+    assignment (deterministic tie-break by centroid index) + per-cluster
+    stats, one scan, map-side-combinable.
+  * db4ai_pca_project — PREDICT BY pca: projection onto fixed component
+    vectors = two dot products per row, JVM-side.
+
+All per-row arithmetic is double IEEE with identical fold order in both
+engines; aggregates go through the decimal-sum convention (registry.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from ..vector.distance import as_double, dot_product
+
+DIM = 64
+
+# Fixed "warehouse" parameters — deterministic literals shared by the
+# Spark query and the DuckDB oracle text.
+_LOGIT_W = [0.8, -0.5, 0.3, 1.1]
+_LOGIT_B = -0.2
+_SVM_W = [1.0, 1.0, -1.0, -0.5]
+_SVM_B = 0.1
+
+# Embedding components lie in ~[-0.42, 0.42]; centroids sit inside that
+# range with distinct sign patterns so the assignment genuinely partitions.
+_CENTROIDS = [
+    [0.15] * 4 + [-0.15] * 4,
+    [-0.15] * 4 + [0.15] * 4,
+    [0.15 if i % 2 == 0 else -0.15 for i in range(8)],
+    [0.0] * 8,
+]
+
+_PCA_V1 = [round(math.sin(2.0 * (i + 1)), 4) for i in range(DIM)]
+_PCA_V2 = [round(math.cos(3.0 * (i + 1)), 4) for i in range(DIM)]
+
+
+def _sql_list(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _sql_dot(e: str, v: list[float], n: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}),"
+        f" i -> {e}[i] * ({_sql_list(v)})[i]))"
+    )
+
+
+# ------------------------------------------------------------- OLS train
+
+
+@query(
+    "db4ai_linreg_ols",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sxx,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS sxy,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6)))
+               AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT flag, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    ), m AS (
+      SELECT flag, n,
+             (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+             nd, sxd, syd, sxxd, sxyd, syyd
+      FROM d
+    )
+    SELECT flag, n,
+           ROUND(slope, 6) AS slope,
+           ROUND((syd - slope * sxd) / nd, 6) AS intercept,
+           ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+             AS r2,
+           ROUND((syd - slope * sxd) / nd + slope * 25.0, 4) AS pred_at_25
+    FROM m ORDER BY flag
+    """,
+)
+def db4ai_linreg_ols(spark, sf_dir):
+    """CREATE MODEL ... USING linear_regression (db4ai.h:66-83), trained
+    as closed-form normal equations: one hash-aggregate pass producing
+    exact decimal sums (partial/final combinable → scales linearly with
+    executors), then slope/intercept/r2 in final double arithmetic.
+    One model per l_returnflag group — grouped training for free."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,6)")).alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).alias("sy"),
+        F.sum((x * x).cast("decimal(18,6)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(24,6)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(24,6)")).alias("syy"),
+    )
+    d = s.select(
+        "flag",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
+    sxxd, sxyd, syyd = F.col("sxxd"), F.col("sxyd"), F.col("syyd")
+    m = d.select(
+        "flag",
+        "n",
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("slope"),
+        "nd",
+        "sxd",
+        "syd",
+        "sxxd",
+        "sxyd",
+        "syyd",
+    )
+    slope = F.col("slope")
+    return m.select(
+        "flag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        F.round(
+            (nd * sxyd - sxd * syd)
+            * (nd * sxyd - sxd * syd)
+            / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+            6,
+        ).alias("r2"),
+        F.round((syd - slope * sxd) / nd + slope * 25.0, 4).alias("pred_at_25"),
+    ).orderBy("flag")
+
+
+# --------------------------------------------------------- linear scoring
+
+
+@query(
+    "db4ai_predict_scoring",
+    f"""
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 80
+    ), z AS (
+      SELECT vec_id,
+             {_sql_dot('e', _LOGIT_W, 4)} + {_LOGIT_B!r} AS z,
+             {_sql_dot('e', _SVM_W, 4)} + {_SVM_B!r} AS margin
+      FROM t
+    )
+    SELECT vec_id,
+           ROUND(z, 4) AS z,
+           ROUND(1.0 / (1.0 + exp(-z)), 4) AS prob,
+           (1.0 / (1.0 + exp(-z)) >= 0.5) AS pred_logit,
+           ROUND(margin, 4) AS margin,
+           (margin > 0.0) AS pred_svm
+    FROM z ORDER BY vec_id
+    """,
+)
+def db4ai_predict_scoring(spark, sf_dir):
+    """PREDICT BY for logistic_regression and svm_classification
+    (db4ai.h:66-83): the scoring path with warehouse coefficients as
+    literals — sigmoid probability + decision margin as codegen'd
+    column expressions (no Python per row; at 100 TB this is a pure
+    map stage)."""
+    e = as_double(F.col("embedding"))
+    e4 = F.slice(e, 1, 4)
+    w = F.array(*[F.lit(v) for v in _LOGIT_W])
+    v = F.array(*[F.lit(x) for x in _SVM_W])
+    t = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 80))
+        .select(
+            "vec_id",
+            (dot_product(e4, w) + F.lit(_LOGIT_B)).alias("z"),
+            (dot_product(e4, v) + F.lit(_SVM_B)).alias("margin"),
+        )
+    )
+    z, margin = F.col("z"), F.col("margin")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return t.select(
+        "vec_id",
+        F.round(z, 4).alias("z"),
+        F.round(prob, 4).alias("prob"),
+        (prob >= 0.5).alias("pred_logit"),
+        F.round(margin, 4).alias("margin"),
+        (margin > 0.0).alias("pred_svm"),
+    ).orderBy("vec_id")
+
+
+# -------------------------------------------------------- kmeans predict
+
+
+def _sql_sqdist(e: str, c: list[float]) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 9),"
+        f" i -> ({e}[i] - ({_sql_list(c)})[i])"
+        f" * ({e}[i] - ({_sql_list(c)})[i])))"
+    )
+
+
+@query(
+    "db4ai_kmeans_predict",
+    f"""
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), d AS (
+      SELECT vec_id,
+             {_sql_sqdist('e', _CENTROIDS[0])} AS d0,
+             {_sql_sqdist('e', _CENTROIDS[1])} AS d1,
+             {_sql_sqdist('e', _CENTROIDS[2])} AS d2,
+             {_sql_sqdist('e', _CENTROIDS[3])} AS d3
+      FROM t
+    ), a AS (
+      SELECT vec_id,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                  WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN d0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN d1
+                  WHEN d2 <= d3 THEN d2 ELSE d3 END AS dist
+      FROM d
+    )
+    SELECT cluster,
+           COUNT(*) AS n,
+           MIN(vec_id) AS min_vec,
+           MAX(vec_id) AS max_vec,
+           ROUND(CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS inertia
+    FROM a GROUP BY cluster ORDER BY cluster
+    """,
+)
+def db4ai_kmeans_predict(spark, sf_dir):
+    """PREDICT BY kmeans (db4ai.h:66-83; kmeans.cpp assignment step):
+    nearest of 4 fixed centroids over the first 8 dims, deterministic
+    tie-break by centroid index (CASE chain on <=), then per-cluster
+    size + inertia (exact decimal sum). One scan, map-side combinable —
+    the assignment step of a distributed Lloyd iteration."""
+    e8 = F.slice(as_double(F.col("embedding")), 1, 8)
+    t = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", e8.alias("e"))
+    )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(x) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(_CENTROIDS)
+    ]
+    d = t.select("vec_id", *dists)
+    d0, d1, d2, d3 = (F.col(f"d{i}") for i in range(4))
+    cluster = (
+        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), 0)
+        .when((d1 <= d2) & (d1 <= d3), 1)
+        .when(d2 <= d3, 2)
+        .otherwise(3)
+    )
+    dist = (
+        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), d0)
+        .when((d1 <= d2) & (d1 <= d3), d1)
+        .when(d2 <= d3, d2)
+        .otherwise(d3)
+    )
+    a = d.select("vec_id", cluster.alias("cluster"), dist.alias("dist"))
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------- PCA project
+
+
+@query(
+    "db4ai_pca_project",
+    f"""
+    SELECT vec_id, label,
+           ROUND({_sql_dot('CAST(embedding AS DOUBLE[])', _PCA_V1, DIM)}, 4)
+             AS pc1,
+           ROUND({_sql_dot('CAST(embedding AS DOUBLE[])', _PCA_V2, DIM)}, 4)
+             AS pc2
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id < 60
+    ORDER BY vec_id
+    """,
+)
+def db4ai_pca_project(spark, sf_dir):
+    """PREDICT BY pca (db4ai.h:66-83): project each embedding onto two
+    fixed component vectors — the transform step is two dot products per
+    row, entirely inside whole-stage codegen. The fitted components in
+    ml.py come from MLlib PCA; here they are literals so the oracle can
+    replay the exact arithmetic."""
+    e = as_double(F.col("embedding"))
+    v1 = F.array(*[F.lit(x) for x in _PCA_V1])
+    v2 = F.array(*[F.lit(x) for x in _PCA_V2])
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 60))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot_product(e, v1), 4).alias("pc1"),
+            F.round(dot_product(e, v2), 4).alias("pc2"),
+        )
+        .orderBy("vec_id")
+    )

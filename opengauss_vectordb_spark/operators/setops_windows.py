@@ -772,6 +772,39 @@ def recursive_series(spark, sf_dir):
     return acc.orderBy("n")
 
 
+@query(
+    "recursive_cte_native",
+    """
+    WITH RECURSIVE up(start_k, k, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 40
+      UNION ALL
+      SELECT start_k, k // 2, depth + 1 FROM up WHERE k > 1
+    )
+    SELECT start_k, MAX(depth) AS steps_to_root, SUM(k) AS path_sum
+    FROM up GROUP BY start_k ORDER BY start_k
+    """,
+)
+def recursive_cte_native(spark, sf_dir):
+    """RecursiveUnion (nodeRecursiveunion.cpp) through Spark 4's native
+    WITH RECURSIVE — data-dependent depth (each part walks its binary
+    ancestry k -> k div 2 until the root), which a bounded driver loop
+    cannot express; the engine iterates the working table to fixpoint.
+    Complements `recursive_series` (driver-side fixpoint strategy)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("rec_part_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(start_k, k, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM rec_part_src
+          WHERE p_partkey <= 40
+          UNION ALL
+          SELECT start_k, k div 2, depth + 1 FROM up WHERE k > 1
+        )
+        SELECT start_k, MAX(depth) AS steps_to_root, SUM(k) AS path_sum
+        FROM up GROUP BY start_k ORDER BY start_k
+        """
+    )
+
+
 # --- START WITH / CONNECT BY (nodeStartWithOp.cpp): hierarchy walk --------
 
 

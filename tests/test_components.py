@@ -43,6 +43,30 @@ def test_model_warehouse_lifecycle(spark):
         wh.create_model("xg", "xgboost", df, features=["x"], label="cls")
 
 
+def test_linreg_ols_matches_mllib(spark):
+    """db4ai_linreg_ols's closed-form normal equations must agree with
+    MLlib LinearRegression(solver="normal") — ties the oracle-checked
+    training math to the ModelWarehouse path."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.operators.db4ai import db4ai_linreg_ols
+
+    ols = {r.flag: r for r in db4ai_linreg_ols(spark, SF_CORRECT).collect()}
+
+    li = table(spark, SF_CORRECT, "lineitem").filter(F.col("l_returnflag") == "A")
+    fitted = LinearRegression(
+        featuresCol="features", labelCol="l_extendedprice",
+        solver="normal", regParam=0.0,
+    ).fit(
+        VectorAssembler(inputCols=["l_quantity"], outputCol="features")
+        .transform(li)
+    )
+    assert abs(fitted.coefficients[0] - ols["A"].slope) < 1e-3
+    assert abs(fitted.intercept - ols["A"].intercept) < 1e-2
+
+
 def test_kmeans_embeddings(spark):
     from opengauss_vectordb_spark.ml import kmeans_embeddings
 
