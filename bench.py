@@ -39,6 +39,8 @@ HEADLINE = [
     "events_session_windows",
     "ivf_search_exhaustive",
     "ivf_search_probed",
+    "db4ai_linreg_ols",
+    "corpus_curation_pipeline",
 ]
 
 

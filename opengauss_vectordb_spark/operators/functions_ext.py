@@ -280,3 +280,62 @@ def range_types_overlap(spark, sf_dir):
             F.datediff(F.least(hi, hi96), F.greatest(lo, lo96)),
         ).alias("ix_days_95_96"),
     ).orderBy("o_custkey")
+
+
+# --- COPY fixed format (copy.cpp:1614-1620 — text/csv/binary/FIXED): the
+# serialize→parse pair as pure codegen'd expressions; sources/readers.py
+# read_fixed_width applies the identical substring parse to files. -------
+
+
+@query(
+    "copy_fixed_format_roundtrip",
+    """
+    WITH w AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, ' ')
+             || o_orderstatus
+             || lpad(CAST(CAST(o_totalprice AS DECIMAL(13,2)) AS VARCHAR),
+                     15, ' ')
+             || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS line
+      FROM orders WHERE o_orderkey < 50
+    )
+    SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS k,
+           substr(line, 11, 1) AS status,
+           CAST(CAST(trim(substr(line, 12, 15)) AS DECIMAL(13,2)) AS DOUBLE)
+             AS price,
+           CAST(substr(line, 27, 10) AS DATE) AS odate,
+           length(line) AS line_len
+    FROM w ORDER BY k
+    """,
+)
+def copy_fixed_format_roundtrip(spark, sf_dir):
+    """COPY ... (FORMAT fixed) both directions: serialize rows to
+    fixed-width lines (lpad to column offsets), then parse back with the
+    same substring/trim/cast projection `read_fixed_width` uses on files.
+    Round-trip equality is what the hash-check certifies. Everything is
+    whole-stage codegen — at 100 TB this is a map-only format job."""
+    w = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select(
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), 10, " "),
+                F.col("o_orderstatus"),
+                F.lpad(
+                    F.col("o_totalprice").cast("decimal(13,2)").cast("string"),
+                    15,
+                    " ",
+                ),
+                F.col("o_orderdate").cast("date").cast("string"),
+            ).alias("line")
+        )
+    )
+    return w.select(
+        F.trim(F.substring("line", 1, 10)).cast("bigint").alias("k"),
+        F.substring("line", 11, 1).alias("status"),
+        F.trim(F.substring("line", 12, 15))
+        .cast("decimal(13,2)")
+        .cast("double")
+        .alias("price"),
+        F.substring("line", 27, 10).cast("date").alias("odate"),
+        F.length("line").alias("line_len"),
+    ).orderBy("k")

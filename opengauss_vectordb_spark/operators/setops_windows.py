@@ -861,6 +861,29 @@ def hll_approx_distinct(spark, sf_dir):
     )
 
 
+@query("hll_union_reaggregate")
+def hll_union_reaggregate(spark, sf_dir):
+    """hll_union_agg / hll_cardinality (hll_function.cpp:560,590): build
+    per-(flag,status) HLL sketches, then UNION the sketches per flag and
+    estimate — the sketch-reaggregation path that lets 100 TB rollups
+    reuse finer-grained sketches instead of rescanning raw data. Engine
+    sketches differ bit-wise from the reference's hll.cpp, so the gate is
+    rows-only; pytest pins the union estimate to the direct estimate."""
+    li = table(spark, sf_dir, "lineitem")
+    per_status = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_status.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"),
+            F.sum("n").alias("rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- pivot (conditional aggregation; vec_agg suites exercise the CASE
 # form — Spark's pivot() produces the same plan) -----------------------
 

@@ -322,6 +322,24 @@ def test_connected_components_dedup(spark):
 
 # ------------------------------------------------ approx sketches envelope
 
+def test_hll_union_matches_direct_sketch(spark):
+    """hll_union_agg (hll_function.cpp:560): unioning per-status sketches
+    must estimate within 5% of the exact per-flag distinct count."""
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.operators.setops_windows import (
+        hll_union_reaggregate,
+    )
+
+    got = {r.l_returnflag: r.approx_parts
+           for r in hll_union_reaggregate(spark, SF_CORRECT).collect()}
+    li = table(spark, SF_CORRECT, "lineitem")
+    exact = {r.l_returnflag: r.p
+             for r in li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("p")).collect()}
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) / exact[flag] < 0.05
+
+
 def test_hll_error_envelope(spark):
     """hll_* parity (hll_function.cpp): approx_count_distinct at rsd=0.02
     must land within a 5% envelope of the exact counts."""

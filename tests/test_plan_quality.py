@@ -53,6 +53,18 @@ def test_no_python_in_hot_paths(spark):
         assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
 
 
+def test_db4ai_train_is_single_aggregation_pass(spark):
+    from opengauss_vectordb_spark.plans.explain import exchange_count
+
+    # OLS training = ONE partial/final hash aggregate (one shuffle); the
+    # scoring queries are pure map stages (zero shuffles before the sort)
+    df = QUERIES["db4ai_linreg_ols"](spark, SF_CORRECT)
+    assert exchange_count(df) <= 2  # agg + final orderBy range exchange
+    assert python_eval_nodes(df) == 0
+    for name in ["db4ai_predict_scoring", "db4ai_pca_project"]:
+        assert python_eval_nodes(QUERIES[name](spark, SF_CORRECT)) == 0
+
+
 def test_column_pruning_reaches_scan(spark):
     from opengauss_vectordb_spark.catalog import table
 
