@@ -773,6 +773,45 @@ def recursive_series(spark, sf_dir):
 
 
 @query(
+    "bucketed_join_colocated",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """Fact-to-fact join over hash-bucketed tables (bucketpruning.cpp /
+    Stream redistribute parity, sources/bucketed.py): orders and lineitem
+    are pre-bucketed+sorted on the join key, so the equi-join runs with
+    ZERO pre-join exchanges and no sort — the write-once shuffle is
+    amortized over every later join, which is the layout a 100 TB
+    deployment would use. Results are identical to the plain join (the
+    oracle); the plan difference is pinned in test_plan_quality."""
+    from ..sources.bucketed import bucketed_tables
+    from ._util import dsum
+
+    ob, lb = bucketed_tables(spark, sf_dir)
+    o = spark.table(ob)
+    li = spark.table(lb)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "recursive_cte_native",
     """
     WITH RECURSIVE up(start_k, k, depth) AS (

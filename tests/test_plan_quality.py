@@ -65,6 +65,26 @@ def test_db4ai_train_is_single_aggregation_pass(spark):
         assert python_eval_nodes(QUERIES[name](spark, SF_CORRECT)) == 0
 
 
+def test_bucketed_join_has_no_prejoin_exchange(spark):
+    from opengauss_vectordb_spark.plans.explain import exchange_count
+    from opengauss_vectordb_spark.sources.bucketed import bucketed_tables
+
+    ob, lb = bucketed_tables(spark, SF_CORRECT)
+    o, li = spark.table(ob), spark.table(lb)
+    # at test SF the optimizer would broadcast the small side, hiding the
+    # property under test — force the merge join a 100 TB fact⋈fact pair
+    # would use, and pin that bucketing removes its shuffles AND sorts
+    joined = o.hint("merge").join(li, li.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "l_extendedprice"
+    )
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan
+    # zero Exchange is the 100 TB win (a partition-LOCAL sort remains —
+    # buckets span >1 file at this SF — but no data moves between tasks)
+    assert exchange_count(joined) == 0, plan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_column_pruning_reaches_scan(spark):
     from opengauss_vectordb_spark.catalog import table
 
