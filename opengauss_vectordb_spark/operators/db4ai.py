@@ -80,8 +80,8 @@ def _sql_dot(e: str, v: list[float], n: int) -> str:
              SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
              SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
              SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sxx,
-             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS sxy,
-             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6)))
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sxy,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6)))
                AS syy
       FROM lineitem GROUP BY l_returnflag
     ), d AS (
@@ -119,8 +119,8 @@ def db4ai_linreg_ols(spark, sf_dir):
         F.sum(x.cast("decimal(18,6)")).alias("sx"),
         F.sum(y.cast("decimal(18,6)")).alias("sy"),
         F.sum((x * x).cast("decimal(18,6)")).alias("sxx"),
-        F.sum((x * y).cast("decimal(24,6)")).alias("sxy"),
-        F.sum((y * y).cast("decimal(24,6)")).alias("syy"),
+        F.sum((x * y).cast("decimal(18,6)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(18,6)")).alias("syy"),
     )
     d = s.select(
         "flag",
