@@ -39,8 +39,12 @@ class Engine:
 
     def sql(self, query: str) -> DataFrame:
         """SQL entry: Spark SQL dialect + the PG/datavec-name function
-        layer (l2_distance, nvl, decode, ... — functions/pg_compat.py)."""
-        return self.spark.sql(query)
+        layer (l2_distance, nvl, decode, ... — functions/pg_compat.py)
+        + Oracle-compat translation (ROWNUM→LIMIT per preprownum.cpp,
+        FROM dual, SYSDATE — functions/sql_compat.py)."""
+        from .functions.sql_compat import translate
+
+        return self.spark.sql(translate(query))
 
     def table(self, name: str) -> DataFrame:
         return _table(self.spark, self.sf_dir, name)

@@ -1,0 +1,54 @@
+"""Oracle/PG SQL-compat translation — the reference's compat-parser layer.
+
+openGauss accepts Oracle dialect on top of PG (A_FORMAT compatibility:
+`src/common/backend/parser/parse_compatibility.cpp`); the pieces Spark
+SQL does not already speak are translated here:
+
+  * `ROWNUM <= n` / `ROWNUM < n` top-level filters → `LIMIT` — the
+    reference does exactly this rewrite in the planner
+    (`src/gausskernel/optimizer/prep/preprownum.cpp`). PG semantics:
+    LIMIT applies after ORDER BY of the same query block.
+  * `FROM dual` → removed (Spark allows SELECT without FROM).
+  * `SYSDATE` → `current_timestamp()`.
+
+Everything else Oracle-ish is native in Spark 4 (`MINUS`, `nvl`,
+`nvl2`, `decode`, `::` casts) or registered under its PG name by
+functions/pg_compat.py. The translator is conservative on purpose: only
+whole-clause tail patterns are rewritten, matching preprownum.cpp's
+"simple filter" scope; anything it does not recognize passes through
+untouched for Spark's parser to judge.
+"""
+
+from __future__ import annotations
+
+import re
+
+_FROM_DUAL = re.compile(r"\bfrom\s+dual\b", re.IGNORECASE)
+_SYSDATE = re.compile(r"\bsysdate\b", re.IGNORECASE)
+
+# `WHERE ROWNUM <= n` (whole clause) or `AND ROWNUM <= n` (tail of a
+# larger WHERE), optionally followed by the block's ORDER BY, at the end
+# of the statement.
+_ROWNUM_TAIL = re.compile(
+    r"(?P<kw>\bwhere\b|\band\b)\s+rownum\s*(?P<op><=|<)\s*(?P<n>\d+)"
+    r"(?P<order>\s+order\s+by\s+[^;]*?)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def translate(sql: str) -> str:
+    """Rewrite the supported Oracle-compat constructs into Spark SQL."""
+    out = _FROM_DUAL.sub("", sql)
+    out = _SYSDATE.sub("current_timestamp()", out)
+
+    m = _ROWNUM_TAIL.search(out)
+    if m:
+        n = int(m.group("n"))
+        if m.group("op") == "<":
+            n -= 1
+        order = m.group("order") or ""
+        # for an `AND ROWNUM...` tail the preceding predicates (and their
+        # WHERE) stay; for a whole `WHERE ROWNUM...` clause the WHERE
+        # goes too. Either way the ORDER BY stays ahead of the LIMIT.
+        out = f"{out[: m.start()]}{order} LIMIT {n}"
+    return out

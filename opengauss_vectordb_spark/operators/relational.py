@@ -972,3 +972,41 @@ def sql_entry_q6(spark, sf_dir):
 
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL_COMMON)
+
+
+_ORACLE_COMPAT_SQL = """
+    SELECT k, status, (SELECT 1 FROM dual) AS one
+    FROM (
+      SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+      MINUS
+      SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+      WHERE o_orderkey >= 200
+    ) t
+    WHERE ROWNUM <= 15
+    ORDER BY k
+"""
+
+
+@query(
+    "sql_compat_oracle",
+    """
+    SELECT k, status, 1 AS one
+    FROM (
+      SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+      EXCEPT
+      SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+      WHERE o_orderkey >= 200
+    ) t
+    ORDER BY k LIMIT 15
+    """,
+)
+def sql_compat_oracle(spark, sf_dir):
+    """Oracle-compat SQL entry (parse_compatibility.cpp A_FORMAT +
+    preprownum.cpp): MINUS, scalar subquery FROM dual, and a ROWNUM
+    top-k filter, translated by functions/sql_compat.py into native
+    Spark SQL (EXCEPT / FROM-less SELECT / ORDER BY+LIMIT) and checked
+    against the ANSI spelling in DuckDB."""
+    from ..functions.sql_compat import translate
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_ORACLE_COMPAT_SQL))

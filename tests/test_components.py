@@ -320,6 +320,36 @@ def test_connected_components_dedup(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+# ------------------------------------------------------ SQL compat layer
+
+def test_sql_compat_translate():
+    from opengauss_vectordb_spark.functions.sql_compat import translate
+
+    assert translate("SELECT 1 FROM dual").strip() == "SELECT 1"
+    assert translate("SELECT * FROM t WHERE ROWNUM <= 5").endswith("LIMIT 5")
+    # strict < becomes n-1; AND-tail keeps the preceding predicate
+    out = translate("SELECT * FROM t WHERE x = 1 AND ROWNUM < 10 ORDER BY x")
+    assert out.endswith("ORDER BY x LIMIT 9") and "WHERE x = 1" in out
+    assert "current_timestamp()" in translate("SELECT sysdate")
+    # untouched passthrough: mid-query rownum-free SQL
+    q = "SELECT a FROM t WHERE b > 2 ORDER BY a"
+    assert translate(q) == q
+
+
+def test_engine_sql_compat(spark):
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    rows = eng.sql(
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+    ).limit(1).collect()
+    assert rows[0][0] is not None
+    top = eng.sql(
+        "SELECT o_orderkey AS k FROM orders WHERE ROWNUM <= 3 ORDER BY k"
+    ).collect()
+    assert len(top) == 3
+
+
 # ------------------------------------------------ approx sketches envelope
 
 def test_hll_union_matches_direct_sketch(spark):
