@@ -351,6 +351,61 @@ def agg_percentiles(spark, sf_dir):
 
 
 @query(
+    "agg_mode_percentile_disc",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS flag, l_quantity AS q, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), m AS (
+      SELECT flag, q, cnt,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, q)
+               AS rn,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY q) AS cum,
+             SUM(cnt) OVER (PARTITION BY flag) AS tot
+      FROM c
+    )
+    SELECT flag,
+           MAX(CASE WHEN rn = 1 THEN q END) AS mode_qty,
+           MAX(CASE WHEN rn = 1 THEN cnt END) AS mode_n,
+           MIN(CASE WHEN cum * 2 >= tot THEN q END) AS p50_disc
+    FROM m GROUP BY flag ORDER BY flag
+    """,
+)
+def agg_mode_percentile_disc(spark, sf_dir):
+    """mode() and percentile_disc(0.5) (orderedsetaggs.cpp:278,222) with
+    an explicit deterministic tie-break (highest count, then smallest
+    value) instead of engine-specific mode internals — the distributed
+    shape is a count aggregation plus two windows over the (group,
+    value) pairs, i.e. cardinality of distinct values, not rows."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wp = W.partitionBy("flag")
+    m = c.select(
+        "flag",
+        "q",
+        "cnt",
+        F.row_number()
+        .over(wp.orderBy(F.col("cnt").desc(), F.col("q")))
+        .alias("rn"),
+        F.sum("cnt").over(wp.orderBy("q")).alias("cum"),
+        F.sum("cnt").over(wp).alias("tot"),
+    )
+    return (
+        m.groupBy("flag")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("mode_qty"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("mode_n"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("q"))
+            ).alias("p50_disc"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
     "agg_stddev_var",
     """
     SELECT o_orderstatus,
