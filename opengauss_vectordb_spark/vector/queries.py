@@ -661,3 +661,65 @@ def ivf_knn_join_full(spark, sf_dir):
         F.round("distance", 4).alias("distance"),
         F.col("_rn").alias("rn"),
     ).orderBy("qid", "rn")
+
+
+@query(
+    "knn_binary_rerank",
+    f"""
+    WITH t AS (
+      SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), h AS (
+      SELECT vec_id, label, e, q,
+             list_sum(list_transform(range(1, {DIM + 1}),
+               i -> CASE WHEN (e[i] > 0) != (q[i] > 0) THEN 1 ELSE 0 END))
+               AS hamming
+      FROM t
+    ), coarse AS (
+      SELECT vec_id, label, e, q, hamming,
+             ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS crn
+      FROM h
+    )
+    SELECT vec_id, label, hamming,
+           ROUND({_sql_sq_l2("e", "q")}, 4) AS distance
+    FROM coarse WHERE crn <= 50
+    ORDER BY {_sql_sq_l2("e", "q")}, vec_id LIMIT 10
+    """,
+)
+def knn_binary_rerank(spark, sf_dir):
+    """Two-stage search through binary quantization (datavec
+    binary_quantize sql:720-735 + bit Hamming `<~>`): stage 1 ranks by
+    Hamming distance between sign bits — at 100 TB the bit codes are
+    32x smaller than fp32 so the coarse pass reads 1/32nd of the bytes
+    (and the codes can live in memory); stage 2 exactly reranks only the
+    top-50 coarse survivors with true L2. Both stages deterministic
+    (vec_id tie-break); the oracle replays the identical pipeline."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = as_double(F.col("embedding"))
+    q = _spark_qlit()
+    hamming = F.aggregate(
+        F.zip_with(
+            e,
+            q,
+            lambda x, y: F.when((x > 0) != (y > 0), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # bounded-heap top-50 (TakeOrderedAndProject), NOT a global-window
+    # row_number — a single-partition window would serialize the scan at
+    # scale, the per-partition heap merge does not
+    coarse = (
+        emb.withColumn("hamming", hamming)
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    d = l2_distance(as_double(F.col("embedding")), _spark_qlit())
+    return (
+        coarse.withColumn("_d", d)
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "hamming", F.round("_d", 4).alias("distance"))
+    )
