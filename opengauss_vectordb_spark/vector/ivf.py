@@ -280,11 +280,20 @@ class IvfIndex:
         k: int = 10,
         probes: int = DEFAULT_PROBES,
         id_col: str | None = None,
+        where=None,
     ) -> DataFrame:
         """Probed ANN search: filter on list_id prunes partitions at the
-        parquet source — only probes/lists of the index is read."""
+        parquet source — only probes/lists of the index is read.
+
+        ``where`` (optional Column) is the filtered-ANN path
+        (t/009_ivfflat_filtering.pl): the predicate is applied inside the
+        pruned scan, before the top-k heap, so selective filters cut the
+        ranked set the way the reference's qual-during-indexscan does.
+        With selective filters raise ``probes`` to protect recall."""
         lists = self._probe_lists(spark, qvec, probes)
         pruned = self.data(spark).filter(F.col("list_id").isin(lists)).drop("list_id")
+        if where is not None:
+            pruned = pruned.filter(where)
         # spill assignment can place one row in two probed lists → dedup
         pruned = pruned.dropDuplicates([id_col] if id_col else None)
         return exact_knn(pruned, vec_col, qvec, k=k, metric=self.metric, id_col=id_col)

@@ -723,3 +723,38 @@ def knn_binary_rerank(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", "hamming", F.round("_d", 4).alias("distance"))
     )
+
+
+@query(
+    "ivf_filtered_full",
+    f"""
+    WITH t AS (
+      SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+      WHERE embedding IS NOT NULL AND label % 5 = 2
+    )
+    SELECT vec_id, label,
+           ROUND({_sql_sq_l2("e", "q")}, 4) AS distance
+    FROM t ORDER BY {_sql_sq_l2("e", "q")}, vec_id LIMIT 10
+    """,
+)
+def ivf_filtered_full(spark, sf_dir):
+    """Filtered ANN through the IVF index path
+    (t/009_ivfflat_filtering.pl) at probes = lists, where the probed
+    search is exact by construction: the label predicate is applied
+    inside the pruned scan before the top-k heap (IvfIndex.search
+    `where`), and the DuckDB brute-force filtered top-k oracle checks
+    the whole route. At production probes the same plan reads
+    probes/lists of the corpus, filter included."""
+    idx = _ivf_index(spark, sf_dir)
+    out = idx.search(
+        spark,
+        QUERY_VEC,
+        "embedding",
+        k=10,
+        probes=_IVF_LISTS,
+        id_col="vec_id",
+        where=F.col("label") % 5 == 2,
+    )
+    return out.select(
+        "vec_id", "label", F.round("distance", 4).alias("distance")
+    ).orderBy("distance", "vec_id")
