@@ -108,3 +108,15 @@ def write_time_partitioned(stream_df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str = "ts",
+                 delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup within a watermark — the ingest-time side of
+    the dedup pipeline (ADDITIVE; reference has no streaming, §2.9):
+    duplicates arriving within `delay` of each other are dropped while
+    state stays bounded by (keys in watermark window), so a 100 TB/day
+    feed can dedup continuously without unbounded state growth. Batch
+    re-dedup (`dedup_exact`) remains the exhaustive backstop across
+    watermark horizons."""
+    return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)

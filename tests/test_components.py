@@ -320,6 +320,32 @@ def test_connected_components_dedup(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_streaming_dedup_within_watermark(spark):
+    import shutil
+
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.streaming.events import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_dup_")
+    try:
+        ev = table(spark, SF_CORRECT, "events").limit(200)
+        # write the same events TWICE (two drop files) → pure duplicates
+        ev.coalesce(1).write.mode("overwrite").json(tmp)
+        ev.coalesce(1).write.mode("append").json(tmp)
+        stream = read_event_stream(spark, tmp, fmt="json")
+        deduped = dedup_stream(stream, ["event_id"], delay="2 hours")
+        run_to_memory(deduped.select("event_id"), "t_dedup", mode="append")
+        got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d "
+                        "FROM t_dedup").collect()[0]
+        assert got.n == got.d == 200
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------ SQL compat layer
 
 def test_sql_compat_translate():
