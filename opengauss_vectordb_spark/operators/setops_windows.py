@@ -649,7 +649,16 @@ def json_funcs(spark, sf_dir):
            ROUND(log10(o_totalprice), 6) AS log10_price,
            ROUND(power(o_totalprice, 0.5), 6) AS pow_half,
            MOD(o_orderkey, 7) AS mod7,
-           CAST(SIGN(o_totalprice - 150000.0) AS INTEGER) AS sign_vs_150k
+           CAST(SIGN(o_totalprice - 150000.0) AS INTEGER) AS sign_vs_150k,
+           ROUND(sin(o_orderkey * 0.1), 6) AS sin_k,
+           ROUND(atan2(CAST(o_orderkey AS DOUBLE), 10.0), 6) AS atan2_k,
+           ROUND(cbrt(o_totalprice), 6) AS cbrt_price,
+           ROUND(exp(o_orderkey * 0.01), 6) AS exp_k,
+           factorial(CAST(o_orderkey % 10 AS INTEGER)) AS fact_mod10,
+           CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 400000.0 THEN 9
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+           END AS price_bucket
     FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
     """,
 )
@@ -668,6 +677,18 @@ def math_funcs(spark, sf_dir):
         F.round(F.pow(tp, 0.5), 6).alias("pow_half"),
         (F.col("o_orderkey") % 7).alias("mod7"),
         F.signum(tp - 150000.0).cast("int").alias("sign_vs_150k"),
+        F.round(F.sin(F.col("o_orderkey") * 0.1), 6).alias("sin_k"),
+        F.round(
+            F.atan2(F.col("o_orderkey").cast("double"), F.lit(10.0)), 6
+        ).alias("atan2_k"),
+        F.round(F.cbrt(tp), 6).alias("cbrt_price"),
+        F.round(F.exp(F.col("o_orderkey") * 0.01), 6).alias("exp_k"),
+        F.factorial((F.col("o_orderkey") % 10).cast("int")).alias(
+            "fact_mod10"
+        ),
+        F.width_bucket(tp, F.lit(0.0), F.lit(400000.0), F.lit(8)).alias(
+            "price_bucket"
+        ),
     ).orderBy("o_orderkey")
 
 
