@@ -554,7 +554,16 @@ def conditional_funcs(spark, sf_dir):
            strpos(p_name, 'a') AS pos_a,
            concat(p_brand, ':', p_type) AS tagged,
            trim(' x ') AS trimmed,
-           translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels
+           translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+           array_to_string(list_transform(string_split(lower(p_name), ' '),
+               w -> upper(w[1]) || w[2:]), ' ') AS name_initcap,
+           substr(p_brand, 1, 1) || 'XX' || substr(p_brand, 4)
+             AS brand_overlay,
+           repeat(p_brand, 2) AS brand_twice,
+           left(p_name, 3) AS name_left3,
+           right(p_name, 3) AS name_right3,
+           ascii(upper(substring(p_name, 1, 1))) AS first_ascii,
+           chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS chr_k
     FROM part WHERE p_partkey <= 50 ORDER BY p_partkey
     """,
 )
@@ -574,6 +583,17 @@ def string_funcs(spark, sf_dir):
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tagged"),
         F.trim(F.lit(" x ")).alias("trimmed"),
         F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.initcap("p_name").alias("name_initcap"),
+        F.overlay(F.col("p_brand"), F.lit("XX"), F.lit(2), F.lit(2)).alias(
+            "brand_overlay"
+        ),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.expr("left(p_name, 3)").alias("name_left3"),
+        F.expr("right(p_name, 3)").alias("name_right3"),
+        F.ascii(F.upper(F.substring("p_name", 1, 1))).alias("first_ascii"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias(
+            "chr_k"
+        ),
     ).orderBy("p_partkey")
 
 
