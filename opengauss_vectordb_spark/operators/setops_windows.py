@@ -607,7 +607,14 @@ def string_funcs(spark, sf_dir):
            CAST(o_orderdate AS DATE) + 30 AS plus30,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
              AS days_to_y2k,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           (year(o_orderdate) * 12 + month(o_orderdate))
+             - (1995 * 12 + 1) AS whole_months_since_95,
+           make_date(1995, month(o_orderdate), 15) AS made,
+           (CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            AND DATE '1996-01-01' < CAST(o_orderdate AS DATE) + 90)
+             AS overlaps_1996,
+           dayofweek(CAST(o_orderdate AS DATE)) AS dow
     FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
     """,
 )
@@ -624,6 +631,21 @@ def date_funcs(spark, sf_dir):
         F.date_add(d, 30).alias("plus30"),
         F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
         F.last_day(d).alias("month_end"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (1995 * 12 + 1)
+        ).alias("whole_months_since_95"),
+        F.make_date(F.lit(1995), F.month("o_orderdate"), F.lit(15)).alias(
+            "made"
+        ),
+        # (start1, end1) OVERLAPS (start2, end2) spelled as the
+        # half-open-interval conjunction both engines agree on
+        ((d < F.lit("1997-01-01").cast("date"))
+         & (F.lit("1996-01-01").cast("date") < F.date_add(d, 90))).alias(
+            "overlaps_1996"
+        ),
+        # PG/DuckDB convention: Sunday=0 (Spark's dayofweek is Sunday=1)
+        (F.dayofweek(d) - 1).alias("dow"),
     ).orderBy("o_orderkey")
 
 
