@@ -743,7 +743,9 @@ def math_funcs(spark, sf_dir):
     SELECT c_custkey,
            md5(c_name) AS name_md5,
            to_base64(encode(c_mktsegment)) AS seg_b64,
-           hex(encode(c_mktsegment)) AS seg_hex
+           hex(encode(c_mktsegment)) AS seg_hex,
+           sha256(c_name) AS name_sha256,
+           decode(from_base64(to_base64(encode(c_name)))) AS b64_roundtrip
     FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey
     """,
 )
@@ -754,6 +756,10 @@ def hash_encode_funcs(spark, sf_dir):
         F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
         F.base64(F.col("c_mktsegment").cast("binary")).alias("seg_b64"),
         F.upper(F.hex(F.col("c_mktsegment").cast("binary"))).alias("seg_hex"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+        F.unbase64(F.base64(F.col("c_name").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
     ).orderBy("c_custkey")
 
 
