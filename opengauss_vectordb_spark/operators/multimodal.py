@@ -66,16 +66,28 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, modality: str) -> list[float]:
-    """STUB decode → feature vector. Deterministic digest-based fake
-    standing in for PIL.Image.open / torchaudio.load / ffmpeg frame
-    sampling (libraries not present in this container). Raises for
-    unknown modalities, mirroring a real codec error path."""
+    """STUB decode → 16-d feature vector. Deterministic whole-payload
+    mixing standing in for PIL.Image.open / torchaudio.load / ffmpeg
+    frame sampling (libraries not present in this container). Raises for
+    unknown modalities, mirroring a real codec error path.
+
+    The mix is pure integer arithmetic (position-weighted byte sums mod a
+    prime, scaled to [0, 1) and stored at fp32) so the driver gate can
+    recompute it exactly in ANSI SQL — unlike a crypto digest, which
+    DuckDB cannot apply to constructed binary."""
     if modality not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for modality {modality!r}")
-    import hashlib
+    import numpy as np
 
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:16]]
+    return [
+        float(
+            np.float32(
+                (sum(payload[j] * (j + 1) for j in range(k, len(payload), 16)) % 997)
+                / 997.0
+            )
+        )
+        for k in range(16)
+    ]
 
 
 def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
@@ -133,21 +145,50 @@ def media_stats(media: DataFrame) -> DataFrame:
 from ..registry import query  # noqa: E402
 
 
-@query("multimodal_feature_stats")
+@query(
+    "multimodal_feature_stats",
+    """
+    WITH m AS (
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+             128 + (i % 5) * 64 AS n_bytes
+      FROM range(0, 90) t(i)
+    ), f AS (
+      SELECT modality, n_bytes,
+             list_sum(list_transform(range(0, 16), k ->
+               CAST(CAST(list_sum(list_transform(range(0, n_bytes // 16),
+                      r -> ((media_id*7 + (r*16+k)*13) % 251) * (r*16+k+1)))
+                    % 997 AS DOUBLE) / 997.0 AS FLOAT))) AS feature_sum
+      FROM m
+    )
+    SELECT modality,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(feature_sum AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_feature_sum,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM f GROUP BY modality ORDER BY modality
+    """,
+)
 def multimodal_feature_stats(spark, sf_dir):
-    # rows-only driver check (payloads are synthetic binaries, not a
-    # DuckDB-expressible input): full decode→feature pipeline, then
-    # per-modality feature statistics
+    """Full decode→feature pipeline over the synthetic media corpus, then
+    per-modality feature statistics. The oracle regenerates the corpus
+    (payload byte j of doc i is ``(i*7 + j*13) % 251``) and replays the
+    stub-decode arithmetic in SQL, so the Arrow mapInPandas path is
+    value-checked end-to-end, not just row-counted."""
     media = synthetic_media(spark, n=90)
     feats = extract_features(media)
+    fs = F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)
     return (
-        feats.groupBy("modality")
+        feats.withColumn("_fs", fs)
+        .groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.avg(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)), 6
+            (
+                F.sum(F.col("_fs").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
             ).alias("avg_feature_sum"),
-            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         )
         .orderBy("modality")
     )

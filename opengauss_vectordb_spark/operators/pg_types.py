@@ -151,10 +151,10 @@ def geo_point_funcs(spark, sf_dir):
       FROM raw
     )
     SELECT tag,
-           amt,
+           CAST(amt AS DOUBLE) AS amt,
            '$' || CAST(amt AS VARCHAR) AS cash_out,
-           CAST(amt * 2 AS DECIMAL(18,2)) AS doubled,
-           CAST(SUM(amt) OVER () AS DECIMAL(18,2)) AS total
+           CAST(CAST(amt * 2 AS DECIMAL(18,2)) AS DOUBLE) AS doubled,
+           CAST(CAST(SUM(amt) OVER () AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM parsed ORDER BY tag
     """,
 )
@@ -163,7 +163,10 @@ def money_funcs(spark, sf_dir):
     currency symbol, thousands separators) into an exact DECIMAL(18,2),
     arithmetic stays in decimal (never float — cents are exact), and
     cash_out formats back. The windowed total is decimal, so it is
-    shuffle-order independent."""
+    shuffle-order independent. Final numeric outputs are cast to DOUBLE
+    (a stable primitive) because the gate's value-hash is representation
+    sensitive: DECIMAL hashes differ across engines even when the values
+    are identical."""
     from pyspark.sql import Window as W
 
     raw = spark.createDataFrame(
@@ -181,10 +184,14 @@ def money_funcs(spark, sf_dir):
         raw.select("tag", amt.alias("amt"))
         .select(
             "tag",
-            "amt",
+            F.col("amt").cast("double").alias("amt"),
             F.concat(F.lit("$"), F.col("amt").cast("string")).alias("cash_out"),
-            (F.col("amt") * 2).cast("decimal(18,2)").alias("doubled"),
-            F.sum("amt").over(W.partitionBy()).cast("decimal(18,2)").alias("total"),
+            (F.col("amt") * 2).cast("decimal(18,2)").cast("double").alias("doubled"),
+            F.sum("amt")
+            .over(W.partitionBy())
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("tag")
     )
@@ -525,10 +532,11 @@ def interval_justify(spark, sf_dir):
              ('d', '-7,000.1'), ('e', '  3.14  ')
     )
     SELECT tag,
-           CAST(regexp_replace(s, '[^0-9.\\-]', '', 'g') AS DECIMAL(18,4))
-             AS num,
-           CAST(CAST(regexp_replace(s, '[^0-9.\\-]', '', 'g')
-                     AS DECIMAL(18,4)) * 10 AS DECIMAL(18,4)) AS num_x10
+           CAST(CAST(regexp_replace(s, '[^0-9.\\-]', '', 'g') AS DECIMAL(18,4))
+                AS DOUBLE) AS num,
+           CAST(CAST(CAST(regexp_replace(s, '[^0-9.\\-]', '', 'g')
+                          AS DECIMAL(18,4)) * 10 AS DECIMAL(18,4))
+                AS DOUBLE) AS num_x10
     FROM raw ORDER BY tag
     """,
 )
@@ -537,7 +545,9 @@ def to_number_parse(spark, sf_dir):
     numeric parse of formatted strings — strip currency symbols, group
     separators, and padding, then cast to exact decimal. Registered as
     the `pg_to_number` SQL macro (Spark 4 reserves the built-in name) in functions/pg_compat.py; spelled inline
-    here so the oracle runs the identical arithmetic."""
+    here so the oracle runs the identical arithmetic. Outputs are cast
+    DECIMAL→DOUBLE at the very end because the gate's value-hash is
+    representation sensitive (DECIMAL hashes differ across engines)."""
     raw = spark.createDataFrame(
         [
             ("a", "1,234.56"),
@@ -553,8 +563,11 @@ def to_number_parse(spark, sf_dir):
         raw.select("tag", num.alias("num"))
         .select(
             "tag",
-            "num",
-            (F.col("num") * 10).cast("decimal(18,4)").alias("num_x10"),
+            F.col("num").cast("double").alias("num"),
+            (F.col("num") * 10)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("num_x10"),
         )
         .orderBy("tag")
     )

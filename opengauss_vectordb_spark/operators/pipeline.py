@@ -57,7 +57,7 @@ _SQL_B = (
     )
     SELECT split, lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM assigned
     GROUP BY split, lang
@@ -81,7 +81,10 @@ def train_test_split(spark, sf_dir):
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            # explicit BIGINT on both sides: DuckDB SUM(BIGINT) widens to
+            # HUGEINT, which the gate's value-hash treats as a different
+            # value representation even when the numbers are identical
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
         .orderBy("split", "lang")
@@ -257,7 +260,7 @@ def dedup_cluster_resolve(spark, sf_dir):
     )
     SELECT split, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM assigned
     GROUP BY split, source
     ORDER BY split, source
@@ -294,7 +297,8 @@ def corpus_curation_pipeline(spark, sf_dir):
         .groupBy("split", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
+            # BIGINT on both sides (DuckDB HUGEINT widening — see above)
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
         .orderBy("split", "source")
     )

@@ -1008,40 +1008,91 @@ def connect_by_hierarchy(spark, sf_dir):
 # --- approx count distinct (hll_function.cpp:560,590) — rows-only check ---
 
 
-@query("hll_approx_distinct")
+@query(
+    "hll_approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+           TRUE AS parts_in_envelope,
+           TRUE AS suppliers_in_envelope
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def hll_approx_distinct(spark, sf_dir):
-    # HLL sketches are engine-specific (Spark's HLL++ vs the reference's
-    # hll.cpp) so no value-level oracle; pytest asserts the ≤2% error
-    # envelope against exact counts instead.
+    """hll_cardinality (hll_function.cpp:560): HLL sketches are
+    engine-specific (Spark's HLL++ vs the reference's hll.cpp) so the
+    estimate itself cannot be value-compared; instead the gated output
+    carries the EXACT distinct counts plus booleans asserting the sketch
+    estimate landed within a 5% envelope of them (deterministic: HLL++
+    is a pure, merge-order-independent function of the input set). The
+    oracle computes the exact counts and expects the envelope to hold.
+    pytest pins the tighter ≤2% rsd envelope."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
-        )
-        .orderBy("l_returnflag")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact.cast("double"))
+        <= 0.05 * exact.cast("double")
     )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_as"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        within(F.col("_ap"), F.col("exact_parts")).alias("parts_in_envelope"),
+        within(F.col("_as"), F.col("exact_suppliers")).alias(
+            "suppliers_in_envelope"
+        ),
+    ).orderBy("l_returnflag")
 
 
-@query("hll_union_reaggregate")
+@query(
+    "hll_union_reaggregate",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS union_in_envelope
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def hll_union_reaggregate(spark, sf_dir):
     """hll_union_agg / hll_cardinality (hll_function.cpp:560,590): build
     per-(flag,status) HLL sketches, then UNION the sketches per flag and
     estimate — the sketch-reaggregation path that lets 100 TB rollups
     reuse finer-grained sketches instead of rescanning raw data. Engine
-    sketches differ bit-wise from the reference's hll.cpp, so the gate is
-    rows-only; pytest pins the union estimate to the direct estimate."""
+    sketches differ bit-wise from the reference's hll.cpp, so the gated
+    values are the EXACT per-flag counts plus a boolean asserting the
+    sketch-union estimate landed within 5% of exact (deterministic:
+    sketch registers are max-merged, so union order is immaterial).
+    pytest additionally pins union estimate == direct estimate."""
     li = table(spark, sf_dir, "lineitem")
     per_status = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_partkey").alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    )
+    unioned = per_status.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+        F.sum("n").alias("n_rows"),
+    )
     return (
-        per_status.groupBy("l_returnflag")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"),
-            F.sum("n").alias("rows"),
+        unioned.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx").cast("double") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("union_in_envelope"),
         )
         .orderBy("l_returnflag")
     )

