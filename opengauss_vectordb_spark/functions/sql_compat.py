@@ -5,9 +5,12 @@ openGauss accepts Oracle dialect on top of PG (A_FORMAT compatibility:
 SQL does not already speak are translated here:
 
   * `ROWNUM <= n` / `ROWNUM < n` top-level filters → `LIMIT` — the
-    reference does exactly this rewrite in the planner
-    (`src/gausskernel/optimizer/prep/preprownum.cpp`). PG semantics:
-    LIMIT applies after ORDER BY of the same query block.
+    reference does this rewrite in the planner
+    (`src/gausskernel/optimizer/prep/preprownum.cpp`) ONLY when the
+    query block has no sortClause, because Oracle assigns ROWNUM before
+    ORDER BY. When an ORDER BY is present in the same block we preserve
+    Oracle semantics by limiting first in a derived table and sorting
+    the limited rows: `SELECT * FROM (<query> LIMIT n) ORDER BY ...`.
   * `FROM dual` → removed (Spark allows SELECT without FROM).
   * `SYSDATE` → `current_timestamp()`.
 
@@ -49,6 +52,13 @@ def translate(sql: str) -> str:
         order = m.group("order") or ""
         # for an `AND ROWNUM...` tail the preceding predicates (and their
         # WHERE) stay; for a whole `WHERE ROWNUM...` clause the WHERE
-        # goes too. Either way the ORDER BY stays ahead of the LIMIT.
-        out = f"{out[: m.start()]}{order} LIMIT {n}"
+        # goes too.
+        body = out[: m.start()].strip()
+        if order:
+            # Oracle assigns ROWNUM BEFORE ORDER BY of the same block
+            # (preprownum.cpp refuses the plain-LIMIT rewrite when a
+            # sortClause exists): limit first, then sort the n rows.
+            out = f"SELECT * FROM ({body} LIMIT {n}) {order.strip()}"
+        else:
+            out = f"{body} LIMIT {n}"
     return out

@@ -37,19 +37,20 @@ except ImportError:  # pragma: no cover
 
 def vector_sum_agg(df: DataFrame, group_cols: list[str], vec_col: str) -> DataFrame:
     """sum(vector) — element-wise (datavec vector_accum/vector_combine):
-    posexplode to (dim, value), exact scaled-int accumulation per
-    dimension, reassemble ordered arrays. Pure relational ops: partial
-    aggregation combines map-side, the shuffle carries dim rows per
-    group — the distributed shape of the reference's transfn/combinefn."""
+    posexplode to (dim, value), exact DECIMAL(38,9) accumulation per
+    dimension (order-independent; each element rounds half-up at 1e-9,
+    and the 38-digit sum cannot overflow for any realistic group size —
+    unlike a scaled BIGINT, which wraps past ~9.2e18), reassemble ordered
+    arrays. Pure relational ops: partial aggregation combines map-side,
+    the shuffle carries dim rows per group — the distributed shape of the
+    reference's transfn/combinefn."""
     ex = df.select(
         *group_cols, F.posexplode(F.col(vec_col)).alias("_dim", "_x")
     )
     summed = ex.groupBy(*group_cols, "_dim").agg(
-        (
-            F.sum(F.floor(F.col("_x").cast("double") * 1e9).cast("long"))
-            .cast("double")
-            / 1e9
-        ).alias("_s")
+        F.sum(F.col("_x").cast("double").cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_s")
     )
     return (
         summed.groupBy(*group_cols)
@@ -71,10 +72,8 @@ def vector_avg_agg(df: DataFrame, group_cols: list[str], vec_col: str) -> DataFr
     )
     avged = ex.groupBy(*group_cols, "_dim").agg(
         (
-            F.sum(F.floor(F.col("_x").cast("double") * 1e9).cast("long"))
-            .cast("double")
+            F.sum(F.col("_x").cast("double").cast("decimal(38,9)")).cast("double")
             / F.count(F.lit(1))
-            / 1e9
         ).alias("_a")
     )
     return (

@@ -34,16 +34,25 @@ def merge_into(
     * unmatched target rows → kept as-is
     * unmatched source rows → inserted when when_not_matched_insert
     """
-    t = target.alias("t")
-    s = source.alias("s")
+    # presence sentinels, not key nullability: a target row whose join key
+    # is NULL never matches in the equi-join, but it is still a target row
+    # and must be kept as-is (execMerge.cpp leaves unmatched target rows
+    # unchanged) — deriving sides from t.<key> IS NULL would misclassify
+    # it as a source-only insert and null out every column
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in on:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
+    if not when_not_matched_insert:
+        joined = joined.filter(F.col("t._t_present").isNotNull())
 
-    matched = F.col(f"s.{on[0]}").isNotNull() & F.col(f"t.{on[0]}").isNotNull()
-    s_only = F.col(f"t.{on[0]}").isNull()
+    matched = (
+        F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+    )
+    s_only = F.col("t._t_present").isNull()
 
     out_cols = []
     for name in target.columns:
@@ -55,22 +64,19 @@ def merge_into(
             else scol if name in source.columns else tcol
         )
         value = (
-            F.when(matched, updated)
-            .when(s_only, scol if when_not_matched_insert else F.lit(None))
-            .otherwise(tcol)
+            F.when(matched, updated).when(s_only, scol).otherwise(tcol)
         )
         out_cols.append(value.alias(name))
 
     result = joined.select(*out_cols)
     if when_matched_delete is not None:
-        # re-derive the matched flag on the merged rows via a semi join
+        # re-derive the matched flag on the merged rows via an anti join
+        # (NULL target keys never appear here, so they are never deleted)
         keep_keys = (
             joined.filter(matched & when_matched_delete)
             .select(*[F.col(f"t.{k}").alias(k) for k in on])
         )
         result = result.join(keep_keys, on, "left_anti")
-    if not when_not_matched_insert:
-        result = result.dropna(subset=[on[0]])
     return result
 
 

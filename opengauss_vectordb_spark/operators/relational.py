@@ -974,6 +974,10 @@ def sql_entry_q6(spark, sf_dir):
     return spark.sql(_Q6_SQL_COMMON)
 
 
+# Oracle-idiomatic top-N: the ORDER BY sits in the derived table and
+# ROWNUM filters OUTSIDE it — `WHERE ROWNUM <= n ... ORDER BY` in one
+# block would take n arbitrary rows then sort (ROWNUM is assigned before
+# the sort), which preprownum.cpp likewise refuses to planarize to LIMIT.
 _ORACLE_COMPAT_SQL = """
     SELECT k, status, (SELECT 1 FROM dual) AS one
     FROM (
@@ -981,9 +985,9 @@ _ORACLE_COMPAT_SQL = """
       MINUS
       SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
       WHERE o_orderkey >= 200
+      ORDER BY k
     ) t
     WHERE ROWNUM <= 15
-    ORDER BY k
 """
 
 

@@ -59,8 +59,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_distance(a: Column, b: Column) -> Column:
-    """`<=>` — 1 - cos(a,b) (vector.cpp, sql:182)."""
-    return F.lit(1.0) - dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """`<=>` — 1 - cos(a,b) (vector.cpp, sql:182).
+
+    A zero vector yields NaN (as the reference's C division does), NOT
+    NULL: Spark's non-ANSI 0/0 is NULL, which sorts FIRST under the
+    default ascending order and would rank zero vectors at the top of
+    every cosine kNN; NaN sorts last in both Spark and PG float order."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        F.lit(1.0) - dot_product(a, b) / denom
+    )
 
 
 def l1_distance(a: Column, b: Column) -> Column:

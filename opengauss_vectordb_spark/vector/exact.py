@@ -42,7 +42,10 @@ def knn(
     dist_fn = DISTANCES[metric]
     dist = dist_fn(as_double(F.col(vec_col)), _query_literal(qvec))
     out = df.filter(F.col(vec_col).isNotNull()).withColumn(dist_alias, dist)
-    order = [F.col(dist_alias).asc()]
+    # nulls_last guards the ordering even if a distance degenerates to
+    # NULL (e.g. null array elements): default ASC is NULLS FIRST, which
+    # would rank broken rows as nearest
+    order = [F.col(dist_alias).asc_nulls_last()]
     if id_col:
         order.append(F.col(id_col).asc())
     return out.orderBy(*order).limit(k)
@@ -79,7 +82,9 @@ def knn_join(
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         dist_alias, dist_fn(F.col("_qv"), F.col("_cv"))
     )
-    w = W.partitionBy(query_id).orderBy(F.col(dist_alias).asc(), F.col(cand_id).asc())
+    w = W.partitionBy(query_id).orderBy(
+        F.col(dist_alias).asc_nulls_last(), F.col(cand_id).asc()
+    )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -57,10 +57,23 @@ def append_to_index(
 
 def compact(spark: SparkSession, index: IvfIndex, target_partitions: int = 1) -> None:
     """Vacuum analogue: rewrite the data layout to fold per-append small
-    files into target_partitions files per list (read → coalesce →
-    overwrite via a staging path for atomicity on object stores)."""
+    files into target_partitions files per list.
+
+    Swap order is crash-safe: write staged → move current aside → move
+    staged in → delete the old copy. A crash at any point leaves either
+    the old or the new layout in place (never a window with NO data
+    directory, which rmtree-then-rename had). LOCAL-FILESYSTEM-ONLY:
+    os.rename does not span filesystems or object stores; on s3://hdfs://
+    run the same sequence through the Hadoop FileSystem API (object-store
+    renames are copies, so prefer a manifest/table format there)."""
     data_path = os.path.join(index.path, "data")
     staged = data_path + ".compacting"
+    old = data_path + ".old"
+    import shutil
+
+    for leftover in (staged, old):  # clear debris from a prior crash
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     df = spark.read.parquet(data_path)
     (
         df.repartition("list_id")
@@ -68,10 +81,9 @@ def compact(spark: SparkSession, index: IvfIndex, target_partitions: int = 1) ->
         .partitionBy("list_id")
         .parquet(staged)
     )
-    import shutil
-
-    shutil.rmtree(data_path)
+    os.rename(data_path, old)
     os.rename(staged, data_path)
+    shutil.rmtree(old)
 
 
 def rebuild(

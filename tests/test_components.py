@@ -353,9 +353,10 @@ def test_sql_compat_translate():
 
     assert translate("SELECT 1 FROM dual").strip() == "SELECT 1"
     assert translate("SELECT * FROM t WHERE ROWNUM <= 5").endswith("LIMIT 5")
-    # strict < becomes n-1; AND-tail keeps the preceding predicate
+    # strict < becomes n-1; with ORDER BY in the block, Oracle assigns
+    # ROWNUM first, so the rewrite limits in a derived table THEN sorts
     out = translate("SELECT * FROM t WHERE x = 1 AND ROWNUM < 10 ORDER BY x")
-    assert out.endswith("ORDER BY x LIMIT 9") and "WHERE x = 1" in out
+    assert out == "SELECT * FROM (SELECT * FROM t WHERE x = 1 LIMIT 9) ORDER BY x"
     assert "current_timestamp()" in translate("SELECT sysdate")
     # untouched passthrough: mid-query rownum-free SQL
     q = "SELECT a FROM t WHERE b > 2 ORDER BY a"

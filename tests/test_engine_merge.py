@@ -88,3 +88,33 @@ def test_merge_into(spark):
         )
     )
     assert [r[0] for r in out3] == [1, 3, 4]
+
+
+def test_merge_into_null_target_key_kept(spark):
+    """A target row with a NULL join key never matches, but it is a real
+    target row and must survive the merge unchanged (execMerge.cpp keeps
+    unmatched target rows) — not be misread as a source-only insert."""
+    from opengauss_vectordb_spark.operators.merge import merge_into, upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (None, "nullkey", 99.0)], "id INT, s STRING, v DOUBLE"
+    )
+    source = spark.createDataFrame([(1, "A", 100.0)], "id INT, s STRING, v DOUBLE")
+
+    out = sorted(
+        map(tuple, upsert(target, source, ["id"]).collect()),
+        key=lambda r: (r[0] is None, r),
+    )
+    assert out == [(1, "A", 100.0), (None, "nullkey", 99.0)]
+
+    # and with inserts disabled the null-key row must not be dropped
+    out2 = sorted(
+        map(
+            tuple,
+            merge_into(
+                target, source, ["id"], when_not_matched_insert=False
+            ).collect(),
+        ),
+        key=lambda r: (r[0] is None, r),
+    )
+    assert out2 == [(1, "A", 100.0), (None, "nullkey", 99.0)]

@@ -69,10 +69,24 @@ def test_distances_match_numpy(spark, pairs):
         assert r.nip == pytest.approx(float(-np.dot(a, b)), abs=1e-9, rel=1e-9)
         assert r.l1 == pytest.approx(float(np.abs(a - b).sum()), abs=1e-9, rel=1e-9)
         na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
-        if na > 1e-12 and nb > 1e-12:
+        if na > 0.0 and nb > 0.0:
             want = 1.0 - float(np.dot(a, b)) / (na * nb)
             assert r.cos == pytest.approx(want, abs=1e-9)
         else:
-            # zero vector: reference returns NaN-ish undefined; we emit
-            # NULL/NaN — just require it is not a finite wrong number
-            assert r.cos is None or not math.isfinite(r.cos) or abs(r.cos - 1.0) < 2.0
+            # zero vector: NaN exactly (the reference's C division), so
+            # the row sorts LAST in kNN — never NULL, which sorts first
+            assert r.cos is not None and math.isnan(r.cos)
+
+
+def test_cosine_zero_vector_ranks_last(spark):
+    """A zero vector must never surface at the top of cosine kNN
+    (vector.cpp computes NaN, which PG float order sorts last)."""
+    from opengauss_vectordb_spark.vector.exact import knn
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "id INT, v ARRAY<DOUBLE>",
+    )
+    got = knn(df, "v", [1.0, 0.0], k=4, metric="cosine", id_col="id").collect()
+    assert [r.id for r in got] == [1, 2, 3, 0]
+    assert math.isnan(got[-1].distance)
