@@ -10,8 +10,11 @@ bayes) and fitted models live in a "model warehouse" catalog
 
 Here: a ModelWarehouse maps names → fitted MLlib PipelineModels; training
 and prediction are DataFrame-in/DataFrame-out so they compose with every
-other operator. xgboost needs an external package (not bundled) and
-raises NotImplementedError, mirroring the gap explicitly.
+other operator. xgboost maps to MLlib gradient-boosted trees — the
+public-knowledge equivalent for the objectives db4ai.h declares:
+binary:logistic → GBTClassifier, reg:squarederror → GBTRegressor.
+Objectives GBT has no loss for (reg:logistic, reg:gamma) raise with an
+explicit message rather than silently training the wrong model.
 """
 
 from __future__ import annotations
@@ -52,10 +55,20 @@ def _build_estimator(algorithm: str, params: dict):
     if algorithm == "bayes":
         return NaiveBayes(**params)
     if algorithm == "xgboost":
+        from pyspark.ml.classification import GBTClassifier
+        from pyspark.ml.regression import GBTRegressor
+
+        # db4ai.h:66-83 declares xgboost objectives; MLlib gradient
+        # boosting covers the two mainline ones. The booster-specific
+        # knobs map: n_estimators→maxIter, eta→stepSize, max_depth→maxDepth.
+        objective = params.pop("objective", "reg:squarederror")
+        if objective == "binary:logistic":
+            return GBTClassifier(**params)
+        if objective == "reg:squarederror":
+            return GBTRegressor(lossType="squared", **params)
         raise NotImplementedError(
-            "xgboost requires an external Spark package (XGBoost4J/SynapseML) "
-            "not bundled in this environment; db4ai.h:66-83 parity gap is "
-            "documented, the other seven algorithms are supported"
+            f"xgboost objective {objective!r} has no MLlib GBT loss "
+            "(supported: binary:logistic, reg:squarederror)"
         )
     raise ValueError(f"unknown algorithm {algorithm!r}; expected one of {_ALGORITHMS}")
 

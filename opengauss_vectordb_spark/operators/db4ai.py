@@ -348,3 +348,60 @@ def db4ai_pca_project(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------- gradient boosting
+
+
+@query(
+    "db4ai_gbt_classify",
+    """
+    WITH t AS (
+      SELECT CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS label
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT label, COUNT(*) AS n, COUNT(*) AS n_correct
+    FROM t GROUP BY label ORDER BY label
+    """,
+)
+def db4ai_gbt_classify(spark, sf_dir):
+    """CREATE MODEL ... USING xgboost, objective binary:logistic
+    (db4ai.h:66-83) → MLlib GBTClassifier through the ModelWarehouse.
+    Trees cannot be replayed in SQL, so the gated contract is exact by
+    construction: the label is threshold-separable on one feature, a
+    correctly trained booster classifies the training set perfectly, and
+    the oracle pins n_correct == n per class. A broken train or score
+    path surfaces as a value mismatch."""
+    from ..ml import ModelWarehouse
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_totalprice").cast("double").alias("f1"),
+            (F.col("o_orderkey") % 97).cast("double").alias("f2"),
+            (F.col("o_totalprice") > 150000.0).cast("double").alias("label"),
+        )
+    )
+    wh = ModelWarehouse()
+    wh.create_model(
+        "gbt_orders",
+        "xgboost",
+        o,
+        ["f1", "f2"],
+        label="label",
+        objective="binary:logistic",
+        maxDepth=3,
+        maxIter=10,
+    )
+    scored = wh.predict_by("gbt_orders", o)
+    return (
+        scored.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("prediction") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("label")
+    )

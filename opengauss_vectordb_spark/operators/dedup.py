@@ -143,9 +143,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# Document-frequency cap on shingles: a shingle occurring in f docs emits
+# O(f²) pairs in the shingle equi-join, so one boilerplate-hot shingle at
+# corpus scale is a job-killer. Dropping shingles with df > cap (from the
+# numerator AND the per-doc set sizes — the MinHashLSH-standard mitigation)
+# bounds the per-shingle fanout. 1000 never binds at test SFs, so parity
+# exercises the cap plumbing without changing small-data results.
+SHINGLE_DF_CAP = 1000
+
+
 @query(
     "dedup_ngram_jaccard",
-    r"""
+    rf"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
       FROM documents
@@ -154,8 +163,16 @@ def dedup_minhash_lsh(spark, sf_dir):
              list_distinct(list_transform(range(1, len(w) - 1),
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       FROM t WHERE len(w) >= 3
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), freq AS (
+      SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY shingle
+    ), ex AS (
+      SELECT e.doc_id, e.shingle FROM ex0 e
+      JOIN freq f ON f.shingle = e.shingle
+      WHERE f.df <= {SHINGLE_DF_CAP}
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -163,18 +180,29 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     SELECT c.id_a, c.id_b,
            ROUND(c.n_common * 1.0
-                 / (len(sa.s) + len(sb.s) - c.n_common), 6) AS jaccard
+                 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
     FROM common c
-    JOIN sh sa ON sa.doc_id = c.id_a
-    JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE c.n_common * 1.0 / (len(sa.s) + len(sb.s) - c.n_common) >= 0.5
+    JOIN sz sa ON sa.doc_id = c.id_a
+    JOIN sz sb ON sb.doc_id = c.id_b
+    WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
     ORDER BY id_a, id_b
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over a df-capped shingle universe. This is
+    the ORACLE-OF-RECORD form: even capped, the shingle self-join is
+    quadratic in per-shingle document frequency, so at corpus scale run
+    the LSH-gated pipeline (dedup_lsh_verified) and reserve this for
+    validation samples."""
     d = table(spark, sf_dir, "documents")
-    # distinct (doc, shingle) stream; sizes = |shingle set| per doc
-    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    # distinct (doc, shingle) stream, df-capped; sizes over the capped set
+    ex0 = shingle_stream(d).dropDuplicates(["doc_id", "shingle"])
+    freq = ex0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ex = (
+        ex0.join(freq.filter(F.col("df") <= SHINGLE_DF_CAP), "shingle")
+        .select("doc_id", "shingle")
+        .cache()
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
@@ -183,14 +211,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # per-doc size tables are unbounded (one row per document) — no
+    # broadcast hints; AQE broadcasts them only when actually small
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * F.lit(1.0) / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -202,12 +232,26 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
     """Resolve duplicate pairs into keep/drop clusters: iterative
     min-label propagation (small-fixpoint union-find; each iteration is
     one shuffle on the pair edges). Returns (doc_id, cluster_id) where
-    cluster_id = min doc_id of the duplicate group."""
+    cluster_id = min doc_id of the duplicate group.
+
+    Each iteration CHECKPOINTS its label table (localCheckpoint →
+    eagerly materialized, lineage truncated to a leaf RDD): the labels
+    plan feeds the next round TWICE (neighbor-min build + outer join),
+    so an unmaterialized loop doubles the logical plan every iteration —
+    O(2^k) analyzer/planner work that OOMs long before the data does —
+    and the convergence-check action would re-execute the whole chain.
+    With the checkpoint, plan depth is constant per iteration (pinned in
+    test_plan_quality) and each round computes only its own delta. On a
+    cluster, swap localCheckpoint for checkpoint() with a reliable
+    checkpoint dir if executor loss during the loop must be survivable."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
     )
-    labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    labels = ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -222,8 +266,9 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint()
         )
-        if (
+        changed = (
             new_labels.alias("n")
             .join(
                 labels.alias("o"),
@@ -232,11 +277,11 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
             )
             .limit(1)
             .count()
-            == 0
-        ):
-            labels = new_labels
-            break
+        )
         labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
     return labels
 
 
@@ -297,9 +342,10 @@ def dedup_lsh_verified(spark, sf_dir):
     then ONLY those pairs get exact n-gram Jaccard verification —
     replacing the all-pairs shingle join with a candidate-gated one.
 
-    Shape: the candidate table is tiny (pairs sharing a band signature),
-    so it broadcasts into the two shingle-stream joins; the wide work
-    stays the two linear passes (signature build, shingle explode)."""
+    Shape: the wide work is the two linear passes (signature build,
+    shingle explode); the candidate table is usually far smaller, but on
+    a duplicate-heavy corpus it is NOT bounded, so no broadcast is
+    forced — AQE broadcasts it only when its runtime size qualifies."""
     d = table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     a = sigs.select(F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
@@ -320,8 +366,7 @@ def dedup_lsh_verified(spark, sf_dir):
         F.col("doc_id").alias("_idb"), F.col("shingle").alias("_shb")
     )
     common = (
-        F.broadcast(cand)
-        .join(ea, "id_a")
+        cand.join(ea, "id_a")
         .join(
             eb,
             (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("_shb")),
@@ -335,8 +380,8 @@ def dedup_lsh_verified(spark, sf_dir):
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")

@@ -339,3 +339,47 @@ def copy_fixed_format_roundtrip(spark, sf_dir):
         F.substring("line", 27, 10).cast("date").alias("odate"),
         F.length("line").alias("line_len"),
     ).orderBy("k")
+
+
+@query(
+    "copy_binary_roundtrip",
+    """
+    SELECT o_orderkey AS k,
+           o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(38 + length(o_orderstatus) AS BIGINT) AS row_bytes
+    FROM orders WHERE o_orderkey < 50 ORDER BY k
+    """,
+)
+def copy_binary_roundtrip(spark, sf_dir):
+    """COPY ... (FORMAT binary) both directions (copy.cpp:1614-1620; the
+    PGCOPY wire layout): encode an orders slice into binary COPY streams,
+    parse them back, and emit the tuples plus each tuple's encoded byte
+    count. The oracle re-derives the rows from the base table and the
+    byte count from the wire layout arithmetic (2-byte field count +
+    4-byte length headers + 8/1-or-n/8/4 payload bytes), so both the
+    value fidelity AND the stream framing are hash-certified."""
+    from ..sources.readers import pg_binary_decode, pg_binary_encode
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+    )
+    decoded = pg_binary_decode(
+        pg_binary_encode(rows),
+        "k BIGINT, status STRING, price DOUBLE, odate DATE",
+    )
+    return decoded.select(
+        "k",
+        "status",
+        "price",
+        "odate",
+        F.col("_row_bytes").cast("bigint").alias("row_bytes"),
+    ).orderBy("k")

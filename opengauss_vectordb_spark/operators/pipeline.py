@@ -178,9 +178,11 @@ def _jaccard_pairs(spark, sf_dir):
     jac = F.col("n_common") * F.lit(1.0) / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
+    # sizes are per-doc aggregates (unbounded at corpus scale): no forced
+    # broadcast — AQE picks the strategy from runtime sizes
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b")
     )

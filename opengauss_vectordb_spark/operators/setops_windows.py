@@ -1005,6 +1005,66 @@ def connect_by_hierarchy(spark, sf_dir):
     return r.unionAll(level2).select("label", "lvl", "path").orderBy("lvl", "label")
 
 
+@query(
+    "connect_by_path_funcs",
+    """
+    WITH l1 AS (
+      SELECT r_regionkey AS nodekey, r_name AS label, 1 AS lvl,
+             '/' || r_name AS path, r_name AS root
+      FROM region
+    ), l2 AS (
+      SELECT n.n_nationkey AS nodekey, n.n_name AS label, 2 AS lvl,
+             h.path || '/' || n.n_name AS path, h.root AS root
+      FROM nation n JOIN l1 h ON n.n_regionkey = h.nodekey
+    ), l3 AS (
+      SELECT s.s_suppkey AS nodekey, s.s_name AS label, 3 AS lvl,
+             h.path || '/' || s.s_name AS path, h.root AS root
+      FROM supplier s JOIN l2 h ON s.s_nationkey = h.nodekey
+      WHERE s.s_suppkey < 40
+    ), h AS (
+      SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+    )
+    SELECT label, lvl, path, root FROM h ORDER BY path
+    """,
+)
+def connect_by_path_funcs(spark, sf_dir):
+    """START WITH / CONNECT BY path functions (parse_startwith.cpp):
+    SYS_CONNECT_BY_PATH(label, '/') accumulates the root-to-node path
+    and CONNECT_BY_ROOT carries the anchor row's value down the walk —
+    both are just columns threaded through the iterative level join, the
+    same shape nodeStartWithOp.cpp materializes per pseudo-column. Walk:
+    region → nation → supplier (3 levels)."""
+    r = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("nodekey"),
+        F.col("r_name").alias("label"),
+        F.lit(1).alias("lvl"),
+        F.concat(F.lit("/"), F.col("r_name")).alias("path"),
+        F.col("r_name").alias("root"),
+    )
+    n = table(spark, sf_dir, "nation")
+    l2 = n.join(r, n.n_regionkey == r.nodekey).select(
+        F.col("n_nationkey").alias("nodekey"),
+        F.col("n_name").alias("label"),
+        F.lit(2).alias("lvl"),
+        F.concat(F.col("path"), F.lit("/"), F.col("n_name")).alias("path"),
+        F.col("root"),
+    )
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 40)
+    l3 = s.join(l2, s.s_nationkey == l2.nodekey).select(
+        F.col("s_suppkey").alias("nodekey"),
+        F.col("s_name").alias("label"),
+        F.lit(3).alias("lvl"),
+        F.concat(F.col("path"), F.lit("/"), F.col("s_name")).alias("path"),
+        F.col("root"),
+    )
+    return (
+        r.unionAll(l2)
+        .unionAll(l3)
+        .select("label", "lvl", "path", "root")
+        .orderBy("path")
+    )
+
+
 # --- approx count distinct (hll_function.cpp:560,590) — rows-only check ---
 
 

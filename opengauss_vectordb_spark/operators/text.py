@@ -330,3 +330,150 @@ def fts_match_rank(spark, sf_dir):
         .orderBy(F.desc("rank"), "doc_id")
         .limit(100)
     )
+
+
+def ts_lexemes(text: Column) -> Column:
+    """to_tsvector's lexeme array: lowercase, punctuation-split tokens
+    (adt/tsvector.cpp reduced to the token model)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")), " "
+    )
+
+
+def ts_phrase_match(ts: Column, first: str, second: str) -> Column:
+    """tsquery followed-by `first <-> second` (tsquery.cpp phrase
+    operator, distance 1): some position p holds `first` with `second`
+    at p+1. zip_with against the 1-shifted array keeps the scan linear
+    and JVM-side."""
+    shifted = F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0)))
+    # zip_with pads the shorter side with NULL; coalesce keeps exists()
+    # two-valued (NULL-padded tail pairs are non-matches, not unknowns)
+    return F.exists(
+        F.zip_with(
+            ts,
+            shifted,
+            lambda x, y: F.coalesce(
+                (x == F.lit(first)) & (y == F.lit(second)), F.lit(False)
+            ),
+        ),
+        lambda b: b,
+    )
+
+
+@query(
+    "fts_rank_cd",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                          ' ') AS ts
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, ts[i] AS term
+      FROM toks CROSS JOIN unnest(range(1, len(ts) + 1)) AS r(i)
+      WHERE ts[i] IN ('table', 'scan')
+    ), cov AS (
+      SELECT doc_id, pos, term,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+      FROM pos
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_covers,
+           ROUND(CAST(SUM(CAST(1.0 / (npos - pos + 1) AS DECIMAL(18,6)))
+                      AS DOUBLE), 6) AS rank_cd
+    FROM cov
+    WHERE nterm IS NOT NULL AND nterm <> term
+    GROUP BY doc_id
+    ORDER BY rank_cd DESC, doc_id
+    LIMIT 100
+    """,
+)
+def fts_rank_cd(spark, sf_dir):
+    """ts_rank_cd — cover-density ranking (tsrank.cpp calc_rank_cd,
+    Clarke et al. reduced to the token model): a minimal cover of the
+    two-term query is a pair of ADJACENT occurrences of different terms
+    in the merged position list (any occurrence in between would shrink
+    the window), and each cover contributes 1/width. Relational shape:
+    posexplode → filter to query terms → one window lead() per doc →
+    decimal-sum of cover scores; the shuffle carries only query-term
+    positions, so density ranking scales to a 100 TB corpus."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    ts = ts_lexemes(F.col("text"))
+    pos = (
+        d.select("doc_id", F.posexplode(ts).alias("_p0", "term"))
+        .filter(F.col("term").isin("table", "scan"))
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"), "term")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cov = pos.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.lead("term").over(w).alias("nterm"),
+        F.lead("pos").over(w).alias("npos"),
+    )
+    score = (F.lit(1.0) / (F.col("npos") - F.col("pos") + 1)).cast(
+        "decimal(18,6)"
+    )
+    return (
+        cov.filter(F.col("nterm").isNotNull() & (F.col("nterm") != F.col("term")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_covers"),
+            F.round(F.sum(score).cast("double"), 6).alias("rank_cd"),
+        )
+        .orderBy(F.desc("rank_cd"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "fts_bool_phrase",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                          ' ') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           (list_contains(ts, 'table') OR list_contains(ts, 'join'))
+             AS m_or,
+           ((list_contains(ts, 'table') OR list_contains(ts, 'join'))
+            AND NOT list_contains(ts, 'slow')) AS m_or_not,
+           (len(list_filter(range(1, len(ts)),
+                            i -> ts[i] = 'hash' AND ts[i+1] = 'join')) > 0)
+             AS m_phrase
+    FROM toks
+    WHERE (list_contains(ts, 'table') OR list_contains(ts, 'join'))
+       OR (len(list_filter(range(1, len(ts)),
+                           i -> ts[i] = 'hash' AND ts[i+1] = 'join')) > 0)
+    ORDER BY doc_id
+    """,
+)
+def fts_bool_phrase(spark, sf_dir):
+    """tsquery beyond AND (tsquery.cpp operators): OR (`table | join`),
+    NOT (`& !slow`), and the followed-by phrase operator
+    (`hash <-> join`, distance 1). OR/NOT reduce to array_contains
+    compositions; phrase matches the 1-shifted lexeme array — all
+    codegen-able predicates over one corpus scan."""
+    d = table(spark, sf_dir, "documents")
+    ts_col = ts_lexemes(F.col("text"))
+    t = d.select("doc_id", ts_col.alias("ts"))
+    ts = F.col("ts")
+    m_or = F.array_contains(ts, "table") | F.array_contains(ts, "join")
+    m_or_not = m_or & ~F.array_contains(ts, "slow")
+    m_phrase = ts_phrase_match(ts, "hash", "join")
+    return (
+        t.select(
+            "doc_id",
+            m_or.alias("m_or"),
+            m_or_not.alias("m_or_not"),
+            m_phrase.alias("m_phrase"),
+        )
+        .filter(F.col("m_or") | F.col("m_phrase"))
+        .orderBy("doc_id")
+    )

@@ -87,6 +87,179 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
     df.write.mode(mode).option("header", header).csv(path)
 
 
+# --------------------------------------------------------------- binary
+# COPY ... (FORMAT binary) — the PG binary COPY wire format
+# (copy.cpp:1614-1620 format list; the on-wire layout is the public
+# PostgreSQL spec): 11-byte signature 'PGCOPY\n\377\r\n\0', int32 flags,
+# int32 header-extension length; per tuple an int16 field count then per
+# field int32 byte length (-1 = NULL) + payload (network byte order);
+# int16 -1 trailer. Supported field types here: int4, int8, float8, text
+# (utf-8), date (int4 days since 2000-01-01 — the PG binary date epoch).
+
+_PGCOPY_SIG = b"PGCOPY\n\377\r\n\0"
+_PG_DATE_EPOCH_ORD = 730120  # datetime.date(2000, 1, 1).toordinal()
+
+
+def _pg_bin_field_builders(schema: T.StructType):
+    import struct
+    from datetime import date
+
+    builders = []
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, T.IntegerType):
+            builders.append(lambda v: struct.pack(">i", int(v)))
+        elif isinstance(t, T.LongType):
+            builders.append(lambda v: struct.pack(">q", int(v)))
+        elif isinstance(t, T.DoubleType):
+            builders.append(lambda v: struct.pack(">d", float(v)))
+        elif isinstance(t, T.StringType):
+            builders.append(lambda v: str(v).encode("utf-8"))
+        elif isinstance(t, T.DateType):
+            builders.append(
+                lambda v: struct.pack(
+                    ">i",
+                    (v if isinstance(v, date) else v.date()).toordinal()
+                    - _PG_DATE_EPOCH_ORD,
+                )
+            )
+        else:
+            raise TypeError(
+                f"COPY BINARY: unsupported field type {t} for {f.name!r}"
+            )
+    return builders
+
+
+def pg_binary_encode(df: DataFrame) -> DataFrame:
+    """COPY TO (FORMAT binary): each input partition becomes ONE row
+    holding a complete PGCOPY stream (binary COPY has no in-stream row
+    delimiter, so a stream is the unit of parallelism — mirroring one
+    COPY file per worker). Arrow-batched; the per-field packers run once
+    per value, not per byte."""
+    import struct
+
+    schema = df.schema
+    builders = _pg_bin_field_builders(schema)
+    nf = struct.pack(">h", len(builders))
+
+    def encode(batches):
+        import pandas as pd
+
+        chunks = [_PGCOPY_SIG + struct.pack(">ii", 0, 0)]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                parts = [nf]
+                for v, build in zip(row, builders):
+                    if v is None or (isinstance(v, float) and v != v):
+                        parts.append(struct.pack(">i", -1))
+                    else:
+                        payload = build(v)
+                        parts.append(struct.pack(">i", len(payload)) + payload)
+                chunks.append(b"".join(parts))
+        chunks.append(struct.pack(">h", -1))
+        yield pd.DataFrame({"stream": [b"".join(chunks)]})
+
+    return df.mapInPandas(encode, "stream BINARY")
+
+
+def pg_binary_decode(streams: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """COPY FROM (FORMAT binary): parse PGCOPY streams (one per row of
+    ``streams.stream``) back into typed rows plus a `_row_bytes`
+    bookkeeping column (encoded size of each tuple). File-granular
+    parallelism: each stream parses independently on its executor."""
+    import struct
+    from datetime import date, timedelta
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_row_bytes", T.IntegerType())]
+    )
+    types = [f.dataType for f in schema.fields]
+
+    def parse_field(t, payload):
+        if isinstance(t, T.IntegerType):
+            return struct.unpack(">i", payload)[0]
+        if isinstance(t, T.LongType):
+            return struct.unpack(">q", payload)[0]
+        if isinstance(t, T.DoubleType):
+            return struct.unpack(">d", payload)[0]
+        if isinstance(t, T.StringType):
+            return payload.decode("utf-8")
+        if isinstance(t, T.DateType):
+            return date(2000, 1, 1) + timedelta(
+                days=struct.unpack(">i", payload)[0]
+            )
+        raise TypeError(f"COPY BINARY: unsupported field type {t}")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for stream in pdf["stream"]:
+                buf = bytes(stream)
+                if buf[:11] != _PGCOPY_SIG:
+                    raise ValueError("not a PGCOPY binary stream")
+                off = 11
+                flags, extlen = struct.unpack_from(">ii", buf, off)
+                off += 8 + extlen
+                while True:
+                    (nfields,) = struct.unpack_from(">h", buf, off)
+                    if nfields == -1:
+                        break
+                    start = off
+                    off += 2
+                    vals = []
+                    for t in types:
+                        (flen,) = struct.unpack_from(">i", buf, off)
+                        off += 4
+                        if flen == -1:
+                            vals.append(None)
+                        else:
+                            vals.append(parse_field(t, buf[off : off + flen]))
+                            off += flen
+                    vals.append(off - start)
+                    rows.append(vals)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return streams.mapInPandas(decode, out_schema)
+
+
+def write_pg_binary(df: DataFrame, path: str) -> None:
+    """COPY TO (FORMAT binary) sink: one .bin stream file per partition.
+    LOCAL-FILESYSTEM-ONLY (executor-side open(); on a cluster point this
+    at shared storage or swap in the Hadoop FileSystem API)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    encoded = pg_binary_encode(df)
+
+    def save(rows):
+        import uuid
+
+        for r in rows:
+            with open(
+                os.path.join(path, f"part-{uuid.uuid4().hex}.bin"), "wb"
+            ) as fh:
+                fh.write(bytes(r.stream))
+
+    encoded.foreachPartition(save)
+
+
+def read_pg_binary(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """COPY FROM (FORMAT binary) source: binaryFile scan (one task per
+    stream file) → Arrow-batched PGCOPY parse."""
+    raw = spark.read.format("binaryFile").load(
+        path + "/*.bin" if "*" not in path else path
+    )
+    return pg_binary_decode(
+        raw.select(F.col("content").alias("stream")), schema
+    ).drop("_row_bytes")
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ):

@@ -33,7 +33,6 @@ HNSW is deliberately NOT rebuilt as a graph: greedy pointer-chasing
 
 from __future__ import annotations
 
-import math
 import os
 from collections.abc import Sequence
 
@@ -238,14 +237,6 @@ class IvfIndex:
         return idx
 
     # ---------------------------------------------------------------- load
-    def _centroids(self, spark: SparkSession) -> list[tuple[int, list[float]]]:
-        rows = (
-            spark.read.parquet(os.path.join(self.path, "centroids"))
-            .orderBy("list_id")
-            .collect()
-        )
-        return [(r.list_id, list(r.centroid)) for r in rows]
-
     def data(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "data"))
 
@@ -254,23 +245,19 @@ class IvfIndex:
         self, spark: SparkSession, qvec: Sequence[float], probes: int
     ) -> list[int]:
         """Rank centroids by distance to the query (ivfscan.cpp:31-100's
-        pairing heap, done driver-side: `lists` ≤ 32768 rows is tiny)."""
-        q = [float(x) for x in qvec]
-
-        def dist(c: list[float]) -> float:
-            if self.metric == "l2":
-                return math.sqrt(sum((a - b) * (a - b) for a, b in zip(c, q)))
-            if self.metric == "l1":
-                return sum(abs(a - b) for a, b in zip(c, q))
-            dot = sum(a * b for a, b in zip(c, q))
-            if self.metric == "ip":
-                return -dot
-            nc = math.sqrt(sum(a * a for a in c)) or 1e-12
-            nq = math.sqrt(sum(a * a for a in q)) or 1e-12
-            return 1.0 - dot / (nc * nq)
-
-        ranked = sorted(self._centroids(spark), key=lambda t: (dist(t[1]), t[0]))
-        return [lid for lid, _ in ranked[:probes]]
+        pairing heap) with the same JVM distance kernels as knn_join —
+        only the `probes` winning list ids come back to the driver (they
+        must: they parameterize the partition-pruning filter). No
+        per-element Python loop even at the 32768-list maximum."""
+        cents = spark.read.parquet(os.path.join(self.path, "centroids"))
+        dist_fn = DISTANCES[self.metric]
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        ranked = (
+            cents.select("list_id", dist_fn(F.col("centroid"), q).alias("_d"))
+            .orderBy(F.col("_d").asc_nulls_last(), F.col("list_id").asc())
+            .limit(probes)
+        )
+        return [r.list_id for r in ranked.collect()]
 
     def search(
         self,

@@ -39,8 +39,29 @@ def test_model_warehouse_lifecycle(spark):
     assert wh.list_models() == ["clf"]
     with pytest.raises(KeyError):
         wh.predict_by("lr", df)
+    # xgboost objectives map onto MLlib gradient boosting (db4ai.h:66-83)
+    wh.create_model(
+        "xg_clf", "xgboost", df, features=["x", "y"], label="cls",
+        objective="binary:logistic", maxDepth=3, maxIter=5,
+    )
+    clf_pred = wh.predict_by("xg_clf", df)
+    assert {r.prediction for r in clf_pred.collect()} <= {0.0, 1.0}
+    wh.create_model(
+        "xg_reg", "xgboost", df, features=["x"], label="y",
+        # default objective reg:squarederror; eta/step 0.5 so 20 rounds
+        # close the (1-step)^rounds residual on the wide y range
+        maxDepth=5, maxIter=20, stepSize=0.5,
+    )
+    reg_pred = wh.predict_by("xg_reg", df).select("x", "prediction").collect()
+    # y ≈ 2x+1 piecewise-fit: mid-range predictions must track the trend
+    mid = [r for r in reg_pred if 20 <= r.x <= 80]
+    assert all(abs(r.prediction - (2 * r.x + 1)) < 10.0 for r in mid)
+    # an objective with no GBT loss must refuse, not train the wrong model
     with pytest.raises(NotImplementedError):
-        wh.create_model("xg", "xgboost", df, features=["x"], label="cls")
+        wh.create_model(
+            "xg_bad", "xgboost", df, features=["x"], label="y",
+            objective="reg:gamma",
+        )
 
 
 def test_linreg_ols_matches_mllib(spark):
@@ -292,6 +313,30 @@ def test_multimodal_feature_pipeline(spark):
     # deterministic: same payload → same feature
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_copy_binary_file_roundtrip(spark, tmp_path):
+    """COPY TO/FROM (FORMAT binary): the PGCOPY streams written per
+    partition must parse back to the exact input rows, NULLs included."""
+    import datetime
+
+    from opengauss_vectordb_spark.sources.readers import (
+        read_pg_binary,
+        write_pg_binary,
+    )
+
+    rows = [
+        (1, "alpha", 1.5, datetime.date(2024, 1, 2)),
+        (2, None, float("inf"), datetime.date(1999, 12, 31)),
+        (3, "gamma", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k BIGINT, s STRING, x DOUBLE, d DATE"
+    ).coalesce(2)
+    out = str(tmp_path / "pgbin")
+    write_pg_binary(df, out)
+    back = read_pg_binary(spark, out, "k BIGINT, s STRING, x DOUBLE, d DATE")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
 
 
 def test_multimodal_unknown_modality_errors(spark):

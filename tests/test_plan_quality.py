@@ -229,3 +229,54 @@ def test_new_queries_stay_jvm_side(spark):
     for name in ["range_types_overlap", "json_build_each"]:
         df = QUERIES[name](spark, SF_CORRECT)
         assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
+
+
+def test_connected_components_plan_depth_constant(spark):
+    """The min-label-propagation loop persists each iteration's labels:
+    the returned plan must read the LAST iteration's in-memory relation,
+    not a join chain proportional to iteration count — the lineage
+    blowup that kills deep fixpoints at scale."""
+    from opengauss_vectordb_spark.operators.dedup import (
+        connected_components_dedup,
+    )
+
+    # a path graph 0-1-2-...-9 needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a BIGINT, id_b BIGINT"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id BIGINT")
+    labels = connected_components_dedup(pairs, ids, max_iter=15)
+    assert {r.cluster_id for r in labels.collect()} == {0}
+    plan = physical_plan(labels)
+    # constant depth: the final labels are a materialized leaf (the
+    # localCheckpoint RDD), not a 15-round join chain
+    assert "ExistingRDD" in plan or "Scan" in plan, plan
+    assert len(plan.splitlines()) < 15, plan
+
+
+def test_ivf_probe_selection_is_jvm_side(spark, tmp_path):
+    """Centroid ranking for single-query search must use the JVM distance
+    kernels (no per-element Python loop over up to 32768 centroids)."""
+    import numpy as np
+
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+
+    rng = np.random.default_rng(11)
+    vecs = rng.random((400, 4)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    idx = IvfIndex.build(df, "v", str(tmp_path / "idx"), lists=8, max_iter=10)
+    got = idx._probe_lists(spark, [0.5, 0.5, 0.5, 0.5], probes=3)
+    assert len(got) == 3 and len(set(got)) == 3
+    # ground truth via numpy over the stored centroids
+    cents = (
+        spark.read.parquet(str(tmp_path / "idx" / "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    q = np.array([0.5, 0.5, 0.5, 0.5])
+    d = {r.list_id: float(np.linalg.norm(np.array(r.centroid) - q)) for r in cents}
+    want = [lid for lid, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:3]]
+    assert got == want
