@@ -42,6 +42,16 @@ HEADLINE = [
     "db4ai_linreg_ols",
     "corpus_curation_pipeline",
     "bucketed_join_colocated",
+    # round-2 additions (existing entries above are frozen so BENCH_rN
+    # totals stay comparable on the shared prefix): the newly-gated
+    # vector surface + new round-2 operators
+    "ivf_knn_join_full",
+    "knn_binary_rerank",
+    "sparsevec_dot_topk",
+    "knn_hamming_binary",
+    "dedup_cluster_resolve",
+    "fts_rank_cd",
+    "multimodal_feature_stats",
 ]
 
 

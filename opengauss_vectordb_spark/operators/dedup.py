@@ -194,12 +194,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     quadratic in per-shingle document frequency, so at corpus scale run
     the LSH-gated pipeline (dedup_lsh_verified) and reserve this for
     validation samples."""
+    from pyspark.sql import Window as W
+
     d = table(spark, sf_dir, "documents")
-    # distinct (doc, shingle) stream, df-capped; sizes over the capped set
+    # distinct (doc, shingle) stream, df-capped; sizes over the capped
+    # set. The df filter is a window count over the shingle partition —
+    # ONE shuffle on the shingle key, instead of a groupBy + join that
+    # would scan the stream twice
     ex0 = shingle_stream(d).dropDuplicates(["doc_id", "shingle"])
-    freq = ex0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ex = (
-        ex0.join(freq.filter(F.col("df") <= SHINGLE_DF_CAP), "shingle")
+        ex0.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
         .select("doc_id", "shingle")
         .cache()
     )
@@ -223,6 +228,107 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .join(sb, "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), nib AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             list_transform(range(1, 17),
+               p -> list_sum(list_transform(w,
+                      tok -> strpos('0123456789abcdef', md5(tok)[p:p]) - 1)))
+               AS nibble_sums
+      FROM t
+    ), sh AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 17),
+                    p -> CASE WHEN nibble_sums[p] * 2 >= 15 * n_tokens
+                              THEN CAST(2 AS BIGINT) ** (p - 1) ELSE 0 END))
+                  AS BIGINT) AS simhash16
+      FROM nib
+    ), bands AS (
+      SELECT doc_id, simhash16, b AS band,
+             (simhash16 >> (4 * b)) & 15 AS nibble
+      FROM sh CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash16 AS h_a,
+                      c.doc_id AS id_b, c.simhash16 AS h_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.nibble = c.nibble AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pair generation — the banded-candidate form
+    (Charikar SimHash + the Manku/Jain/Sarma banding trick): split the
+    16-bit fingerprint into 4 nibble bands; any shared (band, nibble)
+    makes a candidate pair (a hamming-≤k pair MUST agree on ≥1 band when
+    k < bands), verified by exact XOR popcount ≤ 1 (16 bits saturate
+    on a shared-vocabulary corpus, so the verify bar is tight). The join is on short
+    integer keys — never on text — and candidate cardinality is bounded
+    by band-bucket occupancy, the same near-linear shape as MinHash-LSH.
+    """
+    from .text import simhash_table
+
+    sh = simhash_table(spark, sf_dir).cache()
+    bands = sh.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash16"), 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("nibble"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bn"),
+    ).select(
+        "doc_id",
+        "simhash16",
+        F.col("_bn.band").alias("band"),
+        F.col("_bn.nibble").alias("nibble"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash16").alias("h_a"),
+        "band",
+        "nibble",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash16").alias("h_b"),
+        F.col("band").alias("band_b"),
+        F.col("nibble").alias("nibble_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.nibble == b.nibble_b)
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "h_a", "id_b", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.filter(hamming <= 1)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
 

@@ -304,3 +304,91 @@ def corpus_curation_pipeline(spark, sf_dir):
         )
         .orderBy("split", "source")
     )
+
+
+@query(
+    "sample_cluster_balanced",
+    """
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), d AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, 9),
+               i -> (e[i] - ([0.15,0.15,0.15,0.15,-0.15,-0.15,-0.15,-0.15])[i])
+                  * (e[i] - ([0.15,0.15,0.15,0.15,-0.15,-0.15,-0.15,-0.15])[i]))) AS d0,
+             list_sum(list_transform(range(1, 9),
+               i -> (e[i] - ([-0.15,-0.15,-0.15,-0.15,0.15,0.15,0.15,0.15])[i])
+                  * (e[i] - ([-0.15,-0.15,-0.15,-0.15,0.15,0.15,0.15,0.15])[i]))) AS d1,
+             list_sum(list_transform(range(1, 9),
+               i -> (e[i] - ([0.15,-0.15,0.15,-0.15,0.15,-0.15,0.15,-0.15])[i])
+                  * (e[i] - ([0.15,-0.15,0.15,-0.15,0.15,-0.15,0.15,-0.15])[i]))) AS d2,
+             list_sum(list_transform(range(1, 9),
+               i -> e[i] * e[i])) AS d3
+      FROM t
+    ), a AS (
+      SELECT vec_id,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                  WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster
+      FROM d
+    ), ranked AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM a
+    )
+    SELECT cluster, vec_id, rn FROM ranked WHERE rn <= 25
+    ORDER BY cluster, rn
+    """,
+)
+def sample_cluster_balanced(spark, sf_dir):
+    """Embedding-aware curation: cluster-balanced quota sampling — assign
+    each embedding to its nearest centroid (the PREDICT BY kmeans step,
+    first 8 dims against the db4ai warehouse centroids), then draw a
+    deterministic hash-ordered quota of 25 PER CLUSTER. This is the
+    diversity-preserving sampler a training-data pipeline uses instead
+    of uniform sampling, which over-draws dense regions of embedding
+    space. Same scale shape as stratified_sample_quota: one shuffle on
+    the cluster key, per-partition window sort, no global sort."""
+    from pyspark.sql import Window as W
+
+    from .db4ai import _CENTROIDS
+
+    e8 = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", e8.alias("e"))
+    )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(x) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(_CENTROIDS)
+    ]
+    d = emb.select("vec_id", *dists)
+    d0, d1, d2, d3 = (F.col(f"d{i}") for i in range(4))
+    cluster = (
+        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), 0)
+        .when((d1 <= d2) & (d1 <= d3), 1)
+        .when(d2 <= d3, 2)
+        .otherwise(3)
+    )
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    return (
+        d.select("vec_id", cluster.alias("cluster"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("cluster", "vec_id", "rn")
+        .orderBy("cluster", "rn")
+    )

@@ -238,6 +238,12 @@ def text_simhash(spark, sf_dir):
     # p's weight is the nibble value (0-15); the fingerprint bit is set
     # when the mean nibble exceeds 7.5. Near-duplicate docs (sharing most
     # tokens) land within small Hamming distance of each other.
+    return simhash_table(spark, sf_dir).orderBy("doc_id")
+
+
+def simhash_table(spark, sf_dir):
+    """(doc_id, simhash16) for every document — the fingerprint feed for
+    both the gated simhash query and the banded near-dup join."""
     d = table(spark, sf_dir, "documents")
     w = tokens(F.lower(F.col("text")))
     # relational formulation: explode tokens, hash each token ONCE, read
@@ -267,9 +273,7 @@ def text_simhash(spark, sf_dir):
             F.col(f"_s{p}") * 2 >= 15 * F.col("_n_tok"), F.lit(2 ** (p - 1))
         ).otherwise(0)
         simhash = bit if simhash is None else simhash + bit
-    return agg.select("doc_id", simhash.cast("long").alias("simhash16")).orderBy(
-        "doc_id"
-    )
+    return agg.select("doc_id", simhash.cast("long").alias("simhash16"))
 
 
 # --- full-text match + rank (tsvector/tsquery/ts_rank reduced to the
@@ -358,6 +362,83 @@ def ts_phrase_match(ts: Column, first: str, second: str) -> Column:
         ),
         lambda b: b,
     )
+
+
+def to_tsquery(ts: Column, querytext: str) -> Column:
+    """Compile a tsquery string (tsquery.cpp grammar: terms, `&`, `|`,
+    `!`, parentheses, and the `<->` followed-by operator between plain
+    terms) into a boolean Column over a lexeme array. Precedence matches
+    PG: ! binds tightest, then <->, then &, then |.
+
+    The result is a pure Catalyst predicate — `to_tsvector(text) @@
+    to_tsquery('a & !b | c <-> d')` stays whole-stage codegen'd."""
+    import re
+
+    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+", querytext.lower())
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"tsquery {querytext!r}: unexpected end")
+        t = toks[pos]
+        if expected is not None and t != expected:
+            raise ValueError(f"tsquery {querytext!r}: expected {expected!r}, got {t!r}")
+        pos += 1
+        return t
+
+    def parse_or():
+        left = parse_and()
+        while peek() == "|":
+            take()
+            left = left | parse_and()
+        return left
+
+    def parse_and():
+        left = parse_phrase()
+        while peek() == "&":
+            take()
+            left = left & parse_phrase()
+        return left
+
+    def parse_phrase():
+        # phrase operands must be plain terms — position algebra over
+        # arbitrary subexpressions needs full position-set evaluation,
+        # which the token model deliberately does not carry
+        if peek() not in ("!", "(") and peek() is not None and peek() not in ("&", "|", ")"):
+            first = toks[pos]
+            if pos + 1 < len(toks) and toks[pos + 1] == "<->":
+                take()  # first term
+                take("<->")
+                second = take()
+                if second in ("&", "|", "!", "(", ")", "<->"):
+                    raise ValueError(
+                        f"tsquery {querytext!r}: <-> needs plain terms"
+                    )
+                return ts_phrase_match(ts, first, second)
+        return parse_not()
+
+    def parse_not():
+        if peek() == "!":
+            take()
+            return ~parse_not()
+        if peek() == "(":
+            take()
+            inner = parse_or()
+            take(")")
+            return inner
+        term = take()
+        if term in ("&", "|", ")", "<->"):
+            raise ValueError(f"tsquery {querytext!r}: unexpected {term!r}")
+        return F.array_contains(ts, term)
+
+    result = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"tsquery {querytext!r}: trailing tokens {toks[pos:]}")
+    return result
 
 
 @query(

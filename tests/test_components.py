@@ -315,6 +315,39 @@ def test_multimodal_feature_pipeline(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
+def test_to_tsquery_compiler(spark):
+    """tsquery string grammar → Column predicate: &, |, !, parens, <->
+    with PG precedence, checked against hand-built row expectations."""
+    import pytest as _pytest
+
+    from opengauss_vectordb_spark.operators.text import to_tsquery, ts_lexemes
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick fox jumps"),
+            (3, "lazy dog sleeps"),
+            (4, "brown dog barks"),
+            (5, "fox quick reorder"),
+        ],
+        "id INT, text STRING",
+    ).select("id", ts_lexemes(F.col("text")).alias("ts"))
+
+    def ids(q):
+        return sorted(r.id for r in df.filter(to_tsquery(F.col("ts"), q)).collect())
+
+    assert ids("quick & fox") == [1, 2, 5]
+    assert ids("dog | fox") == [1, 2, 3, 4, 5]
+    assert ids("dog & !lazy") == [4]
+    assert ids("(quick | lazy) & !jumps") == [1, 3, 5]
+    assert ids("quick <-> fox") == [2]          # adjacency, not just AND
+    assert ids("quick <-> fox | lazy <-> dog") == [2, 3]
+    with _pytest.raises(ValueError):
+        to_tsquery(F.col("ts"), "quick &")
+    with _pytest.raises(ValueError):
+        to_tsquery(F.col("ts"), "a <-> (b & c)")
+
+
 def test_copy_binary_file_roundtrip(spark, tmp_path):
     """COPY TO/FROM (FORMAT binary): the PGCOPY streams written per
     partition must parse back to the exact input rows, NULLs included."""
