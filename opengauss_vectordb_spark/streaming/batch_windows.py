@@ -199,3 +199,71 @@ def events_funnel(spark, sf_dir):
             F.when(both & (F.col("purchased") == 1), 1).otherwise(0)
         ).alias("full_funnel"),
     )
+
+
+_JOIN_WINDOW_S = 3600  # right event within [left.ts, left.ts + 1 h]
+
+
+@query(
+    "events_interval_join",
+    f"""
+    SELECT a.event_id AS click_id,
+           b.event_id AS error_id,
+           a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL '{_JOIN_WINDOW_S} seconds'
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    ORDER BY click_id, error_id
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Interval join — the batch form of the stream-stream time-bounded
+    join (each click paired with same-user errors in the following
+    hour; Structured Streaming runs the identical predicate with
+    watermark-bounded state). Scale shape: a naive range-only join plans
+    a BroadcastNestedLoop/cartesian; instead each side maps to
+    window-width time BINS (the right side to its bin and the preceding one, since a
+    window starting at t can span two bins) and the join is an EQUI-join
+    on (user_id, bin) with the exact range as a residual filter — the
+    same bucketing Spark's own streaming interval join keys its state
+    by. test_plan_quality pins the plan free of nested-loop joins."""
+    ev = table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ (unix_micros only takes TIMESTAMP); an NTZ
+    # epoch diff is pure arithmetic and timezone-proof
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    bin_ = (us / F.lit(_JOIN_WINDOW_S * 1_000_000)).cast("long")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            us.alias("a_us"),
+            bin_.alias("bin"),
+        )
+    )
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("b_user"),
+            us.alias("b_us"),
+            F.explode(F.array(bin_, bin_ - 1)).alias("bin"),
+        )
+    )
+    return (
+        a.join(b, (a.user_id == b.b_user) & (a.bin == b.bin))
+        .filter(
+            (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") < F.col("a_us") + _JOIN_WINDOW_S * 1_000_000)
+        )
+        .select(
+            "click_id",
+            "error_id",
+            "user_id",
+            (F.col("b_us") - F.col("a_us")).alias("delta_us"),
+        )
+        .orderBy("click_id", "error_id")
+    )

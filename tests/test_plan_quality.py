@@ -231,6 +231,16 @@ def test_new_queries_stay_jvm_side(spark):
         assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
 
 
+def test_interval_join_is_equi_join(spark):
+    """The time-bounded event join must plan as an equi-join on
+    (user, bin) — a range-only join would be a nested-loop/cartesian,
+    which is the O(n²) shape that cannot run at corpus scale."""
+    df = QUERIES["events_interval_join"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert python_eval_nodes(df) == 0
+
+
 def test_connected_components_plan_depth_constant(spark):
     """The min-label-propagation loop persists each iteration's labels:
     the returned plan must read the LAST iteration's in-memory relation,
