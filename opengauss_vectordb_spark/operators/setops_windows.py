@@ -684,7 +684,8 @@ def json_funcs(spark, sf_dir):
     """
     SELECT o_orderkey,
            ROUND(abs(o_totalprice - 100000.0), 2) AS dist_from_100k,
-           CEIL(o_totalprice) AS ceiled, FLOOR(o_totalprice) AS floored,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS ceiled,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floored,
            ROUND(o_totalprice, -2) AS to_hundreds,
            ROUND(sqrt(o_totalprice), 6) AS sqrt_price,
            ROUND(ln(o_totalprice), 6) AS ln_price,

@@ -110,6 +110,36 @@ def write_time_partitioned(stream_df: DataFrame, path: str, checkpoint: str):
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-bounded join: each left event pairs with
+    same-user right events in [left.ts, left.ts + window]. Watermarks on
+    BOTH sides bound the join state (Spark retains only rows that can
+    still match — the time condition plus watermark defines the state
+    eviction horizon). This is the streaming runtime of the
+    `events_interval_join` batch query: same predicate, same results,
+    which is what lets the batch DuckDB oracle stand in for the
+    streaming path."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"""l.user_id = r.user_id
+                AND r.ts >= l.ts
+                AND r.ts < l.ts + INTERVAL {window}"""
+        ),
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str = "ts",
                  delay: str = "1 hour") -> DataFrame:
     """Streaming exact dedup within a watermark — the ingest-time side of

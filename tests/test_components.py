@@ -142,6 +142,57 @@ def test_streaming_tumbling_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream time-bounded join (watermarked state) must produce
+    the identical pair set as the batch events_interval_join predicate —
+    the guarantee that lets the batch DuckDB oracle certify the
+    streaming runtime."""
+    import shutil
+
+    from opengauss_vectordb_spark.catalog import table
+    from opengauss_vectordb_spark.streaming.events import (
+        interval_join_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    try:
+        ev = table(spark, SF_CORRECT, "events")
+        ev.write.mode("overwrite").json(tmp)
+        stream = read_event_stream(spark, tmp, fmt="json")
+        left = stream.filter(F.col("event_type") == "click")
+        right = stream.filter(F.col("event_type") == "error")
+        q = run_to_memory(
+            interval_join_stream(left, right, window="1 hour"), "t_ij"
+        )
+        got = {
+            (r.left_id, r.right_id)
+            for r in spark.sql("SELECT * FROM t_ij").collect()
+        }
+        a = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("lid"), F.col("user_id").alias("lu"),
+            F.col("ts").alias("lts"),
+        )
+        b = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("rid"), F.col("user_id").alias("ru"),
+            F.col("ts").alias("rts"),
+        )
+        expect = {
+            (r.lid, r.rid)
+            for r in a.join(
+                b,
+                (F.col("lu") == F.col("ru"))
+                & (F.col("rts") >= F.col("lts"))
+                & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 1 HOUR")),
+            ).collect()
+        }
+        assert got == expect and expect
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_session_windows(spark):
     import shutil
 
