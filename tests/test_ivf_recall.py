@@ -174,6 +174,40 @@ def test_recall_128d_inner_product(spark, hi_dim_setup):
     assert _recall_metric(spark, df, idx, queries, 10, "ip") >= 0.97
 
 
+def test_pq_rerank_recall_128d(spark, hi_dim_setup):
+    """PQ coarse-ADC + exact rerank must hold recall@10 ≥ 0.9 on the
+    128-d clustered corpus while scanning 32×-compressed codes (M=16
+    4-bit-codebook subspaces over 128 dims → 16 bytes vs 512)."""
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+    from opengauss_vectordb_spark.vector.pq import PqCodebooks, pq_search
+
+    df, queries = hi_dim_setup
+    books = PqCodebooks.fit(df, "v", m=32, k=16)
+    codes = df.withColumn("pq_codes", books.encode_udf()(F.col("v"))).cache()
+    hits = total = 0
+    # rerank must exceed cluster occupancy (~200 here): ADC separates
+    # clusters sharply but ranks coarsely INSIDE one, so the shortlist
+    # has to cover the query's cluster for the exact rerank to finish
+    for q in queries[:8]:
+        qv = [float(x) for x in q]
+        truth = {
+            r.id
+            for r in exact_knn(df, "v", qv, k=10, metric="l2", id_col="id").collect()
+        }
+        got = {
+            r.id
+            for r in pq_search(
+                codes, books, qv, vec_col="v", k=10, rerank=300, id_col="id"
+            ).collect()
+        }
+        hits += len(truth & got)
+        total += len(truth)
+    codes.unpersist()
+    assert hits / total >= 0.9
+
+
 def test_point_lookup_recall_at_1(spark, ivf_setup):
     """Self-lookup recall@1 = 1.00 at probes=1 (BASELINE.md row 8;
     t/005_ivfflat_query_recall.pl:31-42): querying an indexed vector with
