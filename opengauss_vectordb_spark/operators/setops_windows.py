@@ -351,6 +351,52 @@ def agg_percentiles(spark, sf_dir):
 
 
 @query(
+    "agg_approx_percentiles",
+    """
+    WITH ex AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+             quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+             quantile_cont(l_extendedprice, 0.1) AS exact_p10
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, exact_p50, exact_p90,
+           TRUE AS p50_in_envelope, TRUE AS p90_in_envelope,
+           TRUE AS p10_in_envelope
+    FROM ex ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentiles(spark, sf_dir):
+    """approx_percentile — the sketch-based quantile the 100 TB path uses
+    (one pass, mergeable state, no per-group sort; Spark's
+    Greenwald-Khanna vs the reference's exact ordered-set aggregate
+    percentile_cont, orderedsetaggs.cpp:222). Sketch internals are
+    engine-specific, so — like the HLL gate — the compared values are
+    the EXACT quantiles plus booleans asserting each approx estimate
+    landed within 5% relative error of exact (deterministic: the sketch
+    is a pure merge-order-insensitive function of the input multiset at
+    a fixed accuracy parameter)."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+        F.percentile("l_extendedprice", 0.1).alias("exact_p10"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_a90"),
+        F.percentile_approx("l_extendedprice", 0.1, 10000).alias("_a10"),
+    )
+    within = lambda a, e: F.abs(a - e) <= 0.05 * F.abs(e)  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p90",
+        within(F.col("_a50"), F.col("exact_p50")).alias("p50_in_envelope"),
+        within(F.col("_a90"), F.col("exact_p90")).alias("p90_in_envelope"),
+        within(F.col("_a10"), F.col("exact_p10")).alias("p10_in_envelope"),
+    ).orderBy("l_returnflag")
+
+
+@query(
     "agg_mode_percentile_disc",
     """
     WITH c AS (
