@@ -357,7 +357,7 @@ def db4ai_pca_project(spark, sf_dir):
     "db4ai_gbt_classify",
     """
     WITH t AS (
-      SELECT CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS label
+      SELECT CASE WHEN o_orderkey % 8 >= 4 THEN 1 ELSE 0 END AS label
       FROM orders WHERE o_orderkey < 2000
     )
     SELECT label, COUNT(*) AS n, COUNT(*) AS n_correct
@@ -368,19 +368,23 @@ def db4ai_gbt_classify(spark, sf_dir):
     """CREATE MODEL ... USING xgboost, objective binary:logistic
     (db4ai.h:66-83) → MLlib GBTClassifier through the ModelWarehouse.
     Trees cannot be replayed in SQL, so the gated contract is exact by
-    construction: the label is threshold-separable on one feature, a
-    correctly trained booster classifies the training set perfectly, and
-    the oracle pins n_correct == n per class. A broken train or score
-    path surfaces as a value mismatch."""
+    construction: the label is a threshold on a feature with only 8
+    DISTINCT values — fewer than GBT's default 32 histogram bins, so the
+    split is exactly representable at any scale factor (a threshold on a
+    continuous feature is NOT: maxBins buckets can straddle it and leave
+    mixed-label bins the booster cannot separate). A correctly trained
+    booster therefore classifies the training set perfectly and the
+    oracle pins n_correct == n per class; a broken train or score path
+    surfaces as a value mismatch."""
     from ..ml import ModelWarehouse
 
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 2000)
         .select(
-            F.col("o_totalprice").cast("double").alias("f1"),
-            (F.col("o_orderkey") % 97).cast("double").alias("f2"),
-            (F.col("o_totalprice") > 150000.0).cast("double").alias("label"),
+            (F.col("o_orderkey") % 8).cast("double").alias("f1"),
+            F.col("o_totalprice").cast("double").alias("f2"),
+            ((F.col("o_orderkey") % 8) >= 4).cast("double").alias("label"),
         )
     )
     wh = ModelWarehouse()

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from .db4ai import _CENTROIDS, _sql_sqdist
 from .dedup import connected_components_dedup
 from .text import tokens
 
@@ -308,23 +309,16 @@ def corpus_curation_pipeline(spark, sf_dir):
 
 @query(
     "sample_cluster_balanced",
-    """
+    f"""
     WITH t AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings WHERE embedding IS NOT NULL
     ), d AS (
       SELECT vec_id,
-             list_sum(list_transform(range(1, 9),
-               i -> (e[i] - ([0.15,0.15,0.15,0.15,-0.15,-0.15,-0.15,-0.15])[i])
-                  * (e[i] - ([0.15,0.15,0.15,0.15,-0.15,-0.15,-0.15,-0.15])[i]))) AS d0,
-             list_sum(list_transform(range(1, 9),
-               i -> (e[i] - ([-0.15,-0.15,-0.15,-0.15,0.15,0.15,0.15,0.15])[i])
-                  * (e[i] - ([-0.15,-0.15,-0.15,-0.15,0.15,0.15,0.15,0.15])[i]))) AS d1,
-             list_sum(list_transform(range(1, 9),
-               i -> (e[i] - ([0.15,-0.15,0.15,-0.15,0.15,-0.15,0.15,-0.15])[i])
-                  * (e[i] - ([0.15,-0.15,0.15,-0.15,0.15,-0.15,0.15,-0.15])[i]))) AS d2,
-             list_sum(list_transform(range(1, 9),
-               i -> e[i] * e[i])) AS d3
+             {_sql_sqdist('e', _CENTROIDS[0])} AS d0,
+             {_sql_sqdist('e', _CENTROIDS[1])} AS d1,
+             {_sql_sqdist('e', _CENTROIDS[2])} AS d2,
+             {_sql_sqdist('e', _CENTROIDS[3])} AS d3
       FROM t
     ), a AS (
       SELECT vec_id,
@@ -353,8 +347,6 @@ def sample_cluster_balanced(spark, sf_dir):
     space. Same scale shape as stratified_sample_quota: one shuffle on
     the cluster key, per-partition window sort, no global sort."""
     from pyspark.sql import Window as W
-
-    from .db4ai import _CENTROIDS
 
     e8 = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
     emb = (

@@ -134,8 +134,11 @@ def pg_binary_encode(df: DataFrame) -> DataFrame:
     """COPY TO (FORMAT binary): each input partition becomes ONE row
     holding a complete PGCOPY stream (binary COPY has no in-stream row
     delimiter, so a stream is the unit of parallelism — mirroring one
-    COPY file per worker). Arrow-batched; the per-field packers run once
-    per value, not per byte."""
+    COPY file per worker). Arrow-batched via mapInArrow — NOT pandas,
+    whose float columns collapse NaN and NULL into one sentinel: Arrow
+    carries an explicit validity mask, so a genuine NaN double encodes
+    as a normal 8-byte float8 payload (as real PG COPY BINARY does) and
+    only true NULLs get the -1 length marker."""
     import struct
 
     schema = df.schema
@@ -143,30 +146,36 @@ def pg_binary_encode(df: DataFrame) -> DataFrame:
     nf = struct.pack(">h", len(builders))
 
     def encode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         chunks = [_PGCOPY_SIG + struct.pack(">ii", 0, 0)]
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
+        for batch in batches:
+            # to_pylist: Arrow null → None, NaN → float('nan') — distinct
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            for row in zip(*cols):
                 parts = [nf]
                 for v, build in zip(row, builders):
-                    if v is None or (isinstance(v, float) and v != v):
+                    if v is None:
                         parts.append(struct.pack(">i", -1))
                     else:
                         payload = build(v)
                         parts.append(struct.pack(">i", len(payload)) + payload)
                 chunks.append(b"".join(parts))
         chunks.append(struct.pack(">h", -1))
-        yield pd.DataFrame({"stream": [b"".join(chunks)]})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([b"".join(chunks)], type=pa.binary())], names=["stream"]
+        )
 
-    return df.mapInPandas(encode, "stream BINARY")
+    return df.mapInArrow(encode, "stream BINARY")
 
 
 def pg_binary_decode(streams: DataFrame, schema: T.StructType | str) -> DataFrame:
     """COPY FROM (FORMAT binary): parse PGCOPY streams (one per row of
     ``streams.stream``) back into typed rows plus a `_row_bytes`
     bookkeeping column (encoded size of each tuple). File-granular
-    parallelism: each stream parses independently on its executor."""
+    parallelism: each stream parses independently on its executor.
+    Arrow output (mapInArrow) so decoded NaN doubles stay NaN values —
+    a pandas float column would silently turn them into NULLs."""
     import struct
     from datetime import date, timedelta
 
@@ -192,12 +201,27 @@ def pg_binary_decode(streams: DataFrame, schema: T.StructType | str) -> DataFram
             )
         raise TypeError(f"COPY BINARY: unsupported field type {t}")
 
-    def decode(batches):
-        import pandas as pd
+    def _pa_type(t):
+        import pyarrow as pa
 
-        for pdf in batches:
+        if isinstance(t, T.IntegerType):
+            return pa.int32()
+        if isinstance(t, T.LongType):
+            return pa.int64()
+        if isinstance(t, T.DoubleType):
+            return pa.float64()
+        if isinstance(t, T.StringType):
+            return pa.string()
+        if isinstance(t, T.DateType):
+            return pa.date32()
+        raise TypeError(f"COPY BINARY: unsupported field type {t}")
+
+    def decode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
             rows = []
-            for stream in pdf["stream"]:
+            for stream in batch.column(0).to_pylist():
                 buf = bytes(stream)
                 if buf[:11] != _PGCOPY_SIG:
                     raise ValueError("not a PGCOPY binary stream")
@@ -221,9 +245,19 @@ def pg_binary_decode(streams: DataFrame, schema: T.StructType | str) -> DataFram
                             off += flen
                     vals.append(off - start)
                     rows.append(vals)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            arrays = [
+                # from_pandas=False (default): None → null, NaN → value
+                pa.array([r[i] for r in rows], type=_pa_type(t))
+                for i, t in enumerate(types)
+            ]
+            arrays.append(
+                pa.array([r[-1] for r in rows], type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_schema.fields]
+            )
 
-    return streams.mapInPandas(decode, out_schema)
+    return streams.mapInArrow(decode, out_schema)
 
 
 def write_pg_binary(df: DataFrame, path: str) -> None:

@@ -234,7 +234,10 @@ def events_interval_join(spark, sf_dir):
     # ts is TIMESTAMP_NTZ (unix_micros only takes TIMESTAMP); an NTZ
     # epoch diff is pure arithmetic and timezone-proof
     us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-    bin_ = (us / F.lit(_JOIN_WINDOW_S * 1_000_000)).cast("long")
+    # floor, NOT a truncating cast: pre-1970 timestamps have negative
+    # epochs, and truncation toward zero would mis-bin them (dropping
+    # pairs the range predicate matches)
+    bin_ = F.floor(us / F.lit(_JOIN_WINDOW_S * 1_000_000)).cast("long")
     a = (
         ev.filter(F.col("event_type") == "click")
         .select(

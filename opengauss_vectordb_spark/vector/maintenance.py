@@ -71,7 +71,18 @@ def compact(spark: SparkSession, index: IvfIndex, target_partitions: int = 1) ->
     old = data_path + ".old"
     import shutil
 
-    for leftover in (staged, old):  # clear debris from a prior crash
+    if not os.path.exists(data_path):
+        # a prior run crashed BETWEEN the two renames: data/ is gone but
+        # both surviving copies are complete (staged finished writing
+        # before any rename started). Restore — never delete — preferring
+        # the newer staged layout.
+        if os.path.exists(staged):
+            os.rename(staged, data_path)
+        elif os.path.exists(old):
+            os.rename(old, data_path)
+        else:
+            raise FileNotFoundError(f"index has no data directory: {data_path}")
+    for leftover in (staged, old):  # debris with data/ intact IS safe to drop
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
     df = spark.read.parquet(data_path)

@@ -460,8 +460,9 @@ def knn_l2_halfvec(spark, sf_dir):
 # IVF ANN through the driver gate: with probes = lists the probed search
 # is exhaustive and must EQUAL the exact scan (ivfscan.cpp degenerate
 # case; the t/003 probes=lists recall=1.0 row of BASELINE.md) — so it
-# shares the exact-knn oracle. The probed variant (probes=2 of 16) is the
-# real ANN path, rows-only checked here, recall-gated in pytest.
+# shares the exact-knn oracle. The probed variant (probes=4 of 16) is the
+# real ANN path, gated on its property contract (count / distance
+# exactness / recall floor), recall-gated precisely in pytest.
 # --------------------------------------------------------------------------
 _IVF_LISTS = 16
 
@@ -519,7 +520,7 @@ def ivf_search_exhaustive(spark, sf_dir):
     """,
 )
 def ivf_search_probed(spark, sf_dir):
-    """The real ANN path (probes=2 of 16). Which rows surface depends on
+    """The real ANN path (probes=4 of 16). Which rows surface depends on
     the learned centroids, so the gated contract is the property set a
     SQL oracle CAN pin: the search returns exactly k rows, every reported
     distance equals the true L2 distance recomputed from the base table,

@@ -366,6 +366,38 @@ def test_multimodal_feature_pipeline(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """A crash between compact()'s two renames leaves no data/ but two
+    complete copies (old + staged); the next compact must RESTORE one,
+    never delete both."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+    from opengauss_vectordb_spark.vector.maintenance import compact
+
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng.random((200, 3)))],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    path = str(tmp_path / "idx")
+    idx = IvfIndex.build(df, "v", path, lists=4, max_iter=5)
+    n = idx.data(spark).count()
+    data = os.path.join(path, "data")
+    # simulate the crash window: staged written, data renamed aside,
+    # second rename never happened
+    shutil.copytree(data, data + ".compacting")
+    os.rename(data, data + ".old")
+    compact(spark, idx)
+    assert os.path.exists(data)
+    assert not os.path.exists(data + ".old")
+    assert not os.path.exists(data + ".compacting")
+    assert idx.data(spark).count() == n
+
+
 def test_to_tsquery_compiler(spark):
     """tsquery string grammar → Column predicate: &, |, !, parens, <->
     with PG precedence, checked against hand-built row expectations."""
@@ -413,6 +445,7 @@ def test_copy_binary_file_roundtrip(spark, tmp_path):
         (1, "alpha", 1.5, datetime.date(2024, 1, 2)),
         (2, None, float("inf"), datetime.date(1999, 12, 31)),
         (3, "gamma", None, None),
+        (4, "delta", float("nan"), datetime.date(2024, 6, 1)),
     ]
     df = spark.createDataFrame(
         rows, "k BIGINT, s STRING, x DOUBLE, d DATE"
@@ -420,7 +453,15 @@ def test_copy_binary_file_roundtrip(spark, tmp_path):
     out = str(tmp_path / "pgbin")
     write_pg_binary(df, out)
     back = read_pg_binary(spark, out, "k BIGINT, s STRING, x DOUBLE, d DATE")
-    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    got = sorted(map(tuple, back.collect()))
+    # NaN is a VALUE on the wire (8-byte float8 payload), never NULL —
+    # compare it by isnan since NaN != NaN
+    import math
+
+    assert [r[0] for r in got] == [1, 2, 3, 4]
+    assert got[0] == rows[0] and got[1] == rows[1] and got[2] == rows[2]
+    assert got[3][:2] == (4, "delta") and math.isnan(got[3][2])
+    assert got[3][3] == datetime.date(2024, 6, 1)
 
 
 def test_multimodal_unknown_modality_errors(spark):
