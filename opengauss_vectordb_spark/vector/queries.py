@@ -792,9 +792,9 @@ def ivf_knn_join_full(spark, sf_dir):
       WHERE embedding IS NOT NULL
     ), h AS (
       SELECT vec_id, label, e, q,
-             list_sum(list_transform(range(1, {DIM + 1}),
+             CAST(list_sum(list_transform(range(1, {DIM + 1}),
                i -> CASE WHEN (e[i] > 0) != (q[i] > 0) THEN 1 ELSE 0 END))
-               AS hamming
+               AS BIGINT) AS hamming
       FROM t
     ), coarse AS (
       SELECT vec_id, label, e, q, hamming,
@@ -833,7 +833,7 @@ def knn_binary_rerank(spark, sf_dir):
     # row_number — a single-partition window would serialize the scan at
     # scale, the per-partition heap merge does not
     coarse = (
-        emb.withColumn("hamming", hamming)
+        emb.withColumn("hamming", hamming.cast("bigint"))
         .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
         .limit(50)
     )
