@@ -22,70 +22,74 @@ registry.load_all_queries()
 
 # The correctness gate verifies queries in registration order, so the
 # ordering below is a rotation schedule: queries that still lack a green
-# gate row go first.  Round 2 front-loads the full vector/ANN surface
-# (the product's namesake capability), window functions, aggregate
-# families, set ops, the four round-1 hash mismatches (now fixed), and
-# the formerly oracle-less registrations (now oracled), with two green
-# TPC-H sentinels for regression cover.  Everything else follows in its
-# original order and rotates forward next round.
+# gate row go first.  Rounds 1-2 gated 93 of the 136 registered queries
+# (92 green; knn_binary_rerank hash-red, since fixed with stable BIGINT
+# casts on both sides).  Round 3 front-loads the 43 never-gated queries
+# (TPC-H tail, streaming-equivalent event windows, scalar-function
+# families, recursive/hierarchical, FTS extensions, PQ rerank) plus the
+# re-gated knn_binary_rerank, with six green sentinels spanning scan/
+# agg/window/vector/dedup for regression cover.  This completes gate
+# coverage of the full registry.
 GATE_PRIORITY: list[str] = [
-    # sentinels (green in round 1)
+    # sentinels (green in rounds 1-2)
     "tpch_q1",
     "tpch_q6",
-    # round-1 hash mismatches, fixed via stable output casts
-    "money_funcs",
-    "to_number_parse",
-    "train_test_split",
-    "corpus_curation_pipeline",
-    # formerly oracle-less, now with deterministic SQL oracles
-    "multimodal_feature_stats",
-    "hll_approx_distinct",
-    "hll_union_reaggregate",
-    # vector / ANN surface (SURVEY §2.7 distance fns + §2.8 indexes)
     "knn_l2",
-    "knn_cosine",
-    "knn_inner_product",
-    "knn_l1",
-    "vector_ops",
-    "vector_avg_by_label",
-    "knn_join_exact",
-    "embedding_dup_pairs_cosine",
-    "knn_hamming_binary",
-    "knn_jaccard_binary",
-    "sparsevec_dot_topk",
-    "knn_l2_halfvec",
-    "ivf_search_exhaustive",
-    "ivf_search_probed",
-    "vector_btree_compare",
-    "vector_cast_roundtrip",
-    "knn_l2_filtered",
-    "ivf_knn_join_full",
-    "knn_binary_rerank",
-    "ivf_filtered_full",
-    # window functions (SURVEY §2.5)
+    "dedup_minhash_lsh",
     "window_topn_per_group",
-    "window_lag_lead",
-    "window_moving_frames",
-    "window_rank_dist",
-    "window_first_last_value",
-    "window_range_frame",
-    "null_ordering",
-    # aggregate families (SURVEY §2.4)
     "agg_rollup",
-    "agg_cube",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_mode_percentile_disc",
-    "agg_stddev_var",
-    "agg_min_max_by",
-    "agg_string_array",
-    "agg_bool_bit",
-    "agg_corr_covar",
-    "agg_grouping_sets",
-    # set operations (SURVEY §2.6)
-    "setop_intersect",
-    "setop_except",
-    "setop_union_distinct",
+    # round-2 hash red, fixed: hamming cast BIGINT on both sides
+    "knn_binary_rerank",
+    # TPC-H tail (SURVEY §2.3/§2.4/§2.6 joins, anti/semi, subplans)
+    "tpch_q12_adapted",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16_adapted",
+    "tpch_q17_adapted",
+    "tpch_q18_adapted",
+    "tpch_q19_adapted",
+    "tpch_q20_adapted",
+    "tpch_q21_adapted",
+    "tpch_q22_adapted",
+    # event/time windows (batch equivalents of streaming ops)
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_windows",
+    "events_funnel",
+    "events_interval_join",
+    # scalar function families (SURVEY §2.7)
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "json_funcs",
+    "json_build_each",
+    "hash_encode_funcs",
+    "conditional_funcs",
+    "sql_compat_oracle",
+    # scans / sampling / misc relational (SURVEY §2.1/§2.6)
+    "values_scan",
+    "limit_offset",
+    "sample_deterministic",
+    "sample_cluster_balanced",
+    "join_full_outer",
+    "bucketed_join_colocated",
+    "pivot_status_counts",
+    "copy_binary_roundtrip",
+    "sql_entry_q6",
+    # recursive / hierarchical (SURVEY §2.6)
+    "recursive_series",
+    "recursive_cte_native",
+    "connect_by_hierarchy",
+    "connect_by_path_funcs",
+    # full-text extensions (SURVEY §2.7)
+    "fts_rank_cd",
+    "fts_bool_phrase",
+    "dedup_simhash_pairs",
+    # ML / sketches / vector additions
+    "db4ai_gbt_classify",
+    "agg_approx_percentiles",
+    "knn_pq_rerank",
 ]
 
 

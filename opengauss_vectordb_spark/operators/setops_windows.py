@@ -743,7 +743,8 @@ def json_funcs(spark, sf_dir):
            ROUND(atan2(CAST(o_orderkey AS DOUBLE), 10.0), 6) AS atan2_k,
            ROUND(cbrt(o_totalprice), 6) AS cbrt_price,
            ROUND(exp(o_orderkey * 0.01), 6) AS exp_k,
-           factorial(CAST(o_orderkey % 10 AS INTEGER)) AS fact_mod10,
+           CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT)
+             AS fact_mod10,
            CASE WHEN o_totalprice < 0.0 THEN 0
                 WHEN o_totalprice >= 400000.0 THEN 9
                 ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
@@ -990,7 +991,8 @@ def bucketed_join_colocated(spark, sf_dir):
       UNION ALL
       SELECT start_k, k // 2, depth + 1 FROM up WHERE k > 1
     )
-    SELECT start_k, MAX(depth) AS steps_to_root, SUM(k) AS path_sum
+    SELECT start_k, MAX(depth) AS steps_to_root,
+           CAST(SUM(k) AS BIGINT) AS path_sum
     FROM up GROUP BY start_k ORDER BY start_k
     """,
 )
@@ -1009,7 +1011,8 @@ def recursive_cte_native(spark, sf_dir):
           UNION ALL
           SELECT start_k, k div 2, depth + 1 FROM up WHERE k > 1
         )
-        SELECT start_k, MAX(depth) AS steps_to_root, SUM(k) AS path_sum
+        SELECT start_k, MAX(depth) AS steps_to_root,
+           CAST(SUM(k) AS BIGINT) AS path_sum
         FROM up GROUP BY start_k ORDER BY start_k
         """
     )
@@ -1213,8 +1216,10 @@ def hll_union_reaggregate(spark, sf_dir):
     "pivot_status_counts",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
            CAST(SUM(CASE WHEN l_linestatus = 'O'
                          THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
              AS qty_O,

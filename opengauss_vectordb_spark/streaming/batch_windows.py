@@ -97,7 +97,8 @@ def events_sliding_window(spark, sf_dir):
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sessions
     GROUP BY user_id, session_id
@@ -156,11 +157,11 @@ def events_session_windows(spark, sf_dir):
       FROM sessions GROUP BY user_id, session_id
     )
     SELECT COUNT(*) AS sessions,
-           SUM(viewed) AS with_view,
-           SUM(CASE WHEN viewed = 1 AND clicked = 1 THEN 1 ELSE 0 END)
-             AS view_then_click,
-           SUM(CASE WHEN viewed = 1 AND clicked = 1 AND purchased = 1
-                    THEN 1 ELSE 0 END) AS full_funnel
+           CAST(SUM(viewed) AS BIGINT) AS with_view,
+           CAST(SUM(CASE WHEN viewed = 1 AND clicked = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS view_then_click,
+           CAST(SUM(CASE WHEN viewed = 1 AND clicked = 1 AND purchased = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
     FROM funnel
     """,
 )
