@@ -364,6 +364,10 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry a per-row changed flag through the update so convergence
+        # is a filter-scan over the checkpointed result — NOT a second
+        # shuffle join of old vs new labels (which would re-shuffle the
+        # full label table once per iteration just to answer yes/no)
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left_outer")
             .select(
@@ -371,20 +375,13 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                 < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(
-                labels.alias("o"),
-                (F.col("n.doc_id") == F.col("o.doc_id"))
-                & (F.col("n.cluster_id") != F.col("o.cluster_id")),
-            )
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).limit(1).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()
@@ -491,4 +488,89 @@ def dedup_lsh_verified(spark, sf_dir):
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
+    )
+
+
+# --- incremental (delta-vs-corpus) near-dup detection ----------------------
+
+_DELTA_SOURCES = ("src0", "src1")
+_DELTA_SQL = "('src0', 'src1')"
+
+
+@query(
+    "dedup_incremental_minhash",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source IN {_DELTA_SQL} AS is_delta,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, is_delta, md5(s) AS h1, md5(s || '#') AS h2
+      FROM (SELECT doc_id, is_delta,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM t WHERE len(w) >= 3)
+    ), mins AS (
+      SELECT doc_id, is_delta,
+             MIN(h1[1:8]) AS m0, MIN(h1[9:16]) AS m1,
+             MIN(h1[17:24]) AS m2, MIN(h1[25:32]) AS m3,
+             MIN(h2[1:8]) AS m4, MIN(h2[9:16]) AS m5,
+             MIN(h2[17:24]) AS m6, MIN(h2[25:32]) AS m7
+      FROM hs GROUP BY doc_id, is_delta
+    ), bands AS (
+      SELECT doc_id, is_delta, 0 AS band, m0 || m1 AS sig FROM mins
+      UNION ALL SELECT doc_id, is_delta, 1, m2 || m3 FROM mins
+      UNION ALL SELECT doc_id, is_delta, 2, m4 || m5 FROM mins
+      UNION ALL SELECT doc_id, is_delta, 3, m6 || m7 FROM mins
+    )
+    SELECT a.doc_id AS new_id, MIN(b.doc_id) AS dup_of
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                AND a.doc_id <> b.doc_id
+                AND (NOT b.is_delta OR b.doc_id < a.doc_id)
+    WHERE a.is_delta
+    GROUP BY a.doc_id
+    ORDER BY new_id
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental dedup: a new batch (the delta — here sources src0/
+    src1) deduplicated against the already-ingested corpus AND against
+    earlier docs of the same batch, without ever comparing corpus ×
+    corpus.
+
+    This is THE steady-state shape of a training-data pipeline: corpus
+    band signatures are a persisted table (built once, appended per
+    batch — vector/maintenance.py's append pattern); per-batch cost is
+    signature build over the delta plus a bucket join whose left side is
+    only the delta's bands. The asymmetric predicate (corpus partner: any;
+    delta partner: strictly-smaller doc_id) makes the batch idempotent —
+    re-running it yields the same keep/drop decisions. Output is each
+    duplicate new doc with its canonical partner MIN(doc_id).
+    """
+    d = table(spark, sf_dir, "documents")
+    flags = d.select(
+        "doc_id", F.col("source").isin(*_DELTA_SOURCES).alias("is_delta")
+    )
+    sigs = minhash_signatures(d).join(flags, "doc_id").cache()
+    a = sigs.filter(F.col("is_delta")).select(
+        F.col("doc_id").alias("new_id"), "band", F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("other_id"),
+        "band",
+        F.col("sig").alias("sig_b"),
+        F.col("is_delta").alias("other_delta"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band)
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("new_id") != F.col("other_id"))
+            & (~F.col("other_delta") | (F.col("other_id") < F.col("new_id"))),
+        )
+        .groupBy("new_id")
+        .agg(F.min("other_id").alias("dup_of"))
+        .orderBy("new_id")
     )

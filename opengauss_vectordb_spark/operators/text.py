@@ -558,3 +558,152 @@ def fts_bool_phrase(spark, sf_dir):
         .filter(F.col("m_or") | F.col("m_phrase"))
         .orderBy("doc_id")
     )
+
+
+# --- BM25 ranking (the IR-standard successor of ts_rank; tsrank.cpp's
+# frequency/length normalization generalized with corpus statistics) --------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("vector", "hash", "scan")
+
+
+@query(
+    "fts_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                              'g')), ' ') AS ts
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, x -> x = 'vector')) AS tf_vector,
+             len(list_filter(ts, x -> x = 'hash')) AS tf_hash,
+             len(list_filter(ts, x -> x = 'scan')) AS tf_scan
+      FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_vector,
+             CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_hash,
+             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_scan
+      FROM tf
+    )
+    SELECT doc_id,
+           ROUND(
+             ln(1 + (n_docs - df_vector + 0.5) / (df_vector + 0.5))
+               * (tf_vector * ({_BM25_K1} + 1))
+               / (tf_vector + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+             + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+               * (tf_hash * ({_BM25_K1} + 1))
+               / (tf_hash + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+             + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+               * (tf_scan * ({_BM25_K1} + 1))
+               / (tf_scan + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6) AS bm25
+    FROM tf CROSS JOIN stats
+    WHERE tf_vector + tf_hash + tf_scan > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 100
+    """,
+)
+def fts_bm25(spark, sf_dir):
+    """BM25 ranking for the query `vector hash scan` (k1=1.2, b=0.75).
+
+    Shape: ONE corpus scan computes (dl, tf_term…) per doc as pure
+    Column expressions (no explode — term frequencies come from
+    size(filter(ts, …)) on the lexeme array); a single global aggregate
+    reduces those to corpus stats (N, avgdl, df_term…), which re-enter
+    via a broadcast cross-join of one row. Per-doc scoring is then
+    scalar IEEE double arithmetic — identical in every engine — and the
+    final top-k is a TakeOrdered heap. Two passes over (doc_id, text),
+    zero wide shuffles: at 100 TB the cost is the scans, and the tf
+    pass prunes to two columns at the parquet reader.
+    """
+    d = table(spark, sf_dir, "documents")
+    ts = ts_lexemes(F.col("text"))
+    tf_term = lambda t: F.size(F.filter(ts, lambda x: x == F.lit(t)))  # noqa: E731
+    tf = d.select(
+        "doc_id",
+        F.size(ts).alias("dl"),
+        *[tf_term(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    ).cache()
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("bigint") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+
+    def term_score(t: str) -> Column:
+        tf_c, df_c = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(1 + (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5))
+        norm = tf_c + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf * (tf_c * (k1 + 1)) / norm
+
+    score = F.round(sum(term_score(t) for t in _BM25_TERMS), 6)
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+    )
+
+
+# --- corpus heavy hitters (token document-frequency top-k) -----------------
+
+
+@query(
+    "text_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                                ' ', 'g')), ' '))) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS df
+    FROM toks
+    WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to') AND tok <> ''
+    GROUP BY tok
+    ORDER BY df DESC, tok
+    LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters: top-k tokens by document frequency.
+
+    The vocabulary-discovery pass of a training pipeline (stopword
+    candidates, boilerplate detection, df-cap inputs for the dedup
+    shingle join). list_distinct BEFORE the explode keeps one row per
+    (doc, token); the groupBy count is map-side partially aggregated on
+    the token key — the shuffle carries at most |vocab| rows per
+    partition, not the corpus — and the top-k is a TakeOrdered heap,
+    never a global sort. Hot-key skew (the most common token) is only a
+    count, so AQE's skew handling is not even needed.
+    """
+    d = table(spark, sf_dir, "documents")
+    ts = ts_lexemes(F.col("text"))
+    return (
+        d.select(F.explode(F.array_distinct(ts)).alias("tok"))
+        .filter(~F.col("tok").isin(*STOPWORDS) & (F.col("tok") != ""))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(20)
+    )

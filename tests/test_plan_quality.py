@@ -290,3 +290,28 @@ def test_ivf_probe_selection_is_jvm_side(spark, tmp_path):
     d = {r.list_id: float(np.linalg.norm(np.array(r.centroid) - q)) for r in cents}
     want = [lid for lid, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:3]]
     assert got == want
+
+
+def test_bm25_single_stats_broadcast_no_python(spark):
+    # BM25 = tf scan + one-row stats aggregate re-entering via broadcast,
+    # top-k as a bounded heap; zero Python in the scoring path
+    df = QUERIES["fts_bm25"](spark, SF_CORRECT)
+    assert uses_broadcast_join(df), "corpus stats must broadcast, not shuffle"
+    assert uses_take_ordered(df)
+    assert python_eval_nodes(df) == 0
+
+
+def test_heavy_hitters_partial_agg_topk(spark):
+    df = QUERIES["text_heavy_hitters"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    # map-side partial aggregation on the token key before the shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert uses_take_ordered(df), "top-k must be a heap, not a global sort"
+    assert python_eval_nodes(df) == 0
+
+
+def test_incremental_dedup_no_python_no_cartesian(spark):
+    df = QUERIES["dedup_incremental_minhash"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert python_eval_nodes(df) == 0
+    assert "CartesianProduct" not in plan, "candidate join must be band-bucketed"
