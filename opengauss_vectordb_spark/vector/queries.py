@@ -879,3 +879,66 @@ def ivf_filtered_full(spark, sf_dir):
     return out.select(
         "vec_id", "label", F.round("distance", 4).alias("distance")
     ).orderBy("distance", "vec_id")
+
+
+@query(
+    "ivf_pq_search",
+    """
+    SELECT CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_results,
+           TRUE AS distances_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def ivf_pq_search(spark, sf_dir):
+    """IVF + PQ composed — the shape a 100 TB ANN corpus actually runs:
+    partition pruning cuts the scan to probes/lists of the data, the
+    coarse stage reads ONLY the 8-byte PQ codes of those partitions
+    (ADC lookup fold, JVM-side), and the top-100 shortlist exact-reranks
+    against float vectors to k=10. Total bytes touched ≈ (probes/lists)
+    × (1/32) of a flat float scan before the tiny rerank.
+
+    Here codes are encoded on the pruned slice at query time (test-SF
+    convenience); at ingest the IVF layout simply carries a pq_codes
+    column next to the vector (IvfIndex.build + encode_udf at write
+    time), making the coarse stage a pure column-pruned parquet read.
+
+    Gated contract is the SQL-pinnable property set (the
+    ivf_search_probed convention): exactly k rows, reported distances
+    equal true L2 recomputed from the base table, and recall@10 ≥ 0.3
+    vs the exact scan on the near-uniform synthetic embeddings (pytest
+    holds the reference's per-probe thresholds on clusterable data)."""
+    from .pq import PqCodebooks, pq_search
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    idx = _ivf_index(spark, sf_dir)
+    books = PqCodebooks.fit(emb, "embedding", m=16, k=16)
+    lists = idx._probe_lists(spark, QUERY_VEC, probes=8)
+    pruned = (
+        idx.data(spark)
+        .filter(F.col("list_id").isin(lists))
+        .dropDuplicates(["vec_id"])
+    )
+    codes = pruned.withColumn(
+        "pq_codes", books.encode_udf()(F.col("embedding"))
+    )
+    got = pq_search(codes, books, QUERY_VEC, k=10, rerank=100).select(
+        "vec_id", "distance"
+    )
+    truth = emb.select(
+        "vec_id",
+        l2_distance(as_double(F.col("embedding")), _spark_qlit()).alias("_td"),
+    )
+    exact10 = truth.orderBy(F.col("_td").asc(), F.col("vec_id").asc()).limit(10)
+    checked = got.join(truth, "vec_id").join(
+        exact10.select("vec_id", F.lit(1).alias("_hit")), "vec_id", "left"
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.max(F.abs(F.col("distance") - F.col("_td"))) < 1e-9).alias(
+            "distances_exact"
+        ),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= 3).alias("recall_ok"),
+    )
