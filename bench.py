@@ -52,6 +52,11 @@ HEADLINE = [
     "dedup_cluster_resolve",
     "fts_rank_cd",
     "multimodal_feature_stats",
+    # round-3 additions (same frozen-prefix rule)
+    "fts_bm25",
+    "text_heavy_hitters",
+    "dedup_incremental_minhash",
+    "ivf_pq_search",
 ]
 
 
