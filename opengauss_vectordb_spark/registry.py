@@ -57,5 +57,6 @@ def load_all_queries() -> None:
         setops_windows,
         text,
     )
+    from .sources import zorder  # noqa: F401
     from .streaming import batch_windows  # noqa: F401
     from .vector import queries as vector_queries  # noqa: F401

@@ -315,3 +315,28 @@ def test_incremental_dedup_no_python_no_cartesian(spark):
     plan = physical_plan(df)
     assert python_eval_nodes(df) == 0
     assert "CartesianProduct" not in plan, "candidate join must be band-bucketed"
+
+
+def test_zorder_scan_prunes_partitions(spark):
+    # the rectangle query must read a strict subset of zbuckets, with
+    # the bucket filter applied as a partition filter at the source
+    import json
+    import math
+    import os
+
+    from opengauss_vectordb_spark.sources.zorder import (
+        _zorder_layout,
+        prune_buckets,
+    )
+
+    path = _zorder_layout(spark, SF_CORRECT)
+    meta = json.load(open(os.path.join(path, "zorder_meta.json")))
+    a_lo = math.floor(meta["a_lo"] + 0.40 * (meta["a_hi"] - meta["a_lo"]))
+    a_hi = math.floor(meta["a_lo"] + 0.60 * (meta["a_hi"] - meta["a_lo"]))
+    b_lo = math.floor(meta["b_lo"] + 0.30 * (meta["b_hi"] - meta["b_lo"]))
+    b_hi = math.floor(meta["b_lo"] + 0.50 * (meta["b_hi"] - meta["b_lo"]))
+    buckets = prune_buckets(path, (a_lo, a_hi), (b_lo, b_hi))
+    assert 0 < len(buckets) < 16, f"expected strong pruning, got {len(buckets)}/64"
+    df = QUERIES["zorder_pruned_scan"](spark, SF_CORRECT)
+    assert "PartitionFilters" in physical_plan(df)
+    assert python_eval_nodes(df) == 0
