@@ -252,28 +252,30 @@ def simhash_table(spark, sf_dir):
     # interpreted in Spark — an order of magnitude slower per element) and
     # the aggregation combines map-side, so the one shuffle carries only
     # 16 ints per document.
+    # wide per-nibble column lists are built as SQL strings (selectExpr /
+    # one expr for the bit fold): pushing ~100 Column-API calls through
+    # the Python/JVM bridge costs more than executing the query at
+    # moderate SF, and the parsed plan is identical
     ex = d.select(
         "doc_id",
         F.explode(w).alias("_tok"),
     ).select("doc_id", F.md5(F.col("_tok").cast("binary")).alias("_h"))
-    nib = ex.select(
+    nib = ex.selectExpr(
         "doc_id",
         *[
-            F.conv(F.substring("_h", p, 1), 16, 10).cast("int").alias(f"_n{p}")
+            f"CAST(conv(substring(_h, {p}, 1), 16, 10) AS INT) AS _n{p}"
             for p in range(1, 17)
         ],
     )
     agg = nib.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_n_tok"),
-        *[F.sum(f"_n{p}").alias(f"_s{p}") for p in range(1, 17)],
+        *[F.expr(f"SUM(_n{p}) AS _s{p}") for p in range(1, 17)],
     )
-    simhash = None
-    for p in range(1, 17):
-        bit = F.when(
-            F.col(f"_s{p}") * 2 >= 15 * F.col("_n_tok"), F.lit(2 ** (p - 1))
-        ).otherwise(0)
-        simhash = bit if simhash is None else simhash + bit
-    return agg.select("doc_id", simhash.cast("long").alias("simhash16"))
+    fold = " + ".join(
+        f"(CASE WHEN _s{p} * 2 >= 15 * _n_tok THEN {2 ** (p - 1)}L ELSE 0L END)"
+        for p in range(1, 17)
+    )
+    return agg.selectExpr("doc_id", f"CAST({fold} AS BIGINT) AS simhash16")
 
 
 # --- full-text match + rank (tsvector/tsquery/ts_rank reduced to the

@@ -369,22 +369,34 @@ _SPARSE_T = 0.15
     """,
 )
 def sparsevec_dot_topk(spark, sf_dir):
-    from .types import sparse_dot, to_sparsevec
-
     emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     e = as_double(F.col("embedding"))
-    q = _spark_qlit()
-    # threshold-sparsify (keep |x| > t), double values so the arithmetic
-    # matches the oracle bit-for-bit
-    sparsify = lambda v: to_sparsevec(  # noqa: E731
-        F.transform(v, lambda x: F.when(F.abs(x) > _SPARSE_T, x).otherwise(0.0)),
-        value_type="double",
+    # the query vector is a CONSTANT: sparsify it driver-side once and
+    # unroll the dot product over its fixed nonzero positions — a flat
+    # codegen'd sum of element_at terms. Building sparsevec structs +
+    # a lookup map per row (to_sparsevec/sparse_dot, which remain the
+    # general two-variable-column path, exercised in test_components)
+    # costs interpreted higher-order-function evaluation per row for
+    # work the constant side already determines. Term order is ascending
+    # index, matching the oracle's list_sum fold; skipped terms are
+    # exact 0.0 contributions.
+    qnz = [(i, v) for i, v in enumerate(QUERY_VEC) if abs(v) > _SPARSE_T]
+    # build the unrolled sum as ONE SQL string → one parse call: pushing
+    # ~300 individual Column-API calls through the Python/JVM bridge
+    # costs ~10× the query's actual execution at this width
+    ed = "CAST(embedding[{i}] AS DOUBLE)"
+    sdot = F.expr(
+        " + ".join(
+            f"(CASE WHEN abs({ed.format(i=i)}) > {_SPARSE_T}"
+            f" THEN {ed.format(i=i)} * CAST({float(v)!r} AS DOUBLE)"
+            f" ELSE 0.0D END)"
+            for i, v in qnz
+        )
     )
-    se, sq = sparsify(e), sparsify(q)
+    nnz = F.size(F.filter(e, lambda x: F.abs(x) > F.lit(_SPARSE_T)))
     return (
-        emb.withColumn("_se", se)
-        .withColumn("_sdot", sparse_dot(F.col("_se"), sq))
-        .withColumn("_nnz", F.size(F.col("_se").getField("indices")))
+        emb.withColumn("_sdot", sdot)
+        .withColumn("_nnz", nnz)
         .orderBy(F.col("_sdot").desc(), F.col("vec_id").asc())
         .limit(10)
         .select(
