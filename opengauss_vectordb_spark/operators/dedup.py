@@ -55,7 +55,8 @@ def dedup_exact(spark, sf_dir):
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n_bands: int = N_BANDS) -> DataFrame:
+                       n_bands: int = N_BANDS,
+                       shingle_pairs: DataFrame | None = None) -> DataFrame:
     """(id, band, sig): per-band MinHash signature (b bands × r=1 rows).
 
     Banding is b=4 bands × r=2 rows: 8 independent 32-bit minhash
@@ -69,7 +70,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     codegen'd relational ops; the shuffle carries 8 short strings per
     doc, so the signature build is one cheap pass even at 100 TB.
     """
-    hashed = shingle_stream(docs, text_col, id_col, 3).select(
+    # callers that also shingle-verify can pass their cached (id,
+    # shingle) stream so the corpus is tokenized ONCE per pipeline;
+    # MIN over the distinct shingle set equals MIN over the multiset,
+    # so a deduplicated stream yields identical signatures
+    pairs = (
+        shingle_pairs
+        if shingle_pairs is not None
+        else shingle_stream(docs, text_col, id_col, 3)
+    )
+    hashed = pairs.select(
         F.col(id_col),
         F.md5(F.col("shingle").cast("binary")).alias("_h1"),
         F.md5(F.concat(F.col("shingle"), F.lit("#")).cast("binary")).alias("_h2"),
@@ -450,7 +460,11 @@ def dedup_lsh_verified(spark, sf_dir):
     a duplicate-heavy corpus it is NOT bounded, so no broadcast is
     forced — AQE broadcasts it only when its runtime size qualifies."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # ONE shingle pass feeds both stages: the cached distinct (doc,
+    # shingle) stream derives the minhash signatures AND the verify
+    # joins, halving the tokenize+shingle+md5 work of the pipeline
+    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    sigs = minhash_signatures(d, shingle_pairs=ex)
     a = sigs.select(F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), "band", F.col("sig").alias("sig_b"))
     cand = (
@@ -462,7 +476,6 @@ def dedup_lsh_verified(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("id_a"), "shingle")
     eb = ex.select(
