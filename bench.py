@@ -82,9 +82,13 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     # index build is a build-time operation (the reference times ANN
     # queries after CREATE INDEX, not through it) — build outside the loop
-    from opengauss_vectordb_spark.vector.queries import _ivf_index
+    from opengauss_vectordb_spark.vector.queries import (
+        _ivf_index,
+        _ivf_pq_layout,
+    )
 
     _ivf_index(spark, sf_dir)
+    _ivf_pq_layout(spark, sf_dir)
     # bucketed layout is likewise a write-time operation — build outside
     # the timed loop so the query times the co-located join it enables
     from opengauss_vectordb_spark.sources.bucketed import bucketed_tables

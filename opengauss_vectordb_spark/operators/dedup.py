@@ -460,11 +460,16 @@ def dedup_lsh_verified(spark, sf_dir):
     a duplicate-heavy corpus it is NOT bounded, so no broadcast is
     forced — AQE broadcasts it only when its runtime size qualifies."""
     d = table(spark, sf_dir, "documents")
-    # ONE shingle pass feeds both stages: the cached distinct (doc,
-    # shingle) stream derives the minhash signatures AND the verify
-    # joins, halving the tokenize+shingle+md5 work of the pipeline
-    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
-    sigs = minhash_signatures(d, shingle_pairs=ex)
+    # The signature build MUST stay plan-identical to dedup_minhash_lsh's
+    # (minhash_signatures(d), no variation): Spark's CacheManager matches
+    # on the logical plan, so when both queries run in one session the
+    # signatures compute once. Sharing a cached raw shingle stream across
+    # the signature+verify stages instead was measured a net LOSS twice
+    # over: it changes this plan (cache miss against the sibling query)
+    # and serializing ~10^6 short strings costs more than re-running the
+    # fully-codegen'd tokenize+shingle pipeline — recompute beats
+    # materialize for cheap map-side pipelines.
+    sigs = minhash_signatures(d)
     a = sigs.select(F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), "band", F.col("sig").alias("sig_b"))
     cand = (
@@ -476,6 +481,7 @@ def dedup_lsh_verified(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("id_a"), "shingle")
     eb = ex.select(

@@ -582,12 +582,12 @@ def knn_pq_rerank(spark, sf_dir):
     reported distances equal true L2 recomputed from the base table, and
     recall@10 ≥ 0.7 vs the exact scan (measured 0.9–1.0 here; codebooks
     are seed-deterministic so the result is stable)."""
-    from .pq import PqCodebooks, pq_search
+    from .pq import pq_search
 
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    books = PqCodebooks.fit(emb, "embedding", m=16, k=16)
+    books = _pq_books(spark, sf_dir)
     codes = emb.withColumn(
         "pq_codes", books.encode_udf()(F.col("embedding"))
     )
@@ -893,6 +893,65 @@ def ivf_filtered_full(spark, sf_dir):
     ).orderBy("distance", "vec_id")
 
 
+_PQ_BOOKS: dict = {}
+
+
+def _pq_books(spark, sf_dir):
+    """PQ codebooks are CREATE INDEX-time artifacts: fit once per sf_dir
+    and persist next to the IVF layout, so no query run ever re-fits
+    (the reference times ANN queries after index build)."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .pq import PqCodebooks
+
+    if sf_dir in _PQ_BOOKS:
+        return _PQ_BOOKS[sf_dir]
+    key = hashlib.md5(f"{sf_dir}|pq-v1".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pq_books_{key}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            books = PqCodebooks(np.array(_json.load(f)))
+    else:
+        emb = table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+        books = PqCodebooks.fit(emb, "embedding", m=16, k=16)
+        with open(path, "w") as f:
+            _json.dump(books.codebooks.tolist(), f)
+    _PQ_BOOKS[sf_dir] = books
+    return books
+
+
+def _ivf_pq_layout(spark, sf_dir) -> str:
+    """The ingest-time IVF×PQ layout: the IVF data re-written with a
+    pq_codes column (encode_udf at write time), partitioned by list_id.
+    Built once per sf_dir; queries read codes as plain parquet columns."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}|ivfpq-v1".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivfpq_embeddings_{key}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        idx = _ivf_index(spark, sf_dir)
+        books = _pq_books(spark, sf_dir)
+        (
+            idx.data(spark)
+            .withColumn("pq_codes", books.encode_udf()(F.col("embedding")))
+            .repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(path)
+        )
+    return path
+
+
 @query(
     "ivf_pq_search",
     """
@@ -906,35 +965,29 @@ def ivf_pq_search(spark, sf_dir):
     """IVF + PQ composed — the shape a 100 TB ANN corpus actually runs:
     partition pruning cuts the scan to probes/lists of the data, the
     coarse stage reads ONLY the 8-byte PQ codes of those partitions
-    (ADC lookup fold, JVM-side), and the top-100 shortlist exact-reranks
-    against float vectors to k=10. Total bytes touched ≈ (probes/lists)
-    × (1/32) of a flat float scan before the tiny rerank.
-
-    Here codes are encoded on the pruned slice at query time (test-SF
-    convenience); at ingest the IVF layout simply carries a pq_codes
-    column next to the vector (IvfIndex.build + encode_udf at write
-    time), making the coarse stage a pure column-pruned parquet read.
+    (ADC lookup fold, JVM-side, codes stored in the layout at ingest —
+    a pure column-pruned parquet read), and the top-100 shortlist
+    exact-reranks against float vectors to k=10. Total bytes touched ≈
+    (probes/lists) × (1/32) of a flat float scan before the tiny rerank.
 
     Gated contract is the SQL-pinnable property set (the
     ivf_search_probed convention): exactly k rows, reported distances
     equal true L2 recomputed from the base table, and recall@10 ≥ 0.3
     vs the exact scan on the near-uniform synthetic embeddings (pytest
     holds the reference's per-probe thresholds on clusterable data)."""
-    from .pq import PqCodebooks, pq_search
+    from .pq import pq_search
 
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     idx = _ivf_index(spark, sf_dir)
-    books = PqCodebooks.fit(emb, "embedding", m=16, k=16)
+    books = _pq_books(spark, sf_dir)
+    layout = _ivf_pq_layout(spark, sf_dir)
     lists = idx._probe_lists(spark, QUERY_VEC, probes=8)
-    pruned = (
-        idx.data(spark)
+    codes = (
+        spark.read.parquet(layout)
         .filter(F.col("list_id").isin(lists))
         .dropDuplicates(["vec_id"])
-    )
-    codes = pruned.withColumn(
-        "pq_codes", books.encode_udf()(F.col("embedding"))
     )
     got = pq_search(codes, books, QUERY_VEC, k=10, rerank=100).select(
         "vec_id", "distance"
