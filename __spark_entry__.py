@@ -22,22 +22,24 @@ registry.load_all_queries()
 
 # The correctness gate verifies queries in registration order, so the
 # ordering below is a rotation schedule: queries that still lack a green
-# gate row go first.  Rounds 1-2 gated 93 of the 136 registered queries
-# (92 green; knn_binary_rerank hash-red, since fixed with stable BIGINT
-# casts on both sides).  Round 3 front-loads the 43 never-gated queries
-# (TPC-H tail, streaming-equivalent event windows, scalar-function
-# families, recursive/hierarchical, FTS extensions, PQ rerank) plus the
-# re-gated knn_binary_rerank, with six green sentinels spanning scan/
-# agg/window/vector/dedup for regression cover.  This completes gate
-# coverage of the full registry.
+# gate row go first.  Rounds 1-2 gated 93 of the 136 queries registered
+# then (92 green; knn_binary_rerank hash-red, since fixed with stable
+# BIGINT casts on both sides).  Round 3 front-loads the 43 never-gated
+# queries (TPC-H tail, streaming-equivalent event windows, scalar-
+# function families, recursive/hierarchical, FTS extensions, PQ rerank),
+# the re-gated knn_binary_rerank, and four of round 3's new operators
+# (BM25, incremental dedup, IVF×PQ, z-order pruning — all verified
+# locally against DuckDB), with tpch_q1/q6 as green sentinels.  After
+# this round only round-3 additions past slot 50 remain for rotation.
 GATE_PRIORITY: list[str] = [
     # sentinels (green in rounds 1-2)
     "tpch_q1",
     "tpch_q6",
-    "knn_l2",
-    "dedup_minhash_lsh",
-    "window_topn_per_group",
-    "agg_rollup",
+    # round-3 additions, verified locally against DuckDB
+    "fts_bm25",
+    "dedup_incremental_minhash",
+    "ivf_pq_search",
+    "zorder_pruned_scan",
     # round-2 hash red, fixed: hamming cast BIGINT on both sides
     "knn_binary_rerank",
     # TPC-H tail (SURVEY §2.3/§2.4/§2.6 joins, anti/semi, subplans)
