@@ -384,3 +384,57 @@ def sample_cluster_balanced(spark, sf_dir):
         .select("cluster", "vec_id", "rn")
         .orderBy("cluster", "rn")
     )
+
+
+# --- deterministic weighted sampling (exponential race / A-ES) -------------
+
+_H8 = "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+_SQL_H8 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[{i}:{i}]) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    + ")"
+)
+
+
+@query(
+    "sample_weighted_priority",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln(({_SQL_H8} + 1) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS priority
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted sampling without replacement, deterministic: the
+    exponential-race key k_i = -ln(u_i)/w_i (Efraimidis–Spirakis A-ES
+    reformulated through Exp(w) order statistics) with u_i a uniform
+    derived from md5(doc_id) and w_i = n_chars. The k smallest keys are
+    a weight-proportional sample — here the importance-sampling draw a
+    training pipeline uses to upweight long documents.
+
+    Everything is map-side arithmetic on the row key (no RNG state, no
+    shuffle): re-running on a re-partitioned or incrementally-grown
+    corpus never changes the keys of existing docs, so the sample is
+    reproducible and append-stable. The top-k is a TakeOrdered heap —
+    at 100 TB the only cross-executor traffic is k rows per partition.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (F.expr(_H8) + 1) / F.lit(4294967297.0)
+    k = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "n_chars", k.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("_k", 6).alias("priority"))
+    )
