@@ -57,6 +57,7 @@ def load_all_queries() -> None:
         setops_windows,
         text,
     )
+    from .functions import udtf  # noqa: F401
     from .sources import zorder  # noqa: F401
     from .streaming import batch_windows  # noqa: F401
     from .vector import queries as vector_queries  # noqa: F401
