@@ -212,31 +212,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # ONE shuffle on the shingle key, instead of a groupBy + join that
     # would scan the stream twice
     ex0 = shingle_stream(d).dropDuplicates(["doc_id", "shingle"])
+    # each (doc, shingle) row carries its doc's capped set size n_sh
+    # (second window over the doc partition): the self-join can then
+    # (a) apply the similarity-join LENGTH FILTER inside the join —
+    # J >= 0.5 forces max(n_a, n_b) <= 2 * min(n_a, n_b), so mismatched
+    # pairs are dropped BEFORE the pair aggregation shuffle — and
+    # (b) group on (id, n) directly, eliminating the two per-doc size
+    # re-joins the un-annotated stream needed afterwards
     ex = (
         ex0.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
         .filter(F.col("_df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "shingle")
+        .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .select("doc_id", "shingle", "n_sh")
         .cache()
     )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = ex.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     common = (
-        a.join(b, (a.shingle == b.shingle_b) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
+        a.join(
+            b,
+            (a.shingle == b.shingle_b)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.greatest(F.col("n_a"), F.col("n_b"))
+               <= 2 * F.least(F.col("n_a"), F.col("n_b"))),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # per-doc size tables are unbounded (one row per document) — no
-    # broadcast hints; AQE broadcasts them only when actually small
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * F.lit(1.0) / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.5)
+        common.filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
