@@ -383,3 +383,36 @@ def copy_binary_roundtrip(spark, sf_dir):
         "odate",
         F.col("_row_bytes").cast("bigint").alias("row_bytes"),
     ).orderBy("k")
+
+
+@query(
+    "string_funcs2",
+    """
+    SELECT p_partkey,
+           split_part(p_type, ' ', 2) AS type_mid,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS name_octets,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_to_b11,
+           starts_with(p_type, 'STANDARD') AS is_standard,
+           ends_with(p_type, 'STEEL') AS is_steel,
+           CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_at
+    FROM part WHERE p_partkey <= 50 ORDER BY p_partkey
+    """,
+)
+def string_funcs2(spark, sf_dir):
+    """Second string-library tranche (varlena.cpp/varchar.cpp families
+    not exercised by string_funcs): split_part, translate,
+    octet_length, levenshtein, starts_with/ends_with, strpos."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.expr("split_part(p_type, ' ', 2)").alias("type_mid"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.octet_length("p_name").cast("int").alias("name_octets"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11"))
+        .cast("int")
+        .alias("lev_to_b11"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_type").endswith("STEEL").alias("is_steel"),
+        F.expr("instr(p_type, 'BRUSHED')").cast("int").alias("brushed_at"),
+    ).orderBy("p_partkey")
