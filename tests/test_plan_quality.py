@@ -340,3 +340,32 @@ def test_zorder_scan_prunes_partitions(spark):
     df = QUERIES["zorder_pruned_scan"](spark, SF_CORRECT)
     assert "PartitionFilters" in physical_plan(df)
     assert python_eval_nodes(df) == 0
+
+
+# Every registered query must keep row-at-a-time Python out of its plan.
+# ArrowEvalPython (pandas UDFs) is tolerated only where declared: the
+# multimodal decode plumbing, halfvec storage cast, PQ encode, and the
+# Python UDTF surface, which are deliberately Python-path operators.
+_ARROW_ALLOWED = {
+    "multimodal_feature_stats",
+    "knn_l2_halfvec",
+    "knn_pq_rerank",
+    "ivf_pq_search",
+    "udtf_token_chunks",
+}
+
+
+def test_registry_wide_no_batch_eval_python(spark):
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf)
+        except Exception:  # noqa: BLE001 — build failures surface elsewhere
+            continue
+        plan = physical_plan(df)
+        if "BatchEvalPython" in plan and name not in _ARROW_ALLOWED:
+            offenders.append(name)
+        if "ArrowEvalPython" in plan and name not in _ARROW_ALLOWED:
+            offenders.append(f"{name} (arrow)")
+    assert not offenders, f"Python in query plans: {offenders}"
