@@ -1464,3 +1464,44 @@ def agg_grouping_sets(spark, sf_dir):
         ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
         """
     )
+
+
+@query(
+    "agg_regression",
+    """
+    SELECT o_orderpriority,
+           CAST(regr_count(o_totalprice, o_custkey % 100)
+                AS BIGINT) AS n,
+           ROUND(regr_slope(o_totalprice, o_custkey % 100), 6) AS slope,
+           ROUND(regr_intercept(o_totalprice, o_custkey % 100), 6)
+             AS intercept,
+           ROUND(regr_avgx(o_totalprice, o_custkey % 100), 6) AS avgx,
+           ROUND(regr_avgy(o_totalprice, o_custkey % 100), 6) AS avgy
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """PG regr_* bivariate aggregate family (builtin_funcs.ini
+    regr_slope/intercept/count/avgx/avgy) — native in Spark SQL and
+    DuckDB with identical two-pass-free single-aggregation semantics.
+    One partial/final hash aggregate; the shuffle carries the five
+    moment accumulators per group, not rows."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 100
+    y = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "regr_count(o_totalprice, o_custkey % 100)"
+            )
+            .cast("bigint")
+            .alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+        )
+        .orderBy("o_orderpriority")
+    )

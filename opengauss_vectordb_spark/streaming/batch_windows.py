@@ -271,3 +271,83 @@ def events_interval_join(spark, sf_dir):
         )
         .orderBy("click_id", "error_id")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH pre AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(*) OVER w AS n_prior,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS sum_prior,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w
+                  AS DOUBLE) AS sum2_prior
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT user_id, event_id, value, n_prior,
+             (value - sum_prior / n_prior)
+               / sqrt(sum2_prior / n_prior
+                      - (sum_prior / n_prior) * (sum_prior / n_prior)) AS z
+      FROM pre
+      WHERE n_prior >= 10
+        AND sum2_prior / n_prior
+              - (sum_prior / n_prior) * (sum_prior / n_prior) > 0
+    )
+    SELECT user_id, event_id, value, ROUND(z, 6) AS zscore,
+           CAST(n_prior AS BIGINT) AS n_seen
+    FROM scored WHERE abs(z) > 3.0
+    ORDER BY user_id, event_id
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Batch equivalent of the streaming anomaly detector
+    (streaming/stateful.py anomaly_stream): flag events > 3 sigma from
+    the user's PRIOR history (>= 10 observations), prefix stats over a
+    (ts, event_id)-ordered running frame. This is the oracle-checkable
+    statement of the stateful operator's semantics — the streaming form
+    carries (count, mean, M2) in the state store; this form derives the
+    same prefix moments with window aggregates.
+
+    Determinism across engines: running SUMs go through exact DECIMAL
+    (windowed float sums are engine-order-dependent — DuckDB's segment
+    tree vs Spark's running accumulation); mean/variance then use
+    identical IEEE double arithmetic on the exact sums."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+    )
+    pre = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        n.alias("n_prior"),
+        s.alias("sum_prior"),
+        s2.alias("sum2_prior"),
+    )
+    mean = F.col("sum_prior") / F.col("n_prior")
+    var = F.col("sum2_prior") / F.col("n_prior") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        pre.filter((F.col("n_prior") >= 10) & (var > 0))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(z, 6).alias("zscore"),
+            F.col("n_prior").cast("bigint").alias("n_seen"),
+        )
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .orderBy("user_id", "event_id")
+    )

@@ -913,3 +913,60 @@ def test_to_char_format_models(spark):
     ).first()
     assert str(parsed.d) == "2020-01-05"
     assert str(parsed.ts) == "2020-01-05 13:07:00"
+
+
+def test_anomaly_stream_matches_batch_zscore(spark):
+    """The stateful streaming detector and its batch window-function
+    statement (events_anomaly_zscore) must flag the same events with the
+    same scores — the batch query IS the oracle-checkable semantics of
+    the state-store operator."""
+    import json as _json
+    import shutil
+
+    from opengauss_vectordb_spark import registry
+    from opengauss_vectordb_spark.catalog import table as _table
+    from opengauss_vectordb_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+    )
+    from opengauss_vectordb_spark.streaming.stateful import anomaly_stream
+
+    registry.load_all_queries()
+    from opengauss_vectordb_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.user_id, r.event_id): (round(r.zscore, 4), r.n_seen)
+        for r in QUERIES["events_anomaly_zscore"](spark, sf).collect()
+    }
+    tmp = tempfile.mkdtemp(prefix="anomaly_eq_")
+    try:
+        rows = _table(spark, sf, "events").collect()
+        with open(os.path.join(tmp, "batch.json"), "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+        stream_df = anomaly_stream(read_event_stream(spark, tmp))
+        run_to_memory(stream_df, "anomaly_eq_out")
+        stream = {
+            (r.user_id, r.event_id): (round(r.zscore, 4), r.n_seen)
+            for r in spark.table("anomaly_eq_out").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert batch.keys() == stream.keys()
+    for k, (z_b, n_b) in batch.items():
+        z_s, n_s = stream[k]
+        assert n_b == n_s, k
+        assert abs(z_b - z_s) < 1e-3, (k, z_b, z_s)
