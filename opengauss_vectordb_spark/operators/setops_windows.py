@@ -1505,3 +1505,70 @@ def agg_regression(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_filter_clause",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_totalprice > 100000) AS DOUBLE)
+             AS big_total,
+           CAST(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'O')
+                AS DATE) AS last_open
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """PG's aggregate FILTER (WHERE ...) clause — native SQL in Spark
+    and DuckDB; each filtered aggregate is one conditional accumulator
+    inside the same single partial/final hash-aggregate pass (NOT one
+    scan per filter)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_agg_filter_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (WHERE o_totalprice > 100000) AS DOUBLE)
+                 AS big_total,
+               CAST(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'O')
+                    AS DATE) AS last_open
+        FROM _agg_filter_orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "distinct_on",
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+)
+def distinct_on(spark, sf_dir):
+    """PG's DISTINCT ON (k): first row per key under the query's ORDER
+    BY — each customer's most recent order here. Spark has no DISTINCT
+    ON; the engine states it as the standard row_number()=1 rewrite,
+    which is also how the reference's planner models it (Unique over
+    sorted input). One shuffle on the key, bounded heap per group."""
+    from pyspark.sql import Window as W2
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = W2.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
