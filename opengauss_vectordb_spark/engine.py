@@ -79,3 +79,50 @@ class Engine:
         )
         self.ann.register(table_name, vec_col, idx)
         return idx
+
+    # -------------------------------------------------- pipeline verbs
+
+    def dedup_pairs(self, table_name: str = "documents",
+                    verified: bool = False) -> DataFrame:
+        """Near-duplicate candidate pairs via MinHash-LSH banding
+        (operators/dedup.py); ``verified=True`` gates candidates through
+        exact n-gram Jaccard (the 100 TB pipeline form)."""
+        from .operators.dedup import dedup_lsh_verified, dedup_minhash_lsh
+
+        fn = dedup_lsh_verified if verified else dedup_minhash_lsh
+        return fn(self.spark, self.sf_dir)
+
+    def zorder_write(self, df: DataFrame, path: str, col_a: str,
+                     col_b: str) -> None:
+        """Cluster a table by the Morton code of two keys so rectangle
+        predicates prune multiplicatively (sources/zorder.py)."""
+        from .sources.zorder import write_zordered
+
+        write_zordered(df, path, col_a, col_b)
+
+    def zorder_read(self, path: str, a_range: tuple, b_range: tuple
+                    ) -> DataFrame:
+        """Rectangle-pruned scan over a z-ordered layout; callers apply
+        the exact predicate on top (pruning is a superset filter)."""
+        from .sources.zorder import read_pruned
+
+        return read_pruned(self.spark, path, a_range, b_range)
+
+    def weighted_sample(self, df: DataFrame, weight_col: str, k: int,
+                        id_col: str) -> DataFrame:
+        """Deterministic weight-proportional sample without replacement:
+        exponential-race keys -ln(u)/w with u derived from md5(id)
+        (operators/pipeline.py sample_weighted_priority pattern)."""
+        from pyspark.sql import functions as F
+
+        h8 = F.expr(
+            f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+        )
+        u = (h8 + 1) / F.lit(4294967297.0)
+        key = -F.log(u) / F.col(weight_col).cast("double")
+        return (
+            df.withColumn("_k", key)
+            .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_k")
+        )

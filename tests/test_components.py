@@ -970,3 +970,39 @@ def test_anomaly_stream_matches_batch_zscore(spark):
         z_s, n_s = stream[k]
         assert n_b == n_s, k
         assert abs(z_b - z_s) < 1e-3, (k, z_b, z_s)
+
+
+def test_engine_pipeline_verbs(spark):
+    import tempfile as _tf
+
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    pairs = eng.dedup_pairs()
+    assert set(pairs.columns) == {"id_a", "id_b"}
+    docs = eng.table("documents")
+    sample = eng.weighted_sample(docs, "n_chars", 10, "doc_id")
+    assert sample.count() == 10
+    # determinism: same draw twice
+    a = sorted(r.doc_id for r in sample.collect())
+    b = sorted(
+        r.doc_id
+        for r in eng.weighted_sample(docs, "n_chars", 10, "doc_id").collect()
+    )
+    assert a == b
+    tmp = _tf.mkdtemp(prefix="eng_zorder_")
+    ev = eng.table("events").withColumn(
+        "epoch_day",
+        F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).cast("long"),
+    )
+    eng.zorder_write(ev, tmp, "user_id", "epoch_day")
+    got = eng.zorder_read(tmp, (0, 5), (19723, 19730))
+    flat = ev.filter(
+        (F.col("user_id") >= 0) & (F.col("user_id") <= 5)
+        & (F.col("epoch_day") >= 19723) & (F.col("epoch_day") <= 19730)
+    )
+    got_exact = got.filter(
+        (F.col("user_id") >= 0) & (F.col("user_id") <= 5)
+        & (F.col("epoch_day") >= 19723) & (F.col("epoch_day") <= 19730)
+    )
+    assert got_exact.count() == flat.count()
