@@ -243,11 +243,15 @@ def knn_join_exact(spark, sf_dir):
                  / ({_sql_norm('a.e')} * {_sql_norm('b.e')}), 4) AS cos_dist
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE 1.0 - {_sql_dot('a.e', 'b.e')}
-          / ({_sql_norm('a.e')} * {_sql_norm('b.e')}) < 0.30
+          / ({_sql_norm('a.e')} * {_sql_norm('b.e')}) < 0.50
     ORDER BY id_a, id_b
     """,
 )
 def embedding_dup_pairs_cosine(spark, sf_dir):
+    # threshold 0.5 is calibrated to the synthetic near-uniform
+    # embeddings so the gate row is NON-vacuous (nearest pair sits at
+    # cos_dist 0.487 at sf0.01): a 0-row result would hash-match any
+    # 0-row oracle and prove nothing
     emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("_ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("_eb"))
@@ -255,7 +259,7 @@ def embedding_dup_pairs_cosine(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_d", d)
-        .filter(F.col("_d") < 0.30)
+        .filter(F.col("_d") < 0.50)
         .select("id_a", "id_b", F.round("_d", 4).alias("cos_dist"))
         .orderBy("id_a", "id_b")
     )
