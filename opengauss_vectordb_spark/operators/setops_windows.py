@@ -51,16 +51,24 @@ def setop_intersect(spark, sf_dir):
 @query(
     "setop_except",
     """
-    SELECT c_custkey AS custkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
     ORDER BY custkey
     """,
 )
 def setop_except(spark, sf_dir):
-    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    # ordering customers minus positive-balance customers: non-empty on
+    # the synthetic data (the original "customers without orders" form
+    # was vacuously empty — every customer has orders — so its gate row
+    # hash-matched an empty oracle and proved nothing)
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.subtract(o).orderBy("custkey")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c).orderBy("custkey")
 
 
 @query(
