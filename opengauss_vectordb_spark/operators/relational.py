@@ -397,13 +397,17 @@ def tpch_q8_adapted(spark, sf_dir):
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE '%5%'
+    WHERE p.p_name LIKE '%gear%'
     GROUP BY n.n_name, year(o.o_orderdate)
     ORDER BY nation, o_year DESC
     """,
 )
 def tpch_q9_adapted(spark, sf_dir):
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    # '%gear%' matches ~13% of parts on the synthetic names (the TPC-H
+    # spec's '%green%' color fragment analogue); the previous '%5%'
+    # matched NOTHING (names are word pairs, no digits) so the whole
+    # 5-way join aggregated zero rows and the gate row was vacuous
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
@@ -803,7 +807,7 @@ def tpch_q19_adapted(spark, sf_dir):
     WHERE n.n_name = 'NATION_3'
       AND s.s_suppkey IN (
         SELECT l_suppkey FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%1%')
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY l_suppkey
@@ -815,7 +819,10 @@ def tpch_q19_adapted(spark, sf_dir):
 def tpch_q20_adapted(spark, sf_dir):
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    parts = table(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    # '%bolt%' matches ~13% of the synthetic word-pair names; '%1%'
+    # matched nothing (no digits) and made the whole nested-semi result
+    # vacuously empty
+    parts = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -910,7 +917,8 @@ def tpch_q21_adapted(spark, sf_dir):
                                   / COUNT(c_acctbal)
                            FROM customer
                            WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1,3,5,7))
-        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                                          AND o.o_totalprice > 400000)
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
@@ -936,7 +944,14 @@ def tpch_q22_adapted(spark, sf_dir):
         c.filter(F.col("cntrycode").isin(codes))
         .crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        # anti on "has a >400k order": the literal TPC-H "has no orders"
+        # is vacuously empty on this synthetic data (every customer
+        # orders), which would gate a 0-row result proving nothing
+        .join(
+            o.filter(F.col("o_totalprice") > 400000),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
