@@ -29,6 +29,44 @@ import re
 _FROM_DUAL = re.compile(r"\bfrom\s+dual\b", re.IGNORECASE)
 _SYSDATE = re.compile(r"\bsysdate\b", re.IGNORECASE)
 
+# datavec's vector distance operators (datavec--0.7.2.sql:172-187:
+# <-> l2, <#> negative inner product for index order, <=> cosine,
+# <+> l1) between simple operands: a column reference or a quoted
+# pgvector literal '[1,2,3]'. Conservative on purpose — compound
+# expressions pass through for Spark's parser to reject loudly rather
+# than be half-rewritten.
+_VEC_OPERAND = r"(?:'\[[^\]']*\]'|[A-Za-z_][A-Za-z0-9_.]*)"
+_VEC_OP = re.compile(
+    rf"(?P<a>{_VEC_OPERAND})\s*(?P<op><->|<#>|<=>|<\+>)\s*"
+    rf"(?P<b>{_VEC_OPERAND})"
+)
+_VEC_FNS = {
+    "<->": "l2_distance",
+    "<#>": "neg_inner_product",
+    "<=>": "cosine_distance",
+    "<+>": "l1_distance",
+}
+_VEC_LIT = re.compile(r"^'\[(?P<body>[^\]']*)\]'$")
+
+
+def _vec_operand_sql(tok: str) -> str:
+    m = _VEC_LIT.match(tok)
+    if m:
+        return f"array({m.group('body')})"
+    return f"CAST({tok} AS ARRAY<DOUBLE>)"
+
+
+def _rewrite_vector_ops(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        fn = _VEC_FNS[m.group("op")]
+        a = _vec_operand_sql(m.group("a"))
+        b = _vec_operand_sql(m.group("b"))
+        if fn == "neg_inner_product":
+            return f"(-inner_product({a}, {b}))"
+        return f"{fn}({a}, {b})"
+
+    return _VEC_OP.sub(sub, sql)
+
 # `WHERE ROWNUM <= n` (whole clause) or `AND ROWNUM <= n` (tail of a
 # larger WHERE), optionally followed by the block's ORDER BY, at the end
 # of the statement.
@@ -43,6 +81,7 @@ def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
     out = _FROM_DUAL.sub("", sql)
     out = _SYSDATE.sub("current_timestamp()", out)
+    out = _rewrite_vector_ops(out)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

@@ -1006,3 +1006,31 @@ def test_engine_pipeline_verbs(spark):
         & (F.col("epoch_day") >= 19723) & (F.col("epoch_day") <= 19730)
     )
     assert got_exact.count() == flat.count()
+
+
+def test_sql_vector_operators(spark):
+    """datavec's literal query syntax — `embedding <-> '[...]'` ORDER BY
+    LIMIT k (datavec--0.7.2.sql:172-187 operators) — must run through
+    Engine.sql and rank identically to the gated knn queries."""
+    from opengauss_vectordb_spark import registry
+    from opengauss_vectordb_spark.engine import Engine
+    from opengauss_vectordb_spark.vector.queries import QUERY_VEC
+
+    registry.load_all_queries()
+    from opengauss_vectordb_spark.registry import QUERIES
+
+    eng = Engine(spark, sf_dir=SF_CORRECT)
+    qlit = "'[" + ", ".join(str(v) for v in QUERY_VEC) + "]'"
+    got = eng.sql(
+        f"SELECT vec_id, embedding <-> {qlit} AS d FROM embeddings "
+        "WHERE embedding IS NOT NULL ORDER BY d, vec_id LIMIT 10"
+    ).collect()
+    exact = QUERIES["knn_l2"](spark, SF_CORRECT).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+    # negative inner product (<#>) ranks like the knn_inner_product query
+    got_ip = eng.sql(
+        f"SELECT vec_id, embedding <#> {qlit} AS d FROM embeddings "
+        "WHERE embedding IS NOT NULL ORDER BY d, vec_id LIMIT 10"
+    ).collect()
+    exact_ip = QUERIES["knn_inner_product"](spark, SF_CORRECT).collect()
+    assert [r.vec_id for r in got_ip] == [r.vec_id for r in exact_ip]
