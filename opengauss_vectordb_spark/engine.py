@@ -41,7 +41,10 @@ class Engine:
         """SQL entry: Spark SQL dialect + the PG/datavec-name function
         layer (l2_distance, nvl, decode, ... — functions/pg_compat.py)
         + Oracle-compat translation (ROWNUM→LIMIT per preprownum.cpp,
-        FROM dual, SYSDATE — functions/sql_compat.py)."""
+        FROM dual, SYSDATE) + datavec's vector operators
+        (`embedding <-> '[...]'`, <#>, <=>, <+> —
+        functions/sql_compat.py), so the reference's canonical ANN
+        query text runs verbatim."""
         from .functions.sql_compat import translate
 
         return self.spark.sql(translate(query))
