@@ -351,3 +351,84 @@ def events_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(F.col("zscore")) > 3.0)
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "tsstore_locf_gapfill",
+    """
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+    ), spans AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM spans
+    )
+    SELECT g.user_id AS user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(COALESCE(hr.n_events, 0) AS BIGINT) AS n_events,
+           ROUND(last_value(hr.avg_value IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h
+                         ROWS UNBOUNDED PRECEDING), 6) AS value_locf
+    FROM grid g LEFT JOIN hourly hr
+      ON hr.user_id = g.user_id AND hr.h = g.h
+    ORDER BY g.user_id, hour_ts
+    """,
+)
+def tsstore_locf_gapfill(spark, sf_dir):
+    """Time-series gap fill with last-observation-carried-forward: per
+    user, a dense hourly grid spanning their active range (sequence +
+    explode — generated, not stored), left-joined to the hourly
+    aggregate, missing hours filled by the most recent preceding value
+    (last(ignorenulls) running window). The TimescaleDB-style
+    locf(time_bucket_gapfill(...)) consumer pattern over the
+    time-partitioned event store; grid generation is per-key metadata
+    arithmetic, the join is co-partitioned on (user, hour), and the
+    fill is one running window — no driver loops, no state."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("h", _TS_FMT).alias("hour_ts"),
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+            F.round(
+                F.last("avg_value", ignorenulls=True).over(w), 6
+            ).alias("value_locf"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
