@@ -416,3 +416,38 @@ def string_funcs2(spark, sf_dir):
         F.col("p_type").endswith("STEEL").alias("is_steel"),
         F.expr("instr(p_type, 'BRUSHED')").cast("int").alias("brushed_at"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "json_modify_roundtrip",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_orig,
+           '{"k":' || CAST(CAST(json_extract(props, '$.k') AS INT) * 2
+                           AS VARCHAR)
+             || ',"src":"' || event_type || '"}' AS props_set,
+           CAST(CAST(json_extract(props, '$.k') AS INT) * 2 AS INT)
+             AS k_doubled
+    FROM events WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def json_modify_roundtrip(spark, sf_dir):
+    """JSON modification (jsonb_set / jsonb concatenation,
+    jsonfuncs.cpp): parse props, transform a field, attach a new one,
+    and serialize back — Spark's from_json → struct surgery → to_json
+    pipeline. The oracle constructs the identical compact JSON text by
+    string assembly, pinning Spark's serializer output byte-for-byte
+    (keys in struct order, no whitespace). All JVM-side expressions."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    parsed = F.from_json(F.col("props"), "k INT")
+    k2 = (parsed.getField("k") * 2).cast("int")
+    new_json = F.to_json(
+        F.struct(k2.alias("k"), F.col("event_type").alias("src"))
+    )
+    return ev.select(
+        "event_id",
+        parsed.getField("k").cast("int").alias("k_orig"),
+        new_json.alias("props_set"),
+        k2.alias("k_doubled"),
+    ).orderBy("event_id")
