@@ -146,18 +146,28 @@ def pq_search(
     the 8-byte codes — the stage that scans the corpus touches ONLY
     compressed codes), then exact L2 rerank of the short list against
     the float vectors. At 100 TB the first stage reads ~3% of the bytes
-    a float scan would."""
+    a float scan would.
+
+    The coarse stage projects (id, codes) BEFORE ranking so column
+    pruning drops the float vector from the wide scan (carrying it
+    through the heap would read the full vectors and void the byte
+    cut — pinned in test_plan_quality); the ``rerank`` survivors then
+    join back to fetch their vectors, a k-row broadcast join."""
     from .distance import l2_distance
 
     coarse = (
         df_codes.filter(F.col(code_col).isNotNull())
+        .select(id_col, code_col)
         .withColumn("_adc", books.adc_distance(F.col(code_col), qvec))
         .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_col).asc())
         .limit(rerank)
+        .select(id_col)
     )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    vectors = df_codes.select(id_col, vec_col)
     return (
-        coarse.withColumn(
+        vectors.join(F.broadcast(coarse), id_col)
+        .withColumn(
             "distance", l2_distance(as_double(F.col(vec_col)), qlit)
         )
         .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())

@@ -369,3 +369,31 @@ def test_registry_wide_no_batch_eval_python(spark):
         if "ArrowEvalPython" in plan and name not in _ARROW_ALLOWED:
             offenders.append(f"{name} (arrow)")
     assert not offenders, f"Python in query plans: {offenders}"
+
+
+def test_pq_coarse_scan_prunes_vector_column(spark):
+    # the ADC stage's wide scan must NOT read the float vector column —
+    # that byte cut is the entire point of PQ; only the rerank join's
+    # k-row side touches vectors
+    from opengauss_vectordb_spark.vector.queries import (
+        _ivf_pq_layout,
+        _pq_books,
+        QUERY_VEC,
+    )
+    from opengauss_vectordb_spark.vector.pq import pq_search
+
+    books = _pq_books(spark, SF_CORRECT)
+    layout = _ivf_pq_layout(spark, SF_CORRECT)
+    codes = spark.read.parquet(layout)
+    df = pq_search(codes, books, QUERY_VEC, k=10, rerank=100)
+    plan = physical_plan(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Scan parquet" in line or "FileScan" in line
+    ]
+    coarse_scans = [s for s in scans if "pq_codes" in s.split("ReadSchema:")[-1]]
+    assert coarse_scans, "expected a codes scan"
+    assert all(
+        "embedding" not in s.split("ReadSchema:")[-1] for s in coarse_scans
+    ), f"coarse scan reads the float vectors: {coarse_scans}"
