@@ -44,6 +44,7 @@ from .distance import DISTANCES, as_double
 from .exact import knn as exact_knn
 
 DEFAULT_LISTS = 100  # ivfflat.h:43
+MAX_INDEX_DIM = 2000  # ivfflat.h:25 / hnsw.h:12 — indexable dimension cap
 DEFAULT_PROBES = 1  # ivfflat.cpp:35
 MAX_LISTS = 32768  # ivfflat.h:45
 
@@ -196,6 +197,13 @@ class IvfIndex:
         (never indexed — datavec behavior)."""
         idx = IvfIndex(path, metric=metric, lists=lists)
         clean = df.filter(F.col(vec_col).isNotNull())
+
+        first = clean.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is not None and first.d > MAX_INDEX_DIM:
+            raise ValueError(
+                f"cannot index {first.d}-d vectors: dimension cap is "
+                f"{MAX_INDEX_DIM} (ivfflat.h:25)"
+            )
 
         if sample_rows is None:
             sample_rows = max(50 * lists, 10_000)  # ivfbuild.cpp sampling scale

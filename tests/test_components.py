@@ -1034,3 +1034,17 @@ def test_sql_vector_operators(spark):
     ).collect()
     exact_ip = QUERIES["knn_inner_product"](spark, SF_CORRECT).collect()
     assert [r.vec_id for r in got_ip] == [r.vec_id for r in exact_ip]
+
+
+def test_ivf_rejects_over_cap_dimension(spark):
+    """ivfflat.h:25 / hnsw.h:12 — indexable dimension cap is 2000; the
+    build must refuse loudly, not produce a silently unusable index."""
+    import pytest as _pt
+
+    from opengauss_vectordb_spark.vector.ivf import IvfIndex
+
+    wide = spark.createDataFrame(
+        [(0, [0.0] * 2001), (1, [1.0] * 2001)], "id BIGINT, v ARRAY<DOUBLE>"
+    )
+    with _pt.raises(ValueError, match="dimension cap"):
+        IvfIndex.build(wide, "v", "/tmp/ivf_dim_cap_test", lists=2)
