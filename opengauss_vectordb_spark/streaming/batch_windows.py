@@ -432,3 +432,76 @@ def tsstore_locf_gapfill(spark, sf_dir):
         )
         .orderBy("user_id", "hour_ts")
     )
+
+
+@query(
+    "events_asof_join",
+    """
+    SELECT c.event_id AS click_id,
+           c.user_id AS user_id,
+           v.event_id AS view_id,
+           CASE WHEN v.event_id IS NULL THEN NULL
+                ELSE epoch_us(c.ts) - epoch_us(v.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY click_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join — each click matched to the user's most recent view at
+    or before it. Spark has no ASOF JOIN operator; a range join would be
+    O(clicks × views-per-user). The scalable formulation is the
+    union-and-carry-forward rewrite: interleave both streams in (user,
+    ts) order — views sort before clicks at equal ts so `v.ts <= c.ts`
+    inclusive semantics hold — carry the last view's id/ts forward with
+    a running last(ignorenulls) window, and keep the click rows. ONE
+    shuffle on user_id, no range explosion, no state. The oracle is
+    DuckDB's native ASOF LEFT JOIN; (user_id, ts) is unique in the data
+    so the match is deterministic on both sides."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.lit(0).alias("_is_click"),
+        F.lit(None).cast("bigint").alias("click_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("view_id"),
+        F.lit(1).alias("_is_click"),
+        F.col("event_id").alias("click_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_is_click", "view_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "click_id",
+        "_is_click",
+        F.last("view_id", ignorenulls=True).over(w).alias("_last_view"),
+        F.last(
+            F.when(F.col("view_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        ).over(w).alias("_last_view_ts"),
+    )
+    # ts is TIMESTAMP_NTZ — microsecond gap via timestampdiff (the
+    # events_interval_join convention; a decimal cast of NTZ is undefined)
+    gap = F.expr("timestampdiff(MICROSECOND, _last_view_ts, ts)").cast(
+        "bigint"
+    )
+    return (
+        merged.filter(F.col("_is_click") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("_last_view").alias("view_id"),
+            F.when(F.col("_last_view").isNotNull(), gap).alias("gap_us"),
+        )
+        .orderBy("click_id")
+    )
