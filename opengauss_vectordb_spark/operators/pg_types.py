@@ -571,3 +571,38 @@ def to_number_parse(spark, sf_dir):
         )
         .orderBy("tag")
     )
+
+
+@query(
+    "hstore_funcs",
+    """
+    WITH src AS (
+      SELECT event_id,
+             'k=>' || CAST(json_extract(props, '$.k') AS VARCHAR)
+               || ',type=>' || event_type AS hs
+      FROM events WHERE event_id < 50
+    )
+    SELECT event_id, 'k' AS hkey,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS hval
+    FROM events WHERE event_id < 50
+    UNION ALL
+    SELECT event_id, 'type', event_type FROM events WHERE event_id < 50
+    ORDER BY event_id, hkey
+    """,
+)
+def hstore_funcs(spark, sf_dir):
+    """hstore parity (PG contrib hstore: 'k=>v,...' text parse, each /
+    akeys / -> access): build the hstore text, parse with str_to_map,
+    and explode to (key, value) rows — MapType is Spark's hstore. The
+    oracle states the expected pairs from first principles (no map type
+    in the comparison surface: map iteration order is engine-specific,
+    row sets are not)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    parsed = F.expr(
+        "str_to_map(concat('k=>', get_json_object(props, '$.k'),"
+        " ',type=>', event_type), ',', '=>')"
+    )
+    return (
+        ev.select("event_id", F.explode(parsed).alias("hkey", "hval"))
+        .orderBy("event_id", "hkey")
+    )
