@@ -1580,3 +1580,36 @@ def distinct_on(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "window_ratio_to_report",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,6)) /
+                 SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                   OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6)
+             AS ratio
+    FROM orders WHERE o_orderkey < 200
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def window_ratio_to_report(spark, sf_dir):
+    """Oracle's RATIO_TO_REPORT window function (A_FORMAT compat
+    surface): each row's share of its partition total. Stated as
+    value / SUM() OVER (partition) with the exact-decimal convention —
+    the partition sum is shuffle-order independent, the division is
+    per-row IEEE."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    from pyspark.sql import Window as W2
+
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    total = F.sum(dec).over(W2.partitionBy("o_orderpriority"))
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round((dec / total).cast("double"), 6).alias("ratio"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
