@@ -505,3 +505,67 @@ def events_asof_join(spark, sf_dir):
         )
         .orderBy("click_id")
     )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH weekly AS (
+      SELECT user_id,
+             DATE '1970-01-01'
+               + 7 * CAST(floor(date_diff('day', DATE '1970-01-01',
+                                          CAST(ts AS DATE)) / 7.0) AS INT)
+               AS week
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT w.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, w.week) / 7 AS INT)
+               AS week_offset
+      FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they return — the engagement-decay
+    statement every event warehouse computes. Two aggregations on
+    user_id (first-touch, then distinct (user, week)) and one broadcast-
+    eligible join of the per-user cohort table; week bucketing uses
+    identical floor(epoch-day / 7) arithmetic on both sides (DuckDB's
+    time_bucket anchors weeks at 2000-01-03 and would bin differently)."""
+    ev = table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    week_start = F.date_add(
+        F.lit("1970-01-01"), (F.floor(epoch_day / 7) * 7).cast("int")
+    )
+    by_week = ev.select("user_id", week_start.alias("week"))
+    firsts = by_week.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        by_week.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
