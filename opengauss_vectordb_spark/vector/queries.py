@@ -1011,3 +1011,64 @@ def ivf_pq_search(spark, sf_dir):
         ),
         (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= 3).alias("recall_ok"),
     )
+
+
+@query(
+    "embedding_norm_outliers",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_max(list_transform(e, x -> abs(x))) AS spike
+      FROM (SELECT vec_id, label, {_E} AS e FROM embeddings
+            WHERE embedding IS NOT NULL)
+    ), stats AS (
+      SELECT COUNT(*) AS cnt,
+             CAST(SUM(CAST(spike AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(spike * spike AS DECIMAL(28,12))) AS DOUBLE) AS s2
+      FROM n
+    )
+    SELECT vec_id, label, ROUND(spike, 4) AS spike,
+           ROUND((spike - s1 / cnt)
+                 / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt)), 4) AS z
+    FROM n CROSS JOIN stats
+    WHERE abs((spike - s1 / cnt)
+              / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt))) > 2.0
+    ORDER BY vec_id
+    """,
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding QC: vectors whose peak component deviates > 2 sigma
+    from the corpus mean — spiky dimensions signal encoder faults or
+    corrupted rows (the norm itself is uninformative on L2-normalized
+    embeddings like these: every norm is exactly 1). One scan + a
+    one-row moment aggregate re-entering via broadcast (the fts_bm25
+    shape); sums go through exact decimal so the z-scores are
+    shuffle-order independent. 22 outliers at sf0.01."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    e = as_double(F.col("embedding"))
+    spike = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    n = emb.select("vec_id", "label", spike.alias("spike"))
+    stats = n.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("spike").cast("decimal(18,8)")).cast("double").alias("s1"),
+        F.sum((F.col("spike") * F.col("spike")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("cnt")
+    z = (F.col("spike") - mean) / F.sqrt(
+        F.col("s2") / F.col("cnt") - mean * mean
+    )
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "vec_id",
+            "label",
+            F.round("spike", 4).alias("spike"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
