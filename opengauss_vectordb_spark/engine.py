@@ -85,11 +85,11 @@ class Engine:
 
     # -------------------------------------------------- pipeline verbs
 
-    def dedup_pairs(self, table_name: str = "documents",
-                    verified: bool = False) -> DataFrame:
-        """Near-duplicate candidate pairs via MinHash-LSH banding
-        (operators/dedup.py); ``verified=True`` gates candidates through
-        exact n-gram Jaccard (the 100 TB pipeline form)."""
+    def dedup_pairs(self, verified: bool = False) -> DataFrame:
+        """Near-duplicate candidate pairs over the ``documents`` table
+        via MinHash-LSH banding (operators/dedup.py); ``verified=True``
+        gates candidates through exact n-gram Jaccard (the 100 TB
+        pipeline form)."""
         from .operators.dedup import dedup_lsh_verified, dedup_minhash_lsh
 
         fn = dedup_lsh_verified if verified else dedup_minhash_lsh

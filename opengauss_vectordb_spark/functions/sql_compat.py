@@ -34,8 +34,22 @@ _SYSDATE = re.compile(r"\bsysdate\b", re.IGNORECASE)
 # <+> l1) between simple operands: a column reference or a quoted
 # pgvector literal '[1,2,3]'. Conservative on purpose — compound
 # expressions pass through for Spark's parser to reject loudly rather
-# than be half-rewritten.
-_VEC_OPERAND = r"(?:'\[[^\]']*\]'|[A-Za-z_][A-Za-z0-9_.]*)"
+# than be half-rewritten. Two safety rules beyond pgvector's grammar:
+#
+#   * String literals are masked before ANY regex rewrite and restored
+#     after, so `SELECT 'a <-> b'` (operators inside quoted text) is
+#     never corrupted; only a masked literal whose body is a pgvector
+#     vector `[...]` participates as an operand.
+#   * `<=>` is Spark SQL's native null-safe equality operator, which
+#     Postgres lacks — pgvector could claim the token, Spark cannot.
+#     It is rewritten to cosine_distance ONLY when at least one operand
+#     is a pgvector literal; `a.k <=> b.k` between plain identifiers
+#     keeps Spark's null-safe-equal semantics untouched.
+_MASK = "\x00"
+_MASK_TOK = re.compile(r"\x00(\d+)\x00")
+# A single-quoted SQL literal, with '' as the escaped quote.
+_SQL_STR = re.compile(r"'(?:[^']|'')*'")
+_VEC_OPERAND = r"(?:\x00\d+\x00|[A-Za-z_][A-Za-z0-9_.]*)"
 _VEC_OP = re.compile(
     rf"(?P<a>{_VEC_OPERAND})\s*(?P<op><->|<#>|<=>|<\+>)\s*"
     rf"(?P<b>{_VEC_OPERAND})"
@@ -49,21 +63,51 @@ _VEC_FNS = {
 _VEC_LIT = re.compile(r"^'\[(?P<body>[^\]']*)\]'$")
 
 
-def _vec_operand_sql(tok: str) -> str:
-    m = _VEC_LIT.match(tok)
-    if m:
-        return f"array({m.group('body')})"
-    return f"CAST({tok} AS ARRAY<DOUBLE>)"
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    literals: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"{_MASK}{len(literals) - 1}{_MASK}"
+
+    return _SQL_STR.sub(stash, sql), literals
 
 
-def _rewrite_vector_ops(sql: str) -> str:
+def _unmask_strings(sql: str, literals: list[str]) -> str:
+    return _MASK_TOK.sub(lambda m: literals[int(m.group(1))], sql)
+
+
+def _rewrite_vector_ops(sql: str, literals: list[str]) -> str:
+    def resolve(tok: str) -> str:
+        m = _MASK_TOK.fullmatch(tok)
+        return literals[int(m.group(1))] if m else tok
+
+    def operand_sql(tok: str) -> str:
+        m = _VEC_LIT.match(tok)
+        if m:
+            return f"array({m.group('body')})"
+        return f"CAST({tok} AS ARRAY<DOUBLE>)"
+
     def sub(m: re.Match) -> str:
-        fn = _VEC_FNS[m.group("op")]
-        a = _vec_operand_sql(m.group("a"))
-        b = _vec_operand_sql(m.group("b"))
+        op = m.group("op")
+        a = resolve(m.group("a"))
+        b = resolve(m.group("b"))
+        a_is_vec = bool(_VEC_LIT.match(a))
+        b_is_vec = bool(_VEC_LIT.match(b))
+        # A masked literal that is NOT a vector literal can never be a
+        # distance operand ('abc' <-> x is not pgvector); leave as-is.
+        if (a.startswith("'") and not a_is_vec) or (
+            b.startswith("'") and not b_is_vec
+        ):
+            return m.group(0)
+        if op == "<=>" and not (a_is_vec or b_is_vec):
+            return m.group(0)  # Spark's null-safe equality — not ours
+        fn = _VEC_FNS[op]
+        a_sql = operand_sql(a)
+        b_sql = operand_sql(b)
         if fn == "neg_inner_product":
-            return f"(-inner_product({a}, {b}))"
-        return f"{fn}({a}, {b})"
+            return f"(-inner_product({a_sql}, {b_sql}))"
+        return f"{fn}({a_sql}, {b_sql})"
 
     return _VEC_OP.sub(sub, sql)
 
@@ -79,9 +123,10 @@ _ROWNUM_TAIL = re.compile(
 
 def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
-    out = _FROM_DUAL.sub("", sql)
+    masked, literals = _mask_strings(sql)
+    out = _FROM_DUAL.sub("", masked)
     out = _SYSDATE.sub("current_timestamp()", out)
-    out = _rewrite_vector_ops(out)
+    out = _rewrite_vector_ops(out, literals)
 
     m = _ROWNUM_TAIL.search(out)
     if m:
@@ -100,4 +145,4 @@ def translate(sql: str) -> str:
             out = f"SELECT * FROM ({body} LIMIT {n}) {order.strip()}"
         else:
             out = f"{body} LIMIT {n}"
-    return out
+    return _unmask_strings(out, literals)

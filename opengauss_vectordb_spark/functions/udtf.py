@@ -47,7 +47,7 @@ def _chunk_udtf_class():
     rf"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      FROM documents WHERE doc_id < 20
+      FROM documents WHERE doc_id < 20 AND len(trim(text)) > 0
     ), chunks AS (
       SELECT doc_id,
              unnest(list_transform(

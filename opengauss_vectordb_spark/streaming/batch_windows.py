@@ -339,8 +339,12 @@ def events_anomaly_zscore(spark, sf_dir):
     mean = F.col("sum_prior") / F.col("n_prior")
     var = F.col("sum2_prior") / F.col("n_prior") - mean * mean
     z = (F.col("value") - mean) / F.sqrt(var)
+    # Filter on the UNROUNDED z, matching the oracle's WHERE-then-SELECT
+    # order — filtering on round(z, 6) would drop z in (3.0, 3.0000005]
+    # that the oracle keeps.
     return (
         pre.filter((F.col("n_prior") >= 10) & (var > 0))
+        .filter(F.abs(z) > 3.0)
         .select(
             "user_id",
             "event_id",
@@ -348,7 +352,6 @@ def events_anomaly_zscore(spark, sf_dir):
             F.round(z, 6).alias("zscore"),
             F.col("n_prior").cast("bigint").alias("n_seen"),
         )
-        .filter(F.abs(F.col("zscore")) > 3.0)
         .orderBy("user_id", "event_id")
     )
 

@@ -533,6 +533,34 @@ def test_sql_compat_translate():
     assert translate(q) == q
 
 
+def test_sql_compat_string_literals_and_nullsafe_eq():
+    """String literals are opaque to every rewrite, and `<=>` keeps
+    Spark's null-safe-equality meaning unless a pgvector literal makes
+    the vector reading unambiguous (ADVICE r3)."""
+    from opengauss_vectordb_spark.functions.sql_compat import translate
+
+    # operators/keywords inside quoted text never rewrite
+    for q in (
+        "SELECT 'a <-> b' AS s",
+        "SELECT 'x <=> y' AS s",
+        "SELECT 'it''s sysdate from dual' AS s",
+        "SELECT 'rownum <= 5' AS s",
+    ):
+        assert translate(q) == q
+    # plain identifier <=> identifier: Spark null-safe equality, untouched
+    q = "SELECT * FROM a JOIN b ON a.k <=> b.k"
+    assert translate(q) == q
+    # a pgvector literal disambiguates: cosine rewrite fires
+    out = translate("SELECT emb <=> '[1,2]' FROM t")
+    assert "cosine_distance" in out and "array(1,2)" in out
+    # non-vector string next to a distance op is not an operand
+    q = "SELECT name FROM t WHERE name = 'x' AND a <-> b < 2"
+    assert "l2_distance" in translate(q)
+    assert translate("SELECT 'abc' <-> x FROM t") == "SELECT 'abc' <-> x FROM t"
+    # ident <-> ident still rewrites (no Spark meaning for <->)
+    assert "l2_distance" in translate("SELECT a <-> b FROM t")
+
+
 def test_engine_sql_compat(spark):
     from opengauss_vectordb_spark.engine import Engine
 
