@@ -303,16 +303,27 @@ class IvfIndex:
         probes: int = DEFAULT_PROBES,
         query_id: str = "qid",
         cand_id: str = "cid",
+        broadcast_queries: int | None = None,
     ) -> DataFrame:
         """Batch ANN join: assign each query to its probe lists (broadcast
         centroids, JVM-side rank-over-window), then equi-join queries to
         candidates on list_id — a co-partitioned join instead of a cross
-        join, which is what makes 100 TB × 1M queries feasible."""
+        join, which is what makes 100 TB × 1M queries feasible.
+
+        The probe_map side is |queries| × probes rows each carrying the
+        full query vector; at 1M queries that is multi-GB and Spark
+        hard-caps broadcasts at 8 GB, so it is NOT hinted — the equi-join
+        on list_id shuffles both sides (AQE still picks a broadcast at
+        runtime when the map is genuinely small). A caller that KNOWS the
+        query batch is tiny can pass ``broadcast_queries=<row count>``
+        and the hint is applied only under that explicit guard
+        (≤ 100_000 rows)."""
         from pyspark.sql import Window as W
 
         cents = spark.read.parquet(os.path.join(self.path, "centroids"))
         dist_fn = DISTANCES[self.metric]
         q = queries.select(query_id, as_double(F.col(query_vec)).alias("_qv"))
+        # centroids are bounded (≤ 32768 lists) — always broadcastable
         scored = q.crossJoin(F.broadcast(cents)).withColumn(
             "_cd", dist_fn(F.col("_qv"), F.col("centroid"))
         )
@@ -322,9 +333,11 @@ class IvfIndex:
             .filter(F.col("_pr") <= probes)
             .select(query_id, "_qv", "list_id")
         )
+        if broadcast_queries is not None and broadcast_queries <= 100_000:
+            probe_map = F.broadcast(probe_map)
         cand = self.data(spark).filter(F.col(vec_col).isNotNull())
         pairs = (
-            cand.join(F.broadcast(probe_map), "list_id")
+            cand.join(probe_map, "list_id")
             # spill duplicates: one candidate can sit in two probed lists
             .dropDuplicates([query_id, cand_id])
             .withColumn("_d", dist_fn(F.col("_qv"), as_double(F.col(vec_col))))

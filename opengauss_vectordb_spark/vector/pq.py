@@ -54,15 +54,24 @@ class PqCodebooks:
         sample_rows: int = 20_000,
         seed: int = 7,
     ) -> "PqCodebooks":
-        """Train on a bounded sample (the IvfIndex.build convention —
-        codebook quality saturates long before corpus size matters)."""
-        rows = (
-            df.filter(F.col(vec_col).isNotNull())
-            .select(vec_col)
-            .limit(sample_rows)
-            .collect()
+        """Train on a bounded UNIFORM sample (the IvfIndex.build
+        convention, ivf.py). A head `.limit(n)` would be biased on any
+        clustered layout — e.g. parquet written `partitionBy(list_id)`
+        after IVF ingest, where the first rows all come from one or two
+        lists — so sample by fraction across all partitions, then
+        canonicalize the order so the seeded k-means is reproducible."""
+        clean = df.filter(F.col(vec_col).isNotNull()).select(vec_col)
+        n = clean.count()
+        fraction = min(1.0, (sample_rows * 1.2) / max(n, 1))
+        sample_df = (
+            clean.sample(fraction=fraction, seed=seed)
+            if fraction < 1.0
+            else clean
         )
+        rows = sample_df.limit(sample_rows).collect()
         X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        # collect order is partition-order nondeterministic → canonicalize
+        X = X[np.lexsort(X.T[::-1])]
         dim = X.shape[1]
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")

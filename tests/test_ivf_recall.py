@@ -185,12 +185,21 @@ def test_pq_rerank_recall_128d(spark, hi_dim_setup):
 
     df, queries = hi_dim_setup
     books = PqCodebooks.fit(df, "v", m=32, k=16)
+    assert _pq_recall(df, books, queries) >= 0.9
+
+
+def _pq_recall(df, books, queries, sample=8):
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+    from opengauss_vectordb_spark.vector.pq import pq_search
+
     codes = df.withColumn("pq_codes", books.encode_udf()(F.col("v"))).cache()
     hits = total = 0
     # rerank must exceed cluster occupancy (~200 here): ADC separates
     # clusters sharply but ranks coarsely INSIDE one, so the shortlist
     # has to cover the query's cluster for the exact rerank to finish
-    for q in queries[:8]:
+    for q in queries[:sample]:
         qv = [float(x) for x in q]
         truth = {
             r.id
@@ -205,7 +214,67 @@ def test_pq_rerank_recall_128d(spark, hi_dim_setup):
         hits += len(truth & got)
         total += len(truth)
     codes.unpersist()
-    assert hits / total >= 0.9
+    return hits / total
+
+
+def test_pq_fit_unbiased_on_clustered_layout(spark, hi_dim_setup):
+    """VERDICT r3 nit 2: PqCodebooks.fit must sample uniformly, not take
+    the head — on a clustered layout (rows physically ordered by the
+    cluster structure, as after an IVF partitionBy(list_id) ingest) a
+    head-limit sample sees only a few clusters and the codebooks skew.
+    Fit on a v[0]-sorted frame with sample_rows ≪ N and require the
+    same recall bar as the unclustered fit."""
+    from opengauss_vectordb_spark.vector.pq import PqCodebooks
+
+    df, queries = hi_dim_setup
+    clustered = df.orderBy(F.expr("v[0]")).coalesce(4)
+    books = PqCodebooks.fit(clustered, "v", m=32, k=16, sample_rows=2_000)
+    assert _pq_recall(df, books, queries) >= 0.9
+
+
+def test_knn_join_large_batch_not_broadcast(spark, ivf_setup):
+    """Scale guard (VERDICT r3 nit 1): the probe_map side of the batch
+    ANN join is |queries| × probes rows each carrying the query vector —
+    multi-GB at 1M queries, and Spark hard-caps broadcasts at 8 GB. For
+    a large query batch the plan must NOT force a broadcast of the
+    query side; the list_id equi-join shuffles (AQE may still choose a
+    runtime broadcast only when the map proves genuinely small)."""
+    from opengauss_vectordb_spark.plans.explain import physical_plan
+
+    df, idx, _ = ivf_setup
+    tmp = tempfile.mkdtemp(prefix="knn_join_big_")
+    spark.range(100_000).select(
+        F.col("id").alias("qid"),
+        F.array(
+            (F.rand(seed=1)).cast("double"),
+            (F.rand(seed=2)).cast("double"),
+            (F.rand(seed=3)).cast("double"),
+        ).alias("qv"),
+    ).write.mode("overwrite").parquet(tmp)
+    big = spark.read.parquet(tmp)
+    # model "probe map ≫ broadcast threshold" (the 1M×64-d regime) with
+    # real parquet stats and a proportionally lowered threshold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024))
+    try:
+        out = idx.knn_join(
+            spark, big, "qv", "v", k=5, probes=2, query_id="qid", cand_id="id"
+        )
+        plan = physical_plan(out)
+        # the centroid cross-join (BroadcastNestedLoopJoin over ≤ 32768
+        # bounded rows) is exempt; the probe_map→candidates equi-join on
+        # list_id must shuffle, not hash-broadcast the query side
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin [list_id" in plan or "ShuffledHashJoin" in plan
+        # explicit small-batch guard still allows the hint
+        small = big.limit(10)
+        hinted = idx.knn_join(
+            spark, small, "qv", "v", k=5, probes=2, query_id="qid",
+            cand_id="id", broadcast_queries=10,
+        )
+        assert "BroadcastHashJoin" in physical_plan(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_point_lookup_recall_at_1(spark, ivf_setup):
