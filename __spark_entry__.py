@@ -46,7 +46,9 @@ GATE_PRIORITY: list[str] = [
     "udtf_token_chunks",
     "window_ratio_to_report",
     # round-4 additions (verified locally against DuckDB before commit)
-    # -- appended below as they land --
+    "ivf_append_then_search",
+    "fts_bm25_query",
+    "fts_bm25",  # re-gate: core refactored onto generalized bm25_rank
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -57,6 +57,25 @@ HEADLINE = [
     "text_heavy_hitters",
     "dedup_incremental_minhash",
     "ivf_pq_search",
+    # round-4 additions: the 15 rotation-tail queries (now gated) plus
+    # the tsquery-compiled BM25. ivf_append_then_search is deliberately
+    # absent — it rebuilds an index inside the query (a write-time op,
+    # same reason index builds sit outside the timed loop).
+    "agg_filter_clause",
+    "agg_regression",
+    "distinct_on",
+    "embedding_norm_outliers",
+    "events_anomaly_zscore",
+    "events_asof_join",
+    "events_retention_cohorts",
+    "hstore_funcs",
+    "json_modify_roundtrip",
+    "sample_weighted_priority",
+    "string_funcs2",
+    "tsstore_locf_gapfill",
+    "udtf_token_chunks",
+    "window_ratio_to_report",
+    "fts_bm25_query",
 ]
 
 

@@ -138,13 +138,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     a = sigs.select(
         F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a")
     )
+    # right-side columns renamed so the equi-condition references two
+    # DISTINCT attributes — same-attribute self-join conditions make
+    # Catalyst log "trivially true equals predicate" noise that buries
+    # real warnings (VERDICT r3 item 10)
     b = sigs.select(
-        F.col("doc_id").alias("id_b"), "band", F.col("sig").alias("sig_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
     )
     return (
         a.join(
             b,
-            (a.band == b.band) & (F.col("sig_a") == F.col("sig_b"))
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b")
@@ -482,11 +489,16 @@ def dedup_lsh_verified(spark, sf_dir):
     # materialize for cheap map-side pipelines.
     sigs = minhash_signatures(d)
     a = sigs.select(F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), "band", F.col("sig").alias("sig_b"))
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
     cand = (
         a.join(
             b,
-            (a.band == b.band) & (F.col("sig_a") == F.col("sig_b"))
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b")
@@ -588,14 +600,14 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
     b = sigs.select(
         F.col("doc_id").alias("other_id"),
-        "band",
+        F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
         F.col("is_delta").alias("other_delta"),
     )
     return (
         a.join(
             b,
-            (a.band == b.band)
+            (F.col("band") == F.col("band_b"))
             & (F.col("sig_a") == F.col("sig_b"))
             & (F.col("new_id") != F.col("other_id"))
             & (~F.col("other_delta") | (F.col("other_id") < F.col("new_id"))),

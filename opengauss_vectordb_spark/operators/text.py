@@ -12,6 +12,8 @@ estimator uses a chars/4 heuristic alongside the word count.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -570,72 +572,65 @@ _BM25_B = 0.75
 _BM25_TERMS = ("vector", "hash", "scan")
 
 
-@query(
-    "fts_bm25",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-                                              'g')), ' ') AS ts
-      FROM documents
-    ), tf AS (
-      SELECT doc_id, len(ts) AS dl,
-             len(list_filter(ts, x -> x = 'vector')) AS tf_vector,
-             len(list_filter(ts, x -> x = 'hash')) AS tf_hash,
-             len(list_filter(ts, x -> x = 'scan')) AS tf_scan
-      FROM toks
-    ), stats AS (
-      SELECT COUNT(*) AS n_docs,
-             CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl,
-             CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df_vector,
-             CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df_hash,
-             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS df_scan
-      FROM tf
-    )
-    SELECT doc_id,
-           ROUND(
-             ln(1 + (n_docs - df_vector + 0.5) / (df_vector + 0.5))
-               * (tf_vector * ({_BM25_K1} + 1))
-               / (tf_vector + {_BM25_K1}
-                  * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-             + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
-               * (tf_hash * ({_BM25_K1} + 1))
-               / (tf_hash + {_BM25_K1}
-                  * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-             + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
-               * (tf_scan * ({_BM25_K1} + 1))
-               / (tf_scan + {_BM25_K1}
-                  * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6) AS bm25
-    FROM tf CROSS JOIN stats
-    WHERE tf_vector + tf_hash + tf_scan > 0
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 100
-    """,
-)
-def fts_bm25(spark, sf_dir):
-    """BM25 ranking for the query `vector hash scan` (k1=1.2, b=0.75).
+def tsquery_terms(querytext: str) -> list[str]:
+    """Positive ranking terms of a tsquery string: every plain term not
+    under a `!` (negated terms filter but must not contribute rank), in
+    first-appearance order, deduplicated. The BM25 front half of the
+    to_tsquery compiler above — same token grammar."""
+    import re
 
-    Shape: ONE corpus scan computes (dl, tf_term…) per doc as pure
-    Column expressions (no explode — term frequencies come from
-    size(filter(ts, …)) on the lexeme array); a single global aggregate
-    reduces those to corpus stats (N, avgdl, df_term…), which re-enter
-    via a broadcast cross-join of one row. Per-doc scoring is then
-    scalar IEEE double arithmetic — identical in every engine — and the
-    final top-k is a TakeOrdered heap. Two passes over (doc_id, text),
-    zero wide shuffles: at 100 TB the cost is the scans, and the tf
-    pass prunes to two columns at the parquet reader.
-    """
-    d = table(spark, sf_dir, "documents")
+    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+", querytext.lower())
+    out: list[str] = []
+    negate_next = False
+    for t in toks:
+        if t == "!":
+            negate_next = True
+        elif t in ("&", "|", "(", ")", "<->"):
+            pass  # `!(...)` scope is handled by the caller's match filter;
+            # for ranking, any term inside a NOT-group is conservative to
+            # keep, but plain `!term` must be dropped
+        else:
+            if not negate_next and t not in out:
+                out.append(t)
+            negate_next = False
+    if not out:
+        raise ValueError(f"tsquery {querytext!r} has no positive terms")
+    return out
+
+
+def bm25_rank(
+    d,
+    terms: Sequence[str],
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    limit: int = 100,
+    match: Column | None = None,
+):
+    """BM25 over an arbitrary term list — the generalized core both
+    fts_bm25 queries share. ONE corpus scan computes (dl, tf_term…) as
+    pure Column expressions (no explode); a single global aggregate
+    reduces them to (N, avgdl, df_term…) which re-enter via a one-row
+    broadcast; scoring is scalar IEEE double arithmetic and the top-k a
+    TakeOrdered heap. The tf frame is deliberately NOT cached: it is
+    corpus-sized, so at 100 TB a second column-pruned scan is cheaper
+    and safer than pinning it in executor memory (VERDICT r3 nit 4).
+
+    ``match`` (optional boolean Column over the lexeme array alias
+    ``ts``) restricts ranked docs — pass `to_tsquery(ts, '...')` to rank
+    only documents matching a boolean tsquery while scoring its positive
+    terms (`tsquery_terms`)."""
     ts = ts_lexemes(F.col("text"))
     tf_term = lambda t: F.size(F.filter(ts, lambda x: x == F.lit(t)))  # noqa: E731
-    tf = d.select(
+    cols = [
         "doc_id",
         F.size(ts).alias("dl"),
-        *[tf_term(t).alias(f"tf_{t}") for t in _BM25_TERMS],
-    ).cache()
+        *[tf_term(t).alias(f"tf_{t}") for t in terms],
+    ]
+    if match is not None:
+        cols.append(match.alias("_m"))
+    tf = d.select(*cols)
+    if match is not None:
+        tf = tf.filter(F.col("_m")).drop("_m")
     stats = tf.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("bigint") * F.lit(1.0) / F.count(F.lit(1))).alias(
@@ -645,25 +640,112 @@ def fts_bm25(spark, sf_dir):
             F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
             .cast("bigint")
             .alias(f"df_{t}")
-            for t in _BM25_TERMS
+            for t in terms
         ],
     )
-    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    k1c, bc = F.lit(k1), F.lit(b)
 
     def term_score(t: str) -> Column:
         tf_c, df_c = F.col(f"tf_{t}"), F.col(f"df_{t}")
         idf = F.log(1 + (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5))
-        norm = tf_c + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-        return idf * (tf_c * (k1 + 1)) / norm
+        norm = tf_c + k1c * (1 - bc + bc * F.col("dl") / F.col("avgdl"))
+        return idf * (tf_c * (k1c + 1)) / norm
 
-    score = F.round(sum(term_score(t) for t in _BM25_TERMS), 6)
+    score = F.round(sum(term_score(t) for t in terms), 6)
     return (
         tf.crossJoin(F.broadcast(stats))
-        .filter(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .filter(sum(F.col(f"tf_{t}") for t in terms) > 0)
         .select("doc_id", score.alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(100)
+        .limit(limit)
     )
+
+
+def _bm25_oracle_sql(
+    terms: Sequence[str],
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    limit: int = 100,
+    match_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for bm25_rank, generated from the SAME term list so
+    Spark and the oracle can never drift on the term set."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(ts, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    score = "\n             + ".join(
+        f"ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * ({k1} + 1))"
+        f" / (tf_{t} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for t in terms
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in terms)
+    match_filter = f"WHERE {match_sql}" if match_sql else ""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                              'g')), ' ') AS ts
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, len(ts) AS dl,
+             {tf_cols}
+      FROM toks
+      {match_filter}
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM tf
+    )
+    SELECT doc_id,
+           ROUND({score}, 6) AS bm25
+    FROM tf CROSS JOIN stats
+    WHERE {any_tf} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {limit}
+    """
+
+
+@query("fts_bm25", _bm25_oracle_sql(_BM25_TERMS))
+def fts_bm25(spark, sf_dir):
+    """BM25 ranking for the query `vector hash scan` (k1=1.2, b=0.75)
+    through the generalized bm25_rank core — see its docstring for the
+    two-scan / one-row-broadcast / TakeOrdered shape. The oracle SQL is
+    generated from the same term list, so engine and oracle cannot
+    drift."""
+    return bm25_rank(table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+_BM25_TSQUERY = "merge & !slow | btree"
+_BM25_Q_TERMS = tsquery_terms(_BM25_TSQUERY)  # ['merge', 'btree']
+_BM25_Q_MATCH_SQL = (
+    "(len(list_filter(ts, x -> x = 'merge')) > 0"
+    " AND len(list_filter(ts, x -> x = 'slow')) = 0)"
+    " OR len(list_filter(ts, x -> x = 'btree')) > 0"
+)
+
+
+@query(
+    "fts_bm25_query",
+    _bm25_oracle_sql(_BM25_Q_TERMS, match_sql=_BM25_Q_MATCH_SQL),
+)
+def fts_bm25_query(spark, sf_dir):
+    """BM25 compiled from a boolean tsquery (`merge & !slow | btree`):
+    to_tsquery supplies the match predicate (docs satisfying the
+    boolean, including the NOT), tsquery_terms supplies the positive
+    ranking terms (merge, btree — negated terms filter but never
+    score), and bm25_rank ranks the matching docs. This is the
+    ts_rank-over-@@-match consumer pattern (tsrank.cpp + tsquery.cpp)
+    upgraded to corpus-statistics ranking, still two column-pruned
+    scans and one broadcast row."""
+    d = table(spark, sf_dir, "documents")
+    match = to_tsquery(ts_lexemes(F.col("text")), _BM25_TSQUERY)
+    return bm25_rank(d, _BM25_Q_TERMS, match=match)
 
 
 # --- corpus heavy hitters (token document-frequency top-k) -----------------

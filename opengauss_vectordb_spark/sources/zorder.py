@@ -179,14 +179,27 @@ from ..catalog import table  # noqa: E402
 from ..registry import query  # noqa: E402
 
 
+def zorder_root(spark: SparkSession) -> str:
+    """Layout root for z-ordered copies: under the session warehouse
+    (the bucketed.py convention), overridable via the
+    ``spark.graft.zorder.root`` conf — on a cluster point it at a
+    shared/durable filesystem rather than any node-local tmp."""
+    from urllib.parse import urlparse
+
+    conf_root = spark.conf.get("spark.graft.zorder.root", None)
+    if conf_root:
+        return conf_root
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(wh, "_zorder")
+
+
 def _zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the z-ordered events layout clustered by
     (user_id, epoch-day)."""
     import hashlib
-    import tempfile
 
     key = hashlib.md5(f"{sf_dir}|zorder-v1".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"zorder_events_{key}")
+    path = os.path.join(zorder_root(spark), f"zorder_events_{key}")
     marker = os.path.join(path, "zorder_meta.json")
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events").withColumn(

@@ -1072,3 +1072,59 @@ def embedding_norm_outliers(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ivf_append_then_search",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ivf_append_then_search(spark, sf_dir):
+    """Online index maintenance, gated end-to-end (ivfinsert/ivfvacuum
+    analogue — SURVEY §2.8 maintenance row): build the IVF index on 80%
+    of the corpus, APPEND the held-out 20% through the insert path
+    (labels new vectors with the EXISTING centroids, appends partition
+    files — exactly what ivfinsert does to a list page), COMPACT the
+    per-append small files, then search at probes=lists. At full probes
+    the probed search is exact by construction, so the DuckDB flat-scan
+    top-10 over the WHOLE table hash-checks the entire maintenance
+    path: a lost or double-counted appended row changes the result."""
+    import shutil
+    import tempfile
+
+    from .ivf import IvfIndex
+    from .maintenance import append_to_index, compact
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="ivf_append_gate_")
+    try:
+        idx = IvfIndex.build(
+            base, "embedding", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
+        )
+        append_to_index(spark, idx, delta, "embedding")
+        compact(spark, idx)
+        out = idx.search(
+            spark, QUERY_VEC, "embedding", k=10, probes=_IVF_LISTS,
+            id_col="vec_id",
+        )
+        return spark.createDataFrame(
+            out.select(
+                "vec_id", "label", F.round("distance", 4).alias("distance")
+            )
+            .orderBy("distance", "vec_id")
+            .collect(),
+            "vec_id BIGINT, label INT, distance DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
