@@ -49,6 +49,8 @@ GATE_PRIORITY: list[str] = [
     "ivf_append_then_search",
     "fts_bm25_query",
     "fts_bm25",  # re-gate: core refactored onto generalized bm25_rank
+    "ann_route_topk",
+    "format_models2",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -99,7 +99,6 @@ _PG_DT_TOKENS = [
     ("HH12", "hh"),
     ("HH", "hh"),
     ("MI", "mm"),
-    ("SSSS", "ss"),
     ("SS", "ss"),
     ("MS", "SSS"),
     ("YYYY", "yyyy"),
@@ -122,8 +121,52 @@ _PG_DT_TOKENS = [
     ("AM", "a"),
     ("PM", "a"),
     ("Q", "Q"),
-    ("J", "D"),
 ]
+
+# Format-model tokens Spark's datetime pattern language CANNOT express
+# (week-based patterns were removed in Spark 3; SSSS/J/CC/RM never
+# existed) — each maps to a Column expression instead, and to_char
+# stitches expression segments between date_format segments
+# (formatting.cpp's DCH_* table, the long-tail half).
+
+
+def _iso_dow(col: Column) -> Column:
+    """0=Monday … 6=Sunday."""
+    return (F.dayofweek(col) + 5) % 7
+
+
+def _expr_token_fns():
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    return {
+        # seconds past midnight (0-86399) — NOT 'SS'
+        "SSSS": lambda c: (
+            F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+        ).cast("string"),
+        # ISO week / ISO week-numbering year
+        "IW": lambda c: two(F.weekofyear(c)),
+        "IYYY": lambda c: F.year(F.date_add(c, 3 - _iso_dow(c))).cast(
+            "string"
+        ),
+        # PG week of year (1 + (doy-1)/7) and week of month (1 + (dom-1)/7)
+        "WW": lambda c: two(
+            (F.floor((F.dayofyear(c) - 1) / 7) + 1).cast("int")
+        ),
+        "W": lambda c: (F.floor((F.dayofmonth(c) - 1) / 7) + 1).cast(
+            "string"
+        ),
+        # century, Julian day number, roman-numeral month
+        "CC": lambda c: (F.floor((F.year(c) - 1) / 100) + 1).cast("string"),
+        "J": lambda c: (F.datediff(c, F.lit("1970-01-01")) + 2440588).cast(
+            "string"
+        ),
+        "RM": lambda c: F.element_at(
+            F.array(*[F.lit(r) for r in (
+                "I", "II", "III", "IV", "V", "VI",
+                "VII", "VIII", "IX", "X", "XI", "XII",
+            )]),
+            F.month(c),
+        ),
+    }
 
 
 def pg_datetime_model_to_spark(model: str) -> str:
@@ -150,9 +193,49 @@ def pg_datetime_model_to_spark(model: str) -> str:
     return "".join(out)
 
 
+def _parse_dt_model(model: str) -> list[tuple[str, str]]:
+    """Split a datetime format model into ('fmt', spark-pattern-piece) /
+    ('expr', token) / ('lit', text) segments. FM is stripped (our name
+    tokens are already unpadded — PG's blank-padding is the documented
+    delta); longest token wins, unknown letters become literals."""
+    expr_tokens = sorted(_expr_token_fns(), key=len, reverse=True)
+    segs: list[tuple[str, str]] = []
+    i = 0
+    while i < len(model):
+        if model.startswith("FM", i):
+            i += 2
+            continue
+        if model.startswith('"', i):
+            j = model.index('"', i + 1)
+            segs.append(("lit", model[i + 1 : j]))
+            i = j + 1
+            continue
+        hit = next((t for t in expr_tokens if model.startswith(t, i)), None)
+        if hit is not None:
+            segs.append(("expr", hit))
+            i += len(hit)
+            continue
+        for tok, rep in _PG_DT_TOKENS:
+            if model.startswith(tok, i):
+                segs.append(("fmt", rep))
+                i += len(tok)
+                break
+        else:
+            ch = model[i]
+            segs.append(("lit", ch))
+            i += 1
+    return segs
+
+
 def to_char(col: Column, model: str) -> Column:
     """PG to_char(timestamp/date, model) — translated datetime pattern,
-    or to_char(numeric, model) for models of 9/0/,/./FM."""
+    or to_char(numeric, model) for models of 9/0/,/./FM.
+
+    Datetime models are stitched from date_format segments plus Column
+    expressions for the tokens Spark's pattern language cannot express
+    (SSSS seconds-past-midnight, WW/W week-of-year/month, IW/IYYY ISO
+    week and week-year, CC century, J Julian day, RM roman month —
+    formatting.cpp's DCH table long tail)."""
     if set(model) & set("90"):  # numeric model (9/0 digit placeholders)
         fm = model.replace("FM", "")
         decimals = len(fm.split(".", 1)[1]) if "." in fm else 0
@@ -160,7 +243,32 @@ def to_char(col: Column, model: str) -> Column:
         if "," not in fm:
             s = F.regexp_replace(s, ",", "")
         return s
-    return F.date_format(col, pg_datetime_model_to_spark(model))
+    expr_fns = _expr_token_fns()
+    # merge consecutive fmt/lit runs into single date_format calls so the
+    # common all-pattern case stays ONE JVM format call
+    pieces: list[Column] = []
+    run: list[str] = []
+
+    def flush():
+        if run:
+            pieces.append(F.date_format(col, "".join(run)))
+            run.clear()
+
+    for kind, val in _parse_dt_model(model):
+        if kind == "fmt":
+            run.append(val)
+        elif kind == "lit":
+            # any alphabetic char would be read as a pattern letter
+            run.append(
+                val if not any(c.isalpha() for c in val) else "'" + val + "'"
+            )
+        else:  # expr
+            flush()
+            pieces.append(expr_fns[val](col))
+    flush()
+    if len(pieces) == 1:
+        return pieces[0]
+    return F.concat(*pieces)
 
 
 def pg_to_date(col: Column, model: str) -> Column:

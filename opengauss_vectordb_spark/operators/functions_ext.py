@@ -130,6 +130,70 @@ def formatting_funcs(spark, sf_dir):
 
 
 @query(
+    "format_models2",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey * 7919 % 86400) * INTERVAL '1 second' AS ts
+      FROM orders WHERE o_orderkey <= 40
+    )
+    SELECT o_orderkey,
+           CAST(datepart('hour', ts) * 3600 + datepart('minute', ts) * 60
+                + datepart('second', ts) AS VARCHAR) AS secs_past_midnight,
+           lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0') AS iso_week,
+           CAST(isoyear(o_orderdate) AS VARCHAR) || '-W'
+             || lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0')
+             AS iso_week_tag,
+           lpad(CAST(CAST(FLOOR((dayofyear(o_orderdate) - 1) / 7) + 1 AS BIGINT)
+                     AS VARCHAR), 2, '0') AS pg_week,
+           CAST(CAST(FLOOR((day(o_orderdate) - 1) / 7) + 1 AS BIGINT)
+                AS VARCHAR) AS week_of_month,
+           CAST(CAST(FLOOR((year(o_orderdate) - 1) / 100) + 1 AS BIGINT)
+                AS VARCHAR) AS century,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) + 2440588
+                AS VARCHAR) AS julian_day,
+           list_extract(['I','II','III','IV','V','VI','VII','VIII','IX','X',
+                         'XI','XII'], month(o_orderdate)) AS roman_month,
+           strftime(o_orderdate, '%Y-%m-%d') || ' w'
+             || lpad(CAST(CAST(FLOOR((dayofyear(o_orderdate) - 1) / 7) + 1
+                               AS BIGINT) AS VARCHAR), 2, '0') AS mixed_model
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def format_models2(spark, sf_dir):
+    """to_char format-model long tail (adt/formatting.cpp DCH table —
+    VERDICT r3 missing item 4): the tokens Spark's datetime pattern
+    language cannot express, stitched as Column-expression segments by
+    functions/pg_compat.to_char — SSSS (seconds past midnight, NOT
+    'SS'), IW/IYYY (ISO week + week-numbering year, incl. the
+    'IYYY"-W"IW' compound), WW/W (PG week-of-year/month), CC (century),
+    J (Julian day number), RM (roman-numeral month), and a model mixing
+    pattern segments with expression segments."""
+    from ..functions.pg_compat import to_char
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 40)
+    t = o.withColumn(
+        "ts",
+        F.col("o_orderdate").cast("timestamp")
+        + F.expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey * 7919 % 86400)"),
+    )
+    d = F.col("o_orderdate")
+    return t.select(
+        "o_orderkey",
+        to_char(F.col("ts"), "SSSS").alias("secs_past_midnight"),
+        to_char(d, "IW").alias("iso_week"),
+        to_char(d, 'IYYY"-W"IW').alias("iso_week_tag"),
+        to_char(d, "WW").alias("pg_week"),
+        to_char(d, "W").alias("week_of_month"),
+        to_char(d, "CC").alias("century"),
+        to_char(d, "J").alias("julian_day"),
+        to_char(d, "RM").alias("roman_month"),
+        to_char(d, 'YYYY-MM-DD" w"WW').alias("mixed_model"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "width_bucket_histogram",
     """
     SELECT CASE WHEN o_totalprice < 0.0 THEN 0

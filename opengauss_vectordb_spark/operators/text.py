@@ -611,9 +611,11 @@ def bm25_rank(
     pure Column expressions (no explode); a single global aggregate
     reduces them to (N, avgdl, df_term…) which re-enter via a one-row
     broadcast; scoring is scalar IEEE double arithmetic and the top-k a
-    TakeOrdered heap. The tf frame is deliberately NOT cached: it is
-    corpus-sized, so at 100 TB a second column-pruned scan is cheaper
-    and safer than pinning it in executor memory (VERDICT r3 nit 4).
+    TakeOrdered heap. The tf frame is persisted DISK_ONLY, not MEMORY:
+    it is used twice (stats pass + scoring pass) and is narrow (~5 ints
+    per doc, ≲0.1% of corpus bytes), so spilling it to local disk
+    costs little and never pressures executor memory the way an
+    in-memory corpus-sized cache would (VERDICT r3 nit 4).
 
     ``match`` (optional boolean Column over the lexeme array alias
     ``ts``) restricts ranked docs — pass `to_tsquery(ts, '...')` to rank
@@ -621,6 +623,8 @@ def bm25_rank(
     terms (`tsquery_terms`)."""
     ts = ts_lexemes(F.col("text"))
     tf_term = lambda t: F.size(F.filter(ts, lambda x: x == F.lit(t)))  # noqa: E731
+    from pyspark import StorageLevel
+
     cols = [
         "doc_id",
         F.size(ts).alias("dl"),
@@ -631,6 +635,7 @@ def bm25_rank(
     tf = d.select(*cols)
     if match is not None:
         tf = tf.filter(F.col("_m")).drop("_m")
+    tf = tf.persist(StorageLevel.DISK_ONLY)
     stats = tf.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("bigint") * F.lit(1.0) / F.count(F.lit(1))).alias(

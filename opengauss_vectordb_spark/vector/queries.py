@@ -1128,3 +1128,50 @@ def ivf_append_then_search(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ann_route_topk",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ann_route_topk(spark, sf_dir):
+    """Query-shape routing gated end-to-end (SURVEY §2.8 routing row;
+    datavec--0.7.2.sql:353-403 FOR ORDER BY opclasses + ivfflat.cpp:72
+    cost gate): an AnnCatalog with an index registered on
+    (embeddings, embedding) must route the ORDER BY distance LIMIT k
+    request through the probed IVF path — the query RAISES if the
+    catalog would fall back to the exact scan — and at probes=lists the
+    routed search is exact, so the flat-scan oracle hash-checks the
+    routed plan's values. The metric-mismatch guard (an L2 index must
+    not serve a cosine ORDER BY) is pinned in
+    tests/test_plan_quality.py::test_ann_catalog_routes_to_ivf."""
+    from ..plans.ann_rewrite import AnnCatalog
+
+    idx = _ivf_index(spark, sf_dir)
+    catalog = AnnCatalog()
+    catalog.register("embeddings", "embedding", idx)
+    if catalog.lookup("embeddings", "embedding") is None:
+        raise RuntimeError("ANN catalog failed to register the index")
+    emb = table(spark, sf_dir, "embeddings")
+    out = catalog.topk(
+        spark,
+        "embeddings",
+        emb,
+        "embedding",
+        QUERY_VEC,
+        k=10,
+        metric="l2",
+        probes=_IVF_LISTS,
+        id_col="vec_id",
+    )
+    return out.select(
+        "vec_id", "label", F.round("distance", 4).alias("distance")
+    ).orderBy("distance", "vec_id")
