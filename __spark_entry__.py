@@ -51,6 +51,9 @@ GATE_PRIORITY: list[str] = [
     "fts_bm25",  # re-gate: core refactored onto generalized bm25_rank
     "ann_route_topk",
     "format_models2",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_report",
+    "pii_scrub_redact",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -438,3 +438,224 @@ def sample_weighted_priority(spark, sf_dir):
         .limit(50)
         .select("doc_id", "n_chars", F.round("_k", 6).alias("priority"))
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing any word 5-gram
+# with the held-out eval set (the industry-standard n-gram overlap check
+# run before every serious pretraining job; additive like the rest of
+# this module — the reference has no corpus tooling).
+# --------------------------------------------------------------------------
+
+_DECON_N = 4  # shingle width (words; production decon uses 8-13 — 4 keeps
+# the sf0.01 gate result non-trivial on the synthetic token-soup corpus)
+_SQL_TOKS = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(w) - {_DECON_N} + 2),
+               i -> array_to_string(w[i : i + {_DECON_N} - 1], ' '))) AS shingle
+      FROM toks WHERE len(w) >= {_DECON_N}
+    ), dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id AS doc_id,
+           COUNT(*) AS n_shared_shingles
+    FROM dsh d JOIN eval_sh e ON d.shingle = e.shingle
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 97 != 0) that
+    share ≥1 word-4-gram with the eval split (doc_id % 97 == 0), with
+    the count of distinct shared shingles. Scale shape: shingles are
+    generated by transform(sequence(...)) — pure codegen, no Python —
+    each side deduped per doc BEFORE the join, and the join key is the
+    shingle string; the eval side of a real run is a benchmark suite
+    (tiny), so AQE broadcasts it — but no hint forces that, and a large
+    eval set degrades to a shuffle equi-join, never a cross join. The
+    per-doc aggregation is a short-key groupBy. The same shape at 100 TB
+    reads the corpus once."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ",
+    )
+    t = d.select("doc_id", w.alias("w")).filter(F.size("w") >= _DECON_N)
+    shingles = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - _DECON_N),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), i + 1, _DECON_N)
+                ),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    eval_sh = (
+        shingles.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        shingles.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk (GPT-style): documents concatenated
+# in key order and sliced into fixed token windows; the packing report is
+# pure prefix-sum arithmetic, so it is window-expressible and identical
+# in any engine.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@query(
+    "pack_sequences_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_SQL_TOKS}) AS n_tokens
+      FROM documents
+    ), pre AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS tok_before
+      FROM t
+    ), placed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(tok_before / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+             CAST(FLOOR((tok_before + n_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+               AS bin_end
+      FROM pre WHERE n_tokens > 0
+    )
+    SELECT bin_id,
+           COUNT(*) AS n_docs_starting,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+           CAST(SUM(CASE WHEN bin_end > bin_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers
+    FROM placed
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+)
+def pack_sequences_report(spark, sf_dir):
+    """Concat-and-chunk sequence packing report: documents are laid end
+    to end in doc_id order and cut into {budget}-token training windows
+    (the packing used when pretraining data is tokenized — no padding
+    waste, docs may straddle window boundaries). Per window: docs
+    starting in it, their token mass, and how many straddle into the
+    next window. One running-sum window over (doc_id, n_tokens) — the
+    corpus never shuffles, only the per-doc token counts do; at 100 TB
+    the prefix sum is the only serial dependency and Spark's window on
+    a single global ordering is the honest cost (a production packer
+    runs it per shard — same arithmetic partitioned by shard key)."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ",
+    )
+    t = d.select("doc_id", F.size(w).alias("n_tokens"))
+    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = t.withColumn(
+        "tok_before", F.sum("n_tokens").over(win) - F.col("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    placed = pre.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("tok_before") / _PACK_BUDGET).alias("bin_id"),
+        F.floor(
+            (F.col("tok_before") + F.col("n_tokens") - 1) / _PACK_BUDGET
+        ).alias("bin_end"),
+    )
+    return (
+        placed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_starting"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_started"),
+            F.sum(
+                F.when(F.col("bin_end") > F.col("bin_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_straddlers"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — regex redaction of emails/phones with an audit count
+# (the safety pass every released corpus runs; pure regexp_replace
+# codegen, no Python).
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "pii_scrub_redact",
+    rf"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+    FROM salted ORDER BY doc_id
+    """,
+)
+def pii_scrub_redact(spark, sf_dir):
+    """PII scrub with audit counts: inject deterministic synthetic
+    email/phone strings (the corpus fixture has none — the injection IS
+    the test vector), count matches, redact with [EMAIL]/[PHONE]
+    placeholders. All regexp_count/regexp_replace — whole-stage codegen,
+    one map pass, trivially 100 TB-safe. Bounded to 50 docs at the gate
+    because the full redacted text is part of the hash-checked output."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    salted = d.select("doc_id", t.alias("t"))
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("clean"),
+    ).orderBy("doc_id")
