@@ -76,6 +76,11 @@ HEADLINE = [
     "udtf_token_chunks",
     "window_ratio_to_report",
     "fts_bm25_query",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_report",
+    "pii_scrub_redact",
+    "format_models2",
+    "ann_route_topk",
 ]
 
 

@@ -397,3 +397,23 @@ def test_pq_coarse_scan_prunes_vector_column(spark):
     assert all(
         "embedding" not in s.split("ReadSchema:")[-1] for s in coarse_scans
     ), f"coarse scan reads the float vectors: {coarse_scans}"
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    """Round-4 curation operators: no row-at-a-time Python anywhere, no
+    cartesian product in the decontamination join, and the packing
+    report is a single window pass (its only wide exchange is the
+    final per-bin aggregation + ordering)."""
+    for name in [
+        "decontaminate_ngram_overlap",
+        "pack_sequences_report",
+        "pii_scrub_redact",
+        "format_models2",
+        "fts_bm25_query",
+    ]:
+        df = QUERIES[name](spark, SF_CORRECT)
+        assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
+    decon = QUERIES["decontaminate_ngram_overlap"](spark, SF_CORRECT)
+    plan = physical_plan(decon)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
