@@ -54,6 +54,8 @@ GATE_PRIORITY: list[str] = [
     "decontaminate_ngram_overlap",
     "pack_sequences_report",
     "pii_scrub_redact",
+    "salted_skew_join",
+    "incremental_agg_merge",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -124,3 +124,77 @@ def merge_upsert_orders(spark, sf_dir):
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
     )
     return upsert(target, source, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view refresh shape
+# (the steady-state form of every 100 TB rollup: never re-aggregate the
+# full history; merge the delta batch's partial aggregates into the
+# stored aggregate state). Decomposable aggregates only (count/sum —
+# avg derives); the merge is a full-outer join on the group key between
+# two GROUP-KEY-sized relations, both orders of magnitude smaller than
+# the fact history.
+# --------------------------------------------------------------------------
+
+from ..catalog import table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+def merge_agg_state(
+    state: DataFrame, delta_aggs: DataFrame, keys: list[str],
+    counters: list[str],
+) -> DataFrame:
+    """state ⟗ delta on keys; each counter column sums coalesced sides —
+    the generic decomposable-aggregate merge."""
+    d = delta_aggs.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in counters]
+    )
+    out = state.join(d, keys, "full_outer")
+    for c in counters:
+        out = out.withColumn(
+            c,
+            F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0)),
+        )
+    return out.select(*keys, *counters)
+
+
+@query(
+    "incremental_agg_merge",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6))
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Materialized-view incremental refresh: the orders history is
+    split into 'yesterday's state' (orderkey % 10 != 0, pre-aggregated)
+    and 'today's delta' (orderkey % 10 == 0); the delta is aggregated
+    ALONE and merged into the state via a full-outer group-key join of
+    counter columns. The oracle is the full re-aggregation — hash
+    equality proves merge(state, agg(delta)) == agg(full), the
+    decomposability contract that lets a 100 TB rollup pay O(|delta|)
+    per refresh. Exact DECIMAL counters make the split-order
+    irrelevant (float sums would drift between the two paths)."""
+    o = table(spark, sf_dir, "orders")
+    keys, counters = ["o_orderpriority"], ["n_orders", "total_price"]
+
+    def agg(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("total_price"),
+        )
+
+    state = agg(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 == 0))
+    merged = merge_agg_state(state, delta, keys, counters)
+    return merged.select(
+        *keys,
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_price").cast("decimal(28,6)").alias("total_price"),
+    ).orderBy(*keys)

@@ -45,3 +45,54 @@ def salted_equi_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")
+
+
+# --------------------------------------------------------------------------
+# Gated query: salted join over the natural skew in lineitem⋈orders'
+# priority attribute — the oracle is the plain join, so the driver
+# hash-check pins salting as a pure physical rewrite (zero semantic
+# drift), the property the streamplan.h round-robin mode guarantees.
+# --------------------------------------------------------------------------
+
+from ..catalog import table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "salted_skew_join",
+    """
+    SELECT o_orderpriority,
+           l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    """Skew-salted fact⋈dimension join (streamplan.h:50
+    LOCAL_ROUNDROBIN analogue): lineitem keys spread over 16 salts, the
+    orders side replicated per salt, then aggregated. The oracle is the
+    UNSALTED join — hash-equality proves salting changes only the
+    shuffle distribution, never the result. At 100 TB this is the
+    fallback when one hot key exceeds what AQE skew-split handles;
+    deterministic pmod(xxhash64) salt keeps retries/reruns stable."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), "l_returnflag", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_equi_join(li, o, ["l_orderkey"], n_salts=16)
+    return (
+        j.groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )

@@ -55,6 +55,7 @@ def load_all_queries() -> None:
         pipeline,
         relational,
         setops_windows,
+        skew,
         text,
     )
     from .functions import udtf  # noqa: F401
