@@ -56,6 +56,7 @@ GATE_PRIORITY: list[str] = [
     "pii_scrub_redact",
     "salted_skew_join",
     "incremental_agg_merge",
+    "dedup_keep_best",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -659,3 +659,74 @@ def pii_scrub_redact(spark, sf_dir):
             "[PHONE]",
         ).alias("clean"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_SQL_PAIRS},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    clusters AS (
+      SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    , ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT s.cluster_id,
+           MAX(CASE WHEN r.rn = 1 THEN r.doc_id END) AS kept_doc,
+           CAST(MAX(s.n_chars) AS BIGINT) AS kept_chars,
+           COUNT(*) AS n_members
+    FROM scored s JOIN ranked r
+      ON r.cluster_id = s.cluster_id AND r.doc_id = s.doc_id
+    GROUP BY s.cluster_id ORDER BY s.cluster_id
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection — the step a real pipeline runs
+    AFTER cluster resolution: within each near-dup cluster keep the
+    highest-quality member (here: most characters, ties to the smaller
+    doc_id) instead of the arbitrary min-id representative. Shape: the
+    component labels come from the same min-label propagation
+    (edge-set-sized shuffles), the quality join touches one narrow
+    column of the corpus, and the per-cluster argmax is a map-side
+    combinable max_by — no window over the corpus. The recursive-CTE
+    oracle recomputes the fixpoint and the argmax independently."""
+    pairs = _jaccard_pairs(spark, sf_dir).cache()
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components_dedup(pairs, nodes)
+    quality = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = labels.join(quality, "doc_id")
+    # max_by with a (quality DESC, doc_id ASC) struct key — deterministic
+    best_key = F.struct(
+        (-F.col("n_chars")).alias("neg_chars"), F.col("doc_id").alias("tie")
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min_by("doc_id", best_key).alias("kept_doc"),
+            F.max("n_chars").cast("bigint").alias("kept_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
