@@ -81,6 +81,9 @@ HEADLINE = [
     "pii_scrub_redact",
     "format_models2",
     "ann_route_topk",
+    "salted_skew_join",
+    "incremental_agg_merge",
+    "dedup_keep_best",
 ]
 
 

@@ -73,19 +73,26 @@ from ..registry import query  # noqa: E402
 )
 def salted_skew_join(spark, sf_dir):
     """Skew-salted fact⋈dimension join (streamplan.h:50
-    LOCAL_ROUNDROBIN analogue): lineitem keys spread over 16 salts, the
+    LOCAL_ROUNDROBIN analogue): lineitem keys spread over 8 salts, the
     orders side replicated per salt, then aggregated. The oracle is the
     UNSALTED join — hash-equality proves salting changes only the
     shuffle distribution, never the result. At 100 TB this is the
     fallback when one hot key exceeds what AQE skew-split handles;
-    deterministic pmod(xxhash64) salt keeps retries/reruns stable."""
+    deterministic pmod(xxhash64) salt keeps retries/reruns stable.
+
+    Cost honesty: salting REPLICATES the small side n_salts times, so
+    on unskewed data (this bench) it is deliberately slower than the
+    plain join — the rewrite pays replication to buy reducer balance,
+    and wins only when a hot key would otherwise serialize one
+    reducer. That trade is the point; do not use it as the default
+    join path."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey"), "l_returnflag", "l_extendedprice"
     )
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = salted_equi_join(li, o, ["l_orderkey"], n_salts=16)
+    j = salted_equi_join(li, o, ["l_orderkey"], n_salts=8)
     return (
         j.groupBy("o_orderpriority", "l_returnflag")
         .agg(
