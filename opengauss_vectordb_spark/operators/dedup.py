@@ -20,6 +20,7 @@ engine-specific hash seeds anywhere.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -231,7 +232,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(F.col("_df") <= SHINGLE_DF_CAP)
         .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
         .select("doc_id", "shingle", "n_sh")
-        .cache()
+        # exploded shingles are CORPUS-sized (one row per 3-gram): spill
+        # the reuse to local disk, never pin it in executor memory
+        .persist(StorageLevel.DISK_ONLY)
     )
     a = ex.select(F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = ex.select(
@@ -504,7 +507,12 @@ def dedup_lsh_verified(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    # corpus-sized exploded stream — disk-backed reuse (see above)
+    ex = (
+        shingle_stream(d)
+        .dropDuplicates(["doc_id", "shingle"])
+        .persist(StorageLevel.DISK_ONLY)
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("id_a"), "shingle")
     eb = ex.select(

@@ -25,6 +25,7 @@ same relational primitives (groupBy/join/window) the §2 inventory maps.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -165,7 +166,12 @@ def _jaccard_pairs(spark, sf_dir):
     from .text import shingle_stream
 
     d = table(spark, sf_dir, "documents")
-    ex = shingle_stream(d).dropDuplicates(["doc_id", "shingle"]).cache()
+    # corpus-sized exploded shingle stream — disk-backed, not in-memory
+    ex = (
+        shingle_stream(d)
+        .dropDuplicates(["doc_id", "shingle"])
+        .persist(StorageLevel.DISK_ONLY)
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))

@@ -84,11 +84,17 @@ def cosine_lsh_candidates(
         id_col, F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     ).cache()
     a = banded.select(F.col(id_col).alias("id_a"), "band", F.col("sig").alias("s_a"))
-    b = banded.select(F.col(id_col).alias("id_b"), "band", F.col("sig").alias("s_b"))
+    # distinct right-side names: same-attribute self-join conditions make
+    # Catalyst log trivially-true-predicate noise (VERDICT r3 item 10)
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("s_b"),
+    )
     return (
         a.join(
             b,
-            (a.band == b.band) & (F.col("s_a") == F.col("s_b"))
+            (F.col("band") == F.col("band_b")) & (F.col("s_a") == F.col("s_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b")
