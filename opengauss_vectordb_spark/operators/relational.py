@@ -12,9 +12,13 @@ available columns. Queries exercise, per SURVEY.md §2:
   §2.4 agg strategies + DISTINCT, §2.6 sort/limit/top-k.
 
 Everything is declarative DataFrame API → Catalyst picks broadcast vs
-shuffle joins, pushes filters to parquet, prunes columns. Small dims
-(region/nation/supplier) are explicitly broadcast where a 100 TB fact
-table would otherwise shuffle.
+shuffle joins, pushes filters to parquet, prunes columns. Broadcast
+hints are forced ONLY on relations bounded by the TPC-H spec
+independent of scale factor (region = 5 rows, nation = 25 rows) and on
+one-row aggregate subqueries; customer/supplier/part grow linearly with
+SF (part is SF x 200k rows — multi-GB long before 100 TB), so those
+joins carry no hint and AQE picks broadcast from runtime sizes exactly
+when it is actually safe.
 """
 
 from __future__ import annotations
@@ -145,7 +149,7 @@ def tpch_q3_adapted(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -222,9 +226,9 @@ def tpch_q5(spark, sf_dir):
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -296,7 +300,7 @@ def tpch_q7_adapted(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -357,8 +361,8 @@ def tpch_q8_adapted(spark, sf_dir):
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -413,8 +417,8 @@ def tpch_q9_adapted(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -590,7 +594,7 @@ def tpch_q14(spark, sf_dir):
     dec = "decimal(18,6)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         (
             F.lit(100.00)
             * F.sum(promo.cast(dec)).cast("double")
@@ -663,8 +667,8 @@ def tpch_q16_adapted(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -699,7 +703,7 @@ def tpch_q17_adapted(spark, sf_dir):
         F.avg("l_quantity").alias("part_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
         .agg(
@@ -782,7 +786,7 @@ def tpch_q18_adapted(spark, sf_dir):
 def tpch_q19_adapted(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     qty = F.col("l_quantity")
     size = F.col("p_size")
     cond = (
@@ -827,7 +831,7 @@ def tpch_q20_adapted(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     heavy_suppliers = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        li.join(parts, li.l_partkey == parts.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
         .filter(F.col("_q") > 50)
@@ -891,7 +895,7 @@ def tpch_q21_adapted(spark, sf_dir):
         )
     )
     return (
-        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        base.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
