@@ -57,6 +57,8 @@ GATE_PRIORITY: list[str] = [
     "salted_skew_join",
     "incremental_agg_merge",
     "dedup_keep_best",
+    "inlist_join_rewrite",
+    "ivf_search_cosine_exhaustive",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -1033,3 +1033,42 @@ def sql_compat_oracle(spark, sf_dir):
 
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_ORACLE_COMPAT_SQL))
+
+
+# --------------------------------------------------------------------------
+# Large IN-list → semi-join rewrite (SURVEY §4.1, guc_sql.cpp:2890
+# qrw_inlist2join_optmode): beyond the threshold an IN-list stops being
+# a pushdown-able predicate and bloats codegen, so it becomes a hash
+# semi-probe against a broadcast value table.
+# --------------------------------------------------------------------------
+@query(
+    "inlist_join_rewrite",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'total')}
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey BETWEEN 7 AND 9100
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def inlist_join_rewrite(spark, sf_dir):
+    """1300-value IN list routed through in_list_filter (plans/hints.py):
+    above the 512-value threshold the list becomes a broadcast left-semi
+    join — a hash probe per row instead of a 1300-branch predicate the
+    parquet reader cannot push and codegen chokes on. The oracle states
+    the same key set arithmetically (multiples of 7 in [7, 9100]), so
+    hash equality pins the rewrite's semantics exactly."""
+    from ..plans.hints import in_list_filter
+
+    o = table(spark, sf_dir, "orders")
+    keys = [7 * i for i in range(1, 1301)]  # 1300 values > threshold
+    return (
+        in_list_filter(o, "o_orderkey", keys)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+        .orderBy("o_orderpriority")
+    )

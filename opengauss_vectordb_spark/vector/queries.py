@@ -1175,3 +1175,54 @@ def ann_route_topk(spark, sf_dir):
     return out.select(
         "vec_id", "label", F.round("distance", 4).alias("distance")
     ).orderBy("distance", "vec_id")
+
+
+@query(
+    "ivf_search_cosine_exhaustive",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label,
+             1.0 - {_sql_dot('e', 'q')} / ({_sql_norm('e')} * {_sql_norm('q')})
+               AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ivf_search_cosine_exhaustive(spark, sf_dir):
+    """Cosine-metric IVF search gated end-to-end (datavec's
+    vector_cosine_ops opclass — the second of the three FOR ORDER BY
+    operator classes; L2 and the probed path are gated separately).
+    The cosine index normalizes its training sample and ranks probe
+    centroids by cosine; at probes=lists the search is exact, so the
+    brute-force cosine oracle hash-checks metric plumbing end to end."""
+    import shutil
+    import tempfile
+
+    from .ivf import IvfIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_cos_gate_")
+    try:
+        idx = IvfIndex.build(
+            emb, "embedding", tmp, metric="cosine", lists=_IVF_LISTS,
+            max_iter=30,
+        )
+        out = idx.search(
+            spark, QUERY_VEC, "embedding", k=10, probes=_IVF_LISTS,
+            id_col="vec_id",
+        )
+        return spark.createDataFrame(
+            out.select(
+                "vec_id", "label", F.round("distance", 4).alias("distance")
+            )
+            .orderBy("distance", "vec_id")
+            .collect(),
+            "vec_id BIGINT, label INT, distance DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
