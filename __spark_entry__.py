@@ -59,6 +59,7 @@ GATE_PRIORITY: list[str] = [
     "dedup_keep_best",
     "inlist_join_rewrite",
     "ivf_search_cosine_exhaustive",
+    "ivf_search_ip_exhaustive",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -1226,3 +1226,49 @@ def ivf_search_cosine_exhaustive(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ivf_search_ip_exhaustive",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, -({_sql_dot('e', 'q')}) AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ivf_search_ip_exhaustive(spark, sf_dir):
+    """Inner-product IVF search gated end-to-end — the third and last
+    FOR ORDER BY opclass (vector_ip_ops; negative inner product so
+    larger dot products rank first, the datavec index-order
+    convention). Exact at probes=lists; brute-force -dot oracle."""
+    import shutil
+    import tempfile
+
+    from .ivf import IvfIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_ip_gate_")
+    try:
+        idx = IvfIndex.build(
+            emb, "embedding", tmp, metric="ip", lists=_IVF_LISTS, max_iter=30
+        )
+        out = idx.search(
+            spark, QUERY_VEC, "embedding", k=10, probes=_IVF_LISTS,
+            id_col="vec_id",
+        )
+        return spark.createDataFrame(
+            out.select(
+                "vec_id", "label", F.round("distance", 4).alias("distance")
+            )
+            .orderBy("distance", "vec_id")
+            .collect(),
+            "vec_id BIGINT, label INT, distance DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
