@@ -60,6 +60,7 @@ GATE_PRIORITY: list[str] = [
     "inlist_join_rewrite",
     "ivf_search_cosine_exhaustive",
     "ivf_search_ip_exhaustive",
+    "multimodal_frame_sample",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -192,3 +192,54 @@ def multimodal_feature_stats(spark, sf_dir):
         )
         .orderBy("modality")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT i AS media_id, 1000 * (i % 9) AS duration_ms
+      FROM range(0, 90) t(i) WHERE i % 3 = 2
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, duration_ms, 2000)) AS BIGINT) AS frame_ms,
+           CAST(len(range(0, duration_ms, 2000)) AS INT) AS n_sampled
+    FROM m WHERE duration_ms > 0
+    ORDER BY media_id, frame_ms
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: per video row, the sampled frame
+    timestamps (every 2000 ms across duration_ms) from METADATA ONLY —
+    sequence + explode, payload bytes never touched, which is the point:
+    a 100 TB video corpus plans its decode work (which frames, how many
+    tasks) from the typed metadata column before any codec runs. The
+    decode of each sampled frame would then be the mapInPandas stage
+    extract_features demonstrates. Oracle regenerates the deterministic
+    corpus metadata and the same range arithmetic."""
+    media = synthetic_media(spark, n=90)
+    v = (
+        media.select(
+            "media_id",
+            F.col("meta.modality").alias("modality"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .filter((F.col("modality") == "video") & (F.col("duration_ms") > 0))
+        .withColumn(
+            "_frames",
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(2000)),
+        )
+    )
+    return (
+        v.select(
+            "media_id",
+            F.explode("_frames").alias("_f"),
+            F.size("_frames").cast("int").alias("n_sampled"),
+        )
+        .select(
+            "media_id",
+            F.col("_f").cast("bigint").alias("frame_ms"),
+            "n_sampled",
+        )
+        .orderBy("media_id", "frame_ms")
+    )
