@@ -122,11 +122,22 @@ def test_ann_catalog_routes_to_ivf(spark, tmp_path):
     assert fallback.count() == 5
 
 
-def test_results_shuffle_order_independent(spark):
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q1",
+        # round-4 additions with float/decimal aggregation paths
+        "incremental_agg_merge",
+        "pack_sequences_report",
+        "events_anomaly_zscore",
+        "salted_skew_join",
+        "fts_bm25_query",
+    ],
+)
+def test_results_shuffle_order_independent(spark, name):
     """The decimal-cast convention promise: identical results under a
     different shuffle partitioning (what a 1000-executor cluster would
     produce vs local[32])."""
-    name = "tpch_q1"
     before = spark.conf.get("spark.sql.shuffle.partitions")
     base = sorted(map(tuple, QUERIES[name](spark, SF_CORRECT).collect()))
     try:
