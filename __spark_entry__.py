@@ -24,10 +24,15 @@ registry.load_all_queries()
 # ordering below is a rotation schedule: queries that still lack a green
 # gate row go first.  After round 3 the registry stood at 155 queries,
 # 140 gated green across r1-r3 with zero standing failures.  Round 4
-# front-loads the 15 never-gated tail queries (all implemented with
-# oracles and green in pytest), then round-4 additions, then five green
-# sentinels spanning the operator families (TPC-H agg/filter, dedup,
-# ANN, window), so this round reaches registry-wide driver-green.
+# front-loads the 15 never-gated tail queries, the 16 round-4 additions
+# (ANN maintenance/routing/cosine/ip, tsquery BM25 + fts_bm25 re-gate,
+# format-model long tail, decontamination, packing, PII scrub, skew
+# salting, incremental agg merge, canonical-doc selection, IN-list
+# rewrite, frame sampling — each verified locally against DuckDB before
+# commit), then five green sentinels spanning the operator families.
+# With the 50-slot window this reaches registry-wide driver-green
+# coverage: every one of the 169 registered queries has a green row on
+# its latest gate attempt after this round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4
     "agg_filter_clause",
