@@ -1613,3 +1613,74 @@ def window_ratio_to_report(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+# --- GROUPS frames (nodeWindowAgg.cpp FRAMEOPTION_GROUPS) — a frame mode
+# Spark's window API does NOT expose; emulated by ranking peer groups
+# with dense_rank and running a RANGE frame over the rank values (peers
+# share a rank, so rank-distance == group-distance, which is exactly the
+# GROUPS semantics). The (a)-composition strategy from the brief: an
+# operator Spark lacks, expressed through operators it has. ----------------
+
+
+@query(
+    "window_groups_frame",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id < 5
+    ), g AS (
+      SELECT user_id, d, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM e GROUP BY user_id, d
+    ), gw AS (
+      SELECT user_id, d,
+             n + COALESCE(LAG(n) OVER w, 0) AS n2,
+             s + COALESCE(LAG(s) OVER w, 0) AS s2
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    )
+    SELECT e.user_id AS user_id, e.event_id AS event_id, e.value AS value,
+           CAST(gw.n2 AS BIGINT) AS n_two_days,
+           CAST(gw.s2 AS DOUBLE) AS sum_two_days
+    FROM e JOIN gw ON gw.user_id = e.user_id AND gw.d = e.d
+    ORDER BY user_id, event_id
+    """,
+)
+def window_groups_frame(spark, sf_dir):
+    """GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW (peer-group frames —
+    the third SQL:2011 frame mode, in the reference's window executor
+    but absent from Spark's API): per user, aggregates over the current
+    ts-date peer group and the one before it. Emulation: dense_rank
+    over the order key turns peer groups into consecutive integers,
+    then a RANGE frame of width 1 over that rank IS the GROUPS frame
+    (peers tie on rank). Two window passes over the same partitioning —
+    one shuffle, no join. DuckDB (like Spark) has no GROUPS mode, so
+    the oracle states the semantics a THIRD way: per-peer-group
+    aggregates, LAG to the previous group, joined back to rows —
+    agreement of the two independent formulations pins the frame
+    semantics."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    d = F.col("ts").cast("date")
+    wr = W.partitionBy("user_id").orderBy(d)
+    ranked = ev.select(
+        "user_id", "event_id", "value",
+        F.dense_rank().over(wr).alias("_grp"),
+    )
+    wg = (
+        W.partitionBy("user_id")
+        .orderBy("_grp")
+        .rangeBetween(-1, W.currentRow)
+    )
+    return (
+        ranked.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.count(F.lit(1)).over(wg).cast("bigint").alias("n_two_days"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(wg)
+            .cast("double")
+            .alias("sum_two_days"),
+        )
+        .orderBy("user_id", "event_id")
+    )
