@@ -67,6 +67,7 @@ GATE_PRIORITY: list[str] = [
     "ivf_search_ip_exhaustive",
     "multimodal_frame_sample",
     "window_groups_frame",
+    "window_exclude_frame",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -1684,3 +1684,71 @@ def window_groups_frame(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- frame EXCLUDE clauses (SQL:2011; nodeWindowAgg.cpp FRAMEOPTION_
+# EXCLUDE_*) — also absent from Spark's API; emulated by frame-sum
+# arithmetic against the peer-group sum. DuckDB implements EXCLUDE
+# natively, so the oracle is the real thing. ------------------------------
+
+
+@query(
+    "window_exclude_frame",
+    """
+    SELECT user_id, event_id, value,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      EXCLUDE CURRENT ROW), 0) AS DOUBLE) AS sum_excl_self,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      EXCLUDE GROUP), 0) AS DOUBLE) AS sum_excl_peers,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      EXCLUDE TIES), 0) AS DOUBLE) AS sum_excl_ties
+    FROM events WHERE user_id < 5
+    ORDER BY user_id, event_id
+    """,
+)
+def window_exclude_frame(spark, sf_dir):
+    """Frame EXCLUDE clauses (SQL:2011's fourth frame refinement —
+    EXCLUDE CURRENT ROW / GROUP / TIES), absent from Spark's window
+    API: emulated as exact-decimal arithmetic over two windows —
+    running RANGE sum and the current peer-group sum:
+      EXCLUDE CURRENT ROW = frame - value
+      EXCLUDE GROUP       = frame - peer_sum
+      EXCLUDE TIES        = frame - peer_sum + value
+    One extra window over the same partitioning (same single shuffle).
+    DuckDB implements EXCLUDE natively, so the oracle checks the
+    emulation against a real implementation of the feature."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    d = F.col("ts").cast("date")
+    vdec = F.col("value").cast("decimal(18,6)")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy(d)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    peers = W.partitionBy("user_id", d)
+    frame = F.sum(vdec).over(run)
+    peer_sum = F.sum(vdec).over(peers)
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.coalesce(frame - vdec, zero)
+            .cast("double")
+            .alias("sum_excl_self"),
+            F.coalesce(frame - peer_sum, zero)
+            .cast("double")
+            .alias("sum_excl_peers"),
+            F.coalesce(frame - peer_sum + vdec, zero)
+            .cast("double")
+            .alias("sum_excl_ties"),
+        )
+        .orderBy("user_id", "event_id")
+    )
