@@ -68,6 +68,7 @@ GATE_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "window_groups_frame",
     "window_exclude_frame",
+    "unpivot_metrics",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -1752,3 +1752,41 @@ def window_exclude_frame(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(year(o_orderdate) AS DOUBLE) AS order_year
+      FROM orders WHERE o_orderkey <= 40
+    )
+    SELECT o_orderkey, metric, val
+    FROM base UNPIVOT (val FOR metric IN (total_price, order_year))
+    ORDER BY o_orderkey, metric
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT — wide→long reshape (the inverse of pivot, SQL-standard
+    since 2016 and in the reference's Oracle-compat surface): Spark
+    expresses it as the stack() generator (or the 4.0 df.unpivot API);
+    the oracle uses DuckDB's native UNPIVOT, so the gate checks the
+    stack() encoding against a first-class implementation. Pure map
+    work — each input row emits k rows, no shuffle before the sort."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 40)
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+    )
+    return (
+        base.unpivot(
+            ["o_orderkey"],
+            ["total_price", "order_year"],
+            "metric",
+            "val",
+        )
+        .orderBy("o_orderkey", "metric")
+    )
