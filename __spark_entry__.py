@@ -24,15 +24,19 @@ registry.load_all_queries()
 # ordering below is a rotation schedule: queries that still lack a green
 # gate row go first.  After round 3 the registry stood at 155 queries,
 # 140 gated green across r1-r3 with zero standing failures.  Round 4
-# front-loads the 15 never-gated tail queries, the 16 round-4 additions
-# (ANN maintenance/routing/cosine/ip, tsquery BM25 + fts_bm25 re-gate,
-# format-model long tail, decontamination, packing, PII scrub, skew
-# salting, incremental agg merge, canonical-doc selection, IN-list
-# rewrite, frame sampling — each verified locally against DuckDB before
-# commit), then five green sentinels spanning the operator families.
-# With the 50-slot window this reaches registry-wide driver-green
-# coverage: every one of the 169 registered queries has a green row on
-# its latest gate attempt after this round.
+# front-loads the 15 never-gated tail queries, then the round-4
+# additions — first wave (ANN maintenance/routing/cosine/ip, tsquery
+# BM25 + fts_bm25 re-gate, format-model long tail, decontamination,
+# packing, PII scrub, skew salting, incremental agg merge, canonical-doc
+# selection, IN-list rewrite, frame sampling, GROUPS/EXCLUDE frames,
+# UNPIVOT) and second wave (sharded HNSW exhaustive/L1/batch-join,
+# index vacuum-delete, LATERAL, INTERSECT/EXCEPT ALL, ordered listagg,
+# plainto/websearch tsquery, ts_headline, format()/quoting) — each
+# verified locally against DuckDB before commit — and finally five green
+# sentinels spanning the operator families (48 priority names + 2
+# registry-order re-gates fill the 50-slot window).  This reaches
+# registry-wide driver-green coverage: every one of the 182 registered
+# queries has a green row on its latest gate attempt after this round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4
     "agg_filter_clause",
@@ -69,6 +73,19 @@ GATE_PRIORITY: list[str] = [
     "window_groups_frame",
     "window_exclude_frame",
     "unpivot_metrics",
+    # round-4 second wave: HNSW as a real (sharded) index, index vacuum,
+    # LATERAL, set-op ALL multiplicity, ordered-aggregate, FTS
+    # constructors + ts_headline, format()/quoting family
+    "hnsw_search_exhaustive",
+    "hnsw_search_l1_exhaustive",
+    "hnsw_knn_join_exhaustive",
+    "ivf_delete_then_search",
+    "lateral_topn_per_group",
+    "setop_all_multiplicity",
+    "agg_ordered_concat",
+    "fts_plainto_websearch",
+    "fts_headline",
+    "string_format_pg",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -279,3 +279,84 @@ def pg_to_date(col: Column, model: str) -> Column:
 def pg_to_timestamp(col: Column, model: str) -> Column:
     """PG to_timestamp(text, model)."""
     return F.to_timestamp(col, pg_datetime_model_to_spark(model))
+
+
+# --- format() / quoting / null-counting misc (adt/varlena.cpp text_format,
+# adt/quote.cpp quote_ident/quote_literal, utils misc num_nulls) ------------
+
+
+def quote_literal(col: Column) -> Column:
+    """quote_literal (adt/quote.cpp): wrap in single quotes, doubling
+    embedded quotes — 'O''Reilly'. (PG additionally E''-escapes
+    backslashes under standard_conforming_strings=off; this engine
+    assumes the modern default, where backslashes pass through.)"""
+    return F.concat(F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'"))
+
+
+def quote_nullable(col: Column) -> Column:
+    """quote_nullable: like quote_literal but NULL renders as the
+    unquoted keyword NULL."""
+    return F.coalesce(quote_literal(col), F.lit("NULL"))
+
+
+def quote_ident(col: Column) -> Column:
+    """quote_ident (adt/quote.cpp): double-quote an identifier unless it
+    is already a safe lowercase name ([a-z_][a-z0-9_]*); embedded double
+    quotes double. (PG also quotes reserved keywords; the keyword list
+    is catalog state we deliberately do not carry.)"""
+    safe = col.rlike("^[a-z_][a-z0-9_]*$")
+    quoted = F.concat(F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"'))
+    return F.when(safe, col).otherwise(quoted)
+
+
+def pg_format(fmt: str, *args: Column) -> Column:
+    """format() (adt/varlena.cpp text_format): %s plain text, %I
+    identifier-quote, %L literal-quote (NULL → the keyword NULL), %%
+    literal percent. The format string is a plan-time literal, so the
+    conversion compiles to one concat expression — no UDF. Positional
+    %n$ args are not supported (raise, never silently misformat)."""
+    import re
+
+    pieces: list[Column] = []
+    arg_i = 0
+    pos = 0
+    for m in re.finditer(r"%(.)", fmt):
+        if m.start() > pos:
+            pieces.append(F.lit(fmt[pos:m.start()]))
+        spec = m.group(1)
+        if spec == "%":
+            pieces.append(F.lit("%"))
+        elif spec in ("s", "I", "L"):
+            if arg_i >= len(args):
+                raise ValueError(f"format {fmt!r}: too few arguments")
+            a = args[arg_i].cast("string")
+            arg_i += 1
+            if spec == "s":
+                pieces.append(F.coalesce(a, F.lit("")))
+            elif spec == "I":
+                pieces.append(quote_ident(a))
+            else:
+                pieces.append(quote_nullable(a))
+        elif spec.isdigit():
+            raise ValueError(f"format {fmt!r}: positional %n$ not supported")
+        else:
+            raise ValueError(f"format {fmt!r}: unknown conversion %{spec}")
+        pos = m.end()
+    if pos < len(fmt):
+        pieces.append(F.lit(fmt[pos:]))
+    return F.concat(*pieces) if pieces else F.lit("")
+
+
+def num_nulls(*cols: Column) -> Column:
+    """num_nulls (utils/adt/misc): how many of the arguments are NULL."""
+    out = F.lit(0)
+    for c in cols:
+        out = out + F.when(c.isNull(), 1).otherwise(0)
+    return out
+
+
+def num_nonnulls(*cols: Column) -> Column:
+    out = F.lit(0)
+    for c in cols:
+        out = out + F.when(c.isNotNull(), 1).otherwise(0)
+    return out

@@ -515,3 +515,59 @@ def json_modify_roundtrip(spark, sf_dir):
         new_json.alias("props_set"),
         k2.alias("k_doubled"),
     ).orderBy("event_id")
+
+
+@query(
+    "string_format_pg",
+    """
+    SELECT c_custkey,
+           c_name || ' => ' ||
+             '''' || replace(c_name || '''s', '''', '''''') || ''''
+             AS formatted,
+           CASE WHEN regexp_matches(c_mktsegment, '^[a-z_][a-z0-9_]*$')
+                THEN c_mktsegment
+                ELSE '"' || replace(c_mktsegment, '"', '""') || '"' END
+             AS seg_ident,
+           lower(c_mktsegment) AS seg_ident_safe,
+           'NULL' AS lit_of_null,
+           (CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+             AS n_nulls,
+           (2 - CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+             AS n_nonnulls
+    FROM customer WHERE c_custkey < 60 ORDER BY c_custkey
+    """,
+)
+def string_format_pg(spark, sf_dir):
+    """format() + the quoting family (adt/varlena.cpp text_format,
+    adt/quote.cpp) and num_nulls/num_nonnulls: format('%s => %L', ...)
+    literal-quotes with embedded-quote doubling ("Customer#1's" →
+    'Customer#1''s'), quote_ident double-quotes the unsafe uppercase
+    segment but passes the lowercased one through, %L of NULL renders
+    the bare keyword NULL. The oracle spells each expected string by
+    hand with replace/CASE, so the compiled concat expression — format
+    strings are plan-time literals, the whole family is UDF-free
+    codegen — is pinned byte-for-byte."""
+    from ..functions.pg_compat import (
+        num_nonnulls,
+        num_nulls,
+        pg_format,
+        quote_ident,
+        quote_nullable,
+    )
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    possessive = F.concat(F.col("c_name"), F.lit("'s"))
+    nullable_seg = F.when(
+        F.col("c_mktsegment") != "BUILDING", F.col("c_mktsegment")
+    )
+    return c.select(
+        "c_custkey",
+        pg_format("%s => %L", F.col("c_name"), possessive).alias("formatted"),
+        quote_ident(F.col("c_mktsegment")).alias("seg_ident"),
+        quote_ident(F.lower(F.col("c_mktsegment"))).alias("seg_ident_safe"),
+        quote_nullable(F.lit(None).cast("string")).alias("lit_of_null"),
+        num_nulls(nullable_seg).cast("int").alias("n_nulls"),
+        num_nonnulls(nullable_seg, F.col("c_name")).cast("int").alias(
+            "n_nonnulls"
+        ),
+    ).orderBy("c_custkey")

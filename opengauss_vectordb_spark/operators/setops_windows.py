@@ -1790,3 +1790,128 @@ def unpivot_metrics(spark, sf_dir):
         )
         .orderBy("o_orderkey", "metric")
     )
+
+
+@query(
+    "setop_all_multiplicity",
+    """
+    WITH ia AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ), ea AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT op, custkey, n FROM (
+      SELECT 'intersect_all' AS op, custkey, COUNT(*) AS n
+      FROM ia GROUP BY custkey
+      UNION ALL
+      SELECT 'except_all' AS op, custkey, COUNT(*) AS n
+      FROM ea GROUP BY custkey
+    ) u ORDER BY op, custkey
+    """,
+)
+def setop_all_multiplicity(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving SetOp
+    strategies (`executor/nodeSetOp.cpp:900` computes per-group counts
+    on both inputs and emits min(l,r) / greatest(l-r,0) copies;
+    `vecnode/vecsetop.cpp:980-995` is the batch variant). The distinct
+    variants were gated in round 2 (`setop_intersect`/`setop_except`);
+    this closes the ALL half. Spark's intersectAll/exceptAll implement
+    the same per-group counting under a single hash aggregate — one
+    shuffle on the compare key, no join explosion, safe at any scale.
+    A customer with 3 'F' orders and 1 'O' order contributes 1 row to
+    INTERSECT ALL and 2 rows to EXCEPT ALL, which the per-key counts
+    pin exactly."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ia = (
+        f.intersectAll(open_)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    ea = (
+        f.exceptAll(open_)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    return ia.unionAll(ea).orderBy("op", "custkey")
+
+
+@query(
+    "agg_ordered_concat",
+    """
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey)
+             AS status_seq,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey)
+             AS keys_by_price
+    FROM orders WHERE o_custkey < 20
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def agg_ordered_concat(spark, sf_dir):
+    """ORDER BY *inside* an aggregate, by a DIFFERENT column than the
+    aggregated value (`executor/nodeAgg.cpp:113` — the sorted-transition
+    path that makes string_agg(x ORDER BY y) well-defined; the round-2
+    `agg_string_array` gate only ordered by the aggregated value
+    itself, which any sort-after-collect fakes). Spark 4's listagg
+    WITHIN GROUP (ORDER BY ...) is the 1:1 surface; the sort keys are
+    tie-broken to a total order (date+key, price DESC+key) so both
+    engines produce byte-identical sequences regardless of shuffle
+    order — the same determinism convention as every collect_list in
+    this repo."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "listagg(o_orderstatus, ',') "
+                "WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)"
+            ).alias("status_seq"),
+            F.expr(
+                "listagg(CAST(o_orderkey AS STRING), ',') "
+                "WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+            ).alias("keys_by_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) l
+    WHERE c.c_custkey < 50
+    ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+"""
+
+
+@query("lateral_topn_per_group", _LATERAL_SQL)
+def lateral_topn_per_group(spark, sf_dir):
+    """LATERAL correlated subquery with ORDER BY + LIMIT — the
+    parameterized-inner nested loop (`executor/nodeNestloop.cpp:662`
+    with inner index path, GUC enable_index_nestloop
+    `guc_sql.cpp:868`): for each outer row the inner subquery re-runs
+    with the outer's key bound. The SAME SQL text runs on both engines
+    (Spark ≥3.2 supports lateral correlated subqueries); Catalyst
+    decorrelates the per-row LIMIT into a ranked window over one
+    equi-join — exactly the rewrite you want at 100 TB, where a true
+    row-at-a-time rebind would be a disaster and the window form is
+    one shuffle on the join key."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

@@ -796,3 +796,198 @@ def text_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("df"), "tok")
         .limit(20)
     )
+
+
+# --- plainto_tsquery / websearch_to_tsquery / ts_headline ------------------
+# (to_tsany.cpp plainto/websearch variants, wparser.cpp ts_headline —
+# reduced to the token model like the rest of the FTS surface)
+
+
+def ts_phrase_chain(ts: Column, words: list[str]) -> Column:
+    """Followed-by chain for an n-word phrase: some start position i has
+    words[0..n-1] at consecutive lexeme slots. The 2-word case reuses the
+    shifted zip_with; longer phrases scan candidate starts with one
+    element_at conjunction per offset — still a pure codegen'd predicate
+    (no explode, no join)."""
+    if len(words) == 1:
+        return F.array_contains(ts, words[0])
+    if len(words) == 2:
+        return ts_phrase_match(ts, words[0], words[1])
+    n = len(words)
+    at = lambda i, j: F.element_at(ts, i + j) == F.lit(words[j])  # noqa: E731
+
+    def all_match(i):
+        cond = at(i, 0)
+        for j in range(1, n):
+            cond = cond & at(i, j)
+        return cond
+
+    return F.when(
+        F.size(ts) >= n,
+        F.exists(F.sequence(F.lit(1), F.size(ts) - (n - 1)), all_match),
+    ).otherwise(F.lit(False))
+
+
+def plainto_tsquery(ts: Column, querytext: str) -> Column:
+    """plainto_tsquery (to_tsany.cpp): strip punctuation, AND every
+    token — 'Table, Scan!' matches docs containing both lexemes. An
+    empty query yields an empty tsquery, which matches nothing."""
+    import re
+
+    terms = re.findall(r"[a-z0-9]+", querytext.lower())
+    if not terms:
+        return F.lit(False)
+    cond = F.array_contains(ts, terms[0])
+    for t in terms[1:]:
+        cond = cond & F.array_contains(ts, t)
+    return cond
+
+
+def websearch_to_tsquery(ts: Column, querytext: str) -> Column:
+    """websearch_to_tsquery (to_tsany.cpp websearch grammar): bare words
+    AND together, "quoted text" compiles to a followed-by phrase, a
+    leading - negates the next word or phrase, the OR keyword separates
+    disjuncts. Never raises on malformed input (the web-search
+    contract) — unparseable fragments are dropped."""
+    import re
+
+    raw = re.findall(r'"[^"]*"|\S+', querytext)
+    groups: list[list[Column]] = [[]]
+    for tok in raw:
+        if not tok.startswith('"') and tok.upper() == "OR":
+            groups.append([])
+            continue
+        neg = tok.startswith("-")
+        if neg:
+            tok = tok[1:]
+        words = re.findall(r"[a-z0-9]+", tok.lower())
+        if not words:
+            continue
+        item = (
+            ts_phrase_chain(ts, words)
+            if tok.startswith('"') and len(words) > 1
+            else plainto_tsquery(ts, " ".join(words))
+        )
+        groups[-1].append(~item if neg else item)
+    disjuncts = []
+    for g in groups:
+        if not g:
+            continue
+        cond = g[0]
+        for c in g[1:]:
+            cond = cond & c
+        disjuncts.append(cond)
+    if not disjuncts:
+        return F.lit(False)
+    out = disjuncts[0]
+    for c in disjuncts[1:]:
+        out = out | c
+    return out
+
+
+@query(
+    "fts_plainto_websearch",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                          ' ') AS ts
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           (list_contains(ts, 'table') AND list_contains(ts, 'scan'))
+             AS m_plain,
+           (len(list_filter(range(1, len(ts)),
+                            i -> ts[i] = 'table' AND ts[i+1] = 'scan')) > 0
+            AND NOT list_contains(ts, 'hash')) AS m_web_phrase_not,
+           (list_contains(ts, 'vector') OR list_contains(ts, 'stream'))
+             AS m_web_or
+    FROM toks ORDER BY doc_id
+    """,
+)
+def fts_plainto_websearch(spark, sf_dir):
+    """The two remaining tsquery constructors (to_tsany.cpp):
+    plainto_tsquery('Table, Scan!') — punctuation-stripped AND — and
+    websearch_to_tsquery with its full grammar ('"table scan" -hash'
+    compiles phrase + negation; 'vector OR stream' compiles a
+    disjunction). All three predicates are pure codegen'd Column
+    expressions over the lexeme array (no explode, no join), evaluated
+    per-doc so the oracle pins the compiled semantics row by row, not
+    just a count."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ts = ts_lexemes(F.col("text"))
+    return d.select(
+        "doc_id",
+        plainto_tsquery(ts, "Table, Scan!").alias("m_plain"),
+        websearch_to_tsquery(ts, '"table scan" -hash').alias(
+            "m_web_phrase_not"
+        ),
+        websearch_to_tsquery(ts, "vector OR stream").alias("m_web_or"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fts_headline",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id, words,
+             list_min(list_filter(
+               list_transform(range(1, len(words) + 1),
+                 i -> CASE WHEN regexp_replace(lower(words[i]), '[^a-z0-9]', '', 'g')
+                             IN ('table', 'scan') THEN i END),
+               x -> x IS NOT NULL)) AS first
+      FROM w
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               words[GREATEST(1, first - 2) : GREATEST(1, first - 2) + 5],
+               t -> CASE WHEN regexp_replace(lower(t), '[^a-z0-9]', '', 'g')
+                           IN ('table', 'scan')
+                         THEN '<b>' || t || '</b>' ELSE t END),
+             ' ') AS headline
+    FROM m WHERE first IS NOT NULL
+    ORDER BY doc_id LIMIT 100
+    """,
+)
+def fts_headline(spark, sf_dir):
+    """ts_headline (wparser.cpp / wparser_def.cpp prsd_headline): show
+    the best cover of the query in context — here the token-model
+    reduction: locate the first query-term hit, excerpt a 6-word window
+    starting two words before it, and wrap every query term in the
+    excerpt with <b></b> (the reference's default StartSel/StopSel).
+    Everything is array arithmetic over one split — per-row map work
+    with no shuffle before the final ordered limit, so snippet
+    generation streams over a 100 TB corpus as a pure scan."""
+    terms = ("table", "scan")
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    norm = lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "")  # noqa: E731
+    first = F.array_min(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words)),
+                lambda i: F.when(norm(F.element_at(words, i)).isin(*terms), i),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    start = F.greatest(F.lit(1), first - 2)
+    headline = F.array_join(
+        F.transform(
+            F.slice(words, start, 6),
+            lambda t: F.when(
+                norm(t).isin(*terms), F.concat(F.lit("<b>"), t, F.lit("</b>"))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        d.filter(first.isNotNull())
+        .select("doc_id", headline.alias("headline"))
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -97,6 +97,37 @@ def compact(spark: SparkSession, index: IvfIndex, target_partitions: int = 1) ->
     shutil.rmtree(old)
 
 
+def vacuum_delete(spark: SparkSession, index: IvfIndex, predicate) -> None:
+    """Bulk-delete parity (`ivfvacuum.cpp` IvfflatBulkDeleteScan /
+    `hnswvacuum.cpp`): physically remove every indexed row matching
+    ``predicate`` (a Column over the data layout's columns) and rewrite
+    the affected layout. The reference's vacuum walks list pages and
+    drops dead tuples in place; the batch analogue filters the
+    partitioned layout and swaps it in with the same crash-safe
+    staged-rename sequence compact() uses — a crash leaves either the
+    old or the new layout complete, never neither. Centroids are
+    untouched (vacuum never re-clusters; that is rebuild())."""
+    import shutil
+
+    data_path = os.path.join(index.path, "data")
+    staged = data_path + ".compacting"
+    old = data_path + ".old"
+    for leftover in (staged, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    df = spark.read.parquet(data_path)
+    (
+        df.filter(~predicate)
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(staged)
+    )
+    os.rename(data_path, old)
+    os.rename(staged, data_path)
+    shutil.rmtree(old)
+
+
 def rebuild(
     spark: SparkSession,
     index: IvfIndex,

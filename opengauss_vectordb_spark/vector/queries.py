@@ -1272,3 +1272,260 @@ def ivf_search_ip_exhaustive(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_search_exhaustive",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def hnsw_search_exhaustive(spark, sf_dir):
+    """HNSW as a real index structure, gated end-to-end (hnswbuild.cpp /
+    hnswutils.cpp:724,958,1207 / hnswscan.cpp — the second of datavec's
+    two ANN access methods; until round 4 this engine covered the
+    capability with exact+IVF only, SURVEY §2.8 substitute position).
+    The Spark shape is a SHARDED graph: hash-split the corpus, build one
+    graph per shard inside applyInPandas (the reference's parallel build
+    workers), store adjacency as plain parquet partitioned by shard,
+    search by fanning a beam per shard and merging with a global
+    TakeOrdered. The layer-0 connectivity repair makes an unbounded beam
+    (ef_search=None) visit every node, so this configuration is exact by
+    construction and the flat-scan oracle hash-checks build + storage +
+    descent + merge end to end; ef_search=40 recall bars at the
+    reference's t/012 thresholds live in tests/test_hnsw_recall.py.
+    Displayed distances recompute through the JVM fold kernel so the
+    rounding matches the oracle's list_sum fold order."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_gate_")
+    try:
+        idx = HnswIndex.build(
+            emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
+        )
+        ids = [r.id for r in idx.search(spark, QUERY_VEC, k=10,
+                                        ef_search=None).collect()]
+        out = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    l2_distance(as_double(F.col("embedding")), _spark_qlit()),
+                    4,
+                ).alias("distance"),
+            )
+            .orderBy("distance", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, distance DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_search_l1_exhaustive",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_l1('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def hnsw_search_l1_exhaustive(spark, sf_dir):
+    """The vector_l1_ops opclass through HNSW (datavec--0.7.2.sql:
+    362-403): L1 is an HNSW-ONLY FOR ORDER BY class in the reference —
+    IVFFlat declares l2/ip/cosine but not L1 — so this query is the
+    capability a reference user loses if the engine only ships IVF.
+    Same exact-by-construction configuration as hnsw_search_exhaustive
+    (unbounded beam over connectivity-repaired shards), Manhattan
+    metric end to end; brute-force L1 oracle."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_l1_gate_")
+    try:
+        idx = HnswIndex.build(
+            emb, "embedding", tmp, id_col="vec_id", metric="l1", shards=4
+        )
+        ids = [r.id for r in idx.search(spark, QUERY_VEC, k=10,
+                                        ef_search=None).collect()]
+        out = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    l1_distance(as_double(F.col("embedding")), _spark_qlit()),
+                    4,
+                ).alias("distance"),
+            )
+            .orderBy("distance", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, distance DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ivf_delete_then_search",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 7 <> 0)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ivf_delete_then_search(spark, sf_dir):
+    """Vacuum / bulk-delete parity, gated end-to-end (`ivfvacuum.cpp`
+    IvfflatBulkDeleteScan, `hnswvacuum.cpp` — with append this
+    completes the index maintenance triple append/vacuum/rebuild):
+    build the IVF index on the full corpus, vacuum-delete every
+    vec_id % 7 == 0 row through the crash-safe staged-rename rewrite,
+    then search at probes=lists. Exact by construction at full probes,
+    so the oracle — a flat scan EXCLUDING the deleted rows — detects a
+    ghost (deleted row still served) or an over-delete equally: either
+    changes the top-10 hash."""
+    import shutil
+    import tempfile
+
+    from .ivf import IvfIndex
+    from .maintenance import vacuum_delete
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_vacuum_gate_")
+    try:
+        idx = IvfIndex.build(
+            emb, "embedding", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
+        )
+        vacuum_delete(spark, idx, F.col("vec_id") % 7 == 0)
+        out = idx.search(
+            spark, QUERY_VEC, "embedding", k=10, probes=_IVF_LISTS,
+            id_col="vec_id",
+        )
+        return spark.createDataFrame(
+            out.select(
+                "vec_id", "label", F.round("distance", 4).alias("distance")
+            )
+            .orderBy("distance", "vec_id")
+            .collect(),
+            "vec_id BIGINT, label INT, distance DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# three deterministic query vectors for the HNSW batch join gate
+_QVECS_HNSW = [
+    QUERY_VEC,
+    [round(math.cos(i + 1.0), 4) for i in range(DIM)],
+    [round(math.sin(2.0 * i + 1.0), 4) for i in range(DIM)],
+]
+_SQL_QVECS = ", ".join(
+    f"({j}, [" + ", ".join(repr(v) for v in q) + "])"
+    for j, q in enumerate(_QVECS_HNSW)
+)
+
+
+@query(
+    "hnsw_knn_join_exhaustive",
+    f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {_SQL_QVECS}) AS t(qid, qv)
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+               i -> ({_E}[i] - qv[i]) * ({_E}[i] - qv[i])))) AS d
+      FROM embeddings e CROSS JOIN q
+      WHERE e.embedding IS NOT NULL
+    ), r AS (
+      SELECT qid, vec_id, d,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(qid AS INT) AS qid, vec_id AS id, ROUND(d, 4) AS distance,
+           CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 3 ORDER BY qid, rn
+    """,
+)
+def hnsw_knn_join_exhaustive(spark, sf_dir):
+    """Batch k-NN through the HNSW index (the offline join shape —
+    hnswscan.cpp amgettuple driven once per query): the whole query
+    batch runs through every shard graph in ONE applyInPandas pass,
+    per-(query, shard) beams merge via a window top-k. Unbounded beam
+    ⇒ exact (connectivity-repaired layer 0), so the brute-force
+    window oracle hash-checks the batch path end to end. Displayed
+    distances recompute through the JVM fold kernel to match the
+    oracle's list_sum fold order."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_join_gate_")
+    try:
+        idx = HnswIndex.build(
+            emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
+        )
+        got = idx.search_batch(spark, _QVECS_HNSW, k=3, ef_search=None)
+        pairs = [(r.qid, r.id, r.rn) for r in got.collect()]
+        hits = spark.createDataFrame(
+            pairs, "qid INT, id BIGINT, rn INT"
+        )
+        qlits = F.map_from_arrays(
+            F.array(*[F.lit(j) for j in range(len(_QVECS_HNSW))]),
+            F.array(*[
+                F.array(*[F.lit(float(v)) for v in q]) for q in _QVECS_HNSW
+            ]),
+        )
+        out = (
+            hits.join(emb, hits.id == emb.vec_id)
+            .withColumn(
+                "distance",
+                F.round(
+                    l2_distance(
+                        as_double(F.col("embedding")),
+                        F.element_at(qlits, F.col("qid")),
+                    ),
+                    4,
+                ),
+            )
+            .select("qid", "id", "distance", "rn")
+            .orderBy("qid", "rn")
+        )
+        return spark.createDataFrame(
+            out.collect(), "qid INT, id BIGINT, distance DOUBLE, rn INT"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
