@@ -31,12 +31,13 @@ registry.load_all_queries()
 # selection, IN-list rewrite, frame sampling, GROUPS/EXCLUDE frames,
 # UNPIVOT) and second wave (sharded HNSW exhaustive/L1/batch-join,
 # index vacuum-delete, LATERAL, INTERSECT/EXCEPT ALL, ordered listagg,
-# plainto/websearch tsquery, ts_headline, format()/quoting) — each
-# verified locally against DuckDB before commit — and finally five green
-# sentinels spanning the operator families (48 priority names + 2
-# registry-order re-gates fill the 50-slot window).  This reaches
-# registry-wide driver-green coverage: every one of the 182 registered
-# queries has a green row on its latest gate attempt after this round.
+# plainto/websearch tsquery, ts_headline, format()/quoting, and the
+# halfvec-IVF + bit-HNSW opclasses completing the index×type matrix) —
+# each verified locally against DuckDB before commit — and finally five
+# green sentinels spanning the operator families (50 priority names
+# fill the 50-slot window exactly).  This reaches registry-wide
+# driver-green coverage: every one of the 184 registered queries has a
+# green row on its latest gate attempt after this round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4
     "agg_filter_clause",
@@ -86,6 +87,8 @@ GATE_PRIORITY: list[str] = [
     "fts_plainto_websearch",
     "fts_headline",
     "string_format_pg",
+    "ivf_search_halfvec_exhaustive",
+    "hnsw_search_bit_exhaustive",
     # green sentinels (regression canaries, one per family)
     "tpch_q1",
     "tpch_q6",

@@ -83,7 +83,7 @@ MAX_INDEX_DIM = 2000  # hnsw.h:12
 # the same corpus. ef=1 recovers the paper's exact descent.
 DEFAULT_DESCENT_EF = 8
 
-_METRICS = ("l2", "ip", "cosine", "l1")
+_METRICS = ("l2", "ip", "cosine", "l1", "hamming")
 
 GRAPH_SCHEMA = (
     "shard INT, id BIGINT, vec ARRAY<DOUBLE>, level INT, "
@@ -118,6 +118,19 @@ def _dist_many(metric: str, X: np.ndarray, norms: np.ndarray,
         return np.where(denom == 0.0, np.inf, out)
     if metric == "l1":
         return np.abs(V - q).sum(axis=1)
+    if metric == "hamming":
+        # binary vectors ride as integral word values (exact in double up
+        # to 2^53; the engine packs 32 bits/word): XOR then popcount via
+        # unpackbits — the bit_vector hnsw opclass (datavec bitvec.cpp)
+        x = np.bitwise_xor(
+            V.astype(np.int64), q.astype(np.int64)
+        ).astype(np.uint64)
+        bytes_view = np.ascontiguousarray(x).view(np.uint8)
+        return (
+            np.unpackbits(bytes_view.reshape(len(V), -1), axis=1)
+            .sum(axis=1)
+            .astype(np.float64)
+        )
     raise ValueError(f"unknown metric {metric}")
 
 

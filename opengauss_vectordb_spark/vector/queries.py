@@ -1529,3 +1529,127 @@ def hnsw_knn_join_exhaustive(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ivf_search_halfvec_exhaustive",
+    f"""
+    WITH h AS (
+      SELECT vec_id, label,
+             list_transform({_E}, x -> {_sql_fp16('x')}) AS e,
+             {_SQL_Q} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d FROM h
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def ivf_search_halfvec_exhaustive(spark, sf_dir):
+    """IVFFlat over halfvec — the halfvec_l2_ops index opclass
+    (`test/sql/ivfflat_halfvec.sql`; halfvec.h:55-70): the index is
+    built on the fp16 ROUND-TRIPPED vectors (storage semantics: what
+    the reference stores in halfvec pages is what k-means clusters and
+    what distances rank), searched at probes=lists so the result is
+    exact over the quantized values, and the oracle replays IEEE-754
+    half rounding arithmetically (the knn_l2_halfvec quantizer,
+    verified bit-identical to numpy float16). An engine that indexed
+    the fp32 originals instead would rank by the wrong values and
+    hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from .ivf import IvfIndex
+    from .types import halfvec_quantize
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    halved = emb.select(
+        "vec_id", "label", halfvec_quantize(F.col("embedding")).alias("emb_h")
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_half_gate_")
+    try:
+        idx = IvfIndex.build(
+            halved, "emb_h", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
+        )
+        out = idx.search(
+            spark, QUERY_VEC, "emb_h", k=10, probes=_IVF_LISTS,
+            id_col="vec_id",
+        )
+        return spark.createDataFrame(
+            out.select(
+                "vec_id", "label", F.round("distance", 4).alias("distance")
+            )
+            .orderBy("distance", "vec_id")
+            .collect(),
+            "vec_id BIGINT, label INT, distance DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_search_bit_exhaustive",
+    f"""
+    WITH q AS (SELECT {_SQL_WORDS.format(v=_SQL_Q)} AS qw),
+         v AS (SELECT vec_id, label, {_SQL_WORDS.format(v=_E)} AS ew
+               FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(range(1, 3),
+                i -> bit_count(xor(ew[i], qw[i])))) AS BIGINT) AS hamming
+    FROM v, q
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def hnsw_search_bit_exhaustive(spark, sf_dir):
+    """HNSW over bit vectors — the bit_hamming_ops opclass
+    (`test/sql/hnsw_bit.sql`; bitvec.cpp / datavec--0.7.2.sql:720-735),
+    completing the index×type matrix: the graph is built directly on
+    the binary_quantize'd word representation with XOR-popcount as the
+    construction AND search metric, exhaustive beam ⇒ exact, and the
+    oracle ranks by the same packed-word popcount arithmetic. Hamming
+    ties are dense (integer distances over 64 bits), so the (distance,
+    vec_id) total order both engines share is what makes the top-10
+    hash-stable."""
+    import shutil
+    import tempfile
+
+    from .distance import hamming_distance
+    from .hnsw import HnswIndex
+    from .types import binary_quantize_words
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    bits = emb.select(
+        "vec_id", "label",
+        binary_quantize_words(as_double(F.col("embedding"))).alias("bits"),
+    )
+    qwords_df = spark.range(1).select(
+        binary_quantize_words(_spark_qlit()).alias("qw")
+    )
+    qwords = [int(w) for w in qwords_df.first().qw]
+    tmp = tempfile.mkdtemp(prefix="hnsw_bit_gate_")
+    try:
+        idx = HnswIndex.build(
+            bits, "bits", tmp, id_col="vec_id", metric="hamming", shards=4
+        )
+        ids = [r.id for r in idx.search(spark, qwords, k=10,
+                                        ef_search=None).collect()]
+        qw_col = F.array(*[F.lit(w).cast("bigint") for w in qwords])
+        out = (
+            bits.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                hamming_distance(F.col("bits"), qw_col).alias("hamming"),
+            )
+            .orderBy("hamming", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, hamming BIGINT"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
