@@ -84,6 +84,21 @@ HEADLINE = [
     "salted_skew_join",
     "incremental_agg_merge",
     "dedup_keep_best",
+    "inlist_join_rewrite",
+    "multimodal_frame_sample",
+    "window_groups_frame",
+    "window_exclude_frame",
+    "unpivot_metrics",
+    # round-4 second wave (same frozen-prefix rule; the hnsw_*/ivf_*
+    # exhaustive gates and ivf_delete_then_search rebuild an index
+    # inside the query, so they stay out for the same write-time-op
+    # reason as ivf_append_then_search)
+    "lateral_topn_per_group",
+    "setop_all_multiplicity",
+    "agg_ordered_concat",
+    "fts_plainto_websearch",
+    "fts_headline",
+    "string_format_pg",
 ]
 
 

