@@ -851,7 +851,9 @@ def websearch_to_tsquery(ts: Column, querytext: str) -> Column:
     contract) — unparseable fragments are dropped."""
     import re
 
-    raw = re.findall(r'"[^"]*"|\S+', querytext)
+    # an optional leading - must attach to its quoted phrase, else the
+    # tokenizer splits -"a b" into -"a and b"
+    raw = re.findall(r'-?"[^"]*"|\S+', querytext)
     groups: list[list[Column]] = [[]]
     for tok in raw:
         if not tok.startswith('"') and tok.upper() == "OR":

@@ -1653,3 +1653,126 @@ def hnsw_search_bit_exhaustive(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_search_halfvec_exhaustive",
+    f"""
+    WITH h AS (
+      SELECT vec_id, label,
+             list_transform({_E}, x -> {_sql_fp16('x')}) AS e,
+             {_SQL_Q} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d FROM h
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def hnsw_search_halfvec_exhaustive(spark, sf_dir):
+    """HNSW over halfvec — halfvec_l2_ops through the graph access
+    method (`test/sql/hnsw_halfvec.sql`): graph built on the fp16
+    round-tripped vectors, exhaustive beam ⇒ exact over the quantized
+    values, oracle replays IEEE-754 half rounding (the knn_l2_halfvec
+    quantizer). With bit (hamming) and the four float opclasses this
+    completes HNSW's indexable-type matrix."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+    from .types import halfvec_quantize
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    halved = emb.select(
+        "vec_id", "label", halfvec_quantize(F.col("embedding")).alias("emb_h")
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_half_gate_")
+    try:
+        idx = HnswIndex.build(
+            halved, "emb_h", tmp, id_col="vec_id", metric="l2", shards=4
+        )
+        ids = [r.id for r in idx.search(spark, QUERY_VEC, k=10,
+                                        ef_search=None).collect()]
+        out = (
+            halved.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    l2_distance(as_double(F.col("emb_h")), _spark_qlit()), 4
+                ).alias("distance"),
+            )
+            .orderBy("distance", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, distance DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_search_sparsevec_exhaustive",
+    f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform({_E},
+               x -> CASE WHEN abs(x) > {_SPARSE_T} THEN x ELSE 0.0 END) AS e,
+             {_SQL_Q} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
+      SELECT vec_id, label, -({_sql_dot('e', 'q')}) AS d FROM s
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def hnsw_search_sparsevec_exhaustive(spark, sf_dir):
+    """HNSW over sparsevec — sparsevec_ip_ops through the graph access
+    method (`test/sql/hnsw_sparsevec.sql`; sparsevec.h:44-55): vectors
+    are threshold-sparsified (the sparsevec_dot_topk representation),
+    the graph ranks by negative inner product over the sparse values,
+    exhaustive beam ⇒ exact. The graph layout stores the zero-filled
+    dense form (64-d here; a production sparse corpus would carry
+    indices+values pairs into the shard task instead — same plumbing,
+    different codec), while the ORACLE computes on the sparsified
+    values directly, so densification errors would hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    e = as_double(F.col("embedding"))
+    sparse = F.transform(
+        e, lambda x: F.when(F.abs(x) > _SPARSE_T, x).otherwise(F.lit(0.0))
+    )
+    sp = emb.select("vec_id", "label", sparse.alias("emb_s"))
+    tmp = tempfile.mkdtemp(prefix="hnsw_sparse_gate_")
+    try:
+        idx = HnswIndex.build(
+            sp, "emb_s", tmp, id_col="vec_id", metric="ip", shards=4
+        )
+        ids = [r.id for r in idx.search(spark, QUERY_VEC, k=10,
+                                        ef_search=None).collect()]
+        out = (
+            sp.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    neg_inner_product(F.col("emb_s"), _spark_qlit()), 4
+                ).alias("distance"),
+            )
+            .orderBy("distance", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, distance DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

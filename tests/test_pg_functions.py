@@ -1,0 +1,110 @@
+"""Edge-case unit tests for the round-4 function surfaces: the tsquery
+constructors (to_tsany.cpp grammar corners), phrase chains, and the
+format()/quoting family (varlena.cpp text_format, quote.cpp). The
+driver-gated queries pin the happy paths against DuckDB; these pin the
+corners that never show up in the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_vectordb_spark.functions.pg_compat import (
+    num_nonnulls,
+    num_nulls,
+    pg_format,
+    quote_ident,
+    quote_literal,
+    quote_nullable,
+)
+from opengauss_vectordb_spark.operators.text import (
+    plainto_tsquery,
+    ts_lexemes,
+    ts_phrase_chain,
+    websearch_to_tsquery,
+)
+
+
+def _eval(spark, text, qcol_fn):
+    df = spark.createDataFrame([(text,)], "text STRING")
+    ts = ts_lexemes(F.col("text"))
+    return df.select(qcol_fn(ts).alias("m")).first().m
+
+
+def test_plainto_punctuation_and_case(spark):
+    f = lambda q: (lambda ts: plainto_tsquery(ts, q))  # noqa: E731
+    assert _eval(spark, "the table has a scan", f("Table, Scan!")) is True
+    assert _eval(spark, "the table only", f("Table, Scan!")) is False
+    # empty / punctuation-only query = empty tsquery → matches nothing
+    assert _eval(spark, "anything", f("")) is False
+    assert _eval(spark, "anything", f("!!! ---")) is False
+
+
+def test_websearch_grammar_corners(spark):
+    f = lambda q: (lambda ts: websearch_to_tsquery(ts, q))  # noqa: E731
+    # quoted phrase requires ADJACENCY, not mere co-occurrence
+    assert _eval(spark, "full table scan here", f('"table scan"')) is True
+    assert _eval(spark, "table of the scan", f('"table scan"')) is False
+    # negation
+    assert _eval(spark, "table scan", f("table -hash")) is True
+    assert _eval(spark, "table hash scan", f("table -hash")) is False
+    # OR splits disjuncts; AND binds within
+    assert _eval(spark, "only vector here", f("vector OR stream")) is True
+    assert _eval(spark, "only stream here", f("vector OR stream")) is True
+    assert _eval(spark, "neither word", f("vector OR stream")) is False
+    # quoted single word degrades to a plain term
+    assert _eval(spark, "a table b", f('"table"')) is True
+    # negated phrase
+    assert _eval(spark, "x table scan y", f('x -"table scan"')) is False
+    assert _eval(spark, "x scan table y", f('x -"table scan"')) is True
+    # junk-only input matches nothing, never raises
+    assert _eval(spark, "anything", f("---")) is False
+    assert _eval(spark, "anything", f("")) is False
+
+
+def test_phrase_chain_three_words(spark):
+    f = lambda ws: (lambda ts: ts_phrase_chain(ts, ws))  # noqa: E731
+    assert _eval(spark, "a big red dog ran", f(["big", "red", "dog"])) is True
+    # pairwise-adjacent but not a 3-chain must NOT match
+    assert _eval(spark, "big red x red dog", f(["big", "red", "dog"])) is False
+    # document shorter than the phrase
+    assert _eval(spark, "big red", f(["big", "red", "dog"])) is False
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_pg_format_conversions(spark):
+    out = _one(spark, pg_format(
+        "%s is 100%% %L", F.lit("x"), F.lit("O'Reilly")
+    ))
+    assert out == "x is 100% 'O''Reilly'"
+    # %L of NULL renders the bare keyword
+    assert _one(spark, pg_format("%L", F.lit(None).cast("string"))) == "NULL"
+    # %s of NULL renders empty (PG text_format)
+    assert _one(spark, pg_format("v=%s.", F.lit(None).cast("string"))) == "v=."
+
+
+def test_pg_format_errors():
+    with pytest.raises(ValueError, match="too few"):
+        pg_format("%s %s", F.lit("a"))
+    with pytest.raises(ValueError, match="positional"):
+        pg_format("%1$s", F.lit("a"))
+    with pytest.raises(ValueError, match="unknown conversion"):
+        pg_format("%q", F.lit("a"))
+
+
+def test_quoting_family(spark):
+    assert _one(spark, quote_ident(F.lit("safe_name"))) == "safe_name"
+    assert _one(spark, quote_ident(F.lit("Mixed"))) == '"Mixed"'
+    assert _one(spark, quote_ident(F.lit('a"b'))) == '"a""b"'
+    assert _one(spark, quote_ident(F.lit("1starts_digit"))) == '"1starts_digit"'
+    assert _one(spark, quote_literal(F.lit("it's"))) == "'it''s'"
+    assert _one(spark, quote_nullable(F.lit(None).cast("string"))) == "NULL"
+
+
+def test_num_nulls_nonnulls(spark):
+    a, b, c = F.lit(None).cast("int"), F.lit(1), F.lit(None).cast("string")
+    assert _one(spark, num_nulls(a, b, c).cast("int")) == 2
+    assert _one(spark, num_nonnulls(a, b, c).cast("int")) == 1

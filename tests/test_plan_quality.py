@@ -428,3 +428,38 @@ def test_curation_ops_stay_jvm_side(spark):
     plan = physical_plan(decon)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """The LATERAL ORDER BY...LIMIT subquery must decorrelate into
+    row_number-over-window with map-side WindowGroupLimit pruning — one
+    shuffle on the join key, never a per-outer-row nested loop (the
+    reference's parameterized-inner nestloop shape cannot run at
+    100 TB)."""
+    df = QUERIES["lateral_topn_per_group"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert python_eval_nodes(df) == 0
+
+
+def test_round4_second_wave_stays_jvm_side(spark):
+    """No row-at-a-time Python in any of the second-wave relational /
+    text / function gates (HNSW's FlatMapGroupsInPandas stages are the
+    deliberate, Arrow-batched exception — graph traversal is the one
+    operator Catalyst cannot express — and are not BatchEvalPython)."""
+    for name in ["setop_all_multiplicity", "agg_ordered_concat",
+                 "fts_plainto_websearch", "fts_headline",
+                 "string_format_pg", "unpivot_metrics"]:
+        df = QUERIES[name](spark, SF_CORRECT)
+        assert python_eval_nodes(df) == 0, f"{name} has row-at-a-time Python"
+
+
+def test_fts_headline_no_exchange_before_limit(spark):
+    """Snippet generation is per-row map work: the only exchange allowed
+    in the plan is the final ordered-limit's singlePartition gather."""
+    df = QUERIES["fts_headline"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # TakeOrderedAndProject plans 0
