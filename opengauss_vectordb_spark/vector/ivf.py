@@ -113,7 +113,29 @@ def _centroid_dists(vec: Column, centroids: np.ndarray, metric: str) -> Column:
     pure Catalyst expression: the centroid matrix is a nested array
     literal (broadcast in the plan), distances come from transform().
     Whole-stage codegen, no shuffle, no UDF — this is the full-table
-    labeling path, so it must scale to every row of a 100 TB table."""
+    labeling path, so it must scale to every row of a 100 TB table.
+
+    metric="hamming" expects ``vec`` as packed 64-bit words
+    (array<bigint>, 32 payload bits per word — the binary_quantize_words
+    layout) and integer-valued centroid rows: distance = popcount(XOR)
+    per word, a pure JVM integer kernel (bit_hamming_ops,
+    bitutils.cpp)."""
+    if metric == "hamming":
+        cents_words = F.array(
+            *[F.array(*[F.lit(int(x)).cast("long") for x in c])
+              for c in centroids]
+        )
+        return F.transform(
+            cents_words,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    vec, c,
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
     cents_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
@@ -167,14 +189,42 @@ def assign_lists_expr(
     ).otherwise(F.array(primary))
 
 
+_BITS_PER_WORD = 32  # binary_quantize_words payload bits per bigint word
+
+
+def _unpack_words(W: np.ndarray) -> np.ndarray:
+    """(n, nwords) packed ints → (n, nwords·32) 0/1 floats (little-endian
+    bit j of word w = column w·32+j, matching binary_quantize_words)."""
+    n, nw = W.shape
+    out = np.zeros((n, nw * _BITS_PER_WORD), dtype=np.float64)
+    Wi = W.astype(np.int64)
+    for w in range(nw):
+        for j in range(_BITS_PER_WORD):
+            out[:, w * _BITS_PER_WORD + j] = (Wi[:, w] >> j) & 1
+    return out
+
+
+def _pack_bits(B: np.ndarray) -> np.ndarray:
+    """(k, nwords·32) 0/1 matrix → (k, nwords) packed ints."""
+    k, nbits = B.shape
+    nw = nbits // _BITS_PER_WORD
+    out = np.zeros((k, nw), dtype=np.int64)
+    for w in range(nw):
+        for j in range(_BITS_PER_WORD):
+            out[:, w] |= B[:, w * _BITS_PER_WORD + j].astype(np.int64) << j
+    return out
+
+
 class IvfIndex:
     """An IVF index = centroid table + data table partitioned by list_id."""
 
     def __init__(self, path: str, metric: str = "l2", lists: int = DEFAULT_LISTS):
         if not 1 <= lists <= MAX_LISTS:
             raise ValueError(f"lists must be in [1, {MAX_LISTS}]")
-        if metric not in DISTANCES:
-            raise ValueError(f"metric must be one of {sorted(DISTANCES)}")
+        if metric not in DISTANCES and metric != "hamming":
+            raise ValueError(
+                f"metric must be one of {sorted(DISTANCES) + ['hamming']}"
+            )
         self.path = path
         self.metric = metric
         self.lists = lists
@@ -220,14 +270,30 @@ class IvfIndex:
         if metric == "cosine":
             norms = np.linalg.norm(sample, axis=1, keepdims=True)
             sample = sample / np.maximum(norms, 1e-12)
-        centroids = _kmeans_fit(sample, lists, seed=seed, max_iter=max_iter)
+        if metric == "hamming":
+            # bit_hamming_ops (ivfflat_bit.sql): k-means in the relaxed
+            # 0/1-per-bit space (L2 there = Hamming on binary points),
+            # then binarize the centers back to packed words — every
+            # list centroid is itself a valid bit vector, and ranking/
+            # labeling stay pure integer XOR-popcount kernels
+            bits = _unpack_words(sample)
+            centers = _kmeans_fit(bits, lists, seed=seed, max_iter=max_iter)
+            centroids = _pack_bits(centers >= 0.5)
+        else:
+            centroids = _kmeans_fit(sample, lists, seed=seed, max_iter=max_iter)
 
+        # hamming operates on the packed bigint words directly (a double
+        # cast would break the XOR kernel); float metrics accumulate in
+        # double
+        label_vec = (
+            F.col(vec_col).cast("array<bigint>")
+            if metric == "hamming"
+            else as_double(F.col(vec_col))
+        )
         labeled = clean.withColumn(
             "list_id",
             F.explode(
-                assign_lists_expr(
-                    as_double(F.col(vec_col)), centroids, metric, spill_epsilon
-                )
+                assign_lists_expr(label_vec, centroids, metric, spill_epsilon)
             ),
         )
         (
@@ -258,10 +324,17 @@ class IvfIndex:
         must: they parameterize the partition-pruning filter). No
         per-element Python loop even at the 32768-list maximum."""
         cents = spark.read.parquet(os.path.join(self.path, "centroids"))
-        dist_fn = DISTANCES[self.metric]
-        q = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.metric == "hamming":
+            from .distance import hamming_distance
+
+            q = F.array(*[F.lit(int(x)).cast("long") for x in qvec])
+            d = hamming_distance(F.col("centroid").cast("array<bigint>"), q)
+        else:
+            dist_fn = DISTANCES[self.metric]
+            q = F.array(*[F.lit(float(x)) for x in qvec])
+            d = dist_fn(F.col("centroid"), q)
         ranked = (
-            cents.select("list_id", dist_fn(F.col("centroid"), q).alias("_d"))
+            cents.select("list_id", d.alias("_d"))
             .orderBy(F.col("_d").asc_nulls_last(), F.col("list_id").asc())
             .limit(probes)
         )
@@ -291,6 +364,18 @@ class IvfIndex:
             pruned = pruned.filter(where)
         # spill assignment can place one row in two probed lists → dedup
         pruned = pruned.dropDuplicates([id_col] if id_col else None)
+        if self.metric == "hamming":
+            from .distance import hamming_distance
+
+            q = F.array(*[F.lit(int(x)).cast("long") for x in qvec])
+            d = hamming_distance(F.col(vec_col).cast("array<bigint>"), q)
+            out = pruned.filter(F.col(vec_col).isNotNull()).withColumn(
+                "distance", d
+            )
+            order = [F.col("distance").asc_nulls_last()]
+            if id_col:
+                order.append(F.col(id_col).asc())
+            return out.orderBy(*order).limit(k)
         return exact_knn(pruned, vec_col, qvec, k=k, metric=self.metric, id_col=id_col)
 
     def knn_join(

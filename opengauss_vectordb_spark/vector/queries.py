@@ -1776,3 +1776,65 @@ def hnsw_search_sparsevec_exhaustive(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ivf_search_bit_exhaustive",
+    f"""
+    WITH q AS (SELECT {_SQL_WORDS.format(v=_SQL_Q)} AS qw),
+         v AS (SELECT vec_id, label, {_SQL_WORDS.format(v=_E)} AS ew
+               FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(range(1, 3),
+                i -> bit_count(xor(ew[i], qw[i])))) AS BIGINT) AS hamming
+    FROM v, q
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def ivf_search_bit_exhaustive(spark, sf_dir):
+    """IVFFlat over bit vectors — bit_hamming_ops through the inverted
+    lists (`test/sql/ivfflat_bit.sql`), the LAST cell of the reference's
+    index×type matrix: k-means runs in the relaxed 0/1-per-bit space,
+    centers binarize back to packed words (each list centroid is itself
+    a bit vector), and labeling/probe-ranking/scan are pure XOR-popcount
+    integer kernels — no float cast anywhere in the path. Exact at
+    probes=lists; the packed-word popcount oracle hash-checks it."""
+    import shutil
+    import tempfile
+
+    from .ivf import IvfIndex
+    from .types import binary_quantize_words
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    bits = emb.select(
+        "vec_id", "label",
+        binary_quantize_words(as_double(F.col("embedding"))).alias("bits"),
+    )
+    qwords = [
+        int(w)
+        for w in spark.range(1)
+        .select(binary_quantize_words(_spark_qlit()).alias("qw"))
+        .first()
+        .qw
+    ]
+    tmp = tempfile.mkdtemp(prefix="ivf_bit_gate_")
+    try:
+        idx = IvfIndex.build(
+            bits, "bits", tmp, metric="hamming", lists=_IVF_LISTS,
+            max_iter=30,
+        )
+        out = idx.search(
+            spark, qwords, "bits", k=10, probes=_IVF_LISTS, id_col="vec_id"
+        )
+        return spark.createDataFrame(
+            out.select(
+                "vec_id", "label", F.col("distance").alias("hamming")
+            )
+            .orderBy("hamming", "vec_id")
+            .collect(),
+            "vec_id BIGINT, label INT, hamming BIGINT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
