@@ -736,3 +736,60 @@ def dedup_keep_best(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "source_mix_rebalance",
+    r"""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\s+')) AS toks
+      FROM documents
+    ), per_src AS (
+      SELECT source, COUNT(*) AS docs, SUM(toks) AS tokens
+      FROM per_doc GROUP BY source
+    ), tot AS (
+      SELECT SUM(tokens) AS all_tokens FROM per_src
+    )
+    SELECT source, docs, tokens,
+           ROUND(tokens * 1.0 / all_tokens, 6) AS current_frac,
+           0.25 AS target_frac,
+           ROUND(LEAST(0.25 / (tokens * 1.0 / all_tokens), 4.0), 6)
+             AS sample_weight
+    FROM per_src CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def source_mix_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing — the sampling-weight computation a
+    multi-source corpus build runs to hit a target token distribution
+    (uniform across the four synthetic sources here): per-source token
+    totals in one partial/final aggregation, one-row grand total
+    re-entering via broadcast (the fts_bm25 stats shape), weight =
+    target/current capped at 4x (upsampling a tiny source without
+    bound re-reads it forever — the cap is the standard practice and
+    keeps the weight finite if a source nearly vanishes). Token counts
+    are exact integers, so the fractions are shuffle-order
+    deterministic without the decimal convention."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_src = d.select("source", toks.alias("toks")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("toks").alias("tokens")
+    )
+    tot = per_src.agg(F.sum("tokens").alias("all_tokens"))
+    cur = F.col("tokens") * F.lit(1.0) / F.col("all_tokens")
+    target = F.lit(0.25)
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            F.round(cur, 6).alias("current_frac"),
+            target.alias("target_frac"),
+            F.round(F.least(target / cur, F.lit(4.0)), 6).alias(
+                "sample_weight"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -997,3 +997,77 @@ def fts_headline(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@query(
+    "text_repetition_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS ts
+      FROM documents WHERE doc_id < 300
+    ), big AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+      FROM toks CROSS JOIN unnest(range(1, len(ts))) AS r(i)
+    ), bigc AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg) t
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(ts) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 6)
+             AS dup_word_frac,
+           ROUND(b.top_bigram_n * 2.0 / len(ts), 6) AS top_bigram_frac,
+           (1.0 - len(list_distinct(ts)) * 1.0 / len(ts) <= 0.70
+            AND b.top_bigram_n * 2.0 / len(ts) <= 0.18) AS keep
+    FROM toks t JOIN bigc b ON t.doc_id = b.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Repetition-based quality filtering — the Gopher/MassiveText rule
+    family (duplicate-token fraction, top-bigram mass) that modern
+    training pipelines apply before dedup: highly repetitive documents
+    are boilerplate or generation loops. dup_word_frac is pure array
+    arithmetic per row; the top-bigram count explodes (doc, bigram)
+    pairs into a two-level partial aggregation — the shuffle key is the
+    bigram hash, carrying counts, never text bodies, so the pass stays
+    linear at corpus scale. Thresholds (0.70 / 0.18) are calibrated to
+    the synthetic corpus so the keep flag is non-vacuous (both true and
+    false rows occur at sf0.01)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ts = F.filter(ts_lexemes(F.col("text")), lambda x: x != "")
+    base = d.select("doc_id", ts.alias("ts"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.col("ts"),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    ).filter(F.col("bg").contains(" "))  # zip_with null-pads the tail
+    # pair and concat_ws skips the null, leaving a lone word — drop it
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    n = F.size("ts")
+    dup = F.lit(1.0) - F.size(F.array_distinct("ts")) * F.lit(1.0) / n
+    bigfrac = F.col("top_bigram_n") * F.lit(2.0) / n
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(dup, 6).alias("dup_word_frac"),
+            F.round(bigfrac, 6).alias("top_bigram_frac"),
+            ((dup <= 0.70) & (bigfrac <= 0.18)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
