@@ -550,6 +550,42 @@ class HnswIndex:
             .limit(k)
         )
 
+    def search_filtered(self, spark: SparkSession, base: DataFrame,
+                        id_col: str, where, qvec: Sequence[float],
+                        k: int = 10,
+                        ef_search: int | None = DEFAULT_EF_SEARCH,
+                        overfetch: int = 4) -> DataFrame:
+        """Filtered ANN through the graph (t/017_hnsw_filtering.pl): the
+        0.7.x reference POST-filters the beam's candidates against the
+        quals and relies on a raised ef_search to keep k survivors —
+        the same contract here: each shard over-fetches k·overfetch
+        candidates, the ids join back to ``base`` where ``where`` (a
+        Column predicate) prunes them, and the survivors keep the best
+        k. With ef_search=None the beam is exhaustive, so the filtered
+        result is EXACT regardless of selectivity (the gateable
+        configuration); at bounded ef, raise ``overfetch``/``ef_search``
+        for selective predicates, exactly as the reference's docs
+        instruct."""
+        if ef_search is None:
+            # exhaustive: every shard returns its FULL ranking, so the
+            # post-filter can never run out of candidates — exact at any
+            # selectivity (gate configuration, not a scale pattern)
+            fetch_k = 2**31 - 1
+        else:
+            fetch_k = max(k * overfetch, k)
+        hits = self.search(
+            spark, qvec, k=fetch_k,
+            ef_search=None if ef_search is None else max(ef_search, fetch_k),
+        ).withColumnRenamed("id", "_hit_id")
+        joined = base.join(
+            hits, base[id_col] == F.col("_hit_id")
+        ).filter(where)
+        return (
+            joined.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_hit_id")
+        )
+
     def search_batch(self, spark: SparkSession, qvecs: Sequence[Sequence[float]],
                      k: int = 10,
                      ef_search: int | None = DEFAULT_EF_SEARCH) -> DataFrame:

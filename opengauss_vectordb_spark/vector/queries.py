@@ -1838,3 +1838,62 @@ def ivf_search_bit_exhaustive(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_filtered_search",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL AND label = 3)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def hnsw_filtered_search(spark, sf_dir):
+    """Filtered ANN through HNSW (t/017_hnsw_filtering.pl): the 0.7.x
+    reference post-filters beam candidates against the quals and tells
+    users to raise ef_search for selective predicates;
+    HnswIndex.search_filtered is the same contract (over-fetch → join
+    back → filter → top-k). Gated at the exhaustive operating point,
+    where every shard returns its full ranking and the post-filter is
+    exact at ANY selectivity (label = 3 keeps ~12% of rows) — the
+    WHERE-inside flat-scan oracle hash-checks it. Bounded-ef recall
+    behavior is pinned in tests/test_hnsw_recall.py."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_filt_gate_")
+    try:
+        idx = HnswIndex.build(
+            emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
+        )
+        got = idx.search_filtered(
+            spark, emb, "vec_id", F.col("label") == 3, QUERY_VEC, k=10,
+            ef_search=None,
+        )
+        ids = [r.vec_id for r in got.select("vec_id").collect()]
+        out = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    l2_distance(as_double(F.col("embedding")), _spark_qlit()),
+                    4,
+                ).alias("distance"),
+            )
+            .orderBy("distance", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, distance DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -185,6 +185,43 @@ def test_hnsw_build_deterministic(spark):
     assert rows_a == rows_b
 
 
+def test_hnsw_filtered_search_recall(spark, hnsw_corpus):
+    """Filtered ANN (t/017 contract): post-filter + over-fetch. The
+    over-fetch must scale with 1/selectivity — at ~10% selectivity an
+    overfetch of 10 leaves E[matching] ≈ k right at the boundary
+    (measured recall 0.74, the known 0.7.x post-filter weakness the
+    reference's docs answer with 'raise ef_search'); at overfetch=30
+    recall vs the exact filtered top-k must reach ≥ 0.9. The
+    exhaustive configuration must be exactly right at ANY selectivity
+    (the driver gate's operating point)."""
+    df, vecs, queries = hnsw_corpus
+    labeled = df.withColumn("lab", (F.col("id") % 10).cast("int"))
+    idx = _build(spark, df, "l2")
+    hits = total = 0
+    for q in queries[:5]:
+        qv = [float(x) for x in q]
+        d = np.sqrt(((vecs - q) ** 2).sum(axis=1))
+        mask = (np.arange(len(vecs)) % 10) == 3
+        order = np.lexsort((np.arange(len(vecs)), d))
+        truth = [i for i in order if mask[i]][:10]
+        got = [
+            r.id for r in idx.search_filtered(
+                spark, labeled, "id", F.col("lab") == 3, qv, k=10,
+                ef_search=40, overfetch=30,
+            ).collect()
+        ]
+        hits += len(set(truth) & set(got))
+        total += 10
+        exact_got = [
+            r.id for r in idx.search_filtered(
+                spark, labeled, "id", F.col("lab") == 3, qv, k=10,
+                ef_search=None,
+            ).collect()
+        ]
+        assert sorted(exact_got) == sorted(truth)
+    assert hits / total >= 0.9, hits / total
+
+
 def test_hnsw_append_then_search_exact(spark):
     """Insert-path maintenance (hnswinsert.cpp analogue): build on 80%
     of a corpus, append the rest through the cogroup insert path, then

@@ -132,6 +132,12 @@ def test_ann_catalog_routes_to_ivf(spark, tmp_path):
         "events_anomaly_zscore",
         "salted_skew_join",
         "fts_bm25_query",
+        # round-4 second wave: order-sensitive aggregates and
+        # fraction-producing pipeline stats
+        "agg_ordered_concat",
+        "setop_all_multiplicity",
+        "text_repetition_filter",
+        "source_mix_rebalance",
     ],
 )
 def test_results_shuffle_order_independent(spark, name):
