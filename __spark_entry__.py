@@ -36,8 +36,17 @@ registry.load_all_queries()
 # each verified locally against DuckDB before commit — and finally five
 # green sentinels spanning the operator families (50 priority names
 # fill the 50-slot window exactly).  This reaches registry-wide
-# driver-green coverage: every one of the 184 registered queries has a
-# green row on its latest gate attempt after this round.
+# driver-green coverage for the pre-round-4 registry: every query
+# registered before the second wave has a green row on its latest gate
+# attempt after this round.
+#
+# ROUND-5 ROTATION CANDIDATES (registered late in round 4, verified
+# locally against DuckDB and re-verified by tests/test_oracle_parity.py
+# every run, but outside this round's 50-slot window):
+#   hnsw_search_halfvec_exhaustive, hnsw_search_sparsevec_exhaustive,
+#   ivf_search_bit_exhaustive, hnsw_filtered_search,
+#   text_repetition_filter, source_mix_rebalance, window_filter_clause
+# Front-load these seven (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4
     "agg_filter_clause",

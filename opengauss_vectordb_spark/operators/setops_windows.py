@@ -1915,3 +1915,56 @@ def lateral_topn_per_group(spark, sf_dir):
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "window_filter_clause",
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS finished_so_far,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_totalprice > 200000)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS big_total_so_far
+    FROM orders WHERE o_custkey < 15
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_filter_clause(spark, sf_dir):
+    """Aggregate FILTER (WHERE ...) over a WINDOW — SQL:2003's filtered
+    window aggregate, which PG/openGauss run natively and Spark does
+    NOT support in OVER position: the engine rewrites it as the
+    conditional-expression aggregate (count → sum of 0/1, sum →
+    when-guarded operand) over the same running frame, while the
+    oracle uses DuckDB's native FILTER OVER — so the gate checks the
+    rewrite against a first-class implementation. The guarded sum goes
+    through exact decimal per the shuffle-order convention; a NULL
+    (empty-filter) running sum stays NULL on both sides."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 15)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    finished = F.sum(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    ).over(w)
+    big = (
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 200000,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        )
+        .over(w)
+        .cast("double")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        finished.alias("finished_so_far"),
+        big.alias("big_total_so_far"),
+    ).orderBy("o_custkey", "o_orderkey")
