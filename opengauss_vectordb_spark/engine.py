@@ -12,6 +12,7 @@ vectorized engines converge on one planner (SURVEY.md §3).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,31 @@ class Engine:
         register_pg_functions(spark)
         self.ann = AnnCatalog()
         self.models = ModelWarehouse()
+        self._index_names: dict[str, tuple[str, str]] = {}
+
+    # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
+    # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
+    # datavec--0.7.2.sql:353-403 opclasses)
+    _CREATE_INDEX = re.compile(
+        r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
+        r"USING\s+(?P<am>ivfflat|hnsw)\s*\(\s*(?P<col>\w+)\s+"
+        r"(?P<opclass>\w+)\s*\)(?:\s*WITH\s*\(\s*(?P<opts>[^)]*)\))?"
+        r"\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _DROP_INDEX = re.compile(
+        r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _OPCLASS_METRIC = {
+        "vector_l2_ops": "l2",
+        "vector_ip_ops": "ip",
+        "vector_cosine_ops": "cosine",
+        "vector_l1_ops": "l1",
+        "halfvec_l2_ops": "l2",
+        "sparsevec_ip_ops": "ip",
+        "bit_hamming_ops": "hamming",
+    }
 
     def sql(self, query: str) -> DataFrame:
         """SQL entry: Spark SQL dialect + the PG/datavec-name function
@@ -44,10 +70,72 @@ class Engine:
         FROM dual, SYSDATE) + datavec's vector operators
         (`embedding <-> '[...]'`, <#>, <=>, <+> —
         functions/sql_compat.py), so the reference's canonical ANN
-        query text runs verbatim."""
+        query text runs verbatim — including its index DDL:
+        ``CREATE INDEX ON t USING ivfflat (col vector_l2_ops) WITH
+        (lists = 100)`` / ``USING hnsw (col vector_cosine_ops) WITH
+        (m = 16, ef_construction = 64)`` build and register the index
+        (utility statements return a one-row status frame, as psql
+        shows a command tag), and DROP INDEX deregisters it."""
         from .functions.sql_compat import translate
 
+        m = self._CREATE_INDEX.match(query)
+        if m:
+            return self._create_index_ddl(m)
+        m = self._DROP_INDEX.match(query)
+        if m:
+            name = m.group("name").lower()
+            key = self._index_names.pop(name, None)
+            if key is not None:
+                self.ann.drop(*key)
+            return self.spark.createDataFrame(
+                [("DROP INDEX", name, key is not None)],
+                "tag STRING, index STRING, existed BOOLEAN",
+            )
         return self.spark.sql(translate(query))
+
+    def _create_index_ddl(self, m: re.Match) -> DataFrame:
+        import os
+        import tempfile
+        from urllib.parse import urlparse
+
+        table_name = m.group("table").lower()
+        col = m.group("col")
+        am = m.group("am").lower()
+        opclass = m.group("opclass").lower()
+        if opclass not in self._OPCLASS_METRIC:
+            raise ValueError(f"unknown operator class {opclass!r}")
+        metric = self._OPCLASS_METRIC[opclass]
+        opts = {}
+        for part in (m.group("opts") or "").split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                opts[k.strip().lower()] = v.strip()
+        name = (m.group("name") or f"{table_name}_{col}_{am}").lower()
+        try:
+            wh = urlparse(
+                self.spark.conf.get("spark.sql.warehouse.dir")
+            ).path or tempfile.gettempdir()
+        except Exception:
+            wh = tempfile.gettempdir()
+        path = os.path.join(wh, "_ann_indexes", name)
+        if am == "ivfflat":
+            self.create_ivf_index(
+                table_name, col, path, metric=metric,
+                lists=int(opts.get("lists", 100)),
+            )
+        else:
+            id_col = opts.get("id_col") or self.table(table_name).columns[0]
+            self.create_hnsw_index(
+                table_name, col, path, id_col=id_col, metric=metric,
+                m=int(opts.get("m", 16)),
+                ef_construction=int(opts.get("ef_construction", 64)),
+            )
+        self._index_names[name] = (table_name, col)
+        return self.spark.createDataFrame(
+            [("CREATE INDEX", name, am, table_name, col, metric)],
+            "tag STRING, index STRING, am STRING, tbl STRING, col STRING,"
+            " metric STRING",
+        )
 
     def table(self, name: str) -> DataFrame:
         return _table(self.spark, self.sf_dir, name)

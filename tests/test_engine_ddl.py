@@ -1,0 +1,83 @@
+"""The reference's index DDL through Engine.sql — a datavec user's
+CREATE INDEX / DROP INDEX statements (README.md:75) must run verbatim,
+build the index, register it for query-shape routing, and deregister on
+drop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opengauss_vectordb_spark.engine import Engine
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark=spark, sf_dir=SF_CORRECT)
+
+
+def test_create_ivfflat_index_ddl(engine):
+    out = engine.sql(
+        "CREATE INDEX emb_ivf ON embeddings USING ivfflat "
+        "(embedding vector_l2_ops) WITH (lists = 8)"
+    ).collect()
+    assert out[0].tag == "CREATE INDEX" and out[0].metric == "l2"
+    idx = engine.ann.lookup("embeddings", "embedding")
+    assert idx is not None and idx.lists == 8
+    # routed search at probes=lists is exact: compare against brute force
+    import math
+
+    q = [round(math.sin(i + 1.0), 4) for i in range(64)]
+    routed = engine.knn(
+        "embeddings", "embedding", q, k=5, id_col="vec_id", probes=8
+    ).collect()
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+
+    exact = exact_knn(
+        engine.table("embeddings"), "embedding", q, k=5, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in routed] == [r.vec_id for r in exact]
+    dropped = engine.sql("DROP INDEX emb_ivf").collect()
+    assert dropped[0].existed is True
+    assert engine.ann.lookup("embeddings", "embedding") is None
+
+
+def test_create_hnsw_index_ddl(engine):
+    out = engine.sql(
+        "CREATE INDEX emb_hnsw ON embeddings USING hnsw "
+        "(embedding vector_l2_ops) WITH (m = 8, ef_construction = 32)"
+    ).collect()
+    assert out[0].am == "hnsw"
+    idx = engine.ann.lookup("embeddings", "embedding")
+    from opengauss_vectordb_spark.vector.hnsw import HnswIndex
+
+    assert isinstance(idx, HnswIndex) and idx.m == 8
+    import math
+
+    q = [round(math.cos(i + 1.0), 4) for i in range(64)]
+    routed = engine.ann.topk(
+        engine.spark, "embeddings", engine.table("embeddings"), "embedding",
+        q, k=5, metric="l2", id_col="vec_id", ef_search=None,
+    ).collect()
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+
+    exact = exact_knn(
+        engine.table("embeddings"), "embedding", q, k=5, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in routed] == [r.vec_id for r in exact]
+    engine.sql("DROP INDEX emb_hnsw")
+
+
+def test_drop_missing_index_reports_not_existed(engine):
+    out = engine.sql("DROP INDEX IF EXISTS nope").collect()
+    assert out[0].existed is False
+
+
+def test_unknown_opclass_raises(engine):
+    with pytest.raises(ValueError, match="operator class"):
+        engine.sql(
+            "CREATE INDEX bad ON embeddings USING ivfflat "
+            "(embedding vector_bogus_ops)"
+        )
