@@ -38,6 +38,9 @@ class Engine:
         self.ann = AnnCatalog()
         self.models = ModelWarehouse()
         self._index_names: dict[str, tuple[str, str]] = {}
+        # session GUC defaults (reference: ivfflat.cpp:35 probes=1,
+        # hnsw.h:39 ef_search=40), settable via Engine.sql("SET ...")
+        self._gucs: dict[str, int] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -51,6 +54,14 @@ class Engine:
     )
     _DROP_INDEX = re.compile(
         r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    # SET ivfflat.probes = 10 / SET hnsw.ef_search = 40 — the reference's
+    # session GUCs (ivfflat.cpp:28-36, hnsw.cpp:45); they become the
+    # session defaults knn() uses when the caller passes no override
+    _SET_GUC = re.compile(
+        r"^\s*SET\s+(?P<guc>ivfflat\.probes|hnsw\.ef_search)\s*=\s*"
+        r"(?P<val>\d+)\s*;?\s*$",
         re.IGNORECASE,
     )
     _OPCLASS_METRIC = {
@@ -81,6 +92,14 @@ class Engine:
         m = self._CREATE_INDEX.match(query)
         if m:
             return self._create_index_ddl(m)
+        m = self._SET_GUC.match(query)
+        if m:
+            guc = m.group("guc").lower()
+            val = int(m.group("val"))
+            self._gucs[guc] = val
+            return self.spark.createDataFrame(
+                [("SET", guc, val)], "tag STRING, guc STRING, value INT"
+            )
         m = self._DROP_INDEX.match(query)
         if m:
             name = m.group("name").lower()
@@ -149,12 +168,21 @@ class Engine:
         metric: str = "l2",
         id_col: str | None = None,
         probes: int | None = None,
+        ef_search: int | None = None,
     ) -> DataFrame:
-        """ORDER BY distance LIMIT k — routed through a registered IVF
-        index when one matches, exact scan otherwise."""
+        """ORDER BY distance LIMIT k — routed through a registered
+        index (IVF or HNSW) when one matches, exact scan otherwise.
+        Session GUCs set via ``sql("SET ivfflat.probes = n")`` /
+        ``sql("SET hnsw.ef_search = n")`` supply the defaults when the
+        caller passes no override, mirroring the reference's
+        GUC-then-query workflow."""
+        if probes is None:
+            probes = self._gucs.get("ivfflat.probes")
+        if ef_search is None:
+            ef_search = self._gucs.get("hnsw.ef_search")
         return self.ann.topk(
             self.spark, table_name, self.table(table_name), vec_col, qvec, k,
-            metric=metric, probes=probes, id_col=id_col,
+            metric=metric, probes=probes, id_col=id_col, ef_search=ef_search,
         )
 
     def create_ivf_index(

@@ -70,6 +70,33 @@ def test_create_hnsw_index_ddl(engine):
     engine.sql("DROP INDEX emb_hnsw")
 
 
+def test_set_guc_workflow(engine):
+    """The reference's session workflow: SET ivfflat.probes = n, then
+    query — the GUC becomes knn()'s default probe count."""
+    out = engine.sql("SET ivfflat.probes = 8").collect()
+    assert out[0].tag == "SET" and out[0].value == 8
+    assert engine._gucs["ivfflat.probes"] == 8
+    engine.sql(
+        "CREATE INDEX guc_ivf ON embeddings USING ivfflat "
+        "(embedding vector_l2_ops) WITH (lists = 8)"
+    )
+    import math
+
+    q = [round(math.sin(i + 1.0), 4) for i in range(64)]
+    # probes defaulted from the GUC = lists → exact
+    routed = engine.knn(
+        "embeddings", "embedding", q, k=5, id_col="vec_id"
+    ).collect()
+    from opengauss_vectordb_spark.vector.exact import knn as exact_knn
+
+    exact = exact_knn(
+        engine.table("embeddings"), "embedding", q, k=5, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in routed] == [r.vec_id for r in exact]
+    engine.sql("DROP INDEX guc_ivf")
+    engine._gucs.clear()
+
+
 def test_drop_missing_index_reports_not_existed(engine):
     out = engine.sql("DROP INDEX IF EXISTS nope").collect()
     assert out[0].existed is False
