@@ -26,9 +26,10 @@ Spark-first design for 100 TB:
     scan of the probed partitions → TakeOrderedAndProject(k). A query
     batch shares one pruned scan via an equi-join on list_id.
 
-HNSW is deliberately NOT rebuilt as a graph: greedy pointer-chasing
-(`hnswutils.cpp:724,958,1207`) does not distribute; the recall targets
-(not the structure) are the spec — see SURVEY.md §2.8.
+HNSW lives in `vector/hnsw.py` as SHARDED independent graphs (one
+giant pointer-chasing graph does not distribute; S per-shard graphs
+built in applyInPandas do) — IVF remains the batch/kNN-join workhorse,
+HNSW the low-latency single-query path. See SURVEY.md §2.8.
 """
 
 from __future__ import annotations
