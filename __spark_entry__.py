@@ -45,8 +45,9 @@ registry.load_all_queries()
 # every run, but outside this round's 50-slot window):
 #   hnsw_search_halfvec_exhaustive, hnsw_search_sparsevec_exhaustive,
 #   ivf_search_bit_exhaustive, hnsw_filtered_search,
-#   text_repetition_filter, source_mix_rebalance, window_filter_clause
-# Front-load these seven (plus fresh sentinels) next round.
+#   hnsw_delete_then_search, text_repetition_filter,
+#   source_mix_rebalance, window_filter_clause
+# Front-load these eight (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4
     "agg_filter_clause",

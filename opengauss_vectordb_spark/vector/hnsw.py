@@ -331,6 +331,37 @@ class _ShardGraph:
                         seen[nb] = True
                         stack.append(nb)
 
+    def remove(self, drop_ids: set[int]) -> None:
+        """Unlink nodes (hnswvacuum.cpp: dead tuples leave every
+        neighbor list, the entry point moves if it died, layer-0
+        connectivity is repaired afterward — the same sequence, batch
+        form)."""
+        keep = np.array([int(i) not in drop_ids for i in self.ids])
+        if keep.all():
+            return
+        old_to_new = -np.ones(self.n, dtype=np.int64)
+        old_to_new[np.flatnonzero(keep)] = np.arange(int(keep.sum()))
+        self.X = self.X[keep]
+        self.ids = self.ids[keep]
+        self.norms = self.norms[keep]
+        self.levels = self.levels[keep]
+        self.neighbors = [
+            [
+                [int(old_to_new[nb]) for nb in layer if keep[nb]]
+                for layer in layers
+            ]
+            for i, layers in enumerate(self.neighbors)
+            if keep[i]
+        ]
+        self.n = len(self.ids)
+        if self.n == 0:
+            self.entry, self.max_level = -1, -1
+            return
+        self.max_level = int(self.levels.max())
+        top = np.flatnonzero(self.levels == self.max_level)
+        self.entry = int(top[np.argmin(self.ids[top])])
+        self._repair_layer0(2 * DEFAULT_M)
+
     # ----------------------------------------------------------- search
     def search(self, q: np.ndarray, k: int, ef: int,
                descent_ef: int = DEFAULT_DESCENT_EF) -> list[tuple[int, float]]:
@@ -549,6 +580,62 @@ class HnswIndex:
             per_shard.orderBy(F.col("distance").asc(), F.col("id").asc())
             .limit(k)
         )
+
+    def vacuum_delete(self, spark: SparkSession, predicate) -> None:
+        """Vacuum / bulk-delete (hnswvacuum.cpp): physically remove
+        every graph node matching ``predicate`` (a Column over the
+        graph schema — shard/id/vec/level), unlink it from every
+        neighbor list, move the entry point if it died, and re-repair
+        layer-0 connectivity — per shard, inside one applyInPandas
+        pass, rewriting only the shards that contained matches."""
+        g = self.graph(spark)
+        affected = [
+            r.shard
+            for r in g.filter(predicate).select("shard").distinct().collect()
+        ]
+        if not affected:
+            return
+        existing = g.filter(F.col("shard").isin(affected))
+        marked = existing.withColumn("_drop", predicate)
+        met = self.metric
+
+        def vacuum(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard_val = int(pdf["shard"].iloc[0])
+            drop_ids = {int(i) for i in pdf.loc[pdf["_drop"], "id"]}
+            gr = _graph_from_rows(pdf.drop(columns=["_drop"]), met)
+            gr.remove(drop_ids)
+            return pd.DataFrame({
+                "shard": [shard_val] * gr.n,
+                "id": gr.ids,
+                "vec": [list(v) for v in gr.X],
+                "level": gr.levels,
+                "neighbors": [
+                    [[int(gr.ids[x]) for x in layer] for layer in layers]
+                    for layers in gr.neighbors
+                ],
+            })
+
+        merged = marked.groupBy("shard").applyInPandas(vacuum, GRAPH_SCHEMA)
+        import shutil
+
+        graph_dir = os.path.join(self.path, "graph")
+        staging = graph_dir + ".vacuum"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        merged.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        for s in affected:
+            src_part = os.path.join(staging, f"shard={s}")
+            dst_part = os.path.join(graph_dir, f"shard={s}")
+            old = dst_part + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(dst_part, old)
+            if os.path.exists(src_part):
+                os.rename(src_part, dst_part)
+            else:
+                os.makedirs(dst_part)  # every node in the shard died
+            shutil.rmtree(old)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def search_filtered(self, spark: SparkSession, base: DataFrame,
                         id_col: str, where, qvec: Sequence[float],

@@ -1897,3 +1897,59 @@ def hnsw_filtered_search(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "hnsw_delete_then_search",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label, {_sql_sq_l2('e', 'q')} AS d
+      FROM (SELECT vec_id, label, {_E} AS e, {_SQL_Q} AS q FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 7 <> 0)
+    )
+    SELECT vec_id, label, ROUND(d, 4) AS distance
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def hnsw_delete_then_search(spark, sf_dir):
+    """HNSW vacuum gated end-to-end (hnswvacuum.cpp: dead tuples leave
+    every neighbor list, the entry moves if it died, connectivity is
+    repaired): build on the full corpus, vacuum-delete vec_id % 7 == 0
+    through the per-shard unlink pass, search with the unbounded beam.
+    Exact by construction over the survivors, so the flat-scan-minus-
+    deleted oracle catches ghosts, over-deletes, AND dangling-edge
+    breakage (a node reachable only through a deleted neighbor would
+    vanish from the exhaustive beam and change the top-10)."""
+    import shutil
+    import tempfile
+
+    from .hnsw import HnswIndex
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_vac_gate_")
+    try:
+        idx = HnswIndex.build(
+            emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
+        )
+        idx.vacuum_delete(spark, F.col("id") % 7 == 0)
+        ids = [r.id for r in idx.search(spark, QUERY_VEC, k=10,
+                                        ef_search=None).collect()]
+        out = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                "label",
+                F.round(
+                    l2_distance(as_double(F.col("embedding")), _spark_qlit()),
+                    4,
+                ).alias("distance"),
+            )
+            .orderBy("distance", "vec_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "vec_id BIGINT, label INT, distance DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

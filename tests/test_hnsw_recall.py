@@ -269,6 +269,41 @@ def test_hnsw_append_then_search_exact(spark):
     assert sorted(got2) == truth2
 
 
+def test_hnsw_vacuum_delete(spark):
+    """hnswvacuum parity: deleted nodes leave the graph AND every
+    neighbor list; the exhaustive search over survivors stays exact
+    (a dangling edge or a node orphaned by its deleted gateway would
+    break it)."""
+    rng = np.random.default_rng(23)
+    vecs = rng.random((800, 12))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id BIGINT, v ARRAY<FLOAT>",
+    )
+    tmp = tempfile.mkdtemp(prefix="hnsw_vac_")
+    idx = HnswIndex.build(df, "v", tmp, id_col="id", shards=3)
+    idx.vacuum_delete(spark, F.col("id") % 4 == 0)
+    g = idx.graph(spark)
+    assert g.filter(F.col("id") % 4 == 0).count() == 0
+    assert g.count() == sum(1 for i in range(800) if i % 4 != 0)
+    # no neighbor list references a deleted id
+    dangling = (
+        g.select(F.explode(F.flatten("neighbors")).alias("nb"))
+        .filter(F.col("nb") % 4 == 0)
+        .count()
+    )
+    assert dangling == 0
+    q = rng.random(12)
+    got = sorted(
+        r.id for r in idx.search(spark, [float(x) for x in q], k=12,
+                                 ef_search=None).collect()
+    )
+    survivors = np.array([i for i in range(800) if i % 4 != 0])
+    d = np.sqrt(((vecs[survivors] - q) ** 2).sum(axis=1))
+    truth = sorted(survivors[np.lexsort((survivors, d))[:12]].tolist())
+    assert got == truth
+
+
 def test_hnsw_append_rewrites_only_affected_shards(spark):
     """The append path must not touch shards that received no delta
     rows (dynamic partition overwrite): their partition files stay
