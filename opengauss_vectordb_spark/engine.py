@@ -64,6 +64,21 @@ class Engine:
         r"(?P<val>\d+)\s*;?\s*$",
         re.IGNORECASE,
     )
+    # The canonical ANN query text (contrib/datavec/README.md:88):
+    #   SELECT cols FROM tbl [WHERE quals] ORDER BY col <op> '[...]' LIMIT k
+    # Deliberately strict — a single table, a plain column list, the
+    # distance operator against a vector literal. Anything else falls
+    # through to the exact translate+spark.sql path (identical
+    # semantics, no index).
+    _ANN_SELECT = re.compile(
+        r"^\s*SELECT\s+(?P<cols>\*|[\w]+(?:\s*,\s*[\w]+)*)\s+"
+        r"FROM\s+(?P<table>\w+)\s+"
+        r"(?:WHERE\s+(?P<where>.+?)\s+)?"
+        r"ORDER\s+BY\s+(?P<col>\w+)\s*(?P<op><->|<#>|<=>|<\+>)\s*"
+        r"'(?P<vec>\[[^\]']*\])'\s*(?:ASC\s+)?LIMIT\s+(?P<k>\d+)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _OP_METRIC = {"<->": "l2", "<#>": "ip", "<=>": "cosine", "<+>": "l1"}
     _OPCLASS_METRIC = {
         "vector_l2_ops": "l2",
         "vector_ip_ops": "ip",
@@ -110,7 +125,71 @@ class Engine:
                 [("DROP INDEX", name, key is not None)],
                 "tag STRING, index STRING, existed BOOLEAN",
             )
+        routed = self._maybe_route_ann_select(query)
+        if routed is not None:
+            return routed
         return self.spark.sql(translate(query))
+
+    def _maybe_route_ann_select(self, query: str) -> DataFrame | None:
+        """Index-route the reference's canonical ANN SELECT text when an
+        index with the operator's opclass metric is registered on
+        (table, column) — the planner behavior datavec's FOR ORDER BY
+        opclasses produce after CREATE INDEX (sql:353-403): the same
+        query text silently switches from exact scan to probed/beamed
+        index scan at the session's GUC operating point. A canonical
+        shape WITHOUT a matching index runs the exact scan through the
+        same engine path (identical semantics; also necessary because
+        Spark 4 refuses SQL-registered functions like l2_distance in a
+        Sort — UNSUPPORTED_SQL_UDF_USAGE — so the operator text cannot
+        naively rewrite into ORDER BY). Non-canonical shapes → None →
+        translate + spark.sql."""
+        from pyspark.sql import functions as F
+
+        m = self._ANN_SELECT.match(query)
+        if m is None:
+            return None
+        table_name = m.group("table").lower()
+        col = m.group("col")
+        idx = self.ann.lookup(table_name, col)
+        metric = self._OP_METRIC[m.group("op")]
+        qvec = [float(x) for x in m.group("vec").strip("[]").split(",")]
+        k = int(m.group("k"))
+        df = self.table(table_name)
+        id_col = df.columns[0]
+        where = m.group("where")
+        cols = m.group("cols").strip()
+        if idx is None or idx.metric != metric:
+            from .vector.exact import knn as exact_knn
+
+            base = df.filter(F.expr(where)) if where is not None else df
+            out = exact_knn(base, col, qvec, k=k, metric=metric,
+                            id_col=id_col)
+            if cols != "*":
+                out = out.select(*[c.strip() for c in cols.split(",")])
+            return out
+        from .vector.hnsw import HnswIndex
+
+        if isinstance(idx, HnswIndex):
+            ef = self._gucs.get("hnsw.ef_search")
+            if where is not None:
+                out = idx.search_filtered(
+                    self.spark, df, id_col, F.expr(where), qvec, k=k,
+                    ef_search=ef if ef is not None else 40,
+                )
+            else:
+                out = self.ann.topk(
+                    self.spark, table_name, df, col, qvec, k=k,
+                    metric=metric, id_col=id_col, ef_search=ef,
+                )
+        else:
+            probes = self._gucs.get("ivfflat.probes", 1)  # ivfflat.cpp:35
+            out = idx.search(
+                self.spark, qvec, col, k=k, probes=probes, id_col=id_col,
+                where=F.expr(where) if where is not None else None,
+            )
+        if cols != "*":
+            out = out.select(*[c.strip() for c in cols.split(",")])
+        return out
 
     def _create_index_ddl(self, m: re.Match) -> DataFrame:
         import os

@@ -97,6 +97,45 @@ def test_set_guc_workflow(engine):
     engine._gucs.clear()
 
 
+def test_canonical_ann_text_routes_after_create_index(engine):
+    """The reference workflow end-to-end in SQL text: the canonical
+    ORDER BY col <-> '[...]' LIMIT k query runs exact before CREATE
+    INDEX, and the SAME text routes through the index afterward — at
+    probes=lists both answers are identical."""
+    import math
+
+    q = [round(math.sin(i + 1.0), 4) for i in range(64)]
+    lit = "[" + ",".join(str(v) for v in q) + "]"
+    text = (
+        f"SELECT vec_id, label FROM embeddings "
+        f"ORDER BY embedding <-> '{lit}' LIMIT 5"
+    )
+    exact = engine.sql(text).collect()  # no index: translate path
+    engine.sql(
+        "CREATE INDEX route_ivf ON embeddings USING ivfflat "
+        "(embedding vector_l2_ops) WITH (lists = 8)"
+    )
+    engine.sql("SET ivfflat.probes = 8")
+    try:
+        routed = engine.sql(text).collect()
+        assert [r.vec_id for r in routed] == [r.vec_id for r in exact]
+        # WHERE quals ride into the pruned scan (filtered ANN)
+        filtered = engine.sql(
+            f"SELECT vec_id, label FROM embeddings WHERE label = 3 "
+            f"ORDER BY embedding <-> '{lit}' LIMIT 5"
+        ).collect()
+        assert all(r.label == 3 for r in filtered) and len(filtered) == 5
+    finally:
+        engine.sql("DROP INDEX route_ivf")
+        engine._gucs.clear()
+    # metric mismatch (cosine operator, l2 index gone) falls through to
+    # the exact translate path without error
+    cos = engine.sql(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding <=> '{lit}' LIMIT 3"
+    ).collect()
+    assert len(cos) == 3
+
+
 def test_drop_missing_index_reports_not_existed(engine):
     out = engine.sql("DROP INDEX IF EXISTS nope").collect()
     assert out[0].existed is False
