@@ -148,11 +148,16 @@ class Engine:
         m = self._ANN_SELECT.match(query)
         if m is None:
             return None
+        try:
+            qvec = [float(x) for x in m.group("vec").strip("[]").split(",")]
+        except ValueError:
+            # not a numeric pgvector literal (e.g. Spark's native <=>
+            # null-safe equality against an unlucky string) — not ours
+            return None
         table_name = m.group("table").lower()
         col = m.group("col")
         idx = self.ann.lookup(table_name, col)
         metric = self._OP_METRIC[m.group("op")]
-        qvec = [float(x) for x in m.group("vec").strip("[]").split(",")]
         k = int(m.group("k"))
         df = self.table(table_name)
         id_col = df.columns[0]
