@@ -46,8 +46,10 @@ registry.load_all_queries()
 #   hnsw_search_halfvec_exhaustive, hnsw_search_sparsevec_exhaustive,
 #   ivf_search_bit_exhaustive, hnsw_filtered_search,
 #   hnsw_delete_then_search, text_repetition_filter,
-#   source_mix_rebalance, window_filter_clause
-# Front-load these eight (plus fresh sentinels) next round.
+#   source_mix_rebalance, window_filter_clause,
+#   matview_refresh_select, matview_incremental_refresh,
+#   prepared_param_topn, fts_ts_stat, agg_regression2, array_funcs2
+# Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4
     "agg_filter_clause",

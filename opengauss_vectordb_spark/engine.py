@@ -12,6 +12,7 @@ vectorized engines converge on one planner (SURVEY.md §3).
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Sequence
 
@@ -41,6 +42,16 @@ class Engine:
         # session GUC defaults (reference: ivfflat.cpp:35 probes=1,
         # hnsw.h:39 ef_search=40), settable via Engine.sql("SET ...")
         self._gucs: dict[str, int] = {}
+        # materialized views (commands/matview.cpp) + prepared
+        # statements (commands/prepare.cpp) — both reachable through
+        # Engine.sql DDL text and as Python APIs
+        from .operators.matview import MatviewManager
+        from .operators.prepared import PreparedStatements
+
+        self.matviews = MatviewManager(
+            spark, os.path.join(self._warehouse_dir(), "_matviews")
+        )
+        self.prepared = PreparedStatements(spark)
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -125,10 +136,33 @@ class Engine:
                 [("DROP INDEX", name, key is not None)],
                 "tag STRING, index STRING, existed BOOLEAN",
             )
+        from .operators.matview import try_handle_ddl as _matview_ddl
+        from .operators.prepared import try_handle_stmt as _prepared_stmt
+
+        handled = _matview_ddl(self, query)
+        if handled is not None:
+            return handled
+        handled = _prepared_stmt(self, query)
+        if handled is not None:
+            return handled
         routed = self._maybe_route_ann_select(query)
         if routed is not None:
             return routed
         return self.spark.sql(translate(query))
+
+    def _warehouse_dir(self) -> str:
+        import tempfile
+        from urllib.parse import urlparse
+
+        try:
+            return (
+                urlparse(
+                    self.spark.conf.get("spark.sql.warehouse.dir")
+                ).path
+                or tempfile.gettempdir()
+            )
+        except Exception:
+            return tempfile.gettempdir()
 
     def _maybe_route_ann_select(self, query: str) -> DataFrame | None:
         """Index-route the reference's canonical ANN SELECT text when an
@@ -197,10 +231,6 @@ class Engine:
         return out
 
     def _create_index_ddl(self, m: re.Match) -> DataFrame:
-        import os
-        import tempfile
-        from urllib.parse import urlparse
-
         table_name = m.group("table").lower()
         col = m.group("col")
         am = m.group("am").lower()
@@ -214,13 +244,7 @@ class Engine:
                 k, v = part.split("=", 1)
                 opts[k.strip().lower()] = v.strip()
         name = (m.group("name") or f"{table_name}_{col}_{am}").lower()
-        try:
-            wh = urlparse(
-                self.spark.conf.get("spark.sql.warehouse.dir")
-            ).path or tempfile.gettempdir()
-        except Exception:
-            wh = tempfile.gettempdir()
-        path = os.path.join(wh, "_ann_indexes", name)
+        path = os.path.join(self._warehouse_dir(), "_ann_indexes", name)
         if am == "ivfflat":
             self.create_ivf_index(
                 table_name, col, path, metric=metric,

@@ -1968,3 +1968,42 @@ def window_filter_clause(spark, sf_dir):
         finished.alias("finished_so_far"),
         big.alias("big_total_so_far"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "agg_regression2",
+    """
+    SELECT o_orderpriority,
+           ROUND(regr_r2(o_totalprice, o_custkey % 100), 6) AS r2,
+           ROUND(regr_sxx(o_totalprice, o_custkey % 100), 2) AS sxx,
+           ROUND(regr_syy(o_totalprice, o_custkey % 100) / 1e9, 4)
+             AS syy_b,
+           ROUND(regr_sxy(o_totalprice, o_custkey % 100) / 1e6, 4)
+             AS sxy_m
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_regression2(spark, sf_dir):
+    """The rest of PG's regr_* bivariate family (builtin_funcs.ini
+    regr_r2/sxx/syy/sxy) — native one-pass moment aggregates in both
+    Spark and DuckDB. The raw second moments span ~1e6 (sxx, integer
+    x) to ~1e13 (syy, price variance), so the larger ones are scaled
+    before rounding (syy/1e9, sxy/1e6): both engines' stable co-moment
+    updates agree to ~1e-13 relative, orders of magnitude inside the
+    rounded precision, while a fixed 6-dp round of a 1e13 value would
+    demand bit-identical float sums. Same single partial/final
+    hash-aggregate shape as agg_regression."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 100
+    y = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_sxx(y, x), 2).alias("sxx"),
+            F.round(F.regr_syy(y, x) / 1e9, 4).alias("syy_b"),
+            F.round(F.regr_sxy(y, x) / 1e6, 4).alias("sxy_m"),
+        )
+        .orderBy("o_orderpriority")
+    )

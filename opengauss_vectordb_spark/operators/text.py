@@ -1071,3 +1071,55 @@ def text_repetition_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- ts_stat: corpus word statistics ---------------------------------------
+
+
+@query(
+    "fts_ts_stat",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                                     ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM toks WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS ndoc,
+           CAST(SUM(cnt) AS BIGINT) AS nentry
+    FROM per_doc GROUP BY word
+    ORDER BY nentry DESC, word LIMIT 20
+    """,
+)
+def fts_ts_stat(spark, sf_dir):
+    """ts_stat parity (tsvector_op.cpp:787 "ts_stat statistic function
+    support", ts_stat_sql :1041, ts_stat1 :1121): per-word corpus
+    statistics word | ndoc (documents containing it) | nentry (total
+    occurrences), the index-inspection companion to to_tsvector.
+
+    Scale shape: two-level aggregation — the first groupBy(doc_id,
+    word) collapses within-document repeats MAP-SIDE (partial agg), so
+    the word-key shuffle carries per-document distinct words (bounded
+    by vocabulary x docs) rather than every token occurrence; the
+    second groupBy(word) reduces to vocabulary size, then a 20-row
+    bounded heap. Same tokenizer as the whole FTS family
+    (ts_lexemes), so ts_stat's numbers describe exactly what @@ and
+    ts_rank search over."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ts_lexemes(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.count("*").cast("bigint").alias("ndoc"),
+            F.sum("cnt").cast("bigint").alias("nentry"),
+        )
+        .orderBy(F.desc("nentry"), "word")
+        .limit(20)
+    )

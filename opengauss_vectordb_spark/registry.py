@@ -49,8 +49,10 @@ def load_all_queries() -> None:
         db4ai,
         dedup,
         functions_ext,
+        matview,
         merge,
         multimodal,
+        prepared,
         pg_types,
         pipeline,
         relational,

@@ -1,0 +1,140 @@
+"""Materialized views (commands/matview.cpp) and prepared statements
+(commands/prepare.cpp) — edge behaviors beyond the driver-gated queries:
+WITH NO DATA gating, SPJ incremental append, shape rejection, full
+REFRESH picking up base changes, PREPARE/EXECUTE error contract, and
+EXECUTE argument-literal parsing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_vectordb_spark.engine import Engine
+from opengauss_vectordb_spark.operators.prepared import _parse_args
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark, SF_SMOKE)
+    tmp = tempfile.mkdtemp(prefix="mv_test_")
+    e.matviews.root = tmp
+    yield e
+    for name in list(e.matviews.views):
+        e.matviews.drop(name)
+    e.prepared.deallocate(None)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_matview_no_data_not_scannable(eng):
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_t1 AS"
+        " SELECT o_orderstatus, COUNT(*) AS n FROM orders"
+        " GROUP BY o_orderstatus WITH NO DATA"
+    )
+    # PG: "materialized view has not been populated" — here: the name
+    # is not registered, so analysis fails
+    with pytest.raises(Exception):
+        eng.spark.sql("SELECT * FROM mv_t1").collect()
+    eng.sql("REFRESH MATERIALIZED VIEW mv_t1")
+    assert eng.sql("SELECT COUNT(*) AS c FROM mv_t1").collect()[0].c > 0
+
+
+def test_matview_full_refresh_sees_base_changes(eng):
+    eng.spark.range(5).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "mv_base_t2"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_t2 AS"
+        " SELECT CAST(SUM(v) AS BIGINT) AS total FROM mv_base_t2"
+    )
+    assert eng.sql("SELECT total FROM mv_t2").collect()[0].total == 20
+    # snapshot isolation: base changes are invisible until REFRESH
+    eng.spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "mv_base_t2"
+    )
+    assert eng.sql("SELECT total FROM mv_t2").collect()[0].total == 20
+    eng.sql("REFRESH MATERIALIZED VIEW mv_t2")
+    assert eng.sql("SELECT total FROM mv_t2").collect()[0].total == 90
+    eng.spark.catalog.dropTempView("mv_base_t2")
+
+
+def test_matview_incremental_spj_appends(eng):
+    base = eng.spark.range(10).selectExpr("id", "id % 3 AS grp")
+    base.createOrReplaceTempView("mv_base_t3")
+    eng.sql(
+        "CREATE INCREMENTAL MATERIALIZED VIEW mv_t3 AS"
+        " SELECT id, grp FROM mv_base_t3 WHERE grp <> 2"
+    )
+    n0 = eng.sql("SELECT COUNT(*) AS c FROM mv_t3").collect()[0].c
+    delta = eng.spark.range(10, 16).selectExpr("id", "id % 3 AS grp")
+    eng.matviews.refresh_incremental("mv_t3", delta)
+    n1 = eng.sql("SELECT COUNT(*) AS c FROM mv_t3").collect()[0].c
+    expected_delta = delta.filter(F.col("grp") != 2).count()
+    assert n1 == n0 + expected_delta
+    eng.spark.catalog.dropTempView("mv_base_t3")
+
+
+def test_matview_incremental_rejects_nondecomposable(eng):
+    with pytest.raises(ValueError, match="decomposable"):
+        eng.sql(
+            "CREATE INCREMENTAL MATERIALIZED VIEW mv_bad AS"
+            " SELECT o_orderstatus, MAX(o_totalprice) AS m FROM orders"
+            " GROUP BY o_orderstatus"
+        )
+    with pytest.raises(ValueError, match="shape"):
+        eng.matviews.create(
+            "mv_bad2", "SELECT a FROM t1 JOIN t2 ON t1.k = t2.k",
+            incremental=True,
+        )
+
+
+def test_matview_create_duplicate_and_drop(eng):
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_t4 AS SELECT 1 AS one"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE MATERIALIZED VIEW mv_t4 AS SELECT 2 AS two")
+    row = eng.sql("DROP MATERIALIZED VIEW mv_t4").collect()[0]
+    assert row.existed is True
+    row = eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_t4").collect()[0]
+    assert row.existed is False
+
+
+def test_prepare_execute_contract(eng):
+    eng.sql("PREPARE pq1 AS SELECT 1 AS a")
+    assert eng.sql("EXECUTE pq1").collect()[0].a == 1
+    # re-PREPARE of a live name errors (prepare.sql:13-17)
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("PREPARE pq1 AS SELECT 2 AS a")
+    eng.sql("DEALLOCATE PREPARE pq1")
+    eng.sql("PREPARE pq1 AS SELECT 2 AS b")
+    assert eng.sql("EXECUTE pq1").collect()[0].b == 2
+    eng.sql("DEALLOCATE ALL")
+    assert eng.prepared.stmts == {}
+
+
+def test_prepare_param_binding_types(eng):
+    eng.sql(
+        "PREPARE pq2(int, text) AS"
+        " SELECT $1 + 1 AS n, upper($2) AS s, $1 AS echo"
+    )
+    row = eng.sql("EXECUTE pq2(41, 'abc')").collect()[0]
+    assert (row.n, row.s, row.echo) == (42, "ABC", 41)
+    # $n inside a string literal is data, not a marker
+    eng.sql("PREPARE pq3 AS SELECT '$1 costs $2' AS lit, $1 AS v")
+    row = eng.sql("EXECUTE pq3(7)").collect()[0]
+    assert (row.lit, row.v) == ("$1 costs $2", 7)
+
+
+def test_execute_arg_literal_parsing():
+    assert _parse_args("'a,b', 5, 10.5, false, NULL") == [
+        "a,b", 5, 10.5, False, None,
+    ]
+    assert _parse_args("5::smallint, 'x''y'") == [5, "x'y"]
+    assert _parse_args(None) == []
+    assert _parse_args("-3") == [-3]
