@@ -46,12 +46,15 @@ class Engine:
         # statements (commands/prepare.cpp) — both reachable through
         # Engine.sql DDL text and as Python APIs
         from .operators.matview import MatviewManager
+        from .operators.portal import CursorRegistry
         from .operators.prepared import PreparedStatements
 
         self.matviews = MatviewManager(
             spark, os.path.join(self._warehouse_dir(), "_matviews")
         )
         self.prepared = PreparedStatements(spark)
+        # portals (commands/portalcmds.cpp) + EXPLAIN (explain.cpp)
+        self.cursors = CursorRegistry(spark)
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -137,12 +140,16 @@ class Engine:
                 "tag STRING, index STRING, existed BOOLEAN",
             )
         from .operators.matview import try_handle_ddl as _matview_ddl
+        from .operators.portal import try_handle_stmt as _portal_stmt
         from .operators.prepared import try_handle_stmt as _prepared_stmt
 
         handled = _matview_ddl(self, query)
         if handled is not None:
             return handled
         handled = _prepared_stmt(self, query)
+        if handled is not None:
+            return handled
+        handled = _portal_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

@@ -1,0 +1,192 @@
+"""Portals (cursors) and EXPLAIN — the remaining utility-statement
+surface of the reference's query protocol (SURVEY §3).
+
+Reference: `optimizer/commands/portalcmds.cpp` (569 LoC) —
+`PerformCursorOpen` (:49) plans the query but defers execution,
+`PerformPortalFetch` (:172) pulls the next N rows through the portal;
+`optimizer/commands/explain.cpp` (11,495 LoC) — `ExplainQuery` (:279)
+renders the plan tree (the reference's EXPLAIN output is what its
+vectorized-engine regression suites assert on).
+
+Spark-first shape:
+
+* DECLARE ... CURSOR FOR stores the translated DataFrame plus a fetch
+  position; FETCH n materializes ONLY the next window via
+  ``df.offset(pos).limit(n)`` — declarative paging Catalyst collapses
+  to a bounded take (GlobalLimit over the already-consumed prefix), so
+  no full-result materialization ever happens driver-side. Paging is
+  deterministic when the cursor query is ordered (same contract PG
+  gives: unordered cursor order is implementation-defined but stable
+  within a plan). A 100 TB consumer streaming the WHOLE result should
+  use ``DataFrame.toLocalIterator`` instead — the cursor surface is
+  the protocol-parity window onto it, not a bulk-export path.
+* EXPLAIN [stmt] returns the Catalyst plan rendering as a one-column
+  QUERY PLAN frame (psql shape). EXPLAIN ANALYZE executes the plan
+  first (noop write) so the rendering carries runtime statistics —
+  mirroring explain.cpp's instrumented run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+class CursorRegistry:
+    """name → (DataFrame, fetch position)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.cursors: dict[str, tuple[DataFrame, int]] = {}
+
+    def declare(self, name: str, df: DataFrame) -> None:
+        name = name.lower()
+        if name in self.cursors:
+            raise ValueError(f"cursor {name!r} already exists")
+        self.cursors[name] = (df, 0)
+
+    def fetch(self, name: str, n: int) -> DataFrame:
+        name = name.lower()
+        if name not in self.cursors:
+            raise KeyError(f"cursor {name!r} does not exist")
+        df, pos = self.cursors[name]
+        out = df.offset(pos).limit(n)
+        self.cursors[name] = (df, pos + n)
+        return out
+
+    def move(self, name: str, n: int) -> int:
+        name = name.lower()
+        if name not in self.cursors:
+            raise KeyError(f"cursor {name!r} does not exist")
+        df, pos = self.cursors[name]
+        self.cursors[name] = (df, pos + n)
+        return pos + n
+
+    def close(self, name: str) -> bool:
+        return self.cursors.pop(name.lower(), None) is not None
+
+
+_DECLARE = re.compile(
+    r"^\s*DECLARE\s+(?P<name>\w+)\s+(?:NO\s+SCROLL\s+)?CURSOR\s+"
+    r"(?:WITH\s+HOLD\s+)?FOR\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FETCH = re.compile(
+    r"^\s*FETCH\s+(?:(?:FORWARD|NEXT)\s+)?(?P<n>\d+)?\s*"
+    r"(?:FROM|IN)\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_MOVE = re.compile(
+    r"^\s*MOVE\s+(?:FORWARD\s+)?(?P<n>\d+)\s+(?:FROM|IN)\s+(?P<name>\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CLOSE = re.compile(
+    r"^\s*CLOSE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN\s+(?P<analyze>ANALYZE\s+)?(?P<verbose>VERBOSE\s+)?"
+    r"(?P<stmt>(?:SELECT|WITH|VALUES)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    """Engine.sql hook for DECLARE/FETCH/MOVE/CLOSE/EXPLAIN text."""
+    m = _DECLARE.match(query)
+    if m:
+        engine.cursors.declare(m.group("name"), engine.sql(m.group("stmt")))
+        return engine.spark.createDataFrame(
+            [("DECLARE CURSOR", m.group("name").lower())],
+            "tag STRING, cursor STRING",
+        )
+    m = _FETCH.match(query)
+    if m:
+        return engine.cursors.fetch(
+            m.group("name"), int(m.group("n") or 1)
+        )
+    m = _MOVE.match(query)
+    if m:
+        pos = engine.cursors.move(m.group("name"), int(m.group("n")))
+        return engine.spark.createDataFrame(
+            [("MOVE", m.group("name").lower(), pos)],
+            "tag STRING, cursor STRING, position INT",
+        )
+    m = _CLOSE.match(query)
+    if m and m.group("name").lower() in engine.cursors.cursors:
+        engine.cursors.close(m.group("name"))
+        return engine.spark.createDataFrame(
+            [("CLOSE CURSOR", m.group("name").lower())],
+            "tag STRING, cursor STRING",
+        )
+    m = _EXPLAIN.match(query)
+    if m:
+        df = engine.sql(m.group("stmt"))
+        if m.group("analyze"):
+            # instrumented run (explain.cpp's ANALYZE executes the plan)
+            df.write.format("noop").mode("overwrite").save()
+        mode = "formatted" if m.group("verbose") is None else "extended"
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        lines = [(line,) for line in buf.getvalue().splitlines()]
+        return engine.spark.createDataFrame(lines, "`QUERY PLAN` STRING")
+    return None
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "cursor_fetch_pages",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                                DESC, o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST((rn - 1) // 7 + 1 AS INT) AS page,
+           o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM ranked WHERE rn <= 21
+    ORDER BY rn
+    """,
+)
+def cursor_fetch_pages(spark, sf_dir):
+    """Cursor protocol end-to-end (portalcmds.cpp PerformCursorOpen :49
+    / PerformPortalFetch :172): DECLARE an ordered cursor, FETCH 7
+    three times, tag each batch with its page number. The oracle
+    paginates the same ordered relation with ROW_NUMBER — a hash match
+    proves the fetch position advances exactly across batches with no
+    gap or overlap. Each FETCH plans offset+limit (a bounded take),
+    never a driver-side materialization of the full result."""
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "DECLARE c_pages CURSOR FOR"
+        " SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,"
+        " CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice"
+        " FROM orders WHERE o_orderstatus = 'F'"
+        " ORDER BY o_totalprice DESC, o_orderkey"
+    )
+    pages = []
+    for page in (1, 2, 3):
+        batch = eng.sql("FETCH 7 FROM c_pages")
+        pages.append(batch.withColumn("page", F.lit(page)))
+    eng.sql("CLOSE c_pages")
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "page", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).orderBy("page", F.col("o_totalprice").desc(), "o_orderkey")

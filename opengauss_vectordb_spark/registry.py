@@ -52,6 +52,7 @@ def load_all_queries() -> None:
         matview,
         merge,
         multimodal,
+        portal,
         prepared,
         pg_types,
         pipeline,

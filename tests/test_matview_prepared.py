@@ -138,3 +138,40 @@ def test_execute_arg_literal_parsing():
     assert _parse_args("5::smallint, 'x''y'") == [5, "x'y"]
     assert _parse_args(None) == []
     assert _parse_args("-3") == [-3]
+
+
+def test_cursor_fetch_move_close(eng):
+    eng.sql(
+        "DECLARE tc CURSOR FOR"
+        " SELECT id FROM range(10) ORDER BY id"
+    )
+    assert [r.id for r in eng.sql("FETCH 3 FROM tc").collect()] == [0, 1, 2]
+    # MOVE skips without returning rows (portalcmds.cpp fetch with
+    # dest=None)
+    eng.sql("MOVE 2 FROM tc")
+    assert [r.id for r in eng.sql("FETCH 3 FROM tc").collect()] == [5, 6, 7]
+    # FETCH NEXT (no count) = 1 row
+    assert [r.id for r in eng.sql("FETCH FROM tc").collect()] == [8]
+    # exhaustion returns empty, not an error
+    eng.sql("FETCH 5 FROM tc")
+    assert eng.sql("FETCH 5 FROM tc").collect() == []
+    eng.sql("CLOSE tc")
+    with pytest.raises(KeyError):
+        eng.cursors.fetch("tc", 1)
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("DECLARE tc2 CURSOR FOR SELECT 1 AS x")
+        eng.sql("DECLARE tc2 CURSOR FOR SELECT 2 AS x")
+    eng.cursors.close("tc2")
+
+
+def test_explain_returns_plan(eng):
+    rows = eng.sql(
+        "EXPLAIN SELECT o_orderstatus, COUNT(*) AS n FROM orders"
+        " GROUP BY o_orderstatus"
+    ).collect()
+    text = "\n".join(r[0] for r in rows)
+    assert "HashAggregate" in text
+    assert "Scan parquet" in text or "Scan Parquet" in text
+    # EXPLAIN ANALYZE executes then renders
+    rows = eng.sql("EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM nation").collect()
+    assert any("Aggregate" in r[0] for r in rows)
