@@ -55,6 +55,9 @@ class Engine:
         self.prepared = PreparedStatements(spark)
         # portals (commands/portalcmds.cpp) + EXPLAIN (explain.cpp)
         self.cursors = CursorRegistry(spark)
+        # ANALYZE results (commands/analyze.cpp → pg_statistic):
+        # table → {column → stats row dict}
+        self.statistics: dict[str, dict[str, dict]] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -150,6 +153,11 @@ class Engine:
         if handled is not None:
             return handled
         handled = _portal_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.stats import try_handle_stmt as _analyze_stmt
+
+        handled = _analyze_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)
@@ -331,6 +339,20 @@ class Engine:
         )
         self.ann.register(table_name, vec_col, idx)
         return idx
+
+    def suggest_broadcast(
+        self, table_name: str, max_rows: int = 1_000_000
+    ) -> bool:
+        """Planner consumer of ANALYZE statistics (the selectivity-
+        reader analogue): True when the analyzed row count says the
+        table is safely below a broadcast threshold. Raises if the
+        table was never ANALYZEd — estimates without statistics are
+        the failure mode ANALYZE exists to prevent."""
+        stats = self.statistics.get(table_name.lower())
+        if not stats:
+            raise KeyError(f"no statistics for {table_name!r}; run ANALYZE")
+        n_rows = next(iter(stats.values()))["n_rows"]
+        return n_rows <= max_rows
 
     # -------------------------------------------------- pipeline verbs
 

@@ -1,0 +1,199 @@
+"""ANALYZE — table/column statistics (the pg_statistic surface).
+
+Reference: `optimizer/commands/analyze.cpp` (8,506 LoC) — samples the
+relation (default_statistics_target × 300 rows), runs
+`std_typanalyze`-driven per-column computation (:2184), and stores
+stanullfrac / stawidth / stadistinct / MCV arrays / histogram bounds
+into pg_statistic (:4416-4418). The planner's selectivity estimates
+read these.
+
+Spark-first shape:
+
+* One aggregation pass per analyzed column computes n_rows, null_frac,
+  n_distinct, min/max; the MCV is a groupBy(count) top-1 with a
+  value tie-break. Each column's aggregate is a tiny partial/final
+  pass; columns union into one per-column-row frame (pg_stats shape).
+* Scale: ANALYZE's own answer is SAMPLING — `analyze_table(...,
+  sample_rows=N)` bounds the scan with the same deterministic
+  hash-order draw the engine's other samplers use, and
+  `exact_distinct=False` swaps countDistinct for HyperLogLog
+  approx_count_distinct (the 100 TB default; the reference's
+  stadistinct is itself an estimate). The gate runs full-scan/exact so
+  DuckDB can oracle it bit-for-bit.
+* Engine.sql accepts ``ANALYZE <table>`` / ``ANALYZE <table> (cols)``;
+  results cache on the engine (`Engine.statistics`) — the planner-
+  facing consumer is `Engine.suggest_broadcast`, which reads n_rows to
+  decide whether a dimension is safely below the broadcast threshold
+  (the selectivity-consumer analogue).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATS_SCHEMA = (
+    "col_name STRING, n_rows BIGINT, null_frac DOUBLE, n_distinct BIGINT,"
+    " mcv_val STRING, mcv_freq DOUBLE, min_val STRING, max_val STRING"
+)
+
+
+def analyze_column(
+    df: DataFrame, col: str, exact_distinct: bool = True
+) -> DataFrame:
+    """One pg_stats row for `col`: n_rows, null_frac (stanullfrac),
+    n_distinct (stadistinct), top-1 MCV + frequency, min/max (the
+    2-bound histogram degenerate). Values render as strings so rows
+    for heterogeneous column types union into one frame."""
+    c = F.col(col)
+    ndv = (
+        F.count_distinct(c) if exact_distinct else F.approx_count_distinct(c)
+    )
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(c).alias("n_nonnull"),
+        ndv.cast("bigint").alias("n_distinct"),
+        F.min(c).cast("string").alias("min_val"),
+        F.max(c).cast("string").alias("max_val"),
+    )
+    mcv = (
+        df.filter(c.isNotNull())
+        .groupBy(c.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("v").cast("string"))
+        .limit(1)
+        .select(F.col("v").cast("string").alias("mcv_val"), "cnt")
+    )
+    return base.crossJoin(mcv).select(
+        F.lit(col).alias("col_name"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows"), 6
+        ).alias("null_frac"),
+        "n_distinct",
+        "mcv_val",
+        F.round(F.col("cnt") / F.col("n_nonnull"), 6).alias("mcv_freq"),
+        "min_val",
+        "max_val",
+    )
+
+
+def analyze_table(
+    df: DataFrame,
+    columns: list[str],
+    sample_rows: int | None = None,
+    id_col: str | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """pg_stats frame for `columns`. With sample_rows set, statistics
+    come from a deterministic hash-order sample (analyze.cpp's
+    bounded-sample protocol — stats are estimates by design there
+    too); the caller-visible schema is identical either way."""
+    if sample_rows is not None:
+        key = id_col or df.columns[0]
+        df = (
+            df.orderBy(F.md5(F.col(key).cast("string")))
+            .limit(sample_rows)
+        )
+    out = None
+    for col in columns:
+        part = analyze_column(df, col, exact_distinct=exact_distinct)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def histogram_bounds(df: DataFrame, col: str, buckets: int = 10) -> list:
+    """Equi-depth histogram bounds (pg_statistic's stavalues for
+    STATISTIC_KIND_HISTOGRAM): exact percentiles at k/buckets."""
+    fracs = [i / buckets for i in range(buckets + 1)]
+    row = df.agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(str(f) for f in fracs)}))"
+        ).alias("b")
+    ).collect()[0]
+    return list(row.b)
+
+
+# ------------------------------------------------------------------ DDL
+
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+(?:VERBOSE\s+)?(?P<table>\w+)\s*"
+    r"(?:\(\s*(?P<cols>[\w\s,]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    m = _ANALYZE.match(query)
+    if m is None:
+        return None
+    name = m.group("table").lower()
+    df = engine.table(name)
+    cols = (
+        [c.strip() for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else df.columns
+    )
+    stats = analyze_table(df, cols)
+    rows = stats.collect()
+    engine.statistics[name] = {r.col_name: r.asDict() for r in rows}
+    return engine.spark.createDataFrame(rows, _STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------- queries
+
+from ..catalog import table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+def _col_stats_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND((COUNT(*) - COUNT({col})) * 1.0 / COUNT(*), 6)
+             AS null_frac,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           (SELECT CAST(v AS VARCHAR) FROM (
+              SELECT {col} AS v, COUNT(*) AS cnt FROM orders
+              WHERE {col} IS NOT NULL GROUP BY {col}
+              ORDER BY cnt DESC, CAST({col} AS VARCHAR) LIMIT 1))
+             AS mcv_val,
+           (SELECT ROUND(cnt * 1.0 / (SELECT COUNT({col}) FROM orders), 6)
+            FROM (
+              SELECT COUNT(*) AS cnt FROM orders
+              WHERE {col} IS NOT NULL GROUP BY {col}
+              ORDER BY cnt DESC, CAST({col} AS VARCHAR) LIMIT 1))
+             AS mcv_freq,
+           CAST(MIN({col}) AS VARCHAR) AS min_val,
+           CAST(MAX({col}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+
+
+_ANALYZE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+@query(
+    "analyze_table_stats",
+    " UNION ALL ".join(_col_stats_sql(c) for c in _ANALYZE_COLS)
+    + " ORDER BY col_name",
+)
+def analyze_table_stats(spark, sf_dir):
+    """ANALYZE end-to-end (analyze.cpp :2184 std_typanalyze →
+    pg_statistic :4416): per-column n_rows / stanullfrac / stadistinct
+    / top-1 MCV + frequency / min-max over three orders columns, via
+    the Engine's ``ANALYZE orders (cols)`` statement. The oracle
+    recomputes every statistic independently in SQL — a hash match
+    proves the whole stats pipeline (including the MCV count-then-value
+    tie-break that makes the top-1 deterministic). Exercised at full
+    scan + exact NDV so the comparison is exact; the sampled/approx
+    operating point for 100 TB is the same code path
+    (test_analyze_sampling)."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    out = eng.sql("ANALYZE orders (o_orderstatus, o_orderpriority, o_custkey)")
+    assert "orders" in eng.statistics  # cached for the planner consumer
+    return out.orderBy("col_name")

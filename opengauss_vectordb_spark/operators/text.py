@@ -1123,3 +1123,124 @@ def fts_ts_stat(spark, sf_dir):
         .orderBy(F.desc("nentry"), "word")
         .limit(20)
     )
+
+
+# --- unigram language-model scoring (perplexity filter) --------------------
+
+
+def unigram_logprob_scores(
+    docs, text_col: str = "text", id_col: str = "doc_id",
+    vocab_cap: int | None = None, oov_floor: float = 1e-9,
+):
+    """Per-document average negative log-probability under a unigram
+    LM trained on the corpus itself — the relational core of the
+    CCNet/KenLM-style perplexity filter every pretraining pipeline
+    runs (docs whose token distribution diverges from the corpus score
+    high and get cut).
+
+    Scale shape: one tf pass groupBy(doc, token) collapses repeats
+    map-side; the vocabulary aggregate reduces it to vocab size and is
+    BROADCAST back into the scoring join (with vocab_cap, a bounded
+    top-V heap keeps the broadcast small at 100 TB and out-of-vocab
+    tokens take the oov_floor probability); scoring is one partial/
+    final aggregate on doc_id over already-collapsed (doc, token)
+    rows. Nothing corpus-sized is collected or shuffled twice.
+
+    Determinism: per-token log-probs are rounded to 9 dp and carried
+    as DECIMAL(18,9), so the per-doc sum is exact/associative — the
+    cross-engine (and cross-cluster shuffle-order) reproducibility
+    convention (registry.py docstring)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ts_lexemes(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    vocab = tf.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    if vocab_cap is not None:
+        vocab = vocab.orderBy(F.desc("c"), "tok").limit(vocab_cap)
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    lp = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(F.log(F.col("c") / F.col("n_total")), 9)
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    floor = F.lit(round(math.log(oov_floor), 9)).cast("decimal(18,9)")
+    scored = (
+        tf.join(F.broadcast(lp), "tok", "left")
+        .select(
+            "doc_id",
+            "cnt",
+            F.coalesce(F.col("lp"), floor).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("sum_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            -(F.col("sum_lp").cast("double")) / F.col("n_tokens"), 6
+        ).alias("avg_nll"),
+    )
+
+
+@query(
+    "text_unigram_logprob_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                                     ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok, SUM(cnt) AS c FROM tf GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM vocab
+    ), lp AS (
+      SELECT tok, CAST(ROUND(ln(c / n_total), 9) AS DECIMAL(18,9)) AS lp
+      FROM vocab CROSS JOIN total
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             SUM(cnt * lp) AS sum_lp
+      FROM tf JOIN lp ON tf.tok = lp.tok
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(-CAST(sum_lp AS DOUBLE) / n_tokens, 6) AS avg_nll,
+           ROUND(-CAST(sum_lp AS DOUBLE) / n_tokens, 6) <= 3.6 AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob_filter(spark, sf_dir):
+    """Unigram-LM perplexity filter over the documents corpus (see
+    unigram_logprob_scores): every doc scored by average negative
+    log-probability of its tokens under the corpus unigram
+    distribution, kept when below the threshold. The oracle rebuilds
+    the LM and the scores independently in SQL — a hash match proves
+    tf, vocabulary, log-prob quantization, and the per-doc exact-
+    decimal aggregation all agree. Self-trained (no cap) so the gate
+    is closed-form; the capped+OOV operating point is the same code
+    path (vocab_cap/oov_floor)."""
+    d = table(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(d)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        (F.col("avg_nll") <= 3.6).alias("keep"),
+    ).orderBy("doc_id")

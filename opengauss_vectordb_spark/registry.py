@@ -59,6 +59,7 @@ def load_all_queries() -> None:
         relational,
         setops_windows,
         skew,
+        stats,
         text,
     )
     from .functions import udtf  # noqa: F401

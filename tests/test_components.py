@@ -1076,3 +1076,32 @@ def test_ivf_rejects_over_cap_dimension(spark):
     )
     with _pt.raises(ValueError, match="dimension cap"):
         IvfIndex.build(wide, "v", "/tmp/ivf_dim_cap_test", lists=2)
+
+
+def test_unigram_logprob_capped_oov(spark):
+    """The 100 TB operating point of the perplexity filter: a capped
+    vocabulary broadcasts bounded state and OOV tokens take the floor
+    probability — scores stay finite and rank rare-token docs worse."""
+    from opengauss_vectordb_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common"),
+            (1, "common common rare1 rare2"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in unigram_logprob_scores(docs, vocab_cap=1).collect()
+    }
+    # doc 0 is pure in-vocab; doc 1 carries two OOV tokens at the floor
+    assert got[0].avg_nll < got[1].avg_nll
+    assert all(r.n_tokens == 4 for r in got.values())
+    # uncapped self-scoring reproduces the corpus distribution exactly
+    full = {
+        r.doc_id: r.avg_nll for r in unigram_logprob_scores(docs).collect()
+    }
+    assert full[0] < full[1]

@@ -175,3 +175,29 @@ def test_explain_returns_plan(eng):
     # EXPLAIN ANALYZE executes then renders
     rows = eng.sql("EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM nation").collect()
     assert any("Aggregate" in r[0] for r in rows)
+
+
+def test_analyze_sampling_and_consumer(eng):
+    from opengauss_vectordb_spark.operators.stats import (
+        analyze_table,
+        histogram_bounds,
+    )
+
+    o = eng.table("orders")
+    # sampled + approx-NDV operating point (the 100 TB default):
+    # same schema, stats within sane envelopes of the exact full scan
+    sampled = analyze_table(
+        o, ["o_orderstatus"], sample_rows=200, id_col="o_orderkey",
+        exact_distinct=False,
+    ).collect()
+    assert [r.col_name for r in sampled] == ["o_orderstatus"]
+    assert sampled[0].n_rows == 200
+    assert 1 <= sampled[0].n_distinct <= 5
+    # ANALYZE through the SQL entry caches for the planner consumer
+    eng.sql("ANALYZE nation (n_regionkey)")
+    assert eng.suggest_broadcast("nation") is True
+    with pytest.raises(KeyError, match="ANALYZE"):
+        eng.suggest_broadcast("lineitem")
+    # equi-depth histogram bounds are sorted and span min..max
+    b = histogram_bounds(o, "o_totalprice", buckets=4)
+    assert len(b) == 5 and b == sorted(b)
