@@ -49,7 +49,8 @@ registry.load_all_queries()
 #   source_mix_rebalance, window_filter_clause,
 #   matview_refresh_select, matview_incremental_refresh,
 #   prepared_param_topn, fts_ts_stat, agg_regression2, array_funcs2,
-#   cursor_fetch_pages, analyze_table_stats, text_unigram_logprob_filter
+#   cursor_fetch_pages, analyze_table_stats, text_unigram_logprob_filter,
+#   ctas_insert_select
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

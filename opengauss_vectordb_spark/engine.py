@@ -58,6 +58,12 @@ class Engine:
         # ANALYZE results (commands/analyze.cpp → pg_statistic):
         # table → {column → stats row dict}
         self.statistics: dict[str, dict[str, dict]] = {}
+        # managed tables (commands/createas.cpp CTAS + INSERT sink)
+        from .operators.ddl_tables import TableManager
+
+        self.managed_tables = TableManager(
+            spark, os.path.join(self._warehouse_dir(), "_tables")
+        )
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -158,6 +164,11 @@ class Engine:
         from .operators.stats import try_handle_stmt as _analyze_stmt
 
         handled = _analyze_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.ddl_tables import try_handle_stmt as _tables_stmt
+
+        handled = _tables_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

@@ -1,0 +1,238 @@
+"""Managed tables and views — CREATE TABLE AS / INSERT INTO /
+DROP TABLE / CREATE [OR REPLACE] VIEW / DROP VIEW through Engine.sql.
+
+Reference: `optimizer/commands/createas.cpp` (557 LoC) —
+`ExecCreateTableAs` (:124) materializes a query into a new relation;
+`optimizer/commands/view.cpp` (846 LoC) — `DefineView` (:611) stores
+the view as a rewrite rule (views re-execute their definition; matviews
+snapshot it — we keep the same split); INSERT is the `ModifyTable` sink
+(`executor/nodeModifyTable.cpp`, already covered for MERGE/UPSERT by
+operators/merge.py).
+
+Spark-first shape:
+
+* CREATE TABLE AS writes the query result as parquet under the
+  engine warehouse and registers the name — one distributed write, no
+  driver materialization. INSERT INTO appends files (O(|delta|), the
+  append-only analogue of heap extension), casting the source by
+  POSITION to the table's declared schema (PG INSERT column-position
+  semantics), then repoints the registered view so readers see the new
+  snapshot.
+* CREATE VIEW registers the TRANSLATED definition as a temp view —
+  live semantics: each query re-executes the definition against the
+  current base state, exactly DefineView's rewrite-rule behavior (and
+  the matview tests pin the snapshot/live distinction from the other
+  side).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class TableManager:
+    """Managed-table catalog: name → (storage root, version)."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        self.tables: dict[str, dict] = {}
+
+    def create_as(self, name: str, df: DataFrame) -> int:
+        name = name.lower()
+        if name in self.tables:
+            raise ValueError(f"table {name!r} already exists")
+        self.tables[name] = {"version": 0}
+        self._write(name, df, mode="overwrite")
+        return self.spark.read.parquet(self._path(name)).count()
+
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        name = name.lower()
+        if name not in self.tables:
+            raise KeyError(f"managed table {name!r} does not exist")
+        target = self.spark.read.parquet(self._path(name))
+        if len(df.columns) != len(target.columns):
+            raise ValueError(
+                f"INSERT has {len(df.columns)} columns,"
+                f" table {name!r} has {len(target.columns)}"
+            )
+        # position-based cast to the declared schema (PG INSERT rule)
+        aligned = df.select(
+            *[
+                F.col(src).cast(field.dataType).alias(field.name)
+                for src, field in zip(df.columns, target.schema.fields)
+            ]
+        )
+        self._write(name, aligned, mode="append")
+
+    def drop(self, name: str) -> bool:
+        meta = self.tables.pop(name.lower(), None)
+        if meta is None:
+            return False
+        self.spark.catalog.dropTempView(name.lower())
+        return True
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name, "data")
+
+    def _write(self, name: str, df: DataFrame, mode: str) -> None:
+        df.write.mode(mode).parquet(self._path(name))
+        self.tables[name]["version"] += 1
+        self.spark.read.parquet(self._path(name)).createOrReplaceTempView(
+            name
+        )
+
+
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+"
+    r"(?P<stmt>(?:SELECT|WITH|VALUES|TABLE)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+"
+    r"AS\s+(?P<stmt>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    m = _CTAS.match(query)
+    if m:
+        n = engine.managed_tables.create_as(
+            m.group("name"), engine.sql(m.group("stmt"))
+        )
+        return engine.spark.createDataFrame(
+            [("CREATE TABLE AS", m.group("name").lower(), n)],
+            "tag STRING, tbl STRING, rows BIGINT",
+        )
+    m = _INSERT.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        engine.managed_tables.insert_into(
+            m.group("name"), engine.sql(m.group("stmt"))
+        )
+        return engine.spark.createDataFrame(
+            [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"
+        )
+    m = _DROP_TABLE.match(query)
+    if m and (
+        m.group("name").lower() in engine.managed_tables.tables
+        or "IF EXISTS" in query.upper()
+    ):
+        existed = engine.managed_tables.drop(m.group("name"))
+        return engine.spark.createDataFrame(
+            [("DROP TABLE", m.group("name").lower(), existed)],
+            "tag STRING, tbl STRING, existed BOOLEAN",
+        )
+    m = _CREATE_VIEW.match(query)
+    if m:
+        from ..functions.sql_compat import translate
+
+        name = m.group("name").lower()
+        if m.group("replace") is None and engine.spark.catalog.tableExists(
+            name
+        ):
+            raise ValueError(f"view {name!r} already exists")
+        # Spark's own temp-view DDL stores the view TEXT and re-resolves
+        # names per query — live semantics (DefineView's rewrite rule);
+        # createOrReplaceTempView(df) would freeze the resolved plan
+        engine.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+            + translate(m.group("stmt"))
+        )
+        return engine.spark.createDataFrame(
+            [("CREATE VIEW", name)], "tag STRING, view STRING"
+        )
+    m = _DROP_VIEW.match(query)
+    if m:
+        name = m.group("name").lower()
+        existed = engine.spark.catalog.dropTempView(name)
+        return engine.spark.createDataFrame(
+            [("DROP VIEW", name, bool(existed))],
+            "tag STRING, view STRING, existed BOOLEAN",
+        )
+    return None
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "ctas_insert_select",
+    """
+    WITH managed AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_totalprice > 400000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_totalprice <= 400000 AND o_orderkey <= 200
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DECIMAL(28,2)) AS total
+    FROM managed GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def ctas_insert_select(spark, sf_dir):
+    """CREATE TABLE AS + INSERT INTO ... SELECT end-to-end
+    (createas.cpp ExecCreateTableAs :124 + the ModifyTable INSERT
+    sink): materialize a selection as a managed table, append a second
+    selection through the position-cast INSERT path, aggregate the
+    managed table. The oracle aggregates the UNION of both selections
+    directly — a hash match proves the write, the append (no lost or
+    duplicated files), and the snapshot repoint. DECIMAL sums keep the
+    two paths bit-identical."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ctas_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE hot_orders AS"
+            " SELECT o_orderkey, o_orderstatus,"
+            " CAST(o_totalprice AS DECIMAL(18,2)) AS price"
+            " FROM orders WHERE o_totalprice > 400000"
+        )
+        eng.sql(
+            "INSERT INTO hot_orders"
+            " SELECT o_orderkey, o_orderstatus,"
+            " CAST(o_totalprice AS DECIMAL(18,2)) AS price"
+            " FROM orders WHERE o_totalprice <= 400000"
+            " AND o_orderkey <= 200"
+        )
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(price) AS DECIMAL(28,2)) AS total"
+            " FROM hot_orders GROUP BY o_orderstatus"
+            " ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE hot_orders")
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n BIGINT, total DECIMAL(28,2)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

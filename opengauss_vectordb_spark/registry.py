@@ -47,6 +47,7 @@ def load_all_queries() -> None:
     """Import every operator module so its @query decorators run."""
     from .operators import (  # noqa: F401
         db4ai,
+        ddl_tables,
         dedup,
         functions_ext,
         matview,

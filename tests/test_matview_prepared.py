@@ -201,3 +201,37 @@ def test_analyze_sampling_and_consumer(eng):
     # equi-depth histogram bounds are sorted and span min..max
     b = histogram_bounds(o, "o_totalprice", buckets=4)
     assert len(b) == 5 and b == sorted(b)
+
+
+def test_ctas_view_ddl_contract(eng):
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ddl_test_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql("CREATE TABLE mt1 AS SELECT id, id * 2 AS v FROM range(5)")
+        assert eng.sql("SELECT COUNT(*) AS c FROM mt1").collect()[0].c == 5
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE TABLE mt1 AS SELECT 1 AS x")
+        # INSERT VALUES casts by position to the declared schema
+        eng.sql("INSERT INTO mt1 VALUES (100, 0), (101, 1)")
+        assert eng.sql("SELECT COUNT(*) AS c FROM mt1").collect()[0].c == 7
+        with pytest.raises(ValueError, match="columns"):
+            eng.sql("INSERT INTO mt1 VALUES (1, 2, 3)")
+        # plain views are LIVE (DefineView rewrite-rule semantics):
+        # they see managed-table appends without any refresh
+        eng.sql("CREATE VIEW vt1 AS SELECT COUNT(*) AS c FROM mt1")
+        assert eng.sql("SELECT c FROM vt1").collect()[0].c == 7
+        eng.sql("INSERT INTO mt1 VALUES (102, 2)")
+        assert eng.sql("SELECT c FROM vt1").collect()[0].c == 8
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE VIEW vt1 AS SELECT 1 AS c")
+        eng.sql("CREATE OR REPLACE VIEW vt1 AS SELECT 42 AS c")
+        assert eng.sql("SELECT c FROM vt1").collect()[0].c == 42
+        assert eng.sql("DROP VIEW vt1").collect()[0].existed is True
+        assert eng.sql("DROP TABLE mt1").collect()[0].existed is True
+        row = eng.sql("DROP TABLE IF EXISTS mt1").collect()[0]
+        assert row.existed is False
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
