@@ -59,11 +59,13 @@ class Engine:
         # table → {column → stats row dict}
         self.statistics: dict[str, dict[str, dict]] = {}
         # managed tables (commands/createas.cpp CTAS + INSERT sink)
-        from .operators.ddl_tables import TableManager
+        # + sequences (commands/sequence/sequence.cpp)
+        from .operators.ddl_tables import SequenceRegistry, TableManager
 
         self.managed_tables = TableManager(
             spark, os.path.join(self._warehouse_dir(), "_tables")
         )
+        self.sequences = SequenceRegistry()
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -166,9 +168,13 @@ class Engine:
         handled = _analyze_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.ddl_tables import try_handle_sequence as _seq_stmt
         from .operators.ddl_tables import try_handle_stmt as _tables_stmt
 
         handled = _tables_stmt(self, query)
+        if handled is not None:
+            return handled
+        handled = _seq_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

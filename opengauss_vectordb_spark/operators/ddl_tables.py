@@ -236,3 +236,127 @@ def ctas_insert_select(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- sequences -------------------------------------------------------------
+# Reference: commands/sequence/sequence.cpp (3,083 LoC) — DefineSequence
+# (:807), nextval_internal (:1434), currval_oid (:1510), do_setval
+# (:1720). A sequence is session/driver state here (the reference's is
+# a one-row relation); nextval is inherently serial, so the DISTRIBUTED
+# way to number rows is row_number()/monotonically_increasing_id — the
+# sequence surface exists for DDL/protocol parity (DEFAULT nextval
+# ingest ids, script compatibility), not for bulk assignment, and the
+# docstrings say so.
+
+
+class SequenceRegistry:
+    def __init__(self):
+        self.seqs: dict[str, dict] = {}
+
+    def create(self, name: str, start: int = 1, increment: int = 1,
+               minvalue: int | None = None, maxvalue: int | None = None,
+               cycle: bool = False) -> None:
+        name = name.lower()
+        if name in self.seqs:
+            raise ValueError(f"sequence {name!r} already exists")
+        if increment == 0:
+            raise ValueError("INCREMENT must not be zero")
+        self.seqs[name] = {
+            "value": None, "start": start, "increment": increment,
+            "min": minvalue if minvalue is not None
+            else (start if increment > 0 else None),
+            "max": maxvalue, "cycle": cycle,
+        }
+
+    def nextval(self, name: str) -> int:
+        s = self._get(name)
+        if s["value"] is None:
+            s["value"] = s["start"]
+            return s["value"]
+        nxt = s["value"] + s["increment"]
+        if s["max"] is not None and nxt > s["max"]:
+            if not s["cycle"]:
+                raise ValueError(f"nextval: reached maximum value of {name!r}")
+            nxt = s["min"] if s["min"] is not None else s["start"]
+        if s["min"] is not None and nxt < s["min"] and s["increment"] < 0:
+            if not s["cycle"]:
+                raise ValueError(f"nextval: reached minimum value of {name!r}")
+            nxt = s["max"]
+        s["value"] = nxt
+        return nxt
+
+    def currval(self, name: str) -> int:
+        s = self._get(name)
+        if s["value"] is None:
+            raise ValueError(
+                f"currval of sequence {name!r} is not yet defined"
+            )
+        return s["value"]
+
+    def setval(self, name: str, value: int) -> int:
+        self._get(name)["value"] = value
+        return value
+
+    def drop(self, name: str) -> bool:
+        return self.seqs.pop(name.lower(), None) is not None
+
+    def _get(self, name: str) -> dict:
+        s = self.seqs.get(name.lower())
+        if s is None:
+            raise KeyError(f"sequence {name!r} does not exist")
+        return s
+
+
+_CREATE_SEQ = re.compile(
+    r"^\s*CREATE\s+SEQUENCE\s+(?P<name>\w+)"
+    r"(?:\s+START(?:\s+WITH)?\s+(?P<start>-?\d+))?"
+    r"(?:\s+INCREMENT(?:\s+BY)?\s+(?P<inc>-?\d+))?"
+    r"(?:\s+MAXVALUE\s+(?P<max>-?\d+))?"
+    r"(?:\s+(?P<cycle>CYCLE))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SEQ = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SEQ_FN = re.compile(
+    r"^\s*SELECT\s+(?P<fn>nextval|currval|setval)\s*\(\s*'(?P<name>\w+)'"
+    r"\s*(?:,\s*(?P<val>-?\d+)\s*)?\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def try_handle_sequence(engine, query: str) -> DataFrame | None:
+    m = _CREATE_SEQ.match(query)
+    if m:
+        engine.sequences.create(
+            m.group("name"),
+            start=int(m.group("start") or 1),
+            increment=int(m.group("inc") or 1),
+            maxvalue=int(m.group("max")) if m.group("max") else None,
+            cycle=m.group("cycle") is not None,
+        )
+        return engine.spark.createDataFrame(
+            [("CREATE SEQUENCE", m.group("name").lower())],
+            "tag STRING, sequence STRING",
+        )
+    m = _DROP_SEQ.match(query)
+    if m and m.group("name").lower() in engine.sequences.seqs:
+        engine.sequences.drop(m.group("name"))
+        return engine.spark.createDataFrame(
+            [("DROP SEQUENCE", m.group("name").lower())],
+            "tag STRING, sequence STRING",
+        )
+    m = _SEQ_FN.match(query)
+    if m and m.group("name").lower() in engine.sequences.seqs:
+        fn = m.group("fn").lower()
+        if fn == "nextval":
+            v = engine.sequences.nextval(m.group("name"))
+        elif fn == "currval":
+            v = engine.sequences.currval(m.group("name"))
+        else:
+            v = engine.sequences.setval(
+                m.group("name"), int(m.group("val"))
+            )
+        return engine.spark.createDataFrame([(v,)], f"{fn} BIGINT")
+    return None

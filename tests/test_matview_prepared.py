@@ -235,3 +235,30 @@ def test_ctas_view_ddl_contract(eng):
         assert row.existed is False
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sequences(eng):
+    eng.sql("CREATE SEQUENCE s1")
+    assert [eng.sql("SELECT nextval('s1')").collect()[0][0]
+            for _ in range(3)] == [1, 2, 3]
+    assert eng.sql("SELECT currval('s1')").collect()[0][0] == 3
+    eng.sql("SELECT setval('s1', 41)")
+    assert eng.sql("SELECT nextval('s1')").collect()[0][0] == 42
+    # bounded + CYCLE (sequence.cpp nextval_internal wrap)
+    eng.sql("CREATE SEQUENCE s2 START 1 INCREMENT 1 MAXVALUE 2 CYCLE")
+    vals = [eng.sql("SELECT nextval('s2')").collect()[0][0]
+            for _ in range(4)]
+    assert vals == [1, 2, 1, 2]
+    eng.sql("CREATE SEQUENCE s3 MAXVALUE 1")
+    eng.sql("SELECT nextval('s3')")
+    with pytest.raises(ValueError, match="maximum"):
+        eng.sequences.nextval("s3")
+    with pytest.raises(ValueError, match="not yet defined"):
+        eng.sequences.currval("s_fresh") if eng.sql(
+            "CREATE SEQUENCE s_fresh"
+        ) is not None else None
+    eng.sql("DROP SEQUENCE s1")
+    with pytest.raises(KeyError):
+        eng.sequences.nextval("s1")
+    for s in ("s2", "s3", "s_fresh"):
+        eng.sequences.drop(s)
