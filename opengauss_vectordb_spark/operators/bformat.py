@@ -1,0 +1,123 @@
+"""B-format (MySQL-compatibility) function tranche.
+
+openGauss ships a B_FORMAT compatibility mode alongside the Oracle
+A_FORMAT one (``DB_IS_CMPT(B_FORMAT)`` gates all over
+``src/common/backend/parser/gram.y``).  The pieces exercised here are
+the ones with real kernel implementations in the reference:
+
+  * ``group_concat(DISTINCT x ORDER BY y SEPARATOR s)`` — grammar
+    rewrites the separator into the arg list (``gram.y:27716-27733``),
+    aggregate kernel ``utils/adt/varlena.cpp:6387-6428``
+    (``group_concat_transfn``/``group_concat_finalfn``), catalog entry
+    ``builtin_funcs.ini:3579``.
+  * ``find_in_set(str, strlist)`` — ``utils/adt/set.cpp:1056``
+    (``findinset``), catalog ``builtin_funcs.ini:2682``.
+  * Oracle/MySQL ``instr(str, sub, pos, nth)`` 3- and 4-arg forms —
+    ``utils/adt/varlena.cpp:7132-7188`` (``text_instr_3args`` /
+    ``text_instr_4args``), catalog ``builtin_funcs.ini:4863-4866``.
+
+Spark-first mapping: ``find_in_set`` is a Spark builtin; nth-occurrence
+``instr`` is a higher-order ``filter(sequence(...))`` over candidate
+positions (JVM-side, codegen'd — no Python UDF); ``group_concat`` is
+``array_join`` over a sorted ``collect_set``/``collect_list`` (the
+ORDER BY inside the aggregate becomes an explicit ``array_sort``, which
+is also what makes the result deterministic under shuffle order — the
+reference relies on the sort for the same reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+def _instr_nth(col: str, sub: str, pos: int, nth: int) -> F.Column:
+    """Oracle ``instr(str, sub, pos, nth)`` for positive ``pos``:
+    1-based position of the ``nth`` occurrence at-or-after ``pos``,
+    0 when absent (varlena.cpp:7141 semantics).  Candidate positions
+    are enumerated JVM-side with ``sequence``+``filter``; a substring
+    probe past the end yields a short string that never equals ``sub``,
+    so no bounds guard is needed."""
+    return F.expr(
+        f"coalesce(get(filter(sequence(1, length({col})),"
+        f" i -> i >= {pos} AND substring({col}, i, {len(sub)}) = '{sub}'),"
+        f" {nth - 1}), 0)"
+    ).cast("int")
+
+
+@query(
+    "bformat_string_funcs",
+    """
+    SELECT p_partkey,
+           CAST(coalesce(list_position(string_split(
+                    replace(p_type, ' ', ','), ','), 'BRASS'), 0)
+                AS INT) AS brass_slot,
+           CAST(coalesce(
+                    (list_filter(range(1, length(p_name) + 1),
+                        i -> i >= 3
+                         AND substr(p_name, CAST(i AS INT), 1) = 'o'))[2],
+                    0) AS INT) AS o2_at,
+           CAST(coalesce(
+                    (list_filter(range(1, length(p_type) + 1),
+                        i -> i >= 1
+                         AND substr(p_type, CAST(i AS INT), 2) = 'ED'))[1],
+                    0) AS INT) AS ed1_at
+    FROM part WHERE p_partkey <= 60 ORDER BY p_partkey
+    """,
+)
+def bformat_string_funcs(spark, sf_dir):
+    """B-format scalar tranche: find_in_set over a comma list derived
+    from p_type's words, plus 4-arg instr (2nd 'o' at-or-after position 3
+    in p_name) and 3-arg instr (first 'ED' in p_type — nth=1 is exactly
+    the 3-arg form, varlena.cpp:7137)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    return p.select(
+        "p_partkey",
+        F.expr("find_in_set('BRASS', replace(p_type, ' ', ','))")
+        .cast("int")
+        .alias("brass_slot"),
+        _instr_nth("p_name", "o", 3, 2).alias("o2_at"),
+        _instr_nth("p_type", "ED", 1, 1).alias("ed1_at"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "bformat_group_concat",
+    """
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+               AS segments,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey <= 120
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def bformat_group_concat(spark, sf_dir):
+    """``group_concat`` both ways the reference's grammar accepts
+    (gram.y:27716-27733): DISTINCT with ORDER BY and a custom
+    SEPARATOR, and plain with ORDER BY on another key.  The ordered
+    non-distinct form collects (order-key, value) structs and sorts
+    before joining — struct sort order is the order-key prefix, so the
+    result is shuffle-order independent, which is what lets this run
+    identically on 1 or 1000 executors."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 120)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), "|"
+            ).alias("segments"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(c_custkey, c_name))), s -> s.c_name)"
+                ),
+                ",",
+            ).alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )

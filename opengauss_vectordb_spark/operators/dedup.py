@@ -624,3 +624,85 @@ def dedup_incremental_minhash(spark, sf_dir):
         .agg(F.min("other_id").alias("dup_of"))
         .orderBy("new_id")
     )
+
+
+SPAN_K = 8  # tokens per exact span — the Lee-et-al-style repeated-span unit
+
+
+@query(
+    "dedup_repeated_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             md5(list_aggregate(w[p : p + {SPAN_K} - 1], 'string_agg', ' '))
+                 AS h
+      FROM toks, unnest(range(1, len(w) - {SPAN_K} + 2)) AS t(p)
+      WHERE len(w) >= {SPAN_K}
+    ), stats AS (
+      SELECT h, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY h
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_grams,
+           ROUND(CAST(sum(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dup_coverage
+    FROM grams g JOIN stats s USING (h)
+    GROUP BY g.doc_id
+    HAVING dup_coverage >= 0.2
+    ORDER BY dup_coverage DESC, g.doc_id
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Exact repeated-span coverage — the substring-dedup signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., ACL 2022), the published scale-out alternative to their suffix
+    array: a doc's fraction of K-token windows that also appear verbatim
+    in some other document. Documents above a coverage threshold are the
+    cross-doc boilerplate / template candidates the exact and MinHash
+    paths (dedup_exact / dedup_minhash_lsh) both miss, because the
+    duplication is span-level, not document-level.
+
+    Scale shape: window gram-strings are hashed to md5 map-side and the
+    text is dropped IMMEDIATELY — every shuffle moves (doc_id, 32-char
+    hash) pairs, never token windows. One groupBy(h) builds the
+    document-frequency side, one co-partitioned equi-join on h tags each
+    position, one groupBy(doc_id) folds coverage: three short-key
+    shuffles, all linear in corpus token count, no quadratic pair
+    expansion anywhere (contrast dedup_ngram_jaccard's documented
+    validation-only core)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SPAN_K} + 1),"
+                    f" p -> md5(array_join(slice(w, p, {SPAN_K}), ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    stats = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        grams.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            shared.cast("bigint").alias("shared_grams"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_coverage"),
+        )
+        .filter(F.col("dup_coverage") >= 0.2)
+        .orderBy(F.desc("dup_coverage"), "doc_id")
+    )

@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_queries() -> None:
     """Import every operator module so its @query decorators run."""
     from .operators import (  # noqa: F401
+        bformat,
         db4ai,
         ddl_tables,
         dedup,

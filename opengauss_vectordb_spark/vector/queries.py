@@ -20,6 +20,7 @@ from ..catalog import table
 from ..registry import query
 from .distance import (
     as_double,
+    dot_product,
     cosine_distance,
     l1_distance,
     l2_distance,
@@ -1953,3 +1954,78 @@ def hnsw_delete_then_search(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Four deterministic query "token" vectors for the late-interaction
+# (MaxSim) query — same literals in Spark and the oracle.
+MV_QUERIES = [
+    [round(math.sin(i + 1.0 + 0.25 * j), 4) for i in range(DIM)]
+    for j in range(4)
+]
+
+_SQL_MV_VALUES = ", ".join(
+    "(" + str(j) + ", ["
+    + ", ".join(repr(v) for v in q)
+    + "]::DOUBLE[])"
+    for j, q in enumerate(MV_QUERIES)
+)
+
+
+@query(
+    "knn_maxsim_multivector",
+    f"""
+    WITH q(qid, qv) AS (VALUES {_SQL_MV_VALUES}),
+    scored AS (
+      SELECT vec_id // 8 AS g, qid,
+             max({_sql_dot('CAST(embedding AS DOUBLE[])', 'qv')}) AS best
+      FROM embeddings CROSS JOIN q
+      GROUP BY g, qid
+    )
+    SELECT g,
+           ROUND(CAST(SUM(CAST(best AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS maxsim
+    FROM scored GROUP BY g
+    ORDER BY maxsim DESC, g LIMIT 10
+    """,
+)
+def knn_maxsim_multivector(spark, sf_dir):
+    """Late-interaction multi-vector retrieval (MaxSim): score a
+    document-group of vectors against a multi-token query as
+    sum over query tokens of the max dot product over the group's
+    vectors — ColBERT's scoring rule (Khattab & Zaharia, SIGIR 2020).
+    ADDITIVE beyond the reference (datavec is single-vector-per-row;
+    README.md:9 lists no multi-vector operator) — this is what an LLM
+    retrieval pipeline layers on top of the same embedding table.
+
+    Scale shape: the query side is 4 rows and broadcast by AQE (bounded
+    by construction — query token count, never data size); dot products
+    are JVM-side zip_with folds inside whole-stage codegen; the two
+    groupBys reduce on (group, qid) then (group) — partial aggregation
+    makes the shuffle carry one row per group×4, not per vector. Top-k
+    is a TakeOrdered heap. Vector groups here are vec_id div 8; a real
+    corpus would carry its own doc_id for the passage→token-vector
+    mapping."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(
+        [(j, qv) for j, qv in enumerate(MV_QUERIES)],
+        "qid INT, qv ARRAY<DOUBLE>",
+    )
+    scored = (
+        emb.select(
+            F.expr("vec_id div 8").alias("g"),
+            as_double(F.col("embedding")).alias("e"),
+        )
+        .crossJoin(F.broadcast(q))
+        .groupBy("g", "qid")
+        .agg(F.max(dot_product(F.col("e"), F.col("qv"))).alias("best"))
+    )
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.round(
+                F.sum(F.col("best").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("maxsim")
+        )
+        .orderBy(F.desc("maxsim"), "g")
+        .limit(10)
+    )
