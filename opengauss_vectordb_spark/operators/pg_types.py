@@ -606,3 +606,54 @@ def hstore_funcs(spark, sf_dir):
         ev.select("event_id", F.explode(parsed).alias("hkey", "hval"))
         .orderBy("event_id", "hkey")
     )
+
+
+@query(
+    "varbit_funcs",
+    """
+    SELECT o_orderkey,
+           lpad(bin(o_orderkey & 65535), 16, '0') AS bstr,
+           CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+           CAST((o_orderkey & 65535) | 15 AS BIGINT) AS b_or,
+           CAST(xor(o_orderkey & 65535, 255) AS BIGINT) AS b_xor,
+           CAST(65535 - (o_orderkey & 65535) AS BIGINT) AS b_not,
+           CAST(((o_orderkey & 65535) << 3) & 65535 AS BIGINT) AS b_shl,
+           CAST((o_orderkey & 65535) >> 2 AS BIGINT) AS b_shr,
+           CAST(bit_count(CAST(o_orderkey & 65535 AS BIGINT)) AS INT)
+               AS b_ones,
+           substr(lpad(bin(o_orderkey & 65535), 16, '0'), 5, 4)
+               AS b_sub,
+           lpad(bin(o_orderkey & 65535), 16, '0') || '101' AS b_cat,
+           CAST(16 AS INT) AS b_len
+    FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey
+    """,
+)
+def varbit_funcs(spark, sf_dir):
+    """bit/varbit surface (utils/adt/varbit.cpp): bit_and :1094,
+    bit_or :1128, bitxor :1167, bitnot :1207, bitshiftleft :1237 /
+    bitshiftright :1296, bitsubstr :934, bitcat :872, bitlength :1076,
+    plus the int→bit cast (``bit(int4, typmod)`` :329) and bit_out's
+    '0101' text form (:225). A bit(16) value is modeled as the low 16
+    bits of an integer — every operator is then JVM-side integer
+    arithmetic inside whole-stage codegen, and the textual form is
+    lpad(bin(x)) — Spark and the reference print the identical string.
+    bitnot within a declared typmod is the 16-bit complement
+    (65535 - x); shifts re-mask to the declared width exactly as
+    varbit.cpp truncates to atttypmod."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 80)
+    b = F.col("o_orderkey").bitwiseAND(F.lit(65535))
+    bstr = F.lpad(F.bin(b), 16, "0")
+    return o.select(
+        "o_orderkey",
+        bstr.alias("bstr"),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("b_and"),
+        b.bitwiseOR(F.lit(15)).alias("b_or"),
+        b.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        (F.lit(65535) - b).alias("b_not"),
+        F.shiftleft(b, 3).bitwiseAND(F.lit(65535)).alias("b_shl"),
+        F.shiftright(b, 2).alias("b_shr"),
+        F.bit_count(b).cast("int").alias("b_ones"),
+        F.substring(bstr, 5, 4).alias("b_sub"),
+        F.concat(bstr, F.lit("101")).alias("b_cat"),
+        F.lit(16).cast("int").alias("b_len"),
+    ).orderBy("o_orderkey")

@@ -368,14 +368,12 @@ def ts_phrase_match(ts: Column, first: str, second: str) -> Column:
     )
 
 
-def to_tsquery(ts: Column, querytext: str) -> Column:
-    """Compile a tsquery string (tsquery.cpp grammar: terms, `&`, `|`,
-    `!`, parentheses, and the `<->` followed-by operator between plain
-    terms) into a boolean Column over a lexeme array. Precedence matches
-    PG: ! binds tightest, then <->, then &, then |.
-
-    The result is a pure Catalyst predicate — `to_tsvector(text) @@
-    to_tsquery('a & !b | c <-> d')` stays whole-stage codegen'd."""
+def _tsquery_ast(querytext: str):
+    """Parse a tsquery string (tsquery.cpp grammar: terms, `&`, `|`,
+    `!`, parentheses, `<->` between plain terms) into a tuple AST:
+    ('term', t) / ('and', l, r) / ('or', l, r) / ('not', x) /
+    ('phrase', a, b). Precedence matches PG: ! binds tightest, then
+    <->, then &, then |."""
     import re
 
     toks = re.findall(r"<->|[&|!()]|[a-z0-9]+", querytext.lower())
@@ -398,14 +396,14 @@ def to_tsquery(ts: Column, querytext: str) -> Column:
         left = parse_and()
         while peek() == "|":
             take()
-            left = left | parse_and()
+            left = ("or", left, parse_and())
         return left
 
     def parse_and():
         left = parse_phrase()
         while peek() == "&":
             take()
-            left = left & parse_phrase()
+            left = ("and", left, parse_phrase())
         return left
 
     def parse_phrase():
@@ -422,13 +420,13 @@ def to_tsquery(ts: Column, querytext: str) -> Column:
                     raise ValueError(
                         f"tsquery {querytext!r}: <-> needs plain terms"
                     )
-                return ts_phrase_match(ts, first, second)
+                return ("phrase", first, second)
         return parse_not()
 
     def parse_not():
         if peek() == "!":
             take()
-            return ~parse_not()
+            return ("not", parse_not())
         if peek() == "(":
             take()
             inner = parse_or()
@@ -437,12 +435,82 @@ def to_tsquery(ts: Column, querytext: str) -> Column:
         term = take()
         if term in ("&", "|", ")", "<->"):
             raise ValueError(f"tsquery {querytext!r}: unexpected {term!r}")
-        return F.array_contains(ts, term)
+        return ("term", term)
 
     result = parse_or()
     if pos != len(toks):
         raise ValueError(f"tsquery {querytext!r}: trailing tokens {toks[pos:]}")
     return result
+
+
+def _tsquery_compile(ts: Column, node) -> Column:
+    kind = node[0]
+    if kind == "term":
+        return F.array_contains(ts, node[1])
+    if kind == "and":
+        return _tsquery_compile(ts, node[1]) & _tsquery_compile(ts, node[2])
+    if kind == "or":
+        return _tsquery_compile(ts, node[1]) | _tsquery_compile(ts, node[2])
+    if kind == "not":
+        return ~_tsquery_compile(ts, node[1])
+    return ts_phrase_match(ts, node[1], node[2])
+
+
+def _tsquery_text(node) -> str:
+    """Serialize an AST back to tsquery text (parenthesized so a
+    re-parse round-trips exactly)."""
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "phrase":
+        return f"{node[1]} <-> {node[2]}"
+    if kind == "not":
+        inner = _tsquery_text(node[1])
+        return f"!{inner}" if node[1][0] == "term" else f"!({inner})"
+    op = " & " if kind == "and" else " | "
+
+    def wrap(child):
+        t = _tsquery_text(child)
+        return t if child[0] in ("term", "phrase") else f"({t})"
+
+    return wrap(node[1]) + op + wrap(node[2])
+
+
+def to_tsquery(ts: Column, querytext: str) -> Column:
+    """Compile a tsquery string (tsquery.cpp grammar: terms, `&`, `|`,
+    `!`, parentheses, and the `<->` followed-by operator between plain
+    terms) into a boolean Column over a lexeme array. Precedence matches
+    PG: ! binds tightest, then <->, then &, then |.
+
+    The result is a pure Catalyst predicate — `to_tsvector(text) @@
+    to_tsquery('a & !b | c <-> d')` stays whole-stage codegen'd."""
+    return _tsquery_compile(ts, _tsquery_ast(querytext))
+
+
+def ts_rewrite(querytext: str, target: str, substitute: str) -> str:
+    """``ts_rewrite(query, target, substitute)`` —
+    tsquery_rewrite.cpp:346 (and the table-driven form :222): replace
+    every subtree of ``query`` structurally equal to ``target`` with
+    ``substitute``, returning rewritten tsquery TEXT that to_tsquery
+    then compiles. The reference's full matcher also finds targets
+    spread across commutative AND/OR arms (findsubquery); this
+    implementation matches whole subtrees — the synonym-/
+    expansion-table use its regression tests exercise — and is applied
+    query-compile-time on the driver, so the executed plan is exactly a
+    to_tsquery plan: zero per-row cost for the rewrite."""
+    tgt = _tsquery_ast(target)
+    sub = _tsquery_ast(substitute)
+
+    def walk(node):
+        if node == tgt:
+            return sub
+        if node[0] in ("and", "or"):
+            return (node[0], walk(node[1]), walk(node[2]))
+        if node[0] == "not":
+            return ("not", walk(node[1]))
+        return node
+
+    return _tsquery_text(walk(_tsquery_ast(querytext)))
 
 
 @query(
@@ -1244,3 +1312,46 @@ def text_unigram_logprob_filter(spark, sf_dir):
         "avg_nll",
         (F.col("avg_nll") <= 3.6).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fts_query_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           (list_contains(ts, 'scan') AND list_contains(ts, 'fast'))
+               AS matched_orig
+    FROM toks
+    WHERE list_contains(ts, 'scan')
+      AND (list_contains(ts, 'fast') OR list_contains(ts, 'slow'))
+    ORDER BY doc_id
+    """,
+)
+def fts_query_rewrite(spark, sf_dir):
+    """tsquery rewriting (tsquery_rewrite.cpp:346 ts_rewrite): expand
+    'fast' to '(fast | slow)' inside the query 'scan & fast' — the
+    synonym/expansion-table pattern — then match documents against the
+    REWRITTEN query while reporting whether the original also matched
+    (the rows where matched_orig is false are what the expansion
+    gained). The rewrite runs on the AST at plan-build time on the
+    driver; the executed predicate is an ordinary to_tsquery Catalyst
+    expression, so query expansion costs nothing per row and nothing
+    at scale."""
+    d = table(spark, sf_dir, "documents")
+    ts = ts_lexemes(F.col("text"))
+    rewritten = ts_rewrite("scan & fast", "fast", "fast | slow")
+    return (
+        d.select(
+            "doc_id",
+            to_tsquery(ts, "scan & fast").alias("matched_orig"),
+            to_tsquery(ts, rewritten).alias("_m"),
+        )
+        .filter(F.col("_m"))
+        .drop("_m")
+        .orderBy("doc_id")
+    )

@@ -430,6 +430,28 @@ def test_to_tsquery_compiler(spark):
     with _pytest.raises(ValueError):
         to_tsquery(F.col("ts"), "a <-> (b & c)")
 
+    # ts_rewrite (tsquery_rewrite.cpp): subtree substitution, then the
+    # rewritten text compiles through the same grammar
+    from opengauss_vectordb_spark.operators.text import (
+        _tsquery_ast,
+        _tsquery_text,
+        ts_rewrite,
+    )
+
+    rw = ts_rewrite("dog & !lazy", "dog", "dog | fox")
+    assert _tsquery_ast(rw) == (
+        "and", ("or", ("term", "dog"), ("term", "fox")),
+        ("not", ("term", "lazy")),
+    )
+    assert ids(rw) == [1, 2, 4, 5]  # expansion gains the fox docs
+    # compound target replaces as a whole subtree
+    assert _tsquery_ast(ts_rewrite("a & (b | c)", "b | c", "d")) == (
+        "and", ("term", "a"), ("term", "d")
+    )
+    # serialize → parse round-trips for every operator shape
+    for q in ("a & !b | c <-> d", "!(a | b) & c", "x <-> y"):
+        assert _tsquery_ast(_tsquery_text(_tsquery_ast(q))) == _tsquery_ast(q)
+
 
 def test_copy_binary_file_roundtrip(spark, tmp_path):
     """COPY TO/FROM (FORMAT binary): the PGCOPY streams written per
