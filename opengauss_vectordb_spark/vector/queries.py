@@ -2029,3 +2029,65 @@ def knn_maxsim_multivector(spark, sf_dir):
         .orderBy(F.desc("maxsim"), "g")
         .limit(10)
     )
+
+
+_SUB_D = 16      # coarse prefix dims (subvector(embedding, 1, 16))
+_COARSE_K = 50   # coarse candidate pool for the full-dim rerank
+
+
+def _sql_sq_l2_dims(a: str, b: str, dims: int) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))))"
+    )
+
+
+@query(
+    "knn_subvector_rerank",
+    f"""
+    WITH coarse AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+      ORDER BY {_sql_sq_l2_dims('CAST(embedding AS DOUBLE[])',
+                                _SQL_Q, _SUB_D)}, vec_id
+      LIMIT {_COARSE_K}
+    )
+    SELECT vec_id, label,
+           ROUND({_sql_sq_l2_dims('e', _SQL_Q, DIM)}, 4) AS distance
+    FROM coarse
+    ORDER BY ROUND({_sql_sq_l2_dims('e', _SQL_Q, DIM)}, 4), vec_id
+    LIMIT 10
+    """,
+)
+def knn_subvector_rerank(spark, sf_dir):
+    """Adaptive retrieval over prefix subvectors: coarse top-{_COARSE_K}
+    on the FIRST {_SUB_D} dimensions (``subvector(embedding, 1, 16)`` —
+    datavec--0.7.2.sql:58, vector.cpp:973), exact full-dimension rerank
+    of the survivors — the truncate-then-rerank pattern Matryoshka
+    representation learning trains embeddings for (Kusupati et al.,
+    NeurIPS 2022; pgvector documents the same recipe for halfvec
+    subvector indexes, datavec--0.7.2.sql:458).
+
+    Scale shape: the coarse pass reads ONLY a 16-float prefix per row
+    (a 4x byte cut on the distance loop; with a subvector column
+    materialized at ingest the parquet scan itself shrinks 4x) and
+    feeds a TakeOrdered heap — no shuffle of full vectors; the rerank
+    touches {_COARSE_K} rows. Ties broken by vec_id in both stages so
+    the two engines pick identical frontiers."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    coarse_d = l2_distance(
+        F.slice(e, 1, _SUB_D), F.slice(_spark_qlit(), 1, _SUB_D)
+    )
+    coarse = (
+        emb.select("vec_id", "label", e.alias("e"),
+                   coarse_d.alias("_cd"))
+        .orderBy("_cd", "vec_id")
+        .limit(_COARSE_K)
+    )
+    full_d = F.round(l2_distance(F.col("e"), _spark_qlit()), 4)
+    return (
+        coarse.select("vec_id", "label", full_d.alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(10)
+    )

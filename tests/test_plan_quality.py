@@ -469,3 +469,26 @@ def test_fts_headline_no_exchange_before_limit(spark):
     plan = physical_plan(df)
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, plan  # TakeOrderedAndProject plans 0
+
+
+def test_repeated_spans_linear_no_cartesian(spark):
+    """Span dedup must stay linear: no pair expansion (CartesianProduct
+    or nested-loop join) anywhere, no Python, and the documents scan
+    reads only doc_id + text."""
+    df = QUERIES["dedup_repeated_spans"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert python_eval_nodes(df) == 0
+    assert "lang" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_maxsim_broadcasts_query_side_only(spark):
+    """The 4-row query-token side must broadcast; the result is a
+    bounded TakeOrdered heap; embeddings never shuffle at full width
+    (the first exchange carries partial aggregates, not vectors)."""
+    df = QUERIES["knn_maxsim_multivector"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert uses_take_ordered(df)
+    assert python_eval_nodes(df) == 0
