@@ -1355,3 +1355,44 @@ def fts_query_rewrite(spark, sf_dir):
         .drop("_m")
         .orderBy("doc_id")
     )
+
+
+def _tsquery_size(node) -> int:
+    """QueryItem count of the AST — the reference's ``TSQuery.size``
+    (operators + values; a phrase is one operator + two values)."""
+    kind = node[0]
+    if kind == "term":
+        return 1
+    if kind == "phrase":
+        return 3
+    if kind == "not":
+        return 1 + _tsquery_size(node[1])
+    return 1 + _tsquery_size(node[1]) + _tsquery_size(node[2])
+
+
+def _tsquery_lexemes(node) -> set:
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "phrase":
+        return {node[1], node[2]}
+    if kind == "not":
+        return _tsquery_lexemes(node[1])
+    return _tsquery_lexemes(node[1]) | _tsquery_lexemes(node[2])
+
+
+def tsquery_contains(query: str, ex: str) -> bool:
+    """``tsquery @> tsquery`` — tsquery_op.cpp:198 ``tsq_mcontains``:
+    true when every lexeme of ``ex`` appears among ``query``'s lexemes
+    (the reference compares valcrc values only, not operator structure),
+    after the same fast size gate (query.size < ex.size → false)."""
+    qa, ea = _tsquery_ast(query), _tsquery_ast(ex)
+    if _tsquery_size(qa) < _tsquery_size(ea):
+        return False
+    return _tsquery_lexemes(ea) <= _tsquery_lexemes(qa)
+
+
+def tsquery_contained(ex: str, query: str) -> bool:
+    """``tsquery <@ tsquery`` — tsquery_op.cpp:248 ``tsq_mcontained``
+    (argument-swapped tsq_mcontains)."""
+    return tsquery_contains(query, ex)

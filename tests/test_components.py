@@ -1127,3 +1127,24 @@ def test_unigram_logprob_capped_oov(spark):
         r.doc_id: r.avg_nll for r in unigram_logprob_scores(docs).collect()
     }
     assert full[0] < full[1]
+
+
+def test_tsquery_containment():
+    """tsquery @> / <@ (tsquery_op.cpp tsq_mcontains/tsq_mcontained):
+    lexeme containment with the reference's QueryItem-size fast gate."""
+    from opengauss_vectordb_spark.operators.text import (
+        tsquery_contained,
+        tsquery_contains,
+    )
+
+    assert tsquery_contains("a & b & c", "a & c")
+    assert tsquery_contains("a & b", "a")
+    assert not tsquery_contains("a & b", "a & d")
+    # lexeme semantics, not structural: NOT/OR shapes don't matter
+    assert tsquery_contains("a & !b | c", "b & c")
+    # phrase operands count as lexemes
+    assert tsquery_contains("x <-> y & z", "y")
+    # size gate: a bigger ex can never be contained
+    assert not tsquery_contains("a", "a & a & a")
+    assert tsquery_contained("a", "a & b")
+    assert not tsquery_contained("a & b", "a")
