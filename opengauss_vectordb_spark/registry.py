@@ -51,6 +51,7 @@ def load_all_queries() -> None:
         ddl_tables,
         dedup,
         functions_ext,
+        fuzzy,
         matview,
         merge,
         multimodal,
