@@ -168,8 +168,13 @@ class Engine:
         handled = _analyze_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.copy_stmt import try_handle_stmt as _copy_stmt
         from .operators.ddl_tables import try_handle_sequence as _seq_stmt
         from .operators.ddl_tables import try_handle_stmt as _tables_stmt
+
+        handled = _copy_stmt(self, query)
+        if handled is not None:
+            return handled
 
         handled = _tables_stmt(self, query)
         if handled is not None:

@@ -793,3 +793,74 @@ def source_mix_rebalance(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_EPOCH = 1
+_N_SHARDS = 4
+_EK = f"md5('epoch{_EPOCH}:' || CAST(doc_id AS STRING))"
+_EK_DUCK = f"md5('epoch{_EPOCH}:' || CAST(doc_id AS VARCHAR))"
+# shard from the first two hex nibbles (0..255) mod N — same arithmetic
+# spelled with conv() in Spark and strpos-per-nibble in DuckDB
+_SHARD = f"conv(substring({_EK}, 1, 2), 16, 10) % {_N_SHARDS}"
+_SHARD_DUCK = (
+    f"(((strpos('0123456789abcdef', {_EK_DUCK}[1:1]) - 1) * 16"
+    f" + (strpos('0123456789abcdef', {_EK_DUCK}[2:2]) - 1)) % {_N_SHARDS})"
+)
+
+
+@query(
+    "epoch_shuffle_shards",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, {_EK_DUCK} AS ekey,
+             CAST({_SHARD_DUCK} AS INT) AS shard
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, ekey, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ekey, doc_id)
+                 AS pos
+      FROM keyed
+    )
+    SELECT CAST({_EPOCH} AS INT) AS epoch, shard, CAST(pos AS INT) AS pos,
+           doc_id, ekey
+    FROM ranked WHERE pos <= 5
+    ORDER BY shard, pos
+    """,
+)
+def epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: every epoch assigns each
+    document a pseudorandom sort key md5('epoch<N>:' || doc_id) and a
+    data-parallel worker shard from the key's leading byte — the
+    standard recipe for reproducible, seedable global shuffles of a
+    training corpus (no RNG state, identical on any cluster size or
+    retry; changing the epoch literal re-shuffles everything). ADDITIVE
+    beyond the reference — this is the consumer-side op an LLM data
+    pipeline runs after curation.
+
+    Scale shape: key + shard are map-side expressions; the per-shard
+    ordering is ROW_NUMBER partitioned by shard — ONE shuffle on the
+    shard key, which at 100 TB is the same partitioning the sharded
+    training files are written with (write.partitionBy(shard) +
+    sortWithinPartitions(key)), so the shuffle does double duty as the
+    output layout. The gate samples the first 5 positions per shard."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(_EK).alias("ekey"),
+        F.expr(_SHARD).cast("int").alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("ekey", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 5)
+        .select(
+            F.lit(_EPOCH).cast("int").alias("epoch"),
+            "shard",
+            "pos",
+            "doc_id",
+            "ekey",
+        )
+        .orderBy("shard", "pos")
+    )

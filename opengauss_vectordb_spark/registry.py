@@ -47,6 +47,7 @@ def load_all_queries() -> None:
     """Import every operator module so its @query decorators run."""
     from .operators import (  # noqa: F401
         bformat,
+        copy_stmt,
         db4ai,
         ddl_tables,
         dedup,
