@@ -147,3 +147,42 @@ def test_unknown_opclass_raises(engine):
             "CREATE INDEX bad ON embeddings USING ivfflat "
             "(embedding vector_bogus_ops)"
         )
+
+
+def test_copy_statement_errors(spark):
+    """COPY FROM into a missing table and unknown formats must refuse
+    (copy.cpp errors on both) — never silently create or skip."""
+    import pytest as _pytest
+
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    with _pytest.raises(KeyError):
+        eng.sql("COPY nosuch FROM '/tmp/never' (FORMAT csv)")
+    with _pytest.raises(ValueError):
+        eng.sql("COPY orders TO '/tmp/never' (FORMAT parquet)")
+
+
+def test_copy_text_format_roundtrip(spark, tmp_path):
+    """COPY TO/FROM (FORMAT text): tab delimiter, \\N nulls, no header
+    — the copy.cpp text defaults — must round-trip rows exactly."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE t_src AS SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END"
+        " AS st FROM orders WHERE o_orderkey <= 60"
+    )
+    eng.sql(f"COPY t_src TO '{tmp_path}/txt' (FORMAT text)")
+    eng.sql(
+        "CREATE TABLE t_dst AS SELECT o_orderkey,"
+        " o_orderstatus AS st FROM orders LIMIT 0"
+    )
+    tag = eng.sql(f"COPY t_dst FROM '{tmp_path}/txt' (FORMAT text)")
+    assert tag.collect()[0].tag == "COPY"
+    src = {tuple(r) for r in eng.sql("SELECT * FROM t_src").collect()}
+    dst = {tuple(r) for r in eng.sql("SELECT * FROM t_dst").collect()}
+    assert src == dst and len(src) > 0
+    assert any(r[1] is None for r in dst)  # NULLs survived \N encoding
