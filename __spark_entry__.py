@@ -53,7 +53,8 @@ registry.load_all_queries()
 #   ctas_insert_select, bformat_string_funcs, bformat_group_concat,
 #   dedup_repeated_spans, knn_maxsim_multivector, varbit_funcs,
 #   fts_query_rewrite, knn_subvector_rerank, trgm_similarity_topk,
-#   ltree_hierarchy, epoch_shuffle_shards, copy_sql_roundtrip
+#   ltree_hierarchy, epoch_shuffle_shards, copy_sql_roundtrip,
+#   geo_earth_distance
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

@@ -42,6 +42,9 @@ class Engine:
         # session GUC defaults (reference: ivfflat.cpp:35 probes=1,
         # hnsw.h:39 ef_search=40), settable via Engine.sql("SET ...")
         self._gucs: dict[str, int] = {}
+        # contrib/pg_stat_statements analogue: normalized-statement
+        # call counters, queryable as SELECT * FROM pg_stat_statements
+        self._stmt_stats: dict[str, dict] = {}
         # materialized views (commands/matview.cpp) + prepared
         # statements (commands/prepare.cpp) — both reachable through
         # Engine.sql DDL text and as Python APIs
@@ -129,6 +132,12 @@ class Engine:
         shows a command tag), and DROP INDEX deregisters it."""
         from .functions.sql_compat import translate
 
+        if re.match(
+            r"^\s*SELECT\s+\*\s+FROM\s+pg_stat_statements\s*;?\s*$",
+            query, re.IGNORECASE,
+        ):
+            return self.stat_statements()
+        self._record_statement(query)
         m = self._CREATE_INDEX.match(query)
         if m:
             return self._create_index_ddl(m)
@@ -186,6 +195,37 @@ class Engine:
         if routed is not None:
             return routed
         return self.spark.sql(translate(query))
+
+    def _record_statement(self, query: str) -> None:
+        """contrib/pg_stat_statements: statements are aggregated under a
+        queryid computed from the NORMALIZED text — literals replaced by
+        parameter markers (pg_stat_statements.c generate_normalized_query)
+        — so `WHERE k = 1` and `WHERE k = 2` share one counter."""
+        norm = re.sub(r"'(?:[^']|'')*'", "?", query.strip())
+        norm = re.sub(r"\b\d+(?:\.\d+)?\b", "?", norm)
+        norm = re.sub(r"\s+", " ", norm)
+        import hashlib
+
+        qid = hashlib.md5(norm.encode()).hexdigest()[:16]
+        ent = self._stmt_stats.setdefault(
+            qid, {"query": norm, "calls": 0}
+        )
+        ent["calls"] += 1
+
+    def stat_statements(self) -> DataFrame:
+        """The pg_stat_statements view: one row per normalized
+        statement with its call count (plans/rows/timing columns are
+        execution-side metrics Spark exposes through its own UI/metrics
+        system; the statement-normalization bookkeeping is what the
+        contrib module adds and what is reproduced here)."""
+        rows = [
+            (qid, e["query"], e["calls"])
+            for qid, e in sorted(self._stmt_stats.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", 0)][:0],
+            "queryid STRING, query STRING, calls BIGINT",
+        )
 
     def _warehouse_dir(self) -> str:
         import tempfile

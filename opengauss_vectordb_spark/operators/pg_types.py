@@ -657,3 +657,67 @@ def varbit_funcs(spark, sf_dir):
         F.concat(bstr, F.lit("101")).alias("b_cat"),
         F.lit(16).cast("int").alias("b_len"),
     ).orderBy("o_orderkey")
+
+
+_EARTH_R = 3958.747716  # miles — earthdistance.cpp:17
+_GEO_PT = (-74.0, 40.7)  # fixed probe point (lon, lat)
+
+
+def _geo_dist_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """geo_distance (earthdistance.cpp:47): haversine on a sphere,
+    radians in, miles out, longitude difference folded below pi.
+    Identical text runs in Spark SQL and DuckDB — every function is
+    IEEE double in both engines."""
+    ld = f"abs(radians({lon1}) - radians({lon2}))"
+    longdiff = f"(CASE WHEN {ld} > pi() THEN 2 * pi() - {ld} ELSE {ld} END)"
+    half_lat = f"(abs(radians({lat1}) - radians({lat2})) / 2)"
+    sino = (
+        f"sqrt(sin({half_lat}) * sin({half_lat})"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin({longdiff} / 2) * sin({longdiff} / 2))"
+    )
+    return f"2 * {_EARTH_R} * asin(least({sino}, 1.0))"
+
+
+_GEO_LAT = "(CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.25)"
+_GEO_LON = "(CAST((c_custkey * 13) % 360 AS DOUBLE) - 180 + 0.25)"
+
+
+@query(
+    "geo_earth_distance",
+    f"""
+    SELECT c_custkey,
+           ROUND({_GEO_LAT}, 2) AS lat,
+           ROUND({_GEO_LON}, 2) AS lon,
+           ROUND({_geo_dist_sql(_GEO_LON, _GEO_LAT,
+                                str(_GEO_PT[0]), str(_GEO_PT[1]))}, 6)
+               AS miles
+    FROM customer
+    ORDER BY miles, c_custkey LIMIT 15
+    """,
+)
+def geo_earth_distance(spark, sf_dir):
+    """contrib/earthdistance: great-circle distance in miles
+    (geo_distance_internal, earthdistance.cpp:47-71 — haversine with
+    the <180-degree longitude fold and the asin clamp, EARTH_RADIUS
+    3958.747716 at :17), ranking customers by distance from a fixed
+    point over deterministic synthetic coordinates (the testdata
+    carries no geography). The whole expression is one codegen'd
+    projection feeding a TakeOrdered heap — the `point <@> point`
+    operator's ORDER BY ... LIMIT shape."""
+    from pyspark.sql import functions as F
+
+    c = table(spark, sf_dir, "customer")
+    dist = F.expr(
+        _geo_dist_sql(_GEO_LON, _GEO_LAT, str(_GEO_PT[0]), str(_GEO_PT[1]))
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.round(F.expr(_GEO_LAT), 2).alias("lat"),
+            F.round(F.expr(_GEO_LON), 2).alias("lon"),
+            F.round(dist, 6).alias("miles"),
+        )
+        .orderBy("miles", "c_custkey")
+        .limit(15)
+    )

@@ -186,3 +186,21 @@ def test_copy_text_format_roundtrip(spark, tmp_path):
     dst = {tuple(r) for r in eng.sql("SELECT * FROM t_dst").collect()}
     assert src == dst and len(src) > 0
     assert any(r[1] is None for r in dst)  # NULLs survived \N encoding
+
+
+def test_pg_stat_statements(spark):
+    """contrib/pg_stat_statements analogue: literals normalize to
+    parameter markers so repeated shapes share one counter, and the
+    view is reachable through its SQL name."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("SELECT count(*) AS n FROM orders WHERE o_orderkey = 1")
+    eng.sql("SELECT count(*) AS n FROM orders WHERE o_orderkey = 2")
+    eng.sql("SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F' LIMIT 1")
+    stats = {r.query: r.calls for r in
+             eng.sql("SELECT * FROM pg_stat_statements").collect()}
+    assert stats["SELECT count(*) AS n FROM orders WHERE o_orderkey = ?"] == 2
+    assert stats["SELECT o_orderstatus FROM orders WHERE o_orderstatus = ? LIMIT ?"] == 1
+    # the stats query itself is not self-recorded
+    assert not any("pg_stat_statements" in q for q in stats)
