@@ -1396,3 +1396,61 @@ def tsquery_contained(ex: str, query: str) -> bool:
     """``tsquery <@ tsquery`` — tsquery_op.cpp:248 ``tsq_mcontained``
     (argument-swapped tsq_mcontains)."""
     return tsquery_contains(query, ex)
+
+
+@query(
+    "corpus_token_histogram",
+    """
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ), tf AS (
+      SELECT t.tok, COUNT(*) AS freq
+      FROM toks, unnest(ts) AS t(tok)
+      WHERE t.tok != ''
+      GROUP BY t.tok
+    )
+    SELECT CAST(floor(log2(freq)) AS INT) AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq) AS BIGINT) AS occurrences,
+           min(tok) AS example_token
+    FROM tf
+    GROUP BY freq_bucket ORDER BY freq_bucket
+    """,
+)
+def corpus_token_histogram(spark, sf_dir):
+    """Corpus token-frequency histogram (the Zipf-curve /
+    vocabulary-growth report every corpus build sanity-checks):
+    term frequency over the whole corpus, bucketed by floor(log2(tf)),
+    with vocabulary size and occurrence mass per bucket. ADDITIVE
+    corpus-analytics op alongside `text_heavy_hitters` (which keeps the
+    head; this keeps the shape of the whole distribution — the fat tail
+    of hapax legomena is what dedup/quality filters act on).
+
+    Scale shape: explode → two partial-aggregated groupBys (token,
+    then bucket). The first shuffle carries (token, partial-count) —
+    the same linear profile as heavy hitters; the second is 60-odd
+    bucket rows. log2/floor are IEEE-identical in both engines, so the
+    bucket boundaries hash-match exactly."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(ts_lexemes(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        tf.select(
+            F.floor(F.log2("freq")).cast("int").alias("freq_bucket"),
+            "tok",
+            "freq",
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").cast("bigint").alias("occurrences"),
+            F.min("tok").alias("example_token"),
+        )
+        .orderBy("freq_bucket")
+    )
