@@ -76,6 +76,45 @@ class TableManager:
         self.spark.catalog.dropTempView(name.lower())
         return True
 
+    def vacuum(self, name: str, target_file_bytes: int = 128 << 20
+               ) -> tuple[int, int]:
+        """VACUUM FULL analogue (commands/vacuum.cpp:8 — FULL rewrites
+        the relation compactly): rewrite the table's parquet files into
+        ~target_file_bytes-sized files and swap atomically. On a real
+        cluster this is THE maintenance op an append-heavy managed
+        table needs — INSERT INTO adds a file set per statement, and
+        small files are the canonical 100 TB scan killer. The swap goes
+        through a side directory (write .compacting → rename old →
+        rename in → drop old), so a reader never observes a partial
+        table. Returns (files_before, files_after)."""
+        import glob as _glob
+        import shutil
+
+        name = name.lower()
+        if name not in self.tables:
+            raise KeyError(f"managed table {name!r} does not exist")
+        path = self._path(name)
+        parts = _glob.glob(os.path.join(path, "part-*"))
+        before = len(parts)
+        total = sum(os.path.getsize(p) for p in parts)
+        n_out = max(1, -(-total // target_file_bytes))
+        compacting = path + ".compacting"
+        shutil.rmtree(compacting, ignore_errors=True)
+        (
+            self.spark.read.parquet(path)
+            .coalesce(int(n_out))
+            .write.mode("overwrite")
+            .parquet(compacting)
+        )
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(compacting, path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.tables[name]["version"] += 1
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        return before, len(_glob.glob(os.path.join(path, "part-*")))
+
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name, "data")
 
@@ -111,7 +150,19 @@ _DROP_VIEW = re.compile(
 )
 
 
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?:FULL\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    m = _VACUUM.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        before, after = engine.managed_tables.vacuum(m.group("name"))
+        return engine.spark.createDataFrame(
+            [("VACUUM", m.group("name").lower(), before, after)],
+            "tag STRING, tbl STRING, files_before INT, files_after INT",
+        )
     m = _CTAS.match(query)
     if m:
         n = engine.managed_tables.create_as(

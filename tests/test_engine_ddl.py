@@ -204,3 +204,34 @@ def test_pg_stat_statements(spark):
     assert stats["SELECT o_orderstatus FROM orders WHERE o_orderstatus = ? LIMIT ?"] == 1
     # the stats query itself is not self-recorded
     assert not any("pg_stat_statements" in q for q in stats)
+
+
+def test_vacuum_compacts_managed_table(spark, tmp_path):
+    """VACUUM <table> (the VACUUM FULL rewrite, vacuum.cpp:8): after
+    many small INSERTs the file count must drop to the size-targeted
+    minimum while every row survives, and readers see the swapped
+    snapshot through the same view name."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE vt AS SELECT o_orderkey, o_orderstatus"
+        " FROM orders WHERE o_orderkey <= 40"
+    )
+    for lo in (41, 61, 81):
+        eng.sql(
+            "INSERT INTO vt SELECT o_orderkey, o_orderstatus FROM orders"
+            f" WHERE o_orderkey > {lo - 1} AND o_orderkey <= {lo + 19}"
+        )
+    n_before = eng.sql("SELECT COUNT(*) AS n FROM vt").collect()[0].n
+    tag = eng.sql("VACUUM vt").collect()[0]
+    assert tag.tag == "VACUUM" and tag.files_after < tag.files_before
+    assert tag.files_after == 1  # tiny table → one target-size file
+    assert eng.sql("SELECT COUNT(*) AS n FROM vt").collect()[0].n == n_before
+    # unknown table falls through to Spark's parser (errors there), not
+    # a silent no-op
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql("VACUUM no_such_table").collect()
