@@ -149,6 +149,30 @@ class Engine:
             return self.spark.createDataFrame(
                 [("SET", guc, val)], "tag STRING, guc STRING, value INT"
             )
+        m = re.match(
+            r"^\s*REINDEX\s+(?:INDEX\s+)?(?P<name>\w+)\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m and m.group("name").lower() in self._index_names:
+            # commands/vacuum.cpp's sibling REINDEX (indexcmds.cpp):
+            # full rebuild against the index's current data — the
+            # answer to centroid drift after heavy appends
+            name = m.group("name").lower()
+            tkey = self._index_names[name]
+            idx = self.ann.lookup(*tkey)
+            from .vector.ivf import IvfIndex
+            from .vector.maintenance import rebuild as _rebuild
+
+            if not isinstance(idx, IvfIndex):
+                raise NotImplementedError(
+                    "REINDEX supports ivfflat indexes; hnsw shards are"
+                    " rebuilt through CREATE INDEX (hnswbuild.cpp is a"
+                    " from-scratch build in the reference too)"
+                )
+            self.ann.register(*tkey, _rebuild(self.spark, idx, tkey[1]))
+            return self.spark.createDataFrame(
+                [("REINDEX", name)], "tag STRING, index STRING"
+            )
         m = self._DROP_INDEX.match(query)
         if m:
             name = m.group("name").lower()

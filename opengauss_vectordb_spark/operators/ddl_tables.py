@@ -153,6 +153,13 @@ _DROP_VIEW = re.compile(
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?:FULL\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_CLUSTER = re.compile(
+    r"^\s*CLUSTER\s+(?P<name>\w+)\s+ON\s+\(?(?P<col>\w+)\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
@@ -162,6 +169,47 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         return engine.spark.createDataFrame(
             [("VACUUM", m.group("name").lower(), before, after)],
             "tag STRING, tbl STRING, files_before INT, files_after INT",
+        )
+    m = _TRUNCATE.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        name = m.group("name").lower()
+        empty = engine.spark.read.parquet(
+            engine.managed_tables._path(name)
+        ).limit(0)
+        engine.managed_tables._write(name, empty, mode="overwrite")
+        return engine.spark.createDataFrame(
+            [("TRUNCATE", name)], "tag STRING, tbl STRING"
+        )
+    m = _CLUSTER.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        # commands/cluster.cpp: rewrite the relation in index order.
+        # Spark form: range-repartition + sort by the cluster key, so
+        # every parquet file owns a disjoint key range and rowgroup
+        # min/max stats prune scans (the CStore roughcheck analogue —
+        # pinned by test_clustered_write_rowgroup_stats for the
+        # write-path helper).
+        name = m.group("name").lower()
+        col = m.group("col")
+        path = engine.managed_tables._path(name)
+        df = engine.spark.read.parquet(path)
+        clustered = df.repartitionByRange(
+            max(1, df.rdd.getNumPartitions()), col
+        ).sortWithinPartitions(col)
+        import os as _os
+        import shutil as _shutil
+
+        compacting = path + ".compacting"
+        _shutil.rmtree(compacting, ignore_errors=True)
+        clustered.write.mode("overwrite").parquet(compacting)
+        old = path + ".old"
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(path, old)
+        _os.rename(compacting, path)
+        _shutil.rmtree(old, ignore_errors=True)
+        engine.managed_tables.tables[name]["version"] += 1
+        engine.spark.read.parquet(path).createOrReplaceTempView(name)
+        return engine.spark.createDataFrame(
+            [("CLUSTER", name, col)], "tag STRING, tbl STRING, key STRING"
         )
     m = _CTAS.match(query)
     if m:

@@ -235,3 +235,55 @@ def test_vacuum_compacts_managed_table(spark, tmp_path):
 
     with _pytest.raises(Exception):
         eng.sql("VACUUM no_such_table").collect()
+
+
+def test_truncate_and_cluster_statements(spark, tmp_path):
+    """TRUNCATE empties but keeps the table; CLUSTER ... ON (col)
+    rewrites it in key order so each file owns a disjoint key range
+    (cluster.cpp's index-order rewrite)."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE ct AS SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_orderkey <= 400"
+    )
+    tag = eng.sql("CLUSTER ct ON (o_orderkey)").collect()[0]
+    assert tag.tag == "CLUSTER" and tag.key == "o_orderkey"
+    n = eng.sql("SELECT COUNT(*) AS n FROM ct").collect()[0].n
+    assert n > 0
+    # per-file key ranges must be disjoint after clustering
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(str(tmp_path / "ct" / "data"))
+    ranges = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+    eng.sql("TRUNCATE ct")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ct").collect()[0].n == 0
+    eng.sql("INSERT INTO ct SELECT o_orderkey, o_totalprice FROM orders"
+            " WHERE o_orderkey <= 10")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ct").collect()[0].n > 0
+
+
+def test_reindex_statement(spark, tmp_path):
+    """REINDEX INDEX <name>: rebuilds the registered IVF index in place
+    and searches still return exact results at probes=lists."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE INDEX rix ON embeddings USING ivfflat"
+        " (embedding vector_l2_ops) WITH (lists = 8)"
+    )
+    before = eng.ann.lookup("embeddings", "embedding")
+    tag = eng.sql("REINDEX INDEX rix").collect()[0]
+    assert tag.tag == "REINDEX"
+    after = eng.ann.lookup("embeddings", "embedding")
+    assert after is not None and after is not before
