@@ -54,7 +54,8 @@ registry.load_all_queries()
 #   dedup_repeated_spans, knn_maxsim_multivector, varbit_funcs,
 #   fts_query_rewrite, knn_subvector_rerank, trgm_similarity_topk,
 #   ltree_hierarchy, epoch_shuffle_shards, copy_sql_roundtrip,
-#   geo_earth_distance, corpus_token_histogram
+#   geo_earth_distance, corpus_token_histogram,
+#   maintenance_stmt_roundtrip
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

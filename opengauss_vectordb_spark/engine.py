@@ -150,6 +150,20 @@ class Engine:
                 [("SET", guc, val)], "tag STRING, guc STRING, value INT"
             )
         m = re.match(
+            r"^\s*SHOW\s+(?P<guc>ivfflat\.probes|hnsw\.ef_search)\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            # SHOW <guc> — read back the session setting with the
+            # reference's defaults (ivfflat.cpp:35 probes=1,
+            # hnsw.h:39 ef_search=40) when unset
+            guc = m.group("guc").lower()
+            default = 1 if guc == "ivfflat.probes" else 40
+            return self.spark.createDataFrame(
+                [(guc, self._gucs.get(guc, default))],
+                "guc STRING, value INT",
+            )
+        m = re.match(
             r"^\s*REINDEX\s+(?:INDEX\s+)?(?P<name>\w+)\s*;?\s*$",
             query, re.IGNORECASE,
         )

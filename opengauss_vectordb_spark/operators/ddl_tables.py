@@ -173,9 +173,12 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _TRUNCATE.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         name = m.group("name").lower()
-        empty = engine.spark.read.parquet(
+        schema = engine.spark.read.parquet(
             engine.managed_tables._path(name)
-        ).limit(0)
+        ).schema
+        # a fresh empty frame, NOT limit(0) of the path being
+        # overwritten — Spark refuses (or races) self-overwrites
+        empty = engine.spark.createDataFrame([], schema)
         engine.managed_tables._write(name, empty, mode="overwrite")
         return engine.spark.createDataFrame(
             [("TRUNCATE", name)], "tag STRING, tbl STRING"
@@ -459,3 +462,65 @@ def try_handle_sequence(engine, query: str) -> DataFrame | None:
             )
         return engine.spark.createDataFrame([(v,)], f"{fn} BIGINT")
     return None
+
+
+@query(
+    "maintenance_stmt_roundtrip",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def maintenance_stmt_roundtrip(spark, sf_dir):
+    """The table-maintenance statement surface end-to-end: CTAS, three
+    small INSERTs (deliberately fragmenting the file layout), VACUUM
+    (compacting rewrite + atomic swap, vacuum.cpp FULL semantics),
+    CLUSTER ON the key (index-order rewrite, cluster.cpp), then
+    aggregate the table. The oracle aggregates the same selection
+    directly — a hash match proves four rewrites and two snapshot swaps
+    lost and duplicated nothing."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="maint_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE maint_t AS SELECT o_orderkey, o_orderstatus,"
+            " CAST(o_totalprice AS DOUBLE) AS price FROM orders"
+            " WHERE o_orderkey <= 200"
+        )
+        for lo, hi in ((200, 300), (300, 400), (400, 500)):
+            eng.sql(
+                "INSERT INTO maint_t SELECT o_orderkey, o_orderstatus,"
+                " CAST(o_totalprice AS DOUBLE) AS price FROM orders"
+                f" WHERE o_orderkey > {lo} AND o_orderkey <= {hi}"
+            )
+        vac = eng.sql("VACUUM maint_t").collect()[0]
+        assert vac.files_after <= vac.files_before
+        eng.sql("CLUSTER maint_t ON (o_orderkey)")
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,"
+            " MIN(o_orderkey) AS min_key"
+            " FROM maint_t GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = [(r[0], r[1], float(r[2]), r[3]) for r in out.collect()]
+        eng.sql("DROP TABLE maint_t")
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n BIGINT, total DOUBLE, min_key BIGINT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -287,3 +287,14 @@ def test_reindex_statement(spark, tmp_path):
     assert tag.tag == "REINDEX"
     after = eng.ann.lookup("embeddings", "embedding")
     assert after is not None and after is not before
+
+
+def test_show_guc(spark):
+    """SHOW reads back session GUCs with the reference defaults."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    assert eng.sql("SHOW ivfflat.probes").collect()[0].value == 1
+    assert eng.sql("SHOW hnsw.ef_search").collect()[0].value == 40
+    eng.sql("SET ivfflat.probes = 7")
+    assert eng.sql("SHOW ivfflat.probes").collect()[0].value == 7
