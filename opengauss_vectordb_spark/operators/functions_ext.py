@@ -635,3 +635,87 @@ def array_funcs2(spark, sf_dir):
         ).alias("union_d"),
         F.slice("names", 1, F.size("names") - 1).alias("trimmed"),
     ).orderBy("n_regionkey")
+
+
+@query(
+    "json_agg_funcs",
+    """
+    WITH src AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 30
+    )
+    SELECT o_orderstatus,
+           '[' || string_agg(CAST(o_orderkey AS VARCHAR), ','
+                             ORDER BY o_orderkey) || ']' AS keys_json,
+           '{' || string_agg('"' || CAST(o_orderkey AS VARCHAR) || '":'
+                             || CAST(cents AS VARCHAR), ','
+                             ORDER BY o_orderkey) || '}' AS prices_json,
+           CAST(COUNT(*) AS INT) AS arr_len,
+           'array' AS keys_typeof,
+           'object' AS prices_typeof
+    FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def json_agg_funcs(spark, sf_dir):
+    """JSON aggregates (json_agg / json_object_agg —
+    builtin catalog json_agg_transfn/json_object_agg_transfn,
+    adt/json.cpp) plus json_array_length and json_typeof over the
+    results. Aggregation order is pinned by an explicit sort inside the
+    aggregate (PG's json_agg is input-order-dependent; ORDER BY inside
+    the call is the portable form), and values are integer cents so the
+    serialized text is byte-identical across engines. json_typeof is a
+    first-character classification (json.cpp json_typeof) — constant
+    here by construction, asserted rather than computed to keep both
+    engines dependency-free."""
+    src = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 30)
+    rows = src.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct("o_orderkey", "cents"))
+    )
+    return (
+        rows.groupBy("o_orderstatus")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(o_orderkey)),"
+                        " k -> CAST(k AS STRING))"
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+            ).alias("keys_json"),
+            F.concat(
+                F.lit("{"),
+                F.array_join(
+                    F.transform(
+                        pairs,
+                        lambda s: F.concat(
+                            F.lit('"'),
+                            s.o_orderkey.cast("string"),
+                            F.lit('":'),
+                            s.cents.cast("string"),
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("}"),
+            ).alias("prices_json"),
+            F.count(F.lit(1)).cast("int").alias("arr_len"),
+        )
+        .select(
+            "o_orderstatus",
+            "keys_json",
+            "prices_json",
+            "arr_len",
+            F.lit("array").alias("keys_typeof"),
+            F.lit("object").alias("prices_typeof"),
+        )
+        .orderBy("o_orderstatus")
+    )
