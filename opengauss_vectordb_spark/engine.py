@@ -132,11 +132,34 @@ class Engine:
         shows a command tag), and DROP INDEX deregisters it."""
         from .functions.sql_compat import translate
 
-        if re.match(
-            r"^\s*SELECT\s+\*\s+FROM\s+pg_stat_statements\s*;?\s*$",
+        m = re.match(
+            r"^\s*SELECT\s+\*\s+FROM\s+"
+            r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes)\s*;?\s*$",
             query, re.IGNORECASE,
-        ):
-            return self.stat_statements()
+        )
+        if m:
+            cat = m.group("cat").lower()
+            if cat == "pg_stat_statements":
+                return self.stat_statements()
+            if cat == "pg_tables":
+                # pg_catalog.pg_tables: the parquet star schema plus
+                # managed (CTAS) tables, tagged by origin
+                rows = [(t, "catalog") for t in sorted(self.tables)] + [
+                    (t, "managed")
+                    for t in sorted(self.managed_tables.tables)
+                ]
+                return self.spark.createDataFrame(
+                    rows, "tablename STRING, origin STRING"
+                )
+            rows = [
+                (name, tbl, col, type(self.ann.lookup(tbl, col)).__name__)
+                for name, (tbl, col) in sorted(self._index_names.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "", "", "")][:0],
+                "indexname STRING, tablename STRING, colname STRING,"
+                " am STRING",
+            )
         self._record_statement(query)
         m = self._CREATE_INDEX.match(query)
         if m:

@@ -298,3 +298,24 @@ def test_show_guc(spark):
     assert eng.sql("SHOW hnsw.ef_search").collect()[0].value == 40
     eng.sql("SET ivfflat.probes = 7")
     assert eng.sql("SHOW ivfflat.probes").collect()[0].value == 7
+
+
+def test_catalog_views(spark, tmp_path):
+    """pg_tables / pg_indexes introspection (pg_catalog views psql's
+    \\d family reads): catalog + managed tables, registered ANN
+    indexes with their access method."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE mt AS SELECT 1 AS one")
+    tabs = {(r.tablename, r.origin)
+            for r in eng.sql("SELECT * FROM pg_tables").collect()}
+    assert ("orders", "catalog") in tabs and ("mt", "managed") in tabs
+    eng.sql(
+        "CREATE INDEX cvix ON embeddings USING ivfflat"
+        " (embedding vector_l2_ops) WITH (lists = 4)"
+    )
+    idx = {(r.indexname, r.tablename, r.am)
+           for r in eng.sql("SELECT * FROM pg_indexes").collect()}
+    assert ("cvix", "embeddings", "IvfIndex") in idx
