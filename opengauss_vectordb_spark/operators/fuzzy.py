@@ -153,3 +153,97 @@ def ltree_hierarchy(spark, sf_dir):
         ((F.size(labels) >= 2) & (labels[1] == "ASIA")).alias("under_asia"),
         F.array_contains(labels, "ASIA").alias("lquery_asia_anywhere"),
     ).orderBy("n_name")
+
+
+_FUZZY_PROBES = [
+    (0, "smal widgett"),
+    (1, "blu rng"),
+    (2, "hot roddd"),
+    (3, "olde anvill"),
+]
+
+_SQL_PROBE_VALUES = ", ".join(
+    f"({i}, '{s}')" for i, s in _FUZZY_PROBES
+)
+
+
+@query(
+    "trgm_fuzzy_join",
+    f"""
+    WITH probes(probe_id, q) AS (VALUES {_SQL_PROBE_VALUES}),
+    pt AS (
+      SELECT probe_id, {_SQL_TRGM.format(col='q')} AS tq FROM probes
+    ), names AS (
+      SELECT DISTINCT p_name FROM part
+    ), nt AS (
+      SELECT p_name, {_SQL_TRGM.format(col='p_name')} AS tn FROM names
+    ), scored AS (
+      SELECT probe_id, p_name,
+             CAST(len(list_intersect(tn, tq)) AS DOUBLE)
+               / (len(tn) + len(tq) - len(list_intersect(tn, tq))) AS sim
+      FROM pt CROSS JOIN nt
+    ), ranked AS (
+      SELECT probe_id, p_name, ROUND(sim, 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY ROUND(sim, 6) DESC, p_name) AS rk
+      FROM scored WHERE sim >= {TRGM_LIMIT}
+    )
+    SELECT probe_id, p_name, sim FROM ranked WHERE rk <= 3
+    ORDER BY probe_id, sim DESC, p_name
+    """,
+)
+def trgm_fuzzy_join(spark, sf_dir):
+    """Fuzzy JOIN through a trigram inverted index — the scale shape of
+    pg_trgm's GIN index (``trgm_gin.cpp``: query trigrams probe posting
+    lists; candidates sharing trigrams are verified against the real
+    similarity). Probe strings explode into (trigram, probe) rows,
+    names into (trigram, name) posting rows; one equi-join on the
+    trigram counts shared trigrams per (probe, name) pair, and the
+    similarity is finished arithmetically from the precomputed set
+    sizes — |A∩B| from the join, |A|+|B|−|A∩B| as the union. Pairs
+    sharing NO trigram are never materialized, which is the entire
+    point versus the all-pairs cross join (the DuckDB oracle does the
+    quadratic form — correct at validation scale, impossible at 10^9
+    names; % filter ≥ {TRGM_LIMIT} guarantees the candidate set
+    contains every surviving pair because sim > 0 requires a shared
+    trigram). Top-3 per probe via one window over the candidates."""
+    from pyspark.sql import Window as W
+
+    probes = spark.createDataFrame(_FUZZY_PROBES, "probe_id INT, q STRING")
+    pt = probes.select(
+        "probe_id", trigrams(F.col("q")).alias("tq")
+    ).withColumn("qsize", F.size("tq"))
+    names = (
+        table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select("p_name", trigrams(F.col("p_name")).alias("tn"))
+        .withColumn("nsize", F.size("tn"))
+    )
+    postings = names.select(
+        "p_name", "nsize", F.explode("tn").alias("g")
+    )
+    probe_postings = pt.select(
+        "probe_id", "qsize", F.explode("tq").alias("g")
+    )
+    shared = (
+        postings.join(probe_postings, "g")
+        .groupBy("probe_id", "p_name", "qsize", "nsize")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sim = F.col("inter") / (
+        F.col("qsize") + F.col("nsize") - F.col("inter")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("p_name")
+    )
+    return (
+        shared.select(
+            "probe_id", "p_name", F.round(sim, 6).alias("sim")
+        )
+        .filter(F.col("sim") >= TRGM_LIMIT)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+        .orderBy("probe_id", F.desc("sim"), "p_name")
+    )
