@@ -55,7 +55,8 @@ registry.load_all_queries()
 #   fts_query_rewrite, knn_subvector_rerank, trgm_similarity_topk,
 #   ltree_hierarchy, epoch_shuffle_shards, copy_sql_roundtrip,
 #   geo_earth_distance, corpus_token_histogram,
-#   maintenance_stmt_roundtrip, json_agg_funcs, trgm_fuzzy_join
+#   maintenance_stmt_roundtrip, json_agg_funcs, trgm_fuzzy_join,
+#   regexp_oracle_funcs
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

@@ -719,3 +719,45 @@ def json_agg_funcs(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "regexp_oracle_funcs",
+    r"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS zeros,
+           NULLIF(regexp_extract(c_name, '[1-9][0-9]*'), '')
+               AS first_nonzero_run,
+           CAST(CASE WHEN regexp_matches(c_name, '[0-9]')
+                     THEN length(regexp_replace(c_name, '[0-9].*$', '')) + 1
+                     ELSE 0 END AS INT) AS digits_at,
+           hex(encode(c_name)) AS name_hex,
+           decode(from_hex(hex(encode(c_name)))) = c_name AS hex_roundtrip
+    FROM customer WHERE c_custkey < 40 ORDER BY c_custkey
+    """,
+)
+def regexp_oracle_funcs(spark, sf_dir):
+    """Oracle-compat regexp + RAW tranche (builtin catalog:
+    regexp_count / regexp_instr / regexp_substr overloads;
+    rawtohex/hextoraw): digit counting, first nonzero digit run,
+    1-based position of the first digit (regexp_instr), and the
+    rawtohex→hextoraw round trip. Spark has all four natively
+    (regexp_count/instr/substr since 3.5, hex/unhex for RAW); the
+    oracle spells instr as prefix-length arithmetic and RAW as
+    blob-hex — both engines uppercase hex, so the text matches
+    byte-for-byte."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40)
+    return c.select(
+        "c_custkey",
+        F.regexp_count(F.col("c_name"), F.lit("0")).cast("int")
+        .alias("zeros"),
+        F.regexp_substr(F.col("c_name"), F.lit("[1-9][0-9]*"))
+        .alias("first_nonzero_run"),
+        F.regexp_instr(F.col("c_name"), F.lit("[0-9]")).cast("int")
+        .alias("digits_at"),
+        F.hex(F.col("c_name").cast("binary")).alias("name_hex"),
+        (
+            F.unhex(F.hex(F.col("c_name").cast("binary"))).cast("string")
+            == F.col("c_name")
+        ).alias("hex_roundtrip"),
+    ).orderBy("c_custkey")
