@@ -1454,3 +1454,72 @@ def corpus_token_histogram(spark, sf_dir):
         )
         .orderBy("freq_bucket")
     )
+
+
+_SW_TERMS = ("table", "scan")
+_SW_TITLE = 6  # leading tokens form the 'A'-weighted title zone
+
+
+@query(
+    "fts_setweight_rank",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i <= {_SW_TITLE} AS in_title, ts[i] AS term
+      FROM toks CROSS JOIN unnest(range(1, len(ts) + 1)) AS r(i)
+      WHERE ts[i] IN ('table', 'scan')
+    ), w AS (
+      SELECT doc_id,
+             SUM(CASE WHEN in_title THEN 1 ELSE 0 END) AS tf_a,
+             SUM(CASE WHEN in_title THEN 0 ELSE 1 END) AS tf_d
+      FROM pos GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(tf_a AS INT) AS tf_title,
+           CAST(tf_d AS INT) AS tf_body,
+           ROUND(1.0 * tf_a + 0.1 * tf_d, 6) AS weighted_rank
+    FROM w
+    WHERE tf_a > 0
+    ORDER BY weighted_rank DESC, doc_id LIMIT 25
+    """,
+)
+def fts_setweight_rank(spark, sf_dir):
+    f"""Weighted-zone ranking — setweight(to_tsvector(title), 'A') ||
+    setweight(to_tsvector(body), 'D') then ts_rank with PG's default
+    weight vector {{D,C,B,A}} = {{0.1, 0.2, 0.4, 1.0}}
+    (tsvector_op.cpp:211 tsvector_setweight; tsrank.cpp:23 weights).
+    The zone is positional here (first {_SW_TITLE} tokens = title), so
+    the weighted term frequency is 1.0·tf_A + 0.1·tf_D — computed as a
+    single posexplode + conditional aggregation, one shuffle on doc_id,
+    then a bounded heap. Only docs whose TITLE zone matches survive,
+    the query shape zone weighting exists for."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.posexplode(ts_lexemes(F.col("text"))).alias("i", "term"),
+    ).filter(F.col("term").isin(*_SW_TERMS))
+    in_title = F.col("i") < _SW_TITLE  # posexplode is 0-based
+    w = (
+        ex.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(in_title, 1).otherwise(0)).alias("tf_a"),
+            F.sum(F.when(in_title, 0).otherwise(1)).alias("tf_d"),
+        )
+        .filter(F.col("tf_a") > 0)
+    )
+    return (
+        w.select(
+            "doc_id",
+            F.col("tf_a").cast("int").alias("tf_title"),
+            F.col("tf_d").cast("int").alias("tf_body"),
+            F.round(
+                F.col("tf_a") * 1.0 + F.col("tf_d") * 0.1, 6
+            ).alias("weighted_rank"),
+        )
+        .orderBy(F.desc("weighted_rank"), "doc_id")
+        .limit(25)
+    )

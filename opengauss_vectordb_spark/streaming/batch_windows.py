@@ -572,3 +572,61 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 6) AS value,
+           ROUND(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
+    ORDER BY d.event_type, d.event_id
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust (median/MAD) outlier detection per event type — the
+    Iglewicz-Hoaglin modified z-score 0.6745·(x−median)/MAD with the
+    3.5 cutoff. Complements `events_anomaly_zscore`: mean/stddev
+    break down when the contamination itself inflates the scale
+    estimate; the 50% - breakdown median pair does not. ADDITIVE
+    analytics op (the reference has percentile_cont/median —
+    orderedsetaggs.cpp/median_aggs.cpp — but no packaged detector).
+
+    Scale: two grouped medians (Spark computes exact percentile via a
+    single-pass sort-based aggregate per group) and two
+    co-partitioned joins on the low-cardinality event_type key. The
+    filter runs on the UNROUNDED score (the round is output-only) so
+    boundary values gate identically in both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(mad, "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
