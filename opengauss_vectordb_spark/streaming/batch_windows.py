@@ -630,3 +630,80 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "tsstore_time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+             lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ), seg AS (
+      SELECT event_type, day, value,
+             epoch_us(next_ts) - epoch_us(ts) AS dt_us
+      FROM s WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(dt_us AS BIGINT)) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(28,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(dt_us AS BIGINT)) AS DOUBLE), 6)
+               AS twa
+    FROM seg
+    GROUP BY event_type, day
+    HAVING SUM(CAST(dt_us AS BIGINT)) > 0
+    ORDER BY event_type, day
+    """,
+)
+def tsstore_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over irregular samples — the tsstore
+    consumer statistic a plain AVG gets wrong when sampling density
+    varies (a value held for an hour must weigh 3600x one held a
+    second). Each sample is weighted by its hold time
+    (next sample ts − ts, within the event_type×day segment, the
+    standard step-interpolation TWA); per-day value = Σ v·Δt / Σ Δt.
+
+    Scale shape: ONE window (lead over the natural
+    (series, day) partitioning — the same key the tsstore layout
+    partitions files by, so at scale the sort is within already-
+    co-located partitions), then a partial-aggregated groupBy on the
+    same key. Weights sum as DECIMAL(28,6) (v·Δus reaches ~1e13 —
+    beyond the default 18,6 envelope), durations as exact BIGINT."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = F.to_date("ts")
+    w = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    s = (
+        ev.select(
+            "event_type", day.alias("day"), "ts", "event_id",
+            F.col("value").cast("double").alias("value"),
+            us.alias("_us"),
+        )
+        .withColumn("_next_us", F.lead("_us").over(w))
+        .filter(F.col("_next_us").isNotNull())
+        .withColumn("dt_us", F.col("_next_us") - F.col("_us"))
+    )
+    return (
+        s.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("dt_us").cast("bigint")).alias("span_us"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("dt_us")).cast("decimal(28,6)")
+                ).cast("double")
+                / F.sum(F.col("dt_us").cast("bigint")).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("event_type", "day")
+    )
