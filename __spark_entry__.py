@@ -57,7 +57,7 @@ registry.load_all_queries()
 #   geo_earth_distance, corpus_token_histogram,
 #   maintenance_stmt_roundtrip, json_agg_funcs, trgm_fuzzy_join,
 #   regexp_oracle_funcs, fts_setweight_rank, events_anomaly_mad,
-#   tsstore_time_weighted_avg
+#   tsstore_time_weighted_avg, hybrid_rrf_search
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

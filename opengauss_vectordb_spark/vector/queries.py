@@ -2091,3 +2091,100 @@ def knn_subvector_rerank(spark, sf_dir):
         .orderBy("distance", "vec_id")
         .limit(10)
     )
+
+
+_RRF_K = 60      # the standard reciprocal-rank-fusion constant
+_RRF_POOL = 50   # per-modality candidate pool
+_RRF_TOP = 20
+
+
+def _rrf_oracle_sql() -> str:
+    from ..operators.text import _BM25_TERMS, _bm25_oracle_sql
+
+    bm25 = _bm25_oracle_sql(_BM25_TERMS, limit=_RRF_POOL)
+    return f"""
+    WITH bm25_top AS ({bm25}),
+    trank AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rt
+      FROM bm25_top
+    ), vtop AS (
+      SELECT vec_id AS id,
+             1.0 - ({_sql_dot(_E, _SQL_Q)})
+               / (({_sql_norm(_E)}) * ({_sql_norm(_SQL_Q)})) AS dist
+      FROM embeddings
+      ORDER BY dist, vec_id LIMIT {_RRF_POOL}
+    ), vrank AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY dist, id) AS rv FROM vtop
+    )
+    SELECT coalesce(t.id, v.id) AS id,
+           ROUND(coalesce(1.0 / ({_RRF_K} + t.rt), 0)
+                 + coalesce(1.0 / ({_RRF_K} + v.rv), 0), 6) AS rrf,
+           CAST(t.rt AS INT) AS text_rank,
+           CAST(v.rv AS INT) AS vec_rank
+    FROM trank t FULL OUTER JOIN vrank v ON t.id = v.id
+    ORDER BY rrf DESC, id LIMIT {_RRF_TOP}
+    """
+
+
+@query("hybrid_rrf_search", _rrf_oracle_sql())
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid lexical+vector retrieval fused with reciprocal rank
+    fusion (Cormack et al., SIGIR 2009: score = Σ 1/(k + rank),
+    k=60) — the standard production recipe over exactly the two
+    capabilities the reference ships side by side (tsvector ranking +
+    datavec ANN; its docs leave fusion to the caller, so this is the
+    packaged form a retrieval user actually runs). The text arm is the
+    two-scan BM25 core; the vector arm is a cosine TakeOrdered heap;
+    both pools are {_RRF_POOL} candidates, fused with a full outer join
+    on the id and reranked by the fused score.
+
+    Scale shape: each arm is independently scale-correct (documented on
+    its own gate); the fusion join touches 2×{_RRF_POOL} rows — driver-
+    trivial at any corpus size. Ranks are assigned over the LIMITed
+    pools with deterministic tie-breaks, so rank arithmetic is
+    integer-exact in both engines. (Spark warns about the
+    unpartitioned ROW_NUMBER windows — intentional: their input is the
+    already-LIMITed 50-row pool, not a data-sized relation.)"""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import _BM25_TERMS, bm25_rank
+
+    d = table(spark, sf_dir, "documents")
+    tpool = bm25_rank(d, _BM25_TERMS, limit=_RRF_POOL)
+    trank = tpool.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rt"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    vpool = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            cosine_distance(e, _spark_qlit()).alias("dist"),
+        )
+        .orderBy("dist", "id")
+        .limit(_RRF_POOL)
+    )
+    vrank = vpool.select(
+        "id",
+        F.row_number().over(W.orderBy(F.asc("dist"), F.asc("id"))).alias("rv"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("rt")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("rv")), F.lit(0.0)),
+        6,
+    )
+    return (
+        trank.join(vrank, "id", "full_outer")
+        .select(
+            "id",
+            rrf.alias("rrf"),
+            F.col("rt").cast("int").alias("text_rank"),
+            F.col("rv").cast("int").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf"), "id")
+        .limit(_RRF_TOP)
+    )
