@@ -57,7 +57,8 @@ registry.load_all_queries()
 #   geo_earth_distance, corpus_token_histogram,
 #   maintenance_stmt_roundtrip, json_agg_funcs, trgm_fuzzy_join,
 #   regexp_oracle_funcs, fts_setweight_rank, events_anomaly_mad,
-#   tsstore_time_weighted_avg, hybrid_rrf_search
+#   tsstore_time_weighted_avg, hybrid_rrf_search,
+#   events_counter_increase
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

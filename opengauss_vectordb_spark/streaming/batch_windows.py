@@ -707,3 +707,76 @@ def tsstore_time_weighted_avg(spark, sf_dir):
         .filter(F.col("span_us") > 0)
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_counter_increase",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             lag(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'view'
+    ), d AS (
+      SELECT user_id, day,
+             CASE WHEN value >= prev THEN value - prev ELSE value END
+                 AS inc
+      FROM s WHERE prev IS NOT NULL
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas,
+           ROUND(CAST(SUM(CAST(inc AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS total_increase
+    FROM d GROUP BY user_id, day
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, day
+    """,
+)
+def events_counter_increase(spark, sf_dir):
+    """Reset-aware counter increase (the monitoring-system `increase`
+    rule: a sample below its predecessor means the counter reset, so
+    the new sample IS the delta) per series and day — the consumer
+    statistic a time-series store computes over monotonic counters.
+    ADDITIVE time-series analytics alongside TWA/LOCF/anomaly; the
+    operator's algebra is exercised against gauge-valued testdata (the
+    reset branch fires constantly), which stresses both branches of
+    the CASE rather than the happy path only.
+
+    Scale: one lag window on the (series, day) layout key, then a
+    partial-agg groupBy on the same key — the exact shape of
+    `tsstore_time_weighted_avg`, one shuffle total. Deltas sum as
+    DECIMAL(18,6) for shuffle-order independence."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    day = F.to_date("ts")
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    s = (
+        ev.select(
+            "user_id", day.alias("day"),
+            F.col("value").cast("double").alias("value"),
+            "ts", "event_id",
+        )
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn(
+            "inc",
+            F.when(
+                F.col("value") >= F.col("prev"),
+                F.col("value") - F.col("prev"),
+            ).otherwise(F.col("value")),
+        )
+    )
+    return (
+        s.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.round(
+                F.sum(F.col("inc").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_increase"),
+        )
+        .filter(F.col("n_deltas") >= 3)
+        .orderBy("user_id", "day")
+    )
