@@ -42,11 +42,18 @@ class TableManager:
         self.root = root
         self.tables: dict[str, dict] = {}
 
-    def create_as(self, name: str, df: DataFrame) -> int:
+    def create_as(self, name: str, df: DataFrame,
+                  partition_by: str | None = None) -> int:
+        """CTAS; ``partition_by`` declares a list-partitioned layout
+        (nodePartIterator.cpp's pruning source): the write lays data
+        out as one directory per key value, and every later read with
+        an equality/IN filter on that column prunes whole directories
+        before any I/O (Spark partition pruning — PartIterator at the
+        file-listing level)."""
         name = name.lower()
         if name in self.tables:
             raise ValueError(f"table {name!r} already exists")
-        self.tables[name] = {"version": 0}
+        self.tables[name] = {"version": 0, "partition_by": partition_by}
         self._write(name, df, mode="overwrite")
         return self.spark.read.parquet(self._path(name)).count()
 
@@ -94,18 +101,32 @@ class TableManager:
         if name not in self.tables:
             raise KeyError(f"managed table {name!r} does not exist")
         path = self._path(name)
-        parts = _glob.glob(os.path.join(path, "part-*"))
+        parts = _glob.glob(
+            os.path.join(path, "**", "part-*"), recursive=True
+        )
         before = len(parts)
         total = sum(os.path.getsize(p) for p in parts)
         n_out = max(1, -(-total // target_file_bytes))
         compacting = path + ".compacting"
         shutil.rmtree(compacting, ignore_errors=True)
-        (
-            self.spark.read.parquet(path)
-            .coalesce(int(n_out))
-            .write.mode("overwrite")
-            .parquet(compacting)
-        )
+        pcol = self.tables[name].get("partition_by")
+        df = self.spark.read.parquet(path)
+        if pcol is not None:
+            # partitioned layout: compact WITHIN each partition dir
+            # (repartition on the key; coalesce would merge across keys
+            # and the writer would re-split them into tiny files again)
+            (
+                df.repartition(int(n_out), pcol)
+                .write.mode("overwrite")
+                .partitionBy(pcol)
+                .parquet(compacting)
+            )
+        else:
+            (
+                df.coalesce(int(n_out))
+                .write.mode("overwrite")
+                .parquet(compacting)
+            )
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
@@ -113,13 +134,19 @@ class TableManager:
         shutil.rmtree(old, ignore_errors=True)
         self.tables[name]["version"] += 1
         self.spark.read.parquet(path).createOrReplaceTempView(name)
-        return before, len(_glob.glob(os.path.join(path, "part-*")))
+        return before, len(
+            _glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+        )
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name, "data")
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
-        df.write.mode(mode).parquet(self._path(name))
+        writer = df.write.mode(mode)
+        pcol = self.tables[name].get("partition_by")
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(self._path(name))
         self.tables[name]["version"] += 1
         self.spark.read.parquet(self._path(name)).createOrReplaceTempView(
             name
@@ -127,7 +154,9 @@ class TableManager:
 
 
 _CTAS = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<stmt>.+?)\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+"
+    r"(?:PARTITION\s+BY\s+\(?(?P<pcol>\w+)\)?\s+)?"
+    r"AS\s+(?P<stmt>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
@@ -217,7 +246,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _CTAS.match(query)
     if m:
         n = engine.managed_tables.create_as(
-            m.group("name"), engine.sql(m.group("stmt"))
+            m.group("name"), engine.sql(m.group("stmt")),
+            partition_by=(m.group("pcol").lower() if m.group("pcol")
+                          else None),
         )
         return engine.spark.createDataFrame(
             [("CREATE TABLE AS", m.group("name").lower(), n)],

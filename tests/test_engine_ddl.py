@@ -319,3 +319,45 @@ def test_catalog_views(spark, tmp_path):
     idx = {(r.indexname, r.tablename, r.am)
            for r in eng.sql("SELECT * FROM pg_indexes").collect()}
     assert ("cvix", "embeddings", "IvfIndex") in idx
+
+
+def test_partitioned_ctas_prunes_and_vacuums(spark, tmp_path):
+    """CREATE TABLE ... PARTITION BY (col) AS: the write lays one
+    directory per key value (nodePartIterator's pruning source), an
+    equality filter reads only that directory, INSERT INTO keeps the
+    layout, and VACUUM compacts within partitions without destroying
+    it."""
+    import pyspark.sql.functions as F
+
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE pt PARTITION BY (o_orderstatus) AS"
+        " SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"
+        " WHERE o_orderkey <= 300"
+    )
+    base = tmp_path / "pt" / "data"
+    pdirs = {p.name for p in base.iterdir() if p.name.startswith("o_orderstatus=")}
+    assert len(pdirs) >= 2
+    # pruned read: only the matching partition's files are touched
+    got = (
+        spark.read.parquet(str(base))
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    assert got and all("o_orderstatus=F" in r.f for r in got)
+    eng.sql(
+        "INSERT INTO pt SELECT o_orderkey, o_totalprice, o_orderstatus"
+        " FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 400"
+    )
+    n = eng.sql("SELECT COUNT(*) AS n FROM pt").collect()[0].n
+    tag = eng.sql("VACUUM pt").collect()[0]
+    assert tag.files_after <= tag.files_before
+    assert eng.sql("SELECT COUNT(*) AS n FROM pt").collect()[0].n == n
+    # layout survived the compaction
+    assert {p.name for p in base.iterdir()
+            if p.name.startswith("o_orderstatus=")} == pdirs
