@@ -409,3 +409,79 @@ def db4ai_gbt_classify(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "db4ai_auc_score",
+    """
+    WITH scored AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), grouped AS (
+      SELECT s,
+             CAST(SUM(y) AS BIGINT) AS pos_s,
+             CAST(SUM(1 - y) AS BIGINT) AS neg_s
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT pos_s, neg_s,
+             coalesce(SUM(neg_s) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS neg_below
+      FROM grouped
+    )
+    SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(CAST(pos_s * (neg_below + neg_s / 2.0)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / (SUM(pos_s) * SUM(neg_s)), 6) AS auc
+    FROM cum
+    """,
+)
+def db4ai_auc_score(spark, sf_dir):
+    """ROC-AUC as the tie-aware Mann-Whitney statistic — the
+    evaluation metric every DB4AI classifier run reports (the
+    reference trains and predicts in-database, nodeTrainModel.cpp;
+    scoring the predictions is the companion step). Pairwise form:
+    AUC = Sigma over score groups of pos_s x (negatives below + half the
+    negatives tied) / (P x N) — algebraically the midrank rank-sum, but
+    computed WITHOUT ranking individual rows.
+
+    Scale shape — why the grouped form: a per-row rank() over an
+    unpartitioned window funnels the whole prediction table through
+    one task. Grouping by score FIRST is a partial-aggregated shuffle
+    (linear), and the only ordered pass runs over DISTINCT scores —
+    orders of magnitude smaller than predictions. Per-group terms are
+    half-integers, so they sum EXACTLY as DECIMAL(28,6) —
+    shuffle-order independent like every other decimal fold here."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    scored = o.select(
+        F.col("o_totalprice").cast("double").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    grouped = scored.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("pos_s"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg_s"),
+    )
+    w = (
+        W.orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = grouped.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+    )
+    term = (
+        F.col("pos_s")
+        * (F.col("neg_below") + F.col("neg_s") / 2.0)
+    ).cast("decimal(28,6)")
+    n_pos = F.sum("pos_s")
+    n_neg = F.sum("neg_s")
+    return cum.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(term).cast("double") / (n_pos * n_neg), 6
+        ).alias("auc"),
+    )
