@@ -58,7 +58,8 @@ registry.load_all_queries()
 #   maintenance_stmt_roundtrip, json_agg_funcs, trgm_fuzzy_join,
 #   regexp_oracle_funcs, fts_setweight_rank, events_anomaly_mad,
 #   tsstore_time_weighted_avg, hybrid_rrf_search,
-#   events_counter_increase, db4ai_auc_score
+#   events_counter_increase, db4ai_auc_score, db4ai_calibration_bins,
+#   events_winsorize
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

@@ -485,3 +485,56 @@ def db4ai_auc_score(spark, sf_dir):
             F.sum(term).cast("double") / (n_pos * n_neg), 6
         ).alias("auc"),
     )
+
+
+@query(
+    "db4ai_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT CAST(o_totalprice AS DOUBLE) / 600000.0 AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    )
+    SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate
+    FROM scored
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def db4ai_calibration_bins(spark, sf_dir):
+    """Calibration (reliability) table — the second standard classifier
+    diagnostic next to AUC: predictions bucketed into 10 equal-width
+    probability bins, each reporting mean predicted probability vs
+    observed positive rate. Perfect calibration puts both columns on
+    the diagonal; the gap is what Platt scaling / isotonic regression
+    would correct (the post-training step a DB4AI pipeline appends).
+
+    Scale: pure partial-aggregated groupBy on a 10-value key — one
+    shuffle of 10 rows per partition. Mean predictions use the decimal
+    fold; observed rates are exact integer ratios."""
+    o = table(spark, sf_dir, "orders")
+    p = (F.col("o_totalprice").cast("double") / 600000.0)
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return (
+        o.select(
+            F.least(F.floor(p * 10), F.lit(9)).cast("int").alias("bin"),
+            p.alias("p"),
+            y.alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("obs_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -780,3 +780,66 @@ def events_counter_increase(spark, sf_dir):
         .filter(F.col("n_deltas") >= 3)
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "events_winsorize",
+    """
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    ), clipped AS (
+      SELECT e.event_type,
+             e.value,
+             least(greatest(e.value, p.p01), p.p99) AS w
+      FROM events e JOIN pct p USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN w != value THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean
+    FROM clipped
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_winsorize(spark, sf_dir):
+    """Winsorization — clip each series at its own 1st/99th exact
+    percentiles and report the clipped count and winsorized mean. The
+    standard robust pre-processing step before training on noisy
+    numeric features (quality-score clipping in an LLM data pipeline,
+    metric clipping in monitoring); uses the reference's
+    percentile_cont machinery (orderedsetaggs.cpp:222) as the clip
+    bounds.
+
+    Scale: one grouped exact-percentile pass, one co-partitioned join
+    on the low-cardinality series key, one partial-agg fold — the
+    filter and clip never leave codegen."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = ev.join(pct, "event_type").withColumn(
+        "w", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("w") != F.col("value"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
