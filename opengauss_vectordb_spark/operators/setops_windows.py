@@ -2007,3 +2007,60 @@ def agg_regression2(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "recursive_cycle_detect",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+    ),
+    walk(start, node, depth, path) AS (
+      SELECT src, src, 0, CONCAT('/', CAST(src AS VARCHAR), '/')
+      FROM edges WHERE src < 5
+      UNION ALL
+      SELECT w.start, e.dst, w.depth + 1,
+             CONCAT(w.path, CAST(e.dst AS VARCHAR), '/')
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE instr(w.path, CONCAT('/', CAST(e.dst AS VARCHAR), '/')) = 0
+    )
+    SELECT start, CAST(COUNT(*) AS BIGINT) AS cycle_len,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM walk GROUP BY start ORDER BY start
+    """,
+)
+def recursive_cycle_detect(spark, sf_dir):
+    """WITH RECURSIVE over a cyclic graph with CYCLE detection
+    (nodeRecursiveunion.cpp; the reference's recursive CTE surface plus
+    the SQL:2016 CYCLE clause spelled as an explicit visited-path guard,
+    the rewrite openGauss itself applies).  The edge relation
+    k -> (k+5) mod 25 over nation partitions the keys into five
+    5-cycles; without the path guard the fixpoint never terminates, so
+    this pins that the engine's recursive iteration supports
+    data-dependent termination predicates, not just monotone depth.
+
+    Scale: the working table stays |starts| rows per iteration and the
+    per-iteration join is a broadcast-size equi-join on the edge key;
+    iteration depth equals the longest simple path, bounded by the
+    guard."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("cyc_nation_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst
+          FROM cyc_nation_src
+        ),
+        walk(start, node, depth, path) AS (
+          SELECT src, src, 0, CONCAT('/', CAST(src AS STRING), '/')
+          FROM edges WHERE src < 5
+          UNION ALL
+          SELECT w.start, e.dst, w.depth + 1,
+                 CONCAT(w.path, CAST(e.dst AS STRING), '/')
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE instr(w.path, CONCAT('/', CAST(e.dst AS STRING), '/')) = 0
+        )
+        SELECT start, COUNT(*) AS cycle_len,
+               CAST(SUM(node) AS BIGINT) AS node_sum
+        FROM walk GROUP BY start ORDER BY start
+        """
+    )

@@ -1523,3 +1523,169 @@ def fts_setweight_rank(spark, sf_dir):
         .orderBy(F.desc("weighted_rank"), "doc_id")
         .limit(25)
     )
+
+
+# --- Gopher / MassiveText document-level quality rules --------------------
+
+# Rae et al. 2021 (Gopher), Table A1: the document-level heuristics that
+# complement `text_repetition_filter`'s repetition rules.  Thresholds are
+# the published ones; the symbol set is reduced to the characters that
+# can occur in the synthetic corpus (the corpus is lowercase words with
+# no '#'/'…', so the symbol rule demonstrates the expression, not a
+# discriminative gate here).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+_GOPHER_MIN_STOPWORDS = 2
+
+
+@query(
+    "text_gopher_quality_filter",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+             length(text)
+               - length(replace(replace(text, '#', ''), '...', '')) AS sym
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             ROUND(list_sum(list_transform(w, x -> length(x))) * 1.0
+                   / len(w), 6) AS mean_word_len,
+             ROUND(sym * 1.0 / len(w), 6) AS symbol_ratio,
+             ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   * 1.0 / len(w), 6) AS alpha_word_frac,
+             len(list_filter(w, x -> x IN {_SQL_STOPS})) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           n_stopwords,
+           CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                 AND mean_word_len BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN}
+                 AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+                 AND alpha_word_frac >= {_GOPHER_MIN_ALPHA_WORD_FRAC}
+                 AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM m WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def text_gopher_quality_filter(spark, sf_dir):
+    """Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+    Table A1): word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, and minimum stopword count — the
+    five rules `text_repetition_filter` (dup-token / top-bigram mass)
+    does not cover.  Reference analogue: the curation gates a corpus
+    pipeline runs before ingest; none exist in the reference engine, so
+    this is part of the LLM-pipeline extension surface (BASELINE.json).
+
+    Scale: pure Column expressions over one scan — no shuffle, no UDF;
+    the filter runs map-side ahead of any dedup shuffle exactly like
+    `corpus_curation_pipeline`'s quality gate."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    w = tokens(F.col("text"))
+    nw = F.size(w)
+    mean_len = F.round(
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        * F.lit(1.0) / nw, 6)
+    sym = F.length("text") - F.length(
+        F.replace(F.replace(F.col("text"), F.lit("#"), F.lit("")),
+                  F.lit("..."), F.lit("")))
+    symbol_ratio = F.round(sym * F.lit(1.0) / nw, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+        * F.lit(1.0) / nw, 6)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    passed = (
+        nw.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mean_len.between(_GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN)
+        & (symbol_ratio <= _GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= _GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (n_stop >= _GOPHER_MIN_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        F.when(passed, 1).otherwise(0).alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+# --- tsvector manipulation (tsvector_op.cpp): || concat, ts_delete, strip -
+
+_TSOPS_TITLE = 5  # leading tokens form the title zone (as fts_setweight_rank)
+
+
+@query(
+    "fts_tsvector_ops",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+                                 '[^a-z0-9]+', ' ', 'g')), ' ') AS lex
+      FROM documents WHERE doc_id < 60
+    ),
+    z AS (
+      SELECT doc_id,
+             list_sort(list_distinct(lex[1:{_TSOPS_TITLE}])) AS title_vec,
+             list_sort(list_distinct(lex[{_TSOPS_TITLE + 1}:])) AS body_vec
+      FROM t
+    )
+    SELECT doc_id,
+           len(title_vec) AS title_len,
+           len(body_vec) AS body_len,
+           len(list_sort(list_distinct(list_concat(title_vec, body_vec))))
+             AS concat_len,
+           len(list_filter(list_sort(list_distinct(
+                 list_concat(title_vec, body_vec))), x -> x <> 'the'))
+             AS len_after_delete,
+           array_to_string(list_sort(list_distinct(title_vec)), ' ')
+             AS title_strip
+    FROM z ORDER BY doc_id
+    """,
+)
+def fts_tsvector_ops(spark, sf_dir):
+    """tsvector manipulation operators (tsvector_op.cpp): `||`
+    concatenation (tsvector_concat :431), ts_delete (:582), strip
+    (:303) and length(tsvector).  The engine's tsvector model is the
+    sorted-distinct lexeme array (SURVEY.md §2.7 full-text row), so
+    concat = sorted distinct union, ts_delete = array_remove, strip =
+    the identity that forgets positions — rendered here as the
+    canonical space-joined text, the form PG's strip() output prints.
+
+    Two zones per document (leading {5} tokens = title, rest = body)
+    exercise concat across real vectors.  Pure column expressions, one
+    scan, no shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    lex = ts_lexemes(F.col("text"))
+    z = (
+        d.select("doc_id", lex.alias("ts_lex"))
+        .select(
+            "doc_id",
+            F.array_sort(F.array_distinct(
+                F.slice(F.col("ts_lex"), 1, _TSOPS_TITLE))).alias("title_vec"),
+            F.array_sort(F.array_distinct(
+                F.slice(
+                    F.col("ts_lex"),
+                    _TSOPS_TITLE + 1,
+                    F.greatest(F.size("ts_lex") - _TSOPS_TITLE, F.lit(0)),
+                ))).alias("body_vec"),
+        )
+    )
+    cat = F.array_sort(F.array_distinct(
+        F.concat(F.col("title_vec"), F.col("body_vec"))))
+    return z.select(
+        "doc_id",
+        F.size("title_vec").alias("title_len"),
+        F.size("body_vec").alias("body_len"),
+        F.size(cat).alias("concat_len"),
+        F.size(F.array_remove(cat, "the")).alias("len_after_delete"),
+        F.array_join(F.array_sort(F.array_distinct(F.col("title_vec"))), " ")
+            .alias("title_strip"),
+    ).orderBy("doc_id")

