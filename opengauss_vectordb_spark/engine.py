@@ -69,6 +69,9 @@ class Engine:
             spark, os.path.join(self._warehouse_dir(), "_tables")
         )
         self.sequences = SequenceRegistry()
+        # SQL-language functions (commands/functioncmds.cpp): name →
+        # the Spark SQL-UDF DDL the PG text translated into
+        self.sql_functions: dict[str, str] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -250,6 +253,11 @@ class Engine:
         if handled is not None:
             return handled
         handled = _seq_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.create_function import try_handle_stmt as _fn_stmt
+
+        handled = _fn_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

@@ -48,6 +48,7 @@ def load_all_queries() -> None:
     from .operators import (  # noqa: F401
         bformat,
         copy_stmt,
+        create_function,
         db4ai,
         ddl_tables,
         dedup,
