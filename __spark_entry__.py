@@ -60,7 +60,9 @@ registry.load_all_queries()
 #   tsstore_time_weighted_avg, hybrid_rrf_search,
 #   events_counter_increase, db4ai_auc_score, db4ai_calibration_bins,
 #   events_winsorize, text_gopher_quality_filter, semdedup_keep,
-#   recursive_cycle_detect, fts_tsvector_ops, create_function_sql
+#   recursive_cycle_detect, fts_tsvector_ops, create_function_sql,
+#   pgcrypto_funcs, fuzzystrmatch_unaccent, pgstattuple_report,
+#   trigger_spi_audit
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

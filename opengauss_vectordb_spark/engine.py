@@ -72,6 +72,12 @@ class Engine:
         # SQL-language functions (commands/functioncmds.cpp): name →
         # the Spark SQL-UDF DDL the PG text translated into
         self.sql_functions: dict[str, str] = {}
+        # row triggers (commands/trigger.cpp + contrib/spi):
+        # table → {trigger name → definition}; clock/user knobs make
+        # moddatetime/insert_username deterministic under test
+        self.triggers: dict[str, dict[str, dict]] = {}
+        self.trigger_clock: str | None = None
+        self.session_user: str | None = None
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -258,6 +264,11 @@ class Engine:
         from .operators.create_function import try_handle_stmt as _fn_stmt
 
         handled = _fn_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.triggers import try_handle_stmt as _trigger_stmt
+
+        handled = _trigger_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

@@ -57,7 +57,8 @@ class TableManager:
         self._write(name, df, mode="overwrite")
         return self.spark.read.parquet(self._path(name)).count()
 
-    def insert_into(self, name: str, df: DataFrame) -> None:
+    def insert_into(self, name: str, df: DataFrame,
+                    transform=None) -> None:
         name = name.lower()
         if name not in self.tables:
             raise KeyError(f"managed table {name!r} does not exist")
@@ -74,6 +75,10 @@ class TableManager:
                 for src, field in zip(df.columns, target.schema.fields)
             ]
         )
+        # BEFORE INSERT row triggers fire on the schema-aligned tuple,
+        # as PG fires them after the tuple is cast to the table rowtype
+        if transform is not None:
+            aligned = transform(aligned)
         self._write(name, aligned, mode="append")
 
     def drop(self, name: str) -> bool:
@@ -256,8 +261,12 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
     m = _INSERT.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
+        from .triggers import fire_insert_triggers
+
+        name = m.group("name")
         engine.managed_tables.insert_into(
-            m.group("name"), engine.sql(m.group("stmt"))
+            name, engine.sql(m.group("stmt")),
+            transform=lambda d: fire_insert_triggers(engine, name, d),
         )
         return engine.spark.createDataFrame(
             [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"

@@ -47,6 +47,7 @@ def load_all_queries() -> None:
     """Import every operator module so its @query decorators run."""
     from .operators import (  # noqa: F401
         bformat,
+        contrib_funcs,
         copy_stmt,
         create_function,
         db4ai,
@@ -66,6 +67,7 @@ def load_all_queries() -> None:
         skew,
         stats,
         text,
+        triggers,
     )
     from .functions import udtf  # noqa: F401
     from .sources import zorder  # noqa: F401

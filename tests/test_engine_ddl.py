@@ -416,3 +416,35 @@ def test_create_function_setof_raises(spark):
             "CREATE FUNCTION bad(k int) RETURNS SETOF text"
             " AS 'SELECT n_name FROM nation' LANGUAGE SQL"
         )
+
+
+def test_trigger_ddl_edges(spark):
+    """contrib/spi trigger routing edges: unknown procedure, trigger on
+    a non-managed table, DROP of a missing trigger."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS trg_t")
+    eng.sql("CREATE TABLE trg_t AS SELECT n_nationkey, n_name FROM nation")
+    with pytest.raises(NotImplementedError, match="not supported"):
+        eng.sql(
+            "CREATE TRIGGER bad BEFORE INSERT ON trg_t"
+            " FOR EACH ROW EXECUTE PROCEDURE explode_rows(x)"
+        )
+    with pytest.raises(KeyError, match="managed tables"):
+        eng.sql(
+            "CREATE TRIGGER bad BEFORE INSERT ON nation"
+            " FOR EACH ROW EXECUTE PROCEDURE moddatetime(x)"
+        )
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("DROP TRIGGER nope ON trg_t")
+    # UPDATE-only triggers must NOT fire on the INSERT path
+    eng.sql(
+        "CREATE TRIGGER upd_only BEFORE UPDATE ON trg_t"
+        " FOR EACH ROW EXECUTE PROCEDURE moddatetime(n_name)"
+    )
+    eng.trigger_clock = "2024-02-02 00:00:00"
+    eng.sql("INSERT INTO trg_t VALUES (990, 'untouched')")
+    got = eng.sql(
+        "SELECT n_name FROM trg_t WHERE n_nationkey = 990"
+    ).collect()[0].n_name
+    assert got == "untouched"
+    eng.sql("DROP TABLE trg_t")
