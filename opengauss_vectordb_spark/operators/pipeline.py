@@ -864,3 +864,165 @@ def epoch_shuffle_shards(spark, sf_dir):
         )
         .orderBy("shard", "pos")
     )
+
+
+# --- DSIR: data selection via importance resampling -----------------------
+
+_DSIR_V = 64          # hashed feature buckets (paper: 10^4; small here so
+                      # every bucket is exercised at test scale)
+_DSIR_K = 50          # resample size
+# target seed set: every 10th doc stands in for the "high-quality" corpus
+_DSIR_TARGET = "doc_id % 10 = 0"
+
+
+def _duck_nib2(expr: str) -> str:
+    """First two md5 nibbles of ``expr`` as an int (DuckDB spelling of
+    Spark's conv(substring(md5(x),1,2),16,10))."""
+    return (
+        f"((strpos('0123456789abcdef', md5({expr})[1:1]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', md5({expr})[2:2]) - 1))"
+    )
+
+
+@query(
+    "dsir_importance_resample",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g FROM toks, unnest(w) AS t(g)
+      UNION ALL
+      SELECT doc_id, w[p] || ' ' || w[p + 1] AS g
+      FROM toks, unnest(range(1, len(w))) AS r(p)
+    ),
+    counts AS (
+      SELECT doc_id, {_duck_nib2('g')} % {_DSIR_V} AS b,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, b
+    ),
+    tgt AS (
+      SELECT b, SUM(cnt) AS c FROM counts
+      WHERE {_DSIR_TARGET} GROUP BY b
+    ),
+    raw AS (SELECT b, SUM(cnt) AS c FROM counts GROUP BY b),
+    ratio AS (
+      SELECT r.b,
+             ROUND(ln((COALESCE(t.c, 0) + 1.0)
+                      / ((SELECT SUM(c) FROM tgt) + {_DSIR_V}))
+                   - ln((r.c + 1.0)
+                        / ((SELECT SUM(c) FROM raw) + {_DSIR_V})),
+                   6) AS lr
+      FROM raw r LEFT JOIN tgt t USING (b)
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             CAST(SUM(CAST(c.cnt * r.lr AS DECIMAL(18,6))) AS DOUBLE)
+               AS score
+      FROM counts c JOIN ratio r USING (b) GROUP BY c.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, score,
+             ROUND(-ln(-ln(({_SQL_H8} + 1) / 4294967297.0)), 6) AS gumbel
+      FROM scored
+    )
+    SELECT doc_id, score, gumbel,
+           ROUND(score + gumbel, 6) AS sample_key
+    FROM keyed
+    ORDER BY score + gumbel DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def dsir_importance_resample(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): hashed n-gram features (unigrams +
+    bigrams into V=64 buckets), Laplace-smoothed bucket
+    distributions for a target seed set vs the raw corpus, per-document
+    importance weight  log w = sum_b count_b * (log p_target(b) -
+    log p_raw(b)),  then Gumbel-top-k resampling — the published recipe
+    for biasing a raw crawl toward a quality domain without training a
+    classifier.  Reference: no analogue (LLM-pipeline extension per
+    BASELINE.json, beside the quality/dedup operators).
+
+    Determinism: log-ratios rounded to 6 dp (absorbs any libm ulp skew
+    between engines), per-doc score summed via the DECIMAL(18,6)
+    convention, Gumbel noise derived from md5(doc_id) — the seeded,
+    partitioning-independent form of the paper's random Gumbel keys.
+
+    Scale: one map-side pass hashes grams to bucket ids and
+    pre-aggregates (doc_id, bucket) counts — the shuffle carries at
+    most V short rows per document, never token text; the two
+    distribution tables are V rows (broadcast); scoring is one
+    co-partitioned join + short-key groupBy; selection is a TakeOrdered
+    heap.  This is exactly how DSIR runs over a 100 TB crawl."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    toks = d.select("doc_id", w.alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.when(
+                    F.size("w") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1),"
+                        " i -> concat(element_at(w, i), ' ',"
+                        " element_at(w, i + 1)))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("g"),
+    )
+    counts = (
+        grams.select(
+            "doc_id",
+            (F.expr("conv(substring(md5(g), 1, 2), 16, 10)")
+             .cast("long") % _DSIR_V).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tgt = (
+        counts.filter(F.expr(_DSIR_TARGET))
+        .groupBy("b").agg(F.sum("cnt").alias("tc"))
+    )
+    raw = counts.groupBy("b").agg(F.sum("cnt").alias("rc"))
+    tgt_tot = tgt.agg(F.sum("tc").alias("tt"))
+    raw_tot = raw.agg(F.sum("rc").alias("rt"))
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                      / (F.col("tt") + _DSIR_V))
+                - F.log((F.col("rc") + 1.0) / (F.col("rt") + _DSIR_V)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        counts.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("cnt") * F.col("lr")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    gumbel = F.round(
+        -F.log(-F.log((F.expr(_H8) + 1) / F.lit(4294967297.0))), 6
+    )
+    keyed = scored.select("doc_id", "score", gumbel.alias("gumbel"))
+    return (
+        keyed.select(
+            "doc_id", "score", "gumbel",
+            F.round(F.col("score") + F.col("gumbel"), 6)
+            .alias("sample_key"),
+        )
+        .orderBy((F.col("score") + F.col("gumbel")).desc(), "doc_id")
+        .limit(_DSIR_K)
+    )
