@@ -78,6 +78,14 @@ class Engine:
         self.triggers: dict[str, dict[str, dict]] = {}
         self.trigger_clock: str | None = None
         self.session_user: str | None = None
+        # dblink connections (contrib/dblink): name → remote Engine on
+        # an isolated sub-session (separate temp-view namespace)
+        self.dblink_conns: dict[str, "Engine"] = {}
+        # contrib/auto_explain analogue: when enabled, Engine.sql
+        # records (normalized statement, formatted physical plan) for
+        # every SELECT it plans — queryable post-hoc like the PG log
+        self.auto_explain: bool = False
+        self.plan_log: list[tuple[str, str]] = []
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -271,10 +279,26 @@ class Engine:
         handled = _trigger_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.dblink import try_handle_stmt as _dblink_stmt
+
+        handled = _dblink_stmt(self, query)
+        if handled is not None:
+            return handled
         routed = self._maybe_route_ann_select(query)
         if routed is not None:
-            return routed
-        return self.spark.sql(translate(query))
+            return self._maybe_log_plan(routed, query)
+        return self._maybe_log_plan(self.spark.sql(translate(query)), query)
+
+    def _maybe_log_plan(self, df: DataFrame, query: str) -> DataFrame:
+        """contrib/auto_explain analogue: capture the formatted physical
+        plan at plan time (PG logs at execution; Spark's lazy model makes
+        plan-time the faithful interception point — the executed plan is
+        this one, modulo AQE re-optimization)."""
+        if self.auto_explain:
+            self.plan_log.append(
+                (query.strip(), df._jdf.queryExecution().toString())
+            )
+        return df
 
     def _record_statement(self, query: str) -> None:
         """contrib/pg_stat_statements: statements are aggregated under a

@@ -51,6 +51,7 @@ def load_all_queries() -> None:
         copy_stmt,
         create_function,
         db4ai,
+        dblink,
         ddl_tables,
         dedup,
         functions_ext,

@@ -448,3 +448,28 @@ def test_trigger_ddl_edges(spark):
     ).collect()[0].n_name
     assert got == "untouched"
     eng.sql("DROP TABLE trg_t")
+
+
+def test_dblink_and_auto_explain(spark):
+    """contrib/dblink: isolated-session remote catalog; contrib/
+    auto_explain: plan capture on the SELECT paths."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(KeyError, match="not established"):
+        eng.sql("SELECT * FROM dblink('nope', 'SELECT 1')")
+    eng.sql("SELECT dblink_connect('r1', 'dir=/root/testdata/sf0.001')")
+    # remote runs against ITS catalog, not the local one
+    rn = eng.sql(
+        "SELECT * FROM dblink('r1', 'SELECT COUNT(*) AS n FROM orders')"
+        " AS t(n)"
+    ).collect()[0].n
+    ln = eng.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n
+    assert rn < ln  # sf0.001 vs sf0.01
+    # local temp views untouched by the remote session's registration
+    assert eng.table("orders").count() == ln
+    eng.sql("SELECT dblink_disconnect('r1')")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("SELECT dblink_disconnect('r1')")
+    eng.auto_explain = True
+    eng.sql("SELECT n_name FROM nation WHERE n_nationkey = 1")
+    stmt, plan = eng.plan_log[-1]
+    assert "n_nationkey = 1" in stmt and "Physical Plan" in plan
