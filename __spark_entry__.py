@@ -62,7 +62,8 @@ registry.load_all_queries()
 #   events_winsorize, text_gopher_quality_filter, semdedup_keep,
 #   recursive_cycle_detect, fts_tsvector_ops, create_function_sql,
 #   pgcrypto_funcs, fuzzystrmatch_unaccent, pgstattuple_report,
-#   trigger_spi_audit, dsir_importance_resample, dblink_remote_agg
+#   trigger_spi_audit, dsir_importance_resample, dblink_remote_agg,
+#   xml_funcs, eval_bootstrap_ci
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

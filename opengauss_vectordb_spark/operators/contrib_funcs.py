@@ -176,3 +176,42 @@ def pgstattuple_report(spark, sf_dir):
     return spark.createDataFrame(
         rows, "tablename STRING, n_rows BIGINT, n_cols INT"
     )
+
+
+@query(
+    "xml_funcs",
+    """
+    SELECT n_nationkey, n_name,
+           n_name AS xml_name,
+           CAST(n_nationkey AS INT) AS xml_key,
+           TRUE AS key_match,
+           CAST(2 AS INT) AS n_items
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def xml_funcs(spark, sf_dir):
+    """XML functions (contrib/xml2 + the core xmltype surface,
+    utils/adt/xml.cpp): construct an XML document per row, then extract
+    scalars back with XPath — xpath_string / xpath_int /
+    xpath_boolean / xpath (node-set).  DuckDB has no XPath, so the
+    oracle recomputes the round-trip identities directly from the
+    source columns — value-checked, since any extraction error breaks
+    the equality.
+
+    Scale: Spark's xpath_* are JVM expressions (codegen'd row-at-a-time
+    XML parse) — one scan, no shuffle, no Python."""
+    n = table(spark, sf_dir, "nation")
+    key_s = F.col("n_nationkey").cast("string")
+    xml = F.concat(
+        F.lit("<row><k>"), key_s, F.lit("</k><n>"), F.col("n_name"),
+        F.lit("</n><tags><t>a</t><t>b</t></tags></row>"),
+    )
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.xpath_string(xml, F.lit("/row/n")).alias("xml_name"),
+        F.xpath_int(xml, F.lit("/row/k")).alias("xml_key"),
+        (F.xpath_int(xml, F.lit("/row/k")) == F.col("n_nationkey"))
+        .alias("key_match"),
+        F.size(F.xpath(xml, F.lit("/row/tags/t/text()"))).alias("n_items"),
+    ).orderBy("n_nationkey")

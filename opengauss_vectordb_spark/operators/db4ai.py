@@ -538,3 +538,121 @@ def db4ai_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --- Poisson-bootstrap confidence intervals (massive-data evaluation) -----
+
+_BOOT_B = 200  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!) — the
+# Poisson bootstrap replaces multinomial resampling with iid Poisson(1)
+# weights so each element decides its replicate weights independently
+# (Chamandy et al. 2012, "Estimating uncertainty for massive data
+# streams"; the standard bootstrap at map-reduce scale).
+_POIS_CDF = [
+    (0.36787944, 0), (0.73575888, 1), (0.91969860, 2),
+    (0.98101184, 3), (0.99634015, 4), (0.99940582, 5),
+]
+
+
+def _pois_case(u_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {u_expr} < {thr} THEN {k}" for thr, k in _POIS_CDF
+    )
+    return f"CASE {whens} ELSE 6 END"
+
+
+def _duck_h8(expr: str) -> str:
+    """First eight md5 nibbles of ``expr`` as an int (DuckDB spelling of
+    Spark's conv(substring(md5(x),1,8),16,10))."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', md5({expr})[{i}:{i}]) - 1)"
+            f" * {16 ** (8 - i)}"
+            for i in range(1, 9)
+        )
+        + ")"
+    )
+
+
+_BOOT_KEY_DUCK = "CAST(doc_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)"
+_BOOT_U_DUCK = f"(({_duck_h8(_BOOT_KEY_DUCK)} + 1) / 4294967297.0)"
+_BOOT_U_SPARK = (
+    "((conv(substring(md5(concat(cast(doc_id as string), '_',"
+    " cast(b as string))), 1, 8), 16, 10) + 1) / 4294967297.0)"
+)
+
+
+@query(
+    "eval_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT d.doc_id, d.n_chars, r.b,
+             {_pois_case(_BOOT_U_DUCK)} AS w
+      FROM documents d, unnest(range(1, {_BOOT_B} + 1)) AS r(b)
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m
+      FROM reps GROUP BY b HAVING SUM(w) > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST({_BOOT_B} AS INT) AS n_reps,
+           ROUND((SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                  FROM documents), 6) AS point_mean,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+)
+def eval_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for a corpus-level metric
+    (mean document length), the published technique for uncertainty
+    estimation over data too large to multinomial-resample: each row
+    draws an independent Poisson(1) weight per replicate, replicate
+    means are weighted averages, and the CI is the [2.5, 97.5]
+    percentile band over replicates (Chamandy et al. 2012).  Reference:
+    no analogue — evaluation-family LLM-pipeline extension beside
+    db4ai_auc_score / db4ai_calibration_bins.
+
+    Determinism: weights come from the Poisson inverse CDF applied to a
+    md5(doc_id, replicate) uniform — integer hash arithmetic plus one
+    IEEE division, identical in both engines; replicate sums are exact
+    integers (weight x n_chars), so no float-order drift; the percentile
+    uses the engines' shared linear-interpolation definition.
+
+    Scale: the row x replicate expansion is map-side (each input row
+    emits B short (b, w*x, w) tuples); the shuffle aggregates B groups
+    — corpus-size-independent state.  This is THE bootstrap shape for
+    100 TB evaluation: one pass, B counters."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = d.join(
+        spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b")),
+    ).select(
+        "doc_id", "n_chars", "b",
+        F.expr(_pois_case(_BOOT_U_SPARK)).alias("w"),
+    )
+    means = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select((F.col("swx").cast("double") / F.col("sw")).alias("m"))
+    )
+    point = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("point_mean"),
+    )
+    ci = means.agg(
+        F.round(F.percentile("m", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("m", 0.975), 6).alias("ci_hi"),
+    )
+    return point.crossJoin(ci).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.lit(_BOOT_B).cast("int").alias("n_reps"),
+        "point_mean", "ci_lo", "ci_hi",
+    )
