@@ -143,6 +143,30 @@ class TableManager:
             _glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
         )
 
+    def rewrite(self, name: str, df: DataFrame) -> None:
+        """Copy-on-write relation rewrite (the columnar UPDATE/DELETE
+        shape): write the new version to a side directory, then swap
+        atomically — a reader never observes a partial table, and the
+        writer never self-overwrites the files it is reading."""
+        import shutil
+
+        name = name.lower()
+        path = self._path(name)
+        compacting = path + ".compacting"
+        shutil.rmtree(compacting, ignore_errors=True)
+        pcol = self.tables[name].get("partition_by")
+        writer = df.write.mode("overwrite")
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(compacting)
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(compacting, path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.tables[name]["version"] += 1
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name, "data")
 
@@ -173,6 +197,38 @@ _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_set_clauses(sets: str) -> list[tuple[str, str]]:
+    """Top-level comma split of ``col = expr, ...`` (paren-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in sets:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    parsed = []
+    for clause in out:
+        col, expr = clause.split("=", 1)
+        parsed.append((col.strip(), expr.strip()))
+    return parsed
 _CREATE_VIEW = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+"
     r"AS\s+(?P<stmt>.+?)\s*;?\s*$",
@@ -270,6 +326,58 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
         return engine.spark.createDataFrame(
             [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"
+        )
+    m = _UPDATE.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        # ModifyTable UPDATE (nodeModifyTable.cpp) as copy-on-write:
+        # CASE WHEN <where> THEN <expr> ELSE <col> END per SET clause,
+        # one relation rewrite — the columnar UPDATE shape (the
+        # reference's CStore UPDATE is likewise delete+append)
+        from .triggers import fire_update_triggers
+
+        name = m.group("name").lower()
+        df = engine.spark.read.parquet(engine.managed_tables._path(name))
+        where = m.group("where") or "TRUE"
+        cond = F.expr(where)
+        n_hit = df.filter(cond).count()
+        sets = dict(_split_set_clauses(m.group("sets")))
+        by_name = {f.name: f for f in df.schema.fields}
+        cols = []
+        for f in df.schema.fields:
+            if f.name in sets:
+                cols.append(
+                    F.when(cond, F.expr(sets[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        updated = df.select(*cols)
+        updated = fire_update_triggers(
+            engine, name, updated, cond, set_cols=set(sets), schema=by_name
+        )
+        engine.managed_tables.rewrite(name, updated)
+        return engine.spark.createDataFrame(
+            [("UPDATE", name, n_hit)], "tag STRING, tbl STRING, rows BIGINT"
+        )
+    m = _DELETE.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        # ModifyTable DELETE: keep the complement, rewrite — at scale
+        # this touches only files whose rowgroup stats can contain
+        # matches (Spark prunes the scan on the predicate)
+        name = m.group("name").lower()
+        df = engine.spark.read.parquet(engine.managed_tables._path(name))
+        where = m.group("where")
+        if where is None:
+            kept = df.limit(0)
+            n_del = df.count()
+        else:
+            cond = F.expr(where)
+            n_del = df.filter(cond).count()
+            kept = df.filter(~cond | cond.isNull())
+        engine.managed_tables.rewrite(name, kept)
+        return engine.spark.createDataFrame(
+            [("DELETE", name, n_del)], "tag STRING, tbl STRING, rows BIGINT"
         )
     m = _DROP_TABLE.match(query)
     if m and (
@@ -564,3 +672,72 @@ def maintenance_stmt_roundtrip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "update_delete_dml",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS stamped
+      FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(SUM(stamped) AS BIGINT) AS n_stamped,
+           '2024-03-01 00:00:00' AS stamp
+    FROM base WHERE o_orderstatus <> 'O'
+    """,
+)
+def update_delete_dml(spark, sf_dir):
+    """ModifyTable UPDATE + DELETE through Engine.sql
+    (nodeModifyTable.cpp; the CStore form is delete+append, matching
+    the copy-on-write rewrite here), composed with a BEFORE UPDATE
+    moddatetime trigger (contrib/spi): UPDATE raises finished orders'
+    price 10% and the trigger stamps exactly those rows; DELETE then
+    removes open orders; the audited aggregate must equal the oracle's
+    direct CASE/filter recomputation over the source table.
+
+    Scale: UPDATE is one relation rewrite with the SET folded into a
+    CASE projection (no join, no shuffle); DELETE rewrites the
+    complement; both swap via a side directory so readers never see a
+    partial table."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.trigger_clock = "2024-03-01 00:00:00"
+    eng.sql("DROP TABLE IF EXISTS dml_t")
+    eng.sql(
+        "CREATE TABLE dml_t AS"
+        " SELECT o_orderkey, o_orderstatus, o_totalprice,"
+        " CAST(NULL AS TIMESTAMP) AS updated_at"
+        " FROM orders WHERE o_orderkey <= 400"
+    )
+    eng.sql(
+        "CREATE TRIGGER t_mod BEFORE UPDATE ON dml_t"
+        " FOR EACH ROW EXECUTE PROCEDURE moddatetime(updated_at)"
+    )
+    upd = eng.sql(
+        "UPDATE dml_t SET o_totalprice = o_totalprice * 1.1"
+        " WHERE o_orderstatus = 'F'"
+    ).collect()[0]
+    dele = eng.sql(
+        "DELETE FROM dml_t WHERE o_orderstatus = 'O'"
+    ).collect()[0]
+    if (upd.tag, dele.tag) != ("UPDATE", "DELETE"):
+        raise AssertionError("DML command tags wrong")
+    out = eng.sql(
+        "SELECT COUNT(*) AS n,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        "   AS total,"
+        " COUNT(updated_at) AS n_stamped,"
+        " MIN(CAST(updated_at AS STRING)) AS stamp"
+        " FROM dml_t"
+    )
+    rows = out.collect()
+    eng.sql("DROP TABLE dml_t")
+    return spark.createDataFrame(
+        rows, "n BIGINT, total DOUBLE, n_stamped BIGINT, stamp STRING"
+    )

@@ -131,6 +131,49 @@ def fire_insert_triggers(engine, tbl: str, df):
     return df
 
 
+def fire_update_triggers(engine, tbl: str, df, cond, set_cols, schema):
+    """BEFORE UPDATE triggers: stamp columns on the rows the UPDATE's
+    WHERE condition hit (moddatetime's canonical use), validate fk
+    columns the SET clauses touched (refint)."""
+    trigs = getattr(engine, "triggers", {}).get(tbl.lower(), {})
+    for name in sorted(trigs):
+        t = trigs[name]
+        if "update" not in t["events"]:
+            continue
+        proc, args = t["proc"], t["args"]
+        if proc == "moddatetime":
+            clock = getattr(engine, "trigger_clock", None)
+            stamp = (F.lit(clock).cast("timestamp") if clock is not None
+                     else F.current_timestamp())
+            df = df.withColumn(
+                args[0], F.when(cond, stamp).otherwise(F.col(args[0]))
+            )
+        elif proc == "insert_username":
+            user = (getattr(engine, "session_user", None)
+                    or engine.spark.sparkContext.sparkUser())
+            df = df.withColumn(
+                args[0], F.when(cond, F.lit(user)).otherwise(F.col(args[0]))
+            )
+        elif proc == "check_primary_key":
+            fkcol, reftable, refcol = args
+            if fkcol not in set_cols:
+                continue  # fk column untouched by this UPDATE
+            ref = engine.spark.table(reftable).select(
+                F.col(refcol).alias(fkcol)
+            )
+            missing = (
+                df.filter(cond).select(fkcol)
+                .filter(F.col(fkcol).isNotNull())
+                .join(ref, fkcol, "left_anti").limit(1).count()
+            )
+            if missing:
+                raise ValueError(
+                    f"trigger {name}: update on {tbl!r} violates"
+                    f" check_primary_key({fkcol} -> {reftable}.{refcol})"
+                )
+    return df
+
+
 @query(
     "trigger_spi_audit",
     """

@@ -473,3 +473,40 @@ def test_dblink_and_auto_explain(spark):
     eng.sql("SELECT n_name FROM nation WHERE n_nationkey = 1")
     stmt, plan = eng.plan_log[-1]
     assert "n_nationkey = 1" in stmt and "Physical Plan" in plan
+
+
+def test_update_delete_statements(spark):
+    """ModifyTable UPDATE/DELETE routing: command tags with affected
+    counts, NULL-condition keep semantics, refint on updated fk
+    columns, and full-table DELETE."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS ud_t")
+    eng.sql(
+        "CREATE TABLE ud_t AS SELECT n_nationkey, n_name, n_regionkey"
+        " FROM nation"
+    )
+    tag = eng.sql(
+        "UPDATE ud_t SET n_name = concat(n_name, '!')"
+        " WHERE n_nationkey < 5"
+    ).collect()[0]
+    assert (tag.tag, tag.rows) == ("UPDATE", 5)
+    got = {r.n_nationkey: r.n_name for r in eng.sql(
+        "SELECT n_nationkey, n_name FROM ud_t WHERE n_nationkey < 7"
+    ).collect()}
+    assert got[0].endswith("!") and not got[6].endswith("!")
+    # refint fires only when the fk column is in the SET list
+    eng.sql(
+        "CREATE TRIGGER fk_r BEFORE UPDATE ON ud_t FOR EACH ROW"
+        " EXECUTE PROCEDURE check_primary_key('n_regionkey', 'region',"
+        " 'r_regionkey')"
+    )
+    eng.sql("UPDATE ud_t SET n_name = 'x' WHERE n_nationkey = 9")  # ok
+    with pytest.raises(ValueError, match="check_primary_key"):
+        eng.sql("UPDATE ud_t SET n_regionkey = 99 WHERE n_nationkey = 9")
+    tag = eng.sql("DELETE FROM ud_t WHERE n_regionkey = 0").collect()[0]
+    assert tag.tag == "DELETE" and tag.rows == 5
+    assert eng.sql("SELECT COUNT(*) AS n FROM ud_t").collect()[0].n == 20
+    tag = eng.sql("DELETE FROM ud_t").collect()[0]
+    assert tag.rows == 20
+    assert eng.sql("SELECT COUNT(*) AS n FROM ud_t").collect()[0].n == 0
+    eng.sql("DROP TABLE ud_t")
