@@ -215,3 +215,57 @@ def xml_funcs(spark, sf_dir):
         .alias("key_match"),
         F.size(F.xpath(xml, F.lit("/row/tags/t/text()"))).alias("n_items"),
     ).orderBy("n_nationkey")
+
+
+_PAGEINSPECT_KEYS = [
+    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("nation", "n_nationkey"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+]
+
+_PAGEINSPECT_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS tablename, '{k}' AS key_col,"
+    f" (SELECT CAST(MIN({k}) AS BIGINT) FROM {t}) AS stats_min,"
+    f" (SELECT CAST(MAX({k}) AS BIGINT) FROM {t}) AS stats_max,"
+    f" (SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS stats_rows"
+    for t, k in _PAGEINSPECT_KEYS
+)
+
+
+@query(
+    "pageinspect_stats",
+    f"SELECT * FROM ({_PAGEINSPECT_ORACLE}) ORDER BY tablename",
+)
+def pageinspect_stats(spark, sf_dir):
+    """contrib/pageinspect analogue for a columnar layout: the rowgroup
+    min/max statistics read from parquet FOOTERS — the exact metadata
+    the CStore CU rough-check (cstore_roughcheck_func.cpp) and this
+    engine's rowgroup-pruned scans consult before any data I/O.  The
+    oracle recomputes MIN/MAX/COUNT from the DATA, so a green row
+    proves the pruning metadata is truthful: a filter outside
+    [stats_min, stats_max] can safely skip the rowgroup.
+
+    Scale: footer reads only (O(row groups), zero data I/O) — the same
+    introspection a 100 TB table exposes through its file manifests."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t, k in _PAGEINSPECT_KEYS:
+        f = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet"))
+        idx = f.schema_arrow.names.index(k)
+        mins, maxes, n = [], [], 0
+        for i in range(f.metadata.num_row_groups):
+            rg = f.metadata.row_group(i)
+            st = rg.column(idx).statistics
+            mins.append(st.min)
+            maxes.append(st.max)
+            n += rg.num_rows
+        rows.append((t, k, int(min(mins)), int(max(maxes)), n))
+    return spark.createDataFrame(
+        rows,
+        "tablename STRING, key_col STRING, stats_min BIGINT,"
+        " stats_max BIGINT, stats_rows BIGINT",
+    )
