@@ -86,6 +86,12 @@ class Engine:
         # every SELECT it plans — queryable post-hoc like the PG log
         self.auto_explain: bool = False
         self.plan_log: list[tuple[str, str]] = []
+        # row-level security (sec_rls_cmds.cpp / pg_rlspolicy):
+        # protected tables, table → {policy → {pred, roles}}, and the
+        # session role (None = owner, bypasses RLS)
+        self.rls_enabled: set[str] = set()
+        self.rls_policies: dict[str, dict[str, dict]] = {}
+        self.current_role: str | None = None
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -282,6 +288,11 @@ class Engine:
         from .operators.dblink import try_handle_stmt as _dblink_stmt
 
         handled = _dblink_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.rls import try_handle_stmt as _rls_stmt
+
+        handled = _rls_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

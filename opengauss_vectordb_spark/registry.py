@@ -64,6 +64,7 @@ def load_all_queries() -> None:
         pg_types,
         pipeline,
         relational,
+        rls,
         setops_windows,
         skew,
         stats,

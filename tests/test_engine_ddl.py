@@ -510,3 +510,32 @@ def test_update_delete_statements(spark):
     assert tag.rows == 20
     assert eng.sql("SELECT COUNT(*) AS n FROM ud_t").collect()[0].n == 0
     eng.sql("DROP TABLE ud_t")
+
+
+def test_rls_policy_edges(spark):
+    """RLS edges: policies OR together, DROP POLICY restores default
+    deny, policies only attach to managed tables."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS rlse_t")
+    eng.sql(
+        "CREATE TABLE rlse_t AS SELECT n_nationkey, n_regionkey"
+        " FROM nation"
+    )
+    eng.sql("ALTER TABLE rlse_t ENABLE ROW LEVEL SECURITY")
+    with pytest.raises(KeyError, match="managed tables"):
+        eng.sql("CREATE POLICY p ON nation USING (TRUE)")
+    eng.sql("CREATE POLICY p_r0 ON rlse_t TO analyst"
+            " USING (n_regionkey = 0)")
+    eng.sql("CREATE POLICY p_r1 ON rlse_t TO analyst"
+            " USING (n_regionkey = 1)")
+    eng.sql("SET ROLE analyst")
+    n = eng.sql("SELECT COUNT(*) AS n FROM rlse_t").collect()[0].n
+    assert n == 10  # two 5-nation regions, policies OR'd
+    eng.sql("DROP POLICY p_r0 ON rlse_t")
+    n = eng.sql("SELECT COUNT(*) AS n FROM rlse_t").collect()[0].n
+    assert n == 5
+    eng.sql("DROP POLICY p_r1 ON rlse_t")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rlse_t").collect()[0].n == 0
+    eng.sql("RESET ROLE")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rlse_t").collect()[0].n == 25
+    eng.sql("DROP TABLE rlse_t")
