@@ -92,6 +92,10 @@ class Engine:
         self.rls_enabled: set[str] = set()
         self.rls_policies: dict[str, dict[str, dict]] = {}
         self.current_role: str | None = None
+        # dynamic data masking (gs_policy_masking.cpp): resource labels
+        # (label → [(table, column)]) and masking policies bound to them
+        self.resource_labels: dict[str, list[tuple[str, str]]] = {}
+        self.masking_policies: dict[str, dict] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,

@@ -60,9 +60,15 @@ def _refresh_views(engine) -> None:
     """Re-point protected tables' views for the current role — the
     rewriteRlsPolicy.cpp qual injection, done once per role change."""
     role = engine.current_role
-    for tbl in engine.rls_enabled:
+    labeled = {
+        t for cols in engine.resource_labels.values() for t, _c in cols
+        if t in engine.managed_tables.tables
+    }
+    for tbl in engine.rls_enabled | labeled:
         base = engine.spark.read.parquet(engine.managed_tables._path(tbl))
-        if role is None:  # owner bypasses RLS (sec_rls_cmds.cpp default)
+        if role is None or tbl not in engine.rls_enabled:
+            # owner bypasses RLS (sec_rls_cmds.cpp default); masking-only
+            # tables are row-complete
             view = base
         else:
             preds = [
@@ -77,6 +83,7 @@ def _refresh_views(engine) -> None:
                 view = base.filter(cond)
             else:
                 view = base.filter(F.lit(False))  # default deny
+        view = _apply_masking(engine, tbl, view)
         view.createOrReplaceTempView(tbl)
 
 
@@ -133,7 +140,7 @@ def try_handle_stmt(engine, stmt: str):
         return engine.spark.createDataFrame(
             [("RESET ROLE",)], "tag STRING"
         )
-    return None
+    return try_handle_masking_stmt(engine, stmt)
 
 
 @query(
@@ -195,4 +202,180 @@ def rls_policy_scan(spark, sf_dir):
         [(a.n, a.bal, owner, denied)],
         "n_analyst BIGINT, bal_analyst DOUBLE, n_owner BIGINT,"
         " n_denied BIGINT",
+    )
+
+
+# --- data masking policies (gs_policy_masking.cpp) ------------------------
+
+_CREATE_LABEL = re.compile(
+    r"^\s*CREATE\s+RESOURCE\s+LABEL\s+(?P<name>\w+)\s+ADD\s+"
+    r"COLUMN\s*\(\s*(?P<cols>[\w.]+(?:\s*,\s*[\w.]+)*)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_MASKING = re.compile(
+    r"^\s*CREATE\s+MASKING\s+POLICY\s+(?P<name>\w+)\s+"
+    r"(?P<fn>maskall|creditcardmasking|basicemailmasking)\s+ON\s+"
+    r"LABEL\s*\(\s*(?P<label>\w+)\s*\)"
+    r"(?:\s+FILTER\s+ON\s+ROLES\s*\(\s*(?P<roles>\w+(?:\s*,\s*\w+)*)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MASKING = re.compile(
+    r"^\s*DROP\s+MASKING\s+POLICY\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _mask_expr(fn: str, col: str):
+    """The reference's masking functions (gs_policy_masking.cpp:59-60,
+    :388) as engine-portable string expressions."""
+    c = F.col(col)
+    if fn == "maskall":
+        return F.expr(f"repeat('x', length({col}))")
+    if fn == "creditcardmasking":
+        # keep the last 4 digits, mask the rest
+        return F.concat(
+            F.expr(f"repeat('x', greatest(length({col}) - 4, 0))"),
+            F.expr(f"substring({col}, greatest(length({col}) - 3, 1))"),
+        )
+    if fn == "basicemailmasking":
+        # mask the local part before '@'
+        return F.when(
+            F.instr(c, "@") > 1,
+            F.concat(
+                F.expr(f"repeat('x', instr({col}, '@') - 1)"),
+                F.expr(f"substring({col}, instr({col}, '@'))"),
+            ),
+        ).otherwise(F.expr(f"repeat('x', length({col}))"))
+    raise ValueError(f"unknown masking function {fn!r}")
+
+
+def _apply_masking(engine, tbl: str, view):
+    """Column-mask the view for the current role (owner sees clear)."""
+    if engine.current_role is None:
+        return view
+    for pol in engine.masking_policies.values():
+        if pol["roles"] is not None and engine.current_role not in pol["roles"]:
+            continue
+        for ltbl, lcol in engine.resource_labels.get(pol["label"], []):
+            if ltbl == tbl and lcol in view.columns:
+                view = view.withColumn(lcol, _mask_expr(pol["fn"], lcol))
+    return view
+
+
+def try_handle_masking_stmt(engine, stmt: str):
+    m = _CREATE_LABEL.match(stmt)
+    if m:
+        cols = []
+        for c in m.group("cols").split(","):
+            tbl, _, col = c.strip().lower().rpartition(".")
+            if not tbl:
+                raise ValueError(
+                    "resource label columns must be table.column"
+                )
+            cols.append((tbl, col))
+        engine.resource_labels[m.group("name").lower()] = cols
+        return engine.spark.createDataFrame(
+            [("CREATE RESOURCE LABEL", m.group("name").lower(), len(cols))],
+            "tag STRING, label STRING, n_cols INT",
+        )
+    m = _CREATE_MASKING.match(stmt)
+    if m:
+        label = m.group("label").lower()
+        if label not in engine.resource_labels:
+            raise KeyError(f"resource label {label!r} does not exist")
+        roles = m.group("roles")
+        engine.masking_policies[m.group("name").lower()] = {
+            "fn": m.group("fn").lower(),
+            "label": label,
+            "roles": (None if roles is None else
+                      {r.strip().lower() for r in roles.split(",")}),
+        }
+        _refresh_views(engine)
+        return engine.spark.createDataFrame(
+            [("CREATE MASKING POLICY", m.group("name").lower(),
+              m.group("fn").lower())],
+            "tag STRING, policy STRING, fn STRING",
+        )
+    m = _DROP_MASKING.match(stmt)
+    if m:
+        existed = (
+            engine.masking_policies.pop(m.group("name").lower(), None)
+            is not None
+        )
+        _refresh_views(engine)
+        return engine.spark.createDataFrame(
+            [("DROP MASKING POLICY", m.group("name").lower(), existed)],
+            "tag STRING, policy STRING, existed BOOLEAN",
+        )
+    return None
+
+
+@query(
+    "masking_policy_scan",
+    """
+    SELECT c_custkey,
+           repeat('x', length(c_name)) AS c_name,
+           repeat('x', greatest(length(c_mktsegment) - 4, 0))
+             || substring(c_mktsegment,
+                          greatest(length(c_mktsegment) - 3, 1))
+             AS c_mktsegment,
+           repeat('x', strpos(lower(c_name) || '@corp.example', '@') - 1)
+             || substring(lower(c_name) || '@corp.example',
+                          strpos(lower(c_name) || '@corp.example', '@'))
+             AS email
+    FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey
+    """,
+)
+def masking_policy_scan(spark, sf_dir):
+    """Dynamic data masking (gs_policy_masking.cpp): resource labels
+    collect the PII columns, masking policies bind the reference's
+    three masking functions (maskall, creditcardmasking keep-last-4,
+    basicemailmasking) to the labels, and a restricted role's scans
+    see masked values while the owner sees clear text.  The oracle
+    recomputes each masking transform directly — green proves the
+    per-column rewrite is exact.
+
+    Scale: like RLS, masking is a projection rewrite at view
+    registration — codegen string expressions, no per-row hook, no
+    Python."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS mask_t")
+    eng.sql(
+        "CREATE TABLE mask_t AS SELECT c_custkey, c_name, c_mktsegment,"
+        " concat(lower(c_name), '@corp.example') AS email"
+        " FROM customer WHERE c_custkey <= 20"
+    )
+    eng.sql("CREATE RESOURCE LABEL lb_name ADD COLUMN(mask_t.c_name)")
+    eng.sql("CREATE RESOURCE LABEL lb_seg ADD COLUMN(mask_t.c_mktsegment)")
+    eng.sql("CREATE RESOURCE LABEL lb_mail ADD COLUMN(mask_t.email)")
+    eng.sql("CREATE MASKING POLICY m_name maskall ON LABEL(lb_name)")
+    eng.sql(
+        "CREATE MASKING POLICY m_seg creditcardmasking ON LABEL(lb_seg)"
+    )
+    eng.sql(
+        "CREATE MASKING POLICY m_mail basicemailmasking ON LABEL(lb_mail)"
+    )
+    eng.sql("SET ROLE analyst")
+    masked = eng.sql(
+        "SELECT c_custkey, c_name, c_mktsegment, email FROM mask_t"
+        " ORDER BY c_custkey"
+    ).collect()
+    eng.sql("RESET ROLE")
+    clear = eng.sql(
+        "SELECT c_name FROM mask_t ORDER BY c_custkey"
+    ).collect()
+    if not any("x" not in r.c_name.lower() or "X" in r.c_name
+               for r in clear):
+        raise AssertionError("owner must see clear text")
+    eng.sql("DROP MASKING POLICY m_name")
+    eng.sql("DROP MASKING POLICY m_seg")
+    eng.sql("DROP MASKING POLICY m_mail")
+    eng.sql("DROP TABLE mask_t")
+    return spark.createDataFrame(
+        masked,
+        "c_custkey BIGINT, c_name STRING, c_mktsegment STRING,"
+        " email STRING",
     )
