@@ -99,6 +99,22 @@ HEADLINE = [
     "fts_plainto_websearch",
     "fts_headline",
     "string_format_pg",
+    # round-4 third wave (same frozen-prefix rule): the late-round
+    # read-side additions. DDL/DML flows (triggers, UPDATE/DELETE,
+    # dblink, RLS/masking, CREATE FUNCTION) stay out — write-time ops.
+    "text_gopher_quality_filter",
+    "semdedup_keep",
+    "hybrid_rrf_search",
+    "trgm_fuzzy_join",
+    "corpus_token_histogram",
+    "dedup_repeated_spans",
+    "text_unigram_logprob_filter",
+    "knn_maxsim_multivector",
+    "knn_subvector_rerank",
+    "tsstore_time_weighted_avg",
+    "events_winsorize",
+    "dsir_importance_resample",
+    "eval_bootstrap_ci",
 ]
 
 
