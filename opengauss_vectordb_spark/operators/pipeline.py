@@ -982,6 +982,11 @@ def dsir_importance_resample(spark, sf_dir):
         )
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # three consumers (target dist, raw dist, scoring) — persist so
+        # the corpus text is tokenized/hashed ONCE, not re-scanned per
+        # consumer; DISK_ONLY because counts is corpus-rows × ≤V and
+        # must not compete for executor memory at 100 TB
+        .persist(StorageLevel.DISK_ONLY)
     )
     tgt = (
         counts.filter(F.expr(_DSIR_TARGET))

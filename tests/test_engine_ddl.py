@@ -539,3 +539,30 @@ def test_rls_policy_edges(spark):
     eng.sql("RESET ROLE")
     assert eng.sql("SELECT COUNT(*) AS n FROM rlse_t").collect()[0].n == 25
     eng.sql("DROP TABLE rlse_t")
+
+
+def test_masking_role_scoped(spark):
+    """FILTER ON ROLES scopes a masking policy: the named role sees
+    masks, other roles and the owner see clear text."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS mrs_t")
+    eng.sql("CREATE TABLE mrs_t AS SELECT n_nationkey, n_name FROM nation")
+    eng.sql("CREATE RESOURCE LABEL mrs_lb ADD COLUMN(mrs_t.n_name)")
+    eng.sql(
+        "CREATE MASKING POLICY mrs_p maskall ON LABEL(mrs_lb)"
+        " FILTER ON ROLES(auditor)"
+    )
+    eng.sql("SET ROLE auditor")
+    masked = eng.sql(
+        "SELECT n_name FROM mrs_t WHERE n_nationkey = 1"
+    ).collect()[0].n_name
+    assert set(masked) == {"x"}
+    eng.sql("SET ROLE analyst")  # not in the policy's role filter
+    clear = eng.sql(
+        "SELECT n_name FROM mrs_t WHERE n_nationkey = 1"
+    ).collect()[0].n_name
+    assert clear != masked and "x" not in clear.lower()
+    assert not eng.sql("DROP MASKING POLICY nope").collect()[0].existed
+    eng.sql("DROP MASKING POLICY mrs_p")
+    eng.sql("RESET ROLE")
+    eng.sql("DROP TABLE mrs_t")
