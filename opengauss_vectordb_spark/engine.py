@@ -8,6 +8,17 @@ vectorized engines converge on one planner (SURVEY.md §3).
     eng.table("orders").groupBy(...)             # DataFrame API
     eng.knn("embeddings", "embedding", qvec, 10) # ANN entry (index-routed)
     eng.models.create_model(...)                 # DB4AI surface
+
+Statement surface routed through ``Engine.sql`` (each handled by the
+module named): CREATE/DROP INDEX + SET/SHOW GUC + canonical ANN SELECT
+(this module), matviews, prepared statements, cursors + EXPLAIN,
+ANALYZE, COPY TO/FROM, CTAS / INSERT / UPDATE / DELETE / DROP TABLE /
+views / VACUUM / TRUNCATE / CLUSTER / REINDEX + sequences
+(ddl_tables), CREATE FUNCTION ... LANGUAGE SQL (create_function),
+CREATE/DROP TRIGGER with the contrib/spi procedures (triggers),
+dblink_connect / dblink federation (dblink), row-level security +
+SET ROLE + dynamic data masking (rls), and the pg_tables / pg_indexes /
+pg_stat_statements catalog views plus auto_explain capture (here).
 """
 
 from __future__ import annotations
