@@ -64,7 +64,8 @@ registry.load_all_queries()
 #   pgcrypto_funcs, fuzzystrmatch_unaccent, pgstattuple_report,
 #   trigger_spi_audit, dsir_importance_resample, dblink_remote_agg,
 #   xml_funcs, eval_bootstrap_ci, update_delete_dml,
-#   pageinspect_stats, rls_policy_scan, masking_policy_scan
+#   pageinspect_stats, rls_policy_scan, masking_policy_scan,
+#   sketch_count_min_tokens
 # Front-load these (plus fresh sentinels) next round.
 GATE_PRIORITY: list[str] = [
     # the 15-query rotation tail — never gated before round 4

@@ -197,3 +197,83 @@ def analyze_table_stats(spark, sf_dir):
     out = eng.sql("ANALYZE orders (o_orderstatus, o_orderpriority, o_custkey)")
     assert "orders" in eng.statistics  # cached for the planner consumer
     return out.orderBy("col_name")
+
+
+# --- Count-Min Sketch corpus counter (sketch family beside HLL) -----------
+
+_CMS_EPS = 0.0001   # over-count bound: est <= exact + eps * N
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_PROBES = ("the", "a", "of", "and", "to")  # text.py STOPWORDS
+
+
+@query(
+    "sketch_count_min_tokens",
+    f"""
+    WITH probes(tok) AS (
+      VALUES {", ".join(f"('{t}')" for t in sorted(_CMS_PROBES))}
+    ),
+    toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ),
+    exact AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+      WHERE t IN {str(_CMS_PROBES)} GROUP BY t
+    )
+    SELECT p.tok, COALESCE(e.n, 0) AS exact_n,
+           TRUE AS no_undercount, TRUE AS within_eps
+    FROM probes p LEFT JOIN exact e ON e.t = p.tok
+    ORDER BY p.tok
+    """,
+)
+def sketch_count_min_tokens(spark, sf_dir):
+    """Count-Min Sketch token counting (Cormode & Muthukrishnan 2005)
+    — the third mergeable sketch beside HLL (distinct) and KLL-style
+    approx-percentile: Spark's native count_min_sketch aggregate builds
+    the sketch distributed (cell-wise-additive merge, so the result is
+    independent of partitioning), the ~100 KB summary ships to the
+    driver, and point queries come from the JVM sketch.  The oracle
+    pins the CMS guarantee against exact counts: estimates never
+    undercount and overcount by at most eps x total tokens.  Reference:
+    no CMS (its sketch surface is HLL, roaringbitmap_*); sketch-family
+    LLM-pipeline extension.
+
+    Scale: one map-side combinable aggregate over the exploded tokens —
+    the shuffle carries partial sketches (width x depth counters), not
+    token rows; queries are O(depth) driver lookups."""
+    from .text import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    row = toks.agg(
+        F.count_min_sketch(
+            F.col("tok"), F.lit(_CMS_EPS), F.lit(_CMS_CONF),
+            F.lit(_CMS_SEED),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row.s))
+    )
+    exact = {
+        r.tok: r.exact_n
+        for r in toks.filter(F.col("tok").isin(*_CMS_PROBES))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n")).collect()
+    }
+    bound = _CMS_EPS * row.n_total
+    out = [
+        (
+            t,
+            int(exact.get(t, 0)),
+            cms.estimateCount(t) >= exact.get(t, 0),
+            cms.estimateCount(t) <= exact.get(t, 0) + bound,
+        )
+        for t in sorted(_CMS_PROBES)
+    ]
+    return spark.createDataFrame(
+        out,
+        "tok STRING, exact_n BIGINT, no_undercount BOOLEAN,"
+        " within_eps BOOLEAN",
+    )
