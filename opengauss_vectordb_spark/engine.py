@@ -172,7 +172,8 @@ class Engine:
 
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
-            r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes)\s*;?\s*$",
+            r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies)"
+            r"\s*;?\s*$",
             query, re.IGNORECASE,
         )
         if m:
@@ -188,6 +189,28 @@ class Engine:
                 ]
                 return self.spark.createDataFrame(
                     rows, "tablename STRING, origin STRING"
+                )
+            if cat == "pg_policies":
+                # pg_catalog.pg_policies (+ the masking registry): one
+                # row per RLS policy and per masking policy
+                rows = [
+                    (tbl, name, "rls",
+                     ",".join(sorted(p["roles"])) if p["roles"] else
+                     "public", p["pred"])
+                    for tbl, pols in sorted(self.rls_policies.items())
+                    for name, p in sorted(pols.items())
+                ] + [
+                    (self.resource_labels[p["label"]][0][0], name,
+                     "masking",
+                     ",".join(sorted(p["roles"])) if p["roles"] else
+                     "public", p["fn"])
+                    for name, p in sorted(self.masking_policies.items())
+                    if self.resource_labels.get(p["label"])
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("", "", "", "", "")][:0],
+                    "tablename STRING, policyname STRING, kind STRING,"
+                    " roles STRING, qual STRING",
                 )
             rows = [
                 (name, tbl, col, type(self.ann.lookup(tbl, col)).__name__)

@@ -566,3 +566,23 @@ def test_masking_role_scoped(spark):
     eng.sql("DROP MASKING POLICY mrs_p")
     eng.sql("RESET ROLE")
     eng.sql("DROP TABLE mrs_t")
+
+
+def test_pg_policies_view(spark):
+    """pg_policies catalog view lists RLS and masking policies."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS pol_t")
+    eng.sql("CREATE TABLE pol_t AS SELECT n_nationkey, n_name FROM nation")
+    eng.sql("ALTER TABLE pol_t ENABLE ROW LEVEL SECURITY")
+    eng.sql("CREATE POLICY p1 ON pol_t TO analyst USING (n_nationkey < 5)")
+    eng.sql("CREATE RESOURCE LABEL pol_lb ADD COLUMN(pol_t.n_name)")
+    eng.sql("CREATE MASKING POLICY pm maskall ON LABEL(pol_lb)")
+    rows = {(r.policyname, r.kind, r.roles)
+            for r in eng.sql("SELECT * FROM pg_policies").collect()}
+    assert ("p1", "rls", "analyst") in rows
+    assert ("pm", "masking", "public") in rows
+    eng.sql("DROP POLICY p1 ON pol_t")
+    eng.sql("DROP MASKING POLICY pm")
+    assert not {r.kind for r in
+                eng.sql("SELECT * FROM pg_policies").collect()}
+    eng.sql("DROP TABLE pol_t")
