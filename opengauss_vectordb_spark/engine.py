@@ -79,6 +79,9 @@ class Engine:
         self.managed_tables = TableManager(
             spark, os.path.join(self._warehouse_dir(), "_tables")
         )
+        # back-reference so post-DML view registration consults
+        # RLS/masking state and DROP TABLE purges per-table policies
+        self.managed_tables.engine = self
         self.sequences = SequenceRegistry()
         # SQL-language functions (commands/functioncmds.cpp): name →
         # the Spark SQL-UDF DDL the PG text translated into

@@ -54,7 +54,10 @@ _TYPE_MAP = {
 
 _CREATE_FN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
-    r"\((?P<params>[^)]*)\)\s*"
+    # non-greedy up to the ')' directly before RETURNS so parameter
+    # lists with parenthesized types — numeric(10,2) — parse
+    # (_split_params is paren-aware for the inner commas)
+    r"\((?P<params>.*?)\)\s*"
     r"RETURNS\s+(?P<ret>SETOF\s+\w+|TABLE\s*\((?P<tcols>[^)]*)\)|"
     r"\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
     r"AS\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$|'(?:[^']|'')*')\s+"
@@ -107,6 +110,39 @@ def _split_params(params: str) -> list[tuple[str, str]]:
     return parsed
 
 
+def _split_stmts(body: str) -> list[str]:
+    """Quote- and paren-aware split of a SQL-function body on top-level
+    semicolons (PG SQL functions hold a statement list)."""
+    out, depth, cur, in_str = [], 0, [], False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 def _unquote_body(body: str, tag: str | None) -> str:
     if body.startswith("$"):
         open_q = f"${tag or ''}$"
@@ -131,6 +167,22 @@ def translate_create_function(query: str) -> str | None:
     name = m.group("name").lower()
     params = _split_params(m.group("params"))
     body = _unquote_body(m.group("body"), m.group("tag")).rstrip(";").strip()
+    # PG SQL functions execute a statement LIST and return the last
+    # statement's result, discarding the earlier ones
+    # (functions.cpp init_sql_fcache → postquel_execute over the list).
+    # Spark inlines one RETURN expression, so: earlier statements must
+    # be side-effect-free (SELECT/VALUES) — they are planned away per
+    # the PG discard rule — and the LAST statement becomes the body.
+    stmts = _split_stmts(body)
+    if len(stmts) > 1:
+        for s in stmts[:-1]:
+            if not re.match(r"^(SELECT|VALUES|WITH)\b", s, re.IGNORECASE):
+                raise NotImplementedError(
+                    "multi-statement SQL function bodies may only "
+                    "contain side-effect-free statements before the "
+                    "final one (got: " + s.split(None, 1)[0].upper() + ")"
+                )
+        body = stmts[-1]
     # positional $N → declared parameter names (earthdistance--1.0.sql:6)
     def _sub_pos(mt: re.Match) -> str:
         i = int(mt.group(1))

@@ -41,6 +41,28 @@ class TableManager:
         self.spark = spark
         self.root = root
         self.tables: dict[str, dict] = {}
+        # back-reference set by Engine.__init__ so view registration
+        # can consult RLS/masking state; None when the manager is used
+        # standalone (tests construct it without an engine)
+        self.engine = None
+
+    def _register_view(self, name: str) -> None:
+        """THE single view-registration point after any write.  When
+        the engine has RLS or masking state on this table, route
+        through rls._refresh_views so DML never clobbers the
+        filtered/masked view with the raw base relation (openGauss
+        applies rewriteRlsPolicy quals to every scan — a post-DML
+        scan included); otherwise register the plain relation."""
+        eng = self.engine
+        if eng is not None:
+            from .rls import _refresh_views, protected_tables
+
+            if name in protected_tables(eng):
+                _refresh_views(eng)
+                return
+        self.spark.read.parquet(self._path(name)).createOrReplaceTempView(
+            name
+        )
 
     def create_as(self, name: str, df: DataFrame,
                   partition_by: str | None = None) -> int:
@@ -82,10 +104,27 @@ class TableManager:
         self._write(name, aligned, mode="append")
 
     def drop(self, name: str) -> bool:
-        meta = self.tables.pop(name.lower(), None)
+        name = name.lower()
+        meta = self.tables.pop(name, None)
         if meta is None:
             return False
-        self.spark.catalog.dropTempView(name.lower())
+        self.spark.catalog.dropTempView(name)
+        # purge per-table security/trigger state so a recreated
+        # same-name table does not inherit old policies, and a later
+        # SET ROLE does not try to re-point a view at the dropped
+        # table's path (PG drops pg_rlspolicy/pg_trigger rows with the
+        # relation)
+        eng = self.engine
+        if eng is not None:
+            eng.triggers.pop(name, None)
+            eng.rls_enabled.discard(name)
+            eng.rls_policies.pop(name, None)
+            for label, cols in list(eng.resource_labels.items()):
+                kept = [(t, c) for t, c in cols if t != name]
+                if kept:
+                    eng.resource_labels[label] = kept
+                else:
+                    del eng.resource_labels[label]
         return True
 
     def vacuum(self, name: str, target_file_bytes: int = 128 << 20
@@ -97,8 +136,13 @@ class TableManager:
         table needs — INSERT INTO adds a file set per statement, and
         small files are the canonical 100 TB scan killer. The swap goes
         through a side directory (write .compacting → rename old →
-        rename in → drop old), so a reader never observes a partial
-        table. Returns (files_before, files_after)."""
+        rename in → drop old), so a reader never observes a PARTIAL
+        table — though between the two renames the path is briefly
+        absent, so a concurrent reader can error rather than see torn
+        data (single-process emulation; a production deployment uses a
+        transactional table format — Delta/Iceberg — whose metadata
+        commit makes the swap truly atomic). Returns
+        (files_before, files_after)."""
         import glob as _glob
         import shutil
 
@@ -138,16 +182,19 @@ class TableManager:
         os.rename(compacting, path)
         shutil.rmtree(old, ignore_errors=True)
         self.tables[name]["version"] += 1
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self._register_view(name)
         return before, len(
             _glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
         )
 
     def rewrite(self, name: str, df: DataFrame) -> None:
         """Copy-on-write relation rewrite (the columnar UPDATE/DELETE
-        shape): write the new version to a side directory, then swap
-        atomically — a reader never observes a partial table, and the
-        writer never self-overwrites the files it is reading."""
+        shape): write the new version to a side directory, then swap —
+        a reader never observes a PARTIAL table, and the writer never
+        self-overwrites the files it is reading.  The swap is two
+        renames, so the path is briefly absent (see vacuum's note; a
+        production deployment gets a truly atomic swap from a
+        transactional table format's metadata commit)."""
         import shutil
 
         name = name.lower()
@@ -165,7 +212,7 @@ class TableManager:
         os.rename(compacting, path)
         shutil.rmtree(old, ignore_errors=True)
         self.tables[name]["version"] += 1
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self._register_view(name)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name, "data")
@@ -177,9 +224,7 @@ class TableManager:
             writer = writer.partitionBy(pcol)
         writer.parquet(self._path(name))
         self.tables[name]["version"] += 1
-        self.spark.read.parquet(self._path(name)).createOrReplaceTempView(
-            name
-        )
+        self._register_view(name)
 
 
 _CTAS = re.compile(
@@ -300,7 +345,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         _os.rename(compacting, path)
         _shutil.rmtree(old, ignore_errors=True)
         engine.managed_tables.tables[name]["version"] += 1
-        engine.spark.read.parquet(path).createOrReplaceTempView(name)
+        engine.managed_tables._register_view(name)
         return engine.spark.createDataFrame(
             [("CLUSTER", name, col)], "tag STRING, tbl STRING, key STRING"
         )
@@ -333,12 +378,18 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # CASE WHEN <where> THEN <expr> ELSE <col> END per SET clause,
         # one relation rewrite — the columnar UPDATE shape (the
         # reference's CStore UPDATE is likewise delete+append)
+        from .rls import role_predicate
         from .triggers import fire_update_triggers
 
         name = m.group("name").lower()
         df = engine.spark.read.parquet(engine.managed_tables._path(name))
         where = m.group("where") or "TRUE"
         cond = F.expr(where)
+        # rewriteRlsPolicy.cpp applies policy quals to UPDATE scans
+        # too: a restricted role may only modify rows it can see
+        rls_pred = role_predicate(engine, name)
+        if rls_pred is not None:
+            cond = cond & rls_pred
         n_hit = df.filter(cond).count()
         sets = dict(_split_set_clauses(m.group("sets")))
         by_name = {f.name: f for f in df.schema.fields}
@@ -365,14 +416,21 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # ModifyTable DELETE: keep the complement, rewrite — at scale
         # this touches only files whose rowgroup stats can contain
         # matches (Spark prunes the scan on the predicate)
+        from .rls import role_predicate
+
         name = m.group("name").lower()
         df = engine.spark.read.parquet(engine.managed_tables._path(name))
         where = m.group("where")
-        if where is None:
+        # policy quals apply to DELETE scans as well: a restricted role
+        # may only delete rows its policies expose
+        rls_pred = role_predicate(engine, name)
+        if where is None and rls_pred is None:
             kept = df.limit(0)
             n_del = df.count()
         else:
-            cond = F.expr(where)
+            cond = F.expr(where) if where is not None else F.lit(True)
+            if rls_pred is not None:
+                cond = cond & rls_pred
             n_del = df.filter(cond).count()
             kept = df.filter(~cond | cond.isNull())
         engine.managed_tables.rewrite(name, kept)

@@ -163,7 +163,8 @@ def merge_agg_state(
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     AS DECIMAL(28,6)) AS DOUBLE)
              AS total_price
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -178,7 +179,11 @@ def incremental_agg_merge(spark, sf_dir):
     equality proves merge(state, agg(delta)) == agg(full), the
     decomposability contract that lets a 100 TB rollup pay O(|delta|)
     per refresh. Exact DECIMAL counters make the split-order
-    irrelevant (float sums would drift between the two paths)."""
+    irrelevant (float sums would drift between the two paths); the
+    FINAL column is cast to DOUBLE per the registry determinism
+    convention — the driver hashes decimal representations, not
+    values, so a DECIMAL(28,6) output red-flags even when bit-equal
+    (r4 gate finding)."""
     o = table(spark, sf_dir, "orders")
     keys, counters = ["o_orderpriority"], ["n_orders", "total_price"]
 
@@ -196,5 +201,6 @@ def incremental_agg_merge(spark, sf_dir):
     return merged.select(
         *keys,
         F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.col("total_price").cast("decimal(28,6)").alias("total_price"),
+        F.col("total_price").cast("decimal(28,6)").cast("double")
+        .alias("total_price"),
     ).orderBy(*keys)

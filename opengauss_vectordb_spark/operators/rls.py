@@ -56,33 +56,50 @@ _SET_ROLE = re.compile(
 _RESET_ROLE = re.compile(r"^\s*RESET\s+ROLE\s*;?\s*$", re.IGNORECASE)
 
 
-def _refresh_views(engine) -> None:
-    """Re-point protected tables' views for the current role — the
-    rewriteRlsPolicy.cpp qual injection, done once per role change."""
+def role_predicate(engine, tbl: str):
+    """The RLS qual the current session must see on ``tbl``: the OR of
+    the role's applicable policy predicates as a Column, ``lit(False)``
+    under default deny, or None when RLS does not restrict this table
+    for the session (owner, or RLS not enabled).  Shared by the view
+    rewrite AND the UPDATE/DELETE handlers — rewriteRlsPolicy.cpp
+    injects policy quals into every scan of a protected relation,
+    including the scans feeding DML."""
     role = engine.current_role
+    if role is None or tbl not in engine.rls_enabled:
+        return None
+    preds = [
+        p["pred"]
+        for p in engine.rls_policies.get(tbl, {}).values()
+        if p["roles"] is None or role in p["roles"]
+    ]
+    if not preds:
+        return F.lit(False)  # default deny
+    cond = F.expr(preds[0])
+    for p in preds[1:]:
+        cond = cond | F.expr(p)  # policies OR together (PG)
+    return cond
+
+
+def protected_tables(engine) -> set:
+    """Tables whose temp view must NOT be the raw base relation:
+    RLS-enabled tables plus any carrying a masking resource label."""
     labeled = {
         t for cols in engine.resource_labels.values() for t, _c in cols
         if t in engine.managed_tables.tables
     }
-    for tbl in engine.rls_enabled | labeled:
+    return engine.rls_enabled | labeled
+
+
+def _refresh_views(engine) -> None:
+    """Re-point protected tables' views for the current role — the
+    rewriteRlsPolicy.cpp qual injection, done once per role change."""
+    for tbl in protected_tables(engine):
+        if tbl not in engine.managed_tables.tables:
+            continue  # state for a dropped table (purged on DROP, but
+            # stay defensive: never read a nonexistent path)
         base = engine.spark.read.parquet(engine.managed_tables._path(tbl))
-        if role is None or tbl not in engine.rls_enabled:
-            # owner bypasses RLS (sec_rls_cmds.cpp default); masking-only
-            # tables are row-complete
-            view = base
-        else:
-            preds = [
-                p["pred"]
-                for p in engine.rls_policies.get(tbl, {}).values()
-                if p["roles"] is None or role in p["roles"]
-            ]
-            if preds:
-                cond = F.expr(preds[0])
-                for p in preds[1:]:
-                    cond = cond | F.expr(p)  # policies OR together (PG)
-                view = base.filter(cond)
-            else:
-                view = base.filter(F.lit(False))  # default deny
+        pred = role_predicate(engine, tbl)
+        view = base if pred is None else base.filter(pred)
         view = _apply_masking(engine, tbl, view)
         view.createOrReplaceTempView(tbl)
 

@@ -586,3 +586,125 @@ def test_pg_policies_view(spark):
     assert not {r.kind for r in
                 eng.sql("SELECT * FROM pg_policies").collect()}
     eng.sql("DROP TABLE pol_t")
+
+
+def test_rls_survives_dml(spark):
+    """ADVICE r4 (high): DML on a protected table must not clobber the
+    filtered/masked view with the raw base relation — openGauss applies
+    rewriteRlsPolicy quals to every scan, post-DML scans included."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS rlsdml_t")
+    eng.sql(
+        "CREATE TABLE rlsdml_t AS SELECT n_nationkey, n_name, n_regionkey"
+        " FROM nation"
+    )
+    eng.sql("ALTER TABLE rlsdml_t ENABLE ROW LEVEL SECURITY")
+    eng.sql("CREATE POLICY p0 ON rlsdml_t TO analyst USING (n_regionkey = 0)")
+    eng.sql("SET ROLE analyst")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rlsdml_t").collect()[0].n == 5
+    # UPDATE within the visible slice: the restricted view must persist
+    eng.sql("UPDATE rlsdml_t SET n_name = 'x' WHERE n_regionkey = 0")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rlsdml_t").collect()[0].n == 5
+    # INSERT: view must stay filtered afterwards (inserted row is in
+    # region 0, so the analyst sees 6 — not all 26)
+    eng.sql(
+        "INSERT INTO rlsdml_t SELECT 99 AS a, 'new' AS b, 0 AS c"
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM rlsdml_t").collect()[0].n == 6
+    eng.sql("RESET ROLE")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rlsdml_t").collect()[0].n == 26
+    eng.sql("DROP TABLE rlsdml_t")
+
+
+def test_rls_quals_apply_to_update_delete(spark):
+    """ADVICE r4 (medium): a restricted role may only UPDATE/DELETE
+    rows its policies expose — PG injects policy quals into the DML
+    scan (rewriteRlsPolicy semantics)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS rlsud_t")
+    eng.sql(
+        "CREATE TABLE rlsud_t AS SELECT n_nationkey, n_name, n_regionkey"
+        " FROM nation"
+    )
+    eng.sql("ALTER TABLE rlsud_t ENABLE ROW LEVEL SECURITY")
+    eng.sql("CREATE POLICY p0 ON rlsud_t TO analyst USING (n_regionkey = 0)")
+    eng.sql("SET ROLE analyst")
+    # UPDATE touching the whole table only hits the visible 5 rows
+    tag = eng.sql("UPDATE rlsud_t SET n_name = 'seen'").collect()[0]
+    assert tag.rows == 5
+    # unrestricted DELETE removes only the visible rows
+    tag = eng.sql("DELETE FROM rlsud_t").collect()[0]
+    assert tag.rows == 5
+    eng.sql("RESET ROLE")
+    rows = eng.sql(
+        "SELECT n_regionkey, n_name FROM rlsud_t"
+    ).collect()
+    assert len(rows) == 20  # hidden rows survived the role's DELETE
+    assert all(r.n_regionkey != 0 for r in rows)
+    assert all(r.n_name != "seen" for r in rows)  # none were updated
+    eng.sql("DROP TABLE rlsud_t")
+
+
+def test_drop_table_purges_security_state(spark):
+    """ADVICE r4 (medium): DROP TABLE must purge triggers/RLS/masking
+    state so a recreated same-name table does not inherit policies and
+    a later SET ROLE does not chase the dropped table's path."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS purge_t")
+    eng.sql(
+        "CREATE TABLE purge_t AS SELECT n_nationkey, n_regionkey FROM nation"
+    )
+    eng.sql("ALTER TABLE purge_t ENABLE ROW LEVEL SECURITY")
+    eng.sql("CREATE POLICY p ON purge_t TO analyst USING (n_regionkey = 0)")
+    eng.sql(
+        "CREATE TRIGGER tg BEFORE UPDATE ON purge_t FOR EACH ROW"
+        " EXECUTE PROCEDURE check_primary_key('n_regionkey', 'region',"
+        " 'r_regionkey')"
+    )
+    eng.sql("DROP TABLE purge_t")
+    assert "purge_t" not in eng.rls_enabled
+    assert "purge_t" not in eng.rls_policies
+    assert "purge_t" not in eng.triggers
+    # SET ROLE after the drop must not raise chasing the old path
+    eng.sql("SET ROLE analyst")
+    eng.sql("RESET ROLE")
+    # a recreated same-name table starts unprotected
+    eng.sql(
+        "CREATE TABLE purge_t AS SELECT n_nationkey, n_regionkey FROM nation"
+    )
+    eng.sql("SET ROLE analyst")
+    assert eng.sql("SELECT COUNT(*) AS n FROM purge_t").collect()[0].n == 25
+    eng.sql("RESET ROLE")
+    eng.sql("DROP TABLE purge_t")
+
+
+def test_create_function_paren_param_types(spark):
+    """ADVICE r4 (low): parameter lists with parenthesized types —
+    numeric(10,2) — must parse (paren-balanced capture)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE FUNCTION round_price(p numeric(10,2), pct numeric(5,2))"
+        " RETURNS numeric(10,2)"
+        " AS 'SELECT p * (1 - pct / 100)' LANGUAGE SQL IMMUTABLE"
+    )
+    got = eng.sql("SELECT round_price(100.00, 25.00) AS v").collect()[0].v
+    assert float(got) == 75.0
+    eng.sql("DROP FUNCTION round_price")
+
+
+def test_create_function_multi_statement_body(spark):
+    """functions.cpp executes a statement LIST and returns the last
+    statement's result; earlier side-effect-free statements are
+    discarded. DML before the final statement is rejected clearly."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE FUNCTION last_stmt_wins(x int) RETURNS int AS"
+        " 'SELECT 1; SELECT 2; SELECT x * 10' LANGUAGE SQL"
+    )
+    assert eng.sql("SELECT last_stmt_wins(4) AS v").collect()[0].v == 40
+    eng.sql("DROP FUNCTION last_stmt_wins")
+    with pytest.raises(NotImplementedError, match="side-effect-free"):
+        eng.sql(
+            "CREATE FUNCTION bad_body(x int) RETURNS int AS"
+            " 'INSERT INTO t VALUES (1); SELECT 1' LANGUAGE SQL"
+        )

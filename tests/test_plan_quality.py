@@ -492,3 +492,20 @@ def test_maxsim_broadcasts_query_side_only(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
     assert uses_take_ordered(df)
     assert python_eval_nodes(df) == 0
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The packing prefix sum must be PARTITIONED BY shard — a window
+    with an empty partition spec funnels the whole corpus's token
+    counts through one reducer (r4 scale flag, fixed in round 5)."""
+    df = QUERIES["pack_sequences_report"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # Spark prints windowspecdefinition(partition..., order ASC...,
+            # frame); an unpartitioned window starts straight at the
+            # ordering column
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.startswith("shard"), line
+    assert python_eval_nodes(df) == 0
