@@ -484,17 +484,34 @@ def knn_l2_halfvec(spark, sf_dir):
 _IVF_LISTS = 16
 
 
+def index_root(spark) -> str:
+    """Root for index layouts and gate scratch: under the session
+    warehouse (the zorder_root/bucketed convention), overridable via
+    ``spark.graft.index.root`` — on a cluster point it at shared
+    durable storage, never node-local tmp."""
+    import os
+    from urllib.parse import urlparse
+
+    conf_root = spark.conf.get("spark.graft.index.root", None)
+    if conf_root:
+        root = conf_root
+    else:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        root = os.path.join(wh, "_indexes")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def _ivf_index(spark, sf_dir):
     import hashlib
     import os
-    import tempfile
 
     from .ivf import IvfIndex
 
     # layout version in the cache key: a format change in IvfIndex must
     # not read a stale index written by an older build
     key = hashlib.md5(f"{sf_dir}|layout-v2".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivf_embeddings_{key}")
+    path = os.path.join(index_root(spark), f"ivf_embeddings_{key}")
     marker = os.path.join(path, "centroids", "_SUCCESS")
     idx = IvfIndex(path, metric="l2", lists=_IVF_LISTS)
     if not os.path.exists(marker):
@@ -908,7 +925,6 @@ def _pq_books(spark, sf_dir):
     import hashlib
     import json as _json
     import os
-    import tempfile
 
     import numpy as np
 
@@ -917,7 +933,7 @@ def _pq_books(spark, sf_dir):
     if sf_dir in _PQ_BOOKS:
         return _PQ_BOOKS[sf_dir]
     key = hashlib.md5(f"{sf_dir}|pq-v1".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"pq_books_{key}.json")
+    path = os.path.join(index_root(spark), f"pq_books_{key}.json")
     if os.path.exists(path):
         with open(path) as f:
             books = PqCodebooks(np.array(_json.load(f)))
@@ -938,10 +954,9 @@ def _ivf_pq_layout(spark, sf_dir) -> str:
     Built once per sf_dir; queries read codes as plain parquet columns."""
     import hashlib
     import os
-    import tempfile
 
     key = hashlib.md5(f"{sf_dir}|ivfpq-v1".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivfpq_embeddings_{key}")
+    path = os.path.join(index_root(spark), f"ivfpq_embeddings_{key}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         idx = _ivf_index(spark, sf_dir)
@@ -1108,7 +1123,7 @@ def ivf_append_then_search(spark, sf_dir):
     )
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    tmp = tempfile.mkdtemp(prefix="ivf_append_gate_")
+    tmp = tempfile.mkdtemp(prefix="ivf_append_gate_", dir=index_root(spark))
     try:
         idx = IvfIndex.build(
             base, "embedding", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -1207,7 +1222,7 @@ def ivf_search_cosine_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_cos_gate_")
+    tmp = tempfile.mkdtemp(prefix="ivf_cos_gate_", dir=index_root(spark))
     try:
         idx = IvfIndex.build(
             emb, "embedding", tmp, metric="cosine", lists=_IVF_LISTS,
@@ -1254,7 +1269,7 @@ def ivf_search_ip_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_ip_gate_")
+    tmp = tempfile.mkdtemp(prefix="ivf_ip_gate_", dir=index_root(spark))
     try:
         idx = IvfIndex.build(
             emb, "embedding", tmp, metric="ip", lists=_IVF_LISTS, max_iter=30
@@ -1311,7 +1326,7 @@ def hnsw_search_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1365,7 +1380,7 @@ def hnsw_search_l1_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_l1_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_l1_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l1", shards=4
@@ -1422,7 +1437,7 @@ def ivf_delete_then_search(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_vacuum_gate_")
+    tmp = tempfile.mkdtemp(prefix="ivf_vacuum_gate_", dir=index_root(spark))
     try:
         idx = IvfIndex.build(
             emb, "embedding", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -1494,7 +1509,7 @@ def hnsw_knn_join_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_join_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_join_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1570,7 +1585,7 @@ def ivf_search_halfvec_exhaustive(spark, sf_dir):
     halved = emb.select(
         "vec_id", "label", halfvec_quantize(F.col("embedding")).alias("emb_h")
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_half_gate_")
+    tmp = tempfile.mkdtemp(prefix="ivf_half_gate_", dir=index_root(spark))
     try:
         idx = IvfIndex.build(
             halved, "emb_h", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -1632,7 +1647,7 @@ def hnsw_search_bit_exhaustive(spark, sf_dir):
         binary_quantize_words(_spark_qlit()).alias("qw")
     )
     qwords = [int(w) for w in qwords_df.first().qw]
-    tmp = tempfile.mkdtemp(prefix="hnsw_bit_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_bit_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             bits, "bits", tmp, id_col="vec_id", metric="hamming", shards=4
@@ -1690,7 +1705,7 @@ def hnsw_search_halfvec_exhaustive(spark, sf_dir):
     halved = emb.select(
         "vec_id", "label", halfvec_quantize(F.col("embedding")).alias("emb_h")
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_half_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_half_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             halved, "emb_h", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1754,7 +1769,7 @@ def hnsw_search_sparsevec_exhaustive(spark, sf_dir):
         e, lambda x: F.when(F.abs(x) > _SPARSE_T, x).otherwise(F.lit(0.0))
     )
     sp = emb.select("vec_id", "label", sparse.alias("emb_s"))
-    tmp = tempfile.mkdtemp(prefix="hnsw_sparse_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_sparse_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             sp, "emb_s", tmp, id_col="vec_id", metric="ip", shards=4
@@ -1820,7 +1835,7 @@ def ivf_search_bit_exhaustive(spark, sf_dir):
         .first()
         .qw
     ]
-    tmp = tempfile.mkdtemp(prefix="ivf_bit_gate_")
+    tmp = tempfile.mkdtemp(prefix="ivf_bit_gate_", dir=index_root(spark))
     try:
         idx = IvfIndex.build(
             bits, "bits", tmp, metric="hamming", lists=_IVF_LISTS,
@@ -1871,7 +1886,7 @@ def hnsw_filtered_search(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_filt_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_filt_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1929,7 +1944,7 @@ def hnsw_delete_then_search(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_vac_gate_")
+    tmp = tempfile.mkdtemp(prefix="hnsw_vac_gate_", dir=index_root(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
