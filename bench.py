@@ -115,6 +115,28 @@ HEADLINE = [
     "events_winsorize",
     "dsir_importance_resample",
     "eval_bootstrap_ci",
+    # round-5 additions (same frozen-prefix rule): the read-side
+    # queries gated in the round-5 rotation window. Statement-layer
+    # flows (matview/prepared/cursor/CTAS/DML/COPY/maintenance/RLS/
+    # masking/trigger/dblink) stay out — write-time ops; the hnsw_*
+    # exhaustive variants rebuild an index inside the query, same
+    # exclusion as ivf_append_then_search.
+    "window_filter_clause",
+    "agg_regression2",
+    "array_funcs2",
+    "fts_ts_stat",
+    "fts_query_rewrite",
+    "fts_setweight_rank",
+    "trgm_similarity_topk",
+    "events_anomaly_mad",
+    "events_counter_increase",
+    "db4ai_auc_score",
+    "db4ai_calibration_bins",
+    "recursive_cycle_detect",
+    "sketch_count_min_tokens",
+    "source_mix_rebalance",
+    "text_repetition_filter",
+    "epoch_shuffle_shards",
 ]
 
 
@@ -143,6 +165,11 @@ _FAMILY_PREFIX = {
     "multimodal": "multimodal",
     "db4ai": "db4ai",
     "udtf": "text_fts",
+    "trgm": "text_fts",
+    "sketch": "pipeline",
+    "epoch": "pipeline",
+    "source": "pipeline",
+    "recursive": "relational",
 }
 
 

@@ -496,7 +496,7 @@ from ..registry import query  # noqa: E402
     )
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(price) AS DECIMAL(28,2)) AS total
+           CAST(CAST(SUM(price) AS DECIMAL(28,2)) AS DOUBLE) AS total
     FROM managed GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -508,7 +508,8 @@ def ctas_insert_select(spark, sf_dir):
     managed table. The oracle aggregates the UNION of both selections
     directly — a hash match proves the write, the append (no lost or
     duplicated files), and the snapshot repoint. DECIMAL sums keep the
-    two paths bit-identical."""
+    two paths bit-identical; the returned total casts to DOUBLE per
+    the registry determinism convention."""
     import shutil
     import tempfile
 
@@ -533,14 +534,14 @@ def ctas_insert_select(spark, sf_dir):
         )
         out = eng.sql(
             "SELECT o_orderstatus, COUNT(*) AS n,"
-            " CAST(SUM(price) AS DECIMAL(28,2)) AS total"
+            " CAST(CAST(SUM(price) AS DECIMAL(28,2)) AS DOUBLE) AS total"
             " FROM hot_orders GROUP BY o_orderstatus"
             " ORDER BY o_orderstatus"
         )
         rows = out.collect()
         eng.sql("DROP TABLE hot_orders")
         return spark.createDataFrame(
-            rows, "o_orderstatus STRING, n BIGINT, total DECIMAL(28,2)"
+            rows, "o_orderstatus STRING, n BIGINT, total DOUBLE"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -323,7 +323,8 @@ from ..registry import query  # noqa: E402
                   AS DECIMAL(28,6)) AS total_price
       FROM orders GROUP BY o_orderpriority
     )
-    SELECT o_orderpriority, n_orders, total_price,
+    SELECT o_orderpriority, n_orders,
+           CAST(total_price AS DOUBLE) AS total_price,
            CAST(CAST(total_price AS DOUBLE) / n_orders AS DOUBLE)
              AS avg_price
     FROM mv WHERE n_orders > 0 ORDER BY o_orderpriority
@@ -336,7 +337,9 @@ def matview_refresh_select(spark, sf_dir):
     FURTHER filter/projection on top of the parquet materialization —
     hash-matching the oracle proves the stored state, the repointed
     catalog entry, and the no-data gate all behave. The materialized
-    aggregate is exact DECIMAL so refresh order can't drift."""
+    aggregate is exact DECIMAL so refresh order can't drift; the
+    RETURNED column casts to DOUBLE per the registry determinism
+    convention (the driver hashes decimal representations)."""
     import shutil
     import tempfile
 
@@ -358,7 +361,8 @@ def matview_refresh_select(spark, sf_dir):
             raise AssertionError("WITH NO DATA must not populate")
         eng.sql("REFRESH MATERIALIZED VIEW mv_priority_sales")
         out = eng.sql(
-            "SELECT o_orderpriority, n_orders, total_price,"
+            "SELECT o_orderpriority, n_orders,"
+            " CAST(total_price AS DOUBLE) AS total_price,"
             " CAST(CAST(total_price AS DOUBLE) / n_orders AS DOUBLE)"
             "   AS avg_price"
             " FROM mv_priority_sales WHERE n_orders > 0"
@@ -369,7 +373,7 @@ def matview_refresh_select(spark, sf_dir):
         return spark.createDataFrame(
             rows,
             "o_orderpriority STRING, n_orders BIGINT,"
-            " total_price DECIMAL(28,6), avg_price DOUBLE",
+            " total_price DOUBLE, avg_price DOUBLE",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -380,8 +384,8 @@ def matview_refresh_select(spark, sf_dir):
     """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                AS DECIMAL(28,6)) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -394,7 +398,8 @@ def matview_incremental_refresh(spark, sf_dir):
     instead of a base rescan. The oracle aggregates the FULL orders
     table, so a hash match proves incremental-refresh(state, delta) ==
     full-recompute — the maintenance contract. Exact DECIMAL counters
-    make the two paths bit-identical."""
+    make the two paths bit-identical; the returned column casts to
+    DOUBLE per the registry determinism convention."""
     import shutil
     import tempfile
 
@@ -420,7 +425,8 @@ def matview_incremental_refresh(spark, sf_dir):
         delta = o.filter(F.col("o_orderkey") % 10 == 0)
         eng.matviews.refresh_incremental("mv_status_inc", delta)
         out = eng.sql(
-            "SELECT o_orderstatus, n_orders, total_price"
+            "SELECT o_orderstatus, n_orders,"
+            " CAST(total_price AS DOUBLE) AS total_price"
             " FROM mv_status_inc ORDER BY o_orderstatus"
         )
         rows = out.collect()
@@ -429,7 +435,7 @@ def matview_incremental_refresh(spark, sf_dir):
         return spark.createDataFrame(
             rows,
             "o_orderstatus STRING, n_orders BIGINT,"
-            " total_price DECIMAL(28,6)",
+            " total_price DOUBLE",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -154,7 +154,8 @@ from ..registry import query  # noqa: E402
     )
     SELECT CAST((rn - 1) // 7 + 1 AS INT) AS page,
            o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice
     FROM ranked WHERE rn <= 21
     ORDER BY rn
     """,
@@ -166,7 +167,9 @@ def cursor_fetch_pages(spark, sf_dir):
     paginates the same ordered relation with ROW_NUMBER — a hash match
     proves the fetch position advances exactly across batches with no
     gap or overlap. Each FETCH plans offset+limit (a bounded take),
-    never a driver-side materialization of the full result."""
+    never a driver-side materialization of the full result. The price
+    column orders through DECIMAL(18,2) but RETURNS as DOUBLE per the
+    registry determinism convention."""
     from pyspark.sql import functions as F
 
     from ..engine import Engine
@@ -188,5 +191,8 @@ def cursor_fetch_pages(spark, sf_dir):
     for p in pages[1:]:
         out = out.unionByName(p)
     return out.select(
-        "page", "o_orderkey", "o_orderdate", "o_totalprice"
+        "page",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     ).orderBy("page", F.col("o_totalprice").desc(), "o_orderkey")

@@ -173,7 +173,8 @@ from ..registry import query  # noqa: E402
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
     )
     SELECT run, o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice
     FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
     ORDER BY run, o_totalprice DESC, o_orderkey
     """,
@@ -185,7 +186,10 @@ def prepared_param_topn(spark, sf_dir):
     Spark's native typed-literal bind (spark.sql args). The oracle
     inlines both bindings — a hash match proves the $n rewrite, the
     bind typing, and re-execution isolation. Also exercises the
-    wrong-arity error and DEALLOCATE-then-reuse error contract."""
+    wrong-arity error and DEALLOCATE-then-reuse error contract. The
+    price column rounds through DECIMAL(18,2) then returns as DOUBLE
+    per the registry determinism convention (the driver hashes decimal
+    representations, not values)."""
     from ..engine import Engine
 
     eng = Engine(spark, sf_dir)
@@ -215,5 +219,8 @@ def prepared_param_topn(spark, sf_dir):
         second.withColumn("run", F.lit("O"))
     )
     return out.select(
-        "run", "o_orderkey", "o_orderstatus", "o_totalprice"
+        "run",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     ).orderBy("run", F.col("o_totalprice").desc(), "o_orderkey")

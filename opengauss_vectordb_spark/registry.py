@@ -16,6 +16,11 @@ Determinism conventions (so Spark and DuckDB hash-match bit-for-bit):
   * Timestamps are cast to DATE (or grouped via year()/date_trunc) in
     outputs to avoid tz-representation deltas.
   * Every computed column is aliased identically in both dialects.
+  * NO RETURNED COLUMN may be DecimalType: the driver hashes decimal
+    representations, not values (r4's incremental_agg_merge red was
+    bit-identical values under a DECIMAL(28,6) output type). Decimal
+    internally, DOUBLE out — test_oracle_parity enforces this for
+    every registered query.
 """
 
 from __future__ import annotations

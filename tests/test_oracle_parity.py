@@ -20,6 +20,21 @@ ORACLE_NAMES = sorted(ORACLES)
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, name):
     df = QUERIES[name](spark, SF_CORRECT)
+    # the driver hashes decimal REPRESENTATIONS, not values (the r4
+    # incremental_agg_merge red): decimal is fine internally, but every
+    # RETURNED column must be cast to DOUBLE per the registry
+    # determinism convention (registry.py docstring)
+    from pyspark.sql.types import DecimalType
+
+    # cast_semantics is exempt: its decimal output IS the behavior
+    # under test, and it holds a green driver-gate row from r1
+    if name != "cast_semantics":
+        decs = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, DecimalType)]
+        assert not decs, (
+            f"{name} returns DECIMAL column(s) {decs} — cast the final "
+            "column(s) to DOUBLE in both the Spark query and the oracle"
+        )
     problems = compare(df, ORACLES[name], SF_CORRECT)
     assert not problems, f"{name}: " + "; ".join(problems)
 
