@@ -14,7 +14,8 @@ module named): CREATE/DROP INDEX + SET/SHOW GUC + canonical ANN SELECT
 (this module), matviews, prepared statements, cursors + EXPLAIN,
 ANALYZE, COPY TO/FROM, CTAS / INSERT / UPDATE / DELETE / DROP TABLE /
 views / VACUUM / TRUNCATE / CLUSTER / REINDEX + sequences
-(ddl_tables), CREATE FUNCTION ... LANGUAGE SQL (create_function),
+(ddl_tables), CREATE FUNCTION ... LANGUAGE SQL (create_function) and
+LANGUAGE plpgsql's declarative subset (plpgsql),
 CREATE/DROP TRIGGER with the contrib/spi procedures (triggers),
 dblink_connect / dblink federation (dblink), row-level security +
 SET ROLE + dynamic data masking (rls), and the pg_tables / pg_indexes /
@@ -319,6 +320,11 @@ class Engine:
         from .operators.create_function import try_handle_stmt as _fn_stmt
 
         handled = _fn_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.plpgsql import try_handle_stmt as _plfn_stmt
+
+        handled = _plfn_stmt(self, query)
         if handled is not None:
             return handled
         from .operators.triggers import try_handle_stmt as _trigger_stmt

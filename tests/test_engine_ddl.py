@@ -708,3 +708,96 @@ def test_create_function_multi_statement_body(spark):
             "CREATE FUNCTION bad_body(x int) RETURNS int AS"
             " 'INSERT INTO t VALUES (1); SELECT 1' LANGUAGE SQL"
         )
+
+
+def test_plpgsql_guard_and_return(spark):
+    """The plpgsql guard-and-return scalar idiom (pl_exec.cpp
+    exec_stmt_if :1809) compiles to one inlined CASE expression —
+    DECLARE initializers, ELSIF chains, nested IF."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION grade(score float8) RETURNS text AS $$
+        DECLARE
+            bonus float8 := 5.0;
+        BEGIN
+            IF score + bonus >= 90 THEN
+                RETURN 'A';
+            ELSIF score + bonus >= 75 THEN
+                RETURN 'B';
+            ELSE
+                RETURN 'C';
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {r.s: r.g for r in eng.sql(
+        "SELECT s, grade(CAST(s AS DOUBLE)) AS g"
+        " FROM (VALUES (95.0), (80.0), (40.0)) AS t(s)"
+    ).collect()}
+    assert got == {95.0: "A", 80.0: "B", 40.0: "C"}
+    eng.sql("DROP FUNCTION grade")
+
+
+def test_plpgsql_conditional_assignment_and_raise(spark):
+    """Non-terminating IF branches fold assignments into CASE
+    bindings; RAISE EXCEPTION compiles to raise_error()."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION clamp01(x float8) RETURNS float8 AS $$
+        DECLARE
+            v float8 := x;
+        BEGIN
+            IF v < 0 THEN
+                v := 0.0;
+            ELSIF v > 1 THEN
+                v := 1.0;
+            END IF;
+            RETURN v;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = [r.c for r in eng.sql(
+        "SELECT clamp01(CAST(x AS DOUBLE)) AS c"
+        " FROM (VALUES (-2.0), (0.5), (7.0)) AS t(x) ORDER BY x"
+    ).collect()]
+    assert got == [0.0, 0.5, 1.0]
+    eng.sql("DROP FUNCTION clamp01")
+    eng.sql("""
+        CREATE FUNCTION must_pos(x float8) RETURNS float8 AS $$
+        BEGIN
+            IF x <= 0 THEN
+                RAISE EXCEPTION 'x must be positive';
+            END IF;
+            RETURN sqrt(x);
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT must_pos(9.0) AS v").collect()[0].v == 3.0
+    with pytest.raises(Exception, match="must be positive"):
+        eng.sql("SELECT must_pos(-1.0) AS v").collect()
+    eng.sql("DROP FUNCTION must_pos")
+
+
+def test_plpgsql_unsupported_shapes_raise_clearly(spark):
+    """LOOP/EXECUTE/EXCEPTION raise NotImplementedError naming the
+    Spark-side rewrite, never a confusing parse error."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(NotImplementedError, match="set-oriented"):
+        eng.sql("""
+            CREATE FUNCTION f(x int) RETURNS int AS $$
+            DECLARE i int := 0;
+            BEGIN
+                WHILE i < x LOOP i := i + 1; END LOOP;
+                RETURN i;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="subtransactions"):
+        eng.sql("""
+            CREATE FUNCTION g(x int) RETURNS int AS $$
+            BEGIN
+                RETURN x / 0;
+            EXCEPTION WHEN division_by_zero THEN RETURN 0;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
