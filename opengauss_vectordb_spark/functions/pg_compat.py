@@ -176,6 +176,9 @@ def pg_datetime_model_to_spark(model: str) -> str:
     out: list[str] = []
     i = 0
     while i < len(model):
+        if model[i:i + 2] in ("FM", "TM", "FX"):  # mode prefixes
+            i += 2
+            continue
         if model.startswith('"', i):  # PG quoted literal "..."
             j = model.index('"', i + 1)
             out.append("'" + model[i + 1 : j] + "'")
@@ -202,7 +205,10 @@ def _parse_dt_model(model: str) -> list[tuple[str, str]]:
     segs: list[tuple[str, str]] = []
     i = 0
     while i < len(model):
-        if model.startswith("FM", i):
+        # FM (fill mode), TM (translation mode — our names are already
+        # locale-default and unpadded) and FX (fixed/strict parse mode)
+        # are prefixes that do not change this engine's rendering
+        if model[i:i + 2] in ("FM", "TM", "FX"):
             i += 2
             continue
         if model.startswith('"', i):
@@ -227,22 +233,127 @@ def _parse_dt_model(model: str) -> list[tuple[str, str]]:
     return segs
 
 
+def _roman_numeral(n: Column) -> Column:
+    """Roman numeral of an integer 1–3999 (formatting.cpp NUM_RN /
+    int_to_roman): positional lookup per decimal digit — pure codegen."""
+    def digit(values, d):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in values]), (d + 1).cast("int")
+        )
+
+    return F.concat(
+        digit(["", "M", "MM", "MMM"], F.floor(n / 1000)),
+        digit(["", "C", "CC", "CCC", "CD", "D", "DC", "DCC", "DCCC", "CM"],
+              F.floor(n / 100) % 10),
+        digit(["", "X", "XX", "XXX", "XL", "L", "LX", "LXX", "LXXX", "XC"],
+              F.floor(n / 10) % 10),
+        digit(["", "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX"],
+              n % 10),
+    )
+
+
+def _ordinal_suffix(n: Column) -> Column:
+    """English ordinal suffix (formatting.cpp get_th): 11/12/13 → th,
+    else by last digit."""
+    last2 = (F.abs(n) % 100).cast("int")
+    last1 = (F.abs(n) % 10).cast("int")
+    return (
+        F.when((last2 >= 11) & (last2 <= 13), "th")
+        .when(last1 == 1, "st")
+        .when(last1 == 2, "nd")
+        .when(last1 == 3, "rd")
+        .otherwise("th")
+    )
+
+
+def _to_char_numeric(col: Column, model: str) -> Column:
+    """to_char(numeric, model) — formatting.cpp's NUM table: 9/0 digit
+    placeholders, G/D locale separators, S/MI/PR sign modes, L currency,
+    TH/th ordinals, B blank-on-zero, V implied shift, EEEE scientific,
+    RN roman numerals. FM semantics throughout (no blank padding — the
+    documented delta, as with the datetime names)."""
+    fm = model.replace("FM", "").replace("fm", "")
+    up = fm.upper()
+    if up == "RN":
+        r = _roman_numeral(F.abs(col).cast("int"))
+        return F.lower(r) if fm == "rn" else r  # token case sets output case
+    if up.endswith("EEEE"):
+        mantissa = up[:-4].rstrip()
+        decimals = (
+            len(mantissa.split(".", 1)[1].replace("G", "").replace(",", ""))
+            if "." in mantissa or "D" in mantissa else 0
+        )
+        if "D" in mantissa:
+            decimals = sum(c in "90" for c in mantissa.split("D", 1)[1])
+        return F.format_string(f"%.{decimals}e", col.cast("double"))
+    # normalize locale tokens to their symbols
+    core = up.replace("G", ",").replace("D", ".")
+    prefix, suffix = [], []
+    if core.startswith("S"):
+        core = core[1:]
+        prefix.append(F.when(col < 0, "-").otherwise("+"))
+    trailing_sign = None
+    if core.endswith("S"):
+        core = core[:-1]
+        trailing_sign = F.when(col < 0, "-").otherwise("+")
+    if core.endswith("MI"):
+        core = core[:-2]
+        trailing_sign = F.when(col < 0, "-").otherwise("")
+    wrap_pr = core.endswith("PR")
+    if wrap_pr:
+        core = core[:-2]
+    th = False
+    if core.endswith("TH"):
+        core = core[:-2]
+        th = True
+    if core.startswith("L"):
+        core = core[1:]
+        prefix.append(F.lit("$"))
+    blank_zero = "B" in core
+    core = core.replace("B", "")
+    value = col
+    if "V" in core:
+        shift = sum(c in "90" for c in core.split("V", 1)[1])
+        value = col.cast("double") * (10 ** shift)
+        core = core.split("V", 1)[0]
+    signed_elsewhere = bool(prefix) or trailing_sign is not None or wrap_pr
+    if signed_elsewhere:
+        value = F.abs(value)
+    decimals = len(core.split(".", 1)[1]) if "." in core else 0
+    s = F.format_number(value.cast("double"), decimals)
+    if "," not in core:
+        s = F.regexp_replace(s, ",", "")
+    if th:
+        # the model token's case sets the suffix case (PG rule:
+        # '999th' → 412th, '999TH' → 412TH)
+        suf = _ordinal_suffix(col.cast("bigint"))
+        if "TH" in model:
+            suf = F.upper(suf)
+        s = F.concat(s, suf)
+    out = F.concat(*prefix, s) if prefix else s
+    if trailing_sign is not None:
+        out = F.concat(out, trailing_sign)
+    if wrap_pr:
+        out = F.when(
+            col < 0, F.concat(F.lit("<"), out, F.lit(">"))
+        ).otherwise(out)
+    if blank_zero:
+        out = F.when(col == 0, "").otherwise(out)
+    return out
+
+
 def to_char(col: Column, model: str) -> Column:
     """PG to_char(timestamp/date, model) — translated datetime pattern,
-    or to_char(numeric, model) for models of 9/0/,/./FM.
+    or to_char(numeric, model) for numeric models (9/0 placeholders,
+    G/D/S/MI/PR/L/TH/B/V/EEEE/RN — see _to_char_numeric).
 
     Datetime models are stitched from date_format segments plus Column
     expressions for the tokens Spark's pattern language cannot express
     (SSSS seconds-past-midnight, WW/W week-of-year/month, IW/IYYY ISO
     week and week-year, CC century, J Julian day, RM roman month —
     formatting.cpp's DCH table long tail)."""
-    if set(model) & set("90"):  # numeric model (9/0 digit placeholders)
-        fm = model.replace("FM", "")
-        decimals = len(fm.split(".", 1)[1]) if "." in fm else 0
-        s = F.format_number(col.cast("double"), decimals)
-        if "," not in fm:
-            s = F.regexp_replace(s, ",", "")
-        return s
+    if set(model) & set("90") or model.replace("FM", "").upper() == "RN":
+        return _to_char_numeric(col, model)
     expr_fns = _expr_token_fns()
     # merge consecutive fmt/lit runs into single date_format calls so the
     # common all-pattern case stays ONE JVM format call

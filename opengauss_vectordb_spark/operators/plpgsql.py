@@ -301,6 +301,21 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
                 m_asn.group("e"), bindings
             )
             continue
+        # SELECT expr INTO var [FROM ...] (pl_exec exec_stmt_execsql's
+        # INTO path) → scalar-subquery binding, which Catalyst plans as
+        # a one-row subquery join
+        m_into = re.match(
+            r"SELECT\s+(?P<e>.+?)\s+INTO\s+(?:STRICT\s+)?(?P<v>\w+)"
+            r"(?P<tail>\s+FROM\s+.+)?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m_into:
+            tail = m_into.group("tail") or ""
+            bindings[m_into.group("v").lower()] = (
+                "(SELECT " + _subst(m_into.group("e"), bindings)
+                + _subst(tail, bindings) + ")"
+            )
+            continue
         raise NotImplementedError(
             f"plpgsql statement not in the declarative subset: "
             f"{stmt.split(None, 1)[0].upper()!r} — see module docstring "

@@ -801,3 +801,24 @@ def test_plpgsql_unsupported_shapes_raise_clearly(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_plpgsql_select_into(spark):
+    """SELECT ... INTO var binds a scalar subquery (exec_stmt_execsql's
+    INTO path); the function inlines it into the calling plan."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION region_share(rk int) RETURNS double AS $$
+        DECLARE
+            total bigint;
+            mine bigint;
+        BEGIN
+            SELECT COUNT(*) INTO total FROM nation;
+            SELECT COUNT(*) INTO mine FROM nation WHERE n_regionkey = rk;
+            RETURN CAST(mine AS DOUBLE) / total;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = eng.sql("SELECT region_share(0) AS v").collect()[0].v
+    assert abs(got - 0.2) < 1e-12  # 5 of 25 nations
+    eng.sql("DROP FUNCTION region_share")

@@ -108,3 +108,54 @@ def test_num_nulls_nonnulls(spark):
     a, b, c = F.lit(None).cast("int"), F.lit(1), F.lit(None).cast("string")
     assert _one(spark, num_nulls(a, b, c).cast("int")) == 2
     assert _one(spark, num_nonnulls(a, b, c).cast("int")) == 1
+
+
+def test_to_char_numeric_long_tail(spark):
+    """formatting.cpp NUM table long tail, pinned to the PG manual's
+    own examples (FM semantics — no blank padding)."""
+    from opengauss_vectordb_spark.functions.pg_compat import to_char
+
+    def tc(v, model, typ="double"):
+        return _one(spark, to_char(F.lit(v).cast(typ), model))
+
+    assert tc(485, "999") == "485"
+    assert tc(-485, "999") == "-485"
+    assert tc(485, "S999") == "+485"
+    assert tc(-485, "S999") == "-485"
+    assert tc(-485, "999MI") == "485-"
+    assert tc(485, "999MI") == "485"
+    assert tc(-485, "999PR") == "<485>"
+    assert tc(485, "999PR") == "485"
+    assert tc(485, "RN") == "CDLXXXV"
+    assert tc(3999, "RN") == "MMMCMXCIX"
+    assert tc(485, "rn") == "cdlxxxv"
+    assert tc(412, "999th") == "412th"
+    assert tc(412, "999TH") == "412TH"
+    assert tc(421, "999th") == "421st"
+    assert tc(411, "999th") == "411th"
+    assert tc(422, "999th") == "422nd"
+    assert tc(423, "999th") == "423rd"
+    assert tc(12, "99V999") == "12000"
+    assert tc(12.4, "99V999") == "12400"
+    assert tc(0.0004859, "9.99EEEE") == "4.86e-04"
+    assert tc(1234.56, "9G999D99") == "1,234.56"
+    assert tc(485.67, "L999D99") == "$485.67"
+    assert tc(0, "B999") == ""
+    assert tc(7, "B999") == "7"
+
+
+def test_to_char_mode_prefixes(spark):
+    """TM (translation mode) and FX (fixed mode) prefixes pass through:
+    TMMonth renders the month name, FX models parse in to_date."""
+    import datetime
+
+    from opengauss_vectordb_spark.functions.pg_compat import (
+        pg_to_date,
+        to_char,
+    )
+
+    ts = F.lit("2026-03-07 00:00:00").cast("timestamp")
+    assert _one(spark, to_char(ts, "TMMonth")) == "March"
+    assert _one(spark, to_char(ts, "FMDay, TMDD")) == "Saturday, 07"
+    got = _one(spark, pg_to_date(F.lit("2026-03-07"), "FXYYYY-MM-DD"))
+    assert got == datetime.date(2026, 3, 7)
