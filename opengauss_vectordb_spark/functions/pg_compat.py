@@ -279,12 +279,12 @@ def _to_char_numeric(col: Column, model: str) -> Column:
         return F.lower(r) if fm == "rn" else r  # token case sets output case
     if up.endswith("EEEE"):
         mantissa = up[:-4].rstrip()
-        decimals = (
-            len(mantissa.split(".", 1)[1].replace("G", "").replace(",", ""))
-            if "." in mantissa or "D" in mantissa else 0
-        )
         if "D" in mantissa:
             decimals = sum(c in "90" for c in mantissa.split("D", 1)[1])
+        elif "." in mantissa:
+            decimals = sum(c in "90" for c in mantissa.split(".", 1)[1])
+        else:
+            decimals = 0
         return F.format_string(f"%.{decimals}e", col.cast("double"))
     # normalize locale tokens to their symbols
     core = up.replace("G", ",").replace("D", ".")

@@ -59,6 +59,14 @@ def _parse_opts(opts: str | None) -> dict:
 def _resolve_source(engine, name: str) -> DataFrame:
     name = name.lower()
     if name in engine.managed_tables.tables:
+        from .rls import protected_tables
+
+        if name in protected_tables(engine):
+            # COPY TO is a scan like any other: a protected table must
+            # export through the RLS-filtered/masked view, never the
+            # raw parquet (rewriteRlsPolicy applies to every scan; PG
+            # likewise runs COPY under the caller's policies)
+            return engine.spark.table(name)
         return engine.spark.read.parquet(engine.managed_tables._path(name))
     return engine.spark.table(name)
 

@@ -58,7 +58,7 @@ class TableManager:
             from .rls import _refresh_views, protected_tables
 
             if name in protected_tables(eng):
-                _refresh_views(eng)
+                _refresh_views(eng, only=name)
                 return
         self.spark.read.parquet(self._path(name)).createOrReplaceTempView(
             name

@@ -88,21 +88,60 @@ _UNSUPPORTED = [
 ]
 
 
+def _mask_strings(text: str) -> str:
+    """Copy of ``text`` with every character INSIDE a string literal
+    replaced by a space (quotes kept, positions preserved), so keyword
+    and identifier scans never match inside literals while every match
+    offset remains valid in the original text."""
+    out = list(text)
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    out[i] = " "
+                    out[i + 1] = " "
+                    i += 2
+                    continue
+                in_str = False
+            else:
+                out[i] = " "
+        elif ch == "'":
+            in_str = True
+        i += 1
+    return "".join(out)
+
+
 def _strip_comments(text: str) -> str:
-    text = re.sub(r"--[^\n]*", "", text)
-    return re.sub(r"/\*.*?\*/", "", text, flags=re.DOTALL)
+    """Remove -- and /* */ comments, locating them on the
+    string-masked copy so a '--' inside a literal survives."""
+    while True:
+        masked = _mask_strings(text)
+        m = re.search(r"--[^\n]*|/\*.*?\*/", masked, flags=re.DOTALL)
+        if m is None:
+            return text
+        text = text[:m.start()] + text[m.end():]
 
 
 def _subst(expr: str, bindings: dict[str, str]) -> str:
     """Replace variable references with their (parenthesized) bound
-    expressions, identifier-boundary matched, longest names first so
-    `total` never corrupts `total_x`."""
+    expressions — identifier-boundary matched, longest names first so
+    `total` never corrupts `total_x`, and matched on the string-masked
+    copy so a variable name inside a string literal is never
+    rewritten."""
     out = expr
     for name in sorted(bindings, key=len, reverse=True):
-        out = re.sub(
-            rf"\b{re.escape(name)}\b", f"({bindings[name]})", out,
-            flags=re.IGNORECASE,
-        )
+        pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(_mask_strings(out), pos)
+            if m is None:
+                break
+            rep = f"({bindings[name]})"
+            out = out[:m.start()] + rep + out[m.end():]
+            pos = m.start() + len(rep)
     return out.strip()
 
 
@@ -130,81 +169,89 @@ def _scan_stmt(text: str, pos: int) -> tuple[str, int]:
     return text[pos:].strip(), len(text)
 
 
-_IF_OPEN = re.compile(r"\bIF\b", re.IGNORECASE)
-_END_IF = re.compile(r"\bEND\s+IF\s*;", re.IGNORECASE)
-_ELSIF = re.compile(r"\bELSIF\b", re.IGNORECASE)
-_ELSE = re.compile(r"\bELSE\b", re.IGNORECASE)
-_THEN = re.compile(r"\bTHEN\b", re.IGNORECASE)
+# one combined token scanner (END IF before END, ELSIF before IF);
+# always run against the STRING-MASKED text so literals never match
+_TOKEN = re.compile(
+    r"\bEND\s+IF\b|\bELSIF\b|\bCASE\b|\bEND\b|\bELSE\b|\bTHEN\b|\bIF\b",
+    re.IGNORECASE,
+)
 
 
 def _find_end_if(text: str, pos: int) -> tuple[int, int]:
-    """Given pos just after an opening IF, find the matching END IF;
-    returns (start_of_end_if, pos_after).  (The \\bIF\\b inside an
-    "END IF" match sits at a LATER offset than the match start, so the
-    open-before-close comparison classifies it correctly, and ELSIF
-    never matches \\bIF\\b.)"""
-    depth = 1
-    i = pos
-    while i < len(text):
-        m_open = _IF_OPEN.search(text, i)
-        m_close = _END_IF.search(text, i)
-        if m_close is None:
-            raise ValueError("plpgsql: IF without matching END IF")
-        if m_open is not None and m_open.start() < m_close.start():
-            depth += 1
-            i = m_open.end()
-        else:
-            depth -= 1
-            if depth == 0:
-                return m_close.start(), m_close.end()
-            i = m_close.end()
+    """Given pos just after an opening IF, find the matching END IF
+    (tracking nested IF and CASE ... END spans, on the string-masked
+    text so keywords inside literals are invisible); returns
+    (start_of_end_if, pos_after_terminator)."""
+    masked = _mask_strings(text)
+    if_depth, case_depth = 1, 0
+    for m in _TOKEN.finditer(masked, pos):
+        raw = m.group(0).upper()
+        tok = "END IF" if raw.startswith("END") and raw.endswith("IF") \
+            else raw
+        if tok == "CASE":
+            case_depth += 1
+        elif tok == "END IF":
+            if case_depth == 0:
+                if_depth -= 1
+                if if_depth == 0:
+                    after = m.end()
+                    semi = re.match(r"\s*;", text[after:])
+                    return m.start(), after + (semi.end() if semi else 0)
+        elif tok == "END":
+            if case_depth > 0:
+                case_depth -= 1
+        elif tok == "IF":
+            if case_depth == 0:
+                if_depth += 1
     raise ValueError("plpgsql: IF without matching END IF")
 
 
 def _split_branches(block: str) -> list[tuple[str | None, str]]:
     """Split an IF-block interior `cond THEN stmts [ELSIF cond THEN
     stmts]* [ELSE stmts]` into [(cond|None, stmts)] at THIS nesting
-    level (nested IF...END IF spans are skipped)."""
+    level — nested IF...END IF and CASE...END spans (including a
+    CASE's own THEN/ELSE) are skipped via depth tracking on the
+    string-masked text."""
+    masked = _mask_strings(block)
     branches: list[tuple[str | None, str]] = []
-    i, n = 0, len(block)
-    # first condition
-    m = _THEN.search(block)
-    if m is None:
-        raise ValueError("plpgsql: IF without THEN")
-    cond = block[:m.start()].strip()
-    body_start = m.end()
-    depth = 0
-    j = body_start
-    while j < n:
-        m_if = _IF_OPEN.search(block, j)
-        m_endif = re.compile(r"\bEND\s+IF\b", re.IGNORECASE).search(block, j)
-        m_elsif = _ELSIF.search(block, j)
-        m_else = _ELSE.search(block, j)
-        candidates = [m for m in (m_if, m_endif, m_elsif, m_else) if m]
-        if not candidates:
-            break
-        nxt = min(candidates, key=lambda m: m.start())
-        if nxt is m_if:
-            depth += 1
-            j = nxt.end()
-        elif nxt is m_endif:
-            depth -= 1
-            j = nxt.end()
-        elif depth == 0 and nxt is m_elsif:
-            branches.append((cond, block[body_start:nxt.start()].strip()))
-            m2 = _THEN.search(block, nxt.end())
-            if m2 is None:
-                raise ValueError("plpgsql: ELSIF without THEN")
-            cond = block[nxt.end():m2.start()].strip()
-            body_start = m2.end()
-            j = m2.end()
-        elif depth == 0 and nxt is m_else:
-            branches.append((cond, block[body_start:nxt.start()].strip()))
+    if_depth = case_depth = 0
+    in_cond = True  # scanning a condition, waiting for its THEN
+    cond: str | None = block  # placeholder; set at first THEN
+    cond_start = 0
+    body_start = 0
+    for m in _TOKEN.finditer(masked):
+        raw = m.group(0).upper()
+        tok = "END IF" if raw.startswith("END") and raw.endswith("IF") \
+            else raw
+        if tok == "CASE":
+            case_depth += 1
+        elif tok == "END":
+            if case_depth > 0:
+                case_depth -= 1
+        elif case_depth > 0:
+            continue  # THEN/ELSE/IF/ELSIF inside a CASE expression
+        elif tok == "IF":
+            if_depth += 1
+        elif tok == "END IF":
+            if_depth -= 1
+        elif if_depth > 0:
+            continue  # delimiters of a nested IF
+        elif tok == "THEN":
+            if in_cond:
+                cond = block[cond_start:m.start()].strip()
+                body_start = m.end()
+                in_cond = False
+        elif tok == "ELSIF":
+            branches.append((cond, block[body_start:m.start()].strip()))
+            in_cond = True
+            cond_start = m.end()
+        elif tok == "ELSE":
+            branches.append((cond, block[body_start:m.start()].strip()))
             cond = None
-            body_start = nxt.end()
-            j = nxt.end()
-        else:
-            j = nxt.end()
+            body_start = m.end()
+            in_cond = False
+    if in_cond:
+        raise ValueError("plpgsql: IF without THEN")
     branches.append((cond, block[body_start:].strip()))
     return branches
 
@@ -225,7 +272,8 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
             end_start, end_after = _find_end_if(text, start)
             block = text[start:end_start]
             branches = _split_branches(block)
-            if not re.search(r"\b(RETURN|RAISE)\b", block, re.IGNORECASE):
+            if not re.search(r"\b(RETURN|RAISE)\b", _mask_strings(block),
+                             re.IGNORECASE):
                 # conditional ASSIGNMENT (no branch terminates): fold
                 # each assigned variable into CASE WHEN cond THEN new
                 # ELSE old END and keep scanning the continuation
@@ -268,7 +316,16 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
             whens = []
             has_else = False
             for cond, body in branches:
-                val = _compile_stmts(body, dict(bindings))
+                # compile branch + continuation as one sequence: a
+                # branch that RETURNs never reaches the continuation
+                # (dead code after RETURN), while a branch that only
+                # assigns falls through into it with its updated
+                # bindings — exactly pl_exec's control flow
+                merged = body.rstrip()
+                if merged and not merged.endswith(";"):
+                    merged += ";"
+                merged = merged + "\n" + continuation
+                val = _compile_stmts(merged, dict(bindings))
                 if cond is None:
                     has_else = True
                     whens.append(f"ELSE {val}")
@@ -277,7 +334,6 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
             if not has_else:
                 cont = _compile_stmts(continuation, dict(bindings))
                 whens.append(f"ELSE {cont}")
-                return "CASE " + " ".join(whens) + " END"
             return "CASE " + " ".join(whens) + " END"
         stmt, pos = _scan_stmt(text, pos + off)
         if not stmt:

@@ -90,10 +90,17 @@ def protected_tables(engine) -> set:
     return engine.rls_enabled | labeled
 
 
-def _refresh_views(engine) -> None:
+def _refresh_views(engine, only: str | None = None) -> None:
     """Re-point protected tables' views for the current role — the
-    rewriteRlsPolicy.cpp qual injection, done once per role change."""
-    for tbl in protected_tables(engine):
+    rewriteRlsPolicy.cpp qual injection, done once per role change.
+    ``only`` limits the refresh to one table (the post-DML path: a
+    write to table t invalidates t's view alone, so refreshing all N
+    protected tables would be O(N) catalog work for nothing)."""
+    tables = (
+        protected_tables(engine) if only is None
+        else ({only} & protected_tables(engine))
+    )
+    for tbl in tables:
         if tbl not in engine.managed_tables.tables:
             continue  # state for a dropped table (purged on DROP, but
             # stay defensive: never read a nonexistent path)

@@ -484,20 +484,58 @@ def knn_l2_halfvec(spark, sf_dir):
 _IVF_LISTS = 16
 
 
+def _has_scheme(path: str) -> bool:
+    import re as _re
+
+    return bool(_re.match(r"^[a-z][a-z0-9+.-]*://", path))
+
+
 def index_root(spark) -> str:
-    """Root for index layouts and gate scratch: under the session
-    warehouse (the zorder_root/bucketed convention), overridable via
+    """Root for index layouts: under the session warehouse (the
+    zorder_root/bucketed convention), overridable via
     ``spark.graft.index.root`` — on a cluster point it at shared
-    durable storage, never node-local tmp."""
+    durable storage (s3://… / hdfs://…), never node-local tmp.
+    Schemed roots are returned untouched (Spark's writers create them);
+    local roots are created eagerly."""
     import os
     from urllib.parse import urlparse
 
     conf_root = spark.conf.get("spark.graft.index.root", None)
     if conf_root:
+        if _has_scheme(conf_root):
+            return conf_root
         root = conf_root
     else:
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         root = os.path.join(wh, "_indexes")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _layout_exists(spark, path: str) -> bool:
+    """Existence check that follows the root's filesystem: Hadoop FS
+    for schemed paths (s3/hdfs/…), os.path locally — so a remote
+    ``spark.graft.index.root`` still sees its _SUCCESS markers instead
+    of silently rebuilding every index."""
+    import os
+
+    if not _has_scheme(path):
+        return os.path.exists(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def _local_scratch(spark) -> str:
+    """Always-local scratch for gate fixtures (mkdtemp) and the PQ
+    codebook json — small driver-side artifacts, distinct from the
+    (possibly remote) layout root."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = os.path.join(wh, "_indexes")
     os.makedirs(root, exist_ok=True)
     return root
 
@@ -512,9 +550,9 @@ def _ivf_index(spark, sf_dir):
     # not read a stale index written by an older build
     key = hashlib.md5(f"{sf_dir}|layout-v2".encode()).hexdigest()[:10]
     path = os.path.join(index_root(spark), f"ivf_embeddings_{key}")
-    marker = os.path.join(path, "centroids", "_SUCCESS")
+    marker = path + "/centroids/_SUCCESS"
     idx = IvfIndex(path, metric="l2", lists=_IVF_LISTS)
-    if not os.path.exists(marker):
+    if not _layout_exists(spark, marker):
         emb = table(spark, sf_dir, "embeddings")
         IvfIndex.build(
             emb, "embedding", path, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -933,7 +971,7 @@ def _pq_books(spark, sf_dir):
     if sf_dir in _PQ_BOOKS:
         return _PQ_BOOKS[sf_dir]
     key = hashlib.md5(f"{sf_dir}|pq-v1".encode()).hexdigest()[:10]
-    path = os.path.join(index_root(spark), f"pq_books_{key}.json")
+    path = os.path.join(_local_scratch(spark), f"pq_books_{key}.json")
     if os.path.exists(path):
         with open(path) as f:
             books = PqCodebooks(np.array(_json.load(f)))
@@ -957,8 +995,8 @@ def _ivf_pq_layout(spark, sf_dir) -> str:
 
     key = hashlib.md5(f"{sf_dir}|ivfpq-v1".encode()).hexdigest()[:10]
     path = os.path.join(index_root(spark), f"ivfpq_embeddings_{key}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    marker = path + "/_SUCCESS"
+    if not _layout_exists(spark, marker):
         idx = _ivf_index(spark, sf_dir)
         books = _pq_books(spark, sf_dir)
         (
@@ -1123,7 +1161,7 @@ def ivf_append_then_search(spark, sf_dir):
     )
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    tmp = tempfile.mkdtemp(prefix="ivf_append_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="ivf_append_gate_", dir=_local_scratch(spark))
     try:
         idx = IvfIndex.build(
             base, "embedding", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -1222,7 +1260,7 @@ def ivf_search_cosine_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_cos_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="ivf_cos_gate_", dir=_local_scratch(spark))
     try:
         idx = IvfIndex.build(
             emb, "embedding", tmp, metric="cosine", lists=_IVF_LISTS,
@@ -1269,7 +1307,7 @@ def ivf_search_ip_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_ip_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="ivf_ip_gate_", dir=_local_scratch(spark))
     try:
         idx = IvfIndex.build(
             emb, "embedding", tmp, metric="ip", lists=_IVF_LISTS, max_iter=30
@@ -1326,7 +1364,7 @@ def hnsw_search_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1380,7 +1418,7 @@ def hnsw_search_l1_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_l1_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_l1_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l1", shards=4
@@ -1437,7 +1475,7 @@ def ivf_delete_then_search(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_vacuum_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="ivf_vacuum_gate_", dir=_local_scratch(spark))
     try:
         idx = IvfIndex.build(
             emb, "embedding", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -1509,7 +1547,7 @@ def hnsw_knn_join_exhaustive(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_join_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_join_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1585,7 +1623,7 @@ def ivf_search_halfvec_exhaustive(spark, sf_dir):
     halved = emb.select(
         "vec_id", "label", halfvec_quantize(F.col("embedding")).alias("emb_h")
     )
-    tmp = tempfile.mkdtemp(prefix="ivf_half_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="ivf_half_gate_", dir=_local_scratch(spark))
     try:
         idx = IvfIndex.build(
             halved, "emb_h", tmp, metric="l2", lists=_IVF_LISTS, max_iter=30
@@ -1647,7 +1685,7 @@ def hnsw_search_bit_exhaustive(spark, sf_dir):
         binary_quantize_words(_spark_qlit()).alias("qw")
     )
     qwords = [int(w) for w in qwords_df.first().qw]
-    tmp = tempfile.mkdtemp(prefix="hnsw_bit_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_bit_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             bits, "bits", tmp, id_col="vec_id", metric="hamming", shards=4
@@ -1705,7 +1743,7 @@ def hnsw_search_halfvec_exhaustive(spark, sf_dir):
     halved = emb.select(
         "vec_id", "label", halfvec_quantize(F.col("embedding")).alias("emb_h")
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_half_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_half_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             halved, "emb_h", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1769,7 +1807,7 @@ def hnsw_search_sparsevec_exhaustive(spark, sf_dir):
         e, lambda x: F.when(F.abs(x) > _SPARSE_T, x).otherwise(F.lit(0.0))
     )
     sp = emb.select("vec_id", "label", sparse.alias("emb_s"))
-    tmp = tempfile.mkdtemp(prefix="hnsw_sparse_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_sparse_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             sp, "emb_s", tmp, id_col="vec_id", metric="ip", shards=4
@@ -1835,7 +1873,7 @@ def ivf_search_bit_exhaustive(spark, sf_dir):
         .first()
         .qw
     ]
-    tmp = tempfile.mkdtemp(prefix="ivf_bit_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="ivf_bit_gate_", dir=_local_scratch(spark))
     try:
         idx = IvfIndex.build(
             bits, "bits", tmp, metric="hamming", lists=_IVF_LISTS,
@@ -1886,7 +1924,7 @@ def hnsw_filtered_search(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_filt_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_filt_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4
@@ -1944,7 +1982,7 @@ def hnsw_delete_then_search(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    tmp = tempfile.mkdtemp(prefix="hnsw_vac_gate_", dir=index_root(spark))
+    tmp = tempfile.mkdtemp(prefix="hnsw_vac_gate_", dir=_local_scratch(spark))
     try:
         idx = HnswIndex.build(
             emb, "embedding", tmp, id_col="vec_id", metric="l2", shards=4

@@ -822,3 +822,125 @@ def test_plpgsql_select_into(spark):
     got = eng.sql("SELECT region_share(0) AS v").collect()[0].v
     assert abs(got - 0.2) < 1e-12  # 5 of 25 nations
     eng.sql("DROP FUNCTION region_share")
+
+
+def test_plpgsql_nested_if(spark):
+    """Nested IF blocks compile via depth-tracked END IF matching."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION bucket2(x float8, y float8) RETURNS text AS $$
+        BEGIN
+            IF x >= 0 THEN
+                IF y >= 0 THEN
+                    RETURN 'Q1';
+                ELSE
+                    RETURN 'Q4';
+                END IF;
+            ELSIF y >= 0 THEN
+                RETURN 'Q2';
+            ELSE
+                RETURN 'Q3';
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {(r.x, r.y): r.q for r in eng.sql(
+        "SELECT x, y, bucket2(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS q"
+        " FROM (VALUES (1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0))"
+        " AS t(x, y)"
+    ).collect()}
+    assert got == {(1.0, 1.0): "Q1", (1.0, -1.0): "Q4",
+                   (-1.0, 1.0): "Q2", (-1.0, -1.0): "Q3"}
+    eng.sql("DROP FUNCTION bucket2")
+
+
+def test_plpgsql_strings_and_case_expressions(spark):
+    """Review-fix pins: keywords and variable names inside string
+    literals are inert; CASE expressions inside IF blocks parse; a
+    RETURN branch may coexist with a fall-through assignment branch;
+    '--' inside a literal is not a comment."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION describe_sign(x float8) RETURNS text AS $$
+        DECLARE
+            label text := 'x--value';  -- a real comment
+        BEGIN
+            IF x > 0 THEN
+                RETURN label || ': ' ||
+                    CASE WHEN x > 10 THEN 'big if true' ELSE 'small' END;
+            ELSE
+                label := 'label says else then end';
+            END IF;
+            RETURN label;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {r.x: r.d for r in eng.sql(
+        "SELECT x, describe_sign(CAST(x AS DOUBLE)) AS d"
+        " FROM (VALUES (20.0), (5.0), (-1.0)) AS t(x)"
+    ).collect()}
+    assert got == {
+        20.0: "x--value: big if true",
+        5.0: "x--value: small",
+        -1.0: "label says else then end",
+    }
+    eng.sql("DROP FUNCTION describe_sign")
+
+
+def test_plpgsql_variable_name_inside_literal(spark):
+    """A declared variable's name appearing inside a string literal is
+    never substituted (review finding: silent corruption)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION show_bonus(x float8) RETURNS text AS $$
+        DECLARE
+            bonus float8 := 5.0;
+        BEGIN
+            RETURN 'bonus=' || CAST(x + bonus AS STRING);
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert _first_v(eng, "SELECT show_bonus(1.0) AS v") == "bonus=6.0"
+    eng.sql("DROP FUNCTION show_bonus")
+
+
+def _first_v(eng, sql):
+    return eng.sql(sql).collect()[0].v
+
+
+def test_to_char_eeee_with_d_separator(spark):
+    """Review fix: '9D99EEEE' (D locale separator, no '.') must not
+    crash and must honor the D-side digit count."""
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.functions.pg_compat import to_char
+
+    got = (
+        spark.range(1)
+        .select(to_char(F.lit(0.0004859).cast("double"), "9D99EEEE")
+                .alias("v"))
+        .first()
+        .v
+    )
+    assert got == "4.86e-04"
+
+
+def test_copy_to_respects_rls(spark, tmp_path):
+    """Review fix: COPY TO on a protected table exports through the
+    RLS-filtered view, never the raw parquet (PG runs COPY under the
+    caller's policies)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS rlscopy_t")
+    eng.sql(
+        "CREATE TABLE rlscopy_t AS SELECT n_nationkey, n_regionkey"
+        " FROM nation"
+    )
+    eng.sql("ALTER TABLE rlscopy_t ENABLE ROW LEVEL SECURITY")
+    eng.sql("CREATE POLICY p ON rlscopy_t TO analyst USING (n_regionkey = 0)")
+    eng.sql("SET ROLE analyst")
+    out = f"{tmp_path}/rls_export"
+    eng.sql(f"COPY rlscopy_t TO '{out}' (FORMAT csv, HEADER true)")
+    exported = spark.read.option("header", True).csv(out)
+    assert exported.count() == 5  # policy-visible rows only, not 25
+    eng.sql("RESET ROLE")
+    eng.sql("DROP TABLE rlscopy_t")
