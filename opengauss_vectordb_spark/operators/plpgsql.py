@@ -114,15 +114,47 @@ def _mask_strings(text: str) -> str:
     return "".join(out)
 
 
+def _comment_spans(text: str) -> list[tuple[int, int]]:
+    """Single-pass lexer over the body: strings and comments are
+    mutually exclusive contexts (an apostrophe inside a comment is
+    comment text, '--' inside a string is string text), so one walk
+    tracking both is the only correct way to find comment spans."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
 def _strip_comments(text: str) -> str:
-    """Remove -- and /* */ comments, locating them on the
-    string-masked copy so a '--' inside a literal survives."""
-    while True:
-        masked = _mask_strings(text)
-        m = re.search(r"--[^\n]*|/\*.*?\*/", masked, flags=re.DOTALL)
-        if m is None:
-            return text
-        text = text[:m.start()] + text[m.end():]
+    """Remove -- and /* */ comments via the combined string/comment
+    lexer, so a '--' inside a literal survives AND an apostrophe
+    inside a comment cannot open a phantom string."""
+    for a, b in reversed(_comment_spans(text)):
+        text = text[:a] + text[b:]
+    return text
 
 
 def _subst(expr: str, bindings: dict[str, str]) -> str:
@@ -436,8 +468,9 @@ def translate_plpgsql(query: str) -> str | None:
     from .create_function import _unquote_body
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
+    masked_body = _mask_strings(body)  # keywords in literals are inert
     for pat, why in _UNSUPPORTED:
-        if pat.search(body):
+        if pat.search(masked_body):
             raise NotImplementedError(f"plpgsql: {why}")
     params = _split_params(m.group("params"))
     md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
@@ -447,6 +480,17 @@ def translate_plpgsql(query: str) -> str | None:
     if "decls" in md.groupdict() and md.groupdict().get("decls"):
         _parse_decls(md.group("decls"), bindings)
     expr = _compile_stmts(md.group("body"), bindings)
+    if len(expr) > 100_000:
+        # fall-through branches duplicate the continuation per branch,
+        # so long chains of mixed IF blocks grow the expression
+        # exponentially — refuse with a actionable message instead of
+        # handing Catalyst a megabyte expression
+        raise NotImplementedError(
+            "plpgsql: compiled expression exceeds 100 KB — long chains "
+            "of IF blocks with fall-through branches duplicate the "
+            "remaining body per branch; split the function, or express "
+            "the tiers as a single CASE in LANGUAGE SQL"
+        )
     name = m.group("name").lower()
     flags = (m.group("flags") or "").upper().split()
     strict = "STRICT" in flags or (

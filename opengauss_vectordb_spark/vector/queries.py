@@ -487,7 +487,9 @@ _IVF_LISTS = 16
 def _has_scheme(path: str) -> bool:
     import re as _re
 
-    return bool(_re.match(r"^[a-z][a-z0-9+.-]*://", path))
+    # URI schemes are case-insensitive (RFC 3986) and Hadoop accepts
+    # either case — 'S3://…' must not be mistaken for a local dir
+    return bool(_re.match(r"^[a-z][a-z0-9+.-]*://", path, _re.IGNORECASE))
 
 
 def index_root(spark) -> str:
@@ -528,14 +530,22 @@ def _layout_exists(spark, path: str) -> bool:
 
 
 def _local_scratch(spark) -> str:
-    """Always-local scratch for gate fixtures (mkdtemp) and the PQ
-    codebook json — small driver-side artifacts, distinct from the
-    (possibly remote) layout root."""
+    """Always-local scratch for gate fixtures (mkdtemp) — small
+    driver-side artifacts, distinct from the (possibly remote) layout
+    root. Falls back to the system tmp dir when the session warehouse
+    itself is remote (a remote warehouse URI's path component is NOT a
+    usable local directory)."""
     import os
+    import tempfile
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    root = os.path.join(wh, "_indexes")
+    wh_conf = spark.conf.get("spark.sql.warehouse.dir")
+    if _has_scheme(wh_conf) and not wh_conf.lower().startswith("file:"):
+        root = os.path.join(
+            tempfile.gettempdir(), "spark_graft_local_indexes"
+        )
+    else:
+        root = os.path.join(urlparse(wh_conf).path, "_indexes")
     os.makedirs(root, exist_ok=True)
     return root
 
@@ -957,11 +967,14 @@ _PQ_BOOKS: dict = {}
 
 
 def _pq_books(spark, sf_dir):
-    """PQ codebooks are CREATE INDEX-time artifacts: fit once per sf_dir
-    and persist next to the IVF layout, so no query run ever re-fits
-    (the reference times ANN queries after index build)."""
+    """PQ codebooks are CREATE INDEX-time artifacts: fit once per
+    sf_dir and persist NEXT TO the IVF×PQ layout (same index_root, so
+    a shared/remote root keeps the codebooks consistent with the codes
+    they encoded — a second driver finding the layout's _SUCCESS must
+    load THESE books, never re-fit its own). Stored as a tiny parquet
+    of (m, k, centroid) rows written by Spark, so any filesystem the
+    layout lives on works."""
     import hashlib
-    import json as _json
     import os
 
     import numpy as np
@@ -971,17 +984,34 @@ def _pq_books(spark, sf_dir):
     if sf_dir in _PQ_BOOKS:
         return _PQ_BOOKS[sf_dir]
     key = hashlib.md5(f"{sf_dir}|pq-v1".encode()).hexdigest()[:10]
-    path = os.path.join(_local_scratch(spark), f"pq_books_{key}.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            books = PqCodebooks(np.array(_json.load(f)))
+    path = os.path.join(index_root(spark), f"pq_books_{key}")
+    if _layout_exists(spark, path + "/_SUCCESS"):
+        rows = spark.read.parquet(path).collect()
+        m = max(r.m for r in rows) + 1
+        k = max(r.k for r in rows) + 1
+        sub = len(rows[0].centroid)
+        arr = np.zeros((m, k, sub))
+        for r in rows:
+            arr[r.m, r.k] = r.centroid
+        books = PqCodebooks(arr)
     else:
         emb = table(spark, sf_dir, "embeddings").filter(
             F.col("embedding").isNotNull()
         )
         books = PqCodebooks.fit(emb, "embedding", m=16, k=16)
-        with open(path, "w") as f:
-            _json.dump(books.codebooks.tolist(), f)
+        rows = [
+            (mi, ki, [float(x) for x in books.codebooks[mi, ki]])
+            for mi in range(books.m)
+            for ki in range(books.k)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "m INT, k INT, centroid ARRAY<DOUBLE>"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     _PQ_BOOKS[sf_dir] = books
     return books
 

@@ -944,3 +944,30 @@ def test_copy_to_respects_rls(spark, tmp_path):
     assert exported.count() == 5  # policy-visible rows only, not 25
     eng.sql("RESET ROLE")
     eng.sql("DROP TABLE rlscopy_t")
+
+
+def test_plpgsql_comment_and_literal_lexing(spark):
+    """Second-review pins: an apostrophe inside a comment must not open
+    a phantom string (line and block comments), and LOOP/OPEN/EXECUTE
+    words inside string literals must not trip the unsupported scan."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION lexer_t(x float8) RETURNS text AS $$
+        -- don't trip on this
+        DECLARE
+            v text := 'open the door';  /* can't fail */
+        BEGIN
+            IF x > 0 THEN
+                RETURN v || ' while you wait';
+            END IF;
+            RETURN 'execute order 66';
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {r.x: r.t for r in eng.sql(
+        "SELECT x, lexer_t(CAST(x AS DOUBLE)) AS t"
+        " FROM (VALUES (1.0), (-1.0)) AS t(x)"
+    ).collect()}
+    assert got == {1.0: "open the door while you wait",
+                   -1.0: "execute order 66"}
+    eng.sql("DROP FUNCTION lexer_t")
