@@ -1,0 +1,191 @@
+"""Property test for the plpgsql→SQL compiler: random programs in the
+declarative subset (DECLARE, assignment, nested IF/ELSIF/ELSE with both
+RETURN and fall-through branches) are compiled to one SQL expression and
+executed in DuckDB; a direct Python interpreter of the same program
+must agree on every input. This is the compiler analogue of the
+oracle-parity gate — two independent executions of one semantics."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opengauss_vectordb_spark.operators.plpgsql import translate_plpgsql
+
+# --- program AST ----------------------------------------------------------
+# expr: ('lin', a, b)   = a*x + b        (over the parameter x)
+#       ('var', c)      = v + c          (over the declared variable v)
+# cond: ('cmp', op, k)  = x <op> k
+# stmt: ('assign', expr) | ('return', expr) |
+#       ('if', [(cond|None, [stmt, ...]), ...])
+
+exprs = st.one_of(
+    st.tuples(st.just("lin"), st.integers(-3, 3), st.integers(-5, 5)),
+    st.tuples(st.just("var"), st.integers(-5, 5)),
+)
+conds = st.tuples(
+    st.just("cmp"), st.sampled_from(["<", ">", "=", "<=", ">="]),
+    st.integers(-3, 3),
+)
+
+
+def if_strategy(depth: int):
+    branch_body = st.lists(
+        st.one_of(
+            st.tuples(st.just("assign"), exprs),
+            st.tuples(st.just("return"), exprs),
+        ) if depth <= 0 else st.one_of(
+            st.tuples(st.just("assign"), exprs),
+            st.tuples(st.just("return"), exprs),
+            if_strategy(depth - 1),
+        ),
+        min_size=1,
+        max_size=2,
+    )
+    return st.builds(
+        lambda c1, b1, rest, els: (
+            "if",
+            [(c1, b1)] + rest + ([(None, els)] if els is not None else []),
+        ),
+        conds,
+        branch_body,
+        st.lists(st.tuples(conds, branch_body), max_size=2),
+        st.one_of(st.none(), branch_body),
+    )
+
+
+programs = st.lists(
+    st.one_of(
+        st.tuples(st.just("assign"), exprs),
+        if_strategy(2),
+    ),
+    max_size=3,
+).map(lambda body: body + [("return", ("var", 0))])
+
+
+# --- render to plpgsql source --------------------------------------------
+
+
+def _expr_src(e) -> str:
+    if e[0] == "lin":
+        return f"x * {e[1]} + {e[2]}"
+    return f"v + {e[1]}"
+
+
+def _cond_src(c) -> str:
+    return f"x {c[1]} {c[2]}"
+
+
+def _stmt_src(s, ind: str) -> str:
+    if s[0] == "assign":
+        return f"{ind}v := {_expr_src(s[1])};"
+    if s[0] == "return":
+        return f"{ind}RETURN {_expr_src(s[1])};"
+    out = []
+    first = True
+    for cond, body in s[1]:
+        if cond is None:
+            out.append(f"{ind}ELSE")
+        elif first:
+            out.append(f"{ind}IF {_cond_src(cond)} THEN")
+            first = False
+        else:
+            out.append(f"{ind}ELSIF {_cond_src(cond)} THEN")
+        out.extend(_stmt_src(b, ind + "    ") for b in body)
+    out.append(f"{ind}END IF;")
+    return "\n".join(out)
+
+
+def render(prog) -> str:
+    body = "\n".join(_stmt_src(s, "    ") for s in prog)
+    return (
+        "CREATE FUNCTION prop_fn(x bigint) RETURNS bigint AS $$\n"
+        "DECLARE\n    v bigint := 0;\nBEGIN\n"
+        f"{body}\nEND;\n$$ LANGUAGE plpgsql"
+    )
+
+
+# --- direct interpreter ---------------------------------------------------
+
+
+class _Returned(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+def _eval_expr(e, env):
+    if e[0] == "lin":
+        return env["x"] * e[1] + e[2]
+    return env["v"] + e[1]
+
+
+def _eval_cond(c, env):
+    import operator
+
+    ops = {"<": operator.lt, ">": operator.gt, "=": operator.eq,
+           "<=": operator.le, ">=": operator.ge}
+    return ops[c[1]](env["x"], c[2])
+
+
+def _run_stmts(stmts, env):
+    for s in stmts:
+        if s[0] == "assign":
+            env["v"] = _eval_expr(s[1], env)
+        elif s[0] == "return":
+            raise _Returned(_eval_expr(s[1], env))
+        else:
+            for cond, body in s[1]:
+                if cond is None or _eval_cond(cond, env):
+                    _run_stmts(body, env)
+                    break
+
+
+def interpret(prog, x: int) -> int:
+    env = {"x": x, "v": 0}
+    try:
+        _run_stmts(prog, env)
+    except _Returned as r:
+        return r.value
+    raise AssertionError("generated program must always return")
+
+
+# --- the property ---------------------------------------------------------
+
+
+@settings(max_examples=120, deadline=None)
+@given(prog=programs, x=st.integers(-6, 6))
+def test_compiled_matches_interpreter(prog, x):
+    ddl = translate_plpgsql(render(prog))
+    assert ddl is not None
+    m = re.search(r"RETURN (.+)$", ddl, re.DOTALL)
+    expr = m.group(1)
+    got = duckdb.sql(
+        f"SELECT CAST(({expr}) AS BIGINT) AS r"
+        f" FROM (SELECT CAST({x} AS BIGINT) AS x)"
+    ).fetchone()[0]
+    assert got == interpret(prog, x), render(prog)
+
+
+def test_compiled_expression_is_spark_valid(spark):
+    """One end-to-end pin that the emitted DDL parses and runs in Spark
+    too (DuckDB carries the bulk of the property examples)."""
+    prog = [
+        ("assign", ("lin", 2, 1)),
+        ("if", [
+            (("cmp", ">", 0), [("return", ("var", 10))]),
+            (None, [("assign", ("var", -1))]),
+        ]),
+        ("return", ("var", 0)),
+    ]
+    ddl = translate_plpgsql(render(prog))
+    spark.sql(ddl)
+    for x in (-2, 0, 3):
+        got = spark.sql(
+            f"SELECT prop_fn(CAST({x} AS BIGINT)) AS r"
+        ).first().r
+        assert got == interpret(prog, x)
+    spark.sql("DROP TEMPORARY FUNCTION prop_fn")
