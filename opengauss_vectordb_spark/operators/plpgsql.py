@@ -309,39 +309,7 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
                 # conditional ASSIGNMENT (no branch terminates): fold
                 # each assigned variable into CASE WHEN cond THEN new
                 # ELSE old END and keep scanning the continuation
-                updates: list[tuple[str | None, dict[str, str]]] = []
-                assigned: set[str] = set()
-                for cond, body in branches:
-                    b = dict(bindings)
-                    _apply_assignments(body, b)
-                    changed = {
-                        k: v for k, v in b.items()
-                        if bindings.get(k) != v
-                    }
-                    assigned |= set(changed)
-                    updates.append(
-                        (None if cond is None
-                         else _subst(cond, bindings), changed)
-                    )
-                for var in assigned:
-                    old = bindings.get(var)
-                    if old is None:
-                        raise ValueError(
-                            f"plpgsql: conditional assignment to "
-                            f"undeclared variable {var!r}"
-                        )
-                    whens = []
-                    has_else = False
-                    for cond, changed in updates:
-                        val = changed.get(var, old)
-                        if cond is None:
-                            has_else = True
-                            whens.append(f"ELSE {val}")
-                        else:
-                            whens.append(f"WHEN {cond} THEN {val}")
-                    if not has_else:
-                        whens.append(f"ELSE {old}")
-                    bindings[var] = "CASE " + " ".join(whens) + " END"
+                _fold_conditional_assign(branches, bindings)
                 pos = end_after
                 continue
             continuation = text[end_after:]
@@ -414,12 +382,64 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
     )
 
 
-def _apply_assignments(body: str, bindings: dict[str, str]) -> None:
-    """Apply a branch consisting solely of assignment statements to the
-    bindings (used for conditional-assignment IF blocks)."""
-    pos = 0
-    while pos < len(body):
-        stmt, pos = _scan_stmt(body, pos)
+def _fold_conditional_assign(
+    branches: list[tuple[str | None, str]], bindings: dict[str, str]
+) -> None:
+    """Fold a RETURN-free IF block into the bindings: each variable a
+    branch assigns becomes CASE WHEN cond THEN new ELSE old END.
+    Branch bodies may themselves contain nested RETURN-free IF blocks
+    (applied recursively via _apply_stmts)."""
+    updates: list[tuple[str | None, dict[str, str]]] = []
+    assigned: set[str] = set()
+    for cond, body in branches:
+        b = dict(bindings)
+        _apply_stmts(body, b)
+        changed = {k: v for k, v in b.items() if bindings.get(k) != v}
+        assigned |= set(changed)
+        updates.append(
+            (None if cond is None else _subst(cond, bindings), changed)
+        )
+    for var in assigned:
+        old = bindings.get(var)
+        if old is None:
+            raise ValueError(
+                f"plpgsql: conditional assignment to undeclared "
+                f"variable {var!r}"
+            )
+        whens = []
+        has_else = False
+        for cond, changed in updates:
+            val = changed.get(var, old)
+            if cond is None:
+                has_else = True
+                whens.append(f"ELSE {val}")
+            else:
+                whens.append(f"WHEN {cond} THEN {val}")
+        if not has_else:
+            whens.append(f"ELSE {old}")
+        bindings[var] = "CASE " + " ".join(whens) + " END"
+
+
+def _apply_stmts(body: str, bindings: dict[str, str]) -> None:
+    """Apply a RETURN-free statement sequence to the bindings:
+    assignments update them directly; nested IF blocks fold via
+    _fold_conditional_assign."""
+    pos, n = 0, len(body)
+    while pos < n:
+        rest = body[pos:].lstrip()
+        off = len(body[pos:]) - len(rest)
+        if not rest:
+            break
+        m_if = re.match(r"IF\b", rest, re.IGNORECASE)
+        if m_if:
+            start = pos + off + m_if.end()
+            end_start, end_after = _find_end_if(body, start)
+            _fold_conditional_assign(
+                _split_branches(body[start:end_start]), bindings
+            )
+            pos = end_after
+            continue
+        stmt, pos = _scan_stmt(body, pos + off)
         if not stmt:
             continue
         m = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
