@@ -159,7 +159,15 @@ def interpret(prog, x: int) -> int:
 @settings(max_examples=120, deadline=None)
 @given(prog=programs, x=st.integers(-6, 6))
 def test_compiled_matches_interpreter(prog, x):
-    ddl = translate_plpgsql(render(prog))
+    from hypothesis import assume
+
+    try:
+        ddl = translate_plpgsql(render(prog))
+    except NotImplementedError as e:
+        # the 100 KB size guard refusing a pathologically nested
+        # program is designed behavior, not a miscompilation
+        assert "100 KB" in str(e)
+        assume(False)
     assert ddl is not None
     m = re.search(r"RETURN (.+)$", ddl, re.DOTALL)
     expr = m.group(1)
