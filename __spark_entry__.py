@@ -46,6 +46,10 @@ registry.load_all_queries()
 #   regexp_oracle_funcs, xml_funcs, geo_earth_distance, ltree_hierarchy,
 #   json_agg_funcs, pgcrypto_funcs, fuzzystrmatch_unaccent,
 #   pgstattuple_report, pageinspect_stats, fts_tsvector_ops
+# After the backlog clears, first new registration candidate: an
+# end-to-end LANGUAGE plpgsql gate query (operators/plpgsql.py compiles
+# the declarative subset to inlined SQL; currently pytest + 120-example
+# property coverage, no registry slot — round-5 registration freeze).
 GATE_PRIORITY: list[str] = [
     # re-gates: code changed in round 5 (r4 standing red + r4 scale flag)
     "incremental_agg_merge",
