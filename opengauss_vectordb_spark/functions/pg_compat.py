@@ -275,8 +275,12 @@ def _to_char_numeric(col: Column, model: str) -> Column:
     fm = model.replace("FM", "").replace("fm", "")
     up = fm.upper()
     if up == "RN":
-        r = _roman_numeral(F.abs(col).cast("int"))
-        return F.lower(r) if fm == "rn" else r  # token case sets output case
+        n = F.abs(col).cast("int")
+        r = _roman_numeral(n)
+        r = F.lower(r) if fm == "rn" else r  # token case sets output case
+        # formatting.cpp prints fill characters for values outside the
+        # roman range 1..3999
+        return F.when((n < 1) | (n > 3999), "###").otherwise(r)
     if up.endswith("EEEE"):
         mantissa = up[:-4].rstrip()
         if "D" in mantissa:

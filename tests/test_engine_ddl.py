@@ -971,3 +971,17 @@ def test_plpgsql_comment_and_literal_lexing(spark):
     assert got == {1.0: "open the door while you wait",
                    -1.0: "execute order 66"}
     eng.sql("DROP FUNCTION lexer_t")
+
+
+def test_plpgsql_drop_function(spark):
+    """DROP FUNCTION deregisters a plpgsql-language function through
+    the shared sql_functions path."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE FUNCTION dropme(x int) RETURNS int AS $$"
+        " BEGIN RETURN x + 1; END; $$ LANGUAGE plpgsql"
+    )
+    assert eng.sql("SELECT dropme(1) AS v").collect()[0].v == 2
+    tag = eng.sql("DROP FUNCTION dropme").collect()[0]
+    assert tag.existed
+    assert "dropme" not in eng.sql_functions

@@ -159,3 +159,13 @@ def test_to_char_mode_prefixes(spark):
     assert _one(spark, to_char(ts, "FMDay, TMDD")) == "Saturday, 07"
     got = _one(spark, pg_to_date(F.lit("2026-03-07"), "FXYYYY-MM-DD"))
     assert got == datetime.date(2026, 3, 7)
+
+
+def test_to_char_rn_out_of_range(spark):
+    """Roman-numeral models outside 1..3999 print fill characters
+    (formatting.cpp int_to_roman overflow behavior)."""
+    from opengauss_vectordb_spark.functions.pg_compat import to_char
+
+    assert _one(spark, to_char(F.lit(0).cast("int"), "RN")) == "###"
+    assert _one(spark, to_char(F.lit(4000).cast("int"), "RN")) == "###"
+    assert _one(spark, to_char(F.lit(3999).cast("int"), "RN")) == "MMMCMXCIX"
