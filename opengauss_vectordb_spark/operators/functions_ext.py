@@ -581,21 +581,30 @@ def string_format_pg(spark, sf_dir):
       FROM nation GROUP BY n_regionkey
     )
     SELECT n_regionkey,
-           list_filter(names, x -> x <> 'NATION_1') AS removed,
-           list_transform(names,
-             x -> CASE WHEN x = 'NATION_2' THEN 'X' ELSE x END) AS replaced,
-           list_append(names, 'ZZZ') AS appended,
-           list_concat(names, ['A', 'B']) AS catted,
-           list_transform(generate_series(1, 3), x -> 'z') AS filled,
-           list_sort(list_filter(names,
-             x -> NOT list_contains(['NATION_1', 'NATION_3'], x)))
-             AS except_d,
-           list_sort(list_filter(names,
-             x -> list_contains(['NATION_1', 'NATION_3', 'NO'], x)))
-             AS intersect_d,
-           list_sort(list_distinct(list_concat(names, ['NATION_1', 'QQ'])))
+           COALESCE(array_to_string(
+             list_filter(names, x -> x <> 'NATION_1'), '|'), '')
+             AS removed,
+           COALESCE(array_to_string(list_transform(names,
+             x -> CASE WHEN x = 'NATION_2' THEN 'X' ELSE x END), '|'),
+             '') AS replaced,
+           COALESCE(array_to_string(list_append(names, 'ZZZ'), '|'), '')
+             AS appended,
+           COALESCE(array_to_string(list_concat(names, ['A', 'B']), '|'), '')
+             AS catted,
+           COALESCE(array_to_string(
+             list_transform(generate_series(1, 3), x -> 'z'), '|'), '')
+             AS filled,
+           COALESCE(array_to_string(list_sort(list_filter(names,
+             x -> NOT list_contains(['NATION_1', 'NATION_3'], x))),
+             '|'), '') AS except_d,
+           COALESCE(array_to_string(list_sort(list_filter(names,
+             x -> list_contains(['NATION_1', 'NATION_3', 'NO'], x))),
+             '|'), '') AS intersect_d,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_concat(names, ['NATION_1', 'QQ']))), '|'), '')
              AS union_d,
-           list_slice(names, 1, len(names) - 1) AS trimmed
+           COALESCE(array_to_string(list_slice(names, 1, len(names) - 1), '|'),
+             '') AS trimmed
     FROM t ORDER BY n_regionkey
     """,
 )
@@ -607,33 +616,49 @@ def array_funcs2(spark, sf_dir):
     All pure Catalyst array expressions (codegen'd, no shuffle beyond
     the tiny grouping); set-valued outputs are sorted on both sides so
     the comparison never leans on engine-specific ordering of
-    distinct-set results."""
+    distinct-set results. Every array output is serialized to a
+    '|'-joined string (array_join / array_to_string on each side): the
+    gate's row canonicalizer cannot sort LIST cells, so returned
+    schemas carry no ARRAY columns (registry convention)."""
     n = table(spark, sf_dir, "nation")
     t = n.groupBy("n_regionkey").agg(
         F.array_sort(F.collect_list("n_name")).alias("names")
     )
     lit13 = F.array(F.lit("NATION_1"), F.lit("NATION_3"))
+    j = lambda c: F.array_join(c, "|")
     return t.select(
         "n_regionkey",
-        F.array_remove("names", "NATION_1").alias("removed"),
-        F.transform(
-            "names",
-            lambda x: F.when(x == "NATION_2", F.lit("X")).otherwise(x),
-        ).alias("replaced"),
-        F.array_append("names", F.lit("ZZZ")).alias("appended"),
-        F.concat("names", F.array(F.lit("A"), F.lit("B"))).alias("catted"),
-        F.array_repeat(F.lit("z"), 3).alias("filled"),
-        F.array_sort(F.array_except("names", lit13)).alias("except_d"),
-        F.array_sort(
-            F.array_intersect(
+        j(F.array_remove("names", "NATION_1")).alias("removed"),
+        j(
+            F.transform(
                 "names",
-                F.array(F.lit("NATION_1"), F.lit("NATION_3"), F.lit("NO")),
+                lambda x: F.when(x == "NATION_2", F.lit("X")).otherwise(x),
+            )
+        ).alias("replaced"),
+        j(F.array_append("names", F.lit("ZZZ"))).alias("appended"),
+        j(F.concat("names", F.array(F.lit("A"), F.lit("B")))).alias(
+            "catted"
+        ),
+        j(F.array_repeat(F.lit("z"), 3)).alias("filled"),
+        j(F.array_sort(F.array_except("names", lit13))).alias("except_d"),
+        j(
+            F.array_sort(
+                F.array_intersect(
+                    "names",
+                    F.array(
+                        F.lit("NATION_1"), F.lit("NATION_3"), F.lit("NO")
+                    ),
+                )
             )
         ).alias("intersect_d"),
-        F.array_sort(
-            F.array_union("names", F.array(F.lit("NATION_1"), F.lit("QQ")))
+        j(
+            F.array_sort(
+                F.array_union(
+                    "names", F.array(F.lit("NATION_1"), F.lit("QQ"))
+                )
+            )
         ).alias("union_d"),
-        F.slice("names", 1, F.size("names") - 1).alias("trimmed"),
+        j(F.slice("names", 1, F.size("names") - 1)).alias("trimmed"),
     ).orderBy("n_regionkey")
 
 

@@ -781,7 +781,7 @@ def dedup_keep_best(spark, sf_dir):
     )
     SELECT source, docs, tokens,
            ROUND(tokens * 1.0 / all_tokens, 6) AS current_frac,
-           0.25 AS target_frac,
+           CAST(0.25 AS DOUBLE) AS target_frac,
            ROUND(LEAST(0.25 / (tokens * 1.0 / all_tokens), 4.0), 6)
              AS sample_weight
     FROM per_src CROSS JOIN tot
@@ -798,7 +798,9 @@ def source_mix_rebalance(spark, sf_dir):
     bound re-reads it forever — the cap is the standard practice and
     keeps the weight finite if a source nearly vanishes). Token counts
     are exact integers, so the fractions are shuffle-order
-    deterministic without the decimal convention."""
+    deterministic; the bare target literal is CAST to DOUBLE in the
+    oracle because a DuckDB `0.25` is DECIMAL(3,2) and the gate hashes
+    representations (registry DOUBLE convention)."""
     d = table(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     per_src = d.select("source", toks.alias("toks")).groupBy("source").agg(

@@ -1481,7 +1481,8 @@ _SW_TITLE = 6  # leading tokens form the 'A'-weighted title zone
     SELECT doc_id,
            CAST(tf_a AS INT) AS tf_title,
            CAST(tf_d AS INT) AS tf_body,
-           ROUND(1.0 * tf_a + 0.1 * tf_d, 6) AS weighted_rank
+           CAST(ROUND(1.0 * tf_a + 0.1 * tf_d, 6) AS DOUBLE)
+             AS weighted_rank
     FROM w
     WHERE tf_a > 0
     ORDER BY weighted_rank DESC, doc_id LIMIT 25

@@ -16,11 +16,20 @@ Determinism conventions (so Spark and DuckDB hash-match bit-for-bit):
   * Timestamps are cast to DATE (or grouped via year()/date_trunc) in
     outputs to avoid tz-representation deltas.
   * Every computed column is aliased identically in both dialects.
-  * NO RETURNED COLUMN may be DecimalType: the driver hashes decimal
-    representations, not values (r4's incremental_agg_merge red was
-    bit-identical values under a DECIMAL(28,6) output type). Decimal
-    internally, DOUBLE out — test_oracle_parity enforces this for
-    every registered query.
+  * NO RETURNED COLUMN may be DecimalType — ON EITHER SIDE: the driver
+    hashes decimal representations, not values (r4's
+    incremental_agg_merge red was bit-identical values under a
+    DECIMAL(28,6) output type; r5's source_mix_rebalance red was a bare
+    ``0.25`` ORACLE literal, DECIMAL(3,2) in DuckDB). Decimal
+    internally, DOUBLE out — and CAST bare fractional literals in the
+    oracle SQL too.
+  * NO RETURNED COLUMN may be ARRAY/MAP typed — on either side: the
+    driver's row canonicalizer sorts rows in pandas and dies on
+    unhashable list cells (r5's array_funcs2 ERR). Serialize with
+    array_join (Spark) / array_to_string (DuckDB).
+  Both rules are enforced per-query by tests/test_oracle_parity.py: the
+  Spark schema is checked directly and the oracle's raw fetched values
+  are scanned for Decimal/list cells (cast_semantics exempt).
 """
 
 from __future__ import annotations

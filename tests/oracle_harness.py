@@ -51,12 +51,41 @@ def canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
-    """Returns a list of mismatch descriptions (empty = pass)."""
+def compare(
+    spark_df, oracle: str, sf_dir: str, check_repr: bool = False
+) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass).
+
+    With ``check_repr`` (the parity test's default for every
+    non-exempt query), also asserts the DRIVER's representation
+    conventions on the raw oracle values, before local normalization
+    masks them: no decimal.Decimal (the driver hashes decimal
+    representations — r4 incremental_agg_merge, r5 source_mix_rebalance
+    where the DECIMAL was a bare oracle literal) and no list cells (the
+    driver's pandas row-sort canonicalizer dies on unhashable lists —
+    r5 array_funcs2). The local harness tolerates both via _norm, which
+    is exactly why these slipped the gate three rounds running.
+    """
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols, d_rows = run_oracle(oracle, sf_dir)
     problems = []
+    if check_repr:
+        import decimal
+
+        bad_cols: dict[str, str] = {}
+        for r in d_rows:
+            for c, v in zip(d_cols, r):
+                if isinstance(v, decimal.Decimal):
+                    bad_cols[c] = "Decimal"
+                elif isinstance(v, (list, tuple)):
+                    bad_cols[c] = "list"
+        if bad_cols:
+            problems.append(
+                "oracle emits driver-hostile representations "
+                f"{bad_cols} — CAST to DOUBLE / array_to_string in the "
+                "oracle SQL (registry convention)"
+            )
     if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
         c.lower() for c in s_cols
     ) != sorted(c.lower() for c in d_cols):

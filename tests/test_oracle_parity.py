@@ -24,18 +24,28 @@ def test_oracle_parity(spark, name):
     # incremental_agg_merge red): decimal is fine internally, but every
     # RETURNED column must be cast to DOUBLE per the registry
     # determinism convention (registry.py docstring)
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
 
     # cast_semantics is exempt: its decimal output IS the behavior
     # under test, and it holds a green driver-gate row from r1
-    if name != "cast_semantics":
+    exempt = name == "cast_semantics"
+    if not exempt:
         decs = [f.name for f in df.schema.fields
                 if isinstance(f.dataType, DecimalType)]
         assert not decs, (
             f"{name} returns DECIMAL column(s) {decs} — cast the final "
             "column(s) to DOUBLE in both the Spark query and the oracle"
         )
-    problems = compare(df, ORACLES[name], SF_CORRECT)
+        # the driver's canonicalizer cannot sort rows containing LIST
+        # cells (r5 array_funcs2 ERR): no ARRAY/MAP in returned schemas
+        # — serialize via array_join / array_to_string on both sides
+        arrs = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))]
+        assert not arrs, (
+            f"{name} returns ARRAY/MAP column(s) {arrs} — serialize to "
+            "strings on both sides (registry convention)"
+        )
+    problems = compare(df, ORACLES[name], SF_CORRECT, check_repr=not exempt)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
