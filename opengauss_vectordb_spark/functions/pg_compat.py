@@ -275,12 +275,13 @@ def _to_char_numeric(col: Column, model: str) -> Column:
     fm = model.replace("FM", "").replace("fm", "")
     up = fm.upper()
     if up == "RN":
-        n = F.abs(col).cast("int")
-        r = _roman_numeral(n)
+        # formatting.cpp int_to_roman range-checks the SIGNED value:
+        # anything outside 1..3999 (negatives included) prints fill
+        # characters — never abs() first
+        signed = col.cast("int")
+        r = _roman_numeral(signed)
         r = F.lower(r) if fm == "rn" else r  # token case sets output case
-        # formatting.cpp prints fill characters for values outside the
-        # roman range 1..3999
-        return F.when((n < 1) | (n > 3999), "###").otherwise(r)
+        return F.when((signed < 1) | (signed > 3999), "###").otherwise(r)
     if up.endswith("EEEE"):
         mantissa = up[:-4].rstrip()
         if "D" in mantissa:

@@ -110,6 +110,49 @@ def _split_params(params: str) -> list[tuple[str, str]]:
     return parsed
 
 
+def _comment_spans(text: str) -> list[tuple[int, int]]:
+    """Single-pass lexer over the body: strings and comments are
+    mutually exclusive contexts (an apostrophe inside a comment is
+    comment text, '--' inside a string is string text), so one walk
+    tracking both is the only correct way to find comment spans."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _strip_comments(text: str) -> str:
+    """Remove -- and /* */ comments via the combined string/comment
+    lexer, so a '--' inside a literal survives AND an apostrophe
+    inside a comment cannot open a phantom string."""
+    for a, b in reversed(_comment_spans(text)):
+        text = text[:a] + text[b:]
+    return text
+
+
 def _split_stmts(body: str) -> list[str]:
     """Quote- and paren-aware split of a SQL-function body on top-level
     semicolons (PG SQL functions hold a statement list)."""
@@ -173,7 +216,10 @@ def translate_create_function(query: str) -> str | None:
     # Spark inlines one RETURN expression, so: earlier statements must
     # be side-effect-free (SELECT/VALUES) — they are planned away per
     # the PG discard rule — and the LAST statement becomes the body.
-    stmts = _split_stmts(body)
+    # comments may contain ';' — strip them (string-aware) BEFORE the
+    # statement split, or a '-- note; caveat' truncates the final
+    # statement / misclassifies an earlier one
+    stmts = _split_stmts(_strip_comments(body))
     if len(stmts) > 1:
         for s in stmts[:-1]:
             if not re.match(r"^(SELECT|VALUES|WITH)\b", s, re.IGNORECASE):

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import re
 
-from .create_function import _map_type, _split_params
+from .create_function import _map_type, _split_params, _strip_comments
 
 _CREATE_PLFN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
@@ -114,58 +114,18 @@ def _mask_strings(text: str) -> str:
     return "".join(out)
 
 
-def _comment_spans(text: str) -> list[tuple[int, int]]:
-    """Single-pass lexer over the body: strings and comments are
-    mutually exclusive contexts (an apostrophe inside a comment is
-    comment text, '--' inside a string is string text), so one walk
-    tracking both is the only correct way to find comment spans."""
-    spans: list[tuple[int, int]] = []
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            i = j + 1
-        elif text.startswith("--", i):
-            j = text.find("\n", i)
-            j = n if j < 0 else j
-            spans.append((i, j))
-            i = j
-        elif text.startswith("/*", i):
-            j = text.find("*/", i + 2)
-            j = n if j < 0 else j + 2
-            spans.append((i, j))
-            i = j
-        else:
-            i += 1
-    return spans
-
-
-def _strip_comments(text: str) -> str:
-    """Remove -- and /* */ comments via the combined string/comment
-    lexer, so a '--' inside a literal survives AND an apostrophe
-    inside a comment cannot open a phantom string."""
-    for a, b in reversed(_comment_spans(text)):
-        text = text[:a] + text[b:]
-    return text
-
-
 def _subst(expr: str, bindings: dict[str, str]) -> str:
     """Replace variable references with their (parenthesized) bound
     expressions — identifier-boundary matched, longest names first so
     `total` never corrupts `total_x`, and matched on the string-masked
     copy so a variable name inside a string literal is never
-    rewritten."""
+    rewritten. Qualified references (`t.total`) are never touched —
+    they are plpgsql's documented escape hatch for a column whose name
+    collides with a variable (an unqualified collision resolves to the
+    variable here, the classic shadowing rule)."""
     out = expr
     for name in sorted(bindings, key=len, reverse=True):
-        pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+        pat = re.compile(rf"(?<!\.)\b{re.escape(name)}\b", re.IGNORECASE)
         pos = 0
         while True:
             m = pat.search(_mask_strings(out), pos)
@@ -366,11 +326,14 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if m_into:
-            tail = m_into.group("tail") or ""
-            bindings[m_into.group("v").lower()] = (
-                "(SELECT " + _subst(m_into.group("e"), bindings)
-                + _subst(tail, bindings) + ")"
-            )
+            tail = (m_into.group("tail") or "").strip()
+            # explicit space before the tail: _subst strips, and a
+            # selected expression ending in an identifier would
+            # otherwise glue onto FROM ('cntFROM metrics')
+            sub = "(SELECT " + _subst(m_into.group("e"), bindings)
+            if tail:
+                sub += " " + _subst(tail, bindings)
+            bindings[m_into.group("v").lower()] = sub + ")"
             continue
         raise NotImplementedError(
             f"plpgsql statement not in the declarative subset: "

@@ -508,8 +508,15 @@ def index_root(spark) -> str:
             return conf_root
         root = conf_root
     else:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        root = os.path.join(wh, "_indexes")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        if _has_scheme(wh) and not wh.lower().startswith("file:"):
+            # remote warehouse (s3://… / hdfs://…) with no explicit
+            # index root: keep the FULL URI — stripping the scheme
+            # would make the driver mkdir a local path while Spark's
+            # writers resolve the schemeless string against defaultFS
+            # (the _local_scratch remote-warehouse case)
+            return wh.rstrip("/") + "/_indexes"
+        root = os.path.join(urlparse(wh).path, "_indexes")
     os.makedirs(root, exist_ok=True)
     return root
 

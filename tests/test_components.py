@@ -1148,3 +1148,40 @@ def test_tsquery_containment():
     assert not tsquery_contains("a", "a & a & a")
     assert tsquery_contained("a", "a & b")
     assert not tsquery_contained("a & b", "a")
+
+
+def test_index_root_remote_warehouse_keeps_uri():
+    """A remote warehouse dir (s3://…) with no explicit index root must
+    keep the FULL URI: urlparse().path would hand the driver a local
+    dir to mkdir while Spark writers resolve the schemeless string
+    against defaultFS — a silently inconsistent index location."""
+    from opengauss_vectordb_spark.vector.queries import index_root
+
+    class _Conf:
+        def __init__(self, d):
+            self._d = d
+
+        def get(self, k, default=None):
+            return self._d.get(k, default)
+
+    class _Spark:
+        def __init__(self, d):
+            self.conf = _Conf(d)
+
+    got = index_root(
+        _Spark({"spark.sql.warehouse.dir": "s3://bucket/wh/"})
+    )
+    assert got == "s3://bucket/wh/_indexes"
+    # explicit schemed override returned untouched
+    got = index_root(_Spark({
+        "spark.sql.warehouse.dir": "s3://bucket/wh",
+        "spark.graft.index.root": "hdfs://nn/indexes",
+    }))
+    assert got == "hdfs://nn/indexes"
+    # local warehouse still materializes a real directory
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        got = index_root(_Spark({"spark.sql.warehouse.dir": td}))
+        import os
+        assert got == os.path.join(td, "_indexes")
+        assert os.path.isdir(got)

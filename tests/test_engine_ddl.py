@@ -703,6 +703,21 @@ def test_create_function_multi_statement_body(spark):
     )
     assert eng.sql("SELECT last_stmt_wins(4) AS v").collect()[0].v == 40
     eng.sql("DROP FUNCTION last_stmt_wins")
+    # a ';' inside a comment must not split the statement list (the
+    # split is string- AND comment-aware); the '--' inside a literal
+    # must survive
+    eng.sql("""
+        CREATE FUNCTION commented(x int) RETURNS text AS $$
+        SELECT 1; -- probe; discarded per the PG rule
+        /* multi; line;
+           comment */
+        SELECT '--' || CAST(x * 2 AS STRING)
+        $$ LANGUAGE SQL
+    """)
+    assert eng.sql(
+        "SELECT commented(21) AS v"
+    ).collect()[0].v == "--42"
+    eng.sql("DROP FUNCTION commented")
     with pytest.raises(NotImplementedError, match="side-effect-free"):
         eng.sql(
             "CREATE FUNCTION bad_body(x int) RETURNS int AS"
@@ -822,6 +837,47 @@ def test_plpgsql_select_into(spark):
     got = eng.sql("SELECT region_share(0) AS v").collect()[0].v
     assert abs(got - 0.2) < 1e-12  # 5 of 25 nations
     eng.sql("DROP FUNCTION region_share")
+
+
+def test_plpgsql_select_into_identifier_expr_and_qualified_refs(spark):
+    """Advisor regression pins: (1) a SELECT ... INTO expression that
+    ENDS IN AN IDENTIFIER must not glue onto FROM ('cntFROM metrics');
+    (2) qualified references (t.col) to a column whose name collides
+    with a declared variable survive substitution — plpgsql's escape
+    hatch for the shadowing rule."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION key_of(nm text) RETURNS bigint AS $$
+        DECLARE
+            k bigint;
+        BEGIN
+            SELECT n_nationkey INTO k FROM nation WHERE n_name = nm;
+            RETURN k + 1000;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql(
+        "SELECT key_of('NATION_3') AS v"
+    ).collect()[0].v == 1003
+    eng.sql("DROP FUNCTION key_of")
+    eng.sql("""
+        CREATE FUNCTION top_region(mink int) RETURNS int AS $$
+        DECLARE
+            n_regionkey int := -1;
+            v int;
+        BEGIN
+            SELECT max(t.n_regionkey) INTO v
+              FROM nation t WHERE t.n_nationkey >= mink;
+            IF v IS NULL THEN
+                RETURN n_regionkey;
+            END IF;
+            RETURN v;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT top_region(0) AS v").collect()[0].v == 4
+    assert eng.sql("SELECT top_region(999) AS v").collect()[0].v == -1
+    eng.sql("DROP FUNCTION top_region")
 
 
 def test_plpgsql_nested_if(spark):

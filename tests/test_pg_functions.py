@@ -169,3 +169,6 @@ def test_to_char_rn_out_of_range(spark):
     assert _one(spark, to_char(F.lit(0).cast("int"), "RN")) == "###"
     assert _one(spark, to_char(F.lit(4000).cast("int"), "RN")) == "###"
     assert _one(spark, to_char(F.lit(3999).cast("int"), "RN")) == "MMMCMXCIX"
+    # the range check applies to the SIGNED value — -5 is out of range,
+    # not 'V' (int_to_roman never abs()es)
+    assert _one(spark, to_char(F.lit(-5).cast("int"), "RN")) == "###"
