@@ -22,90 +22,80 @@ registry.load_all_queries()
 
 # The correctness gate verifies queries in registration order, so the
 # ordering below is a rotation schedule: queries that still lack a green
-# gate row go first.  After round 4 the registry stood at 245 queries,
-# 184 gated across r1-r4 (183 green on latest attempt; the one red was
-# `incremental_agg_merge`, a decimal-representation hashing artifact
-# fixed this round by casting the final column to DOUBLE per the
-# registry's determinism convention) and 61 never driver-gated (all
-# DuckDB-parity-green in every pytest run).  Round 5 FREEZES new
-# registrations (VERDICT r4 item 1: evidence, not surface, is the
-# binding constraint) and spends the whole 50-slot window on the
-# backlog: 2 re-gates for queries whose code changed this round
-# (incremental_agg_merge — DOUBLE cast; pack_sequences_report — prefix
-# sum now PARTITIONED BY the packing shard, r4 scale flag) plus the 48
-# highest-value never-gated names, leading with the LLM-pipeline
-# operators (semdedup, DSIR, repeated-span dedup, Gopher filters,
-# hybrid RRF), the four ungated HNSW variants, and the statement layer
-# (matview/prepared/cursor/CTAS/DML/COPY/maintenance/RLS/masking) the
-# judge called out by name.
+# gate row go first.  After round 5 the registry stood at 245 queries,
+# 232 gated across r1-r5, 230 green on latest attempt, 2 red — BOTH
+# driver-protocol representation artifacts with engine-identical values
+# (source_mix_rebalance: a bare DECIMAL `0.25` oracle literal;
+# array_funcs2: LIST output columns the driver's canonicalizer cannot
+# sort) — and 13 never gated (the scalar/contrib tranche backlog).
 #
-# ROUND-6 ROTATION CANDIDATES (the 13 deferred backlog names — all
-# scalar-function/contrib tranches, re-verified against DuckDB by
-# tests/test_oracle_parity.py on every pytest run):
-#   bformat_string_funcs, bformat_group_concat, varbit_funcs,
-#   regexp_oracle_funcs, xml_funcs, geo_earth_distance, ltree_hierarchy,
-#   json_agg_funcs, pgcrypto_funcs, fuzzystrmatch_unaccent,
-#   pgstattuple_report, pageinspect_stats, fts_tsvector_ops
-# After the backlog clears, first new registration candidate: an
-# end-to-end LANGUAGE plpgsql gate query (operators/plpgsql.py compiles
-# the declarative subset to inlined SQL; currently pytest + 120-example
-# property coverage, no registry slot — round-5 registration freeze).
+# ROUND 6 spends the window on: (a) the 4 NEW registrations — two
+# LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py, built r5,
+# first gate rows), MERGE with a DELETE action, and a COPY (FORMAT
+# binary) statement round-trip (VERDICT r5 items 3+6); (b) the 3
+# representation re-gates, now fixed at the source AND enforced for all
+# 249 queries by test_oracle_parity's oracle-value scan; (c) the full
+# 13-name never-gated backlog — taking evidence debt to ZERO; (d)
+# re-gates for every query whose code path churned this round
+# (create_function comment-aware statement split, pg_compat to_char RN
+# range check, vector index_root relocation); (e) high-value sentinels
+# across all families.
 GATE_PRIORITY: list[str] = [
-    # re-gates: code changed in round 5 (r4 standing red + r4 scale flag)
-    "incremental_agg_merge",
-    "pack_sequences_report",
-    # LLM-pipeline operators (judge's highest-value ungated list)
+    # (a) new registrations — first-ever gate rows
+    "plpgsql_guard_function",
+    "plpgsql_select_into_nested_if",
+    "merge_delete_action",
+    "copy_sql_binary_roundtrip",
+    # (b) representation re-gates (r5 reds + the latent decimal)
+    "source_mix_rebalance",
+    "array_funcs2",
+    "fts_setweight_rank",
+    # (c) the 13-name never-gated backlog — evidence debt to zero
+    "bformat_string_funcs",
+    "bformat_group_concat",
+    "varbit_funcs",
+    "regexp_oracle_funcs",
+    "xml_funcs",
+    "geo_earth_distance",
+    "ltree_hierarchy",
+    "json_agg_funcs",
+    "pgcrypto_funcs",
+    "fuzzystrmatch_unaccent",
+    "pgstattuple_report",
+    "pageinspect_stats",
+    "fts_tsvector_ops",
+    # (d) churned-code re-gates this round
+    "create_function_sql",
+    "formatting_funcs",
+    "format_models2",
+    "ann_route_topk",
+    "ivf_search_probed",
+    "ivf_append_then_search",
+    "ivf_pq_search",
+    "hnsw_search_exhaustive",
+    "dedup_keep_best",
+    # (e) high-value sentinels across families
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q5",
+    "tpch_q18_adapted",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "semdedup_keep",
     "dsir_importance_resample",
-    "dedup_repeated_spans",
+    "pack_sequences_report",
+    "decontaminate_ngram_overlap",
     "text_gopher_quality_filter",
+    "fts_bm25",
     "hybrid_rrf_search",
-    "trgm_fuzzy_join",
-    "text_repetition_filter",
-    "text_unigram_logprob_filter",
-    "source_mix_rebalance",
-    "epoch_shuffle_shards",
-    "corpus_token_histogram",
-    "sketch_count_min_tokens",
-    "eval_bootstrap_ci",
-    # ungated ANN/vector surface
-    "hnsw_search_halfvec_exhaustive",
-    "hnsw_search_sparsevec_exhaustive",
-    "hnsw_filtered_search",
-    "hnsw_delete_then_search",
-    "ivf_search_bit_exhaustive",
-    "knn_maxsim_multivector",
-    "knn_subvector_rerank",
-    # statement layer (VERDICT r4 item 7 — none silently dropped)
-    "matview_refresh_select",
-    "matview_incremental_refresh",
-    "prepared_param_topn",
-    "cursor_fetch_pages",
-    "ctas_insert_select",
-    "update_delete_dml",
-    "copy_sql_roundtrip",
-    "maintenance_stmt_roundtrip",
-    "rls_policy_scan",
-    "masking_policy_scan",
-    "create_function_sql",
-    "trigger_spi_audit",
-    "dblink_remote_agg",
-    "analyze_table_stats",
-    # remaining never-gated relational / FTS / events / DB4AI surface
-    "window_filter_clause",
-    "agg_regression2",
-    "array_funcs2",
-    "fts_ts_stat",
-    "fts_query_rewrite",
-    "fts_setweight_rank",
-    "trgm_similarity_topk",
-    "events_anomaly_mad",
-    "events_counter_increase",
-    "events_winsorize",
-    "tsstore_time_weighted_avg",
-    "db4ai_auc_score",
-    "db4ai_calibration_bins",
-    "recursive_cycle_detect",
+    "events_asof_join",
+    "events_session_windows",
+    "window_groups_frame",
+    "agg_grouping_sets",
+    "merge_upsert_orders",
+    "incremental_agg_merge",
+    "knn_join_exact",
 ]
 
 

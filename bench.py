@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: per-query detail first, then a SHORT final line
+{"metric": "headline_queries_total_runtime", "value": total_sec, ...}
+(the driver's tail capture parses the LAST line, so it must stay short).
 
 Timing protocol: each query is built fresh and fully materialized via a
 count-collapsing action that still computes every output column
 (df.foreach no-op would skip codegen of projections, so we use
-.write.format("noop")), after one warm-up of the session.
+.write.format("noop")), after one warm-up of the session; each query
+runs TWICE and reports the min (single-shot timings in the shared JVM
+carry ~±30% noise — two rounds of false regression lists).
 """
 
 from __future__ import annotations
@@ -137,6 +140,27 @@ HEADLINE = [
     "source_mix_rebalance",
     "text_repetition_filter",
     "epoch_shuffle_shards",
+    # round-6 additions (same frozen-prefix rule): the scalar/contrib
+    # tranche backlog gated this round plus the new read-side
+    # registrations (plpgsql compiles to inlined SQL; merge-delete is a
+    # relational transform). copy_sql_binary_roundtrip stays out —
+    # write-time op, same rule as the other COPY/DDL flows.
+    "bformat_string_funcs",
+    "bformat_group_concat",
+    "varbit_funcs",
+    "regexp_oracle_funcs",
+    "xml_funcs",
+    "geo_earth_distance",
+    "ltree_hierarchy",
+    "json_agg_funcs",
+    "pgcrypto_funcs",
+    "fuzzystrmatch_unaccent",
+    "pgstattuple_report",
+    "pageinspect_stats",
+    "fts_tsvector_ops",
+    "plpgsql_guard_function",
+    "plpgsql_select_into_nested_if",
+    "merge_delete_action",
 ]
 
 
@@ -213,13 +237,22 @@ def main() -> None:
 
     bucketed_tables(spark, sf_dir)
 
+    # min-of-2 per query (VERDICT r5 item 5): single-shot timings inside
+    # the ~100-query shared-JVM session carry ~±30% noise from GC /
+    # codegen-cache pressure and produced false regression lists two
+    # rounds running; the min of two back-to-back runs is the stable
+    # estimate of the query's plan cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -249,6 +282,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "timing": "min_of_2",
                 "families": families,
             }
         )

@@ -201,3 +201,80 @@ def copy_sql_roundtrip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "copy_sql_binary_roundtrip",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def copy_sql_binary_roundtrip(spark, sf_dir):
+    """COPY ... (FORMAT binary) end-to-end through Engine.sql — the
+    PGCOPY byte layout (copy.cpp CopyTo/CopyFrom binary path:
+    PGCOPY\\n\\377\\r\\n\\0 signature, int16 field count, int32
+    per-field byte lengths, -1 NULL sentinel, big-endian payloads):
+    COPY TO writes the binary files distributed, COPY FROM reads them
+    back schema-bound, and the aggregate over the loaded table must
+    hash-match the direct aggregation — int64/string/double all survive
+    the byte round-trip exactly (doubles are bit-preserved IEEE, never
+    text-formatted).
+
+    Scale: the binary writer/reader run per-partition (mapInArrow-style
+    batches, no driver collect); one shuffle for the final aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="copy_bin_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE copyb_src AS"
+            " SELECT o_orderkey, o_orderstatus,"
+            " CAST(o_totalprice AS DOUBLE) AS price"
+            " FROM orders WHERE o_orderkey <= 300"
+        )
+        eng.sql(f"COPY copyb_src TO '{tmp}/out_bin' (FORMAT binary)")
+        eng.sql(
+            "CREATE TABLE copyb_dst AS"
+            " SELECT o_orderkey, o_orderstatus,"
+            " CAST(o_totalprice AS DOUBLE) AS price"
+            " FROM orders LIMIT 0"
+        )
+        eng.sql(f"COPY copyb_dst FROM '{tmp}/out_bin' (FORMAT binary)")
+        out = eng.sql(
+            "SELECT o_orderstatus,"
+            " COUNT(*) AS n,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,"
+            " MIN(o_orderkey) AS min_key,"
+            " MAX(o_orderkey) AS max_key"
+            " FROM copyb_dst GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE copyb_src")
+        eng.sql("DROP TABLE copyb_dst")
+        return spark.createDataFrame(
+            [(r[0], r[1], float(r[2]), r[3], r[4]) for r in rows],
+            "o_orderstatus STRING, n BIGINT, total DOUBLE,"
+            " min_key BIGINT, max_key BIGINT",
+        ).select(
+            "o_orderstatus", "n", F.col("total").cast("double"),
+            "min_key", "max_key",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

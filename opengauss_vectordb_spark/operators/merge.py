@@ -126,6 +126,59 @@ def merge_upsert_orders(spark, sf_dir):
     return upsert(target, source, ["o_orderkey"]).orderBy("o_orderkey")
 
 
+@query(
+    "merge_delete_action",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey <= 200
+    ), source AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 150 AND 250
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+               AND s.o_totalprice > 300000.0)
+    ORDER BY o_orderkey
+    """,
+)
+def merge_delete_action(spark, sf_dir):
+    """MERGE with a WHEN MATCHED AND <cond> THEN DELETE action
+    (execMerge.cpp handles matched-delete alongside matched-update;
+    parse_merge.cpp's action list): matched rows whose doubled source
+    price exceeds the threshold are DELETED, other matched rows take
+    source values, unmatched source rows INSERT, unmatched target rows
+    survive untouched.  The oracle spells the same post-merge relation
+    as a full-outer join with the delete predicate as a WHERE.
+
+    Scale: one shuffle on the merge key (broadcast when the source is
+    dim-sized); the delete path re-derives matched keys with a
+    key-projected anti join — no second scan of the wide rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") <= 200)
+    source = o.filter(F.col("o_orderkey").between(150, 250)).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    merged = merge_into(
+        target,
+        source,
+        ["o_orderkey"],
+        when_matched_update=None,  # matched rows take source values
+        when_matched_delete=F.col("s.o_totalprice") > 300000.0,
+    )
+    return merged.orderBy("o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # Incremental aggregate maintenance — the materialized-view refresh shape
 # (the steady-state form of every 100 TB rollup: never re-aggregate the

@@ -503,3 +503,134 @@ def try_handle_stmt(engine, query: str):
     return engine.spark.createDataFrame(
         [("CREATE FUNCTION", name)], "tag STRING, function STRING"
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-gate queries: LANGUAGE plpgsql end-to-end.  The compiled
+# function inlines into the calling plan, so the oracle is simply the
+# CASE chain / scalar subquery the compiler is SUPPOSED to emit —
+# written out by hand in DuckDB SQL.
+# --------------------------------------------------------------------------
+from ..registry import query as _register_query
+
+
+@_register_query(
+    "plpgsql_guard_function",
+    """
+    WITH graded AS (
+      SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+                  WHEN o_totalprice >= 200000.0 THEN 'large'
+                  WHEN o_totalprice >= 50000.0 THEN 'medium'
+                  ELSE 'small' END AS tier,
+             o_totalprice
+      FROM orders
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM graded GROUP BY tier ORDER BY tier
+    """,
+)
+def plpgsql_guard_function(spark, sf_dir):
+    """CREATE FUNCTION ... LANGUAGE plpgsql end-to-end — the
+    guard-and-return idiom (pl_exec.cpp exec_stmt_if :1809 /
+    exec_assign_value, the shape the reference's plpgsql regress
+    suites exercise constantly): DECLARE initializers feed an
+    IF/ELSIF/ELSE chain whose branches RETURN, declared STRICT, then
+    the function tiers every order by o_totalprice in a grouped
+    aggregation.  The oracle is the inlined CASE chain the compiler
+    emits, written out by hand.
+
+    Scale: the plpgsql body compiles to ONE inlined CASE expression
+    (zero interpreter, zero Python, no SPI round-trips), so the plan is
+    identical to hand-written SQL — one scan, whole-stage codegen, one
+    partial/final aggregate exchange on the 3-value tier key."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_order_tier(p float8) RETURNS text AS $$
+        DECLARE
+            lo float8 := 50000.0;
+            hi float8 := 200000.0;
+        BEGIN
+            IF p >= hi THEN
+                RETURN 'large';
+            ELSIF p >= lo THEN
+                RETURN 'medium';
+            ELSE
+                RETURN 'small';
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql STRICT
+    """)
+    out = eng.sql(
+        "SELECT gate_order_tier(o_totalprice) AS tier,"
+        " COUNT(*) AS n,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        "   AS total"
+        " FROM orders GROUP BY tier ORDER BY tier"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_order_tier")
+    return spark.createDataFrame(
+        rows, "tier STRING, n BIGINT, total DOUBLE"
+    )
+
+
+@_register_query(
+    "plpgsql_select_into_nested_if",
+    """
+    WITH cc AS (
+      SELECT c_nationkey, COUNT(*) AS c FROM customer GROUP BY c_nationkey
+    )
+    SELECT n_nationkey, n_name,
+           CASE WHEN COALESCE(c, 0) > 0
+                THEN CASE WHEN c >= 60 THEN 'high' ELSE 'low' END
+                ELSE 'none' END AS density
+    FROM nation LEFT JOIN cc ON c_nationkey = n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def plpgsql_select_into_nested_if(spark, sf_dir):
+    """The second plpgsql shape: SELECT ... INTO binds a correlated
+    scalar subquery (pl_exec.cpp exec_stmt_execsql's INTO path), a
+    nested RETURN-free IF folds conditional assignments into CASE
+    bindings, and the initializer supplies the fall-through value.
+    Applied per nation row, the function classifies customer density.
+
+    Scale: the INTO subquery inlines as a correlated scalar subquery
+    that Catalyst decorrelates into an aggregate + join — the same plan
+    the oracle's explicit LEFT JOIN spells, with no per-row SPI
+    execution; the nation probe side is broadcast-sized."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_cust_density(nk int) RETURNS text AS $$
+        DECLARE
+            c bigint;
+            label text := 'none';
+        BEGIN
+            SELECT COUNT(*) INTO c FROM customer WHERE c_nationkey = nk;
+            IF c > 0 THEN
+                IF c >= 60 THEN
+                    label := 'high';
+                ELSE
+                    label := 'low';
+                END IF;
+            END IF;
+            RETURN label;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT n_nationkey, n_name, gate_cust_density(n_nationkey)"
+        " AS density FROM nation ORDER BY n_nationkey"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_cust_density")
+    return spark.createDataFrame(
+        rows, "n_nationkey INT, n_name STRING, density STRING"
+    )

@@ -77,6 +77,7 @@ def load_all_queries() -> None:
         prepared,
         pg_types,
         pipeline,
+        plpgsql,
         relational,
         rls,
         setops_windows,
