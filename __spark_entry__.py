@@ -29,10 +29,11 @@ registry.load_all_queries()
 # array_funcs2: LIST output columns the driver's canonicalizer cannot
 # sort) — and 13 never gated (the scalar/contrib tranche backlog).
 #
-# ROUND 6 spends the window on: (a) the 4 NEW registrations — two
-# LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py, built r5,
-# first gate rows), MERGE with a DELETE action, and a COPY (FORMAT
-# binary) statement round-trip (VERDICT r5 items 3+6); (b) the 3
+# ROUND 6 spends the window on: (a) the 5 NEW registrations — three
+# LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py: guard,
+# SELECT-INTO + nested IF, and FOR-IN-SELECT accumulator loops compiled
+# to aggregates — first gate rows), MERGE with a DELETE action, and a
+# COPY (FORMAT binary) statement round-trip (VERDICT r5 items 3+6+7); (b) the 3
 # representation re-gates, now fixed at the source AND enforced for all
 # 249 queries by test_oracle_parity's oracle-value scan; (c) the full
 # 13-name never-gated backlog — taking evidence debt to ZERO; (d)
@@ -44,6 +45,7 @@ GATE_PRIORITY: list[str] = [
     # (a) new registrations — first-ever gate rows
     "plpgsql_guard_function",
     "plpgsql_select_into_nested_if",
+    "plpgsql_for_loop_agg",
     "merge_delete_action",
     "copy_sql_binary_roundtrip",
     # (b) representation re-gates (r5 reds + the latent decimal)
@@ -95,7 +97,6 @@ GATE_PRIORITY: list[str] = [
     "agg_grouping_sets",
     "merge_upsert_orders",
     "incremental_agg_merge",
-    "knn_join_exact",
 ]
 
 

@@ -160,6 +160,7 @@ HEADLINE = [
     "fts_tsvector_ops",
     "plpgsql_guard_function",
     "plpgsql_select_into_nested_if",
+    "plpgsql_for_loop_agg",
     "merge_delete_action",
 ]
 

@@ -34,11 +34,19 @@ pl_exec.cpp's exec_stmt_if (:1809) becomes a CASE expression,
 exec_assign_value becomes expression substitution, and the SPI
 round-trips disappear entirely.
 
+One iterative shape IS covered, because it is declarative in
+procedural clothing: ``FOR r IN SELECT ... LOOP`` whose body is only
+accumulator assignments (``acc := acc + expr``, ``acc := acc - expr``,
+``acc := GREATEST/LEAST(acc, expr)``) compiles to scalar-subquery
+aggregates (SUM/MAX/MIN) over the loop query — pl_exec.cpp's
+exec_stmt_fors row loop becomes one distributed aggregation.
+
 Deliberately NOT covered (each raises a clear NotImplementedError
-naming the Spark-side rewrite): LOOP/WHILE/FOR (set-based rewrite —
-the statement layer's one-statement DML), dynamic EXECUTE, cursors in
-function bodies (DECLARE CURSOR at the session level instead), and
-EXCEPTION blocks (no subtransactions on an immutable store).
+naming the Spark-side rewrite): WHILE / bare LOOP / integer FOR /
+loops with non-accumulator bodies (set-based rewrite — the statement
+layer's one-statement DML), dynamic EXECUTE, cursors in function
+bodies (DECLARE CURSOR at the session level instead), and EXCEPTION
+blocks (no subtransactions on an immutable store).
 
 Variable substitution is textual with identifier-boundary matching;
 variables shadow columns of the same name inside the body, matching
@@ -75,7 +83,9 @@ _UNSUPPORTED = [
      "LOOP/WHILE/FOR has no inlined-expression form; rewrite the loop "
      "as one set-oriented statement (UPDATE/INSERT ... SELECT)"),
     (re.compile(r"\bFOR\s+\w+\s+IN\b", re.IGNORECASE),
-     "FOR ... IN loops have no inlined-expression form; rewrite as one "
+     "only FOR <rec> IN SELECT ... LOOP bodies made of accumulator "
+     "assignments compile (to SUM/MAX/MIN aggregates); other FOR "
+     "loops have no inlined-expression form — rewrite as one "
      "set-oriented statement"),
     (re.compile(r"\bEXECUTE\s+", re.IGNORECASE),
      "dynamic EXECUTE cannot inline; build the statement client-side"),
@@ -248,6 +258,135 @@ def _split_branches(block: str) -> list[tuple[str | None, str]]:
     return branches
 
 
+_FOR_HEAD = re.compile(r"FOR\s+(?P<var>\w+)\s+IN\s+", re.IGNORECASE)
+
+# accumulator-assignment shapes a FOR body may contain, each mapped to
+# the aggregate that computes the whole loop in one pass
+_ACC_SUM = re.compile(
+    r"^(?P<v>\w+)\s*:=\s*(?P=v)\s*(?P<op>[+-])\s*(?P<e>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ACC_EXTREME = re.compile(
+    r"^(?P<v>\w+)\s*:=\s*(?P<fn>GREATEST|LEAST)\s*\(\s*(?P=v)\s*,"
+    r"\s*(?P<e>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_for_block(text: str, pos: int) -> tuple[str, str, str, int] | None:
+    """If a FOR <var> IN <query> LOOP <body> END LOOP[;] construct
+    starts at ``pos`` (caller already skipped whitespace), return
+    (var, query, body, next_pos); else None."""
+    rest = text[pos:]
+    m = _FOR_HEAD.match(rest)
+    if m is None:
+        return None
+    masked = _mask_strings(rest)
+    ml = re.search(r"\bLOOP\b", masked[m.end():])
+    if ml is None:
+        raise ValueError("plpgsql: FOR without LOOP")
+    q_end = m.end() + ml.start()
+    me = re.search(r"\bEND\s+LOOP\b\s*;?", masked[q_end:])
+    if me is None:
+        raise ValueError("plpgsql: FOR LOOP without END LOOP")
+    body = rest[q_end + ml.end() - ml.start():q_end + me.start()]
+    return (
+        m.group("var").lower(),
+        rest[m.end():q_end].strip(),
+        body.strip(),
+        pos + q_end + me.end(),
+    )
+
+
+def _fold_for_loop(
+    var: str, query_sql: str, body: str, bindings: dict[str, str]
+) -> None:
+    """Compile ``FOR var IN <query> LOOP <accumulator assignments> END
+    LOOP`` into binding updates: each ``acc := acc + e`` becomes
+    ``old + COALESCE((SELECT SUM(e) FROM (<query>) AS var), 0)`` —
+    pl_exec.cpp's exec_stmt_fors row-at-a-time loop expressed as ONE
+    distributed aggregate per accumulator (Catalyst reuses the shared
+    subquery scan).  GREATEST/LEAST fold to MAX/MIN with the old value
+    as the empty-set identity.  Any other body statement, or an RHS
+    referencing another loop accumulator (a sequential dependence —
+    running totals need a window function, not a scalar aggregate),
+    refuses with the rewrite named."""
+    if not re.match(r"^\s*SELECT\b", _strip_comments(query_sql),
+                    re.IGNORECASE):
+        raise NotImplementedError(
+            "plpgsql: only FOR ... IN SELECT ... LOOP compiles; integer "
+            "ranges and dynamic sources have no aggregate form"
+        )
+    stmts = []
+    pos = 0
+    while pos < len(body):
+        stmt, pos = _scan_stmt(body, pos)
+        if stmt:
+            stmts.append(stmt)
+    if not stmts:
+        raise NotImplementedError(
+            "plpgsql: empty FOR loop body — nothing to aggregate"
+        )
+    accs: list[tuple[str, str, str]] = []  # (acc, kind, rhs-expr)
+    for stmt in stmts:
+        m = _ACC_SUM.match(stmt)
+        if m:
+            accs.append((m.group("v").lower(), m.group("op"), m.group("e")))
+            continue
+        m = _ACC_EXTREME.match(stmt)
+        if m:
+            fn = m.group("fn").upper()
+            accs.append((m.group("v").lower(),
+                         "MAX" if fn == "GREATEST" else "MIN",
+                         m.group("e")))
+            continue
+        raise NotImplementedError(
+            "plpgsql: a FOR loop body may only contain accumulator "
+            "assignments (acc := acc + e / acc := GREATEST(acc, e)); "
+            f"got {stmt.split(None, 1)[0].upper()!r} — rewrite the loop "
+            "as one set-oriented statement"
+        )
+    acc_names = {a for a, _, _ in accs}
+    if var in acc_names:
+        raise ValueError("plpgsql: FOR target reassigned inside its loop")
+    # substitute outer bindings into the loop query and each RHS, but
+    # never the accumulators themselves (their loop-carried value IS
+    # the aggregate being built) and never the row variable
+    outer = {k: v for k, v in bindings.items()
+             if k not in acc_names and k != var}
+    q_sub = _subst(query_sql, outer)
+    for acc, kind, e in accs:
+        masked_e = _mask_strings(e)
+        for other in acc_names - {acc}:
+            if re.search(rf"(?<!\.)\b{re.escape(other)}\b", masked_e,
+                         re.IGNORECASE):
+                raise NotImplementedError(
+                    f"plpgsql: accumulator {acc!r} reads {other!r} "
+                    "updated in the same loop — a sequential dependence; "
+                    "rewrite with a window function"
+                )
+        if re.search(rf"(?<!\.)\b{re.escape(acc)}\b", masked_e,
+                     re.IGNORECASE):
+            raise NotImplementedError(
+                f"plpgsql: accumulator {acc!r} appears on its own RHS "
+                "beyond the leading accumulator position"
+            )
+        e_sub = _subst(e, outer)
+        old = bindings.get(acc)
+        if old is None:
+            raise ValueError(
+                f"plpgsql: FOR loop accumulates into undeclared "
+                f"variable {acc!r}"
+            )
+        if kind in ("+", "-"):
+            agg = f"(SELECT SUM({e_sub}) FROM ({q_sub}) AS {var})"
+            bindings[acc] = f"({old} {kind} COALESCE({agg}, 0))"
+        else:
+            agg = f"(SELECT {kind}({e_sub}) FROM ({q_sub}) AS {var})"
+            fn = "GREATEST" if kind == "MAX" else "LEAST"
+            bindings[acc] = f"{fn}({old}, COALESCE({agg}, {old}))"
+
+
 def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
     """Compile a statement sequence to ONE SQL expression: the value
     the sequence RETURNs. Assignments update bindings; IF compiles to
@@ -258,6 +397,11 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
         off = len(text[pos:]) - len(rest)
         if not rest:
             break
+        parsed_for = _parse_for_block(text, pos + off)
+        if parsed_for is not None:
+            fvar, fquery, fbody, pos = parsed_for
+            _fold_for_loop(fvar, fquery, fbody, bindings)
+            continue
         m_if = re.match(r"IF\b", rest, re.IGNORECASE)
         if m_if:
             start = pos + off + m_if.end()
@@ -393,6 +537,11 @@ def _apply_stmts(body: str, bindings: dict[str, str]) -> None:
         off = len(body[pos:]) - len(rest)
         if not rest:
             break
+        parsed_for = _parse_for_block(body, pos + off)
+        if parsed_for is not None:
+            fvar, fquery, fbody, pos = parsed_for
+            _fold_for_loop(fvar, fquery, fbody, bindings)
+            continue
         m_if = re.match(r"IF\b", rest, re.IGNORECASE)
         if m_if:
             start = pos + off + m_if.end()
@@ -430,6 +579,10 @@ def _parse_decls(decls: str, bindings: dict[str, str]) -> None:
         if not m:
             raise ValueError(f"plpgsql: cannot parse declaration {stmt!r}")
         v = m.group("v").lower()
+        if m.group("t").strip().upper() == "RECORD":
+            # FOR-loop row variables: never bound — their qualified
+            # column references resolve against the loop query's alias
+            continue
         if m.group("e") is not None:
             bindings[v] = _subst(m.group("e"), bindings)
         else:
@@ -452,8 +605,16 @@ def translate_plpgsql(query: str) -> str | None:
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
     masked_body = _mask_strings(body)  # keywords in literals are inert
+    # FOR <rec> IN SELECT ... LOOP spans are the one supported loop
+    # shape — blank them so the blanket LOOP/FOR refusals see only
+    # genuinely unsupported constructs (a bad FOR body still refuses
+    # later, in _fold_for_loop, with the aggregate-shape message)
+    scan_body = re.sub(
+        r"\bFOR\s+\w+\s+IN\s+SELECT\b.*?\bEND\s+LOOP\b",
+        " ", masked_body, flags=re.IGNORECASE | re.DOTALL,
+    )
     for pat, why in _UNSUPPORTED:
-        if pat.search(masked_body):
+        if pat.search(scan_body):
             raise NotImplementedError(f"plpgsql: {why}")
     params = _split_params(m.group("params"))
     md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
@@ -633,4 +794,66 @@ def plpgsql_select_into_nested_if(spark, sf_dir):
     eng.sql("DROP FUNCTION gate_cust_density")
     return spark.createDataFrame(
         rows, "n_nationkey INT, n_name STRING, density STRING"
+    )
+
+
+@_register_query(
+    "plpgsql_for_loop_agg",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             SUM(o_orderkey) AS t, COUNT(*) AS c, MAX(o_orderkey) AS m
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST((0.0 + t) / c + m AS DOUBLE) AS loop_stat
+    FROM s ORDER BY o_orderstatus
+    """,
+)
+def plpgsql_for_loop_agg(spark, sf_dir):
+    """The third plpgsql shape — FOR r IN SELECT ... LOOP accumulator
+    bodies (pl_exec.cpp exec_stmt_fors), the one iterative idiom that
+    is genuinely declarative: sum/count/GREATEST accumulators compile
+    to scalar-subquery SUM/COUNT/MAX over the loop query, and the
+    per-status call sites become correlated subqueries Catalyst
+    decorrelates into one grouped aggregation.  Accumulated values are
+    exact integers (o_orderkey), so the final double arithmetic is
+    IEEE-identical to the oracle's direct aggregate.
+
+    Scale: the row-at-a-time loop the reference interprets per call
+    becomes ONE distributed aggregation shared across all call sites —
+    no SPI, no per-row anything; the guard IF stays a CASE."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_loop_stats(st text) RETURNS double AS $$
+        DECLARE
+            r RECORD;
+            total double precision := 0.0;
+            n bigint := 0;
+            top bigint := -1;
+        BEGIN
+            FOR r IN SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = st LOOP
+                total := total + r.o_orderkey;
+                n := n + 1;
+                top := GREATEST(top, r.o_orderkey);
+            END LOOP;
+            IF n = 0 THEN
+                RETURN -1.0;
+            END IF;
+            RETURN total / n + top;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT o_orderstatus, gate_loop_stats(o_orderstatus) AS loop_stat"
+        " FROM (SELECT DISTINCT o_orderstatus FROM orders)"
+        " ORDER BY o_orderstatus"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_loop_stats")
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, loop_stat DOUBLE"
     )

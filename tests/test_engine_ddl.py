@@ -880,6 +880,64 @@ def test_plpgsql_select_into_identifier_expr_and_qualified_refs(spark):
     eng.sql("DROP FUNCTION top_region")
 
 
+def test_plpgsql_for_loop_accumulators(spark):
+    """FOR r IN SELECT ... LOOP with accumulator assignments compiles
+    to scalar-subquery aggregates (exec_stmt_fors as one distributed
+    aggregation): sum / count / GREATEST-max in one loop, verified
+    against the direct aggregate."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION nation_stats(rk int) RETURNS double AS $$
+        DECLARE
+            r RECORD;
+            total double precision := 0.0;
+            n bigint := 0;
+            top int := -1;
+        BEGIN
+            FOR r IN SELECT n_nationkey FROM nation
+                     WHERE n_regionkey = rk LOOP
+                total := total + r.n_nationkey;
+                n := n + 1;
+                top := GREATEST(top, r.n_nationkey);
+            END LOOP;
+            IF n = 0 THEN
+                RETURN -1.0;
+            END IF;
+            RETURN total / n + top;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    expect = {
+        row.rk: (float(row.s) / row.c + row.m)
+        for row in eng.sql(
+            "SELECT n_regionkey AS rk, SUM(n_nationkey) AS s,"
+            " COUNT(*) AS c, MAX(n_nationkey) AS m"
+            " FROM nation GROUP BY n_regionkey"
+        ).collect()
+    }
+    for rk, want in expect.items():
+        got = eng.sql(f"SELECT nation_stats({rk}) AS v").collect()[0].v
+        assert abs(got - want) < 1e-9, (rk, got, want)
+    # empty result set → the guard branch, not NULL arithmetic
+    assert eng.sql("SELECT nation_stats(99) AS v").collect()[0].v == -1.0
+    eng.sql("DROP FUNCTION nation_stats")
+    # sequential dependence between accumulators refuses clearly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="sequential"):
+        eng.sql("""
+            CREATE FUNCTION badloop(x int) RETURNS int AS $$
+            DECLARE r RECORD; a int := 0; b int := 0;
+            BEGIN
+                FOR r IN SELECT n_nationkey FROM nation LOOP
+                    a := a + r.n_nationkey;
+                    b := b + a;
+                END LOOP;
+                RETURN b;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+
+
 def test_plpgsql_nested_if(spark):
     """Nested IF blocks compile via depth-tracked END IF matching."""
     eng = Engine(spark, SF_CORRECT)
