@@ -349,6 +349,26 @@ def _fold_for_loop(
     acc_names = {a for a, _, _ in accs}
     if var in acc_names:
         raise ValueError("plpgsql: FOR target reassigned inside its loop")
+    # per-accumulator kind coherence: additive statements compose with
+    # additive (the row-interleaved loop equals the sum of sums) and
+    # extremes compose with the SAME extreme (max is commutative and
+    # idempotent across rows), but mixing kinds on one accumulator
+    # interleaves per row — v := v + r.c; v := GREATEST(v, r.c) over
+    # rows [5, -10] yields -5 in the loop but 5 from composed
+    # aggregates — so mixed kinds refuse rather than miscompile
+    kind_class = {"+": "additive", "-": "additive",
+                  "MAX": "MAX", "MIN": "MIN"}
+    by_acc: dict[str, set[str]] = {}
+    for a, kind, _ in accs:
+        by_acc.setdefault(a, set()).add(kind_class[kind])
+    for a, classes in by_acc.items():
+        if len(classes) > 1:
+            raise NotImplementedError(
+                f"plpgsql: accumulator {a!r} mixes "
+                f"{'/'.join(sorted(classes))} updates in one loop — the "
+                "row-interleaved result differs from composed "
+                "aggregates; use separate variables per kind"
+            )
     # substitute outer bindings into the loop query and each RHS, but
     # never the accumulators themselves (their loop-carried value IS
     # the aggregate being built) and never the row variable

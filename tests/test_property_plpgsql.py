@@ -1,9 +1,10 @@
 """Property test for the plpgsql→SQL compiler: random programs in the
 declarative subset (DECLARE, assignment, nested IF/ELSIF/ELSE with both
-RETURN and fall-through branches) are compiled to one SQL expression and
-executed in DuckDB; a direct Python interpreter of the same program
-must agree on every input. This is the compiler analogue of the
-oracle-parity gate — two independent executions of one semantics."""
+RETURN and fall-through branches, FOR-IN-SELECT accumulator loops) are
+compiled to one SQL expression and executed in DuckDB; a direct Python
+interpreter of the same program must agree on every input. This is the
+compiler analogue of the oracle-parity gate — two independent
+executions of one semantics."""
 
 from __future__ import annotations
 
@@ -21,7 +22,13 @@ from opengauss_vectordb_spark.operators.plpgsql import translate_plpgsql
 #       ('var', c)      = v + c          (over the declared variable v)
 # cond: ('cmp', op, k)  = x <op> k
 # stmt: ('assign', expr) | ('return', expr) |
-#       ('if', [(cond|None, [stmt, ...]), ...])
+#       ('if', [(cond|None, [stmt, ...]), ...]) |
+#       ('for', rows, k, kind, [(a, b), ...])
+#         = FOR r IN SELECT c FROM (VALUES rows) WHERE c <= k LOOP
+#           one accumulator statement per (a, b) over e = r.c*a + b:
+#           kind 'add' → v := v + e; 'max'/'min' → v := GREATEST/
+#           LEAST(v, e)  (kinds never mix on one acc — the compiler
+#           refuses mixed kinds, pinned below)
 
 exprs = st.one_of(
     st.tuples(st.just("lin"), st.integers(-3, 3), st.integers(-5, 5)),
@@ -58,10 +65,22 @@ def if_strategy(depth: int):
     )
 
 
+fors = st.tuples(
+    st.just("for"),
+    st.lists(st.integers(-5, 5), min_size=1, max_size=4),
+    st.integers(-6, 6),
+    st.sampled_from(["add", "max", "min"]),
+    st.lists(
+        st.tuples(st.integers(-2, 2), st.integers(-3, 3)),
+        min_size=1, max_size=2,
+    ),
+)
+
 programs = st.lists(
     st.one_of(
         st.tuples(st.just("assign"), exprs),
         if_strategy(2),
+        fors,
     ),
     max_size=3,
 ).map(lambda body: body + [("return", ("var", 0))])
@@ -85,6 +104,20 @@ def _stmt_src(s, ind: str) -> str:
         return f"{ind}v := {_expr_src(s[1])};"
     if s[0] == "return":
         return f"{ind}RETURN {_expr_src(s[1])};"
+    if s[0] == "for":
+        _, rows, k, kind, accs = s
+        vals = ", ".join(f"({v})" for v in rows)
+        out = [f"{ind}FOR r IN SELECT c FROM (VALUES {vals}) AS t(c)"
+               f" WHERE c <= {k} LOOP"]
+        for a, b in accs:
+            e = f"r.c * {a} + {b}"
+            if kind == "add":
+                out.append(f"{ind}    v := v + ({e});")
+            else:
+                fn = "GREATEST" if kind == "max" else "LEAST"
+                out.append(f"{ind}    v := {fn}(v, {e});")
+        out.append(f"{ind}END LOOP;")
+        return "\n".join(out)
     out = []
     first = True
     for cond, body in s[1]:
@@ -104,7 +137,7 @@ def render(prog) -> str:
     body = "\n".join(_stmt_src(s, "    ") for s in prog)
     return (
         "CREATE FUNCTION prop_fn(x bigint) RETURNS bigint AS $$\n"
-        "DECLARE\n    v bigint := 0;\nBEGIN\n"
+        "DECLARE\n    r RECORD;\n    v bigint := 0;\nBEGIN\n"
         f"{body}\nEND;\n$$ LANGUAGE plpgsql"
     )
 
@@ -137,6 +170,18 @@ def _run_stmts(stmts, env):
             env["v"] = _eval_expr(s[1], env)
         elif s[0] == "return":
             raise _Returned(_eval_expr(s[1], env))
+        elif s[0] == "for":
+            _, rows, k, kind, accs = s
+            for c in rows:
+                if c <= k:
+                    for a, b in accs:
+                        e = c * a + b
+                        if kind == "add":
+                            env["v"] = env["v"] + e
+                        elif kind == "max":
+                            env["v"] = max(env["v"], e)
+                        else:
+                            env["v"] = min(env["v"], e)
         else:
             for cond, body in s[1]:
                 if cond is None or _eval_cond(cond, env):
@@ -197,3 +242,24 @@ def test_compiled_expression_is_spark_valid(spark):
         ).first().r
         assert got == interpret(prog, x)
     spark.sql("DROP TEMPORARY FUNCTION prop_fn")
+
+
+def test_for_loop_mixed_kinds_refuse():
+    """Mixing additive and extreme updates on one accumulator in a FOR
+    loop interleaves per row (v := v + r.c; v := GREATEST(v, r.c) over
+    [5, -10] gives -5, composed aggregates give 5) — the compiler must
+    refuse, never miscompile."""
+    src = (
+        "CREATE FUNCTION mixk(x int) RETURNS int AS $$\n"
+        "DECLARE r RECORD; v int := 0;\n"
+        "BEGIN\n"
+        "    FOR r IN SELECT c FROM (VALUES (5), (-10)) AS t(c) LOOP\n"
+        "        v := v + r.c;\n"
+        "        v := GREATEST(v, r.c);\n"
+        "    END LOOP;\n"
+        "    RETURN v;\n"
+        "END;\n"
+        "$$ LANGUAGE plpgsql"
+    )
+    with pytest.raises(NotImplementedError, match="mixes"):
+        translate_plpgsql(src)
