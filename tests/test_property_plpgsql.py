@@ -228,10 +228,12 @@ def test_compiled_expression_is_spark_valid(spark):
     too (DuckDB carries the bulk of the property examples)."""
     prog = [
         ("assign", ("lin", 2, 1)),
+        ("for", [3, -1, 4], 3, "add", [(1, 0), (-1, 2)]),
         ("if", [
             (("cmp", ">", 0), [("return", ("var", 10))]),
             (None, [("assign", ("var", -1))]),
         ]),
+        ("for", [2, 5], 6, "max", [(2, -1)]),
         ("return", ("var", 0)),
     ]
     ddl = translate_plpgsql(render(prog))
