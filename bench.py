@@ -161,6 +161,7 @@ HEADLINE = [
     "plpgsql_guard_function",
     "plpgsql_select_into_nested_if",
     "plpgsql_for_loop_agg",
+    "plpython_function",
     "merge_delete_action",
 ]
 

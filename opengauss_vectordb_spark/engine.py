@@ -327,6 +327,11 @@ class Engine:
         handled = _plfn_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.plpython import try_handle_stmt as _pyfn_stmt
+
+        handled = _pyfn_stmt(self, query)
+        if handled is not None:
+            return handled
         from .operators.triggers import try_handle_stmt as _trigger_stmt
 
         handled = _trigger_stmt(self, query)

@@ -1,0 +1,201 @@
+"""CREATE FUNCTION ... LANGUAGE plpython3u — PL/Python scalar
+functions as Arrow-batched pandas UDFs.
+
+Reference: ``src/common/pl/plpython/`` (plpy_main.cpp
+PLy_exec_function: the dollar-quoted body is compiled into a Python
+function whose parameters are bound by name, executed once per row;
+plpy_procedure.cpp PLy_procedure_create builds the ``def`` wrapper the
+same way this module does).  The reference runs that per-row loop
+inside the server; the idiomatic Spark mapping is a PANDAS UDF — the
+body still executes per element (that is PL/Python's contract), but
+batches move through Arrow, which is the documented 10-100x
+improvement over row-at-a-time Python and keeps the plan node
+ArrowEvalPython, never BatchEvalPython.
+
+Deliberately NOT covered, each with a clear error naming the rewrite:
+``plpy.*`` (the SPI gateway — run SQL through Engine.sql and pass
+results IN as arguments), SD/GD session dictionaries (no per-executor
+mutable session state in a distributed plan; close over broadcast
+values instead), and TD trigger dictionaries (operators/triggers.py
+is the batch trigger surface).
+
+Scale: a PL/Python function is the SLOW PATH by construction — per
+element Python under Arrow batching.  Anything expressible as Column
+expressions or LANGUAGE SQL/plpgsql should use those (they inline
+into whole-stage codegen); this surface exists for the genuine
+residue: bodies that need Python's standard library per value.
+"""
+
+from __future__ import annotations
+
+import re
+import textwrap
+
+from .create_function import _map_type, _split_params, _strip_comments
+
+_CREATE_PYFN = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
+    r"\((?P<params>.*?)\)\s*"
+    r"RETURNS\s+(?P<ret>SETOF\s+\w+|"
+    r"\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
+    r"AS\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$)\s+"
+    r"LANGUAGE\s+PLPYTHON(?:3)?U(?P<flags>(?:\s+\w+(?:\s+\w+)*)?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UNSUPPORTED = [
+    (re.compile(r"\bplpy\s*\.", re.IGNORECASE),
+     "plpy.* is the SPI gateway back into the server — run the SQL "
+     "through Engine.sql and pass its result IN as an argument"),
+    (re.compile(r"\b[SG]D\s*\["),
+     "SD/GD session dictionaries assume per-backend mutable state; "
+     "close over broadcast values instead"),
+    (re.compile(r"\bTD\s*\["),
+     "TD trigger dictionaries: use the batch trigger surface "
+     "(operators/triggers.py)"),
+]
+
+# Spark type name → pandas-friendly object converter applied per
+# element before Arrow serialization, so a body returning e.g. numpy
+# ints or plain Python values always matches the declared type
+_COERCE = {
+    "DOUBLE": float,
+    "FLOAT": float,
+    "INT": int,
+    "BIGINT": int,
+    "SMALLINT": int,
+    "STRING": str,
+    "BOOLEAN": bool,
+}
+
+
+def compile_plpython(query: str):
+    """PG CREATE FUNCTION ... LANGUAGE plpython3u → (name, n_params,
+    vectorized pandas UDF, spark_ret_type), or None when the text is
+    not that statement shape."""
+    m = _CREATE_PYFN.match(query)
+    if m is None:
+        return None
+    ret = m.group("ret").strip()
+    if re.match(r"^SETOF\b", ret, re.IGNORECASE):
+        raise NotImplementedError(
+            "PL/Python RETURNS SETOF (PLy_exec_function's iterator "
+            "protocol) is a table function — use a Python UDTF "
+            "(functions/udtf.py) instead"
+        )
+    from .create_function import _unquote_body
+
+    body = _unquote_body(m.group("body"), m.group("tag"))
+    for pat, why in _UNSUPPORTED:
+        if pat.search(body):
+            raise NotImplementedError(f"plpython: {why}")
+    params = _split_params(m.group("params"))
+    if not params:
+        raise NotImplementedError(
+            "plpython: zero-argument functions have no column to batch "
+            "over — use a SQL literal or LANGUAGE SQL"
+        )
+    name = m.group("name").lower()
+    arg_names = [p for p, _ in params]
+    # PLy_procedure_create's wrapper: def <name>(<args>): <body> —
+    # the body is the function's code, parameters bound by name
+    src = (
+        f"def _plpy_fn({', '.join(arg_names)}):\n"
+        + textwrap.indent(_strip_comments(body).strip("\n") or "pass",
+                          "    ")
+    )
+    ns: dict = {}
+    try:
+        exec(compile(src, f"<plpython:{name}>", "exec"), ns)  # noqa: S102
+    except SyntaxError as e:
+        raise ValueError(f"plpython: body of {name!r} does not parse: {e}")
+    fn = ns["_plpy_fn"]
+    spark_ret = _map_type(ret)
+    coerce = _COERCE.get(spark_ret.upper().split("(")[0])
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _batch(*cols):
+        out = []
+        for vals in zip(*cols):
+            r = fn(*vals)
+            out.append(r if r is None or coerce is None else coerce(r))
+        return pd.Series(out, dtype="object")
+
+    # pandas_udf infers its eval type from the signature, which must
+    # have the function's exact arity with pd.Series annotations — a
+    # *args wrapper is rejected, so generate one per arity
+    wrap_args = ", ".join(f"c{i}" for i in range(len(params)))
+    wns = {"_batch": _batch}
+    exec(  # noqa: S102
+        f"def _w({wrap_args}):\n    return _batch({wrap_args})", wns
+    )
+    wrapper = wns["_w"]
+    wrapper.__annotations__ = {
+        **{f"c{i}": pd.Series for i in range(len(params))},
+        "return": pd.Series,
+    }
+    return name, len(params), pandas_udf(wrapper, spark_ret), spark_ret
+
+
+def try_handle_stmt(engine, query: str):
+    """Engine.sql hook: CREATE FUNCTION ... LANGUAGE plpython3u routing
+    (DROP FUNCTION is shared with create_function.py — a registered
+    pandas UDF is a session temporary function like the SQL ones)."""
+    compiled = compile_plpython(query)
+    if compiled is None:
+        return None
+    name, _n, udf, spark_ret = compiled
+    engine.spark.udf.register(name, udf)
+    engine.sql_functions[name] = f"<plpython pandas_udf RETURNS {spark_ret}>"
+    return engine.spark.createDataFrame(
+        [("CREATE FUNCTION", name)], "tag STRING, function STRING"
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver gate: PL/Python end-to-end.  The body is pure arithmetic over
+# exact integers, so the DuckDB oracle spells the identical expression
+# in SQL and the results hash-match bit-for-bit.
+# --------------------------------------------------------------------------
+from ..registry import query as _register_query
+
+
+@_register_query(
+    "plpython_function",
+    """
+    SELECT CAST((c_custkey * 37 + length(c_name)) % 97 AS INT) AS r,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY r ORDER BY r
+    """,
+)
+def plpython_function(spark, sf_dir):
+    """CREATE FUNCTION ... LANGUAGE plpython3u end-to-end
+    (plpy_main.cpp PLy_exec_function / plpy_procedure.cpp's def
+    wrapper): a Python body over two columns, registered as an
+    Arrow-batched pandas UDF, used inside a grouped aggregation, then
+    DROPped.  The oracle is the same arithmetic in SQL — exact
+    integers, so Python's % and SQL's % agree.
+
+    Scale: PL/Python is the designated slow path — per-element Python
+    under Arrow batching (ArrowEvalPython, never row-at-a-time
+    BatchEvalPython).  The aggregation above it is normal partial/final
+    hash aggregation; only the projection pays the Python cost."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_py_mod97(k bigint, nm text)
+        RETURNS int AS $$
+        # residue-class bucketing: PL/Python bodies are plain Python
+        return (k * 37 + len(nm)) % 97
+        $$ LANGUAGE plpython3u
+    """)
+    out = eng.sql(
+        "SELECT gate_py_mod97(c_custkey, c_name) AS r, COUNT(*) AS n"
+        " FROM customer GROUP BY r ORDER BY r"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_py_mod97")
+    return spark.createDataFrame(rows, "r INT, n BIGINT")

@@ -78,6 +78,7 @@ def load_all_queries() -> None:
         pg_types,
         pipeline,
         plpgsql,
+        plpython,
         relational,
         rls,
         setops_windows,

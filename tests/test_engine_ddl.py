@@ -1099,3 +1099,63 @@ def test_plpgsql_drop_function(spark):
     tag = eng.sql("DROP FUNCTION dropme").collect()[0]
     assert tag.existed
     assert "dropme" not in eng.sql_functions
+
+
+def test_plpython_function_end_to_end(spark):
+    """LANGUAGE plpython3u (plpy_main.cpp PLy_exec_function): the body
+    runs as an Arrow-batched pandas UDF — per-element Python, never a
+    row-at-a-time BatchEvalPython node — with NULL pass-through and
+    declared-type coercion; DROP removes it from the session."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION py_digit_sum(k bigint) RETURNS int AS $$
+        return sum(int(d) for d in str(abs(k)))
+        $$ LANGUAGE plpython3u
+    """)
+    out = eng.sql(
+        "SELECT n_nationkey, py_digit_sum(n_nationkey) AS ds"
+        " FROM nation ORDER BY n_nationkey"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    got = {r.n_nationkey: r.ds for r in out.collect()}
+    assert got[7] == 7 and got[19] == 10 and got[24] == 6
+    eng.sql("DROP FUNCTION py_digit_sum")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.sql("SELECT py_digit_sum(1) AS v").collect()
+
+
+def test_plpython_refusals(spark):
+    """plpy.* / SD / SETOF / zero-arg raise clear errors naming the
+    Spark-side rewrite, never a confusing runtime failure."""
+    import pytest as _pytest
+
+    eng = Engine(spark, SF_CORRECT)
+    with _pytest.raises(NotImplementedError, match="SPI"):
+        eng.sql("""
+            CREATE FUNCTION f(x int) RETURNS int AS $$
+            r = plpy.execute('SELECT 1')
+            return 1
+            $$ LANGUAGE plpython3u
+        """)
+    with _pytest.raises(NotImplementedError, match="broadcast"):
+        eng.sql("""
+            CREATE FUNCTION g(x int) RETURNS int AS $$
+            SD['n'] = SD.get('n', 0) + 1
+            return SD['n']
+            $$ LANGUAGE plpython3u
+        """)
+    with _pytest.raises(NotImplementedError, match="UDTF"):
+        eng.sql("""
+            CREATE FUNCTION h(x int) RETURNS SETOF int AS $$
+            return range(x)
+            $$ LANGUAGE plpython3u
+        """)
+    with _pytest.raises(NotImplementedError, match="zero-argument"):
+        eng.sql("""
+            CREATE FUNCTION z() RETURNS int AS $$
+            return 42
+            $$ LANGUAGE plpython3u
+        """)

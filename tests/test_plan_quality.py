@@ -364,6 +364,7 @@ def test_zorder_scan_prunes_partitions(spark):
 # multimodal decode plumbing, halfvec storage cast, PQ encode, and the
 # Python UDTF surface, which are deliberately Python-path operators.
 _ARROW_ALLOWED = {
+    "plpython_function",
     "multimodal_feature_stats",
     "knn_l2_halfvec",
     "knn_pq_rerank",
