@@ -510,3 +510,72 @@ def test_pack_sequences_window_is_sharded(spark):
             spec = line.split("windowspecdefinition(", 1)[1]
             assert spec.startswith("shard"), line
     assert python_eval_nodes(df) == 0
+
+
+def test_plpgsql_select_into_decorrelates(spark):
+    """The SELECT ... INTO binding inlines as a correlated scalar
+    subquery; Catalyst must decorrelate it to aggregate + join — never
+    a per-row re-execution, never a cartesian, never Python."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION pin_cd(nk int) RETURNS text AS $$
+        DECLARE
+            c bigint;
+            label text := 'none';
+        BEGIN
+            SELECT COUNT(*) INTO c FROM customer WHERE c_nationkey = nk;
+            IF c > 0 THEN
+                IF c >= 60 THEN label := 'high'; ELSE label := 'low';
+                END IF;
+            END IF;
+            RETURN label;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    try:
+        df = eng.sql(
+            "SELECT n_nationkey, pin_cd(n_nationkey) AS d FROM nation"
+        )
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "HashAggregate" in plan and "Join" in plan
+        assert python_eval_nodes(df) == 0
+    finally:
+        eng.sql("DROP FUNCTION pin_cd")
+
+
+def test_plpgsql_for_loop_is_one_aggregation(spark):
+    """A FOR-IN-SELECT accumulator loop compiles to scalar-subquery
+    aggregates: the plan is scans + hash aggregates, no iteration
+    artifacts, no Python, no cartesian."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION pin_loop(st text) RETURNS double AS $$
+        DECLARE r RECORD; total double precision := 0.0; n bigint := 0;
+        BEGIN
+            FOR r IN SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = st LOOP
+                total := total + r.o_orderkey;
+                n := n + 1;
+            END LOOP;
+            IF n = 0 THEN RETURN -1.0; END IF;
+            RETURN total / n;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    try:
+        df = eng.sql(
+            "SELECT o_orderstatus, pin_loop(o_orderstatus) AS v"
+            " FROM (SELECT DISTINCT o_orderstatus FROM orders)"
+        )
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+        assert python_eval_nodes(df) == 0
+    finally:
+        eng.sql("DROP FUNCTION pin_loop")
