@@ -29,12 +29,13 @@ registry.load_all_queries()
 # array_funcs2: LIST output columns the driver's canonicalizer cannot
 # sort) — and 13 never gated (the scalar/contrib tranche backlog).
 #
-# ROUND 6 spends the window on: (a) the 6 NEW registrations — three
+# ROUND 6 spends the window on: (a) the 7 NEW registrations — three
 # LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py: guard,
 # SELECT-INTO + nested IF, and FOR-IN-SELECT accumulator loops compiled
 # to aggregates — first gate rows), MERGE with a DELETE action, and a
 # COPY (FORMAT binary) statement round-trip, and LANGUAGE plpython3u
-# via Arrow-batched pandas UDFs (VERDICT r5 items 3+6+7); (b) the 3
+# via Arrow-batched pandas UDFs, plus DO anonymous blocks
+# (driver-orchestrated DoStmt) (VERDICT r5 items 3+6+7); (b) the 3
 # representation re-gates, now fixed at the source AND enforced for all
 # 249 queries by test_oracle_parity's oracle-value scan; (c) the full
 # 13-name never-gated backlog — taking evidence debt to ZERO; (d)
@@ -50,6 +51,7 @@ GATE_PRIORITY: list[str] = [
     "merge_delete_action",
     "copy_sql_binary_roundtrip",
     "plpython_function",
+    "do_block_stmt",
     # (b) representation re-gates (r5 reds + the latent decimal)
     "source_mix_rebalance",
     "array_funcs2",
@@ -94,7 +96,6 @@ GATE_PRIORITY: list[str] = [
     "fts_bm25",
     "hybrid_rrf_search",
     "events_asof_join",
-    "window_groups_frame",
     "agg_grouping_sets",
     "merge_upsert_orders",
     "incremental_agg_merge",

@@ -1,0 +1,309 @@
+"""DO $$ ... $$ — anonymous PL/pgSQL blocks through Engine.sql.
+
+Reference: DoStmt (``commands/functioncmds.cpp`` ExecuteDoStmt → the
+plpgsql handler's ``plpgsql_inline_handler``, ``pl_handler.cpp``).  A
+DO block runs ONCE per statement, not once per row — so unlike
+``operators/plpgsql.py`` (which compiles function bodies into inlined
+column expressions precisely to avoid per-row interpretation), the
+right altitude here is DRIVER-SIDE orchestration of distributed
+statements: conditions and assignments evaluate as one-row Spark SQL
+SELECTs, DML statements route through ``Engine.sql`` (each one a
+distributed write), and RAISE maps to driver-side notice collection /
+exceptions.  This is exactly how a migration script or psql ``DO``
+block is used against the reference.
+
+Supported statement forms inside ``BEGIN ... END``: DECLARE
+initializers, ``var := expr`` (evaluated eagerly as a one-row SELECT),
+``SELECT expr INTO var [FROM ...]``, ``IF / ELSIF / ELSE / END IF``
+(conditions evaluated driver-side, branches executed), ``RAISE
+NOTICE/WARNING/INFO 'msg'`` (collected into the result frame), ``RAISE
+EXCEPTION 'msg'`` (raises), and any other statement text (INSERT /
+UPDATE / DELETE / CREATE / COPY / ...) executed through Engine.sql
+with variable references substituted as typed SQL literals.
+
+NOT supported (clear errors): loops (set-based rewrite — one
+distributed statement), EXCEPTION blocks (no subtransactions), and
+cursors (session-level DECLARE CURSOR).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .plpgsql import (
+    _BEGIN_RE,
+    _DECLARE_RE,
+    _find_end_if,
+    _mask_strings,
+    _scan_stmt,
+    _split_branches,
+)
+from .create_function import _map_type, _strip_comments
+
+_DO_RE = re.compile(
+    r"^\s*DO\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$)"
+    r"(?:\s+LANGUAGE\s+PLPGSQL)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UNSUPPORTED = [
+    (re.compile(r"\b(WHILE|LOOP|FOREACH)\b|\bFOR\s+\w+\s+IN\b",
+                re.IGNORECASE),
+     "loops in DO blocks: rewrite the loop as one set-oriented "
+     "statement (INSERT/UPDATE ... SELECT)"),
+    (re.compile(r"\bEXCEPTION\s+WHEN\b", re.IGNORECASE),
+     "EXCEPTION blocks need subtransactions; guard with IF ... RAISE "
+     "EXCEPTION instead"),
+    (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
+     "cursors inside DO blocks: DECLARE CURSOR at the session level"),
+]
+
+
+def _sql_literal(v) -> str:
+    """Render a driver-side Python value as a Spark SQL literal."""
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _subst_values(text: str, env: dict) -> str:
+    """Replace variable references with typed literals of their CURRENT
+    driver-side values — identifier-boundary matched on the
+    string-masked copy, qualified refs untouched (the plpgsql rules)."""
+    out = text
+    for name in sorted(env, key=len, reverse=True):
+        pat = re.compile(rf"(?<!\.)\b{re.escape(name)}\b", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(_mask_strings(out), pos)
+            if m is None:
+                break
+            rep = _sql_literal(env[name])
+            out = out[:m.start()] + rep + out[m.end():]
+            pos = m.start() + len(rep)
+    return out.strip()
+
+
+class _DoRunner:
+    def __init__(self, engine):
+        self.engine = engine
+        self.env: dict = {}
+        self.notices: list[str] = []
+        self.executed = 0
+
+    def _eval_scalar(self, sql: str):
+        row = self.engine.spark.sql(sql).first()
+        return None if row is None else row[0]
+
+    def run(self, text: str) -> None:
+        pos, n = 0, len(text)
+        while pos < n:
+            rest = text[pos:].lstrip()
+            off = len(text[pos:]) - len(rest)
+            if not rest:
+                break
+            m_if = re.match(r"IF\b", rest, re.IGNORECASE)
+            if m_if:
+                start = pos + off + m_if.end()
+                end_start, end_after = _find_end_if(text, start)
+                for cond, body in _split_branches(text[start:end_start]):
+                    if cond is None or self._eval_scalar(
+                        "SELECT " + _subst_values(cond, self.env)
+                    ):
+                        self.run(body)
+                        break
+                pos = end_after
+                continue
+            stmt, pos = _scan_stmt(text, pos + off)
+            if not stmt:
+                continue
+            self._exec_stmt(stmt)
+
+    def _exec_stmt(self, stmt: str) -> None:
+        m = re.match(
+            r"RAISE\s+(?P<lvl>NOTICE|WARNING|INFO|EXCEPTION)\s+"
+            r"'(?P<msg>(?:[^']|'')*)'\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            msg = m.group("msg").replace("''", "'")
+            if m.group("lvl").upper() == "EXCEPTION":
+                raise RuntimeError(f"DO block RAISE EXCEPTION: {msg}")
+            self.notices.append(f"{m.group('lvl').upper()}: {msg}")
+            return
+        m = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            self.env[m.group("v").lower()] = self._eval_scalar(
+                "SELECT " + _subst_values(m.group("e"), self.env)
+            )
+            return
+        m = re.match(
+            r"SELECT\s+(?P<e>.+?)\s+INTO\s+(?:STRICT\s+)?(?P<v>\w+)"
+            r"(?P<tail>\s+FROM\s+.+)?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            tail = (m.group("tail") or "").strip()
+            sql = "SELECT " + _subst_values(m.group("e"), self.env)
+            if tail:
+                sql += " " + _subst_values(tail, self.env)
+            row = self.engine.sql(sql).first()
+            self.env[m.group("v").lower()] = None if row is None else row[0]
+            return
+        # PERFORM <query> = run and discard (pl_exec exec_stmt_perform)
+        m = re.match(r"PERFORM\s+(?P<q>.+)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            self.engine.sql(
+                "SELECT " + _subst_values(m.group("q"), self.env)
+            ).collect()
+            self.executed += 1
+            return
+        # anything else is a statement for the engine (DML/DDL/COPY)
+        self.engine.sql(_subst_values(stmt, self.env))
+        self.executed += 1
+
+
+def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
+    pos = 0
+    while pos < len(decls):
+        stmt, pos = _scan_stmt(decls, pos)
+        if not stmt:
+            continue
+        m = re.match(
+            r"(?P<v>\w+)\s+(?P<t>\w+(?:\s+\w+)?"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(?:\s*:=\s*(?P<e>.+))?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"DO block: cannot parse declaration {stmt!r}")
+        v = m.group("v").lower()
+        if m.group("e") is None:
+            runner.env[v] = None
+        else:
+            runner.env[v] = runner._eval_scalar(
+                "SELECT CAST(("
+                + _subst_values(m.group("e"), runner.env)
+                + f") AS {_map_type(m.group('t'))})"
+            )
+
+
+def try_handle_stmt(engine, query: str):
+    """Engine.sql hook: DO $$ ... $$ anonymous blocks."""
+    m = _DO_RE.match(query)
+    if m is None:
+        return None
+    from .create_function import _unquote_body
+
+    body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
+    masked = _mask_strings(body)
+    for pat, why in _UNSUPPORTED:
+        if pat.search(masked):
+            raise NotImplementedError(f"DO block: {why}")
+    md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
+    if md is None:
+        raise ValueError("DO block body must be [DECLARE ...] BEGIN ... END")
+    runner = _DoRunner(engine)
+    if "decls" in md.groupdict() and md.groupdict().get("decls"):
+        _parse_decls_values(md.group("decls"), runner)
+    runner.run(md.group("body"))
+    rows = [("DO", runner.executed, len(runner.notices),
+             "\n".join(runner.notices))]
+    return engine.spark.createDataFrame(
+        rows,
+        "tag STRING, statements_executed INT, n_notices INT,"
+        " notices STRING",
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver gate: DO block end-to-end — conditional DDL/DML orchestration,
+# the migration-script shape, vs an oracle that spells the same result
+# as one query.
+# --------------------------------------------------------------------------
+from ..registry import query as _register_query
+
+
+@_register_query(
+    "do_block_stmt",
+    """
+    WITH hi AS (SELECT MAX(o_totalprice) AS h FROM orders)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders, hi WHERE o_totalprice >= h / 2
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def do_block_stmt(spark, sf_dir):
+    """DO $$ ... $$ end-to-end (DoStmt → plpgsql_inline_handler,
+    pl_handler.cpp): SELECT INTO binds a driver-side scalar, an IF
+    guards a CTAS parameterized by that variable, RAISE NOTICE is
+    collected — then the created table is aggregated and compared to
+    the oracle's single-query formulation.
+
+    Scale: the block itself runs ONCE on the driver (that is DoStmt's
+    execution model); every statement inside it is a full distributed
+    operation — the CTAS is one parquet write, the aggregate one
+    partial/final exchange. Nothing here is per-row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="do_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        tag = eng.sql("""
+            DO $$
+            DECLARE
+                hi double precision;
+            BEGIN
+                SELECT MAX(o_totalprice) INTO hi FROM orders;
+                IF hi IS NULL THEN
+                    RAISE EXCEPTION 'empty orders table';
+                END IF;
+                CREATE TABLE do_gate_t AS
+                    SELECT o_orderstatus, o_totalprice FROM orders
+                    WHERE o_totalprice >= hi / 2;
+                RAISE NOTICE 'slice built';
+            END;
+            $$
+        """).collect()[0]
+        assert tag.tag == "DO" and tag.n_notices == 1
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM do_gate_t GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE do_gate_t")
+        return spark.createDataFrame(
+            [(r[0], r[1], float(r[2])) for r in rows],
+            "o_orderstatus STRING, n BIGINT, total DOUBLE",
+        ).select("o_orderstatus", "n", F.col("total").cast("double"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -68,6 +68,7 @@ def load_all_queries() -> None:
         dblink,
         ddl_tables,
         dedup,
+        do_block,
         functions_ext,
         fuzzy,
         matview,

@@ -1159,3 +1159,53 @@ def test_plpython_refusals(spark):
             return 42
             $$ LANGUAGE plpython3u
         """)
+
+
+def test_do_block_orchestration(spark, tmp_path):
+    """DO $$ ... $$ (DoStmt → plpgsql_inline_handler): SELECT INTO
+    binds driver-side values, IF branches on them, variables substitute
+    into DML as typed literals, RAISE NOTICE collects, RAISE EXCEPTION
+    raises, and each inner statement is a full distributed operation."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    out = eng.sql("""
+        DO $$
+        DECLARE
+            n bigint;
+            cutoff int := 2 + 3;
+            label text := 'lo''w';
+        BEGIN
+            SELECT COUNT(*) INTO n FROM nation;
+            IF n > 100 THEN
+                RAISE EXCEPTION 'unexpected';
+            ELSIF n > 10 THEN
+                CREATE TABLE do_t AS
+                    SELECT n_nationkey, label AS tag FROM nation
+                    WHERE n_nationkey < cutoff;
+                RAISE NOTICE 'built';
+            ELSE
+                RAISE NOTICE 'skipped';
+            END IF;
+        END;
+        $$
+    """).collect()[0]
+    assert out.tag == "DO"
+    assert out.statements_executed == 1  # the CTAS
+    assert out.notices == "NOTICE: built"
+    rows = eng.sql(
+        "SELECT n_nationkey, tag FROM do_t ORDER BY n_nationkey"
+    ).collect()
+    assert [r.n_nationkey for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].tag == "lo'w"  # quoted literal round-trips
+    eng.sql("DROP TABLE do_t")
+    with pytest.raises(RuntimeError, match="boom"):
+        eng.sql("DO $$ BEGIN RAISE EXCEPTION 'boom'; END; $$")
+    with pytest.raises(NotImplementedError, match="set-oriented"):
+        eng.sql("""
+            DO $$
+            DECLARE i int := 0;
+            BEGIN
+                WHILE i < 3 LOOP i := i + 1; END LOOP;
+            END;
+            $$
+        """)
