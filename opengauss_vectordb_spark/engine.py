@@ -337,6 +337,11 @@ class Engine:
         handled = _do_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.do_block import try_handle_procedure as _proc_stmt
+
+        handled = _proc_stmt(self, query)
+        if handled is not None:
+            return handled
         from .operators.triggers import try_handle_stmt as _trigger_stmt
 
         handled = _trigger_stmt(self, query)

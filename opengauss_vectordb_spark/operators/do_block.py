@@ -307,3 +307,132 @@ def do_block_stmt(spark, sf_dir):
         ).select("o_orderstatus", "n", F.col("total").cast("double"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# CREATE PROCEDURE / CALL — named DO blocks with IN parameters.
+# Reference: openGauss CREATE PROCEDURE (gram.y's A-format procedure
+# grammar; executed by the same plpgsql handler as DO), CALL statement.
+# Procedures run ONCE per CALL on the driver, like DO — every inner
+# statement is a distributed operation.
+# --------------------------------------------------------------------------
+
+_CREATE_PROC_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(?P<name>\w+)\s*"
+    r"\((?P<params>.*?)\)\s*"
+    r"(?:AS|IS)\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$|.+?END\s*;?)"
+    r"(?:\s+LANGUAGE\s+PLPGSQL)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?P<name>\w+)\s*\((?P<args>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_PROC_RE = re.compile(
+    r"^\s*DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s*(?:\(.*?\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_call_args(args: str) -> list[str]:
+    """Paren- and quote-aware top-level comma split of a CALL arg list."""
+    out, depth, cur, in_str = [], 0, [], False
+    for ch in args:
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return [a.strip() for a in out]
+
+
+def try_handle_procedure(engine, query: str):
+    """Engine.sql hook: CREATE PROCEDURE / CALL / DROP PROCEDURE."""
+    if not hasattr(engine, "procedures"):
+        engine.procedures = {}
+    m = _CREATE_PROC_RE.match(query)
+    if m:
+        from .create_function import _split_params, _unquote_body
+
+        raw = m.group("body")
+        body = (
+            _unquote_body(raw, m.group("tag"))
+            if raw.startswith("$") else raw
+        )
+        body = _strip_comments(body)
+        masked = _mask_strings(body)
+        for pat, why in _UNSUPPORTED:
+            if pat.search(masked):
+                raise NotImplementedError(f"procedure: {why}")
+        params = []
+        for pname, ptype in _split_params(m.group("params")):
+            mode = re.match(r"^(IN|OUT|INOUT)\s+(.*)$", ptype,
+                            re.IGNORECASE)
+            if mode and mode.group(1).upper() != "IN":
+                raise NotImplementedError(
+                    "procedure OUT/INOUT parameters: return results "
+                    "with a SELECT through Engine.sql instead"
+                )
+            params.append(
+                (pname.lower(), mode.group(2) if mode else ptype)
+            )
+        name = m.group("name").lower()
+        engine.procedures[name] = (params, body)
+        return engine.spark.createDataFrame(
+            [("CREATE PROCEDURE", name)], "tag STRING, procedure STRING"
+        )
+    m = _CALL_RE.match(query)
+    if m:
+        name = m.group("name").lower()
+        if name not in engine.procedures:
+            raise KeyError(f"CALL: procedure {name!r} does not exist")
+        params, body = engine.procedures[name]
+        arg_texts = _split_call_args(m.group("args"))
+        if len(arg_texts) != len(params):
+            raise ValueError(
+                f"CALL {name}: expected {len(params)} argument(s), "
+                f"got {len(arg_texts)}"
+            )
+        runner = _DoRunner(engine)
+        for (pname, ptype), atext in zip(params, arg_texts):
+            runner.env[pname] = runner._eval_scalar(
+                f"SELECT CAST(({atext}) AS {_map_type(ptype)})"
+            )
+        md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
+        if md is None:
+            raise ValueError(
+                "procedure body must be [DECLARE ...] BEGIN ... END"
+            )
+        if "decls" in md.groupdict() and md.groupdict().get("decls"):
+            _parse_decls_values(md.group("decls"), runner)
+        runner.run(md.group("body"))
+        return engine.spark.createDataFrame(
+            [("CALL", name, runner.executed, len(runner.notices),
+              "\n".join(runner.notices))],
+            "tag STRING, procedure STRING, statements_executed INT,"
+            " n_notices INT, notices STRING",
+        )
+    m = _DROP_PROC_RE.match(query)
+    if m:
+        name = m.group("name").lower()
+        existed = engine.procedures.pop(name, None) is not None
+        if not existed and not re.search(r"IF\s+EXISTS", query,
+                                         re.IGNORECASE):
+            raise KeyError(f"DROP PROCEDURE: {name!r} does not exist")
+        return engine.spark.createDataFrame(
+            [("DROP PROCEDURE", name, existed)],
+            "tag STRING, procedure STRING, existed BOOLEAN",
+        )
+    return None

@@ -1209,3 +1209,55 @@ def test_do_block_orchestration(spark, tmp_path):
             END;
             $$
         """)
+
+
+def test_create_procedure_and_call(spark, tmp_path):
+    """CREATE PROCEDURE / CALL (openGauss A-format procedures, run by
+    the same plpgsql inline handler as DO): IN parameters bind as
+    driver-side values, the body re-runs per CALL with fresh bindings,
+    DROP PROCEDURE removes it; OUT parameters refuse with the rewrite
+    named."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    out = eng.sql("""
+        CREATE PROCEDURE build_slice(cutoff int, tbl_tag text) AS $$
+        DECLARE
+            n bigint;
+        BEGIN
+            SELECT COUNT(*) INTO n FROM nation
+                WHERE n_nationkey < cutoff;
+            IF n = 0 THEN
+                RAISE EXCEPTION 'empty slice';
+            END IF;
+            CREATE TABLE proc_t AS
+                SELECT n_nationkey, tbl_tag AS tag FROM nation
+                WHERE n_nationkey < cutoff;
+            RAISE NOTICE 'built';
+        END;
+        $$
+    """).collect()[0]
+    assert out.tag == "CREATE PROCEDURE"
+    r1 = eng.sql("CALL build_slice(3, 'first')").collect()[0]
+    assert r1.tag == "CALL" and r1.notices == "NOTICE: built"
+    assert eng.sql("SELECT COUNT(*) AS c FROM proc_t").collect()[0].c == 3
+    eng.sql("DROP TABLE proc_t")
+    # second CALL re-binds fresh parameter values
+    eng.sql("CALL build_slice(2 + 3, 'second')")
+    rows = eng.sql(
+        "SELECT DISTINCT tag, COUNT(*) OVER () AS c FROM proc_t"
+    ).collect()
+    assert rows[0].tag == "second" and rows[0].c == 5
+    eng.sql("DROP TABLE proc_t")
+    with pytest.raises(RuntimeError, match="empty slice"):
+        eng.sql("CALL build_slice(0, 'none')")
+    with pytest.raises(ValueError, match="argument"):
+        eng.sql("CALL build_slice(1)")
+    eng.sql("DROP PROCEDURE build_slice")
+    with pytest.raises(KeyError):
+        eng.sql("CALL build_slice(1, 'x')")
+    with pytest.raises(NotImplementedError, match="OUT"):
+        eng.sql("""
+            CREATE PROCEDURE bad(x IN int, y OUT int) AS $$
+            BEGIN y := x; END;
+            $$
+        """)
