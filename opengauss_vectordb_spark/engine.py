@@ -342,6 +342,11 @@ class Engine:
         handled = _proc_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.ml_stmt import try_handle_stmt as _ml_stmt
+
+        handled = _ml_stmt(self, query)
+        if handled is not None:
+            return handled
         from .operators.triggers import try_handle_stmt as _trigger_stmt
 
         handled = _trigger_stmt(self, query)

@@ -1261,3 +1261,46 @@ def test_create_procedure_and_call(spark, tmp_path):
             BEGIN y := x; END;
             $$
         """)
+
+
+def test_create_model_predict_by_sql_text(spark):
+    """The DB4AI statement surface as TEXT (gram.y:11603 CREATE MODEL,
+    :27180 PREDICT BY): train via MLlib from a statement, score inside
+    a SELECT through the rewrite, drop. The math itself is gated by the
+    db4ai_* oracle queries; this pins the statement plumbing."""
+    eng = Engine(spark, SF_CORRECT)
+    out = eng.sql(
+        "CREATE MODEL t_lin USING linear_regression"
+        " FEATURES l_quantity TARGET l_extendedprice FROM lineitem"
+    ).collect()[0]
+    assert out.tag == "CREATE MODEL" and out.algorithm == "linear_regression"
+    rows = eng.sql(
+        "SELECT l_orderkey, l_quantity,"
+        " PREDICT BY t_lin (FEATURES l_quantity) AS p"
+        " FROM lineitem WHERE l_orderkey <= 5 ORDER BY l_orderkey"
+    ).collect()
+    assert len(rows) > 0 and all(r.p is not None for r in rows)
+    # predictions are monotone in the single feature for a linear model
+    by_qty = sorted(rows, key=lambda r: r.l_quantity)
+    preds = [r.p for r in by_qty]
+    assert preds == sorted(preds)
+    assert eng.sql("DROP MODEL t_lin").collect()[0].existed is True
+    assert eng.sql("DROP MODEL IF EXISTS t_lin").collect()[0].existed \
+        is False
+    with pytest.raises(KeyError):
+        eng.sql("DROP MODEL t_lin")
+    with pytest.raises(KeyError):
+        eng.sql(
+            "SELECT PREDICT BY nope (FEATURES l_quantity) FROM lineitem"
+        )
+    # hyperparameters ride through WITH k=v
+    eng.sql(
+        "CREATE MODEL t_km USING kmeans"
+        " FEATURES l_quantity, l_extendedprice FROM lineitem WITH k=3"
+    )
+    got = eng.sql(
+        "SELECT DISTINCT PREDICT BY t_km"
+        " (FEATURES l_quantity, l_extendedprice) AS c FROM lineitem"
+    ).collect()
+    assert 1 <= len(got) <= 3
+    eng.sql("DROP MODEL t_km")
