@@ -297,7 +297,115 @@ _CLUSTER = re.compile(
 )
 
 
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+(?:COLUMN\s+)?"
+    r"(?P<col>\w+)\s+(?P<type>\w+(?:\s+\w+)?"
+    r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+(?:COLUMN\s+)?"
+    r"(?P<col>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+RENAME\s+(?:COLUMN\s+)?"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_TBL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+RENAME\s+TO\s+"
+    r"(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _handle_alter_table(engine, query: str) -> DataFrame | None:
+    """ALTER TABLE over managed tables (tablecmds.cpp AlterTable):
+    ADD/DROP/RENAME COLUMN and RENAME TO.  Column changes run as ONE
+    copy-on-write relation rewrite (TableManager.rewrite — readers
+    never observe a partial table); PG's metadata-only fast path for
+    nullable ADD COLUMN is a transactional-format feature (Delta/
+    Iceberg metadata commit) — documented cost difference, same
+    semantics.  Catalog (parquet star schema) tables are read-only."""
+    m = (_ALTER_ADD.match(query) or _ALTER_DROP.match(query)
+         or _ALTER_RENAME_COL.match(query)
+         or _ALTER_RENAME_TBL.match(query))
+    if m is None:
+        return None
+    name = m.group("name").lower()
+    mt = engine.managed_tables
+    if name not in mt.tables:
+        if name in engine.tables:
+            raise ValueError(
+                f"ALTER TABLE: {name!r} is a read-only catalog table — "
+                "CTAS a managed copy first"
+            )
+        raise KeyError(f"ALTER TABLE: managed table {name!r} does not exist")
+    df = engine.spark.read.parquet(mt._path(name))
+    mm = _ALTER_ADD.match(query)
+    if mm:
+        col, typ = mm.group("col").lower(), mm.group("type")
+        if col in [c.lower() for c in df.columns]:
+            raise ValueError(f"ALTER TABLE: column {col!r} already exists")
+        from .create_function import _map_type
+
+        default = mm.group("default")
+        value = (
+            F.expr(default) if default is not None else F.lit(None)
+        ).cast(_map_type(typ))
+        mt.rewrite(name, df.withColumn(col, value))
+        return engine.spark.createDataFrame(
+            [("ALTER TABLE", name, f"ADD COLUMN {col}")],
+            "tag STRING, tbl STRING, action STRING",
+        )
+    mm = _ALTER_DROP.match(query)
+    if mm:
+        col = mm.group("col").lower()
+        cols = [c for c in df.columns if c.lower() != col]
+        if len(cols) == len(df.columns):
+            raise KeyError(f"ALTER TABLE: column {col!r} does not exist")
+        if not cols:
+            raise ValueError("ALTER TABLE: cannot drop the last column")
+        mt.rewrite(name, df.select(*cols))
+        return engine.spark.createDataFrame(
+            [("ALTER TABLE", name, f"DROP COLUMN {col}")],
+            "tag STRING, tbl STRING, action STRING",
+        )
+    mm = _ALTER_RENAME_COL.match(query)
+    if mm:
+        old, new = mm.group("old").lower(), mm.group("new").lower()
+        if old not in [c.lower() for c in df.columns]:
+            raise KeyError(f"ALTER TABLE: column {old!r} does not exist")
+        if new in [c.lower() for c in df.columns]:
+            raise ValueError(f"ALTER TABLE: column {new!r} already exists")
+        mt.rewrite(name, df.withColumnRenamed(old, new))
+        return engine.spark.createDataFrame(
+            [("ALTER TABLE", name, f"RENAME {old} TO {new}")],
+            "tag STRING, tbl STRING, action STRING",
+        )
+    mm = _ALTER_RENAME_TBL.match(query)
+    new = mm.group("new").lower()
+    if new in mt.tables or new in engine.tables:
+        raise ValueError(f"ALTER TABLE: table {new!r} already exists")
+    import shutil as _shutil
+
+    entry = mt.tables.pop(name)
+    _shutil.move(os.path.join(mt.root, name), os.path.join(mt.root, new))
+    mt.tables[new] = entry
+    engine.spark.catalog.dropTempView(name)
+    mt._register_view(new)
+    return engine.spark.createDataFrame(
+        [("ALTER TABLE", name, f"RENAME TO {new}")],
+        "tag STRING, tbl STRING, action STRING",
+    )
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    handled = _handle_alter_table(engine, query)
+    if handled is not None:
+        return handled
     m = _VACUUM.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         before, after = engine.managed_tables.vacuum(m.group("name"))

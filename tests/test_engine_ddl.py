@@ -1304,3 +1304,45 @@ def test_create_model_predict_by_sql_text(spark):
     ).collect()
     assert 1 <= len(got) <= 3
     eng.sql("DROP MODEL t_km")
+
+
+def test_alter_table_managed(spark, tmp_path):
+    """ALTER TABLE (tablecmds.cpp AlterTable) over managed tables:
+    ADD COLUMN with and without DEFAULT, DROP COLUMN, RENAME COLUMN,
+    RENAME TO — each column change one copy-on-write rewrite; catalog
+    tables are read-only."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE alt_t AS SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_nationkey < 5"
+    )
+    eng.sql("ALTER TABLE alt_t ADD COLUMN score double DEFAULT 1.5")
+    rows = eng.sql("SELECT * FROM alt_t ORDER BY n_nationkey").collect()
+    assert all(r.score == 1.5 for r in rows) and len(rows) == 5
+    eng.sql("ALTER TABLE alt_t ADD COLUMN note text")
+    assert all(
+        r.note is None
+        for r in eng.sql("SELECT note FROM alt_t").collect()
+    )
+    eng.sql("ALTER TABLE alt_t RENAME COLUMN score TO rating")
+    cols = eng.sql("SELECT * FROM alt_t").columns
+    assert "rating" in cols and "score" not in cols
+    eng.sql("ALTER TABLE alt_t DROP COLUMN note")
+    assert "note" not in eng.sql("SELECT * FROM alt_t").columns
+    eng.sql("ALTER TABLE alt_t RENAME TO alt_r")
+    assert eng.sql(
+        "SELECT COUNT(*) AS c FROM alt_r"
+    ).collect()[0].c == 5
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM alt_t").collect()  # old name gone
+    # error contracts
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE alt_r ADD COLUMN rating int")
+    with pytest.raises(KeyError):
+        eng.sql("ALTER TABLE alt_r DROP COLUMN nope")
+    with pytest.raises(ValueError, match="read-only catalog"):
+        eng.sql("ALTER TABLE nation ADD COLUMN x int")
+    with pytest.raises(KeyError):
+        eng.sql("ALTER TABLE missing ADD COLUMN x int")
+    eng.sql("DROP TABLE alt_r")
