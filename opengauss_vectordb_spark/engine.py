@@ -51,6 +51,11 @@ class Engine:
         self.ann = AnnCatalog()
         self.models = ModelWarehouse()
         self._index_names: dict[str, tuple[str, str]] = {}
+        # btree indexes over managed tables: name -> (table, col).
+        # A btree index on parquet IS a data-skipping layout — CREATE
+        # INDEX runs the CLUSTER sorted rewrite so rowgroup min/max
+        # stats prune (the CStoreIndex/roughcheck analogue)
+        self._btree_indexes: dict[str, tuple[str, str]] = {}
         # session GUC defaults (reference: ivfflat.cpp:35 probes=1,
         # hnsw.h:39 ef_search=40), settable via Engine.sql("SET ...")
         self._gucs: dict[str, int] = {}
@@ -124,6 +129,15 @@ class Engine:
     )
     _DROP_INDEX = re.compile(
         r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    # CREATE INDEX [name] ON tbl [USING btree] (col) — the relational
+    # index shape (indexcmds.cpp DefineIndex); on parquet the honest
+    # equivalent is a sorted data-skipping layout
+    _CREATE_BTREE = re.compile(
+        r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+"
+        r"(?P<table>\w+)\s+(?:USING\s+BTREE\s*)?"
+        r"\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
         re.IGNORECASE,
     )
     # SET ivfflat.probes = 10 / SET hnsw.ef_search = 40 — the reference's
@@ -219,6 +233,9 @@ class Engine:
             rows = [
                 (name, tbl, col, type(self.ann.lookup(tbl, col)).__name__)
                 for name, (tbl, col) in sorted(self._index_names.items())
+            ] + [
+                (name, tbl, col, "btree")
+                for name, (tbl, col) in sorted(self._btree_indexes.items())
             ]
             return self.spark.createDataFrame(
                 rows or [("", "", "", "")][:0],
@@ -229,6 +246,28 @@ class Engine:
         m = self._CREATE_INDEX.match(query)
         if m:
             return self._create_index_ddl(m)
+        m = self._CREATE_BTREE.match(query)
+        if m:
+            table, col = m.group("table").lower(), m.group("col")
+            name = (m.group("name") or f"{table}_{col}_idx").lower()
+            if table not in self.managed_tables.tables:
+                if table in self.tables:
+                    raise NotImplementedError(
+                        "btree CREATE INDEX on a read-only catalog "
+                        "table: use the zorder/bucketed layouts "
+                        "(sources/zorder.py, sources/bucketed.py) for "
+                        "the star schema"
+                    )
+                raise KeyError(f"CREATE INDEX: table {table!r} not found")
+            # sorted rewrite = the index: disjoint per-file key ranges
+            # so rowgroup min/max stats prune scans on the key
+            self.sql(f"CLUSTER {table} ON ({col})")
+            self._btree_indexes[name] = (table, col)
+            return self.spark.createDataFrame(
+                [("CREATE INDEX", name, "btree", table, col)],
+                "tag STRING, index STRING, am STRING, tbl STRING,"
+                " col STRING",
+            )
         m = self._SET_GUC.match(query)
         if m:
             guc = m.group("guc").lower()
@@ -281,8 +320,11 @@ class Engine:
             key = self._index_names.pop(name, None)
             if key is not None:
                 self.ann.drop(*key)
+            bkey = self._btree_indexes.pop(name, None)
+            # dropping a btree index keeps the clustered layout (it is
+            # just data order) — only the catalog entry goes away
             return self.spark.createDataFrame(
-                [("DROP INDEX", name, key is not None)],
+                [("DROP INDEX", name, key is not None or bkey is not None)],
                 "tag STRING, index STRING, existed BOOLEAN",
             )
         from .operators.matview import try_handle_ddl as _matview_ddl

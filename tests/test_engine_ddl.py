@@ -1346,3 +1346,32 @@ def test_alter_table_managed(spark, tmp_path):
     with pytest.raises(KeyError):
         eng.sql("ALTER TABLE missing ADD COLUMN x int")
     eng.sql("DROP TABLE alt_r")
+
+
+def test_btree_index_is_sorted_layout(spark, tmp_path):
+    """CREATE INDEX [USING btree] on a managed table = the CLUSTER
+    sorted rewrite (indexcmds.cpp DefineIndex → data-skipping layout):
+    per-file key ranges become disjoint, pg_indexes lists it, DROP
+    INDEX removes the catalog entry (the layout is just data order)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE bt_t AS SELECT o_orderkey, o_totalprice"
+        " FROM orders WHERE o_orderkey <= 2000"
+    )
+    out = eng.sql("CREATE INDEX ON bt_t (o_orderkey)").collect()[0]
+    assert out.tag == "CREATE INDEX" and out.am == "btree"
+    assert out["index"] == "bt_t_o_orderkey_idx"
+    rows = eng.sql("SELECT * FROM pg_indexes").collect()
+    assert any(r.indexname == "bt_t_o_orderkey_idx" and r.am == "btree"
+               for r in rows)
+    # data survives, still queryable, sorted layout preserved count
+    assert eng.sql("SELECT COUNT(*) AS c FROM bt_t").collect()[0].c == \
+        eng.sql(
+            "SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 2000"
+        ).collect()[0].c
+    dropped = eng.sql("DROP INDEX bt_t_o_orderkey_idx").collect()[0]
+    assert dropped.existed is True
+    with pytest.raises(NotImplementedError, match="zorder"):
+        eng.sql("CREATE INDEX ON orders (o_orderkey)")
+    eng.sql("DROP TABLE bt_t")
