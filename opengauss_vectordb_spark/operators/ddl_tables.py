@@ -233,6 +233,65 @@ _CTAS = re.compile(
     r"AS\s+(?P<stmt>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_PLAIN = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\(\s*(?P<cols>.+?)\s*\)\s*"
+    r"(?:PARTITION\s+BY\s+\(?(?P<pcol>\w+)\)?\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# per-column constraint tail we tolerate as metadata (no constraint
+# enforcement on an immutable columnar store — Spark's own DDL ignores
+# them too); DEFAULT/CHECK/REFERENCES change INSERT semantics and refuse
+_CONSTRAINT_TAIL = re.compile(
+    r"\s+(PRIMARY\s+KEY|NOT\s+NULL|NULL|UNIQUE)\b", re.IGNORECASE
+)
+_TABLE_CONSTRAINT = re.compile(
+    r"^\s*(PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY|CONSTRAINT|CHECK)\b",
+    re.IGNORECASE,
+)
+
+
+def _parse_column_list(cols: str) -> list[tuple[str, str]]:
+    """'a int PRIMARY KEY, b text NOT NULL, PRIMARY KEY (a)' →
+    [(a, int), (b, text)] — paren-aware comma split, constraint tails
+    stripped, table-level constraint entries skipped, DEFAULT/CHECK/
+    REFERENCES refused (they change INSERT semantics)."""
+    out, depth, cur = [], 0, []
+    entries = []
+    for ch in cols:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            entries.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        entries.append("".join(cur))
+    parsed = []
+    for e in entries:
+        e = e.strip()
+        if _TABLE_CONSTRAINT.match(e):
+            continue  # table-level constraint: metadata only
+        if re.search(r"\b(DEFAULT|CHECK|REFERENCES)\b", e, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE TABLE: DEFAULT/CHECK/REFERENCES change INSERT "
+                "semantics — apply defaults in the INSERT ... SELECT "
+                "and validate with a WHERE/RAISE guard"
+            )
+        e = _CONSTRAINT_TAIL.split(e)[0].strip()
+        toks = e.split(None, 1)
+        if len(toks) != 2:
+            raise ValueError(f"CREATE TABLE: cannot parse column {e!r}")
+        parsed.append((toks[0].lower(), toks[1].strip()))
+    if not parsed:
+        raise ValueError("CREATE TABLE: no columns declared")
+    return parsed
+
+
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+"
     r"(?P<stmt>(?:SELECT|WITH|VALUES|TABLE)\b.+?)\s*;?\s*$",
@@ -402,6 +461,14 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
     )
 
 
+
+
+import re as _re
+
+
+def _re_is_ctas(query: str) -> bool:
+    return _CTAS.match(query) is not None
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
     handled = _handle_alter_table(engine, query)
     if handled is not None:
@@ -456,6 +523,29 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         engine.managed_tables._register_view(name)
         return engine.spark.createDataFrame(
             [("CLUSTER", name, col)], "tag STRING, tbl STRING, key STRING"
+        )
+    m = _CREATE_PLAIN.match(query)
+    if m and not _re_is_ctas(query):
+        name = m.group("name").lower()
+        if name in engine.managed_tables.tables:
+            if _re.search(r"IF\s+NOT\s+EXISTS", query, _re.IGNORECASE):
+                return engine.spark.createDataFrame(
+                    [("CREATE TABLE", name, True)],
+                    "tag STRING, tbl STRING, already_existed BOOLEAN",
+                )
+            raise ValueError(f"table {name!r} already exists")
+        from .create_function import _map_type
+        schema = ", ".join(
+            f"{c} {_map_type(t)}" for c, t in
+            _parse_column_list(m.group("cols"))
+        )
+        empty = engine.spark.createDataFrame([], schema)
+        engine.managed_tables.create_as(
+            name, empty, partition_by=(m.group("pcol") or None)
+        )
+        return engine.spark.createDataFrame(
+            [("CREATE TABLE", name, False)],
+            "tag STRING, tbl STRING, already_existed BOOLEAN",
         )
     m = _CTAS.match(query)
     if m:

@@ -1375,3 +1375,37 @@ def test_btree_index_is_sorted_layout(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="zorder"):
         eng.sql("CREATE INDEX ON orders (o_orderkey)")
     eng.sql("DROP TABLE bt_t")
+
+
+def test_create_table_plain_ddl(spark, tmp_path):
+    """Plain CREATE TABLE (col list) lands in the MANAGED catalog —
+    one table world: pg_tables lists it, INSERT appends through the
+    managed path, ALTER TABLE works on it, constraints are tolerated
+    as metadata (no enforcement on an immutable store), DEFAULT
+    refuses with the INSERT-side rewrite."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    out = eng.sql(
+        "CREATE TABLE pt (id bigint PRIMARY KEY, nm text NOT NULL,"
+        " score double precision, PRIMARY KEY (id))"
+    ).collect()[0]
+    assert out.tag == "CREATE TABLE" and out.already_existed is False
+    assert "pt" in eng.managed_tables.tables
+    eng.sql("INSERT INTO pt VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    rows = eng.sql("SELECT * FROM pt ORDER BY id").collect()
+    assert [(r.id, r.nm, r.score) for r in rows] == [
+        (1, "a", 0.5), (2, "b", 1.5)]
+    # unified world: ALTER works, pg_tables lists it
+    eng.sql("ALTER TABLE pt ADD COLUMN flag boolean DEFAULT TRUE")
+    assert all(r.flag for r in eng.sql("SELECT flag FROM pt").collect())
+    tabs = {r.tablename: r.origin
+            for r in eng.sql("SELECT * FROM pg_tables").collect()}
+    assert tabs.get("pt") == "managed"
+    assert eng.sql(
+        "CREATE TABLE IF NOT EXISTS pt (x int)"
+    ).collect()[0].already_existed is True
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE pt (x int)")
+    with pytest.raises(NotImplementedError, match="DEFAULT"):
+        eng.sql("CREATE TABLE pd (x int DEFAULT 3)")
+    eng.sql("DROP TABLE pt")
