@@ -368,6 +368,13 @@ _ALTER_DROP = re.compile(
     r"(?P<col>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_TYPE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ALTER\s+(?:COLUMN\s+)?"
+    r"(?P<col>\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+    r"(?P<type>\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s+USING\s+(?P<using>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_RENAME_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+RENAME\s+(?:COLUMN\s+)?"
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
@@ -389,7 +396,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
     Iceberg metadata commit) — documented cost difference, same
     semantics.  Catalog (parquet star schema) tables are read-only."""
     m = (_ALTER_ADD.match(query) or _ALTER_DROP.match(query)
-         or _ALTER_RENAME_COL.match(query)
+         or _ALTER_TYPE.match(query) or _ALTER_RENAME_COL.match(query)
          or _ALTER_RENAME_TBL.match(query))
     if m is None:
         return None
@@ -430,6 +437,24 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
         mt.rewrite(name, df.select(*cols))
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"DROP COLUMN {col}")],
+            "tag STRING, tbl STRING, action STRING",
+        )
+    mm = _ALTER_TYPE.match(query)
+    if mm:
+        col, typ = mm.group("col").lower(), mm.group("type")
+        if col not in [c.lower() for c in df.columns]:
+            raise KeyError(f"ALTER TABLE: column {col!r} does not exist")
+        from .create_function import _map_type
+
+        # tablecmds.cpp ATExecAlterColumnType: the rewrite applies the
+        # USING expression (default: a cast) to every existing row
+        value = (
+            F.expr(mm.group("using")) if mm.group("using") is not None
+            else F.col(col)
+        ).cast(_map_type(typ))
+        mt.rewrite(name, df.withColumn(col, value))
+        return engine.spark.createDataFrame(
+            [("ALTER TABLE", name, f"ALTER COLUMN {col} TYPE")],
             "tag STRING, tbl STRING, action STRING",
         )
     mm = _ALTER_RENAME_COL.match(query)

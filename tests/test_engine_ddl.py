@@ -1409,3 +1409,24 @@ def test_create_table_plain_ddl(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="DEFAULT"):
         eng.sql("CREATE TABLE pd (x int DEFAULT 3)")
     eng.sql("DROP TABLE pt")
+
+
+def test_alter_column_type(spark, tmp_path):
+    """ALTER COLUMN TYPE (tablecmds.cpp ATExecAlterColumnType): the
+    rewrite casts every row, or applies the USING expression."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE at2 (k int, v text)")
+    eng.sql("INSERT INTO at2 VALUES (1, '10'), (2, '20')")
+    eng.sql("ALTER TABLE at2 ALTER COLUMN v TYPE bigint")
+    rows = eng.sql("SELECT * FROM at2 ORDER BY k").collect()
+    assert [r.v for r in rows] == [10, 20]
+    assert dict(eng.sql("SELECT * FROM at2").dtypes)["v"] == "bigint"
+    eng.sql(
+        "ALTER TABLE at2 ALTER v SET DATA TYPE text USING v * 2"
+    )
+    rows = eng.sql("SELECT * FROM at2 ORDER BY k").collect()
+    assert [r.v for r in rows] == ["20", "40"]
+    with pytest.raises(KeyError):
+        eng.sql("ALTER TABLE at2 ALTER COLUMN nope TYPE int")
+    eng.sql("DROP TABLE at2")
