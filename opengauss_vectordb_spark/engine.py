@@ -389,6 +389,11 @@ class Engine:
         handled = _ml_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.merge import try_handle_stmt as _merge_stmt
+
+        handled = _merge_stmt(self, query)
+        if handled is not None:
+            return handled
         from .operators.triggers import try_handle_stmt as _trigger_stmt
 
         handled = _trigger_stmt(self, query)

@@ -257,3 +257,213 @@ def incremental_agg_merge(spark, sf_dir):
         F.col("total_price").cast("decimal(28,6)").cast("double")
         .alias("total_price"),
     ).orderBy(*keys)
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO as SQL text through Engine.sql (parse_merge.cpp grammar →
+# execMerge.cpp actions).  The statement maps onto merge_into() above:
+# one full-outer join on the extracted equi-keys, per-action column
+# expressions evaluated against the t/s aliases, then one copy-on-write
+# rewrite of the managed target.
+# --------------------------------------------------------------------------
+
+import re as _re
+
+_MERGE_RE = _re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>\w+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_WHEN_SPLIT = _re.compile(r"\bWHEN\s+", _re.IGNORECASE)
+_M_UPDATE = _re.compile(
+    r"^MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>.+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_M_DELETE = _re.compile(
+    r"^MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_M_INSERT = _re.compile(
+    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+    r"(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+    r"VALUES\s*\(\s*(?P<vals>.+?)\s*\)\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def _norm_aliases(text: str, talias: str, salias: str) -> str:
+    """Rewrite user aliases to the canonical t./s. the joined frame
+    uses."""
+    text = _re.sub(rf"\b{_re.escape(talias)}\.", "t.", text,
+                   flags=_re.IGNORECASE)
+    return _re.sub(rf"\b{_re.escape(salias)}\.", "s.", text,
+                   flags=_re.IGNORECASE)
+
+
+def _split_top(text: str, sep_pat: str) -> list[str]:
+    """Split on a regex at paren/quote depth 0."""
+    parts, depth, in_str, last = [], 0, False, 0
+    i = 0
+    pat = _re.compile(sep_pat, _re.IGNORECASE)
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m:
+                parts.append(text[last:i])
+                i = m.end()
+                last = i
+                continue
+        i += 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def try_handle_stmt(engine, query: str):
+    """Engine.sql hook: MERGE INTO <managed target> USING <table |
+    (subquery)> ON <equi-cond> WHEN ... — executed as the full-outer
+    merge + copy-on-write rewrite.
+
+    Semantics delta (documented): PG evaluates WHEN clauses in order,
+    first match wins; here the DELETE predicate applies independently
+    of clause order, so a matched row satisfying BOTH a conditional
+    UPDATE and the DELETE condition is deleted.  Disjoint action
+    conditions (the standard practice) behave identically."""
+    m = _MERGE_RE.match(query)
+    if m is None:
+        return None
+    tname = m.group("target").lower()
+    mt = engine.managed_tables
+    if tname not in mt.tables:
+        raise KeyError(
+            f"MERGE INTO: managed table {tname!r} does not exist — "
+            "CTAS a managed copy to merge into"
+        )
+    src_text = m.group("source")
+    if src_text.startswith("("):
+        source = engine.sql(src_text[1:-1])
+    else:
+        source = engine.table(src_text.lower())
+    talias = (m.group("talias") or m.group("target")).lower()
+    salias = (m.group("salias") or
+              (src_text if not src_text.startswith("(") else "s")).lower()
+    target = engine.spark.read.parquet(mt._path(tname))
+
+    on_text = _norm_aliases(m.group("on"), talias, salias)
+    keys: list[str] = []
+    for conj in _split_top(on_text, r"AND\b"):
+        em = _re.match(
+            r"^\(?\s*(?P<l>[ts])\.(?P<lc>\w+)\s*=\s*(?P<r>[ts])\."
+            r"(?P<rc>\w+)\s*\)?$",
+            conj.strip(), _re.IGNORECASE,
+        )
+        if em is None or em.group("l").lower() == em.group("r").lower():
+            raise NotImplementedError(
+                "MERGE ON supports equi-conditions t.col = s.col; "
+                "express extra predicates as WHEN ... AND <cond> "
+                "action conditions"
+            )
+        tcol = (em.group("lc") if em.group("l").lower() == "t"
+                else em.group("rc")).lower()
+        scol = (em.group("rc") if em.group("l").lower() == "t"
+                else em.group("lc")).lower()
+        if scol != tcol:
+            # align the source key to the target key's name so the
+            # equi-join key lists coincide (original column kept for
+            # s.<name> references in action expressions)
+            source = source.withColumn(tcol, F.col(scol))
+        keys.append(tcol)
+
+    update_sets: dict[str, Column] | None = None
+    update_cond: str | None = None
+    delete_cond: Column | None = None
+    insert_clause = False
+    for clause in _split_top(m.group("clauses"), r"WHEN\b")[0:] or []:
+        cm = _M_UPDATE.match(clause)
+        if cm:
+            if update_sets is not None:
+                raise NotImplementedError(
+                    "one WHEN MATCHED ... UPDATE clause is supported"
+                )
+            update_sets = {}
+            update_cond = cm.group("cond")
+            for a in _split_top(cm.group("sets"), r","):
+                col, _, expr = a.partition("=")
+                col = col.strip().lower().removeprefix("t.")
+                expr = _norm_aliases(expr.strip(), talias, salias)
+                value = F.expr(expr)
+                if update_cond is not None:
+                    guard = F.expr(
+                        _norm_aliases(update_cond, talias, salias)
+                    )
+                    value = F.when(guard, value).otherwise(
+                        F.col(f"t.{col}")
+                    )
+                update_sets[col] = value
+            continue
+        cm = _M_DELETE.match(clause)
+        if cm:
+            dc = cm.group("cond")
+            delete_cond = (
+                F.expr(_norm_aliases(dc, talias, salias))
+                if dc is not None else F.lit(True)
+            )
+            continue
+        cm = _M_INSERT.match(clause)
+        if cm:
+            insert_clause = True
+            vals = _split_top(cm.group("vals"), r",")
+            cols = (
+                [c.strip().lower() for c in cm.group("cols").split(",")]
+                if cm.group("cols")
+                else list(target.columns)[: len(vals)]
+            )
+            if len(cols) != len(vals):
+                raise ValueError(
+                    "MERGE INSERT: column/value count mismatch"
+                )
+            for col, val in zip(cols, vals):
+                expr = _norm_aliases(val, talias, salias).removeprefix(
+                    "s."
+                )
+                if col not in source.columns or expr != col:
+                    source = source.withColumn(
+                        col, F.expr(_re.sub(r"\bs\.", "", expr))
+                    )
+            continue
+        raise NotImplementedError(
+            f"MERGE clause not supported: WHEN {clause[:50]!r}"
+        )
+
+    if update_sets is None and delete_cond is None and not insert_clause:
+        raise ValueError("MERGE needs at least one WHEN action")
+    merged = merge_into(
+        target,
+        source,
+        keys,
+        when_matched_update=(
+            update_sets if update_sets is not None
+            else {c: F.col(f"t.{c}") for c in target.columns}
+        ),
+        when_matched_delete=delete_cond,
+        when_not_matched_insert=insert_clause,
+    )
+    before = target.count()
+    mt.rewrite(tname, merged)
+    after = engine.spark.read.parquet(mt._path(tname)).count()
+    return engine.spark.createDataFrame(
+        [("MERGE", tname, before, after)],
+        "tag STRING, tbl STRING, rows_before BIGINT, rows_after BIGINT",
+    )

@@ -118,3 +118,65 @@ def test_merge_into_null_target_key_kept(spark):
         key=lambda r: (r[0] is None, r),
     )
     assert out2 == [(1, "A", 100.0), (None, "nullkey", 99.0)]
+
+
+def test_merge_into_sql_text(spark, tmp_path):
+    """MERGE INTO as SQL text (parse_merge.cpp grammar →
+    execMerge.cpp actions): matched-update with an AND condition,
+    matched-delete, not-matched-insert, aliased relations, subquery
+    source, key-name alignment — all against the managed target with
+    one copy-on-write rewrite."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    from .conftest import SF_CORRECT
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE mt_t (k bigint, status text, amt double)")
+    eng.sql(
+        "INSERT INTO mt_t VALUES"
+        " (1, 'old', 10.0), (2, 'old', 20.0), (3, 'old', 30.0)"
+    )
+    out = eng.sql("""
+        MERGE INTO mt_t t
+        USING (SELECT * FROM (VALUES
+            (CAST(2 AS BIGINT), 200.0),
+            (CAST(3 AS BIGINT), 300.0),
+            (CAST(4 AS BIGINT), 400.0)) AS v(id, newamt)) s
+        ON t.k = s.id
+        WHEN MATCHED AND s.newamt >= 300.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET status = 'upd', amt = s.newamt
+        WHEN NOT MATCHED THEN INSERT (k, status, amt)
+            VALUES (s.id, 'new', s.newamt)
+    """).collect()[0]
+    assert out.tag == "MERGE"
+    rows = {r.k: (r.status, r.amt) for r in
+            eng.sql("SELECT * FROM mt_t ORDER BY k").collect()}
+    # 1: untouched target row; 2: updated; 3: deleted (newamt 300);
+    # 4: inserted
+    assert rows == {
+        1: ("old", 10.0),
+        2: ("upd", 200.0),
+        4: ("new", 400.0),
+    }
+    # delete-only MERGE keeps unmatched target rows as-is
+    eng.sql("""
+        MERGE INTO mt_t USING (SELECT CAST(2 AS BIGINT) AS k) s
+        ON mt_t.k = s.k
+        WHEN MATCHED THEN DELETE
+    """)
+    assert sorted(
+        r.k for r in eng.sql("SELECT k FROM mt_t").collect()
+    ) == [1, 4]
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="equi"):
+        eng.sql("""
+            MERGE INTO mt_t USING (SELECT 1 AS k) s ON mt_t.k > s.k
+            WHEN MATCHED THEN DELETE
+        """)
+    with _pytest.raises(KeyError):
+        eng.sql("""
+            MERGE INTO nations USING (SELECT 1 AS k) s ON nations.k = s.k
+            WHEN MATCHED THEN DELETE
+        """)
+    eng.sql("DROP TABLE mt_t")
