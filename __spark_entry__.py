@@ -35,7 +35,18 @@ registry.load_all_queries()
 # to aggregates — first gate rows), MERGE with a DELETE action, and a
 # COPY (FORMAT binary) statement round-trip, and LANGUAGE plpython3u
 # via Arrow-batched pandas UDFs, plus DO anonymous blocks
-# (driver-orchestrated DoStmt) (VERDICT r5 items 3+6+7); (b) the 3
+# (driver-orchestrated DoStmt) (VERDICT r5 items 3+6+7);
+#
+# ROUND-7 REGISTRATION CANDIDATES (engine surfaces built late in r6
+# with pytest coverage but NO registry slot yet — each needs a
+# queries()+oracle_sql() pair and a rotation slot): MERGE INTO as SQL
+# text (operators/merge.py try_handle_stmt; oracle = full-outer-join
+# formulation), plain CREATE TABLE + INSERT + ALTER TABLE lifecycle
+# (ddl_tables; oracle = equivalent SELECT), btree CREATE INDEX sorted
+# layout (oracle = same aggregate pre/post, plus a plan pin), CREATE
+# MODEL / PREDICT BY SQL text (ml_stmt; oracle = closed-form fit like
+# db4ai_linreg_ols), CREATE PROCEDURE / CALL (do_block
+# try_handle_procedure; oracle = the inlined computation); (b) the 3
 # representation re-gates, now fixed at the source AND enforced for all
 # 249 queries by test_oracle_parity's oracle-value scan; (c) the full
 # 13-name never-gated backlog — taking evidence debt to ZERO; (d)
