@@ -29,21 +29,20 @@ registry.load_all_queries()
 # array_funcs2: LIST output columns the driver's canonicalizer cannot
 # sort) — and 13 never gated (the scalar/contrib tranche backlog).
 #
-# ROUND 6 spends the window on: (a) the 7 NEW registrations — three
+# ROUND 6 spends the window on: (a) the 9 NEW registrations — three
 # LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py: guard,
 # SELECT-INTO + nested IF, and FOR-IN-SELECT accumulator loops compiled
 # to aggregates — first gate rows), MERGE with a DELETE action, and a
 # COPY (FORMAT binary) statement round-trip, and LANGUAGE plpython3u
 # via Arrow-batched pandas UDFs, plus DO anonymous blocks
-# (driver-orchestrated DoStmt) (VERDICT r5 items 3+6+7);
+# (driver-orchestrated DoStmt), MERGE INTO as SQL text, and the
+# plain-CREATE/ALTER TABLE lifecycle (VERDICT r5 items 3+6+7);
 #
 # ROUND-7 REGISTRATION CANDIDATES (engine surfaces built late in r6
 # with pytest coverage but NO registry slot yet — each needs a
-# queries()+oracle_sql() pair and a rotation slot): MERGE INTO as SQL
-# text (operators/merge.py try_handle_stmt; oracle = full-outer-join
-# formulation), plain CREATE TABLE + INSERT + ALTER TABLE lifecycle
-# (ddl_tables; oracle = equivalent SELECT), btree CREATE INDEX sorted
-# layout (oracle = same aggregate pre/post, plus a plan pin), CREATE
+# queries()+oracle_sql() pair and a rotation slot): btree CREATE
+# INDEX sorted layout (oracle = same aggregate pre/post + plan pin),
+# CREATE
 # MODEL / PREDICT BY SQL text (ml_stmt; oracle = closed-form fit like
 # db4ai_linreg_ols), CREATE PROCEDURE / CALL (do_block
 # try_handle_procedure; oracle = the inlined computation); (b) the 3
@@ -63,6 +62,8 @@ GATE_PRIORITY: list[str] = [
     "copy_sql_binary_roundtrip",
     "plpython_function",
     "do_block_stmt",
+    "merge_sql_text",
+    "alter_table_lifecycle",
     # (b) representation re-gates (r5 reds + the latent decimal)
     "source_mix_rebalance",
     "array_funcs2",
@@ -95,7 +96,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q1",
     "tpch_q6",
     "tpch_q5",
-    "tpch_q18_adapted",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
@@ -108,7 +108,6 @@ GATE_PRIORITY: list[str] = [
     "hybrid_rrf_search",
     "events_asof_join",
     "agg_grouping_sets",
-    "merge_upsert_orders",
     "incremental_agg_merge",
 ]
 

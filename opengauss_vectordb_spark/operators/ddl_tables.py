@@ -1023,3 +1023,60 @@ def update_delete_dml(spark, sf_dir):
     return spark.createDataFrame(
         rows, "n BIGINT, total DOUBLE, n_stamped BIGINT, stamp STRING"
     )
+
+
+@query(
+    "alter_table_lifecycle",
+    """
+    SELECT 'std' AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def alter_table_lifecycle(spark, sf_dir):
+    """The managed-table DDL lifecycle as statements (tablecmds.cpp):
+    plain CREATE TABLE (column list, constraint metadata tolerated) →
+    INSERT ... SELECT → ALTER ADD COLUMN DEFAULT → ALTER COLUMN TYPE
+    USING (copy-on-write rewrites) → RENAME COLUMN → aggregate.  The
+    oracle inlines the same transformations over the base table.
+
+    Scale: each ALTER is ONE distributed rewrite; nothing here is
+    per-row on the driver.  Exact-integer rounding keeps the final
+    BIGINT sum representation-identical across engines."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="alter_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE alt_g (o_orderkey bigint PRIMARY KEY,"
+            " o_totalprice double precision NOT NULL)"
+        )
+        eng.sql(
+            "INSERT INTO alt_g SELECT o_orderkey, o_totalprice"
+            " FROM orders WHERE o_orderkey <= 400"
+        )
+        eng.sql("ALTER TABLE alt_g ADD COLUMN tier text DEFAULT 'std'")
+        eng.sql(
+            "ALTER TABLE alt_g ALTER COLUMN o_totalprice TYPE bigint"
+            " USING CAST(ROUND(o_totalprice) AS BIGINT)"
+        )
+        eng.sql("ALTER TABLE alt_g RENAME COLUMN tier TO band")
+        out = eng.sql(
+            "SELECT band, COUNT(*) AS n,"
+            " CAST(SUM(o_totalprice) AS BIGINT) AS total_cents"
+            " FROM alt_g GROUP BY band ORDER BY band"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE alt_g")
+        return spark.createDataFrame(
+            rows, "band STRING, n BIGINT, total_cents BIGINT"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

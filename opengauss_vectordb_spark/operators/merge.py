@@ -467,3 +467,90 @@ def try_handle_stmt(engine, query: str):
         [("MERGE", tname, before, after)],
         "tag STRING, tbl STRING, rows_before BIGINT, rows_after BIGINT",
     )
+
+
+@query(
+    "merge_sql_text",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey <= 200
+    ), source AS (
+      SELECT o_orderkey, o_totalprice * 2 AS newprice
+      FROM orders WHERE o_orderkey BETWEEN 150 AND 250
+    ), merged AS (
+      SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                  THEN 'M'
+                  WHEN s.o_orderkey IS NOT NULL THEN 'I'
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.newprice
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                 AND s.newprice > 300000.0)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_sql_text(spark, sf_dir):
+    """MERGE INTO as SQL TEXT end-to-end (parse_merge.cpp grammar →
+    execMerge.cpp actions, through Engine.sql): CTAS a managed target
+    slice, MERGE a subquery source into it — conditional DELETE,
+    unconditional matched UPDATE, NOT MATCHED INSERT — then aggregate
+    the post-merge table against the oracle's full-outer-join
+    formulation of the same actions.
+
+    Scale: the statement is one full-outer shuffle on the merge key +
+    one copy-on-write rewrite; the key-projected anti join implements
+    the delete without rescanning wide rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="merge_text_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE mtx AS"
+            " SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+            " WHERE o_orderkey <= 200"
+        )
+        eng.sql("""
+            MERGE INTO mtx t
+            USING (SELECT o_orderkey, o_totalprice * 2 AS newprice
+                   FROM orders WHERE o_orderkey BETWEEN 150 AND 250) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.newprice > 300000.0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+                o_totalprice = s.newprice
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+                o_totalprice) VALUES (s.o_orderkey, 'I', s.newprice)
+        """)
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " MIN(o_orderkey) AS min_key,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM mtx GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE mtx")
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], float(r[3])) for r in rows],
+            "o_orderstatus STRING, n BIGINT, min_key BIGINT, total DOUBLE",
+        ).select(
+            "o_orderstatus", "n", "min_key",
+            F.col("total").cast("double"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
