@@ -29,23 +29,21 @@ registry.load_all_queries()
 # array_funcs2: LIST output columns the driver's canonicalizer cannot
 # sort) — and 13 never gated (the scalar/contrib tranche backlog).
 #
-# ROUND 6 spends the window on: (a) the 9 NEW registrations — three
+# ROUND 6 spends the window on: (a) the 11 NEW registrations — three
 # LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py: guard,
 # SELECT-INTO + nested IF, and FOR-IN-SELECT accumulator loops compiled
 # to aggregates — first gate rows), MERGE with a DELETE action, and a
 # COPY (FORMAT binary) statement round-trip, and LANGUAGE plpython3u
 # via Arrow-batched pandas UDFs, plus DO anonymous blocks
 # (driver-orchestrated DoStmt), MERGE INTO as SQL text, and the
-# plain-CREATE/ALTER TABLE lifecycle (VERDICT r5 items 3+6+7);
+# plain-CREATE/ALTER TABLE lifecycle, CREATE PROCEDURE/CALL, and the
+# btree-index sorted layout (VERDICT r5 items 3+6+7);
 #
-# ROUND-7 REGISTRATION CANDIDATES (engine surfaces built late in r6
-# with pytest coverage but NO registry slot yet — each needs a
-# queries()+oracle_sql() pair and a rotation slot): btree CREATE
-# INDEX sorted layout (oracle = same aggregate pre/post + plan pin),
-# CREATE
-# MODEL / PREDICT BY SQL text (ml_stmt; oracle = closed-form fit like
-# db4ai_linreg_ols), CREATE PROCEDURE / CALL (do_block
-# try_handle_procedure; oracle = the inlined computation); (b) the 3
+# The one engine surface deliberately left engine-test-only: CREATE
+# MODEL / PREDICT BY SQL text (ml_stmt.py) — MLlib's iterative/WLS
+# fits cannot hash-match a closed-form SQL oracle (the db4ai_* gate
+# rows carry the closed-form math; the statement plumbing is pinned
+# by test_create_model_predict_by_sql_text); (b) the 3
 # representation re-gates, now fixed at the source AND enforced for all
 # 249 queries by test_oracle_parity's oracle-value scan; (c) the full
 # 13-name never-gated backlog — taking evidence debt to ZERO; (d)
@@ -64,6 +62,8 @@ GATE_PRIORITY: list[str] = [
     "do_block_stmt",
     "merge_sql_text",
     "alter_table_lifecycle",
+    "call_procedure_stmt",
+    "btree_index_scan",
     # (b) representation re-gates (r5 reds + the latent decimal)
     "source_mix_rebalance",
     "array_funcs2",
@@ -106,8 +106,6 @@ GATE_PRIORITY: list[str] = [
     "text_gopher_quality_filter",
     "fts_bm25",
     "hybrid_rrf_search",
-    "events_asof_join",
-    "agg_grouping_sets",
     "incremental_agg_merge",
 ]
 

@@ -1080,3 +1080,63 @@ def alter_table_lifecycle(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "btree_index_scan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+    """,
+)
+def btree_index_scan(spark, sf_dir):
+    """btree CREATE INDEX end-to-end (indexcmds.cpp DefineIndex): CTAS
+    a managed slice, CREATE INDEX on the key (= the CLUSTER sorted
+    data-skipping rewrite), then run the canonical indexed range query
+    — content must be byte-preserved through the rewrite and the
+    catalog row must appear in pg_indexes.
+
+    Scale: the sorted rewrite gives every parquet file a disjoint key
+    range, so the range predicate prunes at the rowgroup level via
+    min/max stats — what an index honestly means over immutable
+    columnar files; the write-once sort is amortized over every later
+    range scan."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="btree_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE bt_gate AS"
+            " SELECT o_orderkey, o_totalprice FROM orders"
+            " WHERE o_orderkey <= 5000"
+        )
+        eng.sql("CREATE INDEX ON bt_gate (o_orderkey)")
+        idx = {r.indexname for r in
+               eng.sql("SELECT * FROM pg_indexes").collect()}
+        if "bt_gate_o_orderkey_idx" not in idx:
+            raise AssertionError("btree index missing from pg_indexes")
+        out = eng.sql(
+            "SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,"
+            " MAX(o_orderkey) AS max_key,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM bt_gate WHERE o_orderkey BETWEEN 1000 AND 3000"
+        )
+        rows = out.collect()
+        eng.sql("DROP INDEX bt_gate_o_orderkey_idx")
+        eng.sql("DROP TABLE bt_gate")
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], float(r[3])) for r in rows],
+            "n BIGINT, min_key BIGINT, max_key BIGINT, total DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -436,3 +436,79 @@ def try_handle_procedure(engine, query: str):
             "tag STRING, procedure STRING, existed BOOLEAN",
         )
     return None
+
+
+@_register_query(
+    "call_procedure_stmt",
+    """
+    WITH hi AS (
+      SELECT MAX(o_totalprice) AS h FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders, hi
+    WHERE o_orderkey <= 500 AND o_totalprice >= h * 0.5
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def call_procedure_stmt(spark, sf_dir):
+    """CREATE PROCEDURE / CALL end-to-end (openGauss A-format
+    procedures, the same plpgsql inline handler as DO): a procedure
+    with IN parameters computes a bound from the data (SELECT INTO),
+    guards it, and CTASes a parameterized slice; CALL binds the
+    arguments and the created table aggregates against the oracle's
+    single-query formulation.
+
+    Scale: the procedure body runs ONCE per CALL on the driver; the
+    CTAS inside is one distributed write, the aggregate one
+    partial/final exchange — nothing per-row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="call_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql("""
+            CREATE PROCEDURE build_top_slice(maxkey bigint, frac double)
+            AS $$
+            DECLARE
+                hi double precision;
+            BEGIN
+                SELECT MAX(o_totalprice) INTO hi FROM orders
+                    WHERE o_orderkey <= maxkey;
+                IF hi IS NULL THEN
+                    RAISE EXCEPTION 'empty slice';
+                END IF;
+                CREATE TABLE call_gate_t AS
+                    SELECT o_orderstatus, o_totalprice FROM orders
+                    WHERE o_orderkey <= maxkey
+                      AND o_totalprice >= hi * frac;
+                RAISE NOTICE 'built';
+            END;
+            $$
+        """)
+        tag = eng.sql("CALL build_top_slice(500, 0.5)").collect()[0]
+        assert tag.tag == "CALL" and tag.n_notices == 1
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM call_gate_t GROUP BY o_orderstatus"
+            " ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE call_gate_t")
+        eng.sql("DROP PROCEDURE build_top_slice")
+        return spark.createDataFrame(
+            [(r[0], r[1], float(r[2])) for r in rows],
+            "o_orderstatus STRING, n BIGINT, total DOUBLE",
+        ).select("o_orderstatus", "n", F.col("total").cast("double"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
