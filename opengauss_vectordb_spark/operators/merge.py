@@ -25,6 +25,7 @@ def merge_into(
     when_matched_update: dict[str, Column] | None = None,
     when_matched_delete: Column | None = None,
     when_not_matched_insert: bool = True,
+    insert_values: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Returns the post-MERGE relation.
 
@@ -32,7 +33,13 @@ def merge_into(
     * matched (otherwise) → target columns replaced per
       when_matched_update ({col: expression over source/target})
     * unmatched target rows → kept as-is
-    * unmatched source rows → inserted when when_not_matched_insert
+    * unmatched source rows → inserted when when_not_matched_insert;
+      with insert_values given, the inserted row takes
+      insert_values[col] (NULL for unlisted columns) instead of the
+      same-named source column — this keeps WHEN NOT MATCHED INSERT
+      expressions OUT of the matched branch (execMerge.cpp evaluates
+      each action's targetlist independently; mutating the shared
+      source frame would leak INSERT transforms into UPDATE values)
     """
     # presence sentinels, not key nullability: a target row whose join key
     # is NULL never matches in the equi-join, but it is still a target row
@@ -63,8 +70,13 @@ def merge_into(
             if when_matched_update is not None
             else scol if name in source.columns else tcol
         )
+        inserted = (
+            insert_values.get(name, F.lit(None))
+            if insert_values is not None
+            else scol
+        )
         value = (
-            F.when(matched, updated).when(s_only, scol).otherwise(tcol)
+            F.when(matched, updated).when(s_only, inserted).otherwise(tcol)
         )
         out_cols.append(value.alias(name))
 
@@ -296,11 +308,17 @@ _M_INSERT = _re.compile(
 
 def _norm_aliases(text: str, talias: str, salias: str) -> str:
     """Rewrite user aliases to the canonical t./s. the joined frame
-    uses."""
-    text = _re.sub(rf"\b{_re.escape(talias)}\.", "t.", text,
+    uses — both aliases in ONE pass via placeholders, so crossed or
+    colliding user aliases (``MERGE INTO tbl s USING src t``, or any
+    target alias literally named 's') cannot cascade: a sequential
+    talias→t. then salias→s. rewrite would turn a target alias 's'
+    into 't.' correctly but a target alias rewritten to 't.' whose
+    source alias is 't' would then be re-rewritten to 's.'."""
+    text = _re.sub(rf"\b{_re.escape(talias)}\.", "\x00T\x00.", text,
                    flags=_re.IGNORECASE)
-    return _re.sub(rf"\b{_re.escape(salias)}\.", "s.", text,
+    text = _re.sub(rf"\b{_re.escape(salias)}\.", "\x00S\x00.", text,
                    flags=_re.IGNORECASE)
+    return text.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
 
 
 def _split_top(text: str, sep_pat: str) -> list[str]:
@@ -336,11 +354,15 @@ def try_handle_stmt(engine, query: str):
     (subquery)> ON <equi-cond> WHEN ... — executed as the full-outer
     merge + copy-on-write rewrite.
 
-    Semantics delta (documented): PG evaluates WHEN clauses in order,
-    first match wins; here the DELETE predicate applies independently
-    of clause order, so a matched row satisfying BOTH a conditional
-    UPDATE and the DELETE condition is deleted.  Disjoint action
-    conditions (the standard practice) behave identically."""
+    Clause order is honored as in PG/openGauss (parse_merge.cpp:
+    first matching WHEN clause wins): when a conditional UPDATE
+    precedes DELETE, rows satisfying the UPDATE condition are updated,
+    not deleted; an unconditional UPDATE before DELETE makes the
+    DELETE unreachable.  INSERT value expressions are evaluated
+    against the source alone and carried in separate __ins_* columns,
+    so they can never leak into matched-row UPDATE values or the join
+    keys (execMerge.cpp evaluates each action's targetlist
+    independently)."""
     m = _MERGE_RE.match(query)
     if m is None:
         return None
@@ -390,7 +412,10 @@ def try_handle_stmt(engine, query: str):
     update_cond: str | None = None
     delete_cond: Column | None = None
     insert_clause = False
-    for clause in _split_top(m.group("clauses"), r"WHEN\b")[0:] or []:
+    insert_values: dict[str, Column] | None = None
+    update_pos: int | None = None
+    delete_pos: int | None = None
+    for pos, clause in enumerate(_split_top(m.group("clauses"), r"WHEN\b")):
         cm = _M_UPDATE.match(clause)
         if cm:
             if update_sets is not None:
@@ -399,6 +424,7 @@ def try_handle_stmt(engine, query: str):
                 )
             update_sets = {}
             update_cond = cm.group("cond")
+            update_pos = pos
             for a in _split_top(cm.group("sets"), r","):
                 col, _, expr = a.partition("=")
                 col = col.strip().lower().removeprefix("t.")
@@ -416,6 +442,7 @@ def try_handle_stmt(engine, query: str):
         cm = _M_DELETE.match(clause)
         if cm:
             dc = cm.group("cond")
+            delete_pos = pos
             delete_cond = (
                 F.expr(_norm_aliases(dc, talias, salias))
                 if dc is not None else F.lit(True)
@@ -434,14 +461,18 @@ def try_handle_stmt(engine, query: str):
                 raise ValueError(
                     "MERGE INSERT: column/value count mismatch"
                 )
+            # evaluate each INSERT expression against the SOURCE frame
+            # alone (PG scoping: only source columns are visible in the
+            # INSERT targetlist) into a private __ins_<col> column —
+            # never overwrite a source column in place: the shared
+            # frame also feeds the ON keys and matched UPDATE values
+            insert_values = {}
             for col, val in zip(cols, vals):
-                expr = _norm_aliases(val, talias, salias).removeprefix(
-                    "s."
+                expr = _norm_aliases(val, talias, salias)
+                source = source.withColumn(
+                    f"__ins_{col}", F.expr(_re.sub(r"\bs\.", "", expr))
                 )
-                if col not in source.columns or expr != col:
-                    source = source.withColumn(
-                        col, F.expr(_re.sub(r"\bs\.", "", expr))
-                    )
+                insert_values[col] = F.col(f"s.__ins_{col}")
             continue
         raise NotImplementedError(
             f"MERGE clause not supported: WHEN {clause[:50]!r}"
@@ -449,6 +480,21 @@ def try_handle_stmt(engine, query: str):
 
     if update_sets is None and delete_cond is None and not insert_clause:
         raise ValueError("MERGE needs at least one WHEN action")
+    if (
+        delete_cond is not None
+        and update_pos is not None
+        and update_pos < delete_pos
+    ):
+        # first-match-wins (parse_merge.cpp): an UPDATE clause ahead of
+        # DELETE claims its rows before the DELETE predicate is tried
+        if update_cond is None:
+            delete_cond = F.lit(False)
+        else:
+            claimed = F.coalesce(
+                F.expr(_norm_aliases(update_cond, talias, salias)),
+                F.lit(False),
+            )
+            delete_cond = delete_cond & ~claimed
     merged = merge_into(
         target,
         source,
@@ -459,6 +505,7 @@ def try_handle_stmt(engine, query: str):
         ),
         when_matched_delete=delete_cond,
         when_not_matched_insert=insert_clause,
+        insert_values=insert_values,
     )
     before = target.count()
     mt.rewrite(tname, merged)

@@ -47,6 +47,44 @@ _PREDICT_RE = re.compile(
 _FROM_RE = re.compile(r"\bFROM\s+(?P<table>\w+)", re.IGNORECASE)
 
 
+def _top_level_from(query: str) -> re.Match | None:
+    """The statement's MAIN ``FROM <table>`` — the one at paren/quote
+    depth 0.  Anchoring on the textually-first FROM would latch onto a
+    scalar subquery's FROM (``SELECT (SELECT MAX(y) FROM u), PREDICT BY
+    … FROM t``) and silently score the wrong table.  Returns None when
+    no depth-0 FROM exists; raises when the shape is not the canonical
+    single-FROM SELECT (set operations, multiple top-level FROMs)."""
+    depth, in_str = 0, False
+    hits: list[re.Match] = []
+    i = 0
+    while i < len(query):
+        ch = query[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _FROM_RE.match(query, i)
+            if m and (i == 0 or not (query[i - 1].isalnum()
+                                     or query[i - 1] == "_")):
+                hits.append(m)
+                i = m.end()
+                continue
+        i += 1
+    if len(hits) > 1:
+        raise NotImplementedError(
+            "PREDICT BY in SQL text supports the canonical single-FROM "
+            "SELECT; compose set operations or joins with "
+            "models.predict_by() on DataFrames"
+        )
+    return hits[0] if hits else None
+
+
 def _parse_hyper(params: str | None) -> dict:
     out: dict = {}
     if not params:
@@ -108,11 +146,11 @@ def try_handle_stmt(engine, query: str):
             "compose multiple scorings with models.predict_by() on "
             "DataFrames"
         )
-    fm = _FROM_RE.search(query)
+    fm = _top_level_from(query)
     if fm is None:
         raise NotImplementedError(
-            "PREDICT BY needs a FROM <table> to score; for DataFrame "
-            "inputs use models.predict_by()"
+            "PREDICT BY needs a top-level FROM <table> to score; for "
+            "DataFrame inputs use models.predict_by()"
         )
     model = pm.group("model").lower()
     if model not in engine.models.list_models():
@@ -125,9 +163,10 @@ def try_handle_stmt(engine, query: str):
         "pcaFeatures" if "pcaFeatures" in scored.columns else "prediction"
     )
     scored.drop("features").createOrReplaceTempView(view)
-    rewritten = _PREDICT_RE.sub(pred_col, query)
-    rewritten = re.sub(
-        rf"\bFROM\s+{table}\b", f"FROM {view}", rewritten, count=1,
-        flags=re.IGNORECASE,
+    # splice the view name in at the matched span — a first-match
+    # regex replace could hit a subquery's FROM over the same table
+    rewritten = (
+        query[: fm.start()] + f"FROM {view}" + query[fm.end():]
     )
+    rewritten = _PREDICT_RE.sub(pred_col, rewritten)
     return engine.spark.sql(rewritten)

@@ -774,7 +774,8 @@ def dedup_keep_best(spark, sf_dir):
              len(string_split_regex(trim(text), '\s+')) AS toks
       FROM documents
     ), per_src AS (
-      SELECT source, COUNT(*) AS docs, SUM(toks) AS tokens
+      SELECT source, COUNT(*) AS docs,
+             CAST(SUM(toks) AS BIGINT) AS tokens
       FROM per_doc GROUP BY source
     ), tot AS (
       SELECT SUM(tokens) AS all_tokens FROM per_src
@@ -800,7 +801,11 @@ def source_mix_rebalance(spark, sf_dir):
     are exact integers, so the fractions are shuffle-order
     deterministic; the bare target literal is CAST to DOUBLE in the
     oracle because a DuckDB `0.25` is DECIMAL(3,2) and the gate hashes
-    representations (registry DOUBLE convention)."""
+    representations (registry DOUBLE convention). The SUM is CAST to
+    BIGINT in the oracle because DuckDB's SUM(BIGINT) is HUGEINT, which
+    pandas renders as float64 (1435.0 vs Spark's int64 1435) — the r6
+    hash_match=false on this query, the third representation-trap
+    class after decimal and list."""
     d = table(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     per_src = d.select("source", toks.alias("toks")).groupBy("source").agg(

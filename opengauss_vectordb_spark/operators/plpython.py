@@ -31,7 +31,7 @@ from __future__ import annotations
 import re
 import textwrap
 
-from .create_function import _map_type, _split_params, _strip_comments
+from .create_function import _map_type, _split_params
 
 _CREATE_PYFN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
@@ -98,11 +98,15 @@ def compile_plpython(query: str):
     name = m.group("name").lower()
     arg_names = [p for p, _ in params]
     # PLy_procedure_create's wrapper: def <name>(<args>): <body> —
-    # the body is the function's code, parameters bound by name
+    # the body is the function's code, parameters bound by name.
+    # The dollar-quoted body is PYTHON, passed verbatim as the
+    # reference does (PLy_procedure_create compiles the raw prosrc):
+    # running the SQL '--'/'/* */' stripper over it would turn
+    # 'return 5 -- 3' into 'return 5' and truncate '--' inside string
+    # literals into SyntaxErrors; Python's own # comments need no help
     src = (
         f"def _plpy_fn({', '.join(arg_names)}):\n"
-        + textwrap.indent(_strip_comments(body).strip("\n") or "pass",
-                          "    ")
+        + textwrap.indent(body.strip("\n") or "pass", "    ")
     )
     ns: dict = {}
     try:

@@ -14,7 +14,9 @@ import duckdb
 from opengauss_vectordb_spark.catalog import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def run_oracle(
+    sql: str, sf_dir: str, want_dtypes: bool = False
+) -> tuple[list[str], list[tuple], dict[str, str]]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -23,8 +25,17 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    dtypes: dict[str, str] = {}
+    if want_dtypes:
+        # the driver moves oracle results through pandas — a DuckDB
+        # HUGEINT (= SUM over any integer type) lands as float64 there,
+        # so 1435 hashes as "1435.0" against Spark's int64 "1435"
+        # (r6 source_mix_rebalance red). Capture the pandas dtype kind
+        # per column so compare() can flag the mismatch.
+        pdf = con.execute(sql).df()
+        dtypes = {c: pdf[c].dtype.kind for c in pdf.columns}
     con.close()
-    return cols, rows
+    return cols, rows, dtypes
 
 
 def _norm(v: Any) -> Any:
@@ -68,7 +79,9 @@ def compare(
     """
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = run_oracle(oracle, sf_dir)
+    d_cols, d_rows, d_dtypes = run_oracle(
+        oracle, sf_dir, want_dtypes=check_repr
+    )
     problems = []
     if check_repr:
         import decimal
@@ -86,6 +99,45 @@ def compare(
                 f"{bad_cols} — CAST to DOUBLE / array_to_string in the "
                 "oracle SQL (registry convention)"
             )
+        # dtype-KIND parity through pandas, the driver's actual path:
+        # DuckDB HUGEINT → float64 while Spark's long → int64, so the
+        # same integer hashes differently (r6 source_mix_rebalance).
+        # Compare the pandas dtype kind of each oracle column against
+        # the kind Spark's toPandas() would produce for its schema.
+        from pyspark.sql import types as T
+
+        _kind = {
+            T.LongType: "i", T.IntegerType: "i", T.ShortType: "i",
+            T.ByteType: "i", T.DoubleType: "f", T.FloatType: "f",
+            T.BooleanType: "b", T.StringType: "O",
+            T.DateType: "O", T.TimestampType: "M", T.BinaryType: "O",
+        }
+        s_has_null = None  # computed lazily, only on a suspect column
+        for f in spark_df.schema.fields:
+            sk = _kind.get(type(f.dataType))
+            dk = d_dtypes.get(f.name, d_dtypes.get(f.name.lower()))
+            if sk is None or dk is None:
+                continue
+            if sk == "i" and dk == "f":
+                # nulls legitimately floatify BOTH sides in pandas —
+                # only flag when the Spark column is null-free (then
+                # Spark hashes "1435" vs the oracle's "1435.0")
+                if s_has_null is None:
+                    s_has_null = {
+                        c: any(r[i] is None for r in s_rows)
+                        for i, c in enumerate(s_cols)
+                    }
+                if not s_has_null.get(f.name, False):
+                    problems.append(
+                        f"column {f.name!r}: Spark int64 vs oracle "
+                        "pandas float64 (DuckDB HUGEINT? CAST the "
+                        "oracle SUM to BIGINT — registry convention)"
+                    )
+            elif sk == "f" and dk == "i":
+                problems.append(
+                    f"column {f.name!r}: Spark float64 vs oracle "
+                    "pandas int64 — cast the oracle column to DOUBLE"
+                )
     if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
         c.lower() for c in s_cols
     ) != sorted(c.lower() for c in d_cols):

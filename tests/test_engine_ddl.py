@@ -1127,6 +1127,36 @@ def test_plpython_function_end_to_end(spark):
         eng.sql("SELECT py_digit_sum(1) AS v").collect()
 
 
+def test_plpython_body_verbatim(spark):
+    """The dollar-quoted body is PYTHON and runs verbatim
+    (PLy_procedure_create compiles the raw prosrc): '--' is Python
+    double-negation, not a SQL comment, and '--'/'/*' inside string
+    literals must survive."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION py_minus_minus(k bigint) RETURNS bigint AS $$
+        return k -- 3
+        $$ LANGUAGE plpython3u
+    """)
+    out = eng.sql(
+        "SELECT py_minus_minus(n_nationkey) AS v FROM nation"
+        " WHERE n_nationkey = 5"
+    ).collect()
+    assert out[0].v == 8  # 5 - (-3), not a truncated 'return 5'
+    eng.sql("DROP FUNCTION py_minus_minus")
+    eng.sql("""
+        CREATE FUNCTION py_strlit(k bigint) RETURNS string AS $$
+        return "a--b/*c" + str(k)
+        $$ LANGUAGE plpython3u
+    """)
+    out = eng.sql(
+        "SELECT py_strlit(n_nationkey) AS v FROM nation"
+        " WHERE n_nationkey = 1"
+    ).collect()
+    assert out[0].v == "a--b/*c1"
+    eng.sql("DROP FUNCTION py_strlit")
+
+
 def test_plpython_refusals(spark):
     """plpy.* / SD / SETOF / zero-arg raise clear errors naming the
     Spark-side rewrite, never a confusing runtime failure."""
@@ -1304,6 +1334,35 @@ def test_create_model_predict_by_sql_text(spark):
     ).collect()
     assert 1 <= len(got) <= 3
     eng.sql("DROP MODEL t_km")
+
+
+def test_predict_by_anchors_top_level_from(spark):
+    """PREDICT BY must score the statement's MAIN table: a scalar
+    subquery's FROM ahead of the top-level FROM (or a same-table
+    subquery) must not capture the rewrite; non-canonical shapes get
+    the documented clear error instead of silently scoring the wrong
+    relation."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE MODEL t_lin2 USING linear_regression"
+        " FEATURES l_quantity TARGET l_extendedprice FROM lineitem"
+    )
+    # scalar subquery over ANOTHER table before the main FROM: the
+    # rewrite must anchor on "FROM lineitem", not "FROM orders"
+    rows = eng.sql(
+        "SELECT (SELECT MAX(o_orderkey) FROM orders) AS mk,"
+        " PREDICT BY t_lin2 (FEATURES l_quantity) AS p"
+        " FROM lineitem WHERE l_orderkey <= 3"
+    ).collect()
+    assert len(rows) > 0 and all(r.p is not None for r in rows)
+    assert all(r.mk is not None for r in rows)
+    # set operations / multiple top-level FROMs: clear refusal
+    with pytest.raises(NotImplementedError, match="single-FROM"):
+        eng.sql(
+            "SELECT PREDICT BY t_lin2 (FEATURES l_quantity) AS p"
+            " FROM lineitem UNION ALL SELECT l_quantity FROM lineitem"
+        )
+    eng.sql("DROP MODEL t_lin2")
 
 
 def test_alter_table_managed(spark, tmp_path):

@@ -180,3 +180,93 @@ def test_merge_into_sql_text(spark, tmp_path):
             WHEN MATCHED THEN DELETE
         """)
     eng.sql("DROP TABLE mt_t")
+
+
+def test_merge_sql_insert_exprs_do_not_leak_into_matched(spark, tmp_path):
+    """WHEN NOT MATCHED INSERT value expressions are evaluated for the
+    insert branch ONLY (execMerge.cpp per-action targetlists): an
+    INSERT transform like s.price * 0.5 must not rewrite the source
+    column that a WHEN MATCHED UPDATE reads."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE mt_leak (k bigint, price double)")
+    eng.sql("INSERT INTO mt_leak VALUES (1, 10.0), (2, 20.0)")
+    eng.sql("""
+        MERGE INTO mt_leak t
+        USING (SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 100.0),
+            (CAST(9 AS BIGINT), 80.0)) AS v(k, price)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET price = s.price
+        WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price * 0.5)
+    """)
+    rows = {r.k: r.price for r in
+            eng.sql("SELECT * FROM mt_leak ORDER BY k").collect()}
+    # matched row takes the RAW source price (100.0, not 50.0); the
+    # inserted row takes the INSERT expression (80.0 * 0.5)
+    assert rows == {1: 100.0, 2: 20.0, 9: 40.0}
+    eng.sql("DROP TABLE mt_leak")
+
+
+def test_merge_sql_crossed_aliases(spark, tmp_path):
+    """MERGE INTO tbl s USING src t — user aliases that collide with
+    the canonical t/s names must rewrite in one pass, not cascade
+    (target refs silently resolving to source columns)."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE mt_x (k bigint, v double)")
+    eng.sql("INSERT INTO mt_x VALUES (1, 10.0), (2, 20.0)")
+    eng.sql("""
+        MERGE INTO mt_x s
+        USING (SELECT * FROM (VALUES
+            (CAST(2 AS BIGINT), 5.0)) AS q(k, v)) t
+        ON s.k = t.k
+        WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+    """)
+    rows = {r.k: r.v for r in
+            eng.sql("SELECT * FROM mt_x ORDER BY k").collect()}
+    # s.v is the TARGET value (20.0) + t.v the SOURCE delta (5.0)
+    assert rows == {1: 10.0, 2: 25.0}
+    eng.sql("DROP TABLE mt_x")
+
+
+def test_merge_sql_clause_order_first_match_wins(spark, tmp_path):
+    """'WHEN MATCHED AND c THEN UPDATE … WHEN MATCHED THEN DELETE':
+    rows satisfying c are claimed by the UPDATE clause
+    (parse_merge.cpp first-match-wins), only the rest are deleted."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE mt_ord (k bigint, v double)")
+    eng.sql("INSERT INTO mt_ord VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    eng.sql("""
+        MERGE INTO mt_ord t
+        USING (SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 1.0),
+            (CAST(2 AS BIGINT), 2.0)) AS q(k, d)) s
+        ON t.k = s.k
+        WHEN MATCHED AND t.v < 15.0 THEN UPDATE SET v = t.v + s.d
+        WHEN MATCHED THEN DELETE
+    """)
+    rows = {r.k: r.v for r in
+            eng.sql("SELECT * FROM mt_ord ORDER BY k").collect()}
+    # k=1 satisfies the UPDATE condition → updated (11.0), NOT deleted;
+    # k=2 falls through to the DELETE; k=3 unmatched → untouched
+    assert rows == {1: 11.0, 3: 30.0}
+    # unconditional UPDATE ahead of DELETE makes the DELETE unreachable
+    eng.sql("""
+        MERGE INTO mt_ord t
+        USING (SELECT CAST(3 AS BIGINT) AS k, 99.0 AS nv) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN MATCHED THEN DELETE
+    """)
+    rows = {r.k: r.v for r in
+            eng.sql("SELECT * FROM mt_ord ORDER BY k").collect()}
+    assert rows == {1: 11.0, 3: 99.0}
+    eng.sql("DROP TABLE mt_ord")
