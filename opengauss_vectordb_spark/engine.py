@@ -353,6 +353,13 @@ class Engine:
         if handled is not None:
             return handled
 
+        from .operators.partition_ddl import (
+            try_handle_stmt as _partition_stmt,
+        )
+
+        handled = _partition_stmt(self, query)
+        if handled is not None:
+            return handled
         handled = _tables_stmt(self, query)
         if handled is not None:
             return handled

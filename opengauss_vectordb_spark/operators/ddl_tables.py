@@ -60,8 +60,35 @@ class TableManager:
             if name in protected_tables(eng):
                 _refresh_views(eng, only=name)
                 return
-        self.spark.read.parquet(self._path(name)).createOrReplaceTempView(
-            name
+        self.read(name).createOrReplaceTempView(name)
+
+    def read(self, name: str) -> DataFrame:
+        """The table's USER-visible relation: the parquet snapshot
+        minus the hidden partition-label column (spec-partitioned
+        layouts store rows under ``_part=<partition>`` directories);
+        a spec-partitioned table that holds no rows yet reads as an
+        empty frame of the declared schema (an all-partition-dirs
+        layout has no files to infer from)."""
+        name = name.lower()
+        meta = self.tables[name]
+        from .partition_ddl import PART_COL
+
+        if meta.get("partition_spec") and meta.get("schema_ddl") \
+                and not self._has_data(name):
+            return self.spark.createDataFrame([], meta["schema_ddl"])
+        df = self.spark.read.parquet(self._path(name))
+        if PART_COL in df.columns:
+            df = df.drop(PART_COL)
+        return df
+
+    def _has_data(self, name: str) -> bool:
+        import glob as _glob
+
+        return bool(
+            _glob.glob(
+                os.path.join(self._path(name), "**", "part-*"),
+                recursive=True,
+            )
         )
 
     def create_as(self, name: str, df: DataFrame,
@@ -84,7 +111,7 @@ class TableManager:
         name = name.lower()
         if name not in self.tables:
             raise KeyError(f"managed table {name!r} does not exist")
-        target = self.spark.read.parquet(self._path(name))
+        target = self.read(name)
         if len(df.columns) != len(target.columns):
             raise ValueError(
                 f"INSERT has {len(df.columns)} columns,"
@@ -159,6 +186,10 @@ class TableManager:
         compacting = path + ".compacting"
         shutil.rmtree(compacting, ignore_errors=True)
         pcol = self.tables[name].get("partition_by")
+        if self.tables[name].get("partition_spec"):
+            from .partition_ddl import PART_COL
+
+            pcol = PART_COL  # label already materialized on disk
         df = self.spark.read.parquet(path)
         if pcol is not None:
             # partitioned layout: compact WITHIN each partition dir
@@ -201,10 +232,24 @@ class TableManager:
         path = self._path(name)
         compacting = path + ".compacting"
         shutil.rmtree(compacting, ignore_errors=True)
-        pcol = self.tables[name].get("partition_by")
-        writer = df.write.mode("overwrite")
-        if pcol is not None:
-            writer = writer.partitionBy(pcol)
+        spec_meta = self.tables[name].get("partition_spec")
+        if spec_meta:
+            from .partition_ddl import (
+                PART_COL,
+                PartitionSpec,
+                apply_labels,
+            )
+
+            # recompute the routing label: the rewritten relation may
+            # carry updated key values (UPDATE moving rows across
+            # partitions — the reference's row-movement path)
+            df = apply_labels(df, PartitionSpec.from_meta(spec_meta))
+            writer = df.write.mode("overwrite").partitionBy(PART_COL)
+        else:
+            pcol = self.tables[name].get("partition_by")
+            writer = df.write.mode("overwrite")
+            if pcol is not None:
+                writer = writer.partitionBy(pcol)
         writer.parquet(compacting)
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)
@@ -218,10 +263,21 @@ class TableManager:
         return os.path.join(self.root, name, "data")
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
-        writer = df.write.mode(mode)
-        pcol = self.tables[name].get("partition_by")
-        if pcol is not None:
-            writer = writer.partitionBy(pcol)
+        spec_meta = self.tables[name].get("partition_spec")
+        if spec_meta:
+            from .partition_ddl import (
+                PART_COL,
+                PartitionSpec,
+                apply_labels,
+            )
+
+            df = apply_labels(df, PartitionSpec.from_meta(spec_meta))
+            writer = df.write.mode(mode).partitionBy(PART_COL)
+        else:
+            writer = df.write.mode(mode)
+            pcol = self.tables[name].get("partition_by")
+            if pcol is not None:
+                writer = writer.partitionBy(pcol)
         writer.parquet(self._path(name))
         self.tables[name]["version"] += 1
         self._register_view(name)

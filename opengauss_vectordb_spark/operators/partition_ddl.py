@@ -1,0 +1,746 @@
+"""Named-partition DDL — openGauss ``PARTITION BY RANGE / LIST / HASH``
+with per-partition bounds, ``ALTER TABLE ... ADD/DROP/TRUNCATE
+PARTITION``, a ``pg_partitions`` catalog view, and bound-based
+partition elimination.
+
+Reference surface: the partition grammar (gram.y ``PARTITION BY RANGE
+(col) (PARTITION p VALUES LESS THAN (b), ...)``), partition routing at
+INSERT (partition.cpp partitionValuesGetPartition), partition-level
+utility commands (tablecmds.cpp ATExecAddPartition / ATExecDropPartition
+/ ATExecTruncatePartition), and optimizer partition elimination
+(PartIterator's pruning_result).  Spark-first mapping:
+
+* Each partition is a Hive-style directory ``_part=<name>`` under the
+  managed table's parquet root; the routing CASE expression (built from
+  the declared bounds) computes the label at write time, so INSERT is
+  one distributed write with no extra shuffle beyond the writer's own.
+* DROP PARTITION / TRUNCATE PARTITION delete ONE directory — an O(1)
+  metadata+unlink operation, never a table rewrite.  This is the whole
+  point of range partitioning at 100 TB: retiring a day/month of data
+  is instant, where DELETE+rewrite would re-write the table.
+* Partition elimination runs driver-side over the (tiny) bounds list —
+  exactly partprune.cpp's job — and becomes a ``_part IN (...)``
+  predicate that Spark's file-listing partition pruning turns into
+  "never even list the other directories" (PartitionFilters in the
+  scan node; pinned by test_plan_quality).  The label filter is always
+  a SUPERSET of the true predicate, which is re-applied in full, so
+  pruning can only skip I/O, never change results.
+* Rows that route to no partition raise, as the reference errors with
+  "inserted partition key does not map to any table partition"; NULL
+  keys route to the MAXVALUE partition (openGauss sorts NULL last) or
+  the LIST DEFAULT partition.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PART_COL = "_part"
+
+# a LESS-THAN bound of None means MAXVALUE; a LIST bound of None means
+# the DEFAULT partition
+MAXVALUE = None
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if re.match(r"^MAXVALUE$", tok, re.IGNORECASE):
+        return MAXVALUE
+    if re.match(r"^DEFAULT$", tok, re.IGNORECASE):
+        return MAXVALUE
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
+
+
+class PartitionSpec:
+    """kind 'range' | 'list' | 'hash'; parts is the ordered partition
+    list — range: [(name, upper_bound_or_MAXVALUE)], list:
+    [(name, tuple_of_values_or_MAXVALUE_for_DEFAULT)], hash:
+    [('p0', 0), ..., ('p{n-1}', n-1)]."""
+
+    def __init__(self, kind: str, key: str, parts: list[tuple]):
+        self.kind = kind
+        self.key = key
+        self.parts = parts
+        self._validate()
+
+    def _validate(self) -> None:
+        names = [n for n, _ in self.parts]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate partition names: {names}")
+        if self.kind == "range":
+            bounds = [b for _, b in self.parts]
+            finite = [b for b in bounds if b is not MAXVALUE]
+            if any(b is MAXVALUE for b in bounds[:-1]):
+                raise ValueError(
+                    "MAXVALUE must be the last range partition"
+                )
+            if finite != sorted(finite):
+                raise ValueError(
+                    f"range bounds must ascend: {finite}"
+                )
+        elif self.kind == "list":
+            seen: set = set()
+            for name, vals in self.parts:
+                if vals is MAXVALUE:
+                    continue
+                dup = seen & set(vals)
+                if dup:
+                    raise ValueError(
+                        f"value(s) {sorted(dup)} in more than one "
+                        "LIST partition"
+                    )
+                seen |= set(vals)
+            defaults = [n for n, v in self.parts if v is MAXVALUE]
+            if len(defaults) > 1:
+                raise ValueError("one DEFAULT list partition at most")
+
+    # -------------------------------------------------- write-side
+    def label_expr(self) -> Column:
+        """The routing CASE (partition.cpp value→partition lookup) —
+        evaluates to the partition name, or NULL for a non-routable
+        row (caught by apply_labels' validation)."""
+        key = F.col(self.key)
+        if self.kind == "hash":
+            n = len(self.parts)
+            return F.concat(
+                F.lit("p"), F.pmod(F.hash(key), F.lit(n)).cast("string")
+            )
+        if self.kind == "range":
+            max_name = (
+                self.parts[-1][0]
+                if self.parts[-1][1] is MAXVALUE else None
+            )
+            # NULL keys sort last in openGauss → MAXVALUE partition
+            expr = F.when(
+                key.isNull(),
+                F.lit(max_name) if max_name else F.lit(None),
+            )
+            for name, bound in self.parts:
+                if bound is MAXVALUE:
+                    expr = expr.otherwise(F.lit(name))
+                    return expr
+                expr = expr.when(key < F.lit(bound), F.lit(name))
+            return expr.otherwise(F.lit(None))
+        # list
+        default_name = next(
+            (n for n, v in self.parts if v is MAXVALUE), None
+        )
+        expr = None
+        for name, vals in self.parts:
+            if vals is MAXVALUE:
+                continue
+            cond = key.isin(list(vals))
+            expr = (
+                F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name))
+            )
+        tail = F.lit(default_name) if default_name else F.lit(None)
+        return tail if expr is None else expr.otherwise(tail)
+
+    # -------------------------------------------------- prune-side
+    def prune(self, op: str, value) -> list[str]:
+        """Eligible partition names for ``key <op> value`` — the
+        partprune.cpp bound walk, driver-side over the bounds list.
+        Always a superset of the truth; unknown shapes → all names."""
+        names = [n for n, _ in self.parts]
+        if self.kind == "hash":
+            return names  # eq-pruning handled by prune_hash_eq
+        if self.kind == "list":
+            if op in ("=", "in"):
+                vals = value if op == "in" else [value]
+                out = []
+                for name, pvals in self.parts:
+                    if pvals is MAXVALUE:
+                        # DEFAULT holds any value not listed elsewhere
+                        listed = {
+                            v for _, pv in self.parts
+                            if pv is not MAXVALUE for v in pv
+                        }
+                        if any(v not in listed for v in vals):
+                            out.append(name)
+                    elif any(v in pvals for v in vals):
+                        out.append(name)
+                return out
+            return names
+        # range: partition i covers [prev_bound, bound)
+        out = []
+        prev = None
+        for name, bound in self.parts:
+            lo, hi = prev, bound  # hi None = +inf, lo None = -inf
+            keep = True
+            if op in ("<", "<="):
+                keep = lo is None or lo < value or (
+                    op == "<=" and lo == value
+                )
+            elif op in (">", ">="):
+                keep = hi is MAXVALUE or hi > value
+            elif op == "=":
+                keep = (lo is None or lo <= value) and (
+                    hi is MAXVALUE or value < hi
+                )
+            elif op == "in":
+                keep = any(
+                    (lo is None or lo <= v) and (hi is MAXVALUE or v < hi)
+                    for v in value
+                )
+            if keep:
+                out.append(name)
+            prev = bound
+        return out
+
+    def describe_rows(self, table: str) -> list[tuple]:
+        """pg_partitions catalog rows."""
+        rows = []
+        for pos, (name, bound) in enumerate(self.parts):
+            if self.kind == "range":
+                btext = (
+                    "MAXVALUE" if bound is MAXVALUE else f"< {bound!r}"
+                )
+            elif self.kind == "list":
+                btext = (
+                    "DEFAULT" if bound is MAXVALUE
+                    else "IN (" + ", ".join(repr(v) for v in bound) + ")"
+                )
+            else:
+                btext = f"hash % {len(self.parts)} = {pos}"
+            rows.append((table, name, self.kind, self.key, btext, pos))
+        return rows
+
+    def to_meta(self) -> dict:
+        return {"kind": self.kind, "key": self.key, "parts": self.parts}
+
+    @staticmethod
+    def from_meta(meta: dict | None) -> "PartitionSpec | None":
+        if not meta:
+            return None
+        return PartitionSpec(meta["kind"], meta["key"], meta["parts"])
+
+
+def apply_labels(df: DataFrame, spec: PartitionSpec,
+                 validate: bool = True) -> DataFrame:
+    """Attach PART_COL via the routing CASE; raise when any row routes
+    nowhere (the reference's 'inserted partition key does not map to
+    any table partition').  The validation is ONE aggregation over the
+    incoming batch — the reference validates every inserted row too."""
+    if PART_COL in df.columns:
+        df = df.drop(PART_COL)
+    out = df.withColumn(PART_COL, spec.label_expr())
+    if validate:
+        n_bad = out.filter(F.col(PART_COL).isNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} row(s) do not map to any partition of the "
+                f"{spec.kind}-partitioned table (add a MAXVALUE/DEFAULT "
+                "partition or widen the bounds)"
+            )
+    return out
+
+
+def prune_hash_eq(spark, spec: PartitionSpec, value) -> list[str]:
+    """Hash-partition elimination for an equality predicate: compute
+    the SAME Murmur3 hash Spark's writer used (one local 1-row eval,
+    no cluster work)."""
+    n = len(spec.parts)
+    row = spark.range(1).select(
+        F.pmod(F.hash(F.lit(value)), F.lit(n)).alias("b")
+    ).collect()
+    return [f"p{row[0].b}"]
+
+
+_CMP = re.compile(
+    r"^\s*(?P<col>\w+)\s*(?P<op><=|>=|=|<|>)\s*(?P<lit>'(?:[^']|'')*'"
+    r"|-?\d+(?:\.\d+)?)\s*$"
+)
+_IN = re.compile(
+    r"^\s*(?P<col>\w+)\s+IN\s*\(\s*(?P<lits>[^)]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_BETWEEN = re.compile(
+    r"^\s*(?P<col>\w+)\s+BETWEEN\s+(?P<lo>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+    r"\s+AND\s+(?P<hi>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def eligible_labels(spark, spec: PartitionSpec, predicate: str
+                    ) -> list[str]:
+    """Partition elimination from a SQL predicate: AND-conjuncts that
+    compare the partition key against literals shrink the label set;
+    anything unparsed leaves it untouched (over-approximation — the
+    full predicate is always re-applied on the survivors)."""
+    labels = {n for n, _ in spec.parts}
+    for conj in re.split(r"\bAND\b", predicate, flags=re.IGNORECASE):
+        m = _CMP.match(conj)
+        if m and m.group("col").lower() == spec.key.lower():
+            v = _parse_literal(m.group("lit"))
+            if spec.kind == "hash" and m.group("op") == "=":
+                labels &= set(prune_hash_eq(spark, spec, v))
+            else:
+                labels &= set(spec.prune(m.group("op"), v))
+            continue
+        m = _BETWEEN.match(conj)
+        if m and m.group("col").lower() == spec.key.lower():
+            lo = _parse_literal(m.group("lo"))
+            hi = _parse_literal(m.group("hi"))
+            labels &= set(spec.prune(">=", lo)) & set(
+                spec.prune("<=", hi)
+            )
+            continue
+        m = _IN.match(conj)
+        if m and m.group("col").lower() == spec.key.lower():
+            vals = [
+                _parse_literal(t)
+                for t in m.group("lits").split(",")
+            ]
+            if spec.kind == "hash":
+                hit: set = set()
+                for v in vals:
+                    hit |= set(prune_hash_eq(spark, spec, v))
+                labels &= hit
+            else:
+                labels &= set(spec.prune("in", vals))
+    # keep declaration order (stable plans, stable tests)
+    return [n for n, _ in spec.parts if n in labels]
+
+
+def pruned_scan(engine, name: str, predicate: str) -> DataFrame:
+    """SELECT ... FROM <partitioned table> WHERE <predicate> with
+    partition elimination: the driver-side bound walk yields a
+    ``_part IN (...)`` filter that Spark's Hive-layout pruning turns
+    into directory skipping (PartitionFilters), then the FULL
+    predicate re-applies on the surviving rows."""
+    mt = engine.managed_tables
+    name = name.lower()
+    spec = PartitionSpec.from_meta(
+        mt.tables[name].get("partition_spec")
+    )
+    if spec is None or not mt._has_data(name):
+        return mt.read(name).filter(F.expr(predicate))
+    df = engine.spark.read.parquet(mt._path(name))
+    labels = eligible_labels(engine.spark, spec, predicate)
+    df = df.filter(F.col(PART_COL).isin(labels))
+    return df.filter(F.expr(predicate)).drop(PART_COL)
+
+
+# ------------------------------------------------------------ grammar
+
+_PARTITION_BY = re.compile(
+    r"PARTITION\s+BY\s+(?P<kind>RANGE|LIST|HASH)\s*"
+    r"\(\s*(?P<key>\w+)\s*\)\s*"
+    r"(?:\(\s*(?P<parts>PARTITION\s+.+)\s*\)|"
+    r"PARTITIONS\s+(?P<nparts>\d+))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_PART = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*"
+    r"\(\s*(?P<cols>.+?)\s*\)\s*"
+    r"(?=PARTITION\s+BY)(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PART_ENTRY_RANGE = re.compile(
+    r"^PARTITION\s+(?P<name>\w+)\s+VALUES\s+LESS\s+THAN\s*"
+    r"\(\s*(?P<bound>[^)]+?)\s*\)$",
+    re.IGNORECASE,
+)
+_PART_ENTRY_LIST = re.compile(
+    r"^PARTITION\s+(?P<name>\w+)\s+VALUES\s*"
+    r"\(\s*(?P<vals>.+?)\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_PART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+PARTITION\s+"
+    r"(?P<part>\w+)\s+VALUES\s+(?:LESS\s+THAN\s+)?"
+    r"\(\s*(?P<bound>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_PART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+PARTITION\s+"
+    r"(?P<part>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TRUNC_PART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+TRUNCATE\s+PARTITION\s+"
+    r"(?P<part>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PG_PARTITIONS = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+pg_partitions\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _split_entries(text: str) -> list[str]:
+    """Top-level comma split of the partition list (paren/quote
+    aware)."""
+    out, depth, in_str, cur = [], 0, False, []
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def parse_partition_by(text: str) -> PartitionSpec | None:
+    m = _PARTITION_BY.search(text)
+    if m is None:
+        return None
+    kind = m.group("kind").lower()
+    key = m.group("key").lower()
+    if kind == "hash":
+        if not m.group("nparts"):
+            raise ValueError(
+                "PARTITION BY HASH needs PARTITIONS <n>"
+            )
+        n = int(m.group("nparts"))
+        return PartitionSpec("hash", key, [(f"p{i}", i) for i in range(n)])
+    entries = _split_entries(m.group("parts"))
+    parts: list[tuple] = []
+    for e in entries:
+        if kind == "range":
+            em = _PART_ENTRY_RANGE.match(e)
+            if em is None:
+                raise ValueError(f"cannot parse range partition: {e!r}")
+            parts.append(
+                (em.group("name").lower(),
+                 _parse_literal(em.group("bound")))
+            )
+        else:
+            em = _PART_ENTRY_LIST.match(e)
+            if em is None:
+                raise ValueError(f"cannot parse list partition: {e!r}")
+            vals_text = em.group("vals")
+            if re.match(r"^\s*DEFAULT\s*$", vals_text, re.IGNORECASE):
+                parts.append((em.group("name").lower(), MAXVALUE))
+            else:
+                parts.append(
+                    (em.group("name").lower(),
+                     tuple(_parse_literal(v)
+                           for v in _split_entries(vals_text)))
+                )
+    return PartitionSpec(kind, key, parts)
+
+
+# ---------------------------------------------------------- handlers
+
+
+def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    """Engine.sql hook for the named-partition DDL surface."""
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    if _PG_PARTITIONS.match(query):
+        rows = []
+        for t in sorted(mt.tables):
+            spec = PartitionSpec.from_meta(
+                mt.tables[t].get("partition_spec")
+            )
+            if spec is not None:
+                rows.extend(spec.describe_rows(t))
+        return engine.spark.createDataFrame(
+            rows or [("", "", "", "", "", 0)][:0],
+            "tablename STRING, partitionname STRING, kind STRING,"
+            " key STRING, bound STRING, position INT",
+        )
+    m = _CREATE_PART.match(query)
+    if m and parse_partition_by(m.group("rest")) is not None:
+        name = m.group("name").lower()
+        if name in mt.tables:
+            raise ValueError(f"table {name!r} already exists")
+        spec = parse_partition_by(m.group("rest"))
+        from .create_function import _map_type
+        from .ddl_tables import _parse_column_list
+
+        cols = _parse_column_list(m.group("cols"))
+        if spec.key not in {c for c, _ in cols}:
+            raise ValueError(
+                f"partition key {spec.key!r} is not a table column"
+            )
+        schema = ", ".join(f"{c} {_map_type(t)}" for c, t in cols)
+        # no physical write yet: an empty partitioned layout has no
+        # files to infer a schema from, so the declared schema lives
+        # in the catalog (schema_ddl) until the first INSERT lays down
+        # partition directories — exactly a catalog-only CREATE
+        mt.tables[name] = {
+            "version": 0,
+            "partition_by": None,
+            "partition_spec": spec.to_meta(),
+            "schema_ddl": schema,
+        }
+        mt._register_view(name)
+        return engine.spark.createDataFrame(
+            [("CREATE TABLE", name, spec.kind, len(spec.parts))],
+            "tag STRING, tbl STRING, kind STRING, n_partitions INT",
+        )
+    m = _ALTER_ADD_PART.match(query)
+    if m and m.group("name").lower() in mt.tables:
+        name = m.group("name").lower()
+        spec = PartitionSpec.from_meta(
+            mt.tables[name].get("partition_spec")
+        )
+        if spec is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        pname = m.group("part").lower()
+        if spec.kind == "range":
+            bound = _parse_literal(m.group("bound"))
+            if spec.parts and spec.parts[-1][1] is MAXVALUE:
+                raise ValueError(
+                    "cannot ADD PARTITION after a MAXVALUE partition "
+                    "(split is not supported; the reference refuses "
+                    "too — tablecmds.cpp ATExecAddPartition)"
+                )
+            new_parts = spec.parts + [(pname, bound)]
+        elif spec.kind == "list":
+            vals = tuple(
+                _parse_literal(v)
+                for v in _split_entries(m.group("bound"))
+            )
+            new_parts = spec.parts + [(pname, vals)]
+        else:
+            raise NotImplementedError(
+                "ADD PARTITION on a hash-partitioned table would "
+                "re-route every row — recreate with more PARTITIONS"
+            )
+        new_spec = PartitionSpec(spec.kind, spec.key, new_parts)
+        mt.tables[name]["partition_spec"] = new_spec.to_meta()
+        mt.tables[name]["version"] += 1
+        return engine.spark.createDataFrame(
+            [("ADD PARTITION", name, pname)],
+            "tag STRING, tbl STRING, partition STRING",
+        )
+    for pat, keep_def, tag in (
+        (_ALTER_DROP_PART, False, "DROP PARTITION"),
+        (_ALTER_TRUNC_PART, True, "TRUNCATE PARTITION"),
+    ):
+        m = pat.match(query)
+        if m and m.group("name").lower() in mt.tables:
+            name = m.group("name").lower()
+            spec = PartitionSpec.from_meta(
+                mt.tables[name].get("partition_spec")
+            )
+            if spec is None:
+                raise ValueError(f"table {name!r} is not partitioned")
+            pname = m.group("part").lower()
+            if pname not in {n for n, _ in spec.parts}:
+                raise KeyError(
+                    f"partition {pname!r} of {name!r} does not exist"
+                )
+            # the 100 TB payoff: retiring a partition is ONE directory
+            # unlink — no scan, no rewrite, no shuffle
+            pdir = os.path.join(mt._path(name), f"{PART_COL}={pname}")
+            shutil.rmtree(pdir, ignore_errors=True)
+            if not keep_def:
+                spec = PartitionSpec(
+                    spec.kind, spec.key,
+                    [(n, b) for n, b in spec.parts if n != pname],
+                )
+                mt.tables[name]["partition_spec"] = spec.to_meta()
+            mt.tables[name]["version"] += 1
+            mt._register_view(name)
+            return engine.spark.createDataFrame(
+                [(tag, name, pname)],
+                "tag STRING, tbl STRING, partition STRING",
+            )
+    return None
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "range_partition_lifecycle",
+    """
+    WITH ins AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey <= 4500
+    ), ph1 AS (
+      SELECT 'pruned' AS phase, o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins WHERE o_orderkey < 1500 GROUP BY o_orderstatus
+    ), ph2 AS (
+      SELECT 'after_drop' AS phase, o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins WHERE o_orderkey >= 1500 GROUP BY o_orderstatus
+    )
+    SELECT * FROM ph1 UNION ALL SELECT * FROM ph2
+    ORDER BY phase, o_orderstatus
+    """,
+)
+def range_partition_lifecycle(spark, sf_dir):
+    """RANGE partition DDL end-to-end (gram.y partition grammar →
+    partition.cpp INSERT routing → PartIterator elimination →
+    tablecmds.cpp ATExecDropPartition): CREATE a three-partition
+    range table, INSERT an orders slice (each row routed to its
+    partition directory at write time), aggregate a key-pruned scan
+    (the driver-side bound walk shrinks the read to the one eligible
+    directory — PartitionFilters, pinned by test_plan_quality), DROP
+    the first partition (one directory unlink, never a rewrite), and
+    aggregate the survivors.  The oracle spells both phases as plain
+    predicates over the same slice.
+
+    Scale: INSERT is one distributed write; the pruned scan lists one
+    directory out of three regardless of table size; DROP PARTITION is
+    O(1) metadata — the operations a 100 TB time-partitioned fact
+    table lives on."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="range_part_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE pt_gate (o_orderkey bigint,"
+            " o_orderstatus text, o_totalprice double)"
+            " PARTITION BY RANGE (o_orderkey) ("
+            "PARTITION p0 VALUES LESS THAN (1500),"
+            " PARTITION p1 VALUES LESS THAN (3000),"
+            " PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+        )
+        eng.sql(
+            "INSERT INTO pt_gate SELECT o_orderkey, o_orderstatus,"
+            " o_totalprice FROM orders WHERE o_orderkey <= 4500"
+        )
+
+        def agg(df, phase):
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            ).select(
+                F.lit(phase).alias("phase"), "o_orderstatus", "n", "total"
+            )
+
+        ph1 = agg(
+            pruned_scan(eng, "pt_gate", "o_orderkey < 1500"), "pruned"
+        ).collect()
+        eng.sql("ALTER TABLE pt_gate DROP PARTITION p0")
+        ph2 = agg(eng.sql("SELECT * FROM pt_gate"), "after_drop").collect()
+        eng.sql("DROP TABLE pt_gate")
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
+            "phase STRING, o_orderstatus STRING, n BIGINT, total DOUBLE",
+        ).orderBy("phase", "o_orderstatus")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "list_partition_pruned_scan",
+    """
+    WITH ins AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey <= 3000
+    ), ph1 AS (
+      SELECT 'pruned' AS phase, o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority
+    ), ph2 AS (
+      SELECT 'after_truncate' AS phase, o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins WHERE o_orderpriority <> '3-MEDIUM'
+      GROUP BY o_orderpriority
+    )
+    SELECT * FROM ph1 UNION ALL SELECT * FROM ph2
+    ORDER BY phase, o_orderpriority
+    """,
+)
+def list_partition_pruned_scan(spark, sf_dir):
+    """LIST partition DDL (partition.cpp list-bound routing +
+    ATExecTruncatePartition): named value-groups with a DEFAULT
+    partition, an IN-predicate scan pruned to the one eligible
+    directory, then TRUNCATE PARTITION (one unlink, definition kept)
+    and a full re-aggregation.  Oracle mirrors both phases as value
+    predicates.
+
+    Scale: same as the range query — routing is a write-side CASE,
+    elimination is a driver-side label walk, truncate is O(1)."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="list_part_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE pl_gate (o_orderpriority text,"
+            " o_totalprice double)"
+            " PARTITION BY LIST (o_orderpriority) ("
+            "PARTITION purgent VALUES ('1-URGENT', '2-HIGH'),"
+            " PARTITION pmed VALUES ('3-MEDIUM'),"
+            " PARTITION prest VALUES (DEFAULT))"
+        )
+        eng.sql(
+            "INSERT INTO pl_gate SELECT o_orderpriority, o_totalprice"
+            " FROM orders WHERE o_orderkey <= 3000"
+        )
+
+        def agg(df, phase):
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            ).select(
+                F.lit(phase).alias("phase"), "o_orderpriority",
+                "n", "total",
+            )
+
+        ph1 = agg(
+            pruned_scan(
+                eng, "pl_gate",
+                "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+            ),
+            "pruned",
+        ).collect()
+        eng.sql("ALTER TABLE pl_gate TRUNCATE PARTITION pmed")
+        ph2 = agg(
+            eng.sql("SELECT * FROM pl_gate"), "after_truncate"
+        ).collect()
+        eng.sql("DROP TABLE pl_gate")
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
+            "phase STRING, o_orderpriority STRING, n BIGINT,"
+            " total DOUBLE",
+        ).orderBy("phase", "o_orderpriority")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

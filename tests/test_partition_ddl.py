@@ -1,0 +1,244 @@
+"""Named-partition DDL (PARTITION BY RANGE/LIST/HASH, ADD/DROP/
+TRUNCATE PARTITION, pg_partitions, partition elimination)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_vectordb_spark.engine import Engine
+from opengauss_vectordb_spark.operators.partition_ddl import (
+    PART_COL,
+    PartitionSpec,
+    eligible_labels,
+    parse_partition_by,
+    pruned_scan,
+)
+
+from .conftest import SF_CORRECT
+
+
+def _eng(spark, tmp_path):
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    return eng
+
+
+def test_parse_partition_by_grammar():
+    s = parse_partition_by(
+        "PARTITION BY RANGE (k) (PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (20), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    assert s.kind == "range" and s.key == "k"
+    assert s.parts == [("p0", 10), ("p1", 20), ("pmax", None)]
+    s = parse_partition_by(
+        "PARTITION BY LIST (c) (PARTITION pa VALUES ('x', 'y'), "
+        "PARTITION pd VALUES (DEFAULT))"
+    )
+    assert s.parts == [("pa", ("x", "y")), ("pd", None)]
+    s = parse_partition_by("PARTITION BY HASH (k) PARTITIONS 4")
+    assert [n for n, _ in s.parts] == ["p0", "p1", "p2", "p3"]
+    # bounds must ascend; MAXVALUE must be last; list values disjoint
+    with pytest.raises(ValueError, match="ascend"):
+        parse_partition_by(
+            "PARTITION BY RANGE (k) (PARTITION a VALUES LESS THAN (20),"
+            " PARTITION b VALUES LESS THAN (10))"
+        )
+    with pytest.raises(ValueError, match="last"):
+        parse_partition_by(
+            "PARTITION BY RANGE (k) "
+            "(PARTITION a VALUES LESS THAN (MAXVALUE),"
+            " PARTITION b VALUES LESS THAN (10))"
+        )
+    with pytest.raises(ValueError, match="more than one"):
+        parse_partition_by(
+            "PARTITION BY LIST (c) (PARTITION a VALUES ('x'),"
+            " PARTITION b VALUES ('x', 'z'))"
+        )
+
+
+def test_range_prune_bound_walk():
+    s = PartitionSpec("range", "k", [("p0", 10), ("p1", 20), ("pm", None)])
+    assert s.prune("<", 10) == ["p0"]
+    assert s.prune("<=", 10) == ["p0", "p1"]
+    assert s.prune("<", 15) == ["p0", "p1"]
+    assert s.prune(">=", 10) == ["p1", "pm"]
+    assert s.prune(">", 25) == ["pm"]
+    assert s.prune("=", 5) == ["p0"]
+    assert s.prune("=", 10) == ["p1"]  # ranges are [lo, hi)
+    assert s.prune("in", [5, 25]) == ["p0", "pm"]
+    lst = PartitionSpec(
+        "list", "c", [("pa", ("x", "y")), ("pb", ("z",)), ("pd", None)]
+    )
+    assert lst.prune("=", "x") == ["pa"]
+    assert lst.prune("=", "q") == ["pd"]  # only DEFAULT can hold it
+    assert lst.prune("in", ["y", "z"]) == ["pa", "pb"]
+
+
+def test_range_partition_ddl_end_to_end(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pt (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (20), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    # empty table is selectable with the declared schema
+    assert eng.sql("SELECT * FROM pt").columns == ["k", "v"]
+    assert eng.sql("SELECT * FROM pt").count() == 0
+    eng.sql(
+        "INSERT INTO pt VALUES (1, 1.0), (5, 5.0), (15, 15.0), "
+        "(25, 25.0), (NULL, 99.0)"
+    )
+    # NULL key routes to the MAXVALUE partition (openGauss NULLs-last)
+    path = eng.managed_tables._path("pt")
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(path, f"{PART_COL}=*"))
+    )
+    assert dirs == [
+        f"{PART_COL}=p0", f"{PART_COL}=p1", f"{PART_COL}=pmax"
+    ]
+    # the view hides the label column
+    assert eng.sql("SELECT * FROM pt").columns == ["k", "v"]
+    assert eng.sql("SELECT COUNT(*) AS n FROM pt").collect()[0].n == 5
+
+    # pg_partitions catalog
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [(r.partitionname, r.bound) for r in rows] == [
+        ("p0", "< 10"), ("p1", "< 20"), ("pmax", "MAXVALUE")
+    ]
+
+    # pruned scan reads ONLY eligible directories
+    df = pruned_scan(eng, "pt", "k < 10")
+    assert sorted(r.k for r in df.collect()) == [1, 5]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p0" in plan
+    assert "p1" not in plan.split("PartitionFilters")[1][:200]
+
+    # DROP PARTITION is one directory unlink — no rewrite
+    eng.sql("ALTER TABLE pt DROP PARTITION p0")
+    assert not os.path.exists(os.path.join(path, f"{PART_COL}=p0"))
+    assert sorted(
+        r.k for r in eng.sql("SELECT k FROM pt WHERE k IS NOT NULL")
+        .collect()
+    ) == [15, 25]
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [r.partitionname for r in rows] == ["p1", "pmax"]
+
+    # TRUNCATE PARTITION empties but keeps the definition
+    eng.sql("ALTER TABLE pt TRUNCATE PARTITION p1")
+    assert [r.partitionname for r in
+            eng.sql("SELECT * FROM pg_partitions").collect()] == [
+        "p1", "pmax"
+    ]
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM pt WHERE k IS NOT NULL"
+    ).collect()[0].n == 1
+
+    # ADD PARTITION refuses after MAXVALUE (reference rule)
+    with pytest.raises(ValueError, match="MAXVALUE"):
+        eng.sql("ALTER TABLE pt ADD PARTITION p9 VALUES LESS THAN (50)")
+    eng.sql("DROP TABLE pt")
+
+
+def test_range_partition_no_home_row_raises(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE ptn (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10))"
+    )
+    with pytest.raises(ValueError, match="do not map"):
+        eng.sql("INSERT INTO ptn VALUES (99, 1.0)")
+    eng.sql("DROP TABLE ptn")
+
+
+def test_add_partition_then_insert(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pta (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10))"
+    )
+    eng.sql("INSERT INTO pta VALUES (1, 1.0)")
+    eng.sql("ALTER TABLE pta ADD PARTITION p1 VALUES LESS THAN (20)")
+    eng.sql("INSERT INTO pta VALUES (15, 15.0)")
+    assert sorted(r.k for r in eng.sql("SELECT k FROM pta").collect()) \
+        == [1, 15]
+    eng.sql("DROP TABLE pta")
+
+
+def test_list_partition_and_default(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pl (c text, v bigint) PARTITION BY LIST (c) ("
+        "PARTITION pa VALUES ('x', 'y'), PARTITION pd VALUES (DEFAULT))"
+    )
+    eng.sql(
+        "INSERT INTO pl VALUES ('x', 1), ('y', 2), ('q', 3), (NULL, 4)"
+    )
+    # unlisted + NULL route to DEFAULT
+    df = pruned_scan(eng, "pl", "c = 'x'")
+    assert [r.v for r in df.collect()] == [1]
+    labels = eligible_labels(
+        eng.spark,
+        PartitionSpec.from_meta(
+            eng.managed_tables.tables["pl"]["partition_spec"]
+        ),
+        "c = 'x'",
+    )
+    assert labels == ["pa"]
+    assert eng.sql("SELECT COUNT(*) AS n FROM pl").collect()[0].n == 4
+    eng.sql("DROP TABLE pl")
+
+
+def test_hash_partition_layout_and_eq_prune(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE ph (k bigint, v double) "
+        "PARTITION BY HASH (k) PARTITIONS 4"
+    )
+    eng.sql(
+        "INSERT INTO ph SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 200"
+    )
+    path = eng.managed_tables._path("ph")
+    dirs = glob.glob(os.path.join(path, f"{PART_COL}=*"))
+    assert 1 <= len(dirs) <= 4
+    # content preserved across the hash routing
+    n = eng.sql("SELECT COUNT(*) AS n FROM ph").collect()[0].n
+    base = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey <= 200"
+    ).collect()[0].n
+    assert n == base
+    # equality prune lands on exactly one partition
+    spec = PartitionSpec.from_meta(
+        eng.managed_tables.tables["ph"]["partition_spec"]
+    )
+    labels = eligible_labels(eng.spark, spec, "k = 7")
+    assert len(labels) == 1
+    assert [r.k for r in pruned_scan(eng, "ph", "k = 7").collect()] == [7]
+    eng.sql("DROP TABLE ph")
+
+
+def test_partitioned_update_moves_rows(spark, tmp_path):
+    """Copy-on-write UPDATE recomputes the routing label — the
+    reference's row-movement semantics."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pm (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    eng.sql("INSERT INTO pm VALUES (1, 1.0), (2, 2.0)")
+    eng.sql("UPDATE pm SET k = 15 WHERE k = 2")
+    assert sorted(
+        r.k for r in pruned_scan(eng, "pm", "k >= 10").collect()
+    ) == [15]
+    path = eng.managed_tables._path("pm")
+    pm_dir = os.path.join(path, f"{PART_COL}=pmax")
+    assert os.path.exists(pm_dir)
+    eng.sql("DROP TABLE pm")
