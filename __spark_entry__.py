@@ -21,92 +21,90 @@ from opengauss_vectordb_spark.registry import ORACLES, QUERIES
 registry.load_all_queries()
 
 # The correctness gate verifies queries in registration order, so the
-# ordering below is a rotation schedule: queries that still lack a green
-# gate row go first.  After round 5 the registry stood at 245 queries,
-# 232 gated across r1-r5, 230 green on latest attempt, 2 red — BOTH
-# driver-protocol representation artifacts with engine-identical values
-# (source_mix_rebalance: a bare DECIMAL `0.25` oracle literal;
-# array_funcs2: LIST output columns the driver's canonicalizer cannot
-# sort) — and 13 never gated (the scalar/contrib tranche backlog).
+# ordering below is a rotation schedule.  After round 6 the registry
+# stood at 256 queries, ALL gated at least once across r1-r6, 255
+# green on their latest attempt, ONE red: source_mix_rebalance
+# (hash_match=false) — root-caused this round to a THIRD
+# representation-trap class: DuckDB's SUM over any integer type is
+# HUGEINT, which pandas (the driver's transport) renders as float64
+# ("1435.0") against Spark's int64 ("1435").  Fixed by CASTing the
+# oracle SUM to BIGINT; tests/oracle_harness.py now compares pandas
+# dtype KINDS on both sides (null-aware — nulls legitimately floatify
+# both engines), and a full audit found no other null-free offender.
 #
-# ROUND 6 spends the window on: (a) the 11 NEW registrations — three
-# LANGUAGE plpgsql end-to-end queries (operators/plpgsql.py: guard,
-# SELECT-INTO + nested IF, and FOR-IN-SELECT accumulator loops compiled
-# to aggregates — first gate rows), MERGE with a DELETE action, and a
-# COPY (FORMAT binary) statement round-trip, and LANGUAGE plpython3u
-# via Arrow-batched pandas UDFs, plus DO anonymous blocks
-# (driver-orchestrated DoStmt), MERGE INTO as SQL text, and the
-# plain-CREATE/ALTER TABLE lifecycle, CREATE PROCEDURE/CALL, and the
-# btree-index sorted layout (VERDICT r5 items 3+6+7);
+# ROUND 7 window (exactly 50): (a) the 2 NEW registrations — named-
+# partition DDL (operators/partition_ddl.py: PARTITION BY RANGE/LIST/
+# HASH, write-side routing CASE, driver-side partition elimination →
+# PartitionFilters, O(1) DROP/TRUNCATE PARTITION); (b) the
+# source_mix_rebalance re-gate; (c) re-gates for every query whose
+# code path churned this round (merge.py: INSERT-expression isolation
+# via __ins_* columns, one-pass alias rewrite, first-match-wins clause
+# order; plpython.py: verbatim bodies; ddl_tables.py: TableManager
+# read()/spec-partitioning hooks touching the whole managed-table
+# family incl. RLS/masking view registration); (d) rotation of the 35
+# stalest rows — queries whose latest gate evidence is still round 1.
 #
 # The one engine surface deliberately left engine-test-only: CREATE
 # MODEL / PREDICT BY SQL text (ml_stmt.py) — MLlib's iterative/WLS
 # fits cannot hash-match a closed-form SQL oracle (the db4ai_* gate
-# rows carry the closed-form math; the statement plumbing is pinned
-# by test_create_model_predict_by_sql_text); (b) the 3
-# representation re-gates, now fixed at the source AND enforced for all
-# 249 queries by test_oracle_parity's oracle-value scan; (c) the full
-# 13-name never-gated backlog — taking evidence debt to ZERO; (d)
-# re-gates for every query whose code path churned this round
-# (create_function comment-aware statement split, pg_compat to_char RN
-# range check, vector index_root relocation); (e) high-value sentinels
-# across all families.
+# rows carry the closed-form math; the statement plumbing is pinned by
+# test_create_model_predict_by_sql_text and
+# test_predict_by_anchors_top_level_from).
 GATE_PRIORITY: list[str] = [
     # (a) new registrations — first-ever gate rows
-    "plpgsql_guard_function",
-    "plpgsql_select_into_nested_if",
-    "plpgsql_for_loop_agg",
-    "merge_delete_action",
-    "copy_sql_binary_roundtrip",
-    "plpython_function",
-    "do_block_stmt",
-    "merge_sql_text",
-    "alter_table_lifecycle",
-    "call_procedure_stmt",
-    "btree_index_scan",
-    # (b) representation re-gates (r5 reds + the latent decimal)
+    "range_partition_lifecycle",
+    "list_partition_pruned_scan",
+    # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
-    "array_funcs2",
-    "fts_setweight_rank",
-    # (c) the 13-name never-gated backlog — evidence debt to zero
-    "bformat_string_funcs",
-    "bformat_group_concat",
-    "varbit_funcs",
-    "regexp_oracle_funcs",
-    "xml_funcs",
-    "geo_earth_distance",
-    "ltree_hierarchy",
-    "json_agg_funcs",
-    "pgcrypto_funcs",
-    "fuzzystrmatch_unaccent",
-    "pgstattuple_report",
-    "pageinspect_stats",
-    "fts_tsvector_ops",
-    # (d) churned-code re-gates this round
-    "create_function_sql",
-    "formatting_funcs",
-    "format_models2",
-    "ann_route_topk",
-    "ivf_search_probed",
-    "ivf_append_then_search",
-    "ivf_pq_search",
-    "hnsw_search_exhaustive",
-    "dedup_keep_best",
-    # (e) high-value sentinels across families
-    "tpch_q1",
-    "tpch_q6",
-    "tpch_q5",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
-    "semdedup_keep",
-    "dsir_importance_resample",
-    "pack_sequences_report",
-    "decontaminate_ngram_overlap",
-    "text_gopher_quality_filter",
-    "fts_bm25",
-    "hybrid_rrf_search",
-    "incremental_agg_merge",
+    # (c) churned-code re-gates this round
+    "merge_sql_text",
+    "merge_delete_action",
+    "merge_upsert_orders",
+    "plpython_function",
+    "alter_table_lifecycle",
+    "ctas_insert_select",
+    "update_delete_dml",
+    "maintenance_stmt_roundtrip",
+    "rls_policy_scan",
+    "masking_policy_scan",
+    "trigger_spi_audit",
+    "btree_index_scan",
+    # (d) rotation — the 35 stalest rows (last gated round 1)
+    "array_funcs",
+    "array_multidim",
+    "composite_row_types",
+    "copy_fixed_format_roundtrip",
+    "db4ai_kmeans_predict",
+    "db4ai_linreg_ols",
+    "db4ai_pca_project",
+    "db4ai_predict_scoring",
+    "dedup_cluster_resolve",
+    "doc_fingerprint",
+    "enum_ordering",
+    "fts_match_rank",
+    "geo_point_funcs",
+    "inet_funcs",
+    "interval_arithmetic",
+    "interval_justify",
+    "like_regex_funcs",
+    "range_types_overlap",
+    "regexp_srf_funcs",
+    "stratified_sample_quota",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_simhash",
+    "text_token_stats",
+    "tpch_q10_adapted",
+    "tpch_q11_adapted",
+    "tpch_q2_adapted",
+    "tpch_q3_adapted",
+    "tpch_q4_adapted",
+    "tpch_q7_adapted",
+    "tpch_q8_adapted",
+    "tpch_q9_adapted",
+    "tsstore_gapfill",
+    "unnest_project_set",
+    "width_bucket_histogram",
 ]
 
 
