@@ -244,6 +244,12 @@ class TableManager:
             # carry updated key values (UPDATE moving rows across
             # partitions — the reference's row-movement path)
             df = apply_labels(df, PartitionSpec.from_meta(spec_meta))
+            # keep the catalog schema current (ALTER rewrites change
+            # it; a later TRUNCATE must re-register the ALTERed shape)
+            self.tables[name]["schema_ddl"] = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields if f.name != PART_COL
+            )
             writer = df.write.mode("overwrite").partitionBy(PART_COL)
         else:
             pcol = self.tables[name].get("partition_by")
@@ -465,6 +471,27 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
                 "CTAS a managed copy first"
             )
         raise KeyError(f"ALTER TABLE: managed table {name!r} does not exist")
+    spec_meta = mt.tables[name].get("partition_spec")
+    if spec_meta:
+        # the partition KEY is load-bearing (every directory label
+        # derives from it): dropping/renaming/retyping it would orphan
+        # the layout — the reference refuses partition-key alteration
+        # too (tablecmds.cpp ATPrepAlterColumnType on partkeys)
+        key = spec_meta["key"]
+        for pat, grp in ((_ALTER_DROP, "col"), (_ALTER_TYPE, "col"),
+                         (_ALTER_RENAME_COL, "old")):
+            pm = pat.match(query)
+            if pm and pm.group(grp).lower() == key:
+                raise ValueError(
+                    f"ALTER TABLE: {key!r} is the partition key of "
+                    f"{name!r} — recreate the table to change it"
+                )
+        if not mt._has_data(name):
+            raise NotImplementedError(
+                "ALTER TABLE on an EMPTY partitioned table: the "
+                "declared schema lives in the catalog until the first "
+                "INSERT — recreate the table with the desired columns"
+            )
     df = engine.spark.read.parquet(mt._path(name))
     mm = _ALTER_ADD.match(query)
     if mm:
@@ -564,13 +591,29 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _TRUNCATE.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         name = m.group("name").lower()
-        schema = engine.spark.read.parquet(
-            engine.managed_tables._path(name)
-        ).schema
+        mt = engine.managed_tables
+        if mt.tables[name].get("partition_spec"):
+            # partitioned: TRUNCATE = unlink every partition directory
+            # (O(partitions) metadata, no write job at all)
+            import glob as _glob
+            import shutil as _shutil
+
+            from .partition_ddl import PART_COL
+
+            for d in _glob.glob(
+                os.path.join(mt._path(name), f"{PART_COL}=*")
+            ):
+                _shutil.rmtree(d, ignore_errors=True)
+            mt.tables[name]["version"] += 1
+            mt._register_view(name)
+            return engine.spark.createDataFrame(
+                [("TRUNCATE", name)], "tag STRING, tbl STRING"
+            )
+        schema = engine.spark.read.parquet(mt._path(name)).schema
         # a fresh empty frame, NOT limit(0) of the path being
         # overwritten — Spark refuses (or races) self-overwrites
         empty = engine.spark.createDataFrame([], schema)
-        engine.managed_tables._write(name, empty, mode="overwrite")
+        mt._write(name, empty, mode="overwrite")
         return engine.spark.createDataFrame(
             [("TRUNCATE", name)], "tag STRING, tbl STRING"
         )
@@ -586,15 +629,30 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         col = m.group("col")
         path = engine.managed_tables._path(name)
         df = engine.spark.read.parquet(path)
-        clustered = df.repartitionByRange(
-            max(1, df.rdd.getNumPartitions()), col
-        ).sortWithinPartitions(col)
         import os as _os
         import shutil as _shutil
 
         compacting = path + ".compacting"
         _shutil.rmtree(compacting, ignore_errors=True)
-        clustered.write.mode("overwrite").parquet(compacting)
+        if engine.managed_tables.tables[name].get("partition_spec"):
+            # partitioned table: cluster WITHIN each partition (the
+            # reference's local-index order) — flattening the layout
+            # would orphan every _part directory
+            from .partition_ddl import PART_COL
+
+            (
+                engine.spark.read.parquet(path)
+                .repartition(PART_COL)
+                .sortWithinPartitions(PART_COL, col)
+                .write.mode("overwrite")
+                .partitionBy(PART_COL)
+                .parquet(compacting)
+            )
+        else:
+            clustered = df.repartitionByRange(
+                max(1, df.rdd.getNumPartitions()), col
+            ).sortWithinPartitions(col)
+            clustered.write.mode("overwrite").parquet(compacting)
         old = path + ".old"
         _shutil.rmtree(old, ignore_errors=True)
         _os.rename(path, old)

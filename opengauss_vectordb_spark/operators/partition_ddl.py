@@ -264,8 +264,8 @@ _IN = re.compile(
     re.IGNORECASE,
 )
 _BETWEEN = re.compile(
-    r"^\s*(?P<col>\w+)\s+BETWEEN\s+(?P<lo>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
-    r"\s+AND\s+(?P<hi>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$",
+    r"(?P<col>\w+)\s+BETWEEN\s+(?P<lo>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+    r"\s+AND\s+(?P<hi>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
     re.IGNORECASE,
 )
 
@@ -277,6 +277,19 @@ def eligible_labels(spark, spec: PartitionSpec, predicate: str
     anything unparsed leaves it untouched (over-approximation — the
     full predicate is always re-applied on the survivors)."""
     labels = {n for n, _ in spec.parts}
+    # BETWEEN first — its own AND would be torn apart by the conjunct
+    # split below; constraints extracted here are masked out
+    def _between(m):
+        nonlocal labels
+        if m.group("col").lower() == spec.key.lower():
+            lo = _parse_literal(m.group("lo"))
+            hi = _parse_literal(m.group("hi"))
+            labels &= set(spec.prune(">=", lo)) & set(
+                spec.prune("<=", hi)
+            )
+        return "TRUE"
+
+    predicate = _BETWEEN.sub(_between, predicate)
     for conj in re.split(r"\bAND\b", predicate, flags=re.IGNORECASE):
         m = _CMP.match(conj)
         if m and m.group("col").lower() == spec.key.lower():
@@ -285,14 +298,6 @@ def eligible_labels(spark, spec: PartitionSpec, predicate: str
                 labels &= set(prune_hash_eq(spark, spec, v))
             else:
                 labels &= set(spec.prune(m.group("op"), v))
-            continue
-        m = _BETWEEN.match(conj)
-        if m and m.group("col").lower() == spec.key.lower():
-            lo = _parse_literal(m.group("lo"))
-            hi = _parse_literal(m.group("hi"))
-            labels &= set(spec.prune(">=", lo)) & set(
-                spec.prune("<=", hi)
-            )
             continue
         m = _IN.match(conj)
         if m and m.group("col").lower() == spec.key.lower():

@@ -242,3 +242,69 @@ def test_partitioned_update_moves_rows(spark, tmp_path):
     pm_dir = os.path.join(path, f"{PART_COL}=pmax")
     assert os.path.exists(pm_dir)
     eng.sql("DROP TABLE pm")
+
+
+def test_partition_key_alter_refused_and_maintenance(spark, tmp_path):
+    """ALTER on the partition key refuses (the layout derives from it);
+    TRUNCATE unlinks every partition directory without a write job;
+    CLUSTER keeps the partitioned layout (within-partition order);
+    ALTER on an empty partitioned table names the recreate path."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pk (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    with pytest.raises(NotImplementedError, match="EMPTY"):
+        eng.sql("ALTER TABLE pk ADD COLUMN extra text")
+    eng.sql("INSERT INTO pk VALUES (1, 1.0), (15, 15.0)")
+    for stmt in (
+        "ALTER TABLE pk DROP COLUMN k",
+        "ALTER TABLE pk RENAME COLUMN k TO kk",
+        "ALTER TABLE pk ALTER COLUMN k TYPE text",
+    ):
+        with pytest.raises(ValueError, match="partition key"):
+            eng.sql(stmt)
+    # non-key ALTER works and survives a TRUNCATE (schema follows)
+    eng.sql("ALTER TABLE pk ADD COLUMN note text")
+    assert eng.sql("SELECT * FROM pk").columns == ["k", "v", "note"]
+    # CLUSTER keeps the _part directories
+    eng.sql("CLUSTER pk ON (k)")
+    path = eng.managed_tables._path("pk")
+    assert glob.glob(os.path.join(path, f"{PART_COL}=*"))
+    assert eng.sql("SELECT COUNT(*) AS n FROM pk").collect()[0].n == 2
+    eng.sql("TRUNCATE pk")
+    assert not glob.glob(os.path.join(path, f"{PART_COL}=*"))
+    assert eng.sql("SELECT * FROM pk").columns == ["k", "v", "note"]
+    assert eng.sql("SELECT COUNT(*) AS n FROM pk").collect()[0].n == 0
+    # table is still usable after TRUNCATE
+    eng.sql("INSERT INTO pk VALUES (2, 2.0, 'x')")
+    assert eng.sql("SELECT COUNT(*) AS n FROM pk").collect()[0].n == 1
+    eng.sql("DROP TABLE pk")
+
+
+def test_date_string_range_partitions(spark, tmp_path):
+    """Range bounds as ISO date strings — the time-partitioned fact
+    table shape; string comparison is the ISO date order."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pd (d text, v bigint) PARTITION BY RANGE (d) ("
+        "PARTITION y97 VALUES LESS THAN ('1998-01-01'), "
+        "PARTITION y98 VALUES LESS THAN ('1999-01-01'), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    eng.sql(
+        "INSERT INTO pd VALUES ('1997-06-01', 1), ('1998-03-15', 2), "
+        "('2001-01-01', 3)"
+    )
+    assert [r.v for r in
+            pruned_scan(eng, "pd", "d < '1998-01-01'").collect()] == [1]
+    labels = eligible_labels(
+        eng.spark,
+        PartitionSpec.from_meta(
+            eng.managed_tables.tables["pd"]["partition_spec"]
+        ),
+        "d BETWEEN '1998-01-01' AND '1998-12-31'",
+    )
+    assert labels == ["y98"]
+    eng.sql("DROP TABLE pd")
