@@ -243,7 +243,10 @@ class TableManager:
             # recompute the routing label: the rewritten relation may
             # carry updated key values (UPDATE moving rows across
             # partitions — the reference's row-movement path)
-            df = apply_labels(df, PartitionSpec.from_meta(spec_meta))
+            df, spec = apply_labels(
+                df, PartitionSpec.from_meta(spec_meta)
+            )
+            self.tables[name]["partition_spec"] = spec.to_meta()
             # keep the catalog schema current (ALTER rewrites change
             # it; a later TRUNCATE must re-register the ALTERed shape)
             self.tables[name]["schema_ddl"] = ", ".join(
@@ -277,7 +280,11 @@ class TableManager:
                 apply_labels,
             )
 
-            df = apply_labels(df, PartitionSpec.from_meta(spec_meta))
+            df, spec = apply_labels(
+                df, PartitionSpec.from_meta(spec_meta)
+            )
+            # INTERVAL auto-extension may have appended sys_p* bounds
+            self.tables[name]["partition_spec"] = spec.to_meta()
             writer = df.write.mode(mode).partitionBy(PART_COL)
         else:
             writer = df.write.mode(mode)

@@ -63,24 +63,37 @@ class PartitionSpec:
     """kind 'range' | 'list' | 'hash'; parts is the ordered partition
     list — range: [(name, upper_bound_or_MAXVALUE)], list:
     [(name, tuple_of_values_or_MAXVALUE_for_DEFAULT)], hash:
-    [('p0', 0), ..., ('p{n-1}', n-1)]."""
+    [('p0', 0), ..., ('p{n-1}', n-1)].  ``interval`` (range only) is
+    the openGauss auto-extension step — ``INTERVAL ('1 month')`` — as
+    an (n, unit) pair with unit in {'month', 'day', 'year'} for
+    ISO-date string bounds or unit None for a numeric step."""
 
-    def __init__(self, kind: str, key: str, parts: list[tuple]):
+    def __init__(self, kind: str, key: str, parts: list[tuple],
+                 interval: tuple | None = None):
         self.kind = kind
         self.key = key
         self.parts = parts
+        self.interval = tuple(interval) if interval else None
         self._validate()
 
     def _validate(self) -> None:
         names = [n for n, _ in self.parts]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate partition names: {names}")
+        if self.interval and self.kind != "range":
+            raise ValueError("INTERVAL applies to RANGE partitioning")
         if self.kind == "range":
             bounds = [b for _, b in self.parts]
             finite = [b for b in bounds if b is not MAXVALUE]
             if any(b is MAXVALUE for b in bounds[:-1]):
                 raise ValueError(
                     "MAXVALUE must be the last range partition"
+                )
+            if self.interval and any(b is MAXVALUE for b in bounds):
+                # the reference refuses this contradiction too: an
+                # unbounded partition leaves nothing to auto-extend
+                raise ValueError(
+                    "INTERVAL and a MAXVALUE partition are exclusive"
                 )
             if finite != sorted(finite):
                 raise ValueError(
@@ -215,25 +228,91 @@ class PartitionSpec:
         return rows
 
     def to_meta(self) -> dict:
-        return {"kind": self.kind, "key": self.key, "parts": self.parts}
+        return {
+            "kind": self.kind,
+            "key": self.key,
+            "parts": self.parts,
+            "interval": self.interval,
+        }
 
     @staticmethod
     def from_meta(meta: dict | None) -> "PartitionSpec | None":
         if not meta:
             return None
-        return PartitionSpec(meta["kind"], meta["key"], meta["parts"])
+        return PartitionSpec(
+            meta["kind"], meta["key"], meta["parts"],
+            interval=meta.get("interval"),
+        )
+
+
+def _advance(bound, interval: tuple):
+    """bound + one interval step: ISO-date strings get calendar
+    arithmetic, numeric bounds get a numeric step."""
+    n, unit = interval
+    if unit is None:
+        return bound + n
+    import datetime
+
+    d = datetime.date.fromisoformat(str(bound))
+    if unit == "day":
+        d = d + datetime.timedelta(days=n)
+    elif unit == "month":
+        m = d.month - 1 + n
+        d = d.replace(year=d.year + m // 12, month=m % 12 + 1, day=1)
+    elif unit == "year":
+        d = d.replace(year=d.year + n, month=1, day=1)
+    else:
+        raise ValueError(f"unsupported interval unit {unit!r}")
+    return d.isoformat()
+
+
+_AUTOEXTEND_CAP = 10_000  # runaway-interval backstop, not a real limit
+
+
+def autoextend(spec: PartitionSpec, max_key) -> PartitionSpec:
+    """openGauss interval partitions (hw_partition_interval_* regress
+    family): rows beyond the last declared bound auto-create sys_p<N>
+    partitions in INTERVAL steps until the max incoming key fits.
+    Pure driver-side bounds arithmetic — the data is not touched."""
+    parts = list(spec.parts)
+    seq = 1 + sum(1 for n, _ in parts if n.startswith("sys_p"))
+    last = parts[-1][1]
+    steps = 0
+    while not max_key < last:
+        last = _advance(last, spec.interval)
+        parts.append((f"sys_p{seq}", last))
+        seq += 1
+        steps += 1
+        if steps > _AUTOEXTEND_CAP:
+            raise ValueError(
+                f"INTERVAL auto-extension needs >{_AUTOEXTEND_CAP} new "
+                f"partitions to reach {max_key!r} — check the interval"
+            )
+    return PartitionSpec(spec.kind, spec.key, parts,
+                         interval=spec.interval)
 
 
 def apply_labels(df: DataFrame, spec: PartitionSpec,
-                 validate: bool = True) -> DataFrame:
+                 validate: bool = True) -> tuple[DataFrame, PartitionSpec]:
     """Attach PART_COL via the routing CASE; raise when any row routes
     nowhere (the reference's 'inserted partition key does not map to
-    any table partition').  The validation is ONE aggregation over the
-    incoming batch — the reference validates every inserted row too."""
+    any table partition') — unless the spec declares an INTERVAL, in
+    which case the bounds auto-extend to cover the incoming keys (the
+    openGauss interval-partition behavior).  The validation is ONE
+    aggregation over the incoming batch — the reference validates
+    every inserted row too.  Returns (labeled_df, possibly_extended
+    spec) so the caller can persist the new bounds."""
     if PART_COL in df.columns:
         df = df.drop(PART_COL)
     out = df.withColumn(PART_COL, spec.label_expr())
     if validate:
+        if spec.interval:
+            mx = df.filter(
+                spec.label_expr().isNull() & F.col(spec.key).isNotNull()
+            ).agg(F.max(spec.key).alias("m")).collect()[0].m
+            if mx is not None:
+                spec = autoextend(spec, mx)
+                out = df.withColumn(PART_COL, spec.label_expr())
         n_bad = out.filter(F.col(PART_COL).isNull()).count()
         if n_bad:
             raise ValueError(
@@ -241,7 +320,7 @@ def apply_labels(df: DataFrame, spec: PartitionSpec,
                 f"{spec.kind}-partitioned table (add a MAXVALUE/DEFAULT "
                 "partition or widen the bounds)"
             )
-    return out
+    return out, spec
 
 
 def prune_hash_eq(spark, spec: PartitionSpec, value) -> list[str]:
@@ -340,9 +419,14 @@ def pruned_scan(engine, name: str, predicate: str) -> DataFrame:
 _PARTITION_BY = re.compile(
     r"PARTITION\s+BY\s+(?P<kind>RANGE|LIST|HASH)\s*"
     r"\(\s*(?P<key>\w+)\s*\)\s*"
+    r"(?:INTERVAL\s*\(\s*'(?P<ival>[^']+)'\s*\)\s*)?"
     r"(?:\(\s*(?P<parts>PARTITION\s+.+)\s*\)|"
     r"PARTITIONS\s+(?P<nparts>\d+))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_IVAL = re.compile(
+    r"^\s*(?P<n>\d+)\s*(?:(?P<unit>month|day|year)s?)?\s*$",
+    re.IGNORECASE,
 )
 _CREATE_PART = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*"
@@ -414,13 +498,28 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
         return None
     kind = m.group("kind").lower()
     key = m.group("key").lower()
+    interval = None
+    if m.group("ival"):
+        im = _IVAL.match(m.group("ival"))
+        if im is None:
+            raise ValueError(
+                f"cannot parse INTERVAL ({m.group('ival')!r}) — use "
+                "'<n> month|day|year' or a bare numeric step"
+            )
+        interval = (
+            int(im.group("n")),
+            im.group("unit").lower() if im.group("unit") else None,
+        )
     if kind == "hash":
         if not m.group("nparts"):
             raise ValueError(
                 "PARTITION BY HASH needs PARTITIONS <n>"
             )
         n = int(m.group("nparts"))
-        return PartitionSpec("hash", key, [(f"p{i}", i) for i in range(n)])
+        return PartitionSpec(
+            "hash", key, [(f"p{i}", i) for i in range(n)],
+            interval=interval,  # validation rejects INTERVAL + HASH
+        )
     entries = _split_entries(m.group("parts"))
     parts: list[tuple] = []
     for e in entries:
@@ -445,7 +544,7 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
                      tuple(_parse_literal(v)
                            for v in _split_entries(vals_text)))
                 )
-    return PartitionSpec(kind, key, parts)
+    return PartitionSpec(kind, key, parts, interval=interval)
 
 
 # ---------------------------------------------------------- handlers

@@ -308,3 +308,73 @@ def test_date_string_range_partitions(spark, tmp_path):
     )
     assert labels == ["y98"]
     eng.sql("DROP TABLE pd")
+
+
+def test_interval_partition_autoextend(spark, tmp_path):
+    """openGauss interval partitions (hw_partition_interval_* regress
+    family): INSERTs beyond the last declared bound auto-create
+    sys_p<N> partitions in INTERVAL steps — driver-side bounds
+    arithmetic, no manual ADD PARTITION per period."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pi (d text, v bigint) PARTITION BY RANGE (d) "
+        "INTERVAL ('1 month') ("
+        "PARTITION p0 VALUES LESS THAN ('2020-03-01'), "
+        "PARTITION p1 VALUES LESS THAN ('2020-04-01'))"
+    )
+    eng.sql("INSERT INTO pi VALUES ('2020-02-15', 1), ('2020-03-10', 2)")
+    assert [r.partitionname for r in
+            eng.sql("SELECT * FROM pg_partitions").collect()] == [
+        "p0", "p1"
+    ]
+    # a key two months past the last bound creates sys_p1 + sys_p2
+    eng.sql("INSERT INTO pi VALUES ('2020-05-20', 3)")
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [(r.partitionname, r.bound) for r in rows] == [
+        ("p0", "< '2020-03-01'"), ("p1", "< '2020-04-01'"),
+        ("sys_p1", "< '2020-05-01'"), ("sys_p2", "< '2020-06-01'"),
+    ]
+    path = eng.managed_tables._path("pi")
+    assert os.path.exists(os.path.join(path, f"{PART_COL}=sys_p2"))
+    assert not os.path.exists(os.path.join(path, f"{PART_COL}=sys_p1"))
+    assert eng.sql("SELECT COUNT(*) AS n FROM pi").collect()[0].n == 3
+    # pruning works across declared and auto-created partitions
+    assert [r.v for r in
+            pruned_scan(eng, "pi", "d >= '2020-05-01'").collect()] == [3]
+    # NULL keys still have no home (no MAXVALUE partition by design)
+    with pytest.raises(ValueError, match="do not map"):
+        eng.sql("INSERT INTO pi VALUES (NULL, 9)")
+    eng.sql("DROP TABLE pi")
+
+
+def test_interval_partition_grammar_rules():
+    with pytest.raises(ValueError, match="exclusive"):
+        parse_partition_by(
+            "PARTITION BY RANGE (d) INTERVAL ('1 month') ("
+            "PARTITION p0 VALUES LESS THAN ('2020-01-01'), "
+            "PARTITION pm VALUES LESS THAN (MAXVALUE))"
+        )
+    with pytest.raises(ValueError, match="RANGE"):
+        parse_partition_by(
+            "PARTITION BY HASH (k) INTERVAL ('1 month') PARTITIONS 4"
+        )
+    # numeric interval steps for integer keys
+    s = parse_partition_by(
+        "PARTITION BY RANGE (k) INTERVAL ('1000') ("
+        "PARTITION p0 VALUES LESS THAN (1000))"
+    )
+    assert s.interval == (1000, None)
+
+
+def test_interval_numeric_autoextend(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pn (k bigint, v double) PARTITION BY RANGE (k) "
+        "INTERVAL ('1000') (PARTITION p0 VALUES LESS THAN (1000))"
+    )
+    eng.sql("INSERT INTO pn VALUES (1, 1.0), (2500, 2.0)")
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [r.partitionname for r in rows] == ["p0", "sys_p1", "sys_p2"]
+    assert [r.v for r in
+            pruned_scan(eng, "pn", "k >= 2000").collect()] == [2.0]
+    eng.sql("DROP TABLE pn")
