@@ -54,6 +54,7 @@ GATE_PRIORITY: list[str] = [
     # (a) new registrations — first-ever gate rows
     "range_partition_lifecycle",
     "list_partition_pruned_scan",
+    "interval_partition_autoextend",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -104,7 +105,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q9_adapted",
     "tsstore_gapfill",
     "unnest_project_set",
-    "width_bucket_histogram",
 ]
 
 

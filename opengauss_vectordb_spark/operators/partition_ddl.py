@@ -848,3 +848,83 @@ def list_partition_pruned_scan(spark, sf_dir):
         ).orderBy("phase", "o_orderpriority")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "interval_partition_autoextend",
+    """
+    WITH ins AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+             o_totalprice
+      FROM orders WHERE o_orderkey <= 2000
+    ), monthly AS (
+      SELECT substr(d, 1, 7) AS month,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins GROUP BY substr(d, 1, 7)
+    ), parts AS (
+      SELECT '__partitions' AS month,
+             CAST(1 + date_diff('month', DATE '1995-01-01',
+                                MAX(CAST(d AS DATE))) AS BIGINT) AS n,
+             CAST(0.0 AS DOUBLE) AS total
+      FROM ins
+    )
+    SELECT * FROM monthly UNION ALL SELECT * FROM parts
+    ORDER BY month
+    """,
+)
+def interval_partition_autoextend(spark, sf_dir):
+    """INTERVAL partitions end-to-end (the openGauss
+    hw_partition_interval_* regress family): a month-interval range
+    table seeded with ONE partition absorbs a seven-year orders slice,
+    auto-creating sys_p<N> monthly partitions at INSERT time.  The
+    oracle checks BOTH the data (per-month aggregates of what the
+    partitioned table serves back) and the METADATA: the pg_partitions
+    row count must equal 1 + months(seed bound → max key), computed
+    independently by DuckDB date arithmetic — auto-extension created
+    exactly one partition per month, none skipped, none duplicated.
+
+    Scale: the extension is driver-side bounds arithmetic inside the
+    one validating aggregate every partitioned INSERT already pays;
+    a year of daily ingest auto-creates its partitions with zero
+    manual ADD PARTITION statements."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="interval_part_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE pi_gate (d text, o_totalprice double)"
+            " PARTITION BY RANGE (d) INTERVAL ('1 month') ("
+            "PARTITION p0 VALUES LESS THAN ('1995-02-01'))"
+        )
+        eng.sql(
+            "INSERT INTO pi_gate SELECT"
+            " CAST(CAST(o_orderdate AS DATE) AS STRING) AS d,"
+            " o_totalprice FROM orders WHERE o_orderkey <= 2000"
+        )
+        monthly = (
+            eng.sql("SELECT * FROM pi_gate")
+            .groupBy(F.substring("d", 1, 7).alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        )
+        n_parts = eng.sql("SELECT * FROM pg_partitions").count()
+        eng.sql("DROP TABLE pi_gate")
+        rows = [(r[0], r[1], float(r[2])) for r in monthly]
+        rows.append(("__partitions", n_parts, 0.0))
+        return spark.createDataFrame(
+            rows, "month STRING, n BIGINT, total DOUBLE"
+        ).orderBy("month")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
