@@ -463,6 +463,22 @@ _ALTER_TRUNC_PART = re.compile(
 _PG_PARTITIONS = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+pg_partitions\s*;?\s*$", re.IGNORECASE
 )
+_ALTER_EXCHANGE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+EXCHANGE\s+PARTITION\s*"
+    r"\(\s*(?P<part>\w+)\s*\)\s+WITH\s+TABLE\s+(?P<other>\w+)"
+    r"(?:\s+(?P<val>WITH|WITHOUT)\s+VALIDATION)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_MERGE_PARTS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+MERGE\s+PARTITIONS\s+"
+    r"(?P<parts>\w+(?:\s*,\s*\w+)+)\s+INTO\s+PARTITION\s+"
+    r"(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PART_SELECTOR = re.compile(
+    r"\b(?P<tbl>\w+)\s+PARTITION\s*\(\s*(?P<part>\w+)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _split_entries(text: str) -> list[str]:
@@ -635,6 +651,16 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             [("ADD PARTITION", name, pname)],
             "tag STRING, tbl STRING, partition STRING",
         )
+    m = _ALTER_EXCHANGE.match(query)
+    if m and m.group("name").lower() in mt.tables:
+        return _exchange_partition(engine, m)
+    m = _ALTER_MERGE_PARTS.match(query)
+    if m and m.group("name").lower() in mt.tables:
+        return _merge_partitions(engine, m)
+    if re.match(r"^\s*(SELECT|WITH)\b", query, re.IGNORECASE):
+        rewritten = _rewrite_partition_selectors(engine, query)
+        if rewritten is not None:
+            return engine.sql(rewritten)
     for pat, keep_def, tag in (
         (_ALTER_DROP_PART, False, "DROP PARTITION"),
         (_ALTER_TRUNC_PART, True, "TRUNCATE PARTITION"),
@@ -669,6 +695,213 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 "tag STRING, tbl STRING, partition STRING",
             )
     return None
+
+
+
+def _exchange_partition(engine, m):
+    """ALTER TABLE <pt> EXCHANGE PARTITION (<p>) WITH TABLE <staging>
+    [WITHOUT VALIDATION] — the reference's bulk-load fast path
+    (tablecmds.cpp ATExecExchangePartition, hw_partition_interval_
+    exchange regress): the partition's storage and the plain table's
+    storage SWAP as directory renames.  At 100 TB this is how a
+    staged month lands in the fact table: build + validate offline,
+    exchange in O(1) — no copy of either side.
+
+    WITH VALIDATION (the default, as in the reference) checks that
+    every staging row routes to exactly the named partition — one
+    aggregation over the staging table."""
+    import glob as _glob
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    name = m.group("name").lower()
+    part = m.group("part").lower()
+    other = m.group("other").lower()
+    spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
+    if spec is None:
+        raise ValueError(f"table {name!r} is not partitioned")
+    if part not in {n for n, _ in spec.parts}:
+        raise KeyError(f"partition {part!r} of {name!r} does not exist")
+    if other not in mt.tables:
+        raise KeyError(f"EXCHANGE: managed table {other!r} not found")
+    if mt.tables[other].get("partition_spec"):
+        raise ValueError(
+            "EXCHANGE: the WITH TABLE side must be unpartitioned"
+        )
+    pt_schema = [(f.name, f.dataType) for f in mt.read(name).schema.fields]
+    other_df = mt.read(other)
+    ot_schema = [(f.name, f.dataType) for f in other_df.schema.fields]
+    if pt_schema != ot_schema:
+        raise ValueError(
+            f"EXCHANGE: column mismatch — {name}: {pt_schema}, "
+            f"{other}: {ot_schema}"
+        )
+    validate = (m.group("val") or "WITH").upper() == "WITH"
+    if validate:
+        stray = other_df.withColumn(
+            PART_COL, spec.label_expr()
+        ).filter(
+            (F.col(PART_COL) != part) | F.col(PART_COL).isNull()
+        ).count()
+        if stray:
+            raise ValueError(
+                f"EXCHANGE: {stray} row(s) of {other!r} do not belong "
+                f"to partition {part!r} (use WITHOUT VALIDATION to "
+                "skip the check, as the reference allows)"
+            )
+    pdir = os.path.join(mt._path(name), f"{PART_COL}={part}")
+    odir = mt._path(other)
+    tmp = os.path.join(mt.root, name, ".exchange_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(pdir):
+        os.rename(pdir, tmp)
+    else:
+        os.makedirs(tmp)
+    os.rename(odir, pdir)
+    # partition dirs carry only data files; a plain table dir also
+    # holds _SUCCESS markers — harmless either way (parquet readers
+    # ignore non-part files, and the swapped-back side re-gains one
+    # on its next write)
+    os.rename(tmp, odir)
+    if not _glob.glob(os.path.join(odir, "part-*")):
+        # the exchanged-out partition was empty: the plain table needs
+        # at least one schema-bearing file to stay readable
+        shutil.rmtree(odir, ignore_errors=True)
+        engine.spark.createDataFrame(
+            [], other_df.schema
+        ).write.mode("overwrite").parquet(odir)
+    mt.tables[name]["version"] += 1
+    mt.tables[other]["version"] += 1
+    mt._register_view(name)
+    mt._register_view(other)
+    return engine.spark.createDataFrame(
+        [("EXCHANGE PARTITION", name, part, other)],
+        "tag STRING, tbl STRING, partition STRING, with_table STRING",
+    )
+
+
+def _merge_partitions(engine, m):
+    """ALTER TABLE <pt> MERGE PARTITIONS p, q[, ...] INTO PARTITION
+    <new> (tablecmds.cpp ATExecMergePartition, hw_partition_interval_
+    merge regress): range partitions must be CONSECUTIVE (the merged
+    partition covers [first.lo, last.hi)); list partitions union their
+    value sets.  Storage: the source directories' files MOVE into the
+    new directory — renames, no data rewrite."""
+    import glob as _glob
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    name = m.group("name").lower()
+    new = m.group("new").lower()
+    wanted = [p.strip().lower() for p in m.group("parts").split(",")]
+    spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
+    if spec is None:
+        raise ValueError(f"table {name!r} is not partitioned")
+    if spec.kind == "hash":
+        raise NotImplementedError(
+            "MERGE PARTITIONS on hash partitioning would re-route rows"
+        )
+    order = {n: i for i, (n, _) in enumerate(spec.parts)}
+    missing = [p for p in wanted if p not in order]
+    if missing:
+        raise KeyError(f"partition(s) {missing} do not exist")
+    idx = sorted(order[p] for p in wanted)
+    if spec.kind == "range" and idx != list(range(idx[0], idx[-1] + 1)):
+        raise ValueError(
+            "MERGE PARTITIONS: range partitions must be consecutive "
+            "(the merged bound is the last partition's bound)"
+        )
+    if new in order and order[new] not in idx:
+        raise ValueError(f"partition {new!r} already exists")
+    # new spec: the merged run collapses into one entry at its place
+    if spec.kind == "range":
+        merged_entry = (new, spec.parts[idx[-1]][1])
+    else:
+        vals = []
+        has_default = False
+        for i in idx:
+            b = spec.parts[i][1]
+            if b is MAXVALUE:
+                has_default = True
+            else:
+                vals.extend(b)
+        merged_entry = (new, MAXVALUE if has_default else tuple(vals))
+    # keep declaration order: the merged entry sits where the FIRST
+    # merged partition sat; the others vanish
+    parts = []
+    for i, e in enumerate(spec.parts):
+        if i == idx[0]:
+            parts.append(merged_entry)
+        elif i not in idx:
+            parts.append(e)
+    new_spec = PartitionSpec(spec.kind, spec.key, parts,
+                             interval=spec.interval)
+    ndir = os.path.join(mt._path(name), f"{PART_COL}={new}")
+    os.makedirs(ndir, exist_ok=True)
+    for p in wanted:
+        if p == new:
+            continue
+        src = os.path.join(mt._path(name), f"{PART_COL}={p}")
+        for f_ in _glob.glob(os.path.join(src, "part-*")):
+            # prefix with the source partition so writer-task file
+            # names from different writes cannot collide
+            os.rename(
+                f_, os.path.join(ndir, f"{p}_" + os.path.basename(f_))
+            )
+        shutil.rmtree(src, ignore_errors=True)
+    mt.tables[name]["partition_spec"] = new_spec.to_meta()
+    mt.tables[name]["version"] += 1
+    mt._register_view(name)
+    return engine.spark.createDataFrame(
+        [("MERGE PARTITIONS", name, ",".join(wanted), new)],
+        "tag STRING, tbl STRING, merged STRING, into STRING",
+    )
+
+
+def _rewrite_partition_selectors(engine, query: str):
+    """``SELECT ... FROM <pt> PARTITION (<p>)`` (the reference's
+    partition-selector scan): substitute a temp view that reads ONLY
+    that partition's directory.  Returns the rewritten statement, or
+    None when the query holds no selector over a partitioned managed
+    table."""
+    import os
+
+    mt = engine.managed_tables
+    hits = []
+    for sm in _PART_SELECTOR.finditer(query):
+        tbl = sm.group("tbl").lower()
+        if tbl in mt.tables and mt.tables[tbl].get("partition_spec"):
+            hits.append(sm)
+    if not hits:
+        return None
+    out = []
+    last = 0
+    for sm in hits:
+        tbl = sm.group("tbl").lower()
+        part = sm.group("part").lower()
+        spec = PartitionSpec.from_meta(
+            mt.tables[tbl]["partition_spec"]
+        )
+        if part not in {n for n, _ in spec.parts}:
+            raise KeyError(
+                f"partition {part!r} of {tbl!r} does not exist"
+            )
+        pdir = os.path.join(mt._path(tbl), f"{PART_COL}={part}")
+        view = f"__part_{tbl}_{part}"
+        if os.path.exists(pdir):
+            df = engine.spark.read.parquet(pdir)
+            if PART_COL in df.columns:
+                df = df.drop(PART_COL)
+        else:
+            df = mt.read(tbl).limit(0)
+        df.createOrReplaceTempView(view)
+        out.append(query[last:sm.start()])
+        out.append(view)
+        last = sm.end()
+    out.append(query[last:])
+    return "".join(out)
 
 
 # ---------------------------------------------------------------- queries

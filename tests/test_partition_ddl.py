@@ -378,3 +378,141 @@ def test_interval_numeric_autoextend(spark, tmp_path):
     assert [r.v for r in
             pruned_scan(eng, "pn", "k >= 2000").collect()] == [2.0]
     eng.sql("DROP TABLE pn")
+
+
+def test_exchange_partition(spark, tmp_path):
+    """EXCHANGE PARTITION swaps storage with a staging table in O(1)
+    directory renames (tablecmds.cpp ATExecExchangePartition) — the
+    bulk-load fast path; WITH VALIDATION rejects out-of-range rows."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE px (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (20))"
+    )
+    eng.sql("INSERT INTO px VALUES (1, 1.0), (15, 15.0)")
+    eng.sql("CREATE TABLE staging (k bigint, v double)")
+    eng.sql("INSERT INTO staging VALUES (11, 110.0), (12, 120.0)")
+    # staging rows belong to p1: exchange swaps them in, old p1 out
+    eng.sql("ALTER TABLE px EXCHANGE PARTITION (p1) WITH TABLE staging")
+    assert sorted(r.k for r in eng.sql("SELECT k FROM px").collect()) \
+        == [1, 11, 12]
+    assert [r.k for r in eng.sql("SELECT k FROM staging").collect()] \
+        == [15]
+    # swap back restores both sides
+    eng.sql("ALTER TABLE px EXCHANGE PARTITION (p1) WITH TABLE staging")
+    assert sorted(r.k for r in eng.sql("SELECT k FROM px").collect()) \
+        == [1, 15]
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM staging").collect()) == [11, 12]
+    # validation rejects rows outside the partition's range
+    eng.sql("INSERT INTO staging VALUES (5, 5.0)")
+    with pytest.raises(ValueError, match="do not belong"):
+        eng.sql(
+            "ALTER TABLE px EXCHANGE PARTITION (p1) WITH TABLE staging"
+        )
+    # ... unless WITHOUT VALIDATION, as the reference allows
+    eng.sql(
+        "ALTER TABLE px EXCHANGE PARTITION (p1) WITH TABLE staging"
+        " WITHOUT VALIDATION"
+    )
+    assert sorted(r.k for r in eng.sql("SELECT k FROM px").collect()) \
+        == [1, 5, 11, 12]
+    eng.sql("DROP TABLE px")
+    eng.sql("DROP TABLE staging")
+
+
+def test_exchange_empty_partition(spark, tmp_path):
+    """Exchanging INTO an empty partition (the canonical load shape)
+    leaves the staging table empty but readable."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pe (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (20))"
+    )
+    eng.sql("INSERT INTO pe VALUES (1, 1.0)")  # p1 stays empty
+    eng.sql("CREATE TABLE st2 (k bigint, v double)")
+    eng.sql("INSERT INTO st2 VALUES (11, 110.0)")
+    eng.sql("ALTER TABLE pe EXCHANGE PARTITION (p1) WITH TABLE st2")
+    assert sorted(r.k for r in eng.sql("SELECT k FROM pe").collect()) \
+        == [1, 11]
+    assert eng.sql("SELECT COUNT(*) AS n FROM st2").collect()[0].n == 0
+    assert eng.sql("SELECT * FROM st2").columns == ["k", "v"]
+    eng.sql("DROP TABLE pe")
+    eng.sql("DROP TABLE st2")
+
+
+def test_merge_partitions_stmt(spark, tmp_path):
+    """MERGE PARTITIONS moves files between directories and unions the
+    bounds — no data rewrite (ATExecMergePartition); range partitions
+    must be consecutive."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pmg (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (20), "
+        "PARTITION p2 VALUES LESS THAN (30))"
+    )
+    eng.sql("INSERT INTO pmg VALUES (1, 1.0), (15, 15.0), (25, 25.0)")
+    with pytest.raises(ValueError, match="consecutive"):
+        eng.sql("ALTER TABLE pmg MERGE PARTITIONS p0, p2"
+                " INTO PARTITION pbad")
+    eng.sql("ALTER TABLE pmg MERGE PARTITIONS p0, p1 INTO PARTITION p01")
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [(r.partitionname, r.bound) for r in rows] == [
+        ("p01", "< 20"), ("p2", "< 30")
+    ]
+    assert sorted(r.k for r in eng.sql("SELECT k FROM pmg").collect()) \
+        == [1, 15, 25]
+    # the merged directory holds both old partitions' files
+    ndir = os.path.join(eng.managed_tables._path("pmg"),
+                        f"{PART_COL}=p01")
+    assert os.path.isdir(ndir)
+    # pruning respects the merged bound
+    assert sorted(
+        r.k for r in pruned_scan(eng, "pmg", "k < 20").collect()
+    ) == [1, 15]
+    eng.sql("DROP TABLE pmg")
+
+
+def test_merge_list_partitions(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pml (c text, v bigint) PARTITION BY LIST (c) ("
+        "PARTITION pa VALUES ('x'), PARTITION pb VALUES ('y'), "
+        "PARTITION pc VALUES ('z'))"
+    )
+    eng.sql("INSERT INTO pml VALUES ('x', 1), ('y', 2), ('z', 3)")
+    eng.sql("ALTER TABLE pml MERGE PARTITIONS pa, pc INTO PARTITION pac")
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [(r.partitionname, r.bound) for r in rows] == [
+        ("pac", "IN ('x', 'z')"), ("pb", "IN ('y')")
+    ]
+    assert [r.v for r in
+            pruned_scan(eng, "pml", "c IN ('x', 'z')").collect()] \
+        in ([1, 3], [3, 1])
+    eng.sql("DROP TABLE pml")
+
+
+def test_partition_selector_select(spark, tmp_path):
+    """SELECT ... FROM <t> PARTITION (<p>) (the reference's
+    partition-selector scan) reads exactly one directory."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE psel (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (20))"
+    )
+    eng.sql("INSERT INTO psel VALUES (1, 1.0), (15, 15.0)")
+    rows = eng.sql(
+        "SELECT k, v FROM psel PARTITION (p1) ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(15, 15.0)]
+    # aggregates over a selector work too
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM psel PARTITION (p0)"
+    ).collect()[0].n == 1
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("SELECT * FROM psel PARTITION (nope)")
+    eng.sql("DROP TABLE psel")
