@@ -475,6 +475,13 @@ _ALTER_MERGE_PARTS = re.compile(
     r"(?P<new>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SPLIT_PART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+SPLIT\s+PARTITION\s+"
+    r"(?P<part>\w+)\s+AT\s*\(\s*(?P<at>.+?)\s*\)\s+INTO\s*"
+    r"\(\s*PARTITION\s+(?P<a>\w+)\s*,\s*PARTITION\s+(?P<b>\w+)\s*\)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _PART_SELECTOR = re.compile(
     r"\b(?P<tbl>\w+)\s+PARTITION\s*\(\s*(?P<part>\w+)\s*\)",
     re.IGNORECASE,
@@ -657,6 +664,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _ALTER_MERGE_PARTS.match(query)
     if m and m.group("name").lower() in mt.tables:
         return _merge_partitions(engine, m)
+    m = _ALTER_SPLIT_PART.match(query)
+    if m and m.group("name").lower() in mt.tables:
+        return _split_partition(engine, m)
     if re.match(r"^\s*(SELECT|WITH)\b", query, re.IGNORECASE):
         rewritten = _rewrite_partition_selectors(engine, query)
         if rewritten is not None:
@@ -857,6 +867,80 @@ def _merge_partitions(engine, m):
     return engine.spark.createDataFrame(
         [("MERGE PARTITIONS", name, ",".join(wanted), new)],
         "tag STRING, tbl STRING, merged STRING, into STRING",
+    )
+
+
+def _split_partition(engine, m):
+    """ALTER TABLE <pt> SPLIT PARTITION <p> AT (<v>) INTO (PARTITION
+    a, PARTITION b) — the inverse of MERGE (ATExecSplitPartition):
+    [lo, hi) becomes [lo, v) + [v, hi).  Storage: ONLY the split
+    partition's directory is read and re-written into the two new
+    directories — O(partition), never O(table).  NULL keys in a split
+    MAXVALUE partition stay with the upper (still-MAXVALUE) half, the
+    NULLs-last rule."""
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    name = m.group("name").lower()
+    part = m.group("part").lower()
+    a, b = m.group("a").lower(), m.group("b").lower()
+    at = _parse_literal(m.group("at"))
+    spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
+    if spec is None:
+        raise ValueError(f"table {name!r} is not partitioned")
+    if spec.kind != "range":
+        raise NotImplementedError(
+            "SPLIT PARTITION applies to range partitioning"
+        )
+    order = {n: i for i, (n, _) in enumerate(spec.parts)}
+    if part not in order:
+        raise KeyError(f"partition {part!r} of {name!r} does not exist")
+    i = order[part]
+    lo = spec.parts[i - 1][1] if i > 0 else None
+    hi = spec.parts[i][1]
+    if (lo is not None and not lo < at) or (
+        hi is not MAXVALUE and not at < hi
+    ):
+        raise ValueError(
+            f"SPLIT AT ({at!r}) must fall strictly inside "
+            f"[{lo!r}, {hi!r})"
+        )
+    others = {n for n, _ in spec.parts} - {part}
+    if a in others or b in others or a == b:
+        raise ValueError("SPLIT INTO names must be fresh and distinct")
+    parts = list(spec.parts)
+    parts[i:i + 1] = [(a, at), (b, hi)]
+    new_spec = PartitionSpec(spec.kind, spec.key, parts,
+                             interval=spec.interval)
+    pdir = os.path.join(mt._path(name), f"{PART_COL}={part}")
+    if os.path.exists(pdir):
+        df = engine.spark.read.parquet(pdir)
+        staged = df.withColumn(
+            PART_COL,
+            F.when(F.col(spec.key) < F.lit(at), F.lit(a))
+            .otherwise(F.lit(b)),
+        )
+        staging = os.path.join(mt.root, name, ".split_tmp")
+        shutil.rmtree(staging, ignore_errors=True)
+        staged.write.mode("overwrite").partitionBy(PART_COL).parquet(
+            staging
+        )
+        for sub in (a, b):
+            sdir = os.path.join(staging, f"{PART_COL}={sub}")
+            if os.path.exists(sdir):
+                os.rename(
+                    sdir,
+                    os.path.join(mt._path(name), f"{PART_COL}={sub}"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+    mt.tables[name]["partition_spec"] = new_spec.to_meta()
+    mt.tables[name]["version"] += 1
+    mt._register_view(name)
+    return engine.spark.createDataFrame(
+        [("SPLIT PARTITION", name, part, f"{a},{b}")],
+        "tag STRING, tbl STRING, partition STRING, into STRING",
     )
 
 

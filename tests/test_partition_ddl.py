@@ -516,3 +516,50 @@ def test_partition_selector_select(spark, tmp_path):
     with pytest.raises(KeyError, match="does not exist"):
         eng.sql("SELECT * FROM psel PARTITION (nope)")
     eng.sql("DROP TABLE psel")
+
+
+def test_split_partition(spark, tmp_path):
+    """SPLIT PARTITION rewrites only the split partition's directory
+    into two (ATExecSplitPartition) — O(partition), not O(table)."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE psp (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (20), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    eng.sql("INSERT INTO psp VALUES (1, 1.0), (15, 15.0), (25, 25.0)")
+    eng.sql(
+        "ALTER TABLE psp SPLIT PARTITION p0 AT (10) INTO "
+        "(PARTITION pa, PARTITION pb)"
+    )
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [(r.partitionname, r.bound) for r in rows] == [
+        ("pa", "< 10"), ("pb", "< 20"), ("pmax", "MAXVALUE")
+    ]
+    path = eng.managed_tables._path("psp")
+    assert not os.path.exists(os.path.join(path, f"{PART_COL}=p0"))
+    assert [r.k for r in
+            eng.sql("SELECT k FROM psp PARTITION (pa)").collect()] == [1]
+    assert [r.k for r in
+            eng.sql("SELECT k FROM psp PARTITION (pb)").collect()] == [15]
+    assert sorted(r.k for r in eng.sql("SELECT k FROM psp").collect()) \
+        == [1, 15, 25]
+    # AT must fall strictly inside the split partition's range
+    with pytest.raises(ValueError, match="strictly inside"):
+        eng.sql(
+            "ALTER TABLE psp SPLIT PARTITION pb AT (10) INTO "
+            "(PARTITION x, PARTITION y)"
+        )
+    # splitting the MAXVALUE partition keeps MAXVALUE on the upper half
+    eng.sql(
+        "ALTER TABLE psp SPLIT PARTITION pmax AT (30) INTO "
+        "(PARTITION pc, PARTITION pm2)"
+    )
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    assert [(r.partitionname, r.bound) for r in rows] == [
+        ("pa", "< 10"), ("pb", "< 20"), ("pc", "< 30"),
+        ("pm2", "MAXVALUE"),
+    ]
+    assert [r.k for r in
+            eng.sql("SELECT k FROM psp PARTITION (pc)").collect()] == [25]
+    eng.sql("DROP TABLE psp")
