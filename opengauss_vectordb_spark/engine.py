@@ -134,10 +134,16 @@ class Engine:
     # CREATE INDEX [name] ON tbl [USING btree] (col) — the relational
     # index shape (indexcmds.cpp DefineIndex); on parquet the honest
     # equivalent is a sorted data-skipping layout
+    # trailing LOCAL/GLOBAL is the reference's partitioned-index form
+    # (gram.y index_including_option): LOCAL per-partition order is
+    # exactly what CLUSTER produces on a partitioned managed table
+    # (within-partition sort); GLOBAL has no cross-partition structure
+    # to build here, but the sorted rewrite gives the same rowgroup
+    # min/max skipping, so both route to the one layout
     _CREATE_BTREE = re.compile(
         r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+"
         r"(?P<table>\w+)\s+(?:USING\s+BTREE\s*)?"
-        r"\(\s*(?P<col>\w+)\s*\)\s*;?\s*$",
+        r"\(\s*(?P<col>\w+)\s*\)\s*(?:LOCAL|GLOBAL)?\s*;?\s*$",
         re.IGNORECASE,
     )
     # SET ivfflat.probes = 10 / SET hnsw.ef_search = 40 — the reference's

@@ -563,3 +563,30 @@ def test_split_partition(spark, tmp_path):
     assert [r.k for r in
             eng.sql("SELECT k FROM psp PARTITION (pc)").collect()] == [25]
     eng.sql("DROP TABLE psp")
+
+
+def test_local_index_on_partitioned_table(spark, tmp_path):
+    """CREATE INDEX ... LOCAL (the reference's per-partition index) =
+    within-partition sorted layout; the partition directories
+    survive."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pli (k bigint, v double) PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (100), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    eng.sql(
+        "INSERT INTO pli SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_orderkey <= 300"
+    )
+    eng.sql("CREATE INDEX pli_v_idx ON pli (v) LOCAL")
+    idx = {r.indexname for r in
+           eng.sql("SELECT * FROM pg_indexes").collect()}
+    assert "pli_v_idx" in idx
+    path = eng.managed_tables._path("pli")
+    assert glob.glob(os.path.join(path, f"{PART_COL}=*"))
+    n = eng.sql("SELECT COUNT(*) AS n FROM pli").collect()[0].n
+    assert n == eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey <= 300"
+    ).collect()[0].n
+    eng.sql("DROP TABLE pli")
