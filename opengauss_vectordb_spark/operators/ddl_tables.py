@@ -259,7 +259,14 @@ class TableManager:
             writer = df.write.mode("overwrite")
             if pcol is not None:
                 writer = writer.partitionBy(pcol)
-        writer.parquet(compacting)
+        try:
+            writer.parquet(compacting)
+        except Exception as e:  # noqa: BLE001 — translate routing abort
+            from .partition_ddl import NO_HOME_MSG
+
+            if NO_HOME_MSG[:20] in str(e):
+                raise ValueError(NO_HOME_MSG) from None
+            raise
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
@@ -291,7 +298,14 @@ class TableManager:
             pcol = self.tables[name].get("partition_by")
             if pcol is not None:
                 writer = writer.partitionBy(pcol)
-        writer.parquet(self._path(name))
+        try:
+            writer.parquet(self._path(name))
+        except Exception as e:  # noqa: BLE001 — translate routing abort
+            from .partition_ddl import NO_HOME_MSG
+
+            if NO_HOME_MSG[:20] in str(e):
+                raise ValueError(NO_HOME_MSG) from None
+            raise
         self.tables[name]["version"] += 1
         self._register_view(name)
 

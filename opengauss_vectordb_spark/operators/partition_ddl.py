@@ -292,35 +292,41 @@ def autoextend(spec: PartitionSpec, max_key) -> PartitionSpec:
                          interval=spec.interval)
 
 
+NO_HOME_MSG = (
+    "row(s) do not map to any partition (add a MAXVALUE/DEFAULT "
+    "partition or widen the bounds)"
+)
+
+
 def apply_labels(df: DataFrame, spec: PartitionSpec,
                  validate: bool = True) -> tuple[DataFrame, PartitionSpec]:
-    """Attach PART_COL via the routing CASE; raise when any row routes
-    nowhere (the reference's 'inserted partition key does not map to
-    any table partition') — unless the spec declares an INTERVAL, in
-    which case the bounds auto-extend to cover the incoming keys (the
-    openGauss interval-partition behavior).  The validation is ONE
-    aggregation over the incoming batch — the reference validates
-    every inserted row too.  Returns (labeled_df, possibly_extended
-    spec) so the caller can persist the new bounds."""
+    """Attach PART_COL via the routing CASE; a row routing nowhere
+    aborts the WRITE ITSELF (the reference's 'inserted partition key
+    does not map to any table partition') — the check is a
+    raise_error branch folded INTO the label expression, so a clean
+    INSERT pays ZERO extra passes over the batch (an earlier draft
+    ran a validating count() first: a second full read of every
+    ingest batch, which a 100 TB pipeline would feel).  Spark's write
+    commit protocol means an aborted job leaves only _temporary
+    files, never partial data.  An INTERVAL spec still needs ONE
+    pre-pass over its unmatched rows to learn how far to auto-extend
+    the bounds (the openGauss interval-partition behavior).  Returns
+    (labeled_df, possibly_extended spec) so the caller can persist
+    the new bounds."""
     if PART_COL in df.columns:
         df = df.drop(PART_COL)
-    out = df.withColumn(PART_COL, spec.label_expr())
+    if validate and spec.interval:
+        mx = df.filter(
+            spec.label_expr().isNull() & F.col(spec.key).isNotNull()
+        ).agg(F.max(spec.key).alias("m")).collect()[0].m
+        if mx is not None:
+            spec = autoextend(spec, mx)
+    label = spec.label_expr()
     if validate:
-        if spec.interval:
-            mx = df.filter(
-                spec.label_expr().isNull() & F.col(spec.key).isNotNull()
-            ).agg(F.max(spec.key).alias("m")).collect()[0].m
-            if mx is not None:
-                spec = autoextend(spec, mx)
-                out = df.withColumn(PART_COL, spec.label_expr())
-        n_bad = out.filter(F.col(PART_COL).isNull()).count()
-        if n_bad:
-            raise ValueError(
-                f"{n_bad} row(s) do not map to any partition of the "
-                f"{spec.kind}-partitioned table (add a MAXVALUE/DEFAULT "
-                "partition or widen the bounds)"
-            )
-    return out, spec
+        label = F.when(
+            label.isNull(), F.raise_error(F.lit(NO_HOME_MSG))
+        ).otherwise(label)
+    return df.withColumn(PART_COL, label), spec
 
 
 def prune_hash_eq(spark, spec: PartitionSpec, value) -> list[str]:
