@@ -55,6 +55,7 @@ GATE_PRIORITY: list[str] = [
     "range_partition_lifecycle",
     "list_partition_pruned_scan",
     "interval_partition_autoextend",
+    "subpartition_pruned_scan",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -104,7 +105,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q8_adapted",
     "tpch_q9_adapted",
     "tsstore_gapfill",
-    "unnest_project_set",
 ]
 
 

@@ -71,14 +71,15 @@ class TableManager:
         layout has no files to infer from)."""
         name = name.lower()
         meta = self.tables[name]
-        from .partition_ddl import PART_COL
+        from .partition_ddl import PART_COL, SUBPART_COL
 
         if meta.get("partition_spec") and meta.get("schema_ddl") \
                 and not self._has_data(name):
             return self.spark.createDataFrame([], meta["schema_ddl"])
         df = self.spark.read.parquet(self._path(name))
-        if PART_COL in df.columns:
-            df = df.drop(PART_COL)
+        for hidden in (PART_COL, SUBPART_COL):
+            if hidden in df.columns:
+                df = df.drop(hidden)
         return df
 
     def _has_data(self, name: str) -> bool:
@@ -185,20 +186,25 @@ class TableManager:
         n_out = max(1, -(-total // target_file_bytes))
         compacting = path + ".compacting"
         shutil.rmtree(compacting, ignore_errors=True)
-        pcol = self.tables[name].get("partition_by")
+        pcols = []
+        if self.tables[name].get("partition_by"):
+            pcols = [self.tables[name]["partition_by"]]
         if self.tables[name].get("partition_spec"):
-            from .partition_ddl import PART_COL
+            from .partition_ddl import PartitionSpec
 
-            pcol = PART_COL  # label already materialized on disk
+            # label column(s) already materialized on disk
+            pcols = PartitionSpec.from_meta(
+                self.tables[name]["partition_spec"]
+            ).partition_cols()
         df = self.spark.read.parquet(path)
-        if pcol is not None:
+        if pcols:
             # partitioned layout: compact WITHIN each partition dir
             # (repartition on the key; coalesce would merge across keys
             # and the writer would re-split them into tiny files again)
             (
-                df.repartition(int(n_out), pcol)
+                df.repartition(int(n_out), *pcols)
                 .write.mode("overwrite")
-                .partitionBy(pcol)
+                .partitionBy(*pcols)
                 .parquet(compacting)
             )
         else:
@@ -234,11 +240,7 @@ class TableManager:
         shutil.rmtree(compacting, ignore_errors=True)
         spec_meta = self.tables[name].get("partition_spec")
         if spec_meta:
-            from .partition_ddl import (
-                PART_COL,
-                PartitionSpec,
-                apply_labels,
-            )
+            from .partition_ddl import PartitionSpec, apply_labels
 
             # recompute the routing label: the rewritten relation may
             # carry updated key values (UPDATE moving rows across
@@ -249,11 +251,14 @@ class TableManager:
             self.tables[name]["partition_spec"] = spec.to_meta()
             # keep the catalog schema current (ALTER rewrites change
             # it; a later TRUNCATE must re-register the ALTERed shape)
+            hidden = set(spec.partition_cols())
             self.tables[name]["schema_ddl"] = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
-                for f in df.schema.fields if f.name != PART_COL
+                for f in df.schema.fields if f.name not in hidden
             )
-            writer = df.write.mode("overwrite").partitionBy(PART_COL)
+            writer = df.write.mode("overwrite").partitionBy(
+                *spec.partition_cols()
+            )
         else:
             pcol = self.tables[name].get("partition_by")
             writer = df.write.mode("overwrite")
@@ -292,7 +297,9 @@ class TableManager:
             )
             # INTERVAL auto-extension may have appended sys_p* bounds
             self.tables[name]["partition_spec"] = spec.to_meta()
-            writer = df.write.mode(mode).partitionBy(PART_COL)
+            writer = df.write.mode(mode).partitionBy(
+                *spec.partition_cols()
+            )
         else:
             writer = df.write.mode(mode)
             pcol = self.tables[name].get("partition_by")
@@ -659,14 +666,17 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             # partitioned table: cluster WITHIN each partition (the
             # reference's local-index order) — flattening the layout
             # would orphan every _part directory
-            from .partition_ddl import PART_COL
+            from .partition_ddl import PartitionSpec
 
+            pcols = PartitionSpec.from_meta(
+                engine.managed_tables.tables[name]["partition_spec"]
+            ).partition_cols()
             (
                 engine.spark.read.parquet(path)
-                .repartition(PART_COL)
-                .sortWithinPartitions(PART_COL, col)
+                .repartition(*pcols)
+                .sortWithinPartitions(*pcols, col)
                 .write.mode("overwrite")
-                .partitionBy(PART_COL)
+                .partitionBy(*pcols)
                 .parquet(compacting)
             )
         else:

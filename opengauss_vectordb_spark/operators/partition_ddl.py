@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PART_COL = "_part"
+SUBPART_COL = "_subpart"
 
 # a LESS-THAN bound of None means MAXVALUE; a LIST bound of None means
 # the DEFAULT partition
@@ -69,12 +70,32 @@ class PartitionSpec:
     ISO-date string bounds or unit None for a numeric step."""
 
     def __init__(self, kind: str, key: str, parts: list[tuple],
-                 interval: tuple | None = None):
+                 interval: tuple | None = None,
+                 sub_kind: str | None = None, sub_key: str | None = None,
+                 subparts: dict | None = None):
         self.kind = kind
         self.key = key
         self.parts = parts
         self.interval = tuple(interval) if interval else None
+        # two-level partitioning (SUBPARTITION BY — the reference's
+        # hw_subpartition_* family, pruned by subpartitionpruning.cpp):
+        # subparts maps partition name → its own [(subname, bound)]
+        # list, reusing the SAME bound machinery one level down
+        self.sub_kind = sub_kind
+        self.sub_key = sub_key
+        self.subparts = subparts or {}
         self._validate()
+        if sub_kind:
+            subnames: list = []
+            for pname, entries in self.subparts.items():
+                # each partition's sub-list validates as its own spec
+                PartitionSpec(sub_kind, sub_key, entries)
+                subnames.extend(n for n, _ in entries)
+            if len(set(subnames)) != len(subnames):
+                raise ValueError(
+                    "subpartition names must be unique table-wide "
+                    f"(the reference's rule): {subnames}"
+                )
 
     def _validate(self) -> None:
         names = [n for n, _ in self.parts]
@@ -158,6 +179,25 @@ class PartitionSpec:
         tail = F.lit(default_name) if default_name else F.lit(None)
         return tail if expr is None else expr.otherwise(tail)
 
+    def sub_label_expr(self) -> Column:
+        """Second-level routing: per-partition sub-CASE, dispatched on
+        the first-level label (subpartitionpruning.cpp's two-level
+        bound model)."""
+        plabel = self.label_expr()
+        expr = None
+        for pname, entries in self.subparts.items():
+            sub = PartitionSpec(self.sub_kind, self.sub_key, entries)
+            case = sub.label_expr()
+            cond = plabel == F.lit(pname)
+            expr = (
+                F.when(cond, case) if expr is None
+                else expr.when(cond, case)
+            )
+        return F.lit(None) if expr is None else expr
+
+    def partition_cols(self) -> list[str]:
+        return [PART_COL, SUBPART_COL] if self.sub_kind else [PART_COL]
+
     # -------------------------------------------------- prune-side
     def prune(self, op: str, value) -> list[str]:
         """Eligible partition names for ``key <op> value`` — the
@@ -225,6 +265,27 @@ class PartitionSpec:
             else:
                 btext = f"hash % {len(self.parts)} = {pos}"
             rows.append((table, name, self.kind, self.key, btext, pos))
+            for spos, (sname, sbound) in enumerate(
+                self.subparts.get(name, [])
+            ):
+                if self.sub_kind == "range":
+                    stext = (
+                        "MAXVALUE" if sbound is MAXVALUE
+                        else f"< {sbound!r}"
+                    )
+                elif self.sub_kind == "list":
+                    stext = (
+                        "DEFAULT" if sbound is MAXVALUE
+                        else "IN (" + ", ".join(
+                            repr(v) for v in sbound
+                        ) + ")"
+                    )
+                else:
+                    stext = str(sbound)
+                rows.append((
+                    table, f"{name}/{sname}", f"sub-{self.sub_kind}",
+                    self.sub_key, stext, spos,
+                ))
         return rows
 
     def to_meta(self) -> dict:
@@ -233,6 +294,9 @@ class PartitionSpec:
             "key": self.key,
             "parts": self.parts,
             "interval": self.interval,
+            "sub_kind": self.sub_kind,
+            "sub_key": self.sub_key,
+            "subparts": self.subparts,
         }
 
     @staticmethod
@@ -242,6 +306,9 @@ class PartitionSpec:
         return PartitionSpec(
             meta["kind"], meta["key"], meta["parts"],
             interval=meta.get("interval"),
+            sub_kind=meta.get("sub_kind"),
+            sub_key=meta.get("sub_key"),
+            subparts=meta.get("subparts"),
         )
 
 
@@ -326,7 +393,17 @@ def apply_labels(df: DataFrame, spec: PartitionSpec,
         label = F.when(
             label.isNull(), F.raise_error(F.lit(NO_HOME_MSG))
         ).otherwise(label)
-    return df.withColumn(PART_COL, label), spec
+    out = df.withColumn(PART_COL, label)
+    if spec.sub_kind:
+        if SUBPART_COL in out.columns:
+            out = out.drop(SUBPART_COL)
+        sub = spec.sub_label_expr()
+        if validate:
+            sub = F.when(
+                sub.isNull(), F.raise_error(F.lit(NO_HOME_MSG))
+            ).otherwise(sub)
+        out = out.withColumn(SUBPART_COL, sub)
+    return out, spec
 
 
 def prune_hash_eq(spark, spec: PartitionSpec, value) -> list[str]:
@@ -417,6 +494,22 @@ def pruned_scan(engine, name: str, predicate: str) -> DataFrame:
     df = engine.spark.read.parquet(mt._path(name))
     labels = eligible_labels(engine.spark, spec, predicate)
     df = df.filter(F.col(PART_COL).isin(labels))
+    if spec.sub_kind:
+        # second-level elimination (subpartitionpruning.cpp): union
+        # the eligible sub-labels across the surviving partitions
+        subs: list[str] = []
+        for pname in labels:
+            sub_spec = PartitionSpec(
+                spec.sub_kind, spec.sub_key,
+                spec.subparts.get(pname, []),
+            )
+            subs.extend(
+                eligible_labels(engine.spark, sub_spec, predicate)
+            )
+        df = df.filter(F.col(SUBPART_COL).isin(subs))
+        return df.filter(F.expr(predicate)).drop(
+            PART_COL, SUBPART_COL
+        )
     return df.filter(F.expr(predicate)).drop(PART_COL)
 
 
@@ -425,6 +518,8 @@ def pruned_scan(engine, name: str, predicate: str) -> DataFrame:
 _PARTITION_BY = re.compile(
     r"PARTITION\s+BY\s+(?P<kind>RANGE|LIST|HASH)\s*"
     r"\(\s*(?P<key>\w+)\s*\)\s*"
+    r"(?:SUBPARTITION\s+BY\s+(?P<skind>RANGE|LIST|HASH)\s*"
+    r"\(\s*(?P<skey>\w+)\s*\)\s*)?"
     r"(?:INTERVAL\s*\(\s*'(?P<ival>[^']+)'\s*\)\s*)?"
     r"(?:\(\s*(?P<parts>PARTITION\s+.+)\s*\)|"
     r"PARTITIONS\s+(?P<nparts>\d+))\s*;?\s*$",
@@ -442,11 +537,23 @@ _CREATE_PART = re.compile(
 )
 _PART_ENTRY_RANGE = re.compile(
     r"^PARTITION\s+(?P<name>\w+)\s+VALUES\s+LESS\s+THAN\s*"
-    r"\(\s*(?P<bound>[^)]+?)\s*\)$",
-    re.IGNORECASE,
+    r"\(\s*(?P<bound>[^)]+?)\s*\)"
+    r"(?:\s*\(\s*(?P<subs>SUBPARTITION\s+.+)\s*\))?$",
+    re.IGNORECASE | re.DOTALL,
 )
 _PART_ENTRY_LIST = re.compile(
     r"^PARTITION\s+(?P<name>\w+)\s+VALUES\s*"
+    r"\(\s*(?P<vals>.+?)\s*\)"
+    r"(?:\s*\(\s*(?P<subs>SUBPARTITION\s+.+)\s*\))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SUB_ENTRY_RANGE = re.compile(
+    r"^SUBPARTITION\s+(?P<name>\w+)\s+VALUES\s+LESS\s+THAN\s*"
+    r"\(\s*(?P<bound>[^)]+?)\s*\)$",
+    re.IGNORECASE,
+)
+_SUB_ENTRY_LIST = re.compile(
+    r"^SUBPARTITION\s+(?P<name>\w+)\s+VALUES\s*"
     r"\(\s*(?P<vals>.+?)\s*\)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -464,6 +571,20 @@ _ALTER_DROP_PART = re.compile(
 _ALTER_TRUNC_PART = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+TRUNCATE\s+PARTITION\s+"
     r"(?P<part>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_SUBPART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+SUBPARTITION\s+"
+    r"(?P<part>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TRUNC_SUBPART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+TRUNCATE\s+SUBPARTITION\s+"
+    r"(?P<part>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SUBPART_SELECTOR = re.compile(
+    r"\b(?P<tbl>\w+)\s+SUBPARTITION\s*\(\s*(?P<part>\w+)\s*\)",
     re.IGNORECASE,
 )
 _PG_PARTITIONS = re.compile(
@@ -539,7 +660,22 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
             int(im.group("n")),
             im.group("unit").lower() if im.group("unit") else None,
         )
+    sub_kind = (m.group("skind") or "").lower() or None
+    sub_key = (m.group("skey") or "").lower() or None
+    if sub_kind == "hash":
+        raise NotImplementedError(
+            "SUBPARTITION BY HASH templates are not supported — use "
+            "RANGE or LIST subpartitions, or hash at the top level"
+        )
+    if sub_kind and interval:
+        raise NotImplementedError(
+            "INTERVAL with SUBPARTITION BY is not supported"
+        )
     if kind == "hash":
+        if sub_kind:
+            raise NotImplementedError(
+                "SUBPARTITION under HASH partitioning is not supported"
+            )
         if not m.group("nparts"):
             raise ValueError(
                 "PARTITION BY HASH needs PARTITIONS <n>"
@@ -549,31 +685,69 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
             "hash", key, [(f"p{i}", i) for i in range(n)],
             interval=interval,  # validation rejects INTERVAL + HASH
         )
+
+    def _list_bound(vals_text: str):
+        if re.match(r"^\s*DEFAULT\s*$", vals_text, re.IGNORECASE):
+            return MAXVALUE
+        return tuple(
+            _parse_literal(v) for v in _split_entries(vals_text)
+        )
+
     entries = _split_entries(m.group("parts"))
     parts: list[tuple] = []
+    subparts: dict[str, list[tuple]] = {}
     for e in entries:
         if kind == "range":
             em = _PART_ENTRY_RANGE.match(e)
             if em is None:
                 raise ValueError(f"cannot parse range partition: {e!r}")
-            parts.append(
-                (em.group("name").lower(),
-                 _parse_literal(em.group("bound")))
-            )
+            pname = em.group("name").lower()
+            parts.append((pname, _parse_literal(em.group("bound"))))
         else:
             em = _PART_ENTRY_LIST.match(e)
             if em is None:
                 raise ValueError(f"cannot parse list partition: {e!r}")
-            vals_text = em.group("vals")
-            if re.match(r"^\s*DEFAULT\s*$", vals_text, re.IGNORECASE):
-                parts.append((em.group("name").lower(), MAXVALUE))
+            pname = em.group("name").lower()
+            parts.append((pname, _list_bound(em.group("vals"))))
+        if sub_kind:
+            subs_text = em.groupdict().get("subs")
+            if subs_text:
+                subs: list[tuple] = []
+                for se in _split_entries(subs_text):
+                    if sub_kind == "range":
+                        sm = _SUB_ENTRY_RANGE.match(se)
+                        if sm is None:
+                            raise ValueError(
+                                f"cannot parse range subpartition: {se!r}"
+                            )
+                        subs.append(
+                            (sm.group("name").lower(),
+                             _parse_literal(sm.group("bound")))
+                        )
+                    else:
+                        sm = _SUB_ENTRY_LIST.match(se)
+                        if sm is None:
+                            raise ValueError(
+                                f"cannot parse list subpartition: {se!r}"
+                            )
+                        subs.append(
+                            (sm.group("name").lower(),
+                             _list_bound(sm.group("vals")))
+                        )
+                subparts[pname] = subs
             else:
-                parts.append(
-                    (em.group("name").lower(),
-                     tuple(_parse_literal(v)
-                           for v in _split_entries(vals_text)))
-                )
-    return PartitionSpec(kind, key, parts, interval=interval)
+                # the reference auto-creates <p>_subpartdefault1 when a
+                # partition omits its subpartition list — one catch-all
+                subparts[pname] = [
+                    (f"{pname}_subpartdefault1", MAXVALUE)
+                ]
+        elif em.groupdict().get("subs"):
+            raise ValueError(
+                "subpartition list given without SUBPARTITION BY"
+            )
+    return PartitionSpec(kind, key, parts, interval=interval,
+                         sub_kind=sub_kind, sub_key=sub_key,
+                         subparts=subparts)
 
 
 # ---------------------------------------------------------- handlers
@@ -611,6 +785,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         if spec.key not in {c for c, _ in cols}:
             raise ValueError(
                 f"partition key {spec.key!r} is not a table column"
+            )
+        if spec.sub_key and spec.sub_key not in {c for c, _ in cols}:
+            raise ValueError(
+                f"subpartition key {spec.sub_key!r} is not a table "
+                "column"
             )
         schema = ", ".join(f"{c} {_map_type(t)}" for c, t in cols)
         # no physical write yet: an empty partitioned layout has no
@@ -657,7 +836,17 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 "ADD PARTITION on a hash-partitioned table would "
                 "re-route every row — recreate with more PARTITIONS"
             )
-        new_spec = PartitionSpec(spec.kind, spec.key, new_parts)
+        new_subparts = dict(spec.subparts)
+        if spec.sub_kind:
+            # the reference auto-creates <p>_subpartdefault1 for an
+            # ADD PARTITION without an explicit subpartition list
+            new_subparts[pname] = [
+                (f"{pname}_subpartdefault1", MAXVALUE)
+            ]
+        new_spec = PartitionSpec(spec.kind, spec.key, new_parts,
+                                 sub_kind=spec.sub_kind,
+                                 sub_key=spec.sub_key,
+                                 subparts=new_subparts)
         mt.tables[name]["partition_spec"] = new_spec.to_meta()
         mt.tables[name]["version"] += 1
         return engine.spark.createDataFrame(
@@ -702,6 +891,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 spec = PartitionSpec(
                     spec.kind, spec.key,
                     [(n, b) for n, b in spec.parts if n != pname],
+                    sub_kind=spec.sub_kind, sub_key=spec.sub_key,
+                    subparts={
+                        p: s for p, s in spec.subparts.items()
+                        if p != pname
+                    },
                 )
                 mt.tables[name]["partition_spec"] = spec.to_meta()
             mt.tables[name]["version"] += 1
@@ -709,6 +903,51 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             return engine.spark.createDataFrame(
                 [(tag, name, pname)],
                 "tag STRING, tbl STRING, partition STRING",
+            )
+    for pat, keep_def, tag in (
+        (_ALTER_DROP_SUBPART, False, "DROP SUBPARTITION"),
+        (_ALTER_TRUNC_SUBPART, True, "TRUNCATE SUBPARTITION"),
+    ):
+        m = pat.match(query)
+        if m and m.group("name").lower() in mt.tables:
+            name = m.group("name").lower()
+            spec = PartitionSpec.from_meta(
+                mt.tables[name].get("partition_spec")
+            )
+            if spec is None or not spec.sub_kind:
+                raise ValueError(
+                    f"table {name!r} is not subpartitioned"
+                )
+            sname = m.group("part").lower()
+            owner = next(
+                (p for p, subs in spec.subparts.items()
+                 if sname in {n for n, _ in subs}), None,
+            )
+            if owner is None:
+                raise KeyError(
+                    f"subpartition {sname!r} of {name!r} does not exist"
+                )
+            sdir = os.path.join(
+                mt._path(name), f"{PART_COL}={owner}",
+                f"{SUBPART_COL}={sname}",
+            )
+            shutil.rmtree(sdir, ignore_errors=True)
+            if not keep_def:
+                kept = [
+                    e for e in spec.subparts[owner] if e[0] != sname
+                ]
+                if not kept:
+                    raise ValueError(
+                        "cannot drop a partition's last subpartition — "
+                        "DROP PARTITION instead"
+                    )
+                spec.subparts[owner] = kept
+                mt.tables[name]["partition_spec"] = spec.to_meta()
+            mt.tables[name]["version"] += 1
+            mt._register_view(name)
+            return engine.spark.createDataFrame(
+                [(tag, name, sname)],
+                "tag STRING, tbl STRING, subpartition STRING",
             )
     return None
 
@@ -737,6 +976,12 @@ def _exchange_partition(engine, m):
     spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
     if spec is None:
         raise ValueError(f"table {name!r} is not partitioned")
+    if spec.sub_kind:
+        raise NotImplementedError(
+            "EXCHANGE PARTITION on a subpartitioned table is not "
+            "supported — exchange at subpartition granularity is the "
+            "reference shape; DROP/TRUNCATE SUBPARTITION instead"
+        )
     if part not in {n for n, _ in spec.parts}:
         raise KeyError(f"partition {part!r} of {name!r} does not exist")
     if other not in mt.tables:
@@ -815,6 +1060,11 @@ def _merge_partitions(engine, m):
     spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
     if spec is None:
         raise ValueError(f"table {name!r} is not partitioned")
+    if spec.sub_kind:
+        raise NotImplementedError(
+            "MERGE PARTITIONS on a subpartitioned table is not "
+            "supported"
+        )
     if spec.kind == "hash":
         raise NotImplementedError(
             "MERGE PARTITIONS on hash partitioning would re-route rows"
@@ -895,6 +1145,10 @@ def _split_partition(engine, m):
     spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
     if spec is None:
         raise ValueError(f"table {name!r} is not partitioned")
+    if spec.sub_kind:
+        raise NotImplementedError(
+            "SPLIT PARTITION on a subpartitioned table is not supported"
+        )
     if spec.kind != "range":
         raise NotImplementedError(
             "SPLIT PARTITION applies to range partitioning"
@@ -960,30 +1214,48 @@ def _rewrite_partition_selectors(engine, query: str):
 
     mt = engine.managed_tables
     hits = []
-    for sm in _PART_SELECTOR.finditer(query):
-        tbl = sm.group("tbl").lower()
-        if tbl in mt.tables and mt.tables[tbl].get("partition_spec"):
-            hits.append(sm)
+    for pat, is_sub in ((_SUBPART_SELECTOR, True), (_PART_SELECTOR, False)):
+        for sm in pat.finditer(query):
+            tbl = sm.group("tbl").lower()
+            if tbl in mt.tables and mt.tables[tbl].get("partition_spec"):
+                hits.append((sm, is_sub))
     if not hits:
         return None
+    hits.sort(key=lambda h: h[0].start())
     out = []
     last = 0
-    for sm in hits:
+    for sm, is_sub in hits:
         tbl = sm.group("tbl").lower()
         part = sm.group("part").lower()
         spec = PartitionSpec.from_meta(
             mt.tables[tbl]["partition_spec"]
         )
-        if part not in {n for n, _ in spec.parts}:
-            raise KeyError(
-                f"partition {part!r} of {tbl!r} does not exist"
+        if is_sub:
+            owner = next(
+                (p for p, subs in spec.subparts.items()
+                 if part in {n for n, _ in subs}), None,
             )
-        pdir = os.path.join(mt._path(tbl), f"{PART_COL}={part}")
-        view = f"__part_{tbl}_{part}"
+            if owner is None:
+                raise KeyError(
+                    f"subpartition {part!r} of {tbl!r} does not exist"
+                )
+            pdir = os.path.join(
+                mt._path(tbl), f"{PART_COL}={owner}",
+                f"{SUBPART_COL}={part}",
+            )
+            view = f"__subpart_{tbl}_{part}"
+        else:
+            if part not in {n for n, _ in spec.parts}:
+                raise KeyError(
+                    f"partition {part!r} of {tbl!r} does not exist"
+                )
+            pdir = os.path.join(mt._path(tbl), f"{PART_COL}={part}")
+            view = f"__part_{tbl}_{part}"
         if os.path.exists(pdir):
             df = engine.spark.read.parquet(pdir)
-            if PART_COL in df.columns:
-                df = df.drop(PART_COL)
+            for hidden in (PART_COL, SUBPART_COL):
+                if hidden in df.columns:
+                    df = df.drop(hidden)
         else:
             df = mt.read(tbl).limit(0)
         df.createOrReplaceTempView(view)
@@ -1249,5 +1521,103 @@ def interval_partition_autoextend(spark, sf_dir):
         return spark.createDataFrame(
             rows, "month STRING, n BIGINT, total DOUBLE"
         ).orderBy("month")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "subpartition_pruned_scan",
+    """
+    WITH ins AS (
+      SELECT substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7)
+               AS m,
+             o_orderpriority AS prio, o_totalprice
+      FROM orders WHERE o_orderkey <= 3000
+    ), ph1 AS (
+      SELECT 'pruned' AS phase, prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins
+      WHERE m < '1997-01' AND prio IN ('1-URGENT', '2-HIGH')
+      GROUP BY prio
+    ), ph2 AS (
+      SELECT 'selector' AS phase, prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM ins
+      WHERE m >= '1997-01' AND prio IN ('1-URGENT', '2-HIGH')
+      GROUP BY prio
+    )
+    SELECT * FROM ph1 UNION ALL SELECT * FROM ph2
+    ORDER BY phase, prio
+    """,
+)
+def subpartition_pruned_scan(spark, sf_dir):
+    """Two-level partitioning end-to-end (hw_subpartition_scan's
+    range_list shape, pruned per subpartitionpruning.cpp): a
+    month-range × priority-list table absorbs an orders slice; phase 1
+    aggregates a scan ELIMINATED ON BOTH KEYS (one partition × one
+    subpartition of four leaves); phase 2 aggregates a SUBPARTITION
+    selector scan (one leaf directory, no elimination walk at all).
+    The oracle spells both phases as plain predicates.
+
+    Scale: routing is one two-level CASE inside the INSERT's write;
+    each leaf is a directory, so both elimination and selectors skip
+    at the file-listing level — a 100 TB month×source fact table reads
+    exactly the leaves it names."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="subpart_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE sp_gate (m text, prio text, price double)"
+            " PARTITION BY RANGE (m) SUBPARTITION BY LIST (prio) ("
+            "  PARTITION p_early VALUES LESS THAN ('1997-01') ("
+            "    SUBPARTITION pe_u VALUES ('1-URGENT', '2-HIGH'),"
+            "    SUBPARTITION pe_r VALUES (DEFAULT)"
+            "  ),"
+            "  PARTITION p_late VALUES LESS THAN ('9999-99') ("
+            "    SUBPARTITION pl_u VALUES ('1-URGENT', '2-HIGH'),"
+            "    SUBPARTITION pl_r VALUES (DEFAULT)"
+            "  ))"
+        )
+        eng.sql(
+            "INSERT INTO sp_gate SELECT"
+            " substr(CAST(CAST(o_orderdate AS DATE) AS STRING), 1, 7),"
+            " o_orderpriority, o_totalprice"
+            " FROM orders WHERE o_orderkey <= 3000"
+        )
+
+        def agg(df, phase):
+            return df.groupBy("prio").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            ).select(F.lit(phase).alias("phase"), "prio", "n", "total")
+
+        ph1 = agg(
+            pruned_scan(
+                eng, "sp_gate",
+                "m < '1997-01' AND prio IN ('1-URGENT', '2-HIGH')",
+            ),
+            "pruned",
+        ).collect()
+        ph2 = agg(
+            eng.sql("SELECT * FROM sp_gate SUBPARTITION (pl_u)"),
+            "selector",
+        ).collect()
+        eng.sql("DROP TABLE sp_gate")
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
+            "phase STRING, prio STRING, n BIGINT, total DOUBLE",
+        ).orderBy("phase", "prio")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

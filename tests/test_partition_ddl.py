@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from opengauss_vectordb_spark.engine import Engine
 from opengauss_vectordb_spark.operators.partition_ddl import (
     PART_COL,
+    SUBPART_COL,
     PartitionSpec,
     eligible_labels,
     parse_partition_by,
@@ -590,3 +591,112 @@ def test_local_index_on_partitioned_table(spark, tmp_path):
         "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey <= 300"
     ).collect()[0].n
     eng.sql("DROP TABLE pli")
+
+
+def test_subpartition_range_list(spark, tmp_path):
+    """Two-level partitioning (the reference's hw_subpartition_scan
+    range_list shape): routing writes _part/_subpart directories,
+    elimination prunes on BOTH keys, selectors read one partition or
+    one subpartition, TRUNCATE/DROP SUBPARTITION unlink one leaf
+    directory."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE rl (month_code text, dept_code text, amt bigint) "
+        "PARTITION BY RANGE (month_code) SUBPARTITION BY LIST "
+        "(dept_code) ("
+        "  PARTITION p_201901 VALUES LESS THAN ('201903') ("
+        "    SUBPARTITION p_201901_a VALUES ('1'),"
+        "    SUBPARTITION p_201901_b VALUES ('2')"
+        "  ),"
+        "  PARTITION p_201902 VALUES LESS THAN ('201910') ("
+        "    SUBPARTITION p_201902_a VALUES ('1'),"
+        "    SUBPARTITION p_201902_b VALUES ('2')"
+        "  ))"
+    )
+    eng.sql(
+        "INSERT INTO rl VALUES ('201902', '1', 1), ('201902', '2', 1),"
+        " ('201902', '1', 1), ('201903', '2', 1), ('201903', '1', 1)"
+    )
+    path = eng.managed_tables._path("rl")
+    assert os.path.isdir(os.path.join(
+        path, f"{PART_COL}=p_201901", f"{SUBPART_COL}=p_201901_a"
+    ))
+    assert eng.sql("SELECT * FROM rl").columns == [
+        "month_code", "dept_code", "amt"
+    ]
+    assert eng.sql("SELECT COUNT(*) AS n FROM rl").collect()[0].n == 5
+    # pg_partitions lists subpartitions under their parents
+    rows = eng.sql("SELECT * FROM pg_partitions").collect()
+    names = [r.partitionname for r in rows]
+    assert "p_201901/p_201901_a" in names and "p_201902" in names
+
+    # two-level elimination
+    df = pruned_scan(
+        eng, "rl", "month_code < '201903' AND dept_code = '1'"
+    )
+    assert df.count() == 2  # the two ('201902', '1') rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # selectors
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM rl PARTITION (p_201901)"
+    ).collect()[0].n == 3
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM rl SUBPARTITION (p_201901_b)"
+    ).collect()[0].n == 1
+
+    # TRUNCATE SUBPARTITION: one leaf unlink, definition kept
+    eng.sql("ALTER TABLE rl TRUNCATE SUBPARTITION p_201901_b")
+    assert eng.sql("SELECT COUNT(*) AS n FROM rl").collect()[0].n == 4
+    assert "p_201901/p_201901_b" in [
+        r.partitionname
+        for r in eng.sql("SELECT * FROM pg_partitions").collect()
+    ]
+    # DROP SUBPARTITION removes the definition too
+    eng.sql("ALTER TABLE rl DROP SUBPARTITION p_201901_b")
+    assert "p_201901/p_201901_b" not in [
+        r.partitionname
+        for r in eng.sql("SELECT * FROM pg_partitions").collect()
+    ]
+    # a dept '2' row now has no home under p_201901
+    with pytest.raises(ValueError, match="do not map"):
+        eng.sql("INSERT INTO rl VALUES ('201902', '2', 9)")
+    with pytest.raises(ValueError, match="last subpartition"):
+        eng.sql("ALTER TABLE rl DROP SUBPARTITION p_201901_a")
+    eng.sql("DROP TABLE rl")
+
+
+def test_subpartition_default_and_add_partition(spark, tmp_path):
+    """A partition without an explicit subpartition list gets the
+    auto <p>_subpartdefault1 catch-all (the reference's naming), and
+    ADD PARTITION on a subpartitioned table does the same."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE sd (k bigint, c text, v bigint) "
+        "PARTITION BY RANGE (k) SUBPARTITION BY LIST (c) ("
+        "  PARTITION p0 VALUES LESS THAN (10))"
+    )
+    eng.sql("INSERT INTO sd VALUES (1, 'anything', 1)")
+    names = [r.partitionname for r in
+             eng.sql("SELECT * FROM pg_partitions").collect()]
+    assert "p0/p0_subpartdefault1" in names
+    eng.sql("ALTER TABLE sd ADD PARTITION p1 VALUES LESS THAN (20)")
+    eng.sql("INSERT INTO sd VALUES (15, 'x', 2)")
+    names = [r.partitionname for r in
+             eng.sql("SELECT * FROM pg_partitions").collect()]
+    assert "p1/p1_subpartdefault1" in names
+    assert eng.sql("SELECT COUNT(*) AS n FROM sd").collect()[0].n == 2
+    # partition-level ops refuse on subpartitioned tables
+    eng.sql("CREATE TABLE sd_stage (k bigint, c text, v bigint)")
+    with pytest.raises(NotImplementedError, match="subpartitioned"):
+        eng.sql("ALTER TABLE sd EXCHANGE PARTITION (p0)"
+                " WITH TABLE sd_stage")
+    with pytest.raises(NotImplementedError, match="subpartitioned"):
+        eng.sql("ALTER TABLE sd MERGE PARTITIONS p0, p1"
+                " INTO PARTITION pm")
+    with pytest.raises(NotImplementedError, match="subpartitioned"):
+        eng.sql("ALTER TABLE sd SPLIT PARTITION p0 AT (5) INTO "
+                "(PARTITION a, PARTITION b)")
+    eng.sql("DROP TABLE sd")
+    eng.sql("DROP TABLE sd_stage")
