@@ -439,6 +439,13 @@ def eligible_labels(spark, spec: PartitionSpec, predicate: str
     anything unparsed leaves it untouched (over-approximation — the
     full predicate is always re-applied on the survivors)."""
     labels = {n for n, _ in spec.parts}
+    # the extraction below assumes a pure AND-conjunction: under OR or
+    # NOT, a key comparison no longer bounds the result set ("k < 10
+    # OR flag" matches rows in EVERY partition), so constraining
+    # labels from it would DROP rows. Bail to the full label set —
+    # pruning must stay a superset, correctness never depends on it.
+    if re.search(r"\b(OR|NOT)\b", predicate, re.IGNORECASE):
+        return [n for n, _ in spec.parts]
     # BETWEEN first — its own AND would be torn apart by the conjunct
     # split below; constraints extracted here are masked out
     def _between(m):

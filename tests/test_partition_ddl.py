@@ -700,3 +700,34 @@ def test_subpartition_default_and_add_partition(spark, tmp_path):
                 "(PARTITION a, PARTITION b)")
     eng.sql("DROP TABLE sd")
     eng.sql("DROP TABLE sd_stage")
+
+
+def test_pruning_bails_under_or_and_not(spark, tmp_path):
+    """A key comparison under OR/NOT no longer bounds the result set —
+    elimination must bail to all labels rather than drop rows."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE por (k bigint, flag bigint) "
+        "PARTITION BY RANGE (k) ("
+        "PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION pmax VALUES LESS THAN (MAXVALUE))"
+    )
+    eng.sql("INSERT INTO por VALUES (1, 0), (50, 1)")
+    spec = PartitionSpec.from_meta(
+        eng.managed_tables.tables["por"]["partition_spec"]
+    )
+    assert eligible_labels(eng.spark, spec, "k < 10 OR flag = 1") == [
+        "p0", "pmax"
+    ]
+    assert eligible_labels(
+        eng.spark, spec, "NOT (k BETWEEN 1 AND 5)"
+    ) == ["p0", "pmax"]
+    # rows from BOTH partitions survive the scan
+    assert sorted(
+        r.k for r in pruned_scan(eng, "por", "k < 10 OR flag = 1")
+        .collect()
+    ) == [1, 50]
+    assert [r.k for r in
+            pruned_scan(eng, "por", "NOT (k BETWEEN 1 AND 60)")
+            .collect()] == []
+    eng.sql("DROP TABLE por")
