@@ -56,6 +56,7 @@ GATE_PRIORITY: list[str] = [
     "list_partition_pruned_scan",
     "interval_partition_autoextend",
     "subpartition_pruned_scan",
+    "package_member_function",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -104,7 +105,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q7_adapted",
     "tpch_q8_adapted",
     "tpch_q9_adapted",
-    "tsstore_gapfill",
 ]
 
 

@@ -194,6 +194,12 @@ class Engine:
         shows a command tag), and DROP INDEX deregisters it."""
         from .functions.sql_compat import translate
 
+        # pkg.member( → pkg__member( (pl_package.cpp call resolution)
+        # FIRST, so CALL/SELECT/DML handlers all see the mangled name;
+        # identity when no packages exist
+        from .operators.packages import rewrite_member_calls
+
+        query = rewrite_member_calls(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies)"
@@ -420,6 +426,11 @@ class Engine:
         from .operators.rls import try_handle_stmt as _rls_stmt
 
         handled = _rls_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.packages import try_handle_stmt as _pkg_stmt
+
+        handled = _pkg_stmt(self, query)
         if handled is not None:
             return handled
         routed = self._maybe_route_ann_select(query)

@@ -74,6 +74,7 @@ def load_all_queries() -> None:
         matview,
         merge,
         multimodal,
+        packages,
         partition_ddl,
         portal,
         prepared,

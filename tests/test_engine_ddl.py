@@ -1489,3 +1489,137 @@ def test_alter_column_type(spark, tmp_path):
     with pytest.raises(KeyError):
         eng.sql("ALTER TABLE at2 ALTER COLUMN nope TYPE int")
     eng.sql("DROP TABLE at2")
+
+
+def test_package_spec_body_and_calls(spark):
+    """CREATE PACKAGE / PACKAGE BODY (pl_package.cpp; hw_package
+    regress): members compile through the plpgsql path under mangled
+    names and pkg.member(...) call sites resolve — inlined SQL, no
+    Python in the plan."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE OR REPLACE PACKAGE pricing IS
+          FUNCTION tier(amt double) RETURN text;
+          FUNCTION bump(amt double, pct double) RETURN double;
+        END pricing;
+    """)
+    eng.sql("""
+        CREATE OR REPLACE PACKAGE BODY pricing AS
+          FUNCTION tier(amt double) RETURN text IS
+          BEGIN
+            IF amt >= 200000 THEN
+              RETURN 'high';
+            ELSIF amt >= 100000 THEN
+              RETURN 'mid';
+            ELSE
+              RETURN 'low';
+            END IF;
+          END;
+          FUNCTION bump(amt double, pct double) RETURN double IS
+            delta double := amt * pct;
+          BEGIN
+            RETURN amt + delta;
+          END;
+        END pricing;
+    """)
+    out = eng.sql(
+        "SELECT o_orderkey, pricing.tier(o_totalprice) AS t,"
+        " pricing.bump(o_totalprice, 0.1) AS b"
+        " FROM orders WHERE o_orderkey <= 7 ORDER BY o_orderkey"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        base = eng.sql(
+            f"SELECT o_totalprice AS p FROM orders"
+            f" WHERE o_orderkey = {r.o_orderkey}"
+        ).collect()[0].p
+        expect = "high" if base >= 200000 else (
+            "mid" if base >= 100000 else "low"
+        )
+        assert r.t == expect
+        assert abs(r.b - base * 1.1) < 1e-6
+    # members survive in aggregates too
+    agg = eng.sql(
+        "SELECT pricing.tier(o_totalprice) AS t, COUNT(*) AS n"
+        " FROM orders GROUP BY pricing.tier(o_totalprice) ORDER BY t"
+    ).collect()
+    assert {r.t for r in agg} <= {"high", "mid", "low"}
+    eng.sql("DROP PACKAGE pricing")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.sql(
+            "SELECT pricing__tier(o_totalprice) FROM orders LIMIT 1"
+        ).collect()
+
+
+def test_package_refusals(spark):
+    """Variables, exceptions, and overloads refuse with the
+    documented guidance; body members must be declared."""
+    import pytest as _pytest
+
+    eng = Engine(spark, SF_CORRECT)
+    with _pytest.raises(NotImplementedError, match="variables"):
+        eng.sql("""
+            CREATE PACKAGE statepkg IS
+              counter int;
+              FUNCTION f(x int) RETURN int;
+            END statepkg;
+        """)
+    with _pytest.raises(NotImplementedError, match="EXCEPTION"):
+        eng.sql("""
+            CREATE PACKAGE exppkg IS
+              user_exp EXCEPTION;
+            END exppkg;
+        """)
+    with _pytest.raises(NotImplementedError, match="OVERLOAD"):
+        eng.sql("""
+            CREATE PACKAGE ovl IS
+              FUNCTION f(x int) RETURN int;
+              FUNCTION f(x int, y int) RETURN int;
+            END ovl;
+        """)
+    eng.sql("CREATE PACKAGE pk1 IS FUNCTION g(x int) RETURN int; END pk1;")
+    with _pytest.raises(ValueError, match="not declared"):
+        eng.sql("""
+            CREATE PACKAGE BODY pk1 AS
+              FUNCTION h(x int) RETURN int IS BEGIN RETURN x; END;
+            END pk1;
+        """)
+    eng.sql("DROP PACKAGE pk1")
+    with _pytest.raises(KeyError):
+        eng.sql("DROP PACKAGE pk1")
+    # IF EXISTS tolerates absence
+    assert eng.sql(
+        "DROP PACKAGE IF EXISTS pk1"
+    ).collect()[0].existed is False
+
+
+def test_package_procedure_member(spark, tmp_path):
+    """A PROCEDURE member routes to the CREATE PROCEDURE runner;
+    CALL pkg.proc(...) resolves through the same rewrite."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE pkg_log (tag text, n bigint)")
+    eng.sql("""
+        CREATE PACKAGE loader IS
+          PROCEDURE load_tag(t text);
+        END loader;
+    """)
+    eng.sql("""
+        CREATE PACKAGE BODY loader AS
+          PROCEDURE load_tag(t text) IS
+          DECLARE cnt bigint;
+          BEGIN
+            SELECT COUNT(*) INTO cnt FROM orders WHERE o_orderkey <= 100;
+            INSERT INTO pkg_log VALUES (t, cnt);
+          END;
+        END loader;
+    """)
+    eng.sql("CALL loader.load_tag('first')")
+    rows = eng.sql("SELECT * FROM pkg_log").collect()
+    assert len(rows) == 1 and rows[0].tag == "first" and rows[0].n > 0
+    eng.sql("DROP PACKAGE loader")
+    eng.sql("DROP TABLE pkg_log")
