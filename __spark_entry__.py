@@ -32,16 +32,22 @@ registry.load_all_queries()
 # dtype KINDS on both sides (null-aware — nulls legitimately floatify
 # both engines), and a full audit found no other null-free offender.
 #
-# ROUND 7 window (exactly 50): (a) the 2 NEW registrations — named-
+# ROUND 7 window (exactly 50): (a) the 5 NEW registrations — named-
 # partition DDL (operators/partition_ddl.py: PARTITION BY RANGE/LIST/
-# HASH, write-side routing CASE, driver-side partition elimination →
-# PartitionFilters, O(1) DROP/TRUNCATE PARTITION); (b) the
+# HASH bounds grammar, write-side routing CASE with in-write
+# raise_error validation, driver-side partition elimination →
+# PartitionFilters, O(1) DROP/TRUNCATE/EXCHANGE PARTITION, MERGE/
+# SPLIT PARTITIONS, INTERVAL auto-extension, two-level SUBPARTITION
+# BY with both-key elimination, PARTITION/SUBPARTITION selector
+# scans, pg_partitions) and PL/SQL PACKAGEs (operators/packages.py:
+# spec/body DDL, members compiled via the plpgsql path under mangled
+# names, pkg.member() call-site resolution); (b) the
 # source_mix_rebalance re-gate; (c) re-gates for every query whose
 # code path churned this round (merge.py: INSERT-expression isolation
 # via __ins_* columns, one-pass alias rewrite, first-match-wins clause
 # order; plpython.py: verbatim bodies; ddl_tables.py: TableManager
 # read()/spec-partitioning hooks touching the whole managed-table
-# family incl. RLS/masking view registration); (d) rotation of the 35
+# family incl. RLS/masking view registration); (d) rotation of the 31
 # stalest rows — queries whose latest gate evidence is still round 1.
 #
 # The one engine surface deliberately left engine-test-only: CREATE
