@@ -63,6 +63,7 @@ GATE_PRIORITY: list[str] = [
     "interval_partition_autoextend",
     "subpartition_pruned_scan",
     "package_member_function",
+    "dml_returning",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -94,7 +95,6 @@ GATE_PRIORITY: list[str] = [
     "geo_point_funcs",
     "inet_funcs",
     "interval_arithmetic",
-    "interval_justify",
     "like_regex_funcs",
     "range_types_overlap",
     "regexp_srf_funcs",

@@ -108,7 +108,13 @@ class TableManager:
         return self.spark.read.parquet(self._path(name)).count()
 
     def insert_into(self, name: str, df: DataFrame,
-                    transform=None) -> None:
+                    transform=None,
+                    capture: bool = False) -> DataFrame | None:
+        """Appends; with ``capture`` the final (cast + trigger-fired)
+        rows are MATERIALIZED before the write and returned as a local
+        frame — the INSERT ... RETURNING surface.  Materializing first
+        keeps the snapshot consistent when the source SELECT reads the
+        target table itself."""
         name = name.lower()
         if name not in self.tables:
             raise KeyError(f"managed table {name!r} does not exist")
@@ -129,7 +135,14 @@ class TableManager:
         # as PG fires them after the tuple is cast to the table rowtype
         if transform is not None:
             aligned = transform(aligned)
+        captured = None
+        if capture:
+            captured = self.spark.createDataFrame(
+                aligned.collect(), aligned.schema
+            )
+            aligned = captured
         self._write(name, aligned, mode="append")
+        return captured
 
     def drop(self, name: str) -> bool:
         name = name.lower()
@@ -384,7 +397,8 @@ def _parse_column_list(cols: str) -> list[tuple[str, str]]:
 
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+"
-    r"(?P<stmt>(?:SELECT|WITH|VALUES|TABLE)\b.+?)\s*;?\s*$",
+    r"(?P<stmt>(?:SELECT|WITH|VALUES|TABLE)\b.+?)"
+    r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_TABLE = re.compile(
@@ -393,14 +407,45 @@ _DROP_TABLE = re.compile(
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>\w+)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Paren-aware top-level comma split (RETURNING expression lists)."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _returning_frame(engine, rows_df, ret: str):
+    """RETURNING projection (nodeModifyTable.cpp's returningList),
+    MATERIALIZED before the copy-on-write swap — the lazy frame reads
+    the pre-rewrite path, which the swap replaces.  PG streams
+    RETURNING rows to the client the same way; the affected set is
+    WHERE-bounded, not table-sized."""
+    out = rows_df.selectExpr(*_split_top_commas(ret))
+    return engine.spark.createDataFrame(out.collect(), out.schema)
 
 
 def _split_set_clauses(sets: str) -> list[tuple[str, str]]:
@@ -733,10 +778,15 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         from .triggers import fire_insert_triggers
 
         name = m.group("name")
-        engine.managed_tables.insert_into(
+        captured = engine.managed_tables.insert_into(
             name, engine.sql(m.group("stmt")),
             transform=lambda d: fire_insert_triggers(engine, name, d),
+            capture=bool(m.group("ret")),
         )
+        if m.group("ret"):
+            # the inserted rows post-cast and post-trigger, as PG's
+            # INSERT RETURNING
+            return _returning_frame(engine, captured, m.group("ret"))
         return engine.spark.createDataFrame(
             [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"
         )
@@ -771,11 +821,26 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 )
             else:
                 cols.append(F.col(f.name))
-        updated = df.select(*cols)
-        updated = fire_update_triggers(
-            engine, name, updated, cond, set_cols=set(sets), schema=by_name
+        # the hit flag is computed in the SAME projection as the SET
+        # CASEs, over OLD values — re-evaluating the WHERE on the
+        # updated frame would see NEW values ("SET v = v + 1 WHERE
+        # v = 10" must still hit), for triggers and RETURNING alike
+        flag = "__upd_hit"
+        updated_f = df.select(*cols, cond.alias(flag))
+        updated_f = fire_update_triggers(
+            engine, name, updated_f, F.col(flag),
+            set_cols=set(sets), schema=by_name,
         )
-        engine.managed_tables.rewrite(name, updated)
+        returning = None
+        if m.group("ret"):
+            # NEW row values of the hit rows, as PG's UPDATE RETURNING
+            returning = _returning_frame(
+                engine, updated_f.filter(F.col(flag)).drop(flag),
+                m.group("ret"),
+            )
+        engine.managed_tables.rewrite(name, updated_f.drop(flag))
+        if returning is not None:
+            return returning
         return engine.spark.createDataFrame(
             [("UPDATE", name, n_hit)], "tag STRING, tbl STRING, rows BIGINT"
         )
@@ -794,14 +859,22 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         rls_pred = role_predicate(engine, name)
         if where is None and rls_pred is None:
             kept = df.limit(0)
+            deleted = df
             n_del = df.count()
         else:
             cond = F.expr(where) if where is not None else F.lit(True)
             if rls_pred is not None:
                 cond = cond & rls_pred
-            n_del = df.filter(cond).count()
+            deleted = df.filter(cond)
+            n_del = deleted.count()
             kept = df.filter(~cond | cond.isNull())
+        returning = None
+        if m.group("ret"):
+            # OLD row values, as PG's DELETE RETURNING
+            returning = _returning_frame(engine, deleted, m.group("ret"))
         engine.managed_tables.rewrite(name, kept)
+        if returning is not None:
+            return returning
         return engine.spark.createDataFrame(
             [("DELETE", name, n_del)], "tag STRING, tbl STRING, rows BIGINT"
         )
@@ -1283,5 +1356,66 @@ def btree_index_scan(spark, sf_dir):
             [(r[0], r[1], r[2], float(r[3])) for r in rows],
             "n BIGINT, min_key BIGINT, max_key BIGINT, total DOUBLE",
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "dml_returning",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 200
+    ), upd AS (
+      SELECT 'update' AS phase, o_orderkey,
+             CAST(o_totalprice * 2 AS DOUBLE) AS price
+      FROM base WHERE o_orderkey <= 100
+    ), del AS (
+      SELECT 'delete' AS phase, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM base WHERE o_orderkey > 150
+    )
+    SELECT * FROM upd UNION ALL SELECT * FROM del
+    ORDER BY phase, o_orderkey
+    """,
+)
+def dml_returning(spark, sf_dir):
+    """DML RETURNING end-to-end (nodeModifyTable.cpp returningList):
+    UPDATE ... RETURNING yields the NEW values of the rows the WHERE
+    hit on OLD values; DELETE ... RETURNING yields the OLD deleted
+    rows — both against the oracle's plain-SELECT arithmetic over the
+    same slice.
+
+    Scale: the RETURNING set is WHERE-bounded; it materializes before
+    the copy-on-write swap (the lazy frame would re-read the replaced
+    path), exactly the client-streamed row set PG produces."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dml_ret_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE d_rt AS SELECT o_orderkey, o_totalprice"
+            " FROM orders WHERE o_orderkey <= 200"
+        )
+        upd = eng.sql(
+            "UPDATE d_rt SET o_totalprice = o_totalprice * 2"
+            " WHERE o_orderkey <= 100"
+            " RETURNING o_orderkey, o_totalprice"
+        ).collect()
+        dele = eng.sql(
+            "DELETE FROM d_rt WHERE o_orderkey > 150"
+            " RETURNING o_orderkey, o_totalprice"
+        ).collect()
+        eng.sql("DROP TABLE d_rt")
+        rows = [("update", r[0], float(r[1])) for r in upd] + [
+            ("delete", r[0], float(r[1])) for r in dele
+        ]
+        return spark.createDataFrame(
+            rows, "phase STRING, o_orderkey BIGINT, price DOUBLE"
+        ).orderBy("phase", "o_orderkey")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1623,3 +1623,37 @@ def test_package_procedure_member(spark, tmp_path):
     assert len(rows) == 1 and rows[0].tag == "first" and rows[0].n > 0
     eng.sql("DROP PACKAGE loader")
     eng.sql("DROP TABLE pkg_log")
+
+
+def test_dml_returning(spark, tmp_path):
+    """INSERT/UPDATE/DELETE ... RETURNING (nodeModifyTable.cpp's
+    returningList): INSERT returns the inserted rows post-cast,
+    UPDATE returns NEW values of the rows the WHERE hit ON OLD VALUES
+    (SET v = v + 1 WHERE v = 10 still hits), DELETE returns the OLD
+    deleted rows."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE rt (k bigint, v double)")
+    rows = eng.sql(
+        "INSERT INTO rt VALUES (1, 10.0), (2, 20.0), (3, 30.0)"
+        " RETURNING k, v * 2 AS dbl"
+    ).collect()
+    assert sorted((r.k, r.dbl) for r in rows) == [
+        (1, 20.0), (2, 40.0), (3, 60.0)
+    ]
+    # UPDATE: WHERE evaluates on OLD values, RETURNING sees NEW ones
+    rows = eng.sql(
+        "UPDATE rt SET v = v + 1 WHERE v = 10.0 RETURNING k, v"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 11.0)]
+    # DELETE returns the old rows
+    rows = eng.sql(
+        "DELETE FROM rt WHERE k >= 2 RETURNING k, v"
+    ).collect()
+    assert sorted((r.k, r.v) for r in rows) == [(2, 20.0), (3, 30.0)]
+    left = eng.sql("SELECT * FROM rt").collect()
+    assert [(r.k, r.v) for r in left] == [(1, 11.0)]
+    # plain DML still returns the status frame
+    out = eng.sql("UPDATE rt SET v = 0.0 WHERE k = 1").collect()[0]
+    assert out.tag == "UPDATE" and out.rows == 1
+    eng.sql("DROP TABLE rt")
