@@ -200,6 +200,12 @@ class Engine:
         from .operators.packages import rewrite_member_calls
 
         query = rewrite_member_calls(self, query)
+        # FROM t TIMECAPSULE CSN/TIMESTAMP → snapshot view (flashback
+        # query, storage/tcap) — rewritten up front so every
+        # downstream handler sees plain SQL
+        from .operators.timecapsule import rewrite_flashback
+
+        query = rewrite_flashback(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies)"
@@ -370,6 +376,11 @@ class Engine:
         )
 
         handled = _partition_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.timecapsule import try_handle_stmt as _tcap_stmt
+
+        handled = _tcap_stmt(self, query)
         if handled is not None:
             return handled
         handled = _tables_stmt(self, query)

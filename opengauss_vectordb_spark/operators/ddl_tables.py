@@ -45,6 +45,70 @@ class TableManager:
         # can consult RLS/masking state; None when the manager is used
         # standalone (tests construct it without an engine)
         self.engine = None
+        # -------- flashback bookkeeping (storage/tcap — TIMECAPSULE)
+        # Every mutation commits a MANIFEST (csn, generation, file
+        # list): appends share a generation (the manifest lists the
+        # file subset), copy-on-write rewrites open a NEW generation
+        # directory and leave the old one on disk — so an old CSN is
+        # just an old file list, readable with zero data copies (the
+        # Delta/Iceberg commit-log model, which is what a production
+        # deployment would use for the atomic variant of this).
+        # next_csn is the manager-wide commit sequence number
+        # (tcap_version.cpp resolves TIMECAPSULE CSN against the
+        # cluster CSN the same way).
+        self.next_csn: int = 1
+        # DROP TABLE parks (meta, renamed dir) here instead of
+        # deleting — catalog/pg_recyclebin.h; restored by
+        # TIMECAPSULE TABLE ... TO BEFORE DROP, freed by PURGE
+        self.recyclebin: list[dict] = []
+        # statement handlers stage a tag/barrier for the NEXT commit
+        # of a table (e.g. TRUNCATE tags its commit so TO BEFORE
+        # TRUNCATE can find it; DDL marks a barrier — flashback may
+        # not cross a table-definition change, tcap_version.cpp's
+        # "Restore point too old" / definition-changed errors)
+        self._pending: dict[str, dict] = {}
+
+    # ------------------------------------------------ flashback hooks
+
+    def mark_ddl(self, name: str, tag: str = "ddl") -> None:
+        """The next commit of ``name`` is a DDL barrier: manifests
+        older than it become unreachable for TIMECAPSULE (the
+        reference refuses version flashback across DDL — the table
+        definition or physical layout changed under the history)."""
+        self._pending[name.lower()] = {"tag": tag, "barrier": True}
+
+    def tag_commit(self, name: str, tag: str) -> None:
+        """Tag the next commit of ``name`` (no barrier) — TRUNCATE
+        uses it so TO BEFORE TRUNCATE can locate the commit."""
+        self._pending[name.lower()] = {"tag": tag, "barrier": False}
+
+    def _commit(self, name: str) -> None:
+        """Record a manifest for the table's current physical state.
+        O(file listing) per statement — at 100 TB this bookkeeping is
+        the transactional format's commit log, not a scan."""
+        import glob as _glob
+        import time as _time
+
+        meta = self.tables[name]
+        gen_dir = self._path(name)
+        files = sorted(
+            os.path.relpath(p, gen_dir)
+            for p in _glob.glob(
+                os.path.join(gen_dir, "**", "part-*"), recursive=True
+            )
+        )
+        pend = self._pending.pop(name, {})
+        csn = self.next_csn
+        self.next_csn += 1
+        meta.setdefault("history", []).append({
+            "csn": csn,
+            "gen": meta.get("gen", 0),
+            "files": files,
+            "ts": _time.time(),
+            "tag": pend.get("tag"),
+        })
+        if pend.get("barrier"):
+            meta["barrier_csn"] = csn
 
     def _register_view(self, name: str) -> None:
         """THE single view-registration point after any write.  When
@@ -52,7 +116,11 @@ class TableManager:
         through rls._refresh_views so DML never clobbers the
         filtered/masked view with the raw base relation (openGauss
         applies rewriteRlsPolicy quals to every scan — a post-DML
-        scan included); otherwise register the plain relation."""
+        scan included); otherwise register the plain relation.
+
+        Doubling as THE post-mutation hook, it also commits a
+        flashback manifest (every mutation path ends here)."""
+        self._commit(name)
         eng = self.engine
         if eng is not None:
             from .rls import _refresh_views, protected_tables
@@ -144,11 +212,32 @@ class TableManager:
         self._write(name, aligned, mode="append")
         return captured
 
-    def drop(self, name: str) -> bool:
+    def drop(self, name: str, purge: bool = False) -> bool:
+        """DROP TABLE.  Without PURGE the storage is RENAMED into the
+        recyclebin (one O(1) metadata move — storage/tcap/tcap_drop.cpp
+        TrDrop parks the relfilenode under pg_recyclebin instead of
+        unlinking), restorable by TIMECAPSULE TABLE ... TO BEFORE
+        DROP; with PURGE the files are unlinked immediately."""
+        import shutil as _shutil
+        import time as _time
+
         name = name.lower()
         meta = self.tables.pop(name, None)
         if meta is None:
             return False
+        tbl_dir = os.path.join(self.root, name)
+        if purge:
+            _shutil.rmtree(tbl_dir, ignore_errors=True)
+        else:
+            csn = self.next_csn
+            self.next_csn += 1
+            rb_dir = os.path.join(self.root, f"__rb_{csn}_{name}")
+            if os.path.isdir(tbl_dir):
+                os.rename(tbl_dir, rb_dir)
+            self.recyclebin.append({
+                "name": name, "meta": meta, "dir": rb_dir,
+                "csn": csn, "ts": _time.time(),
+            })
         self.spark.catalog.dropTempView(name)
         # purge per-table security/trigger state so a recreated
         # same-name table does not inherit old policies, and a later
@@ -197,7 +286,7 @@ class TableManager:
         before = len(parts)
         total = sum(os.path.getsize(p) for p in parts)
         n_out = max(1, -(-total // target_file_bytes))
-        compacting = path + ".compacting"
+        compacting = self.next_gen_dir(name)
         shutil.rmtree(compacting, ignore_errors=True)
         pcols = []
         if self.tables[name].get("partition_by"):
@@ -226,30 +315,29 @@ class TableManager:
                 .write.mode("overwrite")
                 .parquet(compacting)
             )
-        old = path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(compacting, path)
-        shutil.rmtree(old, ignore_errors=True)
-        self.tables[name]["version"] += 1
-        self._register_view(name)
+        # generational swap: the new generation becomes live, the old
+        # one stays on disk so TIMECAPSULE can still read prior CSNs —
+        # a reader never observes a partial table (PURGE reclaims)
+        self.bump_gen(name)
         return before, len(
-            _glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+            _glob.glob(
+                os.path.join(self._path(name), "**", "part-*"),
+                recursive=True,
+            )
         )
 
     def rewrite(self, name: str, df: DataFrame) -> None:
         """Copy-on-write relation rewrite (the columnar UPDATE/DELETE
-        shape): write the new version to a side directory, then swap —
-        a reader never observes a PARTIAL table, and the writer never
-        self-overwrites the files it is reading.  The swap is two
-        renames, so the path is briefly absent (see vacuum's note; a
-        production deployment gets a truly atomic swap from a
-        transactional table format's metadata commit)."""
+        shape): write the new version to the NEXT generation directory,
+        then make it live — a reader never observes a PARTIAL table,
+        the writer never self-overwrites the files it is reading, and
+        the superseded generation stays on disk as the TIMECAPSULE
+        undo (storage/tcap keeps old versions for flashback the same
+        way; PURGE reclaims them)."""
         import shutil
 
         name = name.lower()
-        path = self._path(name)
-        compacting = path + ".compacting"
+        compacting = self.next_gen_dir(name)
         shutil.rmtree(compacting, ignore_errors=True)
         spec_meta = self.tables[name].get("partition_spec")
         if spec_meta:
@@ -280,21 +368,91 @@ class TableManager:
         try:
             writer.parquet(compacting)
         except Exception as e:  # noqa: BLE001 — translate routing abort
+            shutil.rmtree(compacting, ignore_errors=True)
             from .partition_ddl import NO_HOME_MSG
 
             if NO_HOME_MSG[:20] in str(e):
                 raise ValueError(NO_HOME_MSG) from None
             raise
-        old = path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(compacting, path)
-        shutil.rmtree(old, ignore_errors=True)
+        self.bump_gen(name)
+
+    def _path(self, name: str) -> str:
+        """The LIVE generation's directory.  gen 0 keeps the historic
+        ``data`` name; copy-on-write rewrites bump to ``gen<N>`` and
+        leave prior generations on disk for TIMECAPSULE."""
+        g = self.tables.get(name, {}).get("gen", 0)
+        return os.path.join(self.root, name, "data" if g == 0 else f"gen{g}")
+
+    def _gen_path(self, name: str, gen: int) -> str:
+        return os.path.join(
+            self.root, name, "data" if gen == 0 else f"gen{gen}"
+        )
+
+    def next_gen_dir(self, name: str) -> str:
+        """Target directory for the NEXT generation (not yet live)."""
+        return self._gen_path(name, self.tables[name].get("gen", 0) + 1)
+
+    def bump_gen(self, name: str) -> None:
+        """Make the next generation live and commit its manifest."""
+        self.tables[name]["gen"] = self.tables[name].get("gen", 0) + 1
         self.tables[name]["version"] += 1
         self._register_view(name)
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, name, "data")
+    def read_snapshot(self, name: str, csn: int) -> DataFrame:
+        """The relation AS OF a commit sequence number — the
+        TIMECAPSULE CSN scan (storage/tcap/tcap_version.cpp
+        TvUheapSearchBuffer walks undo versions; here an old version
+        is an old manifest's file list over retained generations, so
+        the snapshot scan is a plain pruned parquet read)."""
+        name = name.lower()
+        meta = self.tables[name]
+        hist = [h for h in meta.get("history", []) if h["csn"] <= csn]
+        if not hist:
+            # tcap_version.cpp:372 — "cannot find the restore point,
+            # timecapsule csn is too old"
+            raise ValueError(
+                f"cannot find the restore point for {name!r}: "
+                f"timecapsule csn {csn} is too old"
+            )
+        h = hist[-1]
+        if h["csn"] < meta.get("barrier_csn", 0):
+            # version flashback may not cross DDL — the definition or
+            # physical layout changed (tcap_version.cpp refuses with
+            # "Restore point too old" once undo crosses a DDL)
+            raise ValueError(
+                f"cannot TIMECAPSULE {name!r} to csn {csn}: the table "
+                "definition changed after that point (flashback cannot "
+                "cross DDL)"
+            )
+        if not h["files"]:
+            return self.read(name).limit(0)
+        gen_dir = self._gen_path(name, h["gen"])
+        df = (
+            self.spark.read.option("basePath", gen_dir)
+            .parquet(*[os.path.join(gen_dir, f) for f in h["files"]])
+        )
+        from .partition_ddl import PART_COL, SUBPART_COL
+
+        for hidden in (PART_COL, SUBPART_COL):
+            if hidden in df.columns:
+                df = df.drop(hidden)
+        return df
+
+    def resolve_timestamp(self, name: str, epoch: float) -> int:
+        """TIMECAPSULE TIMESTAMP → the last CSN committed at or before
+        the instant (tcap_version.cpp TvFetchSnpshotFromSyn maps a
+        timestamp onto the CSN log the same way)."""
+        name = name.lower()
+        hist = [
+            h for h in self.tables[name].get("history", [])
+            if h["ts"] <= epoch
+        ]
+        if not hist:
+            raise ValueError(
+                f"cannot find the restore point for {name!r}: "
+                "timecapsule time is too old"
+            )
+        return hist[-1]["csn"]
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
         spec_meta = self.tables[name].get("partition_spec")
@@ -402,7 +560,8 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_TABLE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?P<purge>PURGE)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _UPDATE = re.compile(
@@ -577,6 +736,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
         value = (
             F.expr(default) if default is not None else F.lit(None)
         ).cast(_map_type(typ))
+        mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.withColumn(col, value))
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"ADD COLUMN {col}")],
@@ -590,6 +750,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
             raise KeyError(f"ALTER TABLE: column {col!r} does not exist")
         if not cols:
             raise ValueError("ALTER TABLE: cannot drop the last column")
+        mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.select(*cols))
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"DROP COLUMN {col}")],
@@ -608,6 +769,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
             F.expr(mm.group("using")) if mm.group("using") is not None
             else F.col(col)
         ).cast(_map_type(typ))
+        mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.withColumn(col, value))
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"ALTER COLUMN {col} TYPE")],
@@ -620,6 +782,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
             raise KeyError(f"ALTER TABLE: column {old!r} does not exist")
         if new in [c.lower() for c in df.columns]:
             raise ValueError(f"ALTER TABLE: column {new!r} already exists")
+        mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.withColumnRenamed(old, new))
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"RENAME {old} TO {new}")],
@@ -635,6 +798,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
     _shutil.move(os.path.join(mt.root, name), os.path.join(mt.root, new))
     mt.tables[new] = entry
     engine.spark.catalog.dropTempView(name)
+    mt.mark_ddl(new, "rename")
     mt._register_view(new)
     return engine.spark.createDataFrame(
         [("ALTER TABLE", name, f"RENAME TO {new}")],
@@ -665,28 +829,25 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     if m and m.group("name").lower() in engine.managed_tables.tables:
         name = m.group("name").lower()
         mt = engine.managed_tables
+        # TRUNCATE opens a fresh EMPTY generation (O(1) metadata — the
+        # reference's tcap_truncate.cpp likewise parks the old
+        # relfilenode rather than unlinking, so TIMECAPSULE TABLE ...
+        # TO BEFORE TRUNCATE can swap it back); the tagged commit is
+        # what TO BEFORE TRUNCATE searches for
+        mt.tag_commit(name, "truncate")
         if mt.tables[name].get("partition_spec"):
-            # partitioned: TRUNCATE = unlink every partition directory
-            # (O(partitions) metadata, no write job at all)
-            import glob as _glob
-            import shutil as _shutil
-
-            from .partition_ddl import PART_COL
-
-            for d in _glob.glob(
-                os.path.join(mt._path(name), f"{PART_COL}=*")
-            ):
-                _shutil.rmtree(d, ignore_errors=True)
-            mt.tables[name]["version"] += 1
-            mt._register_view(name)
+            # partitioned: the declared schema lives in the catalog
+            # (schema_ddl), so the new generation is just an empty dir
+            os.makedirs(mt.next_gen_dir(name), exist_ok=True)
+            mt.bump_gen(name)
             return engine.spark.createDataFrame(
                 [("TRUNCATE", name)], "tag STRING, tbl STRING"
             )
         schema = engine.spark.read.parquet(mt._path(name)).schema
         # a fresh empty frame, NOT limit(0) of the path being
-        # overwritten — Spark refuses (or races) self-overwrites
+        # superseded — Spark refuses (or races) self-overwrites
         empty = engine.spark.createDataFrame([], schema)
-        mt._write(name, empty, mode="overwrite")
+        mt.rewrite(name, empty)
         return engine.spark.createDataFrame(
             [("TRUNCATE", name)], "tag STRING, tbl STRING"
         )
@@ -702,10 +863,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         col = m.group("col")
         path = engine.managed_tables._path(name)
         df = engine.spark.read.parquet(path)
-        import os as _os
         import shutil as _shutil
 
-        compacting = path + ".compacting"
+        compacting = engine.managed_tables.next_gen_dir(name)
         _shutil.rmtree(compacting, ignore_errors=True)
         if engine.managed_tables.tables[name].get("partition_spec"):
             # partitioned table: cluster WITHIN each partition (the
@@ -729,13 +889,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 max(1, df.rdd.getNumPartitions()), col
             ).sortWithinPartitions(col)
             clustered.write.mode("overwrite").parquet(compacting)
-        old = path + ".old"
-        _shutil.rmtree(old, ignore_errors=True)
-        _os.rename(path, old)
-        _os.rename(compacting, path)
-        _shutil.rmtree(old, ignore_errors=True)
-        engine.managed_tables.tables[name]["version"] += 1
-        engine.managed_tables._register_view(name)
+        # data-only reorder: new generation goes live, old one stays
+        # readable for TIMECAPSULE (no barrier — same rows)
+        engine.managed_tables.bump_gen(name)
         return engine.spark.createDataFrame(
             [("CLUSTER", name, col)], "tag STRING, tbl STRING, key STRING"
         )
@@ -883,7 +1039,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         m.group("name").lower() in engine.managed_tables.tables
         or "IF EXISTS" in query.upper()
     ):
-        existed = engine.managed_tables.drop(m.group("name"))
+        existed = engine.managed_tables.drop(
+            m.group("name"), purge=bool(m.group("purge"))
+        )
         return engine.spark.createDataFrame(
             [("DROP TABLE", m.group("name").lower(), existed)],
             "tag STRING, tbl STRING, existed BOOLEAN",

@@ -891,7 +891,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                     f"partition {pname!r} of {name!r} does not exist"
                 )
             # the 100 TB payoff: retiring a partition is ONE directory
-            # unlink — no scan, no rewrite, no shuffle
+            # unlink — no scan, no rewrite, no shuffle.  In-place
+            # surgery is a flashback DDL barrier (tcap refuses
+            # TIMECAPSULE across partition DDL)
+            mt.mark_ddl(name, tag.lower())
             pdir = os.path.join(mt._path(name), f"{PART_COL}={pname}")
             shutil.rmtree(pdir, ignore_errors=True)
             if not keep_def:
@@ -938,6 +941,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 mt._path(name), f"{PART_COL}={owner}",
                 f"{SUBPART_COL}={sname}",
             )
+            mt.mark_ddl(name, tag.lower())
             shutil.rmtree(sdir, ignore_errors=True)
             if not keep_def:
                 kept = [
@@ -1018,6 +1022,8 @@ def _exchange_partition(engine, m):
                 f"to partition {part!r} (use WITHOUT VALIDATION to "
                 "skip the check, as the reference allows)"
             )
+    mt.mark_ddl(name, "exchange")
+    mt.mark_ddl(other, "exchange")
     pdir = os.path.join(mt._path(name), f"{PART_COL}={part}")
     odir = mt._path(other)
     tmp = os.path.join(mt.root, name, ".exchange_tmp")
@@ -1111,6 +1117,7 @@ def _merge_partitions(engine, m):
             parts.append(e)
     new_spec = PartitionSpec(spec.kind, spec.key, parts,
                              interval=spec.interval)
+    mt.mark_ddl(name, "merge")
     ndir = os.path.join(mt._path(name), f"{PART_COL}={new}")
     os.makedirs(ndir, exist_ok=True)
     for p in wanted:
@@ -1180,6 +1187,7 @@ def _split_partition(engine, m):
     parts[i:i + 1] = [(a, at), (b, hi)]
     new_spec = PartitionSpec(spec.kind, spec.key, parts,
                              interval=spec.interval)
+    mt.mark_ddl(name, "split")
     pdir = os.path.join(mt._path(name), f"{PART_COL}={part}")
     if os.path.exists(pdir):
         df = engine.spark.read.parquet(pdir)

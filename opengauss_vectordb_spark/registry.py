@@ -88,6 +88,7 @@ def load_all_queries() -> None:
         skew,
         stats,
         text,
+        timecapsule,
         triggers,
     )
     from .functions import udtf  # noqa: F401

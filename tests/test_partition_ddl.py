@@ -275,7 +275,11 @@ def test_partition_key_alter_refused_and_maintenance(spark, tmp_path):
     assert glob.glob(os.path.join(path, f"{PART_COL}=*"))
     assert eng.sql("SELECT COUNT(*) AS n FROM pk").collect()[0].n == 2
     eng.sql("TRUNCATE pk")
-    assert not glob.glob(os.path.join(path, f"{PART_COL}=*"))
+    # TRUNCATE opens a fresh empty generation (the old one stays on
+    # disk as TIMECAPSULE undo) — the LIVE path holds no partition dirs
+    assert not glob.glob(
+        os.path.join(eng.managed_tables._path("pk"), f"{PART_COL}=*")
+    )
     assert eng.sql("SELECT * FROM pk").columns == ["k", "v", "note"]
     assert eng.sql("SELECT COUNT(*) AS n FROM pk").collect()[0].n == 0
     # table is still usable after TRUNCATE
