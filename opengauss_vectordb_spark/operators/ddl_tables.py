@@ -186,19 +186,73 @@ class TableManager:
         name = name.lower()
         if name not in self.tables:
             raise KeyError(f"managed table {name!r} does not exist")
+        meta = self.tables[name]
+        generated: dict = meta.get("generated") or {}
+        auto_col: str | None = meta.get("auto_col")
         target = self.read(name)
-        if len(df.columns) != len(target.columns):
+        tfields = target.schema.fields
+        # columns a user may supply: everything but GENERATED (PG
+        # refuses non-DEFAULT values into stored generated columns —
+        # nodeModifyTable.cpp ExecComputeStoredGenerated recomputes
+        # them on every write); the AUTO_INCREMENT column is optional
+        base_fields = [f for f in tfields if f.name not in generated]
+        noauto_fields = [f for f in base_fields if f.name != auto_col]
+        explicit_auto = auto_col is not None
+        if len(df.columns) == len(base_fields):
+            fields = base_fields
+        elif auto_col is not None and len(df.columns) == len(noauto_fields):
+            fields = noauto_fields
+            explicit_auto = False
+        elif generated and len(df.columns) == len(tfields):
+            raise ValueError(
+                f"cannot insert a non-DEFAULT value into generated "
+                f"column(s) {sorted(generated)} of {name!r}"
+            )
+        else:
             raise ValueError(
                 f"INSERT has {len(df.columns)} columns,"
-                f" table {name!r} has {len(target.columns)}"
+                f" table {name!r} takes {len(base_fields)}"
+                + (f" (or {len(noauto_fields)} omitting"
+                   f" {auto_col!r})" if auto_col else "")
             )
-        # position-based cast to the declared schema (PG INSERT rule)
-        aligned = df.select(
+        # position-based cast to the declared schema (PG INSERT rule);
+        # normalize source names first — a literal projection like
+        # SELECT 5.0 yields a dotted column name that name-based
+        # resolution would misparse as a nested field
+        renamed = df.toDF(*[f"__src{i}" for i in range(len(df.columns))])
+        aligned = renamed.select(
             *[
-                F.col(src).cast(field.dataType).alias(field.name)
-                for src, field in zip(df.columns, target.schema.fields)
+                F.col(f"__src{i}").cast(field.dataType).alias(field.name)
+                for i, field in enumerate(fields)
             ]
         )
+        if auto_col is not None:
+            auto_type = next(
+                f.dataType for f in tfields if f.name == auto_col
+            )
+            if explicit_auto:
+                # MySQL/B-format rule: explicit values advance the
+                # counter past their maximum
+                mx = aligned.agg(F.max(auto_col)).collect()[0][0]
+                if mx is not None:
+                    meta["auto_seq"] = max(
+                        meta.get("auto_seq", 1), int(mx) + 1
+                    )
+            else:
+                aligned = self._assign_auto_ids(
+                    aligned, name, auto_col, auto_type
+                )
+        if generated or auto_col is not None:
+            # full row in declared order; stored generated columns are
+            # (re)computed from the incoming tuple
+            aligned = aligned.select(
+                *[
+                    F.expr(generated[f.name]).cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in generated else F.col(f.name)
+                    for f in tfields
+                ]
+            )
         # BEFORE INSERT row triggers fire on the schema-aligned tuple,
         # as PG fires them after the tuple is cast to the table rowtype
         if transform is not None:
@@ -211,6 +265,53 @@ class TableManager:
             aligned = captured
         self._write(name, aligned, mode="append")
         return captured
+
+    def _assign_auto_ids(self, df: DataFrame, name: str, col: str,
+                         dtype) -> DataFrame:
+        """Dense unique ids for an omitted AUTO_INCREMENT column
+        WITHOUT a global sort or single-partition window: row_number
+        within each input partition plus a broadcast per-partition
+        offset (two jobs: one count, one write).  The reference's
+        auto_increment likewise guarantees uniqueness, not arrival
+        order, once writes parallelize."""
+        from pyspark.sql.window import Window
+
+        meta = self.tables[name]
+        start = int(meta.get("auto_seq", 1))
+        tagged = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+        )
+        sizes = sorted(
+            (r[0], r[1])
+            for r in tagged.groupBy("__pid").count().collect()
+        )
+        offs, acc = {}, 0
+        for pid, n in sizes:
+            offs[pid] = acc
+            acc += n
+        if not offs:
+            meta["auto_seq"] = start
+            return df.withColumn(col, F.lit(None).cast(dtype))
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offs.items() for x in kv]
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("__pid").orderBy("__mid")
+        )
+        out = (
+            tagged.withColumn(
+                col,
+                (
+                    F.lit(start - 1)
+                    + F.element_at(mapping, F.col("__pid"))
+                    + rn
+                ).cast(dtype),
+            )
+            .drop("__pid", "__mid")
+        )
+        meta["auto_seq"] = start + acc
+        return out
 
     def drop(self, name: str, purge: bool = False) -> bool:
         """DROP TABLE.  Without PURGE the storage is RENAMED into the
@@ -513,11 +614,24 @@ _TABLE_CONSTRAINT = re.compile(
 )
 
 
-def _parse_column_list(cols: str) -> list[tuple[str, str]]:
-    """'a int PRIMARY KEY, b text NOT NULL, PRIMARY KEY (a)' →
-    [(a, int), (b, text)] — paren-aware comma split, constraint tails
-    stripped, table-level constraint entries skipped, DEFAULT/CHECK/
-    REFERENCES refused (they change INSERT semantics)."""
+_GENERATED = re.compile(
+    r"\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<expr>.+)\)\s*(?:STORED)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AUTO_INC = re.compile(r"\s+AUTO_INCREMENT\b", re.IGNORECASE)
+
+
+def _parse_column_defs(cols: str) -> list[dict]:
+    """Column-definition parser: 'a int PRIMARY KEY, b text NOT NULL,
+    total double GENERATED ALWAYS AS (a * 2) STORED, id bigint
+    AUTO_INCREMENT, PRIMARY KEY (a)' → one dict per column with
+    name/type/generated/auto_increment.  Paren-aware comma split,
+    constraint tails stripped, table-level constraint entries skipped,
+    DEFAULT/CHECK/REFERENCES refused (they change INSERT semantics).
+    Generated columns: gram.y:8122 (GENERATED ALWAYS AS '(' a_expr ')'
+    generated_column_option); AUTO_INCREMENT: gram.y:7650-7664 (the
+    B-format constraint) with heap.cpp:4197's one-per-table rule and
+    heap.cpp:4352's no-generated-over-auto rule."""
     out, depth, cur = [], 0, []
     entries = []
     for ch in cols:
@@ -533,10 +647,25 @@ def _parse_column_list(cols: str) -> list[tuple[str, str]]:
     if "".join(cur).strip():
         entries.append("".join(cur))
     parsed = []
+    n_auto = 0
     for e in entries:
         e = e.strip()
         if _TABLE_CONSTRAINT.match(e):
             continue  # table-level constraint: metadata only
+        gen = None
+        mg = _GENERATED.search(e)
+        if mg:
+            gen = mg.group("expr").strip()
+            e = e[: mg.start()].rstrip()
+        auto = bool(_AUTO_INC.search(e))
+        if auto:
+            n_auto += 1
+            if n_auto > 1:
+                # heap.cpp:4197 — only one auto_increment column
+                raise ValueError(
+                    "there can be only one auto_increment column"
+                )
+            e = _AUTO_INC.sub("", e)
         if re.search(r"\b(DEFAULT|CHECK|REFERENCES)\b", e, re.IGNORECASE):
             raise NotImplementedError(
                 "CREATE TABLE: DEFAULT/CHECK/REFERENCES change INSERT "
@@ -547,10 +676,39 @@ def _parse_column_list(cols: str) -> list[tuple[str, str]]:
         toks = e.split(None, 1)
         if len(toks) != 2:
             raise ValueError(f"CREATE TABLE: cannot parse column {e!r}")
-        parsed.append((toks[0].lower(), toks[1].strip()))
+        parsed.append({
+            "name": toks[0].lower(),
+            "type": toks[1].strip(),
+            "generated": gen,
+            "auto_increment": auto,
+        })
     if not parsed:
         raise ValueError("CREATE TABLE: no columns declared")
+    auto_cols = {c["name"] for c in parsed if c["auto_increment"]}
+    for c in parsed:
+        if c["generated"] and auto_cols and re.search(
+            r"\b(" + "|".join(map(re.escape, auto_cols)) + r")\b",
+            c["generated"], re.IGNORECASE,
+        ):
+            # heap.cpp:4352
+            raise ValueError(
+                "generated column cannot refer to auto_increment column"
+            )
     return parsed
+
+
+def _parse_column_list(cols: str) -> list[tuple[str, str]]:
+    """(name, type) pairs for callers without a generated/identity
+    write path (the partitioned CREATE) — those column kinds refuse."""
+    defs = _parse_column_defs(cols)
+    bad = [c["name"] for c in defs if c["generated"] or c["auto_increment"]]
+    if bad:
+        raise NotImplementedError(
+            f"GENERATED/AUTO_INCREMENT column(s) {bad} are not supported "
+            "on partitioned tables — compute them in the INSERT ... "
+            "SELECT instead"
+        )
+    return [(c["name"], c["type"]) for c in defs]
 
 
 _INSERT = re.compile(
@@ -750,8 +908,25 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
             raise KeyError(f"ALTER TABLE: column {col!r} does not exist")
         if not cols:
             raise ValueError("ALTER TABLE: cannot drop the last column")
+        gen_meta = mt.tables[name].get("generated") or {}
+        deps = [
+            g for g, e in gen_meta.items()
+            if g != col and _re.search(
+                rf"\b{_re.escape(col)}\b", e, _re.IGNORECASE
+            )
+        ]
+        if deps:
+            # tablecmds.cpp refuses dropping a generation dependency
+            # without CASCADE
+            raise ValueError(
+                f"cannot drop {col!r}: generated column(s) {deps} "
+                "depend on it"
+            )
         mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.select(*cols))
+        gen_meta.pop(col, None)
+        if mt.tables[name].get("auto_col") == col:
+            mt.tables[name].pop("auto_col", None)
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"DROP COLUMN {col}")],
             "tag STRING, tbl STRING, action STRING",
@@ -782,8 +957,19 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
             raise KeyError(f"ALTER TABLE: column {old!r} does not exist")
         if new in [c.lower() for c in df.columns]:
             raise ValueError(f"ALTER TABLE: column {new!r} already exists")
+        gen_meta = mt.tables[name].get("generated") or {}
+        if old in gen_meta or any(
+            _re.search(rf"\b{_re.escape(old)}\b", e, _re.IGNORECASE)
+            for e in gen_meta.values()
+        ):
+            raise NotImplementedError(
+                f"RENAME of {old!r} would orphan a stored generation "
+                "expression — drop and re-add the generated column"
+            )
         mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.withColumnRenamed(old, new))
+        if mt.tables[name].get("auto_col") == old:
+            mt.tables[name]["auto_col"] = new
         return engine.spark.createDataFrame(
             [("ALTER TABLE", name, f"RENAME {old} TO {new}")],
             "tag STRING, tbl STRING, action STRING",
@@ -906,14 +1092,24 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 )
             raise ValueError(f"table {name!r} already exists")
         from .create_function import _map_type
+        defs = _parse_column_defs(m.group("cols"))
         schema = ", ".join(
-            f"{c} {_map_type(t)}" for c, t in
-            _parse_column_list(m.group("cols"))
+            f"{c['name']} {_map_type(c['type'])}" for c in defs
         )
         empty = engine.spark.createDataFrame([], schema)
         engine.managed_tables.create_as(
             name, empty, partition_by=(m.group("pcol") or None)
         )
+        meta = engine.managed_tables.tables[name]
+        generated = {
+            c["name"]: c["generated"] for c in defs if c["generated"]
+        }
+        if generated:
+            meta["generated"] = generated
+        auto = [c["name"] for c in defs if c["auto_increment"]]
+        if auto:
+            meta["auto_col"] = auto[0]
+            meta["auto_seq"] = 1
         return engine.spark.createDataFrame(
             [("CREATE TABLE", name, False)],
             "tag STRING, tbl STRING, already_existed BOOLEAN",
@@ -967,6 +1163,14 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         n_hit = df.filter(cond).count()
         sets = dict(_split_set_clauses(m.group("sets")))
         by_name = {f.name: f for f in df.schema.fields}
+        gen_cols = engine.managed_tables.tables[name].get("generated") or {}
+        bad = [c for c in sets if c in gen_cols]
+        if bad:
+            # nodeModifyTable.cpp: stored generated columns are
+            # engine-computed; direct SET is refused
+            raise ValueError(
+                f"cannot update generated column(s) {bad} of {name!r}"
+            )
         cols = []
         for f in df.schema.fields:
             if f.name in sets:
@@ -983,6 +1187,15 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # v = 10" must still hit), for triggers and RETURNING alike
         flag = "__upd_hit"
         updated_f = df.select(*cols, cond.alias(flag))
+        # ExecComputeStoredGenerated: recompute stored generated
+        # columns from the post-SET tuple on the hit rows
+        for gcol, gexpr in gen_cols.items():
+            updated_f = updated_f.withColumn(
+                gcol,
+                F.when(F.col(flag), F.expr(gexpr))
+                .otherwise(F.col(gcol))
+                .cast(by_name[gcol].dataType),
+            )
         updated_f = fire_update_triggers(
             engine, name, updated_f, F.col(flag),
             set_cols=set(sets), schema=by_name,
@@ -1575,5 +1788,153 @@ def dml_returning(spark, sf_dir):
         return spark.createDataFrame(
             rows, "phase STRING, o_orderkey BIGINT, price DOUBLE"
         ).orderBy("phase", "o_orderkey")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "generated_column_table",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS disc
+      FROM lineitem WHERE l_orderkey <= 1000
+    ),
+    updated AS (
+      SELECT qty, price,
+             CASE WHEN qty < 10 THEN CAST(0 AS DOUBLE) ELSE disc END
+               AS disc
+      FROM base
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price * (1 - disc) AS DECIMAL(20,6)))
+                AS DOUBLE) AS total_net,
+           CAST(SUM(CAST(price AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_price
+    FROM updated
+    """,
+)
+def generated_column_table(spark, sf_dir):
+    """Stored generated columns end-to-end (gram.y:8122 GENERATED
+    ALWAYS AS ... STORED; nodeModifyTable.cpp ExecComputeStoredGenerated):
+    CREATE with a generation expression, INSERT omitting the generated
+    column (engine computes it), UPDATE a dependency (engine
+    recomputes), refuse a direct SET, aggregate the stored values.
+    The oracle recomputes the expression over the post-UPDATE state —
+    a hash match proves compute-on-insert AND recompute-on-update."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gen_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gct (qty double, price double, disc double,"
+            " net double GENERATED ALWAYS AS (price * (1 - disc))"
+            " STORED)"
+        )
+        eng.sql(
+            "INSERT INTO gct SELECT CAST(l_quantity AS DOUBLE),"
+            " CAST(l_extendedprice AS DOUBLE),"
+            " CAST(l_discount AS DOUBLE)"
+            " FROM lineitem WHERE l_orderkey <= 1000"
+        )
+        eng.sql("UPDATE gct SET disc = CAST(0 AS DOUBLE) WHERE qty < 10")
+        try:
+            eng.sql("UPDATE gct SET net = 0.0 WHERE qty < 10")
+            raise AssertionError("direct SET on generated must refuse")
+        except ValueError:
+            pass
+        out = eng.sql(
+            "SELECT COUNT(*) AS n,"
+            " CAST(SUM(CAST(net AS DECIMAL(20,6))) AS DOUBLE)"
+            "   AS total_net,"
+            " CAST(SUM(CAST(price AS DECIMAL(20,6))) AS DOUBLE)"
+            "   AS total_price"
+            " FROM gct"
+        )
+        rows = [(r[0], float(r[1]), float(r[2])) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "n BIGINT, total_net DOUBLE, total_price DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "auto_increment_insert",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000
+    ),
+    b2 AS (
+      SELECT o_orderkey + 100000 AS id FROM orders
+      WHERE o_orderkey > 1000 AND o_orderkey <= 1200
+    ),
+    b3 AS (
+      SELECT ROW_NUMBER() OVER () + (SELECT MAX(id) FROM b2) AS id
+      FROM orders WHERE o_orderkey > 1200 AND o_orderkey <= 1400
+    ),
+    ids AS (
+      SELECT ROW_NUMBER() OVER () AS id FROM b1
+      UNION ALL SELECT id FROM b2
+      UNION ALL SELECT id FROM b3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_distinct,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM ids
+    """,
+)
+def auto_increment_insert(spark, sf_dir):
+    """AUTO_INCREMENT identity assignment (gram.y:7650 CONSTR_AUTO_
+    INCREMENT; heap.cpp:4197 one-per-table): a bulk INSERT omitting
+    the column gets dense unique ids 1..N assigned WITHOUT a global
+    sort (per-partition row_number + broadcast offsets), an explicit
+    INSERT advances the counter past its max (the B-format rule), and
+    a following omitted INSERT continues from there.  Ids are
+    arrival-order-free, so the oracle checks the order-insensitive
+    invariants: count, distinctness, min/max, and the exact id sum."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="auto_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE ai (id bigint AUTO_INCREMENT, okey bigint)"
+        )
+        eng.sql(
+            "INSERT INTO ai SELECT o_orderkey FROM orders"
+            " WHERE o_orderkey <= 1000"
+        )
+        eng.sql(
+            "INSERT INTO ai SELECT o_orderkey + 100000, o_orderkey"
+            " FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200"
+        )
+        eng.sql(
+            "INSERT INTO ai SELECT o_orderkey FROM orders"
+            " WHERE o_orderkey > 1200 AND o_orderkey <= 1400"
+        )
+        out = eng.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS n_distinct,"
+            " MIN(id) AS min_id, MAX(id) AS max_id, SUM(id) AS sum_id"
+            " FROM ai"
+        )
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows,
+            "n BIGINT, n_distinct BIGINT, min_id BIGINT,"
+            " max_id BIGINT, sum_id BIGINT",
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

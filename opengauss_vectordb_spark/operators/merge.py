@@ -373,6 +373,14 @@ def try_handle_stmt(engine, query: str):
             f"MERGE INTO: managed table {tname!r} does not exist — "
             "CTAS a managed copy to merge into"
         )
+    if mt.tables[tname].get("generated") or mt.tables[tname].get(
+        "auto_col"
+    ):
+        raise NotImplementedError(
+            "MERGE INTO a table with GENERATED/AUTO_INCREMENT columns "
+            "does not recompute them — rewrite as INSERT ... SELECT "
+            "plus UPDATE, whose paths do"
+        )
     src_text = m.group("source")
     if src_text.startswith("("):
         source = engine.sql(src_text[1:-1])

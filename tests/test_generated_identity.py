@@ -1,0 +1,132 @@
+"""GENERATED ALWAYS AS ... STORED columns + AUTO_INCREMENT identity.
+
+Reference: `parser/gram.y:8122` (generated column grammar),
+`gram.y:7650-7664` (AUTO_INCREMENT constraint), `catalog/heap.cpp:4197`
+(one auto_increment column per table), `heap.cpp:4352` (generated may
+not refer to auto_increment), `executor/nodeModifyTable.cpp`
+(ExecComputeStoredGenerated recomputes stored values on every write).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opengauss_vectordb_spark.engine import Engine
+
+from .conftest import SF_CORRECT
+
+
+def _eng(spark, tmp_path):
+    eng = Engine(spark=spark, sf_dir=SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path / "wh")
+    return eng
+
+
+def test_generated_insert_update_recompute(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE g (price double, qty int,"
+        " total double GENERATED ALWAYS AS (price * qty) STORED)"
+    )
+    eng.sql("INSERT INTO g VALUES (2.5, 4), (1.0, 3)")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM g").collect())
+    assert got == [(1.0, 3, 3.0), (2.5, 4, 10.0)]
+    # UPDATE of a dependency recomputes the stored value on hit rows
+    eng.sql("UPDATE g SET qty = 10 WHERE price = 2.5")
+    got = sorted(
+        tuple(r) for r in eng.sql("SELECT qty, total FROM g").collect()
+    )
+    assert got == [(3, 3.0), (10, 25.0)]
+
+
+def test_generated_refusals(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE gr (a double,"
+        " b double GENERATED ALWAYS AS (a * 2) STORED)"
+    )
+    eng.sql("INSERT INTO gr VALUES (1.0)")
+    with pytest.raises(ValueError, match="generated"):
+        eng.sql("UPDATE gr SET b = 9.0 WHERE a = 1.0")
+    with pytest.raises(ValueError, match="generated"):
+        eng.sql("INSERT INTO gr SELECT 2.0, 99.0")
+    # dropping the dependency is refused; dropping the generated
+    # column itself converts the table back to plain
+    with pytest.raises(ValueError, match="depend"):
+        eng.sql("ALTER TABLE gr DROP COLUMN a")
+    with pytest.raises(NotImplementedError, match="orphan"):
+        eng.sql("ALTER TABLE gr RENAME COLUMN a TO a2")
+    eng.sql("ALTER TABLE gr DROP COLUMN b")
+    eng.sql("INSERT INTO gr VALUES (5.0)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM gr").collect()[0].n == 2
+
+
+def test_generated_on_partitioned_refused(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        eng.sql(
+            "CREATE TABLE gp (k bigint, v double,"
+            " w double GENERATED ALWAYS AS (v + 1) STORED)"
+            " PARTITION BY RANGE (k) ("
+            "PARTITION p0 VALUES LESS THAN (MAXVALUE))"
+        )
+
+
+def test_create_table_rules(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    # heap.cpp:4197 — one auto_increment column
+    with pytest.raises(ValueError, match="only one auto_increment"):
+        eng.sql(
+            "CREATE TABLE t2a (a bigint AUTO_INCREMENT,"
+            " b bigint AUTO_INCREMENT)"
+        )
+    # heap.cpp:4352 — generated may not refer to auto_increment
+    with pytest.raises(ValueError, match="auto_increment"):
+        eng.sql(
+            "CREATE TABLE tga (a bigint AUTO_INCREMENT,"
+            " b bigint GENERATED ALWAYS AS (a + 1) STORED)"
+        )
+
+
+def test_auto_increment_dense_unique_bulk(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE ai (k bigint AUTO_INCREMENT, v bigint)")
+    eng.sql(
+        "INSERT INTO ai SELECT o_orderkey FROM orders"
+        " WHERE o_orderkey <= 500"
+    )
+    r = eng.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS d,"
+        " MIN(k) AS mn, MAX(k) AS mx FROM ai"
+    ).collect()[0]
+    assert (r.n, r.d, r.mn, r.mx) == (r.n, r.n, 1, r.n)
+    # a second omitted-id INSERT continues the sequence densely
+    eng.sql("INSERT INTO ai SELECT 0 WHERE 1 = 1")
+    mx = eng.sql("SELECT MAX(k) AS mx FROM ai").collect()[0].mx
+    assert mx == r.n + 1
+
+
+def test_auto_increment_explicit_bumps_counter(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE ab (k bigint AUTO_INCREMENT, v double)")
+    eng.sql("INSERT INTO ab VALUES (1.0), (2.0)")  # ids 1, 2
+    eng.sql("INSERT INTO ab SELECT 100, 3.0")      # explicit id
+    eng.sql("INSERT INTO ab VALUES (4.0)")          # continues at 101
+    ids = sorted(r.k for r in eng.sql("SELECT k FROM ab").collect())
+    assert ids == [1, 2, 100, 101]
+
+
+def test_auto_and_generated_update_interplay(spark, tmp_path):
+    """UPDATE may move the plain columns; the identity column is
+    stable and the generated column follows its dependencies."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE mix (id bigint AUTO_INCREMENT, a double,"
+        " b double GENERATED ALWAYS AS (a * a) STORED)"
+    )
+    eng.sql("INSERT INTO mix VALUES (2.0), (3.0)")
+    eng.sql("UPDATE mix SET a = 5.0 WHERE id = 1")
+    got = sorted(tuple(r) for r in eng.sql(
+        "SELECT id, a, b FROM mix"
+    ).collect())
+    assert got == [(1, 5.0, 25.0), (2, 3.0, 9.0)]
