@@ -116,6 +116,9 @@ class Engine:
         # (label → [(table, column)]) and masking policies bound to them
         self.resource_labels: dict[str, list[tuple[str, str]]] = {}
         self.masking_policies: dict[str, dict] = {}
+        # COMMENT ON ... (commands/comment.cpp → pg_description):
+        # (objtype, objname) → text
+        self.comments: dict[tuple[str, str], str] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -208,7 +211,8 @@ class Engine:
         query = rewrite_flashback(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
-            r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies)"
+            r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"
+            r"|pg_description)"
             r"\s*;?\s*$",
             query, re.IGNORECASE,
         )
@@ -216,12 +220,25 @@ class Engine:
             cat = m.group("cat").lower()
             if cat == "pg_stat_statements":
                 return self.stat_statements()
+            if cat == "pg_description":
+                # pg_catalog.pg_description (comment.cpp): one row per
+                # COMMENT ON target
+                rows = [
+                    (kind, obj, txt)
+                    for (kind, obj), txt in sorted(self.comments.items())
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("", "", "")][:0],
+                    "objtype STRING, objname STRING, description STRING",
+                )
             if cat == "pg_tables":
                 # pg_catalog.pg_tables: the parquet star schema plus
-                # managed (CTAS) tables, tagged by origin
+                # managed (CTAS) tables, tagged by origin; temp
+                # relations surface like pg_temp_* schema entries
+                mt = self.managed_tables
                 rows = [(t, "catalog") for t in sorted(self.tables)] + [
-                    (t, "managed")
-                    for t in sorted(self.managed_tables.tables)
+                    (t, "temp" if mt.tables[t].get("temp") else "managed")
+                    for t in sorted(mt.tables)
                 ]
                 return self.spark.createDataFrame(
                     rows, "tablename STRING, origin STRING"

@@ -327,6 +327,10 @@ class TableManager:
         if meta is None:
             return False
         tbl_dir = os.path.join(self.root, name)
+        if meta.get("temp"):
+            # temp relations are not recyclebin-protected (the
+            # reference's recyclebin likewise excludes temp tables)
+            purge = True
         if purge:
             _shutil.rmtree(tbl_dir, ignore_errors=True)
         else:
@@ -357,6 +361,17 @@ class TableManager:
                 else:
                     del eng.resource_labels[label]
         return True
+
+    def drop_temp_tables(self) -> list[str]:
+        """Session-end cleanup: drop every temp relation (openGauss
+        unlinks LOCAL temp storage when the session exits)."""
+        dropped = [
+            n for n, meta in list(self.tables.items())
+            if meta.get("temp")
+        ]
+        for n in dropped:
+            self.drop(n, purge=True)
+        return dropped
 
     def vacuum(self, name: str, target_file_bytes: int = 128 << 20
                ) -> tuple[int, int]:
@@ -589,16 +604,27 @@ class TableManager:
         self._register_view(name)
 
 
+# OptTemp (gram.y:6480 CreateStmt): TEMPORARY | TEMP | LOCAL TEMP |
+# GLOBAL TEMP — all RELPERSISTENCE_TEMP (GLOBAL is deprecated there);
+# ON COMMIT PRESERVE/DELETE ROWS is accepted as metadata: the batch
+# engine is one implicit transaction per session, so rows persist
+# until session end either way (drop_temp_tables) — the documented
+# autocommit position
+_TEMP_PREFIX = r"(?P<temp>(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?"
+_ON_COMMIT = r"(?:ON\s+COMMIT\s+(?:PRESERVE|DELETE)\s+ROWS\s*)?"
 _CTAS = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+"
+    r"^\s*CREATE\s+" + _TEMP_PREFIX + r"TABLE\s+(?P<name>\w+)\s+"
     r"(?:PARTITION\s+BY\s+\(?(?P<pcol>\w+)\)?\s+)?"
+    + _ON_COMMIT +
     r"AS\s+(?P<stmt>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_PLAIN = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"^\s*CREATE\s+" + _TEMP_PREFIX
+    + r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\(\s*(?P<cols>.+?)\s*\)\s*"
-    r"(?:PARTITION\s+BY\s+\(?(?P<pcol>\w+)\)?\s*)?;?\s*$",
+    r"(?:PARTITION\s+BY\s+\(?(?P<pcol>\w+)\)?\s*)?"
+    + _ON_COMMIT + r";?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1000,7 +1026,62 @@ import re as _re
 def _re_is_ctas(query: str) -> bool:
     return _CTAS.match(query) is not None
 
+_COMMENT = re.compile(
+    r"^\s*COMMENT\s+ON\s+"
+    r"(?P<kind>TABLE|COLUMN|VIEW|MATERIALIZED\s+VIEW|INDEX|FUNCTION)\s+"
+    r"(?P<obj>\w+(?:\.\w+)?)\s+IS\s+(?P<text>NULL|'(?:[^']|'')*')"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _handle_comment(engine, query: str) -> DataFrame | None:
+    """COMMENT ON ... IS 'text' | NULL (commands/comment.cpp
+    CommentObject → pg_description rows; IS NULL deletes).  Queryable
+    back as SELECT * FROM pg_description."""
+    m = _COMMENT.match(query)
+    if m is None:
+        return None
+    kind = re.sub(r"\s+", " ", m.group("kind").upper())
+    obj = m.group("obj").lower()
+    if kind == "COLUMN":
+        if "." not in obj:
+            raise ValueError(
+                "COMMENT ON COLUMN requires <table>.<column>"
+            )
+        tbl, col = obj.split(".", 1)
+        known = set()
+        if tbl in engine.managed_tables.tables:
+            known = {
+                c.lower()
+                for c in engine.managed_tables.read(tbl).columns
+            }
+        elif tbl in engine.tables:
+            known = {c.lower() for c in engine.table(tbl).columns}
+        else:
+            raise KeyError(f"COMMENT ON: table {tbl!r} not found")
+        if col not in known:
+            raise KeyError(
+                f"COMMENT ON: column {col!r} of {tbl!r} not found"
+            )
+    elif kind == "TABLE" and obj not in engine.managed_tables.tables \
+            and obj not in engine.tables:
+        raise KeyError(f"COMMENT ON: table {obj!r} not found")
+    text = m.group("text")
+    if text.upper() == "NULL":
+        engine.comments.pop((kind, obj), None)
+    else:
+        engine.comments[(kind, obj)] = text[1:-1].replace("''", "'")
+    return engine.spark.createDataFrame(
+        [("COMMENT", kind, obj)],
+        "tag STRING, objtype STRING, objname STRING",
+    )
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    handled = _handle_comment(engine, query)
+    if handled is not None:
+        return handled
     handled = _handle_alter_table(engine, query)
     if handled is not None:
         return handled
@@ -1101,6 +1182,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             name, empty, partition_by=(m.group("pcol") or None)
         )
         meta = engine.managed_tables.tables[name]
+        if m.group("temp"):
+            meta["temp"] = True
         generated = {
             c["name"]: c["generated"] for c in defs if c["generated"]
         }
@@ -1121,6 +1204,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             partition_by=(m.group("pcol").lower() if m.group("pcol")
                           else None),
         )
+        if m.group("temp"):
+            engine.managed_tables.tables[
+                m.group("name").lower()
+            ]["temp"] = True
         return engine.spark.createDataFrame(
             [("CREATE TABLE AS", m.group("name").lower(), n)],
             "tag STRING, tbl STRING, rows BIGINT",
@@ -1935,6 +2022,74 @@ def auto_increment_insert(spark, sf_dir):
             rows,
             "n BIGINT, n_distinct BIGINT, min_id BIGINT,"
             " max_id BIGINT, sum_id BIGINT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "temp_table_session",
+    """
+    WITH big_cust AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal < -900
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(t.bal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+    FROM orders o JOIN big_cust t ON o.o_custkey = t.c_custkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def temp_table_session(spark, sf_dir):
+    """Session temp tables (gram.y:6480 OptTemp → RELPERSISTENCE_TEMP;
+    ON COMMIT accepted per the autocommit position — the batch session
+    is one implicit transaction): CREATE TEMP ... AS stages a
+    selection, INSERT appends through the same managed path, the temp
+    relation joins against the catalog star schema, pg_tables tags it
+    'temp', and drop_temp_tables() reclaims it at session end —
+    storage is purged, never recyclebin-parked."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="temp_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TEMP TABLE big_cust ON COMMIT PRESERVE ROWS AS"
+            " SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal"
+            " FROM customer WHERE c_acctbal > 5000"
+        )
+        eng.sql(
+            "INSERT INTO big_cust SELECT c_custkey,"
+            " CAST(c_acctbal AS DOUBLE) FROM customer"
+            " WHERE c_acctbal < -900"
+        )
+        origin = {
+            r.tablename: r.origin
+            for r in eng.sql("SELECT * FROM pg_tables").collect()
+        }
+        assert origin.get("big_cust") == "temp"
+        out = eng.sql(
+            "SELECT o.o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(t.bal AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS bal_sum"
+            " FROM orders o JOIN big_cust t"
+            "   ON o.o_custkey = t.c_custkey"
+            " GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"
+        )
+        rows = [(r[0], r[1], float(r[2])) for r in out.collect()]
+        dropped = eng.managed_tables.drop_temp_tables()
+        assert dropped == ["big_cust"]
+        assert not eng.managed_tables.recyclebin
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n BIGINT, bal_sum DOUBLE"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,88 @@
+"""Temp tables (gram.y OptTemp) + COMMENT ON / pg_description
+(commands/comment.cpp)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from opengauss_vectordb_spark.engine import Engine
+
+from .conftest import SF_CORRECT
+
+
+def _eng(spark, tmp_path):
+    eng = Engine(spark=spark, sf_dir=SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path / "wh")
+    return eng
+
+
+def test_temp_table_lifecycle(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    for stmt in (
+        "CREATE TEMP TABLE t_a (x int)",
+        "CREATE TEMPORARY TABLE t_b (x int)",
+        "CREATE LOCAL TEMP TABLE t_c (x int) ON COMMIT DELETE ROWS",
+        "CREATE GLOBAL TEMPORARY TABLE t_d (x int)"
+        " ON COMMIT PRESERVE ROWS",
+    ):
+        eng.sql(stmt)
+    origins = {
+        r.tablename: r.origin
+        for r in eng.sql("SELECT * FROM pg_tables").collect()
+    }
+    assert all(origins[t] == "temp" for t in ("t_a", "t_b", "t_c", "t_d"))
+    eng.sql("INSERT INTO t_a VALUES (1), (2)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM t_a").collect()[0].n == 2
+    # temp DROP purges — never recyclebin-parked
+    eng.sql("DROP TABLE t_b")
+    assert eng.managed_tables.recyclebin == []
+    dropped = eng.managed_tables.drop_temp_tables()
+    assert sorted(dropped) == ["t_a", "t_c", "t_d"]
+    assert not os.path.isdir(os.path.join(eng.managed_tables.root, "t_a"))
+
+
+def test_temp_ctas(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TEMP TABLE stage AS SELECT r_regionkey FROM region"
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM stage").collect()[0].n == 5
+    assert eng.managed_tables.tables["stage"].get("temp") is True
+
+
+def test_comment_on_roundtrip(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE cm (a int, b string)")
+    eng.sql("COMMENT ON TABLE cm IS 'fact table'")
+    eng.sql("COMMENT ON COLUMN cm.a IS 'the it''s key'")
+    eng.sql("COMMENT ON COLUMN cm.b IS 'payload'")
+    # overwrite + delete
+    eng.sql("COMMENT ON COLUMN cm.b IS 'payload v2'")
+    eng.sql("COMMENT ON TABLE cm IS NULL")
+    rows = sorted(
+        tuple(r)
+        for r in eng.sql("SELECT * FROM pg_description").collect()
+    )
+    assert rows == [
+        ("COLUMN", "cm.a", "the it's key"),
+        ("COLUMN", "cm.b", "payload v2"),
+    ]
+    # catalog star-schema columns are commentable too
+    eng.sql("COMMENT ON COLUMN orders.o_orderkey IS 'pk'")
+    assert (
+        ("COLUMN", "orders.o_orderkey")
+        in eng.comments
+    )
+
+
+def test_comment_on_unknown_refused(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    with pytest.raises(KeyError, match="not found"):
+        eng.sql("COMMENT ON TABLE nope IS 'x'")
+    eng.sql("CREATE TABLE cc (a int)")
+    with pytest.raises(KeyError, match="not found"):
+        eng.sql("COMMENT ON COLUMN cc.zz IS 'x'")
+    with pytest.raises(ValueError, match="table.*column"):
+        eng.sql("COMMENT ON COLUMN cc IS 'x'")
