@@ -32,7 +32,7 @@ registry.load_all_queries()
 # dtype KINDS on both sides (null-aware — nulls legitimately floatify
 # both engines), and a full audit found no other null-free offender.
 #
-# ROUND 7 window (exactly 50): (a) the 5 NEW registrations — named-
+# ROUND 7 window (exactly 50): (a) the NEW registrations — named-
 # partition DDL (operators/partition_ddl.py: PARTITION BY RANGE/LIST/
 # HASH bounds grammar, write-side routing CASE with in-write
 # raise_error validation, driver-side partition elimination →
@@ -41,7 +41,11 @@ registry.load_all_queries()
 # BY with both-key elimination, PARTITION/SUBPARTITION selector
 # scans, pg_partitions) and PL/SQL PACKAGEs (operators/packages.py:
 # spec/body DDL, members compiled via the plpgsql path under mangled
-# names, pkg.member() call-site resolution); (b) the
+# names, pkg.member() call-site resolution), TIMECAPSULE flashback
+# (operators/timecapsule.py: commit manifests over retained
+# generations, CSN/TIMESTAMP snapshot scans, recyclebin + restore),
+# stored GENERATED columns + AUTO_INCREMENT identity, and session
+# TEMP tables; (b) the
 # source_mix_rebalance re-gate; (c) re-gates for every query whose
 # code path churned this round (merge.py: INSERT-expression isolation
 # via __ins_* columns, one-pass alias rewrite, first-match-wins clause
@@ -64,6 +68,10 @@ GATE_PRIORITY: list[str] = [
     "subpartition_pruned_scan",
     "package_member_function",
     "dml_returning",
+    "timecapsule_flashback_query",
+    "generated_column_table",
+    "auto_increment_insert",
+    "temp_table_session",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -103,10 +111,6 @@ GATE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_simhash",
     "text_token_stats",
-    "tpch_q10_adapted",
-    "tpch_q11_adapted",
-    "tpch_q2_adapted",
-    "tpch_q3_adapted",
     "tpch_q4_adapted",
     "tpch_q7_adapted",
     "tpch_q8_adapted",
