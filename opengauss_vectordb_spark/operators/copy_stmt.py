@@ -191,8 +191,8 @@ def copy_sql_roundtrip(spark, sf_dir):
             " FROM copy_dst GROUP BY o_orderstatus ORDER BY o_orderstatus"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE copy_src")
-        eng.sql("DROP TABLE copy_dst")
+        eng.sql("DROP TABLE copy_src PURGE")
+        eng.sql("DROP TABLE copy_dst PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], float(r[2])) for r in rows],
             "o_orderstatus STRING, n BIGINT, total DOUBLE",
@@ -266,8 +266,8 @@ def copy_sql_binary_roundtrip(spark, sf_dir):
             " FROM copyb_dst GROUP BY o_orderstatus ORDER BY o_orderstatus"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE copyb_src")
-        eng.sql("DROP TABLE copyb_dst")
+        eng.sql("DROP TABLE copyb_src PURGE")
+        eng.sql("DROP TABLE copyb_dst PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], float(r[2]), r[3], r[4]) for r in rows],
             "o_orderstatus STRING, n BIGINT, total DOUBLE,"

@@ -161,7 +161,8 @@ class TableManager:
         )
 
     def create_as(self, name: str, df: DataFrame,
-                  partition_by: str | None = None) -> int:
+                  partition_by: str | None = None,
+                  extra_meta: dict | None = None) -> int:
         """CTAS; ``partition_by`` declares a list-partitioned layout
         (nodePartIterator.cpp's pruning source): the write lays data
         out as one directory per key value, and every later read with
@@ -171,7 +172,10 @@ class TableManager:
         name = name.lower()
         if name in self.tables:
             raise ValueError(f"table {name!r} already exists")
-        self.tables[name] = {"version": 0, "partition_by": partition_by}
+        self.tables[name] = {
+            "version": 0, "partition_by": partition_by,
+            **(extra_meta or {}),
+        }
         self._write(name, df, mode="overwrite")
         return self.spark.read.parquet(self._path(name)).count()
 
@@ -337,6 +341,15 @@ class TableManager:
             csn = self.next_csn
             self.next_csn += 1
             rb_dir = os.path.join(self.root, f"__rb_{csn}_{name}")
+            k = 0
+            while os.path.exists(rb_dir):
+                # a previous session's recycled dir may linger in a
+                # shared warehouse — the rb name must be free on DISK,
+                # not just in this session's csn space
+                k += 1
+                rb_dir = os.path.join(
+                    self.root, f"__rb_{csn}_{name}_{k}"
+                )
             if os.path.isdir(tbl_dir):
                 os.rename(tbl_dir, rb_dir)
             self.recyclebin.append({
@@ -571,6 +584,14 @@ class TableManager:
         return hist[-1]["csn"]
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
+        dcol = self.tables[name].get("distribute_by")
+        if dcol and dcol in df.columns:
+            # DISTRIBUTE BY HASH(col): every write hash-partitions on
+            # the distribution key, so equal keys land together — the
+            # MPP co-location contract (joins/aggs on the key then
+            # shuffle less; one exchange per write, as the reference's
+            # datanode hashing costs one redistribution on load)
+            df = df.repartition(F.col(dcol))
         spec_meta = self.tables[name].get("partition_spec")
         if spec_meta:
             from .partition_ddl import (
@@ -702,9 +723,27 @@ def _parse_column_defs(cols: str) -> list[dict]:
         toks = e.split(None, 1)
         if len(toks) != 2:
             raise ValueError(f"CREATE TABLE: cannot parse column {e!r}")
+        ctype = toks[1].strip()
+        # serial pseudo-types create an implicit sequence
+        # (parse_utilcmd.cpp:1051) — the identity path IS that sequence
+        serial_map = {
+            "smallserial": "smallint", "serial2": "smallint",
+            "serial": "int", "serial4": "int",
+            "bigserial": "bigint", "serial8": "bigint",
+        }
+        if ctype.lower() in serial_map:
+            ctype = serial_map[ctype.lower()]
+            auto = True
+            n_auto += 1
+            if n_auto > 1:
+                raise NotImplementedError(
+                    "one identity (serial/auto_increment) column per "
+                    "table — generate further ids in the INSERT ... "
+                    "SELECT (row_number over a chosen order)"
+                )
         parsed.append({
             "name": toks[0].lower(),
-            "type": toks[1].strip(),
+            "type": ctype,
             "generated": gen,
             "auto_increment": auto,
         })
@@ -1078,10 +1117,128 @@ def _handle_comment(engine, query: str) -> DataFrame | None:
     )
 
 
+_STORAGE_CLAUSE = re.compile(
+    r"\s+(?:WITH\s*\((?P<opts>[^)]*)\)|(?:NO)?COMPRESS\b"
+    r"|TABLESPACE\s+\w+"
+    r"|DISTRIBUTE\s+BY\s+(?:HASH\s*\(\s*(?P<dcol>\w+)\s*\)|REPLICATION)"
+    r"|TO\s+GROUP\s+\w+)",
+    re.IGNORECASE,
+)
+
+
+def _strip_storage_clauses(query: str) -> tuple[str, dict]:
+    """openGauss storage/distribution clauses on CREATE TABLE
+    (gram.y:6483 OptWith/OptCompress/OptDistributeBy/OptSubCluster):
+    ``WITH (ORIENTATION = COLUMN, COMPRESSION = ...)`` — parquet IS
+    the column store, so orientation is recorded, not translated;
+    ``DISTRIBUTE BY HASH(col)`` — the MPP distribution key, honored as
+    a hash repartition on every write (co-located layout);
+    ``DISTRIBUTE BY REPLICATION`` / ``TO GROUP`` / ``TABLESPACE`` /
+    ``COMPRESS`` — node-group placement is the cluster manager's job
+    here, accepted as metadata.  Only the statement HEAD (before a
+    top-level AS) is stripped, so CTAS bodies with CTEs stay intact."""
+    if not re.match(r"^\s*CREATE\b", query, re.IGNORECASE) \
+            or "TABLE" not in query.upper():
+        return query, {}
+    # find a top-level AS (outside parens/quotes): clauses live before
+    depth, in_q, as_at = 0, False, len(query)
+    i = 0
+    while i < len(query) - 1:
+        ch = query[i]
+        if in_q:
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and query[i:i + 2].upper() == "AS" and (
+            i == 0 or not query[i - 1].isalnum()
+        ) and (
+            i + 2 >= len(query) or not query[i + 2].isalnum()
+        ):
+            as_at = i
+            break
+        i += 1
+    head, tail = query[:as_at], query[as_at:]
+    meta: dict = {}
+
+    def _sub(m: re.Match) -> str:
+        if m.group("dcol"):
+            meta["distribute_by"] = m.group("dcol").lower()
+        if m.group("opts"):
+            for part in m.group("opts").split(","):
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    meta.setdefault("storage_options", {})[
+                        k.strip().lower()
+                    ] = v.strip().lower()
+        return " "
+    head2 = _STORAGE_CLAUSE.sub(_sub, head)
+    return head2 + tail, meta
+
+
+def _try_select_into(engine, query: str) -> DataFrame | None:
+    """``SELECT ... INTO [TEMP] <table> FROM ...`` (gram.y:573
+    into_clause; parse_clause.cpp transformSelectStmt turns it into
+    CREATE TABLE AS — so does this).  Only a TOP-LEVEL INTO counts:
+    quote- and paren-aware scan, so CTE bodies and subqueries keep
+    their text (PL do-blocks strip their variable-binding INTO before
+    reaching Engine.sql)."""
+    if not re.match(r"^\s*SELECT\b", query, re.IGNORECASE):
+        return None
+    if "into" not in query.lower():
+        return None
+    depth, in_q, i, n = 0, False, 0, len(query)
+    while i < n:
+        ch = query[i]
+        if in_q:
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and query[i:i + 4].upper() == "INTO"
+            and (i == 0 or not query[i - 1].isalnum())
+            and (i + 4 >= n or not query[i + 4].isalnum())
+        ):
+            m = re.match(
+                r"INTO\s+(?P<temp>(?:GLOBAL\s+|LOCAL\s+)?"
+                r"TEMP(?:ORARY)?\s+)?(?P<name>\w+)\s+",
+                query[i:], re.IGNORECASE,
+            )
+            if m is None:
+                return None
+            rest = query[:i] + query[i + m.end():]
+            name = m.group("name").lower()
+            rows = engine.managed_tables.create_as(
+                name, engine.sql(rest)
+            )
+            if m.group("temp"):
+                engine.managed_tables.tables[name]["temp"] = True
+            return engine.spark.createDataFrame(
+                [("SELECT INTO", name, rows)],
+                "tag STRING, tbl STRING, rows BIGINT",
+            )
+        i += 1
+    return None
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
     handled = _handle_comment(engine, query)
     if handled is not None:
         return handled
+    handled = _try_select_into(engine, query)
+    if handled is not None:
+        return handled
+    query, storage_meta = _strip_storage_clauses(query)
     handled = _handle_alter_table(engine, query)
     if handled is not None:
         return handled
@@ -1179,7 +1336,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
         empty = engine.spark.createDataFrame([], schema)
         engine.managed_tables.create_as(
-            name, empty, partition_by=(m.group("pcol") or None)
+            name, empty, partition_by=(m.group("pcol") or None),
+            extra_meta=storage_meta,
         )
         meta = engine.managed_tables.tables[name]
         if m.group("temp"):
@@ -1203,6 +1361,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             m.group("name"), engine.sql(m.group("stmt")),
             partition_by=(m.group("pcol").lower() if m.group("pcol")
                           else None),
+            extra_meta=storage_meta,
         )
         if m.group("temp"):
             engine.managed_tables.tables[
@@ -1438,7 +1597,7 @@ def ctas_insert_select(spark, sf_dir):
             " ORDER BY o_orderstatus"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE hot_orders")
+        eng.sql("DROP TABLE hot_orders PURGE")
         return spark.createDataFrame(
             rows, "o_orderstatus STRING, n BIGINT, total DOUBLE"
         )
@@ -1623,7 +1782,7 @@ def maintenance_stmt_roundtrip(spark, sf_dir):
             " FROM maint_t GROUP BY o_orderstatus ORDER BY o_orderstatus"
         )
         rows = [(r[0], r[1], float(r[2]), r[3]) for r in out.collect()]
-        eng.sql("DROP TABLE maint_t")
+        eng.sql("DROP TABLE maint_t PURGE")
         return spark.createDataFrame(
             rows,
             "o_orderstatus STRING, n BIGINT, total DOUBLE, min_key BIGINT",
@@ -1695,7 +1854,7 @@ def update_delete_dml(spark, sf_dir):
         " FROM dml_t"
     )
     rows = out.collect()
-    eng.sql("DROP TABLE dml_t")
+    eng.sql("DROP TABLE dml_t PURGE")
     return spark.createDataFrame(
         rows, "n BIGINT, total DOUBLE, n_stamped BIGINT, stamp STRING"
     )
@@ -1750,7 +1909,7 @@ def alter_table_lifecycle(spark, sf_dir):
             " FROM alt_g GROUP BY band ORDER BY band"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE alt_g")
+        eng.sql("DROP TABLE alt_g PURGE")
         return spark.createDataFrame(
             rows, "band STRING, n BIGINT, total_cents BIGINT"
         )
@@ -1809,7 +1968,7 @@ def btree_index_scan(spark, sf_dir):
         )
         rows = out.collect()
         eng.sql("DROP INDEX bt_gate_o_orderkey_idx")
-        eng.sql("DROP TABLE bt_gate")
+        eng.sql("DROP TABLE bt_gate PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], r[2], float(r[3])) for r in rows],
             "n BIGINT, min_key BIGINT, max_key BIGINT, total DOUBLE",
@@ -1868,7 +2027,7 @@ def dml_returning(spark, sf_dir):
             "DELETE FROM d_rt WHERE o_orderkey > 150"
             " RETURNING o_orderkey, o_totalprice"
         ).collect()
-        eng.sql("DROP TABLE d_rt")
+        eng.sql("DROP TABLE d_rt PURGE")
         rows = [("update", r[0], float(r[1])) for r in upd] + [
             ("delete", r[0], float(r[1])) for r in dele
         ]
@@ -2090,6 +2249,81 @@ def temp_table_session(spark, sf_dir):
         assert not eng.managed_tables.recyclebin
         return spark.createDataFrame(
             rows, "o_orderstatus STRING, n BIGINT, bal_sum DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "cstore_distribute_select_into",
+    """
+    WITH fact AS (
+      SELECT o_custkey AS custkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    agg AS (
+      SELECT custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM fact GROUP BY custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(total AS DECIMAL(20,6))) AS DOUBLE) AS grand,
+           (SELECT CAST(SUM(id) AS BIGINT) FROM (
+              SELECT ROW_NUMBER() OVER () AS id FROM fact) t) AS sum_id
+    FROM agg
+    """,
+)
+def cstore_distribute_select_into(spark, sf_dir):
+    """The openGauss column-store DDL dialect end-to-end: CREATE TABLE
+    ... WITH (ORIENTATION = COLUMN) DISTRIBUTE BY HASH(col)
+    (gram.y:6483 OptWith/OptDistributeBy — parquet IS the column
+    store; the distribution key becomes a hash repartition per write,
+    the MPP co-location contract), a bigserial identity
+    (parse_utilcmd.cpp:1051 implicit sequence), and SELECT ... INTO
+    TEMP (gram.y:573 into_clause → CTAS, as transformSelectStmt
+    rewrites it).  The oracle recomputes the two-level aggregation and
+    the identity-sum invariant directly."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cstore_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE fact (id bigserial, custkey bigint,"
+            " price double) WITH (ORIENTATION = COLUMN,"
+            " COMPRESSION = low) DISTRIBUTE BY HASH(custkey)"
+        )
+        assert eng.managed_tables.tables["fact"]["distribute_by"] \
+            == "custkey"
+        eng.sql(
+            "INSERT INTO fact SELECT o_custkey,"
+            " CAST(o_totalprice AS DOUBLE) FROM orders"
+            " WHERE o_orderkey <= 2000"
+        )
+        eng.sql(
+            "SELECT custkey, COUNT(*) AS n,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " INTO TEMP agg_t FROM fact GROUP BY custkey"
+        )
+        assert eng.managed_tables.tables["agg_t"].get("temp") is True
+        out = eng.sql(
+            "SELECT COUNT(*) AS n_groups, SUM(n) AS n_rows,"
+            " CAST(SUM(CAST(total AS DECIMAL(20,6))) AS DOUBLE)"
+            "   AS grand,"
+            " (SELECT SUM(id) FROM fact) AS sum_id"
+            " FROM agg_t"
+        )
+        rows = [(r[0], r[1], float(r[2]), r[3]) for r in out.collect()]
+        return spark.createDataFrame(
+            rows,
+            "n_groups BIGINT, n_rows BIGINT, grand DOUBLE,"
+            " sum_id BIGINT",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -300,7 +300,7 @@ def do_block_stmt(spark, sf_dir):
             " FROM do_gate_t GROUP BY o_orderstatus ORDER BY o_orderstatus"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE do_gate_t")
+        eng.sql("DROP TABLE do_gate_t PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], float(r[2])) for r in rows],
             "o_orderstatus STRING, n BIGINT, total DOUBLE",
@@ -504,7 +504,7 @@ def call_procedure_stmt(spark, sf_dir):
             " ORDER BY o_orderstatus"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE call_gate_t")
+        eng.sql("DROP TABLE call_gate_t PURGE")
         eng.sql("DROP PROCEDURE build_top_slice")
         return spark.createDataFrame(
             [(r[0], r[1], float(r[2])) for r in rows],

@@ -599,7 +599,7 @@ def merge_sql_text(spark, sf_dir):
             " FROM mtx GROUP BY o_orderstatus ORDER BY o_orderstatus"
         )
         rows = out.collect()
-        eng.sql("DROP TABLE mtx")
+        eng.sql("DROP TABLE mtx PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], r[2], float(r[3])) for r in rows],
             "o_orderstatus STRING, n BIGINT, min_key BIGINT, total DOUBLE",

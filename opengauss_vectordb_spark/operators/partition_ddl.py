@@ -1362,7 +1362,7 @@ def range_partition_lifecycle(spark, sf_dir):
         ).collect()
         eng.sql("ALTER TABLE pt_gate DROP PARTITION p0")
         ph2 = agg(eng.sql("SELECT * FROM pt_gate"), "after_drop").collect()
-        eng.sql("DROP TABLE pt_gate")
+        eng.sql("DROP TABLE pt_gate PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
             "phase STRING, o_orderstatus STRING, n BIGINT, total DOUBLE",
@@ -1450,7 +1450,7 @@ def list_partition_pruned_scan(spark, sf_dir):
         ph2 = agg(
             eng.sql("SELECT * FROM pl_gate"), "after_truncate"
         ).collect()
-        eng.sql("DROP TABLE pl_gate")
+        eng.sql("DROP TABLE pl_gate PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
             "phase STRING, o_orderpriority STRING, n BIGINT,"
@@ -1530,7 +1530,7 @@ def interval_partition_autoextend(spark, sf_dir):
             .collect()
         )
         n_parts = eng.sql("SELECT * FROM pg_partitions").count()
-        eng.sql("DROP TABLE pi_gate")
+        eng.sql("DROP TABLE pi_gate PURGE")
         rows = [(r[0], r[1], float(r[2])) for r in monthly]
         rows.append(("__partitions", n_parts, 0.0))
         return spark.createDataFrame(
@@ -1629,7 +1629,7 @@ def subpartition_pruned_scan(spark, sf_dir):
             eng.sql("SELECT * FROM sp_gate SUBPARTITION (pl_u)"),
             "selector",
         ).collect()
-        eng.sql("DROP TABLE sp_gate")
+        eng.sql("DROP TABLE sp_gate PURGE")
         return spark.createDataFrame(
             [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
             "phase STRING, prio STRING, n BIGINT, total DOUBLE",

@@ -221,7 +221,7 @@ def rls_policy_scan(spark, sf_dir):
     eng.sql("RESET ROLE")
     owner = eng.sql("SELECT COUNT(*) AS n FROM rls_t").collect()[0].n
     eng.sql("DROP POLICY seg_pol ON rls_t")
-    eng.sql("DROP TABLE rls_t")
+    eng.sql("DROP TABLE rls_t PURGE")
     return spark.createDataFrame(
         [(a.n, a.bal, owner, denied)],
         "n_analyst BIGINT, bal_analyst DOUBLE, n_owner BIGINT,"
@@ -397,7 +397,7 @@ def masking_policy_scan(spark, sf_dir):
     eng.sql("DROP MASKING POLICY m_name")
     eng.sql("DROP MASKING POLICY m_seg")
     eng.sql("DROP MASKING POLICY m_mail")
-    eng.sql("DROP TABLE mask_t")
+    eng.sql("DROP TABLE mask_t PURGE")
     return spark.createDataFrame(
         masked,
         "c_custkey BIGINT, c_name STRING, c_mktsegment STRING,"

@@ -252,7 +252,7 @@ def trigger_spi_audit(spark, sf_dir):
     rows = [tuple(r) + (fk_rejected,) for r in out.collect()]
     eng.sql("DROP TRIGGER t1_stamp ON trig_audit")
     eng.sql("DROP TRIGGER IF EXISTS t2_user ON trig_audit")
-    eng.sql("DROP TABLE trig_audit")
+    eng.sql("DROP TABLE trig_audit PURGE")
     return spark.createDataFrame(
         rows,
         "n BIGINT, sum_price DOUBLE, stamp STRING, n_stamps BIGINT,"

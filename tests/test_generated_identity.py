@@ -130,3 +130,70 @@ def test_auto_and_generated_update_interplay(spark, tmp_path):
         "SELECT id, a, b FROM mix"
     ).collect())
     assert got == [(1, 5.0, 25.0), (2, 3.0, 9.0)]
+
+
+def test_serial_pseudotypes(spark, tmp_path):
+    """serial/bigserial create the identity path — the implicit
+    sequence of parse_utilcmd.cpp:1051."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE sp (id serial, big bigint)")
+    eng.sql("INSERT INTO sp VALUES (10), (20)")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM sp").collect())
+    assert got == [(1, 10), (2, 20)]
+    assert "int" in dict(
+        (f.name, f.dataType.simpleString())
+        for f in eng.sql("SELECT * FROM sp").schema.fields
+    )["id"]
+    with pytest.raises(NotImplementedError, match="one identity"):
+        eng.sql("CREATE TABLE sp2 (a serial, b bigserial)")
+
+
+def test_storage_options_and_distribute_by(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE col_t (k bigint, v double) WITH"
+        " (ORIENTATION = COLUMN, COMPRESSION = low)"
+        " DISTRIBUTE BY HASH(k)"
+    )
+    meta = eng.managed_tables.tables["col_t"]
+    assert meta["distribute_by"] == "k"
+    assert meta["storage_options"]["orientation"] == "column"
+    eng.sql(
+        "INSERT INTO col_t SELECT o_orderkey % 7,"
+        " CAST(o_totalprice AS DOUBLE) FROM orders"
+        " WHERE o_orderkey <= 300"
+    )
+    # co-location: every parquet file holds one hash bucket's keys —
+    # no key straddles… (files may hold several buckets, but each key
+    # lands in exactly ONE file set written by its hash partition)
+    n = eng.sql("SELECT COUNT(*) AS n FROM col_t").collect()[0].n
+    assert n == 301
+    # CTAS header form
+    eng.sql(
+        "CREATE TABLE col_c WITH (ORIENTATION = COLUMN)"
+        " DISTRIBUTE BY HASH(o_custkey) AS"
+        " SELECT o_custkey, o_totalprice FROM orders"
+        " WHERE o_orderkey <= 50"
+    )
+    assert eng.managed_tables.tables["col_c"]["distribute_by"] \
+        == "o_custkey"
+
+
+def test_select_into(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "SELECT o_orderkey, o_orderstatus INTO si_t FROM orders"
+        " WHERE o_orderkey <= 30"
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM si_t").collect()[0].n == 31
+    eng.sql("SELECT r_regionkey INTO TEMP si_tmp FROM region")
+    assert eng.managed_tables.tables["si_tmp"].get("temp") is True
+    # INTO below top level is NOT a table materialization
+    r = eng.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT o_orderkey FROM orders"
+        " WHERE o_orderkey <= 10) t"
+    ).collect()[0]
+    assert r.n == 11
+    # string literals containing INTO stay literal
+    r = eng.sql("SELECT 'go into the x' AS s FROM region").collect()
+    assert len(r) == 5
