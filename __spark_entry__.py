@@ -73,6 +73,7 @@ GATE_PRIORITY: list[str] = [
     "auto_increment_insert",
     "temp_table_session",
     "cstore_distribute_select_into",
+    "grant_revoke_privileges",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -112,7 +113,6 @@ GATE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_simhash",
     "text_token_stats",
-    "tpch_q7_adapted",
     "tpch_q8_adapted",
     "tpch_q9_adapted",
 ]

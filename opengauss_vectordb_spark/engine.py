@@ -119,6 +119,9 @@ class Engine:
         # COMMENT ON ... (commands/comment.cpp → pg_description):
         # (objtype, objname) → text
         self.comments: dict[tuple[str, str], str] = {}
+        # GRANT/REVOKE table ACLs (catalog/aclchk.cpp):
+        # table → {role → {privileges}}; enforcement in operators/rls
+        self.acl: dict[str, dict[str, set[str]]] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,

@@ -367,6 +367,7 @@ class TableManager:
             eng.triggers.pop(name, None)
             eng.rls_enabled.discard(name)
             eng.rls_policies.pop(name, None)
+            eng.acl.pop(name, None)
             for label, cols in list(eng.resource_labels.items()):
                 kept = [(t, c) for t, c in cols if t != name]
                 if kept:
@@ -1251,7 +1252,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
     m = _TRUNCATE.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
+        from .rls import check_privilege
+
         name = m.group("name").lower()
+        check_privilege(engine, name, "truncate")
         mt = engine.managed_tables
         # TRUNCATE opens a fresh EMPTY generation (O(1) metadata — the
         # reference's tcap_truncate.cpp likewise parks the old
@@ -1373,9 +1377,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
     m = _INSERT.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
+        from .rls import check_privilege
         from .triggers import fire_insert_triggers
 
         name = m.group("name")
+        check_privilege(engine, name, "insert")
         captured = engine.managed_tables.insert_into(
             name, engine.sql(m.group("stmt")),
             transform=lambda d: fire_insert_triggers(engine, name, d),
@@ -1394,10 +1400,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # CASE WHEN <where> THEN <expr> ELSE <col> END per SET clause,
         # one relation rewrite — the columnar UPDATE shape (the
         # reference's CStore UPDATE is likewise delete+append)
-        from .rls import role_predicate
+        from .rls import check_privilege, role_predicate
         from .triggers import fire_update_triggers
 
         name = m.group("name").lower()
+        check_privilege(engine, name, "update")
         df = engine.spark.read.parquet(engine.managed_tables._path(name))
         where = m.group("where") or "TRUE"
         cond = F.expr(where)
@@ -1464,9 +1471,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # ModifyTable DELETE: keep the complement, rewrite — at scale
         # this touches only files whose rowgroup stats can contain
         # matches (Spark prunes the scan on the predicate)
-        from .rls import role_predicate
+        from .rls import check_privilege, role_predicate
 
         name = m.group("name").lower()
+        check_privilege(engine, name, "delete")
         df = engine.spark.read.parquet(engine.managed_tables._path(name))
         where = m.group("where")
         # policy quals apply to DELETE scans as well: a restricted role

@@ -373,6 +373,10 @@ def try_handle_stmt(engine, query: str):
             f"MERGE INTO: managed table {tname!r} does not exist — "
             "CTAS a managed copy to merge into"
         )
+    from .rls import check_privilege
+
+    check_privilege(engine, tname, "update")
+    check_privilege(engine, tname, "insert")
     if mt.tables[tname].get("generated") or mt.tables[tname].get(
         "auto_col"
     ):

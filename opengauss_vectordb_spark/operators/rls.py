@@ -50,6 +50,66 @@ _DROP_POLICY = re.compile(
     r"^\s*DROP\s+POLICY\s+(?P<name>\w+)\s+ON\s+(?P<table>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# GRANT/REVOKE table privileges (catalog/aclchk.cpp ExecuteGrantStmt /
+# pg_class_aclcheck; gram.y:13880 GrantStmt).  Enforcement model: a
+# table becomes ACL-MANAGED once any GRANT/REVOKE touches it — from
+# then on a SET ROLE'd session needs the privilege (granted to the
+# role or to PUBLIC); the owner (no SET ROLE) always bypasses, and
+# never-granted tables stay open (the star schema is a world-readable
+# input).  SELECT denial re-points the protected view at a
+# raise_error projection with the base schema, so ANY scan — ours or
+# raw spark.sql — fails with 'permission denied' at execution;
+# INSERT/UPDATE/DELETE/TRUNCATE/MERGE deny at statement level.
+_PRIVS = {"select", "insert", "update", "delete", "truncate",
+          "references", "trigger", "all"}
+_GRANT = re.compile(
+    r"^\s*GRANT\s+(?P<privs>[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<table>\w+)\s+TO\s+(?P<roles>\w+(?:\s*,\s*\w+)*)"
+    r"(?:\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REVOKE = re.compile(
+    r"^\s*REVOKE\s+(?P<privs>[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<table>\w+)\s+FROM\s+(?P<roles>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TABLE_PRIVS_SELECT = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+table_privileges\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_privs(text: str) -> set[str]:
+    privs = set()
+    for p in text.split(","):
+        p = p.strip().lower().replace("privileges", "").strip()
+        if p not in _PRIVS:
+            raise ValueError(f"unknown privilege {p!r}")
+        privs.add(p)
+    return privs
+
+
+def has_privilege(engine, tbl: str, priv: str) -> bool:
+    """pg_class_aclcheck: owner bypasses; ACL-managed tables require
+    the privilege on the session role (or PUBLIC); unmanaged tables
+    are open."""
+    if engine.current_role is None:
+        return True
+    acl = engine.acl.get(tbl.lower())
+    if acl is None:
+        return True
+    allowed = (
+        acl.get(engine.current_role, set()) | acl.get("public", set())
+    )
+    return priv.lower() in allowed or "all" in allowed
+
+
+def check_privilege(engine, tbl: str, priv: str) -> None:
+    if not has_privilege(engine, tbl, priv):
+        # aclchk.cpp aclcheck_error ACLCHECK_NO_PRIV wording
+        raise PermissionError(
+            f"permission denied for relation {tbl.lower()}"
+        )
 _SET_ROLE = re.compile(
     r"^\s*SET\s+ROLE\s+(?P<role>\w+)\s*;?\s*$", re.IGNORECASE
 )
@@ -82,12 +142,13 @@ def role_predicate(engine, tbl: str):
 
 def protected_tables(engine) -> set:
     """Tables whose temp view must NOT be the raw base relation:
-    RLS-enabled tables plus any carrying a masking resource label."""
+    RLS-enabled tables, any carrying a masking resource label, and
+    ACL-managed tables (GRANT/REVOKE recorded)."""
     labeled = {
         t for cols in engine.resource_labels.values() for t, _c in cols
         if t in engine.managed_tables.tables
     }
-    return engine.rls_enabled | labeled
+    return engine.rls_enabled | labeled | set(engine.acl)
 
 
 def _refresh_views(engine, only: str | None = None) -> None:
@@ -105,6 +166,25 @@ def _refresh_views(engine, only: str | None = None) -> None:
             continue  # state for a dropped table (purged on DROP, but
             # stay defensive: never read a nonexistent path)
         base = engine.spark.read.parquet(engine.managed_tables._path(tbl))
+        if not has_privilege(engine, tbl, "select"):
+            # the denial IS the view: base schema over a row source
+            # whose FILTER raises — so every execution path, including
+            # COUNT(*) which never touches a projected column, fails
+            # with 'permission denied' (pg_class_aclcheck), for raw
+            # spark.sql against the name too
+            denied = (
+                engine.spark.range(1)
+                .filter(F.expr(
+                    f"CAST(raise_error('permission denied for "
+                    f"relation {tbl}') AS BOOLEAN)"
+                ))
+                .select(*[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in base.schema.fields
+                ])
+            )
+            denied.createOrReplaceTempView(tbl)
+            continue
         pred = role_predicate(engine, tbl)
         view = base if pred is None else base.filter(pred)
         view = _apply_masking(engine, tbl, view)
@@ -112,6 +192,61 @@ def _refresh_views(engine, only: str | None = None) -> None:
 
 
 def try_handle_stmt(engine, stmt: str):
+    m = _TABLE_PRIVS_SELECT.match(stmt)
+    if m:
+        # information_schema.table_privileges analogue
+        rows = [
+            (tbl, role, priv.upper())
+            for tbl, roles in sorted(engine.acl.items())
+            for role, privs in sorted(roles.items())
+            for priv in sorted(privs)
+        ]
+        return engine.spark.createDataFrame(
+            rows or [("", "", "")][:0],
+            "table_name STRING, grantee STRING, privilege_type STRING",
+        )
+    m = _GRANT.match(stmt)
+    if m:
+        tbl = m.group("table").lower()
+        if tbl not in engine.managed_tables.tables:
+            if tbl in engine.tables:
+                raise NotImplementedError(
+                    "GRANT on a read-only catalog table: the star "
+                    "schema is a world-readable input — CTAS a "
+                    "managed copy to put it under ACL"
+                )
+            raise KeyError(f"GRANT: table {tbl!r} not found")
+        privs = _parse_privs(m.group("privs"))
+        acl = engine.acl.setdefault(tbl, {})
+        for role in m.group("roles").split(","):
+            acl.setdefault(role.strip().lower(), set()).update(privs)
+        _refresh_views(engine, only=tbl)
+        return engine.spark.createDataFrame(
+            [("GRANT", tbl, ",".join(sorted(privs)))],
+            "tag STRING, tbl STRING, privileges STRING",
+        )
+    m = _REVOKE.match(stmt)
+    if m:
+        tbl = m.group("table").lower()
+        privs = _parse_privs(m.group("privs"))
+        acl = engine.acl.get(tbl, {})
+        for role in m.group("roles").split(","):
+            have = acl.get(role.strip().lower())
+            if have is None:
+                continue
+            if "all" in privs:
+                have.clear()
+            else:
+                have -= privs
+                # REVOKE of a named priv also breaks a prior ALL
+                if "all" in have:
+                    have.discard("all")
+                    have.update(_PRIVS - {"all"} - privs)
+        _refresh_views(engine, only=tbl)
+        return engine.spark.createDataFrame(
+            [("REVOKE", tbl, ",".join(sorted(privs)))],
+            "tag STRING, tbl STRING, privileges STRING",
+        )
     m = _ENABLE_RLS.match(stmt)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         engine.rls_enabled.add(m.group("name").lower())
@@ -403,3 +538,96 @@ def masking_policy_scan(spark, sf_dir):
         "c_custkey BIGINT, c_name STRING, c_mktsegment STRING,"
         " email STRING",
     )
+
+
+@query(
+    "grant_revoke_privileges",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 1000
+    ),
+    upd AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN price * CAST(2 AS DOUBLE) ELSE price END AS price
+      FROM base
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           TRUE AS upd_denied_before_grant,
+           TRUE AS sel_denied_after_revoke
+    FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def grant_revoke_privileges(spark, sf_dir):
+    """GRANT/REVOKE table ACLs end-to-end (catalog/aclchk.cpp
+    ExecuteGrantStmt + pg_class_aclcheck; gram.y:13880): a SELECT-only
+    grantee reads but cannot UPDATE (statement-level denial); after
+    GRANT UPDATE the same role's UPDATE lands; after REVOKE ALL every
+    scan fails (the protected view's raise_error filter — denial holds
+    for COUNT(*) and raw spark.sql alike).  The denial outcomes ride
+    along as boolean columns the oracle pins TRUE; the aggregate
+    proves the granted UPDATE really executed."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="acl_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE sec_g AS SELECT o_orderstatus,"
+            " CAST(o_totalprice AS DOUBLE) AS price FROM orders"
+            " WHERE o_orderkey <= 1000"
+        )
+        eng.sql("GRANT SELECT ON sec_g TO analyst")
+        eng.sql("SET ROLE analyst")
+        assert eng.sql("SELECT COUNT(*) AS n FROM sec_g") \
+            .collect()[0].n > 0
+        upd_denied = False
+        try:
+            eng.sql(
+                "UPDATE sec_g SET price = price * CAST(2 AS DOUBLE)"
+                " WHERE o_orderstatus = 'F'"
+            )
+        except PermissionError:
+            upd_denied = True
+        eng.sql("RESET ROLE")
+        eng.sql("GRANT UPDATE ON sec_g TO analyst")
+        eng.sql("SET ROLE analyst")
+        eng.sql(
+            "UPDATE sec_g SET price = price * CAST(2 AS DOUBLE)"
+            " WHERE o_orderstatus = 'F'"
+        )
+        eng.sql("RESET ROLE")
+        eng.sql("REVOKE ALL ON sec_g FROM analyst")
+        eng.sql("SET ROLE analyst")
+        sel_denied = False
+        try:
+            eng.sql("SELECT COUNT(*) AS n FROM sec_g").collect()
+        except Exception:  # noqa: BLE001 — raise_error surfaces as Py4J
+            sel_denied = True
+        eng.sql("RESET ROLE")
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM sec_g GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = [
+            (r[0], r[1], float(r[2]), upd_denied, sel_denied)
+            for r in out.collect()
+        ]
+        eng.sql("DROP TABLE sec_g PURGE")
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n BIGINT, total DOUBLE,"
+            " upd_denied_before_grant BOOLEAN,"
+            " sel_denied_after_revoke BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -86,3 +86,47 @@ def test_comment_on_unknown_refused(spark, tmp_path):
         eng.sql("COMMENT ON COLUMN cc.zz IS 'x'")
     with pytest.raises(ValueError, match="table.*column"):
         eng.sql("COMMENT ON COLUMN cc IS 'x'")
+
+
+def test_grant_revoke_acl(spark, tmp_path):
+    """aclchk.cpp pg_class_aclcheck over the protected-view layer."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE sec (k bigint, v double)")
+    eng.sql("INSERT INTO sec VALUES (1, 1.0), (2, 2.0)")
+    eng.sql("GRANT SELECT ON sec TO analyst")
+    # PUBLIC grant reaches every role
+    eng.sql("GRANT SELECT ON sec TO public")
+    eng.sql("SET ROLE analyst")
+    assert eng.sql("SELECT COUNT(*) AS n FROM sec").collect()[0].n == 2
+    with pytest.raises(PermissionError, match="permission denied"):
+        eng.sql("DELETE FROM sec WHERE k = 1")
+    with pytest.raises(PermissionError, match="permission denied"):
+        eng.sql("TRUNCATE sec")
+    eng.sql("SET ROLE stranger")  # public SELECT applies
+    assert eng.sql("SELECT COUNT(*) AS n FROM sec").collect()[0].n == 2
+    eng.sql("RESET ROLE")
+    eng.sql("REVOKE SELECT ON sec FROM public")
+    eng.sql("SET ROLE stranger")
+    # denial must hold for COUNT(*) — the filter raises, the
+    # projection alone would not be evaluated
+    with pytest.raises(Exception, match="permission denied"):
+        eng.sql("SELECT COUNT(*) AS n FROM sec").collect()
+    eng.sql("RESET ROLE")
+    # REVOKE of one priv out of a prior ALL keeps the others
+    eng.sql("GRANT ALL ON sec TO writer")
+    eng.sql("REVOKE DELETE ON sec FROM writer")
+    eng.sql("SET ROLE writer")
+    eng.sql("UPDATE sec SET v = v + 1 WHERE k = 1")
+    with pytest.raises(PermissionError, match="permission denied"):
+        eng.sql("DELETE FROM sec WHERE k = 1")
+    eng.sql("RESET ROLE")
+    privs = {
+        (r.grantee, r.privilege_type)
+        for r in eng.sql("SELECT * FROM table_privileges").collect()
+    }
+    assert ("analyst", "SELECT") in privs
+    assert ("writer", "DELETE") not in privs
+    # owner always bypasses; GRANT on catalog tables refuses
+    assert eng.sql("SELECT COUNT(*) AS n FROM sec").collect()[0].n == 2
+    with pytest.raises(NotImplementedError, match="catalog"):
+        eng.sql("GRANT SELECT ON orders TO analyst")
