@@ -74,6 +74,8 @@ GATE_PRIORITY: list[str] = [
     "temp_table_session",
     "cstore_distribute_select_into",
     "grant_revoke_privileges",
+    "source_mix_temperature",
+    "extended_statistics_scan",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -89,7 +91,8 @@ GATE_PRIORITY: list[str] = [
     "masking_policy_scan",
     "trigger_spi_audit",
     "btree_index_scan",
-    # (d) rotation — the 35 stalest rows (last gated round 1)
+    # (d) rotation — stalest rows (last gated round 1); six were
+    # traded for the late first-ever registrations above
     "array_funcs",
     "array_multidim",
     "composite_row_types",
@@ -113,8 +116,6 @@ GATE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_simhash",
     "text_token_stats",
-    "tpch_q8_adapted",
-    "tpch_q9_adapted",
 ]
 
 

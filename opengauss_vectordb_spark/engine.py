@@ -122,6 +122,10 @@ class Engine:
         # GRANT/REVOKE table ACLs (catalog/aclchk.cpp):
         # table → {role → {privileges}}; enforcement in operators/rls
         self.acl: dict[str, dict[str, set[str]]] = {}
+        # extended (multi-column) statistics declarations
+        # (gram.y:4807 ADD STATISTICS; analyze.cpp ES path):
+        # table → [ (col, col, ...) ]
+        self.ext_stats: dict[str, list[tuple[str, ...]]] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,

@@ -830,6 +830,75 @@ def source_mix_rebalance(spark, sf_dir):
     )
 
 
+@query(
+    "source_mix_temperature",
+    """
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS all_tokens
+            FROM per_src),
+    p AS (
+      SELECT source, docs, tokens,
+             CAST(SQRT(tokens * 1.0 / all_tokens) AS DECIMAL(28,12))
+               AS sd,
+             tokens * 1.0 / all_tokens AS cur
+      FROM per_src, tot
+    ),
+    z AS (SELECT CAST(SUM(sd) AS DOUBLE) AS z FROM p)
+    SELECT source, docs, tokens,
+           ROUND(cur, 6) AS current_frac,
+           ROUND(CAST(sd AS DOUBLE) / z, 6) AS resampled_frac,
+           ROUND(CAST(sd AS DOUBLE) / z / cur, 6) AS sample_weight
+    FROM p, z ORDER BY source
+    """,
+)
+def source_mix_temperature(spark, sf_dir):
+    """Temperature-based domain mixing (the multilingual alpha-
+    sampling rule: q_i ∝ p_i^α, here α = 0.5) — the OTHER standard
+    source-rebalancing policy next to source_mix_rebalance's fixed
+    targets: upsamples tail sources, downsamples heads, keeps the
+    ranking.  α = 0.5 is deliberately √ (IEEE-correctly-rounded in
+    both engines, unlike pow whose last bit is libm-dependent), and
+    the normalizer Σ√p is summed in DECIMAL so the 4-row total is
+    shuffle-order-free — determinism engineered at the operator level,
+    like every weight in this family.  Scale: one partial/final agg
+    over the corpus, a one-row broadcast re-entry, a 4-row cross join
+    — nothing grows with corpus size except the first scan."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_src = d.select("source", toks.alias("toks")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("toks").alias("tokens")
+    )
+    tot = per_src.agg(F.sum("tokens").alias("all_tokens"))
+    p = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "docs", "tokens",
+        F.sqrt(F.col("tokens") * F.lit(1.0) / F.col("all_tokens"))
+        .cast("decimal(28,12)").alias("sd"),
+        (F.col("tokens") * F.lit(1.0) / F.col("all_tokens"))
+        .alias("cur"),
+    )
+    z = p.agg(F.sum("sd").cast("double").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source", "docs", "tokens",
+            F.round("cur", 6).alias("current_frac"),
+            F.round(F.col("sd").cast("double") / F.col("z"), 6)
+            .alias("resampled_frac"),
+            F.round(
+                F.col("sd").cast("double") / F.col("z") / F.col("cur"), 6
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
 _EPOCH = 1
 _N_SHARDS = 4
 _EK = f"md5('epoch{_EPOCH}:' || CAST(doc_id AS STRING))"

