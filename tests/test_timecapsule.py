@@ -246,3 +246,30 @@ def test_flashback_refused_on_catalog_table(spark, tmp_path):
     eng = _eng(spark, tmp_path)
     with pytest.raises(ValueError, match="managed"):
         eng.sql("SELECT * FROM orders TIMECAPSULE CSN 1")
+
+
+def test_flashback_scan_keeps_pushdown(spark, tmp_path):
+    """A TIMECAPSULE snapshot is a plain parquet relation: predicates
+    on the flashback SELECT must still reach the scan (PushedFilters)
+    — the property that makes time travel free at 100 TB."""
+    eng = _eng(spark, tmp_path)
+    mt = eng.managed_tables
+    eng.sql(
+        "CREATE TABLE pf AS SELECT o_orderkey AS k,"
+        " CAST(o_totalprice AS DOUBLE) AS p FROM orders"
+        " WHERE o_orderkey <= 2000"
+    )
+    v = mt.tables["pf"]["history"][-1]["csn"]
+    eng.sql("DELETE FROM pf WHERE k > 1000")
+    df = eng.sql(f"SELECT k FROM pf TIMECAPSULE CSN {v} WHERE k <= 50")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the predicate reaches the parquet scan of the OLD manifest's
+    # files, and the scan reads only the projected column
+    assert "LessThanOrEqual(k,50)" in plan
+    assert "ReadSchema: struct<k:bigint>" in plan
+    # snapshot(filtered) == pre-DELETE live(filtered)
+    want = eng.spark.sql(
+        "SELECT COUNT(*) AS n FROM orders"
+        " WHERE o_orderkey <= 50"
+    ).collect()[0].n
+    assert df.count() == want
