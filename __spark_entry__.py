@@ -76,6 +76,8 @@ GATE_PRIORITY: list[str] = [
     "grant_revoke_privileges",
     "source_mix_temperature",
     "extended_statistics_scan",
+    "update_from_delete_using",
+    "insert_dup_key_upsert",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -105,8 +107,6 @@ GATE_PRIORITY: list[str] = [
     "doc_fingerprint",
     "enum_ordering",
     "fts_match_rank",
-    "geo_point_funcs",
-    "inet_funcs",
     "interval_arithmetic",
     "like_regex_funcs",
     "range_types_overlap",

@@ -669,7 +669,7 @@ _GENERATED = re.compile(
 _AUTO_INC = re.compile(r"\s+AUTO_INCREMENT\b", re.IGNORECASE)
 
 
-def _parse_column_defs(cols: str) -> list[dict]:
+def _parse_column_defs(cols: str) -> tuple[list[dict], tuple[str, ...]]:
     """Column-definition parser: 'a int PRIMARY KEY, b text NOT NULL,
     total double GENERATED ALWAYS AS (a * 2) STORED, id bigint
     AUTO_INCREMENT, PRIMARY KEY (a)' → one dict per column with
@@ -696,10 +696,20 @@ def _parse_column_defs(cols: str) -> list[dict]:
         entries.append("".join(cur))
     parsed = []
     n_auto = 0
+    pk: list[str] = []
     for e in entries:
         e = e.strip()
+        mpk = re.match(
+            r"^\s*PRIMARY\s+KEY\s*\(\s*([\w\s,]+?)\s*\)", e, re.IGNORECASE
+        )
+        if mpk:
+            pk.extend(c.strip().lower() for c in mpk.group(1).split(","))
+            continue
         if _TABLE_CONSTRAINT.match(e):
             continue  # table-level constraint: metadata only
+        if re.search(r"\bPRIMARY\s+KEY\b", e, re.IGNORECASE):
+            # column-tail PRIMARY KEY: the key is this column
+            pk.append(e.split(None, 1)[0].lower())
         gen = None
         mg = _GENERATED.search(e)
         if mg:
@@ -760,13 +770,19 @@ def _parse_column_defs(cols: str) -> list[dict]:
             raise ValueError(
                 "generated column cannot refer to auto_increment column"
             )
-    return parsed
+    # PK recorded as METADATA (no uniqueness enforcement on an
+    # immutable store) — the key ON DUPLICATE KEY UPDATE matches on
+    seen: list[str] = []
+    for c in pk:
+        if c not in seen:
+            seen.append(c)
+    return parsed, tuple(seen)
 
 
 def _parse_column_list(cols: str) -> list[tuple[str, str]]:
     """(name, type) pairs for callers without a generated/identity
     write path (the partitioned CREATE) — those column kinds refuse."""
-    defs = _parse_column_defs(cols)
+    defs, _pk = _parse_column_defs(cols)
     bad = [c["name"] for c in defs if c["generated"] or c["auto_increment"]]
     if bad:
         raise NotImplementedError(
@@ -783,6 +799,46 @@ _INSERT = re.compile(
     r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT ... ON DUPLICATE KEY UPDATE (gram.y's B-format upsert;
+# nodeModifyTable.cpp ON DUPLICATE KEY path; the reference refuses
+# RETURNING/WITH inside it — gram.y:22972 — and so does this)
+_INSERT_DUP = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+"
+    r"(?P<stmt>(?:SELECT|VALUES|TABLE)\b.+?)\s+"
+    r"ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(?P<sets>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# UPDATE t [alias] SET ... FROM src [alias] [WHERE ...] — the joined
+# UPDATE (gram.y:23328 UpdateStmt's from_clause)
+_UPDATE_FROM = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+SET\s+(?P<sets>.+?)\s+FROM\s+(?P<src>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# DELETE FROM t [alias] USING src [alias] WHERE ... (gram.y:23218
+# DeleteStmt's using_clause)
+_DELETE_USING = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<src>\w+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+WHERE\s+(?P<where>.+?)"
+    r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _balanced(text: str) -> bool:
+    depth = 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"(?P<purge>PURGE)?\s*;?\s*$",
@@ -1232,6 +1288,211 @@ def _try_select_into(engine, query: str) -> DataFrame | None:
     return None
 
 
+def _handle_update_from(engine, m: re.Match) -> DataFrame:
+    """UPDATE t SET ... FROM s WHERE ... (gram.y:23328's from_clause):
+    the joined UPDATE.  One inner join finds the hit rows, a
+    row_number over the target row id picks ONE source row per target
+    (PG takes an arbitrary one; the pick here is deterministic — the
+    lexicographically first source row), SET expressions evaluate in
+    the joined scope (both aliases visible), and the new values join
+    back by row id into a copy-on-write rewrite.  Scale: one shuffle
+    on the join condition + one id-keyed join — never a cartesian,
+    and the wide target rows are carried once."""
+    from pyspark.sql.window import Window
+
+    from .rls import check_privilege
+
+    name = m.group("name").lower()
+    check_privilege(engine, name, "update")
+    mt = engine.managed_tables
+    gen_cols = mt.tables[name].get("generated") or {}
+    sets = dict(_split_set_clauses(m.group("sets")))
+    bad = [c for c in sets if c in gen_cols]
+    if bad:
+        raise ValueError(
+            f"cannot update generated column(s) {bad} of {name!r}"
+        )
+    ta = (m.group("talias") or name).lower()
+    sa = (m.group("salias") or m.group("src")).lower()
+    t = engine.spark.read.parquet(mt._path(name))
+    s = engine.spark.table(m.group("src").lower())
+    tid = "__t_rowid"
+    t2 = t.withColumn(tid, F.monotonically_increasing_id())
+    cond = (
+        F.expr(m.group("where")) if m.group("where") is not None
+        else F.lit(True)
+    )
+    joined = t2.alias(ta).join(s.alias(sa), cond, "inner")
+    skey = F.concat_ws(
+        "\x1f", *[F.col(f"{sa}.{c}").cast("string") for c in s.columns]
+    )
+    one = (
+        joined.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(tid).orderBy(skey)),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    by_name = {f.name: f for f in t.schema.fields}
+    upd = one.select(
+        F.col(tid),
+        F.lit(True).alias("__hit"),
+        *[
+            F.expr(e).cast(by_name[c].dataType).alias(f"__set_{c}")
+            for c, e in sets.items()
+        ],
+    )
+    n_hit = upd.count()
+    merged = t2.join(upd, tid, "left")
+    cols = []
+    for f in t.schema.fields:
+        if f.name in sets:
+            cols.append(
+                F.when(F.col("__hit"), F.col(f"__set_{f.name}"))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    flag = "__upd_hit"
+    out = merged.select(
+        *cols, F.coalesce(F.col("__hit"), F.lit(False)).alias(flag)
+    )
+    for gcol, gexpr in gen_cols.items():
+        out = out.withColumn(
+            gcol,
+            F.when(F.col(flag), F.expr(gexpr))
+            .otherwise(F.col(gcol))
+            .cast(by_name[gcol].dataType),
+        )
+    returning = None
+    if m.group("ret"):
+        returning = _returning_frame(
+            engine, out.filter(F.col(flag)).drop(flag), m.group("ret")
+        )
+    mt.rewrite(name, out.drop(flag))
+    if returning is not None:
+        return returning
+    return engine.spark.createDataFrame(
+        [("UPDATE", name, n_hit)], "tag STRING, tbl STRING, rows BIGINT"
+    )
+
+
+def _handle_delete_using(engine, m: re.Match) -> DataFrame:
+    """DELETE FROM t USING s WHERE ... (gram.y:23218's using_clause):
+    a LEFT SEMI join finds the doomed rows (RLS quals still apply to
+    the target scan), a row-id anti join keeps the complement — one
+    rewrite, no cartesian."""
+    from .rls import check_privilege, role_predicate
+
+    name = m.group("name").lower()
+    check_privilege(engine, name, "delete")
+    mt = engine.managed_tables
+    ta = (m.group("talias") or name).lower()
+    sa = (m.group("salias") or m.group("src")).lower()
+    t = engine.spark.read.parquet(mt._path(name))
+    s = engine.spark.table(m.group("src").lower())
+    tid = "__t_rowid"
+    t2 = t.withColumn(tid, F.monotonically_increasing_id())
+    doomed = t2.alias(ta).join(
+        s.alias(sa), F.expr(m.group("where")), "leftsemi"
+    )
+    rls_pred = role_predicate(engine, name)
+    if rls_pred is not None:
+        doomed = doomed.filter(rls_pred)
+    n_del = doomed.count()
+    kept = t2.join(doomed.select(tid), tid, "left_anti").drop(tid)
+    returning = None
+    if m.group("ret"):
+        returning = _returning_frame(
+            engine, doomed.drop(tid), m.group("ret")
+        )
+    mt.rewrite(name, kept)
+    if returning is not None:
+        return returning
+    return engine.spark.createDataFrame(
+        [("DELETE", name, n_del)], "tag STRING, tbl STRING, rows BIGINT"
+    )
+
+
+def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
+    """INSERT ... ON DUPLICATE KEY UPDATE (the B-format upsert;
+    nodeModifyTable.cpp's upsert path — requires a key, gram.y:22972
+    refuses RETURNING/WITH inside it).  The recorded PRIMARY KEY is
+    the match key; ``VALUES(col)`` references the incoming row
+    (rewritten to the source side), bare target column names qualify
+    to the target; ``UPDATE NOTHING`` keeps matched rows untouched
+    (insert-only-if-new).  Executed as the one full-outer merge +
+    copy-on-write rewrite MERGE uses."""
+    from .merge import merge_into
+    from .rls import check_privilege
+
+    name = m.group("name").lower()
+    check_privilege(engine, name, "insert")
+    mt = engine.managed_tables
+    meta = mt.tables[name]
+    pk = meta.get("primary_key")
+    if not pk:
+        raise ValueError(
+            f"INSERT ... ON DUPLICATE KEY UPDATE on {name!r}: the "
+            "table has no PRIMARY KEY to match on"
+        )
+    if meta.get("generated") or meta.get("auto_col"):
+        raise NotImplementedError(
+            "ON DUPLICATE KEY UPDATE on a table with GENERATED/"
+            "AUTO_INCREMENT columns — rewrite as INSERT + UPDATE"
+        )
+    target = mt.read(name)
+    src = engine.sql(m.group("stmt"))
+    if len(src.columns) != len(target.columns):
+        raise ValueError(
+            f"INSERT has {len(src.columns)} columns,"
+            f" table {name!r} takes {len(target.columns)}"
+        )
+    renamed = src.toDF(*[f"__src{i}" for i in range(len(src.columns))])
+    aligned = renamed.select(
+        *[
+            F.col(f"__src{i}").cast(f.dataType).alias(f.name)
+            for i, f in enumerate(target.schema.fields)
+        ]
+    )
+    sets_text = m.group("sets").strip()
+    by_name = {f.name: f for f in target.schema.fields}
+    if sets_text.upper() == "NOTHING":
+        upd: dict = {}
+    else:
+        upd = {}
+        tcols = sorted(target.columns, key=len, reverse=True)
+        for col, expr in _split_set_clauses(sets_text):
+            expr = re.sub(
+                r"VALUES\s*\(\s*(\w+)\s*\)", r"s.\1", expr,
+                flags=re.IGNORECASE,
+            )
+            for c in tcols:
+                expr = re.sub(
+                    rf"(?<![\w.'\"]){re.escape(c)}(?![\w(])",
+                    f"t.{c}", expr, flags=re.IGNORECASE,
+                )
+            upd[col.lower()] = F.expr(expr).cast(
+                by_name[col.lower()].dataType
+            )
+        bad = [c for c in upd if c in pk]
+        if bad:
+            raise ValueError(
+                f"ON DUPLICATE KEY UPDATE may not modify key "
+                f"column(s) {bad}"
+            )
+    merged = merge_into(
+        target, aligned, on=list(pk), when_matched_update=upd,
+        when_not_matched_insert=True,
+    )
+    mt.rewrite(name, merged)
+    return engine.spark.createDataFrame(
+        [("INSERT", name, "ON DUPLICATE KEY UPDATE")],
+        "tag STRING, tbl STRING, mode STRING",
+    )
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
     handled = _handle_comment(engine, query)
     if handled is not None:
@@ -1334,7 +1595,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 )
             raise ValueError(f"table {name!r} already exists")
         from .create_function import _map_type
-        defs = _parse_column_defs(m.group("cols"))
+        defs, pk = _parse_column_defs(m.group("cols"))
         schema = ", ".join(
             f"{c['name']} {_map_type(c['type'])}" for c in defs
         )
@@ -1344,6 +1605,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             extra_meta=storage_meta,
         )
         meta = engine.managed_tables.tables[name]
+        if pk:
+            meta["primary_key"] = pk
         if m.group("temp"):
             meta["temp"] = True
         generated = {
@@ -1375,6 +1638,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             [("CREATE TABLE AS", m.group("name").lower(), n)],
             "tag STRING, tbl STRING, rows BIGINT",
         )
+    m = _INSERT_DUP.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        return _handle_insert_dup_key(engine, m)
     m = _INSERT.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         from .rls import check_privilege
@@ -1394,6 +1660,16 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         return engine.spark.createDataFrame(
             [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"
         )
+    m = _UPDATE_FROM.match(query)
+    if (
+        m
+        and m.group("name").lower() in engine.managed_tables.tables
+        and _balanced(m.group("sets"))
+    ):
+        return _handle_update_from(engine, m)
+    m = _DELETE_USING.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        return _handle_delete_using(engine, m)
     m = _UPDATE.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         # ModifyTable UPDATE (nodeModifyTable.cpp) as copy-on-write:
@@ -2332,6 +2608,158 @@ def cstore_distribute_select_into(spark, sf_dir):
             rows,
             "n_groups BIGINT, n_rows BIGINT, grand DOUBLE,"
             " sum_id BIGINT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "update_from_delete_using",
+    """
+    WITH t0 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 3000
+    ),
+    cust AS (SELECT c_custkey, c_acctbal FROM customer),
+    t1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM cust s WHERE t0.o_custkey = s.c_custkey
+                 AND s.c_acctbal > 5000)
+             THEN price * CAST(1.05 AS DOUBLE) ELSE price END AS price
+      FROM t0
+    ),
+    t2 AS (
+      SELECT * FROM t1 WHERE NOT EXISTS (
+        SELECT 1 FROM cust s WHERE t1.o_custkey = s.c_custkey
+          AND s.c_acctbal < -900)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM t2
+    """,
+)
+def update_from_delete_using(spark, sf_dir):
+    """The joined DML pair (gram.y:23328 UPDATE from_clause +
+    gram.y:23218 DELETE using_clause): UPDATE ... FROM raises prices
+    of orders whose customer is rich (one inner join + row-id
+    writeback), DELETE ... USING drops orders of overdrawn customers
+    (one semi join + row-id anti join).  The oracle spells both as
+    EXISTS predicates.  The join keys are unique on the source side,
+    so the one-match-per-row pick cannot diverge."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jdml_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE jt AS SELECT o_orderkey, o_custkey,"
+            " CAST(o_totalprice AS DOUBLE) AS price FROM orders"
+            " WHERE o_orderkey <= 3000"
+        )
+        eng.sql(
+            "UPDATE jt SET price = jt.price * CAST(1.05 AS DOUBLE)"
+            " FROM customer s"
+            " WHERE jt.o_custkey = s.c_custkey AND s.c_acctbal > 5000"
+        )
+        eng.sql(
+            "DELETE FROM jt USING customer s"
+            " WHERE jt.o_custkey = s.c_custkey AND s.c_acctbal < -900"
+        )
+        out = eng.sql(
+            "SELECT COUNT(*) AS n,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total FROM jt"
+        )
+        rows = [(r[0], float(r[1])) for r in out.collect()]
+        eng.sql("DROP TABLE jt PURGE")
+        return spark.createDataFrame(rows, "n BIGINT, total DOUBLE")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "insert_dup_key_upsert",
+    """
+    WITH t0 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(1 AS BIGINT) AS n
+      FROM orders WHERE o_orderkey <= 1500
+    ),
+    incoming AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2500
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey <= 700
+    ),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, i.o_orderkey) AS o_orderkey,
+             CASE WHEN i.o_orderkey IS NOT NULL THEN i.price
+                  ELSE t.price END AS price,
+             CASE WHEN t.o_orderkey IS NOT NULL
+                   AND i.o_orderkey IS NOT NULL THEN t.n + 1
+                  WHEN t.o_orderkey IS NOT NULL THEN t.n
+                  ELSE CAST(1 AS BIGINT) END AS n
+      FROM t0 t FULL OUTER JOIN incoming i
+        ON t.o_orderkey = i.o_orderkey
+    )
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM merged GROUP BY n ORDER BY n
+    """,
+)
+def insert_dup_key_upsert(spark, sf_dir):
+    """INSERT ... ON DUPLICATE KEY UPDATE end-to-end (the B-format
+    upsert, nodeModifyTable.cpp's upsert path over the recorded
+    PRIMARY KEY): matched keys take VALUES(price) and bump a counter
+    (bare column = target, VALUES() = incoming — the MySQL scoping
+    the reference adopted), unmatched keys insert.  The incoming set
+    deliberately hits both overlap and fresh ranges; the oracle is
+    the equivalent full-outer merge."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dup_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE pk_t (o_orderkey bigint PRIMARY KEY,"
+            " price double, n bigint)"
+        )
+        eng.sql(
+            "INSERT INTO pk_t SELECT o_orderkey,"
+            " CAST(o_totalprice AS DOUBLE), 1 FROM orders"
+            " WHERE o_orderkey <= 1500"
+        )
+        eng.sql(
+            "INSERT INTO pk_t SELECT o_orderkey,"
+            " CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE), 1"
+            " FROM orders WHERE (o_orderkey > 1000 AND"
+            " o_orderkey <= 2500) OR (o_orderkey >= 500 AND"
+            " o_orderkey <= 700)"
+            " ON DUPLICATE KEY UPDATE price = VALUES(price), n = n + 1"
+        )
+        out = eng.sql(
+            "SELECT n, COUNT(*) AS cnt,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM pk_t GROUP BY n ORDER BY n"
+        )
+        rows = [(r[0], r[1], float(r[2])) for r in out.collect()]
+        eng.sql("DROP TABLE pk_t PURGE")
+        return spark.createDataFrame(
+            rows, "n BIGINT, cnt BIGINT, total DOUBLE"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -197,3 +197,78 @@ def test_select_into(spark, tmp_path):
     # string literals containing INTO stay literal
     r = eng.sql("SELECT 'go into the x' AS s FROM region").collect()
     assert len(r) == 5
+
+
+def test_update_from_and_delete_using(spark, tmp_path):
+    """gram.y:23328 UPDATE from_clause / :23218 DELETE using_clause."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE jt (k bigint, v double)")
+    eng.sql("INSERT INTO jt VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    eng.sql("CREATE TABLE js (k bigint, mult double)")
+    eng.sql("INSERT INTO js VALUES (1, 2.0), (3, 10.0), (9, 5.0)")
+    out = eng.sql(
+        "UPDATE jt SET v = jt.v * s.mult FROM js s WHERE jt.k = s.k"
+    ).collect()[0]
+    assert out.rows == 2
+    got = sorted(tuple(r) for r in eng.sql("SELECT k, v FROM jt").collect())
+    assert got == [(1, 20.0), (2, 20.0), (3, 300.0)]
+    # RETURNING carries the NEW values of the hit rows
+    ret = eng.sql(
+        "UPDATE jt SET v = jt.v + s.mult FROM js s WHERE jt.k = s.k"
+        " AND s.mult > 5 RETURNING k, v"
+    ).collect()
+    assert [(r.k, r.v) for r in ret] == [(3, 310.0)]
+    out = eng.sql(
+        "DELETE FROM jt USING js s WHERE jt.k = s.k AND s.mult >= 2"
+    ).collect()[0]
+    assert out.rows == 2
+    assert [r.k for r in eng.sql("SELECT k FROM jt").collect()] == [2]
+    # multiple source matches: ONE deterministic winner per target row
+    eng.sql("CREATE TABLE mm (k bigint, v string)")
+    eng.sql("INSERT INTO mm VALUES (1, 'old')")
+    eng.sql("CREATE TABLE ms (k bigint, nv string)")
+    eng.sql("INSERT INTO ms VALUES (1, 'zzz'), (1, 'aaa')")
+    eng.sql("UPDATE mm SET v = s.nv FROM ms s WHERE mm.k = s.k")
+    # lexicographically-first source row wins
+    assert eng.sql("SELECT v FROM mm").collect()[0].v == "aaa"
+
+
+def test_insert_on_duplicate_key(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE pk (k bigint PRIMARY KEY, v double, n bigint)"
+    )
+    eng.sql("INSERT INTO pk VALUES (1, 1.0, 1), (2, 2.0, 1)")
+    assert eng.managed_tables.tables["pk"]["primary_key"] == ("k",)
+    eng.sql(
+        "INSERT INTO pk VALUES (2, 99.0, 1), (5, 5.0, 1)"
+        " ON DUPLICATE KEY UPDATE v = VALUES(v), n = n + 1"
+    )
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM pk").collect())
+    assert got == [(1, 1.0, 1), (2, 99.0, 2), (5, 5.0, 1)]
+    # UPDATE NOTHING = insert-only-if-new
+    eng.sql(
+        "INSERT INTO pk VALUES (5, 0.0, 0), (7, 7.0, 1)"
+        " ON DUPLICATE KEY UPDATE NOTHING"
+    )
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM pk").collect())
+    assert got == [(1, 1.0, 1), (2, 99.0, 2), (5, 5.0, 1), (7, 7.0, 1)]
+    # table-level composite PRIMARY KEY is recorded too
+    eng.sql(
+        "CREATE TABLE pk2 (a bigint, b bigint, v double,"
+        " PRIMARY KEY (a, b))"
+    )
+    assert eng.managed_tables.tables["pk2"]["primary_key"] == ("a", "b")
+    # no key → the reference's refusal
+    eng.sql("CREATE TABLE nk (a bigint, v double)")
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.sql(
+            "INSERT INTO nk VALUES (1, 1.0)"
+            " ON DUPLICATE KEY UPDATE v = VALUES(v)"
+        )
+    # key columns may not be modified
+    with pytest.raises(ValueError, match="key column"):
+        eng.sql(
+            "INSERT INTO pk VALUES (1, 1.0, 1)"
+            " ON DUPLICATE KEY UPDATE k = VALUES(k)"
+        )
