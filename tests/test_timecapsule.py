@@ -273,3 +273,55 @@ def test_flashback_scan_keeps_pushdown(spark, tmp_path):
         " WHERE o_orderkey <= 50"
     ).collect()[0].n
     assert df.count() == want
+
+
+def test_flashback_random_program_matches_model(spark, tmp_path):
+    """A seeded random DML program (insert/update/delete/truncate)
+    executed against BOTH the engine and a plain Python model of the
+    multiset; afterwards, TIMECAPSULE CSN reconstruction of EVERY
+    recorded version must equal the model's snapshot at that commit —
+    the tcap_version regress property, generalized."""
+    import random
+
+    rng = random.Random(73)
+    eng = _eng(spark, tmp_path)
+    mt = eng.managed_tables
+    eng.sql("CREATE TABLE rp (a int)")
+    model: list[int] = []
+    snapshots = [(mt.tables["rp"]["history"][-1]["csn"], [])]
+    next_val = 0
+    for _ in range(10):
+        op = rng.choice(["insert", "insert", "update", "delete",
+                         "truncate"])
+        if op == "insert":
+            vals = [next_val + i for i in range(rng.randint(1, 3))]
+            next_val += len(vals)
+            eng.sql(
+                "INSERT INTO rp VALUES "
+                + ", ".join(f"({v})" for v in vals)
+            )
+            model.extend(vals)
+        elif op == "update" and model:
+            pivot = rng.choice(model)
+            eng.sql(f"UPDATE rp SET a = a + 1000 WHERE a = {pivot}")
+            model = [v + 1000 if v == pivot else v for v in model]
+        elif op == "delete" and model:
+            pivot = rng.choice(model)
+            eng.sql(f"DELETE FROM rp WHERE a >= {pivot}")
+            model = [v for v in model if v < pivot]
+        elif op == "truncate":
+            eng.sql("TRUNCATE rp")
+            model = []
+        else:
+            continue
+        snapshots.append(
+            (mt.tables["rp"]["history"][-1]["csn"], sorted(model))
+        )
+    assert len(snapshots) >= 6  # the walk really exercised DML
+    for csn, want in snapshots:
+        got = sorted(
+            r.a for r in eng.sql(
+                f"SELECT a FROM rp TIMECAPSULE CSN {csn}"
+            ).collect()
+        )
+        assert got == want, (csn, got, want)
