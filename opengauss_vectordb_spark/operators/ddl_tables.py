@@ -1212,9 +1212,10 @@ def _strip_storage_clauses(query: str) -> tuple[str, dict]:
         elif ch == ")":
             depth -= 1
         elif depth == 0 and query[i:i + 2].upper() == "AS" and (
-            i == 0 or not query[i - 1].isalnum()
+            i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")
         ) and (
-            i + 2 >= len(query) or not query[i + 2].isalnum()
+            i + 2 >= len(query)
+            or not (query[i + 2].isalnum() or query[i + 2] == "_")
         ):
             as_at = i
             break
@@ -1263,8 +1264,10 @@ def _try_select_into(engine, query: str) -> DataFrame | None:
         elif (
             depth == 0
             and query[i:i + 4].upper() == "INTO"
-            and (i == 0 or not query[i - 1].isalnum())
-            and (i + 4 >= n or not query[i + 4].isalnum())
+            and (i == 0 or not (query[i - 1].isalnum()
+                                or query[i - 1] == "_"))
+            and (i + 4 >= n or not (query[i + 4].isalnum()
+                                    or query[i + 4] == "_"))
         ):
             m = re.match(
                 r"INTO\s+(?P<temp>(?:GLOBAL\s+|LOCAL\s+)?"
@@ -1272,7 +1275,8 @@ def _try_select_into(engine, query: str) -> DataFrame | None:
                 query[i:], re.IGNORECASE,
             )
             if m is None:
-                return None
+                i += 1
+                continue
             rest = query[:i] + query[i + m.end():]
             name = m.group("name").lower()
             rows = engine.managed_tables.create_as(

@@ -94,8 +94,24 @@ def rewrite_flashback(engine, query: str) -> str:
     if re.match(r"^\s*(TIMECAPSULE|PURGE)\b", query, re.IGNORECASE):
         return query  # statement forms, handled below
     mt = engine.managed_tables
+    # quoted spans are literals, not clauses — never rewrite inside
+    quoted = []
+    in_q, start = False, 0
+    for i, ch in enumerate(query):
+        if ch == "'":
+            if in_q:
+                quoted.append((start, i))
+                in_q = False
+            else:
+                start = i
+                in_q = True
+
+    def _in_literal(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in quoted)
 
     def _sub(m: re.Match) -> str:
+        if _in_literal(m.start()):
+            return m.group(0)
         tbl = m.group("tbl").lower()
         if tbl not in mt.tables:
             raise ValueError(
