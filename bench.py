@@ -163,6 +163,11 @@ HEADLINE = [
     "plpgsql_for_loop_agg",
     "plpython_function",
     "merge_delete_action",
+    # round-7 additions (same frozen-prefix rule): the read-side
+    # registrations. The partition/timecapsule/generated/identity/
+    # temp/ACL/joined-DML rows stay out — statement-layer write flows,
+    # same exclusion as the other DDL/DML lifecycles.
+    "source_mix_temperature",
 ]
 
 

@@ -1486,6 +1486,20 @@ def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
                 f"ON DUPLICATE KEY UPDATE may not modify key "
                 f"column(s) {bad}"
             )
+    # the reference applies upsert rows SEQUENTIALLY (a later duplicate
+    # updates the row an earlier one inserted); a set-based merge
+    # cannot reproduce that order, so intra-statement duplicate keys
+    # refuse rather than silently diverge
+    dup = (
+        aligned.groupBy(*pk).count().filter(F.col("count") > 1).limit(1)
+        .count()
+    )
+    if dup:
+        raise NotImplementedError(
+            "ON DUPLICATE KEY UPDATE with duplicate keys INSIDE the "
+            "incoming rows: the reference applies them row-by-row — "
+            "pre-aggregate the source to one row per key first"
+        )
     merged = merge_into(
         target, aligned, on=list(pk), when_matched_update=upd,
         when_not_matched_insert=True,

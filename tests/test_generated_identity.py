@@ -272,3 +272,15 @@ def test_insert_on_duplicate_key(spark, tmp_path):
             "INSERT INTO pk VALUES (1, 1.0, 1)"
             " ON DUPLICATE KEY UPDATE k = VALUES(k)"
         )
+
+
+def test_dup_key_intra_batch_refused(spark, tmp_path):
+    """The reference upserts row-by-row; set-based merge cannot — a
+    source with duplicate keys must refuse, not silently diverge."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE pkd (k bigint PRIMARY KEY, v double)")
+    with pytest.raises(NotImplementedError, match="row-by-row"):
+        eng.sql(
+            "INSERT INTO pkd VALUES (1, 1.0), (1, 2.0)"
+            " ON DUPLICATE KEY UPDATE v = VALUES(v)"
+        )
