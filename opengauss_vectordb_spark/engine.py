@@ -126,6 +126,11 @@ class Engine:
         # (gram.y:4807 ADD STATISTICS; analyze.cpp ES path):
         # table → [ (col, col, ...) ]
         self.ext_stats: dict[str, list[tuple[str, ...]]] = {}
+        # CREATE ROLE/USER registry + GRANT <role> TO <member>
+        # membership (gram.y:1391/:14286); has_privilege walks the
+        # transitive closure (the INHERIT default)
+        self.roles: set[str] = set()
+        self.role_members: dict[str, set[str]] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -331,6 +336,69 @@ class Engine:
             return self.spark.createDataFrame(
                 [(guc, self._gucs.get(guc, default))],
                 "guc STRING, value INT",
+            )
+        # TransactionStmt (gram.y:19519): the batch engine is
+        # autocommit — every statement's write is already the durable
+        # snapshot swap — so BEGIN/COMMIT are accepted as no-ops
+        # (scripts keep their shape); ROLLBACK/SAVEPOINT have nothing
+        # to undo INSIDE a transaction and refuse, naming TIMECAPSULE
+        # (flashback) as this engine's undo mechanism
+        m = re.match(
+            r"^\s*(?P<verb>BEGIN|START\s+TRANSACTION|COMMIT|END)"
+            r"(?:\s+WORK|\s+TRANSACTION)?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            return self.spark.createDataFrame(
+                [(m.group("verb").upper(), "autocommit no-op")],
+                "tag STRING, note STRING",
+            )
+        if re.match(r"^\s*(ROLLBACK|SAVEPOINT|RELEASE)\b", query,
+                    re.IGNORECASE):
+            raise NotImplementedError(
+                "autocommit batch engine: each statement commits on "
+                "its own — undo data changes with TIMECAPSULE "
+                "(flashback query / TIMECAPSULE TABLE ... TO CSN), "
+                "not ROLLBACK/SAVEPOINT"
+            )
+        # generic session GUCs (VariableSetStmt gram.y:2277): SET/
+        # SHOW/RESET of any parameter name, engine-session-scoped
+        # (SET ROLE stays with the security layer, operators/rls.py)
+        m = re.match(
+            r"^\s*SET\s+(?:SESSION\s+)?(?P<name>[\w.]+)\s*(?:=|\s+TO\s+)"
+            r"\s*(?P<val>.+?)\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m and m.group("name").lower() not in ("role",):
+            val = m.group("val").strip().strip("'")
+            self._gucs[m.group("name").lower()] = val
+            return self.spark.createDataFrame(
+                [("SET", m.group("name").lower(), val)],
+                "tag STRING, guc STRING, value STRING",
+            )
+        m = re.match(
+            r"^\s*RESET\s+(?P<name>[\w.]+)\s*;?\s*$", query,
+            re.IGNORECASE,
+        )
+        if m and m.group("name").lower() != "role":
+            self._gucs.pop(m.group("name").lower(), None)
+            return self.spark.createDataFrame(
+                [("RESET", m.group("name").lower())],
+                "tag STRING, guc STRING",
+            )
+        m = re.match(
+            r"^\s*SHOW\s+(?P<name>[\w.]+)\s*;?\s*$", query,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group("name").lower()
+            if name not in self._gucs:
+                raise KeyError(
+                    f"unrecognized configuration parameter {name!r}"
+                )
+            return self.spark.createDataFrame(
+                [(name, str(self._gucs[name]))],
+                "guc STRING, value STRING",
             )
         m = re.match(
             r"^\s*REINDEX\s+(?:INDEX\s+)?(?P<name>\w+)\s*;?\s*$",

@@ -77,6 +77,31 @@ _TABLE_PRIVS_SELECT = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+table_privileges\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE ROLE/USER (gram.y:1391 CreateRoleStmt) — options are
+# authentication/resource metadata a batch engine has no use for;
+# PASSWORD material is deliberately NOT retained
+_CREATE_ROLE = re.compile(
+    r"^\s*CREATE\s+(?:ROLE|USER)\s+(?P<name>\w+)"
+    r"(?:\s+WITH)?(?P<opts>(?:\s+\w+(?:\s+'[^']*')?)*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_ROLE = re.compile(
+    r"^\s*DROP\s+(?:ROLE|USER)\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# GRANT <role> TO <member> (gram.y:14286 GrantRoleStmt — no ON
+# clause, which is what separates it from a table GRANT)
+_GRANT_ROLE = re.compile(
+    r"^\s*GRANT\s+(?P<role>\w+)\s+TO\s+(?P<members>\w+(?:\s*,\s*\w+)*)"
+    r"(?:\s+WITH\s+ADMIN\s+OPTION)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REVOKE_ROLE = re.compile(
+    r"^\s*REVOKE\s+(?P<role>\w+)\s+FROM\s+"
+    r"(?P<members>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_privs(text: str) -> set[str]:
@@ -89,18 +114,34 @@ def _parse_privs(text: str) -> set[str]:
     return privs
 
 
+def _role_closure(engine, role: str) -> set[str]:
+    """The role plus every group it belongs to, transitively
+    (GrantRoleStmt membership — gram.y:14286; is_member_of_role)."""
+    seen = {role}
+    frontier = [role]
+    members = getattr(engine, "role_members", {})
+    while frontier:
+        r = frontier.pop()
+        for parent in members.get(r, ()):  # groups r belongs to
+            if parent not in seen:
+                seen.add(parent)
+                frontier.append(parent)
+    return seen
+
+
 def has_privilege(engine, tbl: str, priv: str) -> bool:
     """pg_class_aclcheck: owner bypasses; ACL-managed tables require
-    the privilege on the session role (or PUBLIC); unmanaged tables
-    are open."""
+    the privilege on the session role, any group it belongs to
+    (transitive membership, the INHERIT default), or PUBLIC;
+    unmanaged tables are open."""
     if engine.current_role is None:
         return True
     acl = engine.acl.get(tbl.lower())
     if acl is None:
         return True
-    allowed = (
-        acl.get(engine.current_role, set()) | acl.get("public", set())
-    )
+    allowed: set[str] = set(acl.get("public", set()))
+    for r in _role_closure(engine, engine.current_role):
+        allowed |= acl.get(r, set())
     return priv.lower() in allowed or "all" in allowed
 
 
@@ -246,6 +287,55 @@ def try_handle_stmt(engine, stmt: str):
         return engine.spark.createDataFrame(
             [("REVOKE", tbl, ",".join(sorted(privs)))],
             "tag STRING, tbl STRING, privileges STRING",
+        )
+    m = _CREATE_ROLE.match(stmt)
+    if m:
+        engine.roles.add(m.group("name").lower())
+        return engine.spark.createDataFrame(
+            [("CREATE ROLE", m.group("name").lower())],
+            "tag STRING, role STRING",
+        )
+    m = _DROP_ROLE.match(stmt)
+    if m:
+        name = m.group("name").lower()
+        existed = name in engine.roles
+        engine.roles.discard(name)
+        engine.role_members.pop(name, None)
+        for members in engine.role_members.values():
+            members.discard(name)
+        return engine.spark.createDataFrame(
+            [("DROP ROLE", name, existed)],
+            "tag STRING, role STRING, existed BOOLEAN",
+        )
+    m = _GRANT_ROLE.match(stmt)
+    if m:
+        group = m.group("role").lower()
+        if group in _PRIVS:
+            raise ValueError(
+                f"GRANT {group.upper()} needs an ON <table> clause"
+            )
+        if group not in engine.roles:
+            raise KeyError(f"role {group!r} does not exist")
+        for member in m.group("members").split(","):
+            engine.role_members.setdefault(
+                member.strip().lower(), set()
+            ).add(group)
+        _refresh_views(engine)
+        return engine.spark.createDataFrame(
+            [("GRANT ROLE", group, m.group("members"))],
+            "tag STRING, role STRING, members STRING",
+        )
+    m = _REVOKE_ROLE.match(stmt)
+    if m and m.group("role").lower() not in _PRIVS:
+        group = m.group("role").lower()
+        for member in m.group("members").split(","):
+            engine.role_members.get(
+                member.strip().lower(), set()
+            ).discard(group)
+        _refresh_views(engine)
+        return engine.spark.createDataFrame(
+            [("REVOKE ROLE", group, m.group("members"))],
+            "tag STRING, role STRING, members STRING",
         )
     m = _ENABLE_RLS.match(stmt)
     if m and m.group("name").lower() in engine.managed_tables.tables:

@@ -154,3 +154,54 @@ def test_extended_statistics(spark, tmp_path):
     assert row.stakey == "(a,b)" and row.mcv_val == "x|1"
     eng.sql("ALTER TABLE est DELETE STATISTICS ((a, b))")
     assert eng.sql("SELECT * FROM pg_ext_stats").count() == 0
+
+
+def test_roles_and_membership(spark, tmp_path):
+    """CREATE ROLE/USER + GRANT role TO member (gram.y:1391/:14286):
+    privileges flow through the transitive membership closure."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE ROLE admins")
+    eng.sql("CREATE ROLE analysts")
+    eng.sql("CREATE USER carol PASSWORD 'ignored'")
+    eng.sql("GRANT analysts TO carol")
+    eng.sql("GRANT admins TO analysts")  # nesting
+    eng.sql("CREATE TABLE rsec (k bigint)")
+    eng.sql("INSERT INTO rsec VALUES (1)")
+    eng.sql("GRANT SELECT ON rsec TO admins")
+    eng.sql("SET ROLE carol")  # carol → analysts → admins → SELECT
+    assert eng.sql("SELECT COUNT(*) AS n FROM rsec").collect()[0].n == 1
+    eng.sql("RESET ROLE")
+    eng.sql("REVOKE admins FROM analysts")
+    eng.sql("SET ROLE carol")
+    with pytest.raises(Exception, match="permission denied"):
+        eng.sql("SELECT COUNT(*) AS n FROM rsec").collect()
+    eng.sql("RESET ROLE")
+    # granting a nonexistent group refuses; privilege-keyword guard
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("GRANT nope TO carol")
+    with pytest.raises(ValueError, match="ON"):
+        eng.sql("GRANT SELECT TO carol")
+    eng.sql("DROP ROLE admins")
+    assert "admins" not in eng.roles
+
+
+def test_transaction_noops_and_generic_gucs(spark, tmp_path):
+    """TransactionStmt (gram.y:19519) under the autocommit position +
+    VariableSetStmt (gram.y:2277) generic SET/SHOW/RESET."""
+    eng = _eng(spark, tmp_path)
+    assert eng.sql("BEGIN").collect()[0].note == "autocommit no-op"
+    assert eng.sql("START TRANSACTION").collect()[0].tag.startswith(
+        "START"
+    )
+    assert eng.sql("COMMIT").collect()[0].note == "autocommit no-op"
+    with pytest.raises(NotImplementedError, match="TIMECAPSULE"):
+        eng.sql("ROLLBACK")
+    with pytest.raises(NotImplementedError, match="TIMECAPSULE"):
+        eng.sql("SAVEPOINT s1")
+    eng.sql("SET search_path TO public")
+    assert eng.sql("SHOW search_path").collect()[0].value == "public"
+    eng.sql("SET statement_timeout = '30s'")
+    assert eng.sql("SHOW statement_timeout").collect()[0].value == "30s"
+    eng.sql("RESET statement_timeout")
+    with pytest.raises(KeyError, match="unrecognized"):
+        eng.sql("SHOW statement_timeout")
