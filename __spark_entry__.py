@@ -78,6 +78,7 @@ GATE_PRIORITY: list[str] = [
     "extended_statistics_scan",
     "update_from_delete_using",
     "insert_dup_key_upsert",
+    "create_type_enum_column",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -105,7 +106,6 @@ GATE_PRIORITY: list[str] = [
     "db4ai_predict_scoring",
     "dedup_cluster_resolve",
     "doc_fingerprint",
-    "enum_ordering",
     "fts_match_rank",
     "interval_arithmetic",
     "like_regex_funcs",

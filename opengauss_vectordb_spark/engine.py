@@ -131,6 +131,9 @@ class Engine:
         # transitive closure (the INHERIT default)
         self.roles: set[str] = set()
         self.role_members: dict[str, set[str]] = {}
+        # CREATE TYPE/DOMAIN catalog (typecmds.cpp):
+        # name → {kind: enum|composite|domain, ...}
+        self.user_types: dict[str, dict] = {}
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -473,6 +476,11 @@ class Engine:
         from .operators.timecapsule import try_handle_stmt as _tcap_stmt
 
         handled = _tcap_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.user_types import try_handle_stmt as _types_stmt
+
+        handled = _types_stmt(self, query)
         if handled is not None:
             return handled
         handled = _tables_stmt(self, query)

@@ -467,6 +467,11 @@ class TableManager:
         import shutil
 
         name = name.lower()
+        enum_cols = self.tables[name].get("enum_cols")
+        if enum_cols and self.engine is not None:
+            from .user_types import enum_guard
+
+            df = enum_guard(self.engine, df, enum_cols)
         compacting = self.next_gen_dir(name)
         shutil.rmtree(compacting, ignore_errors=True)
         spec_meta = self.tables[name].get("partition_spec")
@@ -585,6 +590,11 @@ class TableManager:
         return hist[-1]["csn"]
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
+        enum_cols = self.tables[name].get("enum_cols")
+        if enum_cols and self.engine is not None:
+            from .user_types import enum_guard
+
+            df = enum_guard(self.engine, df, enum_cols)
         dcol = self.tables[name].get("distribute_by")
         if dcol and dcol in df.columns:
             # DISTRIBUTE BY HASH(col): every write hash-partitions on
@@ -1613,16 +1623,26 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 )
             raise ValueError(f"table {name!r} already exists")
         from .create_function import _map_type
+        from .user_types import resolve_type
         defs, pk = _parse_column_defs(m.group("cols"))
         schema = ", ".join(
-            f"{c['name']} {_map_type(c['type'])}" for c in defs
+            f"{c['name']} "
+            + (resolve_type(engine, c["type"]) or _map_type(c["type"]))
+            for c in defs
         )
+        enum_cols = {
+            c["name"]: c["type"].strip().lower() for c in defs
+            if engine.user_types.get(c["type"].strip().lower(), {})
+            .get("kind") == "enum"
+        }
         empty = engine.spark.createDataFrame([], schema)
         engine.managed_tables.create_as(
             name, empty, partition_by=(m.group("pcol") or None),
             extra_meta=storage_meta,
         )
         meta = engine.managed_tables.tables[name]
+        if enum_cols:
+            meta["enum_cols"] = enum_cols
         if pk:
             meta["primary_key"] = pk
         if m.group("temp"):

@@ -90,6 +90,7 @@ def load_all_queries() -> None:
         text,
         timecapsule,
         triggers,
+        user_types,
     )
     from .functions import udtf  # noqa: F401
     from .sources import zorder  # noqa: F401

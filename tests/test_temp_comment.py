@@ -205,3 +205,51 @@ def test_transaction_noops_and_generic_gucs(spark, tmp_path):
     eng.sql("RESET statement_timeout")
     with pytest.raises(KeyError, match="unrecognized"):
         eng.sql("SHOW statement_timeout")
+
+
+def test_create_type_composite_and_domain(spark, tmp_path):
+    """CREATE TYPE AS (...) → STRUCT column; CREATE DOMAIN → alias
+    (typecmds.cpp DefineDomain; CHECK refuses)."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TYPE addr AS (city text, zip int)")
+    eng.sql("CREATE DOMAIN money_d AS decimal(12, 2)")
+    eng.sql("CREATE TABLE ct (id bigint, home addr, bal money_d)")
+    eng.sql(
+        "INSERT INTO ct SELECT 1, named_struct('city', 'york',"
+        " 'zip', 10), 5.5"
+    )
+    row = eng.sql(
+        "SELECT home.city AS c, home.zip AS z,"
+        " CAST(bal AS DOUBLE) AS b FROM ct"
+    ).collect()[0]
+    assert (row.c, row.z, row.b) == ("york", 10, 5.5)
+    with pytest.raises(NotImplementedError, match="CHECK"):
+        eng.sql("CREATE DOMAIN pos AS int CHECK (VALUE > 0)")
+    # dropping a type in use refuses (typecmds.cpp dependency)
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("CREATE TABLE em (m mood)")
+    with pytest.raises(ValueError, match="use"):
+        eng.sql("DROP TYPE mood")
+    eng.sql("DROP TABLE em PURGE")
+    eng.sql("DROP TYPE mood")
+    assert "mood" not in eng.user_types
+
+
+def test_enum_write_validation(spark, tmp_path):
+    """enum.cpp enum_in: out-of-set labels abort INSERT and UPDATE
+    from inside the write job."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("CREATE TABLE em (m mood, v int)")
+    eng.sql("INSERT INTO em VALUES ('ok', 1), (NULL, 2)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM em").collect()[0].n == 2
+    with pytest.raises(Exception, match="invalid input value for enum"):
+        eng.sql("INSERT INTO em VALUES ('angry', 3)")
+    with pytest.raises(Exception, match="invalid input value for enum"):
+        eng.sql("UPDATE em SET m = 'angry' WHERE v = 1")
+    # valid update passes the same guard
+    eng.sql("UPDATE em SET m = 'happy' WHERE v = 1")
+    got = sorted(
+        (r.m or "", r.v) for r in eng.sql("SELECT * FROM em").collect()
+    )
+    assert got == [("", 2), ("happy", 1)]
