@@ -44,8 +44,14 @@ registry.load_all_queries()
 # names, pkg.member() call-site resolution), TIMECAPSULE flashback
 # (operators/timecapsule.py: commit manifests over retained
 # generations, CSN/TIMESTAMP snapshot scans, recyclebin + restore),
-# stored GENERATED columns + AUTO_INCREMENT identity, and session
-# TEMP tables; (b) the
+# stored GENERATED columns + AUTO_INCREMENT identity (+ serial
+# pseudo-types), session TEMP tables, the column-store DDL dialect
+# (WITH (ORIENTATION=COLUMN) / DISTRIBUTE BY HASH honored as write
+# repartition) + SELECT INTO, GRANT/REVOKE ACLs with role membership,
+# extended statistics, temperature-based source mixing, joined DML
+# (UPDATE...FROM / DELETE...USING / ON DUPLICATE KEY UPDATE over
+# recorded PRIMARY KEYs), and CREATE TYPE AS ENUM as a validated
+# column type; (b) the
 # source_mix_rebalance re-gate; (c) re-gates for every query whose
 # code path churned this round (merge.py: INSERT-expression isolation
 # via __ins_* columns, one-pass alias rewrite, first-match-wins clause
