@@ -971,6 +971,14 @@ _ALTER_RENAME_TBL = re.compile(
 )
 
 
+_ALTER_ADD_PK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+"
+    r"(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*"
+    r"\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def _handle_alter_table(engine, query: str) -> DataFrame | None:
     """ALTER TABLE over managed tables (tablecmds.cpp AlterTable):
     ADD/DROP/RENAME COLUMN and RENAME TO.  Column changes run as ONE
@@ -979,6 +987,30 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
     nullable ADD COLUMN is a transactional-format feature (Delta/
     Iceberg metadata commit) — documented cost difference, same
     semantics.  Catalog (parquet star schema) tables are read-only."""
+    mm = _ALTER_ADD_PK.match(query)
+    if mm and mm.group("name").lower() in engine.managed_tables.tables:
+        # metadata-only, like the CREATE-time declaration: records the
+        # key ON DUPLICATE KEY UPDATE matches on (tablecmds.cpp adds
+        # the index; an immutable store has no uniqueness to enforce).
+        # CTAS tables gain an upsert key this way.
+        name = mm.group("name").lower()
+        cols = tuple(
+            c.strip().lower() for c in mm.group("cols").split(",")
+        )
+        known = {
+            c.lower()
+            for c in engine.managed_tables.read(name).columns
+        }
+        missing = [c for c in cols if c not in known]
+        if missing:
+            raise KeyError(
+                f"ALTER TABLE: key column(s) {missing} do not exist"
+            )
+        engine.managed_tables.tables[name]["primary_key"] = cols
+        return engine.spark.createDataFrame(
+            [("ALTER TABLE", name, f"ADD PRIMARY KEY ({','.join(cols)})")],
+            "tag STRING, tbl STRING, action STRING",
+        )
     m = (_ALTER_ADD.match(query) or _ALTER_DROP.match(query)
          or _ALTER_TYPE.match(query) or _ALTER_RENAME_COL.match(query)
          or _ALTER_RENAME_TBL.match(query))
@@ -1521,10 +1553,83 @@ def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
     )
 
 
+_CREATE_LIKE = re.compile(
+    r"^\s*CREATE\s+" + _TEMP_PREFIX
+    + r"TABLE\s+(?P<name>\w+)\s*\(\s*LIKE\s+(?P<src>\w+)"
+    r"(?P<incl>(?:\s+(?:INCLUDING|EXCLUDING)\s+\w+)*)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_LOCK_STMT = re.compile(
+    r"^\s*LOCK\s+(?:TABLE\s+)?(?P<name>\w+)"
+    r"(?:\s+IN\s+[\w\s]+?MODE)?(?:\s+NOWAIT)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CHECKPOINT = re.compile(r"^\s*CHECKPOINT\s*;?\s*$", re.IGNORECASE)
+
+
+def _handle_create_like(engine, m: re.Match) -> DataFrame:
+    """CREATE TABLE t (LIKE src [INCLUDING ...]) (gram.y:8249
+    TableLikeClause): clone the SOURCE SCHEMA into a fresh empty
+    managed table.  INCLUDING options are metadata here (defaults/
+    constraints are not enforced on the store; indexes are layouts a
+    caller re-creates); the column shape — the part a batch engine
+    acts on — copies exactly."""
+    name = m.group("name").lower()
+    src = m.group("src").lower()
+    mt = engine.managed_tables
+    if name in mt.tables:
+        raise ValueError(f"table {name!r} already exists")
+    if src in mt.tables:
+        schema = mt.read(src).schema
+        src_meta = mt.tables[src]
+    elif src in engine.tables:
+        schema = engine.table(src).schema
+        src_meta = {}
+    else:
+        raise KeyError(f"CREATE TABLE LIKE: {src!r} not found")
+    empty = engine.spark.createDataFrame([], schema)
+    extra = {}
+    # the parts of the source's column semantics the engine enforces
+    # travel with the shape
+    for k in ("generated", "enum_cols", "primary_key"):
+        if src_meta.get(k):
+            extra[k] = (
+                dict(src_meta[k]) if isinstance(src_meta[k], dict)
+                else src_meta[k]
+            )
+    mt.create_as(name, empty, extra_meta=extra or None)
+    if m.group("temp"):
+        mt.tables[name]["temp"] = True
+    return engine.spark.createDataFrame(
+        [("CREATE TABLE", name, f"LIKE {src}")],
+        "tag STRING, tbl STRING, shape STRING",
+    )
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
     handled = _handle_comment(engine, query)
     if handled is not None:
         return handled
+    m = _CREATE_LIKE.match(query)
+    if m:
+        return _handle_create_like(engine, m)
+    m = _LOCK_STMT.match(query)
+    if m and (
+        m.group("name").lower() in engine.managed_tables.tables
+        or m.group("name").lower() in engine.tables
+    ):
+        # LockStmt: snapshot-isolated copy-on-write has no lock to
+        # take — accepted so transaction-shaped scripts run
+        return engine.spark.createDataFrame(
+            [("LOCK TABLE", m.group("name").lower(), "no-op")],
+            "tag STRING, tbl STRING, note STRING",
+        )
+    if _CHECKPOINT.match(query):
+        # CheckPointStmt (gram.y:3617): every parquet commit is
+        # already durable — nothing buffered to flush
+        return engine.spark.createDataFrame(
+            [("CHECKPOINT", "no-op")], "tag STRING, note STRING"
+        )
     handled = _try_select_into(engine, query)
     if handled is not None:
         return handled

@@ -253,3 +253,58 @@ def test_enum_write_validation(spark, tmp_path):
         (r.m or "", r.v) for r in eng.sql("SELECT * FROM em").collect()
     )
     assert got == [("", 2), ("happy", 1)]
+
+
+def test_create_table_like(spark, tmp_path):
+    """CREATE TABLE (LIKE src) (gram.y:8249): schema clone carrying
+    the enforced column semantics (pk / enum guards / generation)."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TYPE lmood AS ENUM ('a', 'b')")
+    eng.sql(
+        "CREATE TABLE lsrc (k bigint PRIMARY KEY, m lmood,"
+        " v double GENERATED ALWAYS AS (k * 2.0) STORED)"
+    )
+    eng.sql("CREATE TABLE lclone (LIKE lsrc INCLUDING ALL)")
+    meta = eng.managed_tables.tables["lclone"]
+    assert meta["primary_key"] == ("k",)
+    assert meta["enum_cols"] == {"m": "lmood"}
+    assert "v" in meta["generated"]
+    eng.sql("INSERT INTO lclone VALUES (3, 'a')")
+    got = [tuple(r) for r in eng.sql("SELECT * FROM lclone").collect()]
+    assert got == [(3, "a", 6.0)]
+    # catalog source clones the star-schema shape
+    eng.sql("CREATE TABLE oclone (LIKE orders)")
+    assert eng.sql("SELECT * FROM oclone").columns == \
+        eng.table("orders").columns
+    with pytest.raises(KeyError, match="not found"):
+        eng.sql("CREATE TABLE x (LIKE nope)")
+
+
+def test_lock_checkpoint_noops_and_alter_add_pk(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE lk (k bigint)")
+    assert eng.sql(
+        "LOCK TABLE lk IN ACCESS EXCLUSIVE MODE NOWAIT"
+    ).collect()[0].note == "no-op"
+    assert eng.sql("CHECKPOINT").collect()[0].note == "no-op"
+    # post-hoc PRIMARY KEY gives a CTAS table an upsert key
+    eng.sql(
+        "CREATE TABLE pka AS SELECT o_orderkey AS k,"
+        " CAST(o_totalprice AS DOUBLE) AS v FROM orders"
+        " WHERE o_orderkey <= 20"
+    )
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.sql(
+            "INSERT INTO pka SELECT 1, 0.0"
+            " ON DUPLICATE KEY UPDATE v = VALUES(v)"
+        )
+    eng.sql("ALTER TABLE pka ADD CONSTRAINT pka_pk PRIMARY KEY (k)")
+    eng.sql(
+        "INSERT INTO pka SELECT 1, 999.0"
+        " ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    assert eng.sql(
+        "SELECT v FROM pka WHERE k = 1"
+    ).collect()[0].v == 999.0
+    with pytest.raises(KeyError, match="do not exist"):
+        eng.sql("ALTER TABLE pka ADD PRIMARY KEY (zz)")
