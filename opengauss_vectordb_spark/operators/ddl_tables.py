@@ -818,6 +818,14 @@ _INSERT_DUP = re.compile(
     r"ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(?P<sets>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# REPLACE INTO (the B-format row replacement — gram.y:9552
+# DUPLICATE_REPLACE): matched keys take the ENTIRE incoming row,
+# unmatched keys insert
+_REPLACE_INTO = re.compile(
+    r"^\s*REPLACE\s+INTO\s+(?P<name>\w+)\s+"
+    r"(?P<stmt>(?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # UPDATE t [alias] SET ... FROM src [alias] [WHERE ...] — the joined
 # UPDATE (gram.y:23328 UpdateStmt's from_clause)
 _UPDATE_FROM = re.compile(
@@ -1461,6 +1469,64 @@ def _handle_delete_using(engine, m: re.Match) -> DataFrame:
     )
 
 
+def _handle_replace_into(engine, m: re.Match) -> DataFrame:
+    """REPLACE INTO (gram.y:9552 DUPLICATE_REPLACE — the B-format
+    row replacement): a matched PRIMARY KEY takes the ENTIRE incoming
+    row, an unmatched one inserts — the dedicated spelling of
+    ON DUPLICATE KEY UPDATE <every non-key column> = VALUES(...),
+    executed as the same full-outer merge."""
+    from .merge import merge_into
+    from .rls import check_privilege
+
+    name = m.group("name").lower()
+    check_privilege(engine, name, "insert")
+    check_privilege(engine, name, "update")
+    mt = engine.managed_tables
+    meta = mt.tables[name]
+    pk = meta.get("primary_key")
+    if not pk:
+        raise ValueError(
+            f"REPLACE INTO {name!r}: the table has no PRIMARY KEY to "
+            "match on"
+        )
+    if meta.get("generated") or meta.get("auto_col"):
+        raise NotImplementedError(
+            "REPLACE INTO a table with GENERATED/AUTO_INCREMENT "
+            "columns — rewrite as INSERT + UPDATE"
+        )
+    target = mt.read(name)
+    src = engine.sql(m.group("stmt"))
+    if len(src.columns) != len(target.columns):
+        raise ValueError(
+            f"REPLACE has {len(src.columns)} columns,"
+            f" table {name!r} takes {len(target.columns)}"
+        )
+    renamed = src.toDF(*[f"__src{i}" for i in range(len(src.columns))])
+    aligned = renamed.select(
+        *[
+            F.col(f"__src{i}").cast(f.dataType).alias(f.name)
+            for i, f in enumerate(target.schema.fields)
+        ]
+    )
+    dup = (
+        aligned.groupBy(*pk).count().filter(F.col("count") > 1).limit(1)
+        .count()
+    )
+    if dup:
+        raise NotImplementedError(
+            "REPLACE INTO with duplicate keys INSIDE the incoming "
+            "rows: the reference applies them row-by-row — "
+            "pre-aggregate the source to one row per key first"
+        )
+    # matched rows take every incoming column (merge_into's default
+    # when when_matched_update is None: source wins)
+    merged = merge_into(target, aligned, on=list(pk))
+    mt.rewrite(name, merged)
+    return engine.spark.createDataFrame(
+        [("REPLACE", name)], "tag STRING, tbl STRING"
+    )
+
+
 def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
     """INSERT ... ON DUPLICATE KEY UPDATE (the B-format upsert;
     nodeModifyTable.cpp's upsert path — requires a key, gram.y:22972
@@ -1784,6 +1850,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _INSERT_DUP.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         return _handle_insert_dup_key(engine, m)
+    m = _REPLACE_INTO.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        return _handle_replace_into(engine, m)
     m = _INSERT.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         from .rls import check_privilege

@@ -284,3 +284,19 @@ def test_dup_key_intra_batch_refused(spark, tmp_path):
             "INSERT INTO pkd VALUES (1, 1.0), (1, 2.0)"
             " ON DUPLICATE KEY UPDATE v = VALUES(v)"
         )
+
+
+def test_replace_into(spark, tmp_path):
+    """REPLACE INTO (gram.y:9552 DUPLICATE_REPLACE): matched keys take
+    the whole incoming row, fresh keys insert."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE rp (k bigint PRIMARY KEY, a double, b string)")
+    eng.sql("INSERT INTO rp VALUES (1, 1.0, 'x'), (2, 2.0, 'y')")
+    eng.sql("REPLACE INTO rp VALUES (2, 99.0, 'z'), (5, 5.0, 'w')")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM rp").collect())
+    assert got == [(1, 1.0, "x"), (2, 99.0, "z"), (5, 5.0, "w")]
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.sql("CREATE TABLE rn (a bigint)")
+        eng.sql("REPLACE INTO rn VALUES (1)")
+    with pytest.raises(NotImplementedError, match="row-by-row"):
+        eng.sql("REPLACE INTO rp VALUES (7, 1.0, 'a'), (7, 2.0, 'b')")
