@@ -52,7 +52,11 @@ class CursorRegistry:
             raise KeyError(f"cursor {name!r} does not exist")
         df, pos = self.cursors[name]
         out = df.offset(pos).limit(n)
-        self.cursors[name] = (df, pos + n)
+        # advance by the rows ACTUALLY in the window (PG positions the
+        # cursor after the last row on a short fetch, not beyond it) —
+        # the count is n-bounded, protocol-sized
+        got = out.count()
+        self.cursors[name] = (df, pos + got)
         return out
 
     def move(self, name: str, n: int) -> int:
@@ -60,15 +64,49 @@ class CursorRegistry:
         if name not in self.cursors:
             raise KeyError(f"cursor {name!r} does not exist")
         df, pos = self.cursors[name]
-        self.cursors[name] = (df, pos + n)
-        return pos + n
+        self.cursors[name] = (df, max(0, pos + n))
+        return max(0, pos + n)
+
+    def fetch_backward(self, name: str, n: int) -> DataFrame:
+        """FETCH BACKWARD n (PerformPortalFetch's scroll direction):
+        the ≤n rows PRECEDING the position, in reverse order; the
+        position retreats past them.  The window is n-bounded, so the
+        driver-side reversal is protocol-sized, never result-sized."""
+        name = name.lower()
+        if name not in self.cursors:
+            raise KeyError(f"cursor {name!r} does not exist")
+        df, pos = self.cursors[name]
+        start = max(0, pos - n)
+        out = df.offset(start).limit(pos - start)
+        rows = out.collect()[::-1]
+        self.cursors[name] = (df, start)
+        if not rows:
+            return out.limit(0)
+        return self.spark.createDataFrame(rows, out.schema)
+
+    def fetch_absolute(self, name: str, k: int) -> DataFrame:
+        """FETCH ABSOLUTE k (1-based; 0/-k per PG: 0 → before first,
+        negative → from the end, which costs one COUNT)."""
+        name = name.lower()
+        if name not in self.cursors:
+            raise KeyError(f"cursor {name!r} does not exist")
+        df, _pos = self.cursors[name]
+        if k < 0:
+            total = df.count()
+            k = total + k + 1
+        if k <= 0:
+            self.cursors[name] = (df, 0)
+            return df.limit(0)
+        out = df.offset(k - 1).limit(1)
+        self.cursors[name] = (df, k)
+        return out
 
     def close(self, name: str) -> bool:
         return self.cursors.pop(name.lower(), None) is not None
 
 
 _DECLARE = re.compile(
-    r"^\s*DECLARE\s+(?P<name>\w+)\s+(?:NO\s+SCROLL\s+)?CURSOR\s+"
+    r"^\s*DECLARE\s+(?P<name>\w+)\s+(?:NO\s+)?(?:SCROLL\s+)?CURSOR\s+"
     r"(?:WITH\s+HOLD\s+)?FOR\s+(?P<stmt>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -77,9 +115,18 @@ _FETCH = re.compile(
     r"(?:FROM|IN)\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# scroll directions (PerformPortalFetch FETCH_BACKWARD/ABSOLUTE):
+# BACKWARD [n], PRIOR, FIRST, LAST, ABSOLUTE k
+_FETCH_SCROLL = re.compile(
+    r"^\s*FETCH\s+(?:BACKWARD(?:\s+(?P<bn>\d+))?|(?P<prior>PRIOR)"
+    r"|(?P<first>FIRST)|(?P<last>LAST)"
+    r"|ABSOLUTE\s+(?P<abs>-?\d+))\s+"
+    r"(?:FROM|IN)\s+(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _MOVE = re.compile(
-    r"^\s*MOVE\s+(?:FORWARD\s+)?(?P<n>\d+)\s+(?:FROM|IN)\s+(?P<name>\w+)"
-    r"\s*;?\s*$",
+    r"^\s*MOVE\s+(?:(?P<dir>FORWARD|BACKWARD)\s+)?(?P<n>\d+)\s+"
+    r"(?:FROM|IN)\s+(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _CLOSE = re.compile(
@@ -101,6 +148,19 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             [("DECLARE CURSOR", m.group("name").lower())],
             "tag STRING, cursor STRING",
         )
+    m = _FETCH_SCROLL.match(query)
+    if m:
+        name = m.group("name")
+        if m.group("abs") is not None:
+            return engine.cursors.fetch_absolute(
+                name, int(m.group("abs"))
+            )
+        if m.group("first"):
+            return engine.cursors.fetch_absolute(name, 1)
+        if m.group("last"):
+            return engine.cursors.fetch_absolute(name, -1)
+        n = 1 if m.group("prior") else int(m.group("bn") or 1)
+        return engine.cursors.fetch_backward(name, n)
     m = _FETCH.match(query)
     if m:
         return engine.cursors.fetch(
@@ -108,7 +168,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
     m = _MOVE.match(query)
     if m:
-        pos = engine.cursors.move(m.group("name"), int(m.group("n")))
+        n = int(m.group("n"))
+        if (m.group("dir") or "").upper() == "BACKWARD":
+            n = -n
+        pos = engine.cursors.move(m.group("name"), n)
         return engine.spark.createDataFrame(
             [("MOVE", m.group("name").lower(), pos)],
             "tag STRING, cursor STRING, position INT",

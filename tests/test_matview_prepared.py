@@ -262,3 +262,37 @@ def test_sequences(eng):
         eng.sequences.nextval("s1")
     for s in ("s2", "s3", "s_fresh"):
         eng.sequences.drop(s)
+
+
+def test_scrollable_cursor(spark):
+    """SCROLL directions (portalcmds.cpp PerformPortalFetch):
+    BACKWARD reverses over consumed rows, ABSOLUTE repositions,
+    FIRST/LAST jump to the ends, MOVE BACKWARD retreats."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    from .conftest import SF_CORRECT
+
+    eng = Engine(spark=spark, sf_dir=SF_CORRECT)
+    eng.sql(
+        "DECLARE sc SCROLL CURSOR FOR SELECT o_orderkey FROM orders"
+        " WHERE o_orderkey <= 20 ORDER BY o_orderkey"
+    )
+    fwd = [r[0] for r in eng.sql("FETCH 5 FROM sc").collect()]
+    assert len(fwd) == 5 and fwd == sorted(fwd)
+    back = [r[0] for r in eng.sql("FETCH BACKWARD 3 FROM sc").collect()]
+    assert back == fwd[-1:-4:-1]  # last three, reversed
+    # position retreated to 2: next forward fetch resumes there
+    again = [r[0] for r in eng.sql("FETCH 2 FROM sc").collect()]
+    assert again == fwd[2:4]
+    first = eng.sql("FETCH FIRST FROM sc").collect()
+    assert [r[0] for r in first] == fwd[:1]
+    one = eng.sql("FETCH ABSOLUTE 4 FROM sc").collect()
+    assert [r[0] for r in one] == [fwd[3]]
+    last = eng.sql("FETCH LAST FROM sc").collect()
+    assert len(last) == 1
+    # after LAST the forward window is exhausted
+    assert eng.sql("FETCH 3 FROM sc").count() == 0
+    eng.sql("MOVE BACKWARD 2 FROM sc")
+    tail2 = eng.sql("FETCH 5 FROM sc").collect()
+    assert len(tail2) == 2 and tail2[-1][0] == last[0][0]
+    eng.sql("CLOSE sc")
