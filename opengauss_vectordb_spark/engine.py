@@ -134,6 +134,9 @@ class Engine:
         # CREATE TYPE/DOMAIN catalog (typecmds.cpp):
         # name → {kind: enum|composite|domain, ...}
         self.user_types: dict[str, dict] = {}
+        # CREATE SCHEMA registry (schemacmds.cpp): qualified names
+        # under these rewrite to mangled flat names (operators/schemas)
+        self.schemas: set[str] = set()
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -224,6 +227,11 @@ class Engine:
         from .operators.timecapsule import rewrite_flashback
 
         query = rewrite_flashback(self, query)
+        # <schema>.<table> → <schema>__<table> for registered schemas
+        # (namespace.cpp resolution; identity when none exist)
+        from .operators.schemas import rewrite_qualified_names
+
+        query = rewrite_qualified_names(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"
@@ -481,6 +489,11 @@ class Engine:
         from .operators.user_types import try_handle_stmt as _types_stmt
 
         handled = _types_stmt(self, query)
+        if handled is not None:
+            return handled
+        from .operators.schemas import try_handle_stmt as _schema_stmt
+
+        handled = _schema_stmt(self, query)
         if handled is not None:
             return handled
         handled = _tables_stmt(self, query)

@@ -1,0 +1,128 @@
+"""CREATE SCHEMA — qualified relation names over the flat catalog.
+
+Reference: `parser/gram.y` CreateSchemaStmt (CREATE SCHEMA name
+[AUTHORIZATION role]); `commands/schemacmds.cpp`; namespace resolution
+`catalog/namespace.cpp`.
+
+Spark-first shape: Spark temp views are a flat namespace, so a
+REGISTERED schema's qualified names rewrite to mangled flat names
+(``s.t`` → ``s__t``) before any handler or Spark sees the statement —
+the package-member resolution pattern (operators/packages.py), with
+the same safety rails: only names under schemas the session actually
+CREATEd rewrite (zero effect otherwise), quoted literals are masked,
+and the schema→tables membership map drives DROP SCHEMA CASCADE and
+the pg_tables rendering.  ``search_path`` is accepted as a session GUC
+(engine-wide generic SET) but unqualified names do NOT resolve through
+it — qualify names under schemas; the production path for real
+namespaces is Spark catalog databases (documented position,
+COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_CREATE_SCHEMA = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
+    r"(?:\s+AUTHORIZATION\s+\w+)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SCHEMA = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s*(?P<cascade>CASCADE)?\s*(?:RESTRICT\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def flat_name(schema: str, table: str) -> str:
+    return f"{schema}__{table}"
+
+
+def rewrite_qualified_names(engine, query: str) -> str:
+    """``<schema>.<name>`` → ``<schema>__<name>`` for REGISTERED
+    schemas only, outside string literals.  Column references like
+    ``alias.col`` never rewrite unless the alias collides with a
+    created schema name — the qualified-table grammar and the
+    alias grammar are textually identical, so registration is the
+    disambiguator (namespace.cpp resolves against pg_namespace the
+    same way)."""
+    schemas = getattr(engine, "schemas", None)
+    if not schemas:
+        return query
+    lowered = query.lower()
+    if not any(s + "." in lowered for s in schemas):
+        return query
+    quoted = []
+    in_q, start = False, 0
+    for i, ch in enumerate(query):
+        if ch == "'":
+            if in_q:
+                quoted.append((start, i))
+                in_q = False
+            else:
+                start, in_q = i, True
+
+    def _in_literal(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in quoted)
+
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(s) for s in sorted(schemas))
+        + r")\.(\w+)",
+        re.IGNORECASE,
+    )
+
+    def _sub(m: re.Match) -> str:
+        if _in_literal(m.start()):
+            return m.group(0)
+        return flat_name(m.group(1).lower(), m.group(2))
+
+    return pat.sub(_sub, query)
+
+
+def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    m = _CREATE_SCHEMA.match(query)
+    if m:
+        name = m.group("name").lower()
+        if name in engine.schemas:
+            if re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE):
+                return engine.spark.createDataFrame(
+                    [("CREATE SCHEMA", name, True)],
+                    "tag STRING, schema STRING, already_existed BOOLEAN",
+                )
+            raise ValueError(f"schema {name!r} already exists")
+        engine.schemas.add(name)
+        return engine.spark.createDataFrame(
+            [("CREATE SCHEMA", name, False)],
+            "tag STRING, schema STRING, already_existed BOOLEAN",
+        )
+    m = _DROP_SCHEMA.match(query)
+    if m:
+        name = m.group("name").lower()
+        existed = name in engine.schemas
+        if not existed:
+            if re.search(r"IF\s+EXISTS", query, re.IGNORECASE):
+                return engine.spark.createDataFrame(
+                    [("DROP SCHEMA", name, False)],
+                    "tag STRING, schema STRING, existed BOOLEAN",
+                )
+            raise KeyError(f"schema {name!r} does not exist")
+        prefix = name + "__"
+        members = [
+            t for t in engine.managed_tables.tables if t.startswith(prefix)
+        ]
+        if members and not m.group("cascade"):
+            # schemacmds.cpp RemoveSchemaById dependency check
+            raise ValueError(
+                f"schema {name!r} is not empty ({len(members)} "
+                "relation(s)) — use DROP SCHEMA ... CASCADE"
+            )
+        for t in members:
+            engine.managed_tables.drop(t, purge=True)
+        engine.schemas.discard(name)
+        return engine.spark.createDataFrame(
+            [("DROP SCHEMA", name, True)],
+            "tag STRING, schema STRING, existed BOOLEAN",
+        )
+    return None

@@ -308,3 +308,42 @@ def test_lock_checkpoint_noops_and_alter_add_pk(spark, tmp_path):
     ).collect()[0].v == 999.0
     with pytest.raises(KeyError, match="do not exist"):
         eng.sql("ALTER TABLE pka ADD PRIMARY KEY (zz)")
+
+
+def test_create_schema_qualified_names(spark, tmp_path):
+    """CREATE SCHEMA (schemacmds.cpp) + namespace.cpp resolution:
+    qualified names under registered schemas rewrite to flat names;
+    literals and foreign aliases stay untouched."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE SCHEMA sales AUTHORIZATION gauss")
+    eng.sql(
+        "CREATE TABLE sales.big AS SELECT o_orderkey AS k,"
+        " CAST(o_totalprice AS DOUBLE) AS v FROM orders"
+        " WHERE o_orderkey <= 50"
+    )
+    assert "sales__big" in eng.managed_tables.tables
+    eng.sql("INSERT INTO sales.big SELECT 999999, 1.0")
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM sales.big"
+    ).collect()[0].n == 52
+    # DML and flashback compose with qualification
+    eng.sql("UPDATE sales.big SET v = 0.0 WHERE k = 999999")
+    assert eng.sql(
+        "SELECT v FROM sales.big WHERE k = 999999"
+    ).collect()[0].v == 0.0
+    # a string literal naming schema.table stays a literal
+    r = eng.sql("SELECT 'see sales.big' AS t FROM region").collect()
+    assert r[0].t == "see sales.big"
+    # second schema, same table name — no collision
+    eng.sql("CREATE SCHEMA ops")
+    eng.sql("CREATE TABLE ops.big (k bigint)")
+    assert {"sales__big", "ops__big"} <= set(
+        eng.managed_tables.tables
+    )
+    with pytest.raises(ValueError, match="not empty"):
+        eng.sql("DROP SCHEMA sales")
+    eng.sql("DROP SCHEMA sales CASCADE")
+    assert "sales__big" not in eng.managed_tables.tables
+    eng.sql("DROP SCHEMA ops CASCADE")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("DROP SCHEMA nope")
