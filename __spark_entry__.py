@@ -85,6 +85,9 @@ GATE_PRIORITY: list[str] = [
     "update_from_delete_using",
     "insert_dup_key_upsert",
     "create_type_enum_column",
+    "replace_into_upsert",
+    "scroll_cursor_pages",
+    "schema_qualified_lifecycle",
     # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
     "source_mix_rebalance",
     # (c) churned-code re-gates this round
@@ -105,16 +108,13 @@ GATE_PRIORITY: list[str] = [
     "array_funcs",
     "array_multidim",
     "composite_row_types",
-    "copy_fixed_format_roundtrip",
     "db4ai_kmeans_predict",
     "db4ai_linreg_ols",
     "db4ai_pca_project",
-    "db4ai_predict_scoring",
     "dedup_cluster_resolve",
     "doc_fingerprint",
     "fts_match_rank",
     "interval_arithmetic",
-    "like_regex_funcs",
     "range_types_overlap",
     "regexp_srf_funcs",
     "stratified_sample_quota",

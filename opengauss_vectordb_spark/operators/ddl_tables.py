@@ -2975,3 +2975,75 @@ def insert_dup_key_upsert(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "replace_into_upsert",
+    """
+    WITH t0 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(1 AS BIGINT) AS n
+      FROM orders WHERE o_orderkey <= 1500
+    ),
+    incoming AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) * CAST(3 AS DOUBLE) AS price,
+             CAST(7 AS BIGINT) AS n
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2500
+    ),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, i.o_orderkey) AS o_orderkey,
+             CASE WHEN i.o_orderkey IS NOT NULL THEN i.price
+                  ELSE t.price END AS price,
+             CASE WHEN i.o_orderkey IS NOT NULL THEN i.n
+                  ELSE t.n END AS n
+      FROM t0 t FULL OUTER JOIN incoming i
+        ON t.o_orderkey = i.o_orderkey
+    )
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM merged GROUP BY n ORDER BY n
+    """,
+)
+def replace_into_upsert(spark, sf_dir):
+    """REPLACE INTO end-to-end (gram.y:9552 DUPLICATE_REPLACE — the
+    B-format whole-row upsert over the recorded PRIMARY KEY): matched
+    keys take the ENTIRE incoming row, fresh keys insert; the oracle
+    is the whole-row full-outer merge."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="repl_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE rp_t (o_orderkey bigint PRIMARY KEY,"
+            " price double, n bigint)"
+        )
+        eng.sql(
+            "INSERT INTO rp_t SELECT o_orderkey,"
+            " CAST(o_totalprice AS DOUBLE), 1 FROM orders"
+            " WHERE o_orderkey <= 1500"
+        )
+        eng.sql(
+            "REPLACE INTO rp_t SELECT o_orderkey,"
+            " CAST(o_totalprice AS DOUBLE) * CAST(3 AS DOUBLE), 7"
+            " FROM orders WHERE o_orderkey > 1000 AND"
+            " o_orderkey <= 2500"
+        )
+        out = eng.sql(
+            "SELECT n, COUNT(*) AS cnt,"
+            " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM rp_t GROUP BY n ORDER BY n"
+        )
+        rows = [(r[0], r[1], float(r[2])) for r in out.collect()]
+        eng.sql("DROP TABLE rp_t PURGE")
+        return spark.createDataFrame(
+            rows, "n BIGINT, cnt BIGINT, total DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -259,3 +259,62 @@ def cursor_fetch_pages(spark, sf_dir):
         "o_orderdate",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     ).orderBy("page", F.col("o_totalprice").desc(), "o_orderkey")
+
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "scroll_cursor_pages",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey AS k,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT 'f1' AS phase, CAST(rn AS BIGINT) AS seq, k
+    FROM ranked WHERE rn <= 10
+    UNION ALL
+    SELECT 'b1', CAST(11 - rn AS BIGINT), k
+    FROM ranked WHERE rn BETWEEN 7 AND 10
+    UNION ALL
+    SELECT 'f2', CAST(rn - 6 AS BIGINT), k
+    FROM ranked WHERE rn BETWEEN 7 AND 9
+    UNION ALL
+    SELECT 'abs', CAST(1 AS BIGINT), k FROM ranked WHERE rn = 2
+    UNION ALL
+    SELECT 'last', CAST(1 AS BIGINT), k
+    FROM ranked WHERE rn = (SELECT MAX(rn) FROM ranked)
+    ORDER BY phase, seq
+    """,
+)
+def scroll_cursor_pages(spark, sf_dir):
+    """Scrollable-cursor protocol end-to-end (portalcmds.cpp
+    PerformPortalFetch scroll directions): FORWARD 10, BACKWARD 4
+    (reverse order, position retreats), FORWARD 3 resuming from the
+    retreated position, ABSOLUTE 2, LAST — each emitted with its
+    within-phase sequence so the oracle pins both CONTENT and ORDER
+    of every window via ROW_NUMBER arithmetic."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "DECLARE sgate SCROLL CURSOR FOR SELECT o_orderkey AS k"
+        " FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey"
+    )
+    try:
+        rows = []
+        for phase, stmt in (
+            ("f1", "FETCH 10 FROM sgate"),
+            ("b1", "FETCH BACKWARD 4 FROM sgate"),
+            ("f2", "FETCH 3 FROM sgate"),
+            ("abs", "FETCH ABSOLUTE 2 FROM sgate"),
+            ("last", "FETCH LAST FROM sgate"),
+        ):
+            for i, r in enumerate(eng.sql(stmt).collect(), start=1):
+                rows.append((phase, i, r[0]))
+        return spark.createDataFrame(
+            rows, "phase STRING, seq BIGINT, k BIGINT"
+        ).orderBy("phase", "seq")
+    finally:
+        eng.sql("CLOSE sgate")

@@ -126,3 +126,73 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             "tag STRING, schema STRING, existed BOOLEAN",
         )
     return None
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "schema_qualified_lifecycle",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey <= 500
+                  THEN price * CAST(2 AS DOUBLE) ELSE price END AS price
+      FROM base
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(u.price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM upd u JOIN customer c ON u.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def schema_qualified_lifecycle(spark, sf_dir):
+    """CREATE SCHEMA + qualified-name lifecycle (schemacmds.cpp;
+    namespace.cpp resolution): CTAS into sales.fact, qualified UPDATE,
+    a join of the qualified relation against the catalog star schema,
+    then DROP SCHEMA CASCADE — the oracle recomputes the post-UPDATE
+    join directly.  Every statement exercises the registered-schema
+    rewrite; the literal-masking rail is covered by pytest."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="schema_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql("CREATE SCHEMA sales")
+        eng.sql(
+            "CREATE TABLE sales.fact AS SELECT o_orderkey, o_custkey,"
+            " CAST(o_totalprice AS DOUBLE) AS price FROM orders"
+            " WHERE o_orderkey <= 2000"
+        )
+        eng.sql(
+            "UPDATE sales.fact SET price = price * CAST(2 AS DOUBLE)"
+            " WHERE o_orderkey <= 500"
+        )
+        out = eng.sql(
+            "SELECT c.c_mktsegment, COUNT(*) AS n,"
+            " CAST(SUM(CAST(u.price AS DECIMAL(18,6))) AS DOUBLE)"
+            "   AS total"
+            " FROM sales.fact u JOIN customer c"
+            "   ON u.o_custkey = c.c_custkey"
+            " GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+        )
+        rows = [(r[0], r[1], float(r[2])) for r in out.collect()]
+        eng.sql("DROP SCHEMA sales CASCADE")
+        assert "sales__fact" not in eng.managed_tables.tables
+        return spark.createDataFrame(
+            rows, "c_mktsegment STRING, n BIGINT, total DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -84,6 +84,7 @@ def load_all_queries() -> None:
         plpython,
         relational,
         rls,
+        schemas,
         setops_windows,
         skew,
         stats,
