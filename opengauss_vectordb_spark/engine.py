@@ -259,8 +259,17 @@ class Engine:
                 # managed (CTAS) tables, tagged by origin; temp
                 # relations surface like pg_temp_* schema entries
                 mt = self.managed_tables
+
+                def _render(t: str) -> str:
+                    # members of a registered schema render qualified
+                    head = t.split("__", 1)[0]
+                    if "__" in t and head in self.schemas:
+                        return head + "." + t.split("__", 1)[1]
+                    return t
+
                 rows = [(t, "catalog") for t in sorted(self.tables)] + [
-                    (t, "temp" if mt.tables[t].get("temp") else "managed")
+                    (_render(t),
+                     "temp" if mt.tables[t].get("temp") else "managed")
                     for t in sorted(mt.tables)
                 ]
                 return self.spark.createDataFrame(
