@@ -103,6 +103,8 @@ GATE_PRIORITY: list[str] = [
     "masking_policy_scan",
     "trigger_spi_audit",
     "btree_index_scan",
+    "analyze_table_stats",
+    "cursor_fetch_pages",
     # (d) rotation — stalest rows (last gated round 1); six were
     # traded for the late first-ever registrations above
     "array_funcs",
@@ -120,8 +122,6 @@ GATE_PRIORITY: list[str] = [
     "stratified_sample_quota",
     "text_langid_heuristic",
     "text_quality_score",
-    "text_simhash",
-    "text_token_stats",
 ]
 
 
