@@ -381,6 +381,47 @@ class Engine:
                 "(flashback query / TIMECAPSULE TABLE ... TO CSN), "
                 "not ROLLBACK/SAVEPOINT"
             )
+        # CREATE EXTENSION (gram.y:1250 CreateExtensionStmt): the
+        # extension SURFACES this engine ships are built in (datavec
+        # vector ops, pg_trgm, fuzzystrmatch, pgcrypto, hll, dblink,
+        # pg_stat_statements, auto_explain, ... — see COVERAGE.md
+        # §2.7/§2.8), so the statement is an idempotent no-op —
+        # migration scripts keep their preamble
+        m = re.match(
+            r"^\s*CREATE\s+EXTENSION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<name>\w+)(?:\s+WITH)?(?:\s+SCHEMA\s+\w+)?"
+            r"(?:\s+VERSION\s+\S+)?(?:\s+CASCADE)?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            return self.spark.createDataFrame(
+                [("CREATE EXTENSION", m.group("name").lower(),
+                  "built in")],
+                "tag STRING, extension STRING, note STRING",
+            )
+        if re.match(r"^\s*DROP\s+EXTENSION\b", query, re.IGNORECASE):
+            raise NotImplementedError(
+                "built-in surfaces cannot be unloaded — DROP "
+                "EXTENSION has nothing to remove here"
+            )
+        # DISCARD ALL/PLANS/TEMP (DiscardStmt): session-state reset
+        m = re.match(
+            r"^\s*DISCARD\s+(?P<what>ALL|PLANS|TEMP|TEMPORARY)"
+            r"\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            what = m.group("what").upper()
+            if what in ("ALL", "TEMP", "TEMPORARY"):
+                self.managed_tables.drop_temp_tables()
+            if what in ("ALL", "PLANS"):
+                self.prepared.deallocate(None)
+            if what == "ALL":
+                self._gucs.clear()
+                self.current_role = None
+            return self.spark.createDataFrame(
+                [("DISCARD", what)], "tag STRING, what STRING"
+            )
         # generic session GUCs (VariableSetStmt gram.y:2277): SET/
         # SHOW/RESET of any parameter name, engine-session-scoped
         # (SET ROLE stays with the security layer, operators/rls.py)

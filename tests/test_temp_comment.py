@@ -347,3 +347,22 @@ def test_create_schema_qualified_names(spark, tmp_path):
     eng.sql("DROP SCHEMA ops CASCADE")
     with pytest.raises(KeyError, match="does not exist"):
         eng.sql("DROP SCHEMA nope")
+
+
+def test_create_extension_and_discard(spark, tmp_path):
+    """CreateExtensionStmt no-op (the surfaces are built in) and
+    DISCARD ALL session reset."""
+    eng = _eng(spark, tmp_path)
+    for ext in ("datavec", "pg_trgm", "dblink", "hll"):
+        r = eng.sql(f"CREATE EXTENSION IF NOT EXISTS {ext}").collect()
+        assert r[0].note == "built in"
+    with pytest.raises(NotImplementedError, match="unloaded"):
+        eng.sql("DROP EXTENSION pg_trgm")
+    eng.sql("CREATE TEMP TABLE d1 (a int)")
+    eng.sql("SET work_mem = '64MB'")
+    eng.sql("SET ROLE nobody")
+    eng.sql("DISCARD ALL")
+    assert "d1" not in eng.managed_tables.tables
+    assert eng.current_role is None
+    with pytest.raises(KeyError, match="unrecognized"):
+        eng.sql("SHOW work_mem")
