@@ -809,6 +809,18 @@ _INSERT = re.compile(
     r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT INTO t (col, col, ...) <source> — the column-list form:
+# listed columns take the source values in order, unlisted columns
+# take NULL (DEFAULT expressions refuse at CREATE, so NULL IS the
+# default), the identity column its sequence value, generated
+# columns their computed value
+_INSERT_COLS = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
+    r"\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s+"
+    r"(?P<stmt>(?:SELECT|WITH|VALUES|TABLE)\b.+?)"
+    r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # INSERT ... ON DUPLICATE KEY UPDATE (gram.y's B-format upsert;
 # nodeModifyTable.cpp ON DUPLICATE KEY path; the reference refuses
 # RETURNING/WITH inside it — gram.y:22972 — and so does this)
@@ -1850,6 +1862,64 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _INSERT_DUP.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         return _handle_insert_dup_key(engine, m)
+    m = _INSERT_COLS.match(query)
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        from .rls import check_privilege
+        from .triggers import fire_insert_triggers
+
+        name = m.group("name").lower()
+        check_privilege(engine, name, "insert")
+        mt = engine.managed_tables
+        meta = mt.tables[name]
+        generated = meta.get("generated") or {}
+        auto_col = meta.get("auto_col")
+        target = mt.read(name)
+        listed = [c.strip().lower() for c in m.group("cols").split(",")]
+        known = {f.name.lower() for f in target.schema.fields}
+        missing = [c for c in listed if c not in known]
+        if missing:
+            raise KeyError(f"INSERT: column(s) {missing} do not exist")
+        bad = [c for c in listed if c in generated]
+        if bad:
+            raise ValueError(
+                f"cannot insert a non-DEFAULT value into generated "
+                f"column(s) {bad} of {name!r}"
+            )
+        if len(set(listed)) != len(listed):
+            raise ValueError("INSERT: column list has duplicates")
+        src = engine.sql(m.group("stmt"))
+        if len(src.columns) != len(listed):
+            raise ValueError(
+                f"INSERT has {len(src.columns)} expression(s) for "
+                f"{len(listed)} column(s)"
+            )
+        renamed = src.toDF(*[f"__c_{c}" for c in listed])
+        # expand to the full insertable column order: listed columns
+        # take the source values, unlisted take NULL (the engine's
+        # DEFAULT — DEFAULT exprs refuse at CREATE), the identity
+        # column is omitted so insert_into assigns the sequence
+        fields = [
+            f for f in target.schema.fields
+            if f.name not in generated
+            and (f.name != auto_col or auto_col in listed)
+        ]
+        expanded = renamed.select(
+            *[
+                (F.col(f"__c_{f.name}") if f.name in listed
+                 else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+        captured = mt.insert_into(
+            name, expanded,
+            transform=lambda d: fire_insert_triggers(engine, name, d),
+            capture=bool(m.group("ret")),
+        )
+        if m.group("ret"):
+            return _returning_frame(engine, captured, m.group("ret"))
+        return engine.spark.createDataFrame(
+            [("INSERT", name)], "tag STRING, tbl STRING"
+        )
     m = _REPLACE_INTO.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         return _handle_replace_into(engine, m)

@@ -300,3 +300,44 @@ def test_replace_into(spark, tmp_path):
         eng.sql("REPLACE INTO rn VALUES (1)")
     with pytest.raises(NotImplementedError, match="row-by-row"):
         eng.sql("REPLACE INTO rp VALUES (7, 1.0, 'a'), (7, 2.0, 'b')")
+
+
+def test_insert_column_list(spark, tmp_path):
+    """INSERT INTO t (cols) <source>: listed columns in order,
+    unlisted NULL, identity assigned, generated computed/refused."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE cl (id bigserial, a bigint, b string,"
+        " c double, d double GENERATED ALWAYS AS (c * 2) STORED)"
+    )
+    eng.sql("INSERT INTO cl (b, a) VALUES ('x', 1), ('y', 2)")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM cl").collect())
+    assert got == [
+        (1, 1, "x", None, None),
+        (2, 2, "y", None, None),
+    ]
+    # explicit identity in the list advances the counter
+    eng.sql("INSERT INTO cl (id, a, c) VALUES (100, 3, 1.5)")
+    got = sorted(
+        tuple(r)
+        for r in eng.sql("SELECT id, a, c, d FROM cl").collect()
+    )
+    assert (100, 3, 1.5, 3.0) in got
+    eng.sql("INSERT INTO cl (a) VALUES (4)")
+    assert eng.sql(
+        "SELECT MAX(id) AS m FROM cl"
+    ).collect()[0].m == 101
+    # refusals: unknown / generated / arity / duplicates
+    with pytest.raises(KeyError, match="do not exist"):
+        eng.sql("INSERT INTO cl (zz) VALUES (1)")
+    with pytest.raises(ValueError, match="generated"):
+        eng.sql("INSERT INTO cl (d) VALUES (1.0)")
+    with pytest.raises(ValueError, match="expression"):
+        eng.sql("INSERT INTO cl (a, b) VALUES (1)")
+    with pytest.raises(ValueError, match="duplicates"):
+        eng.sql("INSERT INTO cl (a, a) VALUES (1, 2)")
+    # RETURNING composes with the column-list form
+    ret = eng.sql(
+        "INSERT INTO cl (a, c) VALUES (9, 4.0) RETURNING a, d"
+    ).collect()
+    assert [(r.a, r.d) for r in ret] == [(9, 8.0)]
