@@ -1862,6 +1862,34 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _INSERT_DUP.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         return _handle_insert_dup_key(engine, m)
+    m = re.match(
+        r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+DEFAULT\s+VALUES"
+        r"\s*;?\s*$",
+        query, re.IGNORECASE,
+    )
+    if m and m.group("name").lower() in engine.managed_tables.tables:
+        # INSERT ... DEFAULT VALUES: one row of defaults — NULL here
+        # (DEFAULT exprs refuse at CREATE), identity assigned,
+        # generated computed (NULL-propagating)
+        from .rls import check_privilege
+
+        name = m.group("name").lower()
+        check_privilege(engine, name, "insert")
+        mt = engine.managed_tables
+        meta = mt.tables[name]
+        generated = meta.get("generated") or {}
+        auto_col = meta.get("auto_col")
+        fields = [
+            f for f in mt.read(name).schema.fields
+            if f.name not in generated and f.name != auto_col
+        ]
+        one = engine.spark.range(1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields]
+        )
+        mt.insert_into(name, one)
+        return engine.spark.createDataFrame(
+            [("INSERT", name)], "tag STRING, tbl STRING"
+        )
     m = _INSERT_COLS.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         from .rls import check_privilege

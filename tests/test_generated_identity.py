@@ -341,3 +341,12 @@ def test_insert_column_list(spark, tmp_path):
         "INSERT INTO cl (a, c) VALUES (9, 4.0) RETURNING a, d"
     ).collect()
     assert [(r.a, r.d) for r in ret] == [(9, 8.0)]
+
+
+def test_insert_default_values(spark, tmp_path):
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE dv (id bigserial, a bigint, b string)")
+    eng.sql("INSERT INTO dv DEFAULT VALUES")
+    eng.sql("INSERT INTO dv DEFAULT VALUES")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM dv").collect())
+    assert got == [(1, None, None), (2, None, None)]
