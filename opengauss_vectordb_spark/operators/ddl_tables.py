@@ -286,6 +286,13 @@ class TableManager:
             df.withColumn("__pid", F.spark_partition_id())
             .withColumn("__mid", F.monotonically_increasing_id())
         )
+        # pin the partitioning: the count job below and the write job
+        # later would otherwise each re-execute the lazy plan, and a
+        # non-deterministic source (shuffle/sample/LIMIT) could place
+        # rows differently the second time — duplicate ids or ids
+        # beyond the reserved range.  localCheckpoint materializes the
+        # tagged rows once so both jobs read the same placement.
+        tagged = tagged.localCheckpoint(eager=True)
         sizes = sorted(
             (r[0], r[1])
             for r in tagged.groupBy("__pid").count().collect()
@@ -1296,7 +1303,40 @@ def _strip_storage_clauses(query: str) -> tuple[str, dict]:
                         k.strip().lower()
                     ] = v.strip().lower()
         return " "
-    head2 = _STORAGE_CLAUSE.sub(_sub, head)
+    # the storage-clause grammar lives at depth 0 of the head; the
+    # column list's parens must stay verbatim (a column named
+    # "compress" or "tablespace_id" is NOT a storage clause).  Find
+    # the first top-level paren group not owned by WITH(...) or
+    # HASH(...) — that's the column list — and strip around it only.
+    span = None
+    depth, in_q = 0, False
+    g_start = None
+    for j, ch in enumerate(head):
+        if in_q:
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            if depth == 0:
+                before = head[:j].rstrip()
+                owned = re.search(r"(?i)\b(?:WITH|HASH)$", before)
+                g_start = None if owned else j
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and g_start is not None:
+                span = (g_start, j + 1)
+                break
+    if span:
+        s, e = span
+        head2 = (
+            _STORAGE_CLAUSE.sub(_sub, head[:s])
+            + head[s:e]
+            + _STORAGE_CLAUSE.sub(_sub, head[e:])
+        )
+    else:
+        head2 = _STORAGE_CLAUSE.sub(_sub, head)
     return head2 + tail, meta
 
 
@@ -1366,7 +1406,7 @@ def _handle_update_from(engine, m: re.Match) -> DataFrame:
     and the wide target rows are carried once."""
     from pyspark.sql.window import Window
 
-    from .rls import check_privilege
+    from .rls import check_privilege, role_predicate
 
     name = m.group("name").lower()
     check_privilege(engine, name, "update")
@@ -1388,7 +1428,14 @@ def _handle_update_from(engine, m: re.Match) -> DataFrame:
         F.expr(m.group("where")) if m.group("where") is not None
         else F.lit(True)
     )
-    joined = t2.alias(ta).join(s.alias(sa), cond, "inner")
+    # rewriteRlsPolicy.cpp injects policy quals into EVERY scan of a
+    # protected relation, including the target scan of joined DML —
+    # a restricted role may only modify rows its policy lets it see.
+    # Filter the hit-detection copy (the full t2 still feeds the
+    # rewrite so invisible rows survive unmodified).
+    rls_pred = role_predicate(engine, name)
+    t_hit = t2 if rls_pred is None else t2.filter(rls_pred)
+    joined = t_hit.alias(ta).join(s.alias(sa), cond, "inner")
     skey = F.concat_ws(
         "\x1f", *[F.col(f"{sa}.{c}").cast("string") for c in s.columns]
     )
@@ -1585,6 +1632,9 @@ def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
     if sets_text.upper() == "NOTHING":
         upd: dict = {}
     else:
+        # matched rows get rewritten: the upsert needs UPDATE
+        # privilege too (REPLACE INTO already checks both)
+        check_privilege(engine, name, "update")
         upd = {}
         tcols = sorted(target.columns, key=len, reverse=True)
         for col, expr in _split_set_clauses(sets_text):

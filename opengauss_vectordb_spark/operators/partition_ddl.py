@@ -406,13 +406,23 @@ def apply_labels(df: DataFrame, spec: PartitionSpec,
     return out, spec
 
 
-def prune_hash_eq(spark, spec: PartitionSpec, value) -> list[str]:
+def prune_hash_eq(spark, spec: PartitionSpec, value,
+                  key_type: str | None = None) -> list[str]:
     """Hash-partition elimination for an equality predicate: compute
     the SAME Murmur3 hash Spark's writer used (one local 1-row eval,
-    no cluster work)."""
+    no cluster work).  Spark's Murmur3 hash is TYPE-dependent (an int
+    literal and the same value as bigint hash differently), so the
+    literal MUST be cast to the partition key's declared type before
+    hashing — ``key_type`` is that type (simpleString).  Without it
+    the bucket cannot be computed faithfully, so we bail to the full
+    label set (pruning stays a superset; correctness never depends
+    on it)."""
     n = len(spec.parts)
+    if key_type is None:
+        return [name for name, _ in spec.parts]
+    lit = F.lit(value).cast(key_type)
     row = spark.range(1).select(
-        F.pmod(F.hash(F.lit(value)), F.lit(n)).alias("b")
+        F.pmod(F.hash(lit), F.lit(n)).alias("b")
     ).collect()
     return [f"p{row[0].b}"]
 
@@ -432,12 +442,15 @@ _BETWEEN = re.compile(
 )
 
 
-def eligible_labels(spark, spec: PartitionSpec, predicate: str
-                    ) -> list[str]:
+def eligible_labels(spark, spec: PartitionSpec, predicate: str,
+                    key_type: str | None = None) -> list[str]:
     """Partition elimination from a SQL predicate: AND-conjuncts that
     compare the partition key against literals shrink the label set;
     anything unparsed leaves it untouched (over-approximation — the
-    full predicate is always re-applied on the survivors)."""
+    full predicate is always re-applied on the survivors).
+    ``key_type`` is the partition key's declared Spark type
+    (simpleString) — required for HASH equality pruning to hash the
+    literal with the column's type (see prune_hash_eq)."""
     labels = {n for n, _ in spec.parts}
     # the extraction below assumes a pure AND-conjunction: under OR or
     # NOT, a key comparison no longer bounds the result set ("k < 10
@@ -464,7 +477,7 @@ def eligible_labels(spark, spec: PartitionSpec, predicate: str
         if m and m.group("col").lower() == spec.key.lower():
             v = _parse_literal(m.group("lit"))
             if spec.kind == "hash" and m.group("op") == "=":
-                labels &= set(prune_hash_eq(spark, spec, v))
+                labels &= set(prune_hash_eq(spark, spec, v, key_type))
             else:
                 labels &= set(spec.prune(m.group("op"), v))
             continue
@@ -477,7 +490,7 @@ def eligible_labels(spark, spec: PartitionSpec, predicate: str
             if spec.kind == "hash":
                 hit: set = set()
                 for v in vals:
-                    hit |= set(prune_hash_eq(spark, spec, v))
+                    hit |= set(prune_hash_eq(spark, spec, v, key_type))
                 labels &= hit
             else:
                 labels &= set(spec.prune("in", vals))
@@ -499,7 +512,13 @@ def pruned_scan(engine, name: str, predicate: str) -> DataFrame:
     if spec is None or not mt._has_data(name):
         return mt.read(name).filter(F.expr(predicate))
     df = engine.spark.read.parquet(mt._path(name))
-    labels = eligible_labels(engine.spark, spec, predicate)
+    # resolve declared key types from the typed scan so hash pruning
+    # hashes literals exactly as the write-side routing did
+    types = {f.name.lower(): f.dataType.simpleString()
+             for f in df.schema.fields}
+    labels = eligible_labels(
+        engine.spark, spec, predicate, types.get(spec.key.lower())
+    )
     df = df.filter(F.col(PART_COL).isin(labels))
     if spec.sub_kind:
         # second-level elimination (subpartitionpruning.cpp): union
@@ -511,7 +530,10 @@ def pruned_scan(engine, name: str, predicate: str) -> DataFrame:
                 spec.subparts.get(pname, []),
             )
             subs.extend(
-                eligible_labels(engine.spark, sub_spec, predicate)
+                eligible_labels(
+                    engine.spark, sub_spec, predicate,
+                    types.get(spec.sub_key.lower()),
+                )
             )
         df = df.filter(F.col(SUBPART_COL).isin(subs))
         return df.filter(F.expr(predicate)).drop(

@@ -350,3 +350,58 @@ def test_insert_default_values(spark, tmp_path):
     eng.sql("INSERT INTO dv DEFAULT VALUES")
     got = sorted(tuple(r) for r in eng.sql("SELECT * FROM dv").collect())
     assert got == [(1, None, None), (2, None, None)]
+
+
+def test_update_from_respects_rls(spark, tmp_path):
+    """ADVICE r7 (high): UPDATE ... FROM must apply the session's RLS
+    policy qual to the target scan exactly as plain UPDATE and
+    DELETE ... USING do — a restricted role may only modify rows its
+    policy exposes (rewriteRlsPolicy.cpp injects quals into every
+    scan of a protected relation, joined DML included)."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE rt (k bigint, grp bigint, v string)")
+    eng.sql(
+        "INSERT INTO rt VALUES (1, 0, 'a'), (2, 0, 'b'),"
+        " (3, 1, 'c'), (4, 1, 'd')"
+    )
+    eng.sql("CREATE TABLE rs (k bigint, nv string)")
+    eng.sql(
+        "INSERT INTO rs VALUES (1, 'X'), (2, 'X'), (3, 'X'), (4, 'X')"
+    )
+    eng.sql("ALTER TABLE rt ENABLE ROW LEVEL SECURITY")
+    eng.sql("CREATE POLICY p ON rt TO analyst USING (grp = 0)")
+    eng.sql("GRANT ALL ON rt TO analyst")
+    eng.sql("GRANT SELECT ON rs TO analyst")
+    eng.sql("SET ROLE analyst")
+    eng.sql("UPDATE rt SET v = s.nv FROM rs s WHERE rt.k = s.k")
+    eng.sql("RESET ROLE")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM rt").collect())
+    # grp=0 rows updated; grp=1 rows invisible to the role, untouched
+    assert got == [(1, 0, "X"), (2, 0, "X"), (3, 1, "c"), (4, 1, "d")]
+    eng.sql("DROP TABLE rt")
+    eng.sql("DROP TABLE rs")
+
+
+def test_upsert_requires_update_privilege(spark, tmp_path):
+    """ADVICE r7 (medium): INSERT ... ON DUPLICATE KEY UPDATE rewrites
+    matched rows, so a role granted INSERT-only must be refused when
+    the SET list is non-empty (UPDATE NOTHING stays insert-only)."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE TABLE upk (k bigint PRIMARY KEY, v double)")
+    eng.sql("INSERT INTO upk VALUES (1, 1.0)")
+    eng.sql("GRANT INSERT ON upk TO loader")
+    eng.sql("GRANT SELECT ON upk TO loader")
+    eng.sql("SET ROLE loader")
+    with pytest.raises(PermissionError, match="permission denied"):
+        eng.sql(
+            "INSERT INTO upk VALUES (1, 9.0)"
+            " ON DUPLICATE KEY UPDATE v = VALUES(v)"
+        )
+    # insert-only-if-new form stays within the INSERT grant
+    eng.sql(
+        "INSERT INTO upk VALUES (2, 2.0) ON DUPLICATE KEY UPDATE NOTHING"
+    )
+    eng.sql("RESET ROLE")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM upk").collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+    eng.sql("DROP TABLE upk")

@@ -219,9 +219,26 @@ def test_hash_partition_layout_and_eq_prune(spark, tmp_path):
     spec = PartitionSpec.from_meta(
         eng.managed_tables.tables["ph"]["partition_spec"]
     )
-    labels = eligible_labels(eng.spark, spec, "k = 7")
+    labels = eligible_labels(eng.spark, spec, "k = 7", "bigint")
     assert len(labels) == 1
     assert [r.k for r in pruned_scan(eng, "ph", "k = 7").collect()] == [7]
+    # regression (r7 ADVICE): the literal must hash with the COLUMN's
+    # declared type (bigint), not Python-int's IntegerType — Murmur3
+    # differs by type, so the old code picked the wrong bucket for
+    # most values.  Sweep a range of keys and require every one found.
+    for k in range(1, 13):
+        got = [r.k for r in
+               pruned_scan(eng, "ph", f"k = {k}").collect()]
+        assert got == [k], f"k={k} lost by hash pruning: {got}"
+    # IN-list goes through the same hash path
+    got = sorted(r.k for r in
+                 pruned_scan(eng, "ph", "k IN (3, 9, 11)").collect())
+    assert got == [3, 9, 11]
+    # without a known key type, hash-eq pruning must bail to the
+    # full superset rather than guess a bucket
+    assert set(eligible_labels(eng.spark, spec, "k = 7")) == {
+        n for n, _ in spec.parts
+    }
     eng.sql("DROP TABLE ph")
 
 

@@ -91,3 +91,31 @@ def test_non_create_untouched():
     ):
         out, meta = _strip_storage_clauses(stmt)
         assert out == stmt and meta == {}
+
+
+def test_column_list_parens_protected():
+    """ADVICE r7 (low): the stripper must not touch tokens INSIDE the
+    column-list parens — a column named compress/nocompress or a
+    TABLESPACE-like identifier is part of the DDL, not a storage
+    clause."""
+    stmt = ("CREATE TABLE t (compress bigint, nocompress double,"
+            " tablespace_id bigint) WITH (ORIENTATION = COLUMN)"
+            " COMPRESS TABLESPACE ts1")
+    out, meta = _strip_storage_clauses(stmt)
+    assert "(compress bigint, nocompress double, tablespace_id bigint)" \
+        in out
+    assert meta["storage_options"] == {"orientation": "column"}
+    before = out.split("(", 1)[0]
+    assert "COMPRESS" not in before.upper()
+    # clauses after the column list are still stripped
+    tail = out.split(")", 1)[1]
+    assert "TABLESPACE" not in tail.upper()
+    assert "COMPRESS" not in tail.upper()
+
+
+def test_distribute_hash_still_extracted_with_column_list():
+    stmt = ("CREATE TABLE t (k bigint, compress double)"
+            " DISTRIBUTE BY HASH(k)")
+    out, meta = _strip_storage_clauses(stmt)
+    assert meta["distribute_by"] == "k"
+    assert "(k bigint, compress double)" in out
