@@ -543,14 +543,21 @@ def test_plpgsql_select_into_decorrelates(spark):
         assert "BroadcastNestedLoop" not in plan
         assert "HashAggregate" in plan and "Join" in plan
         assert python_eval_nodes(df) == 0
+        # the INTO fold binds the subquery ONCE: nation + customer,
+        # no re-scan per mention of the bound variable (r7 verdict)
+        assert plan.count("Scan parquet") == 2, plan
     finally:
         eng.sql("DROP FUNCTION pin_cd")
 
 
 def test_plpgsql_for_loop_is_one_aggregation(spark):
-    """A FOR-IN-SELECT accumulator loop compiles to scalar-subquery
-    aggregates: the plan is scans + hash aggregates, no iteration
-    artifacts, no Python, no cartesian."""
+    """A FOR-IN-SELECT accumulator loop compiles via the
+    single-subquery fold: ALL accumulators live in ONE aggregate
+    projection over ONE scan of the loop table, however many times
+    the RETURN expression mentions them (r7 verdict: the old
+    per-accumulator/per-mention bindings planned 10 scans of orders
+    where the direct aggregate needs 2 — this test pins the scan
+    count, not just 'HashAggregate in plan')."""
     from opengauss_vectordb_spark.engine import Engine
 
     eng = Engine(spark, SF_CORRECT)
@@ -577,5 +584,8 @@ def test_plpgsql_for_loop_is_one_aggregation(spark):
         assert "CartesianProduct" not in plan
         assert "HashAggregate" in plan
         assert python_eval_nodes(df) == 0
+        # exactly 2 scans: the DISTINCT call-site source + the ONE
+        # folded loop aggregate — same shape as the hand-written SQL
+        assert plan.count("Scan parquet") == 2, plan
     finally:
         eng.sql("DROP FUNCTION pin_loop")
