@@ -258,11 +258,16 @@ def main() -> None:
         return best
 
     # noise-calibration probe (VERDICT r7 item 2): time a fixed cheap
-    # query at session start and again at session end; identical code on
-    # a quiet host reproduces it within a few percent, so drift >15%
-    # means the HOST (shared VM throttling, page-cache eviction) moved
-    # under the session and the absolute totals in this artifact are not
-    # comparable across rounds — per-family ratios remain the signal
+    # query at session start and again at session end.  One untimed run
+    # first — the target-SF page cache and codegen are cold here, and a
+    # cold start probe reads as false drift (measured: 0.68 s cold vs
+    # 0.41 s at session end on a quiet host).  Only a SLOWER end probe
+    # flags noisy: residual warm-up makes the end probe faster, while
+    # host throttling / page-cache eviction mid-session — the r7
+    # failure mode that inflated the artifact 1.2× — makes it slower;
+    # then the absolute totals are not comparable across rounds and
+    # per-family ratios remain the signal
+    _time_query("tpch_q1")
     probe_start = round(_time_query("tpch_q1"), 3)
 
     # min-of-2 per query (VERDICT r5 item 5): single-shot timings inside
@@ -276,7 +281,7 @@ def main() -> None:
 
     probe_end = round(_time_query("tpch_q1"), 3)
     drift = round(
-        abs(probe_end - probe_start) / max(probe_start, 1e-9), 3
+        (probe_end - probe_start) / max(probe_start, 1e-9), 3
     )
     noisy = drift > 0.15
 
