@@ -49,8 +49,16 @@ parameter or nested subquery in the wrapping projection — Spark only
 allows outer references in WHERE/HAVING), the compiler falls back to
 per-mention scalar-subquery bindings: correct, just not single-scan.
 
+Bounded integer FOR loops (``FOR i IN [REVERSE] a..b [BY s]``,
+pl_exec.cpp's exec_stmt_fori) compile through the same fold: the
+range becomes ``explode(sequence(a, b, ±s))`` — a JVM-side generated
+relation, no driver unrolling — guarded by a CASE that reproduces
+the zero-iteration semantics (forward with a > b never runs), and
+the accumulator body aggregates over the exploded rows exactly like
+a FOR-IN-SELECT loop.
+
 Deliberately NOT covered (each raises a clear NotImplementedError
-naming the Spark-side rewrite): WHILE / bare LOOP / integer FOR /
+naming the Spark-side rewrite): WHILE / bare LOOP /
 loops with non-accumulator bodies (set-based rewrite — the statement
 layer's one-statement DML), dynamic EXECUTE, cursors in function
 bodies (DECLARE CURSOR at the session level instead), and EXCEPTION
@@ -91,7 +99,8 @@ _UNSUPPORTED = [
      "LOOP/WHILE/FOR has no inlined-expression form; rewrite the loop "
      "as one set-oriented statement (UPDATE/INSERT ... SELECT)"),
     (re.compile(r"\bFOR\s+\w+\s+IN\b", re.IGNORECASE),
-     "only FOR <rec> IN SELECT ... LOOP bodies made of accumulator "
+     "only FOR <rec> IN SELECT ... LOOP and bounded integer-range "
+     "FOR i IN [REVERSE] a..b [BY s] bodies made of accumulator "
      "assignments compile (to SUM/MAX/MIN aggregates); other FOR "
      "loops have no inlined-expression form — rewrite as one "
      "set-oriented statement"),
@@ -268,6 +277,43 @@ def _split_branches(block: str) -> list[tuple[str | None, str]]:
 
 _FOR_HEAD = re.compile(r"FOR\s+(?P<var>\w+)\s+IN\s+", re.IGNORECASE)
 
+# bounded integer range source: FOR i IN [REVERSE] a..b [BY s]
+# (pl_exec.cpp exec_stmt_fori — gram.y for_control's opt_reverse /
+# opt_by_expression); bounds/step are arbitrary integer expressions
+_INT_RANGE = re.compile(
+    r"^(?P<rev>REVERSE\s+)?(?P<lo>.+?)\s*\.\.\s*(?P<hi>.+?)"
+    r"(?:\s+BY\s+(?P<step>.+?))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _int_range_select(var: str, m: re.Match) -> str:
+    """Compile the integer-range loop source to a one-column SELECT the
+    aggregate fold consumes like any FOR-IN-SELECT query: ``explode(
+    sequence(lo, hi, ±step))``.  The CASE guard reproduces pl_exec's
+    zero-iteration semantics (forward loop with lo > hi, or REVERSE
+    with lo < hi, never runs the body — Spark's 3-arg sequence() would
+    instead raise on mismatched direction), and the whole thing stays a
+    JVM-side generated relation: no driver-side unrolling, the body
+    aggregates distribute over the exploded rows like any table."""
+    lo = m.group("lo").strip()
+    hi = m.group("hi").strip()
+    step = (m.group("step") or "1").strip()
+    if m.group("rev"):
+        guard = f"CAST(({lo}) AS BIGINT) >= CAST(({hi}) AS BIGINT)"
+        step_e = f"-CAST(({step}) AS BIGINT)"
+    else:
+        guard = f"CAST(({lo}) AS BIGINT) <= CAST(({hi}) AS BIGINT)"
+        step_e = f"CAST(({step}) AS BIGINT)"
+    seq = (
+        f"sequence(CAST(({lo}) AS BIGINT), CAST(({hi}) AS BIGINT), "
+        f"{step_e})"
+    )
+    return (
+        f"SELECT explode(CASE WHEN {guard} THEN {seq} "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END) AS {var}"
+    )
+
 # accumulator-assignment shapes a FOR body may contain, each mapped to
 # the aggregate that computes the whole loop in one pass
 _ACC_SUM = re.compile(
@@ -319,12 +365,16 @@ def _parse_loop_accs(
     loop accumulator (a sequential dependence — running totals need a
     window function, not a scalar aggregate), refuses with the
     rewrite named."""
-    if not re.match(r"^\s*SELECT\b", _strip_comments(query_sql),
-                    re.IGNORECASE):
-        raise NotImplementedError(
-            "plpgsql: only FOR ... IN SELECT ... LOOP compiles; integer "
-            "ranges and dynamic sources have no aggregate form"
-        )
+    stripped = _strip_comments(query_sql).strip()
+    if not re.match(r"^SELECT\b", stripped, re.IGNORECASE):
+        m_range = _INT_RANGE.match(stripped)
+        if m_range is None:
+            raise NotImplementedError(
+                "plpgsql: only FOR ... IN SELECT ... LOOP and bounded "
+                "integer ranges (FOR i IN [REVERSE] a..b [BY s]) "
+                "compile; dynamic sources have no aggregate form"
+            )
+        query_sql = _int_range_select(var, m_range)
     stmts = []
     pos = 0
     while pos < len(body):
@@ -793,12 +843,14 @@ def translate_plpgsql(query: str) -> str | None:
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
     masked_body = _mask_strings(body)  # keywords in literals are inert
-    # FOR <rec> IN SELECT ... LOOP spans are the one supported loop
-    # shape — blank them so the blanket LOOP/FOR refusals see only
-    # genuinely unsupported constructs (a bad FOR body still refuses
-    # later, in _fold_for_loop, with the aggregate-shape message)
+    # FOR <rec> IN SELECT ... LOOP and bounded integer-range FOR spans
+    # are the supported loop shapes — blank them so the blanket
+    # LOOP/FOR refusals see only genuinely unsupported constructs (a
+    # bad FOR body still refuses later, in _parse_loop_accs, with the
+    # aggregate-shape message)
     scan_body = re.sub(
-        r"\bFOR\s+\w+\s+IN\s+SELECT\b.*?\bEND\s+LOOP\b",
+        r"\bFOR\s+\w+\s+IN\s+"
+        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.).*?\bEND\s+LOOP\b",
         " ", masked_body, flags=re.IGNORECASE | re.DOTALL,
     )
     for pat, why in _UNSUPPORTED:
@@ -1051,4 +1103,80 @@ def plpgsql_for_loop_agg(spark, sf_dir):
     eng.sql("DROP FUNCTION gate_loop_stats")
     return spark.createDataFrame(
         rows, "o_orderstatus STRING, loop_stat DOUBLE"
+    )
+
+
+@_register_query(
+    "plpgsql_int_for_loop",
+    """
+    WITH keys AS (SELECT DISTINCT c_nationkey FROM customer),
+    calc AS (
+      SELECT c_nationkey, CAST(c_nationkey AS BIGINT) AS n FROM keys
+    )
+    SELECT c_nationkey,
+           CAST((n*(n+1)*(2*n+1))//6 * 100
+                + CASE WHEN n >= 1 THEN 3*n ELSE 0 END
+                AS BIGINT) AS sq_stat,
+           CAST(CASE WHEN n < 1 THEN 0
+                     ELSE ((n-1)//2 + 1)*n
+                          - ((n-1)//2 + 1)*((n-1)//2) END
+                AS BIGINT) AS rev_stat
+    FROM calc ORDER BY c_nationkey
+    """,
+)
+def plpgsql_int_for_loop(spark, sf_dir):
+    """Bounded integer FOR loops (pl_exec.cpp exec_stmt_fori; regress
+    hw_functions.sql / plpgsql suites) — ``FOR i IN 1..n`` with two
+    accumulators (sum of squares + GREATEST) and ``FOR i IN REVERSE
+    n..1 BY 2`` — called per distinct nation key, so the compiled
+    ``explode(sequence(...))`` relations correlate on a column
+    argument and Catalyst decorrelates them.  The oracle is the
+    CLOSED FORM of each loop (n(n+1)(2n+1)/6 etc.), so a green row
+    proves the sequence bounds, direction guard, and step semantics,
+    not just that some aggregation ran.
+
+    Scale: the loop body never touches the driver — the range is a
+    JVM-generated relation and both accumulators fold into one
+    aggregate projection per function (single-subquery fold)."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_tri_stat(n int) RETURNS bigint AS $$
+        DECLARE
+            total bigint := 0;
+            top bigint := 0;
+        BEGIN
+            FOR i IN 1..n LOOP
+                total := total + i * i;
+                top := GREATEST(top, i * 3);
+            END LOOP;
+            RETURN total * 100 + top;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    eng.sql("""
+        CREATE FUNCTION gate_rev_sum(n int) RETURNS bigint AS $$
+        DECLARE
+            total bigint := 0;
+        BEGIN
+            FOR i IN REVERSE n..1 BY 2 LOOP
+                total := total + i;
+            END LOOP;
+            RETURN total;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT c_nationkey,"
+        " gate_tri_stat(CAST(c_nationkey AS INT)) AS sq_stat,"
+        " gate_rev_sum(CAST(c_nationkey AS INT)) AS rev_stat"
+        " FROM (SELECT DISTINCT c_nationkey FROM customer)"
+        " ORDER BY c_nationkey"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_tri_stat")
+    eng.sql("DROP FUNCTION gate_rev_sum")
+    return spark.createDataFrame(
+        rows, "c_nationkey BIGINT, sq_stat BIGINT, rev_stat BIGINT"
     )

@@ -938,6 +938,64 @@ def test_plpgsql_for_loop_accumulators(spark):
         """)
 
 
+def test_plpgsql_integer_for_loop(spark):
+    """Bounded integer FOR loops (pl_exec.cpp exec_stmt_fori) compile
+    to explode(sequence(...)) aggregates: forward, REVERSE, BY step,
+    zero-iteration ranges, and column-argument correlation."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION sumsq(n int) RETURNS bigint AS $$
+        DECLARE total bigint := 0;
+        BEGIN
+            FOR i IN 1..n LOOP
+                total := total + i * i;
+            END LOOP;
+            RETURN total;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {r.n: r.v for r in eng.sql(
+        "SELECT n_nationkey AS n, sumsq(CAST(n_nationkey AS INT)) AS v"
+        " FROM nation"
+    ).collect()}
+    for n, v in got.items():
+        assert v == n * (n + 1) * (2 * n + 1) // 6, (n, v)
+    eng.sql("""
+        CREATE FUNCTION revby(n int) RETURNS bigint AS $$
+        DECLARE total bigint := 0;
+        BEGIN
+            FOR i IN REVERSE n..1 BY 2 LOOP
+                total := total + i;
+            END LOOP;
+            RETURN total;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    # n=5 → 5+3+1; n=2 → 2; n=0 → empty (REVERSE 0..1 never runs)
+    assert eng.sql("SELECT revby(5) AS v").collect()[0].v == 9
+    assert eng.sql("SELECT revby(2) AS v").collect()[0].v == 2
+    assert eng.sql("SELECT revby(0) AS v").collect()[0].v == 0
+    # forward loop with lo > hi never runs (Spark's bare sequence()
+    # would auto-reverse — the CASE guard pins PG semantics)
+    assert eng.sql("SELECT sumsq(-3) AS v").collect()[0].v == 0
+    eng.sql("DROP FUNCTION sumsq")
+    eng.sql("DROP FUNCTION revby")
+    # non-accumulator bodies still refuse with the aggregate-shape
+    # message (not a parse error)
+    with pytest.raises(NotImplementedError, match="accumulator"):
+        eng.sql("""
+            CREATE FUNCTION badint(n int) RETURNS int AS $$
+            DECLARE t int := 0;
+            BEGIN
+                FOR i IN 1..n LOOP
+                    RAISE EXCEPTION 'boom';
+                END LOOP;
+                RETURN t;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+
+
 def test_plpgsql_nested_if(spark):
     """Nested IF blocks compile via depth-tracked END IF matching."""
     eng = Engine(spark, SF_CORRECT)
