@@ -218,9 +218,16 @@ class Engine:
         # pkg.member( → pkg__member( (pl_package.cpp call resolution)
         # FIRST, so CALL/SELECT/DML handlers all see the mangled name;
         # identity when no packages exist
-        from .operators.packages import rewrite_member_calls
+        from .operators.packages import (
+            rewrite_member_calls,
+            substitute_var_reads,
+        )
 
         query = rewrite_member_calls(self, query)
+        # pkg.var reads → the session binding's typed literal
+        # (pl_global_package_runtime_cache.cpp); identity when no
+        # package declares variables
+        query = substitute_var_reads(self, query)
         # FROM t TIMECAPSULE CSN/TIMESTAMP → snapshot view (flashback
         # query, storage/tcap) — rewritten up front so every
         # downstream handler sees plain SQL

@@ -14,10 +14,29 @@ session name ``<pkg>__<member>``, and the engine rewrites
 Member PROCEDUREs route to the CREATE PROCEDURE runner the same way,
 so ``CALL pkg.proc(...)`` works.
 
-Deliberately refused (clear errors, reference file named): package
-VARIABLES (cross-statement session state — Spark plans are pure;
-hoist into the caller), EXCEPTION declarations (error control flow),
-and member OVERLOADS (one Spark function name per member).
+Package VARIABLES (``pl_global_package_runtime_cache.cpp:17``;
+regress ``hw_package_variable.sql``) are SESSION-scoped typed
+bindings on the engine: declared in the spec (public) or before the
+first member of the body (private), initialized at CREATE time,
+read anywhere as ``pkg.var`` (substituted as a typed literal at the
+top of ``Engine.sql`` — the plan is still pure; the binding is
+resolved per STATEMENT, which is exactly the reference's
+read-committed view of session state), and written with a top-level
+``pkg.var := <expr>;`` statement.  Members whose bodies read
+``pkg.var`` are recompiled from their stored source on every write,
+so a member call always sees the current value — the runtime cache
+lookup becomes a recompile-on-write, amortized to zero on the read
+path (the value is inlined into whole-stage codegen).  Bare
+(unqualified) variable references inside member bodies are NOT
+resolved — they parse as columns; use the qualified ``pkg.var``
+form (plpgsql's own shadowing rules make bare-name resolution
+ambiguous under textual compilation).  Variables are engine-session
+state: a new Engine starts from the declared initializers, matching
+the reference's per-session package instantiation.
+
+Deliberately refused (clear errors, reference file named):
+EXCEPTION declarations (error control flow), member OVERLOADS (one
+Spark function name per member), and writes to CONSTANT variables.
 """
 
 from __future__ import annotations
@@ -85,36 +104,73 @@ def _member_extent(masked: str, start: int) -> int:
     raise ValueError("package member has no terminating END;")
 
 
-def _split_members(body: str) -> list[str]:
+def _split_members(body: str) -> tuple[list[dict], list[str]]:
+    """Split a package body into (private variable declarations that
+    precede the first member, member sources).  Content BETWEEN
+    members still refuses — PL/SQL puts private state only in the
+    body's declaration section."""
     masked = _mask_strings(body)
-    out = []
+    out: list[str] = []
+    variables: list[dict] = []
     pos = 0
+    first = True
     while True:
         m = _MEMBER_HEAD.search(masked, pos)
         if m is None:
             tail = body[pos:].strip().strip(";").strip()
             if tail:
                 raise NotImplementedError(
-                    "package body holds non-member content "
-                    f"({tail[:40]!r}) — only FUNCTION/PROCEDURE "
-                    "members are supported (pl_package.cpp variables "
-                    "and initializers are session state; hoist them "
-                    "into the caller)"
+                    "package body holds non-member content after its "
+                    f"members ({tail[:40]!r}) — only FUNCTION/"
+                    "PROCEDURE members and leading variable "
+                    "declarations are supported"
                 )
-            return out
-        lead = body[pos:m.start()].strip().strip(";").strip()
+            return variables, out
+        lead = body[pos:m.start()].strip()
         if lead:
-            raise NotImplementedError(
-                f"package body holds non-member content ({lead[:40]!r})"
-            )
+            if not first:
+                raise NotImplementedError(
+                    "package body holds content between members "
+                    f"({lead[:40]!r}) — declare private variables "
+                    "before the first member"
+                )
+            for part in lead.split(";"):
+                part = part.strip()
+                if not part:
+                    continue
+                mv = _VAR_DECL.match(part)
+                if mv is None:
+                    raise NotImplementedError(
+                        "package body holds non-member content "
+                        f"({part[:40]!r})"
+                    )
+                variables.append({
+                    "name": mv.group("name").lower(),
+                    "type": mv.group("type"),
+                    "init": (mv.group("init") or "").strip() or None,
+                    "constant": bool(mv.group("const")),
+                })
+        first = False
         end = _member_extent(masked, m.start())
         out.append(body[m.start():end].rstrip().rstrip(";"))
         pos = end
 
 
-def _parse_spec_decls(pkg: str, decls: str) -> list[str]:
-    """Declared member names from the spec; refuses overloads,
-    variables, and exceptions."""
+# variable declaration inside a spec (or before the body's first
+# member): name [CONSTANT] type [:= init | DEFAULT init]
+_VAR_DECL = re.compile(
+    r"^(?P<name>\w+)\s+(?P<const>CONSTANT\s+)?"
+    r"(?P<type>\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s*(?::=|\bDEFAULT\b)\s*(?P<init>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_spec_decls(
+    pkg: str, decls: str
+) -> tuple[list[str], list[dict]]:
+    """Member names + variable declarations from the spec; refuses
+    overloads and exceptions."""
     masked = _mask_strings(decls)
     if re.search(r"\bEXCEPTION\b", masked, re.IGNORECASE):
         raise NotImplementedError(
@@ -122,41 +178,195 @@ def _parse_spec_decls(pkg: str, decls: str) -> list[str]:
             "(pl_package.cpp) — raise from the caller instead"
         )
     names: list[str] = []
-    for entry in masked.split(";"):
-        entry = entry.strip()
+    variables: list[dict] = []
+    pos = 0
+    for entry_m in re.finditer(r"[^;]+", masked):
+        entry = entry_m.group(0).strip()
+        pos = entry_m.start()
         if not entry:
             continue
         m = _MEMBER_HEAD.match(entry)
-        if m is None:
+        if m is not None:
+            names.append(m.group("name").lower())
+            continue
+        raw = decls[pos:pos + len(entry_m.group(0))].strip()
+        mv = _VAR_DECL.match(raw)
+        if mv is None:
             raise NotImplementedError(
-                f"package spec declares non-member state "
-                f"({entry[:40]!r}) — package variables are session "
-                "state; hoist them into the caller"
+                f"package spec declares unrecognized content "
+                f"({entry[:40]!r})"
             )
-        names.append(m.group("name").lower())
+        variables.append({
+            "name": mv.group("name").lower(),
+            "type": mv.group("type"),
+            "init": (mv.group("init") or "").strip() or None,
+            "constant": bool(mv.group("const")),
+        })
     if len(set(names)) != len(names):
         raise NotImplementedError(
             "package member OVERLOADS cannot map to one Spark "
             f"function name: {names}"
         )
-    return names
+    return names, variables
 
 
 def mangle(pkg: str, member: str) -> str:
     return f"{pkg.lower()}__{member.lower()}"
 
 
+# ------------------------------------------------------- session variables
+
+import datetime as _dt  # noqa: E402
+import decimal as _decimal  # noqa: E402
+
+
+def _render_literal(value, spark_type: str) -> str:
+    """Render a stored Python value as a typed SQL literal — the form
+    every ``pkg.var`` read substitutes to."""
+    if value is None:
+        return f"CAST(NULL AS {spark_type})"
+    if isinstance(value, bool):
+        lit = "TRUE" if value else "FALSE"
+    elif isinstance(value, str):
+        lit = "'" + value.replace("'", "''") + "'"
+    elif isinstance(value, (int, float, _decimal.Decimal)):
+        lit = f"'{value}'" if isinstance(value, float) and not (
+            float("-inf") < value < float("inf")
+        ) else repr(value) if isinstance(value, (int, float)) \
+            else str(value)
+    elif isinstance(value, _dt.datetime):
+        lit = f"TIMESTAMP '{value}'"
+    elif isinstance(value, _dt.date):
+        lit = f"DATE '{value}'"
+    else:
+        raise NotImplementedError(
+            f"package variable holds unrenderable Python type "
+            f"{type(value).__name__}"
+        )
+    return f"CAST({lit} AS {spark_type})"
+
+
+def _install_vars(engine, pkg: str, decls: list[dict]) -> None:
+    """Evaluate initializers sequentially (later inits may read
+    earlier variables) and register the bindings."""
+    from .create_function import _map_type
+
+    store = engine.packages[pkg]["variables"]
+    for d in decls:
+        t = _map_type(d["type"])
+        if d["init"] is None:
+            if d["constant"]:
+                raise ValueError(
+                    f"package CONSTANT {pkg}.{d['name']} needs an "
+                    "initializer"
+                )
+            value = None
+        else:
+            expr = substitute_var_reads(engine, d["init"])
+            value = engine.sql(
+                f"SELECT CAST(({expr}) AS {t}) AS v"
+            ).collect()[0][0]
+        store[d["name"]] = {
+            "type": t, "value": value, "constant": d["constant"],
+        }
+
+
+_PKG_DDL_RE = re.compile(
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|DROP\s+)PACKAGE\b",
+    re.IGNORECASE,
+)
+_ASSIGN_RE = re.compile(
+    r"^\s*(?P<pkg>\w+)\.(?P<var>\w+)\s*:=\s*(?P<rhs>.+?)\s*;?\s*$",
+    re.DOTALL,
+)
+
+
+def substitute_var_reads(engine, query: str) -> str:
+    """``pkg.var`` reads → the binding's typed literal (identity when
+    no package declares variables).  Skips CREATE/DROP PACKAGE
+    statements (their declarations are parsed raw), assignment LHS
+    (``pkg.var :=`` keeps its name), member calls (``pkg.member(``
+    belongs to rewrite_member_calls), and occurrences inside string
+    literals (string-masked matching)."""
+    pkgs = getattr(engine, "packages", None)
+    if not pkgs or not any(p.get("variables") for p in pkgs.values()):
+        return query
+    if _PKG_DDL_RE.match(query):
+        return query
+    for pkg, meta in pkgs.items():
+        for vname, binding in meta.get("variables", {}).items():
+            pat = re.compile(
+                rf"(?<!\.)\b{re.escape(pkg)}\.{re.escape(vname)}\b"
+                rf"(?!\s*\()(?!\s*:=)",
+                re.IGNORECASE,
+            )
+            pos = 0
+            while True:
+                m = pat.search(_mask_strings(query), pos)
+                if m is None:
+                    break
+                rep = f"({_render_literal(binding['value'], binding['type'])})"
+                query = query[:m.start()] + rep + query[m.end():]
+                pos = m.start() + len(rep)
+    return query
+
+
+def _try_assignment(engine, query: str):
+    """Top-level ``pkg.var := <expr>;`` — evaluate, bind, recompile
+    the members that read this package's variables so every later
+    call sees the new value (pl_global_package_runtime_cache.cpp's
+    per-session write path)."""
+    m = _ASSIGN_RE.match(query)
+    if m is None:
+        return None
+    pkg = m.group("pkg").lower()
+    meta = getattr(engine, "packages", {}).get(pkg)
+    if meta is None:
+        return None  # not a package — let downstream handlers judge
+    vname = m.group("var").lower()
+    binding = meta.get("variables", {}).get(vname)
+    if binding is None:
+        raise KeyError(
+            f"package {pkg!r} declares no variable {vname!r}"
+        )
+    if binding["constant"]:
+        raise ValueError(
+            f"package variable {pkg}.{vname} is CONSTANT"
+        )
+    t = binding["type"]
+    value = engine.sql(
+        f"SELECT CAST(({m.group('rhs')}) AS {t}) AS v"
+    ).collect()[0][0]
+    binding["value"] = value
+    # recompile members whose source reads this package's state: the
+    # stored DDL still says pkg.var, so re-issuing it through
+    # Engine.sql re-substitutes the fresh binding
+    pat = re.compile(rf"\b{re.escape(pkg)}\.\w+", re.IGNORECASE)
+    for ddl in meta.get("member_ddl", []):
+        if pat.search(ddl):
+            engine.sql(ddl)
+    return engine.spark.createDataFrame(
+        [(f"{pkg}.{vname}", str(value))],
+        "variable STRING, value STRING",
+    )
+
+
 def try_handle_stmt(engine, query: str):
     """Engine.sql hook for CREATE PACKAGE [BODY] / DROP PACKAGE."""
     if not hasattr(engine, "packages"):
         engine.packages = {}
+    handled = _try_assignment(engine, query)
+    if handled is not None:
+        return handled
     m = _CREATE_PKG.match(query)
     if m:
         pkg = m.group("name").lower()
-        names = _parse_spec_decls(pkg, m.group("decls"))
+        names, var_decls = _parse_spec_decls(pkg, m.group("decls"))
         engine.packages[pkg] = {
             "declared": names, "members": {},
+            "variables": {}, "member_ddl": [],
         }
+        _install_vars(engine, pkg, var_decls)
         return engine.spark.createDataFrame(
             [("CREATE PACKAGE", pkg, len(names))],
             "tag STRING, package STRING, declared INT",
@@ -170,7 +380,10 @@ def try_handle_stmt(engine, query: str):
             )
         declared = set(engine.packages[pkg]["declared"])
         compiled: dict[str, str] = {}
-        for member in _split_members(m.group("body")):
+        private_vars, members = _split_members(m.group("body"))
+        _install_vars(engine, pkg, private_vars)
+        engine.packages[pkg]["member_ddl"] = []
+        for member in members:
             sm = _MEMBER_SIG.match(member)
             if sm is None:
                 raise ValueError(
@@ -194,19 +407,23 @@ def try_handle_stmt(engine, query: str):
                 body = rest if re.match(
                     r"^\s*BEGIN\b", rest, re.IGNORECASE
                 ) else "DECLARE " + rest
-                engine.sql(
+                ddl = (
                     f"CREATE OR REPLACE FUNCTION {mangled}"
                     f"({sm.group('params') or ''}) "
                     f"RETURNS {sm.group('ret')} AS $pkgfn$ {body} "
                     f"$pkgfn$ LANGUAGE plpgsql"
                 )
+                engine.sql(ddl)
+                engine.packages[pkg]["member_ddl"].append(ddl)
                 compiled[mname] = "function"
             else:
-                engine.sql(
+                ddl = (
                     f"CREATE OR REPLACE PROCEDURE {mangled}"
                     f"({sm.group('params') or ''}) AS $pkgpr$ {rest} "
                     f"$pkgpr$"
                 )
+                engine.sql(ddl)
+                engine.packages[pkg]["member_ddl"].append(ddl)
                 compiled[mname] = "procedure"
         engine.packages[pkg]["members"] = compiled
         return engine.spark.createDataFrame(
@@ -335,3 +552,67 @@ def package_member_function(spark, sf_dir):
         [(r[0], r[1], float(r[2])) for r in rows],
         "tier STRING, n BIGINT, bumped_total DOUBLE",
     ).orderBy("tier")
+
+
+@query(
+    "package_session_variable",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(CASE WHEN o_totalprice >= 150000.0 THEN 1 END)
+                AS BIGINT) AS n_above,
+           CAST(SUM(CAST(o_totalprice * 0.002 + 7.0
+                         AS DECIMAL(18,6))) AS DOUBLE) AS scored
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def package_session_variable(spark, sf_dir):
+    """Package session variables end-to-end
+    (pl_global_package_runtime_cache.cpp:17; regress
+    hw_package_variable.sql): declare spec variables with
+    initializers, WRITE them with ``pkg.var := expr`` statements
+    (one write reads the old value), then run a query whose filter
+    reads ``cfg.threshold`` directly and whose aggregate calls a
+    member that reads ``cfg.rate``/``cfg.offset_`` — the oracle
+    hand-inlines the POST-WRITE values, so a green row proves the
+    write path, the member recompile-on-write, and the read
+    substitution all agree.
+
+    Scale: reads cost nothing at runtime — the binding inlines as a
+    typed literal into whole-stage codegen before planning; writes
+    are driver-side metadata plus a cheap member re-DDL."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE OR REPLACE PACKAGE cfg IS
+          threshold double := 100000.0;
+          rate double := 0.001;
+          offset_ double := 7.0;
+          FUNCTION score(amt double) RETURN double;
+        END cfg;
+    """)
+    eng.sql("""
+        CREATE OR REPLACE PACKAGE BODY cfg AS
+          FUNCTION score(amt double) RETURN double IS
+          BEGIN
+            RETURN amt * cfg.rate + cfg.offset_;
+          END;
+        END cfg;
+    """)
+    eng.sql("cfg.threshold := cfg.threshold + 50000.0;")
+    eng.sql("cfg.rate := 0.002;")
+    out = eng.sql(
+        "SELECT o_orderstatus,"
+        " COUNT(CASE WHEN o_totalprice >= cfg.threshold THEN 1 END)"
+        "   AS n_above,"
+        " CAST(SUM(CAST(cfg.score(o_totalprice) AS DECIMAL(18,6)))"
+        "   AS DOUBLE) AS scored"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    rows = out.collect()
+    eng.sql("DROP PACKAGE cfg")
+    return spark.createDataFrame(
+        [(r[0], r[1], float(r[2])) for r in rows],
+        "o_orderstatus STRING, n_above BIGINT, scored DOUBLE",
+    ).orderBy("o_orderstatus")

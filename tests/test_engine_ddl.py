@@ -1613,19 +1613,63 @@ def test_package_spec_body_and_calls(spark):
         ).collect()
 
 
-def test_package_refusals(spark):
-    """Variables, exceptions, and overloads refuse with the
-    documented guidance; body members must be declared."""
+def test_package_session_variables(spark):
+    """Package variables (pl_global_package_runtime_cache.cpp:17;
+    regress hw_package_variable.sql): spec-public + body-private
+    bindings, initializers that read earlier variables, qualified
+    pkg.var reads in queries AND member bodies (members recompile on
+    write), CONSTANT write refusal, engine-scoped state."""
     import pytest as _pytest
 
     eng = Engine(spark, SF_CORRECT)
-    with _pytest.raises(NotImplementedError, match="variables"):
-        eng.sql("""
-            CREATE PACKAGE statepkg IS
-              counter int;
-              FUNCTION f(x int) RETURN int;
-            END statepkg;
-        """)
+    eng.sql("""
+        CREATE PACKAGE vars IS
+          base double := 10.0;
+          scaled double := 2.0 * 10.0;
+          label CONSTANT text := 'it''s';
+          FUNCTION apply(x double) RETURN double;
+        END vars;
+    """)
+    eng.sql("""
+        CREATE PACKAGE BODY vars AS
+          bias double := 1.0;
+          FUNCTION apply(x double) RETURN double IS
+          BEGIN
+            RETURN x * vars.base + vars.bias;
+          END;
+        END vars;
+    """)
+    row = eng.sql(
+        "SELECT vars.apply(3.0) AS v, vars.scaled AS s, vars.label AS t"
+    ).collect()[0]
+    assert (row.v, row.s, row.t) == (31.0, 20.0, "it's")
+    # write-then-read: members see the new value (recompile-on-write)
+    eng.sql("vars.base := vars.base + 90.0;")
+    assert eng.sql("SELECT vars.apply(3.0) AS v").collect()[0].v == 301.0
+    # private body variable is writable too
+    eng.sql("vars.bias := 0.5")
+    assert eng.sql("SELECT vars.apply(2.0) AS v").collect()[0].v == 200.5
+    # a string literal containing pkg.var is never rewritten
+    assert eng.sql(
+        "SELECT 'vars.base' AS s"
+    ).collect()[0].s == "vars.base"
+    with _pytest.raises(ValueError, match="CONSTANT"):
+        eng.sql("vars.label := 'other'")
+    with _pytest.raises(KeyError, match="no variable"):
+        eng.sql("vars.nope := 1")
+    eng.sql("DROP PACKAGE vars")
+    # cross-session expectation: a fresh engine has no binding —
+    # package state is per-session, as the reference instantiates it
+    eng2 = Engine(spark, SF_CORRECT)
+    assert not getattr(eng2, "packages", None)
+
+
+def test_package_refusals(spark):
+    """Exceptions and overloads refuse with the documented guidance;
+    body members must be declared."""
+    import pytest as _pytest
+
+    eng = Engine(spark, SF_CORRECT)
     with _pytest.raises(NotImplementedError, match="EXCEPTION"):
         eng.sql("""
             CREATE PACKAGE exppkg IS
