@@ -378,16 +378,25 @@ def try_handle_procedure(engine, query: str):
                 raise NotImplementedError(f"procedure: {why}")
         params = []
         for pname, ptype in _split_params(m.group("params")):
-            mode = re.match(r"^(IN|OUT|INOUT)\s+(.*)$", ptype,
-                            re.IGNORECASE)
-            if mode and mode.group(1).upper() != "IN":
-                raise NotImplementedError(
-                    "procedure OUT/INOUT parameters: return results "
-                    "with a SELECT through Engine.sql instead"
-                )
-            params.append(
-                (pname.lower(), mode.group(2) if mode else ptype)
-            )
+            # both orders parse: PG's 'IN name type' (the mode lands
+            # in the NAME slot) and A-format's 'name IN type' (the
+            # mode leads the TYPE slot)
+            if pname.upper() in ("IN", "OUT", "INOUT"):
+                pmode = pname.lower()
+                parts = ptype.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"procedure parameter {ptype!r} needs a name "
+                        "and a type"
+                    )
+                pname, ptype = parts
+            else:
+                mode = re.match(r"^(IN|OUT|INOUT)\s+(.*)$", ptype,
+                                re.IGNORECASE)
+                pmode = mode.group(1).lower() if mode else "in"
+                if mode:
+                    ptype = mode.group(2)
+            params.append((pname.lower(), ptype, pmode))
         name = m.group("name").lower()
         engine.procedures[name] = (params, body)
         return engine.spark.createDataFrame(
@@ -406,10 +415,16 @@ def try_handle_procedure(engine, query: str):
                 f"got {len(arg_texts)}"
             )
         runner = _DoRunner(engine)
-        for (pname, ptype), atext in zip(params, arg_texts):
-            runner.env[pname] = runner._eval_scalar(
-                f"SELECT CAST(({atext}) AS {_map_type(ptype)})"
-            )
+        for (pname, ptype, pmode), atext in zip(params, arg_texts):
+            if pmode == "out":
+                # pl_exec.cpp exec_stmt_call: OUT slots start NULL —
+                # the call-site placeholder (NULL / a client variable
+                # name) is never evaluated
+                runner.env[pname] = None
+            else:
+                runner.env[pname] = runner._eval_scalar(
+                    f"SELECT CAST(({atext}) AS {_map_type(ptype)})"
+                )
         md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
         if md is None:
             raise ValueError(
@@ -418,6 +433,17 @@ def try_handle_procedure(engine, query: str):
         if "decls" in md.groupdict() and md.groupdict().get("decls"):
             _parse_decls_values(md.group("decls"), runner)
         runner.run(md.group("body"))
+        outs = [(p, t) for p, t, mode in params if mode != "in"]
+        if outs:
+            # hw_func_return_out.sql: OUT/INOUT values ARE the CALL
+            # result — one row, one typed column per OUT param in
+            # declaration order (psql renders exactly this frame)
+            cols = ", ".join(
+                f"CAST({_sql_literal(runner.env.get(p))} "
+                f"AS {_map_type(t)}) AS {p}"
+                for p, t in outs
+            )
+            return engine.spark.sql(f"SELECT {cols}")
         return engine.spark.createDataFrame(
             [("CALL", name, runner.executed, len(runner.notices),
               "\n".join(runner.notices))],
@@ -512,3 +538,46 @@ def call_procedure_stmt(spark, sf_dir):
         ).select("o_orderstatus", "n", F.col("total").cast("double"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register_query(
+    "call_out_params",
+    """
+    SELECT CAST(10.0 + MAX(o_totalprice) AS DOUBLE) AS acc,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def call_out_params(spark, sf_dir):
+    """OUT/INOUT procedure parameters (hw_func_return_out.sql;
+    pl_exec.cpp exec_stmt_call's output tuple): CALL returns the
+    OUT/INOUT values as its result frame — one row, one typed column
+    per OUT param in declaration order, exactly the frame psql
+    renders.  The INOUT slot starts from its call-site argument;
+    the OUT slots start NULL and are filled by SELECT INTO.
+
+    Scale: the body's SELECT INTOs are distributed aggregates; only
+    the final scalars return to the driver."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE PROCEDURE gate_out_stats(
+            IN lim int, INOUT acc double,
+            OUT n_orders bigint, OUT max_price double) AS $$
+        BEGIN
+            SELECT COUNT(*) INTO n_orders FROM orders
+                WHERE o_orderkey <= lim;
+            SELECT MAX(o_totalprice) INTO max_price FROM orders
+                WHERE o_orderkey <= lim;
+            acc := acc + max_price;
+        END;
+        $$
+    """)
+    out = eng.sql("CALL gate_out_stats(500, 10.0, NULL, NULL)")
+    rows = out.collect()
+    eng.sql("DROP PROCEDURE gate_out_stats")
+    return spark.createDataFrame(
+        rows, "acc DOUBLE, n_orders BIGINT, max_price DOUBLE"
+    )

@@ -1343,12 +1343,32 @@ def test_create_procedure_and_call(spark, tmp_path):
     eng.sql("DROP PROCEDURE build_slice")
     with pytest.raises(KeyError):
         eng.sql("CALL build_slice(1, 'x')")
-    with pytest.raises(NotImplementedError, match="OUT"):
-        eng.sql("""
-            CREATE PROCEDURE bad(x IN int, y OUT int) AS $$
-            BEGIN y := x; END;
-            $$
-        """)
+
+
+def test_call_out_inout_params(spark):
+    """OUT/INOUT parameters (hw_func_return_out.sql): CALL returns
+    the OUT values as a one-row typed frame in declaration order;
+    INOUT starts from the call-site argument, OUT starts NULL; both
+    PG ('OUT name type') and A-format ('name OUT type') orders
+    parse; an OUT slot the body never assigns returns NULL."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE PROCEDURE stats(IN cutoff int, INOUT acc bigint,
+                               OUT n bigint, untouched OUT text) AS $$
+        BEGIN
+            SELECT COUNT(*) INTO n FROM nation
+                WHERE n_nationkey < cutoff;
+            acc := acc + n;
+        END;
+        $$
+    """)
+    df = eng.sql("CALL stats(5, 100, NULL, NULL)")
+    assert df.schema.simpleString() == (
+        "struct<acc:bigint,n:bigint,untouched:string>"
+    )
+    row = df.collect()[0]
+    assert (row.acc, row.n, row.untouched) == (105, 5, None)
+    eng.sql("DROP PROCEDURE stats")
 
 
 def test_create_model_predict_by_sql_text(spark):
