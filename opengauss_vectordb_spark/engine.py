@@ -236,9 +236,15 @@ class Engine:
         query = rewrite_flashback(self, query)
         # <schema>.<table> → <schema>__<table> for registered schemas
         # (namespace.cpp resolution; identity when none exist)
-        from .operators.schemas import rewrite_qualified_names
+        from .operators.schemas import (
+            resolve_search_path,
+            rewrite_qualified_names,
+        )
 
         query = rewrite_qualified_names(self, query)
+        # unqualified names resolve through SET search_path in order
+        # (namespace.cpp RelnameGetRelid); identity when unset
+        query = resolve_search_path(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"

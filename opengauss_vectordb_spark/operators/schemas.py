@@ -11,11 +11,19 @@ the package-member resolution pattern (operators/packages.py), with
 the same safety rails: only names under schemas the session actually
 CREATEd rewrite (zero effect otherwise), quoted literals are masked,
 and the schema→tables membership map drives DROP SCHEMA CASCADE and
-the pg_tables rendering.  ``search_path`` is accepted as a session GUC
-(engine-wide generic SET) but unqualified names do NOT resolve through
-it — qualify names under schemas; the production path for real
-namespaces is Spark catalog databases (documented position,
-COVERAGE.md).
+the pg_tables rendering.  ``SET search_path = a, b`` resolves
+UNQUALIFIED relation references through the registered schemas in
+path order (namespace.cpp RelnameGetRelid's recomputeNamespacePath
+walk): a bare name in a table position (after FROM/JOIN/INTO/UPDATE/
+TABLE/USING) rewrites to the first ``<schema>__<name>`` member that
+exists; ``public`` (and ``"$user"``) in the path binds the name to
+the flat catalog when a flat relation of that name exists, stopping
+the walk — so path ORDER decides shadowing exactly as the reference
+does.  Names that resolve nowhere in the path fall through to the
+flat catalog (an implicit trailing ``public``, documented superset).
+Unqualified CREATE still targets the flat catalog — qualify creation
+targets (creation-into-first-schema is namespace.cpp's other half;
+the rewrite resolves existing relations only).
 """
 
 from __future__ import annotations
@@ -77,6 +85,81 @@ def rewrite_qualified_names(engine, query: str) -> str:
         if _in_literal(m.start()):
             return m.group(0)
         return flat_name(m.group(1).lower(), m.group(2))
+
+    return pat.sub(_sub, query)
+
+
+# a table-reference position: the keyword that announces a relation
+# name in PG grammar (FROM x / JOIN x / INSERT INTO x / UPDATE x /
+# TRUNCATE|DROP|ALTER TABLE x / DELETE ... USING x)
+_TABLE_POS = r"\b(?:FROM|JOIN|INTO|UPDATE|TABLE|USING)\s+"
+
+
+def resolve_search_path(engine, query: str) -> str:
+    """Unqualified-name resolution through ``SET search_path``
+    (namespace.cpp recomputeNamespacePath + RelnameGetRelid): for
+    each registered schema in path order, a bare relation name in a
+    table position rewrites to the schema's member; ``public`` stops
+    the walk when a flat relation of that name exists.  Identity when
+    no search_path is set or no schemas are registered."""
+    schemas = getattr(engine, "schemas", None)
+    path_raw = getattr(engine, "_gucs", {}).get("search_path")
+    if not schemas or not path_raw:
+        return query
+    path = [
+        p.strip().strip('"').strip("'").lower()
+        for p in str(path_raw).split(",")
+        if p.strip()
+    ]
+    if not any(p in schemas for p in path):
+        return query
+
+    def _resolve(name: str) -> str | None:
+        for p in path:
+            if p in ("public", "$user"):
+                if name in engine.managed_tables.tables or \
+                        engine.spark.catalog.tableExists(name):
+                    return None  # flat catalog wins at this position
+                continue
+            if p in schemas and \
+                    flat_name(p, name) in engine.managed_tables.tables:
+                return flat_name(p, name)
+        return None
+
+    quoted = []
+    in_q, start = False, 0
+    for i, ch in enumerate(query):
+        if ch == "'":
+            if in_q:
+                quoted.append((start, i))
+                in_q = False
+            else:
+                start, in_q = i, True
+
+    def _in_literal(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in quoted)
+
+    pat = re.compile(
+        r"\b(?P<kw>FROM|JOIN|INTO|UPDATE|TABLE|USING)\s+"
+        r"(?P<name>\w+)(?!\s*\.)",
+        re.IGNORECASE,
+    )
+
+    def _sub(m: re.Match) -> str:
+        if _in_literal(m.start()):
+            return m.group(0)
+        name = m.group("name")
+        if "__" in name:  # already schema-mangled
+            return m.group(0)
+        # FROM f(...) / JOIN f(...) is a table function, not a
+        # relation; INTO t (cols) is still a relation (column list)
+        if m.group("kw").upper() in ("FROM", "JOIN", "USING") and \
+                query[m.end():].lstrip().startswith("("):
+            return m.group(0)
+        target = _resolve(name.lower())
+        if target is None:
+            return m.group(0)
+        return m.group(0)[: -len(name)] + target
 
     return pat.sub(_sub, query)
 
@@ -194,5 +277,74 @@ def schema_qualified_lifecycle(spark, sf_dir):
         return spark.createDataFrame(
             rows, "c_mktsegment STRING, n BIGINT, total DOUBLE"
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "search_path_resolution",
+    """
+    SELECT 'hot' AS path_head,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'cold' AS path_head,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    ORDER BY path_head
+    """,
+)
+def search_path_resolution(spark, sf_dir):
+    """SET search_path end-to-end (namespace.cpp
+    recomputeNamespacePath / RelnameGetRelid): two schemas each hold
+    an ``ordslice`` relation with DIFFERENT contents; flipping the
+    path flips which one the same unqualified query reads — the
+    oracle recomputes both slices directly, so a green row proves the
+    path-ordered resolution, not just that some table was read.
+
+    Scale: resolution is a driver-side name rewrite before planning —
+    zero plan overhead; the reads stay pruned parquet scans."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="searchpath_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql("CREATE SCHEMA hot")
+        eng.sql("CREATE SCHEMA cold")
+        eng.sql(
+            "CREATE TABLE hot.ordslice AS"
+            " SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price"
+            " FROM orders WHERE o_orderkey <= 1000"
+        )
+        eng.sql(
+            "CREATE TABLE cold.ordslice AS"
+            " SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price"
+            " FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000"
+        )
+        rows = []
+        for head in ("hot", "cold"):
+            other = "cold" if head == "hot" else "hot"
+            eng.sql(f"SET search_path = {head}, {other}")
+            r = eng.sql(
+                "SELECT COUNT(*) AS n,"
+                " CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)"
+                "   AS total"
+                " FROM ordslice"
+            ).collect()[0]
+            rows.append((head, r.n, float(r.total)))
+        eng.sql("RESET search_path")
+        eng.sql("DROP SCHEMA hot CASCADE")
+        eng.sql("DROP SCHEMA cold CASCADE")
+        return spark.createDataFrame(
+            rows, "path_head STRING, n BIGINT, total DOUBLE"
+        ).orderBy("path_head")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

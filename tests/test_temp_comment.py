@@ -349,6 +349,50 @@ def test_create_schema_qualified_names(spark, tmp_path):
         eng.sql("DROP SCHEMA nope")
 
 
+def test_search_path_resolution(spark, tmp_path):
+    """SET search_path (namespace.cpp recomputeNamespacePath +
+    RelnameGetRelid): unqualified names resolve through registered
+    schemas in path order; public binds to the flat catalog and path
+    ORDER decides shadowing; unresolved names fall through; DML
+    resolves too; RESET restores flat reads."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE SCHEMA a")
+    eng.sql("CREATE SCHEMA b")
+    eng.sql("CREATE TABLE a.metrics AS SELECT 'from_a' AS src, 1 AS v")
+    eng.sql("CREATE TABLE b.metrics AS SELECT 'from_b' AS src, 2 AS v")
+    eng.sql("SET search_path = a, b")
+    assert eng.sql(
+        "SELECT src FROM metrics"
+    ).collect()[0].src == "from_a"
+    eng.sql("SET search_path = b, a")
+    assert eng.sql(
+        "SELECT src FROM metrics"
+    ).collect()[0].src == "from_b"
+    # a schema member shadowing a FLAT name: path order decides
+    eng.sql("CREATE TABLE a.orders AS SELECT 'shadow' AS o_orderstatus")
+    eng.sql("SET search_path = public, a")
+    assert eng.sql(
+        "SELECT COUNT(*) AS c FROM orders"
+    ).collect()[0].c > 1  # the real star-schema table
+    eng.sql("SET search_path = a, public")
+    assert eng.sql(
+        "SELECT o_orderstatus FROM orders"
+    ).collect()[0].o_orderstatus == "shadow"
+    # names in no schema fall through to the flat catalog
+    assert eng.sql("SELECT COUNT(*) AS c FROM nation").collect()[0].c
+    # DML through the path; string literals never rewrite
+    eng.sql("SET search_path = a, b")
+    eng.sql("UPDATE metrics SET v = 10")
+    assert eng.sql("SELECT v FROM a.metrics").collect()[0].v == 10
+    assert eng.sql(
+        "SELECT 'FROM metrics' AS s"
+    ).collect()[0].s == "FROM metrics"
+    eng.sql("RESET search_path")
+    assert eng.sql("SELECT COUNT(*) AS c FROM orders").collect()[0].c > 1
+    eng.sql("DROP SCHEMA a CASCADE")
+    eng.sql("DROP SCHEMA b CASCADE")
+
+
 def test_create_extension_and_discard(spark, tmp_path):
     """CreateExtensionStmt no-op (the surfaces are built in) and
     DISCARD ALL session reset."""
