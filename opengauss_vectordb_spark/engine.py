@@ -245,6 +245,12 @@ class Engine:
         # unqualified names resolve through SET search_path in order
         # (namespace.cpp RelnameGetRelid); identity when unset
         query = resolve_search_path(self, query)
+        # to_tsvector(col) @@ to_tsquery('...') → gin posting-table
+        # semi-join when an index covers it, inline tokenize-and-test
+        # otherwise (tsginidx.cpp vs TS_execute); identity without @@
+        from .operators.gin_index import rewrite_tsmatch
+
+        query = rewrite_tsmatch(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"
@@ -326,6 +332,11 @@ class Engine:
         m = self._CREATE_INDEX.match(query)
         if m:
             return self._create_index_ddl(m)
+        from .operators.gin_index import try_handle_ddl as _gin_ddl
+
+        handled = _gin_ddl(self, query)
+        if handled is not None:
+            return handled
         m = self._CREATE_BTREE.match(query)
         if m:
             table, col = m.group("table").lower(), m.group("col")
@@ -505,10 +516,14 @@ class Engine:
             if key is not None:
                 self.ann.drop(*key)
             bkey = self._btree_indexes.pop(name, None)
+            from .operators.gin_index import drop_gin_index
+
+            gkey = drop_gin_index(self, name)
             # dropping a btree index keeps the clustered layout (it is
             # just data order) — only the catalog entry goes away
             return self.spark.createDataFrame(
-                [("DROP INDEX", name, key is not None or bkey is not None)],
+                [("DROP INDEX", name,
+                  key is not None or bkey is not None or gkey)],
                 "tag STRING, index STRING, existed BOOLEAN",
             )
         from .operators.matview import try_handle_ddl as _matview_ddl

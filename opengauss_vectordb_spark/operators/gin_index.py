@@ -1,0 +1,358 @@
+"""CREATE INDEX ... USING gin (to_tsvector(col)) — a persisted
+inverted (posting-list) index for full-text search.
+
+Reference: GIN index build/insert
+(`src/gausskernel/storage/access/gin/gininsert.cpp:368` ``ginbuild``,
+posting trees per key), the tsvector opclass (`tsginidx.cpp`), and the
+regress suites ``cgin_test.sql`` / ``create_index_gist.sql``.  The
+reference builds a btree-of-lexemes whose leaves are posting lists of
+heap TIDs; ``@@`` queries fetch the posting lists of the query's
+lexemes and intersect them.
+
+Spark-first shape: the index IS a parquet table of postings —
+``(lexeme, doc_id, tf, doc_len, positions)``, one row per distinct
+(lexeme, document), range-partitioned and sorted by lexeme so a
+``lexeme IN (...)`` predicate prunes to the few rowgroups holding the
+query's terms (parquet min/max stats are the btree descent; the
+posting rows are the posting list).  ``@@`` match becomes a semi-join:
+``id IN (SELECT doc_id FROM <posting> WHERE lexeme IN (...) GROUP BY
+doc_id HAVING COUNT(DISTINCT lexeme) = k)`` — Catalyst plans the
+pruned posting scan + one short-key aggregation + a semi-join, never
+re-tokenizing the corpus.  ``tf``/``doc_len`` ride along so
+index-backed ts_rank needs no base-table access at all, and
+``positions`` (the tsvector word positions) persist for phrase
+verification.
+
+Staleness: the build records the indexed table's latest commit CSN
+(TableManager manifests — the Delta/Iceberg commit-log model).  A
+routed query on a managed table whose CSN moved REBUILDS the posting
+table first — the reference updates GIN entries inside each INSERT
+(gininsert.cpp); batching the maintenance to the next read is the
+lazy variant (`fastupdate`'s pending list, taken to its limit).
+Catalog parquet tables are immutable, so no check applies.
+
+At 100 TB: the posting table is ~(total tokens) rows of short fixed
+columns, written once, sorted by lexeme — each query reads only the
+rowgroups of its terms (thousands of rows), aggregates on a short
+key, and semi-joins; the corpus itself is never re-scanned.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# CREATE INDEX [name] ON tbl USING gin (to_tsvector(['cfg',] col))
+# — also accepts a bare column (the tsvector expression is implied,
+# as the reference's expression index is almost always exactly this)
+_CREATE_GIN = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
+    r"USING\s+gin\s*\(\s*(?:to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?"
+    r"(?P<tscol>\w+)\s*\)|(?P<col>\w+))\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# to_tsvector(col) @@ to_tsquery('...') — the match predicate shape
+_TSMATCH = re.compile(
+    r"to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?(?P<col>\w+)\s*\)\s*@@\s*"
+    r"to_tsquery\s*\(\s*'(?P<q>[^']*)'\s*\)",
+    re.IGNORECASE,
+)
+_FROM_TABLE = re.compile(r"\bFROM\s+(?P<t>\w+)", re.IGNORECASE)
+
+_LEXEME_SQL = (
+    "split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')"
+)
+
+
+def _view_name(index_name: str) -> str:
+    return f"__gin_{index_name}"
+
+
+def _table_csn(engine, table: str) -> int | None:
+    """Latest commit CSN of a managed table; None for immutable
+    catalog parquet tables."""
+    meta = engine.managed_tables.tables.get(table)
+    if meta is None:
+        return None
+    hist = meta.get("history") or []
+    return hist[-1]["csn"] if hist else 0
+
+
+def _source_df(engine, table: str) -> DataFrame:
+    if table in engine.managed_tables.tables:
+        return engine.spark.table(table)
+    if table in engine.tables:
+        return engine.table(table)
+    raise KeyError(f"CREATE INDEX ... USING gin: table {table!r} "
+                   "not found")
+
+
+def build_posting_table(engine, index_name: str) -> None:
+    """(Re)build the posting parquet for a registered gin index and
+    refresh its temp view + CSN watermark."""
+    idx = engine.gin_indexes[index_name]
+    table, col, id_col = idx["table"], idx["col"], idx["id_col"]
+    df = _source_df(engine, table)
+    lex = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")),
+        " ",
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(lex).alias("doc_len"),
+            F.posexplode(lex).alias("pos", "lexeme"),
+        )
+        .filter(F.col("lexeme") != "")
+    )
+    posting = (
+        exploded.groupBy("lexeme", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.first("doc_len").alias("doc_len"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    (
+        posting.repartitionByRange(8, "lexeme")
+        .sortWithinPartitions("lexeme")
+        .write.mode("overwrite")
+        .parquet(idx["path"])
+    )
+    engine.spark.read.parquet(idx["path"]).createOrReplaceTempView(
+        _view_name(index_name)
+    )
+    idx["built_csn"] = _table_csn(engine, table)
+
+
+def _ensure_fresh(engine, index_name: str) -> None:
+    idx = engine.gin_indexes[index_name]
+    if _table_csn(engine, idx["table"]) != idx["built_csn"]:
+        build_posting_table(engine, index_name)
+
+
+def try_handle_ddl(engine, query: str):
+    """Engine.sql hook: CREATE INDEX ... USING gin."""
+    m = _CREATE_GIN.match(query)
+    if m is None:
+        return None
+    if not hasattr(engine, "gin_indexes"):
+        engine.gin_indexes = {}
+    table = m.group("table").lower()
+    col = (m.group("tscol") or m.group("col")).lower()
+    name = (m.group("name") or f"{table}_{col}_gin").lower()
+    df = _source_df(engine, table)
+    # the row identifier is the relation's FIRST column — the heap
+    # TID analogue (GIN posting lists hold TIDs; a columnar relation
+    # addresses rows by its leading key)
+    id_col = df.columns[0]
+    if id_col == col:
+        raise ValueError(
+            "gin index: the relation's first column is its row "
+            "identifier and cannot also be the indexed text column"
+        )
+    path = os.path.join(
+        engine._warehouse_dir(), "_gin", name
+    )
+    engine.gin_indexes[name] = {
+        "table": table, "col": col, "id_col": id_col,
+        "path": path, "built_csn": None,
+    }
+    build_posting_table(engine, name)
+    n_lex = engine.spark.table(_view_name(name)).count()
+    return engine.spark.createDataFrame(
+        [("CREATE INDEX", name, table, col, n_lex)],
+        "tag STRING, index STRING, table STRING, col STRING,"
+        " postings BIGINT",
+    )
+
+
+def drop_gin_index(engine, name: str) -> bool:
+    """DROP INDEX support (shared with Engine._DROP_INDEX)."""
+    idx = getattr(engine, "gin_indexes", {}).pop(name, None)
+    if idx is None:
+        return False
+    import shutil
+
+    engine.spark.catalog.dropTempView(_view_name(name))
+    shutil.rmtree(idx["path"], ignore_errors=True)
+    return True
+
+
+def _terms_and_kind(querytext: str) -> tuple[list[str], str] | None:
+    """(terms, 'and'|'or') for a pure-conjunction or pure-disjunction
+    tsquery; None for anything else (mixed/NOT/phrase — those fall
+    back to the inline predicate)."""
+    txt = querytext.strip()
+    if re.search(r"<->|<\d+>|!|\(", txt):
+        return None
+    if "&" in txt and "|" in txt:
+        return None
+    sep = "&" if "&" in txt else "|"
+    terms = [t.strip().lower() for t in txt.split(sep)]
+    if not all(re.fullmatch(r"[a-z0-9]+(:\*)?", t) for t in terms):
+        return None
+    if any(t.endswith(":*") for t in terms):
+        return None  # prefix match: inline fallback
+    return terms, ("and" if sep == "&" else "or")
+
+
+def _index_for(engine, table: str, col: str) -> str | None:
+    for name, idx in getattr(engine, "gin_indexes", {}).items():
+        if idx["table"] == table and idx["col"] == col:
+            return name
+    return None
+
+
+def _inline_predicate(col: str, querytext: str) -> str:
+    """@@ compiled to a pure SQL predicate over the re-tokenized
+    column — the no-index path (tsquery.cpp TS_execute as
+    array_contains algebra).  Supports & | ! and parens; phrase
+    operators need positions — use the DataFrame API
+    (operators/text.py ts_phrase_match) or a gin index."""
+    from .text import _tsquery_ast
+
+    node = _tsquery_ast(querytext)
+    lex = _LEXEME_SQL.format(col=col)
+
+    def compile_node(n) -> str:
+        kind = n[0]
+        if kind == "term":
+            return f"array_contains({lex}, '{n[1].lower()}')"
+        if kind == "and":
+            return f"({compile_node(n[1])} AND {compile_node(n[2])})"
+        if kind == "or":
+            return f"({compile_node(n[1])} OR {compile_node(n[2])})"
+        if kind == "not":
+            return f"(NOT {compile_node(n[1])})"
+        raise NotImplementedError(
+            "tsquery phrase operators (<->) in SQL text need word "
+            "positions: build a gin index, or use the DataFrame API "
+            "(operators/text.py ts_phrase_match)"
+        )
+
+    return compile_node(node)
+
+
+def rewrite_tsmatch(engine, query: str) -> str:
+    """``to_tsvector(col) @@ to_tsquery('q')`` in SQL text → either an
+    index-backed semi-join against the posting table (when a gin
+    index covers (table, col) and the query is a pure AND/OR of
+    terms) or the inline tokenize-and-test predicate.  Identity when
+    no ``@@`` appears."""
+    if "@@" not in query:
+        return query
+    m_from = _FROM_TABLE.search(query)
+    table = m_from.group("t").lower() if m_from else None
+
+    def _sub(m: re.Match) -> str:
+        col = m.group("col").lower()
+        qtext = m.group("q")
+        if table:
+            name = _index_for(engine, table, col)
+            if name:
+                tk = _terms_and_kind(qtext)
+                if tk:
+                    terms, kind = tk
+                    _ensure_fresh(engine, name)
+                    idx = engine.gin_indexes[name]
+                    inlist = ", ".join(f"'{t}'" for t in terms)
+                    having = (
+                        f" HAVING COUNT(DISTINCT lexeme) = {len(terms)}"
+                        if kind == "and" and len(terms) > 1 else ""
+                    )
+                    return (
+                        f"{idx['id_col']} IN (SELECT doc_id FROM "
+                        f"{_view_name(name)} WHERE lexeme IN ({inlist})"
+                        f" GROUP BY doc_id{having})"
+                    )
+        return _inline_predicate(col, qtext)
+
+    return _TSMATCH.sub(_sub, query)
+
+
+def gin_rank_search(engine, index_name: str, terms: list[str],
+                    k: int = 100) -> DataFrame:
+    """Index-backed match + ts_rank over an AND-of-terms query,
+    computed ENTIRELY from the posting table (tf and doc_len persist
+    in the index): rank = sum(tf) / (1 + doc_len), the tsrank.cpp
+    frequency score the scan-side fts_match_rank uses.  The plan is
+    one pruned posting scan + one short-key aggregate + TakeOrdered —
+    the corpus is never touched."""
+    _ensure_fresh(engine, index_name)
+    posting = engine.spark.table(_view_name(index_name))
+    terms_l = [t.lower() for t in terms]
+    return (
+        posting.filter(F.col("lexeme").isin(terms_l))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("lexeme").alias("__nterms"),
+            F.sum("tf").alias("__tf"),
+            F.first("doc_len").alias("__len"),
+        )
+        .filter(F.col("__nterms") == len(terms_l))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("__tf") / (F.lit(1.0) + F.col("__len")), 6
+            ).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query as _register_query  # noqa: E402
+
+
+@_register_query(
+    "gin_index_fts",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+                          '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((len(list_filter(ts, x -> x = 'hash'))
+                  + len(list_filter(ts, x -> x = 'join')))
+                 / (1.0 + len(ts)), 6) AS rank
+    FROM toks
+    WHERE list_contains(ts, 'hash') AND list_contains(ts, 'join')
+    ORDER BY rank DESC, doc_id
+    LIMIT 100
+    """,
+)
+def gin_index_fts(spark, sf_dir):
+    """GIN inverted index end-to-end (gininsert.cpp ginbuild;
+    tsginidx.cpp @@ consistency; regress cgin_test.sql): CREATE INDEX
+    ... USING gin (to_tsvector(text)) persists the posting table,
+    then an AND tsquery ranks ENTIRELY from the index — tf and
+    doc_len ride in the postings, so neither the match nor the rank
+    touches the corpus.  The oracle recomputes the same match + rank
+    by scanning and re-tokenizing documents, so a green row proves
+    the posting lists are a faithful inversion of the corpus.
+
+    Scale: the query reads only the rowgroups holding 'hash'/'join'
+    (lexeme-sorted layout → parquet min/max pruning), aggregates on
+    the short doc_id key, and TakeOrdereds — corpus-size-independent
+    work after the one-time build.  Plan pinned re-tokenization-free
+    in tests/test_plan_quality.py."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE INDEX gate_doc_gin ON documents"
+        " USING gin (to_tsvector('english', text))"
+    )
+    out = gin_rank_search(eng, "gate_doc_gin", ["hash", "join"], 100)
+    rows = out.collect()
+    eng.sql("DROP INDEX gate_doc_gin")
+    return spark.createDataFrame(rows, "doc_id BIGINT, rank DOUBLE")

@@ -71,6 +71,7 @@ def load_all_queries() -> None:
         do_block,
         functions_ext,
         fuzzy,
+        gin_index,
         matview,
         merge,
         multimodal,

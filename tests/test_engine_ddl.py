@@ -1779,3 +1779,37 @@ def test_dml_returning(spark, tmp_path):
     out = eng.sql("UPDATE rt SET v = 0.0 WHERE k = 1").collect()[0]
     assert out.tag == "UPDATE" and out.rows == 1
     eng.sql("DROP TABLE rt")
+
+
+def test_gin_index_staleness_rebuild(spark, tmp_path):
+    """A gin index over a MANAGED table auto-rebuilds when the table's
+    commit CSN moves (gininsert.cpp maintains entries per INSERT; the
+    lazy-rebuild is the fastupdate pending list taken to its limit):
+    an INSERT is visible to the next @@ query, DELETE likewise; the
+    inline fallback and the indexed route always agree."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE notes AS
+        SELECT * FROM VALUES
+          (1, 'alpha beta gamma'),
+          (2, 'beta gamma delta'),
+          (3, 'gamma delta epsilon') AS t(note_id, body)
+    """)
+    eng.sql("CREATE INDEX notes_gin ON notes USING gin (body)")
+    q = ("SELECT note_id FROM notes"
+         " WHERE to_tsvector(body) @@ to_tsquery('beta & gamma')"
+         " ORDER BY note_id")
+    assert [r.note_id for r in eng.sql(q).collect()] == [1, 2]
+    eng.sql("INSERT INTO notes SELECT 4, 'beta gamma zeta'")
+    assert [r.note_id for r in eng.sql(q).collect()] == [1, 2, 4]
+    eng.sql("DELETE FROM notes WHERE note_id = 1")
+    assert [r.note_id for r in eng.sql(q).collect()] == [2, 4]
+    # OR route and inline (unindexed) predicate agree
+    q_or = ("SELECT COUNT(*) AS c FROM notes"
+            " WHERE to_tsvector(body) @@ to_tsquery('alpha | zeta')")
+    assert eng.sql(q_or).collect()[0].c == 1
+    eng.sql("DROP INDEX notes_gin")
+    assert eng.sql(q_or).collect()[0].c == 1  # inline fallback
+    assert [r.note_id for r in eng.sql(q).collect()] == [2, 4]
+    eng.sql("DROP TABLE notes PURGE")

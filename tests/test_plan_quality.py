@@ -589,3 +589,38 @@ def test_plpgsql_for_loop_is_one_aggregation(spark):
         assert plan.count("Scan parquet") == 2, plan
     finally:
         eng.sql("DROP FUNCTION pin_loop")
+
+
+def test_gin_index_feeds_match_not_retokenization(spark):
+    """The gin-routed @@ plan scans the POSTING table (lexeme
+    pushdown) and never re-tokenizes the corpus; rank comes from the
+    index alone (no documents.text in any ReadSchema)."""
+    from opengauss_vectordb_spark.engine import Engine
+    from opengauss_vectordb_spark.operators.gin_index import (
+        gin_rank_search,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE INDEX pin_gin ON documents"
+        " USING gin (to_tsvector(text))"
+    )
+    try:
+        df = eng.sql(
+            "SELECT doc_id FROM documents"
+            " WHERE to_tsvector(text) @@ to_tsquery('hash & join')"
+        )
+        plan = physical_plan(df)
+        assert "_gin" in plan, plan             # posting table feeds it
+        assert "regexp_replace" not in plan, plan  # no re-tokenization
+        assert python_eval_nodes(df) == 0
+        rk = gin_rank_search(eng, "pin_gin", ["hash", "join"], 10)
+        rplan = physical_plan(rk)
+        assert "_gin" in rplan and "regexp_replace" not in rplan
+        # rank never opens the corpus: no 'text' column read anywhere
+        reads = [ln for ln in rplan.splitlines() if "ReadSchema" in ln]
+        assert reads and all("text" not in ln for ln in reads), rplan
+        # the posting scan pushes the lexeme predicate down
+        assert "PushedFilters" in rplan and "lexeme" in rplan, rplan
+    finally:
+        eng.sql("DROP INDEX pin_gin")
