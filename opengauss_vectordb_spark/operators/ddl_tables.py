@@ -741,11 +741,38 @@ def _parse_column_defs(cols: str) -> tuple[list[dict], tuple[str, ...]]:
                     "there can be only one auto_increment column"
                 )
             e = _AUTO_INC.sub("", e)
-        if re.search(r"\b(DEFAULT|CHECK|REFERENCES)\b", e, re.IGNORECASE):
+        # DEFAULT <expr>: recorded per column and applied by the
+        # INSERT paths (unlisted column-list slots, DEFAULT VALUES) —
+        # parse_utilcmd.cpp's attribute defaults.  The expression runs
+        # to the next top-level constraint keyword.
+        default = None
+        mdef = re.search(r"\bDEFAULT\s+", e, re.IGNORECASE)
+        if mdef:
+            tail = e[mdef.end():]
+            cut, d2 = len(tail), 0
+            for mm in re.finditer(
+                r"[()]|\b(?:PRIMARY|NOT|UNIQUE|CHECK|REFERENCES)\b",
+                tail, re.IGNORECASE,
+            ):
+                t = mm.group(0)
+                if t == "(":
+                    d2 += 1
+                elif t == ")":
+                    d2 -= 1
+                elif d2 == 0:
+                    cut = mm.start()
+                    break
+            default = tail[:cut].strip()
+            if not default:
+                raise ValueError(
+                    f"CREATE TABLE: empty DEFAULT expression in {e!r}"
+                )
+            e = (e[: mdef.start()] + " " + tail[cut:]).rstrip()
+        if re.search(r"\b(CHECK|REFERENCES)\b", e, re.IGNORECASE):
             raise NotImplementedError(
-                "CREATE TABLE: DEFAULT/CHECK/REFERENCES change INSERT "
-                "semantics — apply defaults in the INSERT ... SELECT "
-                "and validate with a WHERE/RAISE guard"
+                "CREATE TABLE: CHECK/REFERENCES enforcement has no "
+                "place on an immutable columnar store — validate with "
+                "a WHERE/RAISE guard in the INSERT ... SELECT"
             )
         e = _CONSTRAINT_TAIL.split(e)[0].strip()
         toks = e.split(None, 1)
@@ -774,6 +801,7 @@ def _parse_column_defs(cols: str) -> tuple[list[dict], tuple[str, ...]]:
             "type": ctype,
             "generated": gen,
             "auto_increment": auto,
+            "default": default,
         })
     if not parsed:
         raise ValueError("CREATE TABLE: no columns declared")
@@ -1885,6 +1913,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         }
         if generated:
             meta["generated"] = generated
+        defaults = {
+            c["name"]: c["default"] for c in defs if c.get("default")
+        }
+        if defaults:
+            meta["column_defaults"] = defaults
         auto = [c["name"] for c in defs if c["auto_increment"]]
         if auto:
             meta["auto_col"] = auto[0]
@@ -1918,9 +1951,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         query, re.IGNORECASE,
     )
     if m and m.group("name").lower() in engine.managed_tables.tables:
-        # INSERT ... DEFAULT VALUES: one row of defaults — NULL here
-        # (DEFAULT exprs refuse at CREATE), identity assigned,
-        # generated computed (NULL-propagating)
+        # INSERT ... DEFAULT VALUES: one row of defaults — declared
+        # DEFAULT expressions where present, NULL otherwise; identity
+        # assigned, generated computed (NULL-propagating)
         from .rls import check_privilege
 
         name = m.group("name").lower()
@@ -1929,12 +1962,17 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         meta = mt.tables[name]
         generated = meta.get("generated") or {}
         auto_col = meta.get("auto_col")
+        defaults = meta.get("column_defaults") or {}
         fields = [
             f for f in mt.read(name).schema.fields
             if f.name not in generated and f.name != auto_col
         ]
         one = engine.spark.range(1).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields]
+            *[
+                (F.expr(defaults[f.name]) if f.name in defaults
+                 else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
         )
         mt.insert_into(name, one)
         return engine.spark.createDataFrame(
@@ -1973,9 +2011,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             )
         renamed = src.toDF(*[f"__c_{c}" for c in listed])
         # expand to the full insertable column order: listed columns
-        # take the source values, unlisted take NULL (the engine's
-        # DEFAULT — DEFAULT exprs refuse at CREATE), the identity
-        # column is omitted so insert_into assigns the sequence
+        # take the source values, unlisted take their declared
+        # DEFAULT expression (NULL when none — parse_utilcmd.cpp
+        # attribute defaults), the identity column is omitted so
+        # insert_into assigns the sequence
+        defaults = meta.get("column_defaults") or {}
         fields = [
             f for f in target.schema.fields
             if f.name not in generated
@@ -1984,6 +2024,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         expanded = renamed.select(
             *[
                 (F.col(f"__c_{f.name}") if f.name in listed
+                 else F.expr(defaults[f.name]) if f.name in defaults
                  else F.lit(None)).cast(f.dataType).alias(f.name)
                 for f in fields
             ]

@@ -1519,6 +1519,7 @@ def test_create_table_plain_ddl(spark, tmp_path):
     one table world: pg_tables lists it, INSERT appends through the
     managed path, ALTER TABLE works on it, constraints are tolerated
     as metadata (no enforcement on an immutable store), DEFAULT
+    expressions apply on unlisted/DEFAULT-VALUES inserts, CHECK
     refuses with the INSERT-side rewrite."""
     eng = Engine(spark, SF_CORRECT)
     eng.managed_tables.root = str(tmp_path)
@@ -1543,8 +1544,19 @@ def test_create_table_plain_ddl(spark, tmp_path):
     ).collect()[0].already_existed is True
     with pytest.raises(ValueError, match="already exists"):
         eng.sql("CREATE TABLE pt (x int)")
-    with pytest.raises(NotImplementedError, match="DEFAULT"):
-        eng.sql("CREATE TABLE pd (x int DEFAULT 3)")
+    # declared DEFAULTs fill unlisted columns and DEFAULT VALUES rows
+    eng.sql(
+        "CREATE TABLE pd (x int DEFAULT 3, s text DEFAULT 'none',"
+        " v double)"
+    )
+    eng.sql("INSERT INTO pd (v) VALUES (1.5)")
+    eng.sql("INSERT INTO pd DEFAULT VALUES")
+    rows = eng.sql("SELECT * FROM pd ORDER BY v NULLS LAST").collect()
+    assert [(r.x, r.s, r.v) for r in rows] == [
+        (3, "none", 1.5), (3, "none", None)]
+    with pytest.raises(NotImplementedError, match="CHECK"):
+        eng.sql("CREATE TABLE pc (x int CHECK (x > 0))")
+    eng.sql("DROP TABLE pd")
     eng.sql("DROP TABLE pt")
 
 
