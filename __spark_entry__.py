@@ -67,61 +67,64 @@ registry.load_all_queries()
 # test_create_model_predict_by_sql_text and
 # test_predict_by_anchors_top_level_from).
 GATE_PRIORITY: list[str] = [
-    # (a) new registrations — first-ever gate rows
-    "range_partition_lifecycle",
-    "list_partition_pruned_scan",
-    "interval_partition_autoextend",
-    "subpartition_pruned_scan",
+    # (a) round-8 new registrations — first-ever gate rows
+    "plpgsql_int_for_loop",
+    "package_session_variable",
+    "call_out_params",
+    "search_path_resolution",
+    "gin_index_fts",
+    # (b) churned-code re-gates this round: plpgsql.py (single-subquery
+    # fold + integer FOR), packages.py (session variables), do_block.py
+    # (OUT/INOUT), schemas.py (search_path), ddl_tables.py (DEFAULT
+    # expressions + the post-r7 RLS/upsert fixes), partition_ddl.py
+    # (hash-prune literal typing), engine.py (new top-of-sql rewrites)
+    "plpgsql_guard_function",
+    "plpgsql_select_into_nested_if",
+    "plpgsql_for_loop_agg",
     "package_member_function",
-    "dml_returning",
-    "timecapsule_flashback_query",
-    "generated_column_table",
-    "auto_increment_insert",
-    "temp_table_session",
-    "cstore_distribute_select_into",
-    "grant_revoke_privileges",
-    "source_mix_temperature",
-    "extended_statistics_scan",
+    "do_block_stmt",
+    "call_procedure_stmt",
+    "schema_qualified_lifecycle",
     "update_from_delete_using",
     "insert_dup_key_upsert",
-    "create_type_enum_column",
-    "replace_into_upsert",
-    "scroll_cursor_pages",
-    "schema_qualified_lifecycle",
-    # (b) the r6 red, fixed (HUGEINT→float64 pandas representation)
-    "source_mix_rebalance",
-    # (c) churned-code re-gates this round
-    "merge_sql_text",
-    "merge_delete_action",
-    "merge_upsert_orders",
-    "plpython_function",
-    "alter_table_lifecycle",
     "ctas_insert_select",
-    "update_delete_dml",
-    "maintenance_stmt_roundtrip",
-    "rls_policy_scan",
-    "masking_policy_scan",
-    "trigger_spi_audit",
-    "btree_index_scan",
-    "analyze_table_stats",
-    "cursor_fetch_pages",
-    # (d) rotation — stalest rows (last gated round 1); six were
-    # traded for the late first-ever registrations above
-    "array_funcs",
-    "array_multidim",
-    "composite_row_types",
-    "db4ai_kmeans_predict",
-    "db4ai_linreg_ols",
-    "db4ai_pca_project",
-    "dedup_cluster_resolve",
-    "doc_fingerprint",
-    "fts_match_rank",
-    "interval_arithmetic",
-    "range_types_overlap",
-    "regexp_srf_funcs",
-    "stratified_sample_quota",
-    "text_langid_heuristic",
-    "text_quality_score",
+    "dml_returning",
+    "list_partition_pruned_scan",
+    "range_partition_lifecycle",
+    "merge_sql_text",
+    "timecapsule_flashback_query",
+    # (c) rotation — the stalest rows: every remaining round-1 row
+    # (22) plus the 8 oldest of the round-2 cohort
+    "cast_semantics",
+    "copy_fixed_format_roundtrip",
+    "db4ai_predict_scoring",
+    "dedup_ngram_jaccard",
+    "enum_ordering",
+    "geo_point_funcs",
+    "inet_funcs",
+    "interval_justify",
+    "like_regex_funcs",
+    "text_simhash",
+    "text_token_stats",
+    "tpch_q10_adapted",
+    "tpch_q11_adapted",
+    "tpch_q2_adapted",
+    "tpch_q3_adapted",
+    "tpch_q4_adapted",
+    "tpch_q7_adapted",
+    "tpch_q8_adapted",
+    "tpch_q9_adapted",
+    "tsstore_gapfill",
+    "unnest_project_set",
+    "width_bucket_histogram",
+    "agg_bool_bit",
+    "agg_corr_covar",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "agg_mode_percentile_disc",
+    "agg_percentiles",
 ]
 
 

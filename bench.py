@@ -168,6 +168,13 @@ HEADLINE = [
     # temp/ACL/joined-DML rows stay out — statement-layer write flows,
     # same exclusion as the other DDL/DML lifecycles.
     "source_mix_temperature",
+    # round-8 additions (same frozen-prefix rule): read-side rows.
+    # gin_index_fts and search_path_resolution stay out — each builds
+    # an index / CTASes inside the query (write-time ops, same rule
+    # as ivf_append_then_search and the DDL lifecycles).
+    "plpgsql_int_for_loop",
+    "package_session_variable",
+    "call_out_params",
 ]
 
 
