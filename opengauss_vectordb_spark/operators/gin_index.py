@@ -48,10 +48,12 @@ from pyspark.sql import functions as F
 # CREATE INDEX [name] ON tbl USING gin (to_tsvector(['cfg',] col))
 # — also accepts a bare column (the tsvector expression is implied,
 # as the reference's expression index is almost always exactly this)
+# and the pg_trgm opclass `(col gin_trgm_ops)` (trgm_gin.cpp)
 _CREATE_GIN = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
     r"USING\s+gin\s*\(\s*(?:to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?"
-    r"(?P<tscol>\w+)\s*\)|(?P<col>\w+))\s*\)\s*;?\s*$",
+    r"(?P<tscol>\w+)\s*\)|(?P<trgmcol>\w+)\s+gin_trgm_ops"
+    r"|(?P<col>\w+))\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -93,30 +95,46 @@ def _source_df(engine, table: str) -> DataFrame:
 
 def build_posting_table(engine, index_name: str) -> None:
     """(Re)build the posting parquet for a registered gin index and
-    refresh its temp view + CSN watermark."""
+    refresh its temp view + CSN watermark.  Two opclasses: tsvector
+    lexeme postings (kind 'fts') and pg_trgm trigram postings (kind
+    'trgm' — trgm_gin.cpp's gin_extract_value_trgm: one posting row
+    per DISTINCT trigram of the row, plus the row's trigram-set size
+    so similarity computes entirely from the index)."""
     idx = engine.gin_indexes[index_name]
     table, col, id_col = idx["table"], idx["col"], idx["id_col"]
     df = _source_df(engine, table)
-    lex = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")),
-        " ",
-    )
-    exploded = (
-        df.select(
+    if idx.get("kind") == "trgm":
+        from .fuzzy import trigrams
+
+        trg = trigrams(F.col(col))
+        posting = df.select(
             F.col(id_col).alias("doc_id"),
-            F.size(lex).alias("doc_len"),
-            F.posexplode(lex).alias("pos", "lexeme"),
+            F.size(trg).alias("n_trgm"),
+            F.explode(trg).alias("lexeme"),
         )
-        .filter(F.col("lexeme") != "")
-    )
-    posting = (
-        exploded.groupBy("lexeme", "doc_id")
-        .agg(
-            F.count("*").alias("tf"),
-            F.first("doc_len").alias("doc_len"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+    else:
+        lex = F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")
+            ),
+            " ",
         )
-    )
+        exploded = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(lex).alias("doc_len"),
+                F.posexplode(lex).alias("pos", "lexeme"),
+            )
+            .filter(F.col("lexeme") != "")
+        )
+        posting = (
+            exploded.groupBy("lexeme", "doc_id")
+            .agg(
+                F.count("*").alias("tf"),
+                F.first("doc_len").alias("doc_len"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
     (
         posting.repartitionByRange(8, "lexeme")
         .sortWithinPartitions("lexeme")
@@ -143,7 +161,9 @@ def try_handle_ddl(engine, query: str):
     if not hasattr(engine, "gin_indexes"):
         engine.gin_indexes = {}
     table = m.group("table").lower()
-    col = (m.group("tscol") or m.group("col")).lower()
+    col = (m.group("tscol") or m.group("trgmcol")
+           or m.group("col")).lower()
+    kind = "trgm" if m.group("trgmcol") else "fts"
     name = (m.group("name") or f"{table}_{col}_gin").lower()
     df = _source_df(engine, table)
     # the row identifier is the relation's FIRST column — the heap
@@ -160,7 +180,7 @@ def try_handle_ddl(engine, query: str):
     )
     engine.gin_indexes[name] = {
         "table": table, "col": col, "id_col": id_col,
-        "path": path, "built_csn": None,
+        "path": path, "built_csn": None, "kind": kind,
     }
     build_posting_table(engine, name)
     n_lex = engine.spark.table(_view_name(name)).count()
@@ -201,9 +221,11 @@ def _terms_and_kind(querytext: str) -> tuple[list[str], str] | None:
     return terms, ("and" if sep == "&" else "or")
 
 
-def _index_for(engine, table: str, col: str) -> str | None:
+def _index_for(engine, table: str, col: str,
+               kind: str = "fts") -> str | None:
     for name, idx in getattr(engine, "gin_indexes", {}).items():
-        if idx["table"] == table and idx["col"] == col:
+        if idx["table"] == table and idx["col"] == col \
+                and idx.get("kind", "fts") == kind:
             return name
     return None
 
@@ -306,6 +328,55 @@ def gin_rank_search(engine, index_name: str, terms: list[str],
     )
 
 
+def _py_trigrams(s: str) -> list[str]:
+    """Driver-side copy of fuzzy.trigrams (trgm_op.cpp show_trgm):
+    per lowercased word, two leading + one trailing pad space, every
+    3-gram, distinct over the whole string — MUST stay in lockstep
+    with the Column version so probe and posting sets agree."""
+    out: set[str] = set()
+    for w in re.sub(r"[^a-z0-9]+", " ", s.lower()).strip().split():
+        p = "  " + w + " "
+        for i in range(len(w) + 1):
+            out.add(p[i:i + 3])
+    return sorted(out)
+
+
+def trgm_gin_search(engine, index_name: str, probe: str,
+                    k: int = 15,
+                    threshold: float | None = None) -> DataFrame:
+    """pg_trgm similarity through the GIN posting table
+    (trgm_gin.cpp gin_trgm_consistent + trgm_op.cpp cnt_sml):
+    |A∩B| comes straight off the pruned posting scan (one row per
+    shared trigram), |A| rides in the index (n_trgm), |B| is the
+    probe's set size — so the EXACT similarity, not a candidate
+    pre-filter, computes without touching the corpus.  ``threshold``
+    filters like the ``%`` operator (trgm_limit); otherwise top-k.
+
+    Scale: posting scan pruned to the probe's ~|B| trigrams, one
+    short-key aggregate, TakeOrdered — corpus never re-scanned.  Docs
+    sharing zero trigrams have similarity 0 and are correctly absent
+    from both the match and any top-k that ranks above 0."""
+    _ensure_fresh(engine, index_name)
+    q = _py_trigrams(probe)
+    posting = engine.spark.table(_view_name(index_name))
+    sim = F.col("__inter") / (
+        F.col("__na") + F.lit(len(q)) - F.col("__inter")
+    )
+    out = (
+        posting.filter(F.col("lexeme").isin(q))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__inter"),
+            F.first("n_trgm").alias("__na"),
+        )
+        .select("doc_id", F.round(sim, 6).alias("sim"))
+    )
+    if threshold is not None:
+        return out.filter(F.col("sim") >= threshold) \
+                  .orderBy(F.desc("sim"), "doc_id")
+    return out.orderBy(F.desc("sim"), "doc_id").limit(k)
+
+
 # ---------------------------------------------------------------- queries
 
 from ..registry import query as _register_query  # noqa: E402
@@ -356,3 +427,65 @@ def gin_index_fts(spark, sf_dir):
     rows = out.collect()
     eng.sql("DROP INDEX gate_doc_gin")
     return spark.createDataFrame(rows, "doc_id BIGINT, rank DOUBLE")
+
+
+_TRGM_PROBE = "smal widgett"  # misspelled 'small widget'
+
+_SQL_TRGM_SET = """
+      list_distinct(flatten(list_transform(
+        list_filter(string_split_regex(trim(regexp_replace(lower({col}),
+            '[^a-z0-9]+', ' ', 'g')), ' '), w -> w != ''),
+        w -> list_transform(range(1, length(w) + 2),
+                            i -> substr('  ' || w || ' ',
+                                        CAST(i AS INT), 3)))))
+"""
+
+
+@_register_query(
+    "trgm_gin_search",
+    f"""
+    WITH t AS (
+      SELECT p_partkey,
+             {_SQL_TRGM_SET.format(col='p_name')} AS ta,
+             {_SQL_TRGM_SET.format(col=f"'{_TRGM_PROBE}'")} AS tb
+      FROM part
+    ), s AS (
+      SELECT p_partkey,
+             len(list_intersect(ta, tb)) AS inter,
+             CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+               / (len(ta) + len(tb) - len(list_intersect(ta, tb)))
+               AS sim
+      FROM t
+    )
+    SELECT p_partkey AS doc_id, ROUND(sim, 6) AS sim
+    FROM s WHERE inter > 0
+    ORDER BY ROUND(sim, 6) DESC, p_partkey LIMIT 15
+    """,
+)
+def trgm_gin_search_gate(spark, sf_dir):
+    """pg_trgm GIN opclass end-to-end (trgm_gin.cpp
+    gin_extract_value_trgm / gin_trgm_consistent; regress
+    cgin_test.sql's trigram half): ``CREATE INDEX ... USING gin
+    (p_name gin_trgm_ops)`` persists one posting row per distinct
+    trigram, and a misspelled probe ranks the EXACT pg_trgm
+    similarity straight off the index — |A∩B| is the posting-row
+    count, |A| rides in the index, the corpus is never re-scanned.
+    The oracle recomputes similarity by building both trigram sets
+    from scratch, so a green row proves the posting inversion AND the
+    set-size bookkeeping.
+
+    Scale: the query reads ~|probe| trigram rowgroups (lexeme-sorted
+    pushdown), one short-key aggregate, TakeOrdered."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE INDEX gate_trgm_gin ON part"
+        " USING gin (p_name gin_trgm_ops)"
+    )
+    out = trgm_gin_search(
+        eng, "gate_trgm_gin", _TRGM_PROBE, 15
+    )
+    rows = out.collect()
+    eng.sql("DROP INDEX gate_trgm_gin")
+    return spark.createDataFrame(rows, "doc_id BIGINT, sim DOUBLE")

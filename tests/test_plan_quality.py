@@ -624,3 +624,28 @@ def test_gin_index_feeds_match_not_retokenization(spark):
         assert "PushedFilters" in rplan and "lexeme" in rplan, rplan
     finally:
         eng.sql("DROP INDEX pin_gin")
+
+
+def test_trgm_gin_similarity_from_index_alone(spark):
+    """pg_trgm GIN similarity never re-reads the corpus: the plan is
+    one pruned posting scan (trigram pushdown) + aggregate +
+    TakeOrdered — no p_name column read, no trigram recomputation."""
+    from opengauss_vectordb_spark.engine import Engine
+    from opengauss_vectordb_spark.operators.gin_index import (
+        trgm_gin_search,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE INDEX pin_trgm ON part USING gin (p_name gin_trgm_ops)"
+    )
+    try:
+        df = trgm_gin_search(eng, "pin_trgm", "smal widgett", 10)
+        plan = physical_plan(df)
+        assert "_gin" in plan, plan
+        reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert reads and all("p_name" not in ln for ln in reads), plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert python_eval_nodes(df) == 0
+    finally:
+        eng.sql("DROP INDEX pin_trgm")
