@@ -175,6 +175,7 @@ HEADLINE = [
     "plpgsql_int_for_loop",
     "package_session_variable",
     "call_out_params",
+    "plpgsql_while_loop",
 ]
 
 

@@ -55,11 +55,17 @@ range becomes ``explode(sequence(a, b, ±s))`` — a JVM-side generated
 relation, no driver unrolling — guarded by a CASE that reproduces
 the zero-iteration semantics (forward with a > b never runs), and
 the accumulator body aggregates over the exploded rows exactly like
-a FOR-IN-SELECT loop.
+a FOR-IN-SELECT loop.  COUNTER-STYLE WHILE loops (pl_exec.cpp
+exec_stmt_while) — ``WHILE v <op> bound LOOP <accumulators>;
+v := v ± step; END LOOP`` — are that same bounded range in disguise
+and rewrite into it, with the counter's post-loop binding set to its
+closed form (the first value failing the condition), so reading the
+counter after the loop stays correct.
 
 Deliberately NOT covered (each raises a clear NotImplementedError
-naming the Spark-side rewrite): WHILE / bare LOOP /
-loops with non-accumulator bodies (set-based rewrite — the statement
+naming the Spark-side rewrite): general WHILE (non-counter
+conditions are unbounded iteration — no declarative form) / bare
+LOOP / loops with non-accumulator bodies (set-based rewrite — the statement
 layer's one-statement DML), dynamic EXECUTE, cursors in function
 bodies (DECLARE CURSOR at the session level instead), and EXCEPTION
 blocks (no subtransactions on an immutable store).
@@ -327,6 +333,139 @@ _ACC_EXTREME = re.compile(
 )
 
 
+_WHILE_HEAD = re.compile(r"WHILE\b", re.IGNORECASE)
+_WHILE_COND = re.compile(
+    r"^\s*(?P<v>\w+)\s*(?P<op><=|<|>=|>)\s*(?P<b>.+?)\s*$", re.DOTALL
+)
+_COUNTER_STEP = re.compile(
+    r"^(?P<v>\w+)\s*:=\s*(?P=v)\s*(?P<sign>[+-])\s*(?P<s>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LOOP_TOKEN = re.compile(r"\bEND\s+LOOP\b\s*;?|\bLOOP\b", re.IGNORECASE)
+
+
+def _try_rewrite_while(
+    text: str, pos: int, bindings: dict[str, str]
+) -> str | None:
+    """Counter-style WHILE loops (pl_exec.cpp exec_stmt_while) —
+    ``WHILE v <op> bound LOOP <accumulators>; v := v ± step; END
+    LOOP`` — ARE bounded integer FOR loops in disguise: the rewrite
+    splices the equivalent ``FOR v IN [REVERSE] start..hi BY step``
+    text in place (the single-subquery fold then compiles it to one
+    explode(sequence) aggregate) and binds v's POST-LOOP value to its
+    closed form (first counter value failing the condition), so a
+    continuation that reads the counter stays correct.  Returns the
+    rewritten statement text, or None when no WHILE starts at pos;
+    any WHILE this shape cannot express refuses with the
+    set-oriented rewrite named (general WHILE is unbounded iteration
+    — no declarative form exists)."""
+    if not _WHILE_HEAD.match(text[pos:]):
+        return None
+    masked = _mask_strings(text)
+    m_loop = re.search(r"\bLOOP\b", masked[pos:])
+    if m_loop is None:
+        raise ValueError("plpgsql: WHILE without LOOP")
+    cond_txt = text[pos + 5:pos + m_loop.start()]
+    body_start = pos + m_loop.end()
+    depth = 1
+    end_start = end_after = None
+    for mt in _LOOP_TOKEN.finditer(masked, body_start):
+        if mt.group(0).upper().startswith("END"):
+            depth -= 1
+            if depth == 0:
+                end_start, end_after = mt.start(), mt.end()
+                break
+        else:
+            depth += 1
+    if end_start is None:
+        raise ValueError("plpgsql: WHILE LOOP without END LOOP")
+    body = text[body_start:end_start]
+
+    def refuse(why: str):
+        raise NotImplementedError(
+            f"plpgsql: only counter-style WHILE loops compile "
+            f"(WHILE v < bound LOOP <accumulators>; v := v + step; "
+            f"END LOOP) — {why}; rewrite the loop as one "
+            "set-oriented statement"
+        )
+
+    mc = _WHILE_COND.match(cond_txt)
+    if mc is None:
+        refuse(f"condition {cond_txt.strip()!r} is not v <op> bound")
+    v = mc.group("v").lower()
+    if v not in bindings:
+        refuse(f"counter {v!r} is not a declared variable")
+    stmts = []
+    bpos = 0
+    while bpos < len(body):
+        stmt, bpos = _scan_stmt(body, bpos)
+        if stmt:
+            stmts.append(stmt)
+    if not stmts:
+        refuse("empty body")
+    ms = _COUNTER_STEP.match(stmts[-1])
+    if ms is None or ms.group("v").lower() != v:
+        refuse(f"the LAST body statement must advance the counter "
+               f"({v} := {v} + step)")
+    sign, op = ms.group("sign"), mc.group("op")
+    if (op in ("<", "<=")) != (sign == "+"):
+        refuse(f"counter moves {sign}{ms.group('s').strip()} against "
+               f"the {op!r} bound — the loop would not terminate")
+    outer = {k: e for k, e in bindings.items() if k != v}
+    start = bindings[v]
+    step = _subst(ms.group("s"), outer).strip()
+    bound = _subst(mc.group("b"), outer).strip()
+    # the exit threshold bx: the loop runs while v is strictly on the
+    # start side of bx — '<' exits at v >= b, '<=' at v >= b+1, '>'
+    # at v <= b, '>=' at v <= b-1 — so hi/final share one formula
+    if op == "<":
+        bx = f"({bound})"
+    elif op == "<=":
+        bx = f"(({bound}) + 1)"
+    elif op == ">":
+        bx = f"({bound})"
+    else:
+        bx = f"(({bound}) - 1)"
+    sb = f"CAST(({start}) AS BIGINT)"
+    xb = f"CAST({bx} AS BIGINT)"
+    st = f"CAST(({step}) AS BIGINT)"
+    # the loop variable gets a FRESH name: v's binding becomes the
+    # post-loop closed form, and a body column reference under v's
+    # own name would be corrupted when a later _subst pass for v
+    # touches binding text the loop expressions were planted into
+    fresh = _next_fold(f"w_{v}")
+    if sign == "+":
+        hi = f"{xb} - 1"
+        final = (
+            f"(CASE WHEN {sb} >= {xb} THEN {sb} ELSE {sb} + {st} * "
+            f"CAST(CEIL(({xb} - {sb}) / CAST({st} AS DOUBLE)) "
+            f"AS BIGINT) END)"
+        )
+        head = f"FOR {fresh} IN {sb}..({hi}) BY {st} LOOP "
+    else:
+        hi = f"{xb} + 1"
+        final = (
+            f"(CASE WHEN {sb} <= {xb} THEN {sb} ELSE {sb} - {st} * "
+            f"CAST(CEIL(({sb} - {xb}) / CAST({st} AS DOUBLE)) "
+            f"AS BIGINT) END)"
+        )
+        head = f"FOR {fresh} IN REVERSE {sb}..({hi}) BY {st} LOOP "
+    acc_body = " ".join(s + ";" for s in stmts[:-1])
+    pat = re.compile(rf"(?<!\.)\b{re.escape(v)}\b", re.IGNORECASE)
+    spos = 0
+    while True:
+        mv = pat.search(_mask_strings(acc_body), spos)
+        if mv is None:
+            break
+        acc_body = acc_body[:mv.start()] + fresh + acc_body[mv.end():]
+        spos = mv.start() + len(fresh)
+    bindings[v] = final
+    return (
+        text[:pos] + head + acc_body + " END LOOP; "
+        + text[end_after:].lstrip(";")
+    )
+
+
 def _parse_for_block(text: str, pos: int) -> tuple[str, str, str, int] | None:
     """If a FOR <var> IN <query> LOOP <body> END LOOP[;] construct
     starts at ``pos`` (caller already skipped whitespace), return
@@ -562,6 +701,10 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
         off = len(text[pos:]) - len(rest)
         if not rest:
             break
+        rewritten = _try_rewrite_while(text, pos + off, bindings)
+        if rewritten is not None:
+            text, n = rewritten, len(rewritten)
+            continue  # re-dispatch: the WHILE is now a FOR
         parsed_for = _parse_for_block(text, pos + off)
         if parsed_for is not None:
             fvar, fquery, fbody, nxt = parsed_for
@@ -775,6 +918,10 @@ def _apply_stmts(body: str, bindings: dict[str, str]) -> None:
         off = len(body[pos:]) - len(rest)
         if not rest:
             break
+        rewritten = _try_rewrite_while(body, pos + off, bindings)
+        if rewritten is not None:
+            body, n = rewritten, len(rewritten)
+            continue  # re-dispatch: the WHILE is now a FOR
         parsed_for = _parse_for_block(body, pos + off)
         if parsed_for is not None:
             fvar, fquery, fbody, pos = parsed_for
@@ -849,8 +996,9 @@ def translate_plpgsql(query: str) -> str | None:
     # bad FOR body still refuses later, in _parse_loop_accs, with the
     # aggregate-shape message)
     scan_body = re.sub(
-        r"\bFOR\s+\w+\s+IN\s+"
-        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.).*?\bEND\s+LOOP\b",
+        r"\b(?:FOR\s+\w+\s+IN\s+"
+        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.)|WHILE\b)"
+        r".*?\bEND\s+LOOP\b",
         " ", masked_body, flags=re.IGNORECASE | re.DOTALL,
     )
     for pat, why in _UNSUPPORTED:
@@ -1179,4 +1327,61 @@ def plpgsql_int_for_loop(spark, sf_dir):
     eng.sql("DROP FUNCTION gate_rev_sum")
     return spark.createDataFrame(
         rows, "c_nationkey BIGINT, sq_stat BIGINT, rev_stat BIGINT"
+    )
+
+
+@_register_query(
+    "plpgsql_while_loop",
+    """
+    WITH keys AS (SELECT DISTINCT c_nationkey FROM customer),
+    calc AS (
+      SELECT c_nationkey, CAST(c_nationkey AS BIGINT) AS n FROM keys
+    )
+    SELECT c_nationkey,
+           CAST((n*(n+1))//2 * 10
+                + CASE WHEN n >= 1 THEN n + 1 ELSE 1 END
+                AS BIGINT) AS while_stat
+    FROM calc ORDER BY c_nationkey
+    """,
+)
+def plpgsql_while_loop(spark, sf_dir):
+    """Counter-style WHILE loops (pl_exec.cpp exec_stmt_while:114;
+    regress hw_functions / plpgsql suites): ``WHILE i <= n LOOP total
+    := total + i; i := i + 1; END LOOP`` rewrites into the bounded
+    integer FOR range and folds to one explode(sequence) aggregate;
+    the RETURN also reads the counter AFTER the loop, so a green row
+    proves the post-loop closed form (first value failing the
+    condition), not just the accumulator.  The oracle is the closed
+    form n(n+1)/2*10 + (n+1 when the loop ran, else the initial 1).
+
+    Scale: no iteration exists at runtime — the 'loop' is a JVM
+    generated relation and one aggregation, per call site,
+    decorrelated by Catalyst across the DISTINCT nation keys."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_while_sum(n int) RETURNS bigint AS $$
+        DECLARE
+            i bigint := 1;
+            total bigint := 0;
+        BEGIN
+            WHILE i <= n LOOP
+                total := total + i;
+                i := i + 1;
+            END LOOP;
+            RETURN total * 10 + i;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT c_nationkey,"
+        " gate_while_sum(CAST(c_nationkey AS INT)) AS while_stat"
+        " FROM (SELECT DISTINCT c_nationkey FROM customer)"
+        " ORDER BY c_nationkey"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_while_sum")
+    return spark.createDataFrame(
+        rows, "c_nationkey BIGINT, while_stat BIGINT"
     )

@@ -1825,3 +1825,67 @@ def test_gin_index_staleness_rebuild(spark, tmp_path):
     assert eng.sql(q_or).collect()[0].c == 1  # inline fallback
     assert [r.note_id for r in eng.sql(q).collect()] == [2, 4]
     eng.sql("DROP TABLE notes PURGE")
+
+
+def test_plpgsql_while_counter_loop(spark):
+    """Counter-style WHILE loops rewrite into the bounded FOR range
+    (exec_stmt_while as one aggregation); the counter's post-loop
+    value is its closed form; non-counter shapes refuse clearly."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION wsum(n int) RETURNS bigint AS $$
+        DECLARE i bigint := 1; total bigint := 0;
+        BEGIN
+            WHILE i <= n LOOP
+                total := total + i;
+                i := i + 1;
+            END LOOP;
+            RETURN total * 10 + i;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    # sum(1..n)*10 + (n+1); n=0 never runs, i stays 1
+    assert eng.sql("SELECT wsum(4) AS v").collect()[0].v == 105
+    assert eng.sql("SELECT wsum(0) AS v").collect()[0].v == 1
+    eng.sql("DROP FUNCTION wsum")
+    # descending with step and strict bound
+    eng.sql("""
+        CREATE FUNCTION wdown(n int) RETURNS bigint AS $$
+        DECLARE i bigint := 9; total bigint := 0;
+        BEGIN
+            WHILE i > n LOOP
+                total := total + i;
+                i := i - 2;
+            END LOOP;
+            RETURN total * 100 + i;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT wdown(4) AS v").collect()[0].v == 2103
+    assert eng.sql("SELECT wdown(9) AS v").collect()[0].v == 9
+    eng.sql("DROP FUNCTION wdown")
+    with pytest.raises(NotImplementedError, match="counter-style"):
+        eng.sql("""
+            CREATE FUNCTION wbad(n int) RETURNS bigint AS $$
+            DECLARE i bigint := 0; done boolean := false;
+            BEGIN
+                WHILE done = false LOOP
+                    i := i + 1;
+                END LOOP;
+                RETURN i;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="terminate"):
+        eng.sql("""
+            CREATE FUNCTION wdiv(n int) RETURNS bigint AS $$
+            DECLARE i bigint := 0; t bigint := 0;
+            BEGIN
+                WHILE i < n LOOP
+                    t := t + i;
+                    i := i - 1;
+                END LOOP;
+                RETURN t;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
