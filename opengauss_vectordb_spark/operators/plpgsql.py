@@ -102,8 +102,10 @@ _BEGIN_RE = re.compile(
 
 _UNSUPPORTED = [
     (re.compile(r"\b(WHILE|LOOP|FOREACH)\b", re.IGNORECASE),
-     "LOOP/WHILE/FOR has no inlined-expression form; rewrite the loop "
-     "as one set-oriented statement (UPDATE/INSERT ... SELECT)"),
+     "bare LOOP/FOREACH (and WHILE without a counter shape) has no "
+     "inlined-expression form; counter-style WHILE and bounded "
+     "integer FOR compile — otherwise rewrite the loop as one "
+     "set-oriented statement (UPDATE/INSERT ... SELECT)"),
     (re.compile(r"\bFOR\s+\w+\s+IN\b", re.IGNORECASE),
      "only FOR <rec> IN SELECT ... LOOP and bounded integer-range "
      "FOR i IN [REVERSE] a..b [BY s] bodies made of accumulator "
