@@ -61,9 +61,29 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 
 
+# (session, sf_dir) → loaded frames.  The parquet-footer reads cost
+# ~1.2 s per catalog load and every Engine() constructs one — gate
+# queries build throwaway Engines, so the cache removes the dominant
+# fixed cost of each.  Keyed on the SESSION OBJECT (kept strongly, so
+# an id() is never reused for a different live session); the frames
+# are immutable lazy plans, safe to share across Engines.
+_DF_CACHE: dict[tuple[int, str], tuple[SparkSession, dict]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view for spark.sql() queries."""
-    dfs = load_all(spark, sf_dir)
+    """Register every table as a temp view for spark.sql() queries.
+
+    The view registration itself is NEVER skipped: downstream state
+    (RLS denied-views, flashback snapshots) replaces base-name views,
+    and a fresh Engine restores the unfiltered catalog exactly by
+    re-registering — only the footer reads are cached."""
+    key = (id(spark), sf_dir)
+    hit = _DF_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        dfs = hit[1]
+    else:
+        dfs = load_all(spark, sf_dir)
+        _DF_CACHE[key] = (spark, dfs)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

@@ -63,8 +63,18 @@ _SQL_MACROS = {
 }
 
 
+# sessions already carrying the function layer (strong refs: an id()
+# is never reused for a live session) — the 12 DDLs are static, so one
+# install per session suffices and each later Engine() skips ~0.6 s
+_REGISTERED: dict[int, SparkSession] = {}
+
+
 def register_pg_functions(spark: SparkSession) -> None:
     """Install the PG/datavec-name function layer into the session."""
+    hit = _REGISTERED.get(id(spark))
+    if hit is not None and hit is spark:
+        return
+    _REGISTERED[id(spark)] = spark
     # ordering matters: later macros call earlier ones
     for name in (
         "strpos",
