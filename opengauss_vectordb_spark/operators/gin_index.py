@@ -260,13 +260,46 @@ def _inline_predicate(col: str, querytext: str) -> str:
     return compile_node(node)
 
 
+# col % 'probe' — pg_trgm's similarity operator (trgm_op.cpp:579
+# similarity_op, threshold trgm_limit).  LHS identifier + RHS string
+# literal is unambiguous vs arithmetic modulo.
+_PCT_MATCH = re.compile(
+    r"\b(?P<col>[A-Za-z_]\w*)\s*%\s*'(?P<probe>[^']*)'"
+)
+
+# Spark-SQL text form of fuzzy.trigrams (padded word 3-grams)
+_TRGM_SET_SQL = (
+    "array_distinct(flatten(transform("
+    "filter(split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', "
+    "' ')), ' '), w -> w != ''), "
+    "w -> transform(sequence(1, length(w) + 1), "
+    "i -> substr(concat('  ', w, ' '), i, 3)))))"
+)
+
+
+def _literal_spans(query: str) -> list[tuple[int, int]]:
+    spans, in_q, start = [], False, 0
+    for i, ch in enumerate(query):
+        if ch == "'":
+            if in_q:
+                spans.append((start, i))
+                in_q = False
+            else:
+                start, in_q = i, True
+    return spans
+
+
 def rewrite_tsmatch(engine, query: str) -> str:
-    """``to_tsvector(col) @@ to_tsquery('q')`` in SQL text → either an
-    index-backed semi-join against the posting table (when a gin
-    index covers (table, col) and the query is a pure AND/OR of
-    terms) or the inline tokenize-and-test predicate.  Identity when
-    no ``@@`` appears."""
-    if "@@" not in query:
+    """FTS/trgm operators in SQL text → index-backed or inline
+    predicates: ``to_tsvector(col) @@ to_tsquery('q')`` becomes a
+    posting-table semi-join when a gin index covers (table, col) and
+    the query is a pure AND/OR of terms, else the inline
+    tokenize-and-test predicate; ``col % 'probe'`` (pg_trgm
+    similarity_op, threshold pg_trgm.similarity_threshold GUC,
+    default 0.3) becomes a trigram-posting semi-join under a
+    gin_trgm_ops index, else the inline trigram-set similarity.
+    Identity when neither operator appears."""
+    if "@@" not in query and not _PCT_MATCH.search(query):
         return query
     m_from = _FROM_TABLE.search(query)
     table = m_from.group("t").lower() if m_from else None
@@ -294,7 +327,49 @@ def rewrite_tsmatch(engine, query: str) -> str:
                     )
         return _inline_predicate(col, qtext)
 
-    return _TSMATCH.sub(_sub, query)
+    if "@@" in query:
+        query = _TSMATCH.sub(_sub, query)
+
+    spans = _literal_spans(query)
+
+    def _in_literal(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in spans)
+
+    def _sub_pct(m: re.Match) -> str:
+        if _in_literal(m.start()):
+            return m.group(0)
+        col = m.group("col").lower()
+        probe = m.group("probe")
+        limit = float(getattr(engine, "_gucs", {}).get(
+            "pg_trgm.similarity_threshold", 0.3
+        ))
+        if table:
+            name = _index_for(engine, table, col, kind="trgm")
+            if name:
+                _ensure_fresh(engine, name)
+                idx = engine.gin_indexes[name]
+                q = _py_trigrams(probe)
+                inlist = ", ".join(
+                    "'" + t.replace("'", "''") + "'" for t in q
+                )
+                return (
+                    f"{idx['id_col']} IN (SELECT doc_id FROM "
+                    f"{_view_name(name)} WHERE lexeme IN ({inlist}) "
+                    f"GROUP BY doc_id, n_trgm HAVING "
+                    f"CAST(COUNT(*) AS DOUBLE) / "
+                    f"(n_trgm + {len(q)} - COUNT(*)) >= {limit})"
+                )
+        # inline: build both trigram sets in the predicate
+        probe_sql = "'" + probe.replace("'", "''") + "'"
+        ta = _TRGM_SET_SQL.format(col=col)
+        tb = _TRGM_SET_SQL.format(col=probe_sql)
+        inter = f"size(array_intersect({ta}, {tb}))"
+        return (
+            f"(CAST({inter} AS DOUBLE) / "
+            f"(size({ta}) + size({tb}) - {inter}) >= {limit})"
+        )
+
+    return _PCT_MATCH.sub(_sub_pct, query)
 
 
 def gin_rank_search(engine, index_name: str, terms: list[str],

@@ -1889,3 +1889,30 @@ def test_plpgsql_while_counter_loop(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_trgm_percent_operator_sql(spark):
+    """The pg_trgm % operator in SQL text (trgm_op.cpp similarity_op,
+    trgm_limit GUC): inline trigram-set similarity without an index,
+    posting semi-join with one — identical matches either way; the
+    pg_trgm.similarity_threshold GUC adjusts the bar; string literals
+    containing % are never rewritten."""
+    eng = Engine(spark, SF_CORRECT)
+    q = ("SELECT p_partkey FROM part WHERE p_name % 'smal widgett'"
+         " ORDER BY p_partkey")
+    inline = [r.p_partkey for r in eng.sql(q).collect()]
+    assert inline  # the corpus has fuzzy matches at 0.3
+    eng.sql("CREATE INDEX pct_pin ON part USING gin (p_name gin_trgm_ops)")
+    try:
+        indexed = [r.p_partkey for r in eng.sql(q).collect()]
+        assert indexed == inline
+        eng.sql("SET pg_trgm.similarity_threshold = 0.05")
+        assert eng.sql(q).count() > len(indexed)
+        eng.sql("RESET pg_trgm.similarity_threshold")
+        assert eng.sql("SELECT 'p % ''x''' AS s").collect()[0].s == "p % 'x'"
+        # arithmetic modulo is untouched
+        assert eng.sql(
+            "SELECT COUNT(*) AS c FROM part WHERE p_partkey % 2 = 0"
+        ).collect()[0].c > 0
+    finally:
+        eng.sql("DROP INDEX pct_pin")
