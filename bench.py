@@ -291,7 +291,13 @@ def main() -> None:
     drift = round(
         (probe_end - probe_start) / max(probe_start, 1e-9), 3
     )
-    noisy = drift > 0.15
+    # calibration (two controlled sf0.1 runs, one idle, one with a
+    # concurrent pytest): SESSION AGING alone — 122 queries of GC +
+    # codegen-cache pressure — slows the end probe ~28% on an idle
+    # host; genuine host contention measured +76%.  The flag fires
+    # above the aging band; the raw drift is always in the artifact
+    # for finer judgement.
+    noisy = drift > 0.5
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -221,6 +221,45 @@ def _terms_and_kind(querytext: str) -> tuple[list[str], str] | None:
     return terms, ("and" if sep == "&" else "or")
 
 
+def _match_select(node, view: str) -> str | None:
+    """General tsquery AST → a SELECT of matching doc_ids over the
+    posting table, by set algebra (gin_tsquery_consistent's boolean
+    evaluation as INTERSECT/UNION): terms are pruned posting scans,
+    AND/OR are set ops, and PHRASE uses the persisted word positions
+    (a <-> b: some position of a has b at position+1 — the tsvector
+    position payload earning its storage).  Returns None for NOT —
+    a pure negation needs the document universe, which postings of
+    empty documents are absent from; the reference's GIN likewise
+    falls back to a scan there (the inline predicate here)."""
+    kind = node[0]
+    if kind == "term":
+        t = node[1].replace("'", "''")
+        return f"SELECT doc_id FROM {view} WHERE lexeme = '{t}'"
+    if kind == "and":
+        l_sql = _match_select(node[1], view)
+        r_sql = _match_select(node[2], view)
+        if l_sql is None or r_sql is None:
+            return None
+        return f"({l_sql}) INTERSECT ({r_sql})"
+    if kind == "or":
+        l_sql = _match_select(node[1], view)
+        r_sql = _match_select(node[2], view)
+        if l_sql is None or r_sql is None:
+            return None
+        return f"({l_sql}) UNION ({r_sql})"
+    if kind == "phrase":
+        a = node[1].replace("'", "''")
+        b = node[2].replace("'", "''")
+        return (
+            f"SELECT x.doc_id FROM {view} x JOIN {view} y"
+            f" ON x.doc_id = y.doc_id"
+            f" WHERE x.lexeme = '{a}' AND y.lexeme = '{b}'"
+            f" AND arrays_overlap("
+            f"transform(x.positions, p -> p + 1), y.positions)"
+        )
+    return None  # NOT: universe needed — inline fallback
+
+
 def _index_for(engine, table: str, col: str,
                kind: str = "fts") -> str | None:
     for name, idx in getattr(engine, "gin_indexes", {}).items():
@@ -312,6 +351,8 @@ def rewrite_tsmatch(engine, query: str) -> str:
             if name:
                 tk = _terms_and_kind(qtext)
                 if tk:
+                    # pure AND/OR: ONE pruned posting scan (IN-list +
+                    # HAVING), cheaper than per-term set algebra
                     terms, kind = tk
                     _ensure_fresh(engine, name)
                     idx = engine.gin_indexes[name]
@@ -325,6 +366,20 @@ def rewrite_tsmatch(engine, query: str) -> str:
                         f"{_view_name(name)} WHERE lexeme IN ({inlist})"
                         f" GROUP BY doc_id{having})"
                     )
+                # general boolean / phrase: posting-set algebra
+                from .text import _tsquery_ast
+
+                try:
+                    ast = _tsquery_ast(qtext)
+                except ValueError:
+                    ast = None
+                if ast is not None:
+                    sel = _match_select(ast, "__v")
+                    if sel is not None:
+                        _ensure_fresh(engine, name)
+                        idx = engine.gin_indexes[name]
+                        sel = sel.replace("__v", _view_name(name))
+                        return f"{idx['id_col']} IN ({sel})"
         return _inline_predicate(col, qtext)
 
     if "@@" in query:

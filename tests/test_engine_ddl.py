@@ -1916,3 +1916,54 @@ def test_trgm_percent_operator_sql(spark):
         ).collect()[0].c > 0
     finally:
         eng.sql("DROP INDEX pct_pin")
+
+
+def test_gin_mixed_boolean_and_phrase_routing(spark):
+    """Mixed boolean tsqueries route through posting-set algebra
+    (INTERSECT/UNION) and phrase queries through the persisted word
+    positions; NOT falls back to the inline predicate — all agree
+    with the unindexed evaluation."""
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.operators.text import (
+        ts_lexemes,
+        ts_phrase_match,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    queries = [
+        "hash & (join | scan)",
+        "(hash | join) & batch",
+        "hash & !join",
+    ]
+    def run(q):
+        return sorted(
+            r.doc_id for r in eng.sql(
+                "SELECT doc_id FROM documents"
+                f" WHERE to_tsvector(text) @@ to_tsquery('{q}')"
+            ).collect()
+        )
+    inline = {q: run(q) for q in queries}
+    # phrase has no inline SQL form (needs positions) — the DataFrame
+    # API is the baseline
+    d = eng.table("documents")
+    phrase_base = sorted(
+        r.doc_id for r in d.filter(
+            ts_phrase_match(ts_lexemes(F.col("text")), "hash", "join")
+        ).select("doc_id").collect()
+    )
+    eng.sql("CREATE INDEX mix_gin ON documents USING gin (text)")
+    try:
+        for q in queries:
+            assert run(q) == inline[q], q
+        assert phrase_base  # phrase actually matches some
+        assert run("hash <-> join") == phrase_base
+        # the phrase route reads positions from the index, not text
+        df = eng.sql(
+            "SELECT doc_id FROM documents"
+            " WHERE to_tsvector(text) @@ to_tsquery('hash <-> join')"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_gin" in plan and "regexp_replace" not in plan
+    finally:
+        eng.sql("DROP INDEX mix_gin")
