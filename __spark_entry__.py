@@ -75,6 +75,7 @@ GATE_PRIORITY: list[str] = [
     "gin_index_fts",
     "trgm_gin_search",
     "plpgsql_while_loop",
+    "plpgsql_foreach_array",
     # (b) churned-code re-gates this round: plpgsql.py (single-subquery
     # fold + integer FOR), packages.py (session variables), do_block.py
     # (OUT/INOUT), schemas.py (search_path), ddl_tables.py (DEFAULT
@@ -124,7 +125,6 @@ GATE_PRIORITY: list[str] = [
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
-    "agg_min_max_by",
 ]
 
 

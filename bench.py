@@ -176,6 +176,7 @@ HEADLINE = [
     "package_session_variable",
     "call_out_params",
     "plpgsql_while_loop",
+    "plpgsql_foreach_array",
 ]
 
 

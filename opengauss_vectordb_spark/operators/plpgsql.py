@@ -102,10 +102,10 @@ _BEGIN_RE = re.compile(
 
 _UNSUPPORTED = [
     (re.compile(r"\b(WHILE|LOOP|FOREACH)\b", re.IGNORECASE),
-     "bare LOOP/FOREACH (and WHILE without a counter shape) has no "
-     "inlined-expression form; counter-style WHILE and bounded "
-     "integer FOR compile — otherwise rewrite the loop as one "
-     "set-oriented statement (UPDATE/INSERT ... SELECT)"),
+     "bare LOOP (and WHILE without a counter shape) has no "
+     "inlined-expression form; counter-style WHILE, bounded integer "
+     "FOR, and FOREACH ... IN ARRAY compile — otherwise rewrite the "
+     "loop as one set-oriented statement (UPDATE/INSERT ... SELECT)"),
     (re.compile(r"\bFOR\s+\w+\s+IN\b", re.IGNORECASE),
      "only FOR <rec> IN SELECT ... LOOP and bounded integer-range "
      "FOR i IN [REVERSE] a..b [BY s] bodies made of accumulator "
@@ -333,6 +333,81 @@ _ACC_EXTREME = re.compile(
     r"\s*(?P<e>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+# FOREACH x IN ARRAY expr LOOP — pl_exec.cpp exec_stmt_foreach_a;
+# rewrites to FOR x IN (SELECT explode(expr) AS x), the same fold
+_FOREACH_HEAD = re.compile(
+    r"FOREACH\s+(?P<var>\w+)\s+IN\s+ARRAY\s+", re.IGNORECASE
+)
+
+
+def _try_rewrite_foreach(
+    text: str, pos: int, bindings: dict[str, str]
+) -> str | None:
+    """``FOREACH v IN ARRAY <expr> LOOP ... END LOOP`` → the
+    FOR-IN-SELECT form over ``explode(<expr>)`` — array iteration is
+    a generated relation like the integer ranges.  The loop variable
+    gets a fresh name (v is a DECLAREd variable, so body column
+    references under its own name would collide with its binding),
+    and v's post-loop binding becomes pl_exec.cpp's documented value:
+    the LAST array element, unchanged when the array is empty/NULL.
+    SLICE clauses refuse (sub-array iteration has no aggregate
+    shape)."""
+    m = _FOREACH_HEAD.match(text[pos:])
+    if m is None:
+        if re.match(r"FOREACH\b", text[pos:], re.IGNORECASE):
+            raise NotImplementedError(
+                "plpgsql: FOREACH supports only the 'v IN ARRAY expr' "
+                "form (SLICE sub-array iteration has no aggregate "
+                "shape) — rewrite as one set-oriented statement"
+            )
+        return None
+    masked = _mask_strings(text)
+    ml = re.search(r"\bLOOP\b", masked[pos + m.end():])
+    if ml is None:
+        raise ValueError("plpgsql: FOREACH without LOOP")
+    var = m.group("var").lower()
+    if var not in bindings:
+        raise ValueError(
+            f"plpgsql: FOREACH target {var!r} is not declared"
+        )
+    arr = text[pos + m.end():pos + m.end() + ml.start()].strip()
+    arr_sub = _subst(arr, {k: e for k, e in bindings.items()
+                           if k != var})
+    body_start = pos + m.end() + ml.end()
+    depth = 1
+    end_start = end_after = None
+    for mt in _LOOP_TOKEN.finditer(masked, body_start):
+        if mt.group(0).upper().startswith("END"):
+            depth -= 1
+            if depth == 0:
+                end_start, end_after = mt.start(), mt.end()
+                break
+        else:
+            depth += 1
+    if end_start is None:
+        raise ValueError("plpgsql: FOREACH LOOP without END LOOP")
+    body = text[body_start:end_start]
+    fresh = _next_fold(f"fe_{var}")
+    pat = re.compile(rf"(?<!\.)\b{re.escape(var)}\b", re.IGNORECASE)
+    bpos = 0
+    while True:
+        mv = pat.search(_mask_strings(body), bpos)
+        if mv is None:
+            break
+        body = body[:mv.start()] + fresh + body[mv.end():]
+        bpos = mv.start() + len(fresh)
+    old = bindings[var]
+    bindings[var] = (
+        f"(CASE WHEN size({arr_sub}) > 0 "
+        f"THEN element_at({arr_sub}, -1) ELSE ({old}) END)"
+    )
+    head = f"FOR {fresh} IN SELECT explode({arr_sub}) AS {fresh} LOOP "
+    return (
+        text[:pos] + head + body + " END LOOP; "
+        + text[end_after:].lstrip(";")
+    )
 
 
 _WHILE_HEAD = re.compile(r"WHILE\b", re.IGNORECASE)
@@ -704,9 +779,11 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
         if not rest:
             break
         rewritten = _try_rewrite_while(text, pos + off, bindings)
+        if rewritten is None:
+            rewritten = _try_rewrite_foreach(text, pos + off, bindings)
         if rewritten is not None:
             text, n = rewritten, len(rewritten)
-            continue  # re-dispatch: the WHILE is now a FOR
+            continue  # re-dispatch: the WHILE/FOREACH is now a FOR
         parsed_for = _parse_for_block(text, pos + off)
         if parsed_for is not None:
             fvar, fquery, fbody, nxt = parsed_for
@@ -921,9 +998,11 @@ def _apply_stmts(body: str, bindings: dict[str, str]) -> None:
         if not rest:
             break
         rewritten = _try_rewrite_while(body, pos + off, bindings)
+        if rewritten is None:
+            rewritten = _try_rewrite_foreach(body, pos + off, bindings)
         if rewritten is not None:
             body, n = rewritten, len(rewritten)
-            continue  # re-dispatch: the WHILE is now a FOR
+            continue  # re-dispatch: the WHILE/FOREACH is now a FOR
         parsed_for = _parse_for_block(body, pos + off)
         if parsed_for is not None:
             fvar, fquery, fbody, pos = parsed_for
@@ -999,7 +1078,8 @@ def translate_plpgsql(query: str) -> str | None:
     # aggregate-shape message)
     scan_body = re.sub(
         r"\b(?:FOR\s+\w+\s+IN\s+"
-        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.)|WHILE\b)"
+        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.)|WHILE\b"
+        r"|FOREACH\s+\w+\s+IN\s+ARRAY\b)"
         r".*?\bEND\s+LOOP\b",
         " ", masked_body, flags=re.IGNORECASE | re.DOTALL,
     )
@@ -1387,3 +1467,54 @@ def plpgsql_while_loop(spark, sf_dir):
     return spark.createDataFrame(
         rows, "c_nationkey BIGINT, while_stat BIGINT"
     )
+
+
+@_register_query(
+    "plpgsql_foreach_array",
+    """
+    WITH t AS (
+      SELECT p_partkey, string_split(lower(p_name), ' ') AS ws
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT p_partkey,
+           CAST(list_sum(list_transform(ws, w -> length(w))) * 100
+                + list_max(list_transform(ws, w -> length(w)))
+                AS BIGINT) AS stat
+    FROM t ORDER BY p_partkey
+    """,
+)
+def plpgsql_foreach_array(spark, sf_dir):
+    """FOREACH ... IN ARRAY loops (pl_exec.cpp exec_stmt_foreach_a):
+    per-element accumulator bodies compile to ONE explode(array)
+    aggregate via the same single-subquery fold as the other loop
+    shapes — called per part row over the name's word array, checked
+    against the oracle's direct list aggregation.
+
+    Scale: array iteration never touches the driver — explode is a
+    generated relation inside the per-row correlated subquery, and
+    Catalyst decorrelates the call sites into one pass."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_word_stat(s text) RETURNS bigint AS $$
+        DECLARE
+            w text;
+            total bigint := 0;
+            top bigint := 0;
+        BEGIN
+            FOREACH w IN ARRAY split(s, ' ') LOOP
+                total := total + length(w);
+                top := GREATEST(top, length(w));
+            END LOOP;
+            RETURN total * 100 + top;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT p_partkey, gate_word_stat(lower(p_name)) AS stat"
+        " FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_word_stat")
+    return spark.createDataFrame(rows, "p_partkey BIGINT, stat BIGINT")

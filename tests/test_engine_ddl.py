@@ -1967,3 +1967,43 @@ def test_gin_mixed_boolean_and_phrase_routing(spark):
         assert "_gin" in plan and "regexp_replace" not in plan
     finally:
         eng.sql("DROP INDEX mix_gin")
+
+
+def test_plpgsql_foreach_array(spark):
+    """FOREACH v IN ARRAY (exec_stmt_foreach_a) folds like the other
+    loops; v's post-loop value is the LAST element (unchanged on
+    empty/NULL arrays); SLICE refuses."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION fe(a ARRAY<BIGINT>) RETURNS bigint AS $$
+        DECLARE
+            x bigint := -1;
+            total bigint := 0;
+        BEGIN
+            FOREACH x IN ARRAY a LOOP
+                total := total + x;
+            END LOOP;
+            RETURN total * 10 + x;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql(
+        "SELECT fe(array(3, 7, 2)) AS v"
+    ).collect()[0].v == 122
+    assert eng.sql("SELECT fe(array()) AS v").collect()[0].v == -1
+    assert eng.sql(
+        "SELECT fe(CAST(NULL AS ARRAY<BIGINT>)) AS v"
+    ).collect()[0].v == -1
+    eng.sql("DROP FUNCTION fe")
+    with pytest.raises(NotImplementedError, match="SLICE"):
+        eng.sql("""
+            CREATE FUNCTION fs(a ARRAY<BIGINT>) RETURNS bigint AS $$
+            DECLARE s ARRAY<BIGINT>; t bigint := 0;
+            BEGIN
+                FOREACH s SLICE 1 IN ARRAY a LOOP
+                    t := t + 1;
+                END LOOP;
+                RETURN t;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
