@@ -537,6 +537,10 @@ def _try_rewrite_while(
         acc_body = acc_body[:mv.start()] + fresh + acc_body[mv.end():]
         spos = mv.start() + len(fresh)
     bindings[v] = final
+    if not acc_body.strip():
+        # counter-only loop: nothing aggregates — the loop IS its
+        # closed-form final counter, no relation needed at all
+        return text[:pos] + text[end_after:].lstrip(";")
     return (
         text[:pos] + head + acc_body + " END LOOP; "
         + text[end_after:].lstrip(";")
@@ -1079,7 +1083,7 @@ def translate_plpgsql(query: str) -> str | None:
     scan_body = re.sub(
         r"\b(?:FOR\s+\w+\s+IN\s+"
         r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.)|WHILE\b"
-        r"|FOREACH\s+\w+\s+IN\s+ARRAY\b)"
+        r"|FOREACH\b)"
         r".*?\bEND\s+LOOP\b",
         " ", masked_body, flags=re.IGNORECASE | re.DOTALL,
     )

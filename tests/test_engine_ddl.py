@@ -800,13 +800,27 @@ def test_plpgsql_unsupported_shapes_raise_clearly(spark):
     with pytest.raises(NotImplementedError, match="set-oriented"):
         eng.sql("""
             CREATE FUNCTION f(x int) RETURNS int AS $$
-            DECLARE i int := 0;
+            DECLARE i int := 0; done boolean := false;
             BEGIN
-                WHILE i < x LOOP i := i + 1; END LOOP;
+                WHILE done = false LOOP i := i + 1; END LOOP;
                 RETURN i;
             END;
             $$ LANGUAGE plpgsql
         """)
+    # the counter-only WHILE is NOT a refusal: it compiles to its
+    # closed-form final counter with no relation at all
+    eng.sql("""
+        CREATE FUNCTION fcnt(x int) RETURNS int AS $$
+        DECLARE i int := 0;
+        BEGIN
+            WHILE i < x LOOP i := i + 1; END LOOP;
+            RETURN i;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT fcnt(7) AS v").collect()[0].v == 7
+    assert eng.sql("SELECT fcnt(-2) AS v").collect()[0].v == 0
+    eng.sql("DROP FUNCTION fcnt")
     with pytest.raises(NotImplementedError, match="subtransactions"):
         eng.sql("""
             CREATE FUNCTION g(x int) RETURNS int AS $$
@@ -1998,7 +2012,7 @@ def test_plpgsql_foreach_array(spark):
     with pytest.raises(NotImplementedError, match="SLICE"):
         eng.sql("""
             CREATE FUNCTION fs(a ARRAY<BIGINT>) RETURNS bigint AS $$
-            DECLARE s ARRAY<BIGINT>; t bigint := 0;
+            DECLARE s text; t bigint := 0;
             BEGIN
                 FOREACH s SLICE 1 IN ARRAY a LOOP
                     t := t + 1;
