@@ -233,6 +233,10 @@ def _match_select(node, view: str) -> str | None:
     falls back to a scan there (the inline predicate here)."""
     kind = node[0]
     if kind == "term":
+        if node[1].endswith(":*"):
+            stem = node[1][:-2].replace("'", "''")
+            return (f"SELECT DISTINCT doc_id FROM {view}"
+                    f" WHERE lexeme LIKE '{stem}%'")
         t = node[1].replace("'", "''")
         return f"SELECT doc_id FROM {view} WHERE lexeme = '{t}'"
     if kind == "and":
@@ -283,6 +287,9 @@ def _inline_predicate(col: str, querytext: str) -> str:
     def compile_node(n) -> str:
         kind = n[0]
         if kind == "term":
+            if n[1].endswith(":*"):
+                stem = n[1][:-2].lower().replace("'", "''")
+                return f"exists({lex}, x -> x LIKE '{stem}%')"
             return f"array_contains({lex}, '{n[1].lower()}')"
         if kind == "and":
             return f"({compile_node(n[1])} AND {compile_node(n[2])})"

@@ -376,7 +376,8 @@ def _tsquery_ast(querytext: str):
     <->, then &, then |."""
     import re
 
-    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+", querytext.lower())
+    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+(?::\*)?",
+                      querytext.lower())
     pos = 0
 
     def peek():
@@ -446,6 +447,11 @@ def _tsquery_ast(querytext: str):
 def _tsquery_compile(ts: Column, node) -> Column:
     kind = node[0]
     if kind == "term":
+        if node[1].endswith(":*"):
+            # prefix match (tsquery_gin.cpp's partial-match entries):
+            # any lexeme starting with the stem
+            stem = node[1][:-2]
+            return F.exists(ts, lambda x: x.startswith(F.lit(stem)))
         return F.array_contains(ts, node[1])
     if kind == "and":
         return _tsquery_compile(ts, node[1]) & _tsquery_compile(ts, node[2])
@@ -647,7 +653,8 @@ def tsquery_terms(querytext: str) -> list[str]:
     to_tsquery compiler above — same token grammar."""
     import re
 
-    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+", querytext.lower())
+    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+(?::\*)?",
+                      querytext.lower())
     out: list[str] = []
     negate_next = False
     for t in toks:

@@ -2021,3 +2021,38 @@ def test_plpgsql_foreach_array(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_tsquery_prefix_match(spark):
+    """tsquery prefix terms (foo:*, tsquery_gin.cpp partial-match):
+    inline, index-routed, and DataFrame paths agree; prefix is a
+    superset of the exact term."""
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.operators.text import (
+        to_tsquery,
+        ts_lexemes,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    q = ("SELECT doc_id FROM documents"
+         " WHERE to_tsvector(text) @@ to_tsquery('hash & joi:*')"
+         " ORDER BY doc_id")
+    inline = [r.doc_id for r in eng.sql(q).collect()]
+    assert inline
+    exact = [r.doc_id for r in eng.sql(
+        "SELECT doc_id FROM documents"
+        " WHERE to_tsvector(text) @@ to_tsquery('hash & join')"
+        " ORDER BY doc_id"
+    ).collect()]
+    assert set(exact) <= set(inline)
+    eng.sql("CREATE INDEX pfx_gin ON documents USING gin (text)")
+    try:
+        assert [r.doc_id for r in eng.sql(q).collect()] == inline
+    finally:
+        eng.sql("DROP INDEX pfx_gin")
+    d = eng.table("documents")
+    n = d.filter(
+        to_tsquery(ts_lexemes(F.col("text")), "hash & joi:*")
+    ).count()
+    assert n == len(inline)
