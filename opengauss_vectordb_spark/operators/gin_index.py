@@ -57,12 +57,63 @@ _CREATE_GIN = re.compile(
     re.IGNORECASE,
 )
 
-# to_tsvector(col) @@ to_tsquery('...') — the match predicate shape
+# to_tsvector(col) @@ <fn>('...') — the match predicate shape; the
+# plainto/websearch grammars (to_tsany.cpp) convert to tsquery text
+# up front so one compile path serves all three
 _TSMATCH = re.compile(
     r"to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?(?P<col>\w+)\s*\)\s*@@\s*"
-    r"to_tsquery\s*\(\s*'(?P<q>[^']*)'\s*\)",
+    r"(?P<fn>to_tsquery|plainto_tsquery|websearch_to_tsquery)"
+    r"\s*\(\s*(?:'\w+'\s*,\s*)?'(?P<q>[^']*)'\s*\)",
     re.IGNORECASE,
 )
+
+
+def _plainto_text(q: str) -> str:
+    """plainto_tsquery: every word ANDs (to_tsany.cpp)."""
+    return " & ".join(re.findall(r"[a-z0-9]+", q.lower()))
+
+
+def _websearch_text(q: str) -> str:
+    """websearch_to_tsquery grammar → tsquery text: bare words AND,
+    OR separates disjuncts, -token negates, "two words" is a phrase.
+    Quoted phrases of 3+ words need the chained-phrase evaluator —
+    use the DataFrame helper (operators/text.py
+    websearch_to_tsquery), which is exact."""
+    raw = re.findall(r'-?"[^"]*"|\S+', q)
+    groups: list[list[str]] = [[]]
+    for tok in raw:
+        if not tok.startswith('"') and tok.upper() == "OR":
+            groups.append([])
+            continue
+        neg = tok.startswith("-")
+        if neg:
+            tok = tok[1:]
+        words = re.findall(r"[a-z0-9]+", tok.lower())
+        if not words:
+            continue
+        if tok.startswith('"') and len(words) > 2:
+            raise NotImplementedError(
+                "websearch_to_tsquery in SQL text supports quoted "
+                "phrases of at most two words (the token model's "
+                "<-> is binary) — use the DataFrame helper "
+                "operators/text.py websearch_to_tsquery for longer "
+                "phrase chains"
+            )
+        item = (
+            f"{words[0]} <-> {words[1]}"
+            if tok.startswith('"') and len(words) == 2
+            else " & ".join(words)
+        )
+        if neg:
+            item = (f"!{item}" if " " not in item
+                    else f"!({item})")
+        groups[-1].append(f"({item})" if " " in item and not neg
+                          else item)
+    disjuncts = [" & ".join(g) for g in groups if g]
+    return " | ".join(
+        f"({d})" if len(disjuncts) > 1 and " " in d else d
+        for d in disjuncts
+    )
 _FROM_TABLE = re.compile(r"\bFROM\s+(?P<t>\w+)", re.IGNORECASE)
 
 _LEXEME_SQL = (
@@ -297,10 +348,17 @@ def _inline_predicate(col: str, querytext: str) -> str:
             return f"({compile_node(n[1])} OR {compile_node(n[2])})"
         if kind == "not":
             return f"(NOT {compile_node(n[1])})"
-        raise NotImplementedError(
-            "tsquery phrase operators (<->) in SQL text need word "
-            "positions: build a gin index, or use the DataFrame API "
-            "(operators/text.py ts_phrase_match)"
+        # phrase a <-> b: some position holds a with b right after —
+        # the SQL-text form of operators/text.py ts_phrase_match
+        # (zip_with against the 1-shifted array, NULL-padded tail
+        # pairs coalesced to non-matches)
+        a = n[1].lower().replace("'", "''")
+        b = n[2].lower().replace("'", "''")
+        return (
+            f"exists(zip_with({lex}, "
+            f"slice({lex}, 2, greatest(size({lex}) - 1, 0)), "
+            f"(x, y) -> coalesce(x = '{a}' AND y = '{b}', false)), "
+            f"p -> p)"
         )
 
     return compile_node(node)
@@ -353,6 +411,11 @@ def rewrite_tsmatch(engine, query: str) -> str:
     def _sub(m: re.Match) -> str:
         col = m.group("col").lower()
         qtext = m.group("q")
+        fn = m.group("fn").lower()
+        if fn == "plainto_tsquery":
+            qtext = _plainto_text(qtext)
+        elif fn == "websearch_to_tsquery":
+            qtext = _websearch_text(qtext)
         if table:
             name = _index_for(engine, table, col)
             if name:

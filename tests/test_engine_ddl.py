@@ -2056,3 +2056,47 @@ def test_tsquery_prefix_match(spark):
         to_tsquery(ts_lexemes(F.col("text")), "hash & joi:*")
     ).count()
     assert n == len(inline)
+
+
+def test_plainto_websearch_sql_text(spark):
+    """plainto_tsquery / websearch_to_tsquery inside @@ SQL text
+    (to_tsany.cpp grammars): plainto = AND of words; websearch folds
+    OR groups, -negation, and two-word quoted phrases; inline phrase
+    evaluation works without an index and agrees with the indexed
+    route and the DataFrame helper."""
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.operators.text import (
+        ts_lexemes,
+        websearch_to_tsquery,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    def cnt(pred):
+        return eng.sql(
+            f"SELECT COUNT(*) AS c FROM documents WHERE {pred}"
+        ).collect()[0].c
+    assert cnt("to_tsvector(text) @@ plainto_tsquery('hash join')") \
+        == cnt("to_tsvector(text) @@ to_tsquery('hash & join')")
+    w = cnt("to_tsvector(text) @@ websearch_to_tsquery("
+            "'hash OR join -scan')")
+    assert w == cnt("to_tsvector(text) @@ to_tsquery("
+                    "'hash | (join & !scan)')")
+    assert w == eng.table("documents").filter(
+        websearch_to_tsquery(ts_lexemes(F.col("text")),
+                             "hash OR join -scan")
+    ).count()
+    # inline phrase (no index) == indexed phrase == quoted websearch
+    phrase = "to_tsvector(text) @@ to_tsquery('hash <-> join')"
+    inline = cnt(phrase)
+    assert inline > 0
+    eng.sql("CREATE INDEX ws_gin ON documents USING gin (text)")
+    try:
+        assert cnt(phrase) == inline
+        assert cnt('to_tsvector(text) @@ websearch_to_tsquery('
+                   '\'"hash join"\')') == inline
+    finally:
+        eng.sql("DROP INDEX ws_gin")
+    with pytest.raises(NotImplementedError, match="two words"):
+        cnt("to_tsvector(text) @@ websearch_to_tsquery("
+            "'\"one two three\"')")
