@@ -749,10 +749,14 @@ def _parse_column_defs(cols: str) -> tuple[list[dict], tuple[str, ...]]:
         mdef = re.search(r"\bDEFAULT\s+", e, re.IGNORECASE)
         if mdef:
             tail = e[mdef.end():]
+            # scan a string-masked copy so a keyword INSIDE a quoted
+            # literal (DEFAULT 'NOT STARTED') can never terminate the
+            # expression; offsets stay valid in the real tail
+            from .plpgsql import _mask_strings as _mask
             cut, d2 = len(tail), 0
             for mm in re.finditer(
                 r"[()]|\b(?:PRIMARY|NOT|UNIQUE|CHECK|REFERENCES)\b",
-                tail, re.IGNORECASE,
+                _mask(tail), re.IGNORECASE,
             ):
                 t = mm.group(0)
                 if t == "(":
@@ -1401,7 +1405,7 @@ def _try_select_into(engine, query: str) -> DataFrame | None:
         ):
             m = re.match(
                 r"INTO\s+(?P<temp>(?:GLOBAL\s+|LOCAL\s+)?"
-                r"TEMP(?:ORARY)?\s+)?(?P<name>\w+)\s+",
+                r"TEMP(?:ORARY)?\s+)?(?P<name>\w+)(?:\s+|\s*;?\s*$)",
                 query[i:], re.IGNORECASE,
             )
             if m is None:

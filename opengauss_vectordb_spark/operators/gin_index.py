@@ -61,7 +61,8 @@ _CREATE_GIN = re.compile(
 # plainto/websearch grammars (to_tsany.cpp) convert to tsquery text
 # up front so one compile path serves all three
 _TSMATCH = re.compile(
-    r"to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?(?P<col>\w+)\s*\)\s*@@\s*"
+    r"to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?(?P<col>\w+(?:\.\w+)?)\s*\)"
+    r"\s*@@\s*"
     r"(?P<fn>to_tsquery|plainto_tsquery|websearch_to_tsquery)"
     r"\s*\(\s*(?:'\w+'\s*,\s*)?'(?P<q>[^']*)'\s*\)",
     re.IGNORECASE,
@@ -114,7 +115,6 @@ def _websearch_text(q: str) -> str:
         f"({d})" if len(disjuncts) > 1 and " " in d else d
         for d in disjuncts
     )
-_FROM_TABLE = re.compile(r"\bFROM\s+(?P<t>\w+)", re.IGNORECASE)
 
 _LEXEME_SQL = (
     "split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')"
@@ -303,12 +303,20 @@ def _match_select(node, view: str) -> str | None:
             return None
         return f"({l_sql}) UNION ({r_sql})"
     if kind == "phrase":
-        a = node[1].replace("'", "''")
-        b = node[2].replace("'", "''")
+        # prefix operands (foo:* <-> bar) match by LIKE over the
+        # sorted lexemes, same as the term branch — a literal
+        # comparison against 'foo:*' would silently match nothing
+        def _lex_pred(alias: str, t: str) -> str:
+            if t.endswith(":*"):
+                stem = t[:-2].replace("'", "''")
+                return f"{alias}.lexeme LIKE '{stem}%'"
+            return f"{alias}.lexeme = '" + t.replace("'", "''") + "'"
+
         return (
             f"SELECT x.doc_id FROM {view} x JOIN {view} y"
             f" ON x.doc_id = y.doc_id"
-            f" WHERE x.lexeme = '{a}' AND y.lexeme = '{b}'"
+            f" WHERE {_lex_pred('x', node[1])}"
+            f" AND {_lex_pred('y', node[2])}"
             f" AND arrays_overlap("
             f"transform(x.positions, p -> p + 1), y.positions)"
         )
@@ -352,12 +360,18 @@ def _inline_predicate(col: str, querytext: str) -> str:
         # the SQL-text form of operators/text.py ts_phrase_match
         # (zip_with against the 1-shifted array, NULL-padded tail
         # pairs coalesced to non-matches)
-        a = n[1].lower().replace("'", "''")
-        b = n[2].lower().replace("'", "''")
+        def _tok_pred(var: str, t: str) -> str:
+            t = t.lower()
+            if t.endswith(":*"):
+                stem = t[:-2].replace("'", "''")
+                return f"{var} LIKE '{stem}%'"
+            return f"{var} = '" + t.replace("'", "''") + "'"
+
         return (
             f"exists(zip_with({lex}, "
             f"slice({lex}, 2, greatest(size({lex}) - 1, 0)), "
-            f"(x, y) -> coalesce(x = '{a}' AND y = '{b}', false)), "
+            f"(x, y) -> coalesce({_tok_pred('x', n[1])} AND "
+            f"{_tok_pred('y', n[2])}, false)), "
             f"p -> p)"
         )
 
@@ -368,7 +382,7 @@ def _inline_predicate(col: str, querytext: str) -> str:
 # similarity_op, threshold trgm_limit).  LHS identifier + RHS string
 # literal is unambiguous vs arithmetic modulo.
 _PCT_MATCH = re.compile(
-    r"\b(?P<col>[A-Za-z_]\w*)\s*%\s*'(?P<probe>[^']*)'"
+    r"\b(?P<col>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*%\s*'(?P<probe>[^']*)'"
 )
 
 # Spark-SQL text form of fuzzy.trigrams (padded word 3-grams)
@@ -405,8 +419,51 @@ def rewrite_tsmatch(engine, query: str) -> str:
     Identity when neither operator appears."""
     if "@@" not in query and not _PCT_MATCH.search(query):
         return query
-    m_from = _FROM_TABLE.search(query)
-    table = m_from.group("t").lower() if m_from else None
+    # every relation the statement scans, with the qualifier its
+    # columns answer to (alias if given, else the table name) — the
+    # predicate's column picks the table, not "whatever FROM came
+    # first" (a join whose first FROM has a same-named indexed column
+    # would otherwise semi-join the WRONG posting table: silent wrong
+    # results)
+    _NOT_ALIAS = {
+        "where", "on", "join", "inner", "left", "right", "full",
+        "cross", "natural", "group", "order", "limit", "having",
+        "union", "intersect", "except", "using", "set", "as",
+        "partition", "tablesample", "lateral", "window", "values",
+    }
+    refs: list[tuple[str, str]] = []  # (table, qualifier)
+    for mm in re.finditer(
+        r"\b(?:FROM|JOIN)\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?",
+        query, re.IGNORECASE,
+    ):
+        t = mm.group("t").lower()
+        a = (mm.group("a") or "").lower()
+        refs.append((t, a if a and a not in _NOT_ALIAS else t))
+
+    def _routed_index(col: str, kind: str) -> tuple[str, str] | None:
+        """(index name, SQL qualifier) for the unique scanned relation
+        that verifiably owns ``col`` in its schema; None (inline
+        fallback — always correct) on zero or ambiguous matches,
+        including a self-joined indexed table."""
+        cands = []
+        for t, q in refs:
+            name = _index_for(engine, t, col, kind=kind)
+            if name is None:
+                continue
+            try:
+                cols = [c.lower() for c in engine.spark.table(t).columns]
+            except Exception:
+                continue
+            if col in cols:
+                cands.append((name, q))
+        if len(cands) != 1:
+            return None
+        # a single relation scanned: keep the predicate unqualified
+        # (an alias regex can misfire; with one relation the bare
+        # id_col is never ambiguous)
+        if len(refs) == 1:
+            return cands[0][0], ""
+        return cands[0]
 
     def _sub(m: re.Match) -> str:
         col = m.group("col").lower()
@@ -416,9 +473,11 @@ def rewrite_tsmatch(engine, query: str) -> str:
             qtext = _plainto_text(qtext)
         elif fn == "websearch_to_tsquery":
             qtext = _websearch_text(qtext)
-        if table:
-            name = _index_for(engine, table, col)
-            if name:
+        if "." not in col:  # qualified columns: inline (alias
+            routed = _routed_index(col, "fts")  # resolution is a parser)
+            if routed:
+                name, qual = routed
+                id_ref_pfx = f"{qual}." if qual else ""
                 tk = _terms_and_kind(qtext)
                 if tk:
                     # pure AND/OR: ONE pruned posting scan (IN-list +
@@ -432,7 +491,8 @@ def rewrite_tsmatch(engine, query: str) -> str:
                         if kind == "and" and len(terms) > 1 else ""
                     )
                     return (
-                        f"{idx['id_col']} IN (SELECT doc_id FROM "
+                        f"{id_ref_pfx}{idx['id_col']} IN ("
+                        f"SELECT doc_id FROM "
                         f"{_view_name(name)} WHERE lexeme IN ({inlist})"
                         f" GROUP BY doc_id{having})"
                     )
@@ -449,7 +509,7 @@ def rewrite_tsmatch(engine, query: str) -> str:
                         _ensure_fresh(engine, name)
                         idx = engine.gin_indexes[name]
                         sel = sel.replace("__v", _view_name(name))
-                        return f"{idx['id_col']} IN ({sel})"
+                        return f"{id_ref_pfx}{idx['id_col']} IN ({sel})"
         return _inline_predicate(col, qtext)
 
     if "@@" in query:
@@ -468,9 +528,10 @@ def rewrite_tsmatch(engine, query: str) -> str:
         limit = float(getattr(engine, "_gucs", {}).get(
             "pg_trgm.similarity_threshold", 0.3
         ))
-        if table:
-            name = _index_for(engine, table, col, kind="trgm")
-            if name:
+        if "." not in col:
+            routed = _routed_index(col, "trgm")
+            if routed:
+                name, qual = routed
                 _ensure_fresh(engine, name)
                 idx = engine.gin_indexes[name]
                 q = _py_trigrams(probe)
@@ -478,6 +539,7 @@ def rewrite_tsmatch(engine, query: str) -> str:
                     "'" + t.replace("'", "''") + "'" for t in q
                 )
                 return (
+                    f"{qual + '.' if qual else ''}"
                     f"{idx['id_col']} IN (SELECT doc_id FROM "
                     f"{_view_name(name)} WHERE lexeme IN ({inlist}) "
                     f"GROUP BY doc_id, n_trgm HAVING "

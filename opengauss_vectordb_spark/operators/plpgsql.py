@@ -488,6 +488,30 @@ def _try_rewrite_while(
     if (op in ("<", "<=")) != (sign == "+"):
         refuse(f"counter moves {sign}{ms.group('s').strip()} against "
                f"the {op!r} bound — the loop would not terminate")
+    # PG re-evaluates the condition each iteration (pl_exec.cpp
+    # exec_stmt_while): the closed form is only valid when the bound
+    # and the step are loop-invariant — refuse when either references
+    # a variable the body (or the counter statement) assigns
+    assigned = {v}
+    for s in stmts[:-1]:
+        ma = re.match(r"\s*([A-Za-z_]\w*)\s*:?=", s)
+        if ma:
+            assigned.add(ma.group(1).lower())
+    for label, expr in (("bound", mc.group("b")), ("step", ms.group("s"))):
+        toks = {
+            t.lower()
+            for t in re.findall(
+                r"(?<!\.)\b[A-Za-z_]\w*\b", _mask_strings(expr)
+            )
+        }
+        hot = sorted(toks & assigned)
+        if hot:
+            refuse(
+                f"the {label} {expr.strip()!r} references "
+                f"{', '.join(hot)} assigned inside the loop — not "
+                f"loop-invariant, so the closed-form iteration count "
+                f"would be wrong"
+            )
     outer = {k: e for k, e in bindings.items() if k != v}
     start = bindings[v]
     step = _subst(ms.group("s"), outer).strip()

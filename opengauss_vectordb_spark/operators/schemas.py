@@ -151,10 +151,31 @@ def resolve_search_path(engine, query: str) -> str:
         name = m.group("name")
         if "__" in name:  # already schema-mangled
             return m.group(0)
+        kw = m.group("kw").upper()
         # FROM f(...) / JOIN f(...) is a table function, not a
         # relation; INTO t (cols) is still a relation (column list)
-        if m.group("kw").upper() in ("FROM", "JOIN", "USING") and \
+        if kw in ("FROM", "JOIN", "USING") and \
                 query[m.end():].lstrip().startswith("("):
+            return m.group(0)
+        head = query[: m.start()]
+        # Creation targets never resolve to a later path entry
+        # (namespace.cpp RangeVarGetCreationNamespace: CREATE uses the
+        # first writable schema, never an existing same-named relation
+        # further down the path).  In this engine unqualified CREATE
+        # targets the flat catalog — skip resolution for:
+        #   CREATE [TEMP] TABLE t ...        (kw TABLE after CREATE)
+        #   SELECT ... INTO t ...            (kw INTO not after
+        #                                     INSERT/MERGE)
+        if kw == "TABLE" and re.search(
+            r"\bCREATE\s+(?:GLOBAL\s+|LOCAL\s+)?"
+            r"(?:TEMP(?:ORARY)?\s+|UNLOGGED\s+)*$",
+            head,
+            re.IGNORECASE,
+        ):
+            return m.group(0)
+        if kw == "INTO" and not re.search(
+            r"\b(?:INSERT|MERGE)\s*$", head, re.IGNORECASE
+        ):
             return m.group(0)
         target = _resolve(name.lower())
         if target is None:

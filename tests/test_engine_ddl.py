@@ -2100,3 +2100,137 @@ def test_plainto_websearch_sql_text(spark):
     with pytest.raises(NotImplementedError, match="two words"):
         cnt("to_tsvector(text) @@ websearch_to_tsquery("
             "'\"one two three\"')")
+
+
+def test_gin_routing_binds_predicate_column_table(spark, tmp_path):
+    """@@ / %% routing resolves the index from the PREDICATE's column,
+    not from the statement's first FROM: in a join whose first
+    relation lacks the column, the second relation's index still
+    routes; when two scanned relations both own the column the
+    rewrite falls back inline (always correct) instead of guessing;
+    qualified columns evaluate inline."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE heads AS SELECT * FROM VALUES
+          (1, 'intro'), (2, 'main') AS t(doc_id, title)
+    """)
+    eng.sql("""
+        CREATE TABLE bodies AS SELECT * FROM VALUES
+          (1, 'alpha beta gamma'), (2, 'gamma delta') AS t(doc_id, body)
+    """)
+    eng.sql("CREATE INDEX bodies_gin ON bodies USING gin (body)")
+    try:
+        # first FROM (heads) has no 'body' column: the index on
+        # bodies must still serve the predicate
+        q = ("SELECT bodies.doc_id AS d FROM heads"
+             " JOIN bodies ON heads.doc_id = bodies.doc_id"
+             " WHERE to_tsvector(body) @@ to_tsquery('beta')")
+        assert [r.d for r in eng.sql(q).collect()] == [1]
+        # qualified column: inline evaluation, same answer
+        q2 = ("SELECT b.doc_id AS d FROM heads h"
+              " JOIN bodies b ON h.doc_id = b.doc_id"
+              " WHERE to_tsvector(b.body) @@ to_tsquery('beta')")
+        assert [r.d for r in eng.sql(q2).collect()] == [1]
+        # ambiguity: a second scanned table owning a same-named
+        # indexed column forces the inline fallback, never a guess
+        eng.sql("""
+            CREATE TABLE bodies2 AS SELECT * FROM VALUES
+              (9, 'beta beta') AS t(doc_id, body)
+        """)
+        eng.sql("CREATE INDEX bodies2_gin ON bodies2 USING gin (body)")
+        try:
+            q3 = ("SELECT bodies.doc_id AS d FROM bodies, bodies2"
+                  " WHERE to_tsvector(bodies.body) @@"
+                  " to_tsquery('beta') AND bodies2.doc_id = 9")
+            assert [r.d for r in eng.sql(q3).collect()] == [1]
+        finally:
+            eng.sql("DROP INDEX bodies2_gin")
+            eng.sql("DROP TABLE bodies2 PURGE")
+    finally:
+        eng.sql("DROP INDEX bodies_gin")
+        eng.sql("DROP TABLE heads PURGE")
+        eng.sql("DROP TABLE bodies PURGE")
+
+
+def test_gin_phrase_with_prefix_operand(spark, tmp_path):
+    """A phrase whose operand is a prefix term (foo:* <-> bar)
+    matches by LIKE over the lexemes — indexed and inline agree
+    (a literal compare against 'foo:*' would match nothing)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE ph AS SELECT * FROM VALUES
+          (1, 'better gamma tail'),
+          (2, 'beta delta gamma'),
+          (3, 'gamma better') AS t(doc_id, body)
+    """)
+    q = ("SELECT doc_id FROM ph"
+         " WHERE to_tsvector(body) @@ to_tsquery('bet:* <-> gamma')"
+         " ORDER BY doc_id")
+    inline = [r.doc_id for r in eng.sql(q).collect()]
+    assert inline == [1]
+    eng.sql("CREATE INDEX ph_gin ON ph USING gin (body)")
+    try:
+        assert [r.doc_id for r in eng.sql(q).collect()] == inline
+    finally:
+        eng.sql("DROP INDEX ph_gin")
+        eng.sql("DROP TABLE ph PURGE")
+
+
+def test_default_expression_keyword_inside_literal(spark, tmp_path):
+    """Constraint keywords INSIDE a quoted DEFAULT literal never
+    terminate the expression (the scan runs over a string-masked
+    copy): DEFAULT 'NOT STARTED' survives intact, and a real NOT
+    NULL after the literal still parses."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE dk (
+            id int,
+            status text DEFAULT 'NOT STARTED' NOT NULL,
+            note text DEFAULT 'CHECK me later',
+            ref text DEFAULT 'PRIMARY REFERENCES UNIQUE'
+        )
+    """)
+    eng.sql("INSERT INTO dk (id) SELECT 7")
+    row = eng.sql("SELECT * FROM dk").collect()[0]
+    assert row.status == "NOT STARTED"
+    assert row.note == "CHECK me later"
+    assert row.ref == "PRIMARY REFERENCES UNIQUE"
+    eng.sql("DROP TABLE dk PURGE")
+
+
+def test_while_bound_must_be_loop_invariant(spark):
+    """PG re-evaluates the WHILE condition each iteration
+    (pl_exec.cpp exec_stmt_while): a bound or step the body reassigns
+    cannot take the closed form — the compiler refuses instead of
+    silently iterating the wrong count."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(NotImplementedError, match="loop-invariant"):
+        eng.sql("""
+            CREATE FUNCTION wmb(n int) RETURNS bigint AS $$
+            DECLARE i bigint := 0; total bigint := 10;
+            BEGIN
+                WHILE i < total LOOP
+                    total := total - 1;
+                    i := i + 1;
+                END LOOP;
+                RETURN i;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="loop-invariant"):
+        eng.sql("""
+            CREATE FUNCTION wms(n int) RETURNS bigint AS $$
+            DECLARE i bigint := 0; s bigint := 1; acc bigint := 0;
+            BEGIN
+                WHILE i < n LOOP
+                    s := s + 1;
+                    acc := acc + i;
+                    i := i + s;
+                END LOOP;
+                RETURN acc;
+            END;
+            $$ LANGUAGE plpgsql
+        """)

@@ -410,3 +410,39 @@ def test_create_extension_and_discard(spark, tmp_path):
     assert eng.current_role is None
     with pytest.raises(KeyError, match="unrecognized"):
         eng.sql("SHOW work_mem")
+
+
+def test_search_path_never_captures_creation_targets(spark, tmp_path):
+    """Creation never resolves through the path
+    (namespace.cpp RangeVarGetCreationNamespace): with search_path
+    set and hot.t existing, CREATE TABLE t / SELECT ... INTO t
+    create FLAT relations instead of redirecting onto the schema
+    member; INSERT INTO and UPDATE still resolve through the path."""
+    eng = _eng(spark, tmp_path)
+    eng.sql("CREATE SCHEMA hot")
+    eng.sql("CREATE TABLE hot.t AS SELECT 'hot' AS src")
+    eng.sql("CREATE TABLE hot.t2 AS SELECT 'hot2' AS src")
+    eng.sql("SET search_path = hot, public")
+    # CREATE TABLE t must NOT rewrite to hot__t
+    eng.sql("CREATE TABLE t AS SELECT 'flat' AS src")
+    assert eng.sql("SELECT src FROM hot.t").collect()[0].src == "hot"
+    eng.sql("SET search_path = public, hot")
+    assert eng.sql("SELECT src FROM t").collect()[0].src == "flat"
+    # SELECT ... INTO t2 must NOT rewrite to hot__t2
+    eng.sql("SET search_path = hot, public")
+    eng.sql("SELECT 'flat2' AS src INTO t2")
+    assert eng.sql("SELECT src FROM hot.t2").collect()[0].src == "hot2"
+    eng.sql("SET search_path = public, hot")
+    assert eng.sql("SELECT src FROM t2").collect()[0].src == "flat2"
+    # read/DML positions still resolve through the path
+    eng.sql("SET search_path = hot, public")
+    eng.sql("UPDATE t SET src = 'hot-upd'")
+    assert eng.sql("SELECT src FROM hot.t").collect()[0].src == "hot-upd"
+    eng.sql("INSERT INTO t SELECT 'hot-ins'")
+    assert eng.sql(
+        "SELECT COUNT(*) AS c FROM hot.t"
+    ).collect()[0].c == 2
+    eng.sql("RESET search_path")
+    eng.sql("DROP TABLE t PURGE")
+    eng.sql("DROP TABLE t2 PURGE")
+    eng.sql("DROP SCHEMA hot CASCADE")
