@@ -67,64 +67,66 @@ registry.load_all_queries()
 # test_create_model_predict_by_sql_text and
 # test_predict_by_anchors_top_level_from).
 GATE_PRIORITY: list[str] = [
-    # (a) round-8 new registrations — first-ever gate rows
-    "plpgsql_int_for_loop",
-    "package_session_variable",
-    "call_out_params",
-    "search_path_resolution",
+    # (a) round-9 new registrations — first-ever gate rows
+    "plpgsql_exception_guard",
+    # (b) churned-code re-gates this round: gin_index.py (incremental
+    # delta maintenance, predicate-column routing, prefix phrases),
+    # schemas.py (creation targets never resolve through search_path),
+    # plpgsql.py (EXCEPTION blocks + WHILE loop-invariance refusal),
+    # ddl_tables.py (DEFAULT literal masking, SELECT INTO w/o FROM)
     "gin_index_fts",
     "trgm_gin_search",
-    "plpgsql_while_loop",
-    "plpgsql_foreach_array",
-    # (b) churned-code re-gates this round: plpgsql.py (single-subquery
-    # fold + integer FOR), packages.py (session variables), do_block.py
-    # (OUT/INOUT), schemas.py (search_path), ddl_tables.py (DEFAULT
-    # expressions + the post-r7 RLS/upsert fixes), partition_ddl.py
-    # (hash-prune literal typing), engine.py (new top-of-sql rewrites)
-    "plpgsql_guard_function",
-    "plpgsql_select_into_nested_if",
-    "plpgsql_for_loop_agg",
-    "package_member_function",
-    "do_block_stmt",
-    "call_procedure_stmt",
+    "search_path_resolution",
     "schema_qualified_lifecycle",
-    "update_from_delete_using",
-    "insert_dup_key_upsert",
+    "plpgsql_while_loop",
+    "plpgsql_guard_function",
     "ctas_insert_select",
+    "cstore_distribute_select_into",
     "dml_returning",
-    "list_partition_pruned_scan",
-    "range_partition_lifecycle",
-    "merge_sql_text",
-    "timecapsule_flashback_query",
-    # (c) rotation — the stalest rows: every remaining round-1 row
-    # (22) plus the 8 oldest of the round-2 cohort
-    "cast_semantics",
-    "copy_fixed_format_roundtrip",
-    "db4ai_predict_scoring",
-    "dedup_ngram_jaccard",
-    "enum_ordering",
-    "geo_point_funcs",
-    "inet_funcs",
-    "interval_justify",
-    "like_regex_funcs",
-    "text_simhash",
-    "text_token_stats",
-    "tpch_q10_adapted",
-    "tpch_q11_adapted",
-    "tpch_q2_adapted",
-    "tpch_q3_adapted",
-    "tpch_q4_adapted",
-    "tpch_q7_adapted",
-    "tpch_q8_adapted",
-    "tpch_q9_adapted",
-    "tsstore_gapfill",
-    "unnest_project_set",
-    "width_bucket_histogram",
-    "agg_bool_bit",
-    "agg_corr_covar",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
+    # (c) rotation — the ENTIRE remaining stale tail: all 40 rows whose
+    # last gate evidence is round 2 (computed from the union of
+    # CORRECTNESS_r0N.json keys); after this round no row is older
+    # than r3
+    "agg_min_max_by",
+    "agg_mode_percentile_disc",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stddev_var",
+    "agg_string_array",
+    "corpus_curation_pipeline",
+    "embedding_dup_pairs_cosine",
+    "hll_approx_distinct",
+    "hll_union_reaggregate",
+    "ivf_filtered_full",
+    "ivf_knn_join_full",
+    "ivf_search_exhaustive",
+    "knn_cosine",
+    "knn_hamming_binary",
+    "knn_inner_product",
+    "knn_jaccard_binary",
+    "knn_join_exact",
+    "knn_l1",
+    "knn_l2",
+    "knn_l2_filtered",
+    "knn_l2_halfvec",
+    "money_funcs",
+    "multimodal_feature_stats",
+    "null_ordering",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sparsevec_dot_topk",
+    "to_number_parse",
+    "train_test_split",
+    "vector_avg_by_label",
+    "vector_btree_compare",
+    "vector_cast_roundtrip",
+    "vector_ops",
+    "window_first_last_value",
+    "window_lag_lead",
+    "window_moving_frames",
+    "window_range_frame",
+    "window_topn_per_group",
 ]
 
 

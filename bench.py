@@ -177,6 +177,8 @@ HEADLINE = [
     "call_out_params",
     "plpgsql_while_loop",
     "plpgsql_foreach_array",
+    # round-9 additions (same frozen-prefix rule): read-side rows.
+    "plpgsql_exception_guard",
 ]
 
 
@@ -284,9 +286,13 @@ def main() -> None:
     # codegen-cache pressure and produced false regression lists two
     # rounds running; the min of two back-to-back runs is the stable
     # estimate of the query's plan cost
+    # min-of-3 for the db4ai and dedup families (VERDICT r8 item 7):
+    # both drifted +16–29% in r8 with ZERO code churn — one extra
+    # round tightens the estimate enough to attribute r9's numbers
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(_time_query(name), 3)
+        fam3 = name.startswith(("db4ai", "dedup", "semdedup"))
+        timings[name] = round(_time_query(name, 3 if fam3 else 2), 3)
 
     probe_end = round(_time_query("tpch_q1"), 3)
     drift = round(
@@ -328,7 +334,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "timing": "min_of_2",
+                "timing": "min_of_2_db4ai_dedup_min_of_3",
                 "families": families,
                 "probe": {
                     "query": "tpch_q1",

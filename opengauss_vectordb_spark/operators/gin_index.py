@@ -24,12 +24,18 @@ index-backed ts_rank needs no base-table access at all, and
 verification.
 
 Staleness: the build records the indexed table's latest commit CSN
-(TableManager manifests — the Delta/Iceberg commit-log model).  A
-routed query on a managed table whose CSN moved REBUILDS the posting
-table first — the reference updates GIN entries inside each INSERT
-(gininsert.cpp); batching the maintenance to the next read is the
-lazy variant (`fastupdate`'s pending list, taken to its limit).
-Catalog parquet tables are immutable, so no check applies.
+plus the covered generation/file set (TableManager manifests — the
+Delta/Iceberg commit-log model).  When a routed query finds the CSN
+moved, maintenance is INCREMENTAL for pure appends: only the newly
+appended files (manifest diff) are tokenized into a small
+``delta_<csn>`` posting parquet, and the view becomes one multi-path
+read over base ∪ deltas — the reference's `fastupdate` pending list
+(gininsert.cpp), with the pending entries themselves lexeme-sorted.
+Copy-on-write rewrites (UPDATE/DELETE bump the generation) and
+over-threshold delta accumulation (MAX_DELTAS / the delta-row
+fraction) compact via a full rebuild — the autovacuum
+pending-list flush.  Catalog parquet tables are immutable, so no
+check applies.
 
 At 100 TB: the posting table is ~(total tokens) rows of short fixed
 columns, written once, sorted by lexeme — each query reads only the
@@ -144,16 +150,17 @@ def _source_df(engine, table: str) -> DataFrame:
                    "not found")
 
 
-def build_posting_table(engine, index_name: str) -> None:
-    """(Re)build the posting parquet for a registered gin index and
-    refresh its temp view + CSN watermark.  Two opclasses: tsvector
-    lexeme postings (kind 'fts') and pg_trgm trigram postings (kind
-    'trgm' — trgm_gin.cpp's gin_extract_value_trgm: one posting row
-    per DISTINCT trigram of the row, plus the row's trigram-set size
-    so similarity computes entirely from the index)."""
-    idx = engine.gin_indexes[index_name]
-    table, col, id_col = idx["table"], idx["col"], idx["id_col"]
-    df = _source_df(engine, table)
+def _posting_frame(idx: dict, df: DataFrame) -> DataFrame:
+    """The posting rows for ``df`` under the index's opclass.  Two
+    opclasses: tsvector lexeme postings (kind 'fts') and pg_trgm
+    trigram postings (kind 'trgm' — trgm_gin.cpp's
+    gin_extract_value_trgm: one posting row per DISTINCT trigram of
+    the row, plus the row's trigram-set size so similarity computes
+    entirely from the index).  Every posting attribute (tf, doc_len,
+    positions / n_trgm) is PER-DOCUMENT, which is what makes delta
+    maintenance sound: postings built over only the newly appended
+    files are complete for their documents."""
+    col, id_col = idx["col"], idx["id_col"]
     if idx.get("kind") == "trgm":
         from .fuzzy import trigrams
 
@@ -186,21 +193,174 @@ def build_posting_table(engine, index_name: str) -> None:
                 F.sort_array(F.collect_list("pos")).alias("positions"),
             )
         )
-    (
-        posting.repartitionByRange(8, "lexeme")
-        .sortWithinPartitions("lexeme")
-        .write.mode("overwrite")
-        .parquet(idx["path"])
-    )
-    engine.spark.read.parquet(idx["path"]).createOrReplaceTempView(
+    return posting
+
+
+def _latest_manifest(engine, table: str) -> dict | None:
+    meta = engine.managed_tables.tables.get(table)
+    if meta is None:
+        return None
+    hist = meta.get("history") or []
+    return hist[-1] if hist else None
+
+
+def _register_union_view(engine, index_name: str) -> None:
+    """The index view is ONE multi-path parquet read over the base
+    posting plus every live delta — Catalyst lists both, and the
+    lexeme predicates prune rowgroups in each independently (the
+    reference's GIN likewise consults the main tree AND the pending
+    list per scan, gininsert.cpp fastupdate)."""
+    idx = engine.gin_indexes[index_name]
+    paths = [idx["base_path"], *idx["delta_paths"]]
+    engine.spark.read.parquet(*paths).createOrReplaceTempView(
         _view_name(index_name)
     )
+
+
+def build_posting_table(engine, index_name: str) -> None:
+    """FULL (re)build of the posting parquet — index creation and
+    compaction: tokenizes the whole relation into ``<path>/base``,
+    clears any deltas, and refreshes the view + CSN/file watermarks
+    (gininsert.cpp ginbuild)."""
+    import shutil
+
+    idx = engine.gin_indexes[index_name]
+    table = idx["table"]
+    df = _source_df(engine, table)
+    base = os.path.join(idx["path"], "base")
+    (
+        _posting_frame(idx, df)
+        .repartitionByRange(8, "lexeme")
+        .sortWithinPartitions("lexeme")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    for d in idx.get("delta_paths", []):
+        shutil.rmtree(d, ignore_errors=True)
+    idx["base_path"] = base
+    idx["delta_paths"] = []
+    idx["delta_rows"] = 0
+    idx["base_rows"] = engine.spark.read.parquet(base).count()
     idx["built_csn"] = _table_csn(engine, table)
+    h = _latest_manifest(engine, table)
+    idx["covered_gen"] = h["gen"] if h else None
+    idx["covered_files"] = set(h["files"]) if h else set()
+    idx["last_maintenance"] = {"mode": "rebuild", "input_files": None}
+    _register_union_view(engine, index_name)
+
+
+# fastupdate compaction policy (gininsert.cpp's pending list is
+# flushed into the main tree by autovacuum once it outgrows
+# gin_pending_list_limit).  Two levels, like an LSM: at MAX_DELTAS
+# the deltas MERGE into one sorted delta (O(delta bytes), the corpus
+# and base untouched) so per-query footer overhead stays O(1); once
+# delta rows exceed a FRACTION of the base (absolute floor so small
+# tables don't churn — gin_pending_list_limit is likewise an absolute
+# size) the next maintenance is a FULL rebuild, restoring one
+# compacted lexeme-sorted base.
+MAX_DELTAS = 8
+MAX_DELTA_ROW_FRACTION = 0.2
+MIN_DELTA_ROWS = 65536
+
+
+def _maintain_delta(engine, index_name: str) -> bool:
+    """Incremental maintenance for a pure APPEND (same generation,
+    old files all still present): tokenize ONLY the newly appended
+    files into ``<path>/delta_<csn>`` and re-register the union view.
+    Returns False when the change is not append-only (generation
+    bump = copy-on-write UPDATE/DELETE/partition surgery, or files
+    vanished) — the caller falls back to a full rebuild, the
+    correctness-safe compaction path."""
+    idx = engine.gin_indexes[index_name]
+    table = idx["table"]
+    h = _latest_manifest(engine, table)
+    if h is None or idx.get("covered_gen") is None:
+        return False
+    if h["gen"] != idx["covered_gen"]:
+        return False
+    live = set(h["files"])
+    covered = idx["covered_files"]
+    if not covered <= live:
+        return False  # files disappeared inside the generation
+    new_files = sorted(live - covered)
+    if new_files:
+        gen_dir = engine.managed_tables._gen_path(table, h["gen"])
+        src = engine.spark.read.option("basePath", gen_dir).parquet(
+            *[os.path.join(gen_dir, f) for f in new_files]
+        )
+        from .partition_ddl import PART_COL, SUBPART_COL
+
+        for hidden in (PART_COL, SUBPART_COL):
+            if hidden in src.columns:
+                src = src.drop(hidden)
+        delta = os.path.join(idx["path"], f"delta_{h['csn']}")
+        (
+            _posting_frame(idx, src)
+            .repartitionByRange(1, "lexeme")
+            .sortWithinPartitions("lexeme")
+            .write.mode("overwrite")
+            .parquet(delta)
+        )
+        idx["delta_paths"].append(delta)
+        idx["delta_rows"] += engine.spark.read.parquet(delta).count()
+        idx["last_maintenance"] = {
+            "mode": "delta",
+            "input_files": sorted(src.inputFiles()),
+        }
+    else:
+        # CSN moved with no new files (e.g. a tagged empty commit)
+        idx["last_maintenance"] = {"mode": "noop", "input_files": []}
+    if len(idx["delta_paths"]) >= MAX_DELTAS:
+        _merge_deltas(engine, index_name)
+    idx["built_csn"] = _table_csn(engine, table)
+    idx["covered_files"] = live
+    _register_union_view(engine, index_name)
+    return True
+
+
+def _merge_deltas(engine, index_name: str) -> None:
+    """Fold every delta into ONE lexeme-sorted delta — O(delta
+    bytes), never touching the base or the corpus (the LSM level-0
+    merge; gininsert.cpp's pending-list cleanup into the tree is the
+    same move one level up).  Keeps per-query footer overhead O(1)
+    while the FULL rebuild stays reserved for the row-fraction bound
+    and rewrites."""
+    import shutil
+
+    idx = engine.gin_indexes[index_name]
+    olds = idx["delta_paths"]
+    merged = os.path.join(
+        idx["path"], f"delta_merged_{idx['built_csn'] or 0}_{len(olds)}"
+    )
+    (
+        engine.spark.read.parquet(*olds)
+        .repartitionByRange(1, "lexeme")
+        .sortWithinPartitions("lexeme")
+        .write.mode("overwrite")
+        .parquet(merged)
+    )
+    for d in olds:
+        if d != merged:
+            shutil.rmtree(d, ignore_errors=True)
+    idx["delta_paths"] = [merged]
 
 
 def _ensure_fresh(engine, index_name: str) -> None:
+    """Serve every routed query from a fresh index: appends build a
+    DELTA over only the new files (base ∪ delta reads, never a corpus
+    re-tokenize); rewrites and over-threshold delta accumulation
+    compact via full rebuild."""
     idx = engine.gin_indexes[index_name]
-    if _table_csn(engine, idx["table"]) != idx["built_csn"]:
+    if _table_csn(engine, idx["table"]) == idx["built_csn"]:
+        return
+    # too much of the index outside the compacted base: full rebuild
+    # (the delta COUNT is handled cheaper — _merge_deltas inside the
+    # append path folds level-0 deltas without touching the corpus)
+    over = idx.get("delta_rows", 0) > max(
+        MAX_DELTA_ROW_FRACTION * idx.get("base_rows", 0),
+        MIN_DELTA_ROWS,
+    )
+    if over or not _maintain_delta(engine, index_name):
         build_posting_table(engine, index_name)
 
 
@@ -232,9 +392,11 @@ def try_handle_ddl(engine, query: str):
     engine.gin_indexes[name] = {
         "table": table, "col": col, "id_col": id_col,
         "path": path, "built_csn": None, "kind": kind,
+        "base_path": os.path.join(path, "base"),
+        "delta_paths": [], "delta_rows": 0, "base_rows": 0,
     }
     build_posting_table(engine, name)
-    n_lex = engine.spark.table(_view_name(name)).count()
+    n_lex = engine.gin_indexes[name]["base_rows"]
     return engine.spark.createDataFrame(
         [("CREATE INDEX", name, table, col, n_lex)],
         "tag STRING, index STRING, table STRING, col STRING,"

@@ -62,13 +62,24 @@ and rewrite into it, with the counter's post-loop binding set to its
 closed form (the first value failing the condition), so reading the
 counter after the loop stays correct.
 
+EXCEPTION blocks compile in the NO-SUBTRANSACTION subset
+(pl_exec.cpp:95 exec_stmt_block): over a straight-line body every
+statement executes unconditionally, so the raisable operation sites
+are statically enumerable — divisions (division_by_zero), explicit
+CASTs (the two cast-failure classes, guarded by TRY_CAST), RAISE
+(caught by OTHERS) — and the block compiles to the total-function
+``CASE WHEN <site guard> THEN <handler> ... ELSE <body> END`` with
+guards in evaluation order (first error wins, as pl_exec raises at
+the first failing operation).  Control-flow or DML bodies refuse: a
+raisable site in an untaken branch must not fire the handler, and
+rolling back DML needs a real subtransaction.
+
 Deliberately NOT covered (each raises a clear NotImplementedError
 naming the Spark-side rewrite): general WHILE (non-counter
 conditions are unbounded iteration — no declarative form) / bare
 LOOP / loops with non-accumulator bodies (set-based rewrite — the statement
-layer's one-statement DML), dynamic EXECUTE, cursors in function
-bodies (DECLARE CURSOR at the session level instead), and EXCEPTION
-blocks (no subtransactions on an immutable store).
+layer's one-statement DML), dynamic EXECUTE, and cursors in function
+bodies (DECLARE CURSOR at the session level instead).
 
 Variable substitution is textual with identifier-boundary matching;
 variables shadow columns of the same name inside the body, matching
@@ -114,9 +125,6 @@ _UNSUPPORTED = [
      "set-oriented statement"),
     (re.compile(r"\bEXECUTE\s+", re.IGNORECASE),
      "dynamic EXECUTE cannot inline; build the statement client-side"),
-    (re.compile(r"\bEXCEPTION\s+WHEN\b", re.IGNORECASE),
-     "EXCEPTION blocks need subtransactions; validate inputs with "
-     "IF ... RAISE EXCEPTION guards instead"),
     (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
      "cursors inside function bodies are unsupported; DECLARE CURSOR "
      "at the session level (operators/portal.py)"),
@@ -1083,6 +1091,362 @@ def _parse_decls(decls: str, bindings: dict[str, str]) -> None:
             bindings[v] = f"CAST(NULL AS {_map_type(m.group('t'))})"
 
 
+# ---------------------------------------------------------------------
+# EXCEPTION blocks — the no-subtransaction subset (pl_exec.cpp:95
+# exec_stmt_block exception frames; regress hw_functions.sql).  A
+# handler over a STRAIGHT-LINE body (assignments / SELECT INTO /
+# RETURN / RAISE — no IF/CASE/loops) is a total-function rewrite:
+# every statement executes unconditionally, so the operations that can
+# raise are statically enumerable — divisions (division_by_zero),
+# explicit CASTs (invalid_text_representation /
+# numeric_value_out_of_range), and RAISE EXCEPTION (caught by OTHERS).
+# The compiled form is ``CASE WHEN <guard_1> THEN <handler(site_1)>
+# ... ELSE <body> END`` with guards in EVALUATION order (first error
+# wins, as pl_exec raises at the first failing operation), and CASE's
+# lazy branch evaluation keeps the failing operation from running.
+# Control-flow bodies refuse: a division inside an untaken branch must
+# not trigger the handler.  Errors with no matching handler fall into
+# the ELSE body and raise naturally — PG's re-throw.
+_EXC_CONDS = {
+    "division_by_zero": "div",
+    "invalid_text_representation": "cast",
+    "numeric_value_out_of_range": "cast",
+    "others": "all",
+}
+
+_HANDLER_WHEN = re.compile(
+    r"\s*WHEN\s+(?P<conds>\w+(?:\s+OR\s+\w+)*)\s+THEN\s+",
+    re.IGNORECASE,
+)
+
+
+def _split_exception(body: str) -> tuple[str, str] | None:
+    """(main, handlers) at the top-level EXCEPTION keyword, or None
+    when the block has no exception section.  RAISE EXCEPTION never
+    splits (it is a statement, not the section header)."""
+    masked = _mask_strings(body)
+    for m in re.finditer(r"\bEXCEPTION\b", masked, re.IGNORECASE):
+        if masked[:m.start()].count("(") != masked[:m.start()].count(")"):
+            continue
+        if re.search(r"RAISE\s*$", masked[:m.start()], re.IGNORECASE):
+            continue
+        return body[:m.start()], body[m.end():]
+    return None
+
+
+def _operand_span(e: str, masked: str, i: int) -> tuple[int, int] | None:
+    """(start, end) of the operand beginning at or after ``i`` —
+    optional unary sign, then a number / [qualified] identifier with
+    optional call parens / parenthesized expression / string literal.
+    None when the text there is not a parseable operand."""
+    n = len(e)
+    while i < n and e[i].isspace():
+        i += 1
+    if i >= n:
+        return None
+    start = i
+    if e[i] in "+-":
+        inner = _operand_span(e, masked, i + 1)
+        return (start, inner[1]) if inner else None
+    if e[i] == "(" or masked[i] == "'":
+        # masked keeps quotes: a literal scans as a ' ... ' span
+        if e[i] == "(":
+            depth = 0
+            for j in range(i, n):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return (start, j + 1)
+            return None
+        j = masked.find("'", i + 1)
+        return (start, j + 1) if j != -1 else None
+    m = re.match(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", e[i:])
+    if m:
+        return (start, i + m.end())
+    m = re.match(r"\w+(?:\.\w+)*", e[i:])
+    if m:
+        j = i + m.end()
+        k = j
+        while k < n and e[k].isspace():
+            k += 1
+        if k < n and e[k] == "(":  # call
+            depth = 0
+            for p in range(k, n):
+                if masked[p] == "(":
+                    depth += 1
+                elif masked[p] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return (start, p + 1)
+            return None
+        return (start, j)
+    return None
+
+
+def _exc_refuse(why: str):
+    raise NotImplementedError(
+        f"plpgsql EXCEPTION: {why}; the compilable subset is a "
+        "straight-line body (assignments / SELECT INTO / RETURN / "
+        "RAISE) whose raisable operations are divisions and explicit "
+        "CASTs — restructure, or validate inputs with IF ... RAISE "
+        "EXCEPTION guards before the operation"
+    )
+
+
+def _collect_guards(e: str, guards: list[tuple[str, str]]) -> None:
+    """Append (class, guard_sql) for every raisable site of the
+    substituted expression ``e``, in left-to-right evaluation order:
+    '/'|'%%' denominators → division_by_zero, CAST(x AS t) →
+    the cast-failure classes.  Refuses shapes whose guard cannot be
+    both sound and non-raising (sites inside subqueries raise per-row;
+    nested raisable operations would make the guard itself raise)."""
+    masked = _mask_strings(e)
+    if re.search(r"\bSELECT\b", masked, re.IGNORECASE) and (
+        re.search(r"[/%]", masked) or
+        re.search(r"\bCAST\s*\(", masked, re.IGNORECASE)
+    ):
+        _exc_refuse(
+            "a division or CAST inside a subquery raises per-row — "
+            "no static guard exists; compute the guarded expression "
+            "outside the subquery"
+        )
+    if "::" in masked:
+        _exc_refuse("'::' casts are invisible to the guard extractor "
+                    "— write CAST(expr AS type)")
+    sites: list[tuple[int, str, str]] = []
+    for i, ch in enumerate(masked):
+        if ch not in "/%":
+            continue
+        span = _operand_span(e, masked, i + 1)
+        if span is None:
+            _exc_refuse(f"cannot parse the denominator after "
+                        f"{e[max(0, i - 12):i + 1]!r}")
+        rhs = e[span[0]:span[1]].strip()
+        if ch == "%" and rhs.startswith("'"):
+            continue  # pg_trgm similarity operator, not modulo
+        if re.search(r"[/%]|\bCAST\s*\(",
+                     _mask_strings(rhs), re.IGNORECASE):
+            _exc_refuse(
+                f"the denominator {rhs!r} itself contains a raisable "
+                "operation, so its guard could raise before the "
+                "handler decides"
+            )
+        sites.append((i, "div", f"({rhs}) = 0"))
+    for m in re.finditer(r"\bCAST\s*\(", masked, re.IGNORECASE):
+        depth, close = 0, None
+        for j in range(m.end() - 1, len(masked)):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            _exc_refuse("unbalanced CAST parentheses")
+        inner, inner_m = e[m.end():close], masked[m.end():close]
+        m_as = None
+        for cand in re.finditer(r"\bAS\b", inner_m, re.IGNORECASE):
+            pre = inner_m[:cand.start()]
+            if pre.count("(") == pre.count(")"):
+                m_as = cand
+                break
+        if m_as is None:
+            _exc_refuse("CAST without AS")
+        src = inner[:m_as.start()].strip()
+        typ = inner[m_as.end():].strip()
+        if re.search(r"[/%]|\bCAST\s*\(",
+                     _mask_strings(src), re.IGNORECASE):
+            _exc_refuse(
+                f"the CAST source {src!r} itself contains a raisable "
+                "operation — split it into its own guarded statement"
+            )
+        sites.append((
+            m.start(), "cast",
+            f"(TRY_CAST(({src}) AS {typ}) IS NULL"
+            f" AND ({src}) IS NOT NULL)",
+        ))
+    for _pos, cls, g in sorted(sites):
+        guards.append((cls, g))
+
+
+def _compile_exception_block(
+    main: str, handlers_text: str, bindings: dict[str, str]
+) -> str:
+    entry = dict(bindings)
+    # ------------------------------------------------ parse handlers
+    handlers: list[tuple[list[str], str]] = []
+    m0 = _HANDLER_WHEN.match(handlers_text)
+    if m0 is None:
+        raise ValueError("plpgsql: EXCEPTION section without a "
+                         "WHEN <condition> THEN handler")
+    conds = [c.strip().lower()
+             for c in re.split(r"\s+OR\s+", m0.group("conds"),
+                               flags=re.IGNORECASE)]
+    pos, seg_start = m0.end(), m0.end()
+    while pos < len(handlers_text):
+        rest = handlers_text[pos:].lstrip()
+        off = len(handlers_text[pos:]) - len(rest)
+        mn = _HANDLER_WHEN.match(handlers_text, pos + off)
+        if mn and all(
+            c.strip().lower() in _EXC_CONDS
+            for c in re.split(r"\s+OR\s+", mn.group("conds"),
+                              flags=re.IGNORECASE)
+        ):
+            handlers.append((conds, handlers_text[seg_start:pos + off]))
+            conds = [c.strip().lower()
+                     for c in re.split(r"\s+OR\s+", mn.group("conds"),
+                                       flags=re.IGNORECASE)]
+            pos = seg_start = mn.end()
+            continue
+        _stmt, pos = _scan_stmt(handlers_text, pos + off)
+    handlers.append((conds, handlers_text[seg_start:]))
+    cast_owner = None
+    for cs, _stmts in handlers:
+        for c in cs:
+            if c not in _EXC_CONDS:
+                _exc_refuse(
+                    f"condition {c!r} has no static guard — supported: "
+                    + ", ".join(sorted(_EXC_CONDS))
+                )
+    for ci, (cs, _stmts) in enumerate(handlers):
+        for c in cs:
+            if _EXC_CONDS[c] == "cast":
+                if cast_owner is not None and cast_owner != ci:
+                    _exc_refuse(
+                        "invalid_text_representation and "
+                        "numeric_value_out_of_range in SEPARATE "
+                        "handlers — a failed TRY_CAST cannot "
+                        "statically distinguish them; handle both in "
+                        "one handler (WHEN a OR b THEN)"
+                    )
+                cast_owner = ci
+    # ------------------------------------------------ walk the body
+    masked_main = _mask_strings(main)
+    if re.search(r"\b(IF|CASE|LOOP|FOR|WHILE|FOREACH)\b",
+                 masked_main, re.IGNORECASE):
+        _exc_refuse(
+            "control flow inside the guarded block — a raisable "
+            "operation in an untaken branch must not fire the handler"
+        )
+    if re.search(r"\b(INSERT|UPDATE|DELETE|MERGE)\b",
+                 masked_main, re.IGNORECASE):
+        _exc_refuse(
+            "DML inside the guarded block needs a real subtransaction "
+            "to roll back — run the DML as its own statement"
+        )
+    guards: list[tuple[str, str]] = []
+    assigned: set[str] = set()
+    body_expr: str | None = None
+    pos = 0
+    while pos < len(main):
+        stmt, pos = _scan_stmt(main, pos)
+        if not stmt:
+            continue
+        m_ret = re.match(r"RETURN\s+(?P<e>.+)$", stmt,
+                         re.IGNORECASE | re.DOTALL)
+        if m_ret:
+            e_sub = _subst(m_ret.group("e"), bindings)
+            _collect_guards(e_sub, guards)
+            body_expr = e_sub
+            break
+        m_raise = re.match(
+            r"RAISE\s+EXCEPTION\s+'(?P<msg>(?:[^']|'')*)'\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m_raise:
+            # caught by OTHERS (errcode P0001); otherwise propagates
+            body_expr = ("__RAISE__", m_raise.group("msg"))
+            break
+        m_asn = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
+                         re.IGNORECASE | re.DOTALL)
+        if m_asn:
+            e_sub = _subst(m_asn.group("e"), bindings)
+            _collect_guards(e_sub, guards)
+            v = m_asn.group("v").lower()
+            assigned.add(v)
+            bindings[v] = e_sub
+            continue
+        m_into = re.match(
+            r"SELECT\s+(?P<e>.+?)\s+INTO\s+(?:STRICT\s+)?(?P<v>\w+)"
+            r"(?P<tail>\s+FROM\s+.+)?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m_into:
+            e_sub = _subst(m_into.group("e"), bindings)
+            tail = (m_into.group("tail") or "").strip()
+            tail_sub = _subst(tail, bindings) if tail else ""
+            joined = e_sub + " " + tail_sub
+            if re.search(r"[/%]|\bCAST\s*\(|::",
+                         _mask_strings(joined), re.IGNORECASE):
+                _exc_refuse(
+                    "a division or CAST inside SELECT INTO raises "
+                    "per-row — no static guard exists; bind the row "
+                    "first, then compute the guarded expression"
+                )
+            v = m_into.group("v").lower()
+            assigned.add(v)
+            sub = "(SELECT " + e_sub
+            if tail_sub:
+                sub += " " + tail_sub
+            bindings[v] = sub + ")"
+            continue
+        _exc_refuse(
+            f"statement {stmt.split(None, 1)[0].upper()!r} is outside "
+            "the straight-line subset"
+        )
+    if body_expr is None:
+        raise ValueError(
+            "plpgsql: control reached end of block without RETURN"
+        )
+    # ------------------------------------------------ assemble
+    def _handler_for(cls: str) -> int | None:
+        for ci, (cs, _stmts) in enumerate(handlers):
+            kinds = {_EXC_CONDS[c] for c in cs}
+            if cls in kinds or "all" in kinds:
+                return ci
+        return None
+
+    h_expr: dict[int, str] = {}
+
+    def _compiled(ci: int) -> str:
+        if ci not in h_expr:
+            cs, stmts = handlers[ci]
+            hm = _mask_strings(stmts)
+            hot = sorted(
+                v for v in assigned
+                if re.search(rf"(?<!\.)\b{re.escape(v)}\b", hm,
+                             re.IGNORECASE)
+            )
+            if hot:
+                _exc_refuse(
+                    f"handler WHEN {' OR '.join(cs)} reads "
+                    f"{', '.join(hot)}, assigned in the guarded body — "
+                    "how far execution got before the error is not "
+                    "statically known"
+                )
+            h_expr[ci] = _compile_stmts(stmts, dict(entry))
+        return h_expr[ci]
+
+    if isinstance(body_expr, tuple):
+        ci = _handler_for("all")
+        if ci is not None:
+            body_expr = _compiled(ci)
+        else:
+            body_expr = f"raise_error('{body_expr[1]}')"
+    whens = []
+    for cls, g in guards:
+        ci = _handler_for(cls)
+        if ci is None:
+            continue  # unhandled: the ELSE body raises it naturally
+        whens.append(f"WHEN {g} THEN {_compiled(ci)}")
+    if not whens:
+        return body_expr
+    return "CASE " + " ".join(whens) + f" ELSE {body_expr} END"
+
+
 def translate_plpgsql(query: str) -> str | None:
     """PG CREATE FUNCTION ... LANGUAGE plpgsql → Spark SQL-UDF DDL, or
     None when the text is not that statement shape."""
@@ -1124,7 +1488,11 @@ def translate_plpgsql(query: str) -> str | None:
     _FOLD_SEQ[0] = 0  # deterministic DDL per source text
     _FOLD_PARAMS.clear()
     _FOLD_PARAMS.extend(pname.lower() for pname, _ in params)
-    expr = _compile_stmts(md.group("body"), bindings)
+    exc = _split_exception(md.group("body"))
+    if exc is not None:
+        expr = _compile_exception_block(exc[0], exc[1], bindings)
+    else:
+        expr = _compile_stmts(md.group("body"), bindings)
     if len(expr) > 100_000:
         # fall-through branches duplicate the continuation per branch,
         # so long chains of mixed IF blocks grow the expression
@@ -1546,3 +1914,83 @@ def plpgsql_foreach_array(spark, sf_dir):
     rows = out.collect()
     eng.sql("DROP FUNCTION gate_word_stat")
     return spark.createDataFrame(rows, "p_partkey BIGINT, stat BIGINT")
+
+
+@_register_query(
+    "plpgsql_exception_guard",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN (o_orderkey % 7) = 0 THEN -1.0
+                     ELSE CAST(o_totalprice AS DOUBLE)
+                          / (o_orderkey % 7) END AS DOUBLE) AS rate,
+           CAST(CASE WHEN TRY_CAST(
+                         CASE WHEN o_orderkey % 3 = 0
+                              THEN o_orderpriority
+                              ELSE substr(o_orderpriority, 1, 1) END
+                         AS INTEGER) IS NULL
+                     AND CASE WHEN o_orderkey % 3 = 0
+                              THEN o_orderpriority
+                              ELSE substr(o_orderpriority, 1, 1) END
+                         IS NOT NULL
+                THEN -1
+                ELSE CAST(CASE WHEN o_orderkey % 3 = 0
+                               THEN o_orderpriority
+                               ELSE substr(o_orderpriority, 1, 1) END
+                          AS INTEGER) END AS BIGINT) AS prio
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+)
+def plpgsql_exception_guard(spark, sf_dir):
+    """EXCEPTION blocks, no-subtransaction subset (pl_exec.cpp:95
+    exec_stmt_block exception frames; regress hw_functions.sql): a
+    straight-line body whose raisable sites are a division and an
+    explicit CAST compiles to the total-function CASE — the
+    division_by_zero handler fires exactly when the denominator is
+    zero, the cast-class handler exactly when TRY_CAST fails on a
+    non-NULL source — and the oracle spells out that same
+    total-function math by hand in DuckDB SQL.
+
+    Scale: the handler is a CASE branch inside whole-stage codegen —
+    no subtransaction machinery, no per-row interpreter; the guarded
+    function costs the same plan as the hand-written CASE."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_safe_rate(total double, d bigint)
+        RETURNS double AS $$
+        DECLARE r double;
+        BEGIN
+            r := total / d;
+            RETURN r;
+        EXCEPTION WHEN division_by_zero THEN
+            RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    eng.sql("""
+        CREATE FUNCTION gate_parse_prio(t text) RETURNS int AS $$
+        BEGIN
+            RETURN CAST(t AS int);
+        EXCEPTION WHEN invalid_text_representation
+                  OR numeric_value_out_of_range THEN
+            RETURN -1;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT o_orderkey,"
+        " gate_safe_rate(CAST(o_totalprice AS DOUBLE),"
+        "                o_orderkey % 7) AS rate,"
+        " CAST(gate_parse_prio("
+        "   CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority"
+        "        ELSE substr(o_orderpriority, 1, 1) END) AS BIGINT)"
+        " AS prio"
+        " FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_safe_rate")
+    eng.sql("DROP FUNCTION gate_parse_prio")
+    return spark.createDataFrame(
+        rows, "o_orderkey BIGINT, rate DOUBLE, prio BIGINT"
+    )

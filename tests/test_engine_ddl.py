@@ -2234,3 +2234,247 @@ def test_while_bound_must_be_loop_invariant(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_gin_incremental_delta_maintenance(spark, tmp_path):
+    """GIN maintenance is INCREMENTAL for appends (gininsert.cpp
+    fastupdate pending list): after an INSERT, the next routed @@
+    tokenizes ONLY the newly appended files into a delta posting —
+    inputFiles() evidence pins that no old-generation file is
+    re-read — and the view serves base ∪ delta; an UPDATE
+    (copy-on-write generation bump) compacts via full rebuild; delta
+    accumulation past MAX_DELTAS compacts too."""
+    from opengauss_vectordb_spark.operators import gin_index as G
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE inc AS SELECT * FROM VALUES
+          (1, 'alpha beta'), (2, 'beta gamma') AS t(doc_id, body)
+    """)
+    eng.sql("CREATE INDEX inc_gin ON inc USING gin (body)")
+    idx = eng.gin_indexes["inc_gin"]
+    assert idx["last_maintenance"]["mode"] == "rebuild"
+    base_files = set(idx["covered_files"])
+    q = ("SELECT doc_id FROM inc"
+         " WHERE to_tsvector(body) @@ to_tsquery('beta')"
+         " ORDER BY doc_id")
+    assert [r.doc_id for r in eng.sql(q).collect()] == [1, 2]
+    # 1-row INSERT: the next routed query builds a DELTA over only
+    # the new file(s) — none of the base files are read again
+    eng.sql("INSERT INTO inc SELECT 3, 'beta delta'")
+    assert [r.doc_id for r in eng.sql(q).collect()] == [1, 2, 3]
+    lm = idx["last_maintenance"]
+    assert lm["mode"] == "delta"
+    assert lm["input_files"], "delta maintenance read no files?"
+    read_names = {f.rsplit("/", 1)[-1] for f in lm["input_files"]}
+    assert not (read_names & base_files), (
+        "delta maintenance re-read old-generation files: "
+        f"{read_names & base_files}"
+    )
+    assert len(idx["delta_paths"]) == 1
+    # rank search serves from base ∪ delta too
+    r = G.gin_rank_search(eng, "inc_gin", ["beta"], k=10).collect()
+    assert [x.doc_id for x in r] and len(r) == 3
+    # a second append stacks a second delta
+    eng.sql("INSERT INTO inc SELECT 4, 'beta epsilon'")
+    assert [r.doc_id for r in eng.sql(q).collect()] == [1, 2, 3, 4]
+    assert len(idx["delta_paths"]) == 2
+    # copy-on-write rewrite (UPDATE bumps the generation): compaction
+    eng.sql("UPDATE inc SET body = 'omega' WHERE doc_id = 1")
+    assert [r.doc_id for r in eng.sql(q).collect()] == [2, 3, 4]
+    assert idx["last_maintenance"]["mode"] == "rebuild"
+    assert idx["delta_paths"] == []
+    # delta-count bound: at MAX_DELTAS the deltas MERGE into one
+    # (O(delta bytes), base and corpus untouched — LSM level-0)
+    old_max = G.MAX_DELTAS
+    G.MAX_DELTAS = 2
+    try:
+        eng.sql("INSERT INTO inc SELECT 5, 'beta zeta'")
+        eng.sql(q)  # delta 1
+        eng.sql("INSERT INTO inc SELECT 6, 'beta eta'")
+        rows = [r.doc_id for r in eng.sql(q).collect()]  # delta 2 → merge
+        assert rows == [2, 3, 4, 5, 6]
+        assert idx["last_maintenance"]["mode"] == "delta"
+        assert len(idx["delta_paths"]) == 1
+        assert "merged" in idx["delta_paths"][0]
+        eng.sql("INSERT INTO inc SELECT 7, 'beta theta'")
+        rows = [r.doc_id for r in eng.sql(q).collect()]
+        assert rows == [2, 3, 4, 5, 6, 7]
+    finally:
+        G.MAX_DELTAS = old_max
+    # row-fraction bound: force it to zero → next append FULL-rebuilds
+    old_min = G.MIN_DELTA_ROWS
+    G.MIN_DELTA_ROWS = 0
+    old_frac = G.MAX_DELTA_ROW_FRACTION
+    G.MAX_DELTA_ROW_FRACTION = 0.0
+    try:
+        eng.sql("INSERT INTO inc SELECT 8, 'beta iota'")
+        rows = [r.doc_id for r in eng.sql(q).collect()]
+        assert rows == [2, 3, 4, 5, 6, 7, 8]
+        assert idx["last_maintenance"]["mode"] == "rebuild"
+        assert idx["delta_paths"] == []
+    finally:
+        G.MIN_DELTA_ROWS = old_min
+        G.MAX_DELTA_ROW_FRACTION = old_frac
+    eng.sql("DROP INDEX inc_gin")
+    eng.sql("DROP TABLE inc PURGE")
+
+
+def test_gin_trgm_incremental_delta(spark, tmp_path):
+    """The trgm opclass shares the delta path: an append is served
+    from base ∪ delta with exact similarity, no corpus re-read."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE tg AS SELECT * FROM VALUES
+          (1, 'word processing'), (2, 'cord processing')
+          AS t(doc_id, body)
+    """)
+    eng.sql("CREATE INDEX tg_gin ON tg USING gin (body gin_trgm_ops)")
+    idx = eng.gin_indexes["tg_gin"]
+    base_files = set(idx["covered_files"])
+    q = ("SELECT doc_id FROM tg WHERE body % 'word processing'"
+         " ORDER BY doc_id")
+    inline_eng = Engine(spark, SF_CORRECT)
+    eng.sql("INSERT INTO tg SELECT 3, 'word processor'")
+    got = [r.doc_id for r in eng.sql(q).collect()]
+    lm = idx["last_maintenance"]
+    assert lm["mode"] == "delta"
+    read_names = {f.rsplit("/", 1)[-1] for f in lm["input_files"]}
+    assert not (read_names & base_files)
+    # exact agreement with the inline (unindexed) similarity
+    eng.sql("DROP INDEX tg_gin")
+    assert [r.doc_id for r in eng.sql(q).collect()] == got
+    eng.sql("DROP TABLE tg PURGE")
+    del inline_eng
+
+
+def test_plpgsql_exception_blocks(spark):
+    """EXCEPTION blocks, no-subtransaction subset (pl_exec.cpp:95
+    exec_stmt_block): straight-line bodies compile to total-function
+    CASE guards — division_by_zero from denominators, the cast
+    classes from TRY_CAST, OTHERS catching everything including RAISE
+    — evaluated in first-error-wins order; unsupported shapes refuse
+    naming the rewrite."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION safe_div(a double, b double) RETURNS double AS $$
+        BEGIN
+            RETURN a / b;
+        EXCEPTION WHEN division_by_zero THEN
+            RETURN 0.0;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT safe_div(10.0, 4.0) AS v").collect()[0].v == 2.5
+    assert eng.sql("SELECT safe_div(10.0, 0.0) AS v").collect()[0].v == 0.0
+    eng.sql("DROP FUNCTION safe_div")
+    # assignments before the failing op; handler reading a MAIN-BODY
+    # variable refuses; reading params is fine
+    eng.sql("""
+        CREATE FUNCTION ratio_pct(num bigint, den bigint)
+        RETURNS double AS $$
+        DECLARE r double;
+        BEGIN
+            r := num / den;
+            RETURN r * 100.0;
+        EXCEPTION WHEN division_by_zero THEN
+            RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT ratio_pct(3, 4) AS v").collect()[0].v == 75.0
+    assert eng.sql("SELECT ratio_pct(3, 0) AS v").collect()[0].v == -1.0
+    eng.sql("DROP FUNCTION ratio_pct")
+    # cast classes share TRY_CAST; OTHERS catches RAISE EXCEPTION
+    eng.sql("""
+        CREATE FUNCTION parse_or(t text, fallback int) RETURNS int AS $$
+        BEGIN
+            RETURN CAST(t AS int);
+        EXCEPTION WHEN invalid_text_representation
+                  OR numeric_value_out_of_range THEN
+            RETURN fallback;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT parse_or('42', -1) AS v").collect()[0].v == 42
+    assert eng.sql("SELECT parse_or('4x2', -1) AS v").collect()[0].v == -1
+    assert eng.sql(
+        "SELECT parse_or(NULL, -1) AS v"
+    ).collect()[0].v is None  # NULL input is not a cast failure
+    eng.sql("DROP FUNCTION parse_or")
+    eng.sql("""
+        CREATE FUNCTION strict_pos(x int) RETURNS int AS $$
+        DECLARE y int := x * 2;
+        BEGIN
+            RAISE EXCEPTION 'negative input';
+        EXCEPTION WHEN others THEN
+            RETURN -y;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT strict_pos(5) AS v").collect()[0].v == -10
+    eng.sql("DROP FUNCTION strict_pos")
+    # first-error-wins: the division in statement 1 beats the cast in
+    # statement 2 even though the cast handler is declared first
+    eng.sql("""
+        CREATE FUNCTION two_faults(t text, d int) RETURNS int AS $$
+        DECLARE a int; b int;
+        BEGIN
+            a := 100 / d;
+            b := CAST(t AS int);
+            RETURN 1;
+        EXCEPTION WHEN invalid_text_representation THEN
+            RETURN 2;
+        WHEN division_by_zero THEN
+            RETURN 3;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT two_faults('x', 0) AS v").collect()[0].v == 3
+    assert eng.sql("SELECT two_faults('x', 1) AS v").collect()[0].v == 2
+    assert eng.sql("SELECT two_faults('7', 1) AS v").collect()[0].v == 1
+    eng.sql("DROP FUNCTION two_faults")
+    # refusals: control flow, DML, handler reading body-assigned vars,
+    # separate cast-class handlers, unknown conditions
+    with pytest.raises(NotImplementedError, match="control flow"):
+        eng.sql("""
+            CREATE FUNCTION e1(x int) RETURNS int AS $$
+            BEGIN
+                IF x > 0 THEN RETURN 1 / x; END IF;
+                RETURN 0;
+            EXCEPTION WHEN division_by_zero THEN RETURN -1;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="assigned in the guarded"):
+        eng.sql("""
+            CREATE FUNCTION e2(x int) RETURNS int AS $$
+            DECLARE y int;
+            BEGIN
+                y := 10 / x;
+                RETURN y;
+            EXCEPTION WHEN division_by_zero THEN RETURN y;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="SEPARATE"):
+        eng.sql("""
+            CREATE FUNCTION e3(t text) RETURNS int AS $$
+            BEGIN
+                RETURN CAST(t AS int);
+            EXCEPTION WHEN invalid_text_representation THEN RETURN -1;
+            WHEN numeric_value_out_of_range THEN RETURN -2;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="no static guard"):
+        eng.sql("""
+            CREATE FUNCTION e4(x int) RETURNS int AS $$
+            BEGIN
+                RETURN x + 1;
+            EXCEPTION WHEN unique_violation THEN RETURN -1;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
