@@ -69,6 +69,7 @@ registry.load_all_queries()
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",
+    "do_block_dynexecute",
     # (b) churned-code re-gates this round: gin_index.py (incremental
     # delta maintenance, predicate-column routing, prefix phrases),
     # schemas.py (creation targets never resolve through search_path),
@@ -82,7 +83,6 @@ GATE_PRIORITY: list[str] = [
     "plpgsql_guard_function",
     "ctas_insert_select",
     "cstore_distribute_select_into",
-    "dml_returning",
     # (c) rotation — the ENTIRE remaining stale tail: all 40 rows whose
     # last gate evidence is round 2 (computed from the union of
     # CORRECTNESS_r0N.json keys); after this round no row is older

@@ -17,9 +17,14 @@ initializers, ``var := expr`` (evaluated eagerly as a one-row SELECT),
 ``SELECT expr INTO var [FROM ...]``, ``IF / ELSIF / ELSE / END IF``
 (conditions evaluated driver-side, branches executed), ``RAISE
 NOTICE/WARNING/INFO 'msg'`` (collected into the result frame), ``RAISE
-EXCEPTION 'msg'`` (raises), and any other statement text (INSERT /
-UPDATE / DELETE / CREATE / COPY / ...) executed through Engine.sql
-with variable references substituted as typed SQL literals.
+EXCEPTION 'msg'`` (raises), dynamic ``EXECUTE`` in the
+literal-derived subset (pl_exec.cpp:139 exec_stmt_dynexecute — the
+text composes from ``format('<literal>', ...)``, a string literal, or
+a ``||`` concatenation of literals and variables; ``INTO [STRICT]``
+binds results, ``USING`` binds ``$n`` parameters), and any other
+statement text (INSERT / UPDATE / DELETE / CREATE / COPY / ...)
+executed through Engine.sql with variable references substituted as
+typed SQL literals.
 
 NOT supported (clear errors): loops (set-based rewrite — one
 distributed statement), EXCEPTION blocks (no subtransactions), and
@@ -167,6 +172,13 @@ class _DoRunner:
             row = self.engine.sql(sql).first()
             self.env[m.group("v").lower()] = None if row is None else row[0]
             return
+        # EXECUTE <dynamic sql> — pl_exec.cpp:139 exec_stmt_dynexecute,
+        # the literal-derived subset (see _compose_dynsql)
+        m = re.match(r"EXECUTE\s+(?P<rest>.+)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            self._exec_dynexecute(m.group("rest"))
+            return
         # PERFORM <query> = run and discard (pl_exec exec_stmt_perform)
         m = re.match(r"PERFORM\s+(?P<q>.+)$", stmt,
                      re.IGNORECASE | re.DOTALL)
@@ -179,6 +191,165 @@ class _DoRunner:
         # anything else is a statement for the engine (DML/DDL/COPY)
         self.engine.sql(_subst_values(stmt, self.env))
         self.executed += 1
+
+
+    # ---------------------------------------------------------------
+    # dynamic EXECUTE — pl_exec.cpp:139 exec_stmt_dynexecute, the
+    # LITERAL-DERIVED subset: the statement text must compose from a
+    # literal format() template, a string literal, or a ||
+    # concatenation of literals and declared variables.  The composed
+    # string then runs through the ordinary Engine.sql statement path
+    # — dynamic SQL is string composition plus the existing planner,
+    # exactly how a migration script uses it.  Arbitrary expressions
+    # building the text refuse: an engine cannot validate SQL it
+    # cannot see until runtime, and the reference's own regress
+    # suites derive their EXECUTE strings from format()/|| literals.
+    # ---------------------------------------------------------------
+    def _exec_dynexecute(self, rest: str) -> None:
+        masked = _mask_strings(rest)
+        into_m = using_m = None
+        depth = 0
+        for mm in re.finditer(r"[()]|\bINTO\b|\bUSING\b", masked,
+                              re.IGNORECASE):
+            t = mm.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                if t.upper() == "INTO" and into_m is None:
+                    into_m = mm
+                elif t.upper() == "USING" and using_m is None:
+                    using_m = mm
+        q_end = min(
+            m.start() for m in (into_m, using_m) if m is not None
+        ) if (into_m or using_m) else len(rest)
+        sql = self._compose_dynsql(rest[:q_end].strip())
+        if using_m:
+            vals = [
+                self._eval_scalar(
+                    "SELECT " + _subst_values(a, self.env)
+                )
+                for a in _split_call_args(rest[using_m.end():])
+            ]
+            out, last = [], 0
+            for pm in re.finditer(r"\$(\d+)", _mask_strings(sql)):
+                k = int(pm.group(1))
+                if not 1 <= k <= len(vals):
+                    raise ValueError(
+                        f"EXECUTE ... USING: ${k} has no parameter "
+                        f"({len(vals)} given)"
+                    )
+                out.append(sql[last:pm.start()])
+                out.append(_sql_literal(vals[k - 1]))
+                last = pm.end()
+            sql = "".join(out) + sql[last:]
+        if into_m:
+            into_txt = rest[into_m.end():
+                            using_m.start() if using_m else len(rest)]
+            strict = re.match(r"\s*STRICT\b", into_txt, re.IGNORECASE)
+            if strict:
+                into_txt = into_txt[strict.end():]
+            vars_ = [v.strip().lower() for v in into_txt.split(",")]
+            rows = self.engine.sql(sql).take(2)
+            if strict and len(rows) != 1:
+                # pl_exec.cpp exec_stmt_dynexecute STRICT errors
+                raise ValueError(
+                    "EXECUTE ... INTO STRICT: query returned "
+                    + ("no rows" if not rows else "more than one row")
+                )
+            row = rows[0] if rows else None
+            for i, v in enumerate(vars_):
+                self.env[v] = None if row is None else row[i]
+        else:
+            self.engine.sql(sql)
+        self.executed += 1
+
+    def _compose_dynsql(self, qe: str) -> str:
+        mfmt = re.match(
+            r"format\s*\(\s*(?P<fmt>'(?:[^']|'')*')"
+            r"\s*(?:,\s*(?P<args>.+))?\)\s*$",
+            qe, re.IGNORECASE | re.DOTALL,
+        )
+        if mfmt:
+            fmt = mfmt.group("fmt")[1:-1].replace("''", "'")
+            args = (_split_call_args(mfmt.group("args"))
+                    if mfmt.group("args") else [])
+            vals = [
+                self._eval_scalar(
+                    "SELECT " + _subst_values(a, self.env)
+                )
+                for a in args
+            ]
+            return _pg_format(fmt, vals)
+        # string literal / || concatenation of literals and variables
+        bare = re.sub(r"\|\|", " ", _mask_strings(qe))
+        alien = sorted({
+            t.group(0).lower()
+            for t in re.finditer(r"\b[A-Za-z_]\w*\b", bare)
+            if t.group(0).lower() not in self.env
+        })
+        if alien:
+            raise NotImplementedError(
+                "EXECUTE: the statement text must derive from "
+                "literals — a string literal, a || concatenation of "
+                "literals and declared variables, or "
+                "format('<literal>', ...) — so the engine can see the "
+                f"SQL it runs ({', '.join(alien)} is neither); build "
+                "the statement text in those forms, or run it as a "
+                "plain statement"
+            )
+        return str(self._eval_scalar(
+            "SELECT " + _subst_values(qe, self.env)
+        ))
+
+
+def _pg_format(fmt: str, vals: list) -> str:
+    """PG's format() (stringinfo %I/%L/%s conversions) over
+    driver-side values: %s inlines the text, %L renders a SQL
+    literal, %I validates a plain identifier (the engine's catalog
+    has no quoted-identifier names to protect, so %I admits exactly
+    what the catalog can hold), %% escapes."""
+    out, i, ai = [], 0, 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            out.append(ch)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            raise ValueError("format(): trailing %")
+        spec = fmt[i + 1]
+        if spec == "%":
+            out.append("%")
+            i += 2
+            continue
+        if spec not in "ILs":
+            raise NotImplementedError(
+                f"format(): only %I, %L, %s and %% compose "
+                f"(got %{spec})"
+            )
+        if ai >= len(vals):
+            raise ValueError("format(): too few arguments")
+        v = vals[ai]
+        ai += 1
+        if spec == "s":
+            out.append("" if v is None else str(v))
+        elif spec == "L":
+            out.append(_sql_literal(v))
+        else:
+            if v is None:
+                raise ValueError("format(): NULL identifier for %I")
+            s = str(v)
+            if not re.match(r"^[A-Za-z_]\w*$", s):
+                raise NotImplementedError(
+                    f"format() %I: {s!r} is not a plain identifier — "
+                    "the engine's catalog holds [A-Za-z_]\\w* names "
+                    "only"
+                )
+            out.append(s.lower())
+        i += 2
+    return "".join(out)
 
 
 def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
@@ -581,3 +752,71 @@ def call_out_params(spark, sf_dir):
     return spark.createDataFrame(
         rows, "acc DOUBLE, n_orders BIGINT, max_price DOUBLE"
     )
+
+
+@_register_query(
+    "do_block_dynexecute",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS top
+    FROM orders
+    WHERE o_totalprice >= 100000.0 AND o_orderkey % 2 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def do_block_dynexecute(spark, sf_dir):
+    """Dynamic EXECUTE end-to-end (pl_exec.cpp:139
+    exec_stmt_dynexecute; regress dynamic-SQL suites): a DO block
+    composes a CTAS from format(%I/%L), reads a count back through
+    EXECUTE ... INTO STRICT over a ||-composed string, refines the
+    table through EXECUTE ... USING ($1 parameter binding), and the
+    final aggregate is compared to the oracle's single-query
+    formulation of the same math.
+
+    Scale: EXECUTE is string composition on the driver; every
+    composed statement is a full distributed operation through the
+    ordinary Engine.sql path — the dynamic-ness costs nothing at
+    plan time."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dynexec_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        tag = eng.sql("""
+            DO $$
+            DECLARE
+                tname text := 'dyn_gate_t';
+                thresh double precision := 100000.0;
+                cnt bigint;
+            BEGIN
+                EXECUTE format('CREATE TABLE %I AS SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= %L', tname, thresh);
+                EXECUTE 'SELECT COUNT(*) FROM ' || tname
+                    INTO STRICT cnt;
+                IF cnt = 0 THEN
+                    RAISE EXCEPTION 'empty slice';
+                END IF;
+                EXECUTE format(
+                    'DELETE FROM %I WHERE o_orderkey %% 2 <> $1',
+                    tname) USING 0;
+            END;
+            $$
+        """).collect()[0]
+        assert tag.tag == "DO"
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(MAX(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS top"
+            " FROM dyn_gate_t"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE dyn_gate_t PURGE")
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n BIGINT, top DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

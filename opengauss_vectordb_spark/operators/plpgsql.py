@@ -74,12 +74,21 @@ the first failing operation).  Control-flow or DML bodies refuse: a
 raisable site in an untaken branch must not fire the handler, and
 rolling back DML needs a real subtransaction.
 
+Bare ``LOOP`` with a LEADING ``EXIT WHEN v <op> bound``
+(pl_exec.cpp exec_stmt_exit) is a pre-test counter loop and rewrites
+into the counter-WHILE form above with the comparison inverted.
+
 Deliberately NOT covered (each raises a clear NotImplementedError
 naming the Spark-side rewrite): general WHILE (non-counter
 conditions are unbounded iteration — no declarative form) / bare
-LOOP / loops with non-accumulator bodies (set-based rewrite — the statement
-layer's one-statement DML), dynamic EXECUTE, and cursors in function
-bodies (DECLARE CURSOR at the session level instead).
+LOOP without a leading EXIT WHEN (a tail EXIT WHEN is do-while — the
+at-least-one iteration has no shared closed form) / loops with
+non-accumulator bodies (set-based rewrite — the statement
+layer's one-statement DML), dynamic EXECUTE in FUNCTION bodies
+(per-row dynamic SQL has no inlined form — DO blocks and procedures
+DO support the literal-derived EXECUTE subset, operators/do_block.py),
+and cursors in function bodies (DECLARE CURSOR at the session level
+instead).
 
 Variable substitution is textual with identifier-boundary matching;
 variables shadow columns of the same name inside the body, matching
@@ -427,6 +436,73 @@ _COUNTER_STEP = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _LOOP_TOKEN = re.compile(r"\bEND\s+LOOP\b\s*;?|\bLOOP\b", re.IGNORECASE)
+
+# EXIT WHEN exits while the condition HOLDS; WHILE runs while its
+# condition holds — the rewrite inverts the comparison
+_INV_OP = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+
+def _try_rewrite_bare_loop(
+    text: str, pos: int, bindings: dict[str, str]
+) -> str | None:
+    """Bare ``LOOP`` with a LEADING ``EXIT WHEN v <op> bound`` —
+    pl_exec.cpp exec_stmt_exit over exec_stmt_loop — is a pre-test
+    loop: it rewrites to ``WHILE v <inverted-op> bound LOOP ...`` and
+    the counter-WHILE closed form takes it from there.  A tail EXIT
+    WHEN is do-while (the body always runs once) — no closed form
+    shares it with the pre-test loop, so it refuses naming the
+    leading-position rewrite.  Returns None when no bare LOOP starts
+    at pos."""
+    if not re.match(r"LOOP\b", text[pos:], re.IGNORECASE):
+        return None
+    masked = _mask_strings(text)
+    body_start = pos + 4
+    depth = 1
+    end_start = end_after = None
+    for mt in _LOOP_TOKEN.finditer(masked, body_start):
+        if mt.group(0).upper().startswith("END"):
+            depth -= 1
+            if depth == 0:
+                end_start, end_after = mt.start(), mt.end()
+                break
+        else:
+            depth += 1
+    if end_start is None:
+        raise ValueError("plpgsql: LOOP without END LOOP")
+    body = text[body_start:end_start]
+    me = re.match(r"\s*EXIT\s+WHEN\s+(?P<c>.+?);", body,
+                  re.IGNORECASE | re.DOTALL)
+    if me is None:
+        if re.search(r"\bEXIT\s+WHEN\b", _mask_strings(body),
+                     re.IGNORECASE):
+            raise NotImplementedError(
+                "plpgsql: EXIT WHEN compiles only in the LEADING "
+                "position (LOOP EXIT WHEN v >= bound; ...; v := v + "
+                "step; END LOOP — a pre-test loop with a closed "
+                "form); a tail EXIT WHEN is do-while, whose "
+                "at-least-one iteration has no closed form — move "
+                "the test to the top, or rewrite the loop as one "
+                "set-oriented statement"
+            )
+        raise NotImplementedError(
+            "plpgsql: bare LOOP has no inlined-expression form; "
+            "LOOP EXIT WHEN v <op> bound; ... compiles (pre-test "
+            "counter loop) — otherwise rewrite as one set-oriented "
+            "statement"
+        )
+    mc = _WHILE_COND.match(me.group("c"))
+    inv = _INV_OP.get(mc.group("op")) if mc else None
+    if inv is None:
+        raise NotImplementedError(
+            "plpgsql: EXIT WHEN compiles only for counter conditions "
+            f"(v <op> bound) — got {me.group('c').strip()!r}; rewrite "
+            "the loop as one set-oriented statement"
+        )
+    head = f"WHILE {mc.group('v')} {inv} {mc.group('b').strip()} LOOP "
+    return (
+        text[:pos] + head + body[me.end():]
+        + " END LOOP; " + text[end_after:].lstrip(";")
+    )
 
 
 def _try_rewrite_while(
@@ -817,6 +893,8 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
         rewritten = _try_rewrite_while(text, pos + off, bindings)
         if rewritten is None:
             rewritten = _try_rewrite_foreach(text, pos + off, bindings)
+        if rewritten is None:
+            rewritten = _try_rewrite_bare_loop(text, pos + off, bindings)
         if rewritten is not None:
             text, n = rewritten, len(rewritten)
             continue  # re-dispatch: the WHILE/FOREACH is now a FOR
@@ -1036,6 +1114,8 @@ def _apply_stmts(body: str, bindings: dict[str, str]) -> None:
         rewritten = _try_rewrite_while(body, pos + off, bindings)
         if rewritten is None:
             rewritten = _try_rewrite_foreach(body, pos + off, bindings)
+        if rewritten is None:
+            rewritten = _try_rewrite_bare_loop(body, pos + off, bindings)
         if rewritten is not None:
             body, n = rewritten, len(rewritten)
             continue  # re-dispatch: the WHILE/FOREACH is now a FOR
@@ -1471,7 +1551,8 @@ def translate_plpgsql(query: str) -> str | None:
     scan_body = re.sub(
         r"\b(?:FOR\s+\w+\s+IN\s+"
         r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.)|WHILE\b"
-        r"|FOREACH\b)"
+        r"|FOREACH\b"
+        r"|LOOP\b(?=(?:(?!\bEND\s+LOOP\b).)*\bEXIT\s+WHEN\b))"
         r".*?\bEND\s+LOOP\b",
         " ", masked_body, flags=re.IGNORECASE | re.DOTALL,
     )

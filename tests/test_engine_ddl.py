@@ -821,15 +821,19 @@ def test_plpgsql_unsupported_shapes_raise_clearly(spark):
     assert eng.sql("SELECT fcnt(7) AS v").collect()[0].v == 7
     assert eng.sql("SELECT fcnt(-2) AS v").collect()[0].v == 0
     eng.sql("DROP FUNCTION fcnt")
-    with pytest.raises(NotImplementedError, match="subtransactions"):
-        eng.sql("""
-            CREATE FUNCTION g(x int) RETURNS int AS $$
-            BEGIN
-                RETURN x / 0;
-            EXCEPTION WHEN division_by_zero THEN RETURN 0;
-            END;
-            $$ LANGUAGE plpgsql
-        """)
+    # round 9: the straight-line EXCEPTION subset now COMPILES (see
+    # test_plpgsql_exception_blocks); a guarded always-zero division
+    # routes to the handler
+    eng.sql("""
+        CREATE FUNCTION g(x int) RETURNS int AS $$
+        BEGIN
+            RETURN x / 0;
+        EXCEPTION WHEN division_by_zero THEN RETURN 0;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT g(7) AS v").collect()[0].v == 0
+    eng.sql("DROP FUNCTION g")
 
 
 def test_plpgsql_select_into(spark):
@@ -2475,6 +2479,124 @@ def test_plpgsql_exception_blocks(spark):
             BEGIN
                 RETURN x + 1;
             EXCEPTION WHEN unique_violation THEN RETURN -1;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+
+
+def test_do_block_dynamic_execute(spark, tmp_path):
+    """Dynamic EXECUTE in DO blocks, literal-derived subset
+    (pl_exec.cpp:139 exec_stmt_dynexecute): format(%I/%L/%s/%%)
+    composes from a LITERAL template, || concatenations of literals
+    and variables compose, INTO [STRICT] binds results, USING binds
+    $n parameters; non-literal templates and arbitrary text-building
+    expressions refuse naming the accepted forms."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    out = eng.sql("""
+        DO $$
+        DECLARE
+            tname text := 'dx_t';
+            lim bigint := 3;
+            cnt bigint;
+            top double precision;
+        BEGIN
+            EXECUTE format('CREATE TABLE %I AS SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < %L', tname, lim);
+            EXECUTE 'SELECT COUNT(*) FROM ' || tname INTO STRICT cnt;
+            IF cnt <> 3 THEN
+                RAISE EXCEPTION 'bad slice';
+            END IF;
+            EXECUTE format('DELETE FROM %I WHERE n_nationkey = $1', tname)
+                USING 1;
+            EXECUTE 'SELECT MAX(n_nationkey) FROM ' || tname INTO top;
+            RAISE NOTICE 'done';
+        END;
+        $$
+    """).collect()[0]
+    assert out.tag == "DO" and out.n_notices == 1
+    rows = eng.sql(
+        "SELECT n_nationkey FROM dx_t ORDER BY n_nationkey"
+    ).collect()
+    assert [r.n_nationkey for r in rows] == [0, 2]
+    eng.sql("DROP TABLE dx_t PURGE")
+    # refusals + STRICT errors
+    with pytest.raises(NotImplementedError, match="derive from literals"):
+        eng.sql("DO $$ BEGIN EXECUTE some_fn('x'); END; $$")
+    with pytest.raises(NotImplementedError, match="derive from literals"):
+        eng.sql("""
+            DO $$ DECLARE v text := 'SELECT 1';
+            BEGIN EXECUTE format(v); END; $$
+        """)
+    with pytest.raises(NotImplementedError, match="plain identifier"):
+        eng.sql("""
+            DO $$ DECLARE t text := 'x; DROP TABLE orders';
+            BEGIN EXECUTE format('CREATE TABLE %I AS SELECT 1 AS a', t);
+            END; $$
+        """)
+    with pytest.raises(ValueError, match="more than one row"):
+        eng.sql("""
+            DO $$ DECLARE x bigint;
+            BEGIN EXECUTE 'SELECT n_nationkey FROM nation'
+                INTO STRICT x; END; $$
+        """)
+    with pytest.raises(ValueError, match="no rows"):
+        eng.sql("""
+            DO $$ DECLARE x bigint;
+            BEGIN EXECUTE 'SELECT n_nationkey FROM nation WHERE 1=0'
+                INTO STRICT x; END; $$
+        """)
+    # plpgsql FUNCTIONS still refuse EXECUTE (per-row dynamic SQL has
+    # no inlined form)
+    with pytest.raises(NotImplementedError, match="EXECUTE"):
+        eng.sql("""
+            CREATE FUNCTION fdyn(x int) RETURNS int AS $$
+            BEGIN
+                EXECUTE 'SELECT 1';
+                RETURN 1;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+
+
+def test_plpgsql_exit_when_loop(spark):
+    """Bare LOOP with a LEADING EXIT WHEN (pl_exec.cpp
+    exec_stmt_exit): a pre-test counter loop that rewrites to the
+    counter-WHILE closed form; tail EXIT WHEN (do-while) and
+    non-counter conditions refuse naming the rewrite."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION exit_sum(n int) RETURNS bigint AS $$
+        DECLARE i bigint := 1; total bigint := 0;
+        BEGIN
+            LOOP
+                EXIT WHEN i > n;
+                total := total + i;
+                i := i + 1;
+            END LOOP;
+            RETURN total * 10 + i;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT exit_sum(4) AS v").collect()[0].v == 105
+    assert eng.sql("SELECT exit_sum(0) AS v").collect()[0].v == 1
+    eng.sql("DROP FUNCTION exit_sum")
+    with pytest.raises(NotImplementedError, match="LEADING position"):
+        eng.sql("""
+            CREATE FUNCTION ew1(n int) RETURNS bigint AS $$
+            DECLARE t bigint := 0;
+            BEGIN
+                LOOP t := t + 1; EXIT WHEN t > n; END LOOP;
+                RETURN t;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="counter conditions"):
+        eng.sql("""
+            CREATE FUNCTION ew2(n int) RETURNS bigint AS $$
+            DECLARE t bigint := 0; done boolean := false;
+            BEGIN
+                LOOP EXIT WHEN done; t := t + 1; END LOOP;
+                RETURN t;
             END;
             $$ LANGUAGE plpgsql
         """)
