@@ -70,6 +70,7 @@ GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",
     "do_block_dynexecute",
+    "do_block_exception_rollback",
     # (b) churned-code re-gates this round: gin_index.py (incremental
     # delta maintenance, predicate-column routing, prefix phrases),
     # schemas.py (creation targets never resolve through search_path),
@@ -78,7 +79,6 @@ GATE_PRIORITY: list[str] = [
     "gin_index_fts",
     "trgm_gin_search",
     "search_path_resolution",
-    "schema_qualified_lifecycle",
     "plpgsql_while_loop",
     "plpgsql_guard_function",
     "ctas_insert_select",

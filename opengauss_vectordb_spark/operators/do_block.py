@@ -26,9 +26,20 @@ statement text (INSERT / UPDATE / DELETE / CREATE / COPY / ...)
 executed through Engine.sql with variable references substituted as
 typed SQL literals.
 
+EXCEPTION frames (round 9) carry REAL rollback semantics: the frame
+snapshots every managed table's latest CSN at entry, and an error
+restores advanced tables through the TIMECAPSULE machinery
+(read_snapshot + rewrite) and drops block-created tables — rollback
+happens BEFORE the handler search, so an unmatched error still rolls
+back and re-throws, matching pl_exec.cpp:95's subtransaction abort.
+Handlers dispatch on the ACTUAL runtime error class (the frame runs
+under ANSI evaluation so zero divisions / bad casts RAISE the way PG
+raises them), and variables keep their pre-error values.
+
 NOT supported (clear errors): loops (set-based rewrite — one
-distributed statement), EXCEPTION blocks (no subtransactions), and
-cursors (session-level DECLARE CURSOR).
+distributed statement), DROP/ALTER inside a guarded block (their
+undo lives outside the frame's reach), and cursors (session-level
+DECLARE CURSOR).
 """
 
 from __future__ import annotations
@@ -56,9 +67,6 @@ _UNSUPPORTED = [
                 re.IGNORECASE),
      "loops in DO blocks: rewrite the loop as one set-oriented "
      "statement (INSERT/UPDATE ... SELECT)"),
-    (re.compile(r"\bEXCEPTION\s+WHEN\b", re.IGNORECASE),
-     "EXCEPTION blocks need subtransactions; guard with IF ... RAISE "
-     "EXCEPTION instead"),
     (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
      "cursors inside DO blocks: DECLARE CURSOR at the session level"),
 ]
@@ -395,7 +403,13 @@ def try_handle_stmt(engine, query: str):
     runner = _DoRunner(engine)
     if "decls" in md.groupdict() and md.groupdict().get("decls"):
         _parse_decls_values(md.group("decls"), runner)
-    runner.run(md.group("body"))
+    from .plpgsql import _split_exception
+
+    exc = _split_exception(md.group("body"))
+    if exc is not None:
+        _run_with_exception_frame(engine, runner, exc[0], exc[1])
+    else:
+        runner.run(md.group("body"))
     rows = [("DO", runner.executed, len(runner.notices),
              "\n".join(runner.notices))]
     return engine.spark.createDataFrame(
@@ -403,6 +417,158 @@ def try_handle_stmt(engine, query: str):
         "tag STRING, statements_executed INT, n_notices INT,"
         " notices STRING",
     )
+
+
+# --------------------------------------------------------------------------
+# EXCEPTION frames in DO blocks — pl_exec.cpp:95 exec_stmt_block's
+# exception frame, with REAL rollback semantics: the reference opens a
+# subtransaction and aborts it before running the handler; here the
+# TableManager's commit log (the TIMECAPSULE machinery) plays the undo
+# role — the frame snapshots every managed table's latest CSN at block
+# entry, and an error restores each advanced table to its entry CSN
+# (read_snapshot + rewrite, the same path TIMECAPSULE TABLE ... TO CSN
+# uses) and drops tables the block created.  Because the DO runner
+# executes driver-side, the handler dispatches on the ACTUAL runtime
+# error (unlike the plpgsql compiler's static guards) and variables
+# keep their pre-error values, exactly PG's semantics.  DDL beyond
+# CREATE TABLE refuses inside a guarded block: ALTER marks a flashback
+# barrier and DROP parks storage in the recyclebin — both put the undo
+# outside the frame's reach.
+# --------------------------------------------------------------------------
+
+_EXC_CLASS_PATTERNS = [
+    ("division_by_zero",
+     re.compile(r"DIVIDE_BY_ZERO|division by zero|INTERVAL_DIVIDED",
+                re.IGNORECASE)),
+    ("invalid_text_representation",
+     re.compile(r"CAST_INVALID_INPUT|CANNOT_PARSE|invalid input syntax",
+                re.IGNORECASE)),
+    ("numeric_value_out_of_range",
+     re.compile(r"ARITHMETIC_OVERFLOW|CAST_OVERFLOW|NUMERIC_VALUE_OUT"
+                r"|out of range", re.IGNORECASE)),
+    ("raise_exception",
+     re.compile(r"DO block RAISE EXCEPTION")),
+]
+
+_DO_EXC_CONDS = {
+    "division_by_zero", "invalid_text_representation",
+    "numeric_value_out_of_range", "raise_exception", "others",
+}
+
+
+def _classify_error(ex: BaseException) -> set[str]:
+    s = str(ex)
+    return {name for name, pat in _EXC_CLASS_PATTERNS if pat.search(s)}
+
+
+def _parse_handlers(handlers_text: str) -> list[tuple[list[str], str]]:
+    from .plpgsql import _HANDLER_WHEN
+
+    m0 = _HANDLER_WHEN.match(handlers_text)
+    if m0 is None:
+        raise ValueError("DO block: EXCEPTION section without a "
+                         "WHEN <condition> THEN handler")
+    def _conds(m):
+        return [c.strip().lower()
+                for c in re.split(r"\s+OR\s+", m.group("conds"),
+                                  flags=re.IGNORECASE)]
+    handlers: list[tuple[list[str], str]] = []
+    conds, pos, seg_start = _conds(m0), m0.end(), m0.end()
+    while pos < len(handlers_text):
+        rest = handlers_text[pos:].lstrip()
+        off = len(handlers_text[pos:]) - len(rest)
+        mn = _HANDLER_WHEN.match(handlers_text, pos + off)
+        if mn and all(c in _DO_EXC_CONDS for c in _conds(mn)):
+            handlers.append((conds, handlers_text[seg_start:pos + off]))
+            conds, pos = _conds(mn), mn.end()
+            seg_start = pos
+            continue
+        _stmt, pos = _scan_stmt(handlers_text, pos + off)
+    handlers.append((conds, handlers_text[seg_start:]))
+    for cs, _stmts in handlers:
+        bad = [c for c in cs if c not in _DO_EXC_CONDS]
+        if bad:
+            raise NotImplementedError(
+                f"DO block EXCEPTION: condition {bad[0]!r} has no "
+                "driver-side error mapping — supported: "
+                + ", ".join(sorted(_DO_EXC_CONDS))
+            )
+    return handlers
+
+
+def _run_with_exception_frame(
+    engine, runner: _DoRunner, main: str, handlers_text: str
+) -> None:
+    handlers = _parse_handlers(handlers_text)
+    if re.search(r"\b(DROP|ALTER)\s+TABLE\b|\bDROP\s+SCHEMA\b",
+                 _mask_strings(main), re.IGNORECASE):
+        raise NotImplementedError(
+            "DO block EXCEPTION: DROP/ALTER inside a guarded block "
+            "puts the undo outside the frame's reach (ALTER marks a "
+            "flashback barrier; DROP parks storage in the recyclebin) "
+            "— move the DDL outside the block, or guard with IF "
+            "checks before it"
+        )
+    mt = engine.managed_tables
+    entry_csn = {
+        t: (meta.get("history") or [{"csn": 0}])[-1]["csn"]
+        for t, meta in mt.tables.items()
+    }
+    # inside the frame, errors must RAISE the way PG raises them:
+    # non-ANSI Spark nulls a zero division / bad cast instead of
+    # erroring, which would silently skip the handler — so the frame
+    # runs under ANSI evaluation and restores the setting after
+    # (pl_exec.cpp's guarded block is exactly the scope where PG's
+    # error semantics are load-bearing)
+    conf = engine.spark.conf
+    prev_ansi = conf.get("spark.sql.ansi.enabled", "false")
+    conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        runner.run(main)
+        return
+    except BaseException as ex:  # noqa: BLE001 — the frame's whole job
+        # the subtransaction aborts BEFORE the handler search
+        # (pl_exec exec_stmt_block): rollback happens whether or not
+        # a handler matches, then an unmatched error re-throws
+        _rollback_to(engine, entry_csn, ex)
+        classes = _classify_error(ex)
+        chosen = None
+        for cs, stmts in handlers:
+            if (classes & set(cs)) or "others" in cs:
+                chosen = stmts
+                break
+        if chosen is None:
+            raise  # no matching handler: propagate (PG re-throw)
+    finally:
+        conf.set("spark.sql.ansi.enabled", prev_ansi)
+    runner.run(chosen)
+
+
+def _rollback_to(engine, entry_csn: dict, original: BaseException) -> None:
+    """Restore every managed table the block touched to its entry
+    CSN — tcap_version.cpp TvRestoreVersion driven by the exception
+    frame instead of a TIMECAPSULE statement.  Tables the block
+    created drop with PURGE (they never existed)."""
+    mt = engine.managed_tables
+    for t in [t for t in mt.tables if t not in entry_csn]:
+        mt.drop(t, purge=True)
+    for t, csn in entry_csn.items():
+        meta = mt.tables.get(t)
+        if meta is None:
+            continue  # DROP refused upfront; unreachable in practice
+        hist = meta.get("history") or []
+        if not hist or hist[-1]["csn"] == csn:
+            continue  # untouched
+        try:
+            snap = mt.read_snapshot(t, csn)
+        except ValueError as roll_err:
+            raise RuntimeError(
+                f"DO block EXCEPTION: cannot roll {t!r} back to its "
+                f"entry state ({roll_err}); the original error "
+                "follows"
+            ) from original
+        mt.tag_commit(t, "exception rollback")
+        mt.rewrite(t, snap)
 
 
 # --------------------------------------------------------------------------
@@ -603,7 +769,13 @@ def try_handle_procedure(engine, query: str):
             )
         if "decls" in md.groupdict() and md.groupdict().get("decls"):
             _parse_decls_values(md.group("decls"), runner)
-        runner.run(md.group("body"))
+        from .plpgsql import _split_exception
+
+        exc = _split_exception(md.group("body"))
+        if exc is not None:
+            _run_with_exception_frame(engine, runner, exc[0], exc[1])
+        else:
+            runner.run(md.group("body"))
         outs = [(p, t) for p, t, mode in params if mode != "in"]
         if outs:
             # hw_func_return_out.sql: OUT/INOUT values ARE the CALL
@@ -817,6 +989,75 @@ def do_block_dynexecute(spark, sf_dir):
         eng.sql("DROP TABLE dyn_gate_t PURGE")
         return spark.createDataFrame(
             rows, "o_orderstatus STRING, n BIGINT, top DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register_query(
+    "do_block_exception_rollback",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ROLLBACK' AS o_orderstatus, CAST(1 AS BIGINT) AS n,
+           CAST(-1.0 AS DOUBLE) AS total
+    ORDER BY o_orderstatus
+    """,
+)
+def do_block_exception_rollback(spark, sf_dir):
+    """EXCEPTION frame rollback end-to-end (pl_exec.cpp:95
+    exec_stmt_block's subtransaction abort): the guarded block doubles
+    every price in a working table and then fails; the frame restores
+    the table to its entry CSN through the TIMECAPSULE commit log and
+    the handler appends one sentinel row — so the final aggregate
+    equals the UNTOUCHED entry state plus the sentinel, which is
+    exactly what the oracle states over the pristine source.
+
+    Scale: the rollback cost is one snapshot rewrite of the touched
+    table (the same copy-on-write move every UPDATE already makes),
+    driven by manifest metadata — no undo log, no row-level locks."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="excframe_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE exc_gate_t AS SELECT o_orderkey,"
+            " o_orderstatus, CAST(o_totalprice AS DOUBLE) AS"
+            " o_totalprice FROM orders WHERE o_orderkey <= 2000"
+        )
+        tag = eng.sql("""
+            DO $$
+            DECLARE denom bigint := 0; junk double precision;
+            BEGIN
+                UPDATE exc_gate_t SET o_totalprice = o_totalprice * 2;
+                DELETE FROM exc_gate_t WHERE o_orderstatus = 'O';
+                junk := 1 / denom;
+            EXCEPTION WHEN division_by_zero THEN
+                INSERT INTO exc_gate_t SELECT -1, 'ROLLBACK', -1.0;
+            END;
+            $$
+        """).collect()[0]
+        assert tag.tag == "DO"
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            " AS total FROM exc_gate_t"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE exc_gate_t PURGE")
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n BIGINT, total DOUBLE"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

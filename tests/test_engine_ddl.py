@@ -2600,3 +2600,93 @@ def test_plpgsql_exit_when_loop(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_do_block_exception_frame_rollback(spark, tmp_path):
+    """EXCEPTION frames in DO blocks (pl_exec.cpp:95 exec_stmt_block)
+    with REAL rollback: the frame snapshots managed-table CSNs at
+    entry; an error restores every advanced table (TIMECAPSULE
+    machinery) and drops block-created tables BEFORE the handler
+    search — an unmatched error still rolls back, then re-throws.
+    Handlers dispatch on the ACTUAL runtime error; variables keep
+    their pre-error values."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE acct AS SELECT * FROM VALUES
+          (1, 100.0), (2, 50.0) AS t(id, bal)
+    """)
+    out = eng.sql("""
+        DO $$
+        DECLARE denom bigint := 0; moved double precision := 40.0;
+                r double precision;
+        BEGIN
+            UPDATE acct SET bal = bal - moved WHERE id = 1;
+            CREATE TABLE audit9 AS SELECT 1 AS seen;
+            r := 100 / denom;
+            UPDATE acct SET bal = bal + moved WHERE id = 2;
+        EXCEPTION WHEN division_by_zero THEN
+            RAISE NOTICE 'transfer aborted';
+            INSERT INTO acct SELECT 99, moved;
+        END;
+        $$
+    """).collect()[0]
+    assert out.n_notices == 1 and "aborted" in out.notices
+    state = sorted(
+        (r.id, float(r.bal))
+        for r in eng.sql("SELECT * FROM acct").collect()
+    )
+    # both UPDATEs rolled back; the handler's INSERT applied and READ
+    # the pre-error variable value (moved = 40.0)
+    assert state == [(1, 100.0), (2, 50.0), (99, 40.0)]
+    assert "audit9" not in eng.managed_tables.tables  # created → dropped
+    # unmatched error: rollback still happens, then re-throw
+    with pytest.raises(RuntimeError, match="boom"):
+        eng.sql("""
+            DO $$
+            BEGIN
+                DELETE FROM acct WHERE id = 99;
+                RAISE EXCEPTION 'boom';
+            EXCEPTION WHEN division_by_zero THEN
+                RAISE NOTICE 'wrong class';
+            END;
+            $$
+        """)
+    assert eng.sql(
+        "SELECT COUNT(*) AS c FROM acct WHERE id = 99"
+    ).collect()[0].c == 1  # the DELETE rolled back
+    # cast failure class + OTHERS catching RAISE
+    out = eng.sql("""
+        DO $$
+        DECLARE v bigint;
+        BEGIN
+            v := CAST('no' AS bigint);
+        EXCEPTION WHEN invalid_text_representation THEN
+            RAISE NOTICE 'bad parse';
+        END;
+        $$
+    """).collect()[0]
+    assert "bad parse" in out.notices
+    # ANSI evaluation is frame-scoped: outside, the engine's
+    # non-ANSI semantics are untouched
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    # DDL beyond CREATE refuses inside a guarded block
+    with pytest.raises(NotImplementedError, match="undo outside"):
+        eng.sql("""
+            DO $$
+            BEGIN
+                DROP TABLE acct;
+            EXCEPTION WHEN others THEN RAISE NOTICE 'x';
+            END;
+            $$
+        """)
+    with pytest.raises(NotImplementedError, match="no driver-side"):
+        eng.sql("""
+            DO $$
+            BEGIN
+                RAISE EXCEPTION 'x';
+            EXCEPTION WHEN unique_violation THEN RAISE NOTICE 'x';
+            END;
+            $$
+        """)
+    eng.sql("DROP TABLE acct PURGE")
