@@ -82,10 +82,9 @@ def _plainto_text(q: str) -> str:
 
 def _websearch_text(q: str) -> str:
     """websearch_to_tsquery grammar → tsquery text: bare words AND,
-    OR separates disjuncts, -token negates, "two words" is a phrase.
-    Quoted phrases of 3+ words need the chained-phrase evaluator —
-    use the DataFrame helper (operators/text.py
-    websearch_to_tsquery), which is exact."""
+    OR separates disjuncts, -token negates, "quoted words" become a
+    followed-by chain (round 9: any length — the variadic phrase
+    node evaluates chains exactly, indexed or inline)."""
     raw = re.findall(r'-?"[^"]*"|\S+', q)
     groups: list[list[str]] = [[]]
     for tok in raw:
@@ -98,17 +97,9 @@ def _websearch_text(q: str) -> str:
         words = re.findall(r"[a-z0-9]+", tok.lower())
         if not words:
             continue
-        if tok.startswith('"') and len(words) > 2:
-            raise NotImplementedError(
-                "websearch_to_tsquery in SQL text supports quoted "
-                "phrases of at most two words (the token model's "
-                "<-> is binary) — use the DataFrame helper "
-                "operators/text.py websearch_to_tsquery for longer "
-                "phrase chains"
-            )
         item = (
-            f"{words[0]} <-> {words[1]}"
-            if tok.startswith('"') and len(words) == 2
+            " <-> ".join(words)
+            if tok.startswith('"') and len(words) >= 2
             else " & ".join(words)
         )
         if neg:
@@ -465,22 +456,36 @@ def _match_select(node, view: str) -> str | None:
             return None
         return f"({l_sql}) UNION ({r_sql})"
     if kind == "phrase":
-        # prefix operands (foo:* <-> bar) match by LIKE over the
-        # sorted lexemes, same as the term branch — a literal
-        # comparison against 'foo:*' would silently match nothing
+        # n-way chain: one posting scan per word, equi-joined on
+        # doc_id, then a single common start position must carry
+        # every word at its offset — exists(p of word0: p+j in
+        # positions_j ∀j).  Pairwise overlap would accept docs with
+        # no single common start.  Prefix operands (foo:* <-> bar)
+        # match by LIKE over the sorted lexemes, same as the term
+        # branch — a literal comparison against 'foo:*' would
+        # silently match nothing.
         def _lex_pred(alias: str, t: str) -> str:
             if t.endswith(":*"):
                 stem = t[:-2].replace("'", "''")
                 return f"{alias}.lexeme LIKE '{stem}%'"
             return f"{alias}.lexeme = '" + t.replace("'", "''") + "'"
 
+        words = node[1:]
+        joins = " ".join(
+            f"JOIN {view} x{j} ON x0.doc_id = x{j}.doc_id"
+            for j in range(1, len(words))
+        )
+        preds = " AND ".join(
+            _lex_pred(f"x{j}", w) for j, w in enumerate(words)
+        )
+        follow = " AND ".join(
+            f"array_contains(x{j}.positions, p + {j})"
+            for j in range(1, len(words))
+        )
         return (
-            f"SELECT x.doc_id FROM {view} x JOIN {view} y"
-            f" ON x.doc_id = y.doc_id"
-            f" WHERE {_lex_pred('x', node[1])}"
-            f" AND {_lex_pred('y', node[2])}"
-            f" AND arrays_overlap("
-            f"transform(x.positions, p -> p + 1), y.positions)"
+            f"SELECT x0.doc_id FROM {view} x0 {joins}"
+            f" WHERE {preds}"
+            f" AND exists(x0.positions, p -> {follow})"
         )
     return None  # NOT: universe needed — inline fallback
 
@@ -529,12 +534,26 @@ def _inline_predicate(col: str, querytext: str) -> str:
                 return f"{var} LIKE '{stem}%'"
             return f"{var} = '" + t.replace("'", "''") + "'"
 
+        words = n[1:]
+        if len(words) == 2:
+            return (
+                f"exists(zip_with({lex}, "
+                f"slice({lex}, 2, greatest(size({lex}) - 1, 0)), "
+                f"(x, y) -> coalesce({_tok_pred('x', words[0])} AND "
+                f"{_tok_pred('y', words[1])}, false)), "
+                f"p -> p)"
+            )
+        # n-word chain: scan candidate starts, one element_at test
+        # per offset (operators/text.py ts_phrase_chain in SQL text)
+        k = len(words)
+        tests = " AND ".join(
+            _tok_pred(f"element_at({lex}, CAST(i + {j} AS INT))", w)
+            for j, w in enumerate(words)
+        )
         return (
-            f"exists(zip_with({lex}, "
-            f"slice({lex}, 2, greatest(size({lex}) - 1, 0)), "
-            f"(x, y) -> coalesce({_tok_pred('x', n[1])} AND "
-            f"{_tok_pred('y', n[2])}, false)), "
-            f"p -> p)"
+            f"(size({lex}) >= {k} AND exists("
+            f"sequence(1, size({lex}) - {k - 1}), "
+            f"i -> coalesce({tests}, false)))"
         )
 
     return compile_node(node)

@@ -410,18 +410,24 @@ def _tsquery_ast(querytext: str):
     def parse_phrase():
         # phrase operands must be plain terms — position algebra over
         # arbitrary subexpressions needs full position-set evaluation,
-        # which the token model deliberately does not carry
+        # which the token model deliberately does not carry.  Chains
+        # (`a <-> b <-> c`) parse into ONE variadic phrase node:
+        # ('phrase', w0, w1, ..., wn-1), consecutive-position
+        # semantics (PG's <-> is distance-1, left-associative).
         if peek() not in ("!", "(") and peek() is not None and peek() not in ("&", "|", ")"):
             first = toks[pos]
             if pos + 1 < len(toks) and toks[pos + 1] == "<->":
                 take()  # first term
-                take("<->")
-                second = take()
-                if second in ("&", "|", "!", "(", ")", "<->"):
-                    raise ValueError(
-                        f"tsquery {querytext!r}: <-> needs plain terms"
-                    )
-                return ("phrase", first, second)
+                words = [first]
+                while peek() == "<->":
+                    take("<->")
+                    nxt = take()
+                    if nxt in ("&", "|", "!", "(", ")", "<->"):
+                        raise ValueError(
+                            f"tsquery {querytext!r}: <-> needs plain terms"
+                        )
+                    words.append(nxt)
+                return ("phrase", *words)
         return parse_not()
 
     def parse_not():
@@ -459,7 +465,7 @@ def _tsquery_compile(ts: Column, node) -> Column:
         return _tsquery_compile(ts, node[1]) | _tsquery_compile(ts, node[2])
     if kind == "not":
         return ~_tsquery_compile(ts, node[1])
-    return ts_phrase_match(ts, node[1], node[2])
+    return ts_phrase_chain(ts, list(node[1:]))
 
 
 def _tsquery_text(node) -> str:
@@ -469,7 +475,7 @@ def _tsquery_text(node) -> str:
     if kind == "term":
         return node[1]
     if kind == "phrase":
-        return f"{node[1]} <-> {node[2]}"
+        return " <-> ".join(node[1:])
     if kind == "not":
         inner = _tsquery_text(node[1])
         return f"!{inner}" if node[1][0] == "term" else f"!({inner})"
@@ -883,13 +889,19 @@ def ts_phrase_chain(ts: Column, words: list[str]) -> Column:
     words[0..n-1] at consecutive lexeme slots. The 2-word case reuses the
     shifted zip_with; longer phrases scan candidate starts with one
     element_at conjunction per offset — still a pure codegen'd predicate
-    (no explode, no join)."""
+    (no explode, no join).  Prefix operands (``foo:*``) match by
+    startswith, like the term branch."""
+    def _one(x: Column, w: str) -> Column:
+        if w.endswith(":*"):
+            return x.startswith(F.lit(w[:-2]))
+        return x == F.lit(w)
+
     if len(words) == 1:
-        return F.array_contains(ts, words[0])
-    if len(words) == 2:
+        return _tsquery_compile(ts, ("term", words[0]))
+    if len(words) == 2 and not any(w.endswith(":*") for w in words):
         return ts_phrase_match(ts, words[0], words[1])
     n = len(words)
-    at = lambda i, j: F.element_at(ts, i + j) == F.lit(words[j])  # noqa: E731
+    at = lambda i, j: _one(F.element_at(ts, i + j), words[j])  # noqa: E731
 
     def all_match(i):
         cond = at(i, 0)
@@ -1371,7 +1383,8 @@ def _tsquery_size(node) -> int:
     if kind == "term":
         return 1
     if kind == "phrase":
-        return 3
+        # n values + (n-1) followed-by operators
+        return 2 * len(node[1:]) - 1
     if kind == "not":
         return 1 + _tsquery_size(node[1])
     return 1 + _tsquery_size(node[1]) + _tsquery_size(node[2])
@@ -1382,7 +1395,7 @@ def _tsquery_lexemes(node) -> set:
     if kind == "term":
         return {node[1]}
     if kind == "phrase":
-        return {node[1], node[2]}
+        return set(node[1:])
     if kind == "not":
         return _tsquery_lexemes(node[1])
     return _tsquery_lexemes(node[1]) | _tsquery_lexemes(node[2])

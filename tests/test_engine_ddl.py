@@ -2101,9 +2101,57 @@ def test_plainto_websearch_sql_text(spark):
                    '\'"hash join"\')') == inline
     finally:
         eng.sql("DROP INDEX ws_gin")
-    with pytest.raises(NotImplementedError, match="two words"):
-        cnt("to_tsvector(text) @@ websearch_to_tsquery("
-            "'\"one two three\"')")
+    # round 9: 3+-word quoted phrases compile as followed-by chains
+    # (inline here; the indexed route is covered by
+    # test_gin_phrase_chain) and agree with the DataFrame helper
+    n3 = cnt("to_tsvector(text) @@ websearch_to_tsquery("
+             "'\"hash join row\"')")
+    assert n3 == eng.table("documents").filter(
+        websearch_to_tsquery(ts_lexemes(F.col("text")),
+                             '"hash join row"')
+    ).count()
+
+
+def test_gin_phrase_chain(spark, tmp_path):
+    """n-word followed-by chains (a <-> b <-> c): the variadic phrase
+    node needs ONE common start position carrying every word at its
+    offset — pairwise overlap would accept interleaved decoys.
+    Indexed (posting positions join) and inline (element_at scan)
+    agree, including prefix operands."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE ph3 AS SELECT * FROM VALUES
+          (1, 'fast hash join row'),
+          (2, 'hash scan join gap row'),
+          (3, 'hash join row batch'),
+          (4, 'row join hash') AS t(doc_id, body)
+    """)
+    q = ("SELECT doc_id FROM ph3 WHERE to_tsvector(body) @@"
+         " to_tsquery('hash <-> join <-> row') ORDER BY doc_id")
+    inline = [r.doc_id for r in eng.sql(q).collect()]
+    assert inline == [1, 3]  # doc 2 has the words but not consecutive
+    qp = ("SELECT doc_id FROM ph3 WHERE to_tsvector(body) @@"
+          " to_tsquery('ha:* <-> join <-> row') ORDER BY doc_id")
+    assert [r.doc_id for r in eng.sql(qp).collect()] == [1, 3]
+    eng.sql("CREATE INDEX ph3_gin ON ph3 USING gin (body)")
+    try:
+        assert [r.doc_id for r in eng.sql(q).collect()] == inline
+        assert [r.doc_id for r in eng.sql(qp).collect()] == [1, 3]
+    finally:
+        eng.sql("DROP INDEX ph3_gin")
+    # DataFrame helper agrees
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.operators.text import (
+        to_tsquery as tsq,
+        ts_lexemes,
+    )
+    n = eng.spark.table("ph3").filter(
+        tsq(ts_lexemes(F.col("body")), "hash <-> join <-> row")
+    ).count()
+    assert n == 2
+    eng.sql("DROP TABLE ph3 PURGE")
 
 
 def test_gin_routing_binds_predicate_column_table(spark, tmp_path):
