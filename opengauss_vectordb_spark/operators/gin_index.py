@@ -455,32 +455,34 @@ def _match_select(node, view: str) -> str | None:
         if l_sql is None or r_sql is None:
             return None
         return f"({l_sql}) UNION ({r_sql})"
-    if kind == "phrase":
+    if kind in ("phrase", "phrasen"):
         # n-way chain: one posting scan per word, equi-joined on
         # doc_id, then a single common start position must carry
-        # every word at its offset — exists(p of word0: p+j in
+        # every word at its offset — exists(p of word0: p+off_j in
         # positions_j ∀j).  Pairwise overlap would accept docs with
         # no single common start.  Prefix operands (foo:* <-> bar)
         # match by LIKE over the sorted lexemes, same as the term
         # branch — a literal comparison against 'foo:*' would
-        # silently match nothing.
+        # silently match nothing.  'phrasen' carries EXACT distances
+        # (tsquery_phrase's a <N> b) as cumulative offsets.
         def _lex_pred(alias: str, t: str) -> str:
             if t.endswith(":*"):
                 stem = t[:-2].replace("'", "''")
                 return f"{alias}.lexeme LIKE '{stem}%'"
             return f"{alias}.lexeme = '" + t.replace("'", "''") + "'"
 
-        words = node[1:]
+        pairs = (list(node[1:]) if kind == "phrasen"
+                 else [(w, j) for j, w in enumerate(node[1:])])
         joins = " ".join(
             f"JOIN {view} x{j} ON x0.doc_id = x{j}.doc_id"
-            for j in range(1, len(words))
+            for j in range(1, len(pairs))
         )
         preds = " AND ".join(
-            _lex_pred(f"x{j}", w) for j, w in enumerate(words)
+            _lex_pred(f"x{j}", w) for j, (w, _off) in enumerate(pairs)
         )
         follow = " AND ".join(
-            f"array_contains(x{j}.positions, p + {j})"
-            for j in range(1, len(words))
+            f"array_contains(x{j}.positions, p + {off})"
+            for j, (_w, off) in enumerate(pairs[1:], start=1)
         )
         return (
             f"SELECT x0.doc_id FROM {view} x0 {joins}"
@@ -534,25 +536,28 @@ def _inline_predicate(col: str, querytext: str) -> str:
                 return f"{var} LIKE '{stem}%'"
             return f"{var} = '" + t.replace("'", "''") + "'"
 
-        words = n[1:]
-        if len(words) == 2:
+        pairs = (list(n[1:]) if kind == "phrasen"
+                 else [(w, j) for j, w in enumerate(n[1:])])
+        if kind == "phrase" and len(pairs) == 2:
             return (
                 f"exists(zip_with({lex}, "
                 f"slice({lex}, 2, greatest(size({lex}) - 1, 0)), "
-                f"(x, y) -> coalesce({_tok_pred('x', words[0])} AND "
-                f"{_tok_pred('y', words[1])}, false)), "
+                f"(x, y) -> coalesce({_tok_pred('x', pairs[0][0])} AND "
+                f"{_tok_pred('y', pairs[1][0])}, false)), "
                 f"p -> p)"
             )
         # n-word chain: scan candidate starts, one element_at test
-        # per offset (operators/text.py ts_phrase_chain in SQL text)
-        k = len(words)
+        # per offset (operators/text.py ts_phrase_chain /
+        # ts_phrase_offsets in SQL text); 'phrasen' carries exact
+        # <N> distances as cumulative offsets
+        span = pairs[-1][1]
         tests = " AND ".join(
-            _tok_pred(f"element_at({lex}, CAST(i + {j} AS INT))", w)
-            for j, w in enumerate(words)
+            _tok_pred(f"element_at({lex}, CAST(i + {off} AS INT))", w)
+            for w, off in pairs
         )
         return (
-            f"(size({lex}) >= {k} AND exists("
-            f"sequence(1, size({lex}) - {k - 1}), "
+            f"(size({lex}) >= {span + 1} AND exists("
+            f"sequence(1, size({lex}) - {span}), "
             f"i -> coalesce({tests}, false)))"
         )
 

@@ -376,7 +376,7 @@ def _tsquery_ast(querytext: str):
     <->, then &, then |."""
     import re
 
-    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+(?::\*)?",
+    toks = re.findall(r"<->|<\d+>|[&|!()]|[a-z0-9]+(?::\*)?",
                       querytext.lower())
     pos = 0
 
@@ -414,20 +414,34 @@ def _tsquery_ast(querytext: str):
         # (`a <-> b <-> c`) parse into ONE variadic phrase node:
         # ('phrase', w0, w1, ..., wn-1), consecutive-position
         # semantics (PG's <-> is distance-1, left-associative).
+        # Explicit distances (`a <2> b`, tsquery_phrase's EXACT gap)
+        # parse into ('phrasen', (w0, 0), (w1, off1), ...) with
+        # cumulative offsets; an all-<1> chain normalizes to the
+        # plain phrase node so <-> and <1> are the same query.
+        def _is_gap(t):
+            return t == "<->" or (
+                t is not None and re.fullmatch(r"<\d+>", t)
+            )
+
         if peek() not in ("!", "(") and peek() is not None and peek() not in ("&", "|", ")"):
             first = toks[pos]
-            if pos + 1 < len(toks) and toks[pos + 1] == "<->":
+            if pos + 1 < len(toks) and _is_gap(toks[pos + 1]):
                 take()  # first term
-                words = [first]
-                while peek() == "<->":
-                    take("<->")
+                pairs = [(first, 0)]
+                while _is_gap(peek()):
+                    gap_tok = take()
+                    gap = 1 if gap_tok == "<->" else int(gap_tok[1:-1])
                     nxt = take()
-                    if nxt in ("&", "|", "!", "(", ")", "<->"):
+                    if nxt in ("&", "|", "!", "(", ")") or _is_gap(nxt):
                         raise ValueError(
                             f"tsquery {querytext!r}: <-> needs plain terms"
                         )
-                    words.append(nxt)
-                return ("phrase", *words)
+                    pairs.append((nxt, pairs[-1][1] + gap))
+                if all(
+                    b[1] - a[1] == 1 for a, b in zip(pairs, pairs[1:])
+                ):
+                    return ("phrase", *[w for w, _ in pairs])
+                return ("phrasen", *pairs)
         return parse_not()
 
     def parse_not():
@@ -465,6 +479,8 @@ def _tsquery_compile(ts: Column, node) -> Column:
         return _tsquery_compile(ts, node[1]) | _tsquery_compile(ts, node[2])
     if kind == "not":
         return ~_tsquery_compile(ts, node[1])
+    if kind == "phrasen":
+        return ts_phrase_offsets(ts, list(node[1:]))
     return ts_phrase_chain(ts, list(node[1:]))
 
 
@@ -476,6 +492,13 @@ def _tsquery_text(node) -> str:
         return node[1]
     if kind == "phrase":
         return " <-> ".join(node[1:])
+    if kind == "phrasen":
+        pairs = node[1:]
+        out = [pairs[0][0]]
+        for a, b in zip(pairs, pairs[1:]):
+            out.append(f"<{b[1] - a[1]}>")
+            out.append(b[0])
+        return " ".join(out)
     if kind == "not":
         inner = _tsquery_text(node[1])
         return f"!{inner}" if node[1][0] == "term" else f"!({inner})"
@@ -659,14 +682,14 @@ def tsquery_terms(querytext: str) -> list[str]:
     to_tsquery compiler above — same token grammar."""
     import re
 
-    toks = re.findall(r"<->|[&|!()]|[a-z0-9]+(?::\*)?",
+    toks = re.findall(r"<->|<\d+>|[&|!()]|[a-z0-9]+(?::\*)?",
                       querytext.lower())
     out: list[str] = []
     negate_next = False
     for t in toks:
         if t == "!":
             negate_next = True
-        elif t in ("&", "|", "(", ")", "<->"):
+        elif t in ("&", "|", "(", ")", "<->") or t.startswith("<"):
             pass  # `!(...)` scope is handled by the caller's match filter;
             # for ranking, any term inside a NOT-group is conservative to
             # keep, but plain `!term` must be dropped
@@ -912,6 +935,30 @@ def ts_phrase_chain(ts: Column, words: list[str]) -> Column:
     return F.when(
         F.size(ts) >= n,
         F.exists(F.sequence(F.lit(1), F.size(ts) - (n - 1)), all_match),
+    ).otherwise(F.lit(False))
+
+
+def ts_phrase_offsets(ts: Column, pairs: list[tuple[str, int]]) -> Column:
+    """Distance phrases (tsquery_phrase's ``a <N> b`` — the gap is
+    EXACT, not within-N): some start position i carries each word at
+    its cumulative offset.  Same codegen'd scan as ts_phrase_chain,
+    with the offsets decoupled from the word index."""
+    span = pairs[-1][1]
+
+    def _one(x: Column, w: str) -> Column:
+        if w.endswith(":*"):
+            return x.startswith(F.lit(w[:-2]))
+        return x == F.lit(w)
+
+    def all_match(i):
+        cond = _one(F.element_at(ts, i + pairs[0][1]), pairs[0][0])
+        for w, off in pairs[1:]:
+            cond = cond & _one(F.element_at(ts, i + off), w)
+        return cond
+
+    return F.when(
+        F.size(ts) >= span + 1,
+        F.exists(F.sequence(F.lit(1), F.size(ts) - span), all_match),
     ).otherwise(F.lit(False))
 
 
@@ -1382,7 +1429,7 @@ def _tsquery_size(node) -> int:
     kind = node[0]
     if kind == "term":
         return 1
-    if kind == "phrase":
+    if kind in ("phrase", "phrasen"):
         # n values + (n-1) followed-by operators
         return 2 * len(node[1:]) - 1
     if kind == "not":
@@ -1396,6 +1443,8 @@ def _tsquery_lexemes(node) -> set:
         return {node[1]}
     if kind == "phrase":
         return set(node[1:])
+    if kind == "phrasen":
+        return {w for w, _off in node[1:]}
     if kind == "not":
         return _tsquery_lexemes(node[1])
     return _tsquery_lexemes(node[1]) | _tsquery_lexemes(node[2])

@@ -2738,3 +2738,40 @@ def test_do_block_exception_frame_rollback(spark, tmp_path):
             $$
         """)
     eng.sql("DROP TABLE acct PURGE")
+
+
+def test_tsquery_distance_phrases(spark, tmp_path):
+    """Explicit-distance phrases (tsquery_phrase's ``a <N> b`` — the
+    gap is EXACT): parse into the phrasen node with cumulative
+    offsets, <1> normalizes to <->, and indexed/inline evaluation
+    agree; mixed chains (a <-> b <2> c) compose."""
+    from opengauss_vectordb_spark.operators.text import (
+        _tsquery_ast,
+        _tsquery_text,
+    )
+
+    assert _tsquery_ast("a <2> b") == ("phrasen", ("a", 0), ("b", 2))
+    assert _tsquery_ast("a <1> b") == ("phrase", "a", "b")
+    ast = _tsquery_ast("a <-> b <2> c")
+    assert ast == ("phrasen", ("a", 0), ("b", 1), ("c", 3))
+    assert _tsquery_ast(_tsquery_text(ast)) == ast
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE TABLE pn AS SELECT * FROM VALUES
+          (1, 'hash quick join'), (2, 'hash join'),
+          (3, 'hash slow lazy join') AS t(doc_id, body)
+    """)
+    q2 = ("SELECT doc_id FROM pn WHERE to_tsvector(body) @@"
+          " to_tsquery('hash <2> join') ORDER BY doc_id")
+    q3 = ("SELECT doc_id FROM pn WHERE to_tsvector(body) @@"
+          " to_tsquery('hash <3> join') ORDER BY doc_id")
+    assert [r.doc_id for r in eng.sql(q2).collect()] == [1]
+    assert [r.doc_id for r in eng.sql(q3).collect()] == [3]
+    eng.sql("CREATE INDEX pn_gin ON pn USING gin (body)")
+    try:
+        assert [r.doc_id for r in eng.sql(q2).collect()] == [1]
+        assert [r.doc_id for r in eng.sql(q3).collect()] == [3]
+    finally:
+        eng.sql("DROP INDEX pn_gin")
+        eng.sql("DROP TABLE pn PURGE")
