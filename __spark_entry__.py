@@ -71,6 +71,8 @@ GATE_PRIORITY: list[str] = [
     "plpgsql_exception_guard",
     "do_block_dynexecute",
     "do_block_exception_rollback",
+    "chunk_documents_chars",
+    "chunk_documents_words",
     # (b) churned-code re-gates this round: gin_index.py (incremental
     # delta maintenance, predicate-column routing, prefix phrases),
     # schemas.py (creation targets never resolve through search_path),
@@ -80,8 +82,6 @@ GATE_PRIORITY: list[str] = [
     "trgm_gin_search",
     "search_path_resolution",
     "plpgsql_while_loop",
-    "plpgsql_guard_function",
-    "ctas_insert_select",
     "cstore_distribute_select_into",
     # (c) rotation — the ENTIRE remaining stale tail: all 40 rows whose
     # last gate evidence is round 2 (computed from the union of

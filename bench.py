@@ -179,6 +179,8 @@ HEADLINE = [
     "plpgsql_foreach_array",
     # round-9 additions (same frozen-prefix rule): read-side rows.
     "plpgsql_exception_guard",
+    "chunk_documents_chars",
+    "chunk_documents_words",
 ]
 
 

@@ -1135,3 +1135,173 @@ def dsir_importance_resample(spark, sf_dir):
         .orderBy((F.col("score") + F.col("gumbel")).desc(), "doc_id")
         .limit(_DSIR_K)
     )
+
+
+# ------------------------------------------------------------------ chunking
+# RAG / context-window chunking — fixed windows with overlap over each
+# document, the preprocessing stage that turns documents into
+# model-window-sized training/retrieval units.  Both variants are pure
+# codegen: explode(sequence(0, n_chunks-1)) generates chunk indexes
+# JVM-side, substring/slice cuts the window — no UDF, no shuffle beyond
+# the explode's narrow dependency, and the chunk math is a pure
+# function of the document so re-chunking a grown corpus never moves
+# old chunks.
+
+def chunk_by_chars(df, text_col: str, size: int, overlap: int,
+                   id_col: str = "doc_id"):
+    """Character-window chunks: windows of ``size`` chars starting
+    every ``size - overlap`` chars while the start is inside the
+    document (the last window may be short).  Returns (id, chunk_idx,
+    chunk, chunk_len)."""
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_by_chars: need 0 <= overlap < size")
+    stride = size - overlap
+    n = F.greatest(
+        F.ceil(F.length(F.col(text_col)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"substring(__t, chunk_idx * {stride} + 1, {size})")
+            .alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+def chunk_by_words(df, text_col: str, n_words: int, overlap: int,
+                   id_col: str = "doc_id"):
+    """Word-window chunks over the whitespace token stream: windows of
+    ``n_words`` tokens every ``n_words - overlap`` tokens (the
+    fixed-token-window chunking retrieval pipelines use).  Returns
+    (id, chunk_idx, chunk, n_tokens)."""
+    if not 0 <= overlap < n_words:
+        raise ValueError("chunk_by_words: need 0 <= overlap < n_words")
+    stride = n_words - overlap
+    ws = F.split(F.trim(F.regexp_replace(
+        F.col(text_col), r"\s+", " ")), " ")
+    n = F.greatest(
+        F.ceil(F.size(ws) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            ws.alias("__w"),
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(
+                f"array_join(slice(__w, chunk_idx * {stride} + 1,"
+                f" {n_words}), ' ')"
+            ).alias("chunk"),
+            F.expr(
+                f"size(slice(__w, chunk_idx * {stride} + 1, {n_words}))"
+            ).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "chunk_documents_chars",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ), n AS (
+      SELECT doc_id, text,
+             CAST(GREATEST(CEIL(length(text) / 150.0), 1) AS INT) AS nch
+      FROM d
+    ), ix AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, nch - 1)) AS chunk_idx
+      FROM n
+    ), c AS (
+      SELECT doc_id, chunk_idx,
+             substring(text, chunk_idx * 150 + 1, 200) AS chunk
+      FROM ix
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           md5(chunk) AS chunk_md5,
+           CAST(length(chunk) AS INT) AS chunk_len
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_chars(spark, sf_dir):
+    """Character-window chunking end-to-end: 200-char windows with
+    50-char overlap (stride 150) over a deterministic corpus slice;
+    the oracle derives the same windows with generate_series +
+    substring, and the md5 of every chunk pins byte-exact window
+    boundaries, not just counts.
+
+    Scale: explode(sequence) is a narrow generated relation — chunking
+    100 TB is map-side work with output ~size/stride × corpus, no
+    shuffle, no UDF."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 0
+    )
+    return (
+        chunk_by_chars(d, "text", size=200, overlap=50)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            F.md5("chunk").alias("chunk_md5"),
+            F.col("chunk_len").cast("int"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "chunk_documents_words",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS ws
+      FROM documents WHERE doc_id % 23 = 0
+    ), n AS (
+      SELECT doc_id, ws,
+             CAST(GREATEST(CEIL(len(ws) / 24.0), 1) AS INT) AS nch
+      FROM d
+    ), ix AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0, nch - 1)) AS chunk_idx
+      FROM n
+    ), c AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+                             ' ') AS chunk,
+             len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens
+      FROM ix
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           md5(chunk) AS chunk_md5,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_words(spark, sf_dir):
+    """Word-window chunking end-to-end: 32-token windows, 8-token
+    overlap (stride 24), md5-pinned chunk text against the oracle's
+    list-slice formulation.  The window math runs on the whitespace
+    token stream both sides, so boundaries are engine-independent."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 23 == 0
+    )
+    return (
+        chunk_by_words(d, "text", n_words=32, overlap=8)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            F.md5("chunk").alias("chunk_md5"),
+            F.col("n_tokens").cast("int"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
