@@ -73,13 +73,15 @@ GATE_PRIORITY: list[str] = [
     "do_block_exception_rollback",
     "chunk_documents_chars",
     "chunk_documents_words",
+    "savepoint_rollback",
     # (b) churned-code re-gates this round: gin_index.py (incremental
-    # delta maintenance, predicate-column routing, prefix phrases),
-    # schemas.py (creation targets never resolve through search_path),
-    # plpgsql.py (EXCEPTION blocks + WHILE loop-invariance refusal),
-    # ddl_tables.py (DEFAULT literal masking, SELECT INTO w/o FROM)
+    # delta maintenance, predicate-column routing, prefix phrases +
+    # chains — gin_index_fts re-gates the shared routing the trgm
+    # opclass also uses), schemas.py (creation targets never resolve
+    # through search_path), plpgsql.py (EXCEPTION blocks + loop
+    # shapes), ddl_tables.py (DEFAULT literal masking, SELECT INTO
+    # w/o FROM → cstore_distribute_select_into)
     "gin_index_fts",
-    "trgm_gin_search",
     "search_path_resolution",
     "plpgsql_while_loop",
     "cstore_distribute_select_into",

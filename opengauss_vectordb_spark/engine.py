@@ -397,13 +397,68 @@ class Engine:
                 [(m.group("verb").upper(), "autocommit no-op")],
                 "tag STRING, note STRING",
             )
-        if re.match(r"^\s*(ROLLBACK|SAVEPOINT|RELEASE)\b", query,
-                    re.IGNORECASE):
+        # SAVEPOINT family (gram.y:19519 TransactionStmt savepoints):
+        # in a single-session autocommit engine a savepoint is a NAMED
+        # RESTORE FRAME over the commit log — SAVEPOINT snapshots every
+        # managed table's latest CSN, ROLLBACK TO restores the frame
+        # through the TIMECAPSULE machinery (dropping tables created
+        # after it), RELEASE discards it.  The reference's
+        # subtransaction-visibility semantics collapse to exactly this
+        # when no concurrent session exists to observe intermediate
+        # commits.  PG keeps the savepoint alive after ROLLBACK TO —
+        # so does this.
+        m = re.match(r"^\s*SAVEPOINT\s+(?P<name>\w+)\s*;?\s*$",
+                     query, re.IGNORECASE)
+        if m:
+            from .operators.timecapsule import snapshot_csns
+
+            if not hasattr(self, "_savepoints"):
+                self._savepoints = {}
+            name = m.group("name").lower()
+            self._savepoints[name] = snapshot_csns(self)
+            return self.spark.createDataFrame(
+                [("SAVEPOINT", name, len(self._savepoints[name]))],
+                "tag STRING, savepoint STRING, tables_framed INT",
+            )
+        m = re.match(
+            r"^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+"
+            r"(?:SAVEPOINT\s+)?(?P<name>\w+)\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            from .operators.timecapsule import restore_csns
+
+            name = m.group("name").lower()
+            frames = getattr(self, "_savepoints", {})
+            if name not in frames:
+                raise KeyError(f"savepoint {name!r} does not exist")
+            touched = restore_csns(self, frames[name])
+            return self.spark.createDataFrame(
+                [("ROLLBACK TO SAVEPOINT", name, touched)],
+                "tag STRING, savepoint STRING, tables_restored INT",
+            )
+        m = re.match(
+            r"^\s*RELEASE\s+(?:SAVEPOINT\s+)?(?P<name>\w+)\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            name = m.group("name").lower()
+            frames = getattr(self, "_savepoints", {})
+            if name not in frames:
+                raise KeyError(f"savepoint {name!r} does not exist")
+            del frames[name]
+            return self.spark.createDataFrame(
+                [("RELEASE SAVEPOINT", name)],
+                "tag STRING, savepoint STRING",
+            )
+        if re.match(r"^\s*ROLLBACK\b", query, re.IGNORECASE):
             raise NotImplementedError(
                 "autocommit batch engine: each statement commits on "
-                "its own — undo data changes with TIMECAPSULE "
-                "(flashback query / TIMECAPSULE TABLE ... TO CSN), "
-                "not ROLLBACK/SAVEPOINT"
+                "its own, so a bare ROLLBACK has nothing to undo — "
+                "frame the work with SAVEPOINT ... / ROLLBACK TO "
+                "SAVEPOINT ..., or undo committed changes with "
+                "TIMECAPSULE (flashback query / TIMECAPSULE TABLE "
+                "... TO CSN)"
             )
         # CREATE EXTENSION (gram.y:1250 CreateExtensionStmt): the
         # extension SURFACES this engine ships are built in (datavec

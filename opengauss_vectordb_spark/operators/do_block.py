@@ -509,11 +509,9 @@ def _run_with_exception_frame(
             "— move the DDL outside the block, or guard with IF "
             "checks before it"
         )
-    mt = engine.managed_tables
-    entry_csn = {
-        t: (meta.get("history") or [{"csn": 0}])[-1]["csn"]
-        for t, meta in mt.tables.items()
-    }
+    from .timecapsule import snapshot_csns
+
+    entry_csn = snapshot_csns(engine)
     # inside the frame, errors must RAISE the way PG raises them:
     # non-ANSI Spark nulls a zero division / bad cast instead of
     # erroring, which would silently skip the handler — so the frame
@@ -547,28 +545,12 @@ def _run_with_exception_frame(
 def _rollback_to(engine, entry_csn: dict, original: BaseException) -> None:
     """Restore every managed table the block touched to its entry
     CSN — tcap_version.cpp TvRestoreVersion driven by the exception
-    frame instead of a TIMECAPSULE statement.  Tables the block
-    created drop with PURGE (they never existed)."""
-    mt = engine.managed_tables
-    for t in [t for t in mt.tables if t not in entry_csn]:
-        mt.drop(t, purge=True)
-    for t, csn in entry_csn.items():
-        meta = mt.tables.get(t)
-        if meta is None:
-            continue  # DROP refused upfront; unreachable in practice
-        hist = meta.get("history") or []
-        if not hist or hist[-1]["csn"] == csn:
-            continue  # untouched
-        try:
-            snap = mt.read_snapshot(t, csn)
-        except ValueError as roll_err:
-            raise RuntimeError(
-                f"DO block EXCEPTION: cannot roll {t!r} back to its "
-                f"entry state ({roll_err}); the original error "
-                "follows"
-            ) from original
-        mt.tag_commit(t, "exception rollback")
-        mt.rewrite(t, snap)
+    frame instead of a TIMECAPSULE statement (the shared restore-frame
+    machinery in operators/timecapsule.py).  Tables the block created
+    drop with PURGE (they never existed)."""
+    from .timecapsule import restore_csns
+
+    restore_csns(engine, entry_csn, original)
 
 
 # --------------------------------------------------------------------------

@@ -248,6 +248,58 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     )
 
 
+# ------------------------------------------------------- restore frames
+# Shared undo machinery for SAVEPOINT (engine.py) and DO-block
+# EXCEPTION frames (do_block.py): a frame is a {table: latest-CSN}
+# snapshot; restoring rolls every advanced table back through the
+# commit log (read_snapshot + rewrite — the same path TIMECAPSULE
+# TABLE ... TO CSN takes) and drops tables created after the
+# snapshot.  In a single-session autocommit engine this IS the
+# subtransaction-visibility semantics: no other session exists to
+# observe the intermediate commits.
+
+
+def snapshot_csns(engine) -> dict:
+    """{table: latest CSN} for every live managed table."""
+    return {
+        t: (meta.get("history") or [{"csn": 0}])[-1]["csn"]
+        for t, meta in engine.managed_tables.tables.items()
+    }
+
+
+def restore_csns(engine, entry: dict,
+                 original: BaseException | None = None) -> int:
+    """Roll the managed catalog back to a snapshot_csns() frame;
+    returns how many tables changed (restored or dropped).  A table
+    whose history cannot reach the frame (DDL barrier, purged
+    generations) raises — chaining ``original`` when the restore runs
+    on behalf of an exception frame."""
+    mt = engine.managed_tables
+    touched = 0
+    for t in [t for t in mt.tables if t not in entry]:
+        mt.drop(t, purge=True)
+        touched += 1
+    for t, csn in entry.items():
+        meta = mt.tables.get(t)
+        if meta is None:
+            continue  # dropped since the frame: refused upfront by
+            # callers that guard DDL; nothing to restore onto
+        hist = meta.get("history") or []
+        if not hist or hist[-1]["csn"] == csn:
+            continue  # untouched
+        try:
+            snap = mt.read_snapshot(t, csn)
+        except ValueError as roll_err:
+            raise RuntimeError(
+                f"cannot roll {t!r} back to its frame state "
+                f"({roll_err})"
+            ) from original
+        mt.tag_commit(t, "frame rollback")
+        mt.rewrite(t, snap)
+        touched += 1
+    return touched
+
+
 # ---------------------------------------------------------------- queries
 
 from ..registry import query  # noqa: E402
@@ -332,3 +384,66 @@ def timecapsule_flashback_query(spark, sf_dir):
         )
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "savepoint_rollback",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'POSTROLL' AS o_orderstatus, CAST(1 AS BIGINT) AS n,
+           CAST(42.0 AS DOUBLE) AS total
+    ORDER BY o_orderstatus
+    """,
+)
+def savepoint_rollback(spark, sf_dir):
+    """SAVEPOINT / ROLLBACK TO SAVEPOINT end-to-end (TransactionStmt
+    savepoints as named restore frames over the commit log): a batch
+    doubles prices, deletes a status class, and creates a scratch
+    table; ROLLBACK TO the savepoint restores the table and drops the
+    scratch; a post-rollback INSERT proves the session continues — so
+    the final aggregate equals the pristine source plus the sentinel,
+    exactly the oracle's statement.
+
+    Scale: the frame is {table: CSN} metadata; the rollback is one
+    snapshot rewrite per touched table (the same copy-on-write move
+    any UPDATE makes) — no undo log, no locks."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="svp_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE svp_t AS SELECT o_orderkey, o_orderstatus,"
+            " CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+            " FROM orders WHERE o_orderkey <= 3000"
+        )
+        eng.sql("SAVEPOINT pristine")
+        eng.sql("UPDATE svp_t SET o_totalprice = o_totalprice * 2")
+        eng.sql("DELETE FROM svp_t WHERE o_orderstatus = 'F'")
+        eng.sql("CREATE TABLE svp_scratch AS SELECT 1 AS a")
+        eng.sql("ROLLBACK TO SAVEPOINT pristine")
+        eng.sql("RELEASE SAVEPOINT pristine")
+        eng.sql("INSERT INTO svp_t SELECT -1, 'POSTROLL', 42.0")
+        out = eng.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            " AS total FROM svp_t"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        rows = out.collect()
+        eng.sql("DROP TABLE svp_t PURGE")
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n BIGINT, total DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

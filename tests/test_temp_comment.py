@@ -196,8 +196,10 @@ def test_transaction_noops_and_generic_gucs(spark, tmp_path):
     assert eng.sql("COMMIT").collect()[0].note == "autocommit no-op"
     with pytest.raises(NotImplementedError, match="TIMECAPSULE"):
         eng.sql("ROLLBACK")
-    with pytest.raises(NotImplementedError, match="TIMECAPSULE"):
-        eng.sql("SAVEPOINT s1")
+    # round 9: SAVEPOINT is a named restore frame now (see
+    # test_timecapsule.py::test_savepoint_rollback_release)
+    assert eng.sql("SAVEPOINT s1").collect()[0].tag == "SAVEPOINT"
+    eng.sql("RELEASE SAVEPOINT s1")
     eng.sql("SET search_path TO public")
     assert eng.sql("SHOW search_path").collect()[0].value == "public"
     eng.sql("SET statement_timeout = '30s'")

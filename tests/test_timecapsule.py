@@ -325,3 +325,44 @@ def test_flashback_random_program_matches_model(spark, tmp_path):
             ).collect()
         )
         assert got == want, (csn, got, want)
+
+
+def test_savepoint_rollback_release(spark, tmp_path):
+    """SAVEPOINT / ROLLBACK TO SAVEPOINT / RELEASE (TransactionStmt
+    savepoints): in the single-session autocommit engine a savepoint
+    is a named restore frame over the commit log — ROLLBACK TO
+    restores every advanced table through the TIMECAPSULE machinery
+    and drops tables created after the frame; the savepoint survives
+    the rollback (PG semantics); RELEASE discards it; a bare ROLLBACK
+    still refuses naming the savepoint form."""
+    import pytest
+
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE sv AS SELECT * FROM VALUES"
+            " (1, 10.0), (2, 20.0) AS t(id, v)")
+    out = eng.sql("SAVEPOINT before_batch").collect()[0]
+    assert out.tag == "SAVEPOINT" and out.tables_framed >= 1
+    eng.sql("UPDATE sv SET v = v * 100")
+    eng.sql("CREATE TABLE sv_scratch AS SELECT 1 AS a")
+    eng.sql("INSERT INTO sv SELECT 3, 30.0")
+    out = eng.sql("ROLLBACK TO SAVEPOINT before_batch").collect()[0]
+    assert out.tables_restored == 2  # sv restored + scratch dropped
+    rows = sorted((r.id, float(r.v))
+                  for r in eng.sql("SELECT * FROM sv").collect())
+    assert rows == [(1, 10.0), (2, 20.0)]
+    assert "sv_scratch" not in eng.managed_tables.tables
+    # the savepoint survives (PG): a second batch can roll back again
+    eng.sql("DELETE FROM sv WHERE id = 1")
+    eng.sql("ROLLBACK TO before_batch")
+    assert eng.sql("SELECT COUNT(*) AS c FROM sv").collect()[0].c == 2
+    eng.sql("RELEASE SAVEPOINT before_batch")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("ROLLBACK TO SAVEPOINT before_batch")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("RELEASE nope")
+    with pytest.raises(NotImplementedError, match="SAVEPOINT"):
+        eng.sql("ROLLBACK")
+    eng.sql("DROP TABLE sv PURGE")
