@@ -285,9 +285,14 @@ def _maintain_delta(engine, index_name: str) -> bool:
             if hidden in src.columns:
                 src = src.drop(hidden)
         delta = os.path.join(idx["path"], f"delta_{h['csn']}")
+        # partition count scales with the append size (posting volume
+        # tracks input files): a 1-row INSERT stays one small file, a
+        # bulk load spreads — the delta is lexeme-sorted either way so
+        # rowgroup pruning works inside it
+        npart = max(1, min(8, (len(new_files) + 7) // 8))
         (
             _posting_frame(idx, src)
-            .repartitionByRange(1, "lexeme")
+            .repartitionByRange(npart, "lexeme")
             .sortWithinPartitions("lexeme")
             .write.mode("overwrite")
             .parquet(delta)
@@ -323,9 +328,12 @@ def _merge_deltas(engine, index_name: str) -> None:
     merged = os.path.join(
         idx["path"], f"delta_merged_{idx['built_csn'] or 0}_{len(olds)}"
     )
+    # size the merged layout by accumulated delta rows (~2M posting
+    # rows per partition keeps rowgroups prunable without tiny files)
+    npart = max(1, min(8, int(idx.get("delta_rows", 0)) // 2_000_000 + 1))
     (
         engine.spark.read.parquet(*olds)
-        .repartitionByRange(1, "lexeme")
+        .repartitionByRange(npart, "lexeme")
         .sortWithinPartitions("lexeme")
         .write.mode("overwrite")
         .parquet(merged)
