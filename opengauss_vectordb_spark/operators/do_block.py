@@ -468,8 +468,10 @@ def _parse_handlers(handlers_text: str) -> list[tuple[list[str], str]]:
     if m0 is None:
         raise ValueError("DO block: EXCEPTION section without a "
                          "WHEN <condition> THEN handler")
+    from .plpgsql import _norm_cond
+
     def _conds(m):
-        return [c.strip().lower()
+        return [_norm_cond(c)
                 for c in re.split(r"\s+OR\s+", m.group("conds"),
                                   flags=re.IGNORECASE)]
     handlers: list[tuple[list[str], str]] = []

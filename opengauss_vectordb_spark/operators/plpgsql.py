@@ -1195,9 +1195,29 @@ _EXC_CONDS = {
 }
 
 _HANDLER_WHEN = re.compile(
-    r"\s*WHEN\s+(?P<conds>\w+(?:\s+OR\s+\w+)*)\s+THEN\s+",
+    r"\s*WHEN\s+(?P<conds>(?:SQLSTATE\s+'\w+'|\w+)"
+    r"(?:\s+OR\s+(?:SQLSTATE\s+'\w+'|\w+))*)\s+THEN\s+",
     re.IGNORECASE,
 )
+
+# WHEN SQLSTATE 'xxxxx' — elog.h errcodes for the guarded classes
+_SQLSTATE_CONDS = {
+    "22012": "division_by_zero",
+    "22p02": "invalid_text_representation",
+    "22003": "numeric_value_out_of_range",
+    "p0001": "raise_exception",
+}
+
+
+def _norm_cond(c: str) -> str:
+    """Normalize one handler condition token: SQLSTATE 'code' maps to
+    its named condition (unknown codes normalize to the raw text so
+    the caller's supported-set check names them in its refusal)."""
+    c = c.strip().lower()
+    m = re.match(r"sqlstate\s+'(\w+)'$", c)
+    if m:
+        return _SQLSTATE_CONDS.get(m.group(1), f"sqlstate '{m.group(1)}'")
+    return c
 
 
 def _split_exception(body: str) -> tuple[str, str] | None:
@@ -1362,7 +1382,7 @@ def _compile_exception_block(
     if m0 is None:
         raise ValueError("plpgsql: EXCEPTION section without a "
                          "WHEN <condition> THEN handler")
-    conds = [c.strip().lower()
+    conds = [_norm_cond(c)
              for c in re.split(r"\s+OR\s+", m0.group("conds"),
                                flags=re.IGNORECASE)]
     pos, seg_start = m0.end(), m0.end()
@@ -1371,12 +1391,12 @@ def _compile_exception_block(
         off = len(handlers_text[pos:]) - len(rest)
         mn = _HANDLER_WHEN.match(handlers_text, pos + off)
         if mn and all(
-            c.strip().lower() in _EXC_CONDS
+            _norm_cond(c) in _EXC_CONDS
             for c in re.split(r"\s+OR\s+", mn.group("conds"),
                               flags=re.IGNORECASE)
         ):
             handlers.append((conds, handlers_text[seg_start:pos + off]))
-            conds = [c.strip().lower()
+            conds = [_norm_cond(c)
                      for c in re.split(r"\s+OR\s+", mn.group("conds"),
                                        flags=re.IGNORECASE)]
             pos = seg_start = mn.end()

@@ -2775,3 +2775,43 @@ def test_tsquery_distance_phrases(spark, tmp_path):
     finally:
         eng.sql("DROP INDEX pn_gin")
         eng.sql("DROP TABLE pn PURGE")
+
+
+def test_exception_sqlstate_conditions(spark):
+    """WHEN SQLSTATE 'code' handler conditions (elog.h errcodes) map
+    to the named classes in BOTH exception paths: the plpgsql
+    compiled guards and the DO-block runtime frame; unknown codes
+    refuse naming the supported set."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION ss_div(a double, b double) RETURNS double AS $$
+        BEGIN
+            RETURN a / b;
+        EXCEPTION WHEN SQLSTATE '22012' THEN
+            RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT ss_div(4.0, 2.0) AS v").collect()[0].v == 2.0
+    assert eng.sql("SELECT ss_div(4.0, 0.0) AS v").collect()[0].v == -1.0
+    eng.sql("DROP FUNCTION ss_div")
+    out = eng.sql("""
+        DO $$
+        DECLARE d bigint := 0; r double precision;
+        BEGIN
+            r := 1 / d;
+        EXCEPTION WHEN SQLSTATE '22012' OR SQLSTATE 'P0001' THEN
+            RAISE NOTICE 'caught by code';
+        END;
+        $$
+    """).collect()[0]
+    assert "caught by code" in out.notices
+    with pytest.raises(NotImplementedError, match="no static guard"):
+        eng.sql("""
+            CREATE FUNCTION ssx(a int) RETURNS int AS $$
+            BEGIN
+                RETURN a;
+            EXCEPTION WHEN SQLSTATE '23505' THEN RETURN -1;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
