@@ -375,6 +375,16 @@ class TableManager:
             eng.rls_enabled.discard(name)
             eng.rls_policies.pop(name, None)
             eng.acl.pop(name, None)
+            # dependent GIN indexes drop with the relation (PG drops
+            # indexes with their table); a recreated same-name table
+            # must not route @@ / % through stale postings
+            from .gin_index import drop_gin_index
+
+            for gname, gidx in list(
+                getattr(eng, "gin_indexes", {}).items()
+            ):
+                if gidx["table"] == name:
+                    drop_gin_index(eng, gname)
             for label, cols in list(eng.resource_labels.items()):
                 kept = [(t, c) for t, c in cols if t != name]
                 if kept:

@@ -307,9 +307,13 @@ class _DoRunner:
                 "the statement text in those forms, or run it as a "
                 "plain statement"
             )
-        return str(self._eval_scalar(
-            "SELECT " + _subst_values(qe, self.env)
-        ))
+        val = self._eval_scalar("SELECT " + _subst_values(qe, self.env))
+        if val is None:
+            # pl_exec.cpp exec_stmt_dynexecute's null-query error
+            raise ValueError(
+                "EXECUTE: query string argument is null"
+            )
+        return str(val)
 
 
 def _pg_format(fmt: str, vals: list) -> str:

@@ -2815,3 +2815,37 @@ def test_exception_sqlstate_conditions(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_drop_table_drops_dependent_gin_index(spark, tmp_path):
+    """DROP TABLE drops its GIN indexes with it (PG drops dependent
+    indexes): a recreated same-name table evaluates @@ inline (or via
+    a NEW index) instead of routing through stale postings; EXECUTE
+    of a NULL-composed string raises PG's null-query error."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE gdep AS SELECT * FROM VALUES"
+            " (1, 'alpha beta') AS t(doc_id, body)")
+    eng.sql("CREATE INDEX gdep_gin ON gdep USING gin (body)")
+    assert "gdep_gin" in eng.gin_indexes
+    eng.sql("DROP TABLE gdep PURGE")
+    assert "gdep_gin" not in eng.gin_indexes
+    # recreated table with different content: @@ answers from the
+    # NEW data (inline), not stale postings
+    eng.sql("CREATE TABLE gdep AS SELECT * FROM VALUES"
+            " (9, 'gamma delta') AS t(doc_id, body)")
+    rows = eng.sql(
+        "SELECT doc_id FROM gdep"
+        " WHERE to_tsvector(body) @@ to_tsquery('gamma')"
+    ).collect()
+    assert [r.doc_id for r in rows] == [9]
+    assert eng.sql(
+        "SELECT COUNT(*) AS c FROM gdep"
+        " WHERE to_tsvector(body) @@ to_tsquery('alpha')"
+    ).collect()[0].c == 0
+    eng.sql("DROP TABLE gdep PURGE")
+    with pytest.raises(ValueError, match="null"):
+        eng.sql("""
+            DO $$ DECLARE q text;
+            BEGIN EXECUTE 'SELECT 1 WHERE ' || q; END; $$
+        """)
