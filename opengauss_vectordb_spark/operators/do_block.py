@@ -16,8 +16,10 @@ Supported statement forms inside ``BEGIN ... END``: DECLARE
 initializers, ``var := expr`` (evaluated eagerly as a one-row SELECT),
 ``SELECT expr INTO var [FROM ...]``, ``IF / ELSIF / ELSE / END IF``
 (conditions evaluated driver-side, branches executed), ``RAISE
-NOTICE/WARNING/INFO 'msg'`` (collected into the result frame), ``RAISE
-EXCEPTION 'msg'`` (raises), dynamic ``EXECUTE`` in the
+NOTICE/WARNING/INFO 'msg' [, args]`` (format %-substitution, collected
+into the result frame), ``RAISE EXCEPTION 'msg'`` (raises), ``GET
+DIAGNOSTICS v = ROW_COUNT`` (last DML's row count), dynamic
+``EXECUTE`` in the
 literal-derived subset (pl_exec.cpp:139 exec_stmt_dynexecute — the
 text composes from ``format('<literal>', ...)``, a string literal, or
 a ``||`` concatenation of literals and variables; ``INTO [STRICT]``
@@ -119,6 +121,17 @@ class _DoRunner:
         self.env: dict = {}
         self.notices: list[str] = []
         self.executed = 0
+        # GET DIAGNOSTICS ROW_COUNT source: the last DML's row count
+        self.last_row_count: int = 0
+
+    def _note_row_count(self, df) -> None:
+        try:
+            if df is not None and "rows" in df.columns:
+                row = df.first()
+                if row is not None and row["rows"] is not None:
+                    self.last_row_count = int(row["rows"])
+        except Exception:  # noqa: BLE001 — diagnostics never break DML
+            pass
 
     def _eval_scalar(self, sql: str):
         row = self.engine.spark.sql(sql).first()
@@ -151,14 +164,59 @@ class _DoRunner:
     def _exec_stmt(self, stmt: str) -> None:
         m = re.match(
             r"RAISE\s+(?P<lvl>NOTICE|WARNING|INFO|EXCEPTION)\s+"
-            r"'(?P<msg>(?:[^']|'')*)'\s*$",
-            stmt, re.IGNORECASE,
+            r"'(?P<msg>(?:[^']|'')*)'(?:\s*,\s*(?P<args>.+?))?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
         )
         if m:
             msg = m.group("msg").replace("''", "'")
+            if m.group("args"):
+                # pl_exec exec_stmt_raise: each % consumes one
+                # evaluated argument ('%%' escapes)
+                vals = [
+                    self._eval_scalar(
+                        "SELECT " + _subst_values(a, self.env)
+                    )
+                    for a in _split_call_args(m.group("args"))
+                ]
+                out, i, ai = [], 0, 0
+                while i < len(msg):
+                    ch = msg[i]
+                    if ch == "%" and i + 1 < len(msg) \
+                            and msg[i + 1] == "%":
+                        out.append("%")
+                        i += 2
+                        continue
+                    if ch == "%":
+                        if ai >= len(vals):
+                            raise ValueError(
+                                "RAISE: too few parameters for "
+                                "format string"
+                            )
+                        v = vals[ai]
+                        out.append("<NULL>" if v is None else str(v))
+                        ai += 1
+                        i += 1
+                        continue
+                    out.append(ch)
+                    i += 1
+                if ai != len(vals):
+                    raise ValueError(
+                        "RAISE: too many parameters for format string"
+                    )
+                msg = "".join(out)
             if m.group("lvl").upper() == "EXCEPTION":
                 raise RuntimeError(f"DO block RAISE EXCEPTION: {msg}")
             self.notices.append(f"{m.group('lvl').upper()}: {msg}")
+            return
+        # GET [CURRENT] DIAGNOSTICS v = ROW_COUNT — pl_exec.cpp
+        # exec_stmt_getdiag: binds the row count of the LAST DML
+        m = re.match(
+            r"GET\s+(?:CURRENT\s+)?DIAGNOSTICS\s+(?P<v>\w+)\s*:?=\s*"
+            r"ROW_COUNT\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            self.env[m.group("v").lower()] = self.last_row_count
             return
         m = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
                      re.IGNORECASE | re.DOTALL)
@@ -197,8 +255,9 @@ class _DoRunner:
             self.executed += 1
             return
         # anything else is a statement for the engine (DML/DDL/COPY)
-        self.engine.sql(_subst_values(stmt, self.env))
+        res = self.engine.sql(_subst_values(stmt, self.env))
         self.executed += 1
+        self._note_row_count(res)
 
 
     # ---------------------------------------------------------------
@@ -270,7 +329,7 @@ class _DoRunner:
             for i, v in enumerate(vars_):
                 self.env[v] = None if row is None else row[i]
         else:
-            self.engine.sql(sql)
+            self._note_row_count(self.engine.sql(sql))
         self.executed += 1
 
     def _compose_dynsql(self, qe: str) -> str:

@@ -2849,3 +2849,32 @@ def test_drop_table_drops_dependent_gin_index(spark, tmp_path):
             DO $$ DECLARE q text;
             BEGIN EXECUTE 'SELECT 1 WHERE ' || q; END; $$
         """)
+
+
+def test_do_block_diagnostics_and_raise_format(spark, tmp_path):
+    """GET DIAGNOSTICS v = ROW_COUNT binds the last DML's row count
+    (pl_exec exec_stmt_getdiag) and RAISE format strings consume one
+    evaluated argument per % ('%%' escapes, NULL renders <NULL>,
+    arity mismatches error) — the migration-script reporting idiom."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE dg AS SELECT * FROM VALUES"
+            " (1, 'a'), (2, 'b'), (3, 'a') AS t(id, tag)")
+    out = eng.sql("""
+        DO $$
+        DECLARE n bigint; m bigint;
+        BEGIN
+            UPDATE dg SET tag = 'z' WHERE tag = 'a';
+            GET DIAGNOSTICS n = ROW_COUNT;
+            DELETE FROM dg WHERE id = 2;
+            GET DIAGNOSTICS m := ROW_COUNT;
+            RAISE NOTICE 'updated % rows, deleted % (%% done)', n, m;
+        END;
+        $$
+    """).collect()[0]
+    assert "updated 2 rows, deleted 1 (% done)" in out.notices
+    with pytest.raises(ValueError, match="too few"):
+        eng.sql("DO $$ BEGIN RAISE NOTICE 'a % b %', 1; END; $$")
+    with pytest.raises(ValueError, match="too many"):
+        eng.sql("DO $$ BEGIN RAISE NOTICE 'a %', 1, 2; END; $$")
+    eng.sql("DROP TABLE dg PURGE")
