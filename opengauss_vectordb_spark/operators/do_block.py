@@ -602,8 +602,13 @@ def _run_with_exception_frame(
                 break
         if chosen is None:
             raise  # no matching handler: propagate (PG re-throw)
+        # SQLERRM in the handler = the actual runtime message
+        # (pl_exec assigns estate->cur_error->message); first line,
+        # bounded — Spark exceptions carry multi-KB stack context
+        err_msg = str(ex).strip().splitlines()[0][:500]
     finally:
         conf.set("spark.sql.ansi.enabled", prev_ansi)
+    runner.env["sqlerrm"] = err_msg
     runner.run(chosen)
 
 

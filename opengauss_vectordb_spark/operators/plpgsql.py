@@ -865,6 +865,53 @@ def _projection_safe(*texts: str) -> bool:
     return True
 
 
+def _raise_message_expr(msg: str, args_text: str | None,
+                        bindings: dict[str, str]) -> str:
+    """SQL string expression for a RAISE format message: literal
+    segments CONCAT with the evaluated arguments, one per ``%``
+    (``%%`` escapes, NULL renders ``<NULL>`` — pl_exec
+    exec_stmt_raise).  Splits only at %, so the literal's doubled
+    quotes stay balanced in every segment."""
+    if not args_text:
+        return f"'{msg}'"
+    from .do_block import _split_call_args
+
+    args = [_subst(a, bindings).strip()
+            for a in _split_call_args(args_text)]
+    parts: list[str] = []
+    cur: list[str] = []
+    i = ai = 0
+    while i < len(msg):
+        if msg[i] == "%" and i + 1 < len(msg) and msg[i + 1] == "%":
+            cur.append("%")
+            i += 2
+            continue
+        if msg[i] == "%":
+            if ai >= len(args):
+                raise ValueError(
+                    "plpgsql RAISE: too few parameters for format "
+                    "string"
+                )
+            parts.append("'" + "".join(cur) + "'")
+            cur = []
+            parts.append(
+                f"COALESCE(CAST(({args[ai]}) AS STRING), '<NULL>')"
+            )
+            ai += 1
+            i += 1
+            continue
+        cur.append(msg[i])
+        i += 1
+    if ai != len(args):
+        raise ValueError(
+            "plpgsql RAISE: too many parameters for format string"
+        )
+    parts.append("'" + "".join(cur) + "'")
+    if len(parts) == 1:
+        return parts[0]
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
 def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
     """Compile a statement sequence to ONE SQL expression: the value
     the sequence RETURNs. Assignments update bindings; IF compiles to
@@ -981,13 +1028,17 @@ def _compile_stmts(text: str, bindings: dict[str, str]) -> str:
         if m_ret:
             return _subst(m_ret.group("e"), bindings)
         m_raise = re.match(
-            r"RAISE\s+EXCEPTION\s+'(?P<msg>(?:[^']|'')*)'\s*$",
-            stmt, re.IGNORECASE,
+            r"RAISE\s+EXCEPTION\s+'(?P<msg>(?:[^']|'')*)'"
+            r"(?:\s*,\s*(?P<args>.+?))?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
         )
         if m_raise:
             # pl_exec.cpp exec_stmt_raise → Spark raise_error(); typed
             # NULL keeps every CASE branch the same type
-            return f"raise_error('{m_raise.group('msg')}')"
+            expr = _raise_message_expr(
+                m_raise.group("msg"), m_raise.group("args"), bindings
+            )
+            return f"raise_error({expr})"
         m_asn = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
                          re.IGNORECASE | re.DOTALL)
         if m_asn:
@@ -1357,6 +1408,12 @@ def _collect_guards(e: str, guards: list[tuple[str, str]]) -> None:
             _exc_refuse("CAST without AS")
         src = inner[:m_as.start()].strip()
         typ = inner[m_as.end():].strip()
+        # casts to string types cannot fail (every value has a text
+        # rendering) — not a raisable site, no guard, and a division
+        # inside the source is ITS OWN site, already collected
+        if re.match(r"(text|string|varchar|char|clob)\b", typ,
+                    re.IGNORECASE):
+            continue
         if re.search(r"[/%]|\bCAST\s*\(",
                      _mask_strings(src), re.IGNORECASE):
             _exc_refuse(
@@ -1453,12 +1510,15 @@ def _compile_exception_block(
             body_expr = e_sub
             break
         m_raise = re.match(
-            r"RAISE\s+EXCEPTION\s+'(?P<msg>(?:[^']|'')*)'\s*$",
-            stmt, re.IGNORECASE,
+            r"RAISE\s+EXCEPTION\s+'(?P<msg>(?:[^']|'')*)'"
+            r"(?:\s*,\s*(?P<args>.+?))?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
         )
         if m_raise:
             # caught by OTHERS (errcode P0001); otherwise propagates
-            body_expr = ("__RAISE__", m_raise.group("msg"))
+            body_expr = ("__RAISE__", _raise_message_expr(
+                m_raise.group("msg"), m_raise.group("args"), bindings
+            ))
             break
         m_asn = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
                          re.IGNORECASE | re.DOTALL)
@@ -1509,10 +1569,20 @@ def _compile_exception_block(
                 return ci
         return None
 
-    h_expr: dict[int, str] = {}
+    h_expr: dict[tuple[int, str], str] = {}
 
-    def _compiled(ci: int) -> str:
-        if ci not in h_expr:
+    # SQLERRM inside a handler binds to the message of the error the
+    # guard proved (pl_exec assigns estate->cur_error): per guard
+    # class for the static guards, the RAISE message expression for
+    # the raise path
+    _ERRM = {
+        "div": "'division by zero'",
+        "cast": "'invalid input syntax or value out of range'",
+    }
+
+    def _compiled(ci: int, errm: str) -> str:
+        key = (ci, errm)
+        if key not in h_expr:
             cs, stmts = handlers[ci]
             hm = _mask_strings(stmts)
             hot = sorted(
@@ -1527,24 +1597,52 @@ def _compile_exception_block(
                     "how far execution got before the error is not "
                     "statically known"
                 )
-            h_expr[ci] = _compile_stmts(stmts, dict(entry))
-        return h_expr[ci]
+            hb = dict(entry)
+            hb["sqlerrm"] = errm
+            h_expr[key] = _compile_stmts(stmts, hb)
+        return h_expr[key]
 
     if isinstance(body_expr, tuple):
         ci = _handler_for("all")
         if ci is not None:
-            body_expr = _compiled(ci)
+            body_expr = _compiled(ci, body_expr[1])
         else:
-            body_expr = f"raise_error('{body_expr[1]}')"
+            body_expr = f"raise_error({body_expr[1]})"
     whens = []
     for cls, g in guards:
         ci = _handler_for(cls)
         if ci is None:
             continue  # unhandled: the ELSE body raises it naturally
-        whens.append(f"WHEN {g} THEN {_compiled(ci)}")
+        whens.append(f"WHEN {g} THEN {_compiled(ci, _ERRM[cls])}")
     if not whens:
         return body_expr
     return "CASE " + " ".join(whens) + f" ELSE {body_expr} END"
+
+
+# PG-only type aliases appearing as CAST targets inside bodies —
+# Spark's parser rejects them, so they map before compilation
+# (parameter/RETURNS types go through create_function._map_type; this
+# covers the expression-level `CAST(x AS text)` a migrating body uses)
+_BODY_CAST_TYPES = {
+    "text": "STRING", "bpchar": "STRING",
+    "float8": "DOUBLE", "float4": "FLOAT",
+    "int8": "BIGINT", "int4": "INT", "int2": "SMALLINT",
+    "bool": "BOOLEAN",
+}
+_BODY_CAST_RE = re.compile(
+    r"\bAS\s+(?P<t>" + "|".join(_BODY_CAST_TYPES) + r")\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _map_body_cast_types(body: str) -> str:
+    masked = _mask_strings(body)
+    out, last = [], 0
+    for m in _BODY_CAST_RE.finditer(masked):
+        out.append(body[last:m.start("t")])
+        out.append(_BODY_CAST_TYPES[m.group("t").lower()])
+        last = m.end("t")
+    return "".join(out) + body[last:]
 
 
 def translate_plpgsql(query: str) -> str | None:
@@ -1562,6 +1660,7 @@ def translate_plpgsql(query: str) -> str | None:
     from .create_function import _unquote_body
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
+    body = _map_body_cast_types(body)
     masked_body = _mask_strings(body)  # keywords in literals are inert
     # FOR <rec> IN SELECT ... LOOP and bounded integer-range FOR spans
     # are the supported loop shapes — blank them so the blanket

@@ -2878,3 +2878,52 @@ def test_do_block_diagnostics_and_raise_format(spark, tmp_path):
     with pytest.raises(ValueError, match="too many"):
         eng.sql("DO $$ BEGIN RAISE NOTICE 'a %', 1, 2; END; $$")
     eng.sql("DROP TABLE dg PURGE")
+
+
+def test_plpgsql_raise_format_and_sqlerrm(spark):
+    """Compiled plpgsql: RAISE format arguments build a CONCAT inside
+    raise_error (one evaluated argument per %, %% escapes); SQLERRM
+    inside a handler binds to the guarded class's message; CAST
+    targets using PG type aliases (text, int4, float8...) map to
+    Spark types before compilation."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION chk(x int) RETURNS text AS $$
+        BEGIN
+            IF x < 0 THEN
+                RAISE EXCEPTION 'bad value: % (limit %)', x, 0;
+            END IF;
+            RETURN CAST(x AS text);
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT chk(7) AS v").collect()[0].v == "7"
+    with pytest.raises(Exception, match=r"bad value: -5 \(limit 0\)"):
+        eng.sql("SELECT chk(-5) AS v").collect()
+    eng.sql("DROP FUNCTION chk")
+    eng.sql("""
+        CREATE FUNCTION sdesc(a double, b double) RETURNS text AS $$
+        BEGIN
+            RETURN CAST(a / b AS text);
+        EXCEPTION WHEN division_by_zero THEN
+            RETURN 'caught: ' || sqlerrm;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT sdesc(4.0, 2.0) AS v").collect()[0].v == "2.0"
+    assert eng.sql(
+        "SELECT sdesc(1.0, 0.0) AS v"
+    ).collect()[0].v == "caught: division by zero"
+    eng.sql("DROP FUNCTION sdesc")
+    # DO frame: SQLERRM carries the actual runtime message
+    out = eng.sql("""
+        DO $$
+        DECLARE d bigint := 0; r double precision;
+        BEGIN
+            r := 1 / d;
+        EXCEPTION WHEN others THEN
+            RAISE NOTICE 'got: %', sqlerrm;
+        END;
+        $$
+    """).collect()[0]
+    assert "DIVIDE_BY_ZERO" in out.notices or "zero" in out.notices
