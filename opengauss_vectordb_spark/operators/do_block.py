@@ -429,6 +429,36 @@ def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
         stmt, pos = _scan_stmt(decls, pos)
         if not stmt:
             continue
+        # v tbl.col%TYPE — pl_comp.cpp plpgsql_parse_cwordtype: the
+        # declared type IS the referenced column's type, resolvable
+        # here because the runner holds the engine's catalog
+        mt = re.match(
+            r"(?P<v>\w+)\s+(?P<tbl>\w+)\.(?P<col>\w+)\s*%\s*TYPE"
+            r"(?:\s*:=\s*(?P<e>.+))?$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if mt:
+            tbl, col = mt.group("tbl").lower(), mt.group("col").lower()
+            try:
+                field = next(
+                    f for f in runner.engine.spark.table(tbl).schema
+                    if f.name.lower() == col
+                )
+            except Exception:
+                raise KeyError(
+                    f"DO block: %TYPE reference {tbl}.{col} does not "
+                    "resolve to a known column"
+                ) from None
+            v = mt.group("v").lower()
+            if mt.group("e") is None:
+                runner.env[v] = None
+            else:
+                runner.env[v] = runner._eval_scalar(
+                    "SELECT CAST(("
+                    + _subst_values(mt.group("e"), runner.env)
+                    + f") AS {field.dataType.simpleString()})"
+                )
+            continue
         m = re.match(
             r"(?P<v>\w+)\s+(?P<t>\w+(?:\s+\w+)?"
             r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"

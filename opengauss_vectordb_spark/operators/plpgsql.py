@@ -1210,6 +1210,14 @@ def _parse_decls(decls: str, bindings: dict[str, str]) -> None:
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if not m:
+            if re.search(r"%\s*(TYPE|ROWTYPE)\b", stmt, re.IGNORECASE):
+                raise NotImplementedError(
+                    "plpgsql: %TYPE/%ROWTYPE declarations need catalog "
+                    "access the pure function compiler does not have — "
+                    "declare the concrete type (DO blocks and "
+                    "procedures DO resolve tbl.col%TYPE, "
+                    "operators/do_block.py)"
+                )
             raise ValueError(f"plpgsql: cannot parse declaration {stmt!r}")
         v = m.group("v").lower()
         if m.group("t").strip().upper() == "RECORD":

@@ -2927,3 +2927,37 @@ def test_plpgsql_raise_format_and_sqlerrm(spark):
         $$
     """).collect()[0]
     assert "DIVIDE_BY_ZERO" in out.notices or "zero" in out.notices
+
+
+def test_do_block_type_reference_declarations(spark):
+    """v tbl.col%TYPE declarations (pl_comp.cpp
+    plpgsql_parse_cwordtype) resolve through the catalog in DO
+    blocks; the engine-free plpgsql compiler refuses naming the DO
+    path; unknown references error clearly."""
+    eng = Engine(spark, SF_CORRECT)
+    out = eng.sql("""
+        DO $$
+        DECLARE
+            top orders.o_totalprice%TYPE;
+            who customer.c_name%TYPE := 'nobody';
+        BEGIN
+            SELECT MAX(o_totalprice) INTO top FROM orders;
+            IF top IS NULL THEN RAISE EXCEPTION 'empty'; END IF;
+            RAISE NOTICE 'max is %, who is %', top, who;
+        END;
+        $$
+    """).collect()[0]
+    assert "max is" in out.notices and "nobody" in out.notices
+    with pytest.raises(KeyError, match="does not resolve"):
+        eng.sql("""
+            DO $$ DECLARE x nope.col%TYPE; BEGIN x := 1; END; $$
+        """)
+    with pytest.raises(NotImplementedError, match="concrete type"):
+        eng.sql("""
+            CREATE FUNCTION ft(x int) RETURNS int AS $$
+            DECLARE v orders.o_totalprice%TYPE;
+            BEGIN
+                RETURN x;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
