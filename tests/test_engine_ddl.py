@@ -2325,6 +2325,15 @@ def test_gin_incremental_delta_maintenance(spark, tmp_path):
         f"{read_names & base_files}"
     )
     assert len(idx["delta_paths"]) == 1
+    # the routed query itself reads base ∪ delta postings and never
+    # re-tokenizes: its scan files include BOTH posting layouts and
+    # its plan carries no tokenizer expression
+    df = eng.sql(q)
+    files = df.inputFiles()
+    assert any("/base/" in f for f in files)
+    assert any("/delta_" in f for f in files)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_replace" not in plan
     # rank search serves from base ∪ delta too
     r = G.gin_rank_search(eng, "inc_gin", ["beta"], k=10).collect()
     assert [x.doc_id for x in r] and len(r) == 3
