@@ -66,6 +66,12 @@ registry.load_all_queries()
 # rows carry the closed-form math; the statement plumbing is pinned by
 # test_create_model_predict_by_sql_text and
 # test_predict_by_anchors_top_level_from).
+# Registered AFTER this round's window froze (the 50 slots below are
+# consumed by the stale-tail rotation the r8 verdict demanded):
+# plpgsql_return_query (SETOF/RETURN QUERY table functions) and
+# plpgsql_case_stmt (CASE ... END CASE statements) — both
+# oracle-parity-verified locally this round; FRONT-LOAD them in r10's
+# window as its first first-evers.
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",

@@ -179,6 +179,8 @@ HEADLINE = [
     "plpgsql_foreach_array",
     # round-9 additions (same frozen-prefix rule): read-side rows.
     "plpgsql_exception_guard",
+    "plpgsql_return_query",
+    "plpgsql_case_stmt",
     "chunk_documents_chars",
     "chunk_documents_words",
 ]

@@ -53,6 +53,7 @@ from .plpgsql import (
     _DECLARE_RE,
     _find_end_if,
     _mask_strings,
+    _rewrite_case_stmts,
     _scan_stmt,
     _split_branches,
 )
@@ -138,6 +139,10 @@ class _DoRunner:
         return None if row is None else row[0]
 
     def run(self, text: str) -> None:
+        # CASE ... END CASE statements are IF/ELSIF sugar
+        # (exec_stmt_case) — rewrite before dispatch, same as the
+        # compiled-function path; idempotent on recursive branch runs
+        text = _rewrite_case_stmts(text)
         pos, n = 0, len(text)
         while pos < n:
             rest = text[pos:].lstrip()

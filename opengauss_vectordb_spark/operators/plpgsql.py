@@ -78,6 +78,21 @@ Bare ``LOOP`` with a LEADING ``EXIT WHEN v <op> bound``
 (pl_exec.cpp exec_stmt_exit) is a pre-test counter loop and rewrites
 into the counter-WHILE form above with the comparison inverted.
 
+CASE STATEMENTS (``CASE ... WHEN ... THEN stmts ... END CASE``,
+pl_exec.cpp exec_stmt_case) are IF/ELSIF sugar and rewrite to that
+chain before compilation — searched and simple forms, value lists as
+IN, and the reference's CASE_NOT_FOUND raise when no branch matches
+and ELSE is absent.
+
+SET-RETURNING functions (RETURNS TABLE(...) / SETOF <table> / SETOF
+<scalar>; pl_exec.cpp exec_stmt_return_query :3585 and
+exec_stmt_return_next :3334) compile in the straight-line subset —
+declarations, assignments, then RETURN QUERY / RETURN NEXT statements
+and an optional final RETURN — to ONE Spark SQL table function whose
+body is the UNION ALL of the collected queries, matched to the
+declared column list by position (PG's own mapping rule).  The rows
+stream out of a distributed plan; nothing materializes per call.
+
 Deliberately NOT covered (each raises a clear NotImplementedError
 naming the Spark-side rewrite): general WHILE (non-counter
 conditions are unbounded iteration — no declarative form) / bare
@@ -104,7 +119,7 @@ from .create_function import _map_type, _split_params, _strip_comments
 _CREATE_PLFN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
     r"\((?P<params>.*?)\)\s*"
-    r"RETURNS\s+(?P<ret>SETOF\s+\w+|"
+    r"RETURNS\s+(?P<ret>SETOF\s+\w+|TABLE\s*\((?P<tcols>[^)]*)\)|"
     r"\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
     r"AS\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$|'(?:[^']|'')*')\s+"
     r"LANGUAGE\s+PLPGSQL(?P<flags>(?:\s+\w+(?:\s+\w+)*)?)\s*;?\s*$",
@@ -1653,22 +1668,290 @@ def _map_body_cast_types(body: str) -> str:
     return "".join(out) + body[last:]
 
 
-def translate_plpgsql(query: str) -> str | None:
+# ---------------------------------------------------------------------------
+# CASE statements (pl_gram.y stmt_case → pl_exec.cpp exec_stmt_case).
+# A plpgsql CASE STATEMENT terminates with END CASE (a CASE EXPRESSION
+# terminates with a bare END), and exec_stmt_case evaluates it exactly
+# like an IF/ELSIF chain — searched form compares each WHEN condition,
+# simple form compares the selector against each WHEN value list — with
+# CASE_NOT_FOUND raised when nothing matches and there is no ELSE.  So
+# the statement form is pure sugar: rewrite it to the IF/ELSIF chain the
+# existing compiler already handles, appending the reference's
+# case-not-found RAISE when ELSE is absent.
+# ---------------------------------------------------------------------------
+_CASE_TOK = re.compile(
+    r"\bEND\s+CASE\b|\bEND\s+IF\b|\bEND\s+LOOP\b|\bCASE\b|\bLOOP\b|"
+    r"\bEND\b|\bWHEN\b|\bTHEN\b|\bELSE\b|\bIF\b",
+    re.IGNORECASE,
+)
+
+
+def _norm_tok(raw: str) -> str:
+    return re.sub(r"\s+", " ", raw.upper())
+
+
+def _find_case_stmt(masked: str) -> tuple[int, int, int, int] | None:
+    """First CASE token whose matching terminator is END CASE (i.e. a
+    CASE statement, not expression): (case_start, interior_start,
+    interior_end, end_after), or None."""
+    for mc in re.finditer(r"\bCASE\b", masked, re.IGNORECASE):
+        stack = ["CASE"]
+        pos = mc.end()
+        while stack:
+            mt = _CASE_TOK.search(masked, pos)
+            if mt is None:
+                return None  # unbalanced — let the compiler refuse later
+            tok = _norm_tok(mt.group(0))
+            pos = mt.end()
+            if tok in ("CASE", "IF", "LOOP"):
+                stack.append(tok)
+            elif tok in ("END CASE", "END IF", "END LOOP", "END"):
+                stack.pop()
+                if not stack:
+                    if tok == "END CASE":
+                        return mc.start(), mc.end(), mt.start(), mt.end()
+                    break  # closed by a bare END: expression CASE
+    return None
+
+
+def _case_stmt_branches(
+    interior: str,
+) -> tuple[str, list[tuple[str, str]], str | None]:
+    """Split a CASE statement interior into (selector, [(when_vals,
+    body)], else_body) at THIS nesting level (nested IF/CASE/LOOP spans
+    skipped via stack tracking on the string-masked text)."""
+    masked = _mask_strings(interior)
+    stack: list[str] = []
+    marks: list[tuple[str, int, int]] = []
+    pos = 0
+    while True:
+        mt = _CASE_TOK.search(masked, pos)
+        if mt is None:
+            break
+        tok = _norm_tok(mt.group(0))
+        pos = mt.end()
+        if tok in ("CASE", "IF", "LOOP"):
+            stack.append(tok)
+        elif tok in ("END CASE", "END IF", "END LOOP", "END"):
+            if stack:
+                stack.pop()
+        elif not stack and tok in ("WHEN", "THEN", "ELSE"):
+            marks.append((tok, mt.start(), mt.end()))
+    whens = [i for i, m_ in enumerate(marks) if m_[0] == "WHEN"]
+    if not whens:
+        raise ValueError("plpgsql: CASE statement without WHEN")
+    selector = interior[: marks[whens[0]][1]].strip()
+    branches: list[tuple[str, str]] = []
+    else_body: str | None = None
+    for idx, (tok, s, e) in enumerate(marks):
+        nxt = marks[idx + 1] if idx + 1 < len(marks) else None
+        if tok == "WHEN":
+            if nxt is None or nxt[0] != "THEN":
+                raise ValueError("plpgsql: CASE WHEN without THEN")
+        elif tok == "THEN":
+            body_end = (marks[idx + 1][1] if idx + 1 < len(marks)
+                        else len(interior))
+            vals = interior[marks[idx - 1][2]:s].strip()
+            branches.append((vals, interior[e:body_end].strip()))
+        elif tok == "ELSE":
+            else_body = interior[e:].strip()
+    return selector, branches, else_body
+
+
+def _rewrite_case_stmts(body: str) -> str:
+    """Rewrite every CASE ... END CASE statement into the equivalent
+    IF/ELSIF chain (innermost-last via repeated leftmost rewriting)."""
+    for _ in range(64):  # nesting/odd-shape backstop, never a silent loop
+        found = _find_case_stmt(_mask_strings(body))
+        if found is None:
+            return body
+        case_start, int_start, int_end, end_after = found
+        selector, branches, else_body = _case_stmt_branches(
+            body[int_start:int_end]
+        )
+        parts = []
+        for i, (vals, bstmts) in enumerate(branches):
+            cond = vals if not selector else f"({selector}) IN ({vals})"
+            parts.append(f"{'IF' if i == 0 else 'ELSIF'} {cond} "
+                         f"THEN {bstmts}")
+        if else_body is not None:
+            parts.append(f"ELSE {else_body}")
+        else:
+            # exec_stmt_case raises CASE_NOT_FOUND when nothing matches
+            parts.append("ELSE RAISE EXCEPTION 'case not found';")
+        body = (body[:case_start] + " ".join(parts) + " END IF"
+                + body[end_after:])
+    raise NotImplementedError(
+        "plpgsql: CASE statement nesting exceeds the rewrite backstop"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-returning functions (pl_exec.cpp exec_stmt_return_query :3585 /
+# exec_stmt_return_next :3334): RETURNS SETOF <type|table> and RETURNS
+# TABLE(...) bodies in the straight-line subset — declarations,
+# assignments, then RETURN QUERY / RETURN NEXT statements (each appends
+# its rows to the result set, in order) and an optional final RETURN —
+# compile to ONE Spark SQL table function whose body is the UNION ALL
+# of the collected queries.  Spark matches the RETURNS TABLE column
+# list by position with coercion, exactly PG's positional mapping.
+# ---------------------------------------------------------------------------
+def _compile_setof_stmts(
+    text: str, bindings: dict[str, str], scalar_col: str | None
+) -> str:
+    queries: list[str] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        rest = text[pos:].lstrip()
+        if not rest:
+            break
+        off = len(text[pos:]) - len(rest)
+        stmt, pos = _scan_stmt(text, pos + off)
+        if not stmt:
+            continue
+        mq = re.match(r"RETURN\s+QUERY\s+(?P<q>.+)$", stmt,
+                      re.IGNORECASE | re.DOTALL)
+        if mq:
+            q = mq.group("q").strip()
+            if re.match(r"EXECUTE\b", q, re.IGNORECASE):
+                raise NotImplementedError(
+                    "plpgsql: RETURN QUERY EXECUTE (dynamic SQL) cannot "
+                    "inline into a Spark table function — compose the "
+                    "statement client-side, or use the literal-derived "
+                    "EXECUTE subset in a DO block (operators/do_block.py)"
+                )
+            if not re.match(r"(SELECT|VALUES|WITH|TABLE)\b", q,
+                            re.IGNORECASE):
+                raise NotImplementedError(
+                    "plpgsql: RETURN QUERY expects a SELECT/VALUES/WITH "
+                    f"query, got {q.split(None, 1)[0].upper()!r}"
+                )
+            queries.append(_subst(q, bindings))
+            continue
+        mn = re.match(r"RETURN\s+NEXT\s+(?P<e>.+)$", stmt,
+                      re.IGNORECASE | re.DOTALL)
+        if mn:
+            if scalar_col is None:
+                raise NotImplementedError(
+                    "plpgsql: RETURN NEXT over a composite/table result "
+                    "has no row-constructor form here — use RETURN "
+                    "QUERY SELECT <cols> instead"
+                )
+            queries.append(
+                f"SELECT ({_subst(mn.group('e'), bindings)}) "
+                f"AS {scalar_col}"
+            )
+            continue
+        if re.match(r"RETURN\s*$", stmt, re.IGNORECASE):
+            break  # plain RETURN ends the SRF; the rest is unreachable
+        m_asn = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
+                         re.IGNORECASE | re.DOTALL)
+        if m_asn:
+            bindings[m_asn.group("v").lower()] = _subst(
+                m_asn.group("e"), bindings
+            )
+            continue
+        raise NotImplementedError(
+            "plpgsql: set-returning bodies compile in the straight-line "
+            "subset — assignments, RETURN QUERY <query>, RETURN NEXT "
+            "<expr>, final RETURN; got "
+            f"{stmt.split(None, 1)[0].upper()!r} — fold conditions into "
+            "the query's WHERE clause or a single UNION ALL query"
+        )
+    if not queries:
+        raise ValueError(
+            "plpgsql: set-returning function never produces rows "
+            "(no RETURN QUERY / RETURN NEXT)"
+        )
+    if len(queries) == 1:
+        return queries[0]
+    return " UNION ALL ".join(f"({q})" for q in queries)
+
+
+def _translate_setof(
+    m: re.Match,
+    ret: str,
+    body: str,
+    resolve_cols,
+) -> str:
+    """Emit the Spark table-function DDL for a SETOF/TABLE plpgsql
+    function (columns resolved per the reference's three return-shape
+    rules: TABLE(...) list, SETOF <scalar type> named after the
+    function, SETOF <table> taking the table's row type)."""
+    name = m.group("name").lower()
+    params = _split_params(m.group("params"))
+    scalar_col: str | None = None
+    if m.group("tcols") is not None:
+        cols = [(cn, _map_type(ct))
+                for cn, ct in _split_params(m.group("tcols"))]
+    else:
+        target = re.match(r"^SETOF\s+(\w+)$", ret, re.IGNORECASE).group(1)
+        key = target.lower()
+        if key in ("record",):
+            raise NotImplementedError(
+                "plpgsql: RETURNS SETOF record is untyped — declare "
+                "RETURNS TABLE(col type, ...)"
+            )
+        from .create_function import _TYPE_MAP
+
+        if key in _TYPE_MAP:
+            scalar_col = name  # PG names the one column after the fn
+            cols = [(name, _map_type(target))]
+        elif resolve_cols is not None:
+            resolved = resolve_cols(target)
+            if not resolved:
+                raise ValueError(
+                    f"plpgsql: SETOF {target}: unknown table/type"
+                )
+            cols = list(resolved)
+        else:
+            raise NotImplementedError(
+                "plpgsql: RETURNS SETOF <table> needs catalog schema "
+                "resolution — run through Engine.sql, or declare "
+                "RETURNS TABLE(col type, ...)"
+            )
+    md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
+    if md is None:
+        raise ValueError("plpgsql body must be [DECLARE ...] BEGIN ... END")
+    bindings: dict[str, str] = {}
+    if md.groupdict().get("decls"):
+        _parse_decls(md.group("decls"), bindings)
+    body_sql = _compile_setof_stmts(md.group("body"), bindings, scalar_col)
+    flags = (m.group("flags") or "").upper().split()
+    strict = "STRICT" in flags or (
+        "RETURNS" in flags and "NULL" in flags
+    )
+    if strict and params:
+        # a STRICT SRF is simply not called on NULL input → empty set
+        guard = " OR ".join(f"{p} IS NULL" for p, _ in params)
+        body_sql = (f"SELECT * FROM ({body_sql}) AS _srf_strict "
+                    f"WHERE NOT ({guard})")
+    spark_params = ", ".join(
+        f"{pname} {_map_type(ptype)}" for pname, ptype in params
+    )
+    spark_cols = ", ".join(f"{cn} {ct}" for cn, ct in cols)
+    return (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({spark_params}) "
+        f"RETURNS TABLE({spark_cols}) RETURN {body_sql}"
+    )
+
+
+def translate_plpgsql(query: str, resolve_cols=None) -> str | None:
     """PG CREATE FUNCTION ... LANGUAGE plpgsql → Spark SQL-UDF DDL, or
-    None when the text is not that statement shape."""
+    None when the text is not that statement shape.
+
+    ``resolve_cols`` (optional) maps a table name to its
+    ``[(col, spark_type)]`` list — Engine.sql supplies it so RETURNS
+    SETOF <table> can take the table's row type."""
     m = _CREATE_PLFN.match(query)
     if m is None:
         return None
     ret = m.group("ret").strip()
-    if re.match(r"^SETOF\b", ret, re.IGNORECASE):
-        raise NotImplementedError(
-            "RETURNS SETOF in plpgsql is RETURN NEXT/RETURN QUERY — "
-            "use a SQL-language table function (RETURNS TABLE) instead"
-        )
     from .create_function import _unquote_body
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
     body = _map_body_cast_types(body)
+    body = _rewrite_case_stmts(body)
     masked_body = _mask_strings(body)  # keywords in literals are inert
     # FOR <rec> IN SELECT ... LOOP and bounded integer-range FOR spans
     # are the supported loop shapes — blank them so the blanket
@@ -1686,6 +1969,9 @@ def translate_plpgsql(query: str) -> str | None:
     for pat, why in _UNSUPPORTED:
         if pat.search(scan_body):
             raise NotImplementedError(f"plpgsql: {why}")
+    if m.group("tcols") is not None or re.match(r"^SETOF\b", ret,
+                                                re.IGNORECASE):
+        return _translate_setof(m, ret, body, resolve_cols)
     params = _split_params(m.group("params"))
     md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
     if md is None:
@@ -1732,7 +2018,12 @@ def translate_plpgsql(query: str) -> str | None:
 def try_handle_stmt(engine, query: str):
     """Engine.sql hook: CREATE FUNCTION ... LANGUAGE plpgsql routing
     (DROP FUNCTION is shared with create_function.py)."""
-    spark_ddl = translate_plpgsql(query)
+
+    def _resolve(tbl: str) -> list[tuple[str, str]]:
+        df = engine.table(tbl)
+        return [(f.name, f.dataType.simpleString()) for f in df.schema]
+
+    spark_ddl = translate_plpgsql(query, resolve_cols=_resolve)
     if spark_ddl is None:
         return None
     engine.spark.sql(spark_ddl)
@@ -2201,4 +2492,119 @@ def plpgsql_exception_guard(spark, sf_dir):
     eng.sql("DROP FUNCTION gate_parse_prio")
     return spark.createDataFrame(
         rows, "o_orderkey BIGINT, rate DOUBLE, prio BIGINT"
+    )
+
+
+@_register_query(
+    "plpgsql_return_query",
+    """
+    WITH sliced AS (
+      SELECT o_custkey AS ck, o_totalprice AS amt FROM orders
+      WHERE o_totalprice >= 100000.0 AND o_totalprice < 250000.0
+      UNION ALL
+      SELECT o_custkey AS ck, -1.0 * o_totalprice AS amt FROM orders
+      WHERE o_totalprice >= 250000.0
+    )
+    SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM sliced GROUP BY CAST(ck % 10 AS BIGINT) ORDER BY bucket
+    """,
+)
+def plpgsql_return_query(spark, sf_dir):
+    """Set-returning plpgsql end-to-end (pl_exec.cpp
+    exec_stmt_return_query :3585): a RETURNS TABLE function whose body
+    declares a threshold, then appends TWO RETURN QUERY result sets —
+    the below-cap slice verbatim and the above-cap slice negated — and
+    the caller aggregates over the table function.  The oracle is the
+    UNION ALL the compiler emits, written out by hand.
+
+    Scale: the function compiles to ONE Spark SQL table function whose
+    body inlines into the calling plan — two pushed-down parquet scans
+    under a union, then one partial/final aggregate exchange; no
+    per-call materialization, no Python, no SPI loop."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_order_slices(minp float8)
+        RETURNS TABLE(ck bigint, amt float8) AS $$
+        DECLARE
+            cap float8 := 250000.0;
+        BEGIN
+            RETURN QUERY SELECT o_custkey, o_totalprice FROM orders
+                WHERE o_totalprice >= minp AND o_totalprice < cap;
+            RETURN QUERY SELECT o_custkey, -1.0 * o_totalprice
+                FROM orders WHERE o_totalprice >= cap;
+            RETURN;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT CAST(ck % 10 AS BIGINT) AS bucket,"
+        " COUNT(*) AS n,"
+        " CAST(SUM(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS total"
+        " FROM gate_order_slices(100000.0)"
+        " GROUP BY bucket ORDER BY bucket"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_order_slices")
+    return spark.createDataFrame(
+        rows, "bucket BIGINT, n BIGINT, total DOUBLE"
+    )
+
+
+@_register_query(
+    "plpgsql_case_stmt",
+    """
+    WITH banded AS (
+      SELECT CASE
+               WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+               WHEN o_orderpriority IN ('3-MEDIUM') THEN 'warm'
+               ELSE 'cold' END AS band,
+             o_totalprice
+      FROM orders
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def plpgsql_case_stmt(spark, sf_dir):
+    """plpgsql CASE statement end-to-end (pl_exec.cpp exec_stmt_case):
+    a simple-form CASE over the order priority with a multi-value WHEN
+    list rewrites into the IF/ELSIF chain and compiles to one inlined
+    CASE ... IN expression; the caller bands every order and
+    aggregates.  The oracle is that CASE/IN chain written by hand.
+
+    Scale: identical plan to hand-written SQL — one scan, whole-stage
+    codegen, one exchange on the 3-value band key; the CASE statement
+    never becomes an interpreter."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_prio_band(p text) RETURNS text AS $$
+        BEGIN
+            CASE p
+                WHEN '1-URGENT', '2-HIGH' THEN RETURN 'hot';
+                WHEN '3-MEDIUM' THEN RETURN 'warm';
+                ELSE RETURN 'cold';
+            END CASE;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT gate_prio_band(o_orderpriority) AS band,"
+        " COUNT(*) AS n,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        "   AS total"
+        " FROM orders GROUP BY band ORDER BY band"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_prio_band")
+    return spark.createDataFrame(
+        rows, "band STRING, n BIGINT, total DOUBLE"
     )

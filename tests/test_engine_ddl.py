@@ -2970,3 +2970,191 @@ def test_do_block_type_reference_declarations(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_plpgsql_return_query_setof(spark):
+    """Set-returning plpgsql (pl_exec.cpp exec_stmt_return_query :3585,
+    exec_stmt_return_next :3334) compiles to ONE Spark SQL table
+    function: RETURNS TABLE(...) takes the declared columns, RETURNS
+    SETOF <table> takes the table's row type via catalog resolution,
+    RETURNS SETOF <scalar> names the column after the function, and
+    multiple RETURN QUERY / RETURN NEXT statements append in order
+    (UNION ALL)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION order_slices(minp float8)
+        RETURNS TABLE(ck bigint, amt float8) AS $$
+        DECLARE
+            cap float8 := 250000.0;
+        BEGIN
+            RETURN QUERY SELECT o_custkey, o_totalprice FROM orders
+                WHERE o_totalprice >= minp AND o_totalprice < cap;
+            RETURN QUERY SELECT o_custkey, -1.0 * o_totalprice
+                FROM orders WHERE o_totalprice >= cap;
+            RETURN;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = eng.sql(
+        "SELECT COUNT(*) AS n, COUNT(CASE WHEN amt < 0 THEN 1 END)"
+        " AS neg FROM order_slices(100000.0)"
+    ).collect()[0]
+    want = eng.sql(
+        "SELECT COUNT(*) AS n,"
+        " COUNT(CASE WHEN o_totalprice >= 250000.0 THEN 1 END) AS neg"
+        " FROM orders WHERE o_totalprice >= 100000.0"
+    ).collect()[0]
+    assert (got.n, got.neg) == (want.n, want.neg) and got.n > 0
+    eng.sql("DROP FUNCTION order_slices")
+
+    # SETOF <table>: row type resolved from the catalog
+    eng.sql("""
+        CREATE FUNCTION small_nations(k int) RETURNS SETOF nation AS $$
+        BEGIN
+            RETURN QUERY SELECT * FROM nation WHERE n_nationkey < k;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    rows = eng.sql(
+        "SELECT n_nationkey, n_name FROM small_nations(3)"
+        " ORDER BY n_nationkey"
+    ).collect()
+    assert [r.n_nationkey for r in rows] == [0, 1, 2]
+    eng.sql("DROP FUNCTION small_nations")
+
+    # scalar SETOF + RETURN NEXT; STRICT → empty set on NULL input
+    eng.sql("""
+        CREATE FUNCTION seqvals(n int) RETURNS SETOF int AS $$
+        BEGIN
+            RETURN NEXT n;
+            RETURN NEXT n + 10;
+        END;
+        $$ LANGUAGE plpgsql STRICT
+    """)
+    assert [r.seqvals for r in eng.sql(
+        "SELECT * FROM seqvals(5)").collect()] == [5, 15]
+    assert eng.sql(
+        "SELECT * FROM seqvals(CAST(NULL AS INT))").count() == 0
+    eng.sql("DROP FUNCTION seqvals")
+
+
+def test_plpgsql_setof_refusals(spark):
+    """The set-returning subset refuses what it cannot compile, naming
+    the rewrite: control flow in the body, RETURN QUERY EXECUTE,
+    untyped SETOF record, RETURN NEXT of a composite."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(NotImplementedError, match="WHERE clause"):
+        eng.sql("""
+            CREATE FUNCTION srf_if(k int) RETURNS SETOF int AS $$
+            BEGIN
+                IF k > 0 THEN RETURN NEXT k; END IF;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="EXECUTE"):
+        eng.sql("""
+            CREATE FUNCTION srf_dyn() RETURNS SETOF int AS $$
+            BEGIN
+                RETURN QUERY EXECUTE 'SELECT 1';
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="record"):
+        eng.sql("""
+            CREATE FUNCTION srf_rec() RETURNS SETOF record AS $$
+            BEGIN
+                RETURN QUERY SELECT 1, 2;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="RETURN QUERY"):
+        eng.sql("""
+            CREATE FUNCTION srf_next_row() RETURNS SETOF nation AS $$
+            BEGIN
+                RETURN NEXT NULL;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+
+
+def test_plpgsql_case_statement(spark):
+    """CASE ... END CASE statements (exec_stmt_case) are IF/ELSIF
+    sugar: searched and simple forms compile in functions, value lists
+    become IN, and a fall-through without ELSE raises the reference's
+    CASE_NOT_FOUND."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION case_grade(s int) RETURNS text AS $$
+        BEGIN
+            CASE s
+                WHEN 1, 2 THEN RETURN 'low';
+                WHEN 3 THEN RETURN 'mid';
+                ELSE RETURN 'high';
+            END CASE;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {r.s: r.g for r in eng.sql(
+        "SELECT s, case_grade(s) AS g"
+        " FROM (VALUES (1), (2), (3), (9)) AS t(s)"
+    ).collect()}
+    assert got == {1: "low", 2: "low", 3: "mid", 9: "high"}
+    eng.sql("DROP FUNCTION case_grade")
+
+    # searched form, nested CASE *expression* in a branch untouched
+    eng.sql("""
+        CREATE FUNCTION case_band(p float8) RETURNS text AS $$
+        BEGIN
+            CASE
+                WHEN p >= 100.0 THEN
+                    RETURN CASE WHEN p >= 200.0 THEN 'xl' ELSE 'l' END;
+                WHEN p >= 10.0 THEN RETURN 'm';
+            END CASE;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    got = {r.p: r.g for r in eng.sql(
+        "SELECT p, case_band(CAST(p AS DOUBLE)) AS g"
+        " FROM (VALUES (250.0), (150.0), (50.0)) AS t(p)"
+    ).collect()}
+    assert got == {250.0: "xl", 150.0: "l", 50.0: "m"}
+    with pytest.raises(Exception, match="case not found"):
+        eng.sql("SELECT case_band(1.0) AS g").collect()
+    eng.sql("DROP FUNCTION case_band")
+
+
+def test_do_block_case_statement(spark):
+    """CASE statements in DO blocks dispatch exactly one branch
+    (value-list match), and the no-match/no-ELSE path raises."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("CREATE TEMP TABLE case_do_t (k int, v text)")
+    try:
+        eng.sql("""
+            DO $$
+            DECLARE
+                x int := 3;
+            BEGIN
+                CASE x
+                    WHEN 1 THEN INSERT INTO case_do_t VALUES (1, 'one');
+                    WHEN 2, 3 THEN
+                        INSERT INTO case_do_t VALUES (2, 'two-three');
+                    ELSE INSERT INTO case_do_t VALUES (0, 'other');
+                END CASE;
+            END
+            $$
+        """)
+        rows = eng.sql("SELECT k, v FROM case_do_t").collect()
+        assert [(r.k, r.v) for r in rows] == [(2, "two-three")]
+        with pytest.raises(Exception, match="case not found"):
+            eng.sql("""
+                DO $$
+                BEGIN
+                    CASE
+                        WHEN 1 = 2 THEN
+                            INSERT INTO case_do_t VALUES (9, 'never');
+                    END CASE;
+                END
+                $$
+            """)
+    finally:
+        eng.sql("DROP TABLE case_do_t")
