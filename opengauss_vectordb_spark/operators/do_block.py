@@ -23,7 +23,13 @@ DIAGNOSTICS v = ROW_COUNT`` (last DML's row count), dynamic
 literal-derived subset (pl_exec.cpp:139 exec_stmt_dynexecute — the
 text composes from ``format('<literal>', ...)``, a string literal, or
 a ``||`` concatenation of literals and variables; ``INTO [STRICT]``
-binds results, ``USING`` binds ``$n`` parameters), and any other
+binds results, ``USING`` binds ``$n`` parameters), ``PERFORM <query>``
+(run and discard, exec_stmt_perform), ``CASE ... END CASE``
+statements (rewritten to the IF/ELSIF chain, CASE_NOT_FOUND on
+fall-through), the implicit ``FOUND`` variable (exec_set_found:
+false at block entry; set by SELECT INTO / DML row counts / PERFORM;
+never modified by EXECUTE — PG's documented rule; a user DECLARE of
+the name shadows it), and any other
 statement text (INSERT / UPDATE / DELETE / CREATE / COPY / ...)
 executed through Engine.sql with variable references substituted as
 typed SQL literals.
@@ -119,11 +125,23 @@ def _subst_values(text: str, env: dict) -> str:
 class _DoRunner:
     def __init__(self, engine):
         self.engine = engine
-        self.env: dict = {}
+        # the implicit FOUND variable starts false at block entry
+        # (pl_exec.cpp plpgsql_estate_setup → exec_set_found(false));
+        # a user DECLARE of the same name shadows it (decls parse
+        # after construction and set _found_shadowed)
+        self.env: dict = {"found": False}
         self.notices: list[str] = []
         self.executed = 0
+        self._found_shadowed = False
         # GET DIAGNOSTICS ROW_COUNT source: the last DML's row count
         self.last_row_count: int = 0
+
+    def _set_found(self, hit: bool) -> None:
+        """exec_set_found — SELECT INTO, PERFORM and DML update the
+        implicit FOUND; a user-declared `found` shadows it, and
+        EXECUTE never modifies it (PG's documented rule)."""
+        if not self._found_shadowed:
+            self.env["found"] = bool(hit)
 
     def _note_row_count(self, df) -> None:
         try:
@@ -131,6 +149,7 @@ class _DoRunner:
                 row = df.first()
                 if row is not None and row["rows"] is not None:
                     self.last_row_count = int(row["rows"])
+                    self._set_found(self.last_row_count > 0)
         except Exception:  # noqa: BLE001 — diagnostics never break DML
             pass
 
@@ -242,6 +261,7 @@ class _DoRunner:
                 sql += " " + _subst_values(tail, self.env)
             row = self.engine.sql(sql).first()
             self.env[m.group("v").lower()] = None if row is None else row[0]
+            self._set_found(row is not None)
             return
         # EXECUTE <dynamic sql> — pl_exec.cpp:139 exec_stmt_dynexecute,
         # the literal-derived subset (see _compose_dynsql)
@@ -254,9 +274,10 @@ class _DoRunner:
         m = re.match(r"PERFORM\s+(?P<q>.+)$", stmt,
                      re.IGNORECASE | re.DOTALL)
         if m:
-            self.engine.sql(
+            rows = self.engine.sql(
                 "SELECT " + _subst_values(m.group("q"), self.env)
             ).collect()
+            self._set_found(len(rows) > 0)
             self.executed += 1
             return
         # anything else is a statement for the engine (DML/DDL/COPY)
@@ -473,6 +494,8 @@ def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
         if not m:
             raise ValueError(f"DO block: cannot parse declaration {stmt!r}")
         v = m.group("v").lower()
+        if v == "found":
+            runner._found_shadowed = True
         if m.group("e") is None:
             runner.env[v] = None
         else:

@@ -3158,3 +3158,58 @@ def test_do_block_case_statement(spark):
             """)
     finally:
         eng.sql("DROP TABLE case_do_t")
+
+
+def test_do_block_found_variable(spark):
+    """The implicit FOUND variable (pl_exec.cpp exec_set_found):
+    false at block entry, set true by a SELECT INTO that returns a row
+    (an aggregate always does), by DML that touches >=1 row, and by
+    PERFORM with >=1 result row; a user DECLARE of the same name
+    shadows it."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("CREATE TEMP TABLE found_gate (k int, v text)")
+    try:
+        eng.sql("""
+            DO $$
+            DECLARE
+                hi float8;
+            BEGIN
+                IF NOT FOUND THEN
+                    INSERT INTO found_gate VALUES (0, 'entry false');
+                END IF;
+                SELECT MAX(o_totalprice) INTO hi FROM orders;
+                IF FOUND THEN
+                    INSERT INTO found_gate VALUES (1, 'select hit');
+                END IF;
+                UPDATE found_gate SET v = 'u' WHERE k = 99;
+                IF NOT FOUND THEN
+                    INSERT INTO found_gate VALUES (2, 'update missed');
+                END IF;
+                DELETE FROM found_gate WHERE k = 0;
+                IF FOUND THEN
+                    INSERT INTO found_gate VALUES (3, 'delete hit');
+                END IF;
+                PERFORM 1 FROM nation WHERE n_nationkey < 0;
+                IF NOT FOUND THEN
+                    INSERT INTO found_gate VALUES (4, 'perform empty');
+                END IF;
+            END
+            $$
+        """)
+        got = [r.k for r in eng.sql(
+            "SELECT k FROM found_gate ORDER BY k").collect()]
+        assert got == [1, 2, 3, 4]
+        # user-declared `found` shadows the implicit variable
+        out = eng.sql("""
+            DO $$
+            DECLARE
+                found boolean := TRUE;
+            BEGIN
+                UPDATE found_gate SET v = 'x' WHERE k = 99;
+                RAISE NOTICE 'shadowed=%', found;
+            END
+            $$
+        """).collect()[0]
+        assert "shadowed=True" in out.notices
+    finally:
+        eng.sql("DROP TABLE found_gate")
