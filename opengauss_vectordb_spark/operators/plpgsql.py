@@ -78,6 +78,12 @@ Bare ``LOOP`` with a LEADING ``EXIT WHEN v <op> bound``
 (pl_exec.cpp exec_stmt_exit) is a pre-test counter loop and rewrites
 into the counter-WHILE form above with the comparison inverted.
 
+LEADING ``CONTINUE WHEN <cond>`` statements in an accumulator loop
+body compile as row filters over the loop source (skipping the whole
+remaining body for a row IS a WHERE; only a TRUE condition skips, so
+the filter is NULL-safe NOT COALESCE(cond, FALSE)); a mid-body
+CONTINUE or a condition reading an accumulator refuses.
+
 CASE STATEMENTS (``CASE ... WHEN ... THEN stmts ... END CASE``,
 pl_exec.cpp exec_stmt_case) are IF/ELSIF sugar and rewrite to that
 chain before compilation — searched and simple forms, value lists as
@@ -724,6 +730,21 @@ def _parse_loop_accs(
         stmt, pos = _scan_stmt(body, pos)
         if stmt:
             stmts.append(stmt)
+    # LEADING `CONTINUE WHEN <cond>;` statements (pl_exec.cpp
+    # exec_stmt_exit, is_exit=false): skipping the whole remaining
+    # body for matching rows IS a row filter over the loop source —
+    # each peeled condition becomes a WHERE NOT COALESCE(cond, FALSE)
+    # on the aggregate's input (NULL conditions keep the row, as PG's
+    # CONTINUE only fires on TRUE).  Mid-body CONTINUE would filter
+    # only the statements after it, so it refuses below.
+    filters: list[str] = []
+    while stmts:
+        mc = re.match(r"CONTINUE\s+WHEN\s+(?P<c>.+)$", stmts[0],
+                      re.IGNORECASE | re.DOTALL)
+        if mc is None:
+            break
+        filters.append(mc.group("c").strip())
+        stmts.pop(0)
     if not stmts:
         raise NotImplementedError(
             "plpgsql: empty FOR loop body — nothing to aggregate"
@@ -741,6 +762,14 @@ def _parse_loop_accs(
                          "MAX" if fn == "GREATEST" else "MIN",
                          m.group("e")))
             continue
+        if re.match(r"CONTINUE\b", stmt, re.IGNORECASE):
+            raise NotImplementedError(
+                "plpgsql: CONTINUE WHEN compiles only as the LEADING "
+                "statement(s) of an accumulator loop body (a row "
+                "filter over the loop source); a mid-body CONTINUE "
+                "filters only the statements after it — fold the "
+                "condition into each accumulator expression instead"
+            )
         raise NotImplementedError(
             "plpgsql: a FOR loop body may only contain accumulator "
             "assignments (acc := acc + e / acc := GREATEST(acc, e)); "
@@ -775,6 +804,21 @@ def _parse_loop_accs(
     # the aggregate being built) and never the row variable
     outer = {k: v for k, v in bindings.items()
              if k not in acc_names and k != var}
+    for c in filters:
+        masked_c = _mask_strings(c)
+        for a in acc_names:
+            if re.search(rf"(?<!\.)\b{re.escape(a)}\b", masked_c,
+                         re.IGNORECASE):
+                raise NotImplementedError(
+                    f"plpgsql: CONTINUE WHEN reads accumulator {a!r} "
+                    "updated in the same loop — a sequential "
+                    "dependence; rewrite with a window function"
+                )
+    if filters:
+        conj = " AND ".join(f"NOT COALESCE(({c}), FALSE)"
+                            for c in filters)
+        query_sql = (f"SELECT * FROM ({query_sql}) AS {var} "
+                     f"WHERE {conj}")
     q_sub = _subst(query_sql, outer)
     out: list[tuple[str, str, str, str]] = []
     for acc, kind, e in accs:

@@ -3213,3 +3213,53 @@ def test_do_block_found_variable(spark):
         assert "shadowed=True" in out.notices
     finally:
         eng.sql("DROP TABLE found_gate")
+
+
+def test_plpgsql_continue_when(spark):
+    """LEADING CONTINUE WHEN statements in accumulator loops compile
+    to a row filter over the loop source (exec_stmt_exit is_exit=false
+    — skipping the whole remaining body for a row IS a WHERE);
+    mid-body CONTINUE and accumulator-reading conditions refuse."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION odds_sum(n int) RETURNS bigint AS $$
+        DECLARE
+            total bigint := 0;
+        BEGIN
+            FOR i IN 1..n LOOP
+                CONTINUE WHEN i % 2 = 0;
+                total := total + i;
+            END LOOP;
+            RETURN total;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    r = eng.sql("SELECT odds_sum(10) AS s, odds_sum(0) AS z").collect()[0]
+    assert (r.s, r.z) == (25, 0)
+    eng.sql("DROP FUNCTION odds_sum")
+    with pytest.raises(NotImplementedError, match="LEADING"):
+        eng.sql("""
+            CREATE FUNCTION midc(n int) RETURNS bigint AS $$
+            DECLARE t bigint := 0;
+            BEGIN
+                FOR i IN 1..n LOOP
+                    t := t + i;
+                    CONTINUE WHEN i = 3;
+                END LOOP;
+                RETURN t;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
+    with pytest.raises(NotImplementedError, match="sequential"):
+        eng.sql("""
+            CREATE FUNCTION accc(n int) RETURNS bigint AS $$
+            DECLARE t bigint := 0;
+            BEGIN
+                FOR i IN 1..n LOOP
+                    CONTINUE WHEN t > 10;
+                    t := t + i;
+                END LOOP;
+                RETURN t;
+            END;
+            $$ LANGUAGE plpgsql
+        """)
