@@ -24,7 +24,9 @@ literal-derived subset (pl_exec.cpp:139 exec_stmt_dynexecute — the
 text composes from ``format('<literal>', ...)``, a string literal, or
 a ``||`` concatenation of literals and variables; ``INTO [STRICT]``
 binds results, ``USING`` binds ``$n`` parameters), ``PERFORM <query>``
-(run and discard, exec_stmt_perform), ``CASE ... END CASE``
+(run and discard, exec_stmt_perform), DML ``RETURNING <exprs> INTO
+[STRICT] v1[, v2 ...]`` (binds the RETURNING frame's first row
+positionally; zero rows NULL the targets and clear FOUND), ``CASE ... END CASE``
 statements (rewritten to the IF/ELSIF chain, CASE_NOT_FOUND on
 fall-through), the implicit ``FOUND`` variable (exec_set_found:
 false at block entry; set by SELECT INTO / DML row counts / PERFORM;
@@ -263,6 +265,38 @@ class _DoRunner:
             self.env[m.group("v").lower()] = None if row is None else row[0]
             self._set_found(row is not None)
             return
+        # DML ... RETURNING <exprs> INTO [STRICT] v1[, v2 ...] —
+        # pl_exec.cpp exec_stmt_execsql's INTO path over a RETURNING
+        # DML: run the statement (the engine's RETURNING frame IS the
+        # result set), bind the first row's values positionally, set
+        # FOUND/ROW_COUNT from the returned rows
+        if re.match(r"(INSERT|UPDATE|DELETE)\b", stmt, re.IGNORECASE):
+            masked = _mask_strings(stmt)
+            mr = re.search(r"\bRETURNING\b", masked, re.IGNORECASE)
+            mi = mr and re.search(
+                r"\s+INTO\s+(?:STRICT\s+)?(?P<vs>\w+(?:\s*,\s*\w+)*)\s*$",
+                masked[mr.end():], re.IGNORECASE,
+            )
+            if mi:
+                dml = stmt[: mr.end() + mi.start()]
+                rows = self.engine.sql(
+                    _subst_values(dml, self.env)
+                ).collect()
+                self.executed += 1
+                self.last_row_count = len(rows)
+                self._set_found(len(rows) > 0)
+                row = rows[0] if rows else None
+                names = [v.strip().lower()
+                         for v in mi.group("vs").split(",")]
+                if row is not None and len(row) < len(names):
+                    raise ValueError(
+                        "RETURNING INTO: statement returns "
+                        f"{len(row)} column(s) for {len(names)} "
+                        "target variable(s)"
+                    )
+                for i, v in enumerate(names):
+                    self.env[v] = None if row is None else row[i]
+                return
         # EXECUTE <dynamic sql> — pl_exec.cpp:139 exec_stmt_dynexecute,
         # the literal-derived subset (see _compose_dynsql)
         m = re.match(r"EXECUTE\s+(?P<rest>.+)$", stmt,

@@ -3263,3 +3263,34 @@ def test_plpgsql_continue_when(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_do_block_returning_into(spark):
+    """DML ... RETURNING <exprs> INTO [STRICT] v1[, v2] binds the
+    RETURNING frame's first row positionally (exec_stmt_execsql's
+    INTO path); zero returned rows NULL the targets and clear FOUND."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("CREATE TEMP TABLE ret_gate (k int, v text)")
+    try:
+        out = eng.sql("""
+            DO $$
+            DECLARE
+                newk int;
+                newv text;
+            BEGIN
+                INSERT INTO ret_gate VALUES (7, 'seven')
+                    RETURNING k, v INTO newk, newv;
+                RAISE NOTICE 'ins k=% v=% found=%', newk, newv, found;
+                UPDATE ret_gate SET v = 'SEVEN' WHERE k = newk
+                    RETURNING v INTO newv;
+                RAISE NOTICE 'upd v=%', newv;
+                DELETE FROM ret_gate WHERE k = 99 RETURNING k INTO newk;
+                RAISE NOTICE 'miss k=% found=%', newk, found;
+            END
+            $$
+        """).collect()[0]
+        assert "ins k=7 v=seven found=True" in out.notices
+        assert "upd v=SEVEN" in out.notices
+        assert "miss k=<NULL> found=False" in out.notices
+    finally:
+        eng.sql("DROP TABLE ret_gate")
