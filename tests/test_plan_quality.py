@@ -649,3 +649,39 @@ def test_trgm_gin_similarity_from_index_alone(spark):
         assert python_eval_nodes(df) == 0
     finally:
         eng.sql("DROP INDEX pin_trgm")
+
+
+def test_plpgsql_setof_inlines_with_pushdown(spark):
+    """A set-returning plpgsql function (RETURN QUERY x2 → Spark SQL
+    table function) inlines into the calling plan: one scan per
+    RETURN QUERY branch (the same shape as the hand-written UNION
+    ALL), the threshold predicates pushed to the parquet scans, zero
+    Python nodes, no cartesian."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION pin_slices(minp float8)
+        RETURNS TABLE(ck bigint, amt float8) AS $$
+        DECLARE cap float8 := 250000.0;
+        BEGIN
+            RETURN QUERY SELECT o_custkey, o_totalprice FROM orders
+                WHERE o_totalprice >= minp AND o_totalprice < cap;
+            RETURN QUERY SELECT o_custkey, -1.0 * o_totalprice
+                FROM orders WHERE o_totalprice >= cap;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    try:
+        df = eng.sql(
+            "SELECT COUNT(*) AS n, SUM(amt) AS s"
+            " FROM pin_slices(100000.0)"
+        )
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert python_eval_nodes(df) == 0
+        assert plan.count("Scan parquet") == 2, plan
+        # the RETURN QUERY predicates reach the scans
+        assert "PushedFilters: [IsNotNull(o_totalprice)" in plan, plan
+    finally:
+        eng.sql("DROP FUNCTION pin_slices")
