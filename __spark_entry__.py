@@ -69,9 +69,11 @@ registry.load_all_queries()
 # Registered AFTER this round's window froze (the 50 slots below are
 # consumed by the stale-tail rotation the r8 verdict demanded):
 # plpgsql_return_query (SETOF/RETURN QUERY table functions) and
-# plpgsql_case_stmt (CASE ... END CASE statements) — both
-# oracle-parity-verified locally this round; FRONT-LOAD them in r10's
-# window as its first first-evers.
+# plpgsql_case_stmt (CASE ... END CASE statements), and
+# decontaminate_bloom_prefilter (bloom semi-join reduction: distributed
+# BIT_OR-packed sketch shipped as an 8 KB literal, probe pinned BELOW
+# the verify join) — all oracle-parity-verified locally this round;
+# FRONT-LOAD them in r10's window as its first first-evers.
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",

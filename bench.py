@@ -80,6 +80,7 @@ HEADLINE = [
     "window_ratio_to_report",
     "fts_bm25_query",
     "decontaminate_ngram_overlap",
+    "decontaminate_bloom_prefilter",
     "pack_sequences_report",
     "pii_scrub_redact",
     "format_models2",

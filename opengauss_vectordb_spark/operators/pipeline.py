@@ -1305,3 +1305,171 @@ def chunk_documents_words(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the semi-join-reduction shape for
+# membership tests at corpus scale: a constant-size mergeable bloom
+# filter built over the eval split's shingles (seeded xxhash64 bit
+# positions packed into longs with a BIT_OR aggregate — the same
+# mergeable-sketch algebra as the Count-Min/HLL rows), broadcast as ONE
+# row (~8 KB), probed map-side on the training corpus BEFORE the exact
+# shingle equi-join.  The bloom only PREFILTERS (false positives pass);
+# the exact join verifies, so the result is exact and oracle-checkable.
+# At 100 TB this is the difference between shuffling every corpus
+# shingle into the join and shuffling only the ~contaminated tail —
+# the hand-rolled form of the runtime bloom filters Catalyst injects
+# for selective joins (SCALE.md).
+# --------------------------------------------------------------------------
+_BLOOM_N = 5        # shingle width (words)
+_BLOOM_BITS = 1 << 16   # 65536 bits = 1024 packed longs
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3        # hash functions (seeded xxhash64)
+
+
+def _bloom_shingles(d):
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ",
+    )
+    t = d.select("doc_id", w.alias("w")).filter(F.size("w") >= _BLOOM_N)
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - _BLOOM_N),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), i + 1, _BLOOM_N)
+                ),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+
+
+def build_bloom(df, col: str):
+    """One-row DataFrame holding the bloom as ARRAY<BIGINT>(_BLOOM_WORDS):
+    per value, _BLOOM_K seeded-hash bit positions; per 64-bit word, a
+    BIT_OR partial aggregate (mergeable across partitions — the classic
+    distributed-sketch build, no driver collect)."""
+    spark = df.sparkSession
+    pos = df.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)),
+                       F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_K)
+            ])
+        ).alias("p")
+    )
+    words = pos.selectExpr(
+        "CAST(p / 64 AS LONG) AS w",
+        "SHIFTLEFT(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS b",
+    ).groupBy("w").agg(F.bit_or("b").alias("m"))
+    dense = (
+        spark.range(_BLOOM_WORDS)
+        .join(words, F.col("id") == F.col("w"), "left")
+        .select("id", F.coalesce("m", F.lit(0).cast("long")).alias("m"))
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "m"))),
+            lambda s: s["m"],
+        ).alias("bloom")
+    )
+
+
+def _bloom_hit(bloom_name: str, value_name: str):
+    """TRUE when every seeded bit position is set — the map-side probe
+    (pure codegen expression over the bloom array)."""
+    conds = []
+    for i in range(_BLOOM_K):
+        p = f"pmod(xxhash64({value_name}, {i}), {_BLOOM_BITS})"
+        word = f"element_at({bloom_name}, CAST({p} / 64 AS INT) + 1)"
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+        conds.append(f"(({word} & {bit}) != 0)")
+    return F.expr(" AND ".join(conds))
+
+
+def bloom_literal(bloom_df) -> str:
+    """Materialize the one-row bloom as a SQL array literal (the sketch
+    is CONSTANT-SIZE — 8 KB at these parameters — so pulling it to the
+    driver is the broadcast-variable shape, not a data collect).  A
+    literal, unlike a joined column, stays a plain Filter predicate
+    that Catalyst pushes BELOW every join — exactly the prefilter
+    position the pattern needs (a filter referencing a join output can
+    never run before that join, and Catalyst happily reorders the
+    verify join below it — observed on the joined form of this
+    operator)."""
+    words = bloom_df.first()["bloom"]
+    return "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+
+@query(
+    "decontaminate_bloom_prefilter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, len(w) - {_BLOOM_N} + 2),
+               i -> array_to_string(w[i : i + {_BLOOM_N} - 1], ' ')))
+               AS shingle
+      FROM toks WHERE len(w) >= {_BLOOM_N}
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+      WHERE s.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(c.doc_id IS NOT NULL AS BOOLEAN) AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_bloom_prefilter(spark, sf_dir):
+    """Exact decontamination verdict per training doc, with the exact
+    shingle join fed through a bloom prefilter: the eval split's
+    5-gram bloom (65536 bits, 3 seeded hashes, BIT_OR-packed longs)
+    is built distributed and shipped as an 8 KB constant (the
+    broadcast-variable shape); training shingles probe it as a plain
+    map-side Filter and only survivors reach the equi-join; the join
+    removes the bloom's false positives, so the verdict equals the
+    oracle's plain exact overlap.
+
+    Scale: the bloom build is one short-key aggregation over the
+    (tiny) eval split; the probe is pure codegen on the corpus scan
+    with NO shuffle — and because it is a literal predicate, Catalyst
+    keeps it BELOW the verify join (test_plan_quality pins the order);
+    only ~contaminated shingles shuffle into the join.  False-positive
+    rate at these parameters and the gate's eval size is ~2e-5."""
+    d = table(spark, sf_dir, "documents")
+    shingles = _bloom_shingles(d)
+    eval_sh = (
+        shingles.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle").distinct()
+    )
+    bloom = bloom_literal(build_bloom(eval_sh, "shingle"))
+    train = shingles.filter(F.col("doc_id") % 97 != 0)
+    candidates = (
+        train.filter(_bloom_hit(bloom, "shingle"))
+        .select("doc_id", "shingle")
+    )
+    contaminated = (
+        candidates.join(eval_sh, "shingle", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id").distinct()
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -685,3 +685,27 @@ def test_plpgsql_setof_inlines_with_pushdown(spark):
         assert "PushedFilters: [IsNotNull(o_totalprice)" in plan, plan
     finally:
         eng.sql("DROP FUNCTION pin_slices")
+
+
+def test_bloom_prefilter_sits_below_verify_join(spark):
+    """decontaminate_bloom_prefilter: the bloom probe must be a plain
+    map-side Filter BELOW the exact verify join (the whole point of
+    the semi-join-reduction pattern — only bloom survivors shuffle).
+    The joined form of this operator got reordered by Catalyst (join
+    first, bloom after), which is why the sketch ships as a literal;
+    this pins the fixed shape: probe below the join, no cartesian, no
+    Python, and the corpus parquet scan read exactly twice (train +
+    eval derivations)."""
+    from opengauss_vectordb_spark.registry import QUERIES
+
+    df = QUERIES["decontaminate_bloom_prefilter"](spark, SF_CORRECT)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_eval_nodes(df) == 0
+    i_filter = plan.find("element_at")
+    i_semi = plan.find("LeftSemi")
+    assert i_filter > 0 and i_semi > 0
+    # tree text: deeper (later) = executed earlier — the probe Filter
+    # must hang BELOW the semi join
+    assert i_filter > i_semi, plan[:4000]
