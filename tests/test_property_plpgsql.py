@@ -1,10 +1,11 @@
 """Property test for the plpgsql→SQL compiler: random programs in the
 declarative subset (DECLARE, assignment, nested IF/ELSIF/ELSE with both
-RETURN and fall-through branches, FOR-IN-SELECT accumulator loops) are
-compiled to one SQL expression and executed in DuckDB; a direct Python
-interpreter of the same program must agree on every input. This is the
-compiler analogue of the oracle-parity gate — two independent
-executions of one semantics."""
+RETURN and fall-through branches, CASE statements in searched and
+simple forms, FOR-IN-SELECT accumulator loops) are compiled to one SQL
+expression and executed in DuckDB; a direct Python interpreter of the
+same program must agree on every input. This is the compiler analogue
+of the oracle-parity gate — two independent executions of one
+semantics."""
 
 from __future__ import annotations
 
@@ -65,6 +66,43 @@ def if_strategy(depth: int):
     )
 
 
+def case_strategy(depth: int):
+    """CASE statements (searched and simple forms), always WITH an
+    ELSE — the no-match/no-ELSE path compiles to raise_error, which
+    DuckDB (the property executor) has no analogue for; that path is
+    pinned by unit tests instead."""
+    branch_body = st.lists(
+        st.one_of(
+            st.tuples(st.just("assign"), exprs),
+            st.tuples(st.just("return"), exprs),
+        ) if depth <= 0 else st.one_of(
+            st.tuples(st.just("assign"), exprs),
+            st.tuples(st.just("return"), exprs),
+            if_strategy(depth - 1),
+        ),
+        min_size=1,
+        max_size=2,
+    )
+    searched = st.builds(
+        lambda brs, els: ("case", False, brs, els),
+        st.lists(st.tuples(conds, branch_body), min_size=1, max_size=3),
+        branch_body,
+    )
+    simple = st.builds(
+        lambda brs, els: ("case", True, brs, els),
+        st.lists(
+            st.tuples(
+                st.lists(st.integers(-3, 3), min_size=1, max_size=2,
+                         unique=True),
+                branch_body,
+            ),
+            min_size=1, max_size=3,
+        ),
+        branch_body,
+    )
+    return st.one_of(searched, simple)
+
+
 fors = st.tuples(
     st.just("for"),
     st.lists(st.integers(-5, 5), min_size=1, max_size=4),
@@ -80,6 +118,7 @@ programs = st.lists(
     st.one_of(
         st.tuples(st.just("assign"), exprs),
         if_strategy(2),
+        case_strategy(1),
         fors,
     ),
     max_size=3,
@@ -117,6 +156,18 @@ def _stmt_src(s, ind: str) -> str:
                 fn = "GREATEST" if kind == "max" else "LEAST"
                 out.append(f"{ind}    v := {fn}(v, {e});")
         out.append(f"{ind}END LOOP;")
+        return "\n".join(out)
+    if s[0] == "case":
+        _, simple, branches, els = s
+        out = [f"{ind}CASE" + (" x" if simple else "")]
+        for cond, body in branches:
+            w = (", ".join(str(v) for v in cond) if simple
+                 else _cond_src(cond))
+            out.append(f"{ind}    WHEN {w} THEN")
+            out.extend(_stmt_src(b, ind + "        ") for b in body)
+        out.append(f"{ind}    ELSE")
+        out.extend(_stmt_src(b, ind + "        ") for b in els)
+        out.append(f"{ind}END CASE;")
         return "\n".join(out)
     out = []
     first = True
@@ -182,6 +233,16 @@ def _run_stmts(stmts, env):
                             env["v"] = max(env["v"], e)
                         else:
                             env["v"] = min(env["v"], e)
+        elif s[0] == "case":
+            _, simple, branches, els = s
+            for cond, body in branches:
+                hit = (env["x"] in cond) if simple \
+                    else _eval_cond(cond, env)
+                if hit:
+                    _run_stmts(body, env)
+                    break
+            else:
+                _run_stmts(els, env)
         else:
             for cond, body in s[1]:
                 if cond is None or _eval_cond(cond, env):
