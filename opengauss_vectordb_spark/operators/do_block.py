@@ -61,6 +61,7 @@ from .plpgsql import (
     _DECLARE_RE,
     _find_end_if,
     _mask_strings,
+    _rewrite_assert_stmts,
     _rewrite_case_stmts,
     _scan_stmt,
     _split_branches,
@@ -161,9 +162,10 @@ class _DoRunner:
 
     def run(self, text: str) -> None:
         # CASE ... END CASE statements are IF/ELSIF sugar
-        # (exec_stmt_case) — rewrite before dispatch, same as the
+        # (exec_stmt_case) and ASSERT is IF/RAISE sugar
+        # (exec_stmt_assert) — rewrite before dispatch, same as the
         # compiled-function path; idempotent on recursive branch runs
-        text = _rewrite_case_stmts(text)
+        text = _rewrite_case_stmts(_rewrite_assert_stmts(text))
         pos, n = 0, len(text)
         while pos < n:
             rest = text[pos:].lstrip()

@@ -88,7 +88,9 @@ CASE STATEMENTS (``CASE ... WHEN ... THEN stmts ... END CASE``,
 pl_exec.cpp exec_stmt_case) are IF/ELSIF sugar and rewrite to that
 chain before compilation — searched and simple forms, value lists as
 IN, and the reference's CASE_NOT_FOUND raise when no branch matches
-and ELSE is absent.
+and ELSE is absent.  ``ASSERT cond [, 'msg']`` (exec_stmt_assert) is
+the same kind of sugar: IF NOT COALESCE(cond, FALSE) THEN RAISE —
+false AND NULL conditions raise, as PG asserts fire unless TRUE.
 
 SET-RETURNING functions (RETURNS TABLE(...) / SETOF <table> / SETOF
 <scalar>; pl_exec.cpp exec_stmt_return_query :3585 and
@@ -1802,6 +1804,38 @@ def _case_stmt_branches(
     return selector, branches, else_body
 
 
+_ASSERT_RE = re.compile(
+    # anchored to a statement START (block head / ';' / a control
+    # keyword) so an identifier named `assert` mid-statement never
+    # matches
+    r"(?P<pre>^|;|\bBEGIN\b|\bTHEN\b|\bELSE\b|\bLOOP\b)"
+    r"(?P<ws>\s*)ASSERT\s+(?P<c>[^;]+?)"
+    r"(?:\s*,\s*'(?P<m>(?:[^']|'')*)')?\s*;",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_assert_stmts(body: str) -> str:
+    """``ASSERT condition [, 'message'];`` (pl_exec.cpp
+    exec_stmt_assert, plpgsql_check_asserts default on) is IF sugar:
+    rewrite to ``IF NOT COALESCE((cond), FALSE) THEN RAISE EXCEPTION
+    ...; END IF;`` — PG raises ASSERT_FAILURE when the condition is
+    false OR NULL, hence the COALESCE."""
+    masked = _mask_strings(body)
+    out, last = [], 0
+    for m in _ASSERT_RE.finditer(masked):
+        cond = body[m.start("c"):m.end("c")]
+        msg = (body[m.start("m"):m.end("m")]
+               if m.group("m") is not None else "assertion failed")
+        out.append(body[last:m.end("ws")])
+        out.append(
+            f"IF NOT COALESCE(({cond}), FALSE) THEN "
+            f"RAISE EXCEPTION '{msg}'; END IF;"
+        )
+        last = m.end()
+    return "".join(out) + body[last:]
+
+
 def _rewrite_case_stmts(body: str) -> str:
     """Rewrite every CASE ... END CASE statement into the equivalent
     IF/ELSIF chain (innermost-last via repeated leftmost rewriting)."""
@@ -1995,7 +2029,7 @@ def translate_plpgsql(query: str, resolve_cols=None) -> str | None:
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
     body = _map_body_cast_types(body)
-    body = _rewrite_case_stmts(body)
+    body = _rewrite_case_stmts(_rewrite_assert_stmts(body))
     masked_body = _mask_strings(body)  # keywords in literals are inert
     # FOR <rec> IN SELECT ... LOOP and bounded integer-range FOR spans
     # are the supported loop shapes — blank them so the blanket

@@ -3294,3 +3294,42 @@ def test_do_block_returning_into(spark):
         assert "miss k=<NULL> found=False" in out.notices
     finally:
         eng.sql("DROP TABLE ret_gate")
+
+
+def test_plpgsql_assert_statement(spark):
+    """ASSERT condition [, 'message'] (exec_stmt_assert) rewrites to
+    IF NOT COALESCE(cond, FALSE) RAISE — false AND NULL conditions
+    raise, in both compiled functions and DO blocks; an identifier
+    merely NAMED assert never triggers the rewrite."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION checked_div(a float8, b float8)
+        RETURNS float8 AS $$
+        BEGIN
+            ASSERT b <> 0, 'divisor must be nonzero';
+            RETURN a / b;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT checked_div(6.0, 2.0) AS r").collect()[0].r == 3.0
+    with pytest.raises(Exception, match="divisor must be nonzero"):
+        eng.sql("SELECT checked_div(1.0, 0.0) AS r").collect()
+    # NULL condition raises too (PG: assert fires unless TRUE)
+    with pytest.raises(Exception, match="divisor must be nonzero"):
+        eng.sql(
+            "SELECT checked_div(1.0, CAST(NULL AS DOUBLE)) AS r"
+        ).collect()
+    eng.sql("DROP FUNCTION checked_div")
+    with pytest.raises(Exception, match="big nation table"):
+        eng.sql("""
+            DO $$
+            DECLARE n bigint;
+            BEGIN
+                SELECT COUNT(*) INTO n FROM nation;
+                ASSERT n > 1000, 'expected a big nation table';
+            END
+            $$
+        """)
+    # default message
+    with pytest.raises(Exception, match="assertion failed"):
+        eng.sql("DO $$ BEGIN ASSERT 1 = 2; END $$")
