@@ -337,6 +337,11 @@ class Engine:
         handled = _gin_ddl(self, query)
         if handled is not None:
             return handled
+        from .operators.gist_index import try_handle_ddl as _gist_ddl
+
+        handled = _gist_ddl(self, query)
+        if handled is not None:
+            return handled
         m = self._CREATE_BTREE.match(query)
         if m:
             table, col = m.group("table").lower(), m.group("col")
@@ -572,13 +577,15 @@ class Engine:
                 self.ann.drop(*key)
             bkey = self._btree_indexes.pop(name, None)
             from .operators.gin_index import drop_gin_index
+            from .operators.gist_index import drop_gist_index
 
             gkey = drop_gin_index(self, name)
+            skey = drop_gist_index(self, name)
             # dropping a btree index keeps the clustered layout (it is
             # just data order) — only the catalog entry goes away
             return self.spark.createDataFrame(
                 [("DROP INDEX", name,
-                  key is not None or bkey is not None or gkey)],
+                  key is not None or bkey is not None or gkey or skey)],
                 "tag STRING, index STRING, existed BOOLEAN",
             )
         from .operators.matview import try_handle_ddl as _matview_ddl

@@ -379,12 +379,18 @@ class TableManager:
             # indexes with their table); a recreated same-name table
             # must not route @@ / % through stale postings
             from .gin_index import drop_gin_index
+            from .gist_index import drop_gist_index
 
             for gname, gidx in list(
                 getattr(eng, "gin_indexes", {}).items()
             ):
                 if gidx["table"] == name:
                     drop_gin_index(eng, gname)
+            for gname, gidx in list(
+                getattr(eng, "gist_indexes", {}).items()
+            ):
+                if gidx["table"] == name:
+                    drop_gist_index(eng, gname)
             for label, cols in list(eng.resource_labels.items()):
                 kept = [(t, c) for t, c in cols if t != name]
                 if kept:

@@ -1,0 +1,614 @@
+"""CREATE INDEX ... USING gist (box/point/range) — a persisted
+R-tree-analogue spatial index: Z-order-clustered layout + bucket-MBR
+manifest.
+
+Reference: the GiST access method
+(`src/gausskernel/storage/access/gist/gistbuild.cpp` ``gistbuild``,
+`gistget.cpp` scan descent) with the rtree opclasses
+(`gistproc.cpp:104` ``gist_box_consistent`` — leaf test
+`gist_box_leaf_consistent` :809, internal-page test
+`rtree_internal_consistent` :869), regress
+``create_index_gist.sql``/``gpi_range.sql``.  The reference descends a
+page tree whose internal entries are the union bounding boxes of their
+subtrees; a query tests ``rtree_internal_consistent(pageMBR, query,
+strategy)`` to decide which subtrees to visit, then
+``gist_box_leaf_consistent`` on leaf tuples.  Polygons and circles are
+indexed BY THEIR BOUNDING BOX (`gist_poly_compress` :925) with an
+executor recheck — the internal-page machinery is shared
+("Common rtree functions (for boxes, polygons, and circles)").
+
+Spark-first shape: the index is a parquet layout of ``(row id, x1, y1,
+x2, y2)`` clustered by the Z-order of box centers and partitioned by
+the code's top bits (``zb``), plus a driver-side manifest of each
+bucket's actual union MBR (min x1/y1, max x2/y2 — `gist_box_union`'s
+result per partition).  A search runs the reference's OWN
+internal-consistent test per bucket MBR driver-side (bounded metadata
+math over ≤2^bucket_bits entries, the IVF probe-ranking convention),
+reads only the consistent ``zb=`` partitions (PartitionFilters), and
+applies the exact leaf predicate as a codegen'd Column expression —
+bucket manifest = internal pages, parquet rowgroup min/max on the
+coordinate columns = a finer leaf level for free.  The index carries
+the coordinates, so box/point/range answers are INDEX-ONLY; a lossy
+opclass (polygon/circle by MBR) would add the reference's executor
+recheck as a semi-join back to the relation — same layout, one more
+join (documented position, not built: the engine's geometry surface
+is box/point columns).
+
+Two deliberate deviations, both documented: (1) comparisons are exact
+IEEE doubles, not the reference's EPSILON=1e-6 fuzzy compares
+(`geo_decls.h` FPlt/FPgt) — Spark and every SQL oracle compare floats
+exactly, and fuzz would make results engine-private; (2) NULL
+coordinates are excluded at build (a NULL box satisfies no rtree
+strategy; the reference's IS NULL index support has no consumer
+here).
+
+Staleness follows the GIN model (`gin_index.py`, gininsert.cpp's
+fastupdate pending list): the build records the indexed table's CSN +
+covered file set; pure appends Z-bucket ONLY the new files with the
+FROZEN build-time quantizer into a delta layout (out-of-bounds centers
+clamp to edge cells — still correct, because pruning consults each
+layout's ACTUAL bucket MBRs, recomputed per delta, never the
+quantizer); copy-on-write rewrites and over-threshold deltas compact
+via full rebuild.
+
+At 100 TB: the one-time build is a single repartition-by-zbucket
+shuffle; every search reads only the buckets whose MBR passes the
+consistent test (a rectangle query touches O(query area / bucket
+area) partitions), the leaf predicate is whole-stage codegen, and the
+driver-side manifest stays 2^bucket_bits entries — raise
+``bucket_bits`` with the corpus (the WITH clause) the way IVF raises
+``lists``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .gin_index import _latest_manifest, _source_df, _table_csn
+
+# CREATE INDEX [name] ON tbl USING gist ( box(x1,y1,x2,y2) |
+#   point(x,y) | range(lo,hi) ) [WITH (bucket_bits = k)]
+# — the columnar encodings of the rtree opclasses: a box is its four
+# coordinate columns, a point is the degenerate box (gistproc.cpp
+# indexes points as zero-area boxes), a range is the 1-D box.
+_CREATE_GIST = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
+    r"USING\s+gist\s*\(\s*(?P<fn>box|point|range)\s*\(\s*"
+    r"(?P<args>\w+(?:\s*,\s*\w+)*)\s*\)\s*\)"
+    r"(?:\s*WITH\s*\(\s*bucket_bits\s*=\s*(?P<bb>\d+)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ARITY = {"box": 4, "point": 2, "range": 2}
+
+BITS = 8  # per-axis quantization cells = 256 (sources/zorder.py)
+DEFAULT_BUCKET_BITS = 4  # 16 buckets — raise WITH (bucket_bits=k)
+
+# fastupdate-style compaction policy — same two-level LSM as the GIN
+# index (gin_index.py MAX_DELTAS et al.)
+MAX_DELTAS = 8
+MAX_DELTA_ROW_FRACTION = 0.2
+MIN_DELTA_ROWS = 65536
+
+
+# ------------------------------------------------------- box predicates
+# geo_ops.cpp box operators, exact-compare form.  ``b`` is a 4-tuple
+# (x1, y1, x2, y2) with x1<=x2, y1<=y2 (normalized at build).
+
+def _leaf_predicate(op: str, q: tuple) -> "F.Column":
+    """gist_box_leaf_consistent (gistproc.cpp:809): the exact
+    strategy test over the stored coordinates, as ONE codegen'd
+    boolean Column — key vs the literal query box."""
+    qx1, qy1, qx2, qy2 = (F.lit(float(v)) for v in q)
+    x1, y1 = F.col("x1"), F.col("y1")
+    x2, y2 = F.col("x2"), F.col("y2")
+    preds = {
+        # directional strategies (box_left &c.)
+        "left": x2 < qx1,
+        "overleft": x2 <= qx2,
+        "right": x1 > qx2,
+        "overright": x1 >= qx1,
+        "below": y2 < qy1,
+        "overbelow": y2 <= qy2,
+        "above": y1 > qy2,
+        "overabove": y1 >= qy1,
+        "overlap": (x1 <= qx2) & (x2 >= qx1) & (y1 <= qy2) & (y2 >= qy1),
+        "contains": (x1 <= qx1) & (x2 >= qx2) & (y1 <= qy1) & (y2 >= qy2),
+        "contained": (x1 >= qx1) & (x2 <= qx2) & (y1 >= qy1) & (y2 <= qy2),
+        "same": (x1 == qx1) & (x2 == qx2) & (y1 == qy1) & (y2 == qy2),
+    }
+    if op not in preds:
+        raise ValueError(f"gist search: unknown strategy {op!r}")
+    return preds[op]
+
+
+def _internal_consistent(op: str, mbr: tuple, q: tuple) -> bool:
+    """rtree_internal_consistent (gistproc.cpp:869) over a bucket's
+    union MBR: may the bucket contain a row satisfying ``op``?  Note
+    the reference's exact structure — directional strategies negate
+    the OPPOSITE over-operator, same/contains test containment, and
+    contained-by tests overlap."""
+    kx1, ky1, kx2, ky2 = mbr
+    qx1, qy1, qx2, qy2 = q
+    overlap = kx1 <= qx2 and kx2 >= qx1 and ky1 <= qy2 and ky2 >= qy1
+    contain = kx1 <= qx1 and kx2 >= qx2 and ky1 <= qy1 and ky2 >= qy2
+    tests = {
+        "left": not (kx1 >= qx1),        # !box_overright
+        "overleft": not (kx1 > qx2),     # !box_right
+        "overlap": overlap,
+        "overright": not (kx2 < qx1),    # !box_left
+        "right": not (kx2 <= qx2),       # !box_overleft
+        "same": contain,
+        "contains": contain,
+        "contained": overlap,
+        "overbelow": not (ky1 > qy2),    # !box_above
+        "below": not (ky1 >= qy1),       # !box_overabove
+        "above": not (ky2 <= qy2),       # !box_overbelow
+        "overabove": not (ky2 < qy1),    # !box_below
+    }
+    if op not in tests:
+        raise ValueError(f"gist search: unknown strategy {op!r}")
+    return tests[op]
+
+
+# ------------------------------------------------------------ build
+
+
+def _key_frame(idx: dict, df: DataFrame) -> DataFrame:
+    """(doc_id, x1, y1, x2, y2) normalized box rows for ``df`` under
+    the index's opclass — point/range store the degenerate box
+    (gist_poly_compress's bounding-box move, exact here)."""
+    cols, id_col, kind = idx["cols"], idx["id_col"], idx["kind"]
+    if kind == "box":
+        a, b, c, d = (F.col(x).cast("double") for x in cols)
+        x1, x2 = F.least(a, c), F.greatest(a, c)
+        y1, y2 = F.least(b, d), F.greatest(b, d)
+    elif kind == "point":
+        x1 = x2 = F.col(cols[0]).cast("double")
+        y1 = y2 = F.col(cols[1]).cast("double")
+    else:  # range: 1-D box on the x axis
+        lo, hi = (F.col(x).cast("double") for x in cols)
+        x1, x2 = F.least(lo, hi), F.greatest(lo, hi)
+        y1 = y2 = F.lit(0.0)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        x1.alias("x1"), y1.alias("y1"),
+        x2.alias("x2"), y2.alias("y2"),
+    )
+    return out.filter(
+        F.col("x1").isNotNull() & F.col("y1").isNotNull()
+        & F.col("x2").isNotNull() & F.col("y2").isNotNull()
+    )
+
+
+def _zbucket_col(idx: dict) -> "F.Column":
+    """Top bucket_bits of the Morton code of the quantized box
+    center — unrolled shift/mask codegen (sources/zorder.py
+    z_interleave), with the FROZEN build-time bounds so delta rows
+    land in comparable buckets (out-of-range clamps to edge cells)."""
+    from ..sources.zorder import _quantize, z_interleave
+
+    cx = (F.col("x1") + F.col("x2")) / 2.0
+    cy = (F.col("y1") + F.col("y2")) / 2.0
+    qa = _quantize(cx, idx["a_lo"], idx["a_hi"], BITS)
+    qb = _quantize(cy, idx["b_lo"], idx["b_hi"], BITS)
+    z = z_interleave(qa, qb, BITS)
+    return F.shiftright(z, 2 * BITS - idx["bucket_bits"])
+
+
+def _write_layout(engine, idx: dict, keys: DataFrame, path: str) -> int:
+    """Write one Z-bucketed layout + record its bucket-MBR manifest
+    (gist_box_union per partition).  Returns the row count (one extra
+    driver-bounded aggregate — 2^bucket_bits rows)."""
+    (
+        keys.withColumn("zb", _zbucket_col(idx))
+        .repartition("zb")
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(path)
+    )
+    stats = (
+        engine.spark.read.parquet(path)
+        .groupBy("zb")
+        .agg(
+            F.min("x1").alias("x1"), F.min("y1").alias("y1"),
+            F.max("x2").alias("x2"), F.max("y2").alias("y2"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    idx["bucket_mbrs"][path] = {
+        int(r.zb): (float(r.x1), float(r.y1), float(r.x2), float(r.y2))
+        for r in stats
+    }
+    return int(sum(r.n for r in stats))
+
+
+def build_gist_index(engine, index_name: str) -> None:
+    """FULL (re)build — creation and compaction (gistbuild.cpp): one
+    bounds aggregate fixes the quantizer, one repartition-by-zbucket
+    shuffle clusters, the manifest aggregate records bucket MBRs."""
+    import shutil
+
+    idx = engine.gist_indexes[index_name]
+    df = _source_df(engine, idx["table"])
+    keys = _key_frame(idx, df)
+    bounds = keys.agg(
+        F.min("x1").alias("a_lo"), F.max("x2").alias("a_hi"),
+        F.min("y1").alias("b_lo"), F.max("y2").alias("b_hi"),
+    ).collect()[0]
+    if bounds.a_lo is None:
+        # empty relation: degenerate quantizer, empty manifest
+        idx.update(a_lo=0.0, a_hi=1.0, b_lo=0.0, b_hi=1.0)
+    else:
+        idx.update(
+            a_lo=float(bounds.a_lo), a_hi=float(bounds.a_hi),
+            b_lo=float(bounds.b_lo), b_hi=float(bounds.b_hi),
+        )
+    base = os.path.join(idx["path"], "base")
+    idx["bucket_mbrs"] = {}
+    if bounds.a_lo is None:
+        shutil.rmtree(base, ignore_errors=True)
+        idx["base_rows"] = 0
+        idx["bucket_mbrs"][base] = {}
+    else:
+        idx["base_rows"] = _write_layout(engine, idx, keys, base)
+    for d in idx.get("delta_paths", []):
+        if d != base:
+            shutil.rmtree(d, ignore_errors=True)
+    idx["base_path"] = base
+    idx["delta_paths"] = []
+    idx["delta_rows"] = 0
+    idx["built_csn"] = _table_csn(engine, idx["table"])
+    h = _latest_manifest(engine, idx["table"])
+    idx["covered_gen"] = h["gen"] if h else None
+    idx["covered_files"] = set(h["files"]) if h else set()
+    idx["last_maintenance"] = {"mode": "rebuild", "input_files": None}
+
+
+def _maintain_delta(engine, index_name: str) -> bool:
+    """Incremental maintenance for a pure APPEND: Z-bucket ONLY the
+    newly appended files (manifest diff) into ``delta_<csn>`` with the
+    frozen quantizer.  False when not append-only — the caller
+    rebuilds (the GIN/_maintain_delta contract, fastupdate's pending
+    list)."""
+    idx = engine.gist_indexes[index_name]
+    table = idx["table"]
+    h = _latest_manifest(engine, table)
+    if h is None or idx.get("covered_gen") is None:
+        return False
+    if h["gen"] != idx["covered_gen"]:
+        return False
+    live = set(h["files"])
+    if not idx["covered_files"] <= live:
+        return False
+    new_files = sorted(live - idx["covered_files"])
+    if new_files:
+        gen_dir = engine.managed_tables._gen_path(table, h["gen"])
+        src = engine.spark.read.option("basePath", gen_dir).parquet(
+            *[os.path.join(gen_dir, f) for f in new_files]
+        )
+        from .partition_ddl import PART_COL, SUBPART_COL
+
+        for hidden in (PART_COL, SUBPART_COL):
+            if hidden in src.columns:
+                src = src.drop(hidden)
+        delta = os.path.join(idx["path"], f"delta_{h['csn']}")
+        n = _write_layout(engine, idx, _key_frame(idx, src), delta)
+        idx["delta_paths"].append(delta)
+        idx["delta_rows"] += n
+        idx["last_maintenance"] = {
+            "mode": "delta",
+            "input_files": sorted(src.inputFiles()),
+        }
+    else:
+        idx["last_maintenance"] = {"mode": "noop", "input_files": []}
+    if len(idx["delta_paths"]) >= MAX_DELTAS:
+        _merge_deltas(engine, index_name)
+    idx["built_csn"] = _table_csn(engine, table)
+    idx["covered_files"] = live
+    return True
+
+
+def _merge_deltas(engine, index_name: str) -> None:
+    """Fold every delta into ONE Z-bucketed delta — O(delta bytes),
+    base and corpus untouched (the LSM level-0 merge, exactly
+    gin_index._merge_deltas one module over)."""
+    import shutil
+
+    idx = engine.gist_indexes[index_name]
+    olds = idx["delta_paths"]
+    merged = os.path.join(
+        idx["path"], f"delta_merged_{idx['built_csn'] or 0}_{len(olds)}"
+    )
+    src = engine.spark.read.parquet(*olds).select(
+        "doc_id", "x1", "y1", "x2", "y2"
+    )
+    n = _write_layout(engine, idx, src, merged)
+    for d in olds:
+        if d != merged:
+            idx["bucket_mbrs"].pop(d, None)
+            shutil.rmtree(d, ignore_errors=True)
+    idx["delta_paths"] = [merged]
+    idx["delta_rows"] = n
+
+
+def _ensure_fresh(engine, index_name: str) -> None:
+    """Appends → delta layouts; rewrites / over-threshold deltas →
+    full rebuild (the gin_index._ensure_fresh policy)."""
+    idx = engine.gist_indexes[index_name]
+    if _table_csn(engine, idx["table"]) == idx["built_csn"]:
+        return
+    over = idx.get("delta_rows", 0) > max(
+        MAX_DELTA_ROW_FRACTION * idx.get("base_rows", 0),
+        MIN_DELTA_ROWS,
+    )
+    if over or not _maintain_delta(engine, index_name):
+        build_gist_index(engine, index_name)
+
+
+# ------------------------------------------------------------ search
+
+
+def gist_search(engine, index_name: str, op: str,
+                query_box: tuple) -> DataFrame:
+    """Strategy search through the index: the consistent test over
+    bucket MBRs (driver-side, ≤2^bucket_bits entries) selects the
+    partitions to read; the exact leaf predicate filters inside them.
+    ``query_box`` is (x1, y1, x2, y2) — for a 'range' index pass
+    (lo, 0.0, hi, 0.0); for a point query the degenerate box.
+    Returns (doc_id, x1, y1, x2, y2) — index-only, the relation is
+    never scanned.  Records the read footprint on the idx dict
+    (``last_search``) so tests pin pruning."""
+    _ensure_fresh(engine, index_name)
+    idx = engine.gist_indexes[index_name]
+    q = tuple(float(v) for v in query_box)
+    if len(q) != 4 or q[0] > q[2] or q[1] > q[3]:
+        raise ValueError(
+            "gist search: query box must be (x1, y1, x2, y2) with "
+            "x1<=x2, y1<=y2"
+        )
+    frames = []
+    pruned_total = kept_total = 0
+    for path in [idx["base_path"], *idx["delta_paths"]]:
+        manifest = idx["bucket_mbrs"].get(path, {})
+        keep = [zb for zb, mbr in manifest.items()
+                if _internal_consistent(op, mbr, q)]
+        pruned_total += len(manifest) - len(keep)
+        kept_total += len(keep)
+        if not keep:
+            continue
+        frames.append(
+            engine.spark.read.parquet(path)
+            .filter(F.col("zb").isin(keep))
+            .filter(_leaf_predicate(op, q))
+            .select("doc_id", "x1", "y1", "x2", "y2")
+        )
+    idx["last_search"] = {
+        "op": op, "buckets_read": kept_total,
+        "buckets_pruned": pruned_total,
+    }
+    if not frames:
+        return engine.spark.createDataFrame(
+            [], "doc_id BIGINT, x1 DOUBLE, y1 DOUBLE,"
+                " x2 DOUBLE, y2 DOUBLE"
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ------------------------------------------------------------ DDL
+
+
+def try_handle_ddl(engine, query: str):
+    """Engine.sql hook: CREATE INDEX ... USING gist."""
+    m = _CREATE_GIST.match(query)
+    if m is None:
+        return None
+    if not hasattr(engine, "gist_indexes"):
+        engine.gist_indexes = {}
+    table = m.group("table").lower()
+    fn = m.group("fn").lower()
+    cols = [c.strip().lower() for c in m.group("args").split(",")]
+    if len(cols) != _ARITY[fn]:
+        raise ValueError(
+            f"gist index: {fn}() takes {_ARITY[fn]} coordinate "
+            f"columns, got {len(cols)}"
+        )
+    name = (m.group("name") or f"{table}_{cols[0]}_gist").lower()
+    df = _source_df(engine, table)
+    missing = [c for c in cols if c not in [x.lower() for x in df.columns]]
+    if missing:
+        raise KeyError(
+            f"gist index: column(s) {missing} not in {table!r}"
+        )
+    id_col = df.columns[0]
+    if id_col.lower() in cols:
+        raise ValueError(
+            "gist index: the relation's first column is its row "
+            "identifier and cannot also be an indexed coordinate"
+        )
+    bb = int(m.group("bb") or DEFAULT_BUCKET_BITS)
+    if not 1 <= bb <= 2 * BITS:
+        raise ValueError(f"gist index: bucket_bits must be in [1, {2*BITS}]")
+    path = os.path.join(engine._warehouse_dir(), "_gist", name)
+    engine.gist_indexes[name] = {
+        "table": table, "kind": fn, "cols": cols, "id_col": id_col,
+        "path": path, "bucket_bits": bb, "built_csn": None,
+        "base_path": os.path.join(path, "base"),
+        "delta_paths": [], "delta_rows": 0, "base_rows": 0,
+        "bucket_mbrs": {},
+    }
+    build_gist_index(engine, name)
+    idx = engine.gist_indexes[name]
+    return engine.spark.createDataFrame(
+        [("CREATE INDEX", name, table, fn, idx["base_rows"],
+          len(idx["bucket_mbrs"].get(idx["base_path"], {})))],
+        "tag STRING, index STRING, table STRING, opclass STRING,"
+        " rows BIGINT, buckets INT",
+    )
+
+
+def drop_gist_index(engine, name: str) -> bool:
+    """DROP INDEX support (shared with Engine._DROP_INDEX)."""
+    idx = getattr(engine, "gist_indexes", {}).pop(name, None)
+    if idx is None:
+        return False
+    import shutil
+
+    shutil.rmtree(idx["path"], ignore_errors=True)
+    return True
+
+
+# ---------------------------------------------------------------- queries
+
+from ..registry import query as _register_query  # noqa: E402
+
+
+@_register_query(
+    "gist_box_overlap",
+    """
+    WITH boxes AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE)
+               - (0.02 + (vec_id % 5) * 0.01) AS x1,
+             CAST(embedding[2] AS DOUBLE)
+               - (0.015 + (vec_id % 3) * 0.01) AS y1,
+             CAST(embedding[1] AS DOUBLE)
+               + (0.02 + (vec_id % 5) * 0.01) AS x2,
+             CAST(embedding[2] AS DOUBLE)
+               + (0.015 + (vec_id % 3) * 0.01) AS y2
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id AS doc_id,
+           ROUND((x2 - x1) * (y2 - y1), 6) AS area
+    FROM boxes
+    WHERE x1 <= 0.12 AND x2 >= -0.03 AND y1 <= 0.09 AND y2 >= -0.04
+    ORDER BY doc_id
+    """,
+)
+def gist_box_overlap(spark, sf_dir):
+    """GiST rtree index end-to-end (gistbuild.cpp; gistproc.cpp:104
+    gist_box_consistent; regress create_index_gist.sql's grect2ind
+    `&&` scans): CTAS a box relation, CREATE INDEX USING gist
+    (box(...)), then an overlap (&&) search answers INDEX-ONLY —
+    bucket MBRs prune partitions, the leaf predicate filters inside.
+    The oracle recomputes the same overlap by brute-force scan, so a
+    green row proves the clustered layout + manifest are a faithful
+    spatial inversion.
+
+    Scale: the search reads only MBR-consistent zbuckets (pruning
+    pinned in tests/test_gist_index.py), leaf test codegen'd,
+    manifest math driver-bounded."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gist_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gate_gist_boxes AS"
+            " SELECT vec_id,"
+            " CAST(element_at(embedding, 1) AS DOUBLE)"
+            "   - (0.02 + (vec_id % 5) * 0.01) AS x1,"
+            " CAST(element_at(embedding, 2) AS DOUBLE)"
+            "   - (0.015 + (vec_id % 3) * 0.01) AS y1,"
+            " CAST(element_at(embedding, 1) AS DOUBLE)"
+            "   + (0.02 + (vec_id % 5) * 0.01) AS x2,"
+            " CAST(element_at(embedding, 2) AS DOUBLE)"
+            "   + (0.015 + (vec_id % 3) * 0.01) AS y2"
+            " FROM embeddings WHERE embedding IS NOT NULL"
+        )
+        eng.sql(
+            "CREATE INDEX gate_box_gist ON gate_gist_boxes"
+            " USING gist (box(x1, y1, x2, y2))"
+        )
+        out = gist_search(
+            eng, "gate_box_gist", "overlap", (-0.03, -0.04, 0.12, 0.09)
+        )
+        rows = (
+            out.select(
+                "doc_id",
+                F.round(
+                    (F.col("x2") - F.col("x1"))
+                    * (F.col("y2") - F.col("y1")), 6
+                ).alias("area"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "doc_id BIGINT, area DOUBLE")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register_query(
+    "gist_range_overlap",
+    """
+    WITH r AS (
+      SELECT o_orderkey AS rid,
+             CAST(o_orderkey % 997 AS DOUBLE) AS lo,
+             CAST(o_orderkey % 997 + 1 + o_orderkey % 13 AS DOUBLE) AS hi
+      FROM orders
+    )
+    SELECT rid AS doc_id, lo, hi
+    FROM r
+    WHERE lo <= 115 AND hi >= 100
+    ORDER BY doc_id
+    """,
+)
+def gist_range_overlap(spark, sf_dir):
+    """Range-type GiST (rangetypes_gist.cpp range_gist_consistent;
+    regress gpi_range.sql / rangetypes.sql `&&` scans): a range is
+    the 1-D box, indexed and searched through the same rtree layout —
+    `int4range(lo, hi) && int4range(100, 115)` becomes a 1-D MBR
+    prune + codegen'd interval-overlap leaf test, index-only."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gist_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gate_gist_ranges AS"
+            " SELECT o_orderkey AS rid,"
+            " CAST(o_orderkey % 997 AS DOUBLE) AS lo,"
+            " CAST(o_orderkey % 997 + 1 + o_orderkey % 13 AS DOUBLE)"
+            "   AS hi"
+            " FROM orders"
+        )
+        eng.sql(
+            "CREATE INDEX gate_range_gist ON gate_gist_ranges"
+            " USING gist (range(lo, hi)) WITH (bucket_bits = 5)"
+        )
+        out = gist_search(
+            eng, "gate_range_gist", "overlap", (100.0, 0.0, 115.0, 0.0)
+        )
+        rows = (
+            out.select(
+                F.col("doc_id"),
+                F.col("x1").alias("lo"),
+                F.col("x2").alias("hi"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "doc_id BIGINT, lo DOUBLE, hi DOUBLE"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -72,6 +72,7 @@ def load_all_queries() -> None:
         functions_ext,
         fuzzy,
         gin_index,
+        gist_index,
         matview,
         merge,
         multimodal,

@@ -1,0 +1,193 @@
+"""GiST rtree-analogue index: Z-bucketed layout + bucket-MBR manifest.
+
+Pins the three claims the design makes (gistproc.cpp parity):
+  * every rtree strategy returns exactly the brute-force answer
+    (leaf consistency + internal consistency never prune a match);
+  * a selective query READS a strict subset of buckets (the
+    internal-page descent actually prunes);
+  * maintenance is incremental for appends (delta layouts over only
+    the new files, gin_index's fastupdate model) and compacts on
+    copy-on-write rewrites.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_vectordb_spark.engine import Engine
+from opengauss_vectordb_spark.operators import gist_index as G
+
+from .conftest import SF_CORRECT
+
+STRATEGIES = [
+    "left", "overleft", "overlap", "overright", "right", "same",
+    "contains", "contained", "below", "overbelow", "above", "overabove",
+]
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, SF_CORRECT)
+    e.managed_tables.root = str(tmp_path)
+    return e
+
+
+def _boxes_table(eng, name="gboxes"):
+    eng.sql(
+        f"CREATE TABLE {name} AS"
+        " SELECT vec_id,"
+        " CAST(element_at(embedding, 1) AS DOUBLE)"
+        "   - (0.02 + (vec_id % 5) * 0.01) AS x1,"
+        " CAST(element_at(embedding, 2) AS DOUBLE)"
+        "   - (0.015 + (vec_id % 3) * 0.01) AS y1,"
+        " CAST(element_at(embedding, 1) AS DOUBLE)"
+        "   + (0.02 + (vec_id % 5) * 0.01) AS x2,"
+        " CAST(element_at(embedding, 2) AS DOUBLE)"
+        "   + (0.015 + (vec_id % 3) * 0.01) AS y2"
+        " FROM embeddings WHERE embedding IS NOT NULL"
+    )
+
+
+def _brute(eng, name, op, q):
+    df = eng.spark.table(name).select(
+        F.col("vec_id").alias("doc_id"), "x1", "y1", "x2", "y2"
+    )
+    return sorted(
+        r.doc_id for r in df.filter(G._leaf_predicate(op, q)).collect()
+    )
+
+
+def test_every_strategy_matches_brute_force(eng):
+    _boxes_table(eng)
+    eng.sql("CREATE INDEX gb_gist ON gboxes USING gist (box(x1, y1, x2, y2))")
+    q = (-0.03, -0.04, 0.12, 0.09)
+    for op in STRATEGIES:
+        got = sorted(
+            r.doc_id
+            for r in G.gist_search(eng, "gb_gist", op, q).collect()
+        )
+        want = _brute(eng, "gboxes", op, q)
+        assert got == want, f"strategy {op}: {len(got)} vs {len(want)}"
+
+
+def test_search_prunes_buckets(eng):
+    # a small query box must leave most buckets unread — the
+    # internal-page consistent test earning its manifest
+    _boxes_table(eng)
+    eng.sql(
+        "CREATE INDEX gb_gist ON gboxes USING gist (box(x1, y1, x2, y2))"
+        " WITH (bucket_bits = 6)"
+    )
+    idx = eng.gist_indexes["gb_gist"]
+    total = len(idx["bucket_mbrs"][idx["base_path"]])
+    out = G.gist_search(eng, "gb_gist", "contained",
+                        (-0.02, -0.02, 0.06, 0.06))
+    n = out.count()
+    ls = idx["last_search"]
+    assert ls["buckets_read"] < total, (
+        f"no pruning: read {ls['buckets_read']}/{total}"
+    )
+    assert ls["buckets_read"] + ls["buckets_pruned"] == total
+    # and the pruned read still finds every brute-force match
+    assert n == len(_brute(eng, "gboxes", "contained",
+                           (-0.02, -0.02, 0.06, 0.06)))
+
+
+def test_point_and_range_opclasses(eng):
+    eng.sql(
+        "CREATE TABLE gpts AS SELECT vec_id,"
+        " CAST(element_at(embedding, 1) AS DOUBLE) AS px,"
+        " CAST(element_at(embedding, 2) AS DOUBLE) AS py"
+        " FROM embeddings WHERE embedding IS NOT NULL"
+    )
+    eng.sql("CREATE INDEX gp_gist ON gpts USING gist (point(px, py))")
+    q = (-0.1, -0.1, 0.1, 0.1)
+    got = sorted(
+        r.doc_id
+        for r in G.gist_search(eng, "gp_gist", "contained", q).collect()
+    )
+    want = sorted(
+        r.vec_id for r in eng.spark.table("gpts").filter(
+            (F.col("px") >= q[0]) & (F.col("px") <= q[2])
+            & (F.col("py") >= q[1]) & (F.col("py") <= q[3])
+        ).collect()
+    )
+    assert got == want and got
+    # 1-D ranges: overlap is interval intersection
+    eng.sql(
+        "CREATE TABLE grng AS SELECT o_orderkey AS rid,"
+        " CAST(o_orderkey % 997 AS DOUBLE) AS lo,"
+        " CAST(o_orderkey % 997 + 1 + o_orderkey % 13 AS DOUBLE) AS hi"
+        " FROM orders"
+    )
+    eng.sql("CREATE INDEX gr_gist ON grng USING gist (range(lo, hi))")
+    got = sorted(
+        r.doc_id
+        for r in G.gist_search(
+            eng, "gr_gist", "overlap", (100.0, 0.0, 115.0, 0.0)
+        ).collect()
+    )
+    want = sorted(
+        r.rid for r in eng.spark.table("grng").filter(
+            (F.col("lo") <= 115.0) & (F.col("hi") >= 100.0)
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_incremental_delta_maintenance(eng):
+    eng.sql(
+        "CREATE TABLE ginc AS SELECT * FROM VALUES"
+        " (1, 0.0, 0.0, 1.0, 1.0), (2, 5.0, 5.0, 6.0, 6.0)"
+        " AS t(rid, x1, y1, x2, y2)"
+    )
+    eng.sql("CREATE INDEX ginc_gist ON ginc USING gist (box(x1, y1, x2, y2))")
+    idx = eng.gist_indexes["ginc_gist"]
+    assert idx["last_maintenance"]["mode"] == "rebuild"
+    base_files = set(idx["covered_files"])
+    q = (0.5, 0.5, 5.5, 5.5)
+    ids = lambda: sorted(  # noqa: E731
+        r.doc_id
+        for r in G.gist_search(eng, "ginc_gist", "overlap", q).collect()
+    )
+    assert ids() == [1, 2]
+    # append: delta over only the new file(s); note the new box lies
+    # OUTSIDE the build-time quantizer bounds — the clamped bucket's
+    # actual MBR still covers it, so the search stays exact
+    eng.sql("INSERT INTO ginc SELECT 3, 4.5, 4.5, 9.0, 9.0")
+    assert ids() == [1, 2, 3]
+    lm = idx["last_maintenance"]
+    assert lm["mode"] == "delta"
+    read = {f.rsplit("/", 1)[-1] for f in lm["input_files"]}
+    assert not (read & base_files), "delta re-read base files"
+    assert len(idx["delta_paths"]) == 1
+    # copy-on-write rewrite compacts via full rebuild
+    eng.sql("UPDATE ginc SET x2 = 2.0 WHERE rid = 1")
+    assert ids() == [1, 2, 3]
+    assert idx["last_maintenance"]["mode"] == "rebuild"
+    assert idx["delta_paths"] == []
+
+
+def test_drop_and_table_cascade(eng):
+    _boxes_table(eng, "gdrop")
+    eng.sql("CREATE INDEX gd_gist ON gdrop USING gist (box(x1, y1, x2, y2))")
+    assert "gd_gist" in eng.gist_indexes
+    r = eng.sql("DROP INDEX gd_gist").collect()[0]
+    assert bool(r.existed) and "gd_gist" not in eng.gist_indexes
+    eng.sql("CREATE INDEX gd2_gist ON gdrop USING gist (box(x1, y1, x2, y2))")
+    eng.sql("DROP TABLE gdrop")
+    assert "gd2_gist" not in eng.gist_indexes
+
+
+def test_ddl_validation(eng):
+    _boxes_table(eng, "gval")
+    with pytest.raises(KeyError):
+        eng.sql("CREATE INDEX ON gval USING gist (box(x1, y1, x2, nope))")
+    with pytest.raises(ValueError):
+        eng.sql("CREATE INDEX ON gval USING gist (box(x1, y1, x2, vec_id))")
+    with pytest.raises(ValueError):
+        eng.sql(
+            "CREATE INDEX ON gval USING gist (box(x1, y1, x2, y2))"
+            " WITH (bucket_bits = 99)"
+        )
