@@ -134,7 +134,7 @@ def _internal_consistent(op: str, mbr: tuple, q: tuple) -> bool:
     the reference's exact structure — directional strategies negate
     the OPPOSITE over-operator, same/contains test containment, and
     contained-by tests overlap."""
-    kx1, ky1, kx2, ky2 = mbr
+    kx1, ky1, kx2, ky2 = mbr[:4]
     qx1, qy1, qx2, qy2 = q
     overlap = kx1 <= qx2 and kx2 >= qx1 and ky1 <= qy2 and ky2 >= qy1
     contain = kx1 <= qx1 and kx2 >= qx2 and ky1 <= qy1 and ky2 >= qy2
@@ -223,8 +223,11 @@ def _write_layout(engine, idx: dict, keys: DataFrame, path: str) -> int:
         )
         .collect()
     )
+    # manifest entry: the bucket's union MBR + its row count (the
+    # count sizes KNN's phase-1 prefix; consistent tests use the MBR)
     idx["bucket_mbrs"][path] = {
-        int(r.zb): (float(r.x1), float(r.y1), float(r.x2), float(r.y2))
+        int(r.zb): (float(r.x1), float(r.y1), float(r.x2), float(r.y2),
+                    int(r.n))
         for r in stats
     }
     return int(sum(r.n for r in stats))
@@ -405,6 +408,104 @@ def gist_search(engine, index_name: str, op: str,
     return out
 
 
+def _mindist(mbr: tuple, px: float, py: float) -> float:
+    """Point-to-MBR minimum distance — computeDistance on an internal
+    page (gistproc.cpp:1072: 0 inside, edge/corner distance outside).
+    The driver-side KNN descent priority, exactly gistget.cpp's
+    distance-ordered queue one level up."""
+    kx1, ky1, kx2, ky2 = mbr[:4]
+    dx = max(kx1 - px, px - kx2, 0.0)
+    dy = max(ky1 - py, py - ky2, 0.0)
+    return (dx * dx + dy * dy) ** 0.5
+
+
+def _leaf_dist_col(px: float, py: float) -> "F.Column":
+    """Point-to-box distance as a codegen'd Column
+    (gistproc.cpp:1072 computeDistance, leaf case)."""
+    dx = F.greatest(
+        F.col("x1") - F.lit(px), F.lit(px) - F.col("x2"), F.lit(0.0)
+    )
+    dy = F.greatest(
+        F.col("y1") - F.lit(py), F.lit(py) - F.col("y2"), F.lit(0.0)
+    )
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def gist_knn(engine, index_name: str, point: tuple, k: int) -> DataFrame:
+    """KNN-GiST (`ORDER BY col <-> point LIMIT k` — gistget.cpp's
+    distance-ordered scan; gistproc.cpp:1248 gist_point_distance):
+    exact k nearest boxes by a TWO-PHASE expanding bucket search.
+    Phase 1 reads the minimal mindist-ordered bucket prefix holding
+    ≥k rows (counts ride in the manifest) and takes a provisional
+    top-k; phase 2 adds every remaining bucket whose MBR mindist ≤
+    the provisional k-th distance — any box that could still enter
+    the top-k lives in one of those — and re-takes.  ≤2 pruned scans,
+    each a bounded TakeOrdered heap; ties break on doc_id so results
+    are deterministic.  Returns (doc_id, x1, y1, x2, y2, dist)."""
+    _ensure_fresh(engine, index_name)
+    idx = engine.gist_indexes[index_name]
+    px, py = float(point[0]), float(point[1])
+    # (mindist, path, zb, n) over base ∪ deltas
+    entries = []
+    for path in [idx["base_path"], *idx["delta_paths"]]:
+        for zb, mbr in idx["bucket_mbrs"].get(path, {}).items():
+            entries.append((_mindist(mbr, px, py), path, zb, mbr[4]))
+    entries.sort()
+    covered = 0
+    phase1: dict[str, list[int]] = {}
+    cut = 0
+    for d, path, zb, n in entries:
+        if covered >= k:
+            break
+        phase1.setdefault(path, []).append(zb)
+        covered += n
+        cut += 1
+
+    def _read(selection: dict) -> DataFrame | None:
+        frames = [
+            engine.spark.read.parquet(path)
+            .filter(F.col("zb").isin(zbs))
+            .select("doc_id", "x1", "y1", "x2", "y2")
+            for path, zbs in selection.items()
+        ]
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    empty = (
+        "doc_id BIGINT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE,"
+        " dist DOUBLE"
+    )
+    cand = _read(phase1)
+    if cand is None:
+        return engine.spark.createDataFrame([], empty)
+    topk = (
+        cand.withColumn("dist", _leaf_dist_col(px, py))
+        .orderBy("dist", "doc_id")
+        .limit(k)
+        .collect()
+    )
+    kth = topk[-1].dist if len(topk) >= k else float("inf")
+    phase2: dict[str, list[int]] = {}
+    extra = 0
+    for d, path, zb, n in entries[cut:]:
+        if d <= kth:  # ≤: an equal-distance box may win the doc_id tie
+            phase2.setdefault(path, []).append(zb)
+            extra += 1
+    idx["last_search"] = {
+        "op": "knn", "buckets_read": cut + extra,
+        "buckets_pruned": len(entries) - cut - extra,
+    }
+    if not phase2:
+        return engine.spark.createDataFrame(topk, empty)
+    more = _read(phase2).withColumn("dist", _leaf_dist_col(px, py))
+    p1 = engine.spark.createDataFrame(topk, empty)
+    return p1.unionByName(more).orderBy("dist", "doc_id").limit(k)
+
+
 # ------------------------------------------------------------ DDL
 
 
@@ -549,6 +650,79 @@ def gist_box_overlap(spark, sf_dir):
             .collect()
         )
         return spark.createDataFrame(rows, "doc_id BIGINT, area DOUBLE")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register_query(
+    "gist_knn_point",
+    """
+    WITH boxes AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE)
+               - (0.02 + (vec_id % 5) * 0.01) AS x1,
+             CAST(embedding[2] AS DOUBLE)
+               - (0.015 + (vec_id % 3) * 0.01) AS y1,
+             CAST(embedding[1] AS DOUBLE)
+               + (0.02 + (vec_id % 5) * 0.01) AS x2,
+             CAST(embedding[2] AS DOUBLE)
+               + (0.015 + (vec_id % 3) * 0.01) AS y2
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), d AS (
+      SELECT vec_id,
+             greatest(x1 - 0.05, 0.05 - x2, 0.0) AS dx,
+             greatest(y1 - 0.02, 0.02 - y2, 0.0) AS dy
+      FROM boxes
+    )
+    SELECT vec_id AS doc_id,
+           ROUND(sqrt(dx * dx + dy * dy), 6) AS dist
+    FROM d
+    ORDER BY sqrt(dx * dx + dy * dy), doc_id
+    LIMIT 25
+    """,
+)
+def gist_knn_point(spark, sf_dir):
+    """KNN-GiST end-to-end (gistget.cpp distance-ordered scan;
+    gistproc.cpp:1248 gist_point_distance; regress
+    create_index_gist.sql's `ORDER BY p <-> point LIMIT` block): the
+    25 nearest boxes to a query point through the index's two-phase
+    expanding bucket search — bucket mindist ranking plays the
+    reference's pairing-heap descent, the leaf point-to-box distance
+    is a codegen'd expression, and the stopping bound (k-th distance
+    vs next bucket's mindist) makes the pruned answer EXACT.  The
+    oracle brute-forces the same distance over all boxes."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gist_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gate_gist_kboxes AS"
+            " SELECT vec_id,"
+            " CAST(element_at(embedding, 1) AS DOUBLE)"
+            "   - (0.02 + (vec_id % 5) * 0.01) AS x1,"
+            " CAST(element_at(embedding, 2) AS DOUBLE)"
+            "   - (0.015 + (vec_id % 3) * 0.01) AS y1,"
+            " CAST(element_at(embedding, 1) AS DOUBLE)"
+            "   + (0.02 + (vec_id % 5) * 0.01) AS x2,"
+            " CAST(element_at(embedding, 2) AS DOUBLE)"
+            "   + (0.015 + (vec_id % 3) * 0.01) AS y2"
+            " FROM embeddings WHERE embedding IS NOT NULL"
+        )
+        eng.sql(
+            "CREATE INDEX gate_kbox_gist ON gate_gist_kboxes"
+            " USING gist (box(x1, y1, x2, y2)) WITH (bucket_bits = 6)"
+        )
+        out = gist_knn(eng, "gate_kbox_gist", (0.05, 0.02), 25)
+        rows = (
+            out.select("doc_id", F.round("dist", 6).alias("dist"))
+            .collect()
+        )
+        return spark.createDataFrame(rows, "doc_id BIGINT, dist DOUBLE")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

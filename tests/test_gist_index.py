@@ -136,6 +136,40 @@ def test_point_and_range_opclasses(eng):
     assert got == want and got
 
 
+def test_knn_matches_brute_force_and_prunes(eng):
+    # exact k nearest boxes through the two-phase expanding search,
+    # against the brute-force distance ranking — several k values and
+    # query points, including one far outside every box (forces large
+    # kth distances → phase-2 expansion) and one inside a dense area
+    _boxes_table(eng, "gknn")
+    eng.sql(
+        "CREATE INDEX gk_gist ON gknn USING gist (box(x1, y1, x2, y2))"
+        " WITH (bucket_bits = 6)"
+    )
+    idx = eng.gist_indexes["gk_gist"]
+    total = len(idx["bucket_mbrs"][idx["base_path"]])
+    df = eng.spark.table("gknn")
+    for (px, py), k in [((0.05, 0.02), 10), ((0.0, 0.0), 25),
+                        ((5.0, 5.0), 7), ((-0.3, 0.3), 1)]:
+        got = [
+            (r.doc_id, round(r.dist, 9))
+            for r in G.gist_knn(eng, "gk_gist", (px, py), k).collect()
+        ]
+        want = sorted(
+            (
+                (r.vec_id, round(
+                    (max(r.x1 - px, px - r.x2, 0.0) ** 2
+                     + max(r.y1 - py, py - r.y2, 0.0) ** 2) ** 0.5, 9))
+                for r in df.collect()
+            ),
+            key=lambda t: (t[1], t[0]),
+        )[:k]
+        assert got == want, f"knn({px},{py},k={k})"
+    # the small-k nearby query must not read every bucket
+    G.gist_knn(eng, "gk_gist", (0.05, 0.02), 5).collect()
+    assert eng.gist_indexes["gk_gist"]["last_search"]["buckets_read"] < total
+
+
 def test_incremental_delta_maintenance(eng):
     eng.sql(
         "CREATE TABLE ginc AS SELECT * FROM VALUES"
