@@ -74,9 +74,11 @@ registry.load_all_queries()
 # BIT_OR-packed sketch shipped as an 8 KB literal, probe pinned BELOW
 # the verify join), and gist_box_overlap / gist_range_overlap /
 # gist_knn_point (the GiST rtree analogue: Z-bucketed layout +
-# bucket-MBR manifest + two-phase exact KNN, operators/gist_index.py)
-# — all oracle-parity-verified locally this round; FRONT-LOAD them in
-# r10's window as its first first-evers.
+# bucket-MBR manifest + two-phase exact KNN, operators/gist_index.py),
+# and do_block_for_loop (FOR loops in DO blocks/procedures: SELECT /
+# bound-cursor / dynamic-EXECUTE sources, one aggregate statement per
+# loop) — all oracle-parity-verified locally this round; FRONT-LOAD
+# them in r10's window as its first first-evers.
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",

@@ -77,11 +77,30 @@ _DO_RE = re.compile(
 _UNSUPPORTED = [
     (re.compile(r"\b(WHILE|LOOP|FOREACH)\b|\bFOR\s+\w+\s+IN\b",
                 re.IGNORECASE),
-     "loops in DO blocks: rewrite the loop as one set-oriented "
-     "statement (INSERT/UPDATE ... SELECT)"),
+     "only FOR <rec> IN SELECT/<bound cursor>/EXECUTE '<literal>' "
+     "LOOP bodies made of accumulator assignments execute (as ONE "
+     "aggregate statement); WHILE/FOREACH/bare LOOP have no "
+     "set-oriented form here — rewrite as one statement "
+     "(INSERT/UPDATE ... SELECT)"),
     (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
-     "cursors inside DO blocks: DECLARE CURSOR at the session level"),
+     "unbound cursors (OPEN/FETCH) inside DO blocks: bound-cursor "
+     "FOR loops execute; otherwise DECLARE CURSOR at the session "
+     "level"),
 ]
+
+
+def _scan_unsupported(masked: str, where: str) -> None:
+    """Refuse constructs with no set-oriented execution — but blank
+    FOR ... END LOOP constructs first (the supported loop shape; a
+    bad FOR body still refuses later, in _parse_loop_accs, with the
+    aggregate-shape message) — the plpgsql.py:2040 convention."""
+    scan = re.sub(
+        r"\bFOR\s+\w+\s+IN\b.*?\bEND\s+LOOP\b",
+        " ", masked, flags=re.IGNORECASE | re.DOTALL,
+    )
+    for pat, why in _UNSUPPORTED:
+        if pat.search(scan):
+            raise NotImplementedError(f"{where}: {why}")
 
 
 def _sql_literal(v) -> str:
@@ -138,6 +157,9 @@ class _DoRunner:
         self._found_shadowed = False
         # GET DIAGNOSTICS ROW_COUNT source: the last DML's row count
         self.last_row_count: int = 0
+        # bound cursors (DECLARE c CURSOR FOR/IS <query>): name →
+        # query text, consumed by cursor FOR loops (exec_stmt_forc)
+        self.cursors: dict[str, str] = {}
 
     def _set_found(self, hit: bool) -> None:
         """exec_set_found — SELECT INTO, PERFORM and DML update the
@@ -184,10 +206,60 @@ class _DoRunner:
                         break
                 pos = end_after
                 continue
+            if re.match(r"FOR\b", rest, re.IGNORECASE):
+                from .plpgsql import _parse_for_block
+
+                pf = _parse_for_block(text, pos + off)
+                if pf is not None:
+                    var, src, lbody, pos = pf
+                    self._exec_for_loop(var, src, lbody)
+                    continue
             stmt, pos = _scan_stmt(text, pos + off)
             if not stmt:
                 continue
             self._exec_stmt(stmt)
+
+    def _exec_for_loop(self, var: str, src: str, body: str) -> None:
+        """FOR <rec> IN <source> LOOP <accumulator assignments> END
+        LOOP — executed as ONE distributed aggregate statement, never
+        a driver row loop.  Sources mirror pl_exec.cpp: a SELECT or
+        bounded integer range (exec_stmt_fors/fori — the function
+        compiler's _parse_loop_accs validates and folds), a BOUND
+        CURSOR name declared ``c CURSOR FOR <query>`` (exec_stmt_forc
+        — pure name indirection), or ``EXECUTE <literal-derived
+        text>`` (exec_stmt_dynfors — composed by the same rule as
+        statement-level EXECUTE).  Accumulators bind back into the
+        env from the one result row; FOUND reflects whether the loop
+        saw rows (post-CONTINUE-filter when the body leads with
+        CONTINUE WHEN — the one documented deviation, PG counts
+        pre-filter iterations)."""
+        from .plpgsql import _acc_agg_expr, _parse_loop_accs
+
+        s = src.strip()
+        mex = re.match(r"EXECUTE\s+(?P<e>.+)$", s,
+                       re.IGNORECASE | re.DOTALL)
+        if mex:
+            s = self._compose_dynsql(mex.group("e").strip())
+        elif re.fullmatch(r"\w+", s):
+            if s.lower() not in self.cursors:
+                raise KeyError(
+                    f"FOR {var} IN {s}: {s!r} is not a declared "
+                    "bound cursor (DECLARE <c> CURSOR FOR <query>)"
+                )
+            s = self.cursors[s.lower()]
+        bindings = {k: _sql_literal(v) for k, v in self.env.items()}
+        accs, q_sub = _parse_loop_accs(var, s, body, bindings)
+        cur: dict[str, str] = {}
+        for acc, kind, e_sub, old in accs:
+            cur[acc] = _acc_agg_expr(kind, e_sub, cur.get(acc, old))
+        proj = ", ".join(f"{e} AS {a}" for a, e in cur.items())
+        row = self.engine.sql(
+            f"SELECT COUNT(*) AS __n, {proj} FROM ({q_sub}) AS {var}"
+        ).first()
+        for acc in cur:
+            self.env[acc] = row[acc]
+        self._set_found(row["__n"] > 0)
+        self.executed += 1
 
     def _exec_stmt(self, stmt: str) -> None:
         m = re.match(
@@ -491,6 +563,18 @@ def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
         stmt, pos = _scan_stmt(decls, pos)
         if not stmt:
             continue
+        # c [NO SCROLL|SCROLL] CURSOR FOR|IS <query> — a BOUND cursor
+        # (gram.y decl_cursor_query; IS is the A-format spelling):
+        # just the query text, consumed by cursor FOR loops — must
+        # parse before the generic declaration shape below
+        mc = re.match(
+            r"(?P<v>\w+)\s+(?:NO\s+SCROLL\s+|SCROLL\s+)?CURSOR\s+"
+            r"(?:FOR|IS)\s+(?P<q>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if mc:
+            runner.cursors[mc.group("v").lower()] = mc.group("q").strip()
+            continue
         # v tbl.col%TYPE — pl_comp.cpp plpgsql_parse_cwordtype: the
         # declared type IS the referenced column's type, resolvable
         # here because the runner holds the engine's catalog
@@ -550,10 +634,7 @@ def try_handle_stmt(engine, query: str):
     from .create_function import _unquote_body
 
     body = _strip_comments(_unquote_body(m.group("body"), m.group("tag")))
-    masked = _mask_strings(body)
-    for pat, why in _UNSUPPORTED:
-        if pat.search(masked):
-            raise NotImplementedError(f"DO block: {why}")
+    _scan_unsupported(_mask_strings(body), "DO block")
     md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
     if md is None:
         raise ValueError("DO block body must be [DECLARE ...] BEGIN ... END")
@@ -792,6 +873,82 @@ def do_block_stmt(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register_query(
+    "do_block_for_loop",
+    """
+    WITH c AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_orderkey <= 100
+    ), h AS (
+      SELECT MAX(o_totalprice) AS hi
+      FROM orders WHERE o_orderkey <= 50 AND o_totalprice >= 100000
+    ), d AS (
+      SELECT CAST(SUM(o_orderkey) AS BIGINT) AS dyn
+      FROM orders, c WHERE o_orderkey <= c.cnt
+    )
+    SELECT ROUND(c.total, 2) AS total, c.cnt AS cnt, h.hi AS hi, d.dyn
+      AS dyn
+    FROM c, h, d
+    """,
+)
+def do_block_for_loop(spark, sf_dir):
+    """FOR loops in DO blocks, all three sources (pl_exec.cpp
+    exec_stmt_forc bound cursors / exec_stmt_fors SELECT /
+    exec_stmt_dynfors EXECUTE): a bound cursor drives two
+    accumulators, a SELECT loop with a leading CONTINUE WHEN drives a
+    MAX, and a ||-composed EXECUTE loop sums keys bounded by an
+    earlier accumulator — each loop executes as ONE distributed
+    aggregate statement (never a driver row loop), and the oracle
+    recomputes all four scalars with explicit aggregates.
+
+    Scale: DoStmt runs once on the driver; each folded loop is one
+    partial/final aggregation over a pushed-down scan."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tag = eng.sql("""
+        DO $$
+        DECLARE
+            total DECIMAL(18,6) := 0;
+            cnt BIGINT := 0;
+            hi DOUBLE PRECISION := 0;
+            dyn BIGINT := 0;
+            c CURSOR FOR SELECT o_totalprice FROM orders
+                         WHERE o_orderkey <= 100;
+        BEGIN
+            FOR r IN c LOOP
+                total := total + r.o_totalprice;
+                cnt := cnt + 1;
+            END LOOP;
+            FOR r IN SELECT o_totalprice AS p FROM orders
+                     WHERE o_orderkey <= 50 LOOP
+                CONTINUE WHEN r.p < 100000;
+                hi := GREATEST(hi, r.p);
+            END LOOP;
+            FOR r IN EXECUTE
+                'SELECT o_orderkey AS k FROM orders'
+                || ' WHERE o_orderkey <= ' || cnt LOOP
+                dyn := dyn + r.k;
+            END LOOP;
+            RAISE NOTICE 'total=% cnt=% hi=% dyn=%',
+                ROUND(total, 2), cnt, hi, dyn;
+        END;
+        $$
+    """).collect()[0]
+    vals = re.fullmatch(
+        r"NOTICE: total=(?P<t>[-\d.]+) cnt=(?P<c>\d+) hi=(?P<h>[-\d.]+)"
+        r" dyn=(?P<d>\d+)",
+        tag.notices.strip(),
+    )
+    return spark.createDataFrame(
+        [(float(vals.group("t")), int(vals.group("c")),
+          float(vals.group("h")), int(vals.group("d")))],
+        "total DOUBLE, cnt BIGINT, hi DOUBLE, dyn BIGINT",
+    )
+
+
 # --------------------------------------------------------------------------
 # CREATE PROCEDURE / CALL — named DO blocks with IN parameters.
 # Reference: openGauss CREATE PROCEDURE (gram.y's A-format procedure
@@ -855,10 +1012,7 @@ def try_handle_procedure(engine, query: str):
             if raw.startswith("$") else raw
         )
         body = _strip_comments(body)
-        masked = _mask_strings(body)
-        for pat, why in _UNSUPPORTED:
-            if pat.search(masked):
-                raise NotImplementedError(f"procedure: {why}")
+        _scan_unsupported(_mask_strings(body), "procedure")
         params = []
         for pname, ptype in _split_params(m.group("params")):
             # both orders parse: PG's 'IN name type' (the mode lands

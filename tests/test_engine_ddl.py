@@ -3333,3 +3333,125 @@ def test_plpgsql_assert_statement(spark):
     # default message
     with pytest.raises(Exception, match="assertion failed"):
         eng.sql("DO $$ BEGIN ASSERT 1 = 2; END $$")
+
+
+def test_do_block_for_loops(spark):
+    """FOR loops in DO blocks execute as ONE aggregate statement per
+    loop (exec_stmt_fors/forc/dynfors): SELECT source, bound-cursor
+    source (DECLARE c CURSOR FOR ...), EXECUTE source composed from
+    literals and variables, leading CONTINUE WHEN as a row filter,
+    and FOUND set from the loop."""
+    eng = Engine(spark, SF_CORRECT)
+    r = eng.sql("""
+        DO $$
+        DECLARE
+            total DOUBLE PRECISION := 0;
+            cnt BIGINT := 0;
+            hi DOUBLE PRECISION := 0;
+            dyn BIGINT := 0;
+            c CURSOR FOR SELECT o_totalprice FROM orders
+                         WHERE o_orderkey <= 100;
+        BEGIN
+            FOR r IN c LOOP
+                total := total + r.o_totalprice;
+                cnt := cnt + 1;
+            END LOOP;
+            FOR r IN SELECT o_totalprice AS p FROM orders
+                     WHERE o_orderkey <= 50 LOOP
+                CONTINUE WHEN r.p < 100000;
+                hi := GREATEST(hi, r.p);
+            END LOOP;
+            FOR r IN EXECUTE 'SELECT o_orderkey AS k FROM orders'
+                     || ' WHERE o_orderkey <= ' || cnt LOOP
+                dyn := dyn + r.k;
+            END LOOP;
+            RAISE NOTICE 'total=% cnt=% hi=% dyn=% found=%',
+                ROUND(total, 2), cnt, hi, dyn, found;
+        END
+        $$
+    """).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{SF_CORRECT}/orders.parquet')"
+    )
+    tot, cnt = con.execute(
+        "SELECT ROUND(SUM(o_totalprice), 2), COUNT(*) FROM orders"
+        " WHERE o_orderkey <= 100"
+    ).fetchone()
+    hi = con.execute(
+        "SELECT MAX(o_totalprice) FROM orders WHERE o_orderkey <= 50"
+        " AND o_totalprice >= 100000"
+    ).fetchone()[0]
+    dyn = con.execute(
+        f"SELECT SUM(o_orderkey) FROM orders WHERE o_orderkey <= {cnt}"
+    ).fetchone()[0]
+    assert r.notices == (
+        f"NOTICE: total={tot} cnt={cnt} hi={hi} dyn={dyn} found=True"
+    )
+
+
+def test_do_block_for_loop_refusals(spark):
+    """The loop-shape refusals survive the FOR support: WHILE still
+    refuses in DO blocks, an undeclared cursor name raises, a
+    non-accumulator loop body refuses with the aggregate-shape
+    message, and a mid-body CONTINUE refuses."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(NotImplementedError, match="WHILE"):
+        eng.sql("""
+            DO $$ BEGIN
+                WHILE TRUE LOOP x := 1; END LOOP;
+            END $$
+        """)
+    with pytest.raises(KeyError, match="bound cursor"):
+        eng.sql("""
+            DO $$
+            DECLARE t BIGINT := 0;
+            BEGIN
+                FOR r IN nocur LOOP t := t + 1; END LOOP;
+            END $$
+        """)
+    with pytest.raises(NotImplementedError, match="accumulator"):
+        eng.sql("""
+            DO $$
+            DECLARE t BIGINT := 0;
+            BEGIN
+                FOR r IN SELECT 1 AS x LOOP
+                    INSERT INTO nowhere VALUES (1);
+                END LOOP;
+            END $$
+        """)
+    with pytest.raises(NotImplementedError, match="LEADING"):
+        eng.sql("""
+            DO $$
+            DECLARE t BIGINT := 0;
+            BEGIN
+                FOR r IN SELECT 1 AS x LOOP
+                    t := t + r.x;
+                    CONTINUE WHEN r.x > 0;
+                END LOOP;
+            END $$
+        """)
+
+
+def test_procedure_for_loop(spark):
+    """FOR loops work inside CREATE PROCEDURE bodies too (the same
+    runner executes both), composing with OUT parameters."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE PROCEDURE sum_keys(IN bound INT, OUT s BIGINT) AS $$
+        DECLARE
+            c CURSOR FOR SELECT o_orderkey AS k FROM orders
+                         WHERE o_orderkey <= bound;
+        BEGIN
+            s := 0;
+            FOR r IN c LOOP
+                s := s + r.k;
+            END LOOP;
+        END
+        $$ LANGUAGE PLPGSQL
+    """)
+    row = eng.sql("CALL sum_keys(101, NULL)").collect()[0]
+    assert row.s == 5151
