@@ -1473,3 +1473,142 @@ def decontaminate_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------------ BPE
+
+# The DuckDB oracle replays the identical rounds as chained CTEs:
+# w<k> = vocab after k merges, p<k+1> = that round's argmax pair.
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int) -> str:
+    head = """
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
+              lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), w0 AS (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, CAST(i AS INT), 1)) AS syms
+      FROM words
+    )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(f""", p{k} AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                          i -> [syms[i], syms[i + 1]])) AS pr
+            FROM w{k - 1} WHERE len(syms) > 1)
+      GROUP BY pr[1], pr[2]
+      ORDER BY cnt DESC, l, r LIMIT 1
+    )""")
+        if k < rounds:
+            parts.append(f""", w{k} AS (
+      SELECT word, freq,
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[-1] = p{k}.l AND x[1] = p{k}.r
+                      THEN list_append(acc[1:len(acc) - 1],
+                                       p{k}.l || p{k}.r)
+                      ELSE list_concat(acc, x) END) AS syms
+      FROM w{k - 1}, p{k}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k} AS round, l, r, cnt FROM p{k}"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {sel}\n    ORDER BY round")
+    return "".join(parts)
+
+
+@query("bpe_learn_merges", _bpe_oracle(_BPE_ROUNDS))
+def bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016;
+    the subword tokenizer-training step of every LLM data pipeline):
+    learn the first N merge rules over the corpus' word vocabulary —
+    each round counts weighted adjacent symbol pairs, takes the
+    arg-max pair (ties break lexicographically), and applies the
+    merge as a greedy left-to-right fold over each word's symbols.
+
+    Spark-first shape: the CORPUS is touched exactly once — one
+    shuffle builds the (word, freq) vocabulary — and every round
+    after that runs on the vocab frame: pair extraction is a codegen
+    transform/explode, the weighted count is a short-key partial/
+    final aggregate, the arg-max is TakeOrdered(1), and the merge
+    application is a higher-order ``aggregate()`` fold (whole-stage
+    codegen, no Python).  Only the N rule rows ever reach the driver.
+
+    At 100 TB: |vocab| ≪ |corpus| (the heavy-tail dedupes into freq),
+    so rounds cost O(|vocab|) each; a production run would checkpoint
+    the vocab frame every few rounds to keep the plan bounded — at
+    N=4 the composed plan is fine, and the one corpus pass dominates
+    end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), "[^a-z]+", " "
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substr(word, i, 1))"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rules = []
+    vocab = words
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        top = (
+            vocab.filter(F.size("syms") > 1)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS l,"
+                        " element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        rules.append((rnd, top.l, top.r, int(top.cnt)))
+        lq = top.l.replace("'", "\\'")
+        rq = top.r.replace("'", "\\'")
+        vocab = vocab.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>),"
+                " (acc, s) -> case when size(acc) > 0"
+                f" and element_at(acc, -1) = '{lq}' and s = '{rq}'"
+                " then concat(slice(acc, 1, size(acc) - 1),"
+                f" array('{lq}{rq}'))"
+                " else concat(acc, array(s)) end)"
+            ),
+        )
+    words.unpersist()
+    return spark.createDataFrame(
+        rules, "round INT, l STRING, r STRING, cnt BIGINT"
+    )
