@@ -717,11 +717,17 @@ def _parse_loop_accs(
     window function, not a scalar aggregate), refuses with the
     rewrite named."""
     stripped = _strip_comments(query_sql).strip()
+    if re.fullmatch(r"\w+", stripped) and stripped.lower() in _CURSORS:
+        # BOUND cursor source (exec_stmt_forc): pure name indirection
+        # to the DECLAREd query — gram.y decl_cursor_query
+        query_sql = _CURSORS[stripped.lower()]
+        stripped = _strip_comments(query_sql).strip()
     if not re.match(r"^SELECT\b", stripped, re.IGNORECASE):
         m_range = _INT_RANGE.match(stripped)
         if m_range is None:
             raise NotImplementedError(
-                "plpgsql: only FOR ... IN SELECT ... LOOP and bounded "
+                "plpgsql: only FOR ... IN SELECT ... LOOP, bound-cursor "
+                "sources (DECLARE c CURSOR FOR <query>), and bounded "
                 "integer ranges (FOR i IN [REVERSE] a..b [BY s]) "
                 "compile; dynamic sources have no aggregate form"
             )
@@ -1258,11 +1264,24 @@ def _apply_stmts(body: str, bindings: dict[str, str]) -> None:
         bindings[m.group("v").lower()] = _subst(m.group("e"), bindings)
 
 
+# bound-cursor declarations of the CURRENT translate_plpgsql call:
+# name → query text (the _FOLD_PARAMS per-call-registry convention)
+_CURSORS: dict[str, str] = {}
+
+
 def _parse_decls(decls: str, bindings: dict[str, str]) -> None:
     pos = 0
     while pos < len(decls):
         stmt, pos = _scan_stmt(decls, pos)
         if not stmt:
+            continue
+        mc = re.match(
+            r"(?P<v>\w+)\s+(?:NO\s+SCROLL\s+|SCROLL\s+)?CURSOR\s+"
+            r"(?:FOR|IS)\s+(?P<q>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if mc:
+            _CURSORS[mc.group("v").lower()] = mc.group("q").strip()
             continue
         m = re.match(
             r"(?P<v>\w+)\s+(?P<t>\w+(?:\s+\w+)?"
@@ -2038,7 +2057,8 @@ def translate_plpgsql(query: str, resolve_cols=None) -> str | None:
     # aggregate-shape message)
     scan_body = re.sub(
         r"\b(?:FOR\s+\w+\s+IN\s+"
-        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.)|WHILE\b"
+        r"(?:SELECT\b|(?:REVERSE\s+)?[^;]*?\.\.|\w+\s+(?=LOOP\b))"
+        r"|WHILE\b"
         r"|FOREACH\b"
         r"|LOOP\b(?=(?:(?!\bEND\s+LOOP\b).)*\bEXIT\s+WHEN\b))"
         r".*?\bEND\s+LOOP\b",
@@ -2047,6 +2067,7 @@ def translate_plpgsql(query: str, resolve_cols=None) -> str | None:
     for pat, why in _UNSUPPORTED:
         if pat.search(scan_body):
             raise NotImplementedError(f"plpgsql: {why}")
+    _CURSORS.clear()  # per-call bound-cursor registry
     if m.group("tcols") is not None or re.match(r"^SETOF\b", ret,
                                                 re.IGNORECASE):
         return _translate_setof(m, ret, body, resolve_cols)

@@ -3455,3 +3455,42 @@ def test_procedure_for_loop(spark):
     """)
     row = eng.sql("CALL sum_keys(101, NULL)").collect()[0]
     assert row.s == 5151
+
+
+def test_plpgsql_function_bound_cursor_loop(spark):
+    """Bound-cursor FOR loops compile in FUNCTION bodies too
+    (exec_stmt_forc): DECLARE c CURSOR FOR <query> is pure name
+    indirection into the FOR-IN-SELECT fold — one pushed-down scan,
+    no Python."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE FUNCTION csum_keys(bound INT) RETURNS BIGINT AS $$
+        DECLARE
+            s BIGINT := 0;
+            c CURSOR FOR SELECT o_orderkey AS k FROM orders
+                         WHERE o_orderkey <= bound;
+        BEGIN
+            FOR r IN c LOOP
+                s := s + r.k;
+            END LOOP;
+            RETURN s;
+        END;
+        $$ LANGUAGE PLPGSQL
+    """)
+    df = eng.sql("SELECT csum_keys(101) AS s")
+    assert df.collect()[0].s == 5151
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(o_orderkey,101)" in plan  # pushdown reached
+    assert plan.count("Scan parquet") <= 2  # the fold, never per-row
+    assert "BatchEvalPython" not in plan
+    # an undeclared cursor name still refuses with the source list
+    with pytest.raises(NotImplementedError, match="bound-cursor"):
+        eng.sql("""
+            CREATE FUNCTION badcur() RETURNS BIGINT AS $$
+            DECLARE s BIGINT := 0;
+            BEGIN
+                FOR r IN nocur LOOP s := s + 1; END LOOP;
+                RETURN s;
+            END;
+            $$ LANGUAGE PLPGSQL
+        """)
