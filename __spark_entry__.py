@@ -77,10 +77,12 @@ registry.load_all_queries()
 # bucket-MBR manifest + two-phase exact KNN, operators/gist_index.py),
 # and do_block_for_loop (FOR loops in DO blocks/procedures: SELECT /
 # bound-cursor / dynamic-EXECUTE sources, one aggregate statement per
-# loop), and bpe_learn_merges (distributed BPE vocabulary induction —
-# corpus scanned once into a word-freq vocab, merge rounds as codegen
-# folds on the vocab frame) — all oracle-parity-verified locally this
-# round; FRONT-LOAD them in r10's window as its first first-evers.
+# loop), and bpe_learn_merges / bpe_segment_tokens (distributed BPE
+# vocabulary induction + corpus segmentation — corpus scanned once
+# into a word-freq vocab, merge rounds as codegen folds on the vocab
+# frame, apply via a vocab join) — all oracle-parity-verified locally
+# this round; FRONT-LOAD them in r10's window as its first
+# first-evers.
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",

@@ -1482,7 +1482,9 @@ def decontaminate_bloom_prefilter(spark, sf_dir):
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle_prefix(rounds: int) -> str:
+    """The shared CTE chain: word-freq vocab, then per round k the
+    arg-max pair p<k> and the merged vocab w<k>."""
     head = """
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1507,8 +1509,7 @@ def _bpe_oracle(rounds: int) -> str:
       GROUP BY pr[1], pr[2]
       ORDER BY cnt DESC, l, r LIMIT 1
     )""")
-        if k < rounds:
-            parts.append(f""", w{k} AS (
+        parts.append(f""", w{k} AS (
       SELECT word, freq,
         list_reduce(list_transform(syms, s -> [s]),
           (acc, x) -> CASE WHEN acc[-1] = p{k}.l AND x[1] = p{k}.r
@@ -1517,12 +1518,15 @@ def _bpe_oracle(rounds: int) -> str:
                       ELSE list_concat(acc, x) END) AS syms
       FROM w{k - 1}, p{k}
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int) -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT {k} AS round, l, r, cnt FROM p{k}"
         for k in range(1, rounds + 1)
     )
-    parts.append(f"\n    {sel}\n    ORDER BY round")
-    return "".join(parts)
+    return f"{_bpe_oracle_prefix(rounds)}\n    {sel}\n    ORDER BY round"
 
 
 @query("bpe_learn_merges", _bpe_oracle(_BPE_ROUNDS))
@@ -1547,20 +1551,27 @@ def bpe_learn_merges(spark, sf_dir):
     the vocab frame every few rounds to keep the plan bounded — at
     N=4 the composed plan is fine, and the one corpus pass dominates
     end-to-end."""
+    rules, words, _vocab = _learn_bpe(spark, sf_dir)
+    words.unpersist()
+    return spark.createDataFrame(
+        rules, "round INT, l STRING, r STRING, cnt BIGINT"
+    )
+
+
+_BPE_WORD_SPLIT = F.split(
+    F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+    " ",
+)
+
+
+def _learn_bpe(spark, sf_dir):
+    """(rules, cached word-freq frame, post-merge vocab frame) for
+    _BPE_ROUNDS over the documents corpus — the shared core of
+    bpe_learn_merges (reports the rules) and bpe_segment_tokens
+    (applies the final vocab).  Caller unpersists the word frame."""
     d = table(spark, sf_dir, "documents")
     words = (
-        d.select(
-            F.explode(
-                F.split(
-                    F.trim(
-                        F.regexp_replace(
-                            F.lower(F.col("text")), "[^a-z]+", " "
-                        )
-                    ),
-                    " ",
-                )
-            ).alias("word")
-        )
+        d.select(F.explode(_BPE_WORD_SPLIT).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
@@ -1608,7 +1619,68 @@ def bpe_learn_merges(spark, sf_dir):
                 " else concat(acc, array(s)) end)"
             ),
         )
+    return rules, words, vocab
+
+
+@query(
+    "bpe_segment_tokens",
+    _bpe_oracle_prefix(_BPE_ROUNDS) + f""", occ AS (
+      SELECT source, unnest(string_split_regex(trim(regexp_replace(
+               lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    )
+    SELECT o.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_subwords,
+           ROUND(CAST(SUM(len(v.syms)) AS DOUBLE) / COUNT(*), 6)
+             AS subwords_per_word
+    FROM occ o JOIN w{_BPE_ROUNDS} v ON o.word = v.word
+    WHERE o.word <> ''
+    GROUP BY o.source ORDER BY o.source""",
+)
+def bpe_segment_tokens(spark, sf_dir):
+    """BPE segmentation applied corpus-wide — the tokenizer-apply
+    step that follows merge learning (SentencePiece/GPT-2 BPE encode,
+    public algorithm): per-source subword token statistics under the
+    learned _BPE_ROUNDS merges.
+
+    Spark-first shape: the merges fold ONCE PER DISTINCT WORD on the
+    vocab frame (never per occurrence), and the corpus re-joins the
+    segmented vocab on the word key — at 100 TB that join broadcasts
+    or shuffles a |vocab|-sized relation against the token stream,
+    which is exactly how production tokenizer-stat jobs avoid
+    re-encoding every occurrence.  The oracle replays the rounds as
+    chained list_reduce CTEs and joins the same way."""
+    rules, words, vocab = _learn_bpe(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            "source", F.explode(_BPE_WORD_SPLIT).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    seg = vocab.select("word", F.size("syms").alias("n_syms"))
+    out = (
+        occ.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_subwords"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words"), 6
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("source")
+    )
+    rows = out.collect()
     words.unpersist()
     return spark.createDataFrame(
-        rules, "round INT, l STRING, r STRING, cnt BIGINT"
+        rows,
+        "source STRING, n_words BIGINT, n_subwords BIGINT,"
+        " subwords_per_word DOUBLE",
     )
