@@ -80,9 +80,11 @@ registry.load_all_queries()
 # loop), and bpe_learn_merges / bpe_segment_tokens (distributed BPE
 # vocabulary induction + corpus segmentation — corpus scanned once
 # into a word-freq vocab, merge rounds as codegen folds on the vocab
-# frame, apply via a vocab join) — all oracle-parity-verified locally
-# this round; FRONT-LOAD them in r10's window as its first
-# first-evers.
+# frame, apply via a vocab join), and bformat_convert_series (the
+# regress-census compat batch: CONVERT/USING → CAST, generate_series
+# FunctionScan → explode(sequence), last_insert_id, FOR UPDATE strip,
+# ALTER INDEX/SEQUENCE) — all oracle-parity-verified locally this
+# round; FRONT-LOAD them in r10's window as its first first-evers.
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",

@@ -137,6 +137,10 @@ class Engine:
         # CREATE SCHEMA registry (schemacmds.cpp): qualified names
         # under these rewrite to mangled flat names (operators/schemas)
         self.schemas: set[str] = set()
+        # B-format last_insert_id(): the FIRST identity value the
+        # most recent identity-assigning INSERT generated (MySQL's
+        # documented rule; 0 before any — ddl_tables assign path)
+        self.last_insert_id: int = 0
 
     # CREATE INDEX [name] ON tbl USING ivfflat|hnsw (col opclass)
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
@@ -161,8 +165,10 @@ class Engine:
     # (within-partition sort); GLOBAL has no cross-partition structure
     # to build here, but the sorted rewrite gives the same rowgroup
     # min/max skipping, so both route to the one layout
+    # UNIQUE is tolerated as metadata, like PRIMARY KEY on CREATE
+    # TABLE (no constraint enforcement on the immutable store)
     _CREATE_BTREE = re.compile(
-        r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+"
+        r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+"
         r"(?P<table>\w+)\s+(?:USING\s+BTREE\s*)?"
         r"\(\s*(?P<col>\w+)\s*\)\s*(?:LOCAL|GLOBAL)?\s*;?\s*$",
         re.IGNORECASE,
@@ -228,6 +234,21 @@ class Engine:
         # (pl_global_package_runtime_cache.cpp); identity when no
         # package declares variables
         query = substitute_var_reads(self, query)
+        # last_insert_id() → the session's literal (B-format; MySQL
+        # public semantics — the FIRST id of the latest identity
+        # INSERT, 0 before any).  Literal-masked so the name inside
+        # strings stays inert.
+        if re.search(r"\blast_insert_id\s*\(\s*\)", query, re.IGNORECASE):
+            from .operators.do_block import _mask_strings as _mask
+
+            masked = _mask(query)
+            out, last = [], 0
+            for mm in re.finditer(r"\blast_insert_id\s*\(\s*\)", masked,
+                                  re.IGNORECASE):
+                out.append(query[last:mm.start()])
+                out.append(str(self.last_insert_id))
+                last = mm.end()
+            query = "".join(out) + query[last:]
         # FROM t TIMECAPSULE CSN/TIMESTAMP → snapshot view (flashback
         # query, storage/tcap) — rewritten up front so every
         # downstream handler sees plain SQL
@@ -569,6 +590,19 @@ class Engine:
             return self.spark.createDataFrame(
                 [("REINDEX", name)], "tag STRING, index STRING"
             )
+        m = re.match(
+            r"^\s*ALTER\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
+            r"(?:RENAME\s+TO\s+(?P<new>\w+)|(?P<rebuild>REBUILD)"
+            r"|(?P<unusable>UNUSABLE))\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            return self._alter_index(
+                m.group("name").lower(),
+                new=(m.group("new") or "").lower() or None,
+                rebuild=m.group("rebuild") is not None,
+                unusable=m.group("unusable") is not None,
+            )
         m = self._DROP_INDEX.match(query)
         if m:
             name = m.group("name").lower()
@@ -742,6 +776,72 @@ class Engine:
         return self.spark.createDataFrame(
             rows or [("", "", 0)][:0],
             "queryid STRING, query STRING, calls BIGINT",
+        )
+
+    def _alter_index(self, name: str, new: str | None = None,
+                     rebuild: bool = False, unusable: bool = False):
+        """ALTER INDEX name RENAME TO / REBUILD / UNUSABLE
+        (indexcmds.cpp ATExecRenameIndex / reindex; UNUSABLE is the
+        A-format marker): RENAME moves the catalog entry across every
+        index registry (GIN additionally re-registers its posting
+        view under the new name); REBUILD routes to REINDEX; UNUSABLE
+        records nothing — scans here never require an index, so the
+        honest analogue of "stop using it" is a catalog no-op row."""
+        known = (
+            name in self._index_names or name in self._btree_indexes
+            or name in getattr(self, "gin_indexes", {})
+            or name in getattr(self, "gist_indexes", {})
+        )
+        if not known:
+            raise KeyError(f"ALTER INDEX: index {name!r} not found")
+        if rebuild:
+            if name in self._index_names:
+                return self.sql(f"REINDEX INDEX {name}")
+            if name in self._btree_indexes:
+                tbl, col = self._btree_indexes[name]
+                self.sql(f"CLUSTER {tbl} ON ({col})")
+            elif name in getattr(self, "gin_indexes", {}):
+                from .operators.gin_index import build_posting_table
+
+                build_posting_table(self, name)
+            else:
+                from .operators.gist_index import build_gist_index
+
+                build_gist_index(self, name)
+            return self.spark.createDataFrame(
+                [("REINDEX", name)], "tag STRING, index STRING"
+            )
+        if unusable:
+            return self.spark.createDataFrame(
+                [("ALTER INDEX", name, "UNUSABLE")],
+                "tag STRING, index STRING, action STRING",
+            )
+        # RENAME TO
+        for reg in (self._index_names, self._btree_indexes,
+                    getattr(self, "gin_indexes", {}),
+                    getattr(self, "gist_indexes", {})):
+            if new in reg:
+                raise ValueError(
+                    f"ALTER INDEX RENAME: {new!r} already exists"
+                )
+        if name in self._index_names:
+            self._index_names[new] = self._index_names.pop(name)
+        elif name in self._btree_indexes:
+            self._btree_indexes[new] = self._btree_indexes.pop(name)
+        elif name in getattr(self, "gin_indexes", {}):
+            from .operators.gin_index import (
+                _register_union_view,
+                _view_name,
+            )
+
+            self.gin_indexes[new] = self.gin_indexes.pop(name)
+            _register_union_view(self, new)
+            self.spark.catalog.dropTempView(_view_name(name))
+        else:
+            self.gist_indexes[new] = self.gist_indexes.pop(name)
+        return self.spark.createDataFrame(
+            [("ALTER INDEX", name, f"RENAME TO {new}")],
+            "tag STRING, index STRING, action STRING",
         )
 
     def _warehouse_dir(self) -> str:

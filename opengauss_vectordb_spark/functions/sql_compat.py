@@ -121,12 +121,136 @@ _ROWNUM_TAIL = re.compile(
 )
 
 
+# B-format CONVERT(expr, type) target types → Spark cast targets
+# (typecmds / B-compat cast grammar; MySQL CONVERT docs are the
+# public semantics).  UNSIGNED maps to BIGINT — the value range is
+# honored, the reject-negatives semantics deviation is documented.
+_CONVERT_TYPES = {
+    "SIGNED": "BIGINT", "SIGNED INTEGER": "BIGINT",
+    "UNSIGNED": "BIGINT", "UNSIGNED INTEGER": "BIGINT",
+    "CHAR": "STRING", "NCHAR": "STRING",
+    "BINARY": "BINARY", "DATE": "DATE", "DATETIME": "TIMESTAMP",
+    "TIME": "STRING", "FLOAT": "FLOAT", "DOUBLE": "DOUBLE",
+    "REAL": "DOUBLE", "YEAR": "INT",
+}
+
+
+def _find_close(s: str, open_pos: int) -> int:
+    """Index of the ')' matching the '(' at open_pos (s is masked —
+    no parens hide in literals); -1 when unbalanced."""
+    depth = 0
+    for i in range(open_pos, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _rewrite_convert(masked: str) -> str:
+    """B-format CONVERT (gram.y B-compat; MySQL public semantics):
+    ``CONVERT(expr, type)`` → CAST; ``CONVERT(expr USING charset)`` →
+    the expression unchanged (UTF-8 end-to-end — the B-charset
+    COVERAGE position)."""
+    out = masked
+    pos = 0
+    while True:
+        m = re.search(r"\bCONVERT\s*\(", out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        op = pos + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        inner = out[op + 1:cl]
+        mu = re.search(r"\s+USING\s+\w+\s*$", inner, re.IGNORECASE)
+        if mu:
+            repl = f"({inner[:mu.start()].strip()})"
+        else:
+            # split on the LAST top-level comma: expr may contain
+            # commas inside nested calls, the type never does (except
+            # DECIMAL(p,s), whose comma sits inside parens)
+            depth, split = 0, -1
+            for i, ch in enumerate(inner):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    split = i
+            if split < 0:
+                pos = cl + 1  # not the two-arg form: leave untouched
+                continue
+            expr = inner[:split].strip()
+            ty = " ".join(inner[split + 1:].strip().upper().split())
+            md = re.fullmatch(
+                r"DECIMAL(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?", ty
+            )
+            if md:
+                target = ty
+            elif re.fullmatch(r"CHAR\s*\(\s*\d+\s*\)", ty):
+                target = "STRING"
+            elif ty in _CONVERT_TYPES:
+                target = _CONVERT_TYPES[ty]
+            else:
+                target = ty  # unknown: let Spark's CAST report it
+            repl = f"CAST({expr} AS {target})"
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        pos = pos + m.start()  # rescan from here (nested CONVERTs)
+
+
+# SELECT ... FOR UPDATE / FOR SHARE [OF t,...] [NOWAIT | SKIP LOCKED |
+# WAIT n] — LockRows has no batch analogue (SURVEY §2.6 n/a set); the
+# SELECT itself is the whole meaning here, so the clause strips.
+_LOCK_ROWS_TAIL = re.compile(
+    r"\s+FOR\s+(?:NO\s+KEY\s+)?(?:UPDATE|SHARE)(?:\s+OF\s+\w+"
+    r"(?:\s*,\s*\w+)*)?(?:\s+(?:NOWAIT|SKIP\s+LOCKED|WAIT\s+\d+))?"
+    r"\s*(;?)\s*$",
+    re.IGNORECASE,
+)
+
+# FROM/JOIN generate_series(a, b[, s]) [AS] [alias[(col)]] — the
+# canonical PG FunctionScan (regress uses it everywhere); Spark's
+# explode(sequence(...)) is the exact equivalent.
+_GENSERIES_FROM = re.compile(
+    r"\b(?P<kw>FROM|JOIN)\s+generate_series\s*\((?P<args>[^()]*)\)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|"
+    r"ON\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|INNER\b|UNION\b|"
+    r"HAVING\b)\w+)\s*(?:\(\s*(?P<col>\w+)\s*\))?)?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_generate_series(masked: str) -> str:
+    def sub_from(m: re.Match) -> str:
+        alias = m.group("alias") or "generate_series"
+        col = m.group("col") or m.group("alias") or "generate_series"
+        return (
+            f"{m.group('kw')} (SELECT explode(sequence("
+            f"{m.group('args')})) AS {col}) AS {alias}"
+        )
+
+    out = _GENSERIES_FROM.sub(sub_from, masked)
+    # SELECT-position SRF (ProjectSet): same explode, simple-arg form
+    return re.sub(
+        r"\bgenerate_series\s*\(([^()]*)\)",
+        r"explode(sequence(\1))", out, flags=re.IGNORECASE,
+    )
+
+
 def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
     masked, literals = _mask_strings(sql)
     out = _FROM_DUAL.sub("", masked)
     out = _SYSDATE.sub("current_timestamp()", out)
     out = _rewrite_vector_ops(out, literals)
+    out = _LOCK_ROWS_TAIL.sub(r"\1", out)
+    if re.search(r"\bCONVERT\s*\(", out, re.IGNORECASE):
+        out = _rewrite_convert(out)
+    if re.search(r"\bgenerate_series\s*\(", out, re.IGNORECASE):
+        out = _rewrite_generate_series(out)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

@@ -121,3 +121,38 @@ def bformat_group_concat(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "bformat_convert_series",
+    """
+    SELECT i,
+           CAST(i AS VARCHAR) AS s,
+           CAST(CAST(i AS VARCHAR) AS BIGINT) * 2 AS d,
+           CAST(i * 1.5 AS DOUBLE) AS f
+    FROM generate_series(1, 20) AS g(i)
+    ORDER BY i
+    """,
+)
+def bformat_convert_series(spark, sf_dir):
+    """B-format CONVERT + PG generate_series FunctionScan through SQL
+    text (gram.y B-compat CONVERT grammar; MySQL public semantics;
+    nodeFunctionscan.cpp): ``CONVERT(x, SIGNED/CHAR)`` translates to
+    CAST, ``CONVERT(x USING cs)`` to the expression (UTF-8 end-to-end
+    position), and ``FROM generate_series(a, b) AS g(i)`` rewrites to
+    ``explode(sequence(...))`` — the oracle states the same query in
+    DuckDB's native CAST/generate_series forms.
+
+    Scale: pure text rewrites into codegen expressions; the series is
+    one explode, no Python anywhere."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT i,"
+        " CONVERT(i, CHAR) AS s,"
+        " CONVERT(CONVERT(i, CHAR), SIGNED) * 2 AS d,"
+        " CAST(CONVERT(i * 1.5, DOUBLE) AS DOUBLE) AS f"
+        " FROM generate_series(1, 20) AS g(i)"
+        " ORDER BY i"
+    )

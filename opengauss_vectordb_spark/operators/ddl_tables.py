@@ -322,6 +322,11 @@ class TableManager:
             .drop("__pid", "__mid")
         )
         meta["auto_seq"] = start + acc
+        # B-format last_insert_id(): the FIRST generated id of this
+        # statement (MySQL's documented multi-row rule); explicit
+        # values never update it
+        if self.engine is not None and acc > 0:
+            self.engine.last_insert_id = start
         return out
 
     def drop(self, name: str, purge: bool = False) -> bool:
@@ -2398,7 +2403,56 @@ _SEQ_FN = re.compile(
 )
 
 
+_ALTER_SEQ = re.compile(
+    r"^\s*ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"(?P<opts>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def try_handle_sequence(engine, query: str) -> DataFrame | None:
+    m = _ALTER_SEQ.match(query)
+    if m and m.group("name").lower() in engine.sequences.seqs:
+        # sequence.cpp AlterSequence: RESTART [WITH n] rewinds so the
+        # next nextval returns n (or the original start); INCREMENT
+        # BY / MAXVALUE / [NO] CYCLE update the generator parameters
+        name = m.group("name").lower()
+        s = engine.sequences.seqs[name]
+        opts = m.group("opts")
+        recognized = False
+        mr = re.search(r"\bRESTART(?:\s+WITH\s+(?P<n>-?\d+))?",
+                       opts, re.IGNORECASE)
+        if mr:
+            if mr.group("n") is not None:
+                s["start"] = int(mr.group("n"))
+            s["value"] = None
+            recognized = True
+        mi = re.search(r"\bINCREMENT(?:\s+BY)?\s+(?P<k>-?\d+)",
+                       opts, re.IGNORECASE)
+        if mi:
+            k = int(mi.group("k"))
+            if k == 0:
+                raise ValueError("INCREMENT must not be zero")
+            s["increment"] = k
+            recognized = True
+        mx = re.search(r"\bMAXVALUE\s+(?P<n>-?\d+)", opts, re.IGNORECASE)
+        if mx:
+            s["max"] = int(mx.group("n"))
+            recognized = True
+        mc = re.search(r"\b(?P<no>NO\s+)?CYCLE\b", opts, re.IGNORECASE)
+        if mc:
+            s["cycle"] = mc.group("no") is None
+            recognized = True
+        if not recognized:
+            raise NotImplementedError(
+                f"ALTER SEQUENCE: unsupported option(s) {opts!r} — "
+                "RESTART [WITH n], INCREMENT [BY] k, MAXVALUE n, "
+                "[NO] CYCLE are supported; OWNED BY/CACHE have no "
+                "engine state here"
+            )
+        return engine.spark.createDataFrame(
+            [("ALTER SEQUENCE", name)], "tag STRING, sequence STRING"
+        )
     m = _CREATE_SEQ.match(query)
     if m:
         engine.sequences.create(

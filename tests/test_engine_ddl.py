@@ -3494,3 +3494,77 @@ def test_plpgsql_function_bound_cursor_loop(spark):
             END;
             $$ LANGUAGE PLPGSQL
         """)
+
+
+def test_compat_statement_batch(spark, tmp_path):
+    """Regress-frequent compat statements (census of the reference's
+    regress suites): B-format CONVERT both forms, LockRows clause
+    stripping (SELECT ... FOR UPDATE/SHARE — LockRows is the §2.6 n/a
+    set; the SELECT is the meaning), generate_series FunctionScan in
+    FROM and SELECT positions, last_insert_id() (MySQL first-id rule),
+    CREATE UNIQUE INDEX tolerated as metadata, ALTER INDEX
+    RENAME/REBUILD/UNUSABLE across index AMs, ALTER SEQUENCE RESTART."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    assert eng.sql("SELECT CONVERT('123', SIGNED) AS x").collect()[0].x == 123
+    assert eng.sql(
+        "SELECT CONVERT(CONVERT('7', SIGNED) + 1, CHAR) AS x"
+    ).collect()[0].x == "8"
+    assert eng.sql(
+        "SELECT CONVERT('abc' USING utf8mb4) AS x"
+    ).collect()[0].x == "abc"
+    assert eng.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey = 1"
+        " FOR UPDATE"
+    ).count() == 1
+    assert eng.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey = 1"
+        " FOR SHARE SKIP LOCKED"
+    ).count() == 1
+    assert [
+        r.i for r in eng.sql(
+            "SELECT i FROM generate_series(1, 5) AS g(i) ORDER BY i"
+        ).collect()
+    ] == [1, 2, 3, 4, 5]
+    assert sorted(
+        r.generate_series
+        for r in eng.sql("SELECT * FROM generate_series(2, 4)").collect()
+    ) == [2, 3, 4]
+    assert sorted(
+        r.n for r in eng.sql("SELECT generate_series(1, 3) AS n").collect()
+    ) == [1, 2, 3]
+    # last_insert_id: FIRST id of the most recent identity INSERT
+    eng.sql("CREATE TABLE li_t (id INT AUTO_INCREMENT, v TEXT)")
+    assert eng.sql("SELECT last_insert_id() AS x").collect()[0].x == 0
+    eng.sql("INSERT INTO li_t (v) SELECT 'a'")
+    eng.sql("INSERT INTO li_t (v) SELECT 'b' UNION ALL SELECT 'c'")
+    assert eng.sql("SELECT last_insert_id() AS x").collect()[0].x == 2
+    # the name inside a string literal stays inert
+    assert eng.sql(
+        "SELECT 'last_insert_id()' AS x"
+    ).collect()[0].x == "last_insert_id()"
+    # UNIQUE index + ALTER INDEX lifecycle
+    eng.sql("CREATE TABLE uq_t AS SELECT o_orderkey AS k FROM orders"
+            " WHERE o_orderkey <= 50")
+    eng.sql("CREATE UNIQUE INDEX uqi ON uq_t (k)")
+    eng.sql("ALTER INDEX uqi RENAME TO uqi2")
+    assert "uqi2" in eng._btree_indexes and "uqi" not in eng._btree_indexes
+    eng.sql("ALTER INDEX uqi2 REBUILD")
+    eng.sql("ALTER INDEX uqi2 UNUSABLE")
+    with pytest.raises(KeyError, match="not found"):
+        eng.sql("ALTER INDEX nope RENAME TO x")
+    # GIN rename keeps @@ routing live under the new name
+    eng.sql("CREATE INDEX gren ON documents USING gin (to_tsvector(text))")
+    eng.sql("ALTER INDEX gren RENAME TO gren2")
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM documents"
+        " WHERE to_tsvector(text) @@ to_tsquery('hash')"
+    ).collect()[0].n > 0
+    eng.sql("DROP INDEX gren2")
+    # ALTER SEQUENCE RESTART WITH rewinds the generator
+    eng.sql("CREATE SEQUENCE sq2 START 10 INCREMENT 2")
+    assert eng.sql("SELECT nextval('sq2')").collect()[0][0] == 10
+    eng.sql("ALTER SEQUENCE sq2 RESTART WITH 100")
+    assert eng.sql("SELECT nextval('sq2')").collect()[0][0] == 100
+    with pytest.raises(NotImplementedError, match="OWNED BY"):
+        eng.sql("ALTER SEQUENCE sq2 OWNED BY li_t.id")
