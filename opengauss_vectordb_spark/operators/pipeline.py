@@ -1558,10 +1558,12 @@ def bpe_learn_merges(spark, sf_dir):
     )
 
 
-_BPE_WORD_SPLIT = F.split(
-    F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
-    " ",
-)
+def _bpe_word_split():
+    """Lazy Column (module import must not require a live session)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+        " ",
+    )
 
 
 def _learn_bpe(spark, sf_dir):
@@ -1571,7 +1573,7 @@ def _learn_bpe(spark, sf_dir):
     (applies the final vocab).  Caller unpersists the word frame."""
     d = table(spark, sf_dir, "documents")
     words = (
-        d.select(F.explode(_BPE_WORD_SPLIT).alias("word"))
+        d.select(F.explode(_bpe_word_split()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
@@ -1655,7 +1657,7 @@ def bpe_segment_tokens(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     occ = (
         d.select(
-            "source", F.explode(_BPE_WORD_SPLIT).alias("word")
+            "source", F.explode(_bpe_word_split()).alias("word")
         )
         .filter(F.col("word") != "")
     )
