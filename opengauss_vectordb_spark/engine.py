@@ -153,7 +153,7 @@ class Engine:
         re.IGNORECASE,
     )
     _DROP_INDEX = re.compile(
-        r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+        r"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
         re.IGNORECASE,
     )
     # CREATE INDEX [name] ON tbl [USING btree] (col) — the relational
@@ -602,6 +602,64 @@ class Engine:
                 new=(m.group("new") or "").lower() or None,
                 rebuild=m.group("rebuild") is not None,
                 unusable=m.group("unusable") is not None,
+            )
+        m = re.match(
+            r"^\s*(?P<verb>CREATE|ALTER|DROP)\s+TEXT\s+SEARCH\s+"
+            r"(?P<kind>CONFIGURATION|DICTIONARY)\s+"
+            r"(?:IF\s+EXISTS\s+)?(?P<name>\w+)\b.*?;?\s*$",
+            query, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # commands/tsearchcmds.cpp: configurations/dictionaries
+            # name tokenizer+dictionary pipelines.  The engine's one
+            # tokenizer is the documented simple config (COVERAGE FTS
+            # row) and to_tsvector('cfg', col) accepts any config
+            # name, so these are catalog entries: CREATE registers,
+            # DROP removes, ALTER ADD/DROP MAPPING is metadata.
+            if not hasattr(self, "ts_configs"):
+                self.ts_configs = set()
+            name = m.group("name").lower()
+            verb = m.group("verb").upper()
+            if verb == "CREATE":
+                self.ts_configs.add(name)
+            elif verb == "DROP":
+                self.ts_configs.discard(name)
+            elif name not in self.ts_configs:
+                raise KeyError(
+                    f"ALTER TEXT SEARCH: {name!r} is not a registered "
+                    "configuration/dictionary"
+                )
+            return self.spark.createDataFrame(
+                [(f"{verb} TEXT SEARCH", name)],
+                "tag STRING, name STRING",
+            )
+        m = re.match(
+            r"^\s*REINDEX\s+TABLE\s+(?:CONCURRENTLY\s+)?(?P<t>\w+)"
+            r"\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            # indexcmds.cpp ReindexTable: rebuild EVERY index on the
+            # relation (CONCURRENTLY is a locking detail with no
+            # analogue on immutable parquet — accepted, ignored)
+            t = m.group("t").lower()
+            rebuilt = []
+            for name, key in list(self._index_names.items()):
+                if key[0] == t:
+                    self._alter_index(name, rebuild=True)
+                    rebuilt.append(name)
+            for name, (tbl, _c) in list(self._btree_indexes.items()):
+                if tbl == t:
+                    self._alter_index(name, rebuild=True)
+                    rebuilt.append(name)
+            for reg in ("gin_indexes", "gist_indexes"):
+                for name, idx in list(getattr(self, reg, {}).items()):
+                    if idx["table"] == t:
+                        self._alter_index(name, rebuild=True)
+                        rebuilt.append(name)
+            return self.spark.createDataFrame(
+                [("REINDEX TABLE", t, len(rebuilt))],
+                "tag STRING, tbl STRING, indexes INT",
             )
         m = self._DROP_INDEX.match(query)
         if m:

@@ -71,8 +71,45 @@ def _resolve_source(engine, name: str) -> DataFrame:
     return engine.spark.table(name)
 
 
+# COPY (query) TO '...' — copy.cpp's query form (BeginCopyTo with a
+# raw_query): any SELECT exports, not just a relation
+_COPY_QUERY_TO = re.compile(
+    r"^\s*COPY\s*\(\s*(?P<stmt>.+?)\s*\)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+(?:WITH\s+)?\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def try_handle_stmt(engine, query_text: str) -> DataFrame | None:
     """Route COPY statements; None when the text is not a COPY."""
+    mq = _COPY_QUERY_TO.match(query_text)
+    if mq is not None:
+        from ..sources import readers
+
+        opts = _parse_opts(mq.group("opts"))
+        fmt = opts["format"]
+        if fmt not in ("csv", "text", "binary"):
+            raise ValueError(f"COPY: unsupported format {fmt!r}")
+        df = engine.sql(mq.group("stmt"))
+        n = df.count()
+        path = mq.group("path")
+        if fmt == "binary":
+            readers.write_pg_binary(df, path)
+        else:
+            (
+                df.write.mode("overwrite")
+                .option("header", opts["header"] if fmt == "csv"
+                        else False)
+                .option("delimiter", opts["delimiter"]
+                        or ("," if fmt == "csv" else "\t"))
+                .option("nullValue", "" if fmt == "csv" else r"\N")
+                .csv(path)
+            )
+        return engine.spark.createDataFrame(
+            [("COPY", "(query)", "TO", fmt, n)],
+            "tag STRING, table STRING, direction STRING, format STRING,"
+            " rows BIGINT",
+        )
     m = _COPY.match(query_text)
     if m is None:
         return None

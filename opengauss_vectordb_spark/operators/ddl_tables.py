@@ -670,7 +670,11 @@ class TableManager:
 # engine is one implicit transaction per session, so rows persist
 # until session end either way (drop_temp_tables) — the documented
 # autocommit position
-_TEMP_PREFIX = r"(?P<temp>(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?"
+# UNLOGGED is tolerated as plain persistent storage: parquet writes
+# have no WAL to skip, which is exactly the durability class UNLOGGED
+# asks for less of (gram.y OptTemp RELPERSISTENCE_UNLOGGED)
+_TEMP_PREFIX = (r"(?P<temp>(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?"
+                r"(?:UNLOGGED\s+)?")
 _ON_COMMIT = r"(?:ON\s+COMMIT\s+(?:PRESERVE|DELETE)\s+ROWS\s*)?"
 _CTAS = re.compile(
     r"^\s*CREATE\s+" + _TEMP_PREFIX + r"TABLE\s+(?P<name>\w+)\s+"
@@ -1009,7 +1013,9 @@ _DROP_VIEW = re.compile(
 
 
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+(?:FULL\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
+    r"^\s*VACUUM\s+(?:(?:FULL|ANALYZE|VERBOSE|FREEZE)\s+)*"
+    r"(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
@@ -2385,7 +2391,7 @@ class SequenceRegistry:
 
 
 _CREATE_SEQ = re.compile(
-    r"^\s*CREATE\s+SEQUENCE\s+(?P<name>\w+)"
+    r"^\s*CREATE\s+(?:LARGE\s+)?SEQUENCE\s+(?P<name>\w+)"
     r"(?:\s+START(?:\s+WITH)?\s+(?P<start>-?\d+))?"
     r"(?:\s+INCREMENT(?:\s+BY)?\s+(?P<inc>-?\d+))?"
     r"(?:\s+MAXVALUE\s+(?P<max>-?\d+))?"
@@ -2393,7 +2399,7 @@ _CREATE_SEQ = re.compile(
     re.IGNORECASE,
 )
 _DROP_SEQ = re.compile(
-    r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    r"^\s*DROP\s+(?:LARGE\s+)?SEQUENCE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _SEQ_FN = re.compile(
@@ -2404,7 +2410,7 @@ _SEQ_FN = re.compile(
 
 
 _ALTER_SEQ = re.compile(
-    r"^\s*ALTER\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"^\s*ALTER\s+(?:LARGE\s+)?SEQUENCE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
     r"(?P<opts>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )

@@ -40,14 +40,20 @@ _ENABLE_RLS = re.compile(
     r"SECURITY\s*;?\s*$",
     re.IGNORECASE,
 )
+# both spellings: PG's CREATE POLICY and openGauss's long form
+# CREATE ROW LEVEL SECURITY POLICY (gram.y CreateRlsPolicyStmt —
+# regress rowlevelsecurity.sql uses the long form throughout)
 _CREATE_POLICY = re.compile(
-    r"^\s*CREATE\s+POLICY\s+(?P<name>\w+)\s+ON\s+(?P<table>\w+)"
-    r"(?:\s+FOR\s+SELECT)?(?:\s+TO\s+(?P<roles>\w+(?:\s*,\s*\w+)*))?"
+    r"^\s*CREATE\s+(?:ROW\s+LEVEL\s+SECURITY\s+)?POLICY\s+"
+    r"(?P<name>\w+)\s+ON\s+(?P<table>\w+)"
+    r"(?:\s+AS\s+PERMISSIVE)?(?:\s+FOR\s+(?:SELECT|ALL))?"
+    r"(?:\s+TO\s+(?P<roles>\w+(?:\s*,\s*\w+)*))?"
     r"\s+USING\s+\((?P<pred>.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_POLICY = re.compile(
-    r"^\s*DROP\s+POLICY\s+(?P<name>\w+)\s+ON\s+(?P<table>\w+)\s*;?\s*$",
+    r"^\s*DROP\s+(?:ROW\s+LEVEL\s+SECURITY\s+)?POLICY\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+ON\s+(?P<table>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 # GRANT/REVOKE table privileges (catalog/aclchk.cpp ExecuteGrantStmt /

@@ -95,7 +95,79 @@ def enum_guard(engine, df: DataFrame, enum_cols: dict) -> DataFrame:
     return df
 
 
+# ALTER TYPE (typecmds.cpp AlterEnum / RenameType; regress
+# enum.sql's ADD VALUE BEFORE/AFTER suite): label-list surgery on the
+# recorded declared order — the order array IS the btree the
+# reference rebalances, so insertion is a list splice here.
+_ALTER_TYPE = re.compile(
+    r"^\s*ALTER\s+TYPE\s+(?P<name>\w+)\s+"
+    r"(?:ADD\s+VALUE\s+(?:IF\s+NOT\s+EXISTS\s+)?'(?P<new>[^']*)'"
+    r"(?:\s+(?P<where>BEFORE|AFTER)\s+'(?P<ref>[^']*)')?"
+    r"|RENAME\s+VALUE\s+'(?P<old>[^']*)'\s+TO\s+'(?P<to>[^']*)'"
+    r"|RENAME\s+TO\s+(?P<newname>\w+))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _handle_alter_type(engine, m: re.Match) -> DataFrame:
+    name = m.group("name").lower()
+    ut = engine.user_types.get(name)
+    if ut is None:
+        raise KeyError(f"ALTER TYPE: type {name!r} does not exist")
+    if m.group("newname"):
+        newname = m.group("newname").lower()
+        if newname in engine.user_types:
+            raise ValueError(f"type {newname!r} already exists")
+        engine.user_types[newname] = engine.user_types.pop(name)
+        return engine.spark.createDataFrame(
+            [("ALTER TYPE", name, f"RENAME TO {newname}")],
+            "tag STRING, typname STRING, action STRING",
+        )
+    if ut["kind"] != "enum":
+        raise NotImplementedError(
+            "ALTER TYPE value surgery applies to enum types; composite "
+            "changes are CREATE-new-then-CAST (typecmds.cpp's ALTER "
+            "ATTRIBUTE path has no consumer here)"
+        )
+    labels = ut["labels"]
+    if m.group("new") is not None:
+        new = m.group("new")
+        if new in labels:
+            if "IF NOT EXISTS" in m.group(0).upper():
+                return engine.spark.createDataFrame(
+                    [("ALTER TYPE", name, "noop")],
+                    "tag STRING, typname STRING, action STRING",
+                )
+            raise ValueError(f"enum label {new!r} already exists")
+        if m.group("where"):
+            ref = m.group("ref")
+            if ref not in labels:
+                raise KeyError(f"enum label {ref!r} does not exist")
+            at = labels.index(ref) + (
+                0 if m.group("where").upper() == "BEFORE" else 1
+            )
+            labels.insert(at, new)
+        else:
+            labels.append(new)  # default: after the last (AlterEnum)
+        action = f"ADD VALUE {new}"
+    else:
+        old, to = m.group("old"), m.group("to")
+        if old not in labels:
+            raise KeyError(f"enum label {old!r} does not exist")
+        if to in labels:
+            raise ValueError(f"enum label {to!r} already exists")
+        labels[labels.index(old)] = to
+        action = f"RENAME VALUE {old} TO {to}"
+    return engine.spark.createDataFrame(
+        [("ALTER TYPE", name, action)],
+        "tag STRING, typname STRING, action STRING",
+    )
+
+
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
+    m = _ALTER_TYPE.match(query)
+    if m:
+        return _handle_alter_type(engine, m)
     m = _CREATE_ENUM.match(query)
     if m:
         name = m.group("name").lower()

@@ -3568,3 +3568,70 @@ def test_compat_statement_batch(spark, tmp_path):
     assert eng.sql("SELECT nextval('sq2')").collect()[0][0] == 100
     with pytest.raises(NotImplementedError, match="OWNED BY"):
         eng.sql("ALTER SEQUENCE sq2 OWNED BY li_t.id")
+
+
+def test_compat_statement_batch2(spark, tmp_path):
+    """Census batch 2 (regress heads 50-130): UNLOGGED tables,
+    DROP INDEX CONCURRENTLY, REINDEX TABLE [CONCURRENTLY], ALTER TYPE
+    enum surgery (ADD VALUE BEFORE/AFTER, RENAME VALUE, RENAME TO),
+    LARGE SEQUENCE forms, the openGauss CREATE ROW LEVEL SECURITY
+    POLICY long form, COPY (query) TO export, VACUUM option words,
+    and TEXT SEARCH configuration catalog entries."""
+    import os
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE UNLOGGED TABLE ul_t AS SELECT 1 AS k")
+    assert eng.sql("SELECT * FROM ul_t").count() == 1
+    eng.sql("CREATE INDEX uli ON ul_t (k)")
+    eng.sql("DROP INDEX CONCURRENTLY uli")
+    assert "uli" not in eng._btree_indexes
+    eng.sql("CREATE INDEX uli2 ON ul_t (k)")
+    r = eng.sql("REINDEX TABLE CONCURRENTLY ul_t").collect()[0]
+    assert r.indexes == 1
+    eng.sql("VACUUM ANALYZE ul_t")
+    # ALTER TYPE enum surgery keeps declared order
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("ALTER TYPE mood ADD VALUE 'elated' AFTER 'happy'")
+    eng.sql("ALTER TYPE mood ADD VALUE 'gloomy' BEFORE 'ok'")
+    eng.sql("ALTER TYPE mood RENAME VALUE 'sad' TO 'down'")
+    assert eng.user_types["mood"]["labels"] == [
+        "down", "gloomy", "ok", "happy", "elated"
+    ]
+    eng.sql("ALTER TYPE mood RENAME TO temper")
+    assert "temper" in eng.user_types and "mood" not in eng.user_types
+    with pytest.raises(KeyError):
+        eng.sql("ALTER TYPE mood ADD VALUE 'x'")
+    # LARGE SEQUENCE = the same generator
+    eng.sql("CREATE LARGE SEQUENCE lgs START 5")
+    assert eng.sql("SELECT nextval('lgs')").collect()[0][0] == 5
+    eng.sql("ALTER LARGE SEQUENCE lgs RESTART WITH 9")
+    assert eng.sql("SELECT nextval('lgs')").collect()[0][0] == 9
+    eng.sql("DROP LARGE SEQUENCE lgs")
+    # openGauss RLS long form registers like CREATE POLICY
+    eng.sql("CREATE TABLE rlst AS SELECT 1 AS k, 'alice' AS owner")
+    eng.sql("ALTER TABLE rlst ENABLE ROW LEVEL SECURITY")
+    eng.sql(
+        "CREATE ROW LEVEL SECURITY POLICY p1 ON rlst"
+        " USING (owner = current_user())"
+    )
+    assert "p1" in eng.rls_policies.get("rlst", {})
+    eng.sql("DROP ROW LEVEL SECURITY POLICY p1 ON rlst")
+    assert "p1" not in eng.rls_policies.get("rlst", {})
+    # COPY (query) TO exports any SELECT
+    out = str(tmp_path / "copy_q")
+    r = eng.sql(
+        f"COPY (SELECT r_regionkey FROM region) TO '{out}'"
+        " WITH (FORMAT csv)"
+    ).collect()[0]
+    assert r.rows == 5 and os.path.isdir(out)
+    # TEXT SEARCH configuration catalog entries
+    eng.sql("CREATE TEXT SEARCH CONFIGURATION myconf (PARSER = default)")
+    assert "myconf" in eng.ts_configs
+    eng.sql("ALTER TEXT SEARCH CONFIGURATION myconf"
+            " ADD MAPPING FOR word WITH simple")
+    eng.sql("DROP TEXT SEARCH CONFIGURATION myconf")
+    assert "myconf" not in eng.ts_configs
+    with pytest.raises(KeyError):
+        eng.sql("ALTER TEXT SEARCH CONFIGURATION nope ADD MAPPING"
+                " FOR word WITH simple")
