@@ -477,10 +477,10 @@ class Engine:
                 [("RELEASE SAVEPOINT", name)],
                 "tag STRING, savepoint STRING",
             )
-        if re.match(r"^\s*ROLLBACK\b", query, re.IGNORECASE):
+        if re.match(r"^\s*(?:ROLLBACK|ABORT)\b", query, re.IGNORECASE):
             raise NotImplementedError(
                 "autocommit batch engine: each statement commits on "
-                "its own, so a bare ROLLBACK has nothing to undo — "
+                "its own, so a bare ROLLBACK/ABORT has nothing to undo — "
                 "frame the work with SAVEPOINT ... / ROLLBACK TO "
                 "SAVEPOINT ..., or undo committed changes with "
                 "TIMECAPSULE (flashback query / TIMECAPSULE TABLE "

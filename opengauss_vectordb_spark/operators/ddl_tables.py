@@ -1797,6 +1797,22 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     handled = _handle_comment(engine, query)
     if handled is not None:
         return handled
+    # ALTER TABLE IF EXISTS t ... (tablecmds.cpp AlterTableStmt
+    # missing_ok): a missing relation is a no-op notice, an existing
+    # one proceeds through the plain ALTER handlers
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+IF\s+EXISTS\s+(?P<name>\w+)\b(?P<rest>.*)$",
+        query, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group("name").lower()
+        if (name not in engine.managed_tables.tables
+                and name not in engine.tables):
+            return engine.spark.createDataFrame(
+                [("ALTER TABLE", name, "skipped: does not exist")],
+                "tag STRING, tbl STRING, note STRING",
+            )
+        query = f"ALTER TABLE {name}{m.group('rest')}"
     m = _CREATE_LIKE.match(query)
     if m:
         return _handle_create_like(engine, m)

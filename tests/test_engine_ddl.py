@@ -3635,3 +3635,19 @@ def test_compat_statement_batch2(spark, tmp_path):
     with pytest.raises(KeyError):
         eng.sql("ALTER TEXT SEARCH CONFIGURATION nope ADD MAPPING"
                 " FOR word WITH simple")
+
+
+def test_alter_table_if_exists_and_abort(spark, tmp_path):
+    """ALTER TABLE IF EXISTS skips a missing relation with a notice
+    row (tablecmds.cpp missing_ok) and proceeds normally on an
+    existing one; ABORT refuses exactly like bare ROLLBACK (both are
+    TransactionStmt spellings of the same undo)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    r = eng.sql("ALTER TABLE IF EXISTS nope ADD COLUMN v TEXT").collect()[0]
+    assert "does not exist" in r.note
+    eng.sql("CREATE TABLE att (k INT)")
+    eng.sql("ALTER TABLE IF EXISTS att ADD COLUMN v TEXT")
+    assert eng.spark.table("att").columns == ["k", "v"]
+    with pytest.raises(NotImplementedError, match="ROLLBACK/ABORT"):
+        eng.sql("ABORT")
