@@ -179,11 +179,19 @@ HEADLINE = [
     "plpgsql_while_loop",
     "plpgsql_foreach_array",
     # round-9 additions (same frozen-prefix rule): read-side rows.
+    # The gist_* gates CTAS + build an index inside the query and the
+    # savepoint/dynexecute/exception DO flows are write-time ops —
+    # both stay out, same rule as gin_index_fts.
     "plpgsql_exception_guard",
     "plpgsql_return_query",
     "plpgsql_case_stmt",
     "chunk_documents_chars",
     "chunk_documents_words",
+    "decontaminate_bloom_prefilter",
+    "do_block_for_loop",
+    "bpe_learn_merges",
+    "bpe_segment_tokens",
+    "bformat_convert_series",
 ]
 
 
@@ -217,6 +225,8 @@ _FAMILY_PREFIX = {
     "epoch": "pipeline",
     "source": "pipeline",
     "recursive": "relational",
+    "bpe": "pipeline",
+    "chunk": "pipeline",
 }
 
 
