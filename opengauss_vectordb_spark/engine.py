@@ -343,6 +343,16 @@ class Engine:
             ] + [
                 (name, tbl, col, "btree")
                 for name, (tbl, col) in sorted(self._btree_indexes.items())
+            ] + [
+                (name, idx["table"], idx["col"],
+                 "gin" + ("_trgm" if idx.get("kind") == "trgm" else ""))
+                for name, idx in sorted(
+                    getattr(self, "gin_indexes", {}).items())
+            ] + [
+                (name, idx["table"], ",".join(idx["cols"]),
+                 f"gist_{idx['kind']}")
+                for name, idx in sorted(
+                    getattr(self, "gist_indexes", {}).items())
             ]
             return self.spark.createDataFrame(
                 rows or [("", "", "", "")][:0],
