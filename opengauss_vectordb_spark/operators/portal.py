@@ -132,8 +132,12 @@ _MOVE = re.compile(
 _CLOSE = re.compile(
     r"^\s*CLOSE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE
 )
+# PERFORMANCE is openGauss's everything-on EXPLAIN spelling
+# (explain.cpp's EXPLAIN PERFORMANCE = ANALYZE + VERBOSE + timings);
+# it routes to the executed-plan rendering like ANALYZE
 _EXPLAIN = re.compile(
-    r"^\s*EXPLAIN\s+(?P<analyze>ANALYZE\s+)?(?P<verbose>VERBOSE\s+)?"
+    r"^\s*EXPLAIN\s+(?P<analyze>(?:ANALYZE|PERFORMANCE)\s+)?"
+    r"(?P<verbose>VERBOSE\s+)?"
     r"(?P<stmt>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
