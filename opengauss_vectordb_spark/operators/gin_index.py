@@ -122,6 +122,10 @@ def _view_name(index_name: str) -> str:
     return f"__gin_{index_name}"
 
 
+# empty-array marker posting (GIN_SEARCH_MODE_INCLUDE_EMPTY)
+_EMPTY_SENTINEL = "\x00empty"
+
+
 def _table_csn(engine, table: str) -> int | None:
     """Latest commit CSN of a managed table; None for immutable
     catalog parquet tables."""
@@ -152,6 +156,32 @@ def _posting_frame(idx: dict, df: DataFrame) -> DataFrame:
     maintenance sound: postings built over only the newly appended
     files are complete for their documents."""
     col, id_col = idx["col"], idx["id_col"]
+    if idx.get("kind") == "array":
+        # ginarrayproc.cpp ginarrayextract: one posting per DISTINCT
+        # non-null element (stringified — one posting schema for all
+        # element types), plus the n_elem payload so contained-by and
+        # equality answer index-only; empty arrays store a sentinel
+        # posting (the reference's GIN_SEARCH_MODE_INCLUDE_EMPTY
+        # empty-item pointers).  NULL elements are dropped (PG's
+        # NULL-element recheck semantics have no consumer here —
+        # documented deviation).
+        elems = F.expr(
+            f"array_distinct(transform(filter({col},"
+            " x -> x IS NOT NULL), x -> CAST(x AS STRING)))"
+        )
+        posting = (
+            df.filter(F.col(col).isNotNull())
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.size(elems).alias("n_elem"),
+                F.explode(
+                    F.when(F.size(elems) == 0,
+                           F.array(F.lit(_EMPTY_SENTINEL)))
+                    .otherwise(elems)
+                ).alias("lexeme"),
+            )
+        )
+        return posting
     if idx.get("kind") == "trgm":
         from .fuzzy import trigrams
 
@@ -376,6 +406,18 @@ def try_handle_ddl(engine, query: str):
     kind = "trgm" if m.group("trgmcol") else "fts"
     name = (m.group("name") or f"{table}_{col}_gin").lower()
     df = _source_df(engine, table)
+    # a BARE column picks its opclass by type, as PG does: an array
+    # column gets the array element opclass (ginarrayproc.cpp), a
+    # string column the implied-to_tsvector text opclass
+    if m.group("col"):
+        from pyspark.sql.types import ArrayType
+
+        field = next(
+            (f for f in df.schema.fields
+             if f.name.lower() == col), None
+        )
+        if field is not None and isinstance(field.dataType, ArrayType):
+            kind = "array"
     # the row identifier is the relation's FIRST column — the heap
     # TID analogue (GIN posting lists hold TIDs; a columnar relation
     # addresses rows by its leading key)
@@ -833,9 +875,135 @@ def trgm_gin_search(engine, index_name: str, probe: str,
     return out.orderBy(F.desc("sim"), "doc_id").limit(k)
 
 
+def gin_array_search(engine, index_name: str, op: str,
+                     values: list) -> DataFrame:
+    """Array-operator search through the GIN posting table
+    (ginarrayproc.cpp ginqueryarrayextract / ginarrayconsistent; the
+    contrib/intarray gin__int_ops shape):
+
+      * ``overlap``  (&&) — any shared element: one pruned posting
+        scan, DISTINCT doc_id;
+      * ``contains`` (@>) — doc ⊇ query: HAVING count(DISTINCT
+        matching elements) = |query| (the AND-of-terms fts shape);
+      * ``contained`` (<@) — doc ⊆ query: matching count = the doc's
+        OWN element count (``n_elem`` rides in the index), plus the
+        empty-array sentinel docs (∅ ⊆ anything);
+      * ``equal``    (=)  — both counts = |query|.
+
+    All four answer INDEX-ONLY from the postings pruned to the
+    query's elements (the contained/equal forms are exact because
+    n_elem persists — the reference rechecks on heap there).
+    Returns (doc_id).  Scale: one rowgroup-pruned posting scan + a
+    short-key aggregate, corpus never touched."""
+    _ensure_fresh(engine, index_name)
+    idx = engine.gin_indexes[index_name]
+    if idx.get("kind") != "array":
+        raise ValueError(
+            f"gin_array_search: index {index_name!r} is not an "
+            "array-opclass gin index"
+        )
+    q = sorted({str(v) for v in values if v is not None})
+    posting = engine.spark.table(_view_name(index_name))
+    empties = (
+        posting.filter(F.col("lexeme") == _EMPTY_SENTINEL)
+        .select("doc_id")
+    )
+    if not q:
+        if op == "overlap":  # ∅ && x is false (array_ops semantics)
+            return empties.limit(0)
+        if op == "contains":  # every doc ⊇ ∅
+            return posting.select("doc_id").distinct()
+        # contained/equal vs ∅: only empty arrays qualify
+        return empties
+    matched = (
+        posting.filter(F.col("lexeme").isin(q))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("lexeme").alias("__m"),
+            F.first("n_elem").alias("__n"),
+        )
+    )
+    if op == "overlap":
+        return matched.select("doc_id")
+    if op == "contains":
+        return matched.filter(F.col("__m") == len(q)).select("doc_id")
+    if op == "contained":
+        return (
+            matched.filter(F.col("__m") == F.col("__n"))
+            .select("doc_id")
+            .unionByName(empties)
+        )
+    if op == "equal":
+        return matched.filter(
+            (F.col("__m") == F.col("__n")) & (F.col("__n") == len(q))
+        ).select("doc_id")
+    raise ValueError(f"gin_array_search: unknown operator {op!r}")
+
+
 # ---------------------------------------------------------------- queries
 
 from ..registry import query as _register_query  # noqa: E402
+
+
+@_register_query(
+    "gin_array_ops",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS rid,
+             [o_orderkey % 7, o_orderkey % 11, o_orderkey % 13] AS tags
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT 'contains' AS op, rid AS doc_id FROM t
+    WHERE list_contains(tags, 2) AND list_contains(tags, 4)
+    UNION ALL
+    SELECT 'overlap' AS op, rid FROM t
+    WHERE list_contains(tags, 5) OR list_contains(tags, 12)
+    UNION ALL
+    SELECT 'contained' AS op, rid FROM t
+    WHERE len(list_filter(tags,
+          x -> NOT list_contains([0, 1, 2, 3, 4, 5], x))) = 0
+    ORDER BY op, doc_id
+    """,
+)
+def gin_array_ops_gate(spark, sf_dir):
+    """Array-element GIN opclass end-to-end (ginarrayproc.cpp;
+    contrib/intarray's gin__int_ops regress): index an int-array
+    column (a bare column picks the array opclass by type, as PG
+    does), then @>/&&/<@ all answer index-only — containment as the
+    AND-of-elements aggregate, contained-by exactly via the persisted
+    per-doc element count.  The oracle brute-forces the same three
+    predicates with list functions."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ginarr_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gate_arr AS"
+            " SELECT o_orderkey AS rid,"
+            " array(o_orderkey % 7, o_orderkey % 11, o_orderkey % 13)"
+            "   AS tags"
+            " FROM orders WHERE o_orderkey <= 2000"
+        )
+        eng.sql("CREATE INDEX gate_arr_gin ON gate_arr USING gin (tags)")
+        parts = []
+        for op, vals in [("contains", [2, 4]), ("overlap", [5, 12]),
+                         ("contained", [0, 1, 2, 3, 4, 5])]:
+            parts.append(
+                gin_array_search(eng, "gate_arr_gin", op, vals)
+                .select(F.lit(op).alias("op"), "doc_id")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = out.orderBy("op", "doc_id").collect()
+        return spark.createDataFrame(rows, "op STRING, doc_id BIGINT")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @_register_query(

@@ -3651,3 +3651,44 @@ def test_alter_table_if_exists_and_abort(spark, tmp_path):
     assert eng.spark.table("att").columns == ["k", "v"]
     with pytest.raises(NotImplementedError, match="ROLLBACK/ABORT"):
         eng.sql("ABORT")
+
+
+def test_gin_array_opclass(spark, tmp_path):
+    """Array-element GIN opclass (ginarrayproc.cpp): a bare array
+    column picks the array opclass by type; overlap/contains/
+    contained/equal answer index-only, empty arrays behave per
+    array_ops semantics (∅ && x false, x ⊇ ∅ true, ∅ ⊆ x true),
+    and appends maintain incrementally like the text opclass."""
+    from opengauss_vectordb_spark.operators.gin_index import (
+        gin_array_search,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql(
+        "CREATE TABLE arr_t AS SELECT * FROM VALUES"
+        " (1, array(1, 2, 3)), (2, array(2, 4)),"
+        " (3, array(5)), (4, array()),"
+        " (5, array(2, 2, 3)) AS t(rid, tags)"
+    )
+    eng.sql("CREATE INDEX arr_gin ON arr_t USING gin (tags)")
+    assert eng.gin_indexes["arr_gin"]["kind"] == "array"
+
+    def ids(op, vals):
+        return sorted(
+            r.doc_id
+            for r in gin_array_search(eng, "arr_gin", op, vals).collect()
+        )
+
+    assert ids("overlap", [2]) == [1, 2, 5]
+    assert ids("overlap", []) == []
+    assert ids("contains", [2, 3]) == [1, 5]
+    assert ids("contains", []) == [1, 2, 3, 4, 5]
+    assert ids("contained", [2, 3, 4]) == [2, 4, 5]  # incl. empty doc 4
+    assert ids("contained", []) == [4]
+    assert ids("equal", [2, 3]) == [5]  # duplicate elements collapse
+    assert ids("equal", [5]) == [3]
+    # append: incremental delta, new rows visible
+    eng.sql("INSERT INTO arr_t SELECT 6, array(2, 9)")
+    assert ids("overlap", [9]) == [6]
+    assert eng.gin_indexes["arr_gin"]["last_maintenance"]["mode"] == "delta"
