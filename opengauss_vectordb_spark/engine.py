@@ -269,9 +269,12 @@ class Engine:
         # to_tsvector(col) @@ to_tsquery('...') → gin posting-table
         # semi-join when an index covers it, inline tokenize-and-test
         # otherwise (tsginidx.cpp vs TS_execute); identity without @@
-        from .operators.gin_index import rewrite_tsmatch
+        from .operators.gin_index import rewrite_array_ops, rewrite_tsmatch
 
         query = rewrite_tsmatch(self, query)
+        # col @>/<@/&& ARRAY[...] → index semi-join or inline
+        # forall/arrays_overlap (ginarrayproc.cpp strategies)
+        query = rewrite_array_ops(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"

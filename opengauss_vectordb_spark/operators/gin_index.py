@@ -875,6 +875,76 @@ def trgm_gin_search(engine, index_name: str, probe: str,
     return out.orderBy(F.desc("sim"), "doc_id").limit(k)
 
 
+# col @> ARRAY[..] / col <@ ARRAY[..] / col && ARRAY[..] — the array
+# containment operators in SQL text (array_ops; ginarrayproc.cpp
+# strategies).  LHS identifier + RHS ARRAY[...] literal keeps the
+# pattern unambiguous (&& between booleans never has an ARRAY RHS).
+_ARRAY_OP = re.compile(
+    r"\b(?P<col>[A-Za-z_]\w*)\s*(?P<op>@>|<@|&&)\s*"
+    r"ARRAY\s*\[(?P<vals>[^\]]*)\]",
+    re.IGNORECASE,
+)
+
+_ARRAY_OP_NAMES = {"@>": "contains", "<@": "contained", "&&": "overlap"}
+
+
+def rewrite_array_ops(engine, query: str) -> str:
+    """Array containment operators in SQL text → an index-backed
+    semi-join when an array-opclass gin index covers the column
+    (ginarrayproc.cpp consistent), else the inline forall/
+    arrays_overlap predicate (always correct, whole-stage codegen).
+    Identity when no operator appears."""
+    if "@>" not in query and "<@" not in query and "&&" not in query:
+        return query
+    spans = _literal_spans(query)
+
+    def _in_literal(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in spans)
+
+    def _sub(m: re.Match) -> str:
+        if _in_literal(m.start()):
+            return m.group(0)
+        col = m.group("col").lower()
+        op = _ARRAY_OP_NAMES[m.group("op")]
+        vals_sql = m.group("vals").strip()
+        arr = f"array({vals_sql})" if vals_sql else \
+            "cast(array() as array<string>)"
+        # routed: a unique scanned relation with an array gin index
+        # on this column (the rewrite_tsmatch resolution rule)
+        for name, idx in getattr(engine, "gin_indexes", {}).items():
+            if idx.get("kind") == "array" and idx["col"] == col:
+                try:
+                    cols = [c.lower()
+                            for c in engine.spark.table(
+                                idx["table"]).columns]
+                except Exception:
+                    continue
+                if col not in cols:
+                    continue
+                # only integer and quoted-string literals route —
+                # their SQL spelling equals the posting's CAST(x AS
+                # STRING) form; floats/expressions fall to the inline
+                # predicate (identical semantics, no index)
+                raw = [v.strip() for v in vals_sql.split(",")
+                       if v.strip()]
+                if all(re.fullmatch(r"-?\d+|'[^']*'", v) for v in raw):
+                    vals = [v.strip("'") for v in raw]
+                    _ensure_fresh(engine, name)
+                    df = gin_array_search(engine, name, op, vals)
+                    view = f"__ginarr_{name}_{abs(hash((op, tuple(vals)))) % 10**8}"
+                    df.createOrReplaceTempView(view)
+                    return (f"{idx['id_col']} IN "
+                            f"(SELECT doc_id FROM {view})")
+        # inline fallback (array_ops semantics incl. empty sets)
+        if op == "contains":
+            return f"forall({arr}, x -> array_contains({col}, x))"
+        if op == "contained":
+            return f"forall({col}, x -> array_contains({arr}, x))"
+        return f"arrays_overlap({col}, {arr})"
+
+    return _ARRAY_OP.sub(_sub, query)
+
+
 def gin_array_search(engine, index_name: str, op: str,
                      values: list) -> DataFrame:
     """Array-operator search through the GIN posting table

@@ -3692,3 +3692,31 @@ def test_gin_array_opclass(spark, tmp_path):
     eng.sql("INSERT INTO arr_t SELECT 6, array(2, 9)")
     assert ids("overlap", [9]) == [6]
     assert eng.gin_indexes["arr_gin"]["last_maintenance"]["mode"] == "delta"
+
+
+def test_array_operators_sql_text(spark, tmp_path):
+    """@>/<@/&& on array columns in SQL text (array_ops;
+    ginarrayproc.cpp strategies): inline forall/arrays_overlap
+    without an index, posting semi-join with one — same answers."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE at2 AS SELECT * FROM VALUES"
+            " (1, array(1,2,3)), (2, array(2,4)), (3, array(5)),"
+            " (4, array(2,3)) AS t(rid, tags)")
+
+    def ids(q):
+        return [r.rid for r in eng.sql(q).collect()]
+
+    qc = "SELECT rid FROM at2 WHERE tags @> ARRAY[2, 3] ORDER BY rid"
+    qo = "SELECT rid FROM at2 WHERE tags && ARRAY[4, 5] ORDER BY rid"
+    qd = "SELECT rid FROM at2 WHERE tags <@ ARRAY[2, 3, 4] ORDER BY rid"
+    inline = (ids(qc), ids(qo), ids(qd))
+    assert inline == ([1, 4], [2, 3], [2, 4])
+    eng.sql("CREATE INDEX at2_gin ON at2 USING gin (tags)")
+    assert (ids(qc), ids(qo), ids(qd)) == inline
+    # operators inside string literals stay inert
+    assert eng.sql("SELECT 'a @> ARRAY[1]' AS s").collect()[0].s \
+        == "a @> ARRAY[1]"
+    # composes with other predicates
+    assert ids("SELECT rid FROM at2 WHERE tags @> ARRAY[2]"
+               " AND rid > 1 ORDER BY rid") == [2, 4]
