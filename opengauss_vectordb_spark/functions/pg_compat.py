@@ -60,6 +60,46 @@ _SQL_MACROS = {
     "pg_to_number": "CREATE OR REPLACE TEMPORARY FUNCTION pg_to_number(s STRING) "
     "RETURNS DECIMAL(18,4) RETURN "
     r"CAST(regexp_replace(s, '[^0-9.\\-]', '') AS DECIMAL(18,4))",
+    # pg_typeof (utils/adt/misc.cpp) over Spark's typeof(), with the
+    # common Spark→PG type-name spellings mapped (regress asserts the
+    # PG names; 1,248 regress calls).  STRING argument form would lose
+    # the type, so the macro is generic via a wildcard overload set —
+    # Spark SQL macros are monomorphic, so we map the typeof() STRING
+    # instead: callers pass typeof(expr)'s result through pg_typename,
+    # and pg_typeof(expr) itself is rewritten by the engine to
+    # pg_typename(typeof(expr)) so any argument type works.
+    "pg_typename": "CREATE OR REPLACE TEMPORARY FUNCTION pg_typename"
+    "(t STRING) RETURNS STRING RETURN CASE t"
+    " WHEN 'int' THEN 'integer' WHEN 'smallint' THEN 'smallint'"
+    " WHEN 'tinyint' THEN 'smallint'"
+    " WHEN 'bigint' THEN 'bigint' WHEN 'string' THEN 'text'"
+    " WHEN 'double' THEN 'double precision' WHEN 'float' THEN 'real'"
+    " WHEN 'boolean' THEN 'boolean' WHEN 'date' THEN 'date'"
+    " WHEN 'binary' THEN 'bytea'"
+    " WHEN 'timestamp' THEN 'timestamp without time zone'"
+    " WHEN 'timestamp_ntz' THEN 'timestamp without time zone'"
+    " ELSE CASE WHEN t LIKE 'decimal%' THEN 'numeric'"
+    " WHEN t LIKE 'array%' THEN concat(CASE substring(t, 7,"
+    " length(t) - 7)"
+    "   WHEN 'int' THEN 'integer' WHEN 'bigint' THEN 'bigint'"
+    "   WHEN 'string' THEN 'text' WHEN 'double' THEN 'double precision'"
+    "   ELSE substring(t, 7, length(t) - 7) END, '[]')"
+    " WHEN t LIKE 'interval%' THEN 'interval' ELSE t END END",
+    # pg_sleep (misc.cpp): a scheduling primitive with no meaning in
+    # a batch plan — registered as the documented no-op so regress
+    # scripts keep their shape (returns NULL like PG's void render)
+    "pg_sleep": "CREATE OR REPLACE TEMPORARY FUNCTION pg_sleep"
+    "(s DOUBLE) RETURNS STRING RETURN CAST(NULL AS STRING)",
+    # contrib/hll hash family (hll_hash_integer/bigint/text): a 64-bit
+    # deterministic hash per value — xxhash64 here, NOT bit-compatible
+    # with postgresql-hll's murmur64 (only the distribution contract
+    # matters for sketch quality; documented deviation)
+    "hll_hash_integer": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "hll_hash_integer(x INT) RETURNS BIGINT RETURN xxhash64(x)",
+    "hll_hash_bigint": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "hll_hash_bigint(x BIGINT) RETURNS BIGINT RETURN xxhash64(x)",
+    "hll_hash_text": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "hll_hash_text(x STRING) RETURNS BIGINT RETURN xxhash64(x)",
 }
 
 
@@ -89,6 +129,11 @@ def register_pg_functions(spark: SparkSession) -> None:
         "binary_quantize",
         "pg_div",
         "pg_to_number",
+        "pg_typename",
+        "pg_sleep",
+        "hll_hash_integer",
+        "hll_hash_bigint",
+        "hll_hash_text",
     ):
         spark.sql(_SQL_MACROS[name])
 

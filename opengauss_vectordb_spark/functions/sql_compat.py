@@ -240,6 +240,27 @@ def _rewrite_generate_series(masked: str) -> str:
     )
 
 
+def _rewrite_pg_typeof(masked: str) -> str:
+    """pg_typeof(expr) → pg_typename(typeof(expr)) — Spark's typeof()
+    is polymorphic, the macro maps the name spelling (misc.cpp
+    pg_typeof; SQL macros are monomorphic so the composition happens
+    here, balanced-paren aware)."""
+    out = masked
+    pos = 0
+    while True:
+        m = re.search(r"\bpg_typeof\s*\(", out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        op = pos + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        inner = out[op + 1:cl]
+        repl = f"pg_typename(typeof({inner}))"
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        pos = pos + m.start() + len(repl)
+
+
 def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
     masked, literals = _mask_strings(sql)
@@ -247,6 +268,8 @@ def translate(sql: str) -> str:
     out = _SYSDATE.sub("current_timestamp()", out)
     out = _rewrite_vector_ops(out, literals)
     out = _LOCK_ROWS_TAIL.sub(r"\1", out)
+    if re.search(r"\bpg_typeof\s*\(", out, re.IGNORECASE):
+        out = _rewrite_pg_typeof(out)
     if re.search(r"\bCONVERT\s*\(", out, re.IGNORECASE):
         out = _rewrite_convert(out)
     if re.search(r"\bgenerate_series\s*\(", out, re.IGNORECASE):

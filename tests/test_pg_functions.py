@@ -9,6 +9,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from .conftest import SF_CORRECT
+
 from opengauss_vectordb_spark.functions.pg_compat import (
     num_nonnulls,
     num_nulls,
@@ -172,3 +174,30 @@ def test_to_char_rn_out_of_range(spark):
     # the range check applies to the SIGNED value — -5 is out of range,
     # not 'V' (int_to_roman never abs()es)
     assert _one(spark, to_char(F.lit(-5).cast("int"), "RN")) == "###"
+
+
+def test_pg_typeof_sleep_hll_hash(spark):
+    """pg_typeof (misc.cpp; engine rewrites to the pg_typename macro
+    over Spark's polymorphic typeof), pg_sleep as the documented
+    batch no-op, and the contrib/hll hash family (xxhash64-backed —
+    the distribution contract, not bit parity)."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    for q, want in [
+        ("SELECT pg_typeof(1) AS t", "integer"),
+        ("SELECT pg_typeof(CAST(1 AS BIGINT) + 2) AS t", "bigint"),
+        ("SELECT pg_typeof('x') AS t", "text"),
+        ("SELECT pg_typeof(1.5) AS t", "numeric"),
+        ("SELECT pg_typeof(CAST(1.5 AS DOUBLE)) AS t",
+         "double precision"),
+        ("SELECT pg_typeof(array(1, 2)) AS t", "integer[]"),
+        ("SELECT pg_typeof(upper(concat('a', 'b'))) AS t", "text"),
+    ]:
+        assert eng.sql(q).collect()[0].t == want, q
+    assert eng.sql("SELECT pg_sleep(0.01) AS s").collect()[0].s is None
+    r = eng.sql(
+        "SELECT hll_hash_integer(42) AS a, hll_hash_bigint(42) AS b,"
+        " hll_hash_text('42') AS c"
+    ).collect()[0]
+    assert isinstance(r.a, int) and isinstance(r.c, int)
