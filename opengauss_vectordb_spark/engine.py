@@ -146,7 +146,7 @@ class Engine:
     # [WITH (k = v, ...)] — the datavec DDL shape (README.md:75,
     # datavec--0.7.2.sql:353-403 opclasses)
     _CREATE_INDEX = re.compile(
-        r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
+        r"^\s*CREATE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
         r"USING\s+(?P<am>ivfflat|hnsw)\s*\(\s*(?P<col>\w+)\s+"
         r"(?P<opclass>\w+)\s*\)(?:\s*WITH\s*\(\s*(?P<opts>[^)]*)\))?"
         r"\s*;?\s*$",
@@ -168,7 +168,8 @@ class Engine:
     # UNIQUE is tolerated as metadata, like PRIMARY KEY on CREATE
     # TABLE (no constraint enforcement on the immutable store)
     _CREATE_BTREE = re.compile(
-        r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+"
+        r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?"
+        r"(?:(?P<name>\w+)\s+)?ON\s+"
         r"(?P<table>\w+)\s+(?:USING\s+BTREE\s*)?"
         r"\(\s*(?P<col>\w+)\s*\)\s*(?:LOCAL|GLOBAL)?\s*;?\s*$",
         re.IGNORECASE,
@@ -540,11 +541,54 @@ class Engine:
             return self.spark.createDataFrame(
                 [("DISCARD", what)], "tag STRING, what STRING"
             )
+        # SET [SESSION|GLOBAL] TRANSACTION <characteristics> —
+        # transaction modes in an autocommit engine: accepted no-op,
+        # like BEGIN/COMMIT (each statement's snapshot is already a
+        # consistent read; READ ONLY/isolation levels change nothing)
+        m = re.match(
+            r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?TRANSACTION\b.*?;?\s*$",
+            query, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self.spark.createDataFrame(
+                [("SET TRANSACTION", "autocommit no-op")],
+                "tag STRING, note STRING",
+            )
+        # PREPARE TRANSACTION (two-phase commit): refuse with the
+        # position — an autocommit snapshot-swap engine has no
+        # in-doubt state to hold open
+        if re.match(r"^\s*PREPARE\s+TRANSACTION\b", query, re.IGNORECASE):
+            raise NotImplementedError(
+                "two-phase commit: each statement's snapshot swap is "
+                "already the durable commit, so there is no prepared "
+                "in-doubt state to hold — coordinate at the workflow "
+                "layer instead"
+            )
+        # CREATE CAST / CREATE OPERATOR: catalog declarations whose
+        # behavior would need a parser hook per operator — refuse
+        # naming the working alternative
+        if re.match(r"^\s*CREATE\s+CAST\b", query, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE CAST: use CAST(x AS type) directly — every "
+                "supported conversion is built in (cast_semantics "
+                "gate row), and custom conversions are SQL functions "
+                "(CREATE FUNCTION ... LANGUAGE SQL)"
+            )
+        if re.match(r"^\s*CREATE\s+OPERATOR\b", query, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE OPERATOR: call the underlying function "
+                "directly (CREATE FUNCTION registers it; the engine's "
+                "operator rewrites cover the built-in @@ / % / @> / "
+                "<-> families)"
+            )
         # generic session GUCs (VariableSetStmt gram.y:2277): SET/
         # SHOW/RESET of any parameter name, engine-session-scoped
-        # (SET ROLE stays with the security layer, operators/rls.py)
+        # (SET ROLE stays with the security layer, operators/rls.py;
+        # SET LOCAL collapses to session scope — one implicit
+        # transaction per session, the documented txn position)
         m = re.match(
-            r"^\s*SET\s+(?:SESSION\s+)?(?P<name>[\w.]+)\s*(?:=|\s+TO\s+)"
+            r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?(?P<name>[\w.]+)"
+            r"\s*(?:=|\s+TO\s+)"
             r"\s*(?P<val>.+?)\s*;?\s*$",
             query, re.IGNORECASE,
         )

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 # as the reference's expression index is almost always exactly this)
 # and the pg_trgm opclass `(col gin_trgm_ops)` (trgm_gin.cpp)
 _CREATE_GIN = re.compile(
-    r"^\s*CREATE\s+INDEX\s+(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
+    r"^\s*CREATE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
     r"USING\s+gin\s*\(\s*(?:to_tsvector\s*\(\s*(?:'\w+'\s*,\s*)?"
     r"(?P<tscol>\w+)\s*\)|(?P<trgmcol>\w+)\s+gin_trgm_ops"
     r"|(?P<col>\w+))\s*\)\s*;?\s*$",

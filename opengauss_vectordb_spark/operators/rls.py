@@ -301,6 +301,23 @@ def try_handle_stmt(engine, stmt: str):
             [("CREATE ROLE", m.group("name").lower())],
             "tag STRING, role STRING",
         )
+    # ALTER ROLE/USER name <options> (AlterRoleStmt): every option is
+    # authentication/resource metadata with no engine state (PASSWORD
+    # material is never retained, same as CREATE; role-scoped SET
+    # defaults are accepted but do not re-apply at SET ROLE — the
+    # session GUC layer is engine-wide); the role must exist
+    m = re.match(
+        r"^\s*ALTER\s+(?:ROLE|USER)\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)"
+        r"\b.*$",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group("name").lower()
+        if name not in engine.roles:
+            raise KeyError(f"ALTER ROLE: role {name!r} does not exist")
+        return engine.spark.createDataFrame(
+            [("ALTER ROLE", name)], "tag STRING, role STRING"
+        )
     m = _DROP_ROLE.match(stmt)
     if m:
         name = m.group("name").lower()

@@ -3720,3 +3720,35 @@ def test_array_operators_sql_text(spark, tmp_path):
     # composes with other predicates
     assert ids("SELECT rid FROM at2 WHERE tags @> ARRAY[2]"
                " AND rid > 1 ORDER BY rid") == [2, 4]
+
+
+def test_compat_statement_batch3(spark, tmp_path):
+    """Census batch 3: CREATE INDEX CONCURRENTLY across AMs, ALTER
+    ROLE options (metadata; missing role errors), the SET TRANSACTION
+    family as autocommit no-ops, SET LOCAL collapsing to session
+    scope, and the honest refusals — PREPARE TRANSACTION (no 2PC
+    in-doubt state), CREATE CAST, CREATE OPERATOR."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE cic_t AS SELECT 1 AS k")
+    eng.sql("CREATE INDEX CONCURRENTLY cici ON cic_t (k)")
+    assert "cici" in eng._btree_indexes
+    eng.sql("CREATE ROLE r7b")
+    eng.sql("ALTER ROLE r7b PASSWORD 'secret' NOLOGIN")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("ALTER ROLE ghost LOGIN")
+    for s in [
+        "SET GLOBAL TRANSACTION ISOLATION LEVEL READ COMMITTED",
+        "SET SESSION TRANSACTION READ ONLY",
+        "SET TRANSACTION READ ONLY",
+    ]:
+        assert eng.sql(s).collect()[0].tag == "SET TRANSACTION"
+    assert eng.sql("SET LOCAL enable_seqscan = off").collect()[0].guc \
+        == "enable_seqscan"
+    with pytest.raises(NotImplementedError, match="two-phase"):
+        eng.sql("PREPARE TRANSACTION 'tx1'")
+    with pytest.raises(NotImplementedError, match="CREATE CAST"):
+        eng.sql("CREATE CAST (text AS int) WITH INOUT")
+    with pytest.raises(NotImplementedError, match="CREATE OPERATOR"):
+        eng.sql("CREATE OPERATOR <<>> (LEFTARG = int, RIGHTARG = int,"
+                " PROCEDURE = int4eq)")
