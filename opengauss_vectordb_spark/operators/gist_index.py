@@ -87,6 +87,12 @@ _CREATE_GIST = re.compile(
 
 _ARITY = {"box": 4, "point": 2, "range": 2}
 
+# the rtree strategy set (gist_box_consistent's switch)
+STRATEGIES = [
+    "left", "overleft", "overlap", "overright", "right", "same",
+    "contains", "contained", "below", "overbelow", "above", "overabove",
+]
+
 BITS = 8  # per-axis quantization cells = 256 (sources/zorder.py)
 DEFAULT_BUCKET_BITS = 4  # 16 buckets — raise WITH (bucket_bits=k)
 

@@ -20,10 +20,7 @@ from opengauss_vectordb_spark.operators import gist_index as G
 
 from .conftest import SF_CORRECT
 
-STRATEGIES = [
-    "left", "overleft", "overlap", "overright", "right", "same",
-    "contains", "contained", "below", "overbelow", "above", "overabove",
-]
+STRATEGIES = G.STRATEGIES
 
 
 @pytest.fixture()
