@@ -83,10 +83,11 @@ registry.load_all_queries()
 # frame, apply via a vocab join), and bformat_convert_series (the
 # regress-census compat batch: CONVERT/USING → CAST, generate_series
 # FunctionScan → explode(sequence), last_insert_id, FOR UPDATE strip,
-# ALTER INDEX/SEQUENCE), and gin_array_ops (the GIN array-element
-# opclass: @>/&&/<@/= index-only via per-doc element counts) — all
-# oracle-parity-verified locally this round; FRONT-LOAD them in r10's
-# window as its first first-evers.
+# ALTER INDEX/SEQUENCE), gin_array_ops (the GIN array-element
+# opclass: @>/&&/<@/= index-only via per-doc element counts), and
+# json_arrow_operators (->/->> chains composing into one JSONPath) —
+# all oracle-parity-verified locally this round; FRONT-LOAD them in
+# r10's window as its first first-evers.
 GATE_PRIORITY: list[str] = [
     # (a) round-9 new registrations — first-ever gate rows
     "plpgsql_exception_guard",

@@ -240,6 +240,64 @@ def _rewrite_generate_series(masked: str) -> str:
     )
 
 
+# PG json arrow operators (adt/jsonfuncs.cpp json_object_field /
+# json_array_element and the _text variants): LHS is an identifier or
+# a chained arrow result; RHS is a quoted key (masked literal) or an
+# array index.  `->>` extracts text, `->` extracts json — rendered
+# via get_json_object with a type-sniffing re-quote for string
+# scalars (a string that lexically looks like a number/bool comes
+# back unquoted; use ->> for text extraction — documented deviation).
+# Guards: `(?<![<>-])` keeps datavec's `<->` and `->>`-inside-`->`
+# detection clean, and a quoted/integer RHS never collides with
+# Spark lambda syntax in practice (lambda bodies here are
+# expressions, not bare literals; literals in oracles never pass
+# through translate).
+# A whole arrow CHAIN composes into ONE JSONPath: `a->'b'->3->>'c'`
+# → get_json_object(a, '$.b[3].c'), with the LAST arrow deciding
+# text (->>)  vs json (-> — the re-quote CASE).
+_JSON_CHAIN = re.compile(
+    r"(?P<a>\x00\d+\x00|[A-Za-z_][A-Za-z0-9_.]*)"
+    r"(?P<chain>(?:\s*(?<![<>-])->>?\s*(?:\x00\d+\x00|-?\d+))+)"
+)
+_JSON_STEP = re.compile(
+    r"(?P<op>->>|->)\s*(?P<k>\x00\d+\x00|-?\d+)"
+)
+
+
+def _rewrite_json_arrows(masked: str, literals: list[str]) -> str:
+    def sub(m: re.Match) -> str:
+        steps = _JSON_STEP.findall(m.group("chain"))
+        # the FIRST step must be a quoted key: `col->'k'...` is
+        # unambiguously the json operator, while `x -> 2` could be a
+        # Spark lambda with a constant body — those pass through
+        # (integer-first json chains are the rare loss; ->'k' first
+        # then ->N indexes compose fine)
+        if not steps or not _MASK_TOK.fullmatch(steps[0][1]):
+            return m.group(0)
+        path = "$"
+        for _op, k in steps:
+            mt = _MASK_TOK.fullmatch(k)
+            if mt:
+                key = literals[int(mt.group(1))][1:-1].replace("''", "'")
+                path += f".{key}"
+            else:
+                path += f"[{k}]"
+        base = f"get_json_object({m.group('a')}, '{path}')"
+        if steps[-1][0] == "->>":
+            return base
+        return (
+            f"(CASE WHEN {base} IS NULL THEN NULL"
+            f" WHEN {base} RLIKE '^(\\\\{{|\\\\[)' THEN {base}"
+            f" WHEN {base} IN ('true', 'false', 'null') THEN {base}"
+            f" WHEN {base} RLIKE"
+            f" '^-?[0-9]+(\\\\.[0-9]+)?([eE][-+]?[0-9]+)?$'"
+            f" THEN {base}"
+            f" ELSE concat('\"', {base}, '\"') END)"
+        )
+
+    return _JSON_CHAIN.sub(sub, masked)
+
+
 def _rewrite_pg_typeof(masked: str) -> str:
     """pg_typeof(expr) → pg_typename(typeof(expr)) — Spark's typeof()
     is polymorphic, the macro maps the name spelling (misc.cpp
@@ -270,6 +328,8 @@ def translate(sql: str) -> str:
     out = _LOCK_ROWS_TAIL.sub(r"\1", out)
     if re.search(r"\bpg_typeof\s*\(", out, re.IGNORECASE):
         out = _rewrite_pg_typeof(out)
+    if "->" in out:
+        out = _rewrite_json_arrows(out, literals)
     if re.search(r"\bCONVERT\s*\(", out, re.IGNORECASE):
         out = _rewrite_convert(out)
     if re.search(r"\bgenerate_series\s*\(", out, re.IGNORECASE):

@@ -786,3 +786,39 @@ def regexp_oracle_funcs(spark, sf_dir):
             == F.col("c_name")
         ).alias("hex_roundtrip"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "json_arrow_operators",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_text,
+           json_extract_string(props, '$.k') AS k_json,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS dbl
+    FROM events WHERE event_id <= 300
+    ORDER BY event_id
+    """,
+)
+def json_arrow_operators(spark, sf_dir):
+    """PG json arrow operators in SQL TEXT (adt/jsonfuncs.cpp
+    json_object_field/_text; regress json.sql's `->`/`->>` suites):
+    a whole arrow chain composes into ONE JSONPath before Spark sees
+    the text (`a->'b'->1->>'c'` → get_json_object(a, '$.b[1].c')),
+    the last arrow picking text vs json rendering.  Numeric scalars
+    render identically under both, which the oracle exploits — the
+    `->` string-requote deviation is pinned separately in
+    tests/test_engine_ddl.py.
+
+    Scale: a pure text rewrite into one codegen'd path extraction —
+    no Python, no extra scans."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT event_id,"
+        " props ->> 'k' AS k_text,"
+        " props -> 'k' AS k_json,"
+        " CAST(props ->> 'k' AS INT) * 2 AS dbl"
+        " FROM events WHERE event_id <= 300"
+        " ORDER BY event_id"
+    )

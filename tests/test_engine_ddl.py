@@ -3752,3 +3752,28 @@ def test_compat_statement_batch3(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="CREATE OPERATOR"):
         eng.sql("CREATE OPERATOR <<>> (LEFTARG = int, RIGHTARG = int,"
                 " PROCEDURE = int4eq)")
+
+
+def test_json_arrow_operators_sql_text(spark):
+    """`->` / `->>` chains in SQL text (jsonfuncs.cpp): path
+    composition, the `->` string-requote rendering (with the
+    looks-numeric deviation documented), lambda syntax untouched."""
+    eng = Engine(spark, SF_CORRECT)
+    js = '{"a": {"b": [10, 20, 30]}, "s": "hi", "n": 5, "q": "7"}'
+    for q, want in [
+        (f"SELECT '{js}' ->> 'n' AS v", "5"),
+        (f"SELECT '{js}' -> 's' AS v", '"hi"'),
+        (f"SELECT '{js}' -> 'n' AS v", "5"),
+        (f"SELECT '{js}' -> 'a' ->> 'b' AS v", "[10,20,30]"),
+        (f"SELECT '{js}' -> 'a' -> 'b' -> 1 AS v", "20"),
+        (f"SELECT '{js}' ->> 'zz' AS v", None),
+        # deviation: a string scalar that lexically looks numeric
+        # renders unquoted under -> (use ->> for text extraction)
+        (f"SELECT '{js}' -> 'q' AS v", "7"),
+        # Spark lambda syntax never rewrites
+        ("SELECT aggregate(array(1,2,3), 0, (acc, x) -> acc + x) AS v",
+         6),
+    ]:
+        assert eng.sql(q).collect()[0].v == want, q
+    # operators inside string literals stay inert
+    assert eng.sql("SELECT 'a ->> b' AS v").collect()[0].v == "a ->> b"
