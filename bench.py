@@ -187,7 +187,6 @@ HEADLINE = [
     "plpgsql_case_stmt",
     "chunk_documents_chars",
     "chunk_documents_words",
-    "decontaminate_bloom_prefilter",
     "do_block_for_loop",
     "bpe_learn_merges",
     "bpe_segment_tokens",
