@@ -171,7 +171,8 @@ class Engine:
         r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?"
         r"(?:(?P<name>\w+)\s+)?ON\s+"
         r"(?P<table>\w+)\s+(?:USING\s+BTREE\s*)?"
-        r"\(\s*(?P<col>\w+)\s*\)\s*(?:LOCAL|GLOBAL)?\s*;?\s*$",
+        r"\(\s*(?P<col>\w+)\s*\)\s*(?:LOCAL|GLOBAL)?"
+        r"(?:\s+WHERE\s+.+?)?\s*;?\s*$",
         re.IGNORECASE,
     )
     # SET ivfflat.probes = 10 / SET hnsw.ef_search = 40 — the reference's

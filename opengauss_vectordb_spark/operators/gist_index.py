@@ -78,7 +78,7 @@ from .gin_index import _latest_manifest, _source_df, _table_csn
 # indexes points as zero-area boxes), a range is the 1-D box.
 _CREATE_GIST = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
-    r"USING\s+gist\s*\(\s*(?P<fn>box|point|range)\s*\(\s*"
+    r"USING\s+(?:gist|spgist)\s*\(\s*(?P<fn>box|point|range)\s*\(\s*"
     r"(?P<args>\w+(?:\s*,\s*\w+)*)\s*\)\s*\)"
     r"(?:\s*WITH\s*\(\s*bucket_bits\s*=\s*(?P<bb>\d+)\s*\))?"
     r"\s*;?\s*$",

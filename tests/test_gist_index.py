@@ -222,3 +222,28 @@ def test_ddl_validation(eng):
             "CREATE INDEX ON gval USING gist (box(x1, y1, x2, y2))"
             " WITH (bucket_bits = 99)"
         )
+
+
+def test_spgist_spelling_and_partial_index(eng):
+    """USING spgist routes to the same rtree layout (the quad/kd-tree
+    AM answers the same point predicates — create_index_spgist.sql's
+    scan surface), and CREATE INDEX ... WHERE (a partial index) is
+    tolerated: the sorted/bucketed layout covers a superset of the
+    partial index's rows, so every query it would serve stays
+    correct."""
+    eng.sql(
+        "CREATE TABLE spt AS SELECT vec_id,"
+        " CAST(element_at(embedding, 1) AS DOUBLE) AS px,"
+        " CAST(element_at(embedding, 2) AS DOUBLE) AS py"
+        " FROM embeddings WHERE embedding IS NOT NULL"
+    )
+    eng.sql("CREATE INDEX spq ON spt USING spgist (point(px, py))")
+    assert "spq" in eng.gist_indexes
+    got = G.gist_search(
+        eng, "spq", "contained", (-0.1, -0.1, 0.1, 0.1)
+    ).count()
+    assert got > 0
+    eng.sql("CREATE TABLE pit AS SELECT o_orderkey AS k,"
+            " o_totalprice AS p FROM orders WHERE o_orderkey <= 50")
+    eng.sql("CREATE INDEX pidx ON pit (k) WHERE p > 1000")
+    assert "pidx" in eng._btree_indexes
