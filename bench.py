@@ -191,6 +191,7 @@ HEADLINE = [
     "bpe_learn_merges",
     "bpe_segment_tokens",
     "bformat_convert_series",
+    "json_arrow_operators",
 ]
 
 
