@@ -103,7 +103,11 @@ def resolve_search_path(engine, query: str) -> str:
     the walk when a flat relation of that name exists.  Identity when
     no search_path is set or no schemas are registered."""
     schemas = getattr(engine, "schemas", None)
-    path_raw = getattr(engine, "_gucs", {}).get("search_path")
+    # SET CURRENT_SCHEMA = x is openGauss's spelling for the path
+    # head (namespace.cpp assign_search_path's sibling; regress sets
+    # it 137×) — it participates exactly like search_path
+    gucs = getattr(engine, "_gucs", {})
+    path_raw = gucs.get("search_path") or gucs.get("current_schema")
     if not schemas or not path_raw:
         return query
     path = [

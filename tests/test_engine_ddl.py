@@ -3777,3 +3777,18 @@ def test_json_arrow_operators_sql_text(spark):
         assert eng.sql(q).collect()[0].v == want, q
     # operators inside string literals stay inert
     assert eng.sql("SELECT 'a ->> b' AS v").collect()[0].v == "a ->> b"
+
+
+def test_set_current_schema(spark, tmp_path):
+    """SET CURRENT_SCHEMA = x (openGauss's path-head spelling, 137
+    regress uses) resolves unqualified names exactly like
+    search_path; RESET clears it."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE SCHEMA app9")
+    eng.sql("CREATE TABLE app9.t9 AS SELECT 42 AS k")
+    eng.sql("SET CURRENT_SCHEMA = app9")
+    assert eng.sql("SELECT k FROM t9").collect()[0].k == 42
+    eng.sql("RESET current_schema")
+    with pytest.raises(Exception, match="t9"):
+        eng.sql("SELECT k FROM t9").collect()
