@@ -100,6 +100,23 @@ _SQL_MACROS = {
     "hll_hash_bigint(x BIGINT) RETURNS BIGINT RETURN xxhash64(x)",
     "hll_hash_text": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "hll_hash_text(x STRING) RETURNS BIGINT RETURN xxhash64(x)",
+    # clock_/statement_/transaction_timestamp (timestamp.cpp): in an
+    # autocommit batch engine all three collapse to the statement's
+    # snapshot instant — current_timestamp() (one value per statement,
+    # which is also PG's statement_timestamp contract; clock_timestamp
+    # per-call drift has no consumer in a deterministic plan)
+    "clock_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "clock_timestamp() RETURNS TIMESTAMP RETURN current_timestamp()",
+    "statement_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "statement_timestamp() RETURNS TIMESTAMP RETURN current_timestamp()",
+    "transaction_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "transaction_timestamp() RETURNS TIMESTAMP RETURN "
+    "current_timestamp()",
+    # isfinite (timestamp.cpp): Spark has no ±infinity
+    # dates/timestamps, so every non-null value is finite
+    "isfinite": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "isfinite(t TIMESTAMP) RETURNS BOOLEAN RETURN "
+    "CASE WHEN t IS NULL THEN NULL ELSE TRUE END",
 }
 
 
@@ -134,6 +151,10 @@ def register_pg_functions(spark: SparkSession) -> None:
         "hll_hash_integer",
         "hll_hash_bigint",
         "hll_hash_text",
+        "clock_timestamp",
+        "statement_timestamp",
+        "transaction_timestamp",
+        "isfinite",
     ):
         spark.sql(_SQL_MACROS[name])
 

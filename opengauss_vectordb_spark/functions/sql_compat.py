@@ -330,6 +330,26 @@ def translate(sql: str) -> str:
         out = _rewrite_pg_typeof(out)
     if "->" in out:
         out = _rewrite_json_arrows(out, literals)
+    # extract(epoch FROM x) — Spark's EXTRACT has no EPOCH field
+    # (timestamp.cpp's epoch = seconds since 1970 with fraction)
+    while True:
+        me = re.search(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", out,
+                       re.IGNORECASE)
+        if me is None:
+            break
+        op = out.index("(", me.start())
+        cl = _find_close(out, op)
+        if cl < 0:
+            break
+        inner = out[op + 1:cl]
+        expr = re.sub(r"^\s*EPOCH\s+FROM\b", "", inner,
+                      flags=re.IGNORECASE).strip()
+        out = (
+            out[:me.start()]
+            + f"(CAST(unix_micros(CAST(({expr}) AS TIMESTAMP)) AS"
+            " DOUBLE) / 1000000.0)"
+            + out[cl + 1:]
+        )
     if re.search(r"\bCONVERT\s*\(", out, re.IGNORECASE):
         out = _rewrite_convert(out)
     if re.search(r"\bgenerate_series\s*\(", out, re.IGNORECASE):

@@ -201,3 +201,36 @@ def test_pg_typeof_sleep_hll_hash(spark):
         " hll_hash_text('42') AS c"
     ).collect()[0]
     assert isinstance(r.a, int) and isinstance(r.c, int)
+
+
+def test_timestamp_compat_functions(spark):
+    """clock/statement/transaction_timestamp collapse to the
+    statement snapshot (autocommit), isfinite is TRUE for every
+    non-null value (Spark has no ±infinity dates), and
+    extract(epoch FROM x) rewrites to fractional seconds since
+    1970 — Spark's EXTRACT lacks the EPOCH field."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    assert eng.sql(
+        "SELECT clock_timestamp() IS NOT NULL"
+    ).collect()[0][0]
+    assert eng.sql(
+        "SELECT statement_timestamp() <= transaction_timestamp()"
+        " OR statement_timestamp() >= transaction_timestamp()"
+    ).collect()[0][0]
+    assert eng.sql(
+        "SELECT isfinite(TIMESTAMP '2001-04-10')").collect()[0][0]
+    assert eng.sql(
+        "SELECT isfinite(CAST(NULL AS TIMESTAMP))"
+    ).collect()[0][0] is None
+    assert eng.sql(
+        "SELECT extract(epoch FROM TIMESTAMP '2001-04-10 01:02:03.5')"
+    ).collect()[0][0] == 986864523.5
+    assert eng.sql(
+        "SELECT extract(epoch FROM DATE '1970-01-02')"
+    ).collect()[0][0] == 86400.0
+    # other EXTRACT fields keep Spark's native path
+    assert eng.sql(
+        "SELECT extract(year FROM DATE '2001-04-10')"
+    ).collect()[0][0] == 2001
