@@ -85,7 +85,9 @@ registry.load_all_queries()
 # FunctionScan → explode(sequence), last_insert_id, FOR UPDATE strip,
 # ALTER INDEX/SEQUENCE), gin_array_ops (the GIN array-element
 # opclass: @>/&&/<@/= index-only via per-doc element counts), and
-# json_arrow_operators (->/->> chains composing into one JSONPath) —
+# json_arrow_operators (->/->> chains composing into one JSONPath),
+# and age_function (timestamp_age's calendar borrow cascade as one
+# codegen'd struct expression, DuckDB's native age as the oracle) —
 # all oracle-parity-verified locally this round; FRONT-LOAD them in
 # r10's window as its first first-evers.
 GATE_PRIORITY: list[str] = [

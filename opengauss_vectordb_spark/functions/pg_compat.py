@@ -155,6 +155,8 @@ def register_pg_functions(spark: SparkSession) -> None:
         "statement_timestamp",
         "transaction_timestamp",
         "isfinite",
+        "pg_age_parts",
+        "age",
     ):
         spark.sql(_SQL_MACROS[name])
 
@@ -552,3 +554,91 @@ def num_nonnulls(*cols: Column) -> Column:
     for c in cols:
         out = out + F.when(c.isNotNull(), 1).otherwise(0)
     return out
+
+
+def _age_parts_sql() -> str:
+    """Build the pg_age_parts macro: timestamp.cpp timestamp_age /
+    timestamp_CalculateFields — fieldwise symbolic difference with
+    single-pass borrows cascading sec→min→hour→day→month→year.  Day
+    borrows add the EARLIER timestamp's month length (day_tab indexed
+    by tm2/tm1 — the fixed earlier date), possibly twice (a -30 day
+    field plus a 28-day February needs the second pass).  Computed on
+    (hi, lo) = (greatest, least) then sign-flipped, exactly the
+    reference's timestamp_FilpSign dance."""
+    hi, lo = "greatest(a, b)", "least(a, b)"
+    # seconds-in-minute including the microsecond fraction (epoch
+    # micros are UTC-minute aligned for TIMESTAMP_NTZ)
+    s0 = (f"((pmod(unix_micros({hi}), 60000000)"
+          f" - pmod(unix_micros({lo}), 60000000)) / 1000000.0)")
+    bs = f"(CASE WHEN {s0} < 0 THEN 1 ELSE 0 END)"
+    s1 = f"({s0} + 60.0 * {bs})"
+    mi0 = f"(minute({hi}) - minute({lo}) - {bs})"
+    bm = f"(CASE WHEN {mi0} < 0 THEN 1 ELSE 0 END)"
+    mi1 = f"({mi0} + 60 * {bm})"
+    h0 = f"(hour({hi}) - hour({lo}) - {bm})"
+    bh = f"(CASE WHEN {h0} < 0 THEN 1 ELSE 0 END)"
+    h1 = f"({h0} + 24 * {bh})"
+    dim = f"day(last_day({lo}))"
+    d0 = f"(day({hi}) - day({lo}) - {bh})"
+    bd1 = f"(CASE WHEN {d0} < 0 THEN 1 ELSE 0 END)"
+    d1 = f"({d0} + {dim} * {bd1})"
+    bd2 = f"(CASE WHEN {d1} < 0 THEN 1 ELSE 0 END)"
+    d2 = f"({d1} + {dim} * {bd2})"
+    mo0 = f"(month({hi}) - month({lo}) - {bd1} - {bd2})"
+    bmo = f"(CASE WHEN {mo0} < 0 THEN 1 ELSE 0 END)"
+    mo1 = f"({mo0} + 12 * {bmo})"
+    y1 = f"(year({hi}) - year({lo}) - {bmo})"
+    sign = "(CASE WHEN a < b THEN -1 ELSE 1 END)"
+    return (
+        "CREATE OR REPLACE TEMPORARY FUNCTION pg_age_parts"
+        "(a TIMESTAMP, b TIMESTAMP) RETURNS "
+        "STRUCT<years: INT, mons: INT, days: INT, hours: INT,"
+        " mins: INT, secs: DOUBLE> RETURN named_struct("
+        f"'years', CAST({sign} * {y1} AS INT),"
+        f" 'mons', CAST({sign} * {mo1} AS INT),"
+        f" 'days', CAST({sign} * {d2} AS INT),"
+        f" 'hours', CAST({sign} * {h1} AS INT),"
+        f" 'mins', CAST({sign} * {mi1} AS INT),"
+        f" 'secs', CAST({sign} AS DOUBLE) * {s1})"
+    )
+
+
+def _age_sql() -> str:
+    """age(a, b) → PG's postgres-style interval text over
+    pg_age_parts (interval_out: nonzero year/mon/day words, a
+    sign-prefixed zero-padded HH:MM:SS[.ffffff] time part shown when
+    nonzero or when everything is zero)."""
+    p = "pg_age_parts(a, b)"
+    def word(f, w):
+        v = f"{p}.{f}"
+        return (f"CASE WHEN {v} != 0 THEN concat({v}, ' {w}',"
+                f" CASE WHEN abs({v}) != 1 THEN 's' ELSE '' END)"
+                " END")
+    t_nonzero = (f"({p}.hours != 0 OR {p}.mins != 0 OR {p}.secs != 0.0)")
+    all_zero = (f"({p}.years = 0 AND {p}.mons = 0 AND {p}.days = 0"
+                f" AND NOT {t_nonzero})")
+    frac = f"CAST(round((abs({p}.secs) % 1.0) * 1000000) AS BIGINT)"
+    secs_txt = (
+        f"concat(lpad(CAST(floor(abs({p}.secs)) AS BIGINT), 2, '0'),"
+        f" CASE WHEN {frac} > 0 THEN"
+        f" concat('.', regexp_replace(lpad({frac}, 6, '0'),"
+        " '0+$', '')) ELSE '' END)"
+    )
+    time_txt = (
+        f"concat(CASE WHEN {p}.hours < 0 OR {p}.mins < 0"
+        f" OR {p}.secs < 0 THEN '-' ELSE '' END,"
+        f" lpad(abs({p}.hours), 2, '0'), ':',"
+        f" lpad(abs({p}.mins), 2, '0'), ':', {secs_txt})"
+    )
+    return (
+        "CREATE OR REPLACE TEMPORARY FUNCTION age"
+        "(a TIMESTAMP, b TIMESTAMP) RETURNS STRING RETURN "
+        "concat_ws(' ', "
+        f"{word('years', 'year')}, {word('mons', 'mon')},"
+        f" {word('days', 'day')},"
+        f" CASE WHEN {t_nonzero} OR {all_zero} THEN {time_txt} END)"
+    )
+
+
+_SQL_MACROS["pg_age_parts"] = _age_parts_sql()
+_SQL_MACROS["age"] = _age_sql()

@@ -721,3 +721,66 @@ def geo_earth_distance(spark, sf_dir):
         .orderBy("miles", "c_custkey")
         .limit(15)
     )
+
+
+@query(
+    "age_function",
+    """
+    WITH pairs AS (
+      SELECT o_orderkey AS k,
+             o_orderdate + INTERVAL (o_orderkey % 37) HOUR
+               + INTERVAL (o_orderkey % 53) MINUTE AS a,
+             TIMESTAMP '1995-06-15 12:30:45' AS b
+      FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT k,
+           CAST(date_part('year', age(a, b)) AS INT) AS years,
+           CAST(date_part('month', age(a, b)) AS INT) AS mons,
+           CAST(date_part('day', age(a, b)) AS INT) AS days,
+           CAST(date_part('hour', age(a, b)) AS INT) AS hours,
+           CAST(date_part('minute', age(a, b)) AS INT) AS mins,
+           CAST(date_part('second', age(a, b)) AS DOUBLE) AS secs
+    FROM pairs ORDER BY k
+    """,
+)
+def age_function(spark, sf_dir):
+    """age(a, b) — the symbolic calendar difference
+    (timestamp.cpp:3506 timestamp_age + timestamp_CalculateFields):
+    fieldwise subtraction with borrows cascading sec→min→hour→day→
+    mon→year, day borrows adding the EARLIER timestamp's month
+    length.  Compiled as ONE codegen'd struct expression
+    (pg_age_parts); the oracle is DuckDB's native age(), which
+    implements the same PG algorithm — a green row is cross-ENGINE
+    agreement on every borrow case the 400-row date spread hits."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT o_orderkey AS k,"
+        " pg_age_parts(o_orderdate + make_interval(0, 0, 0, 0,"
+        "   CAST(o_orderkey % 37 AS INT),"
+        "   CAST(o_orderkey % 53 AS INT), 0),"
+        "  TIMESTAMP '1995-06-15 12:30:45').years AS years,"
+        " pg_age_parts(o_orderdate + make_interval(0, 0, 0, 0,"
+        "   CAST(o_orderkey % 37 AS INT),"
+        "   CAST(o_orderkey % 53 AS INT), 0),"
+        "  TIMESTAMP '1995-06-15 12:30:45').mons AS mons,"
+        " pg_age_parts(o_orderdate + make_interval(0, 0, 0, 0,"
+        "   CAST(o_orderkey % 37 AS INT),"
+        "   CAST(o_orderkey % 53 AS INT), 0),"
+        "  TIMESTAMP '1995-06-15 12:30:45').days AS days,"
+        " pg_age_parts(o_orderdate + make_interval(0, 0, 0, 0,"
+        "   CAST(o_orderkey % 37 AS INT),"
+        "   CAST(o_orderkey % 53 AS INT), 0),"
+        "  TIMESTAMP '1995-06-15 12:30:45').hours AS hours,"
+        " pg_age_parts(o_orderdate + make_interval(0, 0, 0, 0,"
+        "   CAST(o_orderkey % 37 AS INT),"
+        "   CAST(o_orderkey % 53 AS INT), 0),"
+        "  TIMESTAMP '1995-06-15 12:30:45').mins AS mins,"
+        " pg_age_parts(o_orderdate + make_interval(0, 0, 0, 0,"
+        "   CAST(o_orderkey % 37 AS INT),"
+        "   CAST(o_orderkey % 53 AS INT), 0),"
+        "  TIMESTAMP '1995-06-15 12:30:45').secs AS secs"
+        " FROM orders WHERE o_orderkey <= 400"
+        " ORDER BY k"
+    )

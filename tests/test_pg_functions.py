@@ -234,3 +234,26 @@ def test_timestamp_compat_functions(spark):
     assert eng.sql(
         "SELECT extract(year FROM DATE '2001-04-10')"
     ).collect()[0][0] == 2001
+
+
+def test_age_function(spark):
+    """age(a, b) — timestamp.cpp's calendar borrow algorithm in one
+    codegen'd expression, rendered in PG interval text."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    for q, want in [
+        ("SELECT age(TIMESTAMP '2001-04-10', TIMESTAMP '1957-06-13')",
+         "43 years 9 mons 27 days"),
+        ("SELECT age(TIMESTAMP '2001-03-01', TIMESTAMP '2001-01-30')",
+         "1 mon 2 days"),  # day borrow uses JANUARY (the earlier month)
+        ("SELECT age(TIMESTAMP '2001-01-01', TIMESTAMP '2001-01-01')",
+         "00:00:00"),
+        ("SELECT age(TIMESTAMP '2001-01-01 10:20:30.5',"
+         " TIMESTAMP '2001-01-01')", "10:20:30.5"),
+        ("SELECT age(TIMESTAMP '1957-06-13', TIMESTAMP '2001-04-10')",
+         "-43 years -9 mons -27 days"),
+        ("SELECT age(TIMESTAMP '2001-01-02',"
+         " TIMESTAMP '2000-12-31 23:00:00')", "1 day 01:00:00"),
+    ]:
+        assert eng.sql(q).collect()[0][0] == want, q
