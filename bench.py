@@ -192,6 +192,7 @@ HEADLINE = [
     "bpe_segment_tokens",
     "bformat_convert_series",
     "json_arrow_operators",
+    "age_function",
 ]
 
 
