@@ -117,6 +117,34 @@ _SQL_MACROS = {
     "isfinite": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "isfinite(t TIMESTAMP) RETURNS BOOLEAN RETURN "
     "CASE WHEN t IS NULL THEN NULL ELSE TRUE END",
+    # string_to_array / array_to_string (adt/varlena.cpp
+    # text_to_array / array_to_text): Spark's split takes a REGEX, so
+    # the literal delimiter is \Q...\E-quoted (delimiters containing
+    # the literal sequence \E are the documented edge); a NULL
+    # delimiter splits into characters, PG's rule.  array_to_string
+    # skips NULL elements exactly as array_join does; the 3-arg
+    # null-replacement form is array_join's third argument directly.
+    "string_to_array": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "string_to_array(s STRING, d STRING) RETURNS ARRAY<STRING> RETURN "
+    "CASE WHEN s IS NULL THEN NULL "
+    "WHEN d IS NULL THEN split(s, '') "
+    r"ELSE split(s, concat('\\Q', d, '\\E')) END",
+    "array_to_string": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "array_to_string(a ARRAY<STRING>, d STRING) RETURNS STRING RETURN "
+    "array_join(a, d)",
+    # to_hex (adt/varlena.cpp): PG renders lowercase
+    "to_hex": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "to_hex(n BIGINT) RETURNS STRING RETURN lower(hex(n))",
+    # quote_ident / quote_literal (adt/quote.cpp): identifiers quote
+    # only when not a plain lower-case word (the reserved-keyword
+    # check is omitted — documented); literals double their quotes
+    "quote_ident": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "quote_ident(s STRING) RETURNS STRING RETURN "
+    "CASE WHEN s RLIKE '^[a-z_][a-z0-9_]*$' THEN s "
+    "ELSE concat('\"', replace(s, '\"', '\"\"'), '\"') END",
+    "quote_literal": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "quote_literal(s STRING) RETURNS STRING RETURN "
+    "concat('''', replace(s, '''', ''''''), '''')",
 }
 
 
@@ -155,6 +183,11 @@ def register_pg_functions(spark: SparkSession) -> None:
         "statement_timestamp",
         "transaction_timestamp",
         "isfinite",
+        "string_to_array",
+        "array_to_string",
+        "to_hex",
+        "quote_ident",
+        "quote_literal",
         "pg_age_parts",
         "age",
     ):

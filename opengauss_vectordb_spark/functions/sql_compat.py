@@ -330,6 +330,40 @@ def translate(sql: str) -> str:
         out = _rewrite_pg_typeof(out)
     if "->" in out:
         out = _rewrite_json_arrows(out, literals)
+    # date_trunc('decade'|'century'|'millennium', x) — Spark's
+    # date_trunc silently returns NULL for fields it lacks
+    # (timestamp.cpp timestamp_trunc supports them: decade → year -
+    # year%10, century → 100-year blocks ending in 00 so 1997 →
+    # 1901-01-01, millennium likewise)
+    pos0 = 0
+    while True:
+        mt = re.search(
+            r"\bdate_trunc\s*\(\s*(?P<tok>\x00\d+\x00)\s*,",
+            out[pos0:], re.IGNORECASE)
+        if mt is None:
+            break
+        f = literals[
+            int(_MASK_TOK.fullmatch(mt.group("tok")).group(1))
+        ][1:-1].lower()
+        if f not in ("decade", "century", "millennium"):
+            pos0 += mt.end()
+            continue
+        op = out.index("(", pos0 + mt.start())
+        cl = _find_close(out, op)
+        if cl < 0:
+            break
+        arg = out[op + 1:cl].split(",", 1)[1].strip()
+        y = f"year(CAST(({arg}) AS TIMESTAMP))"
+        if f == "decade":
+            yy = f"({y} - pmod({y}, 10))"
+        elif f == "century":
+            yy = f"({y} - pmod({y} - 1, 100))"
+        else:
+            yy = f"({y} - pmod({y} - 1, 1000))"
+        out = (out[:pos0 + mt.start()]
+               + f"to_timestamp(make_date({yy}, 1, 1))"
+               + out[cl + 1:])
+        pos0 = 0  # rescan (replacement shifted offsets)
     # extract(epoch FROM x) — Spark's EXTRACT has no EPOCH field
     # (timestamp.cpp's epoch = seconds since 1970 with fraction)
     while True:

@@ -257,3 +257,36 @@ def test_age_function(spark):
          " TIMESTAMP '2000-12-31 23:00:00')", "1 day 01:00:00"),
     ]:
         assert eng.sql(q).collect()[0][0] == want, q
+
+
+def test_string_quote_hex_and_trunc_fields(spark):
+    """string_to_array/array_to_string (literal-delimiter split via
+    regex quoting; NULL delimiter → chars; NULL elements skipped),
+    to_hex lowercase, quote_ident/quote_literal (quote.cpp rules,
+    reserved-word check documented out), and the date_trunc fields
+    Spark lacks — decade/century/millennium per timestamp_trunc."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT string_to_array('a.|b', '.|')") == ["a", "b"]
+    assert one("SELECT string_to_array('abc', CAST(NULL AS STRING))") \
+        == ["a", "b", "c"]
+    assert one("SELECT array_to_string(array('a', NULL, 'b'), '-')") \
+        == "a-b"
+    assert one("SELECT to_hex(255)") == "ff"
+    assert one("SELECT quote_ident('foo')") == "foo"
+    assert one("SELECT quote_ident('Foo bar')") == '"Foo bar"'
+    assert one("SELECT quote_literal(\"O'hare\")") == "'O''hare'"
+    for f, want in [("decade", "1990-01-01"), ("century", "1901-01-01"),
+                    ("millennium", "1001-01-01")]:
+        assert str(one(
+            f"SELECT CAST(date_trunc('{f}', DATE '1997-04-10') AS DATE)"
+        )) == want
+    assert str(one(
+        "SELECT CAST(date_trunc('century', DATE '2001-04-10') AS DATE)"
+    )) == "2001-01-01"
+    # native fields keep Spark's path
+    assert str(one(
+        "SELECT CAST(date_trunc('year', DATE '1997-04-10') AS DATE)"
+    )) == "1997-01-01"
