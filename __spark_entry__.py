@@ -91,68 +91,69 @@ registry.load_all_queries()
 # all oracle-parity-verified locally this round; FRONT-LOAD them in
 # r10's window as its first first-evers.
 GATE_PRIORITY: list[str] = [
-    # (a) round-9 new registrations — first-ever gate rows
-    "plpgsql_exception_guard",
-    "do_block_dynexecute",
-    "do_block_exception_rollback",
-    "chunk_documents_chars",
-    "chunk_documents_words",
-    "savepoint_rollback",
-    # (b) churned-code re-gates this round: gin_index.py (incremental
-    # delta maintenance, predicate-column routing, prefix phrases +
-    # chains — gin_index_fts re-gates the shared routing the trgm
-    # opclass also uses), schemas.py (creation targets never resolve
-    # through search_path), plpgsql.py (EXCEPTION blocks + loop
-    # shapes), ddl_tables.py (DEFAULT literal masking, SELECT INTO
-    # w/o FROM → cstore_distribute_select_into)
+    # (a) the 13 round-9 registrations that froze out of the r9
+    # window — first-ever driver gate rows (all 13 oracle-verified
+    # locally in r9 and re-verified this round)
+    "age_function",
+    "bformat_convert_series",
+    "bpe_learn_merges",
+    "bpe_segment_tokens",
+    "decontaminate_bloom_prefilter",
+    "do_block_for_loop",
+    "gin_array_ops",
+    "gist_box_overlap",
+    "gist_knn_point",
+    "gist_range_overlap",
+    "json_arrow_operators",
+    "plpgsql_case_stmt",
+    "plpgsql_return_query",
+    # (b) churned-code re-gates this round: gin_index.py (array-op
+    # routing now resolves FROM/JOIN refs + elem-type literal guard;
+    # posting-level compaction), gist_index.py (posting-level
+    # compaction + polygon opclass), sql_compat.py (generate_series
+    # empty-range guard, json-arrow key escaping), plpgsql.py
+    # (dynamic EXECUTE in FUNCTION bodies, do-while loops),
+    # pipeline.py (BPE lineage checkpointing — bpe rows above)
     "gin_index_fts",
-    "search_path_resolution",
+    "trgm_gin_search",
+    "plpgsql_exception_guard",
     "plpgsql_while_loop",
-    "cstore_distribute_select_into",
-    # (c) rotation — the ENTIRE remaining stale tail: all 40 rows whose
-    # last gate evidence is round 2 (computed from the union of
-    # CORRECTNESS_r0N.json keys); after this round no row is older
-    # than r3
-    "agg_min_max_by",
-    "agg_mode_percentile_disc",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stddev_var",
-    "agg_string_array",
-    "corpus_curation_pipeline",
-    "embedding_dup_pairs_cosine",
-    "hll_approx_distinct",
-    "hll_union_reaggregate",
-    "ivf_filtered_full",
-    "ivf_knn_join_full",
-    "ivf_search_exhaustive",
-    "knn_cosine",
-    "knn_hamming_binary",
-    "knn_inner_product",
-    "knn_jaccard_binary",
-    "knn_join_exact",
-    "knn_l1",
-    "knn_l2",
-    "knn_l2_filtered",
-    "knn_l2_halfvec",
-    "money_funcs",
-    "multimodal_feature_stats",
-    "null_ordering",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "sparsevec_dot_topk",
-    "to_number_parse",
-    "train_test_split",
-    "vector_avg_by_label",
-    "vector_btree_compare",
-    "vector_cast_roundtrip",
-    "vector_ops",
-    "window_first_last_value",
-    "window_lag_lead",
-    "window_moving_frames",
-    "window_range_frame",
-    "window_topn_per_group",
+    # (c) rotation — the oldest rows of the 46-entry r3 stale tail
+    # (the remainder rotates in r11; after this round no row is
+    # older than r3 and the tail shrinks to ~16)
+    "agg_approx_percentiles",
+    "bucketed_join_colocated",
+    "conditional_funcs",
+    "connect_by_hierarchy",
+    "connect_by_path_funcs",
+    "copy_binary_roundtrip",
+    "date_funcs",
+    "db4ai_gbt_classify",
+    "dedup_incremental_minhash",
+    "dedup_simhash_pairs",
+    "events_funnel",
+    "events_interval_join",
+    "events_session_windows",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "fts_bool_phrase",
+    "fts_rank_cd",
+    "hash_encode_funcs",
+    "join_full_outer",
+    "json_build_each",
+    "json_funcs",
+    "knn_binary_rerank",
+    "knn_pq_rerank",
+    "limit_offset",
+    "math_funcs",
+    "pivot_status_counts",
+    "recursive_cte_native",
+    "recursive_series",
+    "sample_cluster_balanced",
+    "sample_deterministic",
+    "sql_compat_oracle",
+    "sql_entry_q6",
+    "string_funcs",
 ]
 
 

@@ -628,6 +628,16 @@ class Engine:
             r"^\s*REINDEX\s+(?:INDEX\s+)?(?P<name>\w+)\s*;?\s*$",
             query, re.IGNORECASE,
         )
+        if m and (
+            m.group("name").lower() in self._btree_indexes
+            or m.group("name").lower() in getattr(self, "gin_indexes", {})
+            or m.group("name").lower() in getattr(self, "gist_indexes", {})
+        ):
+            # GIN/GiST/btree REINDEX is the explicit from-scratch
+            # rebuild (indexcmds.cpp) — the user-facing spelling of
+            # the corpus-scale path, which never fires inside a read
+            return self._alter_index(m.group("name").lower(),
+                                     rebuild=True)
         if m and m.group("name").lower() in self._index_names:
             # commands/vacuum.cpp's sibling REINDEX (indexcmds.cpp):
             # full rebuild against the index's current data — the

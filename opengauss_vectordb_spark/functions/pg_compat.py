@@ -120,14 +120,20 @@ _SQL_MACROS = {
     # string_to_array / array_to_string (adt/varlena.cpp
     # text_to_array / array_to_text): Spark's split takes a REGEX, so
     # the literal delimiter is \Q...\E-quoted (delimiters containing
-    # the literal sequence \E are the documented edge); a NULL
-    # delimiter splits into characters, PG's rule.  array_to_string
-    # skips NULL elements exactly as array_join does; the 3-arg
-    # null-replacement form is array_join's third argument directly.
+    # the literal sequence \E are the documented edge).  PG's edge
+    # rules, each its own branch: NULL delimiter splits into
+    # characters (Spark's split(s, '') appends a trailing '' — the
+    # filter drops it; characters are never empty so nothing real is
+    # lost), an EMPTY delimiter returns the whole string as one
+    # element, and an empty INPUT returns the empty array.
+    # array_to_string skips NULL elements exactly as array_join does;
+    # the 3-arg null-replacement form is array_join's third argument.
     "string_to_array": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "string_to_array(s STRING, d STRING) RETURNS ARRAY<STRING> RETURN "
     "CASE WHEN s IS NULL THEN NULL "
-    "WHEN d IS NULL THEN split(s, '') "
+    "WHEN d IS NULL THEN filter(split(s, ''), x -> x != '') "
+    "WHEN s = '' THEN CAST(array() AS ARRAY<STRING>) "
+    "WHEN d = '' THEN array(s) "
     r"ELSE split(s, concat('\\Q', d, '\\E')) END",
     "array_to_string": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "array_to_string(a ARRAY<STRING>, d STRING) RETURNS STRING RETURN "

@@ -223,20 +223,58 @@ _GENSERIES_FROM = re.compile(
 )
 
 
+def _genseries_seq(args: str) -> str:
+    """``sequence(...)`` with PG's empty-range semantics.  PG's
+    generate_series(a, b) with the positive default step returns ZERO
+    rows when a > b, while Spark's sequence(a, b) auto-negates the
+    step and yields a DESCENDING series — so the rewrite guards the
+    range and pins the step.  The empty branch spells
+    slice(sequence(a, a), 1, 0) so both CASE arms share the element
+    type.  A non-literal 3rd-arg step (expression / interval) passes
+    through unguarded — its sign isn't statically known and the
+    timestamp+interval form has no portable zero literal."""
+    parts = [p.strip() for p in args.split(",")]
+    if len(parts) == 2:
+        a, b = parts
+        return (
+            f"CASE WHEN ({a}) <= ({b}) THEN sequence({a}, {b}, 1)"
+            f" ELSE slice(sequence({a}, {a}), 1, 0) END"
+        )
+    if len(parts) == 3:
+        a, b, s = parts
+        ms = re.fullmatch(r"-?\d+", s)
+        if ms:
+            step = int(s)
+            if step > 0:
+                return (
+                    f"CASE WHEN ({a}) <= ({b})"
+                    f" THEN sequence({a}, {b}, {s})"
+                    f" ELSE slice(sequence({a}, {a}), 1, 0) END"
+                )
+            if step < 0:
+                return (
+                    f"CASE WHEN ({a}) >= ({b})"
+                    f" THEN sequence({a}, {b}, {s})"
+                    f" ELSE slice(sequence({a}, {a}), 1, 0) END"
+                )
+    return f"sequence({args})"
+
+
 def _rewrite_generate_series(masked: str) -> str:
     def sub_from(m: re.Match) -> str:
         alias = m.group("alias") or "generate_series"
         col = m.group("col") or m.group("alias") or "generate_series"
         return (
-            f"{m.group('kw')} (SELECT explode(sequence("
-            f"{m.group('args')})) AS {col}) AS {alias}"
+            f"{m.group('kw')} (SELECT explode("
+            f"{_genseries_seq(m.group('args'))}) AS {col}) AS {alias}"
         )
 
     out = _GENSERIES_FROM.sub(sub_from, masked)
     # SELECT-position SRF (ProjectSet): same explode, simple-arg form
     return re.sub(
         r"\bgenerate_series\s*\(([^()]*)\)",
-        r"explode(sequence(\1))", out, flags=re.IGNORECASE,
+        lambda m: f"explode({_genseries_seq(m.group(1))})",
+        out, flags=re.IGNORECASE,
     )
 
 
@@ -279,6 +317,13 @@ def _rewrite_json_arrows(masked: str, literals: list[str]) -> str:
             mt = _MASK_TOK.fullmatch(k)
             if mt:
                 key = literals[int(mt.group(1))][1:-1].replace("''", "'")
+                # a key containing a quote would break out of the
+                # single-quoted JSONPath literal (malformed SQL) and
+                # '.'/'['/']'/'\\' corrupt the composed path — leave
+                # the expression untranslated (PG-side spelling
+                # surfaces as an analyzer error, never wrong results)
+                if any(ch in key for ch in "'.[]\\"):
+                    return m.group(0)
                 path += f".{key}"
             else:
                 path += f"[{k}]"

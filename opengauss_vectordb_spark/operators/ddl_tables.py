@@ -1842,9 +1842,26 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         return handled
     m = _VACUUM.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
+        from . import gin_index, gist_index
+
+        name = m.group("name").lower()
+        # explicit index maintenance FIRST (the autovacuum
+        # ginInsertCleanup analogue): fold accumulated GIN/GiST
+        # deltas into their bases at the posting/key level — queries
+        # after a VACUUM read one compacted base, and the threshold
+        # fold never has to fire inside someone's SELECT
+        gin_index.vacuum_indexes(engine, name)
+        gist_index.vacuum_indexes(engine, name)
+        pre_csn = gin_index._table_csn(engine, name)
         before, after = engine.managed_tables.vacuum(m.group("name"))
+        # the file compaction is row-preserving: carry current
+        # indexes across the generation swap instead of letting the
+        # next routed query mistake it for a content rewrite and
+        # re-tokenize the corpus
+        gin_index.refresh_watermarks(engine, name, pre_csn)
+        gist_index.refresh_watermarks(engine, name, pre_csn)
         return engine.spark.createDataFrame(
-            [("VACUUM", m.group("name").lower(), before, after)],
+            [("VACUUM", name, before, after)],
             "tag STRING, tbl STRING, files_before INT, files_after INT",
         )
     m = _TRUNCATE.match(query)

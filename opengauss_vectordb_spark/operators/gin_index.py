@@ -349,8 +349,10 @@ def _merge_deltas(engine, index_name: str) -> None:
     bytes), never touching the base or the corpus (the LSM level-0
     merge; gininsert.cpp's pending-list cleanup into the tree is the
     same move one level up).  Keeps per-query footer overhead O(1)
-    while the FULL rebuild stays reserved for the row-fraction bound
-    and rewrites."""
+    while base compaction (_compact_base, also posting-level) handles
+    the row-fraction bound; the FULL rebuild stays reserved for
+    copy-on-write rewrites, where document content actually
+    changed."""
     import shutil
 
     idx = engine.gin_indexes[index_name]
@@ -374,23 +376,114 @@ def _merge_deltas(engine, index_name: str) -> None:
     idx["delta_paths"] = [merged]
 
 
-def _ensure_fresh(engine, index_name: str) -> None:
-    """Serve every routed query from a fresh index: appends build a
-    DELTA over only the new files (base ∪ delta reads, never a corpus
-    re-tokenize); rewrites and over-threshold delta accumulation
-    compact via full rebuild."""
+def _compact_base(engine, index_name: str) -> None:
+    """Fold base ∪ deltas into ONE compacted lexeme-sorted base at
+    the POSTING level — O(index bytes), tokenizer-free: the
+    ginInsertCleanup analogue (ginfast.cpp moves pending entries into
+    the main tree without re-scanning the heap).  Sound because
+    deltas exist only under append-only maintenance: a document's
+    postings live in exactly one layer, so the plain union IS the
+    folded index — no counts or positions need re-aggregation.  The
+    fold writes to a NEW versioned directory and swaps the catalog
+    pointer (never overwrites the base it is reading), then reclaims
+    the superseded layers."""
+    import shutil
+
     idx = engine.gin_indexes[index_name]
-    if _table_csn(engine, idx["table"]) == idx["built_csn"]:
+    if not idx["delta_paths"]:
         return
-    # too much of the index outside the compacted base: full rebuild
-    # (the delta COUNT is handled cheaper — _merge_deltas inside the
-    # append path folds level-0 deltas without touching the corpus)
-    over = idx.get("delta_rows", 0) > max(
+    olds = [idx["base_path"], *idx["delta_paths"]]
+    src = engine.spark.read.parquet(*olds)
+    rows = int(idx.get("base_rows", 0)) + int(idx.get("delta_rows", 0))
+    # ~2M posting rows per partition keeps rowgroups prunable
+    # without shattering into tiny files
+    npart = max(1, min(32, rows // 2_000_000 + 1))
+    idx["compactions"] = idx.get("compactions", 0) + 1
+    new_base = os.path.join(idx["path"], f"base_c{idx['compactions']}")
+    (
+        src.repartitionByRange(npart, "lexeme")
+        .sortWithinPartitions("lexeme")
+        .write.mode("overwrite")
+        .parquet(new_base)
+    )
+    idx["base_path"] = new_base
+    idx["delta_paths"] = []
+    idx["delta_rows"] = 0
+    idx["base_rows"] = rows  # layers are doc-disjoint: exact
+    idx["last_maintenance"] = {
+        "mode": "compact",
+        # posting parquet only — the proof obligation: no relation
+        # (corpus) file is ever an input to compaction
+        "input_files": sorted(src.inputFiles()),
+    }
+    for p in olds:
+        if p != new_base:
+            shutil.rmtree(p, ignore_errors=True)
+    _register_union_view(engine, index_name)
+
+
+def _over_threshold(idx: dict) -> bool:
+    return idx.get("delta_rows", 0) > max(
         MAX_DELTA_ROW_FRACTION * idx.get("base_rows", 0),
         MIN_DELTA_ROWS,
     )
-    if over or not _maintain_delta(engine, index_name):
+
+
+def _ensure_fresh(engine, index_name: str) -> None:
+    """Serve every routed query from a fresh index: appends build a
+    DELTA over only the new files (base ∪ delta reads, never a corpus
+    re-tokenize); once accumulated deltas outgrow the row-fraction
+    bound the base folds at the POSTING level (_compact_base —
+    O(index bytes), tokenizer-free, and also reachable explicitly
+    through VACUUM).  The corpus-scale FULL rebuild happens only for
+    copy-on-write rewrites (UPDATE/DELETE/partition surgery), where
+    document content actually changed and re-tokenization is the
+    semantics, not an accident of compaction policy."""
+    idx = engine.gin_indexes[index_name]
+    if _table_csn(engine, idx["table"]) == idx["built_csn"]:
+        return
+    if not _maintain_delta(engine, index_name):
         build_posting_table(engine, index_name)
+        return
+    if _over_threshold(idx):
+        _compact_base(engine, index_name)
+
+
+def vacuum_indexes(engine, table: str) -> list[str]:
+    """Explicit maintenance hook (VACUUM <table>): bring every GIN
+    index on the relation current and fold any accumulated deltas
+    into the base — the ginInsertCleanup that autovacuum runs in the
+    reference (ginfast.cpp), so routed queries after a VACUUM read
+    ONE compacted base with zero delta footers.  Returns the
+    compacted index names."""
+    out = []
+    for name, idx in getattr(engine, "gin_indexes", {}).items():
+        if idx["table"] != table:
+            continue
+        _ensure_fresh(engine, name)
+        if idx["delta_paths"]:
+            _compact_base(engine, name)
+            out.append(name)
+    return out
+
+
+def refresh_watermarks(engine, table: str, if_current_csn: int) -> None:
+    """Content-preserving relation rewrite (VACUUM's file compaction
+    swaps generations without changing any row): move every covering
+    index's watermarks to the new manifest so the NEXT routed query
+    does not mistake the swap for a content rewrite and rebuild from
+    the corpus.  Only indexes fully current BEFORE the swap
+    (built_csn == if_current_csn) qualify — a stale index cannot
+    prove its postings cover the new manifest."""
+    h = _latest_manifest(engine, table)
+    if h is None:
+        return
+    for _name, idx in getattr(engine, "gin_indexes", {}).items():
+        if idx["table"] != table or idx["built_csn"] != if_current_csn:
+            continue
+        idx["built_csn"] = h["csn"]
+        idx["covered_gen"] = h["gen"]
+        idx["covered_files"] = set(h["files"])
 
 
 def try_handle_ddl(engine, query: str):
@@ -409,8 +502,12 @@ def try_handle_ddl(engine, query: str):
     # a BARE column picks its opclass by type, as PG does: an array
     # column gets the array element opclass (ginarrayproc.cpp), a
     # string column the implied-to_tsvector text opclass
+    elem_cat = "other"
     if m.group("col"):
-        from pyspark.sql.types import ArrayType
+        from pyspark.sql.types import (
+            ArrayType, ByteType, IntegerType, LongType, ShortType,
+            StringType,
+        )
 
         field = next(
             (f for f in df.schema.fields
@@ -418,6 +515,15 @@ def try_handle_ddl(engine, query: str):
         )
         if field is not None and isinstance(field.dataType, ArrayType):
             kind = "array"
+            # literal-routing compatibility class (see
+            # rewrite_array_ops): which SQL literal spellings equal
+            # the posting's CAST(element AS STRING) rendering
+            et = field.dataType.elementType
+            if isinstance(et, StringType):
+                elem_cat = "string"
+            elif isinstance(et, (ByteType, ShortType, IntegerType,
+                                 LongType)):
+                elem_cat = "integral"
     # the row identifier is the relation's FIRST column — the heap
     # TID analogue (GIN posting lists hold TIDs; a columnar relation
     # addresses rows by its leading key)
@@ -433,6 +539,7 @@ def try_handle_ddl(engine, query: str):
     engine.gin_indexes[name] = {
         "table": table, "col": col, "id_col": id_col,
         "path": path, "built_csn": None, "kind": kind,
+        "elem_cat": elem_cat,
         "base_path": os.path.join(path, "base"),
         "delta_paths": [], "delta_rows": 0, "base_rows": 0,
     }
@@ -643,6 +750,61 @@ def _literal_spans(query: str) -> list[tuple[int, int]]:
     return spans
 
 
+# keywords that can directly follow a FROM/JOIN table name and must
+# not be mistaken for its alias
+_NOT_ALIAS = {
+    "where", "on", "join", "inner", "left", "right", "full",
+    "cross", "natural", "group", "order", "limit", "having",
+    "union", "intersect", "except", "using", "set", "as",
+    "partition", "tablesample", "lateral", "window", "values",
+}
+
+
+def _scan_refs(query: str) -> list[tuple[str, str]]:
+    """Every relation the statement scans, as (table, qualifier)
+    pairs — the qualifier is the alias if given, else the table name.
+    An operator's column picks its table through these refs, never
+    "whatever index has a same-named column" (a different scanned
+    table sharing the column name would otherwise be answered from
+    the WRONG posting table: silent wrong results)."""
+    refs: list[tuple[str, str]] = []
+    for mm in re.finditer(
+        r"\b(?:FROM|JOIN)\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?",
+        query, re.IGNORECASE,
+    ):
+        t = mm.group("t").lower()
+        a = (mm.group("a") or "").lower()
+        refs.append((t, a if a and a not in _NOT_ALIAS else t))
+    return refs
+
+
+def _routed_index_for(engine, refs: list[tuple[str, str]],
+                      col: str, kind: str) -> tuple[str, str] | None:
+    """(index name, SQL qualifier) for the unique scanned relation
+    that verifiably owns ``col`` in its schema; None (inline
+    fallback — always correct) on zero or ambiguous matches,
+    including a self-joined indexed table."""
+    cands = []
+    for t, q in refs:
+        name = _index_for(engine, t, col, kind=kind)
+        if name is None:
+            continue
+        try:
+            cols = [c.lower() for c in engine.spark.table(t).columns]
+        except Exception:
+            continue
+        if col in cols:
+            cands.append((name, q))
+    if len(cands) != 1:
+        return None
+    # a single relation scanned: keep the predicate unqualified
+    # (an alias regex can misfire; with one relation the bare
+    # id_col is never ambiguous)
+    if len(refs) == 1:
+        return cands[0][0], ""
+    return cands[0]
+
+
 def rewrite_tsmatch(engine, query: str) -> str:
     """FTS/trgm operators in SQL text → index-backed or inline
     predicates: ``to_tsvector(col) @@ to_tsquery('q')`` becomes a
@@ -655,51 +817,10 @@ def rewrite_tsmatch(engine, query: str) -> str:
     Identity when neither operator appears."""
     if "@@" not in query and not _PCT_MATCH.search(query):
         return query
-    # every relation the statement scans, with the qualifier its
-    # columns answer to (alias if given, else the table name) — the
-    # predicate's column picks the table, not "whatever FROM came
-    # first" (a join whose first FROM has a same-named indexed column
-    # would otherwise semi-join the WRONG posting table: silent wrong
-    # results)
-    _NOT_ALIAS = {
-        "where", "on", "join", "inner", "left", "right", "full",
-        "cross", "natural", "group", "order", "limit", "having",
-        "union", "intersect", "except", "using", "set", "as",
-        "partition", "tablesample", "lateral", "window", "values",
-    }
-    refs: list[tuple[str, str]] = []  # (table, qualifier)
-    for mm in re.finditer(
-        r"\b(?:FROM|JOIN)\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?",
-        query, re.IGNORECASE,
-    ):
-        t = mm.group("t").lower()
-        a = (mm.group("a") or "").lower()
-        refs.append((t, a if a and a not in _NOT_ALIAS else t))
+    refs = _scan_refs(query)
 
     def _routed_index(col: str, kind: str) -> tuple[str, str] | None:
-        """(index name, SQL qualifier) for the unique scanned relation
-        that verifiably owns ``col`` in its schema; None (inline
-        fallback — always correct) on zero or ambiguous matches,
-        including a self-joined indexed table."""
-        cands = []
-        for t, q in refs:
-            name = _index_for(engine, t, col, kind=kind)
-            if name is None:
-                continue
-            try:
-                cols = [c.lower() for c in engine.spark.table(t).columns]
-            except Exception:
-                continue
-            if col in cols:
-                cands.append((name, q))
-        if len(cands) != 1:
-            return None
-        # a single relation scanned: keep the predicate unqualified
-        # (an alias regex can misfire; with one relation the bare
-        # id_col is never ambiguous)
-        if len(refs) == 1:
-            return cands[0][0], ""
-        return cands[0]
+        return _routed_index_for(engine, refs, col, kind)
 
     def _sub(m: re.Match) -> str:
         col = m.group("col").lower()
@@ -880,7 +1001,7 @@ def trgm_gin_search(engine, index_name: str, probe: str,
 # strategies).  LHS identifier + RHS ARRAY[...] literal keeps the
 # pattern unambiguous (&& between booleans never has an ARRAY RHS).
 _ARRAY_OP = re.compile(
-    r"\b(?P<col>[A-Za-z_]\w*)\s*(?P<op>@>|<@|&&)\s*"
+    r"\b(?P<col>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*(?P<op>@>|<@|&&)\s*"
     r"ARRAY\s*\[(?P<vals>[^\]]*)\]",
     re.IGNORECASE,
 )
@@ -897,6 +1018,7 @@ def rewrite_array_ops(engine, query: str) -> str:
     if "@>" not in query and "<@" not in query and "&&" not in query:
         return query
     spans = _literal_spans(query)
+    refs = _scan_refs(query)
 
     def _in_literal(pos: int) -> bool:
         return any(a <= pos <= b for a, b in spans)
@@ -909,32 +1031,46 @@ def rewrite_array_ops(engine, query: str) -> str:
         vals_sql = m.group("vals").strip()
         arr = f"array({vals_sql})" if vals_sql else \
             "cast(array() as array<string>)"
-        # routed: a unique scanned relation with an array gin index
-        # on this column (the rewrite_tsmatch resolution rule)
-        for name, idx in getattr(engine, "gin_indexes", {}).items():
-            if idx.get("kind") == "array" and idx["col"] == col:
-                try:
-                    cols = [c.lower()
-                            for c in engine.spark.table(
-                                idx["table"]).columns]
-                except Exception:
-                    continue
-                if col not in cols:
-                    continue
-                # only integer and quoted-string literals route —
-                # their SQL spelling equals the posting's CAST(x AS
-                # STRING) form; floats/expressions fall to the inline
-                # predicate (identical semantics, no index)
-                raw = [v.strip() for v in vals_sql.split(",")
-                       if v.strip()]
-                if all(re.fullmatch(r"-?\d+|'[^']*'", v) for v in raw):
-                    vals = [v.strip("'") for v in raw]
-                    _ensure_fresh(engine, name)
-                    df = gin_array_search(engine, name, op, vals)
-                    view = f"__ginarr_{name}_{abs(hash((op, tuple(vals)))) % 10**8}"
-                    df.createOrReplaceTempView(view)
-                    return (f"{idx['id_col']} IN "
-                            f"(SELECT doc_id FROM {view})")
+        # routed: the UNIQUE scanned relation that owns this column
+        # AND carries an array-opclass gin index on it (the
+        # rewrite_tsmatch FROM/JOIN resolution — a different scanned
+        # table sharing the column name must NOT be answered from
+        # this table's postings), with the id_col qualified by that
+        # relation's alias when the statement scans more than one.
+        # Qualified columns keep the inline predicate (alias
+        # resolution is a parser's job, same rule as rewrite_tsmatch).
+        routed = (None if "." in col
+                  else _routed_index_for(engine, refs, col, "array"))
+        if routed is not None:
+            name, qual = routed
+            idx = engine.gin_indexes[name]
+            # only literals whose SQL spelling equals the posting's
+            # CAST(x AS STRING) form route: quoted strings against a
+            # string element type, bare integers against an integral
+            # element type (against DOUBLE/DECIMAL elements CAST
+            # renders '2.0' and `@> ARRAY[2]` would silently match
+            # nothing); everything else falls to the inline
+            # predicate (identical semantics, no index).
+            raw = [v.strip() for v in vals_sql.split(",")
+                   if v.strip()]
+            elem_cat = idx.get("elem_cat", "other")
+            ok = (
+                all(re.fullmatch(r"'[^']*'", v) for v in raw)
+                and elem_cat == "string"
+            ) or (
+                all(re.fullmatch(r"-?\d+", v) for v in raw)
+                and elem_cat == "integral"
+            ) or not raw  # empty ARRAY[] is type-free
+            if ok:
+                vals = [v.strip("'") for v in raw]
+                _ensure_fresh(engine, name)
+                df = gin_array_search(engine, name, op, vals)
+                view = (f"__ginarr_{name}_"
+                        f"{abs(hash((op, tuple(vals)))) % 10**8}")
+                df.createOrReplaceTempView(view)
+                pfx = f"{qual}." if qual else ""
+                return (f"{pfx}{idx['id_col']} IN "
+                        f"(SELECT doc_id FROM {view})")
         # inline fallback (array_ops semantics incl. empty sets)
         if op == "contains":
             return f"forall({arr}, x -> array_contains({col}, x))"

@@ -336,9 +336,17 @@ def _merge_deltas(engine, index_name: str) -> None:
     merged = os.path.join(
         idx["path"], f"delta_merged_{idx['built_csn'] or 0}_{len(olds)}"
     )
-    src = engine.spark.read.parquet(*olds).select(
-        "doc_id", "x1", "y1", "x2", "y2"
-    )
+    # per-root reads + union: each delta is its own zb-partitioned
+    # root and a single multi-root read trips partition discovery
+    parts = [
+        engine.spark.read.parquet(p).select(
+            "doc_id", "x1", "y1", "x2", "y2"
+        )
+        for p in olds
+    ]
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p)
     n = _write_layout(engine, idx, src, merged)
     for d in olds:
         if d != merged:
@@ -348,18 +356,104 @@ def _merge_deltas(engine, index_name: str) -> None:
     idx["delta_rows"] = n
 
 
-def _ensure_fresh(engine, index_name: str) -> None:
-    """Appends → delta layouts; rewrites / over-threshold deltas →
-    full rebuild (the gin_index._ensure_fresh policy)."""
+def _compact_base(engine, index_name: str) -> None:
+    """Fold base ∪ deltas into ONE Z-bucketed base at the KEY level —
+    O(index bytes), the relation never re-scanned (gin_index.
+    _compact_base's sibling; ginfast.cpp ginInsertCleanup one AM
+    over).  Sound because deltas exist only under append-only
+    maintenance (layers are doc-disjoint) and the quantizer is FROZEN
+    at build time, so re-bucketing the union is a pure shuffle of
+    already-extracted keys.  Writes a NEW versioned dir, swaps, then
+    reclaims the superseded layers and their manifest entries."""
+    import shutil
+
     idx = engine.gist_indexes[index_name]
-    if _table_csn(engine, idx["table"]) == idx["built_csn"]:
+    if not idx["delta_paths"]:
         return
-    over = idx.get("delta_rows", 0) > max(
+    olds = [idx["base_path"], *idx["delta_paths"]]
+    live = [p for p in olds if os.path.isdir(p)]
+    idx["compactions"] = idx.get("compactions", 0) + 1
+    new_base = os.path.join(idx["path"], f"base_c{idx['compactions']}")
+    # each layout is its own zb-partitioned root: read separately and
+    # union (a single multi-root read trips partition discovery)
+    parts = [
+        engine.spark.read.parquet(p).select(
+            "doc_id", "x1", "y1", "x2", "y2"
+        )
+        for p in live
+    ]
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p)
+    n = _write_layout(engine, idx, src, new_base)
+    idx["last_maintenance"] = {
+        "mode": "compact",
+        # layout parquet only — no relation file is ever an input
+        "input_files": sorted(
+            f for d in parts for f in d.inputFiles()
+        ),
+    }
+    for p in olds:
+        if p != new_base:
+            idx["bucket_mbrs"].pop(p, None)
+            shutil.rmtree(p, ignore_errors=True)
+    idx["base_path"] = new_base
+    idx["delta_paths"] = []
+    idx["delta_rows"] = 0
+    idx["base_rows"] = n
+
+
+def _over_threshold(idx: dict) -> bool:
+    return idx.get("delta_rows", 0) > max(
         MAX_DELTA_ROW_FRACTION * idx.get("base_rows", 0),
         MIN_DELTA_ROWS,
     )
-    if over or not _maintain_delta(engine, index_name):
+
+
+def _ensure_fresh(engine, index_name: str) -> None:
+    """Appends → delta layouts; over-threshold deltas → key-level
+    base fold (_compact_base — relation never re-scanned); rewrites →
+    full rebuild, the only case where key content actually changed
+    (the gin_index._ensure_fresh policy)."""
+    idx = engine.gist_indexes[index_name]
+    if _table_csn(engine, idx["table"]) == idx["built_csn"]:
+        return
+    if not _maintain_delta(engine, index_name):
         build_gist_index(engine, index_name)
+        return
+    if _over_threshold(idx):
+        _compact_base(engine, index_name)
+
+
+def vacuum_indexes(engine, table: str) -> list[str]:
+    """Explicit maintenance hook (VACUUM <table>): bring every GiST
+    index on the relation current and fold accumulated deltas into
+    the base (gin_index.vacuum_indexes' sibling)."""
+    out = []
+    for name, idx in getattr(engine, "gist_indexes", {}).items():
+        if idx["table"] != table:
+            continue
+        _ensure_fresh(engine, name)
+        if idx["delta_paths"]:
+            _compact_base(engine, name)
+            out.append(name)
+    return out
+
+
+def refresh_watermarks(engine, table: str, if_current_csn: int) -> None:
+    """Content-preserving generation swap (VACUUM file compaction):
+    move covering GiST watermarks to the new manifest — index keys
+    are row-derived, so a row-preserving file reorganization cannot
+    invalidate them (gin_index.refresh_watermarks' sibling)."""
+    h = _latest_manifest(engine, table)
+    if h is None:
+        return
+    for _name, idx in getattr(engine, "gist_indexes", {}).items():
+        if idx["table"] != table or idx["built_csn"] != if_current_csn:
+            continue
+        idx["built_csn"] = h["csn"]
+        idx["covered_gen"] = h["gen"]
+        idx["covered_files"] = set(h["files"])
 
 
 # ------------------------------------------------------------ search

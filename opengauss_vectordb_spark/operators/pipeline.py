@@ -1479,20 +1479,29 @@ def decontaminate_bloom_prefilter(spark, sf_dir):
 
 # The DuckDB oracle replays the identical rounds as chained CTEs:
 # w<k> = vocab after k merges, p<k+1> = that round's argmax pair.
-_BPE_ROUNDS = 4
+# 32 rounds with a lineage cut every 8 proves the bounded-plan shape
+# a real tokenizer run (30k+ merges) needs: each checkpoint
+# materializes the vocab frame and truncates the fold chain, so plan
+# depth is O(_BPE_CHECKPOINT_EVERY), never O(rounds).
+_BPE_ROUNDS = 32
+_BPE_CHECKPOINT_EVERY = 8
 
 
 def _bpe_oracle_prefix(rounds: int) -> str:
     """The shared CTE chain: word-freq vocab, then per round k the
-    arg-max pair p<k> and the merged vocab w<k>."""
+    arg-max pair p<k> and the merged vocab w<k>.  Every w<k> is
+    referenced TWICE (by p<k+1> and w<k+1>), so each CTE is declared
+    AS MATERIALIZED — inlining would re-expand the chain ~2^rounds
+    times (at 32 rounds the planner exhausts file handles before it
+    exhausts patience)."""
     head = """
-    WITH words AS (
+    WITH words AS MATERIALIZED (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
               lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w
             FROM documents)
       WHERE w <> '' GROUP BY w
-    ), w0 AS (
+    ), w0 AS MATERIALIZED (
       SELECT word, freq,
              list_transform(range(1, length(word) + 1),
                             i -> substr(word, CAST(i AS INT), 1)) AS syms
@@ -1500,7 +1509,7 @@ def _bpe_oracle_prefix(rounds: int) -> str:
     )"""
     parts = [head]
     for k in range(1, rounds + 1):
-        parts.append(f""", p{k} AS (
+        parts.append(f""", p{k} AS MATERIALIZED (
       SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT freq,
                    unnest(list_transform(range(1, len(syms)),
@@ -1509,7 +1518,7 @@ def _bpe_oracle_prefix(rounds: int) -> str:
       GROUP BY pr[1], pr[2]
       ORDER BY cnt DESC, l, r LIMIT 1
     )""")
-        parts.append(f""", w{k} AS (
+        parts.append(f""", w{k} AS MATERIALIZED (
       SELECT word, freq,
         list_reduce(list_transform(syms, s -> [s]),
           (acc, x) -> CASE WHEN acc[-1] = p{k}.l AND x[1] = p{k}.r
@@ -1547,12 +1556,12 @@ def bpe_learn_merges(spark, sf_dir):
     codegen, no Python).  Only the N rule rows ever reach the driver.
 
     At 100 TB: |vocab| ≪ |corpus| (the heavy-tail dedupes into freq),
-    so rounds cost O(|vocab|) each; a production run would checkpoint
-    the vocab frame every few rounds to keep the plan bounded — at
-    N=4 the composed plan is fine, and the one corpus pass dominates
-    end-to-end."""
-    rules, words, _vocab = _learn_bpe(spark, sf_dir)
-    words.unpersist()
+    so rounds cost O(|vocab|) each, and the vocab frame
+    localCheckpoints every _BPE_CHECKPOINT_EVERY rounds — plan depth
+    stays O(checkpoint interval) however many merges run (a real
+    tokenizer run is 30k+; an unbounded fold chain is an analyzer/
+    codegen blowup).  test_plan_quality pins the bounded plan."""
+    rules, _vocab = _learn_bpe(spark, sf_dir)
     return spark.createDataFrame(
         rules, "round INT, l STRING, r STRING, cnt BIGINT"
     )
@@ -1566,11 +1575,28 @@ def _bpe_word_split():
     )
 
 
+# learned-tokenizer memo: (session, sf_dir, rounds) → (rules, vocab).
+# A tokenizer is trained once and applied many times — learn and
+# segment share one training run, exactly the production contract.
+# The cached vocab frame is localCheckpoint-materialized, so reuse is
+# a partition read, not a replay.
+_BPE_CACHE: dict[tuple[int, str, int], tuple[list, DataFrame]] = {}
+
+
 def _learn_bpe(spark, sf_dir):
-    """(rules, cached word-freq frame, post-merge vocab frame) for
-    _BPE_ROUNDS over the documents corpus — the shared core of
-    bpe_learn_merges (reports the rules) and bpe_segment_tokens
-    (applies the final vocab).  Caller unpersists the word frame."""
+    """(rules, post-merge vocab frame) for _BPE_ROUNDS over the
+    documents corpus — the shared core of bpe_learn_merges (reports
+    the rules) and bpe_segment_tokens (applies the final vocab).
+
+    Lineage control: every _BPE_CHECKPOINT_EVERY rounds the vocab
+    frame localCheckpoints (eager) — the fold chain truncates to a
+    materialized leaf, so the composed plan is O(interval) deep
+    regardless of round count, and each round's arg-max job replays
+    at most interval-1 folds."""
+    key = (id(spark), str(sf_dir), _BPE_ROUNDS)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(_bpe_word_split()).alias("word"))
@@ -1584,12 +1610,17 @@ def _learn_bpe(spark, sf_dir):
                 " i -> substr(word, i, 1))"
             ),
         )
+        # |vocab| ≪ |corpus|: a handful of partitions keeps the 32
+        # per-round arg-max jobs from paying 32-task scheduling
+        # overhead each (at real scale, size this to |vocab|/2M rows)
+        .repartition(4)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rules = []
     vocab = words
+    checkpointed = False
     for rnd in range(1, _BPE_ROUNDS + 1):
-        top = (
+        rows = (
             vocab.filter(F.size("syms") > 1)
             .select(
                 "freq",
@@ -1605,8 +1636,11 @@ def _learn_bpe(spark, sf_dir):
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "l", "r")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # vocabulary fully merged: no pairs remain
+            break
+        top = rows[0]
         rules.append((rnd, top.l, top.r, int(top.cnt)))
         lq = top.l.replace("'", "\\'")
         rq = top.r.replace("'", "\\'")
@@ -1621,7 +1655,14 @@ def _learn_bpe(spark, sf_dir):
                 " else concat(acc, array(s)) end)"
             ),
         )
-    return rules, words, vocab
+        checkpointed = rnd % _BPE_CHECKPOINT_EVERY == 0
+        if checkpointed:
+            vocab = vocab.localCheckpoint(eager=True)
+    if not checkpointed:
+        vocab = vocab.localCheckpoint(eager=True)
+    words.unpersist()
+    _BPE_CACHE[key] = (rules, vocab)
+    return rules, vocab
 
 
 @query(
@@ -1652,8 +1693,11 @@ def bpe_segment_tokens(spark, sf_dir):
     or shuffles a |vocab|-sized relation against the token stream,
     which is exactly how production tokenizer-stat jobs avoid
     re-encoding every occurrence.  The oracle replays the rounds as
-    chained list_reduce CTEs and joins the same way."""
-    rules, words, vocab = _learn_bpe(spark, sf_dir)
+    chained list_reduce CTEs and joins the same way.  The learned
+    vocab comes from the memoized training run (localCheckpointed —
+    the returned plan joins a MATERIALIZED leaf, not a 32-fold
+    chain)."""
+    _rules, vocab = _learn_bpe(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     occ = (
         d.select(
@@ -1662,7 +1706,7 @@ def bpe_segment_tokens(spark, sf_dir):
         .filter(F.col("word") != "")
     )
     seg = vocab.select("word", F.size("syms").alias("n_syms"))
-    out = (
+    return (
         occ.join(seg, "word")
         .groupBy("source")
         .agg(
@@ -1671,18 +1715,11 @@ def bpe_segment_tokens(spark, sf_dir):
         )
         .select(
             "source",
-            "n_words",
-            "n_subwords",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_subwords").cast("long").alias("n_subwords"),
             F.round(
                 F.col("n_subwords").cast("double") / F.col("n_words"), 6
             ).alias("subwords_per_word"),
         )
         .orderBy("source")
-    )
-    rows = out.collect()
-    words.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "source STRING, n_words BIGINT, n_subwords BIGINT,"
-        " subwords_per_word DOUBLE",
     )

@@ -5,6 +5,8 @@ drop."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -2364,7 +2366,11 @@ def test_gin_incremental_delta_maintenance(spark, tmp_path):
         assert rows == [2, 3, 4, 5, 6, 7]
     finally:
         G.MAX_DELTAS = old_max
-    # row-fraction bound: force it to zero → next append FULL-rebuilds
+    # row-fraction bound: force it to zero → the threshold-crossing
+    # append's next query folds base ∪ deltas at the POSTING level
+    # (ginfast.cpp ginInsertCleanup) — inputFiles evidence pins that
+    # NO relation file is read: compaction is tokenizer-free, the
+    # corpus-scale rebuild fires only for content rewrites
     old_min = G.MIN_DELTA_ROWS
     G.MIN_DELTA_ROWS = 0
     old_frac = G.MAX_DELTA_ROW_FRACTION
@@ -2373,13 +2379,61 @@ def test_gin_incremental_delta_maintenance(spark, tmp_path):
         eng.sql("INSERT INTO inc SELECT 8, 'beta iota'")
         rows = [r.doc_id for r in eng.sql(q).collect()]
         assert rows == [2, 3, 4, 5, 6, 7, 8]
-        assert idx["last_maintenance"]["mode"] == "rebuild"
+        lm = idx["last_maintenance"]
+        assert lm["mode"] == "compact"
         assert idx["delta_paths"] == []
+        assert "base_c" in idx["base_path"]
+        assert lm["input_files"], "compaction read no files?"
+        rel_dir = os.path.join(str(tmp_path), "inc")
+        assert all(rel_dir not in f for f in lm["input_files"]), (
+            "posting-level compaction re-read relation files: "
+            f"{[f for f in lm['input_files'] if rel_dir in f]}"
+        )
+        assert all(idx["path"] in f for f in lm["input_files"])
     finally:
         G.MIN_DELTA_ROWS = old_min
         G.MAX_DELTA_ROW_FRACTION = old_frac
     eng.sql("DROP INDEX inc_gin")
     eng.sql("DROP TABLE inc PURGE")
+
+
+def test_gin_vacuum_compacts_and_survives_generation_swap(spark, tmp_path):
+    """VACUUM is the explicit GIN maintenance spelling (autovacuum's
+    ginInsertCleanup): it folds pending deltas into the base at the
+    posting level, and the row-preserving file compaction carries the
+    index watermarks across the generation swap — the next routed
+    query runs with NO maintenance and NO corpus re-tokenize."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE gvc AS SELECT * FROM VALUES"
+            " (1, 'alpha beta'), (2, 'beta gamma') AS t(doc_id, body)")
+    eng.sql("CREATE INDEX gvc_gin ON gvc USING gin (body)")
+    idx = eng.gin_indexes["gvc_gin"]
+    q = ("SELECT doc_id FROM gvc"
+         " WHERE to_tsvector(body) @@ to_tsquery('beta')"
+         " ORDER BY doc_id")
+    eng.sql("INSERT INTO gvc SELECT 3, 'beta delta'")
+    assert [r.doc_id for r in eng.sql(q).collect()] == [1, 2, 3]
+    assert idx["delta_paths"]  # pending delta
+    eng.sql("VACUUM gvc")
+    assert idx["delta_paths"] == []
+    assert idx["last_maintenance"]["mode"] == "compact"
+    rel_dir = os.path.join(str(tmp_path), "gvc")
+    assert all(rel_dir not in f
+               for f in idx["last_maintenance"]["input_files"])
+    # generation swapped, but watermarks carried: the next query is
+    # maintenance-free
+    from opengauss_vectordb_spark.operators.gin_index import _table_csn
+
+    assert idx["built_csn"] == _table_csn(eng, "gvc")
+    marker = dict(idx["last_maintenance"])
+    assert [r.doc_id for r in eng.sql(q).collect()] == [1, 2, 3]
+    assert idx["last_maintenance"] == marker
+    # REINDEX INDEX is the explicit from-scratch spelling
+    r = eng.sql("REINDEX INDEX gvc_gin").collect()[0]
+    assert r.tag == "REINDEX"
+    assert idx["last_maintenance"]["mode"] == "rebuild"
+    assert [r.doc_id for r in eng.sql(q).collect()] == [1, 2, 3]
 
 
 def test_gin_trgm_incremental_delta(spark, tmp_path):
@@ -3722,6 +3776,44 @@ def test_array_operators_sql_text(spark, tmp_path):
                " AND rid > 1 ORDER BY rid") == [2, 4]
 
 
+def test_array_op_routing_binds_scanned_table(spark, tmp_path):
+    """rewrite_array_ops resolves the statement's FROM/JOIN refs
+    before routing (the rewrite_tsmatch rule): a query scanning a
+    DIFFERENT table that shares the indexed column's name must be
+    answered from ITS OWN data, never the index's postings; qualified
+    columns stay inline; and integer literals route only against an
+    integral element type (against DOUBLE elements the posting
+    renders '2.0' and a routed ARRAY[2] would silently miss)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TABLE arx AS SELECT * FROM VALUES"
+            " (1, array(1,2)), (2, array(3)) AS t(rid, tags)")
+    eng.sql("CREATE INDEX arx_gin ON arx USING gin (tags)")
+    assert eng.gin_indexes["arx_gin"]["elem_cat"] == "integral"
+    # same-named column on an UNindexed table: its own rows answer
+    eng.sql("CREATE TABLE ary AS SELECT * FROM VALUES"
+            " (10, array(2)), (11, array(7)) AS t(rid, tags)")
+    got = [r.rid for r in eng.sql(
+        "SELECT rid FROM ary WHERE tags @> ARRAY[2] ORDER BY rid"
+    ).collect()]
+    assert got == [10]
+    # qualified column: inline predicate, correct rows, valid SQL
+    got = [r.rid for r in eng.sql(
+        "SELECT a.rid FROM arx a WHERE a.tags && ARRAY[3]"
+    ).collect()]
+    assert got == [2]
+    # DOUBLE element type never routes an integer literal — but the
+    # inline predicate still matches 2 = 2.0
+    eng.sql("CREATE TABLE arf AS SELECT * FROM VALUES"
+            " (1, array(2.0d, 5.0d)), (2, array(9.0d)) AS t(rid, vs)")
+    eng.sql("CREATE INDEX arf_gin ON arf USING gin (vs)")
+    assert eng.gin_indexes["arf_gin"]["elem_cat"] == "other"
+    got = [r.rid for r in eng.sql(
+        "SELECT rid FROM arf WHERE vs @> ARRAY[2]"
+    ).collect()]
+    assert got == [1]
+
+
 def test_compat_statement_batch3(spark, tmp_path):
     """Census batch 3: CREATE INDEX CONCURRENTLY across AMs, ALTER
     ROLE options (metadata; missing role errors), the SET TRANSACTION
@@ -3752,6 +3844,34 @@ def test_compat_statement_batch3(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="CREATE OPERATOR"):
         eng.sql("CREATE OPERATOR <<>> (LEFTARG = int, RIGHTARG = int,"
                 " PROCEDURE = int4eq)")
+
+
+def test_generate_series_empty_range_and_edge_keys(spark):
+    """PG edge semantics pinned: generate_series(a, b) with a > b is
+    ZERO rows (Spark's sequence would auto-negate the step and count
+    DOWN), the explicit-negative-step mirror, string_to_array's
+    NULL/empty delimiter and empty-input rules, and json arrows with
+    path-corrupting keys left untranslated (never malformed SQL)."""
+    eng = Engine(spark, SF_CORRECT)
+    assert eng.sql(
+        "SELECT * FROM generate_series(5, 1) AS g(i)"
+    ).count() == 0
+    assert [r.i for r in eng.sql(
+        "SELECT * FROM generate_series(5, 1, -2) AS g(i)"
+    ).collect()] == [5, 3, 1]
+    assert eng.sql(
+        "SELECT * FROM generate_series(1, 5, -1) AS g(i)"
+    ).count() == 0
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT string_to_array('', ',')") == []
+    assert one("SELECT string_to_array('abc', '')") == ["abc"]
+    assert one("SELECT string_to_array('ab', CAST(NULL AS STRING))") \
+        == ["a", "b"]
+    # a key with '.' would corrupt the composed JSONPath: the arrow
+    # stays untranslated and surfaces as an analyzer error instead of
+    # silently-wrong results
+    with pytest.raises(Exception):
+        eng.sql("SELECT '{}' -> 'a.b'").collect()
 
 
 def test_json_arrow_operators_sql_text(spark):

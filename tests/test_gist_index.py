@@ -200,6 +200,70 @@ def test_incremental_delta_maintenance(eng):
     assert idx["delta_paths"] == []
 
 
+def test_key_level_compaction_and_vacuum(eng, tmp_path):
+    """Over-threshold deltas fold base ∪ deltas at the KEY level —
+    the relation is never re-scanned (inputFiles pin) — and VACUUM is
+    the explicit maintenance spelling: it folds deltas, and the
+    row-preserving generation swap carries the index watermarks so
+    the next search needs NO maintenance at all."""
+    eng.sql(
+        "CREATE TABLE gvac AS SELECT * FROM VALUES"
+        " (1, 0.0, 0.0, 1.0, 1.0), (2, 5.0, 5.0, 6.0, 6.0)"
+        " AS t(rid, x1, y1, x2, y2)"
+    )
+    eng.sql("CREATE INDEX gv_gist ON gvac USING gist (box(x1, y1, x2, y2))")
+    idx = eng.gist_indexes["gv_gist"]
+    q = (0.0, 0.0, 10.0, 10.0)
+    ids = lambda: sorted(  # noqa: E731
+        r.doc_id
+        for r in G.gist_search(eng, "gv_gist", "overlap", q).collect()
+    )
+    assert ids() == [1, 2]
+    old_min, old_frac = G.MIN_DELTA_ROWS, G.MAX_DELTA_ROW_FRACTION
+    G.MIN_DELTA_ROWS, G.MAX_DELTA_ROW_FRACTION = 0, 0.0
+    try:
+        eng.sql("INSERT INTO gvac SELECT 3, 2.0, 2.0, 3.0, 3.0")
+        assert ids() == [1, 2, 3]
+        lm = idx["last_maintenance"]
+        assert lm["mode"] == "compact"
+        assert idx["delta_paths"] == [] and "base_c" in idx["base_path"]
+        rel_dir = str(tmp_path) + "/gvac"
+        assert lm["input_files"] and all(
+            rel_dir not in f for f in lm["input_files"]
+        ), "key-level compaction re-read relation files"
+    finally:
+        G.MIN_DELTA_ROWS, G.MAX_DELTA_ROW_FRACTION = old_min, old_frac
+    # delta-count bound: at MAX_DELTAS deltas merge into one layout
+    old_max = G.MAX_DELTAS
+    G.MAX_DELTAS = 2
+    try:
+        eng.sql("INSERT INTO gvac SELECT 5, 4.0, 4.0, 4.5, 4.5")
+        assert ids() == [1, 2, 3, 5]
+        eng.sql("INSERT INTO gvac SELECT 6, 6.5, 6.5, 7.5, 7.5")
+        assert ids() == [1, 2, 3, 5, 6]
+        assert len(idx["delta_paths"]) == 1
+        assert "merged" in idx["delta_paths"][0]
+    finally:
+        G.MAX_DELTAS = old_max
+    # VACUUM: folds the pending delta explicitly, and the generation
+    # swap does NOT invalidate the index (watermarks carried)
+    eng.sql("INSERT INTO gvac SELECT 4, 7.0, 7.0, 8.0, 8.0")
+    assert ids() == [1, 2, 3, 4, 5, 6]
+    assert idx["delta_paths"]  # a delta is pending
+    eng.sql("VACUUM gvac")
+    assert idx["delta_paths"] == []
+    assert idx["last_maintenance"]["mode"] == "compact"
+    from opengauss_vectordb_spark.operators.gin_index import _table_csn
+
+    assert idx["built_csn"] == _table_csn(eng, "gvac")
+    marker = dict(idx["last_maintenance"])
+    assert ids() == [1, 2, 3, 4, 5, 6]
+    assert idx["last_maintenance"] == marker, (
+        "post-VACUUM search triggered maintenance — the generation "
+        "swap was mistaken for a content rewrite"
+    )
+
+
 def test_drop_and_table_cascade(eng):
     _boxes_table(eng, "gdrop")
     eng.sql("CREATE INDEX gd_gist ON gdrop USING gist (box(x1, y1, x2, y2))")

@@ -281,6 +281,27 @@ def test_connected_components_plan_depth_constant(spark):
     assert len(plan.splitlines()) < 15, plan
 
 
+def test_bpe_vocab_plan_depth_bounded(spark):
+    """32 merge rounds must NOT compose a 32-fold lineage: the vocab
+    frame localCheckpoints every _BPE_CHECKPOINT_EVERY rounds, so the
+    returned vocab is a materialized leaf and the segment query joins
+    it without replaying the merge chain — the shape a real 30k-merge
+    tokenizer run needs."""
+    from opengauss_vectordb_spark.operators import pipeline as P
+
+    assert P._BPE_ROUNDS >= 32  # the gate proves the deep-loop shape
+    rules, vocab = P._learn_bpe(spark, "/root/testdata/sf0.001")
+    assert len(rules) == P._BPE_ROUNDS
+    plan = physical_plan(vocab)
+    # a materialized leaf (localCheckpoint RDD), not a fold chain
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("aggregate(") == 0, plan
+    assert len(plan.splitlines()) < 10, plan
+    # memoized training: a second learn is the cached artifact
+    rules2, vocab2 = P._learn_bpe(spark, "/root/testdata/sf0.001")
+    assert rules2 is rules and vocab2 is vocab
+
+
 def test_ivf_probe_selection_is_jvm_side(spark, tmp_path):
     """Centroid ranking for single-query search must use the JVM distance
     kernels (no per-element Python loop over up to 32768 centroids)."""
