@@ -87,9 +87,14 @@ registry.load_all_queries()
 # opclass: @>/&&/<@/= index-only via per-doc element counts), and
 # json_arrow_operators (->/->> chains composing into one JSONPath),
 # and age_function (timestamp_age's calendar borrow cascade as one
-# codegen'd struct expression, DuckDB's native age as the oracle) —
-# all oracle-parity-verified locally this round; FRONT-LOAD them in
-# r10's window as its first first-evers.
+# codegen'd struct expression, DuckDB's native age as the oracle).
+#
+# ROUND 10 window (exactly 50): (a) those 13 rows front-loaded as the
+# first first-evers, per the r9 verdict; (b) the three round-10
+# registrations; (c) churn re-gates; (d) the oldest 30 rows of the
+# 46-entry r3 stale tail (the 16-row remainder — setops, sql_compat,
+# tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
+# string_funcs — rotates first in r11).
 GATE_PRIORITY: list[str] = [
     # (a) the 13 round-9 registrations that froze out of the r9
     # window — first-ever driver gate rows (all 13 oracle-verified
@@ -107,7 +112,14 @@ GATE_PRIORITY: list[str] = [
     "json_arrow_operators",
     "plpgsql_case_stmt",
     "plpgsql_return_query",
-    # (b) churned-code re-gates this round: gin_index.py (array-op
+    # (b) round-10 NEW registrations — dynamic EXECUTE in FUNCTION
+    # bodies (interpreted, operators/do_block.py), do-while loops
+    # (tail EXIT WHEN via one-iteration unroll), and the lossy
+    # polygon GiST opclass with exact ray-cast recheck
+    "plpgsql_dynexecute_function",
+    "plpgsql_do_while",
+    "gist_poly_contains",
+    # (c) churned-code re-gates this round: gin_index.py (array-op
     # routing now resolves FROM/JOIN refs + elem-type literal guard;
     # posting-level compaction), gist_index.py (posting-level
     # compaction + polygon opclass), sql_compat.py (generate_series
@@ -118,7 +130,7 @@ GATE_PRIORITY: list[str] = [
     "trgm_gin_search",
     "plpgsql_exception_guard",
     "plpgsql_while_loop",
-    # (c) rotation — the oldest rows of the 46-entry r3 stale tail
+    # (d) rotation — the oldest rows of the 46-entry r3 stale tail
     # (the remainder rotates in r11; after this round no row is
     # older than r3 and the tail shrinks to ~16)
     "agg_approx_percentiles",
@@ -151,9 +163,6 @@ GATE_PRIORITY: list[str] = [
     "recursive_series",
     "sample_cluster_balanced",
     "sample_deterministic",
-    "sql_compat_oracle",
-    "sql_entry_q6",
-    "string_funcs",
 ]
 
 

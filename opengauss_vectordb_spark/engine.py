@@ -827,6 +827,11 @@ class Engine:
         handled = _proc_stmt(self, query)
         if handled is not None:
             return handled
+        from .operators.do_block import try_handle_fncall as _ifn_stmt
+
+        handled = _ifn_stmt(self, query)
+        if handled is not None:
+            return handled
         from .operators.ml_stmt import try_handle_stmt as _ml_stmt
 
         handled = _ml_stmt(self, query)

@@ -342,10 +342,13 @@ def try_handle_stmt(engine, query: str):
             [("CREATE FUNCTION", name)], "tag STRING, function STRING"
         )
     m = _DROP_FN.match(query)
+    interp = getattr(engine, "plfn_interpreted", {})
     if m and (m.group("name").lower() in engine.sql_functions
+              or m.group("name").lower() in interp
               or re.search(r"IF\s+EXISTS", query, re.IGNORECASE)):
         name = m.group("name").lower()
         existed = engine.sql_functions.pop(name, None) is not None
+        existed = interp.pop(name, None) is not None or existed
         engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         return engine.spark.createDataFrame(
             [("DROP FUNCTION", name, existed)],

@@ -764,6 +764,8 @@ def _run_with_exception_frame(
     try:
         runner.run(main)
         return
+    except _ReturnValue:  # a function's RETURN is success, not error
+        raise
     except BaseException as ex:  # noqa: BLE001 — the frame's whole job
         # the subtransaction aborts BEFORE the handler search
         # (pl_exec exec_stmt_block): rollback happens whether or not
@@ -1105,6 +1107,128 @@ def try_handle_procedure(engine, query: str):
             "tag STRING, procedure STRING, existed BOOLEAN",
         )
     return None
+
+
+# --------------------------------------------------------------------------
+# Interpreted plpgsql FUNCTIONs — dynamic EXECUTE inside CREATE
+# FUNCTION bodies (pl_exec.cpp:139 exec_stmt_dynexecute, the same
+# literal-derived subset the DO/procedure path compiles).  A body with
+# EXECUTE cannot inline as a SQL macro — the engine cannot see the SQL
+# until the call composes it — but it CAN run exactly the way DO
+# blocks and procedures run: once per call on the driver, each inner
+# statement a distributed plan.  Such functions register as
+# INTERPRETED; ``RETURN <expr>`` delivers the scalar result through a
+# control-flow signal.  Call sites are TOP-LEVEL scalar invocations
+# (SELECT fn(args) with driver-evaluable arguments); per-row
+# invocation over a relation refuses — a per-call driver loop over
+# rows is the anti-pattern the compiled path exists to avoid.
+# --------------------------------------------------------------------------
+
+
+class _ReturnValue(Exception):
+    """Control-flow signal: a function body executed RETURN."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+class _FnRunner(_DoRunner):
+    """_DoRunner + RETURN (pl_exec.cpp exec_stmt_return): evaluates
+    the expression against the current env and unwinds — IF branches
+    and exception frames propagate the signal naturally."""
+
+    def _exec_stmt(self, stmt: str) -> None:
+        m = re.match(r"RETURN(?:\s+(?P<e>.+))?\s*$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            e = (m.group("e") or "").strip()
+            raise _ReturnValue(
+                None if not e else self._eval_scalar(
+                    "SELECT " + _subst_values(e, self.env)
+                )
+            )
+        super()._exec_stmt(stmt)
+
+
+def register_interpreted_plfn(engine, name: str, params, ret_type: str,
+                              body: str) -> None:
+    """Catalog an EXECUTE-bearing scalar plpgsql function for
+    interpreted execution (validates the body against the DO-block
+    statement subset up front, so CREATE fails fast)."""
+    _scan_unsupported(_mask_strings(body), "plpgsql function")
+    if not hasattr(engine, "plfn_interpreted"):
+        engine.plfn_interpreted = {}
+    engine.plfn_interpreted[name] = (params, ret_type, body)
+
+
+_FNCALL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<name>\w+)\s*\((?P<args>.*)\)\s*"
+    r"(?:AS\s+(?P<alias>\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def try_handle_fncall(engine, query: str):
+    """Engine.sql hook: SELECT <interpreted_fn>(args) at the top
+    level.  Returns None for anything else — including calls to
+    ordinary (compiled/Spark) functions, which keep their plan-time
+    path."""
+    fns = getattr(engine, "plfn_interpreted", None)
+    if not fns:
+        return None
+    m = _FNCALL_RE.match(query)
+    if m is None or m.group("name").lower() not in fns:
+        # a per-row or nested use of an interpreted function cannot
+        # run as a driver call — refuse with the rewrite named
+        masked = _mask_strings(query)
+        for fname in fns:
+            if re.search(rf"\b{re.escape(fname)}\s*\(", masked,
+                         re.IGNORECASE):
+                raise NotImplementedError(
+                    f"{fname} contains dynamic EXECUTE and runs "
+                    "interpreted (operators/do_block.py): call it as "
+                    f"a top-level scalar — SELECT {fname}(...) — or "
+                    "rewrite the body without EXECUTE so it compiles "
+                    "into the calling plan"
+                )
+        return None
+    name = m.group("name").lower()
+    params, ret_type, body = fns[name]
+    arg_texts = [a for a in _split_call_args(m.group("args"))
+                 if a.strip()]
+    if len(arg_texts) != len(params):
+        raise ValueError(
+            f"{name}: expected {len(params)} argument(s), "
+            f"got {len(arg_texts)}"
+        )
+    runner = _FnRunner(engine)
+    for (pname, ptype), atext in zip(params, arg_texts):
+        runner.env[pname.lower()] = runner._eval_scalar(
+            f"SELECT CAST(({atext}) AS {_map_type(ptype)})"
+        )
+    md = _DECLARE_RE.match(body) or _BEGIN_RE.match(body)
+    if md is None:
+        raise ValueError(
+            "plpgsql body must be [DECLARE ...] BEGIN ... END"
+        )
+    if "decls" in md.groupdict() and md.groupdict().get("decls"):
+        _parse_decls_values(md.group("decls"), runner)
+    from .plpgsql import _split_exception
+
+    exc = _split_exception(md.group("body"))
+    val = None
+    try:
+        if exc is not None:
+            _run_with_exception_frame(engine, runner, exc[0], exc[1])
+        else:
+            runner.run(md.group("body"))
+    except _ReturnValue as rv:
+        val = rv.value
+    alias = (m.group("alias") or name).lower()
+    return engine.spark.sql(
+        f"SELECT CAST({_sql_literal(val)} AS {_map_type(ret_type)}) "
+        f"AS {alias}"
+    )
 
 
 @_register_query(

@@ -28,11 +28,11 @@ reads only the consistent ``zb=`` partitions (PartitionFilters), and
 applies the exact leaf predicate as a codegen'd Column expression —
 bucket manifest = internal pages, parquet rowgroup min/max on the
 coordinate columns = a finer leaf level for free.  The index carries
-the coordinates, so box/point/range answers are INDEX-ONLY; a lossy
-opclass (polygon/circle by MBR) would add the reference's executor
-recheck as a semi-join back to the relation — same layout, one more
-join (documented position, not built: the engine's geometry surface
-is box/point columns).
+the coordinates, so box/point/range answers are INDEX-ONLY; the LOSSY
+poly opclass (polygon by MBR, `gist_poly_compress` :925) adds the
+reference's executor recheck as a semi-join back to the relation plus
+an exact ray-cast predicate (gist_poly_search) — same layout, one
+more join.
 
 Two deliberate deviations, both documented: (1) comparisons are exact
 IEEE doubles, not the reference's EPSILON=1e-6 fuzzy compares
@@ -78,14 +78,14 @@ from .gin_index import _latest_manifest, _source_df, _table_csn
 # indexes points as zero-area boxes), a range is the 1-D box.
 _CREATE_GIST = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:(?P<name>\w+)\s+)?ON\s+(?P<table>\w+)\s+"
-    r"USING\s+(?:gist|spgist)\s*\(\s*(?P<fn>box|point|range)\s*\(\s*"
+    r"USING\s+(?:gist|spgist)\s*\(\s*(?P<fn>box|point|range|poly)\s*\(\s*"
     r"(?P<args>\w+(?:\s*,\s*\w+)*)\s*\)\s*\)"
     r"(?:\s*WITH\s*\(\s*bucket_bits\s*=\s*(?P<bb>\d+)\s*\))?"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
 
-_ARITY = {"box": 4, "point": 2, "range": 2}
+_ARITY = {"box": 4, "point": 2, "range": 2, "poly": 1}
 
 # the rtree strategy set (gist_box_consistent's switch)
 STRATEGIES = [
@@ -178,6 +178,25 @@ def _key_frame(idx: dict, df: DataFrame) -> DataFrame:
     elif kind == "point":
         x1 = x2 = F.col(cols[0]).cast("double")
         y1 = y2 = F.col(cols[1]).cast("double")
+    elif kind == "poly":
+        # polygon column: flat [x0, y0, x1, y1, ...] vertex array —
+        # the stored key is its bounding box, the LOSSY compression
+        # gist_poly_compress makes (gistproc.cpp:925); searches
+        # recheck exact geometry against the relation
+        # (gist_poly_search), exactly the reference's
+        # RECHECK-flagged consistent
+        c = cols[0]
+        xs = F.expr(
+            f"transform(sequence(0, CAST(size({c})/2 AS INT) - 1),"
+            f" i -> CAST(element_at({c}, 2*i+1) AS DOUBLE))"
+        )
+        ys = F.expr(
+            f"transform(sequence(0, CAST(size({c})/2 AS INT) - 1),"
+            f" i -> CAST(element_at({c}, 2*i+2) AS DOUBLE))"
+        )
+        x1, x2 = F.array_min(xs), F.array_max(xs)
+        y1, y2 = F.array_min(ys), F.array_max(ys)
+        df = df.filter(F.col(c).isNotNull() & (F.size(c) >= 6))
     else:  # range: 1-D box on the x axis
         lo, hi = (F.col(x).cast("double") for x in cols)
         x1, x2 = F.least(lo, hi), F.greatest(lo, hi)
@@ -606,6 +625,65 @@ def gist_knn(engine, index_name: str, point: tuple, k: int) -> DataFrame:
     return p1.unionByName(more).orderBy("dist", "doc_id").limit(k)
 
 
+def _point_in_poly_sql(col: str, px: float, py: float) -> str:
+    """Exact point-in-polygon (ray casting) as ONE codegen'd SQL
+    predicate over the flat vertex array — the executor RECHECK the
+    lossy MBR key requires (gistproc.cpp:1030 gist_poly_consistent
+    returns the candidate with the recheck flag set; the exact test
+    is adt/geo_ops.cpp point_inside).  The CASE keeps the edge-slope
+    division conditional on the crossing test, so horizontal edges
+    never divide by zero."""
+    n = f"CAST(size({col})/2 AS INT)"
+    xi = f"CAST(element_at({col}, 2*i+1) AS DOUBLE)"
+    yi = f"CAST(element_at({col}, 2*i+2) AS DOUBLE)"
+    xj = f"CAST(element_at({col}, 2*((i+1) % {n})+1) AS DOUBLE)"
+    yj = f"CAST(element_at({col}, 2*((i+1) % {n})+2) AS DOUBLE)"
+    return (
+        f"size(filter(sequence(0, {n} - 1), i -> "
+        f"CASE WHEN ({yi} > {py}d) != ({yj} > {py}d) "
+        f"THEN {px}d < ({xj} - {xi}) * ({py}d - {yi})"
+        f" / ({yj} - {yi}) + {xi} "
+        f"ELSE false END)) % 2 = 1"
+    )
+
+
+def gist_poly_search(engine, index_name: str,
+                     point: tuple) -> DataFrame:
+    """``poly @> point`` through a poly-opclass gist index — the
+    TWO-PHASE lossy plan the reference runs (gistproc.cpp:925
+    gist_poly_compress stores the MBR; :1030 gist_poly_consistent
+    answers MAYBE and sets the recheck flag; the executor re-tests
+    exact geometry on the heap row):
+
+      phase 1 — INDEX: bucket-MBR pruning + the leaf MBR-contains
+        test select candidate doc_ids (a superset);
+      phase 2 — RECHECK: one semi-join back to the relation on the
+        row id, then the exact ray-cast predicate (codegen'd,
+        _point_in_poly_sql) keeps true containers only.
+
+    Returns (doc_id).  Scale: the relation is touched only for
+    candidate rows (the semi-join's build side is the pruned index
+    scan), and the recheck is whole-stage codegen — exactly the
+    reference's lossy-index contract at Spark shapes."""
+    idx = engine.gist_indexes[index_name]
+    if idx["kind"] != "poly":
+        raise ValueError(
+            f"gist_poly_search: index {index_name!r} is not a "
+            "poly-opclass gist index"
+        )
+    px, py = float(point[0]), float(point[1])
+    cand = gist_search(engine, index_name, "contains",
+                       (px, py, px, py)).select("doc_id")
+    idx["last_search"]["recheck"] = True
+    rel = _source_df(engine, idx["table"])
+    id_col, col = idx["id_col"], idx["cols"][0]
+    return (
+        rel.join(cand, rel[id_col] == cand["doc_id"], "left_semi")
+        .filter(F.expr(_point_in_poly_sql(col, px, py)))
+        .select(F.col(id_col).cast("long").alias("doc_id"))
+    )
+
+
 # ------------------------------------------------------------ DDL
 
 
@@ -884,5 +962,78 @@ def gist_range_overlap(spark, sf_dir):
         return spark.createDataFrame(
             rows, "doc_id BIGINT, lo DOUBLE, hi DOUBLE"
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register_query(
+    "gist_poly_contains",
+    """
+    WITH polys AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS cx,
+             CAST(embedding[2] AS DOUBLE) AS cy,
+             0.02 + (vec_id % 5) * 0.01 AS r
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id AS doc_id
+    FROM polys
+    WHERE abs(0.0412 - cx) + abs(0.0273 - cy) < r
+    ORDER BY doc_id
+    """,
+)
+def gist_poly_contains(spark, sf_dir):
+    """Polygon GiST opclass with executor RECHECK (gistproc.cpp:925
+    gist_poly_compress / :1030 gist_poly_consistent; regress
+    create_index_gist's gpolygonind scans): polygons store as flat
+    vertex arrays, the index keys their MBRs (lossy), and a
+    ``poly @> point`` search runs phase-1 MBR pruning then the exact
+    ray-cast recheck semi-joined against the relation.  The polygons
+    are diamonds around embedding centers, so the DuckDB oracle can
+    state exact containment in closed form (|dx| + |dy| < r) — an
+    INDEPENDENT formulation of the geometry the ray cast must agree
+    with on every row.
+
+    Scale: candidates = MBR-consistent buckets only; the recheck
+    touches candidate rows via one semi-join, whole-stage codegen —
+    the lossy-index contract at Spark shapes."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gist_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gate_gist_polys AS"
+            " SELECT vec_id,"
+            " array("
+            "   CAST(element_at(embedding, 1) AS DOUBLE)"
+            "     + (0.02 + (vec_id % 5) * 0.01),"
+            "   CAST(element_at(embedding, 2) AS DOUBLE),"
+            "   CAST(element_at(embedding, 1) AS DOUBLE),"
+            "   CAST(element_at(embedding, 2) AS DOUBLE)"
+            "     + (0.02 + (vec_id % 5) * 0.01),"
+            "   CAST(element_at(embedding, 1) AS DOUBLE)"
+            "     - (0.02 + (vec_id % 5) * 0.01),"
+            "   CAST(element_at(embedding, 2) AS DOUBLE),"
+            "   CAST(element_at(embedding, 1) AS DOUBLE),"
+            "   CAST(element_at(embedding, 2) AS DOUBLE)"
+            "     - (0.02 + (vec_id % 5) * 0.01)"
+            " ) AS poly"
+            " FROM embeddings WHERE embedding IS NOT NULL"
+        )
+        eng.sql(
+            "CREATE INDEX gate_poly_gist ON gate_gist_polys"
+            " USING gist (poly(poly))"
+        )
+        rows = (
+            gist_poly_search(eng, "gate_poly_gist", (0.0412, 0.0273))
+            .orderBy("doc_id")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "doc_id BIGINT")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

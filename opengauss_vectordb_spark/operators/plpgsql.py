@@ -101,17 +101,20 @@ body is the UNION ALL of the collected queries, matched to the
 declared column list by position (PG's own mapping rule).  The rows
 stream out of a distributed plan; nothing materializes per call.
 
+Dynamic EXECUTE in SCALAR function bodies routes to the INTERPRETED
+path (operators/do_block.py register_interpreted_plfn /
+try_handle_fncall): the body runs once per top-level call on the
+driver with the literal-derived exec_stmt_dynexecute subset, exactly
+like a procedure, and RETURN delivers the value.  Per-row invocation
+of such a function refuses — per-row dynamic SQL has no inlined form.
+
 Deliberately NOT covered (each raises a clear NotImplementedError
 naming the Spark-side rewrite): general WHILE (non-counter
-conditions are unbounded iteration — no declarative form) / bare
-LOOP without a leading EXIT WHEN (a tail EXIT WHEN is do-while — the
-at-least-one iteration has no shared closed form) / loops with
-non-accumulator bodies (set-based rewrite — the statement
-layer's one-statement DML), dynamic EXECUTE in FUNCTION bodies
-(per-row dynamic SQL has no inlined form — DO blocks and procedures
-DO support the literal-derived EXECUTE subset, operators/do_block.py),
-and cursors in function bodies (DECLARE CURSOR at the session level
-instead).
+conditions are unbounded iteration — no declarative form) / loops
+with non-accumulator bodies (set-based rewrite — the statement
+layer's one-statement DML), dynamic EXECUTE in SETOF/TABLE bodies,
+and cursors in function bodies (bound-cursor FOR loops execute;
+otherwise DECLARE CURSOR at the session level instead).
 
 Variable substitution is textual with identifier-boundary matching;
 variables shadow columns of the same name inside the body, matching
@@ -156,7 +159,10 @@ _UNSUPPORTED = [
      "loops have no inlined-expression form — rewrite as one "
      "set-oriented statement"),
     (re.compile(r"\bEXECUTE\s+", re.IGNORECASE),
-     "dynamic EXECUTE cannot inline; build the statement client-side"),
+     "dynamic EXECUTE cannot inline into a set-returning body; "
+     "SCALAR functions with EXECUTE run interpreted "
+     "(operators/do_block.py register_interpreted_plfn) — for SETOF, "
+     "build the statement client-side"),
     (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
      "cursors inside function bodies are unsupported; DECLARE CURSOR "
      "at the session level (operators/portal.py)"),
@@ -496,15 +502,51 @@ def _try_rewrite_bare_loop(
     me = re.match(r"\s*EXIT\s+WHEN\s+(?P<c>.+?);", body,
                   re.IGNORECASE | re.DOTALL)
     if me is None:
+        # TAIL EXIT WHEN is do-while (pl_exec.cpp:114 exec_stmt_loop
+        # + exec_stmt_exit at the body's end): the body always runs
+        # once, then iteration continues while the condition is
+        # false — compiled as a ONE-ITERATION UNROLL (the body's
+        # statements spliced in as straight-line code) followed by
+        # the pre-test counter-WHILE closed form with the inverted
+        # condition.  The unrolled prefix updates the counter binding
+        # first, so the WHILE's closed-form final value composes
+        # correctly at the zero-extra-iteration boundary.
+        stmts = []
+        bpos = 0
+        while bpos < len(body):
+            s, bpos = _scan_stmt(body, bpos)
+            if s:
+                stmts.append(s)
+        mt_tail = (
+            re.match(r"\s*EXIT\s+WHEN\s+(?P<c>.+)$", stmts[-1],
+                     re.IGNORECASE | re.DOTALL)
+            if stmts else None
+        )
+        if mt_tail is not None:
+            mc = _WHILE_COND.match(mt_tail.group("c"))
+            inv = _INV_OP.get(mc.group("op")) if mc else None
+            if inv is None:
+                raise NotImplementedError(
+                    "plpgsql: tail EXIT WHEN compiles only for "
+                    "counter conditions (v <op> bound) — got "
+                    f"{mt_tail.group('c').strip()!r}; rewrite the "
+                    "loop as one set-oriented statement"
+                )
+            prefix = " ".join(s + ";" for s in stmts[:-1])
+            head = (f"WHILE {mc.group('v')} {inv} "
+                    f"{mc.group('b').strip()} LOOP ")
+            return (
+                text[:pos] + prefix + " " + head + prefix
+                + " END LOOP; " + text[end_after:].lstrip(";")
+            )
         if re.search(r"\bEXIT\s+WHEN\b", _mask_strings(body),
                      re.IGNORECASE):
             raise NotImplementedError(
-                "plpgsql: EXIT WHEN compiles only in the LEADING "
-                "position (LOOP EXIT WHEN v >= bound; ...; v := v + "
-                "step; END LOOP — a pre-test loop with a closed "
-                "form); a tail EXIT WHEN is do-while, whose "
-                "at-least-one iteration has no closed form — move "
-                "the test to the top, or rewrite the loop as one "
+                "plpgsql: EXIT WHEN compiles in the LEADING position "
+                "(pre-test loop) or as the LAST body statement "
+                "(do-while, one-iteration unroll); a mid-body EXIT "
+                "WHEN skips only the statements after it — move the "
+                "test to either end, or rewrite the loop as one "
                 "set-oriented statement"
             )
         raise NotImplementedError(
@@ -2116,7 +2158,38 @@ def translate_plpgsql(query: str, resolve_cols=None) -> str | None:
 
 def try_handle_stmt(engine, query: str):
     """Engine.sql hook: CREATE FUNCTION ... LANGUAGE plpgsql routing
-    (DROP FUNCTION is shared with create_function.py)."""
+    (DROP FUNCTION is shared with create_function.py).  A SCALAR
+    function whose body carries dynamic EXECUTE routes to the
+    INTERPRETED registry (operators/do_block.py — the literal-derived
+    exec_stmt_dynexecute subset, run once per top-level call exactly
+    like a procedure); everything else compiles to an inlined SQL
+    macro as before."""
+    m = _CREATE_PLFN.match(query)
+    if m is not None:
+        from .create_function import _unquote_body
+
+        raw = m.group("body")
+        body = _strip_comments(
+            _unquote_body(raw, m.group("tag")) if raw.startswith("$")
+            else raw
+        )
+        ret = m.group("ret").strip()
+        scalar = m.group("tcols") is None and not re.match(
+            r"^SETOF\b", ret, re.IGNORECASE
+        )
+        if scalar and re.search(r"\bEXECUTE\s", _mask_strings(body),
+                                re.IGNORECASE):
+            from .do_block import register_interpreted_plfn
+
+            name = m.group("name").lower()
+            register_interpreted_plfn(
+                engine, name, _split_params(m.group("params")),
+                ret, body,
+            )
+            return engine.spark.createDataFrame(
+                [("CREATE FUNCTION", name)],
+                "tag STRING, function STRING",
+            )
 
     def _resolve(tbl: str) -> list[tuple[str, str]]:
         df = engine.table(tbl)
@@ -2706,4 +2779,128 @@ def plpgsql_case_stmt(spark, sf_dir):
     eng.sql("DROP FUNCTION gate_prio_band")
     return spark.createDataFrame(
         rows, "band STRING, n BIGINT, total DOUBLE"
+    )
+
+
+@_register_query(
+    "plpgsql_dynexecute_function",
+    """
+    SELECT CAST(r_regionkey AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_regionkey = r_regionkey) AS BIGINT) AS n,
+           CAST((SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6)))
+                             AS DOUBLE) FROM supplier
+                 WHERE s_nationkey = r_regionkey) AS DOUBLE) AS bal
+    FROM region ORDER BY k
+    """,
+)
+def plpgsql_dynexecute_function(spark, sf_dir):
+    """Dynamic EXECUTE inside CREATE FUNCTION bodies — pl_exec.cpp:139
+    exec_stmt_dynexecute, the literal-derived subset, now reachable
+    from LANGUAGE plpgsql functions (not just DO blocks/procedures):
+    the function registers INTERPRETED (operators/do_block.py
+    register_interpreted_plfn) and each top-level call runs the body
+    driver-side with the statement text composed from || / format()
+    literals — `EXECUTE ... INTO` binding, `USING` parameters, IF
+    control flow, and RETURN all exercised.  The composed statements
+    themselves are ordinary distributed plans.
+
+    Scale: one driver-side call per invocation (protocol-sized, like
+    CALL); the inner statements are full Catalyst plans over the
+    relations — dynamic SQL is string composition plus the existing
+    planner, never a row loop."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_dyn_count(k int) RETURNS bigint AS $$
+        DECLARE
+            n bigint;
+            t text := 'nation';
+        BEGIN
+            EXECUTE 'SELECT COUNT(*) FROM ' || t
+                    || ' WHERE n_regionkey = ' || k INTO n;
+            IF n IS NULL THEN
+                RETURN 0;
+            END IF;
+            RETURN n;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    eng.sql("""
+        CREATE FUNCTION gate_dyn_bal(k int) RETURNS double precision
+        AS $$
+        DECLARE bal double precision;
+        BEGIN
+            EXECUTE format(
+                'SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6)))
+                 AS DOUBLE) FROM supplier WHERE s_nationkey = $1')
+                INTO bal USING k;
+            RETURN bal;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    rows = []
+    for k in range(5):
+        n = eng.sql(f"SELECT gate_dyn_count({k}) AS v").collect()[0].v
+        bal = eng.sql(f"SELECT gate_dyn_bal({k}) AS v").collect()[0].v
+        rows.append((k, int(n), bal))
+    eng.sql("DROP FUNCTION gate_dyn_count")
+    eng.sql("DROP FUNCTION gate_dyn_bal")
+    return spark.createDataFrame(rows, "k INT, n BIGINT, bal DOUBLE")
+
+
+@_register_query(
+    "plpgsql_do_while",
+    """
+    WITH keys AS (SELECT DISTINCT c_nationkey FROM customer),
+    calc AS (
+      SELECT c_nationkey, CAST(c_nationkey AS BIGINT) AS n FROM keys
+    )
+    SELECT c_nationkey,
+           CAST(CASE WHEN n >= 1 THEN (n*(n+1))//2 * 10 + n + 1
+                     ELSE 12 END AS BIGINT) AS dw_stat
+    FROM calc ORDER BY c_nationkey
+    """,
+)
+def plpgsql_do_while(spark, sf_dir):
+    """Do-while loops — bare LOOP with a TAIL ``EXIT WHEN``
+    (pl_exec.cpp:114 exec_stmt_loop + exec_stmt_exit at the body's
+    end; the remaining common loop shape after r9's leading-EXIT
+    form): compiled as a ONE-ITERATION UNROLL of the body followed by
+    the inverted pre-test counter-WHILE closed form.  The oracle
+    encodes do-while's defining boundary: n = 0 still runs the body
+    once (the 12 arm), where a pre-test loop would run zero times.
+
+    Scale: identical to the WHILE gate — no iteration at runtime, one
+    explode(sequence) aggregate per call site, closed-form post-loop
+    counter."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_dw_sum(n int) RETURNS bigint AS $$
+        DECLARE
+            i bigint := 1;
+            total bigint := 0;
+        BEGIN
+            LOOP
+                total := total + i;
+                i := i + 1;
+                EXIT WHEN i > n;
+            END LOOP;
+            RETURN total * 10 + i;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT c_nationkey,"
+        " gate_dw_sum(CAST(c_nationkey AS INT)) AS dw_stat"
+        " FROM (SELECT DISTINCT c_nationkey FROM customer)"
+        " ORDER BY c_nationkey"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_dw_sum")
+    return spark.createDataFrame(
+        rows, "c_nationkey BIGINT, dw_stat BIGINT"
     )

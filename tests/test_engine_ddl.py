@@ -2595,6 +2595,59 @@ def test_plpgsql_exception_blocks(spark):
         """)
 
 
+def test_plpgsql_dynexecute_function(spark, tmp_path):
+    """Dynamic EXECUTE inside CREATE FUNCTION bodies runs INTERPRETED
+    (pl_exec.cpp:139 exec_stmt_dynexecute behind the function env):
+    ||-composed and format()-templated statements with INTO/USING,
+    IF + RETURN control flow, EXCEPTION frames, alias handling,
+    per-row refusal, non-literal template refusal, and DROP."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE FUNCTION dyn_cnt(tbl text, lim int) RETURNS bigint AS $$
+        DECLARE n bigint;
+        BEGIN
+            EXECUTE 'SELECT COUNT(*) FROM ' || tbl
+                    || ' WHERE n_nationkey < $1' INTO n USING lim;
+            IF n > 100 THEN RETURN -1; END IF;
+            RETURN n;
+        END; $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT dyn_cnt('nation', 7) AS c").collect()[0].c == 7
+    # default alias = function name
+    assert eng.sql("SELECT dyn_cnt('nation', 3)").collect()[0].dyn_cnt == 3
+    # RETURN inside an EXCEPTION frame
+    eng.sql("""
+        CREATE FUNCTION dyn_safe(d int) RETURNS int AS $$
+        DECLARE v int;
+        BEGIN
+            EXECUTE 'SELECT 10 / ' || d INTO v;
+            RETURN v;
+        EXCEPTION WHEN division_by_zero THEN RETURN -99;
+        END; $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT dyn_safe(2) AS v").collect()[0].v == 5
+    assert eng.sql("SELECT dyn_safe(0) AS v").collect()[0].v == -99
+    # per-row invocation refuses with the rewrite named
+    with pytest.raises(NotImplementedError, match="interpreted"):
+        eng.sql("SELECT dyn_cnt(n_name, 5) FROM nation").collect()
+    # non-literal template text still refuses at call time
+    eng.sql("""
+        CREATE FUNCTION dyn_bad(q text) RETURNS bigint AS $$
+        DECLARE n bigint;
+        BEGIN
+            EXECUTE reverse(q) INTO n;
+            RETURN n;
+        END; $$ LANGUAGE plpgsql
+    """)
+    with pytest.raises(NotImplementedError, match="literal"):
+        eng.sql("SELECT dyn_bad('x')").collect()
+    r = eng.sql("DROP FUNCTION dyn_cnt").collect()[0]
+    assert bool(r.existed)
+    with pytest.raises(Exception):
+        eng.sql("SELECT dyn_cnt('nation', 7)").collect()
+
+
 def test_do_block_dynamic_execute(spark, tmp_path):
     """Dynamic EXECUTE in DO blocks, literal-derived subset
     (pl_exec.cpp:139 exec_stmt_dynexecute): format(%I/%L/%s/%%)

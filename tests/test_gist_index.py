@@ -311,3 +311,58 @@ def test_spgist_spelling_and_partial_index(eng):
             " o_totalprice AS p FROM orders WHERE o_orderkey <= 50")
     eng.sql("CREATE INDEX pidx ON pit (k) WHERE p > 1000")
     assert "pidx" in eng._btree_indexes
+
+
+def test_poly_opclass_recheck(eng):
+    """The lossy poly opclass (gist_poly_compress :925): MBR keys +
+    exact ray-cast recheck must equal brute-force point-in-polygon on
+    every row; the MBR phase must actually prune (a point outside a
+    polygon's MBR is never rechecked); appends maintain incrementally
+    like the other opclasses."""
+    eng.sql(
+        "CREATE TABLE gpoly AS SELECT vec_id, array("
+        " CAST(element_at(embedding, 1) AS DOUBLE) + 0.03,"
+        " CAST(element_at(embedding, 2) AS DOUBLE),"
+        " CAST(element_at(embedding, 1) AS DOUBLE),"
+        " CAST(element_at(embedding, 2) AS DOUBLE) + 0.02,"
+        " CAST(element_at(embedding, 1) AS DOUBLE) - 0.03,"
+        " CAST(element_at(embedding, 2) AS DOUBLE),"
+        " CAST(element_at(embedding, 1) AS DOUBLE),"
+        " CAST(element_at(embedding, 2) AS DOUBLE) - 0.02"
+        ") AS poly FROM embeddings WHERE embedding IS NOT NULL"
+    )
+    eng.sql("CREATE INDEX gp_gist ON gpoly USING gist (poly(poly))")
+    idx = eng.gist_indexes["gp_gist"]
+    assert idx["kind"] == "poly"
+    for px, py in [(0.0412, 0.0273), (0.0, 0.0), (-0.9, 0.5)]:
+        got = sorted(
+            r.doc_id
+            for r in G.gist_poly_search(eng, "gp_gist", (px, py))
+                      .collect()
+        )
+        # brute force: diamond |dx|/0.03 + |dy|/0.02 < 1 — an
+        # independent closed form of the same geometry
+        want = sorted(
+            r.vec_id for r in eng.spark.table("gpoly").select(
+                "vec_id",
+                F.expr(
+                    "abs(element_at(poly, 1) - 0.03 - "
+                    f"{px}d) / 0.03d + "
+                    "abs(element_at(poly, 2) - "
+                    f"{py}d) / 0.02d AS m"
+                ),
+            ).collect() if r.m < 1.0
+        )
+        assert got == want, (px, py)
+    assert idx["last_search"]["recheck"] is True
+    # append: delta maintenance covers the new polygon
+    eng.sql(
+        "INSERT INTO gpoly SELECT 99991,"
+        " array(0.93d, 0.9d, 0.9d, 0.92d, 0.87d, 0.9d, 0.9d, 0.88d)"
+    )
+    got = sorted(
+        r.doc_id
+        for r in G.gist_poly_search(eng, "gp_gist", (0.9, 0.9)).collect()
+    )
+    assert 99991 in got
+    assert idx["last_maintenance"]["mode"] == "delta"

@@ -326,3 +326,63 @@ def test_for_loop_mixed_kinds_refuse():
     )
     with pytest.raises(NotImplementedError, match="mixes"):
         translate_plpgsql(src)
+
+
+@pytest.mark.parametrize(
+    "start,bound,step",
+    [
+        (1, 5, 1), (1, 1, 1), (1, 0, 1), (0, -3, 2), (2, 9, 3),
+        (-4, 4, 1), (5, 5, 2), (3, 2, 1), (0, 0, 1), (1, 10, 4),
+    ],
+)
+def test_do_while_matches_interpreter(spark, start, bound, step):
+    """Tail EXIT WHEN (do-while, pl_exec.cpp:114): the one-iteration
+    unroll + inverted pre-test closed form must agree with a direct
+    interpreter on every boundary — including bounds already exceeded
+    at entry, where do-while still runs the body exactly once."""
+    src = f"""CREATE FUNCTION dwp(x bigint) RETURNS bigint AS $$
+DECLARE total bigint := 0; i bigint := {start};
+BEGIN
+    LOOP
+        total := total + i * 3;
+        i := i + {step};
+        EXIT WHEN i > {bound};
+    END LOOP;
+    RETURN total * 1000 + i + x;
+END;
+$$ LANGUAGE plpgsql"""
+    ddl = translate_plpgsql(src)
+    assert ddl is not None
+    spark.sql(ddl)
+    for x in (-3, 1, 4):
+        # direct interpreter
+        total, i = 0, start
+        while True:
+            total += i * 3
+            i += step
+            if i > bound:
+                break
+        want = total * 1000 + i + x
+        got = spark.sql(
+            f"SELECT dwp(CAST({x} AS BIGINT)) AS r"
+        ).first().r
+        assert got == want, (start, bound, step, x)
+    spark.sql("DROP TEMPORARY FUNCTION dwp")
+
+
+def test_do_while_mid_body_exit_refuses():
+    """A mid-body EXIT WHEN skips only the statements after it — no
+    shared closed form; the compiler must refuse, never miscompile."""
+    src = """CREATE FUNCTION dwm(x int) RETURNS int AS $$
+DECLARE t int := 0; i int := 0;
+BEGIN
+    LOOP
+        t := t + i;
+        EXIT WHEN i > 3;
+        i := i + 1;
+    END LOOP;
+    RETURN t;
+END;
+$$ LANGUAGE plpgsql"""
+    with pytest.raises(NotImplementedError, match="mid-body"):
+        translate_plpgsql(src)
