@@ -273,10 +273,20 @@ class Engine:
         # otherwise (tsginidx.cpp vs TS_execute); identity without @@
         from .operators.gin_index import rewrite_array_ops, rewrite_tsmatch
 
-        query = rewrite_tsmatch(self, query)
-        # col @>/<@/&& ARRAY[...] → index semi-join or inline
-        # forall/arrays_overlap (ginarrayproc.cpp strategies)
-        query = rewrite_array_ops(self, query)
+        # an EXPLAIN wrapper defers the operator rewrites to its
+        # INNER engine.sql call, where the routing collector is armed
+        # — rewriting here would erase the operators before EXPLAIN
+        # could attribute them to an index
+        if not re.match(r"^\s*EXPLAIN\b", query, re.IGNORECASE):
+            query = rewrite_tsmatch(self, query)
+            # col @>/<@/&& ARRAY[...] → index semi-join or inline
+            # forall/arrays_overlap (ginarrayproc.cpp strategies)
+            query = rewrite_array_ops(self, query)
+            # box(cols) &&/@>/<@ box(lits) → gist semi-join or inline
+            # box algebra (geo_ops.cpp box operators)
+            from .operators.gist_index import rewrite_gist_ops
+
+            query = rewrite_gist_ops(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"
@@ -1031,8 +1041,29 @@ class Engine:
             if cols != "*":
                 out = out.select(*[c.strip() for c in cols.split(",")])
             return out
+        from .plans.explain import note_routing
         from .vector.hnsw import HnswIndex
 
+        idx_name = next(
+            (n for n, key in self._index_names.items()
+             if key == (table_name, col)), "?",
+        )
+        if isinstance(idx, HnswIndex):
+            note_routing(
+                self,
+                f"Index Scan using {idx_name} on {table_name} "
+                f"(hnsw {metric}): ef_search="
+                f"{self._gucs.get('hnsw.ef_search', 40)}, beamed "
+                f"shard graphs, k={k}",
+            )
+        else:
+            note_routing(
+                self,
+                f"Index Scan using {idx_name} on {table_name} "
+                f"(ivfflat {metric}): probes="
+                f"{self._gucs.get('ivfflat.probes', 1)} of "
+                f"{getattr(idx, 'lists', '?')} lists, k={k}",
+            )
         if isinstance(idx, HnswIndex):
             ef = self._gucs.get("hnsw.ef_search")
             if where is not None:

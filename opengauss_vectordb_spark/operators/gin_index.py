@@ -842,6 +842,15 @@ def rewrite_tsmatch(engine, query: str) -> str:
                     terms, kind = tk
                     _ensure_fresh(engine, name)
                     idx = engine.gin_indexes[name]
+                    from ..plans.explain import note_routing
+
+                    note_routing(
+                        engine,
+                        f"Index Scan using {name} on {idx['table']} "
+                        f"(gin fts): posting scan pruned to "
+                        f"{len(terms)} lexeme(s), "
+                        f"{1 + len(idx['delta_paths'])} layer(s)",
+                    )
                     inlist = ", ".join(f"'{t}'" for t in terms)
                     having = (
                         f" HAVING COUNT(DISTINCT lexeme) = {len(terms)}"
@@ -865,6 +874,15 @@ def rewrite_tsmatch(engine, query: str) -> str:
                     if sel is not None:
                         _ensure_fresh(engine, name)
                         idx = engine.gin_indexes[name]
+                        from ..plans.explain import note_routing
+
+                        note_routing(
+                            engine,
+                            f"Index Scan using {name} on "
+                            f"{idx['table']} (gin fts): posting set "
+                            f"algebra for {qtext.strip()!r}, "
+                            f"{1 + len(idx['delta_paths'])} layer(s)",
+                        )
                         sel = sel.replace("__v", _view_name(name))
                         return f"{id_ref_pfx}{idx['id_col']} IN ({sel})"
         return _inline_predicate(col, qtext)
@@ -892,6 +910,15 @@ def rewrite_tsmatch(engine, query: str) -> str:
                 _ensure_fresh(engine, name)
                 idx = engine.gin_indexes[name]
                 q = _py_trigrams(probe)
+                from ..plans.explain import note_routing
+
+                note_routing(
+                    engine,
+                    f"Index Scan using {name} on {idx['table']} "
+                    f"(gin trgm): posting scan pruned to {len(q)} "
+                    f"trigram(s), similarity >= {limit}, "
+                    f"{1 + len(idx['delta_paths'])} layer(s)",
+                )
                 inlist = ", ".join(
                     "'" + t.replace("'", "''") + "'" for t in q
                 )
@@ -1064,6 +1091,14 @@ def rewrite_array_ops(engine, query: str) -> str:
             if ok:
                 vals = [v.strip("'") for v in raw]
                 _ensure_fresh(engine, name)
+                from ..plans.explain import note_routing
+
+                note_routing(
+                    engine,
+                    f"Index Scan using {name} on {idx['table']} "
+                    f"(gin array): {op} over {len(vals)} element(s), "
+                    f"{1 + len(idx['delta_paths'])} layer(s)",
+                )
                 df = gin_array_search(engine, name, op, vals)
                 view = (f"__ginarr_{name}_"
                         f"{abs(hash((op, tuple(vals)))) % 10**8}")

@@ -684,6 +684,94 @@ def gist_poly_search(engine, index_name: str,
     )
 
 
+# box(a,b,c,d) <op> box(l1,l2,l3,l4) — the rtree operators in SQL
+# text over a four-column box with a literal query box (geo_ops.cpp
+# box_overlap/box_contain/box_contained; the reference spells the
+# literal `box '(x1,y1),(x2,y2)'`, the columnar dialect spells both
+# sides box(...)).
+_GIST_BOX_OP = re.compile(
+    r"\bbox\s*\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*){3})"
+    r"\s*\)\s*(?P<op>&&|@>|<@)\s*box\s*\(\s*"
+    r"(?P<lits>-?\d+(?:\.\d+)?(?:\s*,\s*-?\d+(?:\.\d+)?){3})\s*\)",
+    re.IGNORECASE,
+)
+
+_GIST_OP_NAMES = {"&&": "overlap", "@>": "contains", "<@": "contained"}
+
+
+def rewrite_gist_ops(engine, query: str) -> str:
+    """Box operators in SQL text → an index-backed semi-join when a
+    box-opclass gist index covers the exact column tuple on the
+    unique scanned relation (the gin rewrite resolution rule), else
+    the inline normalized box algebra (always correct, whole-stage
+    codegen).  Identity when no operator appears."""
+    from .gin_index import _literal_spans, _scan_refs
+
+    if not _GIST_BOX_OP.search(query):
+        return query
+    spans = _literal_spans(query)
+    refs = _scan_refs(query)
+
+    def _sub(m: re.Match) -> str:
+        if any(a <= m.start() <= b for a, b in spans):
+            return m.group(0)
+        cols = [c.strip().lower() for c in m.group("cols").split(",")]
+        lits = [float(v) for v in m.group("lits").split(",")]
+        q = (min(lits[0], lits[2]), min(lits[1], lits[3]),
+             max(lits[0], lits[2]), max(lits[1], lits[3]))
+        op = _GIST_OP_NAMES[m.group("op")]
+        # routed: the unique scanned relation owning every coordinate
+        # column, carrying a box gist index on exactly this tuple
+        cands = []
+        for t, qual in refs:
+            for name, idx in getattr(engine, "gist_indexes",
+                                     {}).items():
+                if idx["table"] != t or idx["kind"] != "box" \
+                        or idx["cols"] != cols:
+                    continue
+                try:
+                    owned = [c.lower()
+                             for c in engine.spark.table(t).columns]
+                except Exception:
+                    continue
+                if all(c in owned for c in cols):
+                    cands.append((name, qual if len(refs) > 1 else ""))
+        if len(cands) == 1:
+            name, qual = cands[0]
+            idx = engine.gist_indexes[name]
+            df = gist_search(engine, name, op, q).select("doc_id")
+            ls = idx["last_search"]
+            from ..plans.explain import note_routing
+
+            note_routing(
+                engine,
+                f"Index Scan using {name} on {idx['table']} "
+                f"(gist box): strategy {op}, buckets read "
+                f"{ls['buckets_read']}, pruned {ls['buckets_pruned']}",
+            )
+            view = (f"__gist_{name}_"
+                    f"{abs(hash((op, q))) % 10**8}")
+            df.createOrReplaceTempView(view)
+            pfx = f"{qual}." if qual else ""
+            return (f"{pfx}{idx['id_col']} IN "
+                    f"(SELECT doc_id FROM {view})")
+        # inline fallback: normalized box algebra over the columns
+        a, b, c, d = cols
+        x1, y1 = f"least({a}, {c})", f"least({b}, {d})"
+        x2, y2 = f"greatest({a}, {c})", f"greatest({b}, {d})"
+        qx1, qy1, qx2, qy2 = q
+        if op == "overlap":
+            return (f"({x1} <= {qx2} AND {x2} >= {qx1}"
+                    f" AND {y1} <= {qy2} AND {y2} >= {qy1})")
+        if op == "contains":
+            return (f"({x1} <= {qx1} AND {x2} >= {qx2}"
+                    f" AND {y1} <= {qy1} AND {y2} >= {qy2})")
+        return (f"({x1} >= {qx1} AND {x2} <= {qx2}"
+                f" AND {y1} >= {qy1} AND {y2} <= {qy2})")
+
+    return _GIST_BOX_OP.sub(_sub, query)
+
+
 # ------------------------------------------------------------ DDL
 
 

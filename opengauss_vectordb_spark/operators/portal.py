@@ -189,7 +189,20 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
     m = _EXPLAIN.match(query)
     if m:
-        df = engine.sql(m.group("stmt"))
+        # arm the index-routing collector: rewrites and the ANN
+        # router note "Index Scan using <name> ..." lines with their
+        # pruned-unit counts (explain.cpp's index-scan nodes — the
+        # user-visible proof the statement is index-served)
+        prev = getattr(engine, "last_index_routing", None)
+        engine.last_index_routing = []
+        try:
+            df = engine.sql(m.group("stmt"))
+            routing = list(engine.last_index_routing)
+        finally:
+            if prev is None:
+                del engine.last_index_routing
+            else:
+                engine.last_index_routing = prev
         if m.group("analyze"):
             # instrumented run (explain.cpp's ANALYZE executes the plan)
             df.write.format("noop").mode("overwrite").save()
@@ -200,7 +213,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain(mode)
-        lines = [(line,) for line in buf.getvalue().splitlines()]
+        lines = [(line,) for line in routing]
+        lines += [(line,) for line in buf.getvalue().splitlines()]
         return engine.spark.createDataFrame(lines, "`QUERY PLAN` STRING")
     return None
 

@@ -18,6 +18,16 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def note_routing(engine, line: str) -> None:
+    """Record an index-routing decision for EXPLAIN (explain.cpp's
+    "Index Scan using <name>" line, the user-visible proof a query is
+    index-served).  No-op unless EXPLAIN armed the collector — routed
+    execution itself never pays for the bookkeeping."""
+    lst = getattr(engine, "last_index_routing", None)
+    if lst is not None:
+        lst.append(line)
+
+
 def formatted_plan(df: DataFrame) -> str:
     import contextlib
     import io

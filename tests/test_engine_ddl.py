@@ -2709,14 +2709,16 @@ def test_do_block_dynamic_execute(spark, tmp_path):
             BEGIN EXECUTE 'SELECT n_nationkey FROM nation WHERE 1=0'
                 INTO STRICT x; END; $$
         """)
-    # plpgsql FUNCTIONS still refuse EXECUTE (per-row dynamic SQL has
-    # no inlined form)
+    # scalar plpgsql FUNCTIONS with EXECUTE register INTERPRETED
+    # since round 10 (test_plpgsql_dynexecute_function covers the
+    # surface); a SETOF body still refuses — per-row dynamic SQL has
+    # no inlined form
     with pytest.raises(NotImplementedError, match="EXECUTE"):
         eng.sql("""
-            CREATE FUNCTION fdyn(x int) RETURNS int AS $$
+            CREATE FUNCTION fdyn(x int) RETURNS SETOF bigint AS $$
             BEGIN
                 EXECUTE 'SELECT 1';
-                RETURN 1;
+                RETURN QUERY SELECT 1;
             END;
             $$ LANGUAGE plpgsql
         """)
@@ -2725,8 +2727,8 @@ def test_do_block_dynamic_execute(spark, tmp_path):
 def test_plpgsql_exit_when_loop(spark):
     """Bare LOOP with a LEADING EXIT WHEN (pl_exec.cpp
     exec_stmt_exit): a pre-test counter loop that rewrites to the
-    counter-WHILE closed form; tail EXIT WHEN (do-while) and
-    non-counter conditions refuse naming the rewrite."""
+    counter-WHILE closed form; tail EXIT WHEN compiles as do-while
+    (round 10); non-counter conditions refuse naming the rewrite."""
     eng = Engine(spark, SF_CORRECT)
     eng.sql("""
         CREATE FUNCTION exit_sum(n int) RETURNS bigint AS $$
@@ -2744,16 +2746,21 @@ def test_plpgsql_exit_when_loop(spark):
     assert eng.sql("SELECT exit_sum(4) AS v").collect()[0].v == 105
     assert eng.sql("SELECT exit_sum(0) AS v").collect()[0].v == 1
     eng.sql("DROP FUNCTION exit_sum")
-    with pytest.raises(NotImplementedError, match="LEADING position"):
-        eng.sql("""
-            CREATE FUNCTION ew1(n int) RETURNS bigint AS $$
-            DECLARE t bigint := 0;
-            BEGIN
-                LOOP t := t + 1; EXIT WHEN t > n; END LOOP;
-                RETURN t;
-            END;
-            $$ LANGUAGE plpgsql
-        """)
+    # tail EXIT WHEN is do-while — compiles since round 10 via the
+    # one-iteration unroll (t advances once, then 2 > n exits for
+    # n <= 1; otherwise runs to the first t failing t <= n)
+    eng.sql("""
+        CREATE FUNCTION ew1(n int) RETURNS bigint AS $$
+        DECLARE t bigint := 0;
+        BEGIN
+            LOOP t := t + 1; EXIT WHEN t > n; END LOOP;
+            RETURN t;
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT ew1(4) AS v").collect()[0].v == 5
+    assert eng.sql("SELECT ew1(0) AS v").collect()[0].v == 1
+    eng.sql("DROP FUNCTION ew1")
     with pytest.raises(NotImplementedError, match="counter conditions"):
         eng.sql("""
             CREATE FUNCTION ew2(n int) RETURNS bigint AS $$
@@ -3965,3 +3972,55 @@ def test_set_current_schema(spark, tmp_path):
     eng.sql("RESET current_schema")
     with pytest.raises(Exception, match="t9"):
         eng.sql("SELECT k FROM t9").collect()
+
+
+def test_explain_names_routed_indexes(spark, tmp_path):
+    """EXPLAIN on an index-routed statement must NAME the serving
+    index and its pruned-unit counts (explain.cpp's 'Index Scan
+    using <name>' evidence) for all four text-routable AMs: gin fts
+    (@@), gin trgm (%), gist box (&&), and ANN (ORDER BY <->) —
+    and an unrouted statement must carry no routing line."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+
+    def plan(stmt):
+        return "\n".join(
+            r["QUERY PLAN"] for r in eng.sql("EXPLAIN " + stmt).collect()
+        )
+
+    eng.sql("CREATE TABLE exr AS SELECT * FROM VALUES"
+            " (1, 'alpha beta'), (2, 'beta gamma') AS t(doc_id, body)")
+    eng.sql("CREATE INDEX exr_gin ON exr USING gin (body)")
+    p = plan("SELECT doc_id FROM exr"
+             " WHERE to_tsvector(body) @@ to_tsquery('beta & alpha')")
+    assert "Index Scan using exr_gin" in p and "2 lexeme(s)" in p
+    eng.sql("CREATE INDEX exr_trgm ON exr"
+            " USING gin (body gin_trgm_ops)")
+    p = plan("SELECT doc_id FROM exr WHERE body % 'alpha'")
+    assert "Index Scan using exr_trgm" in p and "trigram(s)" in p
+    # gist box operators in SQL text route (and inline-fallback
+    # answers stay identical without the index)
+    eng.sql("CREATE TABLE exb AS SELECT * FROM VALUES"
+            " (1, 0.0d, 0.0d, 1.0d, 1.0d),"
+            " (2, 5.0d, 5.0d, 6.0d, 6.0d) AS t(rid, x1, y1, x2, y2)")
+    q = ("SELECT rid FROM exb"
+         " WHERE box(x1, y1, x2, y2) && box(0.5, 0.5, 5.5, 5.5)"
+         " ORDER BY rid")
+    inline = [r.rid for r in eng.sql(q).collect()]
+    assert inline == [1, 2]
+    eng.sql("CREATE INDEX exb_gist ON exb"
+            " USING gist (box(x1, y1, x2, y2))")
+    assert [r.rid for r in eng.sql(q).collect()] == inline
+    p = plan(q)
+    assert "Index Scan using exb_gist" in p and "buckets read" in p
+    # ANN: canonical ORDER BY <-> routes through the ivfflat index
+    eng.sql("CREATE INDEX exv_ivf ON embeddings"
+            " USING ivfflat (embedding vector_l2_ops)"
+            " WITH (lists = 4)")
+    p = plan("SELECT vec_id FROM embeddings"
+             " ORDER BY embedding <-> '[0.1, 0.2, 0.3]' LIMIT 5")
+    assert "Index Scan using exv_ivf" in p and "probes=" in p
+    eng.sql("DROP INDEX exv_ivf")
+    # no routing line on a plain statement
+    p = plan("SELECT COUNT(*) FROM exr")
+    assert "Index Scan using" not in p
