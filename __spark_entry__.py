@@ -90,11 +90,11 @@ registry.load_all_queries()
 # codegen'd struct expression, DuckDB's native age as the oracle).
 #
 # ROUND 10 window (exactly 50): (a) those 13 rows front-loaded as the
-# first first-evers, per the r9 verdict; (b) the three round-10
-# registrations; (c) churn re-gates; (d) the oldest 30 rows of the
-# 46-entry r3 stale tail (the 16-row remainder — setops, sql_compat,
+# first first-evers, per the r9 verdict; (b) the four round-10
+# registrations; (c) churn re-gates; (d) the oldest 29 rows of the
+# 46-entry r3 stale tail (the 17-row remainder — setops, sql_compat,
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
-# string_funcs — rotates first in r11).
+# string_funcs, sample_deterministic — rotates first in r11).
 GATE_PRIORITY: list[str] = [
     # (a) the 13 round-9 registrations that froze out of the r9
     # window — first-ever driver gate rows (all 13 oracle-verified
@@ -119,6 +119,7 @@ GATE_PRIORITY: list[str] = [
     "plpgsql_dynexecute_function",
     "plpgsql_do_while",
     "gist_poly_contains",
+    "plpgsql_cursor_fetch",
     # (c) churned-code re-gates this round: gin_index.py (array-op
     # routing now resolves FROM/JOIN refs + elem-type literal guard;
     # posting-level compaction), gist_index.py (posting-level
@@ -162,7 +163,6 @@ GATE_PRIORITY: list[str] = [
     "recursive_cte_native",
     "recursive_series",
     "sample_cluster_balanced",
-    "sample_deterministic",
 ]
 
 

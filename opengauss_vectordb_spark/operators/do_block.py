@@ -79,23 +79,20 @@ _UNSUPPORTED = [
                 re.IGNORECASE),
      "only FOR <rec> IN SELECT/<bound cursor>/EXECUTE '<literal>' "
      "LOOP bodies made of accumulator assignments execute (as ONE "
-     "aggregate statement); WHILE/FOREACH/bare LOOP have no "
-     "set-oriented form here — rewrite as one statement "
-     "(INSERT/UPDATE ... SELECT)"),
-    (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
-     "unbound cursors (OPEN/FETCH) inside DO blocks: bound-cursor "
-     "FOR loops execute; otherwise DECLARE CURSOR at the session "
-     "level"),
+     "aggregate statement), plus the cursor fetch-loop shape "
+     "(LOOP FETCH c INTO ...; EXIT WHEN NOT FOUND; ...); "
+     "WHILE/FOREACH/other bare LOOPs have no set-oriented form here "
+     "— rewrite as one statement (INSERT/UPDATE ... SELECT)"),
 ]
 
 
 def _scan_unsupported(masked: str, where: str) -> None:
     """Refuse constructs with no set-oriented execution — but blank
-    FOR ... END LOOP constructs first (the supported loop shape; a
-    bad FOR body still refuses later, in _parse_loop_accs, with the
+    FOR ... END LOOP constructs and cursor fetch-loops first (the
+    supported loop shapes; a bad body still refuses later with the
     aggregate-shape message) — the plpgsql.py:2040 convention."""
     scan = re.sub(
-        r"\bFOR\s+\w+\s+IN\b.*?\bEND\s+LOOP\b",
+        r"\b(?:FOR\s+\w+\s+IN\b|LOOP\s+FETCH\b).*?\bEND\s+LOOP\b",
         " ", masked, flags=re.IGNORECASE | re.DOTALL,
     )
     for pat, why in _UNSUPPORTED:
@@ -117,7 +114,11 @@ def _sql_literal(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "CAST('NaN' AS DOUBLE)"
-        return repr(v)
+        # a bare decimal literal parses as DECIMAL in Spark SQL,
+        # which would silently switch a double variable's arithmetic
+        # to exact decimal — the CAST keeps float8 semantics (PG's
+        # variable substitution preserves the declared type)
+        return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
@@ -160,6 +161,10 @@ class _DoRunner:
         # bound cursors (DECLARE c CURSOR FOR/IS <query>): name →
         # query text, consumed by cursor FOR loops (exec_stmt_forc)
         self.cursors: dict[str, str] = {}
+        # OPENed cursors (exec_stmt_open): name → streaming row
+        # iterator (toLocalIterator — partition-at-a-time transport,
+        # never a full materialization)
+        self.open_cursors: dict = {}
 
     def _set_found(self, hit: bool) -> None:
         """exec_set_found — SELECT INTO, PERFORM and DML update the
@@ -214,6 +219,9 @@ class _DoRunner:
                     var, src, lbody, pos = pf
                     self._exec_for_loop(var, src, lbody)
                     continue
+            if re.match(r"LOOP\b", rest, re.IGNORECASE):
+                pos = self._exec_fetch_loop(text, pos + off)
+                continue
             stmt, pos = _scan_stmt(text, pos + off)
             if not stmt:
                 continue
@@ -260,6 +268,92 @@ class _DoRunner:
             self.env[acc] = row[acc]
         self._set_found(row["__n"] > 0)
         self.executed += 1
+
+    def _exec_fetch_loop(self, text: str, pos: int) -> int:
+        """``LOOP FETCH c INTO vars; EXIT WHEN NOT FOUND; <acc stmts>
+        END LOOP`` — the canonical cursor fetch loop (pl_exec.cpp
+        exec_stmt_fetch driving exec_stmt_loop) IS a bound-cursor FOR
+        loop in disguise: it rewrites to ``FOR rec IN <cursor query>
+        LOOP`` with the fetch variables renamed to the record's
+        columns, and executes as ONE distributed aggregate — the
+        row-at-a-time protocol shape never reaches the executor.
+        Post-loop, PG's own semantics hold: the failed FETCH left the
+        targets NULL and FOUND false.  Returns the position after END
+        LOOP; any other bare-LOOP shape refuses naming the rewrite."""
+        from .plpgsql import _LOOP_TOKEN
+
+        masked = _mask_strings(text)
+        body_start = pos + 4
+        depth = 1
+        end_start = end_after = None
+        for mt in _LOOP_TOKEN.finditer(masked, body_start):
+            if mt.group(0).upper().startswith("END"):
+                depth -= 1
+                if depth == 0:
+                    end_start, end_after = mt.start(), mt.end()
+                    break
+            else:
+                depth += 1
+        if end_start is None:
+            raise ValueError("LOOP without END LOOP")
+        body = text[body_start:end_start]
+        stmts = []
+        bpos = 0
+        while bpos < len(body):
+            s, bpos = _scan_stmt(body, bpos)
+            if s:
+                stmts.append(s)
+        mf = (re.match(
+            r"FETCH\s+(?:NEXT\s+)?(?:FROM\s+)?(?P<c>\w+)\s+INTO\s+"
+            r"(?P<vs>\w+(?:\s*,\s*\w+)*)$", stmts[0], re.IGNORECASE)
+            if stmts else None)
+        ok_exit = len(stmts) >= 2 and re.fullmatch(
+            r"EXIT\s+WHEN\s+NOT\s+FOUND", stmts[1].strip(),
+            re.IGNORECASE)
+        cname = mf.group("c").lower() if mf else None
+        qtext = None
+        if cname is not None:
+            qtext = self.cursors.get(cname)
+            if qtext is None and cname in self.open_cursors \
+                    and self.open_cursors[cname]["it"] is None:
+                # OPEN ... FOR <query>, untouched: its bound text
+                # (already env-substituted) serves the loop
+                qtext = self.open_cursors[cname]["q"]
+        if mf is None or not ok_exit or qtext is None:
+            raise NotImplementedError(
+                "bare LOOP: only the cursor fetch-loop shape executes "
+                "(LOOP FETCH <bound cursor> INTO vars; EXIT WHEN NOT "
+                "FOUND; <accumulator stmts>; END LOOP — rewritten to "
+                "the bound-cursor FOR aggregate); otherwise rewrite "
+                "as one set-oriented statement or a FOR loop"
+            )
+        q = qtext
+        cols = self.engine.sql(_subst_values(q, self.env)).columns
+        names = [v.strip().lower() for v in mf.group("vs").split(",")]
+        if len(names) > len(cols):
+            raise ValueError(
+                f"FETCH {cname}: {len(names)} target variable(s) for "
+                f"{len(cols)} cursor column(s)"
+            )
+        rest_body = " ".join(s + ";" for s in stmts[2:])
+        for i, v in enumerate(names):
+            pat = re.compile(rf"(?<!\.)\b{re.escape(v)}\b",
+                             re.IGNORECASE)
+            spos = 0
+            while True:
+                mv = pat.search(_mask_strings(rest_body), spos)
+                if mv is None:
+                    break
+                rep = f"__crec.{cols[i]}"
+                rest_body = (rest_body[:mv.start()] + rep
+                             + rest_body[mv.end():])
+                spos = mv.start() + len(rep)
+        self._exec_for_loop("__crec", q, rest_body)
+        # the loop ended on a failed FETCH: targets NULL, FOUND false
+        for v in names:
+            self.env[v] = None
+        self._set_found(False)
+        return end_after
 
     def _exec_stmt(self, stmt: str) -> None:
         m = re.match(
@@ -377,6 +471,60 @@ class _DoRunner:
                      re.IGNORECASE | re.DOTALL)
         if m:
             self._exec_dynexecute(m.group("rest"))
+            return
+        # OPEN c / OPEN c FOR <query> — pl_exec.cpp exec_stmt_open:
+        # bind the cursor's query (the bound declaration, or the OPEN
+        # FOR text) and start a STREAMING row iterator — partitions
+        # arrive on demand, the result is never materialized whole
+        m = re.match(r"OPEN\s+(?P<c>\w+)\s*(?:FOR\s+(?P<q>.+))?$",
+                     stmt, re.IGNORECASE | re.DOTALL)
+        if m:
+            name = m.group("c").lower()
+            q = m.group("q") or self.cursors.get(name)
+            if q is None:
+                raise KeyError(
+                    f"OPEN {name}: not a declared bound cursor and no "
+                    "FOR <query> given (DECLARE <c> CURSOR FOR "
+                    "<query>, or OPEN <c> FOR <query>)"
+                )
+            # the query binds at OPEN (env values substituted NOW,
+            # pl_exec's open-time parameter snapshot) but no job runs
+            # until the first FETCH — a fetch LOOP over this cursor
+            # compiles to one aggregate and never touches the iterator
+            self.open_cursors[name] = {
+                "q": _subst_values(q, self.env), "it": None,
+            }
+            self.executed += 1
+            return
+        # FETCH [NEXT] [FROM] c INTO v1[, ...] — exec_stmt_fetch: one
+        # row from the open iterator (streaming toLocalIterator,
+        # started on first fetch), positional binding; exhaustion
+        # sets the targets NULL and FOUND false (PG's rule)
+        m = re.match(
+            r"FETCH\s+(?:NEXT\s+)?(?:FROM\s+)?(?P<c>\w+)\s+INTO\s+"
+            r"(?P<vs>\w+(?:\s*,\s*\w+)*)$",
+            stmt, re.IGNORECASE,
+        )
+        if m:
+            name = m.group("c").lower()
+            if name not in self.open_cursors:
+                raise KeyError(f"FETCH {name}: cursor is not open")
+            cur = self.open_cursors[name]
+            if cur["it"] is None:
+                cur["it"] = iter(
+                    self.engine.sql(cur["q"]).toLocalIterator()
+                )
+            row = next(cur["it"], None)
+            names = [v.strip().lower() for v in m.group("vs").split(",")]
+            for i, v in enumerate(names):
+                self.env[v] = None if row is None else row[i]
+            self._set_found(row is not None)
+            self.executed += 1
+            return
+        m = re.match(r"CLOSE\s+(?P<c>\w+)$", stmt, re.IGNORECASE)
+        if m and m.group("c").lower() in self.open_cursors:
+            del self.open_cursors[m.group("c").lower()]
+            self.executed += 1
             return
         # PERFORM <query> = run and discard (pl_exec exec_stmt_perform)
         m = re.match(r"PERFORM\s+(?P<q>.+)$", stmt,
@@ -1485,3 +1633,84 @@ def do_block_exception_rollback(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register_query(
+    "plpgsql_cursor_fetch",
+    """
+    WITH ks AS (SELECT CAST(r_regionkey AS INT) AS k FROM region),
+    top2 AS (
+      SELECT k,
+             (SELECT CAST(s_acctbal AS DOUBLE) FROM supplier
+              WHERE s_nationkey = k
+              ORDER BY s_acctbal DESC, s_suppkey LIMIT 1) AS a,
+             (SELECT CAST(s_acctbal AS DOUBLE) FROM supplier
+              WHERE s_nationkey = k
+              ORDER BY s_acctbal DESC, s_suppkey LIMIT 1 OFFSET 1)
+               AS b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier
+              WHERE s_nationkey = k) AS n
+      FROM ks
+    )
+    SELECT k, COALESCE(a, 0.0) + COALESCE(b, 0.0) AS top2_bal,
+           n AS n_sup
+    FROM top2 ORDER BY k
+    """,
+)
+def plpgsql_cursor_fetch(spark, sf_dir):
+    """OPEN/FETCH/CLOSE cursors inside plpgsql function bodies
+    (pl_exec.cpp exec_stmt_open/fetch/close — the r9 verdict's
+    missing-item cursors half): straight-line FETCHes bind the top-2
+    rows of an ORDER BY cursor (protocol-sized, the psql pagination
+    shape), and the canonical ``LOOP FETCH ...; EXIT WHEN NOT FOUND``
+    loop compiles to ONE bound-cursor FOR aggregate — the driver
+    never iterates rows.
+
+    Scale: OPEN is lazy (no job until the first FETCH), each FETCH
+    streams one row via toLocalIterator (partition-at-a-time), and
+    the fetch LOOP is a distributed aggregate — identical plan to the
+    FOR loop it desugars into."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_cur_top2(k int) RETURNS double precision
+        AS $$
+        DECLARE c CURSOR FOR SELECT CAST(s_acctbal AS DOUBLE) AS b
+                 FROM supplier WHERE s_nationkey = k
+                 ORDER BY s_acctbal DESC, s_suppkey;
+                a double precision; b double precision;
+        BEGIN
+            OPEN c;
+            FETCH c INTO a;
+            FETCH c INTO b;
+            CLOSE c;
+            RETURN coalesce(a, 0) + coalesce(b, 0);
+        END $$ LANGUAGE plpgsql
+    """)
+    eng.sql("""
+        CREATE FUNCTION gate_cur_count(k int) RETURNS bigint AS $$
+        DECLARE c CURSOR FOR SELECT s_suppkey FROM supplier
+                 WHERE s_nationkey = k;
+                sk bigint; n bigint := 0;
+        BEGIN
+            OPEN c;
+            LOOP
+                FETCH c INTO sk;
+                EXIT WHEN NOT FOUND;
+                n := n + 1;
+            END LOOP;
+            CLOSE c;
+            RETURN n;
+        END $$ LANGUAGE plpgsql
+    """)
+    rows = []
+    for k in range(5):
+        t2 = eng.sql(f"SELECT gate_cur_top2({k}) AS v").collect()[0].v
+        n = eng.sql(f"SELECT gate_cur_count({k}) AS v").collect()[0].v
+        rows.append((k, float(t2), int(n)))
+    eng.sql("DROP FUNCTION gate_cur_top2")
+    eng.sql("DROP FUNCTION gate_cur_count")
+    return spark.createDataFrame(
+        rows, "k INT, top2_bal DOUBLE, n_sup BIGINT"
+    )

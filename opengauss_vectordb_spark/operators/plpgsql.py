@@ -164,8 +164,10 @@ _UNSUPPORTED = [
      "(operators/do_block.py register_interpreted_plfn) — for SETOF, "
      "build the statement client-side"),
     (re.compile(r"\bOPEN\s+\w+|\bFETCH\s+", re.IGNORECASE),
-     "cursors inside function bodies are unsupported; DECLARE CURSOR "
-     "at the session level (operators/portal.py)"),
+     "cursors inside SETOF bodies cannot inline; SCALAR functions "
+     "with OPEN/FETCH run interpreted (operators/do_block.py "
+     "register_interpreted_plfn) — for SETOF, DECLARE CURSOR at the "
+     "session level (operators/portal.py)"),
 ]
 
 
@@ -2177,8 +2179,10 @@ def try_handle_stmt(engine, query: str):
         scalar = m.group("tcols") is None and not re.match(
             r"^SETOF\b", ret, re.IGNORECASE
         )
-        if scalar and re.search(r"\bEXECUTE\s", _mask_strings(body),
-                                re.IGNORECASE):
+        if scalar and re.search(
+            r"\bEXECUTE\s|\bOPEN\s+\w+|\bFETCH\s",
+            _mask_strings(body), re.IGNORECASE,
+        ):
             from .do_block import register_interpreted_plfn
 
             name = m.group("name").lower()

@@ -2724,6 +2724,73 @@ def test_do_block_dynamic_execute(spark, tmp_path):
         """)
 
 
+def test_cursor_open_fetch_close(spark, tmp_path):
+    """OPEN/FETCH/CLOSE cursor statements (pl_exec.cpp
+    exec_stmt_open/fetch/close) in DO blocks and interpreted
+    functions: straight-line FETCH binds rows positionally (NULLs +
+    FOUND false on exhaustion), OPEN is lazy (no job until the first
+    FETCH), and the canonical fetch LOOP compiles to ONE bound-cursor
+    FOR aggregate — never a driver row loop."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    r = eng.sql("""
+        DO $$
+        DECLARE c CURSOR FOR SELECT n_nationkey, n_name FROM nation
+                              ORDER BY n_nationkey;
+                k bigint; nm text;
+        BEGIN
+            OPEN c;
+            FETCH c INTO k, nm;
+            FETCH NEXT FROM c INTO k, nm;
+            CLOSE c;
+            RAISE NOTICE 'got % %', k, nm;
+        END $$
+    """).collect()[0]
+    assert "got 1 NATION_1" in r.notices
+    # fetch loop → one aggregate; post-loop targets NULL, FOUND false
+    r = eng.sql("""
+        DO $$
+        DECLARE c CURSOR FOR SELECT n_nationkey FROM nation;
+                k bigint; total bigint := 0; n int := 0;
+        BEGIN
+            OPEN c;
+            LOOP
+                FETCH c INTO k;
+                EXIT WHEN NOT FOUND;
+                total := total + k;
+                n := n + 1;
+            END LOOP;
+            CLOSE c;
+            RAISE NOTICE 'sum=% n=% k=% found=%', total, n, k, found;
+        END $$
+    """).collect()[0]
+    assert "sum=300 n=25 k=<null> found=false" in r.notices.lower()
+    # interpreted function with a cursor
+    eng.sql("""
+        CREATE FUNCTION cur_first(reg int) RETURNS text AS $$
+        DECLARE c CURSOR FOR SELECT n_name FROM nation
+                 WHERE n_regionkey = reg ORDER BY n_nationkey;
+                nm text;
+        BEGIN
+            OPEN c;
+            FETCH c INTO nm;
+            CLOSE c;
+            RETURN nm;
+        END $$ LANGUAGE plpgsql
+    """)
+    assert eng.sql("SELECT cur_first(1) AS f").collect()[0].f \
+        == "NATION_1"
+    eng.sql("DROP FUNCTION cur_first")
+    # FETCH on a never-opened cursor errors; a non-fetch bare LOOP
+    # still refuses with the rewrite named
+    with pytest.raises(KeyError, match="not open"):
+        eng.sql("DO $$ DECLARE x int;"
+                " BEGIN FETCH nocur INTO x; END $$")
+    with pytest.raises(NotImplementedError, match="fetch-loop"):
+        eng.sql("DO $$ DECLARE t int := 0;"
+                " BEGIN LOOP t := t + 1; END LOOP; END $$")
+
+
 def test_plpgsql_exit_when_loop(spark):
     """Bare LOOP with a LEADING EXIT WHEN (pl_exec.cpp
     exec_stmt_exit): a pre-test counter loop that rewrites to the
