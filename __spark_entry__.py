@@ -90,11 +90,12 @@ registry.load_all_queries()
 # codegen'd struct expression, DuckDB's native age as the oracle).
 #
 # ROUND 10 window (exactly 50): (a) those 13 rows front-loaded as the
-# first first-evers, per the r9 verdict; (b) the four round-10
-# registrations; (c) churn re-gates; (d) the oldest 29 rows of the
-# 46-entry r3 stale tail (the 17-row remainder — setops, sql_compat,
+# first first-evers, per the r9 verdict; (b) the five round-10
+# registrations; (c) churn re-gates; (d) the oldest 28 rows of the
+# 46-entry r3 stale tail (the 18-row remainder — setops, sql_compat,
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
-# string_funcs, sample_deterministic — rotates first in r11).
+# string_funcs, sample_deterministic/cluster_balanced — rotates first
+# in r11).
 GATE_PRIORITY: list[str] = [
     # (a) the 13 round-9 registrations that froze out of the r9
     # window — first-ever driver gate rows (all 13 oracle-verified
@@ -114,12 +115,15 @@ GATE_PRIORITY: list[str] = [
     "plpgsql_return_query",
     # (b) round-10 NEW registrations — dynamic EXECUTE in FUNCTION
     # bodies (interpreted, operators/do_block.py), do-while loops
-    # (tail EXIT WHEN via one-iteration unroll), and the lossy
-    # polygon GiST opclass with exact ray-cast recheck
+    # (tail EXIT WHEN via one-iteration unroll), the lossy polygon
+    # GiST opclass with exact ray-cast recheck, OPEN/FETCH/CLOSE
+    # cursors (+ fetch-loop desugaring to the FOR aggregate), and
+    # RETURN QUERY EXECUTE in SETOF bodies
     "plpgsql_dynexecute_function",
     "plpgsql_do_while",
     "gist_poly_contains",
     "plpgsql_cursor_fetch",
+    "plpgsql_setof_dynexecute",
     # (c) churned-code re-gates this round: gin_index.py (array-op
     # routing now resolves FROM/JOIN refs + elem-type literal guard;
     # posting-level compaction), gist_index.py (posting-level
@@ -162,7 +166,6 @@ GATE_PRIORITY: list[str] = [
     "pivot_status_counts",
     "recursive_cte_native",
     "recursive_series",
-    "sample_cluster_balanced",
 ]
 
 

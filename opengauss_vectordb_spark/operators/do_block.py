@@ -66,7 +66,7 @@ from .plpgsql import (
     _scan_stmt,
     _split_branches,
 )
-from .create_function import _map_type, _strip_comments
+from .create_function import _map_type, _split_params, _strip_comments
 
 _DO_RE = re.compile(
     r"^\s*DO\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$)"
@@ -554,7 +554,10 @@ class _DoRunner:
     # cannot see until runtime, and the reference's own regress
     # suites derive their EXECUTE strings from format()/|| literals.
     # ---------------------------------------------------------------
-    def _exec_dynexecute(self, rest: str) -> None:
+    def _parse_dynexecute(self, rest: str):
+        """(composed sql with USING $n substituted, into_m, using_m,
+        rest) — the shared front half of EXECUTE handling; RETURN
+        QUERY EXECUTE reuses it without the INTO tail."""
         masked = _mask_strings(rest)
         into_m = using_m = None
         depth = 0
@@ -579,7 +582,12 @@ class _DoRunner:
                 self._eval_scalar(
                     "SELECT " + _subst_values(a, self.env)
                 )
-                for a in _split_call_args(rest[using_m.end():])
+                for a in _split_call_args(
+                    rest[using_m.end():
+                         into_m.start() if into_m
+                         and into_m.start() > using_m.end()
+                         else len(rest)]
+                )
             ]
             out, last = [], 0
             for pm in re.finditer(r"\$(\d+)", _mask_strings(sql)):
@@ -593,6 +601,10 @@ class _DoRunner:
                 out.append(_sql_literal(vals[k - 1]))
                 last = pm.end()
             sql = "".join(out) + sql[last:]
+        return sql, into_m, using_m
+
+    def _exec_dynexecute(self, rest: str) -> None:
+        sql, into_m, using_m = self._parse_dynexecute(rest)
         if into_m:
             into_txt = rest[into_m.end():
                             using_m.start() if using_m else len(rest)]
@@ -1298,15 +1310,64 @@ class _FnRunner(_DoRunner):
         super()._exec_stmt(stmt)
 
 
+class _SetofRunner(_FnRunner):
+    """_FnRunner + RETURN QUERY [EXECUTE] / RETURN NEXT
+    (pl_exec.cpp exec_stmt_return_query :3585 / exec_stmt_return_next
+    :3334): result frames accumulate as DataFrames — each RETURN
+    QUERY is a full distributed plan (the dynamic EXECUTE form
+    composes its text by the literal-derived rule first), RETURN NEXT
+    is a one-row frame, and a bare RETURN ends execution."""
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self.frames: list = []
+
+    def _exec_stmt(self, stmt: str) -> None:
+        m = re.match(r"RETURN\s+QUERY\s+(?P<rest>.+)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            rest = m.group("rest")
+            mex = re.match(r"EXECUTE\s+(?P<e>.+)$", rest,
+                           re.IGNORECASE | re.DOTALL)
+            if mex:
+                sql, into_m, _using = self._parse_dynexecute(
+                    mex.group("e")
+                )
+                if into_m:
+                    raise ValueError(
+                        "RETURN QUERY EXECUTE does not take INTO"
+                    )
+            else:
+                sql = _subst_values(rest, self.env)
+            self.frames.append(self.engine.sql(sql))
+            self.executed += 1
+            return
+        m = re.match(r"RETURN\s+NEXT\s+(?P<e>.+)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            self.frames.append(self.engine.sql(
+                "SELECT " + _subst_values(m.group("e"), self.env)
+            ))
+            self.executed += 1
+            return
+        super()._exec_stmt(stmt)
+
+
 def register_interpreted_plfn(engine, name: str, params, ret_type: str,
-                              body: str) -> None:
-    """Catalog an EXECUTE-bearing scalar plpgsql function for
-    interpreted execution (validates the body against the DO-block
-    statement subset up front, so CREATE fails fast)."""
-    _scan_unsupported(_mask_strings(body), "plpgsql function")
+                              body: str, kind: str = "scalar") -> None:
+    """Catalog an EXECUTE/cursor-bearing plpgsql function for
+    interpreted execution — ``kind`` 'scalar' (RETURN <expr> through
+    _FnRunner) or 'setof' (RETURN QUERY [EXECUTE]/RETURN NEXT frames
+    through _SetofRunner).  Validates the body against the DO-block
+    statement subset up front, so CREATE fails fast."""
+    scan = re.sub(
+        r"\bRETURN\s+(?:QUERY|NEXT)\b", " ", _mask_strings(body),
+        flags=re.IGNORECASE,
+    )
+    _scan_unsupported(scan, "plpgsql function")
     if not hasattr(engine, "plfn_interpreted"):
         engine.plfn_interpreted = {}
-    engine.plfn_interpreted[name] = (params, ret_type, body)
+    engine.plfn_interpreted[name] = (params, ret_type, body, kind)
 
 
 _FNCALL_RE = re.compile(
@@ -1316,40 +1377,14 @@ _FNCALL_RE = re.compile(
 )
 
 
-def try_handle_fncall(engine, query: str):
-    """Engine.sql hook: SELECT <interpreted_fn>(args) at the top
-    level.  Returns None for anything else — including calls to
-    ordinary (compiled/Spark) functions, which keep their plan-time
-    path."""
-    fns = getattr(engine, "plfn_interpreted", None)
-    if not fns:
-        return None
-    m = _FNCALL_RE.match(query)
-    if m is None or m.group("name").lower() not in fns:
-        # a per-row or nested use of an interpreted function cannot
-        # run as a driver call — refuse with the rewrite named
-        masked = _mask_strings(query)
-        for fname in fns:
-            if re.search(rf"\b{re.escape(fname)}\s*\(", masked,
-                         re.IGNORECASE):
-                raise NotImplementedError(
-                    f"{fname} contains dynamic EXECUTE and runs "
-                    "interpreted (operators/do_block.py): call it as "
-                    f"a top-level scalar — SELECT {fname}(...) — or "
-                    "rewrite the body without EXECUTE so it compiles "
-                    "into the calling plan"
-                )
-        return None
-    name = m.group("name").lower()
-    params, ret_type, body = fns[name]
-    arg_texts = [a for a in _split_call_args(m.group("args"))
-                 if a.strip()]
+def _bind_and_run(engine, runner, params, arg_texts, body) -> None:
+    """Shared call protocol: evaluate + CAST each argument into the
+    runner's env, parse declarations, and run the body (under an
+    exception frame when one is declared)."""
     if len(arg_texts) != len(params):
         raise ValueError(
-            f"{name}: expected {len(params)} argument(s), "
-            f"got {len(arg_texts)}"
+            f"expected {len(params)} argument(s), got {len(arg_texts)}"
         )
-    runner = _FnRunner(engine)
     for (pname, ptype), atext in zip(params, arg_texts):
         runner.env[pname.lower()] = runner._eval_scalar(
             f"SELECT CAST(({atext}) AS {_map_type(ptype)})"
@@ -1364,12 +1399,128 @@ def try_handle_fncall(engine, query: str):
     from .plpgsql import _split_exception
 
     exc = _split_exception(md.group("body"))
+    if exc is not None:
+        _run_with_exception_frame(engine, runner, exc[0], exc[1])
+    else:
+        runner.run(md.group("body"))
+
+
+def _setof_target(engine, name: str, ret: str) -> list[tuple[str, str]]:
+    """Declared output columns [(name, spark_type)] for a SETOF /
+    TABLE(...) return spec — PG's positional mapping rule."""
+    mt = re.match(r"^TABLE\s*\((?P<tc>.*)\)\s*$", ret,
+                  re.IGNORECASE | re.DOTALL)
+    if mt:
+        return [(n.lower(), _map_type(t))
+                for n, t in _split_params(mt.group("tc"))]
+    ms = re.match(r"^SETOF\s+(?P<t>\w+)\s*$", ret, re.IGNORECASE)
+    base = ms.group("t").lower() if ms else None
+    try:
+        df = engine.table(base)
+        return [(f.name, f.dataType.simpleString()) for f in df.schema]
+    except Exception:
+        # SETOF <scalar>: one column named after the function (PG)
+        return [(name, _map_type(base))]
+
+
+def _run_setof(engine, name: str, arg_texts: list):
+    """Evaluate a SETOF interpreted function: run the body, union the
+    RETURN QUERY/NEXT frames, map positionally onto the declared
+    columns (cast + rename)."""
+    params, ret, body, _kind = engine.plfn_interpreted[name]
+    runner = _SetofRunner(engine)
+    try:
+        _bind_and_run(engine, runner, params, arg_texts, body)
+    except _ReturnValue:
+        pass
+    target = _setof_target(engine, name, ret.strip())
+    ddl = ", ".join(f"{n} {t}" for n, t in target)
+    if not runner.frames:
+        return engine.spark.createDataFrame([], ddl)
+    from pyspark.sql import functions as F
+
+    out = None
+    for fr in runner.frames:
+        if len(fr.columns) != len(target):
+            raise ValueError(
+                f"{name}: RETURN QUERY/NEXT yields "
+                f"{len(fr.columns)} column(s) for {len(target)} "
+                "declared"
+            )
+        mapped = fr.select(*[
+            F.col(c).cast(t).alias(n)
+            for c, (n, t) in zip(fr.columns, target)
+        ])
+        out = mapped if out is None else out.unionByName(mapped)
+    return out
+
+
+_SETOF_CALL = re.compile(
+    r"\b(?P<kw>FROM|JOIN)\s+(?P<name>\w+)\s*\(", re.IGNORECASE
+)
+
+
+def try_handle_fncall(engine, query: str):
+    """Engine.sql hook for interpreted plpgsql functions: top-level
+    scalar calls (SELECT fn(args)) and FROM-position SETOF calls
+    (SELECT ... FROM fn(args) ...), which evaluate into a temp view
+    and re-enter the statement pipeline.  Returns None for anything
+    else — including calls to ordinary (compiled/Spark) functions,
+    which keep their plan-time path."""
+    fns = getattr(engine, "plfn_interpreted", None)
+    if not fns:
+        return None
+    masked = _mask_strings(query)
+    for mm in _SETOF_CALL.finditer(masked):
+        fname = mm.group("name").lower()
+        entry = fns.get(fname)
+        if entry is None or entry[3] != "setof":
+            continue
+        op = masked.index("(", mm.end() - 1)
+        depth, cl = 0, -1
+        for i in range(op, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    cl = i
+                    break
+        if cl < 0:
+            raise ValueError(f"{fname}: unbalanced call parentheses")
+        args = [a for a in _split_call_args(query[op + 1:cl])
+                if a.strip()]
+        df = _run_setof(engine, fname, args)
+        view = f"__setof_{fname}_{abs(hash(query)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        new_q = (query[:mm.start()] + mm.group("kw") + " " + view
+                 + query[cl + 1:])
+        return engine.sql(new_q)
+    m = _FNCALL_RE.match(query)
+    if (m is None or m.group("name").lower() not in fns
+            or fns[m.group("name").lower()][3] != "scalar"):
+        # a per-row or nested use of an interpreted function cannot
+        # run as a driver call — refuse with the rewrite named
+        for fname, entry in fns.items():
+            if entry[3] == "scalar" and re.search(
+                rf"\b{re.escape(fname)}\s*\(", masked, re.IGNORECASE,
+            ):
+                raise NotImplementedError(
+                    f"{fname} contains dynamic EXECUTE and runs "
+                    "interpreted (operators/do_block.py): call it as "
+                    f"a top-level scalar — SELECT {fname}(...) — or "
+                    "rewrite the body without EXECUTE so it compiles "
+                    "into the calling plan"
+                )
+        return None
+    name = m.group("name").lower()
+    params, ret_type, body, _kind = fns[name]
+    arg_texts = [a for a in _split_call_args(m.group("args"))
+                 if a.strip()]
+    runner = _FnRunner(engine)
     val = None
     try:
-        if exc is not None:
-            _run_with_exception_frame(engine, runner, exc[0], exc[1])
-        else:
-            runner.run(md.group("body"))
+        _bind_and_run(engine, runner, params, arg_texts, body)
     except _ReturnValue as rv:
         val = rv.value
     alias = (m.group("alias") or name).lower()
@@ -1714,3 +1865,47 @@ def plpgsql_cursor_fetch(spark, sf_dir):
     return spark.createDataFrame(
         rows, "k INT, top2_bal DOUBLE, n_sup BIGINT"
     )
+
+
+@_register_query(
+    "plpgsql_setof_dynexecute",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS k, 'SENTINEL' AS nm
+    ORDER BY k
+    """,
+)
+def plpgsql_setof_dynexecute(spark, sf_dir):
+    """RETURN QUERY EXECUTE in SETOF/TABLE plpgsql functions
+    (pl_exec.cpp exec_stmt_return_query :3585 composing
+    exec_stmt_dynexecute's literal-derived text; the reference's
+    dynamic table-function idiom): the function registers INTERPRETED,
+    a FROM-position call evaluates the body — the format()-composed
+    statement runs as one distributed plan, RETURN NEXT appends a
+    sentinel frame — and the union maps positionally onto the
+    declared TABLE columns.
+
+    Scale: the call site view-substitutes and re-enters the
+    statement pipeline, so the function's rows join/aggregate like
+    any relation; nothing materializes driver-side."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_dyn_setof(tbl text, reg int)
+        RETURNS TABLE(k bigint, nm text) AS $$
+        BEGIN
+            RETURN QUERY EXECUTE format(
+ 'SELECT n_nationkey, n_name FROM %I WHERE n_regionkey = $1', tbl)
+                USING reg;
+            RETURN NEXT CAST(-1 AS BIGINT), 'SENTINEL';
+        END $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql(
+        "SELECT k, nm FROM gate_dyn_setof('nation', 1) ORDER BY k"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_dyn_setof")
+    return spark.createDataFrame(rows, "k BIGINT, nm STRING")

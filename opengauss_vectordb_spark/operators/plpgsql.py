@@ -2179,7 +2179,7 @@ def try_handle_stmt(engine, query: str):
         scalar = m.group("tcols") is None and not re.match(
             r"^SETOF\b", ret, re.IGNORECASE
         )
-        if scalar and re.search(
+        if re.search(
             r"\bEXECUTE\s|\bOPEN\s+\w+|\bFETCH\s",
             _mask_strings(body), re.IGNORECASE,
         ):
@@ -2189,6 +2189,7 @@ def try_handle_stmt(engine, query: str):
             register_interpreted_plfn(
                 engine, name, _split_params(m.group("params")),
                 ret, body,
+                kind="scalar" if scalar else "setof",
             )
             return engine.spark.createDataFrame(
                 [("CREATE FUNCTION", name)],

@@ -2709,19 +2709,72 @@ def test_do_block_dynamic_execute(spark, tmp_path):
             BEGIN EXECUTE 'SELECT n_nationkey FROM nation WHERE 1=0'
                 INTO STRICT x; END; $$
         """)
-    # scalar plpgsql FUNCTIONS with EXECUTE register INTERPRETED
-    # since round 10 (test_plpgsql_dynexecute_function covers the
-    # surface); a SETOF body still refuses — per-row dynamic SQL has
-    # no inlined form
-    with pytest.raises(NotImplementedError, match="EXECUTE"):
+    # plpgsql FUNCTIONS with EXECUTE register INTERPRETED since
+    # round 10 (scalar AND setof — test_plpgsql_dynexecute_function /
+    # test_plpgsql_setof_dynexecute cover the surface); an
+    # interpreted body with constructs outside the DO-statement
+    # subset still fails fast at CREATE
+    with pytest.raises(NotImplementedError, match="WHILE"):
         eng.sql("""
-            CREATE FUNCTION fdyn(x int) RETURNS SETOF bigint AS $$
+            CREATE FUNCTION fdyn(x int) RETURNS int AS $$
+            DECLARE n int := 0;
             BEGIN
                 EXECUTE 'SELECT 1';
-                RETURN QUERY SELECT 1;
+                WHILE n < x LOOP n := n + 1; END LOOP;
+                RETURN n;
             END;
             $$ LANGUAGE plpgsql
         """)
+
+
+def test_plpgsql_setof_dynexecute(spark, tmp_path):
+    """RETURN QUERY EXECUTE / RETURN NEXT in SETOF/TABLE interpreted
+    functions (pl_exec.cpp exec_stmt_return_query :3585 over
+    exec_stmt_dynexecute): the composed statement is a full
+    distributed plan, frames union positionally onto the declared
+    columns, FROM-position calls view-substitute and re-enter the
+    pipeline, and an empty run yields the declared empty schema."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""
+        CREATE FUNCTION dyn_nations(tbl text, reg int)
+        RETURNS TABLE(k bigint, nm text) AS $$
+        BEGIN
+            RETURN QUERY EXECUTE format(
+ 'SELECT n_nationkey, n_name FROM %I WHERE n_regionkey = $1 ORDER BY n_nationkey',
+                tbl) USING reg;
+            IF reg = 1 THEN
+                RETURN NEXT CAST(-1 AS BIGINT), 'SENTINEL';
+            END IF;
+        END $$ LANGUAGE plpgsql
+    """)
+    rows = eng.sql(
+        "SELECT k, nm FROM dyn_nations('nation', 1) ORDER BY k"
+    ).collect()
+    assert rows[0].k == -1 and rows[0].nm == "SENTINEL"
+    assert [r.k for r in rows[1:]] == [1, 6, 11, 16, 21]
+    # composes into a bigger statement (joins, aggregates)
+    n = eng.sql(
+        "SELECT COUNT(*) AS c FROM dyn_nations('nation', 2) d"
+        " JOIN region r ON d.k % 5 = r.r_regionkey"
+    ).collect()[0].c
+    assert n == 5
+    # SETOF <table> return spec takes the table's row type
+    eng.sql("""
+        CREATE FUNCTION dyn_regions(lim int) RETURNS SETOF region AS $$
+        BEGIN
+            RETURN QUERY EXECUTE 'SELECT * FROM region ORDER BY'
+                || ' r_regionkey LIMIT ' || lim;
+        END $$ LANGUAGE plpgsql
+    """)
+    out = eng.sql("SELECT r_regionkey FROM dyn_regions(3)")
+    assert sorted(r.r_regionkey for r in out.collect()) == [0, 1, 2]
+    # empty run → declared empty schema
+    assert eng.sql(
+        "SELECT * FROM dyn_nations('nation', 99)"
+    ).count() == 0
+    eng.sql("DROP FUNCTION dyn_nations")
+    eng.sql("DROP FUNCTION dyn_regions")
 
 
 def test_cursor_open_fetch_close(spark, tmp_path):
