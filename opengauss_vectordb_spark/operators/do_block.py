@@ -1367,6 +1367,11 @@ def register_interpreted_plfn(engine, name: str, params, ret_type: str,
     _scan_unsupported(scan, "plpgsql function")
     if not hasattr(engine, "plfn_interpreted"):
         engine.plfn_interpreted = {}
+    # CREATE OR REPLACE over a previously COMPILED function: drop the
+    # stale Spark macro so no call site resolves the old body
+    if name in getattr(engine, "sql_functions", {}):
+        engine.sql_functions.pop(name, None)
+        engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
     engine.plfn_interpreted[name] = (params, ret_type, body, kind)
 
 

@@ -2206,6 +2206,9 @@ def try_handle_stmt(engine, query: str):
     engine.spark.sql(spark_ddl)
     name = _CREATE_PLFN.match(query).group("name").lower()
     engine.sql_functions[name] = spark_ddl
+    # CREATE OR REPLACE over a previously INTERPRETED function: the
+    # compiled macro wins — drop the stale interpreter entry
+    getattr(engine, "plfn_interpreted", {}).pop(name, None)
     return engine.spark.createDataFrame(
         [("CREATE FUNCTION", name)], "tag STRING, function STRING"
     )
