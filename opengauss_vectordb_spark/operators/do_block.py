@@ -627,6 +627,13 @@ class _DoRunner:
         self.executed += 1
 
     def _compose_dynsql(self, qe: str) -> str:
+        # PG's lexer concatenates adjacent string literals separated
+        # by whitespace containing a NEWLINE (SQL standard rule) —
+        # the idiom every long format() template uses
+        qe = re.sub(
+            r"'((?:[^']|'')*)'[ \t]*\n\s*'", lambda m: f"'{m.group(1)}",
+            qe,
+        )
         mfmt = re.match(
             r"format\s*\(\s*(?P<fmt>'(?:[^']|'')*')"
             r"\s*(?:,\s*(?P<args>.+))?\)\s*$",

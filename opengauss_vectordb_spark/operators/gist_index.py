@@ -698,19 +698,75 @@ _GIST_BOX_OP = re.compile(
 
 _GIST_OP_NAMES = {"&&": "overlap", "@>": "contains", "<@": "contained"}
 
+# poly_col @> point(x, y) — polygon containment in SQL text
+# (geo_ops.cpp poly_contain_pt; the reference spells the RHS
+# `point '(x,y)'`, the columnar dialect spells point(x, y))
+_GIST_POLY_OP = re.compile(
+    r"\b(?P<col>[A-Za-z_]\w*)\s*@>\s*point\s*\(\s*"
+    r"(?P<px>-?\d+(?:\.\d+)?)\s*,\s*(?P<py>-?\d+(?:\.\d+)?)\s*\)",
+    re.IGNORECASE,
+)
+
 
 def rewrite_gist_ops(engine, query: str) -> str:
-    """Box operators in SQL text → an index-backed semi-join when a
-    box-opclass gist index covers the exact column tuple on the
+    """Box and polygon operators in SQL text → an index-backed
+    semi-join when a matching gist index covers the column(s) on the
     unique scanned relation (the gin rewrite resolution rule), else
-    the inline normalized box algebra (always correct, whole-stage
-    codegen).  Identity when no operator appears."""
+    the inline predicate (normalized box algebra / the exact ray
+    cast — always correct, whole-stage codegen).  Identity when no
+    operator appears."""
     from .gin_index import _literal_spans, _scan_refs
 
-    if not _GIST_BOX_OP.search(query):
+    if not _GIST_BOX_OP.search(query) \
+            and not _GIST_POLY_OP.search(query):
         return query
     spans = _literal_spans(query)
     refs = _scan_refs(query)
+
+    def _sub_poly(m: re.Match) -> str:
+        if any(a <= m.start() <= b for a, b in spans):
+            return m.group(0)
+        col = m.group("col").lower()
+        px, py = float(m.group("px")), float(m.group("py"))
+        cands = []
+        for t, qual in refs:
+            for name, idx in getattr(engine, "gist_indexes",
+                                     {}).items():
+                if idx["table"] != t or idx["kind"] != "poly" \
+                        or idx["cols"] != [col]:
+                    continue
+                try:
+                    owned = [c.lower()
+                             for c in engine.spark.table(t).columns]
+                except Exception:
+                    continue
+                if col in owned:
+                    cands.append((name, qual if len(refs) > 1 else ""))
+        if len(cands) == 1:
+            name, qual = cands[0]
+            idx = engine.gist_indexes[name]
+            df = gist_poly_search(engine, name, (px, py))
+            ls = idx["last_search"]
+            from ..plans.explain import note_routing
+
+            note_routing(
+                engine,
+                f"Index Scan using {name} on {idx['table']} "
+                f"(gist poly, lossy + recheck): buckets read "
+                f"{ls['buckets_read']}, pruned {ls['buckets_pruned']}",
+            )
+            view = f"__gistp_{name}_{abs(hash((px, py))) % 10**8}"
+            df.createOrReplaceTempView(view)
+            pfx = f"{qual}." if qual else ""
+            return (f"{pfx}{idx['id_col']} IN "
+                    f"(SELECT doc_id FROM {view})")
+        # inline: the exact ray cast (identical semantics, no index)
+        return f"({_point_in_poly_sql(col, px, py)})"
+
+    query = _GIST_POLY_OP.sub(_sub_poly, query)
+    if not _GIST_BOX_OP.search(query):
+        return query
+    spans = _literal_spans(query)  # offsets moved with the poly subs
 
     def _sub(m: re.Match) -> str:
         if any(a <= m.start() <= b for a, b in spans):

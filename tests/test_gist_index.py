@@ -366,3 +366,10 @@ def test_poly_opclass_recheck(eng):
     )
     assert 99991 in got
     assert idx["last_maintenance"]["mode"] == "delta"
+    # the SQL-text spelling routes through the same two-phase plan
+    got_sql = sorted(
+        r.vec_id for r in eng.sql(
+            "SELECT vec_id FROM gpoly WHERE poly @> point(0.9, 0.9)"
+        ).collect()
+    )
+    assert got_sql == got
