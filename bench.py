@@ -193,6 +193,15 @@ HEADLINE = [
     "bformat_convert_series",
     "json_arrow_operators",
     "age_function",
+    # round-10 additions (same frozen-prefix rule): the read-side
+    # interpreted-plpgsql rows — do-while closed form, dynamic
+    # EXECUTE in function bodies, cursor fetches, RETURN QUERY
+    # EXECUTE.  gist_poly_contains CTASes + builds an index inside
+    # the query, so it stays out (the gist_*/gin_index_fts rule).
+    "plpgsql_do_while",
+    "plpgsql_dynexecute_function",
+    "plpgsql_cursor_fetch",
+    "plpgsql_setof_dynexecute",
 ]
 
 
