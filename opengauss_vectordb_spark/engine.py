@@ -592,6 +592,32 @@ class Engine:
                 "operator rewrites cover the built-in @@ / % / @> / "
                 "<-> families)"
             )
+        # CREATE AGGREGATE / RULE / EVENT (DefineStmt gram.y;
+        # rewriteDefine.cpp; EVENT is the B-format scheduler) —
+        # refusals naming the working rewrite
+        if re.match(r"^\s*CREATE\s+AGGREGATE\b", query, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE AGGREGATE: transition-function aggregates "
+                "run as Arrow-grouped aggregation — functions/udaf.py "
+                "vector_sum_agg is the model; built-in SQL aggregates "
+                "plus higher-order aggregate() expressions cover the "
+                "regress surface"
+            )
+        if re.match(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?RULE\b",
+                    query, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE RULE: query-rewrite rules have no planner "
+                "hook here — ON SELECT rules are views (CREATE VIEW),"
+                " ON INSERT/UPDATE/DELETE rules are triggers "
+                "(operators/triggers.py)"
+            )
+        if re.match(r"^\s*(?:CREATE|ALTER|DROP)\s+EVENT\b",
+                    query, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE EVENT: a batch session has no scheduler "
+                "daemon — run the statement from your orchestrator "
+                "(cron/Airflow) against the engine instead"
+            )
         # generic session GUCs (VariableSetStmt gram.y:2277): SET/
         # SHOW/RESET of any parameter name, engine-session-scoped
         # (SET ROLE stays with the security layer, operators/rls.py;
@@ -619,6 +645,24 @@ class Engine:
             return self.spark.createDataFrame(
                 [("RESET", m.group("name").lower())],
                 "tag STRING, guc STRING",
+            )
+        # SHOW WARNINGS / ERRORS (B-format diagnostics area,
+        # gram.y ShowStmt): statements either succeed or raise here —
+        # no warning accumulates between statements — so the frame is
+        # structurally empty; SHOW COUNT(*) WARNINGS is its count
+        m = re.match(
+            r"^\s*SHOW\s+(?:(?P<cnt>COUNT\s*\(\s*\*\s*\)\s+)?"
+            r"(?P<kind>WARNINGS|ERRORS))(?:\s+LIMIT\s+\d+"
+            r"(?:\s*,\s*\d+)?)?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            if m.group("cnt"):
+                return self.spark.sql(
+                    "SELECT CAST(0 AS INT) AS `count(*)`"
+                )
+            return self.spark.createDataFrame(
+                [], "level STRING, code INT, message STRING"
             )
         m = re.match(
             r"^\s*SHOW\s+(?P<name>[\w.]+)\s*;?\s*$", query,

@@ -343,6 +343,136 @@ def _rewrite_json_arrows(masked: str, literals: list[str]) -> str:
     return _JSON_CHAIN.sub(sub, masked)
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Paren-aware top-level comma split (operates on MASKED text, so
+    quotes never appear)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+# PG format() specs this rewrite compiles: %s / %I / %L with optional
+# n$ position, and %% (adt/varlena.cpp text_format).  Width/flag forms
+# (%5s, %-I) leave the call untranslated — the analyzer error names
+# the missing function rather than silently dropping padding.
+_FMT_SPEC = re.compile(r"%(?:(?P<pos>\d+)\$)?(?P<t>[sIL%])")
+
+
+def _compile_pg_format(fmt: str, args: list[str],
+                       literals: list[str]) -> str | None:
+    def lit(s: str) -> str:
+        literals.append("'" + s.replace("'", "''") + "'")
+        return f"\x00{len(literals) - 1}\x00"
+
+    # every % must sit inside a supported spec span
+    covered: set[int] = set()
+    for sm in _FMT_SPEC.finditer(fmt):
+        covered.update(range(sm.start(), sm.end()))
+    if any(ch == "%" and i not in covered
+           for i, ch in enumerate(fmt)):
+        return None
+    pieces, last, argi = [], 0, 0
+    for m in _FMT_SPEC.finditer(fmt):
+        if fmt[last:m.start()]:
+            pieces.append(lit(fmt[last:m.start()]))
+        last = m.end()
+        t = m.group("t")
+        if t == "%":
+            pieces.append(lit("%"))
+            continue
+        k = int(m.group("pos")) - 1 if m.group("pos") else argi
+        if not m.group("pos"):
+            argi += 1
+        if k < 0 or k >= len(args):
+            return None  # arity error: PG raises at runtime — leave
+        a = f"({args[k].strip()})"
+        if t == "s":
+            # text_format: NULL renders as empty for %s
+            pieces.append(f"coalesce(CAST({a} AS STRING), {lit('')})")
+        elif t == "I":
+            pieces.append(f"quote_ident(CAST({a} AS STRING))")
+        else:  # %L — NULL renders as unquoted NULL
+            pieces.append(
+                f"CASE WHEN {a} IS NULL THEN {lit('NULL')} "
+                f"ELSE quote_literal(CAST({a} AS STRING)) END"
+            )
+    if fmt[last:]:
+        pieces.append(lit(fmt[last:]))
+    if not pieces:
+        return lit("")
+    return f"concat({', '.join(pieces)})"
+
+
+def _rewrite_format(masked: str, literals: list[str]) -> str:
+    """PG format(fmt, ...) with a LITERAL template → a concat of
+    literal chunks and per-spec argument expressions — whole-stage
+    codegen, no UDF (Spark has no variadic SQL-function registration,
+    and printf's Java specs lack %I/%L).  Non-literal templates and
+    unsupported specs pass through untouched."""
+    out, pos = masked, 0
+    while True:
+        m = re.search(r"\bformat\s*\(", out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        op = pos + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        args = _split_top_commas(out[op + 1:cl])
+        mt = _MASK_TOK.fullmatch(args[0].strip()) if args else None
+        repl = None
+        if mt is not None:
+            fmt = literals[int(mt.group(1))][1:-1].replace("''", "'")
+            repl = _compile_pg_format(fmt, args[1:], literals)
+        if repl is None:
+            pos = op + 1
+            continue
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        pos = pos + m.start() + len(repl)
+
+
+def _rewrite_trunc(masked: str) -> str:
+    """Numeric trunc(x[, s]) (adt/numeric.cpp trunc — toward zero) →
+    the sign-aware FLOOR/CEIL form.  The 2-arg DATE spelling
+    trunc(d, 'MM') keeps Spark's builtin (the scale arg here must be
+    an integer literal to rewrite); a date passed to the numeric form
+    fails analysis rather than silently truncating epoch seconds."""
+    out, pos = masked, 0
+    while True:
+        m = re.search(r"\btrunc\s*\(", out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        op = pos + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        args = [a.strip() for a in _split_top_commas(out[op + 1:cl])]
+        repl = None
+        if len(args) == 1 and args[0]:
+            a = f"({args[0]})"
+            repl = (f"(CASE WHEN {a} >= 0 THEN FLOOR{a} "
+                    f"ELSE CEIL{a} END)")
+        elif len(args) == 2 and re.fullmatch(r"-?\d+", args[1]):
+            a, s = f"({args[0]})", int(args[1])
+            p = f"POW(10, {s})"
+            repl = (f"(CASE WHEN {a} >= 0 "
+                    f"THEN FLOOR({a} * {p}) / {p} "
+                    f"ELSE CEIL({a} * {p}) / {p} END)")
+        if repl is None:
+            pos = op + 1
+            continue
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        pos = pos + m.start() + len(repl)
+
+
 def _rewrite_pg_typeof(masked: str) -> str:
     """pg_typeof(expr) → pg_typename(typeof(expr)) — Spark's typeof()
     is polymorphic, the macro maps the name spelling (misc.cpp
@@ -433,6 +563,10 @@ def translate(sql: str) -> str:
         out = _rewrite_convert(out)
     if re.search(r"\bgenerate_series\s*\(", out, re.IGNORECASE):
         out = _rewrite_generate_series(out)
+    if re.search(r"\bformat\s*\(", out, re.IGNORECASE):
+        out = _rewrite_format(out, literals)
+    if re.search(r"\btrunc\s*\(", out, re.IGNORECASE):
+        out = _rewrite_trunc(out)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

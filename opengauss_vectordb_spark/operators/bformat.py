@@ -156,3 +156,46 @@ def bformat_convert_series(spark, sf_dir):
         " FROM generate_series(1, 20) AS g(i)"
         " ORDER BY i"
     )
+
+
+@query(
+    "format_trunc_compat",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS k,
+           '"' || r_name || '": bal=''' ||
+             CAST(r_regionkey * 1.5 AS DOUBLE) || ''' (' ||
+             CAST(r_regionkey % 2 = 0 AS VARCHAR) || ')' AS label,
+           CAST(CASE WHEN r_regionkey * 7.77 >= 0
+                     THEN FLOOR(r_regionkey * 7.77 * 10) / 10
+                     ELSE CEIL(r_regionkey * 7.77 * 10) / 10
+                END AS DOUBLE) AS t1,
+           CAST(CASE WHEN r_regionkey * -7.77 >= 0
+                     THEN FLOOR(r_regionkey * -7.77)
+                     ELSE CEIL(r_regionkey * -7.77)
+                END AS DOUBLE) AS t0
+    FROM region ORDER BY k
+    """,
+)
+def format_trunc_compat(spark, sf_dir):
+    """Census batch 4 in one row: PG format() with a literal template
+    (adt/varlena.cpp text_format — %I quote_ident, %L quote_literal
+    with the NULL spelling, %s empty-for-NULL, all compiled to ONE
+    concat expression, no UDF) and numeric trunc toward zero
+    (numeric.cpp trunc; sign-aware FLOOR/CEIL).  The DuckDB oracle
+    builds the identical strings by hand — an independent rendering
+    of the same rules.
+
+    Scale: pure whole-stage codegen over the scan; format() never
+    becomes a UDF."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT CAST(r_regionkey AS BIGINT) AS k,"
+        " format('%I: bal=%L (%s)', r_name,"
+        "        CAST(r_regionkey * 1.5 AS DOUBLE),"
+        "        r_regionkey % 2 = 0) AS label,"
+        " CAST(trunc(r_regionkey * 7.77, 1) AS DOUBLE) AS t1,"
+        " CAST(trunc(r_regionkey * -7.77) AS DOUBLE) AS t0"
+        " FROM region ORDER BY k"
+    )

@@ -134,13 +134,37 @@ _CLOSE = re.compile(
 )
 # PERFORMANCE is openGauss's everything-on EXPLAIN spelling
 # (explain.cpp's EXPLAIN PERFORMANCE = ANALYZE + VERBOSE + timings);
-# it routes to the executed-plan rendering like ANALYZE
+# it routes to the executed-plan rendering like ANALYZE.  The
+# parenthesized option-list form — EXPLAIN (COSTS OFF[, ...]) stmt,
+# ~4,900 regress uses — parses too: ANALYZE/VERBOSE take their
+# meanings; display options (COSTS/BUFFERS/TIMING/SUMMARY/CPU/DETAIL/
+# NODES/FORMAT) are accepted and ignored — Catalyst's rendering has
+# no PG cost numbers to turn off in the first place.
 _EXPLAIN = re.compile(
-    r"^\s*EXPLAIN\s+(?P<analyze>(?:ANALYZE|PERFORMANCE)\s+)?"
+    r"^\s*EXPLAIN\s+(?:\(\s*(?P<opts>[^)]*)\)\s*)?"
+    r"(?P<analyze>(?:ANALYZE|PERFORMANCE)\s+)?"
     r"(?P<verbose>VERBOSE\s+)?"
     r"(?P<stmt>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_EXPLAIN_OPTS = re.compile(
+    r"^\s*(?:(?:ANALYZE|VERBOSE|COSTS|BUFFERS|TIMING|SUMMARY|CPU"
+    r"|DETAIL|NODES|NUM_NODES|PLAN|WAL)(?:\s+(?:ON|OFF|TRUE|FALSE"
+    r"|0|1))?|FORMAT\s+\w+)"
+    r"(?:\s*,\s*(?:(?:ANALYZE|VERBOSE|COSTS|BUFFERS|TIMING|SUMMARY"
+    r"|CPU|DETAIL|NODES|NUM_NODES|PLAN|WAL)(?:\s+(?:ON|OFF|TRUE"
+    r"|FALSE|0|1))?|FORMAT\s+\w+))*\s*$",
+    re.IGNORECASE,
+)
+
+
+def _opt_enabled(opts: str, name: str) -> bool:
+    m = re.search(rf"\b{name}\b(?:\s+(?P<v>ON|OFF|TRUE|FALSE|0|1))?",
+                  opts, re.IGNORECASE)
+    if m is None:
+        return False
+    return (m.group("v") or "ON").upper() in ("ON", "TRUE", "1")
 
 
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
@@ -189,6 +213,16 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
     m = _EXPLAIN.match(query)
     if m:
+        opts = m.group("opts")
+        analyze = m.group("analyze")
+        verbose = m.group("verbose")
+        if opts is not None:
+            if not _EXPLAIN_OPTS.match(opts):
+                raise ValueError(
+                    f"EXPLAIN: unrecognized option list ({opts.strip()!r})"
+                )
+            analyze = analyze or _opt_enabled(opts, "ANALYZE")
+            verbose = verbose or _opt_enabled(opts, "VERBOSE")
         # arm the index-routing collector: rewrites and the ANN
         # router note "Index Scan using <name> ..." lines with their
         # pruned-unit counts (explain.cpp's index-scan nodes — the
@@ -203,10 +237,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 del engine.last_index_routing
             else:
                 engine.last_index_routing = prev
-        if m.group("analyze"):
+        if analyze:
             # instrumented run (explain.cpp's ANALYZE executes the plan)
             df.write.format("noop").mode("overwrite").save()
-        mode = "formatted" if m.group("verbose") is None else "extended"
+        mode = "formatted" if not verbose else "extended"
         import contextlib
         import io
 

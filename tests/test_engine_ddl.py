@@ -4144,3 +4144,70 @@ def test_explain_names_routed_indexes(spark, tmp_path):
     # no routing line on a plain statement
     p = plan("SELECT COUNT(*) FROM exr")
     assert "Index Scan using" not in p
+
+
+def test_explain_paren_options(spark):
+    """EXPLAIN (COSTS OFF[, ...]) — the parenthesized option-list
+    spelling (~4,900 regress uses): ANALYZE/VERBOSE take effect,
+    display options are accepted (Catalyst's rendering has no PG cost
+    numbers to switch off), unknown options refuse."""
+    eng = Engine(spark, SF_CORRECT)
+    assert eng.sql(
+        "EXPLAIN (COSTS OFF) SELECT COUNT(*) FROM region"
+    ).count() > 0
+    assert eng.sql(
+        "EXPLAIN (ANALYZE, COSTS OFF, TIMING OFF) SELECT 1 AS x"
+    ).count() > 0
+    # VERBOSE inside the option list switches to the extended render
+    plain = "\n".join(
+        r["QUERY PLAN"] for r in
+        eng.sql("EXPLAIN (COSTS OFF) SELECT 1 AS x").collect()
+    )
+    verb = "\n".join(
+        r["QUERY PLAN"] for r in
+        eng.sql("EXPLAIN (VERBOSE, COSTS OFF) SELECT 1 AS x").collect()
+    )
+    assert "Analyzed Logical Plan" in verb
+    assert "Analyzed Logical Plan" not in plain
+    with pytest.raises(ValueError, match="unrecognized option"):
+        eng.sql("EXPLAIN (BOGUS) SELECT 1")
+
+
+def test_compat_statement_batch4(spark, tmp_path):
+    """Census batch 4: PG format() with literal templates (%s/%I/%L,
+    n$ positions, %% — compiled to a concat, no UDF), numeric
+    trunc(x[, s]) toward zero (date trunc keeps Spark's builtin),
+    SHOW WARNINGS/ERRORS as the empty diagnostics frame, and the
+    argued refusals — CREATE AGGREGATE / RULE / EVENT."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT format('%s-%s', 'a', 1)") == "a-1"
+    assert one("SELECT format('Hello %s, 100%%', NULL)") \
+        == "Hello , 100%"
+    assert one("SELECT format('%I = %L', 'my col', NULL)") \
+        == '"my col" = NULL'
+    assert one("SELECT format('%2$s %1$s', 'b', 'a')") == "a b"
+    assert str(one("SELECT trunc(4.7)")) == "4"
+    assert str(one("SELECT trunc(-4.7)")) == "-4"
+    assert one("SELECT trunc(42.4382, 2)") == 42.43
+    assert one("SELECT trunc(-42.4382, 2)") == -42.43
+    assert str(one("SELECT trunc(DATE '2001-03-14', 'MM')")) \
+        == "2001-03-01"
+    # width/flag specs leave the call untranslated (analyzer error,
+    # never silently-dropped padding)
+    with pytest.raises(Exception):
+        eng.sql("SELECT format('%5s', 'x')").collect()
+    assert eng.sql("SHOW WARNINGS").count() == 0
+    assert eng.sql("SHOW ERRORS LIMIT 5").count() == 0
+    assert eng.sql("SHOW COUNT(*) WARNINGS").collect()[0][0] == 0
+    for stmt, msg in [
+        ("CREATE AGGREGATE myagg (sfunc = int4pl, stype = int)",
+         "udaf"),
+        ("CREATE RULE r1 AS ON INSERT TO region DO NOTHING",
+         "triggers"),
+        ("CREATE EVENT e1 ON SCHEDULE EVERY 1 DAY DO SELECT 1",
+         "scheduler"),
+    ]:
+        with pytest.raises(NotImplementedError, match=msg):
+            eng.sql(stmt)
