@@ -473,6 +473,123 @@ def _rewrite_trunc(masked: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+# a format model is treated as PG/Oracle (not a Spark pattern) when it
+# carries a PG-style ALL-CAPS token and no lowercase Spark pattern
+# letter — 'YYYY-MM-DD HH24:MI:SS' rewrites, 'yyyy-MM-dd' passes
+# through untouched
+_PG_MODEL_HINT = re.compile(
+    r"YYYY|\bYY\b|HH24|HH12|MI|SS|DDD|\bDD\b|MON|MONTH|\bDY\b|DAY"
+    r"|Month|Mon\b|Day\b|Dy\b|\bAM\b|\bPM\b|\bRM\b|\bFM"
+)
+
+# PG's mixed/lower-case NAME tokens — stripped before the
+# lowercase-letter test, since their casing selects the rendered
+# case, not the dialect
+_PG_NAME_TOKENS = re.compile(
+    r"Month|month|Mon|mon|Day|day|Dy|dy|FM|TM|FX"
+)
+
+
+def _is_pg_dt_model(model: str) -> bool:
+    if re.search(r"[ymdhs]", _PG_NAME_TOKENS.sub("", model)):
+        return False  # lowercase Spark pattern letters present
+    return _PG_MODEL_HINT.search(model) is not None
+
+
+def _rewrite_pg_datetime_fns(masked: str, literals: list[str]) -> str:
+    """SQL-text ``to_date/to_timestamp(x, '<PG model>')`` →
+    the Spark pattern (formatting.cpp's DCH table via
+    pg_compat.pg_datetime_model_to_spark), and ``to_char(x,
+    '<datetime model>')`` → ``date_format(x, '<pattern>')`` when the
+    model needs no expression-tier tokens (SSSS/WW/CC/J/... keep the
+    DataFrame API, functions/pg_compat.py to_char).  Numeric to_char
+    models (9/0 digits) rewrite separately (_rewrite_to_char_numeric).
+    Spark-native patterns (lowercase letters) pass through untouched."""
+    from .pg_compat import _parse_dt_model, pg_datetime_model_to_spark
+
+    out, pos = masked, 0
+    while True:
+        m = re.search(r"\b(?P<fn>to_date|to_timestamp|to_char)\s*\(",
+                      out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        op = pos + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        args = _split_top_commas(out[op + 1:cl])
+        mt = (_MASK_TOK.fullmatch(args[1].strip())
+              if len(args) == 2 else None)
+        repl = None
+        if mt is not None:
+            model = literals[int(mt.group(1))][1:-1].replace("''", "'")
+            fn = m.group("fn").lower()
+            if fn == "to_char" and set(model) & set("90"):
+                repl = _to_char_numeric_sql(args[0].strip(), model,
+                                            literals)
+            elif _is_pg_dt_model(model):
+                pat = pg_datetime_model_to_spark(model)
+                ptok = None
+                if "'" not in pat.replace("''", ""):
+                    literals.append("'" + pat.replace("'", "''") + "'")
+                    ptok = f"\x00{len(literals) - 1}\x00"
+                if ptok is not None and fn in ("to_date",
+                                               "to_timestamp"):
+                    repl = f"{fn}({args[0].strip()}, {ptok})"
+                elif ptok is not None:
+                    segs = _parse_dt_model(model)
+                    if all(k != "expr" for k, _ in segs):
+                        repl = (f"date_format({args[0].strip()}, "
+                                f"{ptok})")
+        if repl is None:
+            pos = op + 1
+            continue
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        # rescan from just inside the replacement: NESTED calls
+        # (to_date(to_char(x, ...), ...)) still need their own
+        # rewrite; the outer name re-matches once and falls through
+        # (its model token is already Spark-cased)
+        pos = pos + m.start() + 1
+
+
+def _to_char_numeric_sql(arg: str, model: str,
+                         literals: list[str]) -> str | None:
+    """Numeric to_char with the SIMPLE digit subset ('9'/'0' digits,
+    one optional '.', optional FM prefix — formatting.cpp NUM table's
+    head): rounded to the model's scale, sign-aware, PG's leading
+    sign slot, '#' fill on overflow.  Group separators / currency /
+    EEEE / RN keep the DataFrame API (functions/pg_compat.py
+    _to_char_numeric)."""
+    fm = model.upper().startswith("FM")
+    body = model[2:] if fm else model
+    mm = re.fullmatch(r"(?P<i>[90]+)(?:\.(?P<d>[90]+))?", body)
+    if mm is None:
+        return None
+    intw = len(mm.group("i"))
+    dec = len(mm.group("d") or "")
+    a = f"({arg})"
+
+    def lit(s: str) -> str:
+        literals.append("'" + s.replace("'", "''") + "'")
+        return f"\x00{len(literals) - 1}\x00"
+
+    num = f"CAST(ROUND(CAST({a} AS DOUBLE), {dec}) AS DECIMAL(38, {dec}))"
+    txt = f"CAST(ABS({num}) AS STRING)"
+    sign = f"CASE WHEN {num} < 0 THEN {lit('-')} ELSE {lit(' ')} END"
+    if fm:
+        sign = f"CASE WHEN {num} < 0 THEN {lit('-')} ELSE {lit('')} END"
+    width = intw + (dec + 1 if dec else 0)
+    over = lit("#" * (len(body) + 1))
+    base = f"concat({sign}, {txt})"
+    if not fm:
+        base = f"lpad({base}, {width + 1}, {lit(' ')})"
+    return (
+        f"(CASE WHEN {a} IS NULL THEN NULL"
+        f" WHEN ABS({num}) >= POW(10, {intw}) THEN {over}"
+        f" ELSE {base} END)"
+    )
+
+
 def _rewrite_pg_typeof(masked: str) -> str:
     """pg_typeof(expr) → pg_typename(typeof(expr)) — Spark's typeof()
     is polymorphic, the macro maps the name spelling (misc.cpp
@@ -567,6 +684,9 @@ def translate(sql: str) -> str:
         out = _rewrite_format(out, literals)
     if re.search(r"\btrunc\s*\(", out, re.IGNORECASE):
         out = _rewrite_trunc(out)
+    if re.search(r"\bto_(?:date|timestamp|char)\s*\(", out,
+                 re.IGNORECASE):
+        out = _rewrite_pg_datetime_fns(out, literals)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

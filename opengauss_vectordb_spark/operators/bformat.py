@@ -199,3 +199,43 @@ def format_trunc_compat(spark, sf_dir):
         " CAST(trunc(r_regionkey * -7.77) AS DOUBLE) AS t0"
         " FROM region ORDER BY k"
     )
+
+
+@query(
+    "pg_datetime_format_models",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d1,
+           strftime(CAST(o_orderdate AS DATE), '%b %d, %Y') AS d2,
+           strftime(CAST(o_orderdate AS DATE), '%a') AS dow,
+           CAST(o_orderdate AS DATE) AS rt,
+           CAST(strftime(CAST(o_orderdate AS DATE), '%H%M%S')
+                AS VARCHAR) AS hms
+    FROM orders WHERE o_orderkey <= 200 ORDER BY k
+    """,
+)
+def pg_datetime_format_models(spark, sf_dir):
+    """PG/Oracle datetime format models in SQL TEXT
+    (formatting.cpp's DCH table; ~700 regress uses across
+    to_char/to_date/to_timestamp): 'YYYY-MM-DD', 'Mon DD, YYYY',
+    'Dy', 'HH24MISS' render through one date_format after model
+    translation, and to_date round-trips its own to_char output.
+    Spark-native lowercase patterns pass through untouched (the
+    case-based dialect detection).  The DuckDB oracle renders the
+    same fields through strftime — an independent formatter.
+
+    Scale: every call is ONE codegen'd date_format/to_date; the
+    model translates at plan time, never per row."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT CAST(o_orderkey AS BIGINT) AS k,"
+        " to_char(o_orderdate, 'YYYY-MM-DD') AS d1,"
+        " to_char(o_orderdate, 'Mon DD, YYYY') AS d2,"
+        " to_char(o_orderdate, 'Dy') AS dow,"
+        " to_date(to_char(o_orderdate, 'YYYY-MM-DD'),"
+        "         'YYYY-MM-DD') AS rt,"
+        " to_char(o_orderdate, 'HH24MISS') AS hms"
+        " FROM orders WHERE o_orderkey <= 200 ORDER BY k"
+    )

@@ -4211,3 +4211,31 @@ def test_compat_statement_batch4(spark, tmp_path):
     ]:
         with pytest.raises(NotImplementedError, match=msg):
             eng.sql(stmt)
+
+
+def test_pg_datetime_models_sql_text(spark):
+    """PG/Oracle datetime format models route from SQL text through
+    the DCH translation (formatting.cpp): to_timestamp/to_date parse,
+    to_char renders, nested calls rewrite, Spark-native lowercase
+    patterns stay untouched, and numeric to_char follows PG's
+    sign-slot/rounding/overflow rules."""
+    eng = Engine(spark, SF_CORRECT)
+    one = lambda q: str(eng.sql(q).collect()[0][0])  # noqa: E731
+    assert one("SELECT to_timestamp('2020-03-05 14:30:00',"
+               " 'YYYY-MM-DD HH24:MI:SS')") == "2020-03-05 14:30:00"
+    assert one("SELECT to_date('05 Dec 2000', 'DD Mon YYYY')") \
+        == "2000-12-05"
+    assert one("SELECT to_char(TIMESTAMP '2020-03-05 14:30:00',"
+               " 'Mon DD, YYYY')") == "Mar 05, 2020"
+    assert one("SELECT to_char(DATE '2020-03-07', 'Dy')") == "Sat"
+    # nested: to_date of a to_char rendering round-trips
+    assert one("SELECT to_date(to_char(DATE '2021-05-09',"
+               " 'YYYY-MM-DD'), 'YYYY-MM-DD')") == "2021-05-09"
+    # Spark-native patterns keep Spark's parser
+    assert one("SELECT to_timestamp('2020-03-05', 'yyyy-MM-dd')") \
+        == "2020-03-05 00:00:00"
+    # numeric models: PG sign slot, rounding, '#' overflow fill
+    assert one("SELECT to_char(12345.678, '99999.99')") == " 12345.68"
+    assert one("SELECT to_char(-12345.678, '99999.99')") == "-12345.68"
+    assert one("SELECT to_char(12345.678, '999.99')") == "#######"
+    assert one("SELECT to_char(42, 'FM999')") == "42"
