@@ -614,6 +614,14 @@ def _rewrite_pg_typeof(masked: str) -> str:
 def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
     masked, literals = _mask_strings(sql)
+    # B-format charset-prefixed literals (_utf8'x', _utf8mb4'x', ...):
+    # the engine is UTF-8 end-to-end (COVERAGE's charset position), so
+    # the introducer strips — the literal text is already UTF-8
+    masked = re.sub(
+        r"\b_(?:utf8mb4|utf8|gbk|gb18030|latin1|binary|ucs2|ascii)"
+        r"\s*(?=\x00\d+\x00)",
+        "", masked, flags=re.IGNORECASE,
+    )
     out = _FROM_DUAL.sub("", masked)
     out = _SYSDATE.sub("current_timestamp()", out)
     out = _rewrite_vector_ops(out, literals)

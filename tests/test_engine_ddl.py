@@ -4239,3 +4239,6 @@ def test_pg_datetime_models_sql_text(spark):
     assert one("SELECT to_char(-12345.678, '99999.99')") == "-12345.68"
     assert one("SELECT to_char(12345.678, '999.99')") == "#######"
     assert one("SELECT to_char(42, 'FM999')") == "42"
+    # B-format charset introducers strip (UTF-8 end-to-end position)
+    assert one("SELECT _utf8'hello'") == "hello"
+    assert one("SELECT concat(_utf8mb4'a', _binary'b')") == "ab"
