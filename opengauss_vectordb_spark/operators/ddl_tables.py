@@ -181,7 +181,8 @@ class TableManager:
 
     def insert_into(self, name: str, df: DataFrame,
                     transform=None,
-                    capture: bool = False) -> DataFrame | None:
+                    capture: bool = False,
+                    ignore_errors: bool = False) -> DataFrame | None:
         """Appends; with ``capture`` the final (cast + trigger-fired)
         rows are MATERIALIZED before the write and returned as a local
         frame — the INSERT ... RETURNING surface.  Materializing first
@@ -267,7 +268,8 @@ class TableManager:
                 aligned.collect(), aligned.schema
             )
             aligned = captured
-        self._write(name, aligned, mode="append")
+        self._write(name, aligned, mode="append",
+                    ignore_errors=ignore_errors)
         return captured
 
     def _assign_auto_ids(self, df: DataFrame, name: str, col: str,
@@ -617,12 +619,15 @@ class TableManager:
             )
         return hist[-1]["csn"]
 
-    def _write(self, name: str, df: DataFrame, mode: str) -> None:
+    def _write(self, name: str, df: DataFrame, mode: str,
+               ignore_errors: bool = False) -> None:
+        n0 = df.count() if ignore_errors else None
         enum_cols = self.tables[name].get("enum_cols")
         if enum_cols and self.engine is not None:
             from .user_types import enum_guard
 
-            df = enum_guard(self.engine, df, enum_cols)
+            df = enum_guard(self.engine, df, enum_cols,
+                            ignore=ignore_errors)
         dcol = self.tables[name].get("distribute_by")
         if dcol and dcol in df.columns:
             # DISTRIBUTE BY HASH(col): every write hash-partitions on
@@ -640,7 +645,8 @@ class TableManager:
             )
 
             df, spec = apply_labels(
-                df, PartitionSpec.from_meta(spec_meta)
+                df, PartitionSpec.from_meta(spec_meta),
+                ignore=ignore_errors,
             )
             # INTERVAL auto-extension may have appended sys_p* bounds
             self.tables[name]["partition_spec"] = spec.to_meta()
@@ -652,6 +658,11 @@ class TableManager:
             pcol = self.tables[name].get("partition_by")
             if pcol is not None:
                 writer = writer.partitionBy(pcol)
+        if ignore_errors:
+            # the skipped count is the hint's user-facing contract
+            # (openGauss raises each skip to a WARNING); two bounded
+            # count jobs, paid ONLY on the ignore path
+            self.last_insert_skipped = n0 - df.count()
         try:
             writer.parquet(self._path(name))
         except Exception as e:  # noqa: BLE001 — translate routing abort
@@ -1797,6 +1808,17 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     handled = _handle_comment(engine, query)
     if handled is not None:
         return handled
+    # /*+ ignore_error */ (the B-format sql_ignore hint; regress
+    # ignore/ suite): rows the write-side validators would abort on
+    # (no matching partition, invalid enum label) FILTER instead,
+    # and the result frame reports the skipped count — the
+    # skip-bad-rows ingest mode every bulk load wants
+    ignore_hint = False
+    if re.match(r"^\s*INSERT\s+/\*\+\s*ignore_error\s*\*/",
+                query, re.IGNORECASE):
+        ignore_hint = True
+        query = re.sub(r"/\*\+\s*ignore_error\s*\*/\s*", "", query,
+                       count=1)
     # ALTER TABLE IF EXISTS t ... (tablecmds.cpp AlterTableStmt
     # missing_ok): a missing relation is a no-op notice, an existing
     # one proceeds through the plain ALTER handlers
@@ -2117,11 +2139,19 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             name, engine.sql(m.group("stmt")),
             transform=lambda d: fire_insert_triggers(engine, name, d),
             capture=bool(m.group("ret")),
+            ignore_errors=ignore_hint,
         )
         if m.group("ret"):
             # the inserted rows post-cast and post-trigger, as PG's
             # INSERT RETURNING
             return _returning_frame(engine, captured, m.group("ret"))
+        if ignore_hint:
+            return engine.spark.createDataFrame(
+                [("INSERT", m.group("name").lower(),
+                  int(getattr(engine.managed_tables,
+                              "last_insert_skipped", 0)))],
+                "tag STRING, tbl STRING, skipped BIGINT",
+            )
         return engine.spark.createDataFrame(
             [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"
         )

@@ -366,7 +366,8 @@ NO_HOME_MSG = (
 
 
 def apply_labels(df: DataFrame, spec: PartitionSpec,
-                 validate: bool = True) -> tuple[DataFrame, PartitionSpec]:
+                 validate: bool = True,
+                 ignore: bool = False) -> tuple[DataFrame, PartitionSpec]:
     """Attach PART_COL via the routing CASE; a row routing nowhere
     aborts the WRITE ITSELF (the reference's 'inserted partition key
     does not map to any table partition') — the check is a
@@ -389,7 +390,12 @@ def apply_labels(df: DataFrame, spec: PartitionSpec,
         if mx is not None:
             spec = autoextend(spec, mx)
     label = spec.label_expr()
-    if validate:
+    if ignore:
+        # /*+ ignore_error */ (sql_ignore): no-home rows FILTER out
+        # of the batch instead of aborting it — the skip-bad-rows
+        # ingest mode; the caller reports the skipped count
+        df = df.filter(spec.label_expr().isNotNull())
+    elif validate:
         label = F.when(
             label.isNull(), F.raise_error(F.lit(NO_HOME_MSG))
         ).otherwise(label)
@@ -398,7 +404,9 @@ def apply_labels(df: DataFrame, spec: PartitionSpec,
         if SUBPART_COL in out.columns:
             out = out.drop(SUBPART_COL)
         sub = spec.sub_label_expr()
-        if validate:
+        if ignore:
+            out = out.filter(spec.sub_label_expr().isNotNull())
+        elif validate:
             sub = F.when(
                 sub.isNull(), F.raise_error(F.lit(NO_HOME_MSG))
             ).otherwise(sub)

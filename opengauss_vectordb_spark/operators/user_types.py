@@ -71,21 +71,27 @@ def resolve_type(engine, type_name: str) -> str | None:
     return _map_type(ut["base"])
 
 
-def enum_guard(engine, df: DataFrame, enum_cols: dict) -> DataFrame:
+def enum_guard(engine, df: DataFrame, enum_cols: dict,
+               ignore: bool = False) -> DataFrame:
     """Write-side enum validation (enum.cpp enum_in): an out-of-set
-    label aborts the write from INSIDE the job — no pre-count pass."""
+    label aborts the write from INSIDE the job — no pre-count pass.
+    Under ``ignore`` (the B-format /*+ ignore_error */ hint,
+    sql_ignore strategy) invalid rows FILTER instead of aborting."""
     for col, type_name in enum_cols.items():
         if col not in df.columns:
             continue
         labels = engine.user_types[type_name]["labels"]
         arr = "array(" + ", ".join(f"'{v}'" for v in labels) + ")"
+        valid = (
+            F.col(col).isNull()
+            | F.expr(f"array_contains({arr}, {col})")
+        )
+        if ignore:
+            df = df.filter(valid)
+            continue
         df = df.withColumn(
             col,
-            F.when(
-                F.col(col).isNull()
-                | F.expr(f"array_contains({arr}, {col})"),
-                F.col(col),
-            ).otherwise(
+            F.when(valid, F.col(col)).otherwise(
                 F.expr(
                     f"raise_error(concat('invalid input value for enum "
                     f"{type_name}: \"', {col}, '\"'))"

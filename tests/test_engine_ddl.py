@@ -4242,3 +4242,36 @@ def test_pg_datetime_models_sql_text(spark):
     # B-format charset introducers strip (UTF-8 end-to-end position)
     assert one("SELECT _utf8'hello'") == "hello"
     assert one("SELECT concat(_utf8mb4'a', _binary'b')") == "ab"
+
+
+def test_insert_ignore_error_hint(spark, tmp_path):
+    """/*+ ignore_error */ (B-format sql_ignore; regress ignore/
+    suite): rows the write-side validators would abort on — no
+    matching partition, invalid enum label — FILTER out of the batch
+    instead, and the result frame reports the skipped count; the
+    plain INSERT keeps aborting."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("""CREATE TABLE pt_ig (k INT, v TEXT)
+               PARTITION BY RANGE (k) (
+                 PARTITION p1 VALUES LESS THAN (10),
+                 PARTITION p2 VALUES LESS THAN (20))""")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO pt_ig VALUES (5, 'a'), (25, 'bad')")
+    r = eng.sql("INSERT /*+ ignore_error */ INTO pt_ig VALUES"
+                " (5, 'a'), (25, 'bad'), (15, 'b')").collect()[0]
+    assert r.skipped == 1
+    assert sorted((x.k, x.v)
+                  for x in eng.spark.table("pt_ig").collect()) \
+        == [(5, "a"), (15, "b")]
+    # a clean batch skips nothing
+    r = eng.sql("INSERT /*+ ignore_error */ INTO pt_ig"
+                " VALUES (7, 'c')").collect()[0]
+    assert r.skipped == 0
+    eng.sql("CREATE TYPE ig_mood AS ENUM ('sad', 'ok')")
+    eng.sql("CREATE TABLE em_ig (k INT, m ig_mood)")
+    r = eng.sql("INSERT /*+ ignore_error */ INTO em_ig VALUES"
+                " (1, 'ok'), (2, 'angry')").collect()[0]
+    assert r.skipped == 1
+    assert [(x.k, x.m) for x in eng.spark.table("em_ig").collect()] \
+        == [(1, "ok")]
