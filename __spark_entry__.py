@@ -90,9 +90,9 @@ registry.load_all_queries()
 # codegen'd struct expression, DuckDB's native age as the oracle).
 #
 # ROUND 10 window (exactly 50): (a) those 13 rows front-loaded as the
-# first first-evers, per the r9 verdict; (b) the seven round-10
-# registrations; (c) churn re-gates; (d) the oldest 26 rows of the
-# 46-entry r3 stale tail (the 20-row remainder — setops, sql_compat,
+# first first-evers, per the r9 verdict; (b) the eight round-10
+# registrations; (c) churn re-gates; (d) the oldest 25 rows of the
+# 46-entry r3 stale tail (the 21-row remainder — setops, sql_compat,
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
 # string_funcs, sample_deterministic/cluster_balanced — rotates first
 # in r11).
@@ -126,6 +126,7 @@ GATE_PRIORITY: list[str] = [
     "plpgsql_setof_dynexecute",
     "format_trunc_compat",
     "pg_datetime_format_models",
+    "insert_ignore_error",
     # (c) churned-code re-gates this round: gin_index.py (array-op
     # routing now resolves FROM/JOIN refs + elem-type literal guard;
     # posting-level compaction), gist_index.py (posting-level
@@ -164,7 +165,6 @@ GATE_PRIORITY: list[str] = [
     "knn_binary_rerank",
     "knn_pq_rerank",
     "limit_offset",
-    "math_funcs",
     "recursive_cte_native",
 ]
 

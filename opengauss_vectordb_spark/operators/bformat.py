@@ -239,3 +239,50 @@ def pg_datetime_format_models(spark, sf_dir):
         " to_char(o_orderdate, 'HH24MISS') AS hms"
         " FROM orders WHERE o_orderkey <= 200 ORDER BY k"
     )
+
+
+@query(
+    "insert_ignore_error",
+    """
+    SELECT k, v FROM (VALUES (5, 'a'), (15, 'b'), (7, 'c'))
+      AS t(k, v)
+    ORDER BY k
+    """,
+)
+def insert_ignore_error(spark, sf_dir):
+    """INSERT /*+ ignore_error */ — the B-format sql_ignore hint
+    (regress ignore/ suite): rows the write-side validators would
+    abort on (no matching partition here) FILTER out of the batch,
+    the skipped count reports, and the surviving rows land routed.
+    The oracle is the expected surviving set stated directly.
+
+    Scale: the skip is the routing CASE's null-label filter fused
+    into the write job — no extra pass over a clean batch; the
+    skipped count costs two bounded count jobs only under the
+    hint."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ig_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE gate_ig (k INT, v TEXT)"
+            " PARTITION BY RANGE (k) ("
+            "  PARTITION p1 VALUES LESS THAN (10),"
+            "  PARTITION p2 VALUES LESS THAN (20))"
+        )
+        r = eng.sql(
+            "INSERT /*+ ignore_error */ INTO gate_ig VALUES"
+            " (5, 'a'), (25, 'bad'), (15, 'b'), (7, 'c')"
+        ).collect()[0]
+        assert int(r.skipped) == 1, r
+        rows = eng.sql(
+            "SELECT k, v FROM gate_ig ORDER BY k"
+        ).collect()
+        return spark.createDataFrame(rows, "k INT, v STRING")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
