@@ -3274,8 +3274,10 @@ def test_plpgsql_return_query_setof(spark):
 
 def test_plpgsql_setof_refusals(spark):
     """The set-returning subset refuses what it cannot compile, naming
-    the rewrite: control flow in the body, RETURN QUERY EXECUTE,
-    untyped SETOF record, RETURN NEXT of a composite."""
+    the rewrite: control flow in the body, untyped SETOF record,
+    RETURN NEXT of a composite.  RETURN QUERY EXECUTE routes to the
+    interpreted path since round 10 (test_plpgsql_setof_dynexecute)
+    — pinned here as working."""
     eng = Engine(spark, SF_CORRECT)
     with pytest.raises(NotImplementedError, match="WHERE clause"):
         eng.sql("""
@@ -3285,14 +3287,16 @@ def test_plpgsql_setof_refusals(spark):
             END;
             $$ LANGUAGE plpgsql
         """)
-    with pytest.raises(NotImplementedError, match="EXECUTE"):
-        eng.sql("""
-            CREATE FUNCTION srf_dyn() RETURNS SETOF int AS $$
-            BEGIN
-                RETURN QUERY EXECUTE 'SELECT 1';
-            END;
-            $$ LANGUAGE plpgsql
-        """)
+    eng.sql("""
+        CREATE FUNCTION srf_dyn() RETURNS SETOF int AS $$
+        BEGIN
+            RETURN QUERY EXECUTE 'SELECT 1';
+        END;
+        $$ LANGUAGE plpgsql
+    """)
+    assert [r[0] for r in
+            eng.sql("SELECT * FROM srf_dyn()").collect()] == [1]
+    eng.sql("DROP FUNCTION srf_dyn")
     with pytest.raises(NotImplementedError, match="record"):
         eng.sql("""
             CREATE FUNCTION srf_rec() RETURNS SETOF record AS $$
