@@ -646,6 +646,56 @@ class Engine:
                 [("RESET", m.group("name").lower())],
                 "tag STRING, guc STRING",
             )
+        # ALTER SYSTEM SET (guc.cpp AlterSystemSetConfigFile): the
+        # reference persists to the auto conf; a single-session engine's
+        # honest analogue is the session GUC store, tagged so the user
+        # sees which statement set it
+        m = re.match(
+            r"^\s*ALTER\s+SYSTEM\s+(?:SET\s+(?P<name>[\w.]+)\s*"
+            r"(?:=|TO)\s*(?P<val>.+?)|RESET\s+(?P<rname>[\w.]+))"
+            r"\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            if m.group("rname"):
+                self._gucs.pop(m.group("rname").lower(), None)
+                return self.spark.createDataFrame(
+                    [("ALTER SYSTEM RESET", m.group("rname").lower())],
+                    "tag STRING, guc STRING",
+                )
+            val = m.group("val").strip().strip("'")
+            self._gucs[m.group("name").lower()] = val
+            return self.spark.createDataFrame(
+                [("ALTER SYSTEM SET", m.group("name").lower(), val)],
+                "tag STRING, guc STRING, value STRING",
+            )
+        # has_table_privilege (acl.cpp; 122 regress uses) — top-level
+        # scalar probes with literal arguments answer from the ACL
+        # registry (2-arg = session role, 3-arg = named role; a
+        # comma list of privileges is an OR, PG's rule)
+        m = re.match(
+            r"^\s*SELECT\s+has_table_privilege\s*\(\s*"
+            r"(?:'(?P<u>\w+)'\s*,\s*)?'(?P<t>\w+)'\s*,\s*"
+            r"'(?P<p>[\w\s,]+)'\s*\)\s*(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            from .operators.rls import has_privilege, has_privilege_for
+
+            u = (m.group("u") or "").lower()
+            if u and u not in getattr(self, "roles", set()):
+                raise KeyError(f"role {u!r} does not exist")
+            privs = [p.strip() for p in m.group("p").split(",")]
+            if u:
+                ok = any(has_privilege_for(self, u, m.group("t"), p)
+                         for p in privs)
+            else:
+                ok = any(has_privilege(self, m.group("t"), p)
+                         for p in privs)
+            alias = (m.group("a") or "has_table_privilege").lower()
+            return self.spark.sql(
+                f"SELECT {str(bool(ok)).upper()} AS {alias}"
+            )
         # SHOW WARNINGS / ERRORS (B-format diagnostics area,
         # gram.y ShowStmt): statements either succeed or raise here —
         # no warning accumulates between statements — so the frame is

@@ -141,6 +141,13 @@ _SQL_MACROS = {
     # to_hex (adt/varlena.cpp): PG renders lowercase
     "to_hex": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "to_hex(n BIGINT) RETURNS STRING RETURN lower(hex(n))",
+    # to_binary_float / to_binary_double (A-format float casts —
+    # plugin parser; 104+ regress uses): plain IEEE casts
+    "to_binary_float": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "to_binary_float(x STRING) RETURNS FLOAT RETURN CAST(x AS FLOAT)",
+    "to_binary_double": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "to_binary_double(x STRING) RETURNS DOUBLE RETURN "
+    "CAST(x AS DOUBLE)",
     # quote_ident / quote_literal (adt/quote.cpp): identifiers quote
     # only when not a plain lower-case word (the reserved-keyword
     # check is omitted — documented); literals double their quotes
@@ -196,6 +203,8 @@ def register_pg_functions(spark: SparkSession) -> None:
         "quote_literal",
         "pg_age_parts",
         "age",
+        "to_binary_float",
+        "to_binary_double",
     ):
         spark.sql(_SQL_MACROS[name])
 

@@ -466,8 +466,11 @@ class _DoRunner:
                     self.env[v] = None if row is None else row[i]
                 return
         # EXECUTE <dynamic sql> — pl_exec.cpp:139 exec_stmt_dynexecute,
-        # the literal-derived subset (see _compose_dynsql)
-        m = re.match(r"EXECUTE\s+(?P<rest>.+)$", stmt,
+        # the literal-derived subset (see _compose_dynsql).  The
+        # A-format spelling EXECUTE IMMEDIATE (gram.y's
+        # ExecuteImmediateStmt; 116 regress uses) is the same
+        # statement — the keyword strips.
+        m = re.match(r"EXECUTE\s+(?:IMMEDIATE\s+)?(?P<rest>.+)$", stmt,
                      re.IGNORECASE | re.DOTALL)
         if m:
             self._exec_dynexecute(m.group("rest"))

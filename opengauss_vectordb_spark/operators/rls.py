@@ -135,20 +135,26 @@ def _role_closure(engine, role: str) -> set[str]:
     return seen
 
 
-def has_privilege(engine, tbl: str, priv: str) -> bool:
-    """pg_class_aclcheck: owner bypasses; ACL-managed tables require
-    the privilege on the session role, any group it belongs to
+def has_privilege_for(engine, role: str, tbl: str, priv: str) -> bool:
+    """pg_class_aclcheck for an EXPLICIT role (has_table_privilege's
+    3-arg form, acl.cpp has_table_privilege_name_name): ACL-managed
+    tables require the privilege on the role, any group it belongs to
     (transitive membership, the INHERIT default), or PUBLIC;
     unmanaged tables are open."""
-    if engine.current_role is None:
-        return True
     acl = engine.acl.get(tbl.lower())
     if acl is None:
         return True
     allowed: set[str] = set(acl.get("public", set()))
-    for r in _role_closure(engine, engine.current_role):
+    for r in _role_closure(engine, role):
         allowed |= acl.get(r, set())
     return priv.lower() in allowed or "all" in allowed
+
+
+def has_privilege(engine, tbl: str, priv: str) -> bool:
+    """The session-role form — owner (no SET ROLE) bypasses."""
+    if engine.current_role is None:
+        return True
+    return has_privilege_for(engine, engine.current_role, tbl, priv)
 
 
 def check_privilege(engine, tbl: str, priv: str) -> None:

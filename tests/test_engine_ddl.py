@@ -4279,3 +4279,40 @@ def test_insert_ignore_error_hint(spark, tmp_path):
     assert r.skipped == 1
     assert [(x.k, x.m) for x in eng.spark.table("em_ig").collect()] \
         == [(1, "ok")]
+
+
+def test_compat_statement_batch5(spark, tmp_path):
+    """Census batch 5: EXECUTE IMMEDIATE (A-format dynamic SQL — the
+    keyword strips into the same literal-derived path),
+    to_binary_float/double, ALTER SYSTEM SET/RESET as session GUCs,
+    and has_table_privilege probes answering from the ACL registry
+    (2-arg session-role and 3-arg named-role forms, comma list = OR,
+    missing role errors)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    r = eng.sql("""DO $$ DECLARE n bigint;
+        BEGIN EXECUTE IMMEDIATE 'SELECT COUNT(*) FROM region' INTO n;
+        RAISE NOTICE 'n=%', n; END $$""").collect()[0]
+    assert "n=5" in r.notices
+    row = eng.sql("SELECT to_binary_float('3.5') AS f,"
+                  " to_binary_double('2.25') AS d").collect()[0]
+    assert row.f == 3.5 and row.d == 2.25
+    eng.sql("ALTER SYSTEM SET work_mem = '64MB'")
+    assert eng.sql("SHOW work_mem").collect()[0].value == "64MB"
+    eng.sql("ALTER SYSTEM RESET work_mem")
+    with pytest.raises(KeyError):
+        eng.sql("SHOW work_mem")
+    eng.sql("CREATE TABLE acl_b5 AS SELECT 1 AS k")
+    eng.sql("CREATE ROLE b5_yes")
+    eng.sql("CREATE ROLE b5_no")
+    eng.sql("GRANT SELECT ON acl_b5 TO b5_yes")
+    hp = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert hp("SELECT has_table_privilege('b5_yes', 'acl_b5',"
+              " 'SELECT')") is True
+    assert hp("SELECT has_table_privilege('b5_no', 'acl_b5',"
+              " 'SELECT')") is False
+    assert hp("SELECT has_table_privilege('b5_no', 'acl_b5',"
+              " 'INSERT, SELECT') AS ok") is False
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("SELECT has_table_privilege('ghost', 'acl_b5',"
+                " 'SELECT')")
