@@ -696,6 +696,22 @@ class Engine:
             return self.spark.sql(
                 f"SELECT {str(bool(ok)).upper()} AS {alias}"
             )
+        # pg_get_viewdef (ruleutils.cpp; 92 regress uses) — the stored
+        # view text, for literal-name top-level probes
+        m = re.match(
+            r"^\s*SELECT\s+pg_get_viewdef\s*\(\s*'(?P<v>\w+)'"
+            r"(?:\s*,\s*\w+)?\s*\)\s*(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            defs = getattr(self, "view_defs", {})
+            name = m.group("v").lower()
+            if name not in defs:
+                raise KeyError(f"view {name!r} does not exist")
+            alias = (m.group("a") or "pg_get_viewdef").lower()
+            return self.spark.createDataFrame(
+                [(defs[name],)], f"`{alias}` STRING"
+            )
         # SHOW WARNINGS / ERRORS (B-format diagnostics area,
         # gram.y ShowStmt): statements either succeed or raise here —
         # no warning accumulates between statements — so the frame is

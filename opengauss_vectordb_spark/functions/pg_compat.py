@@ -148,6 +148,14 @@ _SQL_MACROS = {
     "to_binary_double": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "to_binary_double(x STRING) RETURNS DOUBLE RETURN "
     "CAST(x AS DOUBLE)",
+    # ts_lexize (tsearchcmds.cpp; 109 regress uses): under the
+    # engine's one documented dictionary — 'simple', lowercasing —
+    # every dictionary name lexizes to the lowercased input (the
+    # COVERAGE FTS position: one tokenizer, configs are catalog
+    # entries)
+    "ts_lexize": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "ts_lexize(dict STRING, w STRING) RETURNS ARRAY<STRING> RETURN "
+    "CASE WHEN w IS NULL THEN NULL ELSE array(lower(w)) END",
     # quote_ident / quote_literal (adt/quote.cpp): identifiers quote
     # only when not a plain lower-case word (the reserved-keyword
     # check is omitted — documented); literals double their quotes
@@ -205,6 +213,7 @@ def register_pg_functions(spark: SparkSession) -> None:
         "age",
         "to_binary_float",
         "to_binary_double",
+        "ts_lexize",
     ):
         spark.sql(_SQL_MACROS[name])
 

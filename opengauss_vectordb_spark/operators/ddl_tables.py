@@ -2300,6 +2300,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
             + translate(m.group("stmt"))
         )
+        # the ORIGINAL text, for pg_get_viewdef (ruleutils.cpp
+        # deparses the rule; the stored text IS the definition here)
+        if not hasattr(engine, "view_defs"):
+            engine.view_defs = {}
+        engine.view_defs[name] = m.group("stmt").strip()
         return engine.spark.createDataFrame(
             [("CREATE VIEW", name)], "tag STRING, view STRING"
         )

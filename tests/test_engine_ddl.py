@@ -4316,3 +4316,22 @@ def test_compat_statement_batch5(spark, tmp_path):
     with pytest.raises(KeyError, match="does not exist"):
         eng.sql("SELECT has_table_privilege('ghost', 'acl_b5',"
                 " 'SELECT')")
+
+
+def test_viewdef_and_ts_lexize(spark, tmp_path):
+    """pg_get_viewdef returns the stored view text (ruleutils.cpp —
+    the stored text IS the definition in a text-view engine) and
+    ts_lexize lexizes through the one documented dictionary
+    (lowercasing 'simple'); a missing view errors."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE VIEW vd5 AS SELECT r_regionkey FROM region"
+            " WHERE r_regionkey > 1")
+    assert eng.sql("SELECT pg_get_viewdef('vd5')").collect()[0][0] \
+        == "SELECT r_regionkey FROM region WHERE r_regionkey > 1"
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("SELECT pg_get_viewdef('ghost_view')")
+    assert eng.sql("SELECT ts_lexize('english_stem', 'Walking') AS l"
+                   ).collect()[0].l == ["walking"]
+    assert eng.sql("SELECT ts_lexize('simple', CAST(NULL AS STRING))"
+                   " AS l").collect()[0].l is None
