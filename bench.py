@@ -202,6 +202,8 @@ HEADLINE = [
     "plpgsql_dynexecute_function",
     "plpgsql_cursor_fetch",
     "plpgsql_setof_dynexecute",
+    "format_trunc_compat",
+    "pg_datetime_format_models",
 ]
 
 
