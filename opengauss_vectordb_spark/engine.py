@@ -696,6 +696,43 @@ class Engine:
             return self.spark.sql(
                 f"SELECT {str(bool(ok)).upper()} AS {alias}"
             )
+        # set_config / current_setting (guc.cpp; the functional SET
+        # spelling) — top-level literal forms read/write the session
+        # GUC store; is_local collapses to session scope (the
+        # one-implicit-transaction position)
+        m = re.match(
+            r"^\s*SELECT\s+set_config\s*\(\s*'(?P<n>[\w.]+)'\s*,\s*"
+            r"'(?P<v>[^']*)'\s*,\s*(?:true|false)\s*\)\s*"
+            r"(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            self._gucs[m.group("n").lower()] = m.group("v")
+            alias = (m.group("a") or "set_config").lower()
+            return self.spark.createDataFrame(
+                [(m.group("v"),)], f"`{alias}` STRING"
+            )
+        m = re.match(
+            r"^\s*SELECT\s+current_setting\s*\(\s*'(?P<n>[\w.]+)'\s*"
+            r"(?:,\s*(?P<ok>true|false)\s*)?\)\s*"
+            r"(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            name = m.group("n").lower()
+            if name not in self._gucs:
+                if (m.group("ok") or "").lower() == "true":
+                    val = None  # missing_ok
+                else:
+                    raise KeyError(
+                        f"unrecognized configuration parameter {name!r}"
+                    )
+            else:
+                val = str(self._gucs[name])
+            alias = (m.group("a") or "current_setting").lower()
+            return self.spark.createDataFrame(
+                [(val,)], f"`{alias}` STRING"
+            )
         # pg_get_viewdef (ruleutils.cpp; 92 regress uses) — the stored
         # view text, for literal-name top-level probes
         m = re.match(

@@ -1814,7 +1814,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     # and the result frame reports the skipped count — the
     # skip-bad-rows ingest mode every bulk load wants
     ignore_hint = False
-    if re.match(r"^\s*INSERT\s+/\*\+\s*ignore_error\s*\*/",
+    if re.match(r"^\s*(?:INSERT|UPDATE)\s+/\*\+\s*ignore_error\s*\*/",
                 query, re.IGNORECASE):
         ignore_hint = True
         query = re.sub(r"/\*\+\s*ignore_error\s*\*/\s*", "", query,
@@ -2184,8 +2184,31 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         rls_pred = role_predicate(engine, name)
         if rls_pred is not None:
             cond = cond & rls_pred
-        n_hit = df.filter(cond).count()
         sets = dict(_split_set_clauses(m.group("sets")))
+        upd_skipped = 0
+        if ignore_hint:
+            # UPDATE /*+ ignore_error */ (sql_ignore): rows whose NEW
+            # enum value would abort keep their OLD values — the hit
+            # condition narrows to valid rows, the skipped count is
+            # the difference (two bounded counts, hint path only)
+            enum_cols = (engine.managed_tables.tables[name]
+                         .get("enum_cols") or {})
+            n_want = df.filter(cond).count()
+            for c, texpr in sets.items():
+                tname = enum_cols.get(c)
+                if not tname:
+                    continue
+                labels = engine.user_types[tname]["labels"]
+                arr = ("array(" + ", ".join(f"'{v}'" for v in labels)
+                       + ")")
+                cond = cond & F.expr(
+                    f"(({texpr}) IS NULL OR array_contains({arr},"
+                    f" CAST(({texpr}) AS STRING)))"
+                )
+            n_hit = df.filter(cond).count()
+            upd_skipped = n_want - n_hit
+        else:
+            n_hit = df.filter(cond).count()
         by_name = {f.name: f for f in df.schema.fields}
         gen_cols = engine.managed_tables.tables[name].get("generated") or {}
         bad = [c for c in sets if c in gen_cols]
@@ -2234,6 +2257,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         engine.managed_tables.rewrite(name, updated_f.drop(flag))
         if returning is not None:
             return returning
+        if ignore_hint:
+            return engine.spark.createDataFrame(
+                [("UPDATE", name, n_hit, int(upd_skipped))],
+                "tag STRING, tbl STRING, rows BIGINT, skipped BIGINT",
+            )
         return engine.spark.createDataFrame(
             [("UPDATE", name, n_hit)], "tag STRING, tbl STRING, rows BIGINT"
         )

@@ -4335,3 +4335,33 @@ def test_viewdef_and_ts_lexize(spark, tmp_path):
                    ).collect()[0].l == ["walking"]
     assert eng.sql("SELECT ts_lexize('simple', CAST(NULL AS STRING))"
                    " AS l").collect()[0].l is None
+
+
+def test_update_ignore_error_and_set_config(spark, tmp_path):
+    """UPDATE /*+ ignore_error */: rows whose NEW enum value would
+    abort keep their OLD values (the hit condition narrows; skipped
+    count reported); set_config/current_setting read/write the
+    session GUC store, with missing_ok returning NULL."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    eng.sql("CREATE TYPE uig_m AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("CREATE TABLE uig (k INT, m uig_m)")
+    eng.sql("INSERT INTO uig VALUES (1, 'sad'), (2, 'ok'), (3, 'sad')")
+    with pytest.raises(Exception):
+        eng.sql("UPDATE uig SET m = 'angry' WHERE k < 3")
+    r = eng.sql(
+        "UPDATE /*+ ignore_error */ uig SET m = CASE WHEN k = 1"
+        " THEN 'angry' ELSE 'happy' END WHERE k < 3"
+    ).collect()[0]
+    assert (r.rows, r.skipped) == (1, 1)
+    assert sorted((x.k, x.m)
+                  for x in eng.spark.table("uig").collect()) \
+        == [(1, "sad"), (2, "happy"), (3, "sad")]
+    assert eng.sql("SELECT set_config('app.tenant', 't42', false)"
+                   ).collect()[0][0] == "t42"
+    assert eng.sql("SELECT current_setting('app.tenant') AS v"
+                   ).collect()[0].v == "t42"
+    assert eng.sql("SELECT current_setting('app.none', true)"
+                   ).collect()[0][0] is None
+    with pytest.raises(KeyError):
+        eng.sql("SELECT current_setting('app.none')")
