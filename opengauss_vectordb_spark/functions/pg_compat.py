@@ -166,6 +166,14 @@ _SQL_MACROS = {
     "quote_literal": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "quote_literal(s STRING) RETURNS STRING RETURN "
     "concat('''', replace(s, '''', ''''''), '''')",
+    # quote_nullable (quote.cpp): like quote_literal, NULL renders as
+    # the unquoted word NULL
+    "quote_nullable": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "quote_nullable(s STRING) RETURNS STRING RETURN "
+    "CASE WHEN s IS NULL THEN 'NULL' ELSE quote_literal(s) END",
+    # getdate() — the B-format/SQL-Server spelling of now()
+    "getdate": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "getdate() RETURNS TIMESTAMP RETURN current_timestamp()",
 }
 
 
@@ -214,6 +222,8 @@ def register_pg_functions(spark: SparkSession) -> None:
         "to_binary_float",
         "to_binary_double",
         "ts_lexize",
+        "quote_nullable",
+        "getdate",
     ):
         spark.sql(_SQL_MACROS[name])
 

@@ -473,6 +473,101 @@ def _rewrite_trunc(masked: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+def _rewrite_extract_dow(masked: str) -> str:
+    """extract(dow/isodow from x) — PG numbers days 0-6 with Sunday=0
+    (isodow 1-7 Monday=1; timestamp.cpp timestamp_part), while
+    Spark's dayofweek is 1-7 with Sunday=1: uncorrected, every PG dow
+    predicate is silently off by one."""
+    out, pos = masked, 0
+    while True:
+        m = re.search(r"\bextract\s*\(\s*(?P<f>dow|isodow)\s+from\b",
+                      out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        op = out.index("(", pos + m.start())
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        f = m.group("f").lower()
+        expr = re.sub(r"^\s*(?:dow|isodow)\s+from\b", "",
+                      out[op + 1:cl], flags=re.IGNORECASE).strip()
+        if f == "dow":
+            repl = f"CAST(dayofweek({expr}) - 1 AS BIGINT)"
+        else:
+            repl = (f"CAST(pmod(dayofweek({expr}) + 5, 7) + 1"
+                    " AS BIGINT)")
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        pos = pos + m.start()
+
+
+def _rewrite_date_part_dow(masked: str, literals: list[str]) -> str:
+    """The date_part('dow'/'isodow', x) literal-field spelling
+    (same PG day-numbering correction as _rewrite_extract_dow)."""
+    out, pos = masked, 0
+    while True:
+        m = re.search(r"\bdate_part\s*\(\s*(?P<q>\x00\d+\x00)\s*,",
+                      out[pos:], re.IGNORECASE)
+        if m is None:
+            return out
+        mt = _MASK_TOK.fullmatch(m.group("q"))
+        field = literals[int(mt.group(1))][1:-1].lower()
+        if field not in ("dow", "isodow"):
+            pos = pos + m.end()
+            continue
+        op = out.index("(", pos + m.start())
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        expr = out[op + 1:cl].split(",", 1)[1].strip()
+        if field == "dow":
+            repl = f"CAST(dayofweek({expr}) - 1 AS BIGINT)"
+        else:
+            repl = (f"CAST(pmod(dayofweek({expr}) + 5, 7) + 1"
+                    " AS BIGINT)")
+        out = out[:pos + m.start()] + repl + out[cl + 1:]
+        pos = pos + m.start()
+
+
+# SIMILAR TO (PG's SQL-regex operator, adt/regexp.cpp
+# similar_to_escape): % -> .*, _ -> . , anchored both ends; the
+# POSIX subset (| * + ? ( ) [ ]) passes through, as PG documents.
+_SIMILAR_TO = re.compile(
+    r"\s+(?P<neg>NOT\s+)?SIMILAR\s+TO\s+(?P<p>\x00\d+\x00)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_similar_to(masked: str, literals: list[str]) -> str:
+    def sub(m: re.Match) -> str:
+        mt = _MASK_TOK.fullmatch(m.group("p"))
+        pat = literals[int(mt.group(1))][1:-1]
+        rx, i = [], 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == "%":
+                rx.append(".*")
+            elif ch == "_":
+                rx.append(".")
+            elif ch == "\\" and i + 1 < len(pat):
+                rx.append(re.escape(pat[i + 1]))
+                i += 1
+            elif ch in ".^$":
+                rx.append("\\" + ch)
+            else:
+                rx.append(ch)
+            i += 1
+        # Spark string literals consume backslashes (Hive-style
+        # escapes), so the regex's own backslashes double up
+        body = ("".join(rx).replace("\\", "\\\\")
+                .replace("'", "''"))
+        literals.append("'^(?:" + body + ")$'")
+        tok = f"\x00{len(literals) - 1}\x00"
+        op = "NOT RLIKE" if m.group("neg") else "RLIKE"
+        return f" {op} {tok}"
+
+    return _SIMILAR_TO.sub(sub, masked)
+
+
 # a format model is treated as PG/Oracle (not a Spark pattern) when it
 # carries a PG-style ALL-CAPS token and no lowercase Spark pattern
 # letter — 'YYYY-MM-DD HH24:MI:SS' rewrites, 'yyyy-MM-dd' passes
@@ -624,6 +719,10 @@ def translate(sql: str) -> str:
     )
     out = _FROM_DUAL.sub("", masked)
     out = _SYSDATE.sub("current_timestamp()", out)
+    # bare LOCALTIMESTAMP keyword (PG/standard SQL) → Spark's
+    # function form (the parenthesized call stays untouched)
+    out = re.sub(r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
+                 out, flags=re.IGNORECASE)
     out = _rewrite_vector_ops(out, literals)
     out = _LOCK_ROWS_TAIL.sub(r"\1", out)
     if re.search(r"\bpg_typeof\s*\(", out, re.IGNORECASE):
@@ -695,6 +794,13 @@ def translate(sql: str) -> str:
     if re.search(r"\bto_(?:date|timestamp|char)\s*\(", out,
                  re.IGNORECASE):
         out = _rewrite_pg_datetime_fns(out, literals)
+    if re.search(r"\bextract\s*\(\s*(?:dow|isodow)\b", out,
+                 re.IGNORECASE):
+        out = _rewrite_extract_dow(out)
+    if re.search(r"\bdate_part\s*\(", out, re.IGNORECASE):
+        out = _rewrite_date_part_dow(out, literals)
+    if re.search(r"\bSIMILAR\s+TO\b", out, re.IGNORECASE):
+        out = _rewrite_similar_to(out, literals)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

@@ -4365,3 +4365,30 @@ def test_update_ignore_error_and_set_config(spark, tmp_path):
                    ).collect()[0][0] is None
     with pytest.raises(KeyError):
         eng.sql("SELECT current_setting('app.none')")
+
+
+def test_similar_to_dow_and_small_macros(spark):
+    """SIMILAR TO (similar_to_escape: % -> .*, _ -> . , '.' literal,
+    POSIX subset passes, anchored, escapes honored), the PG dow/isodow
+    day-numbering correction (Sunday=0 / Monday=1 — Spark's
+    dayofweek is off by one), and the small macros: quote_nullable,
+    getdate, bare LOCALTIMESTAMP."""
+    eng = Engine(spark, SF_CORRECT)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT 'abc' SIMILAR TO 'a%'") is True
+    assert one("SELECT 'abc' SIMILAR TO '_b_'") is True
+    assert one("SELECT 'axc' SIMILAR TO 'a.c'") is False
+    assert one("SELECT 'a.c' SIMILAR TO 'a.c'") is True
+    assert one("SELECT 'abc' NOT SIMILAR TO '(a|z)%'") is False
+    assert one("SELECT 'a%c' SIMILAR TO 'a\\%c'") is True
+    # 2020-03-07 is a Saturday: PG dow=6; 03-08 Sunday: dow=0,
+    # isodow=7; 03-09 Monday: isodow=1
+    assert one("SELECT date_part('dow', DATE '2020-03-07')") == 6
+    assert one("SELECT extract(dow FROM DATE '2020-03-08')") == 0
+    assert one("SELECT date_part('isodow', DATE '2020-03-08')") == 7
+    assert one("SELECT extract(isodow FROM DATE '2020-03-09')") == 1
+    assert one("SELECT date_part('year', DATE '2020-03-07')") == 2020
+    assert one("SELECT quote_nullable(CAST(NULL AS STRING))") == "NULL"
+    assert one("SELECT quote_nullable('x')") == "'x'"
+    assert one("SELECT getdate()") is not None
+    assert one("SELECT localtimestamp") is not None
