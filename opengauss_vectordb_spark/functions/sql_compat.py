@@ -540,7 +540,11 @@ _SIMILAR_TO = re.compile(
 def _rewrite_similar_to(masked: str, literals: list[str]) -> str:
     def sub(m: re.Match) -> str:
         mt = _MASK_TOK.fullmatch(m.group("p"))
-        pat = literals[int(mt.group(1))][1:-1]
+        # collapse the SQL '' escape first — the masked literal is the
+        # raw quoted text, so 'a''b%' holds two quote chars that are
+        # ONE literal quote (the re-escape below restores the SQL
+        # doubling on the rewritten regex literal)
+        pat = literals[int(mt.group(1))][1:-1].replace("''", "'")
         rx, i = [], 0
         while i < len(pat):
             ch = pat[i]

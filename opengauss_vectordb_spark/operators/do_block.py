@@ -312,25 +312,37 @@ class _DoRunner:
             re.IGNORECASE)
         cname = mf.group("c").lower() if mf else None
         qtext = None
+        opened = None
         if cname is not None:
-            qtext = self.cursors.get(cname)
-            if qtext is None and cname in self.open_cursors \
-                    and self.open_cursors[cname]["it"] is None:
-                # OPEN ... FOR <query>, untouched: its bound text
-                # (already env-substituted) serves the loop
-                qtext = self.open_cursors[cname]["q"]
+            opened = self.open_cursors.get(cname)
+            if opened is not None:
+                # desugaring aggregates over the FULL cursor query, so
+                # it is only sound while the iterator is UNSTARTED —
+                # rows already consumed by straight-line FETCHes would
+                # be double-counted.  Prefer the OPEN-time substituted
+                # text (pl_exec's open-time parameter snapshot).
+                if opened["it"] is None:
+                    qtext = opened["q"]
+            else:
+                # DECLARE'd but never OPENed: the declaration text,
+                # substituted at loop entry
+                qtext = self.cursors.get(cname)
         if mf is None or not ok_exit or qtext is None:
             raise NotImplementedError(
                 "bare LOOP: only the cursor fetch-loop shape executes "
                 "(LOOP FETCH <bound cursor> INTO vars; EXIT WHEN NOT "
                 "FOUND; <accumulator stmts>; END LOOP — rewritten to "
-                "the bound-cursor FOR aggregate); otherwise rewrite "
+                "the bound-cursor FOR aggregate, valid only before any "
+                "straight-line FETCH consumed rows); otherwise rewrite "
                 "as one set-oriented statement or a FOR loop"
             )
         q = qtext
         cols = self.engine.sql(_subst_values(q, self.env)).columns
         names = [v.strip().lower() for v in mf.group("vs").split(",")]
-        if len(names) > len(cols):
+        if len(names) != len(cols):
+            # exec_stmt_fetch's row-to-target contract: arity must
+            # match in BOTH directions (a silent prefix bind would
+            # leave trailing cursor columns unread)
             raise ValueError(
                 f"FETCH {cname}: {len(names)} target variable(s) for "
                 f"{len(cols)} cursor column(s)"
@@ -349,7 +361,11 @@ class _DoRunner:
                              + rest_body[mv.end():])
                 spos = mv.start() + len(rep)
         self._exec_for_loop("__crec", q, rest_body)
-        # the loop ended on a failed FETCH: targets NULL, FOUND false
+        # the loop ended on a failed FETCH: targets NULL, FOUND false,
+        # and the cursor stands EXHAUSTED — a FETCH after the loop
+        # must return NULL/FOUND=false, not restart from row 1
+        if opened is not None:
+            opened["it"] = iter(())
         for v in names:
             self.env[v] = None
         self._set_found(False)

@@ -1579,8 +1579,11 @@ def _bpe_word_split():
 # A tokenizer is trained once and applied many times — learn and
 # segment share one training run, exactly the production contract.
 # The cached vocab frame is localCheckpoint-materialized, so reuse is
-# a partition read, not a replay.
-_BPE_CACHE: dict[tuple[int, str, int], tuple[list, DataFrame]] = {}
+# a partition read, not a replay.  Keyed on applicationId (stable per
+# SparkContext), NOT id(spark): a stopped session's id can be reused
+# by a new one, which would serve checkpoint RDDs bound to the dead
+# context.
+_BPE_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
 
 
 def _learn_bpe(spark, sf_dir):
@@ -1593,7 +1596,7 @@ def _learn_bpe(spark, sf_dir):
     materialized leaf, so the composed plan is O(interval) deep
     regardless of round count, and each round's arg-max job replays
     at most interval-1 folds."""
-    key = (id(spark), str(sf_dir), _BPE_ROUNDS)
+    key = (spark.sparkContext.applicationId, str(sf_dir), _BPE_ROUNDS)
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit

@@ -2844,6 +2844,73 @@ def test_cursor_open_fetch_close(spark, tmp_path):
                 " BEGIN LOOP t := t + 1; END LOOP; END $$")
 
 
+def test_cursor_fetch_loop_consumed_and_exhausted(spark):
+    """The fetch-loop desugar aggregates over the FULL cursor query,
+    so it is only sound while the iterator is UNSTARTED (pl_exec.cpp
+    exec_stmt_fetch advances a real portal): a loop after a
+    straight-line FETCH refuses (PG would count n-1 rows, the
+    aggregate would count n), a FETCH after a completed loop finds
+    the cursor exhausted (NULL targets, FOUND false — never a
+    restart from row 1), and FETCH INTO arity must match the cursor
+    columns in both directions."""
+    eng = Engine(spark, SF_CORRECT)
+    # straight-line FETCH consumed a row → the loop must refuse, not
+    # silently double-count it
+    with pytest.raises(NotImplementedError, match="consumed"):
+        eng.sql("""
+            DO $$
+            DECLARE c CURSOR FOR SELECT n_nationkey FROM nation
+                                  ORDER BY n_nationkey;
+                    k bigint; n int := 0;
+            BEGIN
+                OPEN c;
+                FETCH c INTO k;
+                LOOP
+                    FETCH c INTO k;
+                    EXIT WHEN NOT FOUND;
+                    n := n + 1;
+                END LOOP;
+            END $$
+        """)
+    # FETCH after a completed loop: exhausted, not restarted
+    r = eng.sql("""
+        DO $$
+        DECLARE c CURSOR FOR SELECT n_nationkey FROM nation
+                              ORDER BY n_nationkey;
+                k bigint; n int := 0;
+        BEGIN
+            OPEN c;
+            LOOP
+                FETCH c INTO k;
+                EXIT WHEN NOT FOUND;
+                n := n + 1;
+            END LOOP;
+            FETCH c INTO k;
+            RAISE NOTICE 'n=% k=% found=%', n, k, found;
+            CLOSE c;
+        END $$
+    """).collect()[0]
+    assert "n=25 k=<null> found=false" in r.notices.lower()
+    # arity mismatch raises in BOTH directions
+    for vs in ("k", "a, b, c2"):
+        with pytest.raises(ValueError, match="target variable"):
+            eng.sql(f"""
+                DO $$
+                DECLARE c CURSOR FOR SELECT n_nationkey, n_name
+                         FROM nation;
+                        k bigint; a bigint; b bigint; c2 bigint;
+                        n int := 0;
+                BEGIN
+                    OPEN c;
+                    LOOP
+                        FETCH c INTO {vs};
+                        EXIT WHEN NOT FOUND;
+                        n := n + 1;
+                    END LOOP;
+                END $$
+            """)
+
+
 def test_plpgsql_exit_when_loop(spark):
     """Bare LOOP with a LEADING EXIT WHEN (pl_exec.cpp
     exec_stmt_exit): a pre-test counter loop that rewrites to the
@@ -4381,6 +4448,10 @@ def test_similar_to_dow_and_small_macros(spark):
     assert one("SELECT 'a.c' SIMILAR TO 'a.c'") is True
     assert one("SELECT 'abc' NOT SIMILAR TO '(a|z)%'") is False
     assert one("SELECT 'a%c' SIMILAR TO 'a\\%c'") is True
+    # the SQL '' escape inside the pattern is ONE literal quote —
+    # the rewrite must collapse it before building the regex
+    assert one("SELECT 'a''bX' SIMILAR TO 'a''b%'") is True
+    assert one("SELECT 'ab' SIMILAR TO 'a''b%'") is False
     # 2020-03-07 is a Saturday: PG dow=6; 03-08 Sunday: dow=0,
     # isodow=7; 03-09 Monday: isodow=1
     assert one("SELECT date_part('dow', DATE '2020-03-07')") == 6
