@@ -592,17 +592,19 @@ class Engine:
                 "operator rewrites cover the built-in @@ / % / @> / "
                 "<-> families)"
             )
-        # CREATE AGGREGATE / RULE / EVENT (DefineStmt gram.y;
-        # rewriteDefine.cpp; EVENT is the B-format scheduler) —
-        # refusals naming the working rewrite
-        if re.match(r"^\s*CREATE\s+AGGREGATE\b", query, re.IGNORECASE):
-            raise NotImplementedError(
-                "CREATE AGGREGATE: transition-function aggregates "
-                "run as Arrow-grouped aggregation — functions/udaf.py "
-                "vector_sum_agg is the model; built-in SQL aggregates "
-                "plus higher-order aggregate() expressions cover the "
-                "regress surface"
+        # CREATE/DROP AGGREGATE (DefineAggregate,
+        # catalog/pg_aggregate.cpp; datavec--0.7.2.sql:116-130): the
+        # SQL-transition subset compiles to aggregate() folds —
+        # C-language transitions refuse inside the handler
+        if re.match(r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|DROP\s+)"
+                    r"AGGREGATE\b", query, re.IGNORECASE):
+            from .operators.create_aggregate import (
+                try_handle_stmt as _agg_stmt,
             )
+
+            handled = _agg_stmt(self, query)
+            if handled is not None:
+                return handled
         if re.match(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?RULE\b",
                     query, re.IGNORECASE):
             raise NotImplementedError(
@@ -1022,6 +1024,12 @@ class Engine:
         routed = self._maybe_route_ann_select(query)
         if routed is not None:
             return self._maybe_log_plan(routed, query)
+        # user-aggregate call sites → aggregate() folds (identity when
+        # none registered — substring pre-filter inside)
+        if getattr(self, "aggregates", None):
+            from .operators.create_aggregate import rewrite_agg_calls
+
+            query = rewrite_agg_calls(self, query)
         return self._maybe_log_plan(self.spark.sql(translate(query)), query)
 
     def _maybe_log_plan(self, df: DataFrame, query: str) -> DataFrame:

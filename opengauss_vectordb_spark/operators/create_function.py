@@ -59,7 +59,8 @@ _CREATE_FN = re.compile(
     # (_split_params is paren-aware for the inner commas)
     r"\((?P<params>.*?)\)\s*"
     r"RETURNS\s+(?P<ret>SETOF\s+\w+|TABLE\s*\((?P<tcols>[^)]*)\)|"
-    r"\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
+    r"\w+(?:\s+\w+)?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"(?:\s*\[\s*\])?)\s+"
     r"AS\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$|'(?:[^']|'')*')\s+"
     r"LANGUAGE\s+SQL(?P<flags>(?:\s+\w+(?:\s+\w+)*)?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -73,7 +74,13 @@ _DROP_FN = re.compile(
 
 
 def _map_type(pg_type: str) -> str:
-    key = re.sub(r"\s+", "_", pg_type.strip().lower())
+    t = pg_type.strip()
+    # PG array types: '<base>[]' → ARRAY<base> (datavec's
+    # double precision[] accumulator states)
+    am = re.match(r"^(.*?)\s*\[\s*\]$", t)
+    if am:
+        return f"ARRAY<{_map_type(am.group(1))}>"
+    key = re.sub(r"\s+", "_", t.lower())
     base = re.match(r"^([a-z_0-9]+)", key)
     mapped = _TYPE_MAP.get(key) or (base and _TYPE_MAP.get(base.group(1)))
     if mapped:
@@ -264,6 +271,57 @@ def translate_create_function(query: str) -> str | None:
     )
 
 
+def sql_function_spec(query: str) -> dict | None:
+    """The inlinable pieces of a scalar SQL-language function —
+    (name, parameter names, UNGUARDED return expression with $N
+    substituted, strict flag).  CREATE AGGREGATE composes these into
+    an ``aggregate()`` fold lambda (operators/create_aggregate.py);
+    the strict guard is deliberately NOT baked in because PG's
+    strict-TRANSITION rule (skip null inputs, adopt the first value
+    into a null state — nodeAgg.cpp advance_transition_function)
+    differs from strict-scalar null propagation."""
+    m = _CREATE_FN.match(query)
+    if m is None or m.group("tcols") is not None:
+        return None
+    if re.match(r"^SETOF\b", m.group("ret").strip(), re.IGNORECASE):
+        return None
+    params = _split_params(m.group("params"))
+    body = _unquote_body(m.group("body"), m.group("tag")).rstrip(";").strip()
+    stmts = _split_stmts(_strip_comments(body))
+    body = stmts[-1]
+
+    def _sub_pos(mt: re.Match) -> str:
+        i = int(mt.group(1))
+        if not 1 <= i <= len(params):
+            raise ValueError(f"${i} out of range for {len(params)} params")
+        return params[i - 1][0]
+
+    body = re.sub(r"\$(\d+)", _sub_pos, body)
+    flags = (m.group("flags") or "").upper().split()
+    strict = "STRICT" in flags or (
+        "RETURNS" in flags and "NULL" in flags
+    )
+    # a lambda cannot host a subquery, so the inlinable form strips
+    # the bare-SELECT wrapper; a body that actually reads a relation
+    # (FROM/WHERE) is marked — CREATE AGGREGATE refuses it by name
+    from .plpgsql import _mask_strings as _mask
+
+    sel = re.match(r"^SELECT\s+(?P<e>.*)$", body,
+                   re.IGNORECASE | re.DOTALL)
+    subquery = bool(
+        sel is None
+        or re.search(r"\bFROM\b", _mask(sel.group("e")), re.IGNORECASE)
+    )
+    return {
+        "name": m.group("name").lower(),
+        "params": [pname.lower() for pname, _ in params],
+        "types": [ptype.strip().lower() for _, ptype in params],
+        "expr": f"({body})" if subquery else f"({sel.group('e')})",
+        "subquery": subquery,
+        "strict": strict,
+    }
+
+
 from ..registry import query as _register
 
 
@@ -338,6 +396,12 @@ def try_handle_stmt(engine, query: str):
         spark.sql(spark_ddl)
         name = _CREATE_FN.match(query).group("name").lower()
         engine.sql_functions[name] = spark_ddl
+        # stash the inlinable spec for CREATE AGGREGATE composition
+        spec = sql_function_spec(query)
+        if spec is not None:
+            if not hasattr(engine, "sql_fn_specs"):
+                engine.sql_fn_specs = {}
+            engine.sql_fn_specs[name] = spec
         return spark.createDataFrame(
             [("CREATE FUNCTION", name)], "tag STRING, function STRING"
         )
@@ -349,6 +413,7 @@ def try_handle_stmt(engine, query: str):
         name = m.group("name").lower()
         existed = engine.sql_functions.pop(name, None) is not None
         existed = interp.pop(name, None) is not None or existed
+        getattr(engine, "sql_fn_specs", {}).pop(name, None)
         engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         return engine.spark.createDataFrame(
             [("DROP FUNCTION", name, existed)],

@@ -63,6 +63,7 @@ def load_all_queries() -> None:
         bformat,
         contrib_funcs,
         copy_stmt,
+        create_aggregate,
         create_function,
         db4ai,
         dblink,

@@ -420,6 +420,83 @@ def test_create_function_setof_raises(spark):
         )
 
 
+def test_create_aggregate_sql_transitions(spark):
+    """CREATE AGGREGATE, SQL-transition subset (DefineAggregate,
+    catalog/pg_aggregate.cpp; the datavec avg(vector) declaration
+    shape): SFUNC/STYPE/FINALFUNC/INITCOND compile to aggregate()
+    folds.  Pins the PG strict-TRANSITION rule (null input keeps
+    state, null state adopts the first input — nodeAgg.cpp, distinct
+    from strict-scalar null propagation), the empty-group INITCOND
+    pass-through, array INITCOND parsing, the built-in-SFUNC
+    pass-through, and the refusals: DISTINCT in the call, a
+    relation-reading SFUNC body, strict SFUNC with no INITCOND over
+    a state type that differs from the input."""
+    eng = Engine(spark, SF_CORRECT)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    # strict sfunc + no INITCOND: first non-null input seeds the
+    # state; null inputs are SKIPPED, not propagated (my_max over a
+    # column with nulls must equal MAX)
+    eng.sql(
+        "CREATE FUNCTION gmax_step(acc bigint, x bigint)"
+        " RETURNS bigint AS 'SELECT greatest(acc, x)'"
+        " LANGUAGE SQL STRICT"
+    )
+    eng.sql("CREATE AGGREGATE gmax(bigint)"
+            " (SFUNC = gmax_step, STYPE = bigint)")
+    assert one(
+        "SELECT gmax(v) FROM (SELECT CAST(NULL AS BIGINT) AS v"
+        " UNION ALL SELECT 3 UNION ALL SELECT 7 UNION ALL SELECT 5)"
+    ) == 7
+    # all-null group → NULL (PG's agg-over-no-transitions rule)
+    assert one("SELECT gmax(v) FROM (SELECT CAST(NULL AS BIGINT)"
+               " AS v)") is None
+    # empty group with INITCOND → finalfunc(initcond)
+    eng.sql(
+        "CREATE FUNCTION cnt_step(acc bigint, x string)"
+        " RETURNS bigint AS 'SELECT acc + 1' LANGUAGE SQL"
+    )
+    eng.sql("CREATE AGGREGATE my_count(text) (SFUNC = cnt_step,"
+            " STYPE = bigint, INITCOND = '0')")
+    assert one("SELECT my_count(n_name) FROM nation"
+               " WHERE n_nationkey < 0") == 0
+    # non-strict sfunc SEES null inputs (counts them, unlike COUNT(col))
+    assert one(
+        "SELECT my_count(v) FROM (SELECT CAST(NULL AS STRING) AS v"
+        " UNION ALL SELECT 'a')"
+    ) == 2
+    # refusals
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        eng.sql("SELECT my_count(DISTINCT n_name) FROM nation")
+    eng.sql(
+        "CREATE FUNCTION rel_step(acc bigint, x bigint)"
+        " RETURNS bigint AS"
+        " 'SELECT acc + (SELECT COUNT(*) FROM nation WHERE"
+        " n_nationkey = x)' LANGUAGE SQL"
+    )
+    with pytest.raises(NotImplementedError, match="FROM"):
+        eng.sql("CREATE AGGREGATE badagg(bigint)"
+                " (SFUNC = rel_step, STYPE = bigint)")
+    with pytest.raises(ValueError, match="INITCOND"):
+        eng.sql("CREATE AGGREGATE badagg2(text)"
+                " (SFUNC = gmax_step, STYPE = bigint)")
+    # built-in SFUNC pass-through (PG's C-catalog functions like
+    # int4larger have Spark built-in equivalents)
+    eng.sql("CREATE AGGREGATE bmax(bigint)"
+            " (SFUNC = greatest, STYPE = bigint, INITCOND = '0')")
+    assert one("SELECT bmax(n_nationkey) FROM nation") == 24
+    # DROP AGGREGATE
+    assert eng.sql("DROP AGGREGATE gmax(bigint)").collect()[0].existed
+    with pytest.raises(Exception, match="gmax"):
+        # unbound name surfaces as the analyzer's unresolved-routine
+        eng.sql("SELECT gmax(n_nationkey) FROM nation")
+    for fn in ("gmax_step", "cnt_step", "rel_step"):
+        eng.sql(f"DROP FUNCTION {fn}")
+    eng.sql("DROP AGGREGATE my_count(text)")
+    eng.sql("DROP AGGREGATE IF EXISTS bmax(bigint)")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("DROP AGGREGATE never_was(int)")
+
+
 def test_trigger_ddl_edges(spark):
     """contrib/spi trigger routing edges: unknown procedure, trigger on
     a non-managed table, DROP of a missing trigger."""
