@@ -804,16 +804,30 @@ class Engine:
             name = m.group("name").lower()
             tkey = self._index_names[name]
             idx = self.ann.lookup(*tkey)
+            from .vector.hnsw import HnswIndex
             from .vector.ivf import IvfIndex
             from .vector.maintenance import rebuild as _rebuild
 
-            if not isinstance(idx, IvfIndex):
+            if isinstance(idx, IvfIndex):
+                self.ann.register(*tkey, _rebuild(self.spark, idx,
+                                                  tkey[1]))
+            elif isinstance(idx, HnswIndex):
+                # hnswbuild.cpp is a from-scratch build in the
+                # reference too: re-shard the table's CURRENT rows
+                # into fresh graphs with the index's own parameters
+                df = self.table(tkey[0])
+                id_col = getattr(idx, "id_col", None) or df.columns[0]
+                self.ann.register(*tkey, HnswIndex.build(
+                    df, tkey[1], idx.path, id_col=id_col,
+                    metric=idx.metric, m=idx.m,
+                    ef_construction=idx.ef_construction,
+                    shards=idx.shards,
+                ))
+            else:
                 raise NotImplementedError(
-                    "REINDEX supports ivfflat indexes; hnsw shards are"
-                    " rebuilt through CREATE INDEX (hnswbuild.cpp is a"
-                    " from-scratch build in the reference too)"
+                    "REINDEX: unknown ANN index kind "
+                    f"{type(idx).__name__}"
                 )
-            self.ann.register(*tkey, _rebuild(self.spark, idx, tkey[1]))
             return self.spark.createDataFrame(
                 [("REINDEX", name)], "tag STRING, index STRING"
             )
@@ -1030,6 +1044,11 @@ class Engine:
             from .operators.create_aggregate import rewrite_agg_calls
 
             query = rewrite_agg_calls(self, query)
+        # PL/Python SETOF call sites → explode() generators
+        if getattr(self, "plpython_setof", None):
+            from .operators.plpython import rewrite_setof_calls
+
+            query = rewrite_setof_calls(self, query)
         return self._maybe_log_plan(self.spark.sql(translate(query)), query)
 
     def _maybe_log_plan(self, df: DataFrame, query: str) -> DataFrame:

@@ -414,6 +414,7 @@ def try_handle_stmt(engine, query: str):
         existed = engine.sql_functions.pop(name, None) is not None
         existed = interp.pop(name, None) is not None or existed
         getattr(engine, "sql_fn_specs", {}).pop(name, None)
+        getattr(engine, "plpython_setof", set()).discard(name)
         engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         return engine.spark.createDataFrame(
             [("DROP FUNCTION", name, existed)],

@@ -415,6 +415,9 @@ class HnswIndex:
               shards: int = 8) -> "HnswIndex":
         idx = HnswIndex(path, metric=metric, m=m,
                         ef_construction=ef_construction, shards=shards)
+        # remembered so REINDEX can rebuild from the table's current
+        # data with the same row-identity column
+        idx.id_col = id_col
         clean = df.filter(F.col(vec_col).isNotNull())
         first = clean.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is not None and first.d > MAX_INDEX_DIM:
