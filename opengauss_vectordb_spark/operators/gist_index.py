@@ -677,11 +677,18 @@ def gist_poly_search(engine, index_name: str,
     idx["last_search"]["recheck"] = True
     rel = _source_df(engine, idx["table"])
     id_col, col = idx["id_col"], idx["cols"][0]
-    return (
+    out = (
         rel.join(cand, rel[id_col] == cand["doc_id"], "left_semi")
         .filter(F.expr(_point_in_poly_sql(col, px, py)))
         .select(F.col(id_col).cast("long").alias("doc_id"))
     )
+    if getattr(engine, "last_index_routing", None) is not None:
+        # EXPLAIN armed: the lossy-index evidence the reference
+        # prints as 'Rows Removed by Index Recheck' — candidate
+        # count (MBR phase, a superset) vs exact ray-cast survivors
+        idx["last_search"]["candidates"] = cand.count()
+        idx["last_search"]["recheck_survivors"] = out.count()
+    return out
 
 
 # box(a,b,c,d) <op> box(l1,l2,l3,l4) — the rtree operators in SQL
@@ -749,11 +756,19 @@ def rewrite_gist_ops(engine, query: str) -> str:
             ls = idx["last_search"]
             from ..plans.explain import note_routing
 
+            recheck = ""
+            if "candidates" in ls:
+                removed = ls["candidates"] - ls["recheck_survivors"]
+                recheck = (f", candidates {ls['candidates']}, "
+                           f"recheck survivors "
+                           f"{ls['recheck_survivors']} "
+                           f"(rows removed by recheck: {removed})")
             note_routing(
                 engine,
                 f"Index Scan using {name} on {idx['table']} "
                 f"(gist poly, lossy + recheck): buckets read "
-                f"{ls['buckets_read']}, pruned {ls['buckets_pruned']}",
+                f"{ls['buckets_read']}, pruned {ls['buckets_pruned']}"
+                f"{recheck}",
             )
             view = f"__gistp_{name}_{abs(hash((px, py))) % 10**8}"
             df.createOrReplaceTempView(view)

