@@ -316,8 +316,19 @@ def main() -> None:
     # min-of-3 for the db4ai and dedup families (VERDICT r8 item 7):
     # both drifted +16–29% in r8 with ZERO code churn — one extra
     # round tightens the estimate enough to attribute r9's numbers
+    # interleaved probes (round 11): the r10 artifact regressed 1.42x
+    # with ZERO plan churn because the host ran slow DURING the run
+    # while both endpoint probes landed in quiet windows — drift -2%,
+    # mid-run queries up to 2.6x.  A probe every ~25 queries makes
+    # mid-session contention visible (probe_series in the artifact);
+    # the flag below fires on the WORST probe, not just the endpoints.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    probe_series: list[float] = []
+    loads: list[float] = []
+    for i, name in enumerate(HEADLINE):
+        if i and i % 25 == 0:
+            probe_series.append(round(_time_query("tpch_q1", 1), 3))
+            loads.append(round(os.getloadavg()[0], 1))
         fam3 = name.startswith(("db4ai", "dedup", "semdedup"))
         timings[name] = round(_time_query(name, 3 if fam3 else 2), 3)
 
@@ -331,7 +342,10 @@ def main() -> None:
     # host; genuine host contention measured +76%.  The flag fires
     # above the aging band; the raw drift is always in the artifact
     # for finer judgement.
-    noisy = drift > 0.5
+    worst_probe = max([probe_start, probe_end, *probe_series])
+    noisy = drift > 0.5 or (
+        worst_probe / max(probe_start, 1e-9) > 1.5
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -368,6 +382,8 @@ def main() -> None:
                     "start": probe_start,
                     "end": probe_end,
                     "drift": drift,
+                    "series": probe_series,
+                    "load1": loads,
                 },
                 "noisy": noisy,
             }
