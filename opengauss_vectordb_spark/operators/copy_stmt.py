@@ -32,6 +32,7 @@ import re
 from pyspark.sql import DataFrame
 
 from ..registry import query
+from ._util import status_frame
 
 _COPY = re.compile(
     r"^\s*COPY\s+(?P<table>\w+)\s+(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'"
@@ -105,11 +106,8 @@ def try_handle_stmt(engine, query_text: str) -> DataFrame | None:
                 .option("nullValue", "" if fmt == "csv" else r"\N")
                 .csv(path)
             )
-        return engine.spark.createDataFrame(
-            [("COPY", "(query)", "TO", fmt, n)],
-            "tag STRING, table STRING, direction STRING, format STRING,"
-            " rows BIGINT",
-        )
+        return status_frame(engine.spark, ("COPY", "(query)", "TO", fmt, n), "tag STRING, table STRING, direction STRING, format STRING,"
+            " rows BIGINT",)
     m = _COPY.match(query_text)
     if m is None:
         return None
@@ -163,11 +161,8 @@ def try_handle_stmt(engine, query_text: str) -> DataFrame | None:
         n = df.count()
         engine.managed_tables.insert_into(name, df)
 
-    return engine.spark.createDataFrame(
-        [("COPY", name, m.group("dir").upper(), fmt, n)],
-        "tag STRING, table STRING, direction STRING, format STRING,"
-        " rows BIGINT",
-    )
+    return status_frame(engine.spark, ("COPY", name, m.group("dir").upper(), fmt, n), "tag STRING, table STRING, direction STRING, format STRING,"
+        " rows BIGINT",)
 
 
 @query(

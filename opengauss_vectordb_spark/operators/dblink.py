@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 
 from ..registry import query
+from ._util import status_frame
 
 _CONNECT = re.compile(
     r"^\s*SELECT\s+dblink_connect\(\s*'(?P<name>\w+)'\s*,\s*"
@@ -53,17 +54,13 @@ def try_handle_stmt(engine, stmt: str):
         name = m.group("name").lower()
         remote = engine.spark.newSession()
         engine.dblink_conns[name] = Engine(remote, m.group("dir"))
-        return engine.spark.createDataFrame(
-            [("OK", name)], "dblink_connect STRING, conn STRING"
-        )
+        return status_frame(engine.spark, ("OK", name), "dblink_connect STRING, conn STRING")
     m = _DISCONNECT.match(stmt)
     if m:
         name = m.group("name").lower()
         if engine.dblink_conns.pop(name, None) is None:
             raise KeyError(f"dblink connection {name!r} does not exist")
-        return engine.spark.createDataFrame(
-            [("OK", name)], "dblink_disconnect STRING, conn STRING"
-        )
+        return status_frame(engine.spark, ("OK", name), "dblink_disconnect STRING, conn STRING")
     m = _DBLINK.match(stmt)
     if m:
         name = m.group("name").lower()

@@ -32,6 +32,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 
 class TableManager:
@@ -1104,10 +1105,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
                 f"ALTER TABLE: key column(s) {missing} do not exist"
             )
         engine.managed_tables.tables[name]["primary_key"] = cols
-        return engine.spark.createDataFrame(
-            [("ALTER TABLE", name, f"ADD PRIMARY KEY ({','.join(cols)})")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("ALTER TABLE", name, f"ADD PRIMARY KEY ({','.join(cols)})"), "tag STRING, tbl STRING, action STRING",)
     m = (_ALTER_ADD.match(query) or _ALTER_DROP.match(query)
          or _ALTER_TYPE.match(query) or _ALTER_RENAME_COL.match(query)
          or _ALTER_RENAME_TBL.match(query))
@@ -1157,10 +1155,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
         ).cast(_map_type(typ))
         mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.withColumn(col, value))
-        return engine.spark.createDataFrame(
-            [("ALTER TABLE", name, f"ADD COLUMN {col}")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("ALTER TABLE", name, f"ADD COLUMN {col}"), "tag STRING, tbl STRING, action STRING",)
     mm = _ALTER_DROP.match(query)
     if mm:
         col = mm.group("col").lower()
@@ -1188,10 +1183,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
         gen_meta.pop(col, None)
         if mt.tables[name].get("auto_col") == col:
             mt.tables[name].pop("auto_col", None)
-        return engine.spark.createDataFrame(
-            [("ALTER TABLE", name, f"DROP COLUMN {col}")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("ALTER TABLE", name, f"DROP COLUMN {col}"), "tag STRING, tbl STRING, action STRING",)
     mm = _ALTER_TYPE.match(query)
     if mm:
         col, typ = mm.group("col").lower(), mm.group("type")
@@ -1207,10 +1199,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
         ).cast(_map_type(typ))
         mt.mark_ddl(name, "alter")
         mt.rewrite(name, df.withColumn(col, value))
-        return engine.spark.createDataFrame(
-            [("ALTER TABLE", name, f"ALTER COLUMN {col} TYPE")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("ALTER TABLE", name, f"ALTER COLUMN {col} TYPE"), "tag STRING, tbl STRING, action STRING",)
     mm = _ALTER_RENAME_COL.match(query)
     if mm:
         old, new = mm.group("old").lower(), mm.group("new").lower()
@@ -1231,10 +1220,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
         mt.rewrite(name, df.withColumnRenamed(old, new))
         if mt.tables[name].get("auto_col") == old:
             mt.tables[name]["auto_col"] = new
-        return engine.spark.createDataFrame(
-            [("ALTER TABLE", name, f"RENAME {old} TO {new}")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("ALTER TABLE", name, f"RENAME {old} TO {new}"), "tag STRING, tbl STRING, action STRING",)
     mm = _ALTER_RENAME_TBL.match(query)
     new = mm.group("new").lower()
     if new in mt.tables or new in engine.tables:
@@ -1247,10 +1233,7 @@ def _handle_alter_table(engine, query: str) -> DataFrame | None:
     engine.spark.catalog.dropTempView(name)
     mt.mark_ddl(new, "rename")
     mt._register_view(new)
-    return engine.spark.createDataFrame(
-        [("ALTER TABLE", name, f"RENAME TO {new}")],
-        "tag STRING, tbl STRING, action STRING",
-    )
+    return status_frame(engine.spark, ("ALTER TABLE", name, f"RENAME TO {new}"), "tag STRING, tbl STRING, action STRING",)
 
 
 
@@ -1307,10 +1290,7 @@ def _handle_comment(engine, query: str) -> DataFrame | None:
         engine.comments.pop((kind, obj), None)
     else:
         engine.comments[(kind, obj)] = text[1:-1].replace("''", "'")
-    return engine.spark.createDataFrame(
-        [("COMMENT", kind, obj)],
-        "tag STRING, objtype STRING, objname STRING",
-    )
+    return status_frame(engine.spark, ("COMMENT", kind, obj), "tag STRING, objtype STRING, objname STRING",)
 
 
 _STORAGE_CLAUSE = re.compile(
@@ -1456,10 +1436,7 @@ def _try_select_into(engine, query: str) -> DataFrame | None:
             )
             if m.group("temp"):
                 engine.managed_tables.tables[name]["temp"] = True
-            return engine.spark.createDataFrame(
-                [("SELECT INTO", name, rows)],
-                "tag STRING, tbl STRING, rows BIGINT",
-            )
+            return status_frame(engine.spark, ("SELECT INTO", name, rows), "tag STRING, tbl STRING, rows BIGINT",)
         i += 1
     return None
 
@@ -1556,9 +1533,7 @@ def _handle_update_from(engine, m: re.Match) -> DataFrame:
     mt.rewrite(name, out.drop(flag))
     if returning is not None:
         return returning
-    return engine.spark.createDataFrame(
-        [("UPDATE", name, n_hit)], "tag STRING, tbl STRING, rows BIGINT"
-    )
+    return status_frame(engine.spark, ("UPDATE", name, n_hit), "tag STRING, tbl STRING, rows BIGINT")
 
 
 def _handle_delete_using(engine, m: re.Match) -> DataFrame:
@@ -1593,9 +1568,7 @@ def _handle_delete_using(engine, m: re.Match) -> DataFrame:
     mt.rewrite(name, kept)
     if returning is not None:
         return returning
-    return engine.spark.createDataFrame(
-        [("DELETE", name, n_del)], "tag STRING, tbl STRING, rows BIGINT"
-    )
+    return status_frame(engine.spark, ("DELETE", name, n_del), "tag STRING, tbl STRING, rows BIGINT")
 
 
 def _handle_replace_into(engine, m: re.Match) -> DataFrame:
@@ -1651,9 +1624,7 @@ def _handle_replace_into(engine, m: re.Match) -> DataFrame:
     # when when_matched_update is None: source wins)
     merged = merge_into(target, aligned, on=list(pk))
     mt.rewrite(name, merged)
-    return engine.spark.createDataFrame(
-        [("REPLACE", name)], "tag STRING, tbl STRING"
-    )
+    return status_frame(engine.spark, ("REPLACE", name), "tag STRING, tbl STRING")
 
 
 def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
@@ -1745,10 +1716,7 @@ def _handle_insert_dup_key(engine, m: re.Match) -> DataFrame:
         when_not_matched_insert=True,
     )
     mt.rewrite(name, merged)
-    return engine.spark.createDataFrame(
-        [("INSERT", name, "ON DUPLICATE KEY UPDATE")],
-        "tag STRING, tbl STRING, mode STRING",
-    )
+    return status_frame(engine.spark, ("INSERT", name, "ON DUPLICATE KEY UPDATE"), "tag STRING, tbl STRING, mode STRING",)
 
 
 _CREATE_LIKE = re.compile(
@@ -1798,10 +1766,7 @@ def _handle_create_like(engine, m: re.Match) -> DataFrame:
     mt.create_as(name, empty, extra_meta=extra or None)
     if m.group("temp"):
         mt.tables[name]["temp"] = True
-    return engine.spark.createDataFrame(
-        [("CREATE TABLE", name, f"LIKE {src}")],
-        "tag STRING, tbl STRING, shape STRING",
-    )
+    return status_frame(engine.spark, ("CREATE TABLE", name, f"LIKE {src}"), "tag STRING, tbl STRING, shape STRING",)
 
 
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
@@ -1830,10 +1795,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         name = m.group("name").lower()
         if (name not in engine.managed_tables.tables
                 and name not in engine.tables):
-            return engine.spark.createDataFrame(
-                [("ALTER TABLE", name, "skipped: does not exist")],
-                "tag STRING, tbl STRING, note STRING",
-            )
+            return status_frame(engine.spark, ("ALTER TABLE", name, "skipped: does not exist"), "tag STRING, tbl STRING, note STRING",)
         query = f"ALTER TABLE {name}{m.group('rest')}"
     m = _CREATE_LIKE.match(query)
     if m:
@@ -1845,16 +1807,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     ):
         # LockStmt: snapshot-isolated copy-on-write has no lock to
         # take — accepted so transaction-shaped scripts run
-        return engine.spark.createDataFrame(
-            [("LOCK TABLE", m.group("name").lower(), "no-op")],
-            "tag STRING, tbl STRING, note STRING",
-        )
+        return status_frame(engine.spark, ("LOCK TABLE", m.group("name").lower(), "no-op"), "tag STRING, tbl STRING, note STRING",)
     if _CHECKPOINT.match(query):
         # CheckPointStmt (gram.y:3617): every parquet commit is
         # already durable — nothing buffered to flush
-        return engine.spark.createDataFrame(
-            [("CHECKPOINT", "no-op")], "tag STRING, note STRING"
-        )
+        return status_frame(engine.spark, ("CHECKPOINT", "no-op"), "tag STRING, note STRING")
     handled = _try_select_into(engine, query)
     if handled is not None:
         return handled
@@ -1882,10 +1839,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # re-tokenize the corpus
         gin_index.refresh_watermarks(engine, name, pre_csn)
         gist_index.refresh_watermarks(engine, name, pre_csn)
-        return engine.spark.createDataFrame(
-            [("VACUUM", name, before, after)],
-            "tag STRING, tbl STRING, files_before INT, files_after INT",
-        )
+        return status_frame(engine.spark, ("VACUUM", name, before, after), "tag STRING, tbl STRING, files_before INT, files_after INT",)
     m = _TRUNCATE.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         from .rls import check_privilege
@@ -1904,17 +1858,13 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             # (schema_ddl), so the new generation is just an empty dir
             os.makedirs(mt.next_gen_dir(name), exist_ok=True)
             mt.bump_gen(name)
-            return engine.spark.createDataFrame(
-                [("TRUNCATE", name)], "tag STRING, tbl STRING"
-            )
+            return status_frame(engine.spark, ("TRUNCATE", name), "tag STRING, tbl STRING")
         schema = engine.spark.read.parquet(mt._path(name)).schema
         # a fresh empty frame, NOT limit(0) of the path being
         # superseded — Spark refuses (or races) self-overwrites
         empty = engine.spark.createDataFrame([], schema)
         mt.rewrite(name, empty)
-        return engine.spark.createDataFrame(
-            [("TRUNCATE", name)], "tag STRING, tbl STRING"
-        )
+        return status_frame(engine.spark, ("TRUNCATE", name), "tag STRING, tbl STRING")
     m = _CLUSTER.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         # commands/cluster.cpp: rewrite the relation in index order.
@@ -1956,18 +1906,13 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # data-only reorder: new generation goes live, old one stays
         # readable for TIMECAPSULE (no barrier — same rows)
         engine.managed_tables.bump_gen(name)
-        return engine.spark.createDataFrame(
-            [("CLUSTER", name, col)], "tag STRING, tbl STRING, key STRING"
-        )
+        return status_frame(engine.spark, ("CLUSTER", name, col), "tag STRING, tbl STRING, key STRING")
     m = _CREATE_PLAIN.match(query)
     if m and not _re_is_ctas(query):
         name = m.group("name").lower()
         if name in engine.managed_tables.tables:
             if _re.search(r"IF\s+NOT\s+EXISTS", query, _re.IGNORECASE):
-                return engine.spark.createDataFrame(
-                    [("CREATE TABLE", name, True)],
-                    "tag STRING, tbl STRING, already_existed BOOLEAN",
-                )
+                return status_frame(engine.spark, ("CREATE TABLE", name, True), "tag STRING, tbl STRING, already_existed BOOLEAN",)
             raise ValueError(f"table {name!r} already exists")
         from .create_function import _map_type
         from .user_types import resolve_type
@@ -2008,10 +1953,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         if auto:
             meta["auto_col"] = auto[0]
             meta["auto_seq"] = 1
-        return engine.spark.createDataFrame(
-            [("CREATE TABLE", name, False)],
-            "tag STRING, tbl STRING, already_existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("CREATE TABLE", name, False), "tag STRING, tbl STRING, already_existed BOOLEAN",)
     m = _CTAS.match(query)
     if m:
         n = engine.managed_tables.create_as(
@@ -2024,10 +1966,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             engine.managed_tables.tables[
                 m.group("name").lower()
             ]["temp"] = True
-        return engine.spark.createDataFrame(
-            [("CREATE TABLE AS", m.group("name").lower(), n)],
-            "tag STRING, tbl STRING, rows BIGINT",
-        )
+        return status_frame(engine.spark, ("CREATE TABLE AS", m.group("name").lower(), n), "tag STRING, tbl STRING, rows BIGINT",)
     m = _INSERT_DUP.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         return _handle_insert_dup_key(engine, m)
@@ -2061,9 +2000,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             ]
         )
         mt.insert_into(name, one)
-        return engine.spark.createDataFrame(
-            [("INSERT", name)], "tag STRING, tbl STRING"
-        )
+        return status_frame(engine.spark, ("INSERT", name), "tag STRING, tbl STRING")
     m = _INSERT_COLS.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         from .rls import check_privilege
@@ -2122,9 +2059,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         )
         if m.group("ret"):
             return _returning_frame(engine, captured, m.group("ret"))
-        return engine.spark.createDataFrame(
-            [("INSERT", name)], "tag STRING, tbl STRING"
-        )
+        return status_frame(engine.spark, ("INSERT", name), "tag STRING, tbl STRING")
     m = _REPLACE_INTO.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         return _handle_replace_into(engine, m)
@@ -2146,15 +2081,10 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             # INSERT RETURNING
             return _returning_frame(engine, captured, m.group("ret"))
         if ignore_hint:
-            return engine.spark.createDataFrame(
-                [("INSERT", m.group("name").lower(),
+            return status_frame(engine.spark, ("INSERT", m.group("name").lower(),
                   int(getattr(engine.managed_tables,
-                              "last_insert_skipped", 0)))],
-                "tag STRING, tbl STRING, skipped BIGINT",
-            )
-        return engine.spark.createDataFrame(
-            [("INSERT", m.group("name").lower())], "tag STRING, tbl STRING"
-        )
+                              "last_insert_skipped", 0))), "tag STRING, tbl STRING, skipped BIGINT",)
+        return status_frame(engine.spark, ("INSERT", m.group("name").lower()), "tag STRING, tbl STRING")
     m = _UPDATE_FROM.match(query)
     if (
         m
@@ -2258,13 +2188,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         if returning is not None:
             return returning
         if ignore_hint:
-            return engine.spark.createDataFrame(
-                [("UPDATE", name, n_hit, int(upd_skipped))],
-                "tag STRING, tbl STRING, rows BIGINT, skipped BIGINT",
-            )
-        return engine.spark.createDataFrame(
-            [("UPDATE", name, n_hit)], "tag STRING, tbl STRING, rows BIGINT"
-        )
+            return status_frame(engine.spark, ("UPDATE", name, n_hit, int(upd_skipped)), "tag STRING, tbl STRING, rows BIGINT, skipped BIGINT",)
+        return status_frame(engine.spark, ("UPDATE", name, n_hit), "tag STRING, tbl STRING, rows BIGINT")
     m = _DELETE.match(query)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         # ModifyTable DELETE: keep the complement, rewrite — at scale
@@ -2297,9 +2222,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         engine.managed_tables.rewrite(name, kept)
         if returning is not None:
             return returning
-        return engine.spark.createDataFrame(
-            [("DELETE", name, n_del)], "tag STRING, tbl STRING, rows BIGINT"
-        )
+        return status_frame(engine.spark, ("DELETE", name, n_del), "tag STRING, tbl STRING, rows BIGINT")
     m = _DROP_TABLE.match(query)
     if m and (
         m.group("name").lower() in engine.managed_tables.tables
@@ -2308,10 +2231,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         existed = engine.managed_tables.drop(
             m.group("name"), purge=bool(m.group("purge"))
         )
-        return engine.spark.createDataFrame(
-            [("DROP TABLE", m.group("name").lower(), existed)],
-            "tag STRING, tbl STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP TABLE", m.group("name").lower(), existed), "tag STRING, tbl STRING, existed BOOLEAN",)
     m = _CREATE_VIEW.match(query)
     if m:
         from ..functions.sql_compat import translate
@@ -2333,17 +2253,12 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         if not hasattr(engine, "view_defs"):
             engine.view_defs = {}
         engine.view_defs[name] = m.group("stmt").strip()
-        return engine.spark.createDataFrame(
-            [("CREATE VIEW", name)], "tag STRING, view STRING"
-        )
+        return status_frame(engine.spark, ("CREATE VIEW", name), "tag STRING, view STRING")
     m = _DROP_VIEW.match(query)
     if m:
         name = m.group("name").lower()
         existed = engine.spark.catalog.dropTempView(name)
-        return engine.spark.createDataFrame(
-            [("DROP VIEW", name, bool(existed))],
-            "tag STRING, view STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP VIEW", name, bool(existed)), "tag STRING, view STRING, existed BOOLEAN",)
     return None
 
 
@@ -2552,9 +2467,7 @@ def try_handle_sequence(engine, query: str) -> DataFrame | None:
                 "[NO] CYCLE are supported; OWNED BY/CACHE have no "
                 "engine state here"
             )
-        return engine.spark.createDataFrame(
-            [("ALTER SEQUENCE", name)], "tag STRING, sequence STRING"
-        )
+        return status_frame(engine.spark, ("ALTER SEQUENCE", name), "tag STRING, sequence STRING")
     m = _CREATE_SEQ.match(query)
     if m:
         engine.sequences.create(
@@ -2564,17 +2477,11 @@ def try_handle_sequence(engine, query: str) -> DataFrame | None:
             maxvalue=int(m.group("max")) if m.group("max") else None,
             cycle=m.group("cycle") is not None,
         )
-        return engine.spark.createDataFrame(
-            [("CREATE SEQUENCE", m.group("name").lower())],
-            "tag STRING, sequence STRING",
-        )
+        return status_frame(engine.spark, ("CREATE SEQUENCE", m.group("name").lower()), "tag STRING, sequence STRING",)
     m = _DROP_SEQ.match(query)
     if m and m.group("name").lower() in engine.sequences.seqs:
         engine.sequences.drop(m.group("name"))
-        return engine.spark.createDataFrame(
-            [("DROP SEQUENCE", m.group("name").lower())],
-            "tag STRING, sequence STRING",
-        )
+        return status_frame(engine.spark, ("DROP SEQUENCE", m.group("name").lower()), "tag STRING, sequence STRING",)
     m = _SEQ_FN.match(query)
     if m and m.group("name").lower() in engine.sequences.seqs:
         fn = m.group("fn").lower()
@@ -2586,7 +2493,7 @@ def try_handle_sequence(engine, query: str) -> DataFrame | None:
             v = engine.sequences.setval(
                 m.group("name"), int(m.group("val"))
             )
-        return engine.spark.createDataFrame([(v,)], f"{fn} BIGINT")
+        return status_frame(engine.spark, (v,), f"{fn} BIGINT")
     return None
 
 

@@ -67,6 +67,7 @@ from .plpgsql import (
     _split_branches,
 )
 from .create_function import _map_type, _split_params, _strip_comments
+from ._util import status_frame
 
 _DO_RE = re.compile(
     r"^\s*DO\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$)"
@@ -1130,11 +1131,8 @@ def do_block_for_loop(spark, sf_dir):
         r" dyn=(?P<d>\d+)",
         tag.notices.strip(),
     )
-    return spark.createDataFrame(
-        [(float(vals.group("t")), int(vals.group("c")),
-          float(vals.group("h")), int(vals.group("d")))],
-        "total DOUBLE, cnt BIGINT, hi DOUBLE, dyn BIGINT",
-    )
+    return status_frame(spark, (float(vals.group("t")), int(vals.group("c")),
+          float(vals.group("h")), int(vals.group("d"))), "total DOUBLE, cnt BIGINT, hi DOUBLE, dyn BIGINT",)
 
 
 # --------------------------------------------------------------------------
@@ -1224,9 +1222,7 @@ def try_handle_procedure(engine, query: str):
             params.append((pname.lower(), ptype, pmode))
         name = m.group("name").lower()
         engine.procedures[name] = (params, body)
-        return engine.spark.createDataFrame(
-            [("CREATE PROCEDURE", name)], "tag STRING, procedure STRING"
-        )
+        return status_frame(engine.spark, ("CREATE PROCEDURE", name), "tag STRING, procedure STRING")
     m = _CALL_RE.match(query)
     if m:
         name = m.group("name").lower()
@@ -1275,12 +1271,9 @@ def try_handle_procedure(engine, query: str):
                 for p, t in outs
             )
             return engine.spark.sql(f"SELECT {cols}")
-        return engine.spark.createDataFrame(
-            [("CALL", name, runner.executed, len(runner.notices),
-              "\n".join(runner.notices))],
-            "tag STRING, procedure STRING, statements_executed INT,"
-            " n_notices INT, notices STRING",
-        )
+        return status_frame(engine.spark, ("CALL", name, runner.executed, len(runner.notices),
+              "\n".join(runner.notices)), "tag STRING, procedure STRING, statements_executed INT,"
+            " n_notices INT, notices STRING",)
     m = _DROP_PROC_RE.match(query)
     if m:
         name = m.group("name").lower()
@@ -1288,10 +1281,7 @@ def try_handle_procedure(engine, query: str):
         if not existed and not re.search(r"IF\s+EXISTS", query,
                                          re.IGNORECASE):
             raise KeyError(f"DROP PROCEDURE: {name!r} does not exist")
-        return engine.spark.createDataFrame(
-            [("DROP PROCEDURE", name, existed)],
-            "tag STRING, procedure STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP PROCEDURE", name, existed), "tag STRING, procedure STRING, existed BOOLEAN",)
     return None
 
 

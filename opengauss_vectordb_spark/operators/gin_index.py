@@ -50,6 +50,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 # CREATE INDEX [name] ON tbl USING gin (to_tsvector(['cfg',] col))
 # — also accepts a bare column (the tsvector expression is implied,
@@ -545,11 +546,8 @@ def try_handle_ddl(engine, query: str):
     }
     build_posting_table(engine, name)
     n_lex = engine.gin_indexes[name]["base_rows"]
-    return engine.spark.createDataFrame(
-        [("CREATE INDEX", name, table, col, n_lex)],
-        "tag STRING, index STRING, table STRING, col STRING,"
-        " postings BIGINT",
-    )
+    return status_frame(engine.spark, ("CREATE INDEX", name, table, col, n_lex), "tag STRING, index STRING, table STRING, col STRING,"
+        " postings BIGINT",)
 
 
 def drop_gin_index(engine, name: str) -> bool:

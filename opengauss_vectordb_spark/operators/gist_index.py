@@ -70,6 +70,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .gin_index import _latest_manifest, _source_df, _table_csn
+from ._util import status_frame
 
 # CREATE INDEX [name] ON tbl USING gist ( box(x1,y1,x2,y2) |
 #   point(x,y) | range(lo,hi) ) [WITH (bucket_bits = k)]
@@ -887,12 +888,9 @@ def try_handle_ddl(engine, query: str):
     }
     build_gist_index(engine, name)
     idx = engine.gist_indexes[name]
-    return engine.spark.createDataFrame(
-        [("CREATE INDEX", name, table, fn, idx["base_rows"],
-          len(idx["bucket_mbrs"].get(idx["base_path"], {})))],
-        "tag STRING, index STRING, table STRING, opclass STRING,"
-        " rows BIGINT, buckets INT",
-    )
+    return status_frame(engine.spark, ("CREATE INDEX", name, table, fn, idx["base_rows"],
+          len(idx["bucket_mbrs"].get(idx["base_path"], {}))), "tag STRING, index STRING, table STRING, opclass STRING,"
+        " rows BIGINT, buckets INT",)
 
 
 def drop_gist_index(engine, name: str) -> bool:

@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 
 # Restricted incremental shape (matview.cpp ExecCreateMatViewInc rejects
@@ -285,26 +286,17 @@ def try_handle_ddl(engine, query: str) -> DataFrame | None:
             with_data=m.group("nodata") is None,
             incremental=m.group("inc") is not None,
         )
-        return engine.spark.createDataFrame(
-            [("CREATE MATERIALIZED VIEW", mv.name, mv.incremental,
-              mv.populated)],
-            "tag STRING, view STRING, incremental BOOLEAN,"
-            " populated BOOLEAN",
-        )
+        return status_frame(engine.spark, ("CREATE MATERIALIZED VIEW", mv.name, mv.incremental,
+              mv.populated), "tag STRING, view STRING, incremental BOOLEAN,"
+            " populated BOOLEAN",)
     m = _REFRESH_MV.match(query)
     if m:
         mv = engine.matviews.refresh(m.group("name"))
-        return engine.spark.createDataFrame(
-            [("REFRESH MATERIALIZED VIEW", mv.name, mv.version)],
-            "tag STRING, view STRING, version INT",
-        )
+        return status_frame(engine.spark, ("REFRESH MATERIALIZED VIEW", mv.name, mv.version), "tag STRING, view STRING, version INT",)
     m = _DROP_MV.match(query)
     if m:
         existed = engine.matviews.drop(m.group("name"))
-        return engine.spark.createDataFrame(
-            [("DROP MATERIALIZED VIEW", m.group("name").lower(), existed)],
-            "tag STRING, view STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP MATERIALIZED VIEW", m.group("name").lower(), existed), "tag STRING, view STRING, existed BOOLEAN",)
     return None
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 
 def merge_into(
@@ -522,10 +523,7 @@ def try_handle_stmt(engine, query: str):
     before = target.count()
     mt.rewrite(tname, merged)
     after = engine.spark.read.parquet(mt._path(tname)).count()
-    return engine.spark.createDataFrame(
-        [("MERGE", tname, before, after)],
-        "tag STRING, tbl STRING, rows_before BIGINT, rows_after BIGINT",
-    )
+    return status_frame(engine.spark, ("MERGE", tname, before, after), "tag STRING, tbl STRING, rows_before BIGINT, rows_after BIGINT",)
 
 
 @query(

@@ -26,6 +26,7 @@ DataFrame API.
 from __future__ import annotations
 
 import re
+from ._util import status_frame
 
 _CREATE_MODEL_RE = re.compile(
     r"^\s*CREATE\s+MODEL\s+(?P<name>\w+)\s+USING\s+(?P<algo>\w+)\s+"
@@ -120,11 +121,8 @@ def try_handle_stmt(engine, query: str):
             label=(m.group("target") or "").lower() or None,
             **_parse_hyper(m.group("params")),
         )
-        return engine.spark.createDataFrame(
-            [("CREATE MODEL", m.group("name").lower(),
-              m.group("algo").lower())],
-            "tag STRING, model STRING, algorithm STRING",
-        )
+        return status_frame(engine.spark, ("CREATE MODEL", m.group("name").lower(),
+              m.group("algo").lower()), "tag STRING, model STRING, algorithm STRING",)
     m = _DROP_MODEL_RE.match(query)
     if m:
         name = m.group("name").lower()
@@ -133,10 +131,7 @@ def try_handle_stmt(engine, query: str):
                                          re.IGNORECASE):
             raise KeyError(f"DROP MODEL: {name!r} does not exist")
         engine.models.drop_model(name)
-        return engine.spark.createDataFrame(
-            [("DROP MODEL", name, existed)],
-            "tag STRING, model STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP MODEL", name, existed), "tag STRING, model STRING, existed BOOLEAN",)
     pm = _PREDICT_RE.search(query)
     if pm is None:
         return None

@@ -44,6 +44,7 @@ from __future__ import annotations
 import re
 
 from .plpgsql import _mask_strings
+from ._util import status_frame
 
 _CREATE_PKG = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PACKAGE\s+(?!BODY\b)"
@@ -345,10 +346,7 @@ def _try_assignment(engine, query: str):
     for ddl in meta.get("member_ddl", []):
         if pat.search(ddl):
             engine.sql(ddl)
-    return engine.spark.createDataFrame(
-        [(f"{pkg}.{vname}", str(value))],
-        "variable STRING, value STRING",
-    )
+    return status_frame(engine.spark, (f"{pkg}.{vname}", str(value)), "variable STRING, value STRING",)
 
 
 def try_handle_stmt(engine, query: str):
@@ -367,10 +365,7 @@ def try_handle_stmt(engine, query: str):
             "variables": {}, "member_ddl": [],
         }
         _install_vars(engine, pkg, var_decls)
-        return engine.spark.createDataFrame(
-            [("CREATE PACKAGE", pkg, len(names))],
-            "tag STRING, package STRING, declared INT",
-        )
+        return status_frame(engine.spark, ("CREATE PACKAGE", pkg, len(names)), "tag STRING, package STRING, declared INT",)
     m = _CREATE_PKG_BODY.match(query)
     if m:
         pkg = m.group("name").lower()
@@ -426,20 +421,14 @@ def try_handle_stmt(engine, query: str):
                 engine.packages[pkg]["member_ddl"].append(ddl)
                 compiled[mname] = "procedure"
         engine.packages[pkg]["members"] = compiled
-        return engine.spark.createDataFrame(
-            [("CREATE PACKAGE BODY", pkg, len(compiled))],
-            "tag STRING, package STRING, members INT",
-        )
+        return status_frame(engine.spark, ("CREATE PACKAGE BODY", pkg, len(compiled)), "tag STRING, package STRING, members INT",)
     m = _DROP_PKG.match(query)
     if m:
         pkg = m.group("name").lower()
         meta = engine.packages.pop(pkg, None)
         if meta is None:
             if re.search(r"IF\s+EXISTS", query, re.IGNORECASE):
-                return engine.spark.createDataFrame(
-                    [("DROP PACKAGE", pkg, False)],
-                    "tag STRING, package STRING, existed BOOLEAN",
-                )
+                return status_frame(engine.spark, ("DROP PACKAGE", pkg, False), "tag STRING, package STRING, existed BOOLEAN",)
             raise KeyError(f"DROP PACKAGE: {pkg!r} does not exist")
         for mname, kind in meta["members"].items():
             mangled = mangle(pkg, mname)
@@ -450,10 +439,7 @@ def try_handle_stmt(engine, query: str):
                     engine.sql(f"DROP PROCEDURE {mangled}")
             except Exception:  # noqa: BLE001 — already gone is fine
                 pass
-        return engine.spark.createDataFrame(
-            [("DROP PACKAGE", pkg, True)],
-            "tag STRING, package STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP PACKAGE", pkg, True), "tag STRING, package STRING, existed BOOLEAN",)
     return None
 
 

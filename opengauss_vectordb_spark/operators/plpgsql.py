@@ -126,6 +126,7 @@ from __future__ import annotations
 import re
 
 from .create_function import _map_type, _split_params, _strip_comments
+from ._util import status_frame
 
 _CREATE_PLFN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
@@ -2191,10 +2192,7 @@ def try_handle_stmt(engine, query: str):
                 ret, body,
                 kind="scalar" if scalar else "setof",
             )
-            return engine.spark.createDataFrame(
-                [("CREATE FUNCTION", name)],
-                "tag STRING, function STRING",
-            )
+            return status_frame(engine.spark, ("CREATE FUNCTION", name), "tag STRING, function STRING",)
 
     def _resolve(tbl: str) -> list[tuple[str, str]]:
         df = engine.table(tbl)
@@ -2209,9 +2207,7 @@ def try_handle_stmt(engine, query: str):
     # CREATE OR REPLACE over a previously INTERPRETED function: the
     # compiled macro wins — drop the stale interpreter entry
     getattr(engine, "plfn_interpreted", {}).pop(name, None)
-    return engine.spark.createDataFrame(
-        [("CREATE FUNCTION", name)], "tag STRING, function STRING"
-    )
+    return status_frame(engine.spark, ("CREATE FUNCTION", name), "tag STRING, function STRING")
 
 
 # --------------------------------------------------------------------------

@@ -32,6 +32,7 @@ import re
 import textwrap
 
 from .create_function import _map_type, _split_params
+from ._util import status_frame
 
 _CREATE_PYFN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
@@ -195,9 +196,7 @@ def try_handle_stmt(engine, query: str):
         engine.plpython_setof.add(name)
     else:
         getattr(engine, "plpython_setof", set()).discard(name)
-    return engine.spark.createDataFrame(
-        [("CREATE FUNCTION", name)], "tag STRING, function STRING"
-    )
+    return status_frame(engine.spark, ("CREATE FUNCTION", name), "tag STRING, function STRING")
 
 
 def rewrite_setof_calls(engine, query: str) -> str:

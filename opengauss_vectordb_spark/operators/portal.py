@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from ._util import status_frame
 
 
 class CursorRegistry:
@@ -172,10 +173,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _DECLARE.match(query)
     if m:
         engine.cursors.declare(m.group("name"), engine.sql(m.group("stmt")))
-        return engine.spark.createDataFrame(
-            [("DECLARE CURSOR", m.group("name").lower())],
-            "tag STRING, cursor STRING",
-        )
+        return status_frame(engine.spark, ("DECLARE CURSOR", m.group("name").lower()), "tag STRING, cursor STRING",)
     m = _FETCH_SCROLL.match(query)
     if m:
         name = m.group("name")
@@ -200,17 +198,11 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         if (m.group("dir") or "").upper() == "BACKWARD":
             n = -n
         pos = engine.cursors.move(m.group("name"), n)
-        return engine.spark.createDataFrame(
-            [("MOVE", m.group("name").lower(), pos)],
-            "tag STRING, cursor STRING, position INT",
-        )
+        return status_frame(engine.spark, ("MOVE", m.group("name").lower(), pos), "tag STRING, cursor STRING, position INT",)
     m = _CLOSE.match(query)
     if m and m.group("name").lower() in engine.cursors.cursors:
         engine.cursors.close(m.group("name"))
-        return engine.spark.createDataFrame(
-            [("CLOSE CURSOR", m.group("name").lower())],
-            "tag STRING, cursor STRING",
-        )
+        return status_frame(engine.spark, ("CLOSE CURSOR", m.group("name").lower()), "tag STRING, cursor STRING",)
     m = _EXPLAIN.match(query)
     if m:
         opts = m.group("opts")

@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame
 
 from ..functions.sql_compat import _mask_strings, _unmask_strings, translate
+from ._util import status_frame
 
 _PARAM = re.compile(r"\$(\d+)")
 
@@ -133,20 +134,14 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _PREPARE.match(query)
     if m:
         n = engine.prepared.prepare(m.group("name"), m.group("stmt"))
-        return engine.spark.createDataFrame(
-            [("PREPARE", m.group("name").lower(), n)],
-            "tag STRING, name STRING, nparams INT",
-        )
+        return status_frame(engine.spark, ("PREPARE", m.group("name").lower(), n), "tag STRING, name STRING, nparams INT",)
     m = _DEALLOCATE.match(query)
     if m:
         name = m.group("name")
         removed = engine.prepared.deallocate(
             None if name.upper() == "ALL" else name
         )
-        return engine.spark.createDataFrame(
-            [("DEALLOCATE", name.lower(), removed)],
-            "tag STRING, name STRING, removed INT",
-        )
+        return status_frame(engine.spark, ("DEALLOCATE", name.lower(), removed), "tag STRING, name STRING, removed INT",)
     m = _EXECUTE.match(query)
     if m and m.group("name").lower() in engine.prepared.stmts:
         return engine.prepared.execute(

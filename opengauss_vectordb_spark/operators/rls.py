@@ -34,6 +34,7 @@ import re
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ._util import status_frame
 
 _ENABLE_RLS = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ENABLE\s+ROW\s+LEVEL\s+"
@@ -274,10 +275,7 @@ def try_handle_stmt(engine, stmt: str):
         for role in m.group("roles").split(","):
             acl.setdefault(role.strip().lower(), set()).update(privs)
         _refresh_views(engine, only=tbl)
-        return engine.spark.createDataFrame(
-            [("GRANT", tbl, ",".join(sorted(privs)))],
-            "tag STRING, tbl STRING, privileges STRING",
-        )
+        return status_frame(engine.spark, ("GRANT", tbl, ",".join(sorted(privs))), "tag STRING, tbl STRING, privileges STRING",)
     m = _REVOKE.match(stmt)
     if m:
         tbl = m.group("table").lower()
@@ -296,17 +294,11 @@ def try_handle_stmt(engine, stmt: str):
                     have.discard("all")
                     have.update(_PRIVS - {"all"} - privs)
         _refresh_views(engine, only=tbl)
-        return engine.spark.createDataFrame(
-            [("REVOKE", tbl, ",".join(sorted(privs)))],
-            "tag STRING, tbl STRING, privileges STRING",
-        )
+        return status_frame(engine.spark, ("REVOKE", tbl, ",".join(sorted(privs))), "tag STRING, tbl STRING, privileges STRING",)
     m = _CREATE_ROLE.match(stmt)
     if m:
         engine.roles.add(m.group("name").lower())
-        return engine.spark.createDataFrame(
-            [("CREATE ROLE", m.group("name").lower())],
-            "tag STRING, role STRING",
-        )
+        return status_frame(engine.spark, ("CREATE ROLE", m.group("name").lower()), "tag STRING, role STRING",)
     # ALTER ROLE/USER name <options> (AlterRoleStmt): every option is
     # authentication/resource metadata with no engine state (PASSWORD
     # material is never retained, same as CREATE; role-scoped SET
@@ -321,9 +313,7 @@ def try_handle_stmt(engine, stmt: str):
         name = m.group("name").lower()
         if name not in engine.roles:
             raise KeyError(f"ALTER ROLE: role {name!r} does not exist")
-        return engine.spark.createDataFrame(
-            [("ALTER ROLE", name)], "tag STRING, role STRING"
-        )
+        return status_frame(engine.spark, ("ALTER ROLE", name), "tag STRING, role STRING")
     m = _DROP_ROLE.match(stmt)
     if m:
         name = m.group("name").lower()
@@ -332,10 +322,7 @@ def try_handle_stmt(engine, stmt: str):
         engine.role_members.pop(name, None)
         for members in engine.role_members.values():
             members.discard(name)
-        return engine.spark.createDataFrame(
-            [("DROP ROLE", name, existed)],
-            "tag STRING, role STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP ROLE", name, existed), "tag STRING, role STRING, existed BOOLEAN",)
     m = _GRANT_ROLE.match(stmt)
     if m:
         group = m.group("role").lower()
@@ -350,10 +337,7 @@ def try_handle_stmt(engine, stmt: str):
                 member.strip().lower(), set()
             ).add(group)
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("GRANT ROLE", group, m.group("members"))],
-            "tag STRING, role STRING, members STRING",
-        )
+        return status_frame(engine.spark, ("GRANT ROLE", group, m.group("members")), "tag STRING, role STRING, members STRING",)
     m = _REVOKE_ROLE.match(stmt)
     if m and m.group("role").lower() not in _PRIVS:
         group = m.group("role").lower()
@@ -362,18 +346,12 @@ def try_handle_stmt(engine, stmt: str):
                 member.strip().lower(), set()
             ).discard(group)
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("REVOKE ROLE", group, m.group("members"))],
-            "tag STRING, role STRING, members STRING",
-        )
+        return status_frame(engine.spark, ("REVOKE ROLE", group, m.group("members")), "tag STRING, role STRING, members STRING",)
     m = _ENABLE_RLS.match(stmt)
     if m and m.group("name").lower() in engine.managed_tables.tables:
         engine.rls_enabled.add(m.group("name").lower())
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("ALTER TABLE", m.group("name").lower(), True)],
-            "tag STRING, tbl STRING, rls BOOLEAN",
-        )
+        return status_frame(engine.spark, ("ALTER TABLE", m.group("name").lower(), True), "tag STRING, tbl STRING, rls BOOLEAN",)
     m = _CREATE_POLICY.match(stmt)
     if m:
         tbl = m.group("table").lower()
@@ -388,10 +366,7 @@ def try_handle_stmt(engine, stmt: str):
                       {r.strip().lower() for r in roles.split(",")}),
         }
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("CREATE POLICY", m.group("name").lower(), tbl)],
-            "tag STRING, policy STRING, tbl STRING",
-        )
+        return status_frame(engine.spark, ("CREATE POLICY", m.group("name").lower(), tbl), "tag STRING, policy STRING, tbl STRING",)
     m = _DROP_POLICY.match(stmt)
     if m:
         tbl = m.group("table").lower()
@@ -400,24 +375,17 @@ def try_handle_stmt(engine, stmt: str):
             .pop(m.group("name").lower(), None) is not None
         )
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("DROP POLICY", m.group("name").lower(), tbl, existed)],
-            "tag STRING, policy STRING, tbl STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP POLICY", m.group("name").lower(), tbl, existed), "tag STRING, policy STRING, tbl STRING, existed BOOLEAN",)
     m = _SET_ROLE.match(stmt)
     if m:
         role = m.group("role").lower()
         engine.current_role = None if role in ("none", "gauss") else role
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("SET ROLE", role)], "tag STRING, role STRING"
-        )
+        return status_frame(engine.spark, ("SET ROLE", role), "tag STRING, role STRING")
     if _RESET_ROLE.match(stmt):
         engine.current_role = None
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("RESET ROLE",)], "tag STRING"
-        )
+        return status_frame(engine.spark, ("RESET ROLE",), "tag STRING")
     return try_handle_masking_stmt(engine, stmt)
 
 
@@ -476,11 +444,8 @@ def rls_policy_scan(spark, sf_dir):
     owner = eng.sql("SELECT COUNT(*) AS n FROM rls_t").collect()[0].n
     eng.sql("DROP POLICY seg_pol ON rls_t")
     eng.sql("DROP TABLE rls_t PURGE")
-    return spark.createDataFrame(
-        [(a.n, a.bal, owner, denied)],
-        "n_analyst BIGINT, bal_analyst DOUBLE, n_owner BIGINT,"
-        " n_denied BIGINT",
-    )
+    return status_frame(spark, (a.n, a.bal, owner, denied), "n_analyst BIGINT, bal_analyst DOUBLE, n_owner BIGINT,"
+        " n_denied BIGINT",)
 
 
 # --- data masking policies (gs_policy_masking.cpp) ------------------------
@@ -553,10 +518,7 @@ def try_handle_masking_stmt(engine, stmt: str):
                 )
             cols.append((tbl, col))
         engine.resource_labels[m.group("name").lower()] = cols
-        return engine.spark.createDataFrame(
-            [("CREATE RESOURCE LABEL", m.group("name").lower(), len(cols))],
-            "tag STRING, label STRING, n_cols INT",
-        )
+        return status_frame(engine.spark, ("CREATE RESOURCE LABEL", m.group("name").lower(), len(cols)), "tag STRING, label STRING, n_cols INT",)
     m = _CREATE_MASKING.match(stmt)
     if m:
         label = m.group("label").lower()
@@ -570,11 +532,8 @@ def try_handle_masking_stmt(engine, stmt: str):
                       {r.strip().lower() for r in roles.split(",")}),
         }
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("CREATE MASKING POLICY", m.group("name").lower(),
-              m.group("fn").lower())],
-            "tag STRING, policy STRING, fn STRING",
-        )
+        return status_frame(engine.spark, ("CREATE MASKING POLICY", m.group("name").lower(),
+              m.group("fn").lower()), "tag STRING, policy STRING, fn STRING",)
     m = _DROP_MASKING.match(stmt)
     if m:
         existed = (
@@ -582,10 +541,7 @@ def try_handle_masking_stmt(engine, stmt: str):
             is not None
         )
         _refresh_views(engine)
-        return engine.spark.createDataFrame(
-            [("DROP MASKING POLICY", m.group("name").lower(), existed)],
-            "tag STRING, policy STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP MASKING POLICY", m.group("name").lower(), existed), "tag STRING, policy STRING, existed BOOLEAN",)
     return None
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from ._util import dsum, sql_dsum
+from ._util import status_frame, dsum, sql_dsum
 
 # --- set operations (nodeSetOp.cpp: INTERSECT/EXCEPT hashed or sorted) ----
 
@@ -942,7 +942,7 @@ def join_full_outer(spark, sf_dir):
 def recursive_series(spark, sf_dir):
     # Driver-side fixpoint loop — the Spark-native RecursiveUnion: iterate
     # until the working table is empty (here a bounded arithmetic series).
-    current = spark.createDataFrame([(1, 1)], "n INT, fact INT")
+    current = status_frame(spark, (1, 1), "n INT, fact INT")
     acc = current
     for _ in range(11):
         current = current.select(

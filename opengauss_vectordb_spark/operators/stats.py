@@ -33,6 +33,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 _STATS_SCHEMA = (
     "col_name STRING, n_rows BIGINT, null_frac DOUBLE, n_distinct BIGINT,"
@@ -226,10 +227,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         combos = engine.ext_stats.setdefault(name, [])
         if combo not in combos:
             combos.append(combo)
-        return engine.spark.createDataFrame(
-            [("ADD STATISTICS", name, ",".join(combo))],
-            "tag STRING, tbl STRING, cols STRING",
-        )
+        return status_frame(engine.spark, ("ADD STATISTICS", name, ",".join(combo)), "tag STRING, tbl STRING, cols STRING",)
     m = _DEL_STATS.match(query)
     if m:
         name = m.group("table").lower()
@@ -243,10 +241,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             engine.statistics.get(name, {}).pop(
                 "(" + ",".join(combo) + ")", None
             )
-        return engine.spark.createDataFrame(
-            [("DELETE STATISTICS", name, ",".join(combo), existed)],
-            "tag STRING, tbl STRING, cols STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DELETE STATISTICS", name, ",".join(combo), existed), "tag STRING, tbl STRING, cols STRING, existed BOOLEAN",)
     m = _ANALYZE.match(query)
     if m is None:
         return None

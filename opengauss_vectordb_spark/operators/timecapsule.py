@@ -41,6 +41,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame
+from ._util import status_frame
 
 _TC_CLAUSE = re.compile(
     r"\b(?P<tbl>\w+)\s+TIMECAPSULE\s+"
@@ -152,9 +153,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             for e in mt.recyclebin:
                 shutil.rmtree(e["dir"], ignore_errors=True)
             mt.recyclebin.clear()
-            return engine.spark.createDataFrame(
-                [("PURGE RECYCLEBIN", n)], "tag STRING, purged INT"
-            )
+            return status_frame(engine.spark, ("PURGE RECYCLEBIN", n), "tag STRING, purged INT")
         name = m.group("name").lower()
         purged = 0
         for e in [e for e in mt.recyclebin if e["name"] == name]:
@@ -181,10 +180,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 meta["barrier_csn"] = max(
                     meta.get("barrier_csn", 0), kept[0]["csn"]
                 )
-        return engine.spark.createDataFrame(
-            [("PURGE TABLE", name, purged)],
-            "tag STRING, tbl STRING, purged INT",
-        )
+        return status_frame(engine.spark, ("PURGE TABLE", name, purged), "tag STRING, tbl STRING, purged INT",)
     m = _TC_TABLE.match(query)
     if m is None:
         return None
@@ -210,10 +206,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         mt.tables[target] = entry["meta"]
         mt.mark_ddl(target, "restore drop")
         mt._register_view(target)
-        return engine.spark.createDataFrame(
-            [("TIMECAPSULE TABLE", name, f"RESTORED AS {target}")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("TIMECAPSULE TABLE", name, f"RESTORED AS {target}"), "tag STRING, tbl STRING, action STRING",)
     if _TO_BEFORE_TRUNC.match(to):
         hist = mt.tables[name].get("history", [])
         idx = [i for i, h in enumerate(hist) if h["tag"] == "truncate"]
@@ -224,10 +217,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         snap = mt.read_snapshot(name, hist[idx[-1] - 1]["csn"])
         mt.tag_commit(name, "timecapsule")
         mt.rewrite(name, snap)
-        return engine.spark.createDataFrame(
-            [("TIMECAPSULE TABLE", name, "BEFORE TRUNCATE")],
-            "tag STRING, tbl STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("TIMECAPSULE TABLE", name, "BEFORE TRUNCATE"), "tag STRING, tbl STRING, action STRING",)
     mm = _TO_VERSION.match(to)
     if mm is None:
         raise ValueError(f"TIMECAPSULE: cannot parse TO clause {to!r}")
@@ -242,10 +232,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     snap = mt.read_snapshot(name, csn)
     mt.tag_commit(name, "timecapsule")
     mt.rewrite(name, snap)
-    return engine.spark.createDataFrame(
-        [("TIMECAPSULE TABLE", name, f"TO CSN {csn}")],
-        "tag STRING, tbl STRING, action STRING",
-    )
+    return status_frame(engine.spark, ("TIMECAPSULE TABLE", name, f"TO CSN {csn}"), "tag STRING, tbl STRING, action STRING",)
 
 
 # ------------------------------------------------------- restore frames

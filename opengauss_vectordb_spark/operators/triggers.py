@@ -36,6 +36,7 @@ import re
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ._util import status_frame
 
 _CREATE_TRIGGER = re.compile(
     r"^\s*CREATE\s+TRIGGER\s+(?P<name>\w+)\s+BEFORE\s+"
@@ -79,10 +80,7 @@ def try_handle_stmt(engine, stmt: str):
             "events": {e.strip().lower()
                        for e in m.group("events").upper().split("OR")},
         }
-        return engine.spark.createDataFrame(
-            [("CREATE TRIGGER", name, tbl, proc)],
-            "tag STRING, trigger STRING, tbl STRING, proc STRING",
-        )
+        return status_frame(engine.spark, ("CREATE TRIGGER", name, tbl, proc), "tag STRING, trigger STRING, tbl STRING, proc STRING",)
     m = _DROP_TRIGGER.match(stmt)
     if m:
         tbl = m.group("table").lower()
@@ -90,10 +88,7 @@ def try_handle_stmt(engine, stmt: str):
         existed = engine.triggers.get(tbl, {}).pop(name, None) is not None
         if not existed and not re.search(r"IF\s+EXISTS", stmt, re.IGNORECASE):
             raise KeyError(f"trigger {name!r} on {tbl!r} does not exist")
-        return engine.spark.createDataFrame(
-            [("DROP TRIGGER", name, tbl, existed)],
-            "tag STRING, trigger STRING, tbl STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP TRIGGER", name, tbl, existed), "tag STRING, trigger STRING, tbl STRING, existed BOOLEAN",)
     return None
 
 

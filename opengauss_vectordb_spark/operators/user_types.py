@@ -28,6 +28,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 _CREATE_ENUM = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?P<name>\w+)\s+AS\s+ENUM\s*"
@@ -125,10 +126,7 @@ def _handle_alter_type(engine, m: re.Match) -> DataFrame:
         if newname in engine.user_types:
             raise ValueError(f"type {newname!r} already exists")
         engine.user_types[newname] = engine.user_types.pop(name)
-        return engine.spark.createDataFrame(
-            [("ALTER TYPE", name, f"RENAME TO {newname}")],
-            "tag STRING, typname STRING, action STRING",
-        )
+        return status_frame(engine.spark, ("ALTER TYPE", name, f"RENAME TO {newname}"), "tag STRING, typname STRING, action STRING",)
     if ut["kind"] != "enum":
         raise NotImplementedError(
             "ALTER TYPE value surgery applies to enum types; composite "
@@ -140,10 +138,7 @@ def _handle_alter_type(engine, m: re.Match) -> DataFrame:
         new = m.group("new")
         if new in labels:
             if "IF NOT EXISTS" in m.group(0).upper():
-                return engine.spark.createDataFrame(
-                    [("ALTER TYPE", name, "noop")],
-                    "tag STRING, typname STRING, action STRING",
-                )
+                return status_frame(engine.spark, ("ALTER TYPE", name, "noop"), "tag STRING, typname STRING, action STRING",)
             raise ValueError(f"enum label {new!r} already exists")
         if m.group("where"):
             ref = m.group("ref")
@@ -164,10 +159,7 @@ def _handle_alter_type(engine, m: re.Match) -> DataFrame:
             raise ValueError(f"enum label {to!r} already exists")
         labels[labels.index(old)] = to
         action = f"RENAME VALUE {old} TO {to}"
-    return engine.spark.createDataFrame(
-        [("ALTER TYPE", name, action)],
-        "tag STRING, typname STRING, action STRING",
-    )
+    return status_frame(engine.spark, ("ALTER TYPE", name, action), "tag STRING, typname STRING, action STRING",)
 
 
 def try_handle_stmt(engine, query: str) -> DataFrame | None:
@@ -183,10 +175,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         if len(set(labels)) != len(labels):
             raise ValueError("enum labels must be distinct")
         engine.user_types[name] = {"kind": "enum", "labels": labels}
-        return engine.spark.createDataFrame(
-            [("CREATE TYPE", name, "enum", len(labels))],
-            "tag STRING, typname STRING, kind STRING, n INT",
-        )
+        return status_frame(engine.spark, ("CREATE TYPE", name, "enum", len(labels)), "tag STRING, typname STRING, kind STRING, n INT",)
     m = _CREATE_COMPOSITE.match(query)
     if m and not re.match(
         r"^\s*ENUM\b", m.group("fields"), re.IGNORECASE
@@ -204,10 +193,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             for c in defs
         ) + ">"
         engine.user_types[name] = {"kind": "composite", "ddl": ddl}
-        return engine.spark.createDataFrame(
-            [("CREATE TYPE", name, "composite", len(defs))],
-            "tag STRING, typname STRING, kind STRING, n INT",
-        )
+        return status_frame(engine.spark, ("CREATE TYPE", name, "composite", len(defs)), "tag STRING, typname STRING, kind STRING, n INT",)
     m = _CREATE_DOMAIN.match(query)
     if m:
         name = m.group("name").lower()
@@ -223,10 +209,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         engine.user_types[name] = {
             "kind": "domain", "base": m.group("base").strip().lower(),
         }
-        return engine.spark.createDataFrame(
-            [("CREATE DOMAIN", name, m.group("base").strip())],
-            "tag STRING, typname STRING, base STRING",
-        )
+        return status_frame(engine.spark, ("CREATE DOMAIN", name, m.group("base").strip()), "tag STRING, typname STRING, base STRING",)
     m = _DROP_TYPE.match(query)
     if m:
         name = m.group("name").lower()
@@ -240,10 +223,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 f"cannot drop type {name!r}: table(s) {used} use it"
             )
         existed = engine.user_types.pop(name, None) is not None
-        return engine.spark.createDataFrame(
-            [("DROP TYPE", name, existed)],
-            "tag STRING, typname STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP TYPE", name, existed), "tag STRING, typname STRING, existed BOOLEAN",)
     return None
 
 
