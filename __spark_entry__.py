@@ -96,7 +96,82 @@ registry.load_all_queries()
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
 # string_funcs, sample_deterministic/cluster_balanced — rotates first
 # in r11).
+# ROUND 11 window (exactly 50): (a) the three NEW registrations —
+# CREATE AGGREGATE's SQL-transition subset compiled to aggregate()
+# folds (operators/create_aggregate.py), PL/Python RETURNS SETOF via
+# ARRAY-returning pandas UDF + explode (plpython.py), and EXCHANGE
+# SUBPARTITION leaf-directory swaps (partition_ddl.py); (b) churn
+# re-gates — do_block.py's fetch-loop soundness fix (refuse consumed
+# cursors, exhaust after loop, arity both ways) re-gates every
+# interpreted-plpgsql row that exercises cursors/dynexec, plpython.py
+# (SETOF plumbing touched the scalar path), create_function.py (spec
+# capture + PG array types in signatures), gist_index.py (recheck
+# evidence), pipeline.py (BPE cache key); the repo-wide status-frame
+# conversion (createDataFrame → one literal SELECT, _util.py) is
+# covered by the full suite + these statement-heavy rows; (c) the
+# ENTIRE 21-row r3 stale tail the r10 verdict demanded first —
+# after this window no row's latest evidence predates r4; (d) the
+# oldest 17 rows of the r4 tail (alphabetical prefix; the remaining
+# 20 rotate in r12).
 GATE_PRIORITY: list[str] = [
+    # (a) round-11 NEW registrations
+    "create_aggregate_sql",
+    "plpython_setof",
+    "exchange_subpartition",
+    # (b) churn re-gates
+    "plpgsql_cursor_fetch",
+    "do_block_for_loop",
+    "plpgsql_dynexecute_function",
+    "plpgsql_setof_dynexecute",
+    "gist_poly_contains",
+    "plpython_function",
+    "create_function_sql",
+    "bpe_learn_merges",
+    "decontaminate_bloom_prefilter",
+    # (c) the complete r3 stale tail
+    "math_funcs",
+    "pivot_status_counts",
+    "recursive_series",
+    "sample_cluster_balanced",
+    "sample_deterministic",
+    "sql_compat_oracle",
+    "sql_entry_q6",
+    "string_funcs",
+    "tpch_q12_adapted",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16_adapted",
+    "tpch_q17_adapted",
+    "tpch_q18_adapted",
+    "tpch_q19_adapted",
+    "tpch_q20_adapted",
+    "tpch_q21_adapted",
+    "tpch_q22_adapted",
+    "values_scan",
+    "zorder_pruned_scan",
+    # (d) r4-tail rotation (alphabetical prefix of the 37)
+    "agg_filter_clause",
+    "agg_ordered_concat",
+    "agg_regression",
+    "distinct_on",
+    "embedding_norm_outliers",
+    "events_anomaly_zscore",
+    "events_asof_join",
+    "events_retention_cohorts",
+    "fts_bm25_query",
+    "fts_headline",
+    "fts_plainto_websearch",
+    "hnsw_knn_join_exhaustive",
+    "hnsw_search_bit_exhaustive",
+    "hnsw_search_l1_exhaustive",
+    "hstore_funcs",
+    "inlist_join_rewrite",
+    "ivf_delete_then_search",
+]
+
+# The ROUND 10 window, retired (kept for the rotation ledger):
+_GATE_PRIORITY_R10: list[str] = [
     # (a) the 13 round-9 registrations that froze out of the r9
     # window — first-ever driver gate rows (all 13 oracle-verified
     # locally in r9 and re-verified this round)

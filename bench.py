@@ -204,6 +204,13 @@ HEADLINE = [
     "plpgsql_setof_dynexecute",
     "format_trunc_compat",
     "pg_datetime_format_models",
+    # round-11 additions (same frozen-prefix rule): the read-side
+    # registrations — user aggregates compiled to aggregate() folds
+    # and SETOF plpython via explode.  exchange_subpartition CTASes +
+    # swaps storage inside the query, so it stays out (the write-time
+    # rule, same as the other DDL lifecycles).
+    "create_aggregate_sql",
+    "plpython_setof",
 ]
 
 

@@ -35,6 +35,7 @@ from .catalog import table as _table
 from .functions import register_pg_functions
 from .ml import ModelWarehouse
 from .plans.ann_rewrite import AnnCatalog
+from .operators._util import status_frame
 
 
 class Engine:
@@ -268,6 +269,12 @@ class Engine:
         # unqualified names resolve through SET search_path in order
         # (namespace.cpp RelnameGetRelid); identity when unset
         query = resolve_search_path(self, query)
+        # synonym aliases resolve by name rewrite (pg_synonym lookup);
+        # identity when none registered
+        if getattr(self, "synonyms", None):
+            from .operators.schemas import resolve_synonyms
+
+            query = resolve_synonyms(self, query)
         # to_tsvector(col) @@ to_tsquery('...') → gin posting-table
         # semi-join when an index covers it, inline tokenize-and-test
         # otherwise (tsginidx.cpp vs TS_execute); identity without @@
@@ -405,19 +412,14 @@ class Engine:
             # so rowgroup min/max stats prune scans on the key
             self.sql(f"CLUSTER {table} ON ({col})")
             self._btree_indexes[name] = (table, col)
-            return self.spark.createDataFrame(
-                [("CREATE INDEX", name, "btree", table, col)],
-                "tag STRING, index STRING, am STRING, tbl STRING,"
-                " col STRING",
-            )
+            return status_frame(self.spark, ("CREATE INDEX", name, "btree", table, col), "tag STRING, index STRING, am STRING, tbl STRING,"
+                " col STRING",)
         m = self._SET_GUC.match(query)
         if m:
             guc = m.group("guc").lower()
             val = int(m.group("val"))
             self._gucs[guc] = val
-            return self.spark.createDataFrame(
-                [("SET", guc, val)], "tag STRING, guc STRING, value INT"
-            )
+            return status_frame(self.spark, ("SET", guc, val), "tag STRING, guc STRING, value INT")
         m = re.match(
             r"^\s*SHOW\s+(?P<guc>ivfflat\.probes|hnsw\.ef_search)\s*;?\s*$",
             query, re.IGNORECASE,
@@ -428,10 +430,7 @@ class Engine:
             # hnsw.h:39 ef_search=40) when unset
             guc = m.group("guc").lower()
             default = 1 if guc == "ivfflat.probes" else 40
-            return self.spark.createDataFrame(
-                [(guc, self._gucs.get(guc, default))],
-                "guc STRING, value INT",
-            )
+            return status_frame(self.spark, (guc, self._gucs.get(guc, default)), "guc STRING, value INT",)
         # TransactionStmt (gram.y:19519): the batch engine is
         # autocommit — every statement's write is already the durable
         # snapshot swap — so BEGIN/COMMIT are accepted as no-ops
@@ -444,10 +443,7 @@ class Engine:
             query, re.IGNORECASE,
         )
         if m:
-            return self.spark.createDataFrame(
-                [(m.group("verb").upper(), "autocommit no-op")],
-                "tag STRING, note STRING",
-            )
+            return status_frame(self.spark, (m.group("verb").upper(), "autocommit no-op"), "tag STRING, note STRING",)
         # SAVEPOINT family (gram.y:19519 TransactionStmt savepoints):
         # in a single-session autocommit engine a savepoint is a NAMED
         # RESTORE FRAME over the commit log — SAVEPOINT snapshots every
@@ -467,10 +463,7 @@ class Engine:
                 self._savepoints = {}
             name = m.group("name").lower()
             self._savepoints[name] = snapshot_csns(self)
-            return self.spark.createDataFrame(
-                [("SAVEPOINT", name, len(self._savepoints[name]))],
-                "tag STRING, savepoint STRING, tables_framed INT",
-            )
+            return status_frame(self.spark, ("SAVEPOINT", name, len(self._savepoints[name])), "tag STRING, savepoint STRING, tables_framed INT",)
         m = re.match(
             r"^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+"
             r"(?:SAVEPOINT\s+)?(?P<name>\w+)\s*;?\s*$",
@@ -484,10 +477,7 @@ class Engine:
             if name not in frames:
                 raise KeyError(f"savepoint {name!r} does not exist")
             touched = restore_csns(self, frames[name])
-            return self.spark.createDataFrame(
-                [("ROLLBACK TO SAVEPOINT", name, touched)],
-                "tag STRING, savepoint STRING, tables_restored INT",
-            )
+            return status_frame(self.spark, ("ROLLBACK TO SAVEPOINT", name, touched), "tag STRING, savepoint STRING, tables_restored INT",)
         m = re.match(
             r"^\s*RELEASE\s+(?:SAVEPOINT\s+)?(?P<name>\w+)\s*;?\s*$",
             query, re.IGNORECASE,
@@ -498,10 +488,7 @@ class Engine:
             if name not in frames:
                 raise KeyError(f"savepoint {name!r} does not exist")
             del frames[name]
-            return self.spark.createDataFrame(
-                [("RELEASE SAVEPOINT", name)],
-                "tag STRING, savepoint STRING",
-            )
+            return status_frame(self.spark, ("RELEASE SAVEPOINT", name), "tag STRING, savepoint STRING",)
         if re.match(r"^\s*(?:ROLLBACK|ABORT)\b", query, re.IGNORECASE):
             raise NotImplementedError(
                 "autocommit batch engine: each statement commits on "
@@ -524,11 +511,8 @@ class Engine:
             query, re.IGNORECASE,
         )
         if m:
-            return self.spark.createDataFrame(
-                [("CREATE EXTENSION", m.group("name").lower(),
-                  "built in")],
-                "tag STRING, extension STRING, note STRING",
-            )
+            return status_frame(self.spark, ("CREATE EXTENSION", m.group("name").lower(),
+                  "built in"), "tag STRING, extension STRING, note STRING",)
         if re.match(r"^\s*DROP\s+EXTENSION\b", query, re.IGNORECASE):
             raise NotImplementedError(
                 "built-in surfaces cannot be unloaded — DROP "
@@ -549,9 +533,7 @@ class Engine:
             if what == "ALL":
                 self._gucs.clear()
                 self.current_role = None
-            return self.spark.createDataFrame(
-                [("DISCARD", what)], "tag STRING, what STRING"
-            )
+            return status_frame(self.spark, ("DISCARD", what), "tag STRING, what STRING")
         # SET [SESSION|GLOBAL] TRANSACTION <characteristics> —
         # transaction modes in an autocommit engine: accepted no-op,
         # like BEGIN/COMMIT (each statement's snapshot is already a
@@ -561,10 +543,7 @@ class Engine:
             query, re.IGNORECASE | re.DOTALL,
         )
         if m:
-            return self.spark.createDataFrame(
-                [("SET TRANSACTION", "autocommit no-op")],
-                "tag STRING, note STRING",
-            )
+            return status_frame(self.spark, ("SET TRANSACTION", "autocommit no-op"), "tag STRING, note STRING",)
         # PREPARE TRANSACTION (two-phase commit): refuse with the
         # position — an autocommit snapshot-swap engine has no
         # in-doubt state to hold open
@@ -634,20 +613,14 @@ class Engine:
         if m and m.group("name").lower() not in ("role",):
             val = m.group("val").strip().strip("'")
             self._gucs[m.group("name").lower()] = val
-            return self.spark.createDataFrame(
-                [("SET", m.group("name").lower(), val)],
-                "tag STRING, guc STRING, value STRING",
-            )
+            return status_frame(self.spark, ("SET", m.group("name").lower(), val), "tag STRING, guc STRING, value STRING",)
         m = re.match(
             r"^\s*RESET\s+(?P<name>[\w.]+)\s*;?\s*$", query,
             re.IGNORECASE,
         )
         if m and m.group("name").lower() != "role":
             self._gucs.pop(m.group("name").lower(), None)
-            return self.spark.createDataFrame(
-                [("RESET", m.group("name").lower())],
-                "tag STRING, guc STRING",
-            )
+            return status_frame(self.spark, ("RESET", m.group("name").lower()), "tag STRING, guc STRING",)
         # ALTER SYSTEM SET (guc.cpp AlterSystemSetConfigFile): the
         # reference persists to the auto conf; a single-session engine's
         # honest analogue is the session GUC store, tagged so the user
@@ -661,16 +634,10 @@ class Engine:
         if m:
             if m.group("rname"):
                 self._gucs.pop(m.group("rname").lower(), None)
-                return self.spark.createDataFrame(
-                    [("ALTER SYSTEM RESET", m.group("rname").lower())],
-                    "tag STRING, guc STRING",
-                )
+                return status_frame(self.spark, ("ALTER SYSTEM RESET", m.group("rname").lower()), "tag STRING, guc STRING",)
             val = m.group("val").strip().strip("'")
             self._gucs[m.group("name").lower()] = val
-            return self.spark.createDataFrame(
-                [("ALTER SYSTEM SET", m.group("name").lower(), val)],
-                "tag STRING, guc STRING, value STRING",
-            )
+            return status_frame(self.spark, ("ALTER SYSTEM SET", m.group("name").lower(), val), "tag STRING, guc STRING, value STRING",)
         # has_table_privilege (acl.cpp; 122 regress uses) — top-level
         # scalar probes with literal arguments answer from the ACL
         # registry (2-arg = session role, 3-arg = named role; a
@@ -711,9 +678,7 @@ class Engine:
         if m:
             self._gucs[m.group("n").lower()] = m.group("v")
             alias = (m.group("a") or "set_config").lower()
-            return self.spark.createDataFrame(
-                [(m.group("v"),)], f"`{alias}` STRING"
-            )
+            return status_frame(self.spark, (m.group("v"),), f"`{alias}` STRING")
         m = re.match(
             r"^\s*SELECT\s+current_setting\s*\(\s*'(?P<n>[\w.]+)'\s*"
             r"(?:,\s*(?P<ok>true|false)\s*)?\)\s*"
@@ -732,9 +697,7 @@ class Engine:
             else:
                 val = str(self._gucs[name])
             alias = (m.group("a") or "current_setting").lower()
-            return self.spark.createDataFrame(
-                [(val,)], f"`{alias}` STRING"
-            )
+            return status_frame(self.spark, (val,), f"`{alias}` STRING")
         # pg_get_viewdef (ruleutils.cpp; 92 regress uses) — the stored
         # view text, for literal-name top-level probes
         m = re.match(
@@ -748,9 +711,7 @@ class Engine:
             if name not in defs:
                 raise KeyError(f"view {name!r} does not exist")
             alias = (m.group("a") or "pg_get_viewdef").lower()
-            return self.spark.createDataFrame(
-                [(defs[name],)], f"`{alias}` STRING"
-            )
+            return status_frame(self.spark, (defs[name],), f"`{alias}` STRING")
         # SHOW WARNINGS / ERRORS (B-format diagnostics area,
         # gram.y ShowStmt): statements either succeed or raise here —
         # no warning accumulates between statements — so the frame is
@@ -779,10 +740,7 @@ class Engine:
                 raise KeyError(
                     f"unrecognized configuration parameter {name!r}"
                 )
-            return self.spark.createDataFrame(
-                [(name, str(self._gucs[name]))],
-                "guc STRING, value STRING",
-            )
+            return status_frame(self.spark, (name, str(self._gucs[name])), "guc STRING, value STRING",)
         m = re.match(
             r"^\s*REINDEX\s+(?:INDEX\s+)?(?P<name>\w+)\s*;?\s*$",
             query, re.IGNORECASE,
@@ -828,9 +786,7 @@ class Engine:
                     "REINDEX: unknown ANN index kind "
                     f"{type(idx).__name__}"
                 )
-            return self.spark.createDataFrame(
-                [("REINDEX", name)], "tag STRING, index STRING"
-            )
+            return status_frame(self.spark, ("REINDEX", name), "tag STRING, index STRING")
         m = re.match(
             r"^\s*ALTER\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
             r"(?:RENAME\s+TO\s+(?P<new>\w+)|(?P<rebuild>REBUILD)"
@@ -870,10 +826,7 @@ class Engine:
                     f"ALTER TEXT SEARCH: {name!r} is not a registered "
                     "configuration/dictionary"
                 )
-            return self.spark.createDataFrame(
-                [(f"{verb} TEXT SEARCH", name)],
-                "tag STRING, name STRING",
-            )
+            return status_frame(self.spark, (f"{verb} TEXT SEARCH", name), "tag STRING, name STRING",)
         m = re.match(
             r"^\s*REINDEX\s+TABLE\s+(?:CONCURRENTLY\s+)?(?P<t>\w+)"
             r"\s*;?\s*$",
@@ -898,10 +851,7 @@ class Engine:
                     if idx["table"] == t:
                         self._alter_index(name, rebuild=True)
                         rebuilt.append(name)
-            return self.spark.createDataFrame(
-                [("REINDEX TABLE", t, len(rebuilt))],
-                "tag STRING, tbl STRING, indexes INT",
-            )
+            return status_frame(self.spark, ("REINDEX TABLE", t, len(rebuilt)), "tag STRING, tbl STRING, indexes INT",)
         m = self._DROP_INDEX.match(query)
         if m:
             name = m.group("name").lower()
@@ -916,11 +866,8 @@ class Engine:
             skey = drop_gist_index(self, name)
             # dropping a btree index keeps the clustered layout (it is
             # just data order) — only the catalog entry goes away
-            return self.spark.createDataFrame(
-                [("DROP INDEX", name,
-                  key is not None or bkey is not None or gkey or skey)],
-                "tag STRING, index STRING, existed BOOLEAN",
-            )
+            return status_frame(self.spark, ("DROP INDEX", name,
+                  key is not None or bkey is not None or gkey or skey), "tag STRING, index STRING, existed BOOLEAN",)
         from .operators.matview import try_handle_ddl as _matview_ddl
         from .operators.portal import try_handle_stmt as _portal_stmt
         from .operators.prepared import try_handle_stmt as _prepared_stmt
@@ -1123,14 +1070,9 @@ class Engine:
                 from .operators.gist_index import build_gist_index
 
                 build_gist_index(self, name)
-            return self.spark.createDataFrame(
-                [("REINDEX", name)], "tag STRING, index STRING"
-            )
+            return status_frame(self.spark, ("REINDEX", name), "tag STRING, index STRING")
         if unusable:
-            return self.spark.createDataFrame(
-                [("ALTER INDEX", name, "UNUSABLE")],
-                "tag STRING, index STRING, action STRING",
-            )
+            return status_frame(self.spark, ("ALTER INDEX", name, "UNUSABLE"), "tag STRING, index STRING, action STRING",)
         # RENAME TO
         for reg in (self._index_names, self._btree_indexes,
                     getattr(self, "gin_indexes", {}),
@@ -1154,10 +1096,7 @@ class Engine:
             self.spark.catalog.dropTempView(_view_name(name))
         else:
             self.gist_indexes[new] = self.gist_indexes.pop(name)
-        return self.spark.createDataFrame(
-            [("ALTER INDEX", name, f"RENAME TO {new}")],
-            "tag STRING, index STRING, action STRING",
-        )
+        return status_frame(self.spark, ("ALTER INDEX", name, f"RENAME TO {new}"), "tag STRING, index STRING, action STRING",)
 
     def _warehouse_dir(self) -> str:
         import tempfile
@@ -1288,11 +1227,8 @@ class Engine:
                 ef_construction=int(opts.get("ef_construction", 64)),
             )
         self._index_names[name] = (table_name, col)
-        return self.spark.createDataFrame(
-            [("CREATE INDEX", name, am, table_name, col, metric)],
-            "tag STRING, index STRING, am STRING, tbl STRING, col STRING,"
-            " metric STRING",
-        )
+        return status_frame(self.spark, ("CREATE INDEX", name, am, table_name, col, metric), "tag STRING, index STRING, am STRING, tbl STRING, col STRING,"
+            " metric STRING",)
 
     def table(self, name: str) -> DataFrame:
         return _table(self.spark, self.sf_dir, name)

@@ -43,11 +43,11 @@ from __future__ import annotations
 import re
 
 from .create_function import _map_type
+from ._util import status_frame
 
-_CREATE_AGG = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?AGGREGATE\s+(?P<name>\w+)\s*"
-    r"\((?P<args>[^()]*)\)\s*\(\s*(?P<opts>.*)\)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_CREATE_AGG_HEAD = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?AGGREGATE\s+(?P<name>\w+)\s*\(",
+    re.IGNORECASE,
 )
 
 _DROP_AGG = re.compile(
@@ -174,15 +174,40 @@ def _resolve_fn(engine, fname: str, n_args: int, role: str) -> dict:
     }
 
 
-def _create_aggregate(engine, m: re.Match):
-    name = m.group("name").lower()
+def _parse_create_agg(query: str):
+    """(name, args_text, opts_text) or None — paren-aware so types
+    like decimal(18,6) and '{0,0}' INITCONDs parse in both the modern
+    two-group form ``name(types)(opts)`` and the pre-8.2 one-group
+    form ``name(BASETYPE=..., SFUNC=..., ...)``."""
+    m = _CREATE_AGG_HEAD.match(query)
+    if m is None:
+        return None
+    op1 = m.end() - 1
+    cl1 = _find_close_masked(query, op1)
+    if cl1 < 0:
+        return None
+    rest = query[cl1 + 1:].strip().rstrip(";").strip()
+    if not rest:
+        # one paren group: the old syntax — everything is options
+        return m.group("name").lower(), "", query[op1 + 1:cl1]
+    if not rest.startswith("("):
+        return None
+    cl2 = _find_close_masked(rest, 0)
+    if cl2 != len(rest) - 1:
+        return None
+    return (m.group("name").lower(), query[op1 + 1:cl1],
+            rest[1:cl2])
+
+
+def _create_aggregate(engine, parsed):
+    name, args_text, opts_text = parsed
     opts: dict[str, str] = {}
-    for part in _split_commas(m.group("opts")):
+    for part in _split_commas(opts_text):
         if "=" not in part:
             raise ValueError(f"CREATE AGGREGATE: bad option {part!r}")
         k, v = part.split("=", 1)
         opts[k.strip().lower()] = v.strip()
-    in_types = [t for t in _split_commas(m.group("args")) if t]
+    in_types = [t for t in _split_commas(args_text) if t]
     if not in_types and "basetype" in opts:
         # the pre-8.2 spelling: CREATE AGGREGATE name (BASETYPE=..., ...)
         in_types = [opts["basetype"]]
@@ -245,12 +270,9 @@ def _create_aggregate(engine, m: re.Match):
         # matters
         "cfunc": opts.get("cfunc") or opts.get("combinefunc"),
     }
-    return engine.spark.createDataFrame(
-        [("CREATE AGGREGATE", name, opts["sfunc"].lower(),
-          opts["stype"].lower(), opts.get("finalfunc", "").lower())],
-        "tag STRING, aggregate STRING, sfunc STRING, stype STRING,"
-        " finalfunc STRING",
-    )
+    return status_frame(engine.spark, ("CREATE AGGREGATE", name, opts["sfunc"].lower(),
+          opts["stype"].lower(), opts.get("finalfunc", "").lower()), "tag STRING, aggregate STRING, sfunc STRING, stype STRING,"
+        " finalfunc STRING",)
 
 
 def fold_expr(agg: dict, arg_exprs: list[str]) -> str:
@@ -329,19 +351,16 @@ def _find_close_masked(masked: str, open_pos: int) -> int:
 
 def try_handle_stmt(engine, query: str):
     """Engine.sql hook: CREATE/DROP AGGREGATE routing."""
-    m = _CREATE_AGG.match(query)
-    if m:
-        return _create_aggregate(engine, m)
+    parsed = _parse_create_agg(query)
+    if parsed is not None:
+        return _create_aggregate(engine, parsed)
     m = _DROP_AGG.match(query)
     if m:
         name = m.group("name").lower()
         existed = getattr(engine, "aggregates", {}).pop(name, None)
         if existed is not None or re.search(r"IF\s+EXISTS", query,
                                             re.IGNORECASE):
-            return engine.spark.createDataFrame(
-                [("DROP AGGREGATE", name, existed is not None)],
-                "tag STRING, aggregate STRING, existed BOOLEAN",
-            )
+            return status_frame(engine.spark, ("DROP AGGREGATE", name, existed is not None), "tag STRING, aggregate STRING, existed BOOLEAN",)
         raise KeyError(f"DROP AGGREGATE: {name!r} does not exist")
     return None
 

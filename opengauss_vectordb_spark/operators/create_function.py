@@ -33,6 +33,7 @@ planner.  ``RETURNS TABLE(...)`` maps to Spark's table-function form.
 from __future__ import annotations
 
 import re
+from ._util import status_frame
 
 # PG type name → Spark SQL type.  Multi-word PG names are normalized
 # before lookup ("double precision" → "double_precision").
@@ -66,6 +67,15 @@ _CREATE_FN = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_ALTER_FN = re.compile(
+    r"^\s*ALTER\s+FUNCTION\s+(?P<name>\w+)\s*(?:\([^)]*\)\s*)?"
+    r"(?P<action>RENAME\s+TO\s+\w+|OWNER\s+TO\s+\w+|SET\s+.+|RESET\s+.+"
+    r"|(?:IMMUTABLE|STABLE|VOLATILE|STRICT|CALLED\s+ON\s+NULL\s+INPUT"
+    r"|RETURNS\s+NULL\s+ON\s+NULL\s+INPUT|(?:NOT\s+)?LEAKPROOF"
+    r"|SECURITY\s+(?:DEFINER|INVOKER)|COST\s+\d+|ROWS\s+\d+"
+    r"|(?:NOT\s+)?SHIPPABLE)(?:\s+\w+)*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_FN = re.compile(
     r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)"
     r"(?:\s*\([^)]*\))?\s*;?\s*$",
@@ -402,8 +412,52 @@ def try_handle_stmt(engine, query: str):
             if not hasattr(engine, "sql_fn_specs"):
                 engine.sql_fn_specs = {}
             engine.sql_fn_specs[name] = spec
-        return spark.createDataFrame(
-            [("CREATE FUNCTION", name)], "tag STRING, function STRING"
+        return status_frame(spark, ("CREATE FUNCTION", name), "tag STRING, function STRING")
+    m = _ALTER_FN.match(query)
+    if m:
+        name = m.group("name").lower()
+        action = m.group("action").strip()
+        known = (name in engine.sql_functions
+                 or name in getattr(engine, "plfn_interpreted", {}))
+        if not known:
+            raise KeyError(f"ALTER FUNCTION: {name!r} does not exist")
+        rn = re.match(r"RENAME\s+TO\s+(?P<new>\w+)\s*;?\s*$", action,
+                      re.IGNORECASE)
+        if rn:
+            new = rn.group("new").lower()
+            ddl = engine.sql_functions.get(name)
+            if ddl is not None and ddl.startswith("CREATE"):
+                # recreate the session function under the new name
+                # from the stored DDL (functioncmds.cpp RenameFunction
+                # is a catalog update; here the catalog IS the DDL)
+                engine.spark.sql(ddl.replace(f" {name}(", f" {new}(", 1))
+                engine.spark.sql(
+                    f"DROP TEMPORARY FUNCTION IF EXISTS {name}"
+                )
+                engine.sql_functions[new] = engine.sql_functions.pop(name)
+                specs = getattr(engine, "sql_fn_specs", {})
+                if name in specs:
+                    specs[new] = specs.pop(name)
+            elif name in getattr(engine, "plfn_interpreted", {}):
+                engine.plfn_interpreted[new] = \
+                    engine.plfn_interpreted.pop(name)
+                engine.sql_functions[new] = engine.sql_functions.pop(name)
+            else:
+                raise NotImplementedError(
+                    "ALTER FUNCTION RENAME on a plpython function: "
+                    "re-run its CREATE FUNCTION under the new name"
+                )
+            return status_frame(
+                engine.spark, ("ALTER FUNCTION", name, f"RENAME TO {new}"),
+                "tag STRING, function STRING, action STRING",
+            )
+        # OWNER TO / SET / RESET / volatility / STRICT / LEAKPROOF /
+        # SECURITY / COST / ROWS — auth and planner metadata
+        # (functioncmds.cpp AlterFunction); no engine state changes
+        # (volatility is decided by Catalyst from the inlined body)
+        return status_frame(
+            engine.spark, ("ALTER FUNCTION", name, "metadata no-op"),
+            "tag STRING, function STRING, action STRING",
         )
     m = _DROP_FN.match(query)
     interp = getattr(engine, "plfn_interpreted", {})
@@ -416,8 +470,5 @@ def try_handle_stmt(engine, query: str):
         getattr(engine, "sql_fn_specs", {}).pop(name, None)
         getattr(engine, "plpython_setof", set()).discard(name)
         engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
-        return engine.spark.createDataFrame(
-            [("DROP FUNCTION", name, existed)],
-            "tag STRING, function STRING, existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("DROP FUNCTION", name, existed), "tag STRING, function STRING, existed BOOLEAN",)
     return None

@@ -37,6 +37,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ._util import status_frame
 
 PART_COL = "_part"
 SUBPART_COL = "_subpart"
@@ -143,9 +144,14 @@ class PartitionSpec:
         row (caught by apply_labels' validation)."""
         key = F.col(self.key)
         if self.kind == "hash":
+            # bucket → the DECLARED name (top-level hash partitions
+            # are auto-named p0..p{n-1}; hash SUBpartitions carry the
+            # user's names positionally — hw_subpartition_createtable's
+            # bare `SUBPARTITION s1, SUBPARTITION s2` form)
             n = len(self.parts)
-            return F.concat(
-                F.lit("p"), F.pmod(F.hash(key), F.lit(n)).cast("string")
+            names = F.array(*[F.lit(nm) for nm, _ in self.parts])
+            return F.element_at(
+                names, F.pmod(F.hash(key), F.lit(n)) + 1
             )
         if self.kind == "range":
             max_name = (
@@ -432,7 +438,9 @@ def prune_hash_eq(spark, spec: PartitionSpec, value,
     row = spark.range(1).select(
         F.pmod(F.hash(lit), F.lit(n)).alias("b")
     ).collect()
-    return [f"p{row[0].b}"]
+    # bucket → the declared name (positional; top level auto-names
+    # p0..p{n-1}, hash subpartitions carry user names)
+    return [spec.parts[row[0].b][0]]
 
 
 _CMP = re.compile(
@@ -594,6 +602,18 @@ _SUB_ENTRY_LIST = re.compile(
     r"\(\s*(?P<vals>.+?)\s*\)$",
     re.IGNORECASE | re.DOTALL,
 )
+# hash subpartitions are bare names, bucket = declaration position
+# (hw_subpartition_createtable.sql:47-59)
+_SUB_ENTRY_HASH = re.compile(
+    r"^SUBPARTITION\s+(?P<name>\w+)$",
+    re.IGNORECASE,
+)
+# named hash partitions: bare name + optional subpartition list
+_PART_ENTRY_HASH = re.compile(
+    r"^PARTITION\s+(?P<name>\w+)"
+    r"(?:\s*\(\s*(?P<subs>SUBPARTITION\s+.+)\s*\))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_ADD_PART = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+PARTITION\s+"
     r"(?P<part>\w+)\s+VALUES\s+(?:LESS\s+THAN\s+)?"
@@ -705,30 +725,10 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
         )
     sub_kind = (m.group("skind") or "").lower() or None
     sub_key = (m.group("skey") or "").lower() or None
-    if sub_kind == "hash":
-        raise NotImplementedError(
-            "SUBPARTITION BY HASH templates are not supported — use "
-            "RANGE or LIST subpartitions, or hash at the top level"
-        )
     if sub_kind and interval:
         raise NotImplementedError(
             "INTERVAL with SUBPARTITION BY is not supported"
         )
-    if kind == "hash":
-        if sub_kind:
-            raise NotImplementedError(
-                "SUBPARTITION under HASH partitioning is not supported"
-            )
-        if not m.group("nparts"):
-            raise ValueError(
-                "PARTITION BY HASH needs PARTITIONS <n>"
-            )
-        n = int(m.group("nparts"))
-        return PartitionSpec(
-            "hash", key, [(f"p{i}", i) for i in range(n)],
-            interval=interval,  # validation rejects INTERVAL + HASH
-        )
-
     def _list_bound(vals_text: str):
         if re.match(r"^\s*DEFAULT\s*$", vals_text, re.IGNORECASE):
             return MAXVALUE
@@ -736,16 +736,79 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
             _parse_literal(v) for v in _split_entries(vals_text)
         )
 
+    def _parse_subs(subs_text: str) -> list[tuple]:
+        subs: list[tuple] = []
+        for si, se in enumerate(_split_entries(subs_text)):
+            if sub_kind == "range":
+                sm = _SUB_ENTRY_RANGE.match(se)
+                if sm is None:
+                    raise ValueError(
+                        f"cannot parse range subpartition: {se!r}"
+                    )
+                subs.append((sm.group("name").lower(),
+                             _parse_literal(sm.group("bound"))))
+            elif sub_kind == "hash":
+                sm = _SUB_ENTRY_HASH.match(se)
+                if sm is None:
+                    raise ValueError(
+                        f"cannot parse hash subpartition: {se!r}"
+                    )
+                subs.append((sm.group("name").lower(), si))
+            else:
+                sm = _SUB_ENTRY_LIST.match(se)
+                if sm is None:
+                    raise ValueError(
+                        f"cannot parse list subpartition: {se!r}"
+                    )
+                subs.append((sm.group("name").lower(),
+                             _list_bound(sm.group("vals"))))
+        return subs
+
+    def _default_subs(pname: str) -> list[tuple]:
+        # the reference auto-creates <p>_subpartdefault1 when a
+        # partition omits its subpartition list — one catch-all
+        # (for hash: a single bucket)
+        return [(f"{pname}_subpartdefault1",
+                 0 if sub_kind == "hash" else MAXVALUE)]
+
+    if kind == "hash" and m.group("nparts"):
+        # PARTITIONS <n>: auto-named p0..p{n-1}; a SUBPARTITION BY
+        # clause gets the per-partition catch-all template
+        n = int(m.group("nparts"))
+        parts = [(f"p{i}", i) for i in range(n)]
+        subparts = (
+            {nm: _default_subs(nm) for nm, _ in parts}
+            if sub_kind else {}
+        )
+        return PartitionSpec(
+            "hash", key, parts,
+            interval=interval,  # validation rejects INTERVAL + HASH
+            sub_kind=sub_kind, sub_key=sub_key, subparts=subparts,
+        )
+    if kind == "hash" and not m.group("parts"):
+        raise ValueError(
+            "PARTITION BY HASH needs PARTITIONS <n> or a named "
+            "partition list"
+        )
+
     entries = _split_entries(m.group("parts"))
-    parts: list[tuple] = []
-    subparts: dict[str, list[tuple]] = {}
-    for e in entries:
+    parts = []
+    subparts = {}
+    for pi, e in enumerate(entries):
         if kind == "range":
             em = _PART_ENTRY_RANGE.match(e)
             if em is None:
                 raise ValueError(f"cannot parse range partition: {e!r}")
             pname = em.group("name").lower()
             parts.append((pname, _parse_literal(em.group("bound"))))
+        elif kind == "hash":
+            # named hash partitions: bare names, bucket = position
+            # (hw_subpartition_createtable's PARTITION BY HASH forms)
+            em = _PART_ENTRY_HASH.match(e)
+            if em is None:
+                raise ValueError(f"cannot parse hash partition: {e!r}")
+            pname = em.group("name").lower()
+            parts.append((pname, pi))
         else:
             em = _PART_ENTRY_LIST.match(e)
             if em is None:
@@ -754,36 +817,10 @@ def parse_partition_by(text: str) -> PartitionSpec | None:
             parts.append((pname, _list_bound(em.group("vals"))))
         if sub_kind:
             subs_text = em.groupdict().get("subs")
-            if subs_text:
-                subs: list[tuple] = []
-                for se in _split_entries(subs_text):
-                    if sub_kind == "range":
-                        sm = _SUB_ENTRY_RANGE.match(se)
-                        if sm is None:
-                            raise ValueError(
-                                f"cannot parse range subpartition: {se!r}"
-                            )
-                        subs.append(
-                            (sm.group("name").lower(),
-                             _parse_literal(sm.group("bound")))
-                        )
-                    else:
-                        sm = _SUB_ENTRY_LIST.match(se)
-                        if sm is None:
-                            raise ValueError(
-                                f"cannot parse list subpartition: {se!r}"
-                            )
-                        subs.append(
-                            (sm.group("name").lower(),
-                             _list_bound(sm.group("vals")))
-                        )
-                subparts[pname] = subs
-            else:
-                # the reference auto-creates <p>_subpartdefault1 when a
-                # partition omits its subpartition list — one catch-all
-                subparts[pname] = [
-                    (f"{pname}_subpartdefault1", MAXVALUE)
-                ]
+            subparts[pname] = (
+                _parse_subs(subs_text) if subs_text
+                else _default_subs(pname)
+            )
         elif em.groupdict().get("subs"):
             raise ValueError(
                 "subpartition list given without SUBPARTITION BY"
@@ -846,10 +883,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             "schema_ddl": schema,
         }
         mt._register_view(name)
-        return engine.spark.createDataFrame(
-            [("CREATE TABLE", name, spec.kind, len(spec.parts))],
-            "tag STRING, tbl STRING, kind STRING, n_partitions INT",
-        )
+        return status_frame(engine.spark, ("CREATE TABLE", name, spec.kind, len(spec.parts)), "tag STRING, tbl STRING, kind STRING, n_partitions INT",)
     m = _ALTER_ADD_PART.match(query)
     if m and m.group("name").lower() in mt.tables:
         name = m.group("name").lower()
@@ -884,7 +918,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             # the reference auto-creates <p>_subpartdefault1 for an
             # ADD PARTITION without an explicit subpartition list
             new_subparts[pname] = [
-                (f"{pname}_subpartdefault1", MAXVALUE)
+                (f"{pname}_subpartdefault1",
+                 0 if spec.sub_kind == "hash" else MAXVALUE)
             ]
         new_spec = PartitionSpec(spec.kind, spec.key, new_parts,
                                  sub_kind=spec.sub_kind,
@@ -892,10 +927,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                                  subparts=new_subparts)
         mt.tables[name]["partition_spec"] = new_spec.to_meta()
         mt.tables[name]["version"] += 1
-        return engine.spark.createDataFrame(
-            [("ADD PARTITION", name, pname)],
-            "tag STRING, tbl STRING, partition STRING",
-        )
+        return status_frame(engine.spark, ("ADD PARTITION", name, pname), "tag STRING, tbl STRING, partition STRING",)
     m = _ALTER_EXCHANGE.match(query)
     if m and m.group("name").lower() in mt.tables:
         return _exchange_partition(engine, m)
@@ -949,10 +981,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 mt.tables[name]["partition_spec"] = spec.to_meta()
             mt.tables[name]["version"] += 1
             mt._register_view(name)
-            return engine.spark.createDataFrame(
-                [(tag, name, pname)],
-                "tag STRING, tbl STRING, partition STRING",
-            )
+            return status_frame(engine.spark, (tag, name, pname), "tag STRING, tbl STRING, partition STRING",)
     for pat, keep_def, tag in (
         (_ALTER_DROP_SUBPART, False, "DROP SUBPARTITION"),
         (_ALTER_TRUNC_SUBPART, True, "TRUNCATE SUBPARTITION"),
@@ -995,10 +1024,7 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 mt.tables[name]["partition_spec"] = spec.to_meta()
             mt.tables[name]["version"] += 1
             mt._register_view(name)
-            return engine.spark.createDataFrame(
-                [(tag, name, sname)],
-                "tag STRING, tbl STRING, subpartition STRING",
-            )
+            return status_frame(engine.spark, (tag, name, sname), "tag STRING, tbl STRING, subpartition STRING",)
     return None
 
 
@@ -1088,10 +1114,7 @@ def _exchange_partition(engine, m):
     mt.tables[other]["version"] += 1
     mt._register_view(name)
     mt._register_view(other)
-    return engine.spark.createDataFrame(
-        [("EXCHANGE PARTITION", name, part, other)],
-        "tag STRING, tbl STRING, partition STRING, with_table STRING",
-    )
+    return status_frame(engine.spark, ("EXCHANGE PARTITION", name, part, other), "tag STRING, tbl STRING, partition STRING, with_table STRING",)
 
 
 def _exchange_subpartition(engine, m):
@@ -1184,11 +1207,8 @@ def _exchange_subpartition(engine, m):
     mt.tables[other]["version"] += 1
     mt._register_view(name)
     mt._register_view(other)
-    return engine.spark.createDataFrame(
-        [("EXCHANGE SUBPARTITION", name, owner, sname, other)],
-        "tag STRING, tbl STRING, partition STRING, subpartition STRING,"
-        " with_table STRING",
-    )
+    return status_frame(engine.spark, ("EXCHANGE SUBPARTITION", name, owner, sname, other), "tag STRING, tbl STRING, partition STRING, subpartition STRING,"
+        " with_table STRING",)
 
 
 def _merge_partitions(engine, m):
@@ -1270,10 +1290,7 @@ def _merge_partitions(engine, m):
     mt.tables[name]["partition_spec"] = new_spec.to_meta()
     mt.tables[name]["version"] += 1
     mt._register_view(name)
-    return engine.spark.createDataFrame(
-        [("MERGE PARTITIONS", name, ",".join(wanted), new)],
-        "tag STRING, tbl STRING, merged STRING, into STRING",
-    )
+    return status_frame(engine.spark, ("MERGE PARTITIONS", name, ",".join(wanted), new), "tag STRING, tbl STRING, merged STRING, into STRING",)
 
 
 def _split_partition(engine, m):
@@ -1349,10 +1366,7 @@ def _split_partition(engine, m):
     mt.tables[name]["partition_spec"] = new_spec.to_meta()
     mt.tables[name]["version"] += 1
     mt._register_view(name)
-    return engine.spark.createDataFrame(
-        [("SPLIT PARTITION", name, part, f"{a},{b}")],
-        "tag STRING, tbl STRING, partition STRING, into STRING",
-    )
+    return status_frame(engine.spark, ("SPLIT PARTITION", name, part, f"{a},{b}"), "tag STRING, tbl STRING, partition STRING, into STRING",)
 
 
 def _rewrite_partition_selectors(engine, query: str):

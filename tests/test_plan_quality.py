@@ -386,6 +386,7 @@ def test_zorder_scan_prunes_partitions(spark):
 # Python UDTF surface, which are deliberately Python-path operators.
 _ARROW_ALLOWED = {
     "plpython_function",
+    "plpython_setof",
     "multimodal_feature_stats",
     "knn_l2_halfvec",
     "knn_pq_rerank",
@@ -730,3 +731,38 @@ def test_bloom_prefilter_sits_below_verify_join(spark):
     # tree text: deeper (later) = executed earlier — the probe Filter
     # must hang BELOW the semi join
     assert i_filter > i_semi, plan[:4000]
+
+
+def test_create_aggregate_fold_is_codegen(spark):
+    """create_aggregate_sql: the user-aggregate fold must execute as a
+    two-phase (partial/final) collect_list aggregation with the
+    transition lambda in JVM codegen — no Python anywhere, no extra
+    shuffle beyond the one grouping exchange.  This is the scale
+    contract of compiling CREATE AGGREGATE to aggregate() folds."""
+    from opengauss_vectordb_spark.engine import Engine
+    from opengauss_vectordb_spark.plans.explain import exchange_count
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE FUNCTION pq_ws(acc double precision, x double precision,"
+        " w double precision) RETURNS double precision"
+        " AS 'SELECT acc + x * w' LANGUAGE SQL"
+    )
+    eng.sql(
+        "CREATE AGGREGATE pq_wsum(double precision, double precision)"
+        " (SFUNC = pq_ws, STYPE = double precision, INITCOND = '0')"
+    )
+    df = eng.sql(
+        "SELECT l_returnflag, pq_wsum(l_quantity, l_discount) AS s"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = physical_plan(df)
+    assert python_eval_nodes(df) == 0
+    assert "ArrowEvalPython" not in plan
+    # collect_list aggregates run as ObjectHashAggregate with a
+    # partial phase before the exchange (map-side accumulation)
+    assert "ObjectHashAggregate" in plan
+    assert "partial_collect_list" in plan
+    assert exchange_count(df) == 1, plan[:3000]
+    eng.sql("DROP AGGREGATE pq_wsum(double precision, double precision)")
+    eng.sql("DROP FUNCTION pq_ws")
