@@ -672,6 +672,14 @@ _ALTER_SPLIT_PART = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SPLIT_SUBPART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+SPLIT\s+SUBPARTITION\s+"
+    r"(?P<part>\w+)\s+(?:AT\s*\(\s*(?P<at>.+?)\s*\)"
+    r"|VALUES\s*\(\s*(?P<vals>.+?)\s*\))\s+INTO\s*"
+    r"\(\s*SUBPARTITION\s+(?P<a>\w+)\s*,\s*SUBPARTITION\s+(?P<b>\w+)"
+    r"\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _PART_SELECTOR = re.compile(
     r"\b(?P<tbl>\w+)\s+PARTITION\s*\(\s*(?P<part>\w+)\s*\)",
     re.IGNORECASE,
@@ -940,6 +948,9 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     m = _ALTER_SPLIT_PART.match(query)
     if m and m.group("name").lower() in mt.tables:
         return _split_partition(engine, m)
+    m = _ALTER_SPLIT_SUBPART.match(query)
+    if m and m.group("name").lower() in mt.tables:
+        return _split_subpartition(engine, m)
     if re.match(r"^\s*(SELECT|WITH)\b", query, re.IGNORECASE):
         rewritten = _rewrite_partition_selectors(engine, query)
         if rewritten is not None:
@@ -1367,6 +1378,124 @@ def _split_partition(engine, m):
     mt.tables[name]["version"] += 1
     mt._register_view(name)
     return status_frame(engine.spark, ("SPLIT PARTITION", name, part, f"{a},{b}"), "tag STRING, tbl STRING, partition STRING, into STRING",)
+
+
+def _split_subpartition(engine, m):
+    """ALTER TABLE <pt> SPLIT SUBPARTITION <s> AT (<v>) / VALUES
+    (<v1>, ...) INTO (SUBPARTITION a, SUBPARTITION b) — subpartition
+    surgery one level down (ATExecSplitSubPartition; the
+    hw_subpartition_split regress family, 45+ uses): a RANGE
+    subpartition [lo, hi) splits at v; a LIST subpartition's value
+    set splits into (listed values → a, remainder → b) — splitting
+    the DEFAULT subpartition carves a list out and keeps b as the
+    catch-all.  Storage: ONLY the split LEAF directory is read and
+    re-routed into the two new leaves — O(leaf), never O(table)."""
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    name = m.group("name").lower()
+    part = m.group("part").lower()
+    a, b = m.group("a").lower(), m.group("b").lower()
+    spec = PartitionSpec.from_meta(mt.tables[name].get("partition_spec"))
+    if spec is None or not spec.sub_kind:
+        raise ValueError(f"table {name!r} is not subpartitioned")
+    owner = next(
+        (p for p, subs in spec.subparts.items()
+         if part in {n for n, _ in subs}), None,
+    )
+    if owner is None:
+        raise KeyError(
+            f"subpartition {part!r} of {name!r} does not exist"
+        )
+    all_subs = {n for subs in spec.subparts.values() for n, _ in subs}
+    if a in all_subs - {part} or b in all_subs - {part} or a == b:
+        raise ValueError("SPLIT INTO names must be fresh and distinct")
+    entries = list(spec.subparts[owner])
+    i = next(j for j, (n, _) in enumerate(entries) if n == part)
+    key = F.col(spec.sub_key)
+    if m.group("at") is not None:
+        if spec.sub_kind != "range":
+            raise ValueError(
+                "SPLIT SUBPARTITION ... AT applies to RANGE "
+                "subpartitions (use VALUES (...) for LIST)"
+            )
+        at = _parse_literal(m.group("at"))
+        lo = entries[i - 1][1] if i > 0 else None
+        hi = entries[i][1]
+        if (lo is not None and not lo < at) or (
+            hi is not MAXVALUE and not at < hi
+        ):
+            raise ValueError(
+                f"SPLIT AT ({at!r}) must fall strictly inside "
+                f"[{lo!r}, {hi!r})"
+            )
+        entries[i:i + 1] = [(a, at), (b, hi)]
+        route = F.when(key < F.lit(at), F.lit(a)).otherwise(F.lit(b))
+    else:
+        if spec.sub_kind != "list":
+            raise ValueError(
+                "SPLIT SUBPARTITION ... VALUES applies to LIST "
+                "subpartitions (use AT (...) for RANGE)"
+            )
+        wvals = tuple(
+            _parse_literal(v)
+            for v in _split_entries(m.group("vals"))
+        )
+        cur = entries[i][1]
+        if cur is MAXVALUE:
+            # carving a list out of the DEFAULT catch-all: b stays
+            # the catch-all (ATExecSplitSubPartition's default rule)
+            entries[i:i + 1] = [(a, wvals), (b, MAXVALUE)]
+        else:
+            remainder = tuple(v for v in cur if v not in set(wvals))
+            if not set(wvals) <= set(cur):
+                raise ValueError(
+                    f"SPLIT VALUES {sorted(wvals)!r} must be a subset "
+                    f"of subpartition {part!r}'s values {sorted(cur)!r}"
+                )
+            if not remainder:
+                raise ValueError(
+                    "SPLIT VALUES must leave a non-empty remainder — "
+                    "RENAME instead of splitting everything out"
+                )
+            entries[i:i + 1] = [(a, wvals), (b, remainder)]
+        route = F.when(key.isin(list(wvals)), F.lit(a)) \
+            .otherwise(F.lit(b))
+    new_subparts = dict(spec.subparts)
+    new_subparts[owner] = entries
+    new_spec = PartitionSpec(spec.kind, spec.key, spec.parts,
+                             interval=spec.interval,
+                             sub_kind=spec.sub_kind,
+                             sub_key=spec.sub_key,
+                             subparts=new_subparts)
+    mt.mark_ddl(name, "split")
+    pdir = os.path.join(mt._path(name), f"{PART_COL}={owner}")
+    sdir = os.path.join(pdir, f"{SUBPART_COL}={part}")
+    if os.path.exists(sdir):
+        df = engine.spark.read.parquet(sdir)
+        staged = df.withColumn(SUBPART_COL, route)
+        staging = os.path.join(mt.root, name, ".split_tmp")
+        shutil.rmtree(staging, ignore_errors=True)
+        staged.write.mode("overwrite").partitionBy(SUBPART_COL) \
+            .parquet(staging)
+        for sub in (a, b):
+            src = os.path.join(staging, f"{SUBPART_COL}={sub}")
+            if os.path.exists(src):
+                os.rename(
+                    src, os.path.join(pdir, f"{SUBPART_COL}={sub}")
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
+    mt.tables[name]["partition_spec"] = new_spec.to_meta()
+    mt.tables[name]["version"] += 1
+    mt._register_view(name)
+    return status_frame(
+        engine.spark,
+        ("SPLIT SUBPARTITION", name, owner, part, f"{a},{b}"),
+        "tag STRING, tbl STRING, partition STRING, subpartition STRING,"
+        " into STRING",
+    )
 
 
 def _rewrite_partition_selectors(engine, query: str):

@@ -853,6 +853,76 @@ def test_exchange_subpartition(spark, tmp_path):
     eng.sql("DROP TABLE xstage")
 
 
+def test_split_subpartition(spark, tmp_path):
+    """SPLIT SUBPARTITION (round 11 — ATExecSplitSubPartition, the
+    hw_subpartition_split regress family): a LIST subpartition's
+    value set splits into (listed → a, remainder → b), the DEFAULT
+    catch-all carves a list out and keeps the catch-all, and a RANGE
+    subpartition splits AT a bound — each re-routing ONLY the split
+    leaf's rows."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE ss (k bigint, c text, v bigint)"
+        " PARTITION BY RANGE (k) SUBPARTITION BY LIST (c) ("
+        "  PARTITION p0 VALUES LESS THAN (100) ("
+        "    SUBPARTITION p0_ab VALUES ('a', 'b'),"
+        "    SUBPARTITION p0_rest VALUES (DEFAULT)"
+        "  ))"
+    )
+    eng.sql("INSERT INTO ss VALUES (1, 'a', 1), (2, 'b', 2),"
+            " (3, 'c', 3), (4, 'd', 4)")
+    out = eng.sql(
+        "ALTER TABLE ss SPLIT SUBPARTITION p0_ab VALUES ('a')"
+        " INTO (SUBPARTITION p0_a, SUBPARTITION p0_b)"
+    ).collect()[0]
+    assert out.into == "p0_a,p0_b"
+    assert eng.sql("SELECT COUNT(*) AS n FROM ss"
+                   " SUBPARTITION (p0_a)").collect()[0].n == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM ss"
+                   " SUBPARTITION (p0_b)").collect()[0].n == 1
+    # totals survive the surgery
+    assert eng.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM ss"
+                   ).collect()[0].s == 10
+    # the DEFAULT catch-all splits into (list, still-DEFAULT)
+    eng.sql("ALTER TABLE ss SPLIT SUBPARTITION p0_rest VALUES ('c')"
+            " INTO (SUBPARTITION p0_c, SUBPARTITION p0_def)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ss"
+                   " SUBPARTITION (p0_c)").collect()[0].n == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM ss"
+                   " SUBPARTITION (p0_def)").collect()[0].n == 1
+    # a new DEFAULT-routed row still has a home
+    eng.sql("INSERT INTO ss VALUES (5, 'z', 5)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ss"
+                   " SUBPARTITION (p0_def)").collect()[0].n == 2
+    with pytest.raises(ValueError, match="subset"):
+        eng.sql("ALTER TABLE ss SPLIT SUBPARTITION p0_a VALUES ('q')"
+                " INTO (SUBPARTITION x1, SUBPARTITION x2)")
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("ALTER TABLE ss SPLIT SUBPARTITION nope VALUES ('a')"
+                " INTO (SUBPARTITION x1, SUBPARTITION x2)")
+    eng.sql("DROP TABLE ss")
+    # RANGE subpartitions split AT a bound
+    eng.sql(
+        "CREATE TABLE sr (k bigint, d bigint, v bigint)"
+        " PARTITION BY LIST (k) SUBPARTITION BY RANGE (d) ("
+        "  PARTITION p0 VALUES (1, 2) ("
+        "    SUBPARTITION s_low VALUES LESS THAN (100),"
+        "    SUBPARTITION s_hi VALUES LESS THAN (MAXVALUE)"
+        "  ))"
+    )
+    eng.sql("INSERT INTO sr VALUES (1, 10, 1), (1, 60, 2), (2, 150, 3)")
+    eng.sql("ALTER TABLE sr SPLIT SUBPARTITION s_low AT (50)"
+            " INTO (SUBPARTITION s_a, SUBPARTITION s_b)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM sr"
+                   " SUBPARTITION (s_a)").collect()[0].n == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM sr"
+                   " SUBPARTITION (s_b)").collect()[0].n == 1
+    with pytest.raises(ValueError, match="strictly inside"):
+        eng.sql("ALTER TABLE sr SPLIT SUBPARTITION s_hi AT (40)"
+                " INTO (SUBPARTITION x1, SUBPARTITION x2)")
+    eng.sql("DROP TABLE sr")
+
+
 def test_pruning_bails_under_or_and_not(spark, tmp_path):
     """A key comparison under OR/NOT no longer bounds the result set —
     elimination must bail to all labels rather than drop rows."""
