@@ -96,6 +96,11 @@ registry.load_all_queries()
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
 # string_funcs, sample_deterministic/cluster_balanced — rotates first
 # in r11).
+# Registered AFTER the round-11 window froze (rotate FIRST in r12):
+# split_subpartition (SPLIT SUBPARTITION surgery — range AT-bound and
+# list value-set splits over one leaf directory; oracle-verified
+# locally in r11, operators/partition_ddl.py).
+#
 # ROUND 11 window (exactly 50): (a) the three NEW registrations —
 # CREATE AGGREGATE's SQL-transition subset compiled to aggregate()
 # folds (operators/create_aggregate.py), PL/Python RETURNS SETOF via

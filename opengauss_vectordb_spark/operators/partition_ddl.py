@@ -2031,3 +2031,88 @@ def exchange_subpartition(spark, sf_dir):
         ).orderBy("part", "st")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "split_subpartition",
+    """
+    WITH ins AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS v
+      FROM orders WHERE o_orderkey <= 3000
+    ), lab AS (
+      SELECT k, v,
+             CASE WHEN k < 1500 THEN 'p0' ELSE 'p1' END AS part,
+             CASE WHEN k >= 1500 THEN 'rest'
+                  WHEN pr = '1-URGENT' THEN 's_urgent'
+                  WHEN pr IN ('2-HIGH', '3-MEDIUM') THEN 's_mid'
+                  ELSE 's_low' END AS subpart
+      FROM ins
+    )
+    SELECT part, subpart, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lab GROUP BY part, subpart ORDER BY part, subpart
+    """,
+)
+def split_subpartition(spark, sf_dir):
+    """SPLIT SUBPARTITION end-to-end (ATExecSplitSubPartition; the
+    hw_subpartition_split regress family — round 11): a LIST leaf
+    holding three priorities splits twice — first carving '1-URGENT'
+    out of the combined leaf, then splitting the remainder — and the
+    oracle recomputes the final leaf assignment from scratch, so a
+    green row proves each surgery moved exactly the listed values
+    with no row lost, duplicated, or misrouted.
+
+    Scale: each split reads ONLY the split leaf's directory and
+    re-routes its rows into the two new leaves — O(leaf) per surgery,
+    the same bound the top-level SPLIT PARTITION carries."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="split_subpart_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE spg (k bigint, pr text, v double)"
+            " PARTITION BY RANGE (k) SUBPARTITION BY LIST (pr) ("
+            "  PARTITION p0 VALUES LESS THAN (1500) ("
+            "    SUBPARTITION s_all VALUES ('1-URGENT', '2-HIGH',"
+            "     '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"
+            "  ),"
+            "  PARTITION p1 VALUES LESS THAN (MAXVALUE) ("
+            "    SUBPARTITION rest VALUES (DEFAULT)"
+            "  ))"
+        )
+        eng.sql(
+            "INSERT INTO spg SELECT o_orderkey, o_orderpriority,"
+            " o_totalprice FROM orders WHERE o_orderkey <= 3000"
+        )
+        eng.sql(
+            "ALTER TABLE spg SPLIT SUBPARTITION s_all"
+            " VALUES ('1-URGENT')"
+            " INTO (SUBPARTITION s_urgent, SUBPARTITION s_other)"
+        )
+        eng.sql(
+            "ALTER TABLE spg SPLIT SUBPARTITION s_other"
+            " VALUES ('2-HIGH', '3-MEDIUM')"
+            " INTO (SUBPARTITION s_mid, SUBPARTITION s_low)"
+        )
+        rows = (
+            eng.spark.read.parquet(eng.managed_tables._path("spg"))
+            .groupBy(PART_COL, SUBPART_COL)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                .alias("total"),
+            )
+            .collect()
+        )
+        eng.sql("DROP TABLE spg PURGE")
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], float(r[3])) for r in rows],
+            "part STRING, subpart STRING, n BIGINT, total DOUBLE",
+        ).orderBy("part", "subpart")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
