@@ -712,6 +712,43 @@ class Engine:
                 raise KeyError(f"view {name!r} does not exist")
             alias = (m.group("a") or "pg_get_viewdef").lower()
             return status_frame(self.spark, (defs[name],), f"`{alias}` STRING")
+        # pg_get_tabledef (ruleutils.cpp's openGauss table sibling;
+        # 121 regress uses) — render CREATE TABLE text from the
+        # relation's CURRENT schema, for literal-name top-level probes
+        m = re.match(
+            r"^\s*SELECT\s+pg_get_tabledef\s*\(\s*'(?P<t>\w+)'\s*\)"
+            r"\s*(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            name = m.group("t").lower()
+            if name in self.managed_tables.tables or name in self.tables:
+                pg_names = {
+                    "int": "integer", "bigint": "bigint",
+                    "smallint": "smallint", "tinyint": "smallint",
+                    "double": "double precision", "float": "real",
+                    "string": "text", "boolean": "boolean",
+                    "date": "date", "timestamp": "timestamp",
+                    "timestamp_ntz": "timestamp without time zone",
+                    "binary": "bytea",
+                }
+                fields = (
+                    self.managed_tables.read(name).schema.fields
+                    if name in self.managed_tables.tables
+                    else self.table(name).schema.fields
+                )
+                cols = ",\n".join(
+                    f"    {f.name} "
+                    + pg_names.get(f.dataType.simpleString(),
+                                   f.dataType.simpleString())
+                    + ("" if f.nullable else " NOT NULL")
+                    for f in fields
+                )
+                ddl = f"CREATE TABLE {name} (\n{cols}\n);"
+                alias = (m.group("a") or "pg_get_tabledef").lower()
+                return status_frame(self.spark, (ddl,),
+                                    f"`{alias}` STRING")
+            raise KeyError(f"table {name!r} does not exist")
         # SHOW WARNINGS / ERRORS (B-format diagnostics area,
         # gram.y ShowStmt): statements either succeed or raise here —
         # no warning accumulates between statements — so the frame is

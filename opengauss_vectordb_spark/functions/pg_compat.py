@@ -18,6 +18,33 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 _SQL_MACROS = {
+    # array_length(arr, dim) (adt/arrayfuncs.cpp array_length; 86
+    # regress uses): the engine's arrays are 1-D (SURVEY §1.3), so
+    # dim 1 answers size() and any other dim is NULL — including
+    # PG's empty-array rule (array_length of an empty array is NULL,
+    # not 0).  Spark casts any element type to the STRING declaration.
+    "array_length": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "array_length(arr ARRAY<STRING>, dim INT) RETURNS INT RETURN "
+    "CASE WHEN dim = 1 AND size(arr) > 0 THEN size(arr) END",
+    # lengthb (A-format byte length; adt/varlena.cpp byteaoctetlen's
+    # text sibling, 107 regress uses) = octet_length
+    "lengthb": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "lengthb(s STRING) RETURNS INT RETURN octet_length(s)",
+    # nlssort(s, 'NLS_SORT=...') (A-format collation sort key; 123
+    # regress uses): the engine's one collation is UTF-8 binary (the
+    # documented charset position), whose sort key IS the string —
+    # any requested NLS_SORT spec maps to it
+    "nlssort": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "nlssort(s STRING, spec STRING) RETURNS STRING RETURN s",
+    # standalone to_tsvector(s) (tsvector.cpp; 237 regress uses —
+    # predicate positions rewrite through the GIN layer, this covers
+    # the scalar spelling): the engine's tsvector model is the
+    # sorted-distinct lexeme array (SURVEY §2.7), rendered as strip()
+    # prints it — space-joined lexemes, no positions
+    "to_tsvector": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "to_tsvector(s STRING) RETURNS STRING RETURN array_join("
+    "array_sort(array_distinct(filter(split(regexp_replace(lower(s),"
+    " '[^a-z0-9]+', ' '), ' '), x -> x <> ''))), ' ')",
     # PG-style integer division truncating toward zero (adt/int.cpp
     # int4div); Spark's DIV matches Java/PG truncation semantics
     "pg_div": "CREATE OR REPLACE TEMPORARY FUNCTION pg_div(a BIGINT, b BIGINT) "
@@ -208,6 +235,10 @@ def register_pg_functions(spark: SparkSession) -> None:
         "hll_hash_integer",
         "hll_hash_bigint",
         "hll_hash_text",
+        "array_length",
+        "lengthb",
+        "nlssort",
+        "to_tsvector",
         "clock_timestamp",
         "statement_timestamp",
         "transaction_timestamp",

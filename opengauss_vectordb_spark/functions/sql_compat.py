@@ -729,6 +729,17 @@ def translate(sql: str) -> str:
                  out, flags=re.IGNORECASE)
     out = _rewrite_vector_ops(out, literals)
     out = _LOCK_ROWS_TAIL.sub(r"\1", out)
+    if "hll_" in out.lower():
+        # contrib/hll's sketch-building spellings onto Spark's native
+        # datasketches HLL (hll_function.cpp hll_add_agg :315,
+        # hll_cardinality :560; hll_union_agg is Spark-native already).
+        # hll_add_agg conventionally takes hll_hash_*(x) — sketching
+        # the 64-bit hash keeps the distribution contract (the
+        # hll_hash macros are xxhash64, the documented deviation).
+        out = re.sub(r"\bhll_add_agg\s*\(", "hll_sketch_agg(", out,
+                     flags=re.IGNORECASE)
+        out = re.sub(r"\bhll_cardinality\s*\(", "hll_sketch_estimate(",
+                     out, flags=re.IGNORECASE)
     if re.search(r"\bpg_typeof\s*\(", out, re.IGNORECASE):
         out = _rewrite_pg_typeof(out)
     if "->" in out:

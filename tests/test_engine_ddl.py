@@ -4425,6 +4425,42 @@ def test_compat_statement_batch6(spark, tmp_path):
         eng.sql("ALTER FUNCTION never_was(int) IMMUTABLE")
 
 
+def test_compat_function_batch7(spark, tmp_path):
+    """Census batch 7 (round 11): array_length (1-D model, PG's
+    empty-array-is-NULL rule), lengthb (byte length), nlssort (UTF-8
+    binary sort key — the documented collation position), standalone
+    to_tsvector (the sorted-distinct lexeme render, strip() form),
+    the contrib/hll sketch-building spellings onto Spark's native
+    datasketches (hll_add_agg/hll_cardinality), and pg_get_tabledef
+    (CREATE TABLE text from the current schema)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT array_length(array(1,2,3), 1)") == 3
+    assert one("SELECT array_length(array(1,2,3), 2)") is None
+    assert one("SELECT array_length(array(), 1)") is None
+    assert one("SELECT lengthb('héllo')") == 6
+    assert one("SELECT lengthb('hello')") == 5
+    assert one("SELECT nlssort('abc', 'NLS_SORT=SCHINESE_PINYIN_M')") \
+        == "abc"
+    assert one("SELECT to_tsvector('The quick, quick fox!')") \
+        == "fox quick the"
+    # hll spellings: exact on small distinct counts, union-able
+    n = one("SELECT hll_cardinality(hll_add_agg(hll_hash_integer("
+            "CAST(n_nationkey AS INT)))) FROM nation")
+    assert n == 25
+    # pg_get_tabledef renders the current schema
+    eng.sql("CREATE TABLE td_t AS SELECT CAST(1 AS BIGINT) AS k,"
+            " 'x' AS name, CAST(2.5 AS DOUBLE) AS v")
+    ddl = one("SELECT pg_get_tabledef('td_t')")
+    assert "CREATE TABLE td_t" in ddl
+    assert "k bigint" in ddl and "name text" in ddl \
+        and "v double precision" in ddl
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("SELECT pg_get_tabledef('never_was')")
+    eng.sql("DROP TABLE td_t PURGE")
+
+
 def test_explain_poly_recheck_counts(spark, tmp_path):
     """EXPLAIN over a routed polygon containment prints the LOSSY
     evidence (round 11 — the r10 verdict's routing-evidence item):
