@@ -749,6 +749,43 @@ class Engine:
                 return status_frame(self.spark, (ddl,),
                                     f"`{alias}` STRING")
             raise KeyError(f"table {name!r} does not exist")
+        # pg_relation_size / pg_total_relation_size (dbsize.cpp; the
+        # disk-bytes probes): sum the relation's CURRENT file bytes —
+        # on parquet there is no separate index/toast fork, so both
+        # spellings report the data bytes (indexes live in their own
+        # layouts the pg_indexes view names)
+        m = re.match(
+            r"^\s*SELECT\s+(?:pg_size_pretty\s*\(\s*)?"
+            r"pg_(?P<tot>total_)?relation_size\s*\(\s*'(?P<t>\w+)'"
+            r"\s*\)\s*(?P<pretty>\))?\s*(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            import glob as _glob
+
+            name = m.group("t").lower()
+            if name in self.managed_tables.tables:
+                root = self.managed_tables._path(name)
+            elif name in self.tables:
+                root = os.path.join(self.sf_dir, f"{name}.parquet")
+            else:
+                raise KeyError(f"relation {name!r} does not exist")
+            nbytes = sum(
+                os.path.getsize(p)
+                for p in _glob.glob(os.path.join(root, "**"),
+                                    recursive=True)
+                if os.path.isfile(p)
+            ) + (os.path.getsize(root) if os.path.isfile(root) else 0)
+            default = ("pg_size_pretty" if m.group("pretty")
+                       else "pg_total_relation_size"
+                       if m.group("tot") else "pg_relation_size")
+            alias = (m.group("a") or default).lower()
+            if m.group("pretty"):
+                return self.spark.sql(
+                    f"SELECT pg_size_pretty({nbytes}L) AS {alias}"
+                )
+            return status_frame(self.spark, (nbytes,),
+                                f"`{alias}` BIGINT")
         # SHOW WARNINGS / ERRORS (B-format diagnostics area,
         # gram.y ShowStmt): statements either succeed or raise here —
         # no warning accumulates between statements — so the frame is

@@ -45,6 +45,54 @@ _SQL_MACROS = {
     "to_tsvector(s STRING) RETURNS STRING RETURN array_join("
     "array_sort(array_distinct(filter(split(regexp_replace(lower(s),"
     " '[^a-z0-9]+', ' '), ' '), x -> x <> ''))), ' ')",
+    # array_upper (adt/arrayfuncs.cpp; 24 regress uses): 1-D arrays
+    # with lower bound 1, so upper = length (NULL empty/other dims —
+    # array_length's exact contract)
+    "array_upper": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "array_upper(arr ARRAY<STRING>, dim INT) RETURNS INT RETURN "
+    "CASE WHEN dim = 1 AND size(arr) > 0 THEN size(arr) END",
+    # array_replace (array_userfuncs.cpp; 22 uses): element-wise
+    # replace with NULL-safe equality (PG replaces NULL elements when
+    # from IS NULL).  STRING-element declaration: Spark casts any
+    # element type in, so the RESULT is array<string> — visible in
+    # the schema, never silently wrong values (documented deviation)
+    "array_replace": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "array_replace(arr ARRAY<STRING>, f STRING, t STRING) "
+    "RETURNS ARRAY<STRING> RETURN "
+    "transform(arr, x -> CASE WHEN x <=> f THEN t ELSE x END)",
+    # pg_size_pretty (dbsize.cpp: successive 1024 steps, stop under
+    # 10 of the unit, half-up rounding at each step)
+    "pg_size_pretty": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "pg_size_pretty(sz BIGINT) RETURNS STRING RETURN "
+    "CASE WHEN abs(sz) < 10240 THEN concat(sz, ' bytes') "
+    "WHEN abs((sz + 512) DIV 1024) < 10240 "
+    "THEN concat((sz + 512) DIV 1024, ' kB') "
+    "WHEN abs(((sz + 512) DIV 1024 + 512) DIV 1024) < 10240 "
+    "THEN concat(((sz + 512) DIV 1024 + 512) DIV 1024, ' MB') "
+    "WHEN abs((((sz + 512) DIV 1024 + 512) DIV 1024 + 512) DIV 1024)"
+    " < 10240 THEN concat((((sz + 512) DIV 1024 + 512) DIV 1024"
+    " + 512) DIV 1024, ' GB') "
+    "ELSE concat(((((sz + 512) DIV 1024 + 512) DIV 1024 + 512)"
+    " DIV 1024 + 512) DIV 1024, ' TB') END",
+    # advisory locks (lockfuncs.cpp; 24/22 regress uses): a
+    # single-session batch engine has no concurrent holder to exclude
+    # — lock acquires vacuously (void → NULL render), unlock reports
+    # the PG contract (TRUE = was held; vacuously true here)
+    "pg_advisory_lock": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "pg_advisory_lock(k BIGINT) RETURNS STRING RETURN "
+    "CAST(NULL AS STRING)",
+    "pg_advisory_lock_shared": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "pg_advisory_lock_shared(k BIGINT) RETURNS STRING RETURN "
+    "CAST(NULL AS STRING)",
+    "pg_advisory_unlock": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "pg_advisory_unlock(k BIGINT) RETURNS BOOLEAN RETURN TRUE",
+    "pg_advisory_unlock_shared": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "pg_advisory_unlock_shared(k BIGINT) RETURNS BOOLEAN RETURN TRUE",
+    # opengauss_version (misc openGauss probe; version() is the PG
+    # spelling) — the engine identity string
+    "opengauss_version": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "opengauss_version() RETURNS STRING RETURN "
+    "'openGauss-compatible opengauss_vectordb_spark on Apache Spark'",
     # PG-style integer division truncating toward zero (adt/int.cpp
     # int4div); Spark's DIV matches Java/PG truncation semantics
     "pg_div": "CREATE OR REPLACE TEMPORARY FUNCTION pg_div(a BIGINT, b BIGINT) "
@@ -239,6 +287,14 @@ def register_pg_functions(spark: SparkSession) -> None:
         "lengthb",
         "nlssort",
         "to_tsvector",
+        "array_upper",
+        "array_replace",
+        "pg_size_pretty",
+        "pg_advisory_lock",
+        "pg_advisory_lock_shared",
+        "pg_advisory_unlock",
+        "pg_advisory_unlock_shared",
+        "opengauss_version",
         "clock_timestamp",
         "statement_timestamp",
         "transaction_timestamp",

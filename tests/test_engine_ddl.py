@@ -4461,6 +4461,47 @@ def test_compat_function_batch7(spark, tmp_path):
     eng.sql("DROP TABLE td_t PURGE")
 
 
+def test_compat_function_batch8(spark, tmp_path):
+    """Census batch 8 (round 11): array_upper/array_replace (1-D
+    model; NULL-safe replace, string-element result is the documented
+    deviation), pg_size_pretty (dbsize.cpp's 1024 steps with half-up
+    rounding), advisory locks as the single-session vacuous contract,
+    opengauss_version, and the pg_[total_]relation_size disk-bytes
+    probes (composable with pg_size_pretty)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.managed_tables.root = str(tmp_path)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT array_upper(array(7,8), 1)") == 2
+    assert one("SELECT array_upper(array(), 1)") is None
+    assert one("SELECT array_replace(array('a','b','a'), 'a', 'z')") \
+        == ["z", "b", "z"]
+    # NULL-safe: from = NULL replaces NULL elements (PG's rule)
+    assert eng.sql(
+        "SELECT array_replace(array('a', CAST(NULL AS STRING)),"
+        " CAST(NULL AS STRING), 'n') AS v"
+    ).collect()[0].v == ["a", "n"]
+    assert one("SELECT pg_size_pretty(CAST(512 AS BIGINT))") \
+        == "512 bytes"
+    assert one("SELECT pg_size_pretty(CAST(10485760 AS BIGINT))") \
+        == "10 MB"
+    assert one("SELECT pg_size_pretty(CAST(10239 AS BIGINT))") \
+        == "10239 bytes"
+    assert one("SELECT pg_advisory_lock(42)") is None
+    assert one("SELECT pg_advisory_unlock(42)") is True
+    assert "Spark" in one("SELECT opengauss_version()")
+    # relation-size probes over a managed table and a catalog table
+    eng.sql("CREATE TABLE sz_t AS SELECT * FROM nation")
+    n = one("SELECT pg_total_relation_size('sz_t')")
+    assert n > 0
+    assert one("SELECT pg_relation_size('nation')") > 0
+    pretty = one("SELECT pg_size_pretty(pg_total_relation_size"
+                 "('sz_t'))")
+    assert pretty.endswith((" bytes", " kB", " MB"))
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.sql("SELECT pg_relation_size('never_was')")
+    eng.sql("DROP TABLE sz_t PURGE")
+
+
 def test_explain_poly_recheck_counts(spark, tmp_path):
     """EXPLAIN over a routed polygon containment prints the LOSSY
     evidence (round 11 — the r10 verdict's routing-evidence item):
