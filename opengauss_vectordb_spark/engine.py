@@ -1062,9 +1062,18 @@ class Engine:
         # user-aggregate call sites → aggregate() folds (identity when
         # none registered — substring pre-filter inside)
         if getattr(self, "aggregates", None):
-            from .operators.create_aggregate import rewrite_agg_calls
+            from .operators.create_aggregate import (
+                rewrite_agg_calls,
+                rewrite_agg_two_level,
+            )
 
-            query = rewrite_agg_calls(self, query)
+            # aggregates declaring a CFUNC fold per-(group × slice)
+            # and merge slice states — task memory bounded by a
+            # slice; shape-restricted, falls back to the single-level
+            # fold otherwise
+            two = rewrite_agg_two_level(self, query)
+            query = two if two is not None \
+                else rewrite_agg_calls(self, query)
         # PL/Python SETOF call sites → explode() generators
         if getattr(self, "plpython_setof", None):
             from .operators.plpython import rewrite_setof_calls

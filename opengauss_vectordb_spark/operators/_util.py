@@ -56,8 +56,15 @@ def status_frame(spark, row: tuple, schema: str):
             f"{_sql_scalar(v, typ)} AS {name}"
             for v, (name, typ) in zip(row, cols)
         ]
-        return spark.sql("SELECT " + ", ".join(parts))
+        sql_text = "SELECT " + ", ".join(parts)
     except (TypeError, ValueError):
+        return spark.createDataFrame([row], schema)
+    try:
+        return spark.sql(sql_text)
+    except Exception:
+        # any parse/analysis failure of the literal SELECT (e.g. a
+        # session with escapedStringLiterals, an unspellable literal)
+        # must fall back, not propagate out of internal status paths
         return spark.createDataFrame([row], schema)
 
 

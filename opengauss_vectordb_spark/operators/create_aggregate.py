@@ -164,12 +164,17 @@ def _resolve_fn(engine, fname: str, n_args: int, role: str) -> dict:
             "FUNCTION ... LANGUAGE SQL (single RETURN expression)"
         )
     # a bare built-in name (PG: C-language catalog functions like
-    # int4larger; Spark: any built-in) — call it positionally
+    # int4larger; Spark: any built-in) — call it positionally.
+    # Marked STRICT: PG's catalog transition functions (int4pl,
+    # int4larger, float8pl, ...) are strict, so an aggregate declared
+    # over one with no INITCOND must seed from the first input and
+    # skip nulls — compiling non-strict would fold NULL through a
+    # null-propagating builtin and silently return NULL per group
     params = [f"__bp{i}" for i in range(n_args)]
     return {
         "params": params,
         "expr": f"{fname}({', '.join(params)})",
-        "strict": False,
+        "strict": True,
         "builtin": True,
     }
 
@@ -255,6 +260,20 @@ def _create_aggregate(engine, parsed):
         if final.get("strict"):
             fin_expr = (f"CASE WHEN __agg_acc IS NULL THEN NULL "
                         f"ELSE {fin_expr} END")
+    # CFUNC/COMBINEFUNC: a declared combine is compiled NOW (like the
+    # sfunc) into a state-merge lambda body — it is what lets simple
+    # call sites fold per-(group × slice) and merge slice states,
+    # bounding task memory to a slice instead of the whole group
+    # (the reference's parallel-agg path: nodeAgg.cpp combine phase)
+    combine = None
+    cf = opts.get("cfunc") or opts.get("combinefunc")
+    if cf:
+        cspec = _resolve_fn(engine, cf, 2, "CFUNC")
+        combine = _subst_params(
+            cspec["expr"],
+            {cspec["params"][0]: "__agg_acc",
+             cspec["params"][1]: "__agg_x"},
+        )
     if not hasattr(engine, "aggregates"):
         engine.aggregates = {}
     engine.aggregates[name] = {
@@ -263,20 +282,19 @@ def _create_aggregate(engine, parsed):
         "stype": stype,
         "step": step,
         "final": fin_expr,
-        # CFUNC/COMBINEFUNC accepted as metadata: the fold itself is
-        # serial per group (the sfunc contract); a declared combine
-        # documents associativity but Spark's collect_list already
-        # partial-aggregates the INPUT, which is the shuffle that
-        # matters
-        "cfunc": opts.get("cfunc") or opts.get("combinefunc"),
+        "cfunc": cf,
+        "combine": combine,
     }
     return status_frame(engine.spark, ("CREATE AGGREGATE", name, opts["sfunc"].lower(),
           opts["stype"].lower(), opts.get("finalfunc", "").lower()), "tag STRING, aggregate STRING, sfunc STRING, stype STRING,"
         " finalfunc STRING",)
 
 
-def fold_expr(agg: dict, arg_exprs: list[str]) -> str:
-    """The complete aggregate()-fold expression for one call site."""
+def fold_expr(agg: dict, arg_exprs: list[str],
+              with_final: bool = True) -> str:
+    """The complete aggregate()-fold expression for one call site.
+    ``with_final=False`` yields the bare TRANSITION state (the inner
+    leg of the two-level CFUNC plan)."""
     k = agg["n_args"]
     if len(arg_exprs) != k:
         raise ValueError(
@@ -290,6 +308,22 @@ def fold_expr(agg: dict, arg_exprs: list[str]) -> str:
     body = (f"aggregate({coll}, {agg['init']}, "
             f"(__agg_acc, __agg_x) -> "
             f"CAST(({agg['step']}) AS {agg['stype']})")
+    if with_final and agg["final"] is not None:
+        body += f", __agg_acc -> ({agg['final']})"
+    body += ")"
+    return body
+
+
+def merge_fold_expr(agg: dict, state_col: str) -> str:
+    """The OUTER leg of the two-level plan: merge per-slice states
+    with the compiled CFUNC lambda, then apply FINALFUNC.  NULL slice
+    states never reach the lambda (collect_list drops them — PG's
+    strict-combine contract: a NULL state contributes nothing)."""
+    body = (f"aggregate(collect_list({state_col}), "
+            f"CAST(NULL AS {agg['stype']}), "
+            f"(__agg_acc, __agg_x) -> "
+            f"CASE WHEN __agg_acc IS NULL THEN __agg_x "
+            f"ELSE CAST(({agg['combine']}) AS {agg['stype']}) END")
     if agg["final"] is not None:
         body += f", __agg_acc -> ({agg['final']})"
     body += ")"
@@ -335,6 +369,253 @@ def rewrite_agg_calls(engine, query: str) -> str:
             out = out[:mm.start()] + rep + out[cl + 1:]
             pos = mm.start() + len(rep)
     return out
+
+
+_N_SLICES = 64
+
+_CLAUSE_KWS = ("FROM", "WHERE", "GROUP BY", "HAVING",
+               "ORDER BY", "LIMIT")
+
+
+def _top_level_clauses(masked: str):
+    """Depth-0 clause spans of a simple one-block SELECT, or None
+    when the text is not that shape (set ops, DISTINCT, HAVING,
+    window OVER, joins — anything the two-level restructure does not
+    model)."""
+    m = re.match(r"^\s*SELECT\s+", masked, re.IGNORECASE)
+    if m is None:
+        return None
+    if re.match(r"(?:DISTINCT|ALL)\b", masked[m.end():], re.IGNORECASE):
+        return None
+    # single depth-0 scan for clause keyword starts
+    spans: dict[str, int] = {}
+    depth = 0
+    i = m.end()
+    n = len(masked)
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha()) and \
+                (i == 0 or not (masked[i - 1].isalnum()
+                                or masked[i - 1] == "_")):
+            rest = masked[i:]
+            for kw in ("UNION", "INTERSECT", "EXCEPT", "MINUS",
+                       "OVER", "DISTINCT"):
+                if re.match(rf"{kw}\b", rest, re.IGNORECASE):
+                    return None
+            for kw in _CLAUSE_KWS:
+                if re.match(rf"{kw.replace(' ', chr(92) + 's+')}\b",
+                            rest, re.IGNORECASE) and kw not in spans:
+                    spans[kw] = i
+            mm = re.match(r"\w+", rest)
+            if mm:
+                i += mm.end()
+                continue
+        i += 1
+    if "FROM" not in spans or "GROUP BY" not in spans or \
+            "HAVING" in spans:
+        return None
+    order = [("SELECT", m.end())] + sorted(
+        spans.items(), key=lambda kv: kv[1]
+    )
+    names = [k for k, _ in order]
+    if names != ["SELECT"] + [k for k in _CLAUSE_KWS
+                              if k in spans]:
+        return None  # clauses out of canonical order
+    out = {}
+    for idx, (kw, start) in enumerate(order):
+        end = order[idx + 1][1] if idx + 1 < len(order) else n
+        out[kw] = (start, end)
+    return out
+
+
+def _clause_text(query: str, spans, kw: str) -> str | None:
+    if kw not in spans:
+        return None
+    start, end = spans[kw]
+    text = query[start:end]
+    # strip the keyword itself
+    text = re.sub(rf"^\s*{kw.replace(' ', chr(92) + chr(115) + '+')}\s+",
+                  "", text, count=1, flags=re.IGNORECASE)
+    return text.rstrip().rstrip(";").rstrip()
+
+
+def _strip_alias(item: str) -> tuple[str, str | None]:
+    """(expr, alias) — a trailing depth-0 ' AS name'; a bare trailing
+    identifier without AS is NOT treated as an alias (too ambiguous
+    without a full parser)."""
+    from .plpgsql import _mask_strings
+
+    masked = _mask_strings(item)
+    m = re.search(r"\bAS\s+(\w+)\s*$", masked, re.IGNORECASE)
+    if m and masked[:m.start()].count("(") == \
+            masked[:m.start()].count(")"):
+        return item[:m.start()].strip(), m.group(1)
+    return item.strip(), None
+
+
+_BUILTIN_2LVL = {"SUM": "SUM", "COUNT": "SUM", "MIN": "MIN",
+                 "MAX": "MAX"}
+
+
+def _norm(e: str) -> str:
+    return re.sub(r"\s+", " ", e.strip()).lower()
+
+
+def rewrite_agg_two_level(engine, query: str) -> str | None:
+    """Two-level fold for user aggregates that DECLARE a combine
+    (nodeAgg.cpp's parallel-aggregate plan: per-worker transition,
+    leader combine).  A simple-shape statement
+
+        SELECT keys…, myagg(args)…, COUNT/SUM/MIN/MAX(…)…
+        FROM rel [WHERE …] GROUP BY keys [ORDER BY …] [LIMIT n]
+
+    restructures into an inner aggregation by (keys, slice) — slice =
+    pmod(hash(agg inputs), 64) — whose collect_list materializes only
+    a slice of each group, and an outer aggregation by keys that
+    merges the ≤64 per-slice states with the CFUNC lambda.  Task
+    memory is bounded by the largest (group × slice), not the group:
+    the O(group) hazard the single-level fold carries at 100× scale.
+
+    Returns the restructured SQL (user-agg call sites fully
+    compiled), or None when the statement doesn't match the shape or
+    any referenced aggregate lacks a CFUNC — the caller then falls
+    back to the single-level rewrite.  Correctness contract (PG's):
+    CFUNC must be the associative merge of the state type and
+    INITCOND its identity."""
+    aggs = getattr(engine, "aggregates", None)
+    if not aggs:
+        return None
+    low = query.lower()
+    named = [n for n in aggs if n in low]
+    if not named or not any(aggs[n].get("combine") for n in named):
+        return None
+    from .plpgsql import _mask_strings
+
+    masked = _mask_strings(query)
+    spans = _top_level_clauses(masked)
+    if spans is None:
+        return None
+    rel = _clause_text(query, spans, "FROM")
+    if rel is None or not re.match(r"^\w+$", rel.strip()):
+        return None
+    rel = rel.strip()
+    sel = _clause_text(query, spans, "SELECT")
+    keys_text = _clause_text(query, spans, "GROUP BY")
+    where = _clause_text(query, spans, "WHERE")
+    orderby = _clause_text(query, spans, "ORDER BY")
+    limit = _clause_text(query, spans, "LIMIT")
+    keys = [k.strip() for k in _split_commas(keys_text)]
+    if not keys or any(re.match(r"^\d+$", k) for k in keys):
+        return None  # ordinal GROUP BY: resolve-by-position not modeled
+    key_norms = [_norm(k) for k in keys]
+
+    inner_items = [f"{k} AS __gk{i}" for i, k in enumerate(keys)]
+    outer_items: list[str] = []
+    out_aliases: set[str] = set()
+    hash_args: list[str] = []
+    n_user = n_builtin = 0
+    for item in _split_commas(sel):
+        expr, alias = _strip_alias(item)
+        em = re.match(r"^(?P<fn>\w+)\s*\(", expr)
+        close = _find_close_masked(_mask_strings(expr),
+                                   em.end() - 1) if em else -1
+        whole_call = em is not None and close == len(expr.rstrip()) - 1
+        fn = em.group("fn").lower() if em else None
+        if whole_call and fn in aggs:
+            agg = aggs[fn]
+            if not agg.get("combine"):
+                return None
+            inner = expr[em.end():close].strip()
+            if re.match(r"^(DISTINCT|ALL)\b", inner, re.IGNORECASE) \
+                    or re.search(r"\bORDER\s+BY\b",
+                                 _mask_strings(inner), re.IGNORECASE):
+                return None  # single-level path owns the refusal
+            args = _split_commas(inner)
+            inner_items.append(
+                fold_expr(agg, args, with_final=False)
+                + f" AS __uas{n_user}"
+            )
+            outer_items.append(
+                merge_fold_expr(agg, f"__uas{n_user}")
+                + f" AS {alias or fn}"
+            )
+            out_aliases.add((alias or fn).lower())
+            hash_args.extend(args)
+            n_user += 1
+        elif whole_call and fn is not None and \
+                fn.upper() in _BUILTIN_2LVL:
+            inner_args = expr[em.end():close].strip()
+            if re.match(r"^DISTINCT\b", inner_args, re.IGNORECASE):
+                return None
+            inner_items.append(
+                f"{fn.upper()}({inner_args}) AS __b{n_builtin}"
+            )
+            outer_items.append(
+                f"{_BUILTIN_2LVL[fn.upper()]}(__b{n_builtin})"
+                f" AS {alias or fn}"
+            )
+            out_aliases.add((alias or fn).lower())
+            n_builtin += 1
+        elif _norm(expr) in key_norms:
+            i = key_norms.index(_norm(expr))
+            name = alias or (expr.strip()
+                             if re.match(r"^\w+$", expr.strip())
+                             else None)
+            if name is None:
+                return None
+            outer_items.append(f"__gk{i} AS {name}")
+            out_aliases.add(name.lower())
+        else:
+            return None
+    if n_user == 0:
+        return None
+    # ORDER BY terms must resolve against the OUTER projection
+    if orderby is not None:
+        for term in _split_commas(orderby):
+            t = re.sub(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$",
+                       "", term.strip(), flags=re.IGNORECASE)
+            if not (re.match(r"^\d+$", t)
+                    or t.strip().lower() in out_aliases
+                    or _norm(t) in key_norms):
+                return None
+    # rewrite key-text ORDER BY terms to the outer aliases they map to
+    inner_items.append(
+        f"pmod(hash({', '.join(hash_args)}), {_N_SLICES})"
+        " AS __agg_slice"
+    )
+    inner_sql = (
+        "SELECT " + ", ".join(inner_items) + f" FROM {rel}"
+        + (f" WHERE {where}" if where else "")
+        + " GROUP BY "
+        + ", ".join(f"__gk{i}" for i in range(len(keys)))
+        + ", __agg_slice"
+    )
+    ob = ""
+    if orderby is not None:
+        terms = []
+        for term in _split_commas(orderby):
+            tm = re.match(
+                r"^(?P<e>.*?)(?P<sfx>\s+(ASC|DESC)"
+                r"(\s+NULLS\s+(FIRST|LAST))?)?\s*$",
+                term.strip(), re.IGNORECASE | re.DOTALL)
+            e, sfx = tm.group("e"), tm.group("sfx") or ""
+            if _norm(e) in key_norms and \
+                    _norm(e) not in out_aliases:
+                e = f"__gk{key_norms.index(_norm(e))}"
+            terms.append(e + sfx)
+        ob = " ORDER BY " + ", ".join(terms)
+    outer_sql = (
+        "SELECT " + ", ".join(outer_items)
+        + f" FROM ({inner_sql}) __agg_sliced GROUP BY "
+        + ", ".join(f"__gk{i}" for i in range(len(keys)))
+        + ob
+        + (f" LIMIT {limit}" if limit else "")
+    )
+    return outer_sql
 
 
 def _find_close_masked(masked: str, open_pos: int) -> int:
@@ -467,4 +748,78 @@ def create_aggregate_sql(spark, sf_dir):
         rows,
         "l_returnflag STRING, wsum DOUBLE, geo_mean DOUBLE,"
         " n_rows BIGINT",
+    )
+
+
+@_register(
+    "create_aggregate_combine",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def create_aggregate_combine(spark, sf_dir):
+    """CREATE AGGREGATE with a declared CFUNC → the TWO-LEVEL fold
+    (nodeAgg.cpp's parallel-aggregate plan: per-worker transition +
+    leader combine; datavec's own avg(vector) declares the same
+    shape, datavec--0.7.2.sql vector_combine): the call site
+    restructures into an inner aggregation by (group, slice) whose
+    collect_list materializes only a slice of each group, and an
+    outer merge of the ≤64 per-slice states with the CFUNC lambda —
+    task memory bounded by a slice, not the group (the r11 verdict's
+    O(group) hazard, fixed where the user declares associativity).
+
+    The oracle is the fold's closed form (sum of q·(1−d) in
+    DECIMAL(18,6), exact under reassociation), so a green row proves
+    seed + transition + combine + final across the two levels; the
+    COUNT(*) rides the same restructure as a decomposed builtin
+    (inner COUNT, outer SUM).  The plan pin lives in
+    test_plan_quality.py: two exchanges, map-side partial state."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("""
+        CREATE FUNCTION gate_cmb_step(acc decimal(18,6),
+                                      x double precision,
+                                      w double precision)
+        RETURNS decimal(18,6)
+        AS $$ SELECT acc + CAST(x * w AS DECIMAL(18,6)) $$
+        LANGUAGE SQL
+    """)
+    eng.sql("""
+        CREATE FUNCTION gate_cmb_merge(a decimal(18,6),
+                                       b decimal(18,6))
+        RETURNS decimal(18,6) AS $$ SELECT a + b $$ LANGUAGE SQL
+    """)
+    eng.sql("""
+        CREATE FUNCTION gate_cmb_fin(acc decimal(18,6))
+        RETURNS double precision
+        AS $$ SELECT CAST(acc AS DOUBLE) $$ LANGUAGE SQL
+    """)
+    eng.sql("""
+        CREATE AGGREGATE gate_wsum_c(double precision,
+                                     double precision) (
+            SFUNC = gate_cmb_step,
+            STYPE = decimal(18,6),
+            INITCOND = '0',
+            CFUNC = gate_cmb_merge,
+            FINALFUNC = gate_cmb_fin
+        )
+    """)
+    out = eng.sql(
+        "SELECT l_returnflag,"
+        " gate_wsum_c(l_quantity, 1.0 - l_discount) AS wsum,"
+        " COUNT(*) AS n_rows"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    rows = out.collect()
+    eng.sql("DROP AGGREGATE gate_wsum_c(double precision,"
+            " double precision)")
+    for fn in ("gate_cmb_step", "gate_cmb_merge", "gate_cmb_fin"):
+        eng.sql(f"DROP FUNCTION {fn}")
+    return spark.createDataFrame(
+        rows, "l_returnflag STRING, wsum DOUBLE, n_rows BIGINT"
     )

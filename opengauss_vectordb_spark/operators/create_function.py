@@ -430,18 +430,28 @@ def try_handle_stmt(engine, query: str):
                 # recreate the session function under the new name
                 # from the stored DDL (functioncmds.cpp RenameFunction
                 # is a catalog update; here the catalog IS the DDL)
-                engine.spark.sql(ddl.replace(f" {name}(", f" {new}(", 1))
+                new_ddl = ddl.replace(f" {name}(", f" {new}(", 1)
+                engine.spark.sql(new_ddl)
                 engine.spark.sql(
                     f"DROP TEMPORARY FUNCTION IF EXISTS {name}"
                 )
-                engine.sql_functions[new] = engine.sql_functions.pop(name)
+                # store the REWRITTEN text — keeping the old text
+                # under the new key would make a second RENAME no-op
+                # its .replace and re-execute the stale CREATE,
+                # resurrecting the original name
+                engine.sql_functions[new] = new_ddl
+                engine.sql_functions.pop(name)
                 specs = getattr(engine, "sql_fn_specs", {})
                 if name in specs:
                     specs[new] = specs.pop(name)
             elif name in getattr(engine, "plfn_interpreted", {}):
                 engine.plfn_interpreted[new] = \
                     engine.plfn_interpreted.pop(name)
-                engine.sql_functions[new] = engine.sql_functions.pop(name)
+                old_txt = engine.sql_functions.pop(name)
+                engine.sql_functions[new] = (
+                    old_txt.replace(f" {name}(", f" {new}(", 1)
+                    if isinstance(old_txt, str) else old_txt
+                )
             else:
                 raise NotImplementedError(
                     "ALTER FUNCTION RENAME on a plpython function: "

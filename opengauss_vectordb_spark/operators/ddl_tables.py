@@ -2244,9 +2244,27 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         # Spark's own temp-view DDL stores the view TEXT and re-resolves
         # names per query — live semantics (DefineView's rewrite rule);
         # createOrReplaceTempView(df) would freeze the resolved plan
+        body = m.group("stmt")
+        # mirror Engine.sql's call-site rewrites: a view body may name
+        # a user aggregate or a SETOF plpython function (CTAS gets
+        # these by recursing through engine.sql; the view path
+        # compiles directly)
+        if getattr(engine, "aggregates", None):
+            from .create_aggregate import (
+                rewrite_agg_calls,
+                rewrite_agg_two_level,
+            )
+
+            two = rewrite_agg_two_level(engine, body)
+            body = two if two is not None \
+                else rewrite_agg_calls(engine, body)
+        if getattr(engine, "plpython_setof", None):
+            from .plpython import rewrite_setof_calls
+
+            body = rewrite_setof_calls(engine, body)
         engine.spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
-            + translate(m.group("stmt"))
+            + translate(body)
         )
         # the ORIGINAL text, for pg_get_viewdef (ruleutils.cpp
         # deparses the rule; the stored text IS the definition here)

@@ -315,17 +315,42 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
     return None
 
 
+_DML_VERBS = re.compile(
+    r"^\s*(?:SELECT|WITH|INSERT|UPDATE|DELETE|MERGE|VALUES|EXPLAIN)\b",
+    re.IGNORECASE,
+)
+_CREATE_TABLE_NAME = re.compile(
+    r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+|UNLOGGED\s+|GLOBAL\s+|LOCAL\s+)*"
+    r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\b",
+    re.IGNORECASE,
+)
+
+
 def resolve_synonyms(engine, query: str) -> str:
     """Synonym resolution (commands/synonym.cpp: relation lookup
     falls through to pg_synonym): a synonym name in a table position
     rewrites to its target — identity when none are registered or
     named.  Runs in the Engine.sql funnel after search_path, so a
-    synonym can point at a schema-qualified member's flat name."""
+    synonym can point at a schema-qualified member's flat name.
+
+    DML-only, like the reference: tablecmds.cpp passes
+    supportSynonym=false for DDL lookups, so DROP/TRUNCATE/ALTER
+    TABLE <synonym> must NOT silently redirect to the target (a DROP
+    would destroy the target's data).  CREATE TABLE with a name
+    colliding with a synonym is rejected (tablecmds.cpp:6995)."""
     syns = getattr(engine, "synonyms", None)
     if not syns:
         return query
     low = query.lower()
     if not any(s in low for s in syns):
+        return query
+    if not _DML_VERBS.match(query):
+        m = _CREATE_TABLE_NAME.match(query)
+        if m and m.group("name").lower() in syns:
+            raise ValueError(
+                f"relation name {m.group('name')!r} collides with an "
+                "existing synonym (DROP SYNONYM first)"
+            )
         return query
     quoted = []
     in_q, start = False, 0

@@ -766,3 +766,54 @@ def test_create_aggregate_fold_is_codegen(spark):
     assert exchange_count(df) == 1, plan[:3000]
     eng.sql("DROP AGGREGATE pq_wsum(double precision, double precision)")
     eng.sql("DROP FUNCTION pq_ws")
+
+
+def test_create_aggregate_combine_two_level_plan(spark):
+    """create_aggregate_combine: a CFUNC-declaring aggregate must
+    restructure into the TWO-LEVEL fold — an inner aggregation keyed
+    by (group, slice) with map-side partial_collect_list, then an
+    outer merge by group — exactly two exchanges, no Python, and the
+    slice expression in the inner grouping keys.  This is the memory
+    contract: task state is bounded by a (group × slice), never the
+    whole group (the r11 verdict's O(group) hazard)."""
+    from opengauss_vectordb_spark.engine import Engine
+    from opengauss_vectordb_spark.plans.explain import exchange_count
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE FUNCTION pq2_step(acc double precision,"
+        " x double precision) RETURNS double precision"
+        " AS 'SELECT acc + x' LANGUAGE SQL"
+    )
+    eng.sql(
+        "CREATE FUNCTION pq2_merge(a double precision,"
+        " b double precision) RETURNS double precision"
+        " AS 'SELECT a + b' LANGUAGE SQL"
+    )
+    eng.sql(
+        "CREATE AGGREGATE pq2_sum(double precision)"
+        " (SFUNC = pq2_step, STYPE = double precision,"
+        "  INITCOND = '0', CFUNC = pq2_merge)"
+    )
+    df = eng.sql(
+        "SELECT l_returnflag, pq2_sum(l_quantity) AS s"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = physical_plan(df)
+    assert python_eval_nodes(df) == 0
+    assert "partial_collect_list" in plan
+    assert "__agg_slice" in plan or "pmod(hash" in plan, plan[:3000]
+    # two grouping exchanges: (group, slice) then (group)
+    assert exchange_count(df) == 2, plan[:3000]
+    # the inner collect_list must be keyed by the slice too — its
+    # grouping keys carry both the group column and the slice expr
+    import re as _re
+
+    assert _re.search(
+        r"partial_collect_list", plan
+    ) and _re.search(
+        r"keys=\[l_returnflag#\d+, _groupingexpression", plan
+    ), plan[:3000]
+    eng.sql("DROP AGGREGATE pq2_sum(double precision)")
+    eng.sql("DROP FUNCTION pq2_step")
+    eng.sql("DROP FUNCTION pq2_merge")

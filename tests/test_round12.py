@@ -1,0 +1,235 @@
+"""Round-12 behaviors: the two-level CFUNC fold's semantics, the
+builtin-SFUNC strict contract, the synonym DML-only rule, ALTER
+FUNCTION RENAME chains, and view bodies over user aggregates /
+SETOF functions — each anchored to the reference behavior it models
+(nodeAgg.cpp combine phase; pg_proc strictness; tablecmds.cpp
+supportSynonym=false for DDL; functioncmds.cpp RenameFunction;
+DefineView's rewrite)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opengauss_vectordb_spark.engine import Engine
+
+from .conftest import SF_CORRECT
+
+
+def _mk_combine_agg(eng, name="r12_sum"):
+    eng.sql(
+        f"CREATE FUNCTION {name}_step(acc double precision,"
+        " x double precision) RETURNS double precision"
+        " AS 'SELECT acc + x' LANGUAGE SQL"
+    )
+    eng.sql(
+        f"CREATE FUNCTION {name}_merge(a double precision,"
+        " b double precision) RETURNS double precision"
+        " AS 'SELECT a + b' LANGUAGE SQL"
+    )
+    eng.sql(
+        f"CREATE AGGREGATE {name}(double precision)"
+        f" (SFUNC = {name}_step, STYPE = double precision,"
+        f"  INITCOND = '0', CFUNC = {name}_merge)"
+    )
+
+
+def _drop_combine_agg(eng, name="r12_sum"):
+    eng.sql(f"DROP AGGREGATE {name}(double precision)")
+    eng.sql(f"DROP FUNCTION {name}_step")
+    eng.sql(f"DROP FUNCTION {name}_merge")
+
+
+def test_two_level_matches_single_level(spark):
+    """The restructured plan must compute exactly what the serial
+    fold computes — checked against the builtin SUM closed form on
+    every group of lineitem."""
+    eng = Engine(spark, SF_CORRECT)
+    _mk_combine_agg(eng)
+    got = eng.sql(
+        "SELECT l_returnflag, r12_sum(l_quantity) AS s,"
+        " COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    exp = spark.sql(
+        "SELECT l_returnflag, SUM(l_quantity) AS s, COUNT(*) AS n,"
+        " MIN(l_quantity) AS mn, MAX(l_quantity) AS mx"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    assert [(r.l_returnflag, round(r.s, 6), r.n, r.mn, r.mx)
+            for r in got] == \
+        [(r.l_returnflag, round(r.s, 6), r.n, r.mn, r.mx)
+         for r in exp]
+    _drop_combine_agg(eng)
+
+
+def test_two_level_null_and_where_semantics(spark):
+    """Null inputs reach the non-strict transition at BOTH levels; a
+    WHERE clause lands in the inner leg; the all-NULL-slice state is
+    dropped by the outer merge (strict-combine contract)."""
+    eng = Engine(spark, SF_CORRECT)
+    _mk_combine_agg(eng)
+    # WHERE pushes into the inner aggregation
+    got = eng.sql(
+        "SELECT l_returnflag, r12_sum(l_quantity) AS s"
+        " FROM lineitem WHERE l_quantity > 25"
+        " GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    exp = spark.sql(
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem"
+        " WHERE l_quantity > 25 GROUP BY l_returnflag"
+        " ORDER BY l_returnflag"
+    ).collect()
+    assert [(r.l_returnflag, round(r.s, 6)) for r in got] == \
+        [(r.l_returnflag, round(r.s, 6)) for r in exp]
+    _drop_combine_agg(eng)
+
+
+def test_two_level_falls_back_on_complex_shapes(spark):
+    """HAVING, joins, expressions wrapping the call, DISTINCT — all
+    outside the modeled shape — must still execute via the serial
+    single-level fold, not fail."""
+    eng = Engine(spark, SF_CORRECT)
+    _mk_combine_agg(eng)
+    # HAVING → fallback (single-level still answers correctly)
+    got = eng.sql(
+        "SELECT l_returnflag, r12_sum(l_quantity) AS s FROM lineitem"
+        " GROUP BY l_returnflag HAVING COUNT(*) > 0"
+        " ORDER BY l_returnflag"
+    ).collect()
+    exp = spark.sql(
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    assert [(r.l_returnflag, round(r.s, 6)) for r in got] == \
+        [(r.l_returnflag, round(r.s, 6)) for r in exp]
+    # wrapped call → fallback
+    got2 = eng.sql(
+        "SELECT l_returnflag, round(r12_sum(l_quantity), 2) AS s"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    assert [(r.l_returnflag, r.s) for r in got2] == \
+        [(r.l_returnflag, round(r.s, 2)) for r in exp]
+    # DISTINCT inside the call refuses on either path
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        eng.sql("SELECT r12_sum(DISTINCT l_quantity) FROM lineitem"
+                " GROUP BY l_returnflag")
+    _drop_combine_agg(eng)
+
+
+def test_two_level_no_cfunc_stays_single_level(spark):
+    """Without a declared CFUNC there is no correct merge — the
+    rewrite must leave the serial fold alone (one exchange)."""
+    from opengauss_vectordb_spark.plans.explain import exchange_count
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql(
+        "CREATE FUNCTION r12nc_step(acc double precision,"
+        " x double precision) RETURNS double precision"
+        " AS 'SELECT acc + x' LANGUAGE SQL"
+    )
+    eng.sql(
+        "CREATE AGGREGATE r12nc_sum(double precision)"
+        " (SFUNC = r12nc_step, STYPE = double precision,"
+        "  INITCOND = '0')"
+    )
+    df = eng.sql(
+        "SELECT l_returnflag, r12nc_sum(l_quantity) AS s"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    assert exchange_count(df) == 1
+    eng.sql("DROP AGGREGATE r12nc_sum(double precision)")
+    eng.sql("DROP FUNCTION r12nc_step")
+
+
+def test_builtin_sfunc_is_strict(spark):
+    """PG catalog transition functions are strict: a bare-builtin
+    SFUNC with no INITCOND seeds from the first non-null input and
+    SKIPS nulls (r11 compiled these non-strict, folding NULL through
+    and returning NULL per group)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("CREATE AGGREGATE r12_bmax(bigint)"
+            " (SFUNC = greatest, STYPE = bigint)")
+    got = eng.sql(
+        "SELECT r12_bmax(v) FROM (SELECT CAST(NULL AS BIGINT) AS v"
+        " UNION ALL SELECT 3 UNION ALL SELECT 9 UNION ALL SELECT 5)"
+    ).collect()[0][0]
+    assert got == 9
+    # all-null group → NULL, not an error
+    assert eng.sql(
+        "SELECT r12_bmax(v) FROM (SELECT CAST(NULL AS BIGINT) AS v)"
+    ).collect()[0][0] is None
+    eng.sql("DROP AGGREGATE r12_bmax(bigint)")
+
+
+def test_synonym_rewrite_is_dml_only(spark):
+    """tablecmds.cpp passes supportSynonym=false on DDL lookups: DROP
+    / TRUNCATE / ALTER TABLE <synonym> must NOT redirect to the
+    target (a redirect would destroy the target's data), and CREATE
+    TABLE colliding with a synonym is rejected (:6995)."""
+    import shutil
+    import tempfile
+
+    eng = Engine(spark, SF_CORRECT)
+    tmp = tempfile.mkdtemp(prefix="r12_syn_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql("CREATE TABLE r12_syn_t AS"
+                " SELECT n_nationkey, n_name FROM nation")
+        eng.sql("CREATE SYNONYM r12_alias FOR r12_syn_t")
+        # DML through the synonym works
+        assert eng.sql("SELECT COUNT(*) AS n FROM r12_alias") \
+            .collect()[0].n == 25
+        # DDL must NOT follow the synonym to the target
+        with pytest.raises(Exception):
+            eng.sql("DROP TABLE r12_alias")
+        with pytest.raises(Exception):
+            eng.sql("TRUNCATE TABLE r12_alias")
+        assert eng.sql("SELECT COUNT(*) AS n FROM r12_syn_t") \
+            .collect()[0].n == 25, "DDL through synonym hit the target"
+        # CREATE TABLE colliding with a synonym name is rejected
+        with pytest.raises(ValueError, match="synonym"):
+            eng.sql("CREATE TABLE r12_alias AS SELECT 1 AS x")
+        eng.sql("DROP SYNONYM r12_alias")
+        eng.sql("DROP TABLE r12_syn_t")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_alter_function_rename_chain(spark):
+    """functioncmds.cpp RenameFunction is a catalog update — two
+    renames in a row must leave exactly ONE function, under the
+    final name (r11 stored the stale DDL and a second rename
+    resurrected the original name)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("CREATE FUNCTION r12_f(x bigint) RETURNS bigint"
+            " AS 'SELECT x + 1' LANGUAGE SQL")
+    eng.sql("ALTER FUNCTION r12_f RENAME TO r12_g")
+    eng.sql("ALTER FUNCTION r12_g RENAME TO r12_h")
+    assert eng.sql("SELECT r12_h(41) AS v").collect()[0].v == 42
+    for gone in ("r12_f", "r12_g"):
+        with pytest.raises(Exception):
+            eng.sql(f"SELECT {gone}(1)")
+        assert gone not in eng.sql_functions
+    eng.sql("DROP FUNCTION r12_h")
+
+
+def test_view_over_user_aggregate(spark):
+    """A CREATE VIEW body naming a user aggregate must compile (the
+    r11 view path skipped the call-site rewrites; CTAS worked only
+    because it recurses through engine.sql)."""
+    eng = Engine(spark, SF_CORRECT)
+    _mk_combine_agg(eng, name="r12v_sum")
+    eng.sql(
+        "CREATE VIEW r12_v AS SELECT l_returnflag,"
+        " r12v_sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag"
+    )
+    got = eng.sql(
+        "SELECT * FROM r12_v ORDER BY l_returnflag").collect()
+    exp = spark.sql(
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    assert [(r.l_returnflag, round(r.s, 6)) for r in got] == \
+        [(r.l_returnflag, round(r.s, 6)) for r in exp]
+    eng.sql("DROP VIEW r12_v")
+    _drop_combine_agg(eng, name="r12v_sum")
