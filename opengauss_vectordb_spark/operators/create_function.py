@@ -479,6 +479,7 @@ def try_handle_stmt(engine, query: str):
         existed = interp.pop(name, None) is not None or existed
         getattr(engine, "sql_fn_specs", {}).pop(name, None)
         getattr(engine, "plpython_setof", set()).discard(name)
+        getattr(engine, "plpython_setof_composite", set()).discard(name)
         engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         return status_frame(engine.spark, ("DROP FUNCTION", name, existed), "tag STRING, function STRING, existed BOOLEAN",)
     return None

@@ -1064,11 +1064,11 @@ def _exchange_partition(engine, m):
     if spec is None:
         raise ValueError(f"table {name!r} is not partitioned")
     if spec.sub_kind:
-        raise NotImplementedError(
-            "EXCHANGE PARTITION on a subpartitioned table is not "
-            "supported — exchange at subpartition granularity is the "
-            "reference shape; DROP/TRUNCATE SUBPARTITION instead"
-        )
+        # hw_subpartition_alter_table.sql's top-level form: the WHOLE
+        # _part=<p> directory (all its subpartition leaves) swaps
+        # with a table PARTITIONED the same way as p's subpartition
+        # spec — O(1) renames one level up
+        return _exchange_partition_subpartitioned(engine, m, spec)
     if part not in {n for n, _ in spec.parts}:
         raise KeyError(f"partition {part!r} of {name!r} does not exist")
     if other not in mt.tables:
@@ -1126,6 +1126,131 @@ def _exchange_partition(engine, m):
     mt._register_view(name)
     mt._register_view(other)
     return status_frame(engine.spark, ("EXCHANGE PARTITION", name, part, other), "tag STRING, tbl STRING, partition STRING, with_table STRING",)
+
+
+def _bound_norm(b):
+    """Normalize a partition bound for equality comparison (to_meta /
+    from_meta round-trips can flip tuple↔list)."""
+    if b is MAXVALUE:
+        return MAXVALUE
+    if isinstance(b, (list, tuple)):
+        return tuple(b)
+    return b
+
+
+def _exchange_partition_subpartitioned(engine, m, spec):
+    """ALTER TABLE <pt> EXCHANGE PARTITION (<p>) WITH TABLE <staging>
+    on a SUBPARTITIONED table (tablecmds.cpp ATExecExchangePartition;
+    the hw_subpartition_alter_table regress shapes, lifted r12): the
+    staging side must be a table partitioned EXACTLY like p's
+    subpartition spec (same kind, key, leaf names and bounds); then
+    the whole ``_part=<p>`` directory and the staging table's
+    directory swap as renames, with the leaf directories re-labelled
+    ``_part=<s>`` ↔ ``_subpart=<s>`` — O(#subpartitions) renames, no
+    data copy of either side.  At 100 TB this lands a staged MONTH
+    (all its hash/list subpartitions pre-routed) in one DDL.
+
+    WITH VALIDATION (the default) checks every staging row routes to
+    the named top-level partition AND that each row's stored leaf
+    matches the parent's subpartition routing — one aggregation over
+    the staging table."""
+    import glob as _glob
+    import os
+    import shutil
+
+    mt = engine.managed_tables
+    name = m.group("name").lower()
+    part = m.group("part").lower()
+    other = m.group("other").lower()
+    if part not in {n for n, _ in spec.parts}:
+        raise KeyError(f"partition {part!r} of {name!r} does not exist")
+    if other not in mt.tables:
+        raise KeyError(f"EXCHANGE: managed table {other!r} not found")
+    ospec = PartitionSpec.from_meta(
+        mt.tables[other].get("partition_spec")
+    )
+    if ospec is None or ospec.sub_kind:
+        raise ValueError(
+            "EXCHANGE PARTITION on a subpartitioned table: the WITH "
+            "TABLE side must be singly partitioned exactly like the "
+            "partition's subpartition spec"
+        )
+    want = [(n, _bound_norm(b)) for n, b in spec.subparts[part]]
+    have = [(n, _bound_norm(b)) for n, b in ospec.parts]
+    if (ospec.kind != spec.sub_kind
+            or ospec.key.lower() != spec.sub_key.lower()
+            or have != want):
+        raise ValueError(
+            f"EXCHANGE: {other!r} must be partitioned exactly like "
+            f"partition {part!r}'s subpartitions — want "
+            f"{spec.sub_kind} BY ({spec.sub_key}) {want}, have "
+            f"{ospec.kind} BY ({ospec.key}) {have}"
+        )
+    pt_schema = [(f.name, f.dataType) for f in mt.read(name).schema.fields]
+    other_df = mt.read(other)
+    ot_schema = [(f.name, f.dataType) for f in other_df.schema.fields]
+    if pt_schema != ot_schema:
+        raise ValueError(
+            f"EXCHANGE: column mismatch — {name}: {pt_schema}, "
+            f"{other}: {ot_schema}"
+        )
+    odir = mt._path(other)
+    validate = (m.group("val") or "WITH").upper() == "WITH"
+    if validate and _glob.glob(os.path.join(odir, "**", "part-*"),
+                               recursive=True):
+        raw = engine.spark.read.parquet(odir)
+        stray = raw.withColumn(
+            "__route_p", spec.label_expr()
+        ).withColumn(
+            "__route_s", spec.sub_label_expr()
+        ).filter(
+            (F.col("__route_p") != part) | F.col("__route_p").isNull()
+            | (F.col("__route_s") != F.col(PART_COL).cast("string"))
+            | F.col("__route_s").isNull()
+        ).count()
+        if stray:
+            raise ValueError(
+                f"EXCHANGE: {stray} row(s) of {other!r} do not route "
+                f"to partition {part!r} under its subpartition spec "
+                "(use WITHOUT VALIDATION to skip the check, as the "
+                "reference allows)"
+            )
+    mt.mark_ddl(name, "exchange")
+    mt.mark_ddl(other, "exchange")
+    pdir = os.path.join(mt._path(name), f"{PART_COL}={part}")
+    tmp = os.path.join(mt.root, name, ".exchange_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(pdir):
+        os.rename(pdir, tmp)
+    else:
+        os.makedirs(tmp)
+    os.rename(odir, pdir)
+    os.rename(tmp, odir)
+    # re-label the leaf directories for their new level
+    for d in _glob.glob(os.path.join(pdir, f"{PART_COL}=*")):
+        leaf = os.path.basename(d).split("=", 1)[1]
+        os.rename(d, os.path.join(pdir, f"{SUBPART_COL}={leaf}"))
+    for d in _glob.glob(os.path.join(odir, f"{SUBPART_COL}=*")):
+        leaf = os.path.basename(d).split("=", 1)[1]
+        os.rename(d, os.path.join(odir, f"{PART_COL}={leaf}"))
+    if not _glob.glob(os.path.join(odir, "**", "part-*"),
+                      recursive=True):
+        # the exchanged-out partition was empty: give the staging
+        # side one schema-bearing file so it stays readable
+        first = ospec.parts[0][0]
+        leaf_dir = os.path.join(odir, f"{PART_COL}={first}")
+        shutil.rmtree(leaf_dir, ignore_errors=True)
+        engine.spark.createDataFrame(
+            [], other_df.schema
+        ).write.mode("overwrite").parquet(leaf_dir)
+    mt.tables[name]["version"] += 1
+    mt.tables[other]["version"] += 1
+    mt._register_view(name)
+    mt._register_view(other)
+    return status_frame(
+        engine.spark, ("EXCHANGE PARTITION", name, part, other),
+        "tag STRING, tbl STRING, partition STRING, with_table STRING",
+    )
 
 
 def _exchange_subpartition(engine, m):
@@ -2114,5 +2239,127 @@ def split_subpartition(spark, sf_dir):
             [(r[0], r[1], r[2], float(r[3])) for r in rows],
             "part STRING, subpart STRING, n BIGINT, total DOUBLE",
         ).orderBy("part", "subpart")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "exchange_partition_subpart",
+    """
+    WITH ins AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS v
+      FROM orders WHERE o_orderkey <= 3000
+    ), stage AS (
+      SELECT k, st, v * 2 AS v FROM ins
+      WHERE k < 1000 AND k % 2 = 0
+    ), fact_after AS (
+      SELECT k, st, v FROM ins WHERE k >= 1000
+      UNION ALL SELECT k, st, v FROM stage
+    ), agg AS (
+      SELECT CASE WHEN k < 1000 THEN 'p0' ELSE 'p1' END AS part,
+             st, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM fact_after GROUP BY part, st
+    ), swapped AS (
+      SELECT 'staging' AS part, st,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM ins WHERE k < 1000 GROUP BY st
+    )
+    SELECT * FROM agg UNION ALL SELECT * FROM swapped
+    ORDER BY part, st
+    """,
+)
+def exchange_partition_subpart(spark, sf_dir):
+    """Top-level EXCHANGE PARTITION on a SUBPARTITIONED table
+    (tablecmds.cpp ATExecExchangePartition; the
+    hw_subpartition_alter_table regress shapes — the r11 verdict's
+    item #5, lifted r12): the whole ``_part=p0`` directory (all its
+    LIST subpartition leaves) swaps with a staging table partitioned
+    EXACTLY like p0's subpartition spec — O(#leaves) renames, no data
+    copy.  The oracle recomputes BOTH sides set-theoretically
+    ((fact ∖ p0) ∪ staging; staging' = p0), so a green row proves the
+    swap moved the whole partition leaf-for-leaf with no row lost,
+    duplicated, or misrouted, and that validation routed every
+    staged row through BOTH partitioning levels.
+
+    Scale: the 100 TB staged-MONTH shape — build + validate all of a
+    month's subpartitions offline in a partitioned staging table,
+    land them with one DDL; the only distributed work is the one
+    two-level validating aggregate over the staging side."""
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="exchange_part_gate_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql(
+            "CREATE TABLE xpg (k bigint, st text, v double)"
+            " PARTITION BY RANGE (k) SUBPARTITION BY LIST (st) ("
+            "  PARTITION p0 VALUES LESS THAN (1000) ("
+            "    SUBPARTITION p0_o VALUES ('O'),"
+            "    SUBPARTITION p0_f VALUES ('F'),"
+            "    SUBPARTITION p0_p VALUES ('P')"
+            "  ),"
+            "  PARTITION p1 VALUES LESS THAN (MAXVALUE) ("
+            "    SUBPARTITION p1_o VALUES ('O'),"
+            "    SUBPARTITION p1_f VALUES ('F'),"
+            "    SUBPARTITION p1_p VALUES ('P')"
+            "  ))"
+        )
+        eng.sql(
+            "INSERT INTO xpg SELECT o_orderkey, o_orderstatus,"
+            " o_totalprice FROM orders WHERE o_orderkey <= 3000"
+        )
+        eng.sql(
+            "CREATE TABLE xpg_stage (k bigint, st text, v double)"
+            " PARTITION BY LIST (st) ("
+            "  PARTITION p0_o VALUES ('O'),"
+            "  PARTITION p0_f VALUES ('F'),"
+            "  PARTITION p0_p VALUES ('P'))"
+        )
+        eng.sql(
+            "INSERT INTO xpg_stage SELECT o_orderkey, o_orderstatus,"
+            " o_totalprice * 2 FROM orders WHERE o_orderkey < 1000"
+            " AND o_orderkey % 2 = 0"
+        )
+        eng.sql(
+            "ALTER TABLE xpg EXCHANGE PARTITION (p0)"
+            " WITH TABLE xpg_stage"
+        )
+        agg = (
+            eng.sql("SELECT * FROM xpg")
+            .groupBy(
+                F.when(F.col("k") < 1000, "p0").otherwise("p1")
+                .alias("part"),
+                F.col("st"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                .alias("total"),
+            )
+            .collect()
+        )
+        swapped = (
+            eng.sql("SELECT * FROM xpg_stage")
+            .groupBy(F.col("st"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                .alias("total"),
+            )
+            .collect()
+        )
+        eng.sql("DROP TABLE xpg PURGE")
+        eng.sql("DROP TABLE xpg_stage PURGE")
+        rows = [(r[0], r[1], r[2], float(r[3])) for r in agg]
+        rows += [("staging", r[0], r[1], float(r[2])) for r in swapped]
+        return spark.createDataFrame(
+            rows, "part STRING, st STRING, n BIGINT, total DOUBLE"
+        ).orderBy("part", "st")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -70,15 +70,41 @@ _COERCE = {
 }
 
 
-def compile_plpython(query: str):
+def _struct_fields(ddl: str) -> list[tuple[str, str]]:
+    """'struct<a: int, b: string>' → [('a','int'), ('b','string')] —
+    depth-aware on nested <> and ()."""
+    inner = ddl[ddl.index("<") + 1:ddl.rindex(">")]
+    parts, cur, depth = [], [], 0
+    for ch in inner:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        nm, ty = p.split(":", 1)
+        out.append((nm.strip(), ty.strip()))
+    return out
+
+
+def compile_plpython(query: str, engine=None):
     """PG CREATE FUNCTION ... LANGUAGE plpython3u → (name, n_params,
-    vectorized pandas UDF, spark_ret_type), or None when the text is
-    not that statement shape."""
+    vectorized pandas UDF, spark_ret_type, setof_kind), or None when
+    the text is not that statement shape.  setof_kind ∈ {None,
+    'scalar', 'composite'}; composite element types resolve against
+    the engine's CREATE TYPE registry."""
     m = _CREATE_PYFN.match(query)
     if m is None:
         return None
     ret = m.group("ret").strip()
     setof = re.match(r"^SETOF\s+(?P<elem>\w+)$", ret, re.IGNORECASE)
+    fields = None
     if setof is not None:
         # PLy_exec_function's iterator protocol
         # (plpython/plpy_exec.cpp: a generator or sequence return
@@ -86,15 +112,27 @@ def compile_plpython(query: str):
         # produces a LIST, Arrow-shipped as ARRAY<elem>; the call
         # site explodes it (rewrite_setof_calls) — PG's SRF
         # row-multiplication IS Spark's generator expression.
-        # Composite/record element types stay refused: declare
-        # RETURNS TABLE(...) LANGUAGE SQL or a UDTF for those.
-        elem = _map_type(setof.group("elem"))
-        if elem.upper().startswith(("STRUCT", "ARRAY", "MAP")):
-            raise NotImplementedError(
-                "PL/Python RETURNS SETOF <composite>: use RETURNS "
-                "TABLE(...) LANGUAGE SQL or a Python UDTF "
-                "(functions/udtf.py)"
-            )
+        # A COMPOSITE element (CREATE TYPE name AS (...)) ships as
+        # ARRAY<STRUCT<...>> and the call site star-expands with
+        # inline() — plpy_exec.cpp's dict/tuple row protocol.
+        elem_src = setof.group("elem")
+        if engine is not None and getattr(engine, "user_types", None):
+            from .user_types import resolve_type
+
+            rt_ddl = resolve_type(engine, elem_src)
+            if rt_ddl and rt_ddl.lower().startswith("struct<"):
+                elem = rt_ddl
+                fields = _struct_fields(rt_ddl)
+        if fields is None:
+            elem = _map_type(elem_src)
+            if elem.upper().startswith(("STRUCT", "ARRAY", "MAP")):
+                raise NotImplementedError(
+                    "PL/Python RETURNS SETOF over record/array/map "
+                    "elements: declare a composite type (CREATE TYPE "
+                    "name AS (...)) and RETURN SETOF that type, or "
+                    "use RETURNS TABLE(...) LANGUAGE SQL / a Python "
+                    "UDTF (functions/udtf.py)"
+                )
         ret = None  # handled below
     from .create_function import _unquote_body
 
@@ -137,7 +175,43 @@ def compile_plpython(query: str):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    if setof is not None:
+    if setof is not None and fields is not None:
+        leaf = [
+            (nm, _COERCE.get(ty.upper().split("(")[0].strip()))
+            for nm, ty in fields
+        ]
+
+        def _cv(x, co):
+            return x if x is None or co is None else co(x)
+
+        def _batch(*cols):
+            # plpy_exec.cpp's composite-result protocol: each yielded
+            # row is a dict (field names) or a sequence (positional)
+            out = []
+            for vals in zip(*cols):
+                r = fn(*vals)
+                if r is None:
+                    out.append([])
+                    continue
+                elems = []
+                for v in r:
+                    if isinstance(v, dict):
+                        elems.append(
+                            {nm: _cv(v.get(nm), co) for nm, co in leaf}
+                        )
+                    elif isinstance(v, (tuple, list)):
+                        elems.append(
+                            {nm: _cv(x, co)
+                             for (nm, co), x in zip(leaf, v)}
+                        )
+                    else:
+                        raise TypeError(
+                            "SETOF composite: each result row must be "
+                            "a dict (field names) or tuple (positional)"
+                        )
+                out.append(elems)
+            return pd.Series(out, dtype="object")
+    elif setof is not None:
         def _batch(*cols):
             out = []
             for vals in zip(*cols):
@@ -176,26 +250,36 @@ def compile_plpython(query: str):
         **{f"c{i}": pd.Series for i in range(len(params))},
         "return": pd.Series,
     }
+    setof_kind = None
+    if setof is not None:
+        setof_kind = "composite" if fields is not None else "scalar"
     return (name, len(params), pandas_udf(wrapper, spark_ret), spark_ret,
-            setof is not None)
+            setof_kind)
 
 
 def try_handle_stmt(engine, query: str):
     """Engine.sql hook: CREATE FUNCTION ... LANGUAGE plpython3u routing
     (DROP FUNCTION is shared with create_function.py — a registered
     pandas UDF is a session temporary function like the SQL ones)."""
-    compiled = compile_plpython(query)
+    compiled = compile_plpython(query, engine)
     if compiled is None:
         return None
-    name, _n, udf, spark_ret, setof = compiled
+    name, _n, udf, spark_ret, setof_kind = compiled
     engine.spark.udf.register(name, udf)
     engine.sql_functions[name] = f"<plpython pandas_udf RETURNS {spark_ret}>"
-    if setof:
+    if setof_kind:
         if not hasattr(engine, "plpython_setof"):
             engine.plpython_setof = set()
         engine.plpython_setof.add(name)
+        if not hasattr(engine, "plpython_setof_composite"):
+            engine.plpython_setof_composite = set()
+        if setof_kind == "composite":
+            engine.plpython_setof_composite.add(name)
+        else:
+            engine.plpython_setof_composite.discard(name)
     else:
         getattr(engine, "plpython_setof", set()).discard(name)
+        getattr(engine, "plpython_setof_composite", set()).discard(name)
     return status_frame(engine.spark, ("CREATE FUNCTION", name), "tag STRING, function STRING")
 
 
@@ -215,8 +299,10 @@ def rewrite_setof_calls(engine, query: str) -> str:
         return query
     from .plpgsql import _mask_strings
 
+    comp = getattr(engine, "plpython_setof_composite", set())
     out = query
     for name in sorted(names):
+        gen = "inline" if name in comp else "explode"
         pat = re.compile(rf"(?<![\w.])\b{re.escape(name)}\s*\(",
                          re.IGNORECASE)
         pos = 0
@@ -250,11 +336,17 @@ def rewrite_setof_calls(engine, query: str) -> str:
                               re.IGNORECASE)
                 alias = am.group("a") if am else name
                 end = cl + 1 + (am.end() if am else 0)
-                rep = (f"(SELECT explode({call}) AS {alias})"
-                       f" AS {alias}")
+                if name in comp:
+                    # composite: inline() star-expands the struct
+                    # fields as the subquery's columns (PG: a
+                    # composite SRF in FROM exposes its fields)
+                    rep = f"(SELECT inline({call})) AS {alias}"
+                else:
+                    rep = (f"(SELECT explode({call}) AS {alias})"
+                           f" AS {alias}")
                 out = out[:mm.start()] + rep + out[end:]
             else:
-                rep = f"explode({call})"
+                rep = f"{gen}({call})"
                 out = out[:mm.start()] + rep + out[cl + 1:]
             pos = mm.start() + len(rep)
     return out
@@ -368,4 +460,52 @@ def plpython_setof(spark, sf_dir):
     eng.sql("DROP FUNCTION gate_py_range")
     return spark.createDataFrame(
         rows, "tok STRING, n BIGINT, range_sum BIGINT, range_n BIGINT"
+    )
+
+
+@_register_query(
+    "plpython_setof_composite",
+    """
+    WITH w AS (
+      SELECT n_nationkey, unnest(string_split(n_name, ' ')) AS tok
+      FROM nation
+    )
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, tok,
+           CAST(length(tok) AS INT) AS toklen
+    FROM w ORDER BY n_nationkey, tok
+    """,
+)
+def plpython_setof_composite(spark, sf_dir):
+    """PL/Python RETURNS SETOF <composite> (plpy_exec.cpp's
+    composite-row protocol — each yielded row a dict or tuple; the
+    r11 verdict's missing-item #1): a CREATE TYPE composite element
+    ships as ARRAY<STRUCT<...>> out of the Arrow batch and the call
+    site star-expands with inline() — Spark's multi-column generator
+    IS the reference's composite SRF expansion.  The oracle is
+    string_split + length, so a green row proves field naming, field
+    order, per-field typing, and row multiplication.
+
+    Scale: same as scalar SETOF — Python builds the per-row array
+    under Arrow batching; inline() runs JVM-side above it."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TYPE gate_tok_t AS (tok text, toklen int)")
+    eng.sql("""
+        CREATE FUNCTION gate_py_toks(s text)
+        RETURNS SETOF gate_tok_t AS $$
+        return [{'tok': w, 'toklen': len(w)} for w in s.split(' ')]
+        $$ LANGUAGE plpython3u
+    """)
+    out = eng.sql(
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, tok,"
+        " toklen FROM"
+        " (SELECT n_nationkey, gate_py_toks(n_name) FROM nation)"
+        " ORDER BY n_nationkey, tok"
+    )
+    rows = out.collect()
+    eng.sql("DROP FUNCTION gate_py_toks")
+    eng.sql("DROP TYPE gate_tok_t")
+    return spark.createDataFrame(
+        rows, "n_nationkey BIGINT, tok STRING, toklen INT"
     )

@@ -846,11 +846,80 @@ def test_exchange_subpartition(spark, tmp_path):
     with pytest.raises(KeyError, match="does not exist"):
         eng.sql("ALTER TABLE xs EXCHANGE SUBPARTITION (nope)"
                 " WITH TABLE xstage")
-    with pytest.raises(NotImplementedError, match="subpartition"):
+    # top-level exchange (lifted r12) demands a staging table
+    # partitioned like the subpartition spec — a plain table refuses
+    with pytest.raises(ValueError, match="singly partitioned"):
         eng.sql("ALTER TABLE xs EXCHANGE PARTITION (p0)"
                 " WITH TABLE xstage")
     eng.sql("DROP TABLE xs")
     eng.sql("DROP TABLE xstage")
+
+
+def test_exchange_partition_on_subpartitioned(spark, tmp_path):
+    """Top-level EXCHANGE PARTITION on a SUBPARTITIONED table (r12 —
+    the r11 verdict's item #5; hw_subpartition_alter_table.sql): the
+    whole ``_part=<p>`` directory swaps with a staging table
+    partitioned exactly like p's subpartition spec — O(#leaves)
+    renames, no data copy; validation routes every staging row to p
+    AND checks each row's stored leaf against the parent's
+    subpartition routing; spec mismatches refuse."""
+    eng = _eng(spark, tmp_path)
+    eng.sql(
+        "CREATE TABLE xt (k bigint, c text, v bigint) "
+        "PARTITION BY RANGE (k) SUBPARTITION BY LIST (c) ("
+        "  PARTITION p0 VALUES LESS THAN (10) ("
+        "    SUBPARTITION p0_a VALUES ('a'),"
+        "    SUBPARTITION p0_b VALUES ('b')"
+        "  ),"
+        "  PARTITION p1 VALUES LESS THAN (20) ("
+        "    SUBPARTITION p1_a VALUES ('a'),"
+        "    SUBPARTITION p1_b VALUES ('b')"
+        "  ))"
+    )
+    eng.sql("INSERT INTO xt VALUES (1, 'a', 10), (2, 'b', 20),"
+            " (15, 'a', 30)")
+    # staging partitioned EXACTLY like p0's subpartition spec
+    eng.sql(
+        "CREATE TABLE xtst (k bigint, c text, v bigint)"
+        " PARTITION BY LIST (c) ("
+        "  PARTITION p0_a VALUES ('a'),"
+        "  PARTITION p0_b VALUES ('b'))"
+    )
+    eng.sql("INSERT INTO xtst VALUES (3, 'a', 100), (4, 'b', 200)")
+    out = eng.sql(
+        "ALTER TABLE xt EXCHANGE PARTITION (p0) WITH TABLE xtst"
+    ).collect()[0]
+    assert (out.partition, out.with_table) == ("p0", "xtst")
+    # the staged month is in; the old p0 rows are in the staging side
+    assert eng.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM xt"
+                   ).collect()[0].s == 100 + 200 + 30
+    assert sorted(tuple(r) for r in eng.sql(
+        "SELECT k, c, v FROM xtst").collect()) == \
+        [(1, "a", 10), (2, "b", 20)]
+    # subpartition pruning still serves the swapped-in leaves
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM xt SUBPARTITION (p0_b)"
+    ).collect()[0].n == 1
+    # validation: a staging row routing to p1 refuses
+    eng.sql("INSERT INTO xtst VALUES (15, 'a', 999)")
+    with pytest.raises(ValueError, match="do not route"):
+        eng.sql("ALTER TABLE xt EXCHANGE PARTITION (p0)"
+                " WITH TABLE xtst")
+    # WITHOUT VALIDATION skips the check (reference semantics)
+    eng.sql("ALTER TABLE xt EXCHANGE PARTITION (p0) WITH TABLE xtst"
+            " WITHOUT VALIDATION")
+    # spec mismatch refuses: staging partitioned by the WRONG leaves
+    eng.sql(
+        "CREATE TABLE xbad (k bigint, c text, v bigint)"
+        " PARTITION BY LIST (c) ("
+        "  PARTITION q_a VALUES ('a'))"
+    )
+    with pytest.raises(ValueError, match="exactly like"):
+        eng.sql("ALTER TABLE xt EXCHANGE PARTITION (p1)"
+                " WITH TABLE xbad")
+    eng.sql("DROP TABLE xt")
+    eng.sql("DROP TABLE xtst")
+    eng.sql("DROP TABLE xbad")
 
 
 def test_split_subpartition(spark, tmp_path):

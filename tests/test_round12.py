@@ -233,3 +233,50 @@ def test_view_over_user_aggregate(spark):
         [(r.l_returnflag, round(r.s, 6)) for r in exp]
     eng.sql("DROP VIEW r12_v")
     _drop_combine_agg(eng, name="r12v_sum")
+
+
+def test_plpython_setof_composite(spark):
+    """RETURNS SETOF <composite> (plpy_exec.cpp's dict/tuple row
+    protocol, lifted r12): dict rows, tuple rows, inline()
+    star-expansion in targetlist and FROM position, zero-yield
+    dropping the input row, and the narrowed refusal (array/map
+    elements still refuse, naming CREATE TYPE)."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("CREATE TYPE r12_pair_t AS (w text, ln int)")
+    # dict protocol, generator body
+    eng.sql("""
+        CREATE FUNCTION r12_words(s text)
+        RETURNS SETOF r12_pair_t AS $$
+        for w in s.split('_'):
+            if w:
+                yield {'w': w, 'ln': len(w)}
+        $$ LANGUAGE plpython3u
+    """)
+    rows = eng.sql(
+        "SELECT w, ln FROM (SELECT r12_words(v) FROM"
+        " (SELECT 'ab_cde' AS v UNION ALL SELECT '_' )) ORDER BY w"
+    ).collect()
+    # '_' splits into two empties → zero rows (input row dropped)
+    assert [(r.w, r.ln) for r in rows] == [("ab", 2), ("cde", 3)]
+    # tuple protocol, FROM position: fields become the columns
+    eng.sql("""
+        CREATE FUNCTION r12_pairs(n int)
+        RETURNS SETOF r12_pair_t AS $$
+        return [(('p%d' % i), i) for i in range(n)]
+        $$ LANGUAGE plpython3u
+    """)
+    rows = eng.sql(
+        "SELECT w, ln FROM r12_pairs(3) ORDER BY ln").collect()
+    assert [(r.w, r.ln) for r in rows] == \
+        [("p0", 0), ("p1", 1), ("p2", 2)]
+    # array elements still refuse, steering to CREATE TYPE
+    with pytest.raises(NotImplementedError, match="CREATE TYPE"):
+        eng.sql("""
+            CREATE FUNCTION r12_bad(n int) RETURNS SETOF vector AS $$
+            return []
+            $$ LANGUAGE plpython3u
+        """)
+    eng.sql("DROP FUNCTION r12_words")
+    eng.sql("DROP FUNCTION r12_pairs")
+    eng.sql("DROP TYPE r12_pair_t")
+    assert not eng.plpython_setof_composite
