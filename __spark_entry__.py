@@ -96,83 +96,102 @@ registry.load_all_queries()
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
 # string_funcs, sample_deterministic/cluster_balanced — rotates first
 # in r11).
-# Registered AFTER the round-11 window froze (rotate FIRST in r12):
-# split_subpartition (SPLIT SUBPARTITION surgery — range AT-bound and
-# list value-set splits over one leaf directory; oracle-verified
-# locally in r11, operators/partition_ddl.py).
-#
-# ROUND 11 window (exactly 50): (a) the three NEW registrations —
-# CREATE AGGREGATE's SQL-transition subset compiled to aggregate()
-# folds (operators/create_aggregate.py), PL/Python RETURNS SETOF via
-# ARRAY-returning pandas UDF + explode (plpython.py), and EXCHANGE
-# SUBPARTITION leaf-directory swaps (partition_ddl.py); (b) churn
-# re-gates — do_block.py's fetch-loop soundness fix (refuse consumed
-# cursors, exhaust after loop, arity both ways) re-gates every
-# interpreted-plpgsql row that exercises cursors/dynexec, plpython.py
-# (SETOF plumbing touched the scalar path), create_function.py (spec
-# capture + PG array types in signatures), gist_index.py (recheck
-# evidence), pipeline.py (BPE cache key); the repo-wide status-frame
-# conversion (createDataFrame → one literal SELECT, _util.py) is
-# covered by the full suite + these statement-heavy rows; (c) the
-# ENTIRE 21-row r3 stale tail the r10 verdict demanded first —
-# after this window no row's latest evidence predates r4; (d) the
-# oldest 17 rows of the r4 tail (alphabetical prefix; the remaining
-# 20 rotate in r12).
+# ROUND 12 window (exactly 50): (a) the three NEW registrations —
+# CREATE AGGREGATE's two-level CFUNC fold (create_aggregate_combine:
+# inner per-(group, slice) transition, outer CFUNC merge — the r11
+# verdict's O(group)-memory fix), PL/Python RETURNS SETOF <composite>
+# (ARRAY<STRUCT> + inline() star-expansion, plpython.py), and
+# top-level EXCHANGE PARTITION on subpartitioned tables
+# (partition_ddl.py — beyond the reference, whose regress refuses the
+# shape); (b) split_subpartition — the r11 gate-debt row (registered
+# at position 166 in r11, never driver-gated; front-loaded per the
+# verdict's item #1); (c) churn re-gates — create_aggregate.py
+# (builtin-SFUNC strictness, CFUNC compilation), plpython.py (compile
+# path restructured for composite), create_function.py (RENAME chain
+# fix, composite-SETOF drop), partition_ddl.py (top-level exchange
+# branch), schemas.py's DML-only synonym rule rides the Engine.sql
+# funnel every row exercises; (d) the ENTIRE 20-row r4 stale tail the
+# r11 verdict demanded — after this window no row's latest evidence
+# predates r5; (e) the oldest 21 rows of the 32-entry r5 tail
+# (alphabetical prefix; the remaining 11 rotate in r13).
 GATE_PRIORITY: list[str] = [
-    # (a) round-11 NEW registrations
+    # (a) round-12 NEW registrations
+    "create_aggregate_combine",
+    "plpython_setof_composite",
+    "exchange_partition_subpart",
+    # (b) the r11 gate-debt row
+    "split_subpartition",
+    # (c) churn re-gates
     "create_aggregate_sql",
     "plpython_setof",
-    "exchange_subpartition",
-    # (b) churn re-gates
-    "plpgsql_cursor_fetch",
-    "do_block_for_loop",
-    "plpgsql_dynexecute_function",
-    "plpgsql_setof_dynexecute",
-    "gist_poly_contains",
     "plpython_function",
     "create_function_sql",
-    "bpe_learn_merges",
-    "decontaminate_bloom_prefilter",
-    # (c) the complete r3 stale tail
-    "math_funcs",
-    "pivot_status_counts",
-    "recursive_series",
-    "sample_cluster_balanced",
-    "sample_deterministic",
-    "sql_compat_oracle",
-    "sql_entry_q6",
-    "string_funcs",
-    "tpch_q12_adapted",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16_adapted",
-    "tpch_q17_adapted",
-    "tpch_q18_adapted",
-    "tpch_q19_adapted",
-    "tpch_q20_adapted",
-    "tpch_q21_adapted",
-    "tpch_q22_adapted",
-    "values_scan",
-    "zorder_pruned_scan",
-    # (d) r4-tail rotation (alphabetical prefix of the 37)
-    "agg_filter_clause",
-    "agg_ordered_concat",
-    "agg_regression",
-    "distinct_on",
-    "embedding_norm_outliers",
-    "events_anomaly_zscore",
-    "events_asof_join",
-    "events_retention_cohorts",
-    "fts_bm25_query",
-    "fts_headline",
-    "fts_plainto_websearch",
-    "hnsw_knn_join_exhaustive",
-    "hnsw_search_bit_exhaustive",
-    "hnsw_search_l1_exhaustive",
-    "hstore_funcs",
-    "inlist_join_rewrite",
-    "ivf_delete_then_search",
+    "exchange_subpartition",
+    # (d) the complete 20-row r4 stale tail
+    "ivf_search_cosine_exhaustive",
+    "ivf_search_halfvec_exhaustive",
+    "ivf_search_ip_exhaustive",
+    "json_modify_roundtrip",
+    "lateral_topn_per_group",
+    "multimodal_frame_sample",
+    "pii_scrub_redact",
+    "salted_skew_join",
+    "sample_weighted_priority",
+    "setop_all_multiplicity",
+    "string_format_pg",
+    "string_funcs2",
+    "text_heavy_hitters",
+    "tsstore_locf_gapfill",
+    "udtf_token_chunks",
+    "unpivot_metrics",
+    "window_exclude_frame",
+    "window_groups_frame",
+    "window_rank_dist",
+    "window_ratio_to_report",
+    # (e) r5-tail rotation (alphabetical prefix of the 32)
+    "agg_regression2",
+    "copy_sql_roundtrip",
+    "corpus_token_histogram",
+    "db4ai_auc_score",
+    "db4ai_calibration_bins",
+    "dblink_remote_agg",
+    "dedup_repeated_spans",
+    "epoch_shuffle_shards",
+    "eval_bootstrap_ci",
+    "events_anomaly_mad",
+    "events_counter_increase",
+    "events_winsorize",
+    "fts_query_rewrite",
+    "fts_ts_stat",
+    "hnsw_delete_then_search",
+    "hnsw_filtered_search",
+    "hnsw_search_halfvec_exhaustive",
+    "hnsw_search_sparsevec_exhaustive",
+    "ivf_search_bit_exhaustive",
+    "knn_maxsim_multivector",
+    "knn_subvector_rerank",
+]
+
+# The ROUND 11 window, retired (kept for the rotation ledger):
+_GATE_PRIORITY_R11: list[str] = [
+    "create_aggregate_sql", "plpython_setof", "exchange_subpartition",
+    "plpgsql_cursor_fetch", "do_block_for_loop",
+    "plpgsql_dynexecute_function", "plpgsql_setof_dynexecute",
+    "gist_poly_contains", "plpython_function", "create_function_sql",
+    "bpe_learn_merges", "decontaminate_bloom_prefilter", "math_funcs",
+    "pivot_status_counts", "recursive_series", "sample_cluster_balanced",
+    "sample_deterministic", "sql_compat_oracle", "sql_entry_q6",
+    "string_funcs", "tpch_q12_adapted", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16_adapted", "tpch_q17_adapted",
+    "tpch_q18_adapted", "tpch_q19_adapted", "tpch_q20_adapted",
+    "tpch_q21_adapted", "tpch_q22_adapted", "values_scan",
+    "zorder_pruned_scan", "agg_filter_clause", "agg_ordered_concat",
+    "agg_regression", "distinct_on", "embedding_norm_outliers",
+    "events_anomaly_zscore", "events_asof_join",
+    "events_retention_cohorts", "fts_bm25_query", "fts_headline",
+    "fts_plainto_websearch", "hnsw_knn_join_exhaustive",
+    "hnsw_search_bit_exhaustive", "hnsw_search_l1_exhaustive",
+    "hstore_funcs", "inlist_join_rewrite", "ivf_delete_then_search",
 ]
 
 # The ROUND 10 window, retired (kept for the rotation ledger):

@@ -364,16 +364,34 @@ def main() -> None:
     # capture), then the short headline line LAST so the driver's tail
     # always captures a parseable total — BENCH_r04 lost its headline
     # because "value" preceded the 83-entry "queries" dict on one line.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_detail",
-                "unit": "sec",
-                "sf": sf,
-                "queries": timings,
-            }
+    detail = {
+        "metric": "headline_queries_detail",
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "probe": {
+            "start": probe_start,
+            "end": probe_end,
+            "series": probe_series,
+            "load1": loads,
+        },
+    }
+    print(json.dumps(detail))
+    # ALSO persist the detail next to the script (the driver's bench
+    # artifact keeps only a ~2.2 KB tail, which hid per-query numbers
+    # for ~100 of 143 rows in r11) — committed per round as
+    # BENCH_DETAIL_r{N}.json so per-query regression detection never
+    # depends on the capture window
+    try:
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL_latest.json"),
         )
-    )
+        with open(out_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(
         json.dumps(
             {

@@ -1140,8 +1140,13 @@ def _bound_norm(b):
 
 def _exchange_partition_subpartitioned(engine, m, spec):
     """ALTER TABLE <pt> EXCHANGE PARTITION (<p>) WITH TABLE <staging>
-    on a SUBPARTITIONED table (tablecmds.cpp ATExecExchangePartition;
-    the hw_subpartition_alter_table regress shapes, lifted r12): the
+    on a SUBPARTITIONED table — BEYOND the reference: its own regress
+    pins this shape as "Un-support feature: For subpartition table,
+    exchange partition is not yet supported"
+    (hw_subpartition_alter_table expected output), but the staged-load
+    use case is too valuable at 100 TB to refuse when the storage
+    model makes it O(1) (tablecmds.cpp ATExecExchangePartition is the
+    single-level machinery this extends one level up): the
     staging side must be a table partitioned EXACTLY like p's
     subpartition spec (same kind, key, leaf names and bounds); then
     the whole ``_part=<p>`` directory and the staging table's
@@ -1366,9 +1371,13 @@ def _merge_partitions(engine, m):
     if spec is None:
         raise ValueError(f"table {name!r} is not partitioned")
     if spec.sub_kind:
+        # the reference refuses this exact shape ("Un-support
+        # feature: For subpartition table, merge partition",
+        # hw_subpartition_alter_table expected output) — same line
         raise NotImplementedError(
             "MERGE PARTITIONS on a subpartitioned table is not "
-            "supported"
+            "supported (the reference refuses it too) — merge at "
+            "subpartition granularity or EXCHANGE whole partitions"
         )
     if spec.kind == "hash":
         raise NotImplementedError(
@@ -1449,8 +1458,13 @@ def _split_partition(engine, m):
     if spec is None:
         raise ValueError(f"table {name!r} is not partitioned")
     if spec.sub_kind:
+        # the reference refuses this exact shape ("Un-support
+        # feature: For subpartition table, split partition",
+        # hw_subpartition_alter_table expected output) — same line
         raise NotImplementedError(
-            "SPLIT PARTITION on a subpartitioned table is not supported"
+            "SPLIT PARTITION on a subpartitioned table is not "
+            "supported (the reference refuses it too) — SPLIT "
+            "SUBPARTITION is the supported surgery"
         )
     if spec.kind != "range":
         raise NotImplementedError(
@@ -2271,10 +2285,12 @@ def split_subpartition(spark, sf_dir):
     """,
 )
 def exchange_partition_subpart(spark, sf_dir):
-    """Top-level EXCHANGE PARTITION on a SUBPARTITIONED table
-    (tablecmds.cpp ATExecExchangePartition; the
-    hw_subpartition_alter_table regress shapes — the r11 verdict's
-    item #5, lifted r12): the whole ``_part=p0`` directory (all its
+    """Top-level EXCHANGE PARTITION on a SUBPARTITIONED table (the
+    r11 verdict's item #5, lifted r12 — BEYOND the reference, whose
+    own regress pins this shape as "Un-support feature"
+    (hw_subpartition_alter_table expected output); tablecmds.cpp
+    ATExecExchangePartition is the single-level machinery this
+    extends one level up): the whole ``_part=p0`` directory (all its
     LIST subpartition leaves) swaps with a staging table partitioned
     EXACTLY like p0's subpartition spec — O(#leaves) renames, no data
     copy.  The oracle recomputes BOTH sides set-theoretically
