@@ -96,7 +96,9 @@ registry.load_all_queries()
 # tpch_q12..q22 adapted, values/zorder scans, sql_entry_q6,
 # string_funcs, sample_deterministic/cluster_balanced — rotates first
 # in r11).
-# ROUND 12 window (exactly 50): (a) the three NEW registrations —
+# ROUND 12 window (exactly 50): (a) the four NEW registrations —
+# range types compiled to struct bound comparisons (range_types.py,
+# census batch 9),
 # CREATE AGGREGATE's two-level CFUNC fold (create_aggregate_combine:
 # inner per-(group, slice) transition, outer CFUNC merge — the r11
 # verdict's O(group)-memory fix), PL/Python RETURNS SETOF <composite>
@@ -119,6 +121,7 @@ GATE_PRIORITY: list[str] = [
     "create_aggregate_combine",
     "plpython_setof_composite",
     "exchange_partition_subpart",
+    "range_type_funcs",
     # (b) the r11 gate-debt row
     "split_subpartition",
     # (c) churn re-gates
@@ -169,7 +172,8 @@ GATE_PRIORITY: list[str] = [
     "hnsw_search_sparsevec_exhaustive",
     "ivf_search_bit_exhaustive",
     "knn_maxsim_multivector",
-    "knn_subvector_rerank",
+    # (knn_subvector_rerank displaced by range_type_funcs — the
+    #  r5 remainder rotates in r13)
 ]
 
 # The ROUND 11 window, retired (kept for the rotation ledger):

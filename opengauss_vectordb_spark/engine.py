@@ -294,6 +294,13 @@ class Engine:
             from .operators.gist_index import rewrite_gist_ops
 
             query = rewrite_gist_ops(self, query)
+            # numrange(...) @>/&&/-|-/… — range constructors,
+            # accessors, and operators compile to struct bound
+            # comparisons (rangetypes.cpp); identity without a range
+            # construct
+            from .operators.range_types import rewrite_range_ops
+
+            query = rewrite_range_ops(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"

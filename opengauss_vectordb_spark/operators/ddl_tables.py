@@ -1915,17 +1915,28 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
                 return status_frame(engine.spark, ("CREATE TABLE", name, True), "tag STRING, tbl STRING, already_existed BOOLEAN",)
             raise ValueError(f"table {name!r} already exists")
         from .create_function import _map_type
+        from .range_types import RANGE_KINDS, range_struct_ddl
         from .user_types import resolve_type
         defs, pk = _parse_column_defs(m.group("cols"))
-        schema = ", ".join(
-            f"{c['name']} "
-            + (resolve_type(engine, c["type"]) or _map_type(c["type"]))
-            for c in defs
-        )
+
+        def _coltype(c):
+            t = c["type"].strip().lower()
+            if t in RANGE_KINDS:
+                # range-typed column (rangetypes.cpp): the canonical
+                # bound struct; the column registers for operator
+                # dispatch below
+                return range_struct_ddl(t)
+            return resolve_type(engine, c["type"]) or _map_type(c["type"])
+
+        schema = ", ".join(f"{c['name']} {_coltype(c)}" for c in defs)
         enum_cols = {
             c["name"]: c["type"].strip().lower() for c in defs
             if engine.user_types.get(c["type"].strip().lower(), {})
             .get("kind") == "enum"
+        }
+        range_cols = {
+            c["name"].lower(): c["type"].strip().lower() for c in defs
+            if c["type"].strip().lower() in RANGE_KINDS
         }
         empty = engine.spark.createDataFrame([], schema)
         engine.managed_tables.create_as(
@@ -1935,6 +1946,8 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
         meta = engine.managed_tables.tables[name]
         if enum_cols:
             meta["enum_cols"] = enum_cols
+        if range_cols:
+            meta["range_cols"] = range_cols
         if pk:
             meta["primary_key"] = pk
         if m.group("temp"):

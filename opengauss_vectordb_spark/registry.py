@@ -85,6 +85,7 @@ def load_all_queries() -> None:
         pipeline,
         plpgsql,
         plpython,
+        range_types,
         relational,
         rls,
         schemas,

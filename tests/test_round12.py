@@ -280,3 +280,34 @@ def test_plpython_setof_composite(spark):
     eng.sql("DROP FUNCTION r12_pairs")
     eng.sql("DROP TYPE r12_pair_t")
     assert not eng.plpython_setof_composite
+
+
+def test_timestampdiff_bformat_units(spark):
+    """B-format TIMESTAMPDIFF (census batch 9, 136 regress calls):
+    Spark's native timestampdiff covers every unit the reference's
+    B-format grammar accepts — pinned here so a regression in the
+    passthrough (or a future rewrite shadowing the name) is caught.
+    MySQL/openGauss semantics = complete units between the bounds."""
+    eng = Engine(spark, SF_CORRECT)
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    t1, t2 = "TIMESTAMP '2020-01-15 10:30:00'", \
+        "TIMESTAMP '2021-03-20 12:45:30'"
+    assert one(f"SELECT timestampdiff(YEAR, {t1}, {t2})") == 1
+    assert one(f"SELECT timestampdiff(QUARTER, {t1}, {t2})") == 4
+    assert one(f"SELECT timestampdiff(MONTH, {t1}, {t2})") == 14
+    assert one(f"SELECT timestampdiff(WEEK, {t1}, {t2})") == 61
+    assert one(f"SELECT timestampdiff(DAY, {t1}, {t2})") == 430
+    assert one(f"SELECT timestampdiff(HOUR, {t1}, {t2})") == 10322
+    assert one(f"SELECT timestampdiff(MINUTE, {t1}, {t2})") \
+        == 619335
+    assert one(f"SELECT timestampdiff(SECOND, {t1}, {t2})") \
+        == 37160130
+    assert one(
+        "SELECT timestampdiff(MICROSECOND,"
+        " TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-02')"
+    ) == 86_400_000_000
+    # complete-unit rule: one second short of a month is 0 months
+    assert one(
+        "SELECT timestampdiff(MONTH, TIMESTAMP '2020-01-15 10:00:00',"
+        " TIMESTAMP '2020-02-15 09:59:59')"
+    ) == 0
