@@ -211,6 +211,14 @@ HEADLINE = [
     # rule, same as the other DDL lifecycles).
     "create_aggregate_sql",
     "plpython_setof",
+    # round-12 additions (same rules): the two-level CFUNC fold, the
+    # composite-SETOF star-expansion, and the range-type bound
+    # comparisons are read-side; exchange_partition_subpart and
+    # split_subpartition swap/rewrite storage inside the query and
+    # stay out (the write-time rule)
+    "create_aggregate_combine",
+    "plpython_setof_composite",
+    "range_type_funcs",
 ]
 
 

@@ -444,13 +444,24 @@ class Engine:
         # (scripts keep their shape); ROLLBACK/SAVEPOINT have nothing
         # to undo INSIDE a transaction and refuse, naming TIMECAPSULE
         # (flashback) as this engine's undo mechanism
+        # transaction modes (ISOLATION LEVEL x / READ ONLY / READ
+        # WRITE / [NOT] DEFERRABLE) are isolation metadata with no
+        # meaning in a single-session snapshot-swap engine — accepted
+        # and named in the status frame (gram.y transaction_mode_list)
         m = re.match(
             r"^\s*(?P<verb>BEGIN|START\s+TRANSACTION|COMMIT|END)"
-            r"(?:\s+WORK|\s+TRANSACTION)?\s*;?\s*$",
+            r"(?:\s+WORK|\s+TRANSACTION)?"
+            r"(?P<modes>(?:\s*,?\s*(?:ISOLATION\s+LEVEL\s+\w+(?:\s+\w+)?"
+            r"|READ\s+(?:ONLY|WRITE)|(?:NOT\s+)?DEFERRABLE))*)\s*;?\s*$",
             query, re.IGNORECASE,
         )
         if m:
-            return status_frame(self.spark, (m.group("verb").upper(), "autocommit no-op"), "tag STRING, note STRING",)
+            note = "autocommit no-op"
+            if (m.group("modes") or "").strip():
+                note += (" (modes "
+                         + re.sub(r"\s+", " ", m.group("modes").strip())
+                         + " are isolation metadata)")
+            return status_frame(self.spark, (m.group("verb").upper(), note), "tag STRING, note STRING",)
         # SAVEPOINT family (gram.y:19519 TransactionStmt savepoints):
         # in a single-session autocommit engine a savepoint is a NAMED
         # RESTORE FRAME over the commit log — SAVEPOINT snapshots every

@@ -246,6 +246,37 @@ def _refresh_views(engine, only: str | None = None) -> None:
 
 
 def try_handle_stmt(engine, stmt: str):
+    m = re.match(
+        r"^\s*REASSIGN\s+OWNED\s+BY\s+(?P<old>[\w, ]+?)\s+TO\s+"
+        r"(?P<new>\w+)\s*;?\s*$", stmt, re.IGNORECASE,
+    )
+    if m:
+        # shdepend.cpp shdepReassignOwned: ownership moves to the new
+        # role — here ownership lives in the ACL registry, so every
+        # grant held by the old role(s) transfers (census batch 9;
+        # 13 regress uses)
+        olds = {r.strip().lower() for r in m.group("old").split(",")}
+        new = m.group("new").lower()
+        moved = 0
+        for tbl, roles in engine.acl.items():
+            for old in list(roles):
+                if old in olds:
+                    privs = roles.pop(old)
+                    roles.setdefault(new, set()).update(privs)
+                    moved += 1
+        return status_frame(
+            engine.spark, ("REASSIGN OWNED", new, moved),
+            "tag STRING, new_owner STRING, grants_moved BIGINT",
+        )
+    if re.match(r"^\s*(LISTEN|UNLISTEN|NOTIFY)\b", stmt,
+                re.IGNORECASE):
+        raise NotImplementedError(
+            "LISTEN/NOTIFY (async.cpp) assume a long-lived server "
+            "process delivering notifications between sessions — a "
+            "batch engine has no session to notify; poll a managed "
+            "table (INSERT events, SELECT new rows) for the same "
+            "coordination shape"
+        )
     m = _TABLE_PRIVS_SELECT.match(stmt)
     if m:
         # information_schema.table_privileges analogue

@@ -311,3 +311,40 @@ def test_timestampdiff_bformat_units(spark):
         "SELECT timestampdiff(MONTH, TIMESTAMP '2020-01-15 10:00:00',"
         " TIMESTAMP '2020-02-15 09:59:59')"
     ) == 0
+
+
+def test_transaction_modes_and_reassign(spark):
+    """Census batch 9 statement sweep: START TRANSACTION with
+    isolation modes (204 regress uses — gram.y transaction_mode_list;
+    single-session metadata, named in the status frame), REASSIGN
+    OWNED (shdepend.cpp — grants transfer in the ACL registry), and
+    LISTEN/NOTIFY refusing toward the managed-table polling shape."""
+    eng = Engine(spark, SF_CORRECT)
+    r = eng.sql("START TRANSACTION READ ONLY").collect()[0]
+    assert r.tag == "START TRANSACTION" and "READ ONLY" in r.note
+    r = eng.sql(
+        "START TRANSACTION ISOLATION LEVEL SERIALIZABLE").collect()[0]
+    assert "SERIALIZABLE" in r.note
+    assert eng.sql("BEGIN TRANSACTION").collect()[0].tag == "BEGIN"
+    # REASSIGN OWNED moves grants between roles
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="r12_acl_")
+    eng.managed_tables.root = tmp
+    try:
+        eng.sql("CREATE ROLE r12_old LOGIN")
+        eng.sql("CREATE ROLE r12_new LOGIN")
+        eng.sql("CREATE TABLE r12_acl_t AS SELECT 1 AS x")
+        eng.sql("GRANT SELECT ON r12_acl_t TO r12_old")
+        out = eng.sql("REASSIGN OWNED BY r12_old TO r12_new"
+                      ).collect()[0]
+        assert out.grants_moved == 1
+        assert "r12_new" in eng.acl["r12_acl_t"]
+        assert "r12_old" not in eng.acl["r12_acl_t"]
+        eng.sql("DROP TABLE r12_acl_t")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for q in ("LISTEN ch", "NOTIFY ch"):
+        with pytest.raises(NotImplementedError, match="poll"):
+            eng.sql(q)
