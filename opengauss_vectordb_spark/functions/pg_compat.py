@@ -175,6 +175,28 @@ _SQL_MACROS = {
     "hll_hash_bigint(x BIGINT) RETURNS BIGINT RETURN xxhash64(x)",
     "hll_hash_text": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "hll_hash_text(x STRING) RETURNS BIGINT RETURN xxhash64(x)",
+    # contrib/hll SCALAR sketch construction (hll_empty/hll_add/
+    # hll_union/hll_print): the reference builds sketches value-by-
+    # value in scalar context; Spark's datasketches surface is
+    # aggregate-shaped (hll_sketch_agg/hll_union_agg), so these are
+    # GUIDED refusals — registered functions whose execution names
+    # the rewrite rather than dying as unresolved names (census
+    # batch 9; 112/70/65 regress uses)
+    "hll_empty": "CREATE OR REPLACE TEMPORARY FUNCTION hll_empty() "
+    "RETURNS BINARY RETURN CAST(raise_error('contrib/hll scalar "
+    "sketch construction: build sketches with "
+    "hll_add_agg(hll_hash_*(x)) over rows, merge with "
+    "hll_union_agg, read with hll_cardinality') AS BINARY)",
+    "hll_add": "CREATE OR REPLACE TEMPORARY FUNCTION hll_add"
+    "(s BINARY, h BIGINT) RETURNS BINARY RETURN "
+    "CAST(raise_error('contrib/hll scalar hll_add: aggregate the "
+    "hashed values with hll_add_agg(hll_hash_*(x)) instead of "
+    "adding one-by-one') AS BINARY)",
+    "hll_print": "CREATE OR REPLACE TEMPORARY FUNCTION hll_print"
+    "(s BINARY) RETURNS STRING RETURN "
+    "CAST(raise_error('contrib/hll hll_print renders sketch "
+    "internals: read cardinality with hll_cardinality(sketch)') "
+    "AS STRING)",
     # clock_/statement_/transaction_timestamp (timestamp.cpp): in an
     # autocommit batch engine all three collapse to the statement's
     # snapshot instant — current_timestamp() (one value per statement,
@@ -283,6 +305,9 @@ def register_pg_functions(spark: SparkSession) -> None:
         "hll_hash_integer",
         "hll_hash_bigint",
         "hll_hash_text",
+        "hll_empty",
+        "hll_add",
+        "hll_print",
         "array_length",
         "lengthb",
         "nlssort",

@@ -348,3 +348,22 @@ def test_transaction_modes_and_reassign(spark):
     for q in ("LISTEN ch", "NOTIFY ch"):
         with pytest.raises(NotImplementedError, match="poll"):
             eng.sql(q)
+
+
+def test_hll_scalar_guided_refusals(spark):
+    """contrib/hll's scalar construction spellings (hll_empty 112 /
+    hll_add 70 / hll_print 65 regress uses) are GUIDED refusals —
+    registered functions whose execution names the aggregate-shaped
+    rewrite — instead of unresolved-function analyzer errors; the
+    supported sketch path stays green."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(Exception, match="hll_add_agg"):
+        eng.sql("SELECT hll_add(hll_empty(), hll_hash_integer(1))"
+                ).collect()
+    with pytest.raises(Exception, match="hll_cardinality"):
+        eng.sql("SELECT hll_print(hll_empty())").collect()
+    n = eng.sql(
+        "SELECT hll_cardinality(hll_add_agg(hll_hash_integer("
+        "CAST(n_nationkey AS INT)))) FROM nation"
+    ).collect()[0][0]
+    assert 23 <= n <= 27
