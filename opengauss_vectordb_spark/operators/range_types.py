@@ -677,12 +677,55 @@ def rewrite_range_ops(engine, query: str) -> str:
     appears with a range operator."""
     low = query.lower()
     rc = _range_columns(engine)
+    # tables owning range columns: an INSERT/UPDATE against one may
+    # carry only bare literals (no constructor/column NAME in the
+    # text), so the table name itself must trigger the pass
+    mt = getattr(engine, "managed_tables", None)
+    rtables = (
+        {t for t, meta in mt.tables.items()
+         if meta.get("range_cols")} if mt is not None else set()
+    )
     if not (
         any(k in low for k in RANGE_KINDS)
         or any(f in low for f in _RANGE_FNS)
         or (rc and any(c in low for c in rc))
+        or (rtables and any(t in low for t in rtables))
     ):
         return query
+    # UPDATE <range-table> SET nr = '<lit>': the SET position is an
+    # ASSIGNMENT, not an equality predicate — convert the literal to
+    # the constructor struct directly (the WHERE clause below keeps
+    # the normal operator dispatch)
+    um = re.match(
+        r"^(?P<head>\s*UPDATE\s+(?P<t>\w+)\s+SET\s+)(?P<sets>.*?)"
+        r"(?P<where>\bWHERE\b.*)?;?\s*$",
+        query, re.IGNORECASE | re.DOTALL,
+    )
+    if um:
+        mt = getattr(engine, "managed_tables", None)
+        meta = (mt.tables.get(um.group("t").lower())
+                if mt is not None else None)
+        rcols = (meta or {}).get("range_cols") or {}
+        if rcols:
+            parts = []
+            for clause in _split_commas(um.group("sets")):
+                cm = re.match(r"^(?P<c>\w+)\s*=\s*(?P<v>.+)$",
+                              clause.strip(), re.DOTALL)
+                if cm and cm.group("c").lower() in rcols:
+                    v = cm.group("v").strip()
+                    if re.match(r"^'(?:[^']|'')*'$", v):
+                        v = parse_range_text(
+                            rcols[cm.group("c").lower()],
+                            v[1:-1].replace("''", "'"))
+                    else:
+                        v = _rewrite_text(engine, v)
+                    parts.append(f"{cm.group('c')} = {v}")
+                else:
+                    parts.append(_rewrite_text(engine, clause))
+            where = um.group("where") or ""
+            return (um.group("head") + ", ".join(parts)
+                    + (" " + _rewrite_text(engine, where)
+                       if where else ""))
     # INSERT INTO <range-table> VALUES(...): bare string literals in
     # range column positions parse through range_in
     m = re.match(

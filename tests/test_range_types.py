@@ -156,3 +156,23 @@ def test_range_ops_stay_codegen(eng):
     assert python_eval_nodes(df) == 0
     assert "BatchEvalPython" not in physical_plan(df)
     assert df.collect()[0].n > 0
+
+
+def test_range_update_set(eng):
+    """UPDATE's SET position is an ASSIGNMENT — a range literal there
+    must convert to the constructor struct, never to an equality
+    predicate; the WHERE keeps operator dispatch."""
+    eng.sql("CREATE TABLE r12_upd (k int, nr numrange)")
+    eng.sql("INSERT INTO r12_upd VALUES (1, '[1,2)'), (2, '[5,9)')")
+    eng.sql("UPDATE r12_upd SET nr = '[10,20)' WHERE 6.0 <@ nr")
+    rows = sorted(
+        (r.k, float(r.lo) if r.lo is not None else None)
+        for r in eng.sql(
+            "SELECT k, lower(nr) AS lo FROM r12_upd").collect()
+    )
+    assert rows == [(1, 1.0), (2, 10.0)]
+    eng.sql("UPDATE r12_upd SET nr = numrange(0.5, 1.5) WHERE k = 1")
+    assert float(eng.sql(
+        "SELECT upper(nr) FROM r12_upd WHERE k = 1"
+    ).collect()[0][0]) == 1.5
+    eng.sql("DROP TABLE r12_upd")
