@@ -708,9 +708,12 @@ def test_subpartition_default_and_add_partition(spark, tmp_path):
              eng.sql("SELECT * FROM pg_partitions").collect()]
     assert "p1/p1_subpartdefault1" in names
     assert eng.sql("SELECT COUNT(*) AS n FROM sd").collect()[0].n == 2
-    # partition-level ops refuse on subpartitioned tables
+    # partition-level MERGE/SPLIT refuse on subpartitioned tables
+    # (the reference's own line); EXCHANGE executes since r12 but
+    # demands a spec-matching partitioned staging side — a plain
+    # table refuses with the requirement named
     eng.sql("CREATE TABLE sd_stage (k bigint, c text, v bigint)")
-    with pytest.raises(NotImplementedError, match="subpartitioned"):
+    with pytest.raises(ValueError, match="singly partitioned"):
         eng.sql("ALTER TABLE sd EXCHANGE PARTITION (p0)"
                 " WITH TABLE sd_stage")
     with pytest.raises(NotImplementedError, match="subpartitioned"):
