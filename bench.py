@@ -357,9 +357,17 @@ def main() -> None:
     # host; genuine host contention measured +76%.  The flag fires
     # above the aging band; the raw drift is always in the artifact
     # for finer judgement.
-    worst_probe = max([probe_start, probe_end, *probe_series])
-    noisy = drift > 0.5 or (
-        worst_probe / max(probe_start, 1e-9) > 1.5
+    # round-12 hardening: a CONTENDED START made the worst/start
+    # ratio blind (a 180 s run opened with a 3.4 s probe and every
+    # later probe looked "fast" relative to it) — the spread against
+    # the BEST probe catches slow starts and mid-run bursts alike
+    all_probes = [probe_start, probe_end, *probe_series]
+    worst_probe = max(all_probes)
+    best_probe = min(all_probes)
+    noisy = (
+        drift > 0.5
+        or worst_probe / max(probe_start, 1e-9) > 1.5
+        or worst_probe / max(best_probe, 1e-9) > 1.6
     )
 
     total = round(sum(timings.values()), 3)

@@ -418,8 +418,10 @@ def _match_atom(engine, text: str, masked: str, pos: int):
 
 
 _SIMPLE_OPERAND = re.compile(
-    r"\s*(?P<o>'(?:[^']|'')*'|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
-    r"|\w+(?:\.\w+)?)"
+    r"\s*(?P<o>(?:DATE|TIMESTAMP|TIME|INTERVAL)\s+'(?:[^']|'')*'"
+    r"|'(?:[^']|'')*'|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    r"|\w+(?:\.\w+)?)",
+    re.IGNORECASE,
 )
 
 
@@ -600,10 +602,11 @@ def _rewrite_text(engine, text: str) -> str:
                         break
             # left side: <operand> <op> <atom>
             lm = re.search(
-                r"(?P<o>'(?:[^']|'')*'|-?\d+(?:\.\d+)?"
+                r"(?P<o>(?:DATE|TIMESTAMP|TIME|INTERVAL)\s+"
+                r"'(?:[^']|'')*'|'(?:[^']|'')*'|-?\d+(?:\.\d+)?"
                 r"(?:[eE][+-]?\d+)?|\w+(?:\.\w+)?)\s*"
                 + _OP_RE + r"\s*$",
-                out[:a_start],
+                out[:a_start], re.IGNORECASE,
             )
             if lm:
                 o, op = lm.group("o"), lm.group("op")

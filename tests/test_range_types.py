@@ -176,3 +176,34 @@ def test_range_update_set(eng):
         "SELECT upper(nr) FROM r12_upd WHERE k = 1"
     ).collect()[0][0]) == 1.5
     eng.sql("DROP TABLE r12_upd")
+
+
+def test_daterange_and_int8range(eng):
+    """Discrete kinds beyond int4range: daterange steps by day
+    (date_add canonicalization), int8range by 1 — constructors,
+    literals, containment, adjacency."""
+    # daterange canonicalization: (d1, d2] → [d1+1, d2+1)
+    assert str(one(eng, "SELECT lower(daterange(DATE '2020-01-01',"
+                        " DATE '2020-01-10', '(]'))")) == "2020-01-02"
+    assert str(one(eng, "SELECT upper(daterange(DATE '2020-01-01',"
+                        " DATE '2020-01-10', '(]'))")) == "2020-01-11"
+    assert one(eng, "SELECT daterange(DATE '2020-01-01',"
+                    " DATE '2020-02-01') @> DATE '2020-01-15'") is True
+    assert one(eng, "SELECT daterange(DATE '2020-01-01',"
+                    " DATE '2020-02-01') @> DATE '2020-02-01'") is False
+    # adjacency through canonical [lo, hi): [jan, feb) -|- [feb, mar)
+    assert one(
+        eng,
+        "SELECT daterange(DATE '2020-01-01', DATE '2020-02-01') -|- "
+        "daterange(DATE '2020-02-01', DATE '2020-03-01')") is True
+    # date literals through range_in
+    eng.sql("CREATE TABLE r12_dr (dr daterange)")
+    eng.sql("INSERT INTO r12_dr VALUES('[2020-01-01, 2020-02-01)')")
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM r12_dr"
+        " WHERE dr @> DATE '2020-01-31'").collect()[0].n == 1
+    eng.sql("DROP TABLE r12_dr")
+    # int8range empty canonicalization and equality
+    assert one(eng, "SELECT isempty(int8range(5, 5))") is True
+    assert one(eng, "SELECT int8range(1, 10) = int8range(0, 9, '(]')"
+               ) is True
