@@ -207,3 +207,17 @@ def test_daterange_and_int8range(eng):
     assert one(eng, "SELECT isempty(int8range(5, 5))") is True
     assert one(eng, "SELECT int8range(1, 10) = int8range(0, 9, '(]')"
                ) is True
+
+
+def test_literal_range_predicate_pushes_down(eng):
+    """Scale pin: an all-literal range constructor constant-folds in
+    Catalyst and its elem-containment comparisons reach the parquet
+    scan as PushedFilters — a literal range predicate costs the same
+    as writing the bound comparisons by hand."""
+    from opengauss_vectordb_spark.plans.explain import has_pushed_filter
+
+    df = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders"
+        " WHERE int8range(500, 1500) @> o_orderkey"
+    )
+    assert has_pushed_filter(df, "o_orderkey")
