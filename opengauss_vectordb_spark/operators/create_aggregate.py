@@ -415,8 +415,7 @@ def _top_level_clauses(masked: str):
                 i += mm.end()
                 continue
         i += 1
-    if "FROM" not in spans or "GROUP BY" not in spans or \
-            "HAVING" in spans:
+    if "FROM" not in spans or "GROUP BY" not in spans:
         return None
     order = [("SELECT", m.end())] + sorted(
         spans.items(), key=lambda kv: kv[1]
@@ -465,26 +464,122 @@ def _norm(e: str) -> str:
     return re.sub(r"\s+", " ", e.strip()).lower()
 
 
+_ITEM_KEYWORDS = {
+    "as", "case", "when", "then", "else", "end", "and", "or", "not",
+    "null", "true", "false", "cast", "double", "float", "int",
+    "integer", "bigint", "smallint", "decimal", "numeric", "string",
+    "varchar", "char", "boolean", "date", "timestamp", "interval",
+    "precision", "between", "in", "like", "is", "div",
+}
+
+
+class _TwoLevelState:
+    """Accumulates the inner projection while items compile."""
+
+    def __init__(self, aggs, key_idents):
+        self.aggs = aggs
+        self.key_idents = key_idents  # simple-identifier keys (lower)
+        self.inner: list[str] = []
+        self.hash_args: list[str] = []
+        self.n_user = 0
+        self.n_builtin = 0
+
+
+def _compile_item_expr(st: _TwoLevelState, expr: str):
+    """Compile ONE expression over aggregates + keys into its OUTER
+    form, appending the per-call inner projections to ``st``.
+    Returns the outer SQL text, or None when the expression falls
+    outside the modeled space (the caller then abandons the whole
+    two-level attempt)."""
+    from .plpgsql import _mask_strings
+
+    masked = _mask_strings(expr)
+    calls = []  # (start, end, fn, args_text)
+    for m in re.finditer(r"\b(\w+)\s*\(", masked):
+        fn = m.group(1).lower()
+        if fn in st.aggs or fn.upper() in _BUILTIN_2LVL:
+            cl = _find_close_masked(masked, m.end() - 1)
+            if cl < 0:
+                return None
+            calls.append((m.start(), cl + 1, fn, expr[m.end():cl]))
+    # nested aggregate calls are invalid SQL — let the normal path err
+    for i, (s1, e1, _f, _a) in enumerate(calls):
+        for j, (s2, e2, _f2, _a2) in enumerate(calls):
+            if i != j and s1 <= s2 and e2 <= e1:
+                return None
+    # every identifier OUTSIDE the call spans must be a keyword, a
+    # function name, or a simple group-key identifier — anything else
+    # (a bare base column) cannot resolve above the inner aggregation
+    leftover = list(masked)
+    for s, e, _f, _a in calls:
+        for i in range(s, e):
+            leftover[i] = " "
+    leftover_text = "".join(leftover)
+    for im in re.finditer(r"\b[A-Za-z_]\w*\b", leftover_text):
+        if leftover_text[im.end():].lstrip().startswith("("):
+            continue  # a function name
+        word = im.group(0).lower()
+        if word in _ITEM_KEYWORDS or word in st.key_idents:
+            continue
+        return None
+    # compile the calls right-to-left so spans stay valid
+    out = expr
+    for s, e, fn, args_text in sorted(calls, reverse=True):
+        if fn in st.aggs:
+            agg = st.aggs[fn]
+            if not agg.get("combine"):
+                return None
+            inner = args_text.strip()
+            if re.match(r"^(DISTINCT|ALL)\b", inner, re.IGNORECASE) \
+                    or re.search(r"\bORDER\s+BY\b",
+                                 _mask_strings(inner), re.IGNORECASE):
+                return None  # single-level path owns the refusal
+            args = _split_commas(inner)
+            st.inner.append(
+                fold_expr(agg, args, with_final=False)
+                + f" AS __uas{st.n_user}"
+            )
+            rep = merge_fold_expr(agg, f"__uas{st.n_user}")
+            st.hash_args.extend(args)
+            st.n_user += 1
+        else:
+            inner = args_text.strip()
+            if re.match(r"^DISTINCT\b", inner, re.IGNORECASE):
+                return None
+            st.inner.append(
+                f"{fn.upper()}({inner}) AS __b{st.n_builtin}"
+            )
+            rep = (f"{_BUILTIN_2LVL[fn.upper()]}"
+                   f"(__b{st.n_builtin})")
+            st.n_builtin += 1
+        out = out[:s] + rep + out[e:]
+    return out
+
+
 def rewrite_agg_two_level(engine, query: str) -> str | None:
     """Two-level fold for user aggregates that DECLARE a combine
     (nodeAgg.cpp's parallel-aggregate plan: per-worker transition,
-    leader combine).  A simple-shape statement
+    leader combine).  A one-block statement
 
-        SELECT keys…, myagg(args)…, COUNT/SUM/MIN/MAX(…)…
-        FROM rel [WHERE …] GROUP BY keys [ORDER BY …] [LIMIT n]
+        SELECT <exprs over keys + agg calls>
+        FROM rel [WHERE …] GROUP BY keys [HAVING …] [ORDER BY …]
+        [LIMIT n]
 
     restructures into an inner aggregation by (keys, slice) — slice =
-    pmod(hash(agg inputs), 64) — whose collect_list materializes only
-    a slice of each group, and an outer aggregation by keys that
-    merges the ≤64 per-slice states with the CFUNC lambda.  Task
-    memory is bounded by the largest (group × slice), not the group:
-    the O(group) hazard the single-level fold carries at 100× scale.
+    pmod(hash(user-agg inputs), 64) — whose collect_list materializes
+    only a slice of each group, and an outer aggregation by keys that
+    merges the ≤64 per-slice states with the CFUNC lambda.  Select
+    items and HAVING may WRAP the calls in arbitrary expressions of
+    keys and keywords (round(myagg(x), 2), ratios of SUM/COUNT);
+    builtin SUM/COUNT/MIN/MAX decompose alongside.  Task memory is
+    bounded by the largest (group × slice), not the group: the
+    O(group) hazard the single-level fold carries at 100× scale.
 
     Returns the restructured SQL (user-agg call sites fully
-    compiled), or None when the statement doesn't match the shape or
-    any referenced aggregate lacks a CFUNC — the caller then falls
-    back to the single-level rewrite.  Correctness contract (PG's):
-    CFUNC must be the associative merge of the state type and
+    compiled), or None when the statement falls outside the modeled
+    shape or any referenced aggregate lacks a CFUNC — the caller then
+    falls back to the single-level rewrite.  Correctness contract
+    (PG's): CFUNC must be the associative merge of the state type and
     INITCOND its identity."""
     aggs = getattr(engine, "aggregates", None)
     if not aggs:
@@ -506,73 +601,57 @@ def rewrite_agg_two_level(engine, query: str) -> str | None:
     sel = _clause_text(query, spans, "SELECT")
     keys_text = _clause_text(query, spans, "GROUP BY")
     where = _clause_text(query, spans, "WHERE")
+    having = _clause_text(query, spans, "HAVING")
     orderby = _clause_text(query, spans, "ORDER BY")
     limit = _clause_text(query, spans, "LIMIT")
     keys = [k.strip() for k in _split_commas(keys_text)]
     if not keys or any(re.match(r"^\d+$", k) for k in keys):
         return None  # ordinal GROUP BY: resolve-by-position not modeled
     key_norms = [_norm(k) for k in keys]
+    # simple-identifier keys keep their own names through the inner
+    # projection, so outer expressions reference them naturally;
+    # complex key expressions get generated names
+    key_outs = [
+        k if re.match(r"^\w+$", k) else f"__gk{i}"
+        for i, k in enumerate(keys)
+    ]
+    key_idents = {k.lower() for k in keys if re.match(r"^\w+$", k)}
 
-    inner_items = [f"{k} AS __gk{i}" for i, k in enumerate(keys)]
+    st = _TwoLevelState(aggs, key_idents)
+    st.inner.extend(
+        f"{k} AS {key_outs[i]}" for i, k in enumerate(keys)
+    )
     outer_items: list[str] = []
     out_aliases: set[str] = set()
-    hash_args: list[str] = []
-    n_user = n_builtin = 0
     for item in _split_commas(sel):
         expr, alias = _strip_alias(item)
-        em = re.match(r"^(?P<fn>\w+)\s*\(", expr)
-        close = _find_close_masked(_mask_strings(expr),
-                                   em.end() - 1) if em else -1
-        whole_call = em is not None and close == len(expr.rstrip()) - 1
-        fn = em.group("fn").lower() if em else None
-        if whole_call and fn in aggs:
-            agg = aggs[fn]
-            if not agg.get("combine"):
-                return None
-            inner = expr[em.end():close].strip()
-            if re.match(r"^(DISTINCT|ALL)\b", inner, re.IGNORECASE) \
-                    or re.search(r"\bORDER\s+BY\b",
-                                 _mask_strings(inner), re.IGNORECASE):
-                return None  # single-level path owns the refusal
-            args = _split_commas(inner)
-            inner_items.append(
-                fold_expr(agg, args, with_final=False)
-                + f" AS __uas{n_user}"
-            )
-            outer_items.append(
-                merge_fold_expr(agg, f"__uas{n_user}")
-                + f" AS {alias or fn}"
-            )
-            out_aliases.add((alias or fn).lower())
-            hash_args.extend(args)
-            n_user += 1
-        elif whole_call and fn is not None and \
-                fn.upper() in _BUILTIN_2LVL:
-            inner_args = expr[em.end():close].strip()
-            if re.match(r"^DISTINCT\b", inner_args, re.IGNORECASE):
-                return None
-            inner_items.append(
-                f"{fn.upper()}({inner_args}) AS __b{n_builtin}"
-            )
-            outer_items.append(
-                f"{_BUILTIN_2LVL[fn.upper()]}(__b{n_builtin})"
-                f" AS {alias or fn}"
-            )
-            out_aliases.add((alias or fn).lower())
-            n_builtin += 1
-        elif _norm(expr) in key_norms:
+        if _norm(expr) in key_norms:
             i = key_norms.index(_norm(expr))
             name = alias or (expr.strip()
                              if re.match(r"^\w+$", expr.strip())
                              else None)
             if name is None:
                 return None
-            outer_items.append(f"__gk{i} AS {name}")
+            outer_items.append(f"{key_outs[i]} AS {name}")
             out_aliases.add(name.lower())
-        else:
+            continue
+        em = re.match(r"^(?P<fn>\w+)\s*\(", expr)
+        default_name = em.group("fn").lower() if em else None
+        compiled = _compile_item_expr(st, expr)
+        if compiled is None:
             return None
-    if n_user == 0:
+        name = alias or default_name
+        if name is None:
+            return None
+        outer_items.append(f"{compiled} AS {name}")
+        out_aliases.add(name.lower())
+    if st.n_user == 0:
         return None
+    h_outer = None
+    if having is not None:
+        h_outer = _compile_item_expr(st, having)
+        if h_outer is None:
+            return None
     # ORDER BY terms must resolve against the OUTER projection
     if orderby is not None:
         for term in _split_commas(orderby):
@@ -582,17 +661,16 @@ def rewrite_agg_two_level(engine, query: str) -> str | None:
                     or t.strip().lower() in out_aliases
                     or _norm(t) in key_norms):
                 return None
-    # rewrite key-text ORDER BY terms to the outer aliases they map to
-    inner_items.append(
-        f"pmod(hash({', '.join(hash_args)}), {_N_SLICES})"
+    if not st.hash_args:
+        return None
+    st.inner.append(
+        f"pmod(hash({', '.join(st.hash_args)}), {_N_SLICES})"
         " AS __agg_slice"
     )
     inner_sql = (
-        "SELECT " + ", ".join(inner_items) + f" FROM {rel}"
+        "SELECT " + ", ".join(st.inner) + f" FROM {rel}"
         + (f" WHERE {where}" if where else "")
-        + " GROUP BY "
-        + ", ".join(f"__gk{i}" for i in range(len(keys)))
-        + ", __agg_slice"
+        + " GROUP BY " + ", ".join(key_outs) + ", __agg_slice"
     )
     ob = ""
     if orderby is not None:
@@ -605,13 +683,14 @@ def rewrite_agg_two_level(engine, query: str) -> str | None:
             e, sfx = tm.group("e"), tm.group("sfx") or ""
             if _norm(e) in key_norms and \
                     _norm(e) not in out_aliases:
-                e = f"__gk{key_norms.index(_norm(e))}"
+                e = key_outs[key_norms.index(_norm(e))]
             terms.append(e + sfx)
         ob = " ORDER BY " + ", ".join(terms)
     outer_sql = (
         "SELECT " + ", ".join(outer_items)
         + f" FROM ({inner_sql}) __agg_sliced GROUP BY "
-        + ", ".join(f"__gk{i}" for i in range(len(keys)))
+        + ", ".join(key_outs)
+        + (f" HAVING {h_outer}" if h_outer is not None else "")
         + ob
         + (f" LIMIT {limit}" if limit else "")
     )

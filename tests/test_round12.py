@@ -367,3 +367,46 @@ def test_hll_scalar_guided_refusals(spark):
         "CAST(n_nationkey AS INT)))) FROM nation"
     ).collect()[0][0]
     assert 23 <= n <= 27
+
+
+def test_two_level_wrapped_and_having(spark):
+    """Generalized two-level shapes (r12): select items may WRAP the
+    aggregate calls in expressions of keys and keywords, HAVING
+    decomposes through the same machinery, and a bare non-key column
+    outside any call still falls back to the serial fold."""
+    from opengauss_vectordb_spark.operators.create_aggregate import (
+        rewrite_agg_two_level,
+    )
+
+    eng = Engine(spark, SF_CORRECT)
+    _mk_combine_agg(eng, name="r12w_sum")
+    # wrapped call + ratio + HAVING, all two-level
+    q = ("SELECT l_returnflag,"
+         " round(r12w_sum(l_quantity), 2) AS s,"
+         " r12w_sum(l_quantity) / COUNT(*) AS avg_q"
+         " FROM lineitem GROUP BY l_returnflag"
+         " HAVING COUNT(*) > 1 ORDER BY l_returnflag")
+    assert rewrite_agg_two_level(eng, q) is not None
+    got = eng.sql(q).collect()
+    exp = spark.sql(
+        "SELECT l_returnflag, round(SUM(l_quantity), 2) AS s,"
+        " SUM(l_quantity) / COUNT(*) AS avg_q"
+        " FROM lineitem GROUP BY l_returnflag"
+        " HAVING COUNT(*) > 1 ORDER BY l_returnflag"
+    ).collect()
+    assert [(r.l_returnflag, r.s, round(r.avg_q, 6)) for r in got] == \
+        [(r.l_returnflag, r.s, round(r.avg_q, 6)) for r in exp]
+    # HAVING over an aggregate of a non-selected column decomposes too
+    q2 = ("SELECT l_returnflag, r12w_sum(l_quantity) AS s"
+          " FROM lineitem GROUP BY l_returnflag"
+          " HAVING MAX(l_quantity) >= 50")
+    assert rewrite_agg_two_level(eng, q2) is not None
+    assert len(eng.sql(q2).collect()) == 3
+    # a bare base column outside any call cannot resolve above the
+    # inner aggregation — must fall back, not miscompile
+    assert rewrite_agg_two_level(
+        eng,
+        "SELECT l_returnflag, r12w_sum(l_quantity) + l_tax AS bad"
+        " FROM lineitem GROUP BY l_returnflag",
+    ) is None
+    _drop_combine_agg(eng, name="r12w_sum")
