@@ -595,7 +595,11 @@ def rewrite_agg_two_level(engine, query: str) -> str | None:
     if spans is None:
         return None
     rel = _clause_text(query, spans, "FROM")
-    if rel is None or not re.match(r"^\w+$", rel.strip()):
+    # a single relation, optionally aliased (the alias rides into the
+    # inner SELECT, where the agg args that reference it evaluate)
+    if rel is None or not re.match(
+            r"^\w+(?:\s+(?:AS\s+)?\w+)?$", rel.strip(),
+            re.IGNORECASE):
         return None
     rel = rel.strip()
     sel = _clause_text(query, spans, "SELECT")
