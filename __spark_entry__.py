@@ -122,6 +122,7 @@ GATE_PRIORITY: list[str] = [
     "plpython_setof_composite",
     "exchange_partition_subpart",
     "range_type_funcs",
+    "start_with_sql_text",
     # (b) the r11 gate-debt row
     "split_subpartition",
     # (c) churn re-gates
@@ -171,9 +172,9 @@ GATE_PRIORITY: list[str] = [
     "hnsw_search_halfvec_exhaustive",
     "hnsw_search_sparsevec_exhaustive",
     "ivf_search_bit_exhaustive",
-    "knn_maxsim_multivector",
-    # (knn_subvector_rerank displaced by range_type_funcs — the
-    #  r5 remainder rotates in r13)
+    # (knn_maxsim_multivector and knn_subvector_rerank displaced by
+    #  range_type_funcs and start_with_sql_text — the r5 remainder
+    #  rotates in r13)
 ]
 
 # The ROUND 11 window, retired (kept for the rotation ledger):

@@ -301,6 +301,13 @@ class Engine:
             from .operators.range_types import rewrite_range_ops
 
             query = rewrite_range_ops(self, query)
+            # START WITH ... CONNECT BY → native WITH RECURSIVE (the
+            # reference's own parse_startwith.cpp transform, one level
+            # earlier); identity without a top-level CONNECT BY
+            if re.search(r"\bCONNECT\s+BY\b", query, re.IGNORECASE):
+                from .operators.start_with import rewrite_start_with
+
+                query = rewrite_start_with(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"

@@ -1123,6 +1123,69 @@ def connect_by_path_funcs(spark, sf_dir):
     )
 
 
+@query(
+    "start_with_sql_text",
+    """
+    WITH RECURSIVE hier AS (
+      SELECT CAST(r_regionkey + 1 AS BIGINT) AS id,
+             CAST(0 AS BIGINT) AS pid, r_name AS name FROM region
+      UNION ALL
+      SELECT CAST(10 + n_nationkey AS BIGINT),
+             CAST(n_regionkey + 1 AS BIGINT), n_name FROM nation
+    ),
+    walk AS (
+      SELECT id, pid, name, 1 AS lvl, '/' || name AS path, name AS root
+      FROM hier WHERE pid = 0
+      UNION ALL
+      SELECT h.id, h.pid, h.name, w.lvl + 1, w.path || '/' || h.name,
+             w.root
+      FROM hier h JOIN walk w ON h.pid = w.id
+    )
+    SELECT w.name, w.lvl, w.path, w.root,
+           CASE WHEN EXISTS (SELECT 1 FROM walk c WHERE c.pid = w.id)
+                THEN 0 ELSE 1 END AS isleaf
+    FROM walk w ORDER BY path
+    """,
+)
+def start_with_sql_text(spark, sf_dir):
+    """START WITH / CONNECT BY as SQL TEXT through Engine.sql
+    (parse_startwith.cpp transformStartWith; the sw_basic.sql regress
+    family): the hierarchical clause compiles to Spark's native WITH
+    RECURSIVE — the same CTE transform the reference performs before
+    planning — with LEVEL, SYS_CONNECT_BY_PATH, CONNECT_BY_ROOT and
+    CONNECT_BY_ISLEAF threaded through the recursion as accumulated
+    columns (operators/start_with.py).  The oracle is the hand-written
+    recursive CTE, so a green row proves the whole desugar: anchor
+    selection, join direction (PRIOR id = pid), per-level accumulation,
+    and the isleaf anti-join.
+
+    Scale: each level is ONE distributed equi-join of the base relation
+    against the frontier — the exact plan the reference's own transform
+    yields, with AQE sizing every level's shuffle."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS gate_sw_hier")
+    eng.sql("""
+        CREATE TABLE gate_sw_hier AS
+        SELECT CAST(r_regionkey + 1 AS BIGINT) AS id,
+               CAST(0 AS BIGINT) AS pid, r_name AS name FROM region
+        UNION ALL
+        SELECT CAST(10 + n_nationkey AS BIGINT),
+               CAST(n_regionkey + 1 AS BIGINT), n_name FROM nation
+    """)
+    return eng.sql("""
+        SELECT name, LEVEL AS lvl,
+               sys_connect_by_path(name, '/') AS path,
+               connect_by_root(name) AS root,
+               connect_by_isleaf AS isleaf
+        FROM gate_sw_hier
+        START WITH pid = 0
+        CONNECT BY PRIOR id = pid
+        ORDER BY path
+    """)
+
+
 # --- approx count distinct (hll_function.cpp:560,590) — rows-only check ---
 
 
