@@ -123,6 +123,7 @@ GATE_PRIORITY: list[str] = [
     "exchange_partition_subpart",
     "range_type_funcs",
     "start_with_sql_text",
+    "time_fill_sql_text",
     # (b) the r11 gate-debt row
     "split_subpartition",
     # (c) churn re-gates
@@ -171,9 +172,9 @@ GATE_PRIORITY: list[str] = [
     "hnsw_filtered_search",
     "hnsw_search_halfvec_exhaustive",
     "hnsw_search_sparsevec_exhaustive",
-    "ivf_search_bit_exhaustive",
-    # (knn_maxsim_multivector and knn_subvector_rerank displaced by
-    #  range_type_funcs and start_with_sql_text — the r5 remainder
+    # (ivf_search_bit_exhaustive, knn_maxsim_multivector and
+    #  knn_subvector_rerank displaced by range_type_funcs,
+    #  start_with_sql_text and time_fill_sql_text — the r5 remainder
     #  rotates in r13)
 ]
 

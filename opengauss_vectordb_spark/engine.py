@@ -308,6 +308,17 @@ class Engine:
                 from .operators.start_with import rewrite_start_with
 
                 query = rewrite_start_with(self, query)
+            # tsdb bucket spellings: time_window epoch-floor,
+            # GROUP BY time_fill gapfill + fill_last/fill_first LOCF,
+            # first/last array pairs; identity otherwise
+            if re.search(
+                r"\b(?:time_window|time_fill|fill_last|fill_first)\s*\("
+                r"|\b(?:first|last)\s*\(.*\barray_agg\s*\(",
+                query, re.IGNORECASE | re.DOTALL,
+            ):
+                from .operators.tsdb_fill import rewrite_tsdb_fill
+
+                query = rewrite_tsdb_fill(self, query)
         m = re.match(
             r"^\s*SELECT\s+\*\s+FROM\s+"
             r"(?P<cat>pg_stat_statements|pg_tables|pg_indexes|pg_policies"

@@ -438,6 +438,64 @@ def tsstore_locf_gapfill(spark, sf_dir):
 
 
 @query(
+    "time_fill_sql_text",
+    """
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+             COUNT(*) AS n_raw, MAX(value) AS max_v
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 5 = 3
+      GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-07 00:00:00',
+                                    INTERVAL '1 hour')) AS b
+    )
+    SELECT strftime(s.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(a.n_raw AS BIGINT) AS n,
+           last_value(ROUND(a.max_v, 6) IGNORE NULLS) OVER (
+             ORDER BY s.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_max
+    FROM spine s LEFT JOIN agg a ON a.b = s.b
+    ORDER BY bucket
+    """,
+)
+def time_fill_sql_text(spark, sf_dir):
+    """``GROUP BY time_fill`` + ``fill_last`` as SQL TEXT through
+    Engine.sql (the tsdb_aggregate.sql regress surface,
+    operators/tsdb_fill.py): the statement desugars to an aggregate on
+    the origin-anchored bucket expression, a generated bucket spine
+    bounded by the statement's own FROM/TO literals, and an
+    IGNORE-NULLS running window for the LOCF — the oracle spells that
+    desugar by hand over DuckDB's TimescaleDB-compatible time_bucket,
+    so a green row proves bucket anchoring, empty-bucket generation,
+    out-of-range exclusion, and the carry-forward rule.
+
+    Scale: the spine is (to-from)/interval rows — statement-bounded
+    metadata, never data-sized; the aggregate is the only corpus scan
+    (partial/final on the bucket key); the per-series partitioned form
+    is `tsstore_locf_gapfill`."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    df = eng.sql("""
+        SELECT time_fill(interval '1 hour', ts, '2024-01-05 00:00:00',
+                         '2024-01-07 00:00:00') AS bucket,
+               COUNT(value) AS n,
+               fill_last(ROUND(MAX(value), 6)) AS locf_max
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 5 = 3
+        GROUP BY time_fill ORDER BY bucket
+    """)
+    return df.select(
+        F.date_format("bucket", _TS_FMT).alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("locf_max"),
+    )
+
+
+@query(
     "events_asof_join",
     """
     SELECT c.event_id AS click_id,
