@@ -792,7 +792,8 @@ class Engine:
         # layouts the pg_indexes view names)
         m = re.match(
             r"^\s*SELECT\s+(?:pg_size_pretty\s*\(\s*)?"
-            r"pg_(?P<tot>total_)?relation_size\s*\(\s*'(?P<t>\w+)'"
+            r"pg_(?P<fn>total_relation|relation|table)_size"
+            r"\s*\(\s*'(?P<t>\w+)'"
             r"\s*\)\s*(?P<pretty>\))?\s*(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
             query, re.IGNORECASE,
         )
@@ -813,8 +814,69 @@ class Engine:
                 if os.path.isfile(p)
             ) + (os.path.getsize(root) if os.path.isfile(root) else 0)
             default = ("pg_size_pretty" if m.group("pretty")
-                       else "pg_total_relation_size"
-                       if m.group("tot") else "pg_relation_size")
+                       else f"pg_{m.group('fn').lower()}_size")
+            alias = (m.group("a") or default).lower()
+            if m.group("pretty"):
+                return self.spark.sql(
+                    f"SELECT pg_size_pretty({nbytes}L) AS {alias}"
+                )
+            return status_frame(self.spark, (nbytes,),
+                                f"`{alias}` BIGINT")
+        # pg_partition_size / pg_partition_indexes_size (dbsize.cpp
+        # pg_partition_size6; 40/42 regress uses): bytes of ONE
+        # partition's directory tree (subpartition leaves included).
+        # The indexes spelling reports the table's GIN/GiST layout
+        # bytes — indexes in this engine are table-level layouts, not
+        # partition-split (btree = the CLUSTERed table layout itself,
+        # so it contributes no separate bytes); documented deviation.
+        m = re.match(
+            r"^\s*SELECT\s+(?:pg_size_pretty\s*\(\s*)?"
+            r"pg_partition_(?P<ix>indexes_)?size\s*\("
+            r"\s*'(?P<t>\w+)'\s*,\s*'(?P<p>\w+)'\s*\)"
+            r"\s*(?P<pretty>\))?\s*(?:AS\s+(?P<a>\w+))?\s*;?\s*$",
+            query, re.IGNORECASE,
+        )
+        if m:
+            import glob as _glob
+
+            from .operators.partition_ddl import PART_COL, PartitionSpec
+
+            name, part = m.group("t").lower(), m.group("p").lower()
+            if name not in self.managed_tables.tables:
+                raise KeyError(f"relation {name!r} does not exist")
+            spec = PartitionSpec.from_meta(
+                self.managed_tables.tables[name].get("partition_spec")
+            )
+            if spec is None:
+                raise ValueError(f"table {name!r} is not partitioned")
+            if part not in {n for n, _ in spec.parts}:
+                raise KeyError(
+                    f"partition {part!r} of {name!r} does not exist"
+                )
+
+            def _dir_bytes(root):
+                return sum(
+                    os.path.getsize(p)
+                    for p in _glob.glob(os.path.join(root, "**"),
+                                        recursive=True)
+                    if os.path.isfile(p)
+                )
+
+            if m.group("ix"):
+                nbytes = sum(
+                    _dir_bytes(idx["path"])
+                    for reg in ("gin_indexes", "gist_indexes")
+                    for idx in getattr(self, reg, {}).values()
+                    if idx.get("table") == name
+                )
+            else:
+                nbytes = _dir_bytes(os.path.join(
+                    self.managed_tables._path(name),
+                    f"{PART_COL}={part}",
+                ))
+            default = ("pg_size_pretty" if m.group("pretty")
+                       else "pg_partition_indexes_size"
+                       if m.group("ix") else "pg_partition_size")
             alias = (m.group("a") or default).lower()
             if m.group("pretty"):
                 return self.spark.sql(

@@ -271,6 +271,33 @@ _SQL_MACROS = {
     # getdate() — the B-format/SQL-Server spelling of now()
     "getdate": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "getdate() RETURNS TIMESTAMP RETURN current_timestamp()",
+    # substrb (A-format byte-position substring; 57 regress uses):
+    # substring over the UTF-8 bytes, decoded back — a slice landing
+    # mid-codepoint yields replacement characters, the same garbling a
+    # byte slicer produces.  len defaults to the rest of the string.
+    "substrb": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "substrb(s STRING, pos INT, len INT DEFAULT 2147483647) "
+    "RETURNS STRING RETURN "
+    "CAST(substring(CAST(s AS BINARY), pos, len) AS STRING)",
+    # datalength (B-format byte length; 41 regress uses) =
+    # octet_length of the string rendering
+    "datalength": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "datalength(s STRING) RETURNS INT RETURN octet_length(s)",
+    # gs_encrypt_aes128 / gs_decrypt_aes128 (openGauss AES helpers; 54
+    # regress uses): Spark's JVM AES in deterministic ECB over a
+    # right-padded 16-byte key, base64-rendered.  The reference salts
+    # per call (its own regress can only round-trip, never value-pin
+    # ciphertext); determinism is the documented deviation and the
+    # round-trip contract is what tests pin.
+    "gs_encrypt_aes128": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "gs_encrypt_aes128(s STRING, k STRING) RETURNS STRING RETURN "
+    "base64(aes_encrypt(CAST(s AS BINARY), "
+    "CAST(substring(rpad(k, 16, '0'), 1, 16) AS BINARY), 'ECB'))",
+    "gs_decrypt_aes128": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "gs_decrypt_aes128(s STRING, k STRING) RETURNS STRING RETURN "
+    "CAST(aes_decrypt(unbase64(s), "
+    "CAST(substring(rpad(k, 16, '0'), 1, 16) AS BINARY), 'ECB') "
+    "AS STRING)",
 }
 
 
@@ -336,6 +363,10 @@ def register_pg_functions(spark: SparkSession) -> None:
         "ts_lexize",
         "quote_nullable",
         "getdate",
+        "substrb",
+        "datalength",
+        "gs_encrypt_aes128",
+        "gs_decrypt_aes128",
     ):
         spark.sql(_SQL_MACROS[name])
 

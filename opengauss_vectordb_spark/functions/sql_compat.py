@@ -710,6 +710,53 @@ def _rewrite_pg_typeof(masked: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+def _rewrite_regexp_like3(masked: str, literals: list[str]) -> str:
+    """3-argument ``regexp_like(s, p, match_param)`` (adt/regexp.cpp;
+    the A-format match_param letters): Spark's builtin regexp_like is
+    2-arg only and cannot be shadowed by a SQL UDF, so the flag letters
+    compile into an inline-flag prefix on the pattern — i → (?i),
+    m → (?m), n → (?s), c/'' → none — and the call lowers to the
+    builtin.  The match_param must be a literal (regress always spells
+    it so); a non-literal third argument is left for the analyzer to
+    reject."""
+    out = masked
+    while True:
+        start = 0
+        hit = None
+        while True:
+            m = re.search(r"\bregexp_like\s*\(", out[start:],
+                          re.IGNORECASE)
+            if m is None:
+                break
+            op = start + m.end() - 1
+            cl = _find_close(out, op)
+            if cl < 0:
+                break
+            args = _split_top_commas(out[op + 1:cl])
+            if len(args) == 3 and _MASK_TOK.fullmatch(args[2].strip()):
+                hit = (start + m.start(), op, cl, args)
+                break
+            start += m.end()
+        if hit is None:
+            return out
+        st, op, cl, args = hit
+        flags = literals[
+            int(_MASK_TOK.fullmatch(args[2].strip()).group(1))
+        ][1:-1].lower()
+        prefix = ("(?i)" if "i" in flags else "") + \
+                 ("(?s)" if "n" in flags else "") + \
+                 ("(?m)" if "m" in flags else "")
+        if prefix:
+            tok = f"\x00{len(literals)}\x00"
+            literals.append(f"'{prefix}'")
+            pat = f"concat({tok}, {args[1].strip()})"
+        else:
+            pat = args[1].strip()
+        out = (out[:st]
+               + f"regexp_like({args[0].strip()}, {pat})"
+               + out[cl + 1:])
+
+
 def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
     masked, literals = _mask_strings(sql)
@@ -816,6 +863,8 @@ def translate(sql: str) -> str:
         out = _rewrite_date_part_dow(out, literals)
     if re.search(r"\bSIMILAR\s+TO\b", out, re.IGNORECASE):
         out = _rewrite_similar_to(out, literals)
+    if re.search(r"\bregexp_like\s*\(", out, re.IGNORECASE):
+        out = _rewrite_regexp_like3(out, literals)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

@@ -42,6 +42,49 @@ def like_regex_funcs(spark, sf_dir):
 
 
 @query(
+    "regexp_bytes_funcs",
+    """
+    SELECT p_partkey,
+           regexp_matches(p_name, 'RED', 'i') AS has_red_i,
+           regexp_matches(p_name, 'red') AS has_red_cs,
+           substring(p_name, 3, 8) AS nb,
+           strlen(p_name) AS dl,
+           TRUE AS aes_rt
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+)
+def regexp_bytes_funcs(spark, sf_dir):
+    """Census batch 10 scalar surface through Engine.sql: 3-argument
+    ``regexp_like`` with match_param letters (adt/regexp.cpp; 74
+    regress uses — compiled to inline-flag prefixes because Spark's
+    builtin cannot be shadowed, functions/sql_compat.py
+    _rewrite_regexp_like3), ``substrb`` byte substring (57 uses),
+    ``datalength`` byte length (41), and the gs_encrypt_aes128/
+    gs_decrypt_aes128 round-trip contract (54 — ciphertext itself is
+    salted in the reference so its own regress can only round-trip;
+    the boolean is the honest oracle).  p_name is ASCII so the
+    byte-wise substrb/datalength equal the oracle's substring/strlen;
+    the multibyte byte-slice semantics are pinned in
+    test_round12.py.
+
+    Scale: every call is a codegen'd scalar expression over one
+    pruned scan — no Python, no joins."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT p_partkey,
+               regexp_like(p_name, 'RED', 'i') AS has_red_i,
+               regexp_like(p_name, 'red', 'c') AS has_red_cs,
+               substrb(p_name, 3, 8) AS nb,
+               datalength(p_name) AS dl,
+               gs_decrypt_aes128(gs_encrypt_aes128(p_name, 'k0'),
+                                 'k0') = p_name AS aes_rt
+        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """)
+
+
+@query(
     "array_funcs",
     """
     WITH t AS (

@@ -410,3 +410,69 @@ def test_two_level_wrapped_and_having(spark):
         " FROM lineitem GROUP BY l_returnflag",
     ) is None
     _drop_combine_agg(eng, name="r12w_sum")
+
+
+def test_census10_regexp_like_and_byte_funcs(spark):
+    """Census batch 10 (adt/regexp.cpp match_param; A-format byte
+    functions): 3-arg regexp_like flag letters, substrb over UTF-8
+    bytes (multibyte slice garbles exactly like a byte slicer),
+    datalength, gs_aes round-trip determinism."""
+    eng = Engine(spark, SF_CORRECT)
+    row = eng.sql(
+        "SELECT regexp_like('abc', 'B') AS a,"
+        " regexp_like('abc', 'B', 'i') AS b,"
+        " regexp_like('a' || chr(10) || 'b', 'a.b', 'n') AS c,"
+        " regexp_like('a' || chr(10) || 'b', 'a.b', 'c') AS d,"
+        " regexp_like('xA' || chr(10) || 'a', '^a$', 'im') AS e,"
+        " substrb('héllo', 1, 3) AS sb,"
+        " substrb('héllo', 2, 2) AS sb_mid,"
+        " substrb('hello', 3) AS sb_rest,"
+        " datalength('héllo') AS dl,"
+        " octet_length('héllo') AS ol,"
+        " gs_encrypt_aes128('secret', 'k1') AS enc1,"
+        " gs_encrypt_aes128('secret', 'k1') AS enc2,"
+        " gs_decrypt_aes128(gs_encrypt_aes128('secret', 'k1'), 'k1')"
+        "   AS rt"
+    ).collect()[0]
+    assert (row.a, row.b) == (False, True)       # i = case-insensitive
+    assert (row.c, row.d) == (True, False)       # n = dotall
+    assert row.e is True                         # m = multiline
+    assert row.sb == "hé"                        # 3 bytes = h + 2-byte é
+    assert row.sb_mid == "é"                     # bytes 2-3 = é exactly
+    assert row.sb_rest == "llo"                  # len defaults to rest
+    assert row.dl == row.ol == 6
+    assert row.enc1 == row.enc2                  # documented determinism
+    assert row.rt == "secret"
+
+
+def test_census10_partition_size_probes(spark):
+    """pg_table_size / pg_partition_size / pg_partition_indexes_size
+    (dbsize.cpp): per-partition directory bytes, table alias of
+    relation size, pretty-printing composition, error shapes."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS r12sz")
+    eng.sql(
+        "CREATE TABLE r12sz (k BIGINT, v STRING) PARTITION BY RANGE (k)"
+        " (PARTITION p1 VALUES LESS THAN (10),"
+        "  PARTITION p2 VALUES LESS THAN (MAXVALUE))"
+    )
+    eng.sql("INSERT INTO r12sz VALUES (1,'a'), (5,'b'), (50,'c')")
+    s1 = eng.sql("SELECT pg_partition_size('r12sz', 'p1')").collect()
+    s2 = eng.sql("SELECT pg_partition_size('r12sz', 'p2')").collect()
+    assert s1[0][0] > 0 and s2[0][0] > 0
+    tot = eng.sql("SELECT pg_table_size('r12sz') AS t").collect()[0][0]
+    assert tot >= s1[0][0] + s2[0][0]
+    pretty = eng.sql(
+        "SELECT pg_size_pretty(pg_partition_size('r12sz', 'p1'))"
+    ).collect()[0][0]
+    assert pretty.endswith("bytes") or pretty[-2:] in ("kB", "MB")
+    # no GIN/GiST layout on this table → 0 index bytes
+    assert eng.sql(
+        "SELECT pg_partition_indexes_size('r12sz', 'p1')"
+    ).collect()[0][0] == 0
+    with pytest.raises(KeyError):
+        eng.sql("SELECT pg_partition_size('r12sz', 'nope')")
+    with pytest.raises(ValueError, match="not partitioned"):
+        eng.sql("DROP TABLE IF EXISTS r12flat")
+        eng.sql("CREATE TABLE r12flat (k BIGINT)")
+        eng.sql("SELECT pg_partition_size('r12flat', 'p1')")
