@@ -817,3 +817,54 @@ def test_create_aggregate_combine_two_level_plan(spark):
     eng.sql("DROP AGGREGATE pq2_sum(double precision)")
     eng.sql("DROP FUNCTION pq2_step")
     eng.sql("DROP FUNCTION pq2_merge")
+
+
+def test_start_with_plans_native_recursion(spark):
+    """start_with_sql_text: the SWCB desugar must plan as Spark's
+    NATIVE recursive CTE (UnionLoop) — per-level equi-joins of the
+    base relation against the frontier, zero Python, no
+    CartesianProduct.  The isleaf post-pass is an equi-join on the
+    keypath column (the documented second CTE consumption)."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("DROP TABLE IF EXISTS pq_sw")
+    eng.sql("CREATE TABLE pq_sw AS SELECT CAST(r_regionkey + 1 AS "
+            "BIGINT) AS id, CAST(0 AS BIGINT) AS pid, r_name AS name "
+            "FROM region UNION ALL SELECT CAST(10 + n_nationkey AS "
+            "BIGINT), CAST(n_regionkey + 1 AS BIGINT), n_name "
+            "FROM nation")
+    df = eng.sql(
+        "SELECT name, LEVEL AS lvl, connect_by_isleaf AS leaf "
+        "FROM pq_sw START WITH pid = 0 CONNECT BY PRIOR id = pid"
+    )
+    plan = physical_plan(df)
+    assert python_eval_nodes(df) == 0
+    assert "UnionLoop" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    eng.sql("DROP TABLE pq_sw")
+
+
+def test_time_fill_pushdown_and_bounded_window(spark):
+    """time_fill_sql_text's desugar: the WHERE predicate must reach
+    the parquet scan UNDER the gapfill rewrite (the corpus scan is the
+    only data-sized work), the spine join must be an equi-join on the
+    bucket, and the LOCF window must order by the spine bucket —
+    statement-bounded rows, zero Python."""
+    from opengauss_vectordb_spark.engine import Engine
+
+    eng = Engine(spark, SF_CORRECT)
+    df = eng.sql(
+        "SELECT time_fill(interval '1 hour', ts, "
+        "'2024-01-05 00:00:00', '2024-01-07 00:00:00') AS b, "
+        "fill_last(ROUND(MAX(value), 6)) AS v "
+        "FROM events WHERE event_type = 'purchase' "
+        "GROUP BY time_fill ORDER BY b"
+    )
+    plan = physical_plan(df)
+    assert python_eval_nodes(df) == 0
+    assert "EqualTo(event_type,purchase)" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(__tf_b" in plan, plan[:3000]
