@@ -277,6 +277,28 @@ def try_handle_stmt(engine, stmt: str):
             "table (INSERT events, SELECT new rows) for the same "
             "coordination shape"
         )
+    if re.search(r"\bpg_(?:logical_slot_(?:get|peek)_(?:binary_)?"
+                 r"changes|create_logical_replication_slot|"
+                 r"drop_replication_slot)\s*\(", stmt, re.IGNORECASE):
+        # logical decoding (replication/logical; 79+ regress uses)
+        # reads WAL a snapshot-swap parquet engine does not write
+        raise NotImplementedError(
+            "logical decoding reads the WAL — this engine versions "
+            "immutable parquet snapshots instead; diff two TIMECAPSULE "
+            "CSN snapshots (EXCEPT / anti-join) for change capture, or "
+            "process deltas with the incremental_agg_merge pattern"
+        )
+    if re.search(r"\blo_(?:open|close|creat|create|import|export|"
+                 r"read|write|unlink|lseek|tell|truncate)\s*\(",
+                 stmt, re.IGNORECASE):
+        # large objects (libpq/be-fsstubs.cpp lo_* fastpath; 42+
+        # regress uses) are a server-side chunked-file protocol
+        raise NotImplementedError(
+            "large-object lo_* calls stream server-side chunks — "
+            "store blobs in a BINARY column (multimodal columns "
+            "pattern: opaque bytes + typed metadata) and read them "
+            "with ordinary projections"
+        )
     m = _TABLE_PRIVS_SELECT.match(stmt)
     if m:
         # information_schema.table_privileges analogue

@@ -476,3 +476,15 @@ def test_census10_partition_size_probes(spark):
         eng.sql("DROP TABLE IF EXISTS r12flat")
         eng.sql("CREATE TABLE r12flat (k BIGINT)")
         eng.sql("SELECT pg_partition_size('r12flat', 'p1')")
+
+
+def test_census10_guided_refusals(spark):
+    """Logical decoding and large-object fastpath calls refuse with
+    the Spark-side rewrite named (replication/logical reads WAL;
+    be-fsstubs.cpp lo_* stream server chunks)."""
+    eng = Engine(spark, SF_CORRECT)
+    with pytest.raises(NotImplementedError, match="TIMECAPSULE"):
+        eng.sql("SELECT * FROM pg_logical_slot_get_changes("
+                "'slot', NULL, NULL)")
+    with pytest.raises(NotImplementedError, match="BINARY column"):
+        eng.sql("SELECT lo_creat(-1)")
