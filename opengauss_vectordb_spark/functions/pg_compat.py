@@ -298,6 +298,24 @@ _SQL_MACROS = {
     "CAST(aes_decrypt(unbase64(s), "
     "CAST(substring(rpad(k, 16, '0'), 1, 16) AS BINARY), 'ECB') "
     "AS STRING)",
+    # XML text escapes (adt/xml.cpp escape_xml: & < > — attribute
+    # values also ") — consumed by the xmlelement/xmlforest builders
+    # (functions/xml_compat.py)
+    "xml_escape": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "xml_escape(s STRING) RETURNS STRING RETURN "
+    "replace(replace(replace(s, '&', '&amp;'), '<', '&lt;'), "
+    "'>', '&gt;')",
+    "xml_escape_attr": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "xml_escape_attr(s STRING) RETURNS STRING RETURN "
+    "replace(xml_escape(s), '\"', '&quot;')",
+    # xmlcomment (xml.cpp xmlcomment: '--' or a trailing '-' is
+    # invalid inside an XML comment)
+    "xmlcomment": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "xmlcomment(s STRING) RETURNS STRING RETURN "
+    "CASE WHEN s IS NULL THEN NULL "
+    "WHEN s LIKE '%--%' OR s LIKE '%-' THEN "
+    "CAST(raise_error('invalid XML comment') AS STRING) "
+    "ELSE concat('<!--', s, '-->') END",
 }
 
 
@@ -367,6 +385,9 @@ def register_pg_functions(spark: SparkSession) -> None:
         "datalength",
         "gs_encrypt_aes128",
         "gs_decrypt_aes128",
+        "xml_escape",
+        "xml_escape_attr",
+        "xmlcomment",
     ):
         spark.sql(_SQL_MACROS[name])
 

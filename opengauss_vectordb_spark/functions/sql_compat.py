@@ -865,6 +865,12 @@ def translate(sql: str) -> str:
         out = _rewrite_similar_to(out, literals)
     if re.search(r"\bregexp_like\s*\(", out, re.IGNORECASE):
         out = _rewrite_regexp_like3(out, literals)
+    if re.search(r"\bxml(?:element|forest|concat|comment|parse|pi|"
+                 r"serialize|root)\s*\(|\bxpath\s*\(", out,
+                 re.IGNORECASE):
+        from .xml_compat import rewrite_xml
+
+        out = rewrite_xml(out, literals)
 
     m = _ROWNUM_TAIL.search(out)
     if m:

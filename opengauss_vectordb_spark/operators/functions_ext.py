@@ -85,6 +85,44 @@ def regexp_bytes_funcs(spark, sf_dir):
 
 
 @query(
+    "xml_publish_funcs",
+    """
+    SELECT p_partkey,
+           '<part id="' || p_partkey || '"><name>' || p_name ||
+           '</name><size>' || p_size || '</size></part>' AS x,
+           '<!--' || p_brand || '-->' AS c,
+           '<note/>' AS e
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """,
+)
+def xml_publish_funcs(spark, sf_dir):
+    """SQL/XML publishing through Engine.sql (adt/xml.cpp, the xml.sql
+    regress family; functions/xml_compat.py): xmlelement with
+    xmlattributes and a nested xmlforest, xmlcomment, and the empty
+    element — all compiled to concat trees with xml.cpp's escape rules
+    (xml-typed arguments splice raw, everything else escapes).  The
+    oracle spells the expected XML text by hand, so a green row proves
+    tag/attribute assembly and NULL handling; escape and error shapes
+    (invalid comments, duplicate attribute names, xmlparse validation)
+    are pinned in test_round12.py.
+
+    Scale: pure codegen string expressions over one pruned scan —
+    no XML library at runtime, no Python."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT p_partkey,
+               xmlelement(name part, xmlattributes(p_partkey as id),
+                          xmlforest(p_name as name, p_size as size))
+                 AS x,
+               xmlcomment(p_brand) AS c,
+               xmlelement(name note) AS e
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """)
+
+
+@query(
     "array_funcs",
     """
     WITH t AS (

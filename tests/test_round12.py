@@ -488,3 +488,52 @@ def test_census10_guided_refusals(spark):
                 "'slot', NULL, NULL)")
     with pytest.raises(NotImplementedError, match="BINARY column"):
         eng.sql("SELECT lo_creat(-1)")
+
+
+def test_census11_xml_builders(spark):
+    """SQL/XML publishing (adt/xml.cpp; xml.sql regress): every output
+    below is pinned verbatim to the reference's expected file."""
+    eng = Engine(spark, SF_CORRECT)
+
+    def one(s):
+        return eng.sql(s).collect()[0][0]
+
+    assert one("SELECT xmlcomment('te st')") == "<!--te st-->"
+    assert one("SELECT xmlconcat('hello', 'you')") == "helloyou"
+    assert one("SELECT xmlconcat(xmlcomment('hello'),"
+               " xmlelement(NAME qux, 'foo'), xmlcomment('world'))"
+               ) == "<!--hello--><qux>foo</qux><!--world-->"
+    assert one("SELECT xmlconcat(NULL, NULL)") is None
+    assert one("SELECT xmlelement(name num, 37)") == "<num>37</num>"
+    assert one("SELECT xmlelement(name foo, text 'b<a/>r')"
+               ) == "<foo>b&lt;a/&gt;r</foo>"
+    assert one("SELECT xmlelement(name foo, xml 'b<a/>r')"
+               ) == "<foo>b<a/>r</foo>"
+    assert one("SELECT xmlelement(name element,"
+               " xmlattributes(1 as a, 'deuce' as two), 'content&')"
+               ) == '<element a="1" two="deuce">content&amp;</element>'
+    assert one("SELECT xmlelement(name element,"
+               " xmlelement(name nested, 'stuff'))"
+               ) == "<element><nested>stuff</nested></element>"
+    assert one("SELECT xmlelement(name employee, xmlforest("
+               "'bill' as name, 20 as age, 1000 as pay))"
+               ) == ("<employee><name>bill</name><age>20</age>"
+                     "<pay>1000</pay></employee>")
+    assert one("SELECT xmlelement(name foo)") == "<foo/>"
+    assert one("SELECT xmlpi(name foo, 'bar')") == "<?foo bar?>"
+    assert one("SELECT xmlserialize(content 'good' as char(10))"
+               ) == "good"
+    assert one("SELECT xmlparse(content '<abc>x</abc>')"
+               ) == "<abc>x</abc>"
+    assert one("SELECT xpath('//b/text()',"
+               " '<a><b>one</b><b>two</b></a>')") == ["one", "two"]
+    # error shapes
+    with pytest.raises(Exception, match="invalid XML comment"):
+        eng.sql("SELECT xmlcomment('--test')").collect()
+    with pytest.raises(ValueError, match="more than once"):
+        eng.sql("SELECT xmlelement(name duplicate,"
+                " xmlattributes(1 as a, 2 as b, 3 as a))")
+    with pytest.raises(ValueError, match="invalid XML content"):
+        eng.sql("SELECT xmlparse(document '<wrong')")
+    with pytest.raises(NotImplementedError, match="from_xml"):
+        eng.sql("SELECT xmlroot(xml '<foo/>', version '1.1')")
