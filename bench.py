@@ -219,6 +219,13 @@ HEADLINE = [
     "create_aggregate_combine",
     "plpython_setof_composite",
     "range_type_funcs",
+    # round-12 later additions: the time_fill gapfill desugar, the
+    # batch-10 scalar surface, and the XML builders are read-side;
+    # start_with_sql_text CTASes its hierarchy table inside the query
+    # and stays out (the write-time rule)
+    "time_fill_sql_text",
+    "regexp_bytes_funcs",
+    "xml_publish_funcs",
 ]
 
 
@@ -244,6 +251,7 @@ _FAMILY_PREFIX = {
     "ann": "vector",
     "events": "events",
     "tsstore": "events",
+    "time": "events",
     "multimodal": "multimodal",
     "db4ai": "db4ai",
     "udtf": "text_fts",
