@@ -2275,6 +2275,19 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             from .plpython import rewrite_setof_calls
 
             body = rewrite_setof_calls(engine, body)
+        import re as _re
+
+        if _re.search(r"\bCONNECT\s+BY\b", body, _re.IGNORECASE):
+            from .start_with import rewrite_start_with
+
+            body = rewrite_start_with(engine, body)
+        if _re.search(
+            r"\b(?:time_window|time_fill|fill_last|fill_first)\s*\(",
+            body, _re.IGNORECASE,
+        ):
+            from .tsdb_fill import rewrite_tsdb_fill
+
+            body = rewrite_tsdb_fill(engine, body)
         engine.spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
             + translate(body)

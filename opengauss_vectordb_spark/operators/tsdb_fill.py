@@ -174,7 +174,10 @@ def rewrite_tsdb_fill(engine, query: str) -> str:
     # ---- time_fill desugar ------------------------------------------
     m = re.match(r"^\s*SELECT\s+", query, re.IGNORECASE)
     if not m:
-        raise ValueError("time_fill is only supported in SELECT")
+        # not a bare SELECT (e.g. CREATE VIEW wrapping one): leave the
+        # time_fill call for the handler that owns the inner body —
+        # the view path re-enters this rewrite with the body alone
+        return _sub_time_window(query)
     hits = _scan_clauses(_mask_strings(query))
     seg = {kw: (s, e) for s, e, kw in hits}
     if "GROUP BY" not in seg:

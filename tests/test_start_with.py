@@ -169,3 +169,14 @@ def test_plan_is_python_free(eng):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_view_over_swcb_body(eng):
+    # DefineView: a view body may carry the hierarchical clause (the
+    # same funnel rewrite the ADVICE r11 view fix gave aggregates)
+    eng.sql("CREATE VIEW sw_area_walk AS SELECT name, LEVEL AS lvl,"
+            " sys_connect_by_path(name, '/') AS p FROM sw_area"
+            " START WITH pid = 0 CONNECT BY PRIOR id = pid")
+    got = sorted(tuple(r) for r in
+                 eng.sql("SELECT * FROM sw_area_walk").collect())
+    assert ("china", 1, "/china") in got and len(got) == 9

@@ -146,3 +146,18 @@ def test_plan_is_python_free(eng):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_view_over_time_fill_body(eng):
+    eng.sql("CREATE VIEW tf_view AS SELECT time_fill(interval '1 min',"
+            " time_string, '2019-07-12 00:09:00',"
+            " '2019-07-12 00:14:00') AS b, fill_last(avg(idle)) AS v"
+            " FROM tf_cpu GROUP BY time_fill")
+    got = [tuple(r)[1] for r in
+           eng.sql("SELECT * FROM tf_view ORDER BY b").collect()]
+    assert got == [None, 1.0, 1.0, 2.0, 3.0, 3.0]
+    # scalar time_window composes through a view body too
+    eng.sql("CREATE VIEW tw_view AS SELECT time_window("
+            "interval '1 hour', time_string) AS h FROM tf_cpu")
+    assert eng.sql("SELECT COUNT(DISTINCT h) FROM tw_view"
+                   ).collect()[0][0] == 1
