@@ -2275,8 +2275,6 @@ def try_handle_stmt(engine, query: str) -> DataFrame | None:
             from .plpython import rewrite_setof_calls
 
             body = rewrite_setof_calls(engine, body)
-        import re as _re
-
         if _re.search(r"\bCONNECT\s+BY\b", body, _re.IGNORECASE):
             from .start_with import rewrite_start_with
 
