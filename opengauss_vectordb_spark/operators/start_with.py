@@ -202,16 +202,45 @@ def _parse(query: str, masked: str) -> _Swcb | None:
     if m:
         sw.nocycle = True
         sw.connect_by = sw.connect_by[m.end():].strip()
+    rel = sw.rel.strip()
+    if rel.startswith("("):
+        # subquery base (the sw_bugfix "fromlist startwith" family's
+        # derived-table spelling): the parenthesized SELECT is the
+        # relation the recursion walks.  Each level re-executes it —
+        # the reference's CTE transform materializes the base once, so
+        # push heavy filtering into the subquery.
+        cl = 0
+        depth = 0
+        for i, ch in enumerate(rel):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    cl = i
+                    break
+        am = re.fullmatch(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*",
+                          rel[cl + 1:], re.IGNORECASE)
+        if cl == 0 or not am:
+            raise NotImplementedError(
+                "START WITH/CONNECT BY over this FROM shape — write "
+                "the WITH RECURSIVE form directly (parse_startwith.cpp "
+                "transforms to the same)"
+            )
+        sw.rel, sw.alias = rel[:cl + 1], am.group(1)
+        return sw
     rm = re.match(
         r"^([A-Za-z_][A-Za-z0-9_.]*)(?:\s+(?:AS\s+)?"
         r"([A-Za-z_][A-Za-z0-9_]*))?$",
-        sw.rel.strip(), re.IGNORECASE,
+        rel, re.IGNORECASE,
     )
     if not rm:
         raise NotImplementedError(
-            "START WITH/CONNECT BY supports a single named relation in "
-            "FROM — for joins or subqueries write the WITH RECURSIVE "
-            "form directly (parse_startwith.cpp transforms to the same)"
+            "START WITH/CONNECT BY supports a single named relation or "
+            "a parenthesized subquery in FROM — for a multi-relation "
+            "fromlist, wrap the join in a derived table or write the "
+            "WITH RECURSIVE form directly (parse_startwith.cpp "
+            "transforms to the same)"
         )
     sw.rel, sw.alias = rm.group(1), rm.group(2)
     if sw.alias and sw.alias.upper() in (

@@ -147,9 +147,9 @@ def test_level_bound_and_where_post_hierarchy(eng):
 
 
 def test_refusal_edges(eng):
-    with pytest.raises(NotImplementedError, match="single named"):
-        eng.sql("SELECT 1 FROM (SELECT * FROM sw_area) s "
-                "START WITH pid = 0 CONNECT BY PRIOR id = pid")
+    with pytest.raises(NotImplementedError, match="derived table"):
+        eng.sql("SELECT 1 FROM sw_area a, sw_area b "
+                "START WITH a.pid = 0 CONNECT BY PRIOR a.id = a.pid")
     with pytest.raises(NotImplementedError, match="both sides"):
         eng.sql("SELECT name FROM sw_area START WITH pid = 0 "
                 "CONNECT BY PRIOR id = PRIOR pid")
@@ -180,3 +180,20 @@ def test_view_over_swcb_body(eng):
     got = sorted(tuple(r) for r in
                  eng.sql("SELECT * FROM sw_area_walk").collect())
     assert ("china", 1, "/china") in got and len(got) == 9
+
+
+def test_subquery_from_base(eng):
+    # the sw_bugfix "fromlist startwith" derived-table spelling: the
+    # parenthesized join IS the relation the recursion walks
+    eng.sql("CREATE TABLE sw_q2 (id BIGINT, tag STRING)")
+    eng.sql("INSERT INTO sw_q2 VALUES (1,'t1'),(2,'t2'),(3,'t3'),"
+            "(10,'t10')")
+    got = sorted(tuple(r) for r in eng.sql("""
+        select tt.name, tt.tag, level from
+        (select a.id, a.pid, a.name, b.tag
+         from sw_area a, sw_q2 b where a.id = b.id) tt
+        start with tt.id = 1 CONNECT BY PRIOR tt.id = tt.pid
+    """).collect())
+    # only rows surviving the join participate in the walk
+    assert got == [("china", "t1", 1), ("guangdong", "t3", 2),
+                   ("hunan", "t2", 2), ("shenzhen", "t10", 3)]
