@@ -165,9 +165,17 @@ class _Swcb:
 
 
 def _parse(query: str, masked: str) -> _Swcb | None:
-    if not re.match(r"^\s*SELECT\b", masked, re.IGNORECASE):
-        return None
     if not re.search(r"\bCONNECT\s+BY\b", masked, re.IGNORECASE):
+        return None
+    if not re.match(r"^\s*SELECT\b", masked, re.IGNORECASE):
+        if re.match(r"^\s*WITH\b", masked, re.IGNORECASE) and any(
+            kw == "CONNECT BY" for _, _, kw in _scan_clauses(masked)
+        ):
+            raise NotImplementedError(
+                "START WITH/CONNECT BY under a WITH clause — inline "
+                "the CTE as a derived table in FROM, or write the "
+                "WITH RECURSIVE form directly"
+            )
         return None
     hits = _scan_clauses(masked)
     if not any(kw == "CONNECT BY" for _, _, kw in hits):
@@ -375,6 +383,17 @@ def rewrite_start_with(engine, query: str) -> str:
     # --- sibling sort-key encode --------------------------------------
     def sib_encode(alias: str) -> str:
         e = _dequalify(sw.siblings.strip(), sw.alias)
+        if len(_split_top(e, r",")) > 1 or re.fullmatch(
+            r"\d+", re.sub(r"\b(?:ASC|NULLS\s+(?:FIRST|LAST))\b", "",
+                           e, flags=re.IGNORECASE).strip()
+        ):
+            raise NotImplementedError(
+                "ORDER SIBLINGS BY supports one named sort key — for "
+                "multi-key or positional sibling order write the WITH "
+                "RECURSIVE form with your own sort-key path"
+            )
+        e = re.sub(r"\bNULLS\s+(?:FIRST|LAST)\b", "", e,
+                   flags=re.IGNORECASE).strip()
         if re.search(r"\bDESC\b", e, re.IGNORECASE):
             raise NotImplementedError(
                 "ORDER SIBLINGS BY ... DESC — invert the key or write "

@@ -197,3 +197,21 @@ def test_subquery_from_base(eng):
     # only rows surviving the join participate in the walk
     assert got == [("china", "t1", 1), ("guangdong", "t3", 2),
                    ("hunan", "t2", 2), ("shenzhen", "t10", 3)]
+
+
+def test_cte_and_sibling_refusals(eng):
+    with pytest.raises(NotImplementedError, match="inline the CTE"):
+        eng.sql("WITH c AS (SELECT * FROM sw_area) SELECT name "
+                "FROM c START WITH pid = 0 CONNECT BY PRIOR id = pid")
+    with pytest.raises(NotImplementedError, match="one named sort"):
+        eng.sql("SELECT name FROM sw_area START WITH pid = 0 "
+                "CONNECT BY PRIOR id = pid ORDER SIBLINGS BY id, name")
+    with pytest.raises(NotImplementedError, match="one named sort"):
+        eng.sql("SELECT name FROM sw_area START WITH pid = 0 "
+                "CONNECT BY PRIOR id = pid ORDER SIBLINGS BY 1")
+    # NULLS LAST on a single key is accepted (strips to the key)
+    got = [r[0] for r in eng.sql(
+        "SELECT name FROM sw_area START WITH pid = 0 "
+        "CONNECT BY PRIOR id = pid AND LEVEL <= 2 "
+        "ORDER SIBLINGS BY name NULLS LAST").collect()]
+    assert got[0] == "china"
