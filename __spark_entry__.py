@@ -126,6 +126,7 @@ GATE_PRIORITY: list[str] = [
     "time_fill_sql_text",
     "regexp_bytes_funcs",
     "xml_publish_funcs",
+    "agg_orderby_sql_text",
     # (b) the r11 gate-debt row
     "split_subpartition",
     # (c) churn re-gates
@@ -171,12 +172,12 @@ GATE_PRIORITY: list[str] = [
     "fts_query_rewrite",
     "fts_ts_stat",
     "hnsw_delete_then_search",
-    "hnsw_filtered_search",
-    # (hnsw_search_halfvec_exhaustive, hnsw_search_sparsevec_exhaustive,
-    #  ivf_search_bit_exhaustive, knn_maxsim_multivector and
-    #  knn_subvector_rerank displaced by range_type_funcs,
-    #  start_with_sql_text, time_fill_sql_text, regexp_bytes_funcs and
-    #  xml_publish_funcs — the r5 remainder rotates in r13)
+    # (hnsw_filtered_search, hnsw_search_halfvec_exhaustive,
+    #  hnsw_search_sparsevec_exhaustive, ivf_search_bit_exhaustive,
+    #  knn_maxsim_multivector and knn_subvector_rerank displaced by
+    #  range_type_funcs, start_with_sql_text, time_fill_sql_text,
+    #  regexp_bytes_funcs, xml_publish_funcs and agg_orderby_sql_text
+    #  — the r5 remainder rotates in r13)
 ]
 
 # The ROUND 11 window, retired (kept for the rotation ledger):

@@ -757,6 +757,95 @@ def _rewrite_regexp_like3(masked: str, literals: list[str]) -> str:
                + out[cl + 1:])
 
 
+def _rewrite_agg_orderby(masked: str) -> str:
+    """PG's ORDER-BY-INSIDE-AGGREGATE spelling (varlena.cpp
+    string_agg / array_userfuncs.cpp array_agg / xml.cpp xmlagg —
+    ``agg(x, d ORDER BY k)``): Spark spells ordered concatenation as
+    ``listagg/string_agg(...) WITHIN GROUP (ORDER BY ...)``, and
+    ordered collection as a struct-keyed array_sort.  The rewrite:
+
+      * ``string_agg(x, d ORDER BY ks)`` → ``string_agg(x, d) WITHIN
+        GROUP (ORDER BY ks)`` (ASC/DESC ride through natively)
+      * ``xmlagg(x [ORDER BY ks])`` → ``string_agg(x, '') [WITHIN
+        GROUP ...]`` (XML aggregation is concatenation of the already-
+        serialized pieces)
+      * ``array_agg(x ORDER BY x)`` → ``array_sort(collect_list(x))``;
+        ``array_agg(x ORDER BY k [DESC] [, k2 ...])`` → sort structs
+        of (keys, value) and project the value (single-key DESC via
+        reverse; mixed-direction multi-key refuses naming the struct
+        spelling)
+    """
+    out = masked
+    pos = 0
+    while True:
+        m = None
+        for mm in re.finditer(r"\b(string_agg|array_agg|xmlagg)\s*\(",
+                              out, re.IGNORECASE):
+            if mm.start() >= pos:
+                m = mm
+                break
+        if m is None:
+            return out
+        fn = m.group(1).lower()
+        op = m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            return out
+        inner = out[op + 1:cl]
+        parts = re.split(r"\bORDER\s+BY\b", inner, maxsplit=1,
+                         flags=re.IGNORECASE)
+        # the split must be at paren depth 0 of THIS call
+        if len(parts) == 2 and parts[0].count("(") != parts[0].count(
+            ")"
+        ):
+            parts = [inner]
+        if len(parts) == 1 and fn != "xmlagg":
+            pos = cl + 1
+            continue
+        args = parts[0].strip().rstrip(",").strip()
+        keys = parts[1].strip() if len(parts) == 2 else None
+        if fn == "string_agg":
+            repl = f"string_agg({args})"
+            if keys:
+                repl += f" WITHIN GROUP (ORDER BY {keys})"
+        elif fn == "xmlagg":
+            repl = f"string_agg({args}, '')"
+            if keys:
+                repl += f" WITHIN GROUP (ORDER BY {keys})"
+        else:  # array_agg
+            kparts = [k.strip() for k in _split_top_commas(keys)]
+            norm = lambda s: re.sub(r"\s+", " ", s).strip().lower()  # noqa: E731
+            descs = [bool(re.search(r"\bDESC\b", k, re.IGNORECASE))
+                     for k in kparts]
+            bare = [re.sub(r"\b(ASC|DESC|NULLS\s+(FIRST|LAST))\b", "",
+                           k, flags=re.IGNORECASE).strip()
+                    for k in kparts]
+            if len(kparts) == 1 and norm(bare[0]) == norm(args):
+                repl = f"array_sort(collect_list({args}))"
+                if descs[0]:
+                    repl = f"reverse({repl})"
+            elif any(descs) and not all(descs):
+                raise NotImplementedError(
+                    "array_agg with mixed ASC/DESC sort keys — sort "
+                    "structs explicitly: transform(array_sort("
+                    "collect_list(struct(keys..., value))), s -> "
+                    "s.value) with encoded keys"
+                )
+            else:
+                fields = ", ".join(
+                    f"({b}) AS __o{i}" for i, b in enumerate(bare)
+                )
+                repl = (
+                    f"transform(array_sort(collect_list(struct("
+                    f"{fields}, ({args}) AS __ov))), "
+                    f"__s -> __s.__ov)"
+                )
+                if all(descs) and descs:
+                    repl = f"reverse({repl})"
+        out = out[:m.start()] + repl + out[cl + 1:]
+        pos = m.start() + len(repl)
+
+
 def translate(sql: str) -> str:
     """Rewrite the supported Oracle-compat constructs into Spark SQL."""
     masked, literals = _mask_strings(sql)
@@ -865,6 +954,12 @@ def translate(sql: str) -> str:
         out = _rewrite_similar_to(out, literals)
     if re.search(r"\bregexp_like\s*\(", out, re.IGNORECASE):
         out = _rewrite_regexp_like3(out, literals)
+    if re.search(r"\bxmlagg\s*\(", out, re.IGNORECASE) or (
+        re.search(r"\b(?:string_agg|array_agg)\s*\(", out,
+                  re.IGNORECASE)
+        and re.search(r"\bORDER\s+BY\b", out, re.IGNORECASE)
+    ):
+        out = _rewrite_agg_orderby(out)
     if re.search(r"\bxml(?:element|forest|concat|comment|parse|pi|"
                  r"serialize|root)\s*\(|\bxpath\s*\(", out,
                  re.IGNORECASE):

@@ -530,6 +530,42 @@ def agg_min_max_by(spark, sf_dir):
 
 
 @query(
+    "agg_orderby_sql_text",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+           string_agg(n_name, '|' ORDER BY n_nationkey DESC)
+             AS by_key_desc,
+           array_agg(n_name ORDER BY n_name) AS names_arr
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_orderby_sql_text(spark, sf_dir):
+    """PG's ORDER-BY-INSIDE-AGGREGATE spelling as SQL TEXT through
+    Engine.sql (varlena.cpp string_agg / array_userfuncs.cpp
+    array_agg; `_rewrite_agg_orderby` in functions/sql_compat.py):
+    string_agg lowers to Spark's native listagg WITHIN GROUP (DESC
+    keys ride through), array_agg to a struct-keyed array_sort
+    projection.  DuckDB runs the PG spelling VERBATIM as the oracle,
+    so a green row proves order, separator, and key-direction parity.
+
+    Scale: both lower to Spark's own ordered-aggregate machinery —
+    one partial/final aggregation, order resolved inside the
+    aggregate buffer, no extra shuffle."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+               string_agg(n_name, '|' ORDER BY n_nationkey DESC)
+                 AS by_key_desc,
+               array_agg(n_name ORDER BY n_name) AS names_arr
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """)
+
+
+@query(
     "agg_string_array",
     """
     SELECT n.n_name,

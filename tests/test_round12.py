@@ -537,3 +537,24 @@ def test_census11_xml_builders(spark):
         eng.sql("SELECT xmlparse(document '<wrong')")
     with pytest.raises(NotImplementedError, match="from_xml"):
         eng.sql("SELECT xmlroot(xml '<foo/>', version '1.1')")
+
+
+def test_census11_agg_orderby_spellings(spark):
+    """ORDER-BY-inside-aggregate SQL text (varlena.cpp string_agg,
+    array_userfuncs.cpp array_agg, xml.cpp xmlagg): lowering to
+    listagg WITHIN GROUP / struct-keyed array_sort."""
+    eng = Engine(spark, SF_CORRECT)
+    row = eng.sql(
+        "SELECT string_agg(n_name, ',' ORDER BY n_name) AS csv,"
+        " string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS dsc,"
+        " array_agg(n_name ORDER BY n_nationkey DESC) AS arr,"
+        " xmlagg(xmlelement(name n, n_name) ORDER BY n_name) AS x"
+        " FROM nation WHERE n_regionkey = 0"
+    ).collect()[0]
+    assert row.csv.startswith("NATION_0,NATION_10")
+    assert row.dsc.split("|")[0] == "NATION_20"
+    assert row.arr[0] == "NATION_20" and len(row.arr) == 5
+    assert row.x.startswith("<n>NATION_0</n>")
+    with pytest.raises(NotImplementedError, match="mixed ASC/DESC"):
+        eng.sql("SELECT array_agg(n_name ORDER BY n_regionkey ASC,"
+                " n_nationkey DESC) FROM nation")
