@@ -127,6 +127,7 @@ GATE_PRIORITY: list[str] = [
     "regexp_bytes_funcs",
     "xml_publish_funcs",
     "agg_orderby_sql_text",
+    "json_ctor_funcs",
     # (b) the r11 gate-debt row
     "split_subpartition",
     # (c) churn re-gates
@@ -171,8 +172,8 @@ GATE_PRIORITY: list[str] = [
     "events_winsorize",
     "fts_query_rewrite",
     "fts_ts_stat",
-    "hnsw_delete_then_search",
-    # (hnsw_filtered_search, hnsw_search_halfvec_exhaustive,
+    # (hnsw_delete_then_search, hnsw_filtered_search,
+    #  hnsw_search_halfvec_exhaustive,
     #  hnsw_search_sparsevec_exhaustive, ivf_search_bit_exhaustive,
     #  knn_maxsim_multivector and knn_subvector_rerank displaced by
     #  range_type_funcs, start_with_sql_text, time_fill_sql_text,

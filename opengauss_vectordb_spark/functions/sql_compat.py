@@ -757,6 +757,126 @@ def _rewrite_regexp_like3(masked: str, literals: list[str]) -> str:
                + out[cl + 1:])
 
 
+def _json_elem(arg: str) -> str:
+    """A json-valued aggregate element must enter the collection as a
+    STRUCT/ARRAY, not as serialized text (else to_json of the
+    collection re-escapes it into strings — PG nests the objects).
+    Unwraps the spellings that produce json values."""
+    a = arg.strip()
+    for pat, head in (
+        (r"^jsonb?_build_object\s*\(", "named_struct("),
+        (r"^jsonb?_build_array\s*\(", "array("),
+        (r"^to_json\s*\(", ""),
+    ):
+        m = re.match(pat, a, re.IGNORECASE)
+        if m and _find_close(a, m.end() - 1) == len(a) - 1:
+            inner = a[m.end():-1]
+            return f"{head}{inner})" if head else inner
+    m = re.fullmatch(
+        r"row_to_json\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", a,
+        re.IGNORECASE,
+    )
+    if m:
+        return f"struct({m.group(1)}.*)"
+    return a
+
+
+def _rewrite_json_ctors(masked: str) -> str:
+    """PG JSON construction spellings (adt/json.cpp — row_to_json,
+    json[b]_build_object/_build_array, json[b]_agg, json[b]_object_agg,
+    json_object) onto Spark's native to_json over struct/array/map:
+
+      * ``row_to_json(alias)``            → ``to_json(struct(alias.*))``
+      * ``json_build_object(k,v,...)``    → ``to_json(named_struct(...))``
+        (keys must be foldable strings, PG's overwhelmingly common form)
+      * ``json_build_array(...)``         → ``to_json(array(...))``
+      * ``json_agg(x)``                   → ``to_json(collect_list(x))``
+        (the ordered form routes through _rewrite_agg_orderby)
+      * ``json_object_agg(k, v)``         → ``to_json(map_from_entries(
+                                             collect_list(struct(k,v))))``
+      * ``json_object(keys[], vals[])``   → ``to_json(map_from_arrays)``
+
+    jsonb_* spellings map identically (the engine's JSON is text)."""
+    out = masked
+    # simple head renames first (argument lists pass through verbatim)
+    out = re.sub(r"\bjsonb?_build_object\s*\(",
+                 "to_json(named_struct(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bjsonb?_build_array\s*\(", "to_json(array(", out,
+                 flags=re.IGNORECASE)
+    # NOTE: the two renames above open TWO parens for one original —
+    # close them by extending each call's closing paren
+    for opener in ("to_json(named_struct(", "to_json(array("):
+        start = 0
+        while True:
+            i = out.find(opener, start)
+            if i < 0:
+                break
+            cl = _find_close(out, i + len(opener) - 1)
+            if cl < 0:
+                break
+            out = out[:cl + 1] + ")" + out[cl + 1:]
+            start = i + len(opener)
+    out = re.sub(
+        r"\brow_to_json\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+        r"to_json(struct(\1.*))", out, flags=re.IGNORECASE,
+    )
+    # aggregates: plain spellings (ordered ones were already lowered
+    # by _rewrite_agg_orderby, which runs first)
+    start = 0
+    while True:
+        m = re.search(r"\bjsonb?_agg\s*\(", out[start:], re.IGNORECASE)
+        if m is None:
+            break
+        op = start + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            break
+        inner = _json_elem(out[op + 1:cl])
+        repl = f"to_json(collect_list({inner}))"
+        out = out[:start + m.start()] + repl + out[cl + 1:]
+        start = start + m.start() + len(repl)
+    start = 0
+    while True:
+        m = re.search(r"\bjsonb?_object_agg\s*\(", out[start:],
+                      re.IGNORECASE)
+        if m is None:
+            break
+        op = start + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            break
+        args = _split_top_commas(out[op + 1:cl])
+        if len(args) != 2:
+            raise ValueError("json_object_agg takes (key, value)")
+        repl = (f"to_json(map_from_entries(collect_list("
+                f"struct({args[0]}, {args[1]}))))")
+        out = out[:start + m.start()] + repl + out[cl + 1:]
+        start = start + m.start() + len(repl)
+    start = 0
+    while True:
+        m = re.search(r"\bjson_object\s*\(", out[start:], re.IGNORECASE)
+        if m is None:
+            break
+        op = start + m.end() - 1
+        cl = _find_close(out, op)
+        if cl < 0:
+            break
+        args = _split_top_commas(out[op + 1:cl])
+        if len(args) == 2:
+            repl = (f"to_json(map_from_arrays({args[0]}, {args[1]}))")
+        else:
+            # one alternating-pairs array (json.cpp json_object 1-arg)
+            a = args[0]
+            repl = (
+                "to_json(map_from_arrays("
+                f"filter({a}, (__jx, __ji) -> __ji % 2 = 0), "
+                f"filter({a}, (__jx, __ji) -> __ji % 2 = 1)))"
+            )
+        out = out[:start + m.start()] + repl + out[cl + 1:]
+        start = start + m.start() + len(repl)
+    return out
+
+
 def _rewrite_agg_orderby(masked: str) -> str:
     """PG's ORDER-BY-INSIDE-AGGREGATE spelling (varlena.cpp
     string_agg / array_userfuncs.cpp array_agg / xml.cpp xmlagg —
@@ -779,8 +899,11 @@ def _rewrite_agg_orderby(masked: str) -> str:
     pos = 0
     while True:
         m = None
-        for mm in re.finditer(r"\b(string_agg|array_agg|xmlagg)\s*\(",
-                              out, re.IGNORECASE):
+        for mm in re.finditer(
+            r"\b(string_agg|array_agg|xmlagg|jsonb?_agg|"
+            r"jsonb?_object_agg)\s*\(",
+            out, re.IGNORECASE,
+        ):
             if mm.start() >= pos:
                 m = mm
                 break
@@ -800,11 +923,43 @@ def _rewrite_agg_orderby(masked: str) -> str:
         ):
             parts = [inner]
         if len(parts) == 1 and fn != "xmlagg":
+            # plain json_agg/jsonb_agg lowers in _rewrite_json_ctors
             pos = cl + 1
             continue
         args = parts[0].strip().rstrip(",").strip()
         keys = parts[1].strip() if len(parts) == 2 else None
-        if fn == "string_agg":
+        if fn in ("json_agg", "jsonb_agg"):
+            args = _json_elem(args)
+        if fn in ("json_object_agg", "jsonb_object_agg"):
+            kv = _split_top_commas(args)
+            if len(kv) != 2:
+                raise ValueError("json_object_agg takes (key, value)")
+            norm = lambda s: re.sub(r"\s+", " ", s).strip().lower()  # noqa: E731
+            kparts = [k.strip() for k in _split_top_commas(keys)]
+            descs = [bool(re.search(r"\bDESC\b", k, re.IGNORECASE))
+                     for k in kparts]
+            bare = [re.sub(r"\b(ASC|DESC|NULLS\s+(FIRST|LAST))\b", "",
+                           k, flags=re.IGNORECASE).strip()
+                    for k in kparts]
+            entry = f"struct(({kv[0]}) AS __jk, ({kv[1]}) AS __jv)"
+            if (len(kparts) == 1 and not descs[0]
+                    and norm(bare[0]) == norm(kv[0])):
+                arr = f"array_sort(collect_list({entry}))"
+            elif any(descs):
+                raise NotImplementedError(
+                    "json_object_agg with DESC sort keys — sort "
+                    "structs explicitly with an encoded key"
+                )
+            else:
+                fields = ", ".join(
+                    f"({b}) AS __o{i}" for i, b in enumerate(bare)
+                )
+                arr = (
+                    f"transform(array_sort(collect_list(struct("
+                    f"{fields}, {entry} AS __ov))), __s -> __s.__ov)"
+                )
+            repl = f"to_json(map_from_entries({arr}))"
+        elif fn == "string_agg":
             repl = f"string_agg({args})"
             if keys:
                 repl += f" WITHIN GROUP (ORDER BY {keys})"
@@ -812,7 +967,7 @@ def _rewrite_agg_orderby(masked: str) -> str:
             repl = f"string_agg({args}, '')"
             if keys:
                 repl += f" WITHIN GROUP (ORDER BY {keys})"
-        else:  # array_agg
+        else:  # array_agg / json_agg / jsonb_agg (array-shaped aggs)
             kparts = [k.strip() for k in _split_top_commas(keys)]
             norm = lambda s: re.sub(r"\s+", " ", s).strip().lower()  # noqa: E731
             descs = [bool(re.search(r"\bDESC\b", k, re.IGNORECASE))
@@ -842,6 +997,8 @@ def _rewrite_agg_orderby(masked: str) -> str:
                 )
                 if all(descs) and descs:
                     repl = f"reverse({repl})"
+            if fn in ("json_agg", "jsonb_agg"):
+                repl = f"to_json({repl})"
         out = out[:m.start()] + repl + out[cl + 1:]
         pos = m.start() + len(repl)
 
@@ -955,11 +1112,17 @@ def translate(sql: str) -> str:
     if re.search(r"\bregexp_like\s*\(", out, re.IGNORECASE):
         out = _rewrite_regexp_like3(out, literals)
     if re.search(r"\bxmlagg\s*\(", out, re.IGNORECASE) or (
-        re.search(r"\b(?:string_agg|array_agg)\s*\(", out,
-                  re.IGNORECASE)
+        re.search(r"\b(?:string_agg|array_agg|jsonb?_agg|"
+                  r"jsonb?_object_agg)\s*\(", out, re.IGNORECASE)
         and re.search(r"\bORDER\s+BY\b", out, re.IGNORECASE)
     ):
         out = _rewrite_agg_orderby(out)
+    if re.search(
+        r"\b(?:row_to_json|jsonb?_build_object|jsonb?_build_array|"
+        r"jsonb?_agg|jsonb?_object_agg|json_object)\s*\(",
+        out, re.IGNORECASE,
+    ):
+        out = _rewrite_json_ctors(out)
     if re.search(r"\bxml(?:element|forest|concat|comment|parse|pi|"
                  r"serialize|root)\s*\(|\bxpath\s*\(", out,
                  re.IGNORECASE):

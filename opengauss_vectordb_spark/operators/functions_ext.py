@@ -123,6 +123,47 @@ def xml_publish_funcs(spark, sf_dir):
 
 
 @query(
+    "json_ctor_funcs",
+    """
+    SELECT n_regionkey,
+           CAST(to_json(list(struct_pack(name := n_name,
+                                         key := n_nationkey)
+                             ORDER BY n_name)) AS VARCHAR) AS rows_j,
+           CAST(to_json(list(n_name ORDER BY n_name)) AS VARCHAR)
+             AS names_j,
+           CAST(to_json(map_from_entries(list(struct_pack(
+                  k := n_name, v := n_nationkey) ORDER BY n_name)))
+             AS VARCHAR) AS obj_agg
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def json_ctor_funcs(spark, sf_dir):
+    """PG JSON construction as SQL TEXT through Engine.sql
+    (adt/json.cpp — json_build_object, json_agg with ORDER BY,
+    json_object_agg; `_rewrite_json_ctors` + the ordered-aggregate
+    lowering): everything compiles onto Spark's native to_json over
+    struct/array/map, and DuckDB's own JSON engine produces the
+    byte-identical rendering as the oracle — key order, compact
+    separators, and number-vs-string typing all verified.
+
+    Scale: pure codegen projections plus one ordered aggregate —
+    no Python, no JSON library outside the engines' native kernels."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT n_regionkey,
+               json_agg(json_build_object('name', n_name,
+                                          'key', n_nationkey)
+                        ORDER BY n_name) AS rows_j,
+               json_agg(n_name ORDER BY n_name) AS names_j,
+               json_object_agg(n_name, n_nationkey ORDER BY n_name)
+                 AS obj_agg
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """)
+
+
+@query(
     "array_funcs",
     """
     WITH t AS (

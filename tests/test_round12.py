@@ -558,3 +558,36 @@ def test_census11_agg_orderby_spellings(spark):
     with pytest.raises(NotImplementedError, match="mixed ASC/DESC"):
         eng.sql("SELECT array_agg(n_name ORDER BY n_regionkey ASC,"
                 " n_nationkey DESC) FROM nation")
+
+
+def test_census12_json_constructors(spark):
+    """PG JSON construction SQL text (adt/json.cpp): build_object/
+    build_array/row_to_json/json_agg/json_object_agg/json_object onto
+    native to_json — including the nesting rule (json-valued
+    aggregate elements enter as structs, never re-escaped text)."""
+    eng = Engine(spark, SF_CORRECT)
+
+    def one(s):
+        return eng.sql(s).collect()[0][0]
+
+    assert one("SELECT json_build_object('name', n_name, 'key', "
+               "n_nationkey) FROM nation WHERE n_nationkey = 0"
+               ) == '{"name":"NATION_0","key":0}'
+    assert one("SELECT json_build_array(n_name, 'x') FROM nation "
+               "WHERE n_nationkey = 0") == '["NATION_0","x"]'
+    assert one("SELECT row_to_json(n) FROM (SELECT n_nationkey, "
+               "n_name FROM nation WHERE n_nationkey = 0) n"
+               ) == '{"n_nationkey":0,"n_name":"NATION_0"}'
+    # nesting: objects stay objects inside the aggregated array
+    j = one("SELECT json_agg(json_build_object('k', n_nationkey) "
+            "ORDER BY n_nationkey) FROM nation WHERE n_regionkey = 0")
+    assert j.startswith('[{"k":0},{"k":5}')
+    assert one("SELECT json_agg(n_name ORDER BY n_name) FROM nation "
+               "WHERE n_regionkey = 0").startswith('["NATION_0"')
+    assert one("SELECT json_object_agg(n_name, n_nationkey "
+               "ORDER BY n_name) FROM nation WHERE n_regionkey = 0 "
+               "AND n_nationkey < 6") == '{"NATION_0":0,"NATION_5":5}'
+    assert one("SELECT json_object(array('a','b'), array('1','2'))"
+               ) == '{"a":"1","b":"2"}'
+    assert one("SELECT json_object(array('a','1','b','2'))"
+               ) == '{"a":"1","b":"2"}'
