@@ -226,6 +226,8 @@ HEADLINE = [
     "time_fill_sql_text",
     "regexp_bytes_funcs",
     "xml_publish_funcs",
+    "agg_orderby_sql_text",
+    "json_ctor_funcs",
 ]
 
 

@@ -536,7 +536,8 @@ def agg_min_max_by(spark, sf_dir):
            string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
            string_agg(n_name, '|' ORDER BY n_nationkey DESC)
              AS by_key_desc,
-           array_agg(n_name ORDER BY n_name) AS names_arr
+           array_to_string(array_agg(n_name ORDER BY n_name), '/')
+             AS names_arr
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
@@ -560,7 +561,8 @@ def agg_orderby_sql_text(spark, sf_dir):
                string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
                string_agg(n_name, '|' ORDER BY n_nationkey DESC)
                  AS by_key_desc,
-               array_agg(n_name ORDER BY n_name) AS names_arr
+               array_to_string(array_agg(n_name ORDER BY n_name), '/')
+                 AS names_arr
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """)
 
