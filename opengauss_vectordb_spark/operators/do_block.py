@@ -373,6 +373,23 @@ class _DoRunner:
         return end_after
 
     def _exec_stmt(self, stmt: str) -> None:
+        # dbe_output.print_line / dbms_output.put_line (the A-format
+        # serveroutput channel; 77 regress uses): evaluate the
+        # argument and collect it with the notices — the same
+        # client-visible stream RAISE INFO feeds
+        m = re.match(
+            r"(?:CALL\s+)?(?:dbe_output\s*\.\s*print_line|"
+            r"dbms_output\s*\.\s*put_line)\s*\((?P<a>.*)\)\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            v = self._eval_scalar(
+                "SELECT CAST(("
+                + _subst_values(m.group("a"), self.env)
+                + ") AS STRING)"
+            )
+            self.notices.append("" if v is None else str(v))
+            return
         m = re.match(
             r"RAISE\s+(?P<lvl>NOTICE|WARNING|INFO|EXCEPTION)\s+"
             r"'(?P<msg>(?:[^']|'')*)'(?:\s*,\s*(?P<args>.+?))?\s*$",

@@ -591,3 +591,21 @@ def test_census12_json_constructors(spark):
                ) == '{"a":"1","b":"2"}'
     assert one("SELECT json_object(array('a','1','b','2'))"
                ) == '{"a":"1","b":"2"}'
+
+
+def test_census12_dbe_output_print_line(spark):
+    """dbe_output.print_line / dbms_output.put_line (A-format
+    serveroutput; 77 regress uses): evaluated driver-side and
+    collected with the notices, the same stream RAISE INFO feeds."""
+    eng = Engine(spark, SF_CORRECT)
+    eng.sql("""
+        CREATE OR REPLACE PROCEDURE r12_out() AS
+        BEGIN
+            dbe_output.print_line('hello from proc');
+        END;
+    """)
+    row = eng.sql("CALL r12_out()").collect()[0]
+    assert row.n_notices == 1 and row.notices == "hello from proc"
+    row = eng.sql("DO $$ BEGIN dbms_output.put_line('x' || (1+1));"
+                  " END $$").collect()[0]
+    assert row.notices == "x2"
