@@ -161,3 +161,42 @@ def test_view_over_time_fill_body(eng):
             "interval '1 hour', time_string) AS h FROM tf_cpu")
     assert eng.sql("SELECT COUNT(DISTINCT h) FROM tw_view"
                    ).collect()[0][0] == 1
+
+
+def test_time_window_grid_vs_duckdb_time_bucket(eng):
+    """Cross-engine anchor check: 200 seeded random (interval,
+    timestamp) pairs; the engine's time_window must equal DuckDB's
+    independent TimescaleDB-compatible time_bucket on every pair."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1242)
+    units = [("microsecond", 1), ("millisecond", 7), ("second", 13),
+             ("min", 7), ("hour", 36), ("day", 13), ("week", 5)]
+    pairs = []
+    for _ in range(200):
+        unit, maxn = units[rng.randrange(len(units))]
+        n = rng.randrange(1, maxn + 1)
+        ts = (f"{rng.randrange(1995, 2031)}-{rng.randrange(1, 13):02d}-"
+              f"{rng.randrange(1, 29):02d} {rng.randrange(24):02d}:"
+              f"{rng.randrange(60):02d}:{rng.randrange(60):02d}."
+              f"{rng.randrange(10**6):06d}")
+        pairs.append((n, unit, ts))
+    items = ", ".join(
+        f"time_window(interval '{n} {u}', TIMESTAMP'{t}') AS c{i}"
+        for i, (n, u, t) in enumerate(pairs)
+    )
+    got = list(eng.sql(f"SELECT {items}").collect()[0])
+    duck_units = {"min": "minute"}
+    ditems = ", ".join(
+        f"time_bucket(INTERVAL '{n} {duck_units.get(u, u)}', "
+        f"TIMESTAMP '{t}') AS c{i}"
+        for i, (n, u, t) in enumerate(pairs)
+    )
+    want = list(duckdb.connect().execute(f"SELECT {ditems}").fetchone())
+    mismatches = [
+        (pairs[i], g, w) for i, (g, w) in enumerate(zip(got, want))
+        if g != w
+    ]
+    assert not mismatches, mismatches[:5]
