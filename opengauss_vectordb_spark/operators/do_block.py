@@ -128,11 +128,71 @@ def _sql_literal(v) -> str:
     return f"'{s}'"
 
 
+class _Varray(list):
+    """A PL/SQL collection variable (TYPE t IS VARRAY(n) OF e / TABLE
+    OF e): a driver-side list with the declared capacity and element
+    type (gram.y varray/table-of declarations; hw_varray.sql).  The
+    1-based paren indexing, .COUNT/.FIRST/.LAST, and the PG text
+    rendering live in _subst_values / the assignment handler."""
+
+    def __init__(self, cap=None, et="string"):
+        super().__init__()
+        self.cap = cap
+        self.et = et
+
+
+def _safe_index(text: str) -> int:
+    """Evaluate an already-substituted collection subscript —
+    integer arithmetic only (loop counters and literals)."""
+    s = text.strip()
+    if not re.fullmatch(r"[\d\s+\-*/()]+", s):
+        raise NotImplementedError(
+            "collection subscripts evaluate driver-side: use integer "
+            "variables/literals (got a non-arithmetic subscript)"
+        )
+    return int(eval(s, {"__builtins__": {}}, {}))  # noqa: S307
+
+
 def _subst_values(text: str, env: dict) -> str:
     """Replace variable references with typed literals of their CURRENT
     driver-side values — identifier-boundary matched on the
-    string-masked copy, qualified refs untouched (the plpgsql rules)."""
+    string-masked copy, qualified refs untouched (the plpgsql rules).
+    Collection variables substitute first: ``v(i)`` element reads and
+    ``v.COUNT/.FIRST/.LAST`` methods, then bare references render in
+    the PG '{...}' text form."""
     out = text
+    coll = {n for n, v in env.items() if isinstance(v, _Varray)}
+    for name in sorted(coll, key=len, reverse=True):
+        arr = env[name]
+        pat = re.compile(
+            rf"(?<!\.)\b{re.escape(name)}\s*\(\s*([^()]+)\s*\)",
+            re.IGNORECASE,
+        )
+        while True:
+            m = pat.search(_mask_strings(out))
+            if m is None:
+                break
+            idx = _safe_index(_subst_values(m.group(1), env))
+            v = arr[idx - 1] if 1 <= idx <= len(arr) else None
+            rep = _sql_literal(v)
+            out = out[:m.start()] + rep + out[m.end():]
+        mpat = re.compile(
+            rf"(?<!\.)\b{re.escape(name)}\s*\.\s*(count|first|last)\b",
+            re.IGNORECASE,
+        )
+        while True:
+            m = mpat.search(_mask_strings(out))
+            if m is None:
+                break
+            meth = m.group(1).lower()
+            if meth == "count":
+                v = len(arr)
+            elif meth == "first":
+                v = 1 if arr else None
+            else:
+                v = len(arr) if arr else None
+            rep = _sql_literal(v)
+            out = out[:m.start()] + rep + out[m.end():]
     for name in sorted(env, key=len, reverse=True):
         pat = re.compile(rf"(?<!\.)\b{re.escape(name)}\b", re.IGNORECASE)
         pos = 0
@@ -140,7 +200,15 @@ def _subst_values(text: str, env: dict) -> str:
             m = pat.search(_mask_strings(out), pos)
             if m is None:
                 break
-            rep = _sql_literal(env[name])
+            val = env[name]
+            if isinstance(val, _Varray):
+                rep = _sql_literal(
+                    "{" + ",".join(
+                        "NULL" if x is None else str(x) for x in val
+                    ) + "}"
+                )
+            else:
+                rep = _sql_literal(val)
             out = out[:m.start()] + rep + out[m.end():]
             pos = m.start() + len(rep)
     return out.strip()
@@ -157,6 +225,9 @@ class _DoRunner:
         self.notices: list[str] = []
         self.executed = 0
         self._found_shadowed = False
+        # PL/SQL collection types declared in this block:
+        # name -> (capacity or None, element type text)
+        self.coll_types: dict = {}
         # GET DIAGNOSTICS ROW_COUNT source: the last DML's row count
         self.last_row_count: int = 0
         # bound cursors (DECLARE c CURSOR FOR/IS <query>): name →
@@ -256,6 +327,48 @@ class _DoRunner:
                     "bound cursor (DECLARE <c> CURSOR FOR <query>)"
                 )
             s = self.cursors[s.lower()]
+        # collection-writing numeric FOR loops (the hw_varray.sql
+        # shape: FOR i IN 1..n LOOP a(i) := ...) iterate DRIVER-SIDE —
+        # a collection is driver state bounded by its declared
+        # capacity, so the loop is protocol-sized by construction;
+        # set-oriented folding stays the rule for everything else
+        coll = [n for n, v in self.env.items()
+                if isinstance(v, _Varray)]
+        mr = re.match(
+            r"^(?P<rev>REVERSE\s+)?(?P<lo>[^.]+?)\s*\.\.\s*"
+            r"(?P<hi>.+)$", s, re.IGNORECASE | re.DOTALL,
+        )
+        if (mr and coll and re.search(
+            rf"\b(?:{'|'.join(map(re.escape, coll))})\s*[(.]",
+            _mask_strings(body), re.IGNORECASE,
+        )):
+            lo = _safe_index(_subst_values(mr.group("lo"), self.env))
+            hi = _safe_index(_subst_values(mr.group("hi"), self.env))
+            if hi - lo + 1 > 10000:
+                raise NotImplementedError(
+                    "collection FOR loop over more than 10000 "
+                    "iterations — use an ARRAY column and set-oriented "
+                    "statements"
+                )
+            vkey = var.lower()
+            had, old = vkey in self.env, self.env.get(vkey)
+            if mr.group("rev"):
+                # pl_exec exec_stmt_fori REVERSE: first DOWN to second
+                rng = range(lo, hi - 1, -1)
+                nonempty = lo >= hi
+            else:
+                rng = range(lo, hi + 1)
+                nonempty = hi >= lo
+            for i in rng:
+                self.env[vkey] = i
+                self.run(body)
+            if had:
+                self.env[vkey] = old
+            else:
+                self.env.pop(vkey, None)
+            self._set_found(nonempty)
+            self.executed += 1
+            return
         bindings = {k: _sql_literal(v) for k, v in self.env.items()}
         accs, q_sub = _parse_loop_accs(var, s, body, bindings)
         cur: dict[str, str] = {}
@@ -445,6 +558,45 @@ class _DoRunner:
         )
         if m:
             self.env[m.group("v").lower()] = self.last_row_count
+            return
+        # collection element assignment v(i) := e and v.extend[(n)]
+        # (the hw_varray.sql subset: 1-based paren indexing with
+        # auto-extension up to the declared capacity)
+        m = re.match(
+            r"(?P<v>\w+)\s*\(\s*(?P<i>[^()]+)\s*\)\s*:=\s*(?P<e>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if m and isinstance(self.env.get(m.group("v").lower()),
+                            _Varray):
+            arr = self.env[m.group("v").lower()]
+            idx = _safe_index(_subst_values(m.group("i"), self.env))
+            if idx < 1 or (arr.cap is not None and idx > arr.cap):
+                raise ValueError(
+                    f"collection subscript {idx} is outside the "
+                    f"declared VARRAY limit"
+                )
+            val = self._eval_scalar(
+                "SELECT CAST(("
+                + _subst_values(m.group("e"), self.env)
+                + f") AS {_map_type(arr.et)})"
+            )
+            while len(arr) < idx:
+                arr.append(None)
+            arr[idx - 1] = val
+            return
+        m = re.match(
+            r"(?P<v>\w+)\s*\.\s*extend\s*(?:\(\s*(?P<n>\d+)\s*\))?\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if m and isinstance(self.env.get(m.group("v").lower()),
+                            _Varray):
+            arr = self.env[m.group("v").lower()]
+            n = int(m.group("n") or 1)
+            if arr.cap is not None and len(arr) + n > arr.cap:
+                raise ValueError(
+                    "extend exceeds the declared VARRAY capacity"
+                )
+            arr.extend([None] * n)
             return
         m = re.match(r"(?P<v>\w+)\s*:=\s*(?P<e>.+)$", stmt,
                      re.IGNORECASE | re.DOTALL)
@@ -779,6 +931,30 @@ def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
         if mc:
             runner.cursors[mc.group("v").lower()] = mc.group("q").strip()
             continue
+        # TYPE t IS VARRAY(n) OF e / TYPE t IS TABLE OF e — PL/SQL
+        # collection types (gram.y; the hw_varray.sql family): the
+        # 1-D scalar-element subset executes; nested collections and
+        # record elements refuse naming the array-column rewrite
+        mv = re.match(
+            r"TYPE\s+(?P<t>\w+)\s+IS\s+"
+            r"(?:VARRAY\s*\(\s*(?P<n>\d+)\s*\)|TABLE)\s+OF\s+"
+            r"(?P<et>\w+(?:\s+\w+)?"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if mv:
+            et = mv.group("et").strip()
+            if (et.lower() in runner.coll_types
+                    or et.lower() in getattr(runner, "record_types", {})):
+                raise NotImplementedError(
+                    "nested collection / record-element VARRAYs — "
+                    "model multi-level data as ARRAY columns in a "
+                    "relation (multimodal/array column pattern) or "
+                    "flatten to parallel 1-D collections"
+                )
+            cap = int(mv.group("n")) if mv.group("n") else None
+            runner.coll_types[mv.group("t").lower()] = (cap, et)
+            continue
         # v tbl.col%TYPE — pl_comp.cpp plpgsql_parse_cwordtype: the
         # declared type IS the referenced column's type, resolvable
         # here because the runner holds the engine's catalog
@@ -818,6 +994,32 @@ def _parse_decls_values(decls: str, runner: _DoRunner) -> None:
         if not m:
             raise ValueError(f"DO block: cannot parse declaration {stmt!r}")
         v = m.group("v").lower()
+        tname = m.group("t").strip().lower()
+        if tname in runner.coll_types:
+            cap, et = runner.coll_types[tname]
+            arr = _Varray(cap, et)
+            init = m.group("e")
+            if init is not None:
+                mi = re.match(rf"^{tname}\s*\((?P<a>.*)\)\s*$",
+                              init.strip(), re.IGNORECASE | re.DOTALL)
+                if not mi:
+                    raise NotImplementedError(
+                        "collection initializers use the constructor "
+                        "form t(e1, e2, ...)"
+                    )
+                for a in _split_call_args(mi.group("a")):
+                    arr.append(runner._eval_scalar(
+                        "SELECT CAST(("
+                        + _subst_values(a, runner.env)
+                        + f") AS {_map_type(et)})"
+                    ))
+                if cap is not None and len(arr) > cap:
+                    raise ValueError(
+                        "collection initializer exceeds the declared "
+                        "VARRAY capacity"
+                    )
+            runner.env[v] = arr
+            continue
         if v == "found":
             runner._found_shadowed = True
         if m.group("e") is None:

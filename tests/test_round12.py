@@ -609,3 +609,54 @@ def test_census12_dbe_output_print_line(spark):
     row = eng.sql("DO $$ BEGIN dbms_output.put_line('x' || (1+1));"
                   " END $$").collect()[0]
     assert row.notices == "x2"
+
+
+def test_census12_varray_collections(spark):
+    """PL/SQL collection types (gram.y VARRAY/TABLE OF; hw_varray.sql):
+    declaration, constructor init, 1-based paren indexing with
+    auto-extension, .COUNT/.FIRST/.LAST/.extend, the PG '{...}' text
+    rendering, driver-side numeric FOR loops over collections
+    (forward and REVERSE), capacity errors, and the nested-collection
+    refusal."""
+    eng = Engine(spark, SF_CORRECT)
+    out = eng.sql("""DO $$
+        DECLARE
+            TYPE arr1 IS VARRAY(5) OF INTEGER;
+            a arr1;
+        BEGIN
+            FOR I IN 1..5 LOOP
+                a(I) := I * 10;
+            END LOOP;
+            RAISE NOTICE 'count=% first=% last=% arr=% a3=%',
+                a.COUNT, a.FIRST, a.LAST, a, a(3);
+        END $$""").collect()[0].notices
+    assert out == ("NOTICE: count=5 first=1 last=5 "
+                   "arr={10,20,30,40,50} a3=30")
+    out = eng.sql("""DO $$
+        DECLARE
+            TYPE t2 IS TABLE OF text;
+            b t2 := t2('x', 'y');
+        BEGIN
+            b.extend;
+            b(3) := 'z';
+            RAISE NOTICE '%', b;
+        END $$""").collect()[0].notices
+    assert out == "NOTICE: {x,y,z}"
+    out = eng.sql("""DO $$
+        DECLARE
+            TYPE arr1 IS VARRAY(6) OF INTEGER;
+            a arr1 := arr1(1, 2, 3);
+            s int := 0;
+        BEGIN
+            FOR I IN REVERSE 3..1 LOOP
+                s := s + a(I) * 10;
+            END LOOP;
+            RAISE NOTICE 's=%', s;
+        END $$""").collect()[0].notices
+    assert out == "NOTICE: s=60"
+    with pytest.raises(ValueError, match="outside the declared"):
+        eng.sql("DO $$ DECLARE TYPE a1 IS VARRAY(2) OF int; v a1;"
+                " BEGIN v(3) := 1; END $$")
+    with pytest.raises(NotImplementedError, match="nested collection"):
+        eng.sql("DO $$ DECLARE TYPE a1 IS VARRAY(5) OF int;"
+                " TYPE a2 IS VARRAY(5) OF a1; BEGIN NULL; END $$")
