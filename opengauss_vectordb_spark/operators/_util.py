@@ -56,7 +56,15 @@ def status_frame(spark, row: tuple, schema: str):
             f"{_sql_scalar(v, typ)} AS {name}"
             for v, (name, typ) in zip(row, cols)
         ]
-        sql_text = "SELECT " + ", ".join(parts)
+        # the inline-VALUES anchor lets Catalyst fold the projection to
+        # a LocalRelation (OneRowRelation is not eligible), so callers
+        # that materialize the status frame (.first()/.collect()) pay
+        # no job and no result-serving socket — measured 46 → 15 ms
+        # per materialization (OPTIMIZATION_r12.md)
+        sql_text = (
+            "SELECT " + ", ".join(parts)
+            + " FROM VALUES (0) AS __onerow(__z)"
+        )
     except (TypeError, ValueError):
         return spark.createDataFrame([row], schema)
     try:

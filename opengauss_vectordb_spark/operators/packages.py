@@ -265,7 +265,11 @@ def _install_vars(engine, pkg: str, decls: list[dict]) -> None:
         else:
             expr = substitute_var_reads(engine, d["init"])
             value = engine.sql(
+                # inline-VALUES anchor folds the literal projection to
+                # a LocalRelation — no job per initializer (_util
+                # status_frame convention)
                 f"SELECT CAST(({expr}) AS {t}) AS v"
+                " FROM VALUES (0) AS __onerow(__z)"
             ).collect()[0][0]
         store[d["name"]] = {
             "type": t, "value": value, "constant": d["constant"],
@@ -337,6 +341,7 @@ def _try_assignment(engine, query: str):
     t = binding["type"]
     value = engine.sql(
         f"SELECT CAST(({m.group('rhs')}) AS {t}) AS v"
+        " FROM VALUES (0) AS __onerow(__z)"
     ).collect()[0][0]
     binding["value"] = value
     # recompile members whose source reads this package's state: the
