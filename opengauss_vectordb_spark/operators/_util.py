@@ -25,6 +25,61 @@ def davg(col: Column, alias: str) -> Column:
     return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
 
 
+def _scaled_long_sum(col: Column) -> Column:
+    """Exact decimal(18,6)-sum spelled as two long sums (see dsum6)."""
+    v = F.round(col * F.lit(1000000.0)).cast("long")
+    m = F.lit(1000000)
+    r = F.pmod(v, m)
+    # (v - r) is a multiple of 1e6 and ≤ ~8e15 < 2^53, so the double
+    # division is exact and the long cast lossless
+    q = ((v - r) / m).cast("long")
+    # recombine per GROUP (cheap): S = sum(q)*1e6 + sum(r), value
+    # S*1e-6 — decimal arithmetic sized so no step can round:
+    # (20,0)*(7,0)→(28,0); +(20,0)→(29,0); *(7,6)→(37,6) ≤ 38
+    return (
+        (
+            F.sum(q).cast("decimal(20,0)")
+            * F.lit(1000000).cast("decimal(7,0)")
+            + F.sum(r).cast("decimal(20,0)")
+        )
+        * F.lit(0.000001).cast("decimal(7,6)")
+    ).cast("double")
+
+
+def dsum6(col: Column, alias: str) -> Column:
+    """``dsum`` fast path: bit-identical to
+    ``CAST(SUM(CAST(col AS DECIMAL(18,6))) AS DOUBLE)`` whenever
+
+      (P1) the column's TRUE values have at most 6 decimal digits
+           (money/quantity columns and their products — the TPC-H money
+           grammar; verified for events.value in the test data), and
+      (P2) |value| ≤ ~4e9, so value*1e6 < 2^53 and ``round(col*1e6)``
+           recovers the exact scaled integer, and
+      (P3) rows per group ≤ ~1e12 (the two long partial sums carry
+           q ≤ 4e3·1e6/1e6... q ≤ 4e9/1e3 and r < 1e6, so with the
+           TPC-H bounds |value| ≤ ~1.1e5 the sums stay inside int64 up
+           to ~1.7e12 rows/group — beyond a 100 TB lineitem).
+
+    Proof sketch (OPTIMIZATION_r12.md §dsum6): under (P1) the stored
+    double is nearest(x_true) with error ≪ 0.5e-6, so both Spark's
+    double→decimal cast (shortest-repr, HALF_UP at scale 6) and
+    ``round(col*1e6)`` land on exactly x_true's scaled integer; the two
+    long sums recombine losslessly into the same decimal value the
+    decimal-sum accumulator holds, and the final decimal→double cast is
+    the same cast.  Measured 3× cheaper than the decimal accumulator
+    (whose per-row non-compact BigDecimal add dominated large
+    aggregations); property-pinned against dsum in
+    tests/test_r12_optimization.py.  Columns that are NOT provably
+    ≤6-decimal-digit (scores, logs, z-values) must keep ``dsum``.
+    """
+    return _scaled_long_sum(col).alias(alias)
+
+
+def davg6(col: Column, alias: str) -> Column:
+    """``davg`` fast path — dsum6 preconditions apply."""
+    return (_scaled_long_sum(col) / F.count(col)).alias(alias)
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
 

@@ -112,25 +112,32 @@ def db4ai_linreg_ols(spark, sf_dir):
     exact decimal sums (partial/final combinable → scales linearly with
     executors), then slope/intercept/r2 in final double arithmetic.
     One model per l_returnflag group — grouped training for free."""
+    from ._util import dsum, dsum6
+
     li = table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # dsum6 (scaled-long spelling, bit-identical — _util preconditions):
+    # quantity ≤ 50 (0 dp), price ≤ ~1.1e5 (2 dp), so x, y, x·x, x·y
+    # all stay ≤6 true decimal digits under the 4e9 magnitude bound.
+    # y·y reaches ~1.1e10 — ABOVE the P2 bound (its scaled value
+    # exceeds 2^53) — so syy keeps the decimal accumulator.
     s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast("decimal(18,6)")).alias("sx"),
-        F.sum(y.cast("decimal(18,6)")).alias("sy"),
-        F.sum((x * x).cast("decimal(18,6)")).alias("sxx"),
-        F.sum((x * y).cast("decimal(18,6)")).alias("sxy"),
-        F.sum((y * y).cast("decimal(18,6)")).alias("syy"),
+        dsum6(x, "sxd"),
+        dsum6(y, "syd"),
+        dsum6(x * x, "sxxd"),
+        dsum6(x * y, "sxyd"),
+        dsum(y * y, "syyd"),
     )
     d = s.select(
         "flag",
         "n",
         F.col("n").cast("double").alias("nd"),
-        F.col("sx").cast("double").alias("sxd"),
-        F.col("sy").cast("double").alias("syd"),
-        F.col("sxx").cast("double").alias("sxxd"),
-        F.col("sxy").cast("double").alias("sxyd"),
-        F.col("syy").cast("double").alias("syyd"),
+        "sxd",
+        "syd",
+        "sxxd",
+        "sxyd",
+        "syyd",
     )
     nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
     sxxd, sxyd, syyd = F.col("sxxd"), F.col("sxyd"), F.col("syyd")

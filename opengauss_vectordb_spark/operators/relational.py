@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from ._util import davg, dsum, sql_davg, sql_dsum
+from ._util import davg, davg6, dsum, dsum6, sql_davg, sql_dsum
 
 
 # --------------------------------------------------------------------------
@@ -59,13 +59,18 @@ def tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
+            # dsum6/davg6: the scaled-long spelling of the decimal-sum
+            # convention — exact here because every input is TPC-H
+            # money/quantity grammar (≤6 true decimal digits, |x|≤1.1e5;
+            # _util.dsum6 preconditions P1-P3). 3× cheaper per row than
+            # the decimal accumulator (OPTIMIZATION_r12.md).
+            dsum6(F.col("l_quantity"), "sum_qty"),
+            dsum6(F.col("l_extendedprice"), "sum_base_price"),
+            dsum6(disc_price, "sum_disc_price"),
+            dsum6(charge, "sum_charge"),
+            davg6(F.col("l_quantity"), "avg_qty"),
+            davg6(F.col("l_extendedprice"), "avg_price"),
+            davg6(F.col("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -155,7 +160,7 @@ def tpch_q3_adapted(spark, sf_dir):
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -234,7 +239,7 @@ def tpch_q5(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -261,7 +266,7 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    ).agg(dsum6(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 # --------------------------------------------------------------------------
@@ -310,7 +315,7 @@ def tpch_q7_adapted(spark, sf_dir):
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -422,7 +427,7 @@ def tpch_q9_adapted(spark, sf_dir):
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit"))
+        .agg(dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -460,7 +465,7 @@ def tpch_q10_adapted(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -629,7 +634,7 @@ def tpch_q15(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+        dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
     )
     max_rev = revenue0.agg(F.max("total_revenue").alias("_max_rev"))
     s = table(spark, sf_dir, "supplier")
@@ -795,7 +800,7 @@ def tpch_q19_adapted(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#23") & size.between(1, 35) & qty.between(20, 30))
     )
     return joined.filter(cond).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
 
 
@@ -1068,7 +1073,7 @@ def inlist_join_rewrite(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum(F.col("o_totalprice"), "total"),
+            dsum6(F.col("o_totalprice"), "total"),
         )
         .orderBy("o_orderpriority")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from ._util import status_frame, dsum, sql_dsum
+from ._util import status_frame, dsum, dsum6, sql_dsum
 
 # --- set operations (nodeSetOp.cpp: INTERSECT/EXCEPT hashed or sorted) ----
 
@@ -258,7 +258,7 @@ def agg_rollup(spark, sf_dir):
                 "gid"
             ),
             F.count(F.lit(1)).alias("n"),
-            dsum(F.col("o_totalprice"), "total"),
+            dsum6(F.col("o_totalprice"), "total"),
         )
         .select("o_orderpriority", "o_orderstatus", "gid", "n", "total")
         .orderBy(
@@ -287,7 +287,7 @@ def agg_cube(spark, sf_dir):
         .agg(
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            dsum(F.col("l_quantity"), "qty"),
+            dsum6(F.col("l_quantity"), "qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
         .orderBy(
@@ -1010,7 +1010,6 @@ def bucketed_join_colocated(spark, sf_dir):
     deployment would use. Results are identical to the plain join (the
     oracle); the plan difference is pinned in test_plan_quality."""
     from ..sources.bucketed import bucketed_tables
-    from ._util import dsum
 
     ob, lb = bucketed_tables(spark, sf_dir)
     o = spark.table(ob)
@@ -1020,7 +1019,7 @@ def bucketed_join_colocated(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(
+            dsum6(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")),
                 "revenue",
             ),

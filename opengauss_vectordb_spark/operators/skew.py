@@ -55,6 +55,7 @@ def salted_equi_join(
 # --------------------------------------------------------------------------
 
 from ..catalog import table  # noqa: E402
+from ._util import dsum6  # noqa: E402
 from ..registry import query  # noqa: E402
 
 
@@ -97,9 +98,9 @@ def salted_skew_join(spark, sf_dir):
         j.groupBy("o_orderpriority", "l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("revenue"),
+            # scaled-long spelling of the decimal sum (bit-identical:
+            # price is 2 dp ≤ ~1.1e5 — _util.dsum6 preconditions)
+            dsum6(F.col("l_extendedprice"), "revenue"),
         )
         .orderBy("o_orderpriority", "l_returnflag")
     )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from ..operators._util import dsum, sql_dsum
+from ..operators._util import dsum6, sql_dsum
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -35,7 +35,7 @@ def events_tumbling_window(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum6(F.col("value"), "total_value"))
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
             "event_type",
@@ -68,7 +68,7 @@ def events_sliding_window(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum6(F.col("value"), "total_value"))
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
             "n",

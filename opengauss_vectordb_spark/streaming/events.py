@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators._util import dsum6
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -53,9 +55,9 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
+            # scaled-long decimal-sum spelling (value is 6 dp ≤ ~561
+            # in the event stream — _util.dsum6 preconditions)
+            dsum6(F.col("value"), "total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "total_value")

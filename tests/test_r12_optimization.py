@@ -6,6 +6,54 @@ from __future__ import annotations
 from .conftest import SF_CORRECT
 
 
+def test_dsum6_bitwise_equals_dsum_on_6dp_grid(spark):
+    """dsum6/davg6 (scaled-long spelling) must be BIT-IDENTICAL to the
+    decimal-sum convention on any data meeting its preconditions:
+    ≤6 true decimal digits, |x| ≤ 4e9 — randomized grid including
+    negatives, half-way 6th digits, NULLs, all-NULL and empty-ish
+    groups, and magnitudes up to the TPC-H money bound."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.operators._util import (
+        davg,
+        davg6,
+        dsum,
+        dsum6,
+    )
+
+    rng = random.Random(1206)
+    rows = []
+    for i in range(4000):
+        g = i % 7
+        if rng.random() < 0.05:
+            rows.append((g, None))
+            continue
+        digits = rng.randint(0, 6)
+        mag = rng.choice([1, 10, 1000, 105000, 4_000_000_000])
+        v = round(rng.uniform(-mag, mag), digits)
+        if rng.random() < 0.1:
+            v = round(rng.randint(0, 999) + 0.0000005, 7)  # .5 edge
+            v = round(v, 6)
+        rows.append((g, float(v)))
+    rows.append((99, None))  # all-NULL group
+    df = spark.createDataFrame(rows, "g INT, x DOUBLE")
+    out = (
+        df.groupBy("g")
+        .agg(
+            dsum(F.col("x"), "s_dec"),
+            dsum6(F.col("x"), "s_fast"),
+            davg(F.col("x"), "a_dec"),
+            davg6(F.col("x"), "a_fast"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.s_dec == r.s_fast, (r.g, r.s_dec, r.s_fast)
+        assert r.a_dec == r.a_fast, (r.g, r.a_dec, r.a_fast)
+
+
 def test_table_handle_cache_returns_same_lazy_plan(spark):
     """catalog.table() memoizes the DataFrame HANDLE per
     (session, sf_dir, name) — ~90 ms of py4j/footer overhead per call
