@@ -30,50 +30,89 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_squared(a: Column, b: Column) -> Column:
-    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+# --- dim-guarded unrolled kernels ------------------------------------------
+# ``aggregate(zip_with(a, b, term))`` allocates an intermediate array per
+# row-pair and walks it through two higher-order lambdas.  When the vector
+# dimension is known at PLAN time (the engine's analogue of datavec's
+# vector(N) typmod — e.g. the length of the query-vector literal), the
+# same left-fold spells as a flat codegen expression
+#   0.0 + term(a[0],b[0]) + term(a[1],b[1]) + ...
+# with IDENTICAL double addition order (including the 0.0 seed, so signed
+# zeros fold the same way).  A size() guard keeps the fold path for rows
+# of any other length, so results are bit-identical for every input.
+# Measured 2.4× faster on the semdedup pairwise stage
+# (OPTIMIZATION_r12.md §distance-kernels).
 
 
-def l2_distance(a: Column, b: Column) -> Column:
+def _unrolled_pair(a: Column, b: Column, n: int, term) -> Column:
+    e = F.lit(0.0)
+    for i in range(n):
+        e = e + term(a[i], b[i])
+    return e
+
+
+def _pair_sum(a: Column, b: Column, term, dim: int | None) -> Column:
+    fold = _fold_sum(F.zip_with(a, b, term))
+    if dim is None:
+        return fold
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim),
+        _unrolled_pair(a, b, dim, term),
+    ).otherwise(fold)
+
+
+def l2_squared(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _pair_sum(a, b, lambda x, y: (x - y) * (x - y), dim)
+
+
+def l2_distance(a: Column, b: Column, dim: int | None = None) -> Column:
     """`<->` — Euclidean (vector.cpp, sql:172)."""
-    return F.sqrt(l2_squared(a, b))
+    return F.sqrt(l2_squared(a, b, dim))
 
 
-def dot_product(a: Column, b: Column) -> Column:
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _pair_sum(a, b, lambda x, y: x * y, dim)
 
 
-def inner_product(a: Column, b: Column) -> Column:
-    return dot_product(a, b)
+def inner_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_product(a, b, dim)
 
 
-def neg_inner_product(a: Column, b: Column) -> Column:
+def neg_inner_product(
+    a: Column, b: Column, dim: int | None = None
+) -> Column:
     """`<#>` — negative inner product, the reference's index-ordering
     convention (contrib/datavec/README.md:88)."""
-    return -dot_product(a, b)
+    return -dot_product(a, b, dim)
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
     """vector_norm (vector.h:26-64 externs; sql:210-246)."""
-    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+    sq = _fold_sum(F.transform(a, lambda x: x * x))
+    if dim is not None:
+        sq = F.when(
+            F.size(a) == dim,
+            _unrolled_pair(a, a, dim, lambda x, y: x * y),
+        ).otherwise(sq)
+    return F.sqrt(sq)
 
 
-def cosine_distance(a: Column, b: Column) -> Column:
+def cosine_distance(a: Column, b: Column, dim: int | None = None) -> Column:
     """`<=>` — 1 - cos(a,b) (vector.cpp, sql:182).
 
     A zero vector yields NaN (as the reference's C division does), NOT
     NULL: Spark's non-ANSI 0/0 is NULL, which sorts FIRST under the
     default ascending order and would rank zero vectors at the top of
     every cosine kNN; NaN sorts last in both Spark and PG float order."""
-    denom = l2_norm(a) * l2_norm(b)
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
     return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
-        F.lit(1.0) - dot_product(a, b) / denom
+        F.lit(1.0) - dot_product(a, b, dim) / denom
     )
 
 
-def l1_distance(a: Column, b: Column) -> Column:
+def l1_distance(a: Column, b: Column, dim: int | None = None) -> Column:
     """`<+>` — Manhattan (vector.cpp, sql:187)."""
-    return _fold_sum(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+    return _pair_sum(a, b, lambda x, y: F.abs(x - y), dim)
 
 
 # --- binary vectors: represented as array<bigint> of 64-bit words ---------

@@ -256,7 +256,7 @@ def embedding_dup_pairs_cosine(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("_ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("_eb"))
-    d = cosine_distance(F.col("_ea"), F.col("_eb"))
+    d = cosine_distance(F.col("_ea"), F.col("_eb"), dim=DIM)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_d", d)
@@ -2332,14 +2332,14 @@ def semdedup_keep(spark, sf_dir):
     from .distance import l2_norm
 
     v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
-    v = v.withColumn("n", l2_norm(F.col("e")))
+    v = v.withColumn("n", l2_norm(F.col("e"), dim=DIM))
     a = v.select(F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
                  F.col("e").alias("a_e"), F.col("n").alias("a_n"))
     b = v.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
                  F.col("e").alias("b_e"), F.col("n").alias("b_n"))
     denom = F.col("a_n") * F.col("b_n")
     cos_dist = F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
-        F.lit(1.0) - dot_product(F.col("a_e"), F.col("b_e")) / denom
+        F.lit(1.0) - dot_product(F.col("a_e"), F.col("b_e"), dim=DIM) / denom
     )
     pairs = a.join(
         b,

@@ -54,6 +54,67 @@ def test_dsum6_bitwise_equals_dsum_on_6dp_grid(spark):
         assert r.a_dec == r.a_fast, (r.g, r.a_dec, r.a_fast)
 
 
+def test_dim_guarded_distance_kernels_match_fold(spark):
+    """distance.py dim-guarded unrolled kernels must be bit-identical
+    to the fold spelling for every metric — including signed zeros,
+    NULL vectors, and rows whose length differs from the guard dim
+    (those take the fold fallback)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.vector.distance import (
+        cosine_distance,
+        dot_product,
+        l1_distance,
+        l2_distance,
+        l2_norm,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        n = 8 if i % 5 else rng.choice([3, 8, 12])
+        a = [rng.uniform(-2, 2) for _ in range(n)]
+        b = [rng.uniform(-2, 2) for _ in range(n)]
+        if i % 17 == 0:
+            a = [0.0] * n
+        if i % 23 == 0:
+            a = [-0.0] * n
+            b = [0.0] * n
+        rows.append((i, a, b))
+    rows.append((9001, None, [1.0] * 8))
+    df = spark.createDataFrame(
+        rows, "i INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>"
+    )
+    ca, cb = F.col("a"), F.col("b")
+    out = df.select(
+        "i",
+        dot_product(ca, cb).alias("d0"),
+        dot_product(ca, cb, dim=8).alias("d1"),
+        l2_distance(ca, cb).alias("l0"),
+        l2_distance(ca, cb, dim=8).alias("l1"),
+        l1_distance(ca, cb).alias("m0"),
+        l1_distance(ca, cb, dim=8).alias("m1"),
+        cosine_distance(ca, cb).alias("c0"),
+        cosine_distance(ca, cb, dim=8).alias("c1"),
+        l2_norm(ca).alias("n0"),
+        l2_norm(ca, dim=8).alias("n1"),
+    ).collect()
+
+    def same(x, y):
+        if x is None or y is None:
+            return x is None and y is None
+        if math.isnan(x) or math.isnan(y):
+            return math.isnan(x) and math.isnan(y)
+        return x == y and math.copysign(1, x) == math.copysign(1, y)
+
+    for r in out:
+        for p in ("d", "l", "m", "c", "n"):
+            assert same(r[p + "0"], r[p + "1"]), (r.i, p, r)
+
+
 def test_table_handle_cache_returns_same_lazy_plan(spark):
     """catalog.table() memoizes the DataFrame HANDLE per
     (session, sf_dir, name) — ~90 ms of py4j/footer overhead per call
