@@ -633,11 +633,19 @@ def eval_bootstrap_ci(spark, sf_dir):
     — corpus-size-independent state.  This is THE bootstrap shape for
     100 TB evaluation: one pass, B counters."""
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # the uniform is projected ONCE and the Poisson CASE reads the
+    # column: inlining _BOOT_U_SPARK into every WHEN re-spells the md5
+    # seven times (codegen CSE recovers most, not all — measured ~11%
+    # off the replicate pass; CollapseProject keeps non-cheap aliases
+    # referenced more than once un-inlined)
     reps = d.join(
         spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b")),
     ).select(
         "doc_id", "n_chars", "b",
-        F.expr(_pois_case(_BOOT_U_SPARK)).alias("w"),
+        F.expr(_BOOT_U_SPARK).alias("_u"),
+    ).select(
+        "doc_id", "n_chars", "b",
+        F.expr(_pois_case("_u")).alias("w"),
     )
     means = (
         reps.groupBy("b")

@@ -674,8 +674,16 @@ def dedup_repeated_spans(spark, sf_dir):
     shuffles, all linear in corpus token count, no quadratic pair
     expansion anywhere (contrast dedup_ngram_jaccard's documented
     validation-only core)."""
+    from pyspark import StorageLevel
+
     d = table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
+    # unhex(md5): the 16-byte binary digest halves every shuffle row vs
+    # the 32-char hex string (guide §2.3 — narrower keys), and unhex is
+    # injective so counts are unchanged; DISK_ONLY persist computes the
+    # tokenize+hash explode ONCE for its two consumers (the df-stats
+    # groupBy and the tagging join) instead of re-scanning the corpus —
+    # the _jaccard_pairs convention.  Measured 1.79 → 1.30 s at sf0.1.
     grams = (
         d.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= SPAN_K)
@@ -684,10 +692,12 @@ def dedup_repeated_spans(spark, sf_dir):
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(w) - {SPAN_K} + 1),"
-                    f" p -> md5(array_join(slice(w, p, {SPAN_K}), ' ')))"
+                    f" p -> unhex(md5(array_join(slice(w, p, {SPAN_K}),"
+                    f" ' '))))"
                 )
             ).alias("h"),
         )
+        .persist(StorageLevel.DISK_ONLY)
     )
     stats = grams.groupBy("h").agg(
         F.count_distinct("doc_id").alias("ndocs")

@@ -501,17 +501,26 @@ def decontaminate_ngram_overlap(spark, sf_dir):
         " ",
     )
     t = d.select("doc_id", w.alias("w")).filter(F.size("w") >= _DECON_N)
+    # per-doc dedup via array_distinct BEFORE the explode — map-side and
+    # local to the row, replacing the dropDuplicates((doc_id, shingle))
+    # SHUFFLE of the whole shingle stream (identical result: the dedup
+    # scope is the document either way); DISK_ONLY persist computes the
+    # tokenize+explode once for its two consumers (eval side + train
+    # side).  Measured 1.18 → 0.31 s at sf0.1 (guide §2.4: remove
+    # shuffles outright).
     shingles = t.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - _DECON_N),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("w"), i + 1, _DECON_N)
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _DECON_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i + 1, _DECON_N)
+                    ),
+                )
             )
         ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+    ).persist(StorageLevel.DISK_ONLY)
     eval_sh = (
         shingles.filter(F.col("doc_id") % 97 == 0)
         .select("shingle")
