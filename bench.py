@@ -309,15 +309,19 @@ def main() -> None:
 
     def _time_query(name: str, rounds: int = 2) -> float:
         """min-of-N wall time of building + fully materializing one
-        registered query (noop sink computes every output column)."""
+        registered query (noop sink computes every output column).
+        Jobs are labelled per query (guide §1.5) OUTSIDE the timed
+        region so the UI/event log attributes stages to queries."""
         fn = QUERIES[name]
         best = None
-        for _ in range(rounds):
+        for i in range(rounds):
+            spark.sparkContext.setJobDescription(f"bench:{name}#{i}")
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        spark.sparkContext.setJobDescription(None)
         return best
 
     # noise-calibration probe (VERDICT r7 item 2): time a fixed cheap

@@ -668,18 +668,25 @@ def events_anomaly_mad(spark, sf_dir):
     co-partitioned joins on the low-cardinality event_type key. The
     filter runs on the UNROUNDED score (the round is output-only) so
     boundary values gate identically in both engines."""
+    from pyspark.sql import Window as W
+
+    # window-median formulation: both medians compute inside ONE
+    # partitioning of events by event_type instead of two grouped
+    # aggregations re-joined onto the stream (which re-scanned events
+    # four times through two joins) — same exact-percentile median,
+    # identical rows; 0.97 → 0.56 s at sf0.1 (guide §2.4: operations
+    # keyed the same way share one exchange)
     ev = table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("double")
     )
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = ev.join(med, "event_type").withColumn(
+    w = W.partitionBy("event_type")
+    dev = ev.withColumn("med", F.median("value").over(w)).withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    scored = dev.withColumn("mad", F.median("adev").over(w))
     rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
     return (
-        dev.join(mad, "event_type")
-        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        scored.filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
         .select(
             "event_id",
             "event_type",
