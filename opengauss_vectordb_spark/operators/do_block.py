@@ -1512,7 +1512,11 @@ def try_handle_procedure(engine, query: str):
                 f"AS {_map_type(t)}) AS {p}"
                 for p, t in outs
             )
-            return engine.spark.sql(f"SELECT {cols}")
+            # inline-VALUES anchor → LocalRelation fold, no job on
+            # materialization (the _util.status_frame convention)
+            return engine.spark.sql(
+                f"SELECT {cols} FROM VALUES (0) AS __onerow(__z)"
+            )
         return status_frame(engine.spark, ("CALL", name, runner.executed, len(runner.notices),
               "\n".join(runner.notices)), "tag STRING, procedure STRING, statements_executed INT,"
             " n_notices INT, notices STRING",)
@@ -1789,7 +1793,7 @@ def try_handle_fncall(engine, query: str):
     alias = (m.group("alias") or name).lower()
     return engine.spark.sql(
         f"SELECT CAST({_sql_literal(val)} AS {_map_type(ret_type)}) "
-        f"AS {alias}"
+        f"AS {alias} FROM VALUES (0) AS __onerow(__z)"
     )
 
 
