@@ -76,6 +76,44 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def invalidate_table_cache(sf_dir: str | None = None) -> None:
+    """Drop cached parquet handles (all, or those under one sf_dir).
+    The cached plan pins the file listing captured at first read — a
+    caller that regenerates a directory's parquet in-process must
+    invalidate, or stale handles reference deleted files (ADVICE r12)."""
+    keys = [
+        k for k in _TABLE_CACHE
+        if sf_dir is None or k[1] == sf_dir
+    ]
+    for k in keys:
+        del _TABLE_CACHE[k]
+    keys = [
+        k for k in _PARQUET_CACHE
+        if sf_dir is None or k[1].startswith(str(sf_dir))
+    ]
+    for k in keys:
+        del _PARQUET_CACHE[k]
+
+
+def parquet_handle(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized LAZY ``spark.read.parquet(path)`` handle for index/layout
+    paths outside the star schema (IVF data/centroids, IVF×PQ codes) —
+    the same ~90 ms footer/py4j cost per call the table() cache removes
+    (guide §5; r12's 37 s construction finding).  Plan reuse only: every
+    action re-scans the parquet files."""
+    key = (id(spark), path)
+    hit = _PARQUET_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _PARQUET_CACHE[key] = (spark, df)
+    return df
+
+
+# (session, path) → lazy parquet handle (see parquet_handle()).
+_PARQUET_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 

@@ -80,6 +80,29 @@ def davg6(col: Column, alias: str) -> Column:
     return (_scaled_long_sum(col) / F.count(col)).alias(alias)
 
 
+def pin_schema(df, schema: str):
+    """Cast/rename ``df``'s columns to the pinned gate schema (same
+    spelling createDataFrame(rows, schema) used) WITHOUT materializing:
+    the r12 gate queries collected their result and re-shipped it through
+    a local relation purely to pin the schema — a driver round-trip plus
+    a second (local) plan per build (guide §5).  A positional cast-select
+    pins the identical schema on the LAZY frame instead."""
+    cols = _split_schema(schema)
+    if len(cols) != len(df.columns):
+        raise ValueError(
+            f"pin_schema: frame has {len(df.columns)} columns for "
+            f"{len(cols)} pinned"
+        )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(src).cast(typ).alias(name.strip("`"))
+            for src, (name, typ) in zip(df.columns, cols)
+        ]
+    )
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
 

@@ -43,7 +43,7 @@ from __future__ import annotations
 import re
 
 from .create_function import _map_type
-from ._util import status_frame
+from ._util import pin_schema, status_frame
 
 _CREATE_AGG_HEAD = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?AGGREGATE\s+(?P<name>\w+)\s*\(",
@@ -822,13 +822,12 @@ def create_aggregate_sql(spark, sf_dir):
         " COUNT(*) AS n_rows"
         " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
-    rows = out.collect()
     eng.sql("DROP AGGREGATE gate_wsum(double precision, double precision)")
     eng.sql("DROP AGGREGATE gate_gmean(double precision)")
     for fn in ("gate_wsum_step", "gate_gm_step", "gate_gm_final"):
         eng.sql(f"DROP FUNCTION {fn}")
-    return spark.createDataFrame(
-        rows,
+    return pin_schema(
+        out,
         "l_returnflag STRING, wsum DOUBLE, geo_mean DOUBLE,"
         " n_rows BIGINT",
     )
@@ -898,11 +897,10 @@ def create_aggregate_combine(spark, sf_dir):
         " COUNT(*) AS n_rows"
         " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
-    rows = out.collect()
     eng.sql("DROP AGGREGATE gate_wsum_c(double precision,"
             " double precision)")
     for fn in ("gate_cmb_step", "gate_cmb_merge", "gate_cmb_fin"):
         eng.sql(f"DROP FUNCTION {fn}")
-    return spark.createDataFrame(
-        rows, "l_returnflag STRING, wsum DOUBLE, n_rows BIGINT"
+    return pin_schema(
+        out, "l_returnflag STRING, wsum DOUBLE, n_rows BIGINT"
     )

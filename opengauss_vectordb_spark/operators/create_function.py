@@ -33,7 +33,7 @@ planner.  ``RETURNS TABLE(...)`` maps to Spark's table-function form.
 from __future__ import annotations
 
 import re
-from ._util import status_frame
+from ._util import pin_schema, status_frame
 
 # PG type name → Spark SQL type.  Multi-word PG names are normalized
 # before lookup ("double precision" → "double_precision").
@@ -386,13 +386,12 @@ def create_function_sql(spark, sf_dir):
         "   AS strict_null_ok"
         " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_disc_price")
     eng.sql("DROP FUNCTION IF EXISTS gate_tax_amount(float8, float8)")
     if eng.sql_functions:
         raise AssertionError("DROP FUNCTION left registry entries behind")
-    return spark.createDataFrame(
-        rows,
+    return pin_schema(
+        out,
         "l_returnflag STRING, n BIGINT, sum_disc DOUBLE, sum_tax DOUBLE,"
         " strict_null_ok BOOLEAN",
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 import re
 
 from ..registry import query
-from ._util import status_frame
+from ._util import pin_schema, status_frame
 
 _CONNECT = re.compile(
     r"^\s*SELECT\s+dblink_connect\(\s*'(?P<name>\w+)'\s*,\s*"
@@ -131,8 +131,7 @@ def dblink_remote_agg(spark, sf_dir):
         .select("o_orderpriority", "local_n", "remote_n")
         .orderBy("o_orderpriority")
     )
-    rows = out.collect()
     eng.sql("SELECT dblink_disconnect('ref')")
-    return spark.createDataFrame(
-        rows, "o_orderpriority STRING, local_n BIGINT, remote_n BIGINT"
+    return pin_schema(
+        out, "o_orderpriority STRING, local_n BIGINT, remote_n BIGINT"
     )

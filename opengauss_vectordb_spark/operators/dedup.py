@@ -372,46 +372,77 @@ def connected_components_dedup(pairs: DataFrame, ids: DataFrame,
     cluster_id = min doc_id of the duplicate group.
 
     Each iteration CHECKPOINTS its label table (localCheckpoint →
-    eagerly materialized, lineage truncated to a leaf RDD): the labels
-    plan feeds the next round TWICE (neighbor-min build + outer join),
-    so an unmaterialized loop doubles the logical plan every iteration —
-    O(2^k) analyzer/planner work that OOMs long before the data does —
-    and the convergence-check action would re-execute the whole chain.
-    With the checkpoint, plan depth is constant per iteration (pinned in
-    test_plan_quality) and each round computes only its own delta. On a
-    cluster, swap localCheckpoint for checkpoint() with a reliable
-    checkpoint dir if executor loss during the loop must be survivable."""
+    lineage truncated to a leaf RDD): the labels plan feeds the next
+    round twice, so an unmaterialized loop doubles the logical plan
+    every iteration — O(2^k) analyzer/planner work that OOMs long
+    before the data does — and the convergence-check action would
+    re-execute the whole chain.  With the checkpoint, plan depth is
+    constant per iteration (pinned in test_plan_quality) and each round
+    computes only its own delta.  On a cluster, swap localCheckpoint
+    for checkpoint() with a reliable checkpoint dir if executor loss
+    during the loop must be survivable.
+
+    r13 shape (guide §2.4/§5, OPTIMIZATION_r13.md): ONE action and ONE
+    final aggregation exchange per iteration instead of two actions
+    (eager checkpoint + convergence count) and three exchanges
+    (join / groupBy / re-join).  The update min(own, min(neighbor
+    labels)) is spelled as one groupBy over (neighbor contributions ∪
+    own label) — the old left-outer re-join of nbr_min onto labels is
+    gone — and the convergence count doubles as the materializing
+    action of a LAZY localCheckpoint: a full (non-short-circuit) count
+    over the checkpoint-marked frame computes every partition, so the
+    checkpoint completes in the same job that answers "did anything
+    change".  Identical fixpoint, identical per-iteration labels:
+    min(own, min(nbrs)) and chg = new < own are exactly the old
+    least()/coalesce() update."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
+    # lazy init checkpoint: iteration 1's convergence count is the
+    # materializing job (same one-action-per-iteration rule as below);
+    # the checkpoint still truncates lineage before iteration 2 reuses
+    # the frame
     labels = ids.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
-        neighbor_min = (
+        # neighbor contributions carry own=NULL; the own-label row
+        # carries own=cluster_id (labels has one row per doc_id, so
+        # max(own) per group IS the old label)
+        contrib = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+            .select(
+                F.col("src").alias("doc_id"),
+                F.col("cluster_id").alias("cand"),
+                F.lit(None).cast(labels.schema["cluster_id"].dataType).alias("own"),
+            )
+            .unionAll(
+                labels.select(
+                    "doc_id",
+                    F.col("cluster_id").alias("cand"),
+                    F.col("cluster_id").alias("own"),
+                )
+            )
         )
-        # carry a per-row changed flag through the update so convergence
-        # is a filter-scan over the checkpointed result — NOT a second
-        # shuffle join of old vs new labels (which would re-shuffle the
-        # full label table once per iteration just to answer yes/no)
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left_outer")
+            contrib.groupBy("doc_id")
+            .agg(
+                F.min("cand").alias("cluster_id"),
+                F.max("own").alias("_old"),
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                 < F.col("cluster_id")).alias("chg"),
+                "cluster_id",
+                (F.col("cluster_id") < F.col("_old")).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("chg")).limit(1).count()
+        # full count (not limit(1)) computes EVERY partition in this
+        # one job, completing the lazy checkpoint as a side effect —
+        # one action per iteration where r12 paid two
+        changed = new_labels.filter(F.col("chg")).count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break

@@ -67,7 +67,7 @@ from .plpgsql import (
     _split_branches,
 )
 from .create_function import _map_type, _split_params, _strip_comments
-from ._util import status_frame
+from ._util import pin_schema, status_frame
 
 _DO_RE = re.compile(
     r"^\s*DO\s+(?P<body>\$(?P<tag>\w*)\$.*?\$(?P=tag)\$)"
@@ -700,11 +700,25 @@ class _DoRunner:
             self.executed += 1
             return
         # FETCH [NEXT] [FROM] c INTO v1[, ...] — exec_stmt_fetch: one
-        # row from the open cursor's incremental take-buffer (batches
-        # double 2→8→32…, each take() re-scans only the leading
-        # partitions it needs — deterministic prefix over the same
-        # immutable plan), positional binding; exhaustion sets the
-        # targets NULL and FOUND false (PG's rule)
+        # row from the open cursor's buffer, positional binding;
+        # exhaustion sets the targets NULL and FOUND false (PG's rule).
+        # Buffering strategy is decided ONCE at the first FETCH from
+        # the cursor plan (r13 hardening, ADVICE r12):
+        #   * exchange-free plans (narrow scan/filter/project/generate/
+        #     limit) use the incremental doubling take() buffer — each
+        #     take() re-scans only the leading partitions it needs, and
+        #     the prefix is deterministic across re-executions because
+        #     row order is the immutable files' order;
+        #   * plans whose row order is NOT stable across executions
+        #     (joins, aggregates, sorts with ties, windows, distinct,
+        #     repartitions — anything with an exchange) take ONE
+        #     64-row buffer up front (single execution — for a sorted
+        #     cursor that is a cheap TakeOrdered top-K, not a full
+        #     sort), covering any protocol-sized FETCH sequence
+        #     hazard-free; a sequence that exhausts it collect()s once
+        #     and VERIFIES the already-delivered prefix is unchanged,
+        #     raising a descriptive error instead of silently skipping
+        #     or repeating a row the way a regrown take() could.
         m = re.match(
             r"FETCH\s+(?:NEXT\s+)?(?:FROM\s+)?(?P<c>\w+)\s+INTO\s+"
             r"(?P<vs>\w+(?:\s*,\s*\w+)*)$",
@@ -715,12 +729,37 @@ class _DoRunner:
             if name not in self.open_cursors:
                 raise KeyError(f"FETCH {name}: cursor is not open")
             cur = self.open_cursors[name]
+            if cur["buf"] is None:
+                df = self.engine.sql(cur["q"])
+                plan = df._jdf.queryExecution().optimizedPlan().toString()
+                cur["df"] = df
+                cur["stable_prefix"] = not re.search(
+                    r"\b(?:Join|Aggregate|Sort|Window|Deduplicate"
+                    r"|Repartition|RepartitionByExpression|Sample"
+                    r"|Intersect|Except)\b",
+                    plan,
+                )
             if cur["buf"] is None or (
                 cur["pos"] >= len(cur["buf"]) and not cur["done"]
             ):
-                want = max(4 * cur["pos"], 2)
-                cur["buf"] = self.engine.sql(cur["q"]).take(want)
-                cur["done"] = len(cur["buf"]) < want
+                if cur["stable_prefix"]:
+                    want = max(4 * cur["pos"], 2)
+                    cur["buf"] = cur["df"].take(want)
+                    cur["done"] = len(cur["buf"]) < want
+                elif cur["buf"] is None:
+                    cur["buf"] = cur["df"].take(64)
+                    cur["done"] = len(cur["buf"]) < 64
+                else:
+                    full = cur["df"].collect()
+                    if full[: cur["pos"]] != cur["buf"][: cur["pos"]]:
+                        raise RuntimeError(
+                            "FETCH: cursor row order changed between "
+                            "executions (plan has no stable prefix — "
+                            "exchange with ties); add a total ORDER BY "
+                            "(unique tiebreak column) to the cursor "
+                            "query"
+                        )
+                    cur["buf"], cur["done"] = full, True
             row = (
                 cur["buf"][cur["pos"]]
                 if cur["pos"] < len(cur["buf"])
@@ -1909,11 +1948,8 @@ def call_out_params(spark, sf_dir):
         $$
     """)
     out = eng.sql("CALL gate_out_stats(500, 10.0, NULL, NULL)")
-    rows = out.collect()
     eng.sql("DROP PROCEDURE gate_out_stats")
-    return spark.createDataFrame(
-        rows, "acc DOUBLE, n_orders BIGINT, max_price DOUBLE"
-    )
+    return pin_schema(out, "acc DOUBLE, n_orders BIGINT, max_price DOUBLE")
 
 
 @_register_query(
@@ -2174,6 +2210,5 @@ def plpgsql_setof_dynexecute(spark, sf_dir):
     out = eng.sql(
         "SELECT k, nm FROM gate_dyn_setof('nation', 1) ORDER BY k"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_dyn_setof")
-    return spark.createDataFrame(rows, "k BIGINT, nm STRING")
+    return pin_schema(out, "k BIGINT, nm STRING")

@@ -44,7 +44,7 @@ from __future__ import annotations
 import re
 
 from .plpgsql import _mask_strings
-from ._util import status_frame
+from ._util import pin_schema, status_frame
 
 _CREATE_PKG = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PACKAGE\s+(?!BODY\b)"
@@ -537,11 +537,9 @@ def package_member_function(spark, sf_dir):
         " FROM orders GROUP BY pricing.tier(o_totalprice)"
         " ORDER BY tier"
     )
-    rows = out.collect()
     eng.sql("DROP PACKAGE pricing")
-    return spark.createDataFrame(
-        [(r[0], r[1], float(r[2])) for r in rows],
-        "tier STRING, n BIGINT, bumped_total DOUBLE",
+    return pin_schema(
+        out, "tier STRING, n BIGINT, bumped_total DOUBLE"
     ).orderBy("tier")
 
 
@@ -601,9 +599,7 @@ def package_session_variable(spark, sf_dir):
         "   AS DOUBLE) AS scored"
         " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
-    rows = out.collect()
     eng.sql("DROP PACKAGE cfg")
-    return spark.createDataFrame(
-        [(r[0], r[1], float(r[2])) for r in rows],
-        "o_orderstatus STRING, n_above BIGINT, scored DOUBLE",
+    return pin_schema(
+        out, "o_orderstatus STRING, n_above BIGINT, scored DOUBLE"
     ).orderBy("o_orderstatus")

@@ -126,7 +126,7 @@ from __future__ import annotations
 import re
 
 from .create_function import _map_type, _split_params, _strip_comments
-from ._util import status_frame
+from ._util import pin_schema, status_frame
 
 _CREATE_PLFN = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>\w+)\s*"
@@ -2277,11 +2277,8 @@ def plpgsql_guard_function(spark, sf_dir):
         "   AS total"
         " FROM orders GROUP BY tier ORDER BY tier"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_order_tier")
-    return spark.createDataFrame(
-        rows, "tier STRING, n BIGINT, total DOUBLE"
-    )
+    return pin_schema(out, "tier STRING, n BIGINT, total DOUBLE")
 
 
 @_register_query(
@@ -2334,11 +2331,8 @@ def plpgsql_select_into_nested_if(spark, sf_dir):
         "SELECT n_nationkey, n_name, gate_cust_density(n_nationkey)"
         " AS density FROM nation ORDER BY n_nationkey"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_cust_density")
-    return spark.createDataFrame(
-        rows, "n_nationkey INT, n_name STRING, density STRING"
-    )
+    return pin_schema(out, "n_nationkey INT, n_name STRING, density STRING")
 
 
 @_register_query(
@@ -2400,11 +2394,8 @@ def plpgsql_for_loop_agg(spark, sf_dir):
         " FROM (SELECT DISTINCT o_orderstatus FROM orders)"
         " ORDER BY o_orderstatus"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_loop_stats")
-    return spark.createDataFrame(
-        rows, "o_orderstatus STRING, loop_stat DOUBLE"
-    )
+    return pin_schema(out, "o_orderstatus STRING, loop_stat DOUBLE")
 
 
 @_register_query(
@@ -2475,11 +2466,10 @@ def plpgsql_int_for_loop(spark, sf_dir):
         " FROM (SELECT DISTINCT c_nationkey FROM customer)"
         " ORDER BY c_nationkey"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_tri_stat")
     eng.sql("DROP FUNCTION gate_rev_sum")
-    return spark.createDataFrame(
-        rows, "c_nationkey BIGINT, sq_stat BIGINT, rev_stat BIGINT"
+    return pin_schema(
+        out, "c_nationkey BIGINT, sq_stat BIGINT, rev_stat BIGINT"
     )
 
 
@@ -2533,11 +2523,8 @@ def plpgsql_while_loop(spark, sf_dir):
         " FROM (SELECT DISTINCT c_nationkey FROM customer)"
         " ORDER BY c_nationkey"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_while_sum")
-    return spark.createDataFrame(
-        rows, "c_nationkey BIGINT, while_stat BIGINT"
-    )
+    return pin_schema(out, "c_nationkey BIGINT, while_stat BIGINT")
 
 
 @_register_query(
@@ -2586,9 +2573,8 @@ def plpgsql_foreach_array(spark, sf_dir):
         "SELECT p_partkey, gate_word_stat(lower(p_name)) AS stat"
         " FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_word_stat")
-    return spark.createDataFrame(rows, "p_partkey BIGINT, stat BIGINT")
+    return pin_schema(out, "p_partkey BIGINT, stat BIGINT")
 
 
 @_register_query(
@@ -2663,12 +2649,9 @@ def plpgsql_exception_guard(spark, sf_dir):
         " AS prio"
         " FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_safe_rate")
     eng.sql("DROP FUNCTION gate_parse_prio")
-    return spark.createDataFrame(
-        rows, "o_orderkey BIGINT, rate DOUBLE, prio BIGINT"
-    )
+    return pin_schema(out, "o_orderkey BIGINT, rate DOUBLE, prio BIGINT")
 
 
 @_register_query(
@@ -2723,11 +2706,8 @@ def plpgsql_return_query(spark, sf_dir):
         " FROM gate_order_slices(100000.0)"
         " GROUP BY bucket ORDER BY bucket"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_order_slices")
-    return spark.createDataFrame(
-        rows, "bucket BIGINT, n BIGINT, total DOUBLE"
-    )
+    return pin_schema(out, "bucket BIGINT, n BIGINT, total DOUBLE")
 
 
 @_register_query(
@@ -2779,11 +2759,8 @@ def plpgsql_case_stmt(spark, sf_dir):
         "   AS total"
         " FROM orders GROUP BY band ORDER BY band"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_prio_band")
-    return spark.createDataFrame(
-        rows, "band STRING, n BIGINT, total DOUBLE"
-    )
+    return pin_schema(out, "band STRING, n BIGINT, total DOUBLE")
 
 
 @_register_query(
@@ -2903,8 +2880,5 @@ def plpgsql_do_while(spark, sf_dir):
         " FROM (SELECT DISTINCT c_nationkey FROM customer)"
         " ORDER BY c_nationkey"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_dw_sum")
-    return spark.createDataFrame(
-        rows, "c_nationkey BIGINT, dw_stat BIGINT"
-    )
+    return pin_schema(out, "c_nationkey BIGINT, dw_stat BIGINT")

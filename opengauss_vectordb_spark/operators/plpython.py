@@ -379,7 +379,14 @@ def plpython_function(spark, sf_dir):
     Scale: PL/Python is the designated slow path — per-element Python
     under Arrow batching (ArrowEvalPython, never row-at-a-time
     BatchEvalPython).  The aggregation above it is normal partial/final
-    hash aggregation; only the projection pays the Python cost."""
+    hash aggregation; only the projection pays the Python cost.
+
+    The returned frame is LAZY (r13, guide §5: no driver round-trips in
+    query paths): spark.sql analyzes eagerly, so the resolved plan holds
+    the PythonUDF expression itself and the subsequent DROP FUNCTION —
+    which only unregisters the catalog name — cannot invalidate it.  The
+    old collect() + createDataFrame round-trip executed the query at
+    build time and re-shipped the rows through a local relation."""
     from ..engine import Engine
 
     eng = Engine(spark, sf_dir)
@@ -394,9 +401,8 @@ def plpython_function(spark, sf_dir):
         "SELECT gate_py_mod97(c_custkey, c_name) AS r, COUNT(*) AS n"
         " FROM customer GROUP BY r ORDER BY r"
     )
-    rows = out.collect()
     eng.sql("DROP FUNCTION gate_py_mod97")
-    return spark.createDataFrame(rows, "r INT, n BIGINT")
+    return out
 
 
 @_register_query(
@@ -455,12 +461,12 @@ def plpython_setof(spark, sf_dir):
         "   (SELECT * FROM gate_py_range(5) AS r)) AS rng"
         " ORDER BY agg.tok"
     )
-    rows = out.collect()
+    # lazy return (r13): the analyzed plan embeds the resolved PythonUDF
+    # expressions, so the DROPs below cannot invalidate it — no collect/
+    # createDataFrame round-trip (guide §5)
     eng.sql("DROP FUNCTION gate_py_tokens")
     eng.sql("DROP FUNCTION gate_py_range")
-    return spark.createDataFrame(
-        rows, "tok STRING, n BIGINT, range_sum BIGINT, range_n BIGINT"
-    )
+    return out
 
 
 @_register_query(
@@ -503,9 +509,7 @@ def plpython_setof_composite(spark, sf_dir):
         " (SELECT n_nationkey, gate_py_toks(n_name) FROM nation)"
         " ORDER BY n_nationkey, tok"
     )
-    rows = out.collect()
+    # lazy return (r13): resolved PythonUDF survives the DROPs (guide §5)
     eng.sql("DROP FUNCTION gate_py_toks")
     eng.sql("DROP TYPE gate_tok_t")
-    return spark.createDataFrame(
-        rows, "n_nationkey BIGINT, tok STRING, toklen INT"
-    )
+    return out

@@ -2142,7 +2142,15 @@ def recursive_cycle_detect(spark, sf_dir):
     Scale: the working table stays |starts| rows per iteration and the
     per-iteration join is a broadcast-size equi-join on the edge key;
     iteration depth equals the longest simple path, bounded by the
-    guard."""
+    guard.
+
+    r13 A/B note (kept AS IS — OPTIMIZATION_r13.md): materializing the
+    edge relation with localCheckpoint (+0.1 s for the extra job) and
+    forcing BROADCAST in the recursive arm (+0.3 s — a fresh
+    BroadcastExchange per iteration beats nothing here; the 25-row side
+    already auto-broadcasts) both measured SLOWER than this shape at
+    sf0.1; the per-iteration cost is the UnionLoop job floor, not the
+    edge re-derivation."""
     table(spark, sf_dir, "nation").createOrReplaceTempView("cyc_nation_src")
     return spark.sql(
         """

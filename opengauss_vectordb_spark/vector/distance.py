@@ -25,6 +25,21 @@ def as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def dlit_array(values) -> Column:
+    """array<double> literal in ONE py4j round trip.
+
+    ``F.array(*[F.lit(float(x)) ...])`` costs one py4j call per element
+    (~0.3 ms each) — a 64-d query literal is ~65 calls and the 256-entry
+    PQ lookup table was ~280, dominating plan BUILD time for the vector
+    queries (guide §5; r12's construction finding).  One ``F.expr`` over
+    the rendered literals parses JVM-side to the IDENTICAL CreateArray of
+    double Literals (repr() is shortest round-trip, the same value the
+    lit() path boxes), which ConstantFolding collapses to a single array
+    Literal either way."""
+    body = ",".join(repr(float(x)) + "D" for x in values)
+    return F.expr(f"array({body})")
+
+
 def _fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum of an array<double> (deterministic order)."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)

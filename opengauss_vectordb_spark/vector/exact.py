@@ -21,7 +21,11 @@ from .distance import DISTANCES, as_double
 
 
 def _query_literal(qvec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in qvec])
+    # one py4j call (identical CreateArray of double Literals) — r13,
+    # guide §5; the per-element F.lit spelling was ~65 round trips
+    from .distance import dlit_array
+
+    return dlit_array(qvec)
 
 
 def knn(

@@ -309,11 +309,16 @@ class IvfIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "list_id INT, centroid ARRAY<DOUBLE>",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        from ..catalog import invalidate_table_cache
+
+        invalidate_table_cache(path)  # rebuilds rewrite in place
         return idx
 
     # ---------------------------------------------------------------- load
     def data(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "data"))
+        from ..catalog import parquet_handle
+
+        return parquet_handle(spark, os.path.join(self.path, "data"))
 
     # --------------------------------------------------------------- search
     def _probe_lists(
@@ -324,15 +329,23 @@ class IvfIndex:
         only the `probes` winning list ids come back to the driver (they
         must: they parameterize the partition-pruning filter). No
         per-element Python loop even at the 32768-list maximum."""
-        cents = spark.read.parquet(os.path.join(self.path, "centroids"))
+        from ..catalog import parquet_handle
+
+        cents = parquet_handle(
+            spark, os.path.join(self.path, "centroids")
+        )
         if self.metric == "hamming":
             from .distance import hamming_distance
 
-            q = F.array(*[F.lit(int(x)).cast("long") for x in qvec])
+            q = F.expr(
+                "array(" + ",".join(f"{int(x)}L" for x in qvec) + ")"
+            )
             d = hamming_distance(F.col("centroid").cast("array<bigint>"), q)
         else:
+            from .distance import dlit_array
+
             dist_fn = DISTANCES[self.metric]
-            q = F.array(*[F.lit(float(x)) for x in qvec])
+            q = dlit_array(qvec)
             d = dist_fn(F.col("centroid"), q)
         ranked = (
             cents.select("list_id", d.alias("_d"))
@@ -406,7 +419,11 @@ class IvfIndex:
         (≤ 100_000 rows)."""
         from pyspark.sql import Window as W
 
-        cents = spark.read.parquet(os.path.join(self.path, "centroids"))
+        from ..catalog import parquet_handle
+
+        cents = parquet_handle(
+            spark, os.path.join(self.path, "centroids")
+        )
         dist_fn = DISTANCES[self.metric]
         q = queries.select(query_id, as_double(F.col(query_vec)).alias("_qv"))
         # centroids are bounded (≤ 32768 lists) — always broadcastable

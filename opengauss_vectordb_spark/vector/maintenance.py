@@ -21,6 +21,16 @@ from .distance import as_double
 from .ivf import IvfIndex, assign_lists_expr
 
 
+def _invalidate(index: IvfIndex) -> None:
+    """Drop memoized lazy parquet handles under this index's root —
+    every maintenance entry point rewrites the layout in place, and a
+    cached handle pins the file listing captured at first read
+    (catalog.parquet_handle)."""
+    from ..catalog import invalidate_table_cache
+
+    invalidate_table_cache(index.path)
+
+
 def append_to_index(
     spark: SparkSession,
     index: IvfIndex,
@@ -53,6 +63,7 @@ def append_to_index(
         .partitionBy("list_id")
         .parquet(os.path.join(index.path, "data"))
     )
+    _invalidate(index)
 
 
 def compact(spark: SparkSession, index: IvfIndex, target_partitions: int = 1) -> None:
@@ -95,6 +106,7 @@ def compact(spark: SparkSession, index: IvfIndex, target_partitions: int = 1) ->
     os.rename(data_path, old)
     os.rename(staged, data_path)
     shutil.rmtree(old)
+    _invalidate(index)
 
 
 def vacuum_delete(spark: SparkSession, index: IvfIndex, predicate) -> None:
@@ -126,6 +138,7 @@ def vacuum_delete(spark: SparkSession, index: IvfIndex, predicate) -> None:
     os.rename(data_path, old)
     os.rename(staged, data_path)
     shutil.rmtree(old)
+    _invalidate(index)
 
 
 def rebuild(

@@ -128,17 +128,37 @@ class PqCodebooks:
         ]
 
     def adc_distance(self, codes: Column, qvec: Sequence[float]) -> Column:
-        """Approximate L2 distance from stored codes — a JVM-side fold:
-        zip the code array with the LUT literal and sum the looked-up
-        subspace distances. No Python in the per-row path."""
-        lut = F.array(
-            *[
-                F.array(*[F.lit(float(v)) for v in row])
-                for row in self.adc_lut(qvec)
-            ]
+        """Approximate L2 distance from stored codes — one fold over the
+        subspace INDEX with a single flattened LUT literal (r13; guide
+        §1.2/§5): ``sqrt(aggregate(sequence(0, m-1), 0.0,
+        (acc, j) -> acc + flat_lut[codes[j+1] + j*k + 1]))``.
+
+        Same terms in the same left-fold order with the same 0.0 seed as
+        the r12 ``aggregate(zip_with(codes, lut2d, ...))`` spelling —
+        values bit-identical (short/NULL code arrays yield NULL through
+        element_at exactly as zip_with's null-padding did).  What
+        changed is the machinery, A/B'd at sf0.1 (OPTIMIZATION_r13.md):
+        the LUT literal builds in ONE py4j call (~280 F.lit round trips
+        before), appears ONCE in the expression tree (a fully unrolled
+        16-term sum duplicated the 256-literal array per term and paid
+        +0.2 s of analysis), and no per-row picked-distance intermediate
+        array is allocated.  Coarse stage: 1.01 s → 0.53 s."""
+        from .distance import dlit_array
+
+        flat = dlit_array(
+            [v for row in self.adc_lut(qvec) for v in row]
         )
-        picked = F.zip_with(codes, lut, lambda c, tbl: F.element_at(tbl, c + 1))
-        return F.sqrt(F.aggregate(picked, F.lit(0.0), lambda a, x: a + x))
+        k = self.k
+        return F.sqrt(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(self.m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    flat, F.element_at(codes, j + 1) + j * k + 1
+                ),
+            )
+        )
 
 
 def pq_search(
@@ -150,6 +170,7 @@ def pq_search(
     k: int = 10,
     rerank: int = 100,
     id_col: str = "vec_id",
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: coarse ADC top-``rerank`` (bounded heap over
     the 8-byte codes — the stage that scans the corpus touches ONLY
@@ -161,8 +182,16 @@ def pq_search(
     pruning drops the float vector from the wide scan (carrying it
     through the heap would read the full vectors and void the byte
     cut — pinned in test_plan_quality); the ``rerank`` survivors then
-    join back to fetch their vectors, a k-row broadcast join."""
-    from .distance import l2_distance
+    join back to fetch their vectors, a k-row broadcast join.
+
+    ``vectors`` (r13, guide §2.3): optional separate float-vector frame
+    for the rerank stage.  When the caller's code frame needs a
+    dedup shuffle first (IVF spill can assign a vector to several
+    lists), passing the raw frame here and deduping only (id, codes)
+    upstream keeps the shuffle ~30× narrower than dragging the float
+    vectors through it; the rerank side dedups its ≤``rerank``-row
+    join result instead."""
+    from .distance import dlit_array, l2_distance
 
     coarse = (
         df_codes.filter(F.col(code_col).isNotNull())
@@ -172,11 +201,21 @@ def pq_search(
         .limit(rerank)
         .select(id_col)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    vectors = df_codes.select(id_col, vec_col)
+    qlit = dlit_array(qvec)
+    if vectors is None:
+        vecs = df_codes.select(id_col, vec_col)
+        joined = vecs.join(F.broadcast(coarse), id_col)
+    else:
+        # duplicates of one vec_id are identical rows (same embedding),
+        # so deduping AFTER the broadcast semi-join touches ≤ the
+        # short-list×spill rows, never the corpus
+        joined = (
+            vectors.select(id_col, vec_col)
+            .join(F.broadcast(coarse), id_col)
+            .dropDuplicates([id_col])
+        )
     return (
-        vectors.join(F.broadcast(coarse), id_col)
-        .withColumn(
+        joined.withColumn(
             "distance", l2_distance(as_double(F.col(vec_col)), qlit)
         )
         .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())

@@ -58,7 +58,12 @@ def _sql_l1(a: str, b: str) -> str:
 
 
 def _spark_qlit():
-    return F.array(*[F.lit(float(v)) for v in QUERY_VEC])
+    # one-py4j-call literal (identical CreateArray of double Literals;
+    # r13 guide §5 — the 64-element F.lit spelling cost ~65 round trips
+    # per use across every knn/ivf/hnsw query build)
+    from .distance import dlit_array
+
+    return dlit_array(QUERY_VEC)
 
 
 def _knn_query(name: str, dist_col_fn, sql_dist: str):
@@ -1070,6 +1075,7 @@ def ivf_pq_search(spark, sf_dir):
     equal true L2 recomputed from the base table, and recall@10 ≥ 0.3
     vs the exact scan on the near-uniform synthetic embeddings (pytest
     holds the reference's per-probe thresholds on clusterable data)."""
+    from ..catalog import parquet_handle
     from .pq import pq_search
 
     emb = table(spark, sf_dir, "embeddings").filter(
@@ -1079,14 +1085,18 @@ def ivf_pq_search(spark, sf_dir):
     books = _pq_books(spark, sf_dir)
     layout = _ivf_pq_layout(spark, sf_dir)
     lists = idx._probe_lists(spark, QUERY_VEC, probes=8)
-    codes = (
-        spark.read.parquet(layout)
-        .filter(F.col("list_id").isin(lists))
-        .dropDuplicates(["vec_id"])
+    pruned = parquet_handle(spark, layout).filter(
+        F.col("list_id").isin(lists)
     )
-    got = pq_search(codes, books, QUERY_VEC, k=10, rerank=100).select(
-        "vec_id", "distance"
-    )
+    # dedup (spill lists can repeat a vector) on (vec_id, codes) ONLY —
+    # the r12 shape dragged the float embedding through this shuffle;
+    # the rerank side re-reads the pruned scan and dedups its ≤100-row
+    # join result instead (guide §2.3 — shuffle fewer bytes; the codes
+    # row is ~30× narrower than the float vector)
+    codes = pruned.select("vec_id", "pq_codes").dropDuplicates(["vec_id"])
+    got = pq_search(
+        codes, books, QUERY_VEC, k=10, rerank=100, vectors=pruned
+    ).select("vec_id", "distance")
     truth = emb.select(
         "vec_id",
         l2_distance(as_double(F.col("embedding")), _spark_qlit()).alias("_td"),

@@ -32,7 +32,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
