@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ._util import scoped_persist
 from .text import shingle_stream, shingles, tokens
 
 N_BANDS = 4
@@ -135,7 +136,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # materialize signatures once: both sides of the candidate self-join
     # read the same tiny (n_docs × n_bands) table instead of re-hashing
     # the corpus twice
-    sigs = minhash_signatures(d).cache()
+    sigs = scoped_persist(minhash_signatures(d))
     a = sigs.select(
         F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a")
     )
@@ -234,7 +235,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_id", "shingle", "n_sh")
         # exploded shingles are CORPUS-sized (one row per 3-gram): spill
         # the reuse to local disk, never pin it in executor memory
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     )
     a = ex.select(F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = ex.select(
@@ -311,7 +312,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     """
     from .text import simhash_table
 
-    sh = simhash_table(spark, sf_dir).cache()
+    sh = scoped_persist(simhash_table(spark, sf_dir))
     bands = sh.select(
         "doc_id",
         "simhash16",
@@ -542,7 +543,7 @@ def dedup_lsh_verified(spark, sf_dir):
     ex = (
         shingle_stream(d)
         .dropDuplicates(["doc_id", "shingle"])
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -633,7 +634,7 @@ def dedup_incremental_minhash(spark, sf_dir):
     flags = d.select(
         "doc_id", F.col("source").isin(*_DELTA_SOURCES).alias("is_delta")
     )
-    sigs = minhash_signatures(d).join(flags, "doc_id").cache()
+    sigs = scoped_persist(minhash_signatures(d).join(flags, "doc_id"))
     a = sigs.filter(F.col("is_delta")).select(
         F.col("doc_id").alias("new_id"), "band", F.col("sig").alias("sig_a")
     )
@@ -728,7 +729,7 @@ def dedup_repeated_spans(spark, sf_dir):
                 )
             ).alias("h"),
         )
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     )
     stats = grams.groupBy("h").agg(
         F.count_distinct("doc_id").alias("ndocs")

@@ -32,6 +32,7 @@ from ..catalog import table
 from ..registry import query
 from .db4ai import _CENTROIDS, _sql_sqdist
 from .dedup import connected_components_dedup
+from ._util import scoped_persist
 from .text import tokens
 
 # 4-hex-nibble bucket in [0, 65536) from a doc_id — identical arithmetic
@@ -170,7 +171,7 @@ def _jaccard_pairs(spark, sf_dir):
     ex = (
         shingle_stream(d)
         .dropDuplicates(["doc_id", "shingle"])
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -229,7 +230,7 @@ def dedup_cluster_resolve(spark, sf_dir):
     (pairs, not corpus); the reference's executor has the same shape in
     RecursiveUnion (executor/nodeRecursiveunion.cpp) driven to fixpoint.
     """
-    pairs = _jaccard_pairs(spark, sf_dir).cache()
+    pairs = scoped_persist(_jaccard_pairs(spark, sf_dir))
     nodes = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -520,7 +521,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
                 )
             )
         ).alias("shingle"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     eval_sh = (
         shingles.filter(F.col("doc_id") % 97 == 0)
         .select("shingle")
@@ -751,7 +752,7 @@ def dedup_keep_best(spark, sf_dir):
     column of the corpus, and the per-cluster argmax is a map-side
     combinable max_by — no window over the corpus. The recursive-CTE
     oracle recomputes the fixpoint and the argmax independently."""
-    pairs = _jaccard_pairs(spark, sf_dir).cache()
+    pairs = scoped_persist(_jaccard_pairs(spark, sf_dir))
     nodes = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -1099,7 +1100,7 @@ def dsir_importance_resample(spark, sf_dir):
         # the corpus text is tokenized/hashed ONCE, not re-scanned per
         # consumer; DISK_ONLY because counts is corpus-rows × ≤V and
         # must not compete for executor memory at 100 TB
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     )
     tgt = (
         counts.filter(F.expr(_DSIR_TARGET))
@@ -1460,7 +1461,7 @@ def decontaminate_bloom_prefilter(spark, sf_dir):
     # the verify semi-join's eval side, the train probe side) — persist
     # DISK_ONLY so tokenize+explode runs once (the _jaccard_pairs
     # convention; measured 1.56 → 1.1 s at sf0.1)
-    shingles = _bloom_shingles(d).persist(StorageLevel.DISK_ONLY)
+    shingles = _bloom_shingles(d).transform(lambda _df: scoped_persist(_df, StorageLevel.DISK_ONLY))
     eval_sh = (
         shingles.filter(F.col("doc_id") % 97 == 0)
         .select("shingle").distinct()

@@ -18,6 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ._util import scoped_persist
 from ..registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -745,7 +746,7 @@ def bm25_rank(
     tf = d.select(*cols)
     if match is not None:
         tf = tf.filter(F.col("_m")).drop("_m")
-    tf = tf.persist(StorageLevel.DISK_ONLY)
+    tf = scoped_persist(tf, StorageLevel.DISK_ONLY)
     stats = tf.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("bigint") * F.lit(1.0) / F.count(F.lit(1))).alias(

@@ -46,13 +46,30 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle`` is the DuckDB-SQL equivalent
-    (omit for non-SQL-expressible ops → driver runs rows-only check)."""
+    (omit for non-SQL-expressible ops → driver runs rows-only check).
+
+    Every registered build runs inside a persist scope (r13, VERDICT r12
+    item 5): building query B releases the persisted blocks query A
+    scoped via ``_util.scoped_persist`` — the blocks a query persists
+    for its own multi-consumer plan stay alive through its action(s) and
+    are dropped when the NEXT query builds, so a long session holds at
+    most one query's worth of persisted storage instead of accumulating
+    DISK_ONLY blocks across hundreds of queries."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        from .operators._util import begin_query_scope
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            begin_query_scope(name)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

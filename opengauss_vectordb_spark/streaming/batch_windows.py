@@ -676,6 +676,16 @@ def events_anomaly_mad(spark, sf_dir):
     # four times through two joins) — same exact-percentile median,
     # identical rows; 0.97 → 0.56 s at sf0.1 (guide §2.4: operations
     # keyed the same way share one exchange)
+    #
+    # SCALE BOUND (VERDICT r12 item 3): with a low-cardinality
+    # event_type, an exact per-key median funnels every key's rows into
+    # one task in EITHER formulation (the grouped form collected the
+    # same per-key value set); the window form additionally carries the
+    # full event rows through that task.  At 100 TB either pre-aggregate
+    # per (event_type, quantized value) and take the weighted median of
+    # the ~1e6-bucket histogram, or accept approx_percentile's bounded
+    # error — both change the declared exact-median semantics, so the
+    # bound is documented rather than silently swapped in.
     ev = table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("double")
     )

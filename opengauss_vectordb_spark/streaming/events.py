@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators._util import dsum6
+from ..operators._util import dsum, dsum6
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -46,19 +46,24 @@ def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> Data
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
+                    watermark: str = "2 hours",
+                    sum6: bool = False) -> DataFrame:
     """Watermarked tumbling-window counts per event_type; late events
     beyond the watermark are dropped, in-watermark stragglers update
-    their window (append-mode emits a window once it is final)."""
+    their window (append-mode emits a window once it is final).
+
+    ``sum6`` (ADVICE r12): this is a GENERIC helper over caller-supplied
+    event frames, so the exact decimal accumulator (dsum) is the
+    default — dsum6's scaled-long fast path silently rounds values with
+    more than 6 true decimal digits and wraps beyond its |v| bound.
+    Callers whose value column provably satisfies the dsum6
+    preconditions (the engine's events table: 6 dp, |v| ≤ ~561) opt in
+    with sum6=True for the ~3× cheaper aggregation."""
+    total = (dsum6 if sum6 else dsum)(F.col("value"), "total_value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            # scaled-long decimal-sum spelling (value is 6 dp ≤ ~561
-            # in the event stream — _util.dsum6 preconditions)
-            dsum6(F.col("value"), "total_value"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), total)
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "total_value")
     )
