@@ -116,7 +116,93 @@ registry.load_all_queries()
 # r11 verdict demanded — after this window no row's latest evidence
 # predates r5; (e) the oldest 21 rows of the 32-entry r5 tail
 # (alphabetical prefix; the remaining 11 rotate in r13).
+# ROUND 13 window (exactly 50) — the optimization-evidence window the
+# r12 verdict demanded (item 1: "rotate the r13 gate window to
+# front-load the touched-but-ungated paths").  Composition:
+# (a) every path structurally changed in THIS round's optimization —
+#     the statement family whose gate queries now return LAZY frames
+#     through pin_schema instead of collect+createDataFrame round-trips
+#     (plpgsql compiled-function gates, CALL OUT params, packages,
+#     CREATE AGGREGATE/FUNCTION, dblink, PL/Python ×3), the
+#     connected-components loop rewrite (dedup_cluster_resolve/
+#     keep_best), the PQ ADC fold respelling + narrow-dedup restructure
+#     (ivf_pq_search, knn_pq_rerank), and the cursor FETCH
+#     determinism hardening (plpgsql_cursor_fetch, + dynexecute/
+#     do_block_for_loop statement-family companions touched in r12);
+# (b) the r12 dsum6/davg6 scaled-long conversions that were verified
+#     only builder-side (the r12 window froze before the work): every
+#     converted TPC-H query, agg_rollup/cube, bucketed_join_colocated,
+#     inlist_join_rewrite, db4ai_linreg_ols, events tumbling/sliding;
+# (c) the remaining r12 rewrites with no driver-gate evidence:
+#     decontaminate ngram/bloom, text_simhash + dedup_simhash_pairs,
+#     semdedup_keep, age_function, decontaminate_ngram_overlap.
+# Displaced to keep the window at 50: the 7-row r5-tail remainder
+# (hnsw_delete_then_search, hnsw_filtered_search,
+# hnsw_search_halfvec_exhaustive, hnsw_search_sparsevec_exhaustive,
+# ivf_search_bit_exhaustive, knn_maxsim_multivector,
+# knn_subvector_rerank — all untouched in r12/r13, latest evidence r5),
+# ivf_search_probed and embedding_dup_pairs_cosine (touched this round
+# only through the one-call literal-array spelling, which is
+# plan-identical, and the bit-pinned unrolled kernel that semdedup_keep
+# also exercises) — they are the top of the next window.
 GATE_PRIORITY: list[str] = [
+    # (a) r13 structural changes
+    "plpgsql_guard_function",
+    "plpgsql_select_into_nested_if",
+    "plpgsql_for_loop_agg",
+    "plpgsql_int_for_loop",
+    "plpgsql_while_loop",
+    "plpgsql_foreach_array",
+    "plpgsql_exception_guard",
+    "plpgsql_return_query",
+    "plpgsql_case_stmt",
+    "plpgsql_do_while",
+    "call_out_params",
+    "plpgsql_setof_dynexecute",
+    "package_member_function",
+    "package_session_variable",
+    "create_aggregate_sql",
+    "create_aggregate_combine",
+    "create_function_sql",
+    "dblink_remote_agg",
+    "plpython_function",
+    "plpython_setof",
+    "plpython_setof_composite",
+    "dedup_cluster_resolve",
+    "dedup_keep_best",
+    "ivf_pq_search",
+    "knn_pq_rerank",
+    "plpgsql_cursor_fetch",
+    "plpgsql_dynexecute_function",
+    "do_block_for_loop",
+    # (b) r12 dsum6/davg6 conversions, never driver-gated post-change
+    "tpch_q1",
+    "tpch_q3_adapted",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7_adapted",
+    "tpch_q9_adapted",
+    "tpch_q10_adapted",
+    "tpch_q15",
+    "tpch_q19_adapted",
+    "agg_rollup",
+    "agg_cube",
+    "bucketed_join_colocated",
+    "inlist_join_rewrite",
+    "db4ai_linreg_ols",
+    "events_tumbling_window",
+    "events_sliding_window",
+    # (c) r12 rewrites, never driver-gated post-change
+    "decontaminate_ngram_overlap",
+    "decontaminate_bloom_prefilter",
+    "text_simhash",
+    "dedup_simhash_pairs",
+    "semdedup_keep",
+    "age_function",
+]
+
+# The ROUND 12 window, retired (kept for the rotation ledger):
+_GATE_PRIORITY_R12: list[str] = [
     # (a) round-12 NEW registrations
     "create_aggregate_combine",
     "plpython_setof_composite",
