@@ -196,9 +196,12 @@ GATE_PRIORITY: list[str] = [
     "decontaminate_ngram_overlap",
     "decontaminate_bloom_prefilter",
     "text_simhash",
-    "dedup_simhash_pairs",
     "semdedup_keep",
     "age_function",
+    # r13 lazy-return conversion landed after the sections above were
+    # drafted; takes the slot of dedup_simhash_pairs, whose r12 nibble
+    # rewrite is the same path text_simhash (above) exercises
+    "range_type_funcs",
 ]
 
 # The ROUND 12 window, retired (kept for the rotation ledger):

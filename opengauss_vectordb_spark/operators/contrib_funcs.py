@@ -129,8 +129,14 @@ def fuzzystrmatch_unaccent(spark, sf_dir):
 
     Scale: literal-driven function tranche; on real data these are pure
     codegen column expressions."""
-    src = spark.createDataFrame(
-        _FUZZY_ROWS, "id INT, a STRING, b STRING, acc STRING"
+    # inline-VALUES anchor instead of createDataFrame (r13, guide §5 —
+    # the status_frame trick): the projection over a LocalRelation is
+    # ConvertToLocalRelation-foldable, so the build skips the
+    # local-relation RDD machinery and the sort runs over a folded leaf
+    src = spark.sql(
+        "SELECT * FROM VALUES "
+        + _FUZZY_VALUES_SQL
+        + " AS t(id, a, b, acc)"
     )
     return src.select(
         "id", "a", "b",

@@ -839,9 +839,12 @@ def range_type_funcs(spark, sf_dir):
         "   AS hi_key"
         " FROM orders GROUP BY st ORDER BY st"
     )
-    rows = [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in out.collect()]
-    return spark.createDataFrame(
-        rows,
+    # lazy return (r13): nothing is dropped after the build, so the old
+    # collect+createDataFrame round-trip bought nothing (guide §5)
+    from ._util import pin_schema
+
+    return pin_schema(
+        out,
         "st STRING, in_window BIGINT, below_1000 BIGINT,"
         " near_1000 BIGINT, lo_key BIGINT, hi_key BIGINT",
     )
