@@ -513,16 +513,16 @@ def dedup_lsh_verified(spark, sf_dir):
     a duplicate-heavy corpus it is NOT bounded, so no broadcast is
     forced — AQE broadcasts it only when its runtime size qualifies."""
     d = table(spark, sf_dir, "documents")
-    # The signature build MUST stay plan-identical to dedup_minhash_lsh's
-    # (minhash_signatures(d), no variation): Spark's CacheManager matches
-    # on the logical plan, so when both queries run in one session the
-    # signatures compute once. Sharing a cached raw shingle stream across
-    # the signature+verify stages instead was measured a net LOSS twice
-    # over: it changes this plan (cache miss against the sibling query)
-    # and serializing ~10^6 short strings costs more than re-running the
-    # fully-codegen'd tokenize+shingle pipeline — recompute beats
-    # materialize for cheap map-side pipelines.
-    sigs = minhash_signatures(d)
+    # Persist the tiny (n_docs × n_bands) signature table for the
+    # candidate self-join's two sides — the same within-query reuse
+    # dedup_minhash_lsh carries.  (r13: this query used to lean on the
+    # CacheManager plan-match against the SIBLING query's cached sigs;
+    # the query-scoped persist registry releases cross-query blocks by
+    # design, so the reuse is now owned here.  Sharing a cached raw
+    # SHINGLE stream across the signature+verify stages instead remains
+    # a measured net loss: serializing ~10^6 short strings costs more
+    # than re-running the fully-codegen'd tokenize+shingle pipeline.)
+    sigs = scoped_persist(minhash_signatures(d))
     a = sigs.select(F.col("doc_id").alias("id_a"), "band", F.col("sig").alias("sig_a"))
     b = sigs.select(
         F.col("doc_id").alias("id_b"),
