@@ -25,24 +25,28 @@ def davg(col: Column, alias: str) -> Column:
     return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
 
 
-def _scaled_long_sum(col: Column) -> Column:
-    """Exact decimal(18,6)-sum spelled as two long sums (see dsum6)."""
-    v = F.round(col * F.lit(1000000.0)).cast("long")
+def _scaled_long_sum(col: Column, digits: int = 6) -> Column:
+    """Exact decimal-sum spelled as two long sums (see dsum6/dsum_digits):
+    scale by 10^digits, split the scaled integer at 1e6, recombine per
+    group.  ``digits`` is the column's TRUE decimal-digit count; fewer
+    digits buy magnitude headroom (P2 scales as 2^53 / 10^digits)."""
+    mul = 10 ** digits
+    v = F.round(col * F.lit(float(mul))).cast("long")
     m = F.lit(1000000)
     r = F.pmod(v, m)
-    # (v - r) is a multiple of 1e6 and ≤ ~8e15 < 2^53, so the double
-    # division is exact and the long cast lossless
+    # (v - r) is a multiple of 1e6 and < 2^53, so the double division is
+    # exact and the long cast lossless
     q = ((v - r) / m).cast("long")
     # recombine per GROUP (cheap): S = sum(q)*1e6 + sum(r), value
-    # S*1e-6 — decimal arithmetic sized so no step can round:
-    # (20,0)*(7,0)→(28,0); +(20,0)→(29,0); *(7,6)→(37,6) ≤ 38
+    # S*10^-digits — decimal arithmetic sized so no step can round:
+    # (20,0)*(7,0)→(28,0); +(20,0)→(29,0); *(digits+1,digits)→≤(38,d)
     return (
         (
             F.sum(q).cast("decimal(20,0)")
             * F.lit(1000000).cast("decimal(7,0)")
             + F.sum(r).cast("decimal(20,0)")
         )
-        * F.lit(0.000001).cast("decimal(7,6)")
+        * F.lit(1.0 / mul).cast(f"decimal({digits + 1},{digits})")
     ).cast("double")
 
 
@@ -83,6 +87,30 @@ def dsum6(col: Column, alias: str) -> Column:
 def davg6(col: Column, alias: str) -> Column:
     """``davg`` fast path — dsum6 preconditions apply."""
     return (_scaled_long_sum(col) / F.count(col)).alias(alias)
+
+
+def dsum_digits(col: Column, digits: int, alias: str) -> Column:
+    """``dsum`` fast path for columns with ≤``digits`` TRUE decimal
+    digits (r13).  Bit-identical to
+    ``CAST(SUM(CAST(col AS DECIMAL(18,6))) AS DOUBLE)`` whenever
+
+      (P1) the true values have ≤ digits decimal digits (digits ≤ 6, so
+           the DECIMAL(18,6) cast is exact on them),
+      (P2) |value| · 10^digits ≲ 2^53 / 8 AND the stored double is the
+           EXACT value (e.g. the product of two 2-dp money columns whose
+           scaled integers multiply below 2^53), so round(col·10^digits)
+           recovers the exact scaled integer, and
+      (P3) int64 headroom for the partial sums (rows/group ·
+           |value|·10^(digits-6) ≲ 9e18).
+
+    The point vs dsum6: fewer true digits buy magnitude headroom —
+    l_extendedprice² reaches ~1.2e10 (over dsum6's bound: ·1e6 exceeds
+    2^53) but has only 4 true decimals, and ·1e4 ≤ 1.3e14 is exactly
+    recoverable.  The final decimal value is numerically identical to
+    the DECIMAL(18,6) sum (trailing zeros only), and decimal→double
+    casting is value-based, so the doubles match bitwise.  Property
+    grid: tests/test_r13_optimization.py."""
+    return _scaled_long_sum(col, digits).alias(alias)
 
 
 # --- query-scoped persist registry (VERDICT r12 item 5) -------------------

@@ -112,22 +112,25 @@ def db4ai_linreg_ols(spark, sf_dir):
     exact decimal sums (partial/final combinable → scales linearly with
     executors), then slope/intercept/r2 in final double arithmetic.
     One model per l_returnflag group — grouped training for free."""
-    from ._util import dsum, dsum6
+    from ._util import dsum6, dsum_digits
 
     li = table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     # dsum6 (scaled-long spelling, bit-identical — _util preconditions):
     # quantity ≤ 50 (0 dp), price ≤ ~1.1e5 (2 dp), so x, y, x·x, x·y
-    # all stay ≤6 true decimal digits under the 4e9 magnitude bound.
-    # y·y reaches ~1.1e10 — ABOVE the P2 bound (its scaled value
-    # exceeds 2^53) — so syy keeps the decimal accumulator.
+    # all stay ≤6 true decimal digits under the magnitude bound.
+    # y·y reaches ~1.2e10 — above dsum6's bound (·1e6 exceeds 2^53) —
+    # but it has only 4 TRUE decimals and is an EXACT double ((y·100)²
+    # ≤ 1.3e14 < 2^53), so the r13 dsum_digits(…, 4) scaled-long path
+    # applies; r12 kept the decimal accumulator here, the last one in
+    # this aggregate (OPTIMIZATION_r13.md §linreg).
     s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
         dsum6(x, "sxd"),
         dsum6(y, "syd"),
         dsum6(x * x, "sxxd"),
         dsum6(x * y, "sxyd"),
-        dsum(y * y, "syyd"),
+        dsum_digits(y * y, 4, "syyd"),
     )
     d = s.select(
         "flag",

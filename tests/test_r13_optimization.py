@@ -56,6 +56,42 @@ def test_adc_seqfold_bitwise_equals_zipwith_spelling(spark):
             assert struct.pack("<d", r.r12) == struct.pack("<d", r.r13), r
 
 
+def test_dsum_digits_bitwise_equals_dsum_on_kdp_grid(spark):
+    """dsum_digits(col, d) must be BIT-IDENTICAL to
+    CAST(SUM(CAST(col AS DECIMAL(18,6))) AS DOUBLE) on columns whose
+    true values have ≤d decimal digits within the documented magnitude
+    bound — including the linreg syy shape: squares of 2-dp money values
+    up to ~1.1e5 (y² ~1.2e10, over dsum6's bound but exact at 4 dp)."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from opengauss_vectordb_spark.operators._util import dsum, dsum_digits
+
+    rng = random.Random(113)
+    rows = []
+    for i in range(4000):
+        g = i % 7
+        # 2-dp money value in [0, 110000], like l_extendedprice
+        y = rng.randrange(0, 11_000_000) / 100.0
+        rows.append((g, y * y))              # exact 4-dp square
+        if i % 17 == 0:
+            rows.append((g, None))           # NULLs ignored by both
+    rows.append((99, None))                  # all-NULL group
+    df = spark.createDataFrame(rows, "g INT, v DOUBLE")
+    got = (
+        df.groupBy("g")
+        .agg(dsum(F.col("v"), "slow"), dsum_digits(F.col("v"), 4, "fast"))
+        .collect()
+    )
+    assert len(got) == 8
+    for r in got:
+        assert (r.slow is None) == (r.fast is None), r
+        if r.slow is not None:
+            assert struct.pack("<d", r.slow) == struct.pack("<d", r.fast), r
+
+
 def test_pin_schema_pins_what_createdataframe_pinned(spark):
     from opengauss_vectordb_spark.operators._util import pin_schema
 
